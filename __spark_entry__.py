@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator family of the engine
+(xarray_spark — see SURVEY.md §2 mapping) over the driver's star-schema
+tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+
+Float policy: every multi-row floating aggregate is ROUNDed identically
+on both sides (3 decimals for large sums, 6 for means/ratios) so the
+order-insensitive value hash is stable against summation-order noise.
 """
 
 from __future__ import annotations
@@ -12,27 +14,865 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from xarray_spark import XDataset
+from xarray_spark.groupers import BinGrouper, SeasonGrouper, TimeResampler
+
+REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+# Epsilon-rounding: money values are exact decimal halves (prices have 2
+# decimals, revenue 4), and Spark (BigDecimal HALF_UP on the exact binary
+# value) and DuckDB (multiply-then-round) disagree on exact .5 boundaries.
+# Adding a sub-resolution epsilon before rounding moves every value off
+# the boundary identically on both sides.
+def _r3(c): return F.round(c + F.lit(1e-6), 3)
+def _r4(c): return F.round(c + F.lit(1e-8), 4)
+def _r6(c): return F.round(c + F.lit(1e-9), 6)
+
+
+# --------------------------------------------------------------------- #
+# loaders — star-schema tables as XDatasets (long form; SURVEY.md §1.4)
+# --------------------------------------------------------------------- #
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> XDataset:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return XDataset(
+        df,
+        dims=["l_orderkey", "l_linenumber"],
+        coords={
+            "l_shipdate": ("l_orderkey", "l_linenumber"),
+            "l_returnflag": ("l_orderkey", "l_linenumber"),
+            "l_linestatus": ("l_orderkey", "l_linenumber"),
+        },
+    )
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> XDataset:
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return XDataset(
+        df,
+        dims=["o_orderkey"],
+        coords={
+            "o_orderdate": ("o_orderkey",),
+            "o_orderstatus": ("o_orderkey",),
+            "o_orderpriority": ("o_orderkey",),
+        },
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> XDataset:
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    # reader rejects; read the raw nanos and truncate to microseconds
+    # (matching DuckDB's ns->us cast).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return XDataset(
+        df,
+        dims=["event_id"],
+        coords={
+            "ts": ("event_id",),
+            "event_type": ("event_id",),
+            "user_id": ("event_id",),
+        },
+    )
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> XDataset:
+    """Shared building block: revenue per ship date (rounded)."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    return li.groupby("l_shipdate").agg(rev=_r3(F.sum("rev")))
+
+
+_DAILY_SQL = (
+    "SELECT l_shipdate, ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev "
+    "FROM lineitem GROUP BY l_shipdate"
+)
+
+
+# --------------------------------------------------------------------- #
+# queries
+# --------------------------------------------------------------------- #
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter + multi-agg groupby (SURVEY §2.4/2.5)."""
+    li = _lineitem(spark, sf_dir).assign(
+        disc_price=REV, charge=REV * (1 + F.col("l_tax"))
+    )
+    ds = li.query("l_shipdate <= timestamp '1998-09-02 00:00:00'")
+    g = ds.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sum_qty=_r3(F.sum("l_quantity")),
+        sum_base_price=_r3(F.sum("l_extendedprice")),
+        sum_disc_price=_r3(F.sum("disc_price")),
+        sum_charge=_r3(F.sum("charge")),
+        avg_qty=_r6(F.avg("l_quantity")),
+        avg_price=_r6(F.avg("l_extendedprice")),
+        avg_disc=_r6(F.avg("l_discount")),
+        count_order=F.count(F.lit(1)),
+    )
+    return g.to_spark()
+
+
+def q02_sel_label_slice(spark, sf_dir):
+    """sel with an inclusive label slice (SURVEY §2.2; xarray
+    core/dataset.py:3018 slice semantics)."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    sub = li.sel(l_shipdate=slice("1995-01-01", "1995-12-31"))
+    out = sub.groupby("l_returnflag").agg(
+        revenue=_r3(F.sum("rev")), n=F.count(F.lit(1))
+    )
+    return out.to_spark()
+
+
+def q03_isel_head(spark, sf_dir):
+    """head = positional isel on the label table (SURVEY §2.2)."""
+    li = _lineitem(spark, sf_dir)
+    sub = li.head(l_shipdate=30)
+    out = sub.groupby("l_shipdate").agg(
+        n=F.count(F.lit(1)), qty=_r3(F.sum("l_quantity"))
+    )
+    return out.to_spark()
+
+
+def q04_where_mask(spark, sf_dir):
+    """where(cond, other) predicated masking (xarray core/common.py:1131)."""
+    li = _lineitem(spark, sf_dir)
+    qty = li["l_quantity"].where(F.col("l_quantity") > 25, other=0.0)
+    out = qty.groupby("l_returnflag").agg(
+        qty_masked=_r3(F.sum("l_quantity")), n=F.count(F.lit(1))
+    )
+    return out.to_spark()
+
+
+def q05_orders_groupby(spark, sf_dir):
+    """UniqueGrouper groupby-agg (xarray groupers.py:210)."""
+    o = _orders(spark, sf_dir)
+    out = o.groupby("o_orderpriority").agg(
+        n=F.count(F.lit(1)),
+        total=_r3(F.sum("o_totalprice")),
+        avg_price=_r6(F.avg("o_totalprice")),
+    )
+    return out.to_spark()
+
+
+def q06_groupby_bins(spark, sf_dir):
+    """BinGrouper, pandas.cut right-closed semantics (groupers.py:344)."""
+    li = _lineitem(spark, sf_dir)
+    g = li.groupby(l_quantity=BinGrouper(
+        bins=[0, 10, 20, 30, 40, 50],
+        labels=["0-10", "10-20", "20-30", "30-40", "40-50"],
+    ))
+    out = g.agg(n=F.count(F.lit(1)), base=_r3(F.sum("l_extendedprice")))
+    return out.to_spark().withColumnRenamed("l_quantity_bins", "bin")
+
+
+def q07_resample_monthly(spark, sf_dir):
+    """TimeResampler monthly mean (groupers.py:474)."""
+    o = _orders(spark, sf_dir)
+    out = o.resample(o_orderdate="MS").agg(
+        n=F.count(F.lit(1)), avg_total=_r6(F.avg("o_totalprice"))
+    )
+    return out.to_spark().withColumnRenamed("o_orderdate", "month")
+
+
+def q08_resample_daily_events(spark, sf_dir):
+    """Daily resample over the events stream table."""
+    ev = _events(spark, sf_dir)
+    out = ev.resample(ts="D").agg(
+        n=F.count(F.lit(1)), total=_r3(F.sum("value"))
+    )
+    return out.to_spark().withColumnRenamed("ts", "day")
+
+
+def q09_season_groupby(spark, sf_dir):
+    """SeasonGrouper incl. cross-year DJF (groupers.py:801)."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    g = li.groupby(l_shipdate=SeasonGrouper())
+    out = g.agg(revenue=_r3(F.sum("rev")), n=F.count(F.lit(1)))
+    return out.to_spark().withColumnRenamed("l_shipdate", "season")
+
+
+def q10_rolling_mean(spark, sf_dir):
+    """rolling(window=7).mean() with min_periods=window default
+    (xarray computation/rolling.py:56)."""
+    daily = _daily_revenue(spark, sf_dir)
+    roll = daily.rolling(l_shipdate=7).mean()
+    out = roll.assign(rev7=_r3(F.col("rev"))).drop_vars("rev")
+    return out.to_spark()
+
+
+def q11_cumsum(spark, sf_dir):
+    """cumsum along a dim (window scan, SURVEY §2.4)."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.cumsum("l_shipdate").assign(
+        cum_rev=_r3(F.col("rev"))
+    ).drop_vars("rev")
+    return out.to_spark()
+
+
+def q12_diff(spark, sf_dir):
+    """diff: first discrete difference, first label dropped
+    (xarray core/dataset.py:7879)."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.diff("l_shipdate").assign(
+        d_rev=_r3(F.col("rev"))
+    ).drop_vars("rev")
+    return out.to_spark()
+
+
+def _masked_purchase_daily(spark, sf_dir):
+    ev = _events(spark, sf_dir).sel(event_type="purchase")
+    daily = ev.resample(ts="D").agg(v=F.avg("value"))
+    # mask low days -> nulls to exercise the fill/interp machinery
+    return daily.where(F.col("v") >= 10.0)
+
+
+_MASKED_SQL = (
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, "
+    "CASE WHEN AVG(value) >= 10.0 THEN AVG(value) END AS v "
+    "FROM events WHERE event_type = 'purchase' GROUP BY 1"
+)
+
+
+def q13_ffill(spark, sf_dir):
+    """ffill: forward-fill nulls along time (xarray core/dataset.py:6716)."""
+    daily = _masked_purchase_daily(spark, sf_dir)
+    out = daily.ffill("ts").assign(v=_r6(F.col("v")))
+    return out.to_spark()
+
+
+def q14_interpolate_na(spark, sf_dir):
+    """interpolate_na(linear) over interior gaps (xarray core/missing.py:331)."""
+    daily = _masked_purchase_daily(spark, sf_dir)
+    out = daily.interpolate_na("ts", method="linear").assign(v=_r6(F.col("v")))
+    return out.to_spark()
+
+
+def q15_quantile(spark, sf_dir):
+    """Exact linear-interpolation quantiles → new 'quantile' dim
+    (xarray core/dataset.py:8237)."""
+    li = _lineitem(spark, sf_dir)
+    da = li["l_extendedprice"]
+    out = da.quantile([0.1, 0.25, 0.5, 0.75, 0.9])
+    return out.to_spark().withColumn("l_extendedprice", _r4(F.col("l_extendedprice")))
+
+
+def q16_groupby_median(spark, sf_dir):
+    """Per-group median (percentile 0.5, exact)."""
+    li = _lineitem(spark, sf_dir)
+    out = li["l_extendedprice"].groupby("l_returnflag").median()
+    return out.to_spark().withColumn("l_extendedprice", _r4(F.col("l_extendedprice")))
+
+
+def q17_rank(spark, sf_dir):
+    """Average-method rank (xarray core/dataset.py:8416)."""
+    sup = XDataset(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        dims=["s_suppkey"],
+    )
+    out = sup["s_acctbal"].rank("s_suppkey")
+    return out.to_spark().select("s_suppkey", F.col("s_acctbal").alias("bal_rank"))
+
+
+def q18_idxmax(spark, sf_dir):
+    """idxmax: label of the maximum (max_by; xarray core/dataset.py:9349)."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    byday = li.groupby(["l_returnflag", "l_shipdate"]).agg(rev=_r3(F.sum("rev")))
+    out = byday.idxmax("l_shipdate")
+    return out.to_spark().withColumnRenamed("rev", "best_day")
+
+
+def q19_binary_align(spark, sf_dir):
+    """Auto-aligning binary op: inner join on shared dim then subtract
+    (xarray core/dataset.py:7783)."""
+    cust = XDataset(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed("c_nationkey", "nationkey"),
+        dims=["c_custkey"],
+        coords={"nationkey": ("c_custkey",)},
+    )
+    supp = XDataset(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet").withColumnRenamed("s_nationkey", "nationkey"),
+        dims=["s_suppkey"],
+        coords={"nationkey": ("s_suppkey",)},
+    )
+    a = cust.groupby("nationkey").agg(bal=_r3(F.sum("c_acctbal")))
+    b = supp.groupby("nationkey").agg(bal=_r3(F.sum("s_acctbal")))
+    diff = a - b
+    out = diff.assign(bal=_r3(F.col("bal")))
+    return out.to_spark()
+
+
+def q20_concat(spark, sf_dir):
+    """concat along an existing dim = union (xarray structure/concat.py:605)."""
+    from xarray_spark import concat
+    li = _lineitem(spark, sf_dir)
+    a = li.sel(l_shipdate=slice("1994-01-01", "1994-12-31"))
+    b = li.sel(l_shipdate=slice("1996-01-01", "1996-12-31"))
+    both = concat([a, b], dim="l_orderkey")
+    out = both.assign(y=F.year("l_shipdate")).groupby("y").agg(
+        n=F.count(F.lit(1)), qty=_r3(F.sum("l_quantity"))
+    )
+    return out.to_spark()
+
+
+def q21_reindex_fill(spark, sf_dir):
+    """reindex onto a full calendar with fill_value
+    (xarray core/dataset.py:3546)."""
+    import pandas as pd
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    d94 = li.sel(l_shipdate=slice("1994-01-01", "1994-12-31"))
+    daily = d94.groupby("l_shipdate").agg(rev=_r3(F.sum("rev")))
+    cal = [t.to_pydatetime() for t in pd.date_range("1994-01-01", "1994-12-31", freq="D")]
+    out = daily.reindex(l_shipdate=cal, fill_value=0.0)
+    return out.to_spark()
+
+
+def q22_pivot(spark, sf_dir):
+    """unstack-style pivot: dim labels → columns (xarray
+    core/dataset.py:5597 / to_unstacked_dataset)."""
+    li = _lineitem(spark, sf_dir)
+    byrf = li.groupby(["l_linestatus", "l_returnflag"]).agg(qty=_r3(F.sum("l_quantity")))
+    out = byrf.to_dataset_pivot("l_returnflag", "qty")
+    return out.to_spark()
+
+
+def q23_weighted_mean(spark, sf_dir):
+    """Weighted mean (xarray computation/weighted.py:135)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ds = XDataset(
+        df,
+        dims=["l_returnflag", "l_orderkey", "l_linenumber"],
+        coords={"l_quantity": ("l_orderkey", "l_linenumber")},
+        data_vars=["l_discount"],
+    )
+    out = ds.weighted("l_quantity").mean(dim=["l_orderkey", "l_linenumber"])
+    return out.to_spark().select(
+        "l_returnflag", _r6(F.col("l_discount")).alias("wavg_disc")
+    )
+
+
+def q24_integrate(spark, sf_dir):
+    """Trapezoidal integration along time (xarray core/dataset.py:8545)."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.integrate("l_shipdate")
+    return out.to_spark().select(_r3(F.col("rev") / 1e9).alias("integral_b"))
+
+
+def q25_polyfit(spark, sf_dir):
+    """Degree-1 polyfit via Vandermonde moments + tiny solve
+    (xarray computation/fit.py:101)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ds = XDataset(df, dims=["l_quantity"], data_vars=["l_extendedprice"])
+    fit = ds.polyfit("l_quantity", deg=1)
+    return fit.to_spark().select(
+        "degree",
+        _r4(F.col("l_extendedprice_polyfit_coefficients")).alias("coef"),
+    )
+
+
+def q26_corr(spark, sf_dir):
+    """Pearson correlation between two variables per group
+    (xarray computation/computation.py:152)."""
+    from xarray_spark import corr
+    from xarray_spark.dataset import XDataArray
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dims = ["l_returnflag", "l_orderkey", "l_linenumber"]
+    a = XDataArray(df, dims, {}, ["l_quantity"])
+    b = XDataArray(df, dims, {}, ["l_extendedprice"])
+    out = corr(a, b, dim=["l_orderkey", "l_linenumber"])
+    return out.to_spark().select("l_returnflag", _r6(F.col("corr")).alias("corr"))
+
+
+def q27_str_ops(spark, sf_dir):
+    """String accessor ops (xarray core/accessor_str.py)."""
+    docs = XDataset(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        dims=["doc_id"],
+        coords={"lang": ("doc_id",), "source": ("doc_id",)},
+    )
+    has_spark = docs["text"].str.contains("\\bspark\\b")
+    out = has_spark.groupby("lang").agg(
+        n_spark=F.sum(F.col("text").cast("int")), n=F.count(F.lit(1))
+    )
+    return out.to_spark()
+
+
+def q28_dt_fields(spark, sf_dir):
+    """Datetime accessor fields, pandas dayofweek convention
+    (xarray core/accessor_dt.py)."""
+    ev = _events(spark, sf_dir)
+    dow = ev["ts"].dt.dayofweek
+    out = dow.groupby("ts").agg(n=F.count(F.lit(1)))
+    return out.to_spark().withColumnRenamed("ts", "dow")
+
+
+def q29_reindex_nearest(spark, sf_dir):
+    """reindex(method='nearest') — as-of matching on the label table
+    (xarray core/dataset.py:3546, PandasIndex.sel method semantics)."""
+    import datetime as dt
+    daily = _daily_revenue(spark, sf_dir)
+    # sparse series: keep only high-revenue days, then as-of match
+    hi = daily.query("rev >= 100000.0")
+    targets = [dt.datetime(1994, m, 15) for m in range(1, 13)]
+    out = hi.reindex(l_shipdate=targets, method="nearest")
+    return out.to_spark()
+
+
+def q30_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text fingerprint (extras.dedup)."""
+    from xarray_spark.extras.dedup import dedup_exact
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dedup_exact(docs, "text", "doc_id")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q31_text_features(spark, sf_dir):
+    """Token count / punct ratio / quality score (extras.text)."""
+    from xarray_spark.extras.text import punct_ratio, quality_score, token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    feat = docs.select(
+        "source",
+        token_count(t).alias("ntok"),
+        punct_ratio(t).alias("pr"),
+        quality_score(t).alias("q"),
+    )
+    return feat.groupBy("source").agg(
+        F.sum("ntok").alias("total_tokens"),
+        _r6(F.avg("pr")).alias("avg_punct"),
+        _r6(F.avg("q")).alias("avg_quality"),
+    )
+
+
+def q32_language_id(spark, sf_dir):
+    """Stopword-marker language ID heuristic (extras.text.language_id)."""
+    from xarray_spark.extras.text import language_id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(language_id(F.col("text")).alias("lang_guess"))
+    return out.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q33_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (extras.similarity)."""
+    from xarray_spark.extras.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    out = cosine_topk(emb, queries, k=3)
+    return out.select(
+        "qid", "nid", _r4(F.col("cos")).alias("cos"), "rank"
+    )
+
+
+def q34_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (extras.dedup) — rows-only check
+    (hash seeds are engine-specific; no SQL oracle)."""
+    from xarray_spark.extras.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.2)
+
+
+def q35_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (extras.dedup) — rows-only check."""
+    from xarray_spark.extras.dedup import simhash_near_dups
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(docs, max_hamming=10)
+
+
+def q36_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: Arrow-batched feature extraction over binary
+    media (extras.multimodal) — rows-only check (stubbed decode)."""
+    from xarray_spark.extras.multimodal import extract_features, synth_media_table
+    media = synth_media_table(spark, n=64)
+    feats = extract_features(media)
+    return feats.select("media_id", "n_bytes", F.size("feature").alias("dim"))
+
+
+# --------------------------------------------------------------------- #
+# driver contract
+# --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_sel_label_slice": q02_sel_label_slice,
+        "q03_isel_head": q03_isel_head,
+        "q04_where_mask": q04_where_mask,
+        "q05_orders_groupby": q05_orders_groupby,
+        "q06_groupby_bins": q06_groupby_bins,
+        "q07_resample_monthly": q07_resample_monthly,
+        "q08_resample_daily_events": q08_resample_daily_events,
+        "q09_season_groupby": q09_season_groupby,
+        "q10_rolling_mean": q10_rolling_mean,
+        "q11_cumsum": q11_cumsum,
+        "q12_diff": q12_diff,
+        "q13_ffill": q13_ffill,
+        "q14_interpolate_na": q14_interpolate_na,
+        "q15_quantile": q15_quantile,
+        "q16_groupby_median": q16_groupby_median,
+        "q17_rank": q17_rank,
+        "q18_idxmax": q18_idxmax,
+        "q19_binary_align": q19_binary_align,
+        "q20_concat": q20_concat,
+        "q21_reindex_fill": q21_reindex_fill,
+        "q22_pivot": q22_pivot,
+        "q23_weighted_mean": q23_weighted_mean,
+        "q24_integrate": q24_integrate,
+        "q25_polyfit": q25_polyfit,
+        "q26_corr": q26_corr,
+        "q27_str_ops": q27_str_ops,
+        "q28_dt_fields": q28_dt_fields,
+        "q29_reindex_nearest": q29_reindex_nearest,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q31_text_features": q31_text_features,
+        "q32_language_id": q32_language_id,
+        "q33_cosine_topk": q33_cosine_topk,
+        "q34_minhash_lsh": q34_minhash_lsh,
+        "q35_simhash": q35_simhash,
+        "q36_multimodal_features": q36_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity) + 1e-6, 3) AS sum_qty,
+                   ROUND(SUM(l_extendedprice) + 1e-6, 3) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-6, 3) AS sum_charge,
+                   ROUND(AVG(l_quantity) + 1e-9, 6) AS avg_qty,
+                   ROUND(AVG(l_extendedprice) + 1e-9, 6) AS avg_price,
+                   ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_sel_label_slice": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <= TIMESTAMP '1995-12-31'
+            GROUP BY l_returnflag
+        """,
+        "q03_isel_head": """
+            WITH days AS (
+              SELECT DISTINCT l_shipdate FROM lineitem ORDER BY l_shipdate LIMIT 30
+            )
+            SELECT l_shipdate, COUNT(*) AS n, ROUND(SUM(l_quantity) + 1e-6, 3) AS qty
+            FROM lineitem
+            WHERE l_shipdate IN (SELECT l_shipdate FROM days)
+            GROUP BY l_shipdate
+        """,
+        "q04_where_mask": """
+            SELECT l_returnflag,
+                   ROUND(SUM(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0.0 END) + 1e-6, 3) AS qty_masked,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q05_orders_groupby": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice) + 1e-6, 3) AS total,
+                   ROUND(AVG(o_totalprice) + 1e-9, 6) AS avg_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q06_groupby_bins": """
+            SELECT CASE
+                     WHEN l_quantity > 0  AND l_quantity <= 10 THEN '0-10'
+                     WHEN l_quantity > 10 AND l_quantity <= 20 THEN '10-20'
+                     WHEN l_quantity > 20 AND l_quantity <= 30 THEN '20-30'
+                     WHEN l_quantity > 30 AND l_quantity <= 40 THEN '30-40'
+                     WHEN l_quantity > 40 AND l_quantity <= 50 THEN '40-50'
+                   END AS bin,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_extendedprice) + 1e-6, 3) AS base
+            FROM lineitem GROUP BY 1
+        """,
+        "q07_resample_monthly": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   COUNT(*) AS n,
+                   ROUND(AVG(o_totalprice) + 1e-9, 6) AS avg_total
+            FROM orders GROUP BY 1
+        """,
+        "q08_resample_daily_events": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value) + 1e-6, 3) AS total
+            FROM events GROUP BY 1
+        """,
+        "q09_season_groupby": """
+            SELECT CASE
+                     WHEN month(l_shipdate) IN (12, 1, 2) THEN 'DJF'
+                     WHEN month(l_shipdate) IN (3, 4, 5) THEN 'MAM'
+                     WHEN month(l_shipdate) IN (6, 7, 8) THEN 'JJA'
+                     ELSE 'SON'
+                   END AS season,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "q10_rolling_mean": f"""
+            WITH daily AS ({_DAILY_SQL})
+            SELECT l_shipdate,
+                   ROUND(CASE WHEN COUNT(rev) OVER w >= 7 THEN AVG(rev) OVER w END + 1e-6, 3) AS rev7
+            FROM daily
+            WINDOW w AS (ORDER BY l_shipdate ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "q11_cumsum": f"""
+            WITH daily AS ({_DAILY_SQL})
+            SELECT l_shipdate,
+                   ROUND(SUM(rev) OVER (ORDER BY l_shipdate ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-6, 3) AS cum_rev
+            FROM daily
+        """,
+        "q12_diff": f"""
+            WITH daily AS ({_DAILY_SQL})
+            SELECT l_shipdate,
+                   ROUND(rev - LAG(rev) OVER (ORDER BY l_shipdate) + 1e-6, 3) AS d_rev
+            FROM daily
+            QUALIFY ROW_NUMBER() OVER (ORDER BY l_shipdate) > 1
+        """,
+        "q13_ffill": f"""
+            WITH m AS ({_MASKED_SQL})
+            SELECT ts,
+                   ROUND(LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS v
+            FROM m
+        """,
+        "q14_interpolate_na": f"""
+            WITH m AS ({_MASKED_SQL}),
+            e AS (SELECT ts, v, epoch(ts) AS x FROM m),
+            f AS (
+              SELECT ts, x, v,
+                LAST_VALUE(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wb AS x0,
+                LAST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wb AS y0,
+                FIRST_VALUE(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wf AS x1,
+                FIRST_VALUE(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wf AS y1
+              FROM e
+              WINDOW wb AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wf AS (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT ts,
+                   ROUND(CASE WHEN v IS NOT NULL THEN v
+                              WHEN x0 IS NOT NULL AND x1 IS NOT NULL THEN
+                                CASE WHEN x1 = x0 THEN y0
+                                     ELSE y0 + (y1 - y0) * (x - x0) / (x1 - x0) END
+                         END, 6) AS v
+            FROM f
+        """,
+        "q15_quantile": """
+            SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS quantile,
+                   unnest([ROUND(quantile_cont(l_extendedprice, 0.1) + 1e-8, 4),
+                           ROUND(quantile_cont(l_extendedprice, 0.25) + 1e-8, 4),
+                           ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-8, 4),
+                           ROUND(quantile_cont(l_extendedprice, 0.75) + 1e-8, 4),
+                           ROUND(quantile_cont(l_extendedprice, 0.9) + 1e-8, 4)]) AS l_extendedprice
+            FROM lineitem
+        """,
+        "q16_groupby_median": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-8, 4) AS l_extendedprice
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q17_rank": """
+            SELECT s_suppkey,
+                   CAST(RANK() OVER (ORDER BY s_acctbal)
+                     + (COUNT(*) OVER (PARTITION BY s_acctbal) - 1) / 2.0 AS DOUBLE) AS bal_rank
+            FROM supplier
+        """,
+        "q18_idxmax": """
+            WITH byday AS (
+              SELECT l_returnflag, l_shipdate,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev
+              FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_returnflag, arg_max(l_shipdate, rev) AS best_day
+            FROM byday GROUP BY l_returnflag
+        """,
+        "q19_binary_align": """
+            SELECT a.nationkey, ROUND(a.bal - b.bal + 1e-6, 3) AS bal
+            FROM (SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal) + 1e-6, 3) AS bal
+                  FROM customer GROUP BY 1) a
+            JOIN (SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal) + 1e-6, 3) AS bal
+                  FROM supplier GROUP BY 1) b USING (nationkey)
+        """,
+        "q20_concat": """
+            WITH both_years AS (
+              SELECT * FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate <= TIMESTAMP '1994-12-31'
+              UNION ALL
+              SELECT * FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31'
+            )
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+                   COUNT(*) AS n, ROUND(SUM(l_quantity) + 1e-6, 3) AS qty
+            FROM both_years GROUP BY 1
+        """,
+        "q21_reindex_fill": """
+            WITH cal AS (
+              SELECT unnest(generate_series(TIMESTAMP '1994-01-01',
+                                            TIMESTAMP '1994-12-31', INTERVAL 1 DAY)) AS d
+            ),
+            daily AS (
+              SELECT l_shipdate AS d,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate <= TIMESTAMP '1994-12-31'
+              GROUP BY 1
+            )
+            SELECT cal.d AS l_shipdate, COALESCE(daily.rev, 0.0) AS rev
+            FROM cal LEFT JOIN daily USING (d)
+        """,
+        "q22_pivot": """
+            SELECT l_linestatus,
+                   ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag = 'A') + 1e-6, 3) AS A,
+                   ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag = 'N') + 1e-6, 3) AS N,
+                   ROUND(SUM(l_quantity) FILTER (WHERE l_returnflag = 'R') + 1e-6, 3) AS R
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "q23_weighted_mean": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity) + 1e-9, 6) AS wavg_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q24_integrate": """
+            WITH daily AS (
+              SELECT l_shipdate AS d,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev
+              FROM lineitem GROUP BY 1
+            ),
+            seg AS (
+              SELECT (epoch(d) - LAG(epoch(d)) OVER (ORDER BY d))
+                     * (rev + LAG(rev) OVER (ORDER BY d)) / 2.0 AS s
+              FROM daily
+            )
+            SELECT ROUND(SUM(s) / 1e9 + 1e-6, 3) AS integral_b FROM seg
+        """,
+        "q25_polyfit": """
+            SELECT CAST(1 AS INTEGER) AS degree,
+                   ROUND(regr_slope(l_extendedprice, l_quantity) + 1e-8, 4) AS coef
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0 AS INTEGER),
+                   ROUND(regr_intercept(l_extendedprice, l_quantity) + 1e-8, 4)
+            FROM lineitem
+        """,
+        "q26_corr": """
+            SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 6) AS corr
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q27_str_ops": """
+            SELECT lang,
+                   CAST(SUM(CASE WHEN regexp_matches(text, '\\bspark\\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_spark,
+                   COUNT(*) AS n
+            FROM documents GROUP BY lang
+        """,
+        "q28_dt_fields": """
+            SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow, COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "q29_reindex_nearest": """
+            WITH daily AS (
+              SELECT l_shipdate AS d,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev
+              FROM lineitem GROUP BY 1
+            ),
+            hi AS (SELECT * FROM daily WHERE rev >= 100000.0),
+            t AS (
+              SELECT unnest(generate_series(TIMESTAMP '1994-01-15',
+                                            TIMESTAMP '1994-12-15', INTERVAL 1 MONTH)) AS ts
+            ),
+            best AS (
+              SELECT t.ts, hi.rev,
+                     ROW_NUMBER() OVER (PARTITION BY t.ts
+                                        ORDER BY ABS(epoch(hi.d) - epoch(t.ts)), hi.d) AS rn
+              FROM t CROSS JOIN hi
+            )
+            SELECT ts AS l_shipdate, rev FROM best WHERE rn = 1
+        """,
+        "q30_dedup_exact": """
+            WITH fp AS (
+              SELECT *, hash(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+              FROM documents
+            ),
+            kept AS (
+              SELECT * FROM fp
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) = 1
+            )
+            SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM kept GROUP BY lang
+        """,
+        "q31_text_features": """
+            WITH feat AS (
+              SELECT source,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)
+                          ELSE 0.0 END AS pr
+              FROM documents
+            )
+            SELECT source,
+                   CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(pr) + 1e-9, 6) AS avg_punct,
+                   ROUND(AVG(LEAST(1.0, CAST(ntok AS DOUBLE) / 100.0) * (1.0 - pr)) + 1e-9, 6) AS avg_quality
+            FROM feat GROUP BY source
+        """,
+        "q32_language_id": """
+            WITH t AS (
+              SELECT ' ' || lower(text) || ' ' AS tx FROM documents
+            ),
+            hits AS (
+              SELECT
+                (CASE WHEN tx LIKE '% the %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% and %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% of %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% to %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% a %' THEN 1 ELSE 0 END) AS en,
+                (CASE WHEN tx LIKE '% el %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% la %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% de %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% que %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% los %' THEN 1 ELSE 0 END) AS es,
+                (CASE WHEN tx LIKE '% der %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% und %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% die %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% das %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% ist %' THEN 1 ELSE 0 END) AS de,
+                (CASE WHEN tx LIKE '% le %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% la %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% et %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% les %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% des %' THEN 1 ELSE 0 END) AS fr,
+                (CASE WHEN tx LIKE '% 的 %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% 是 %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% 了 %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% 在 %' THEN 1 ELSE 0 END + CASE WHEN tx LIKE '% 我 %' THEN 1 ELSE 0 END) AS zh
+              FROM t
+            ),
+            lab AS (
+              SELECT CASE
+                       WHEN GREATEST(en, es, de, fr, zh) = 0 THEN 'unknown'
+                       WHEN en = GREATEST(en, es, de, fr, zh) THEN 'en'
+                       WHEN es = GREATEST(en, es, de, fr, zh) THEN 'es'
+                       WHEN de = GREATEST(en, es, de, fr, zh) THEN 'de'
+                       WHEN fr = GREATEST(en, es, de, fr, zh) THEN 'fr'
+                       ELSE 'zh'
+                     END AS lang_guess
+              FROM hits
+            )
+            SELECT lang_guess, COUNT(*) AS n FROM lab GROUP BY lang_guess
+        """,
+        "q33_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.qid, e.vec_id AS nid,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id != q.qid
+            ),
+            ranked AS (
+              SELECT qid, nid, cos,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+              FROM scored
+            )
+            SELECT qid, nid, ROUND(cos + 1e-8, 4) AS cos, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        # q34/q35/q36: engine-specific hashing / stubbed decode — rows-only
+    }

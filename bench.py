@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs every queries() entry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "total_query_wall", "value": N, "unit": "sec",
+     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is forced with a noop-format write (full computation, no
+driver-side collect — measures the distributed plan, not toPandas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> None:
+    """Execute the full plan without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from xarray_spark import get_spark
+
+    spark = get_spark("xarray_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch session setup
+    force(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1))
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(json.dumps({
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

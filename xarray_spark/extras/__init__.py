@@ -1,0 +1,8 @@
+"""Engine extensions beyond the reference: large-scale training-data
+pipeline operators (dedup, similarity search, text analysis, multimodal).
+
+These have no xarray equivalent — they exist because the engine targets
+100 TB document/embedding corpora (BASELINE.json north star).
+"""
+
+from xarray_spark.extras import dedup, similarity, text, multimodal  # noqa: F401

@@ -1,0 +1,193 @@
+"""Deduplication operators for document corpora at scale.
+
+- exact: hash-groupBy on a 64-bit fingerprint (one shuffle keyed by the
+  hash, never by the full text).
+- MinHash + LSH: shingles → k minhashes → b bands → self-join on band
+  signature → candidate pairs → exact Jaccard verify.  The classic
+  Broder/LSH pipeline (public: Mining of Massive Datasets ch.3),
+  expressed entirely in DataFrame ops — the band join is an equi-join
+  Catalyst can shuffle-hash; no Python in the loop.
+- SimHash: per-token 64-bit hashes, bit-vote aggregate, hamming buckets.
+- n-gram Jaccard: explode shingles, equi-join on shingle, |A∩B|/|A∪B|.
+- embedding near-dup: cosine ≥ threshold via the similarity module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xarray_spark.extras.text import fingerprint, ngrams
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                keep: str = "first") -> DataFrame:
+    """Exact dedup: keep the min (first) / max (last) id per normalized
+    text fingerprint.  Shuffle key = 64-bit hash, not the document."""
+    fp = fingerprint(F.col(text_col))
+    order = F.col(id_col).asc() if keep == "first" else F.col(id_col).desc()
+    w = Window.partitionBy(fp).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = 64, n: int = 3) -> DataFrame:
+    """(id, minhash[num_hashes]) per document.
+
+    Shape matters for scale: explode shingles → ONE xxhash64 per
+    (shingle, seed) → num_hashes partial-aggregated MINs → assemble the
+    signature array.  The naive per-row form (array of k
+    array_min(transform(...))) makes Catalyst inline the shingle
+    expression k times — k× the work, on however few partitions the
+    scan produced.  The explode form hashes each shingle once and the
+    min aggregate is map-side partial, so the shuffle carries only
+    (id, k longs) per document.
+    """
+    ex = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(F.col(id_col), F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("__sh"))
+        .withColumn("__h", F.xxhash64("__sh"))
+    )
+    aggs = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, num_hashes: int = 64, bands: int = 16,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified with the
+    signature-estimated Jaccard.
+
+    bands=16 × rows=4 over 64 hashes → s-curve threshold ≈ (1/16)^(1/4)
+    ≈ 0.5.  Scale path: the band self-join shuffles on (band_id,
+    band_hash) — uniformly distributed keys, no skew; dedup of pairs by
+    (a < b).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    band_arr = F.array(*[
+        F.xxhash64(F.concat_ws(",", *[
+            F.col("minhash")[b * rows_per_band + r].cast("string")
+            for r in range(rows_per_band)
+        ]), F.lit(b))
+        for b in range(bands)
+    ])
+    banded = sigs.withColumn("__bands", band_arr).select(
+        id_col, "minhash", F.posexplode("__bands").alias("band_id", "band_hash")
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(right, on=["band_id", "band_hash"], how="inner")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash").alias("sig_a"),
+            F.col("b.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)) / F.lit(float(len(range(num_hashes))))
+    return (
+        cand.withColumn("jaccard_est", est)
+        .where(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """(id, simhash) per document: per-token xxhash64, majority vote per
+    bit.
+
+    Same scale shape as minhash_signatures: explode tokens → hash once →
+    ``bits`` partial-aggregated vote SUMs → assemble the fingerprint.
+    The per-row form (k nested F.aggregate over a transform) makes
+    Catalyst duplicate the token-hash expression k times.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
+    ex = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(F.col(id_col), F.explode(toks).alias("__t"))
+        .withColumn("__h", F.xxhash64("__t"))
+    )
+
+    def vote(b: int):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        return F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+
+    votes = ex.groupBy(id_col).agg(*[vote(b) for b in range(bits)])
+    sim = None
+    for b in range(bits):
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")
+        term = F.when(F.col(f"__v{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return votes.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k, bucketed by
+    16-bit blocks (pigeonhole: k≤3 ⇒ one of 4 blocks matches exactly)."""
+    sh = simhash(df, text_col, id_col)
+    blocks = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)
+        ])).alias("b"),
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, on=["blk", "key"], how="inner")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).where(ham <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    explode(shingles) → self-equi-join on shingle → count intersections →
+    |A∩B| / (|A|+|B|−|A∩B|).  The join key (shingle hash) is fine-grained
+    → good distribution; hot shingles should be pre-filtered by document
+    frequency at 100 TB (stop-shingle removal).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("sh"),
+    ).withColumn("sh", F.xxhash64("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="sh", how="inner")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

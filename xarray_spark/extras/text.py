@@ -1,0 +1,118 @@
+"""Text-analysis operators for document corpora.
+
+All pure columnar expressions (JVM-side, codegen'd) — at 100 TB these
+run at scan speed with full predicate pushdown; no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = "\\s+"
+_PUNCT = "[.,!?;:]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, _WS)))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    total = F.length(text)
+    punct = total - F.length(F.regexp_replace(text, _PUNCT, ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (english) stopwords."""
+    sw = stopwords or LANG_MARKERS["en"]
+    t = F.lower(F.trim(text))
+    toks = F.split(t, _WS)
+    arr = F.array(*[F.lit(s) for s in sw])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    length component (saturates at 100 tokens) × (1 - punct_ratio).
+
+    Mirrors the shape of common pretraining-quality filters (length,
+    symbol ratio) with an exactly SQL-expressible formula so the DuckDB
+    oracle can replay it bit-for-bit.
+    """
+    ntok = token_count(text).cast("double")
+    lencomp = F.least(F.lit(1.0), ntok / F.lit(100.0))
+    return lencomp * (F.lit(1.0) - punct_ratio(text))
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-marker language guess (first language whose marker-word
+    hit count is maximal; deterministic tie-break by fixed language
+    order en,es,de,fr,zh)."""
+    t = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+
+    def hits(lang: str) -> Column:
+        c = F.lit(0)
+        for wrd in LANG_MARKERS[lang]:
+            c = c + F.when(t.contains(f" {wrd} "), 1).otherwise(0)
+        return c
+
+    langs = list(LANG_MARKERS)
+    hit_cols = {l: hits(l) for l in langs}
+    best = F.greatest(*[hit_cols[l] for l in langs])
+    chain = None
+    for l in langs:
+        cond = (hit_cols[l] == best) & (best > 0)
+        chain = F.when(cond, F.lit(l)) if chain is None else chain.when(cond, F.lit(l))
+    return chain.otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column, normalize: bool = True) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized text
+    (lowercased, whitespace collapsed).  Used as the exact-dedup key at
+    scale — hash-groupBy on a long beats groupBy on a 100 kB string."""
+    t = text
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
+    return F.xxhash64(t)
+
+
+def ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram array (lowercased) — the shingle set for MinHash/Jaccard."""
+    toks = F.split(F.lower(F.trim(text)), _WS)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(k >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )).otherwise(F.array(F.concat_ws(" ", *[F.lit("")])))
+
+
+def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-feature columns."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_chars_computed", char_count(t))
+        .withColumn("punct_ratio", punct_ratio(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_guess", language_id(t))
+        .withColumn("fp", fingerprint(t))
+    )

@@ -1,0 +1,246 @@
+"""GroupBy machinery (reference: xarray/core/groupby.py).
+
+xarray's groupby reduces **along the grouped dim**, keeping the other
+dims: ``ds.groupby('numbers').mean()`` groups by (numbers, all dims the
+group key does NOT cover).  In long form that is a single
+``groupBy(group_key, complement_dims).agg(...)`` — Spark's partial/final
+hash aggregation is the direct analogue of flox's tree reduce
+(xarray/core/groupby.py:1064 _flox_reduce).
+
+Groupby *binary ops* (``ds.groupby('k') - mean``) are the
+transform/broadcast-back pattern (xarray/core/groupby.py:883) →
+aggregate then broadcast-join the aggregate back on the key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from typing import Callable
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_spark.dataset import XDataset
+from xarray_spark.groupers import Grouper, UniqueGrouper
+
+
+def resolve_groupers(ds: XDataset, group, groupers: Mapping) -> list[tuple[str, Column, str]]:
+    """Normalize groupby arguments to [(key_name, key_expr, source_dim)].
+
+    ``source_dim`` is the dim the grouper consumes (reduced over); the
+    group key replaces it in the output.
+    """
+    keys: list[tuple[str, Column, tuple]] = []
+
+    def source_dim_of(col_name: str) -> tuple:
+        """Dims consumed (reduced over) by grouping on this column.
+
+        A dim key consumes itself; a coord consumes the dims it is keyed
+        by; a data var (or computed key) varies over every dim → consumes
+        all of them (xarray: group dim = the variable's dims).
+        """
+        if col_name in ds.dims:
+            return (col_name,)
+        if col_name in ds.coords:
+            return tuple(ds.coords[col_name])
+        return tuple(ds.dims)
+
+    if group is not None:
+        if isinstance(group, str):
+            keys.append((group, F.col(group), source_dim_of(group)))
+        elif isinstance(group, Mapping):
+            groupers = {**group, **groupers}
+        elif isinstance(group, (list, tuple)):
+            for g in group:
+                keys.append((g, F.col(g), source_dim_of(g)))
+        else:
+            raise TypeError(type(group))
+    for name, g in (groupers or {}).items():
+        if isinstance(g, Grouper):
+            label = name if isinstance(g, UniqueGrouper) else f"{name}_bins" if g.__class__.__name__ == "BinGrouper" else name
+            keys.append((label, g.key_expr(F.col(name)), source_dim_of(name)))
+        elif isinstance(g, str):
+            keys.append((name, F.expr(g), source_dim_of(name)))
+        else:
+            keys.append((name, g, source_dim_of(name)))
+    return keys
+
+
+class XGroupBy:
+    """Lazy groupby over an XDataset."""
+
+    def __init__(self, ds: XDataset, keys: list[tuple[str, Column, tuple]]):
+        self.ds = ds
+        self.keys = keys
+        self._key_names = [k[0] for k in keys]
+        self._consumed = {d for k in keys for d in k[2]}
+
+    # dims kept through the reduction = dims not consumed by any grouper
+    @property
+    def _kept_dims(self) -> list[str]:
+        return [d for d in self.ds.dims if d not in self._consumed]
+
+    def _prepared(self) -> XDataset:
+        """Materialize key columns on the dataframe."""
+        df = self.ds.df
+        for name, expr, _src in self.keys:
+            df = df.withColumn(f"__key_{name}", expr)
+        return self.ds._replace(df=df)
+
+    def _agg(self, exprs_for: Callable[[str], Column], numeric_only=False, skipna=True) -> XDataset:
+        prepped = self._prepared()
+        kept = self._kept_dims
+        coords = self.ds._coords_on(kept)
+        varlist = [
+            v for v in self.ds.data_vars
+            if not numeric_only or _numeric(self.ds, v)
+        ]
+        group_cols = [f"__key_{n}" for n in self._key_names] + kept + list(coords)
+        aggs = []
+        for v in varlist:
+            e = exprs_for(v)
+            if not skipna:
+                e = F.when(F.max(F.col(v).isNull().cast("int")) == 1, F.lit(None)).otherwise(e)
+            aggs.append(e.alias(v))
+        out = prepped.df.groupBy(*group_cols).agg(*aggs)
+        for n in self._key_names:
+            out = out.withColumnRenamed(f"__key_{n}", n)
+        dims = self._key_names + kept
+        return XDataset(out, dims, coords, varlist, self.ds.attrs)
+
+    def agg(self, **exprs: Column) -> XDataset:
+        """Named aggregate expressions (engine extension beyond xarray's
+        one-function-at-a-time reductions; Spark gives it free)."""
+        if not exprs:
+            raise ValueError(
+                "agg() needs at least one named expression, e.g. "
+                "agg(total=F.sum('v')) — or use .mean()/.sum()/… for "
+                "the xarray-style reductions"
+            )
+        prepped = self._prepared()
+        kept = self._kept_dims
+        coords = self.ds._coords_on(kept)
+        group_cols = [f"__key_{n}" for n in self._key_names] + kept + list(coords)
+        out = prepped.df.groupBy(*group_cols).agg(
+            *[e.alias(n) for n, e in exprs.items()]
+        )
+        for n in self._key_names:
+            out = out.withColumnRenamed(f"__key_{n}", n)
+        return XDataset(out, self._key_names + kept, coords, list(exprs), self.ds.attrs)
+
+    def mean(self, skipna=True): return self._agg(lambda v: F.avg(v), True, skipna)
+    def sum(self, skipna=True, min_count=0):
+        def e(v):
+            s = F.sum(v)
+            if min_count > 0:
+                return F.when(F.count(v) >= min_count, s)
+            return F.coalesce(s, F.lit(0.0))
+        return self._agg(e, True, skipna)
+    def min(self, skipna=True): return self._agg(lambda v: F.min(v), False, skipna)
+    def max(self, skipna=True): return self._agg(lambda v: F.max(v), False, skipna)
+    def count(self): return self._agg(lambda v: F.count(v))
+    def std(self, ddof=0): return self._agg(lambda v: F.stddev_pop(v) if ddof == 0 else F.stddev_samp(v), True)
+    def var(self, ddof=0): return self._agg(lambda v: F.var_pop(v) if ddof == 0 else F.var_samp(v), True)
+    def median(self): return self._agg(lambda v: F.expr(f"percentile({v}, 0.5)"), True)
+    def prod(self): return self._agg(lambda v: F.product(v), True)
+    def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")))
+    def any(self): return self._agg(lambda v: F.bool_or(F.col(v).cast("boolean")))
+
+    def first(self):
+        """First non-null by dim order (xarray/core/groupby.py:1498)."""
+        return self._ordered_pick(asc=True)
+
+    def last(self):
+        return self._ordered_pick(asc=False)
+
+    def _ordered_pick(self, asc: bool) -> XDataset:
+        order_dim = next(iter(self._consumed), None)
+        if order_dim is None:
+            raise ValueError("first/last needs a consumed dim")
+        col = F.col(order_dim)
+
+        def e(v):
+            # min_by/max_by over non-null values only
+            pair = F.when(F.col(v).isNotNull(), F.struct(col.alias("k"), F.col(v).alias("v")))
+            agg = F.min(pair) if asc else F.max(pair)
+            return agg.getField("v")
+        return self._agg(e)
+
+    def quantile(self, q):
+        qf = float(q)
+        return self._agg(lambda v: F.expr(f"percentile({v}, {qf!r})"), True)
+
+    def map(self, func, schema) -> XDataset:
+        """Split-apply-combine UDTF (xarray/core/groupby.py:1614) →
+        applyInPandas (true grouped-map: arbitrary rows out)."""
+        prepped = self._prepared()
+        group_cols = [f"__key_{n}" for n in self._key_names]
+        out = prepped.df.groupBy(*group_cols).applyInPandas(func, schema)
+        for n in self._key_names:
+            out = out.withColumnRenamed(f"__key_{n}", n)
+        return XDataset(out, self._key_names, {}, None, self.ds.attrs)
+
+    # ---- groupby binary ops: ds.groupby('k') - ds.groupby('k').mean() ----
+
+    def _binary_with_agg(self, agg_ds: XDataset, op) -> XDataset:
+        """Transform pattern: broadcast-join the (small) aggregate back on
+        the group key, apply op per data var."""
+        prepped = self._prepared()
+        key_map = {n: f"__key_{n}" for n in self._key_names}
+        a_df = agg_ds.df
+        renames = {v: f"__agg_{v}" for v in agg_ds.data_vars}
+        for old, new in renames.items():
+            a_df = a_df.withColumnRenamed(old, new)
+        join_on = [
+            prepped.df[key_map[n]] == a_df[n] for n in self._key_names if n in agg_ds.df.columns
+        ]
+        joined = prepped.df.join(F.broadcast(a_df), join_on, "left")
+        exprs = []
+        for c in self.ds.df.columns:
+            if c in self.ds.data_vars and f"__agg_{c}" in a_df.columns:
+                exprs.append(op(F.col(c), F.col(f"__agg_{c}")).alias(c))
+            else:
+                exprs.append(prepped.df[c])
+        return self.ds._replace(df=joined.select(*exprs))
+
+    def __sub__(self, other):
+        if isinstance(other, XDataset):
+            return self._binary_with_agg(other, lambda a, b: a - b)
+        return NotImplemented
+
+    def __add__(self, other):
+        if isinstance(other, XDataset):
+            return self._binary_with_agg(other, lambda a, b: a + b)
+        return NotImplemented
+
+    def __truediv__(self, other):
+        if isinstance(other, XDataset):
+            return self._binary_with_agg(other, lambda a, b: a / b)
+        return NotImplemented
+
+    def fillna(self, value) -> XDataset:
+        """Fill with per-group values (xarray/core/groupby.py:1259)."""
+        if isinstance(value, XDataset):
+            return self._binary_with_agg(value, lambda a, b: F.coalesce(a, b))
+        raise TypeError(type(value))
+
+    def cumsum(self) -> XDataset:
+        """Cumulative sum within groups along the consumed dim."""
+        prepped = self._prepared()
+        order_dim = next(iter(self._consumed))
+        keys = [f"__key_{n}" for n in self._key_names]
+        kept = self._kept_dims
+        w = Window.partitionBy(*keys, *kept).orderBy(order_dim).rowsBetween(Window.unboundedPreceding, 0)
+        exprs = [
+            F.sum(c).over(w).alias(c) if c in self.ds.data_vars and _numeric(self.ds, c) else F.col(c)
+            for c in self.ds.df.columns
+        ]
+        return self.ds._replace(df=prepped.df.select(*exprs))
+
+
+def _numeric(ds: XDataset, v: str) -> bool:
+    return isinstance(
+        ds.df.schema[v].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType),
+    )

@@ -1,0 +1,136 @@
+"""Grouper objects (reference: xarray/groupers.py).
+
+Each grouper turns a column into a group-key Column expression — the
+Spark analogue of xarray's factorize step (xarray/core/groupby.py:289
+ResolvedGrouper).  Keys stay JVM-side expressions so groupBy gets full
+codegen + partial aggregation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class Grouper:
+    def key_expr(self, col: Column) -> Column:
+        raise NotImplementedError
+
+
+@dataclass
+class UniqueGrouper(Grouper):
+    """Group by unique values (xarray/groupers.py:210)."""
+
+    labels: Sequence | None = None
+
+    def key_expr(self, col: Column) -> Column:
+        return col
+
+
+@dataclass
+class BinGrouper(Grouper):
+    """pandas.cut semantics: right-closed intervals (xarray/groupers.py:344).
+
+    The bin edges are a small literal list → a CASE chain, fully
+    codegen'd; no shuffle beyond the groupBy itself.
+    """
+
+    bins: Sequence[float] = field(default_factory=list)
+    labels: Sequence | None = None
+    right: bool = True
+
+    def key_expr(self, col: Column) -> Column:
+        edges = list(self.bins)
+        expr = F.lit(None).cast("string")
+        chain = None
+        for i in range(len(edges) - 1):
+            lo, hi = edges[i], edges[i + 1]
+            if self.right:
+                cond = (col > F.lit(lo)) & (col <= F.lit(hi))
+                label = self.labels[i] if self.labels is not None else f"({lo}, {hi}]"
+            else:
+                cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+                label = self.labels[i] if self.labels is not None else f"[{lo}, {hi})"
+            chain = F.when(cond, F.lit(label)) if chain is None else chain.when(cond, F.lit(label))
+        return chain.otherwise(expr) if chain is not None else expr
+
+
+# pandas-style frequency aliases → (date_trunc unit, None) or special
+_TRUNC = {
+    "S": "second", "s": "second",
+    "T": "minute", "min": "minute",
+    "H": "hour", "h": "hour",
+    "D": "day", "d": "day",
+    "W": "week",
+    "MS": "month", "M": "month", "ME": "month",
+    "QS": "quarter", "Q": "quarter", "QE": "quarter",
+    "YS": "year", "Y": "year", "YE": "year", "AS": "year", "A": "year",
+}
+
+
+def _parse_freq(freq: str) -> tuple[int, str]:
+    i = 0
+    while i < len(freq) and freq[i].isdigit():
+        i += 1
+    n = int(freq[:i]) if i else 1
+    unit = freq[i:]
+    return n, unit
+
+
+@dataclass
+class TimeResampler(Grouper):
+    """Time-frequency resampling (xarray/groupers.py:474).
+
+    Single-unit frequencies map to ``date_trunc`` (codegen'd); multiples
+    map to epoch-arithmetic tumbling windows, the same binning
+    ``F.window`` produces but keeping the window *start* as the label
+    (pandas/xarray resample label convention, closed='left').
+    """
+
+    freq: str = "D"
+
+    def key_expr(self, col: Column) -> Column:
+        n, unit = _parse_freq(self.freq)
+        trunc = _TRUNC.get(unit)
+        if trunc is None:
+            raise ValueError(f"unsupported resample freq {self.freq!r}")
+        if n == 1:
+            return F.date_trunc(trunc, col)
+        if trunc in ("month", "quarter", "year"):
+            # n-multiples of calendar units: bucket the month ordinal
+            months = {"month": 1, "quarter": 3, "year": 12}[trunc] * n
+            m0 = (F.year(col) * 12 + F.month(col) - 1)
+            start = F.floor(m0 / months) * months
+            return F.make_date(
+                (start / 12).cast("int"), (start % 12 + 1).cast("int"), F.lit(1)
+            ).cast("timestamp")
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}[trunc] * n
+        epoch = F.unix_timestamp(col)
+        return F.timestamp_seconds(F.floor(epoch / secs) * secs)
+
+
+_SEASON_OF_MONTH = {
+    12: "DJF", 1: "DJF", 2: "DJF",
+    3: "MAM", 4: "MAM", 5: "MAM",
+    6: "JJA", 7: "JJA", 8: "JJA",
+    9: "SON", 10: "SON", 11: "SON",
+}
+
+
+@dataclass
+class SeasonGrouper(Grouper):
+    """Meteorological seasons incl. cross-year DJF
+    (xarray/groupers.py:801)."""
+
+    seasons: Sequence[str] = ("DJF", "MAM", "JJA", "SON")
+
+    def key_expr(self, col: Column) -> Column:
+        m = F.month(col)
+        chain = None
+        for month, season in _SEASON_OF_MONTH.items():
+            cond = m == F.lit(month)
+            chain = F.when(cond, F.lit(season)) if chain is None else chain.when(cond, F.lit(season))
+        return chain

@@ -1,0 +1,81 @@
+"""Sources & sinks (reference: xarray/backends/api.py).
+
+``open_dataset`` maps to a parquet scan + catalog sidecar; Catalyst
+pushes predicates/column pruning into the scan (the engine analogue of
+LazilyIndexedArray composition, xarray/core/indexing.py:713 — here it
+is free).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xarray_spark.dataset import XDataset
+
+
+def open_dataset(
+    spark: SparkSession,
+    path: str,
+    dims: Sequence[str] | None = None,
+    coords: Mapping[str, Sequence[str]] | None = None,
+    decoders: Mapping[str, object] | None = None,
+) -> XDataset:
+    """Lazy scan (xarray/backends/api.py:395).
+
+    If the path holds an ``_xschema.json`` sidecar (written by
+    ``XDataset.to_parquet``), dims/coords are recovered from it.
+    ``decoders`` optionally applies CF-style decode expressions at scan
+    time (mask/scale/offset — xarray/coding/variables.py:269,:493):
+    ``{var: (fill_value, scale, offset)}`` →
+    ``(when(col==fill, null) * scale + offset)``.
+    """
+    df = spark.read.parquet(path)
+    meta_path = os.path.join(path, "_xschema.json")
+    if dims is None and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        dims = meta["dims"]
+        coords = {k: tuple(v) for k, v in meta.get("coords", {}).items()}
+    if dims is None:
+        raise ValueError("dims required (no _xschema.json sidecar found)")
+    if decoders:
+        for var, (fill, scale, offset) in decoders.items():
+            c = F.col(var)
+            if fill is not None:
+                c = F.when(F.col(var) == F.lit(fill), F.lit(None)).otherwise(c)
+            if scale is not None:
+                c = c * F.lit(scale)
+            if offset is not None:
+                c = c + F.lit(offset)
+            df = df.withColumn(var, c)
+    return XDataset(df, dims, coords)
+
+
+def open_mfdataset(
+    spark: SparkSession,
+    paths: Sequence[str],
+    dims: Sequence[str],
+    combine: str = "by_coords",
+) -> XDataset:
+    """Multi-file scan + combine (xarray/backends/api.py:1379) —
+    a multi-path parquet read; labels carry the tile order so no
+    coordination is needed beyond the union."""
+    df = spark.read.parquet(*paths)
+    return XDataset(df, dims)
+
+
+def from_pandas(spark: SparkSession, pdf, dims: Sequence[str],
+                coords: Mapping[str, Sequence[str]] | None = None) -> XDataset:
+    """pandas bridge (xarray/core/dataset.py:7455 from_dataframe) — the
+    long form IS the dataframe form (identity-adjacent)."""
+    return XDataset(spark.createDataFrame(pdf), dims, coords)
+
+
+def from_dataframe(df: DataFrame, dims: Sequence[str],
+                   coords: Mapping[str, Sequence[str]] | None = None) -> XDataset:
+    return XDataset(df, dims, coords)

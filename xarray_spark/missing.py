@@ -1,0 +1,149 @@
+"""Missing-data operators (reference: xarray/core/missing.py, SURVEY §2.7).
+
+ffill/bfill are `last/first(ignorenulls)` window scans — the distributed
+analogue of the push kernel (xarray/core/duck_array_ops.py:872, a
+Blelloch scan under dask; Spark's window gives the same O(n) scan per
+partition-ordered group).
+
+interpolate_na(linear) is two window scans (previous/next valid point)
+plus a columnar blend — no UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_spark.dataset import XDataset
+
+
+def _ordered_windows(ds: XDataset, dim: str):
+    others = [d for d in ds.dims if d != dim]
+    back = Window.partitionBy(*others).orderBy(dim).rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.partitionBy(*others).orderBy(dim).rowsBetween(0, Window.unboundedFollowing)
+    seq = Window.partitionBy(*others).orderBy(dim)
+    return back, fwd, seq
+
+
+def ffill(ds: XDataset, dim: str, limit: int | None = None) -> XDataset:
+    """Propagate last valid value forward (xarray/core/dataset.py:6716)."""
+    back, _fwd, seq = _ordered_windows(ds, dim)
+    rn = F.row_number().over(seq)
+    df = ds.df.withColumn("__rn", rn)
+    back_rn = Window.partitionBy(*[d for d in ds.dims if d != dim]).orderBy(dim).rowsBetween(Window.unboundedPreceding, 0)
+    exprs = []
+    for c in df.columns:
+        if c in ds.data_vars:
+            filled = F.last(c, ignorenulls=True).over(back_rn)
+            if limit is not None:
+                last_valid_rn = F.last(
+                    F.when(F.col(c).isNotNull(), F.col("__rn")), ignorenulls=True
+                ).over(back_rn)
+                dist = F.col("__rn") - last_valid_rn
+                filled = F.when(dist <= limit, filled)
+            exprs.append(filled.alias(c))
+        elif c != "__rn":
+            exprs.append(F.col(c))
+    return ds._replace(df=df.select(*exprs))
+
+
+def bfill(ds: XDataset, dim: str, limit: int | None = None) -> XDataset:
+    """Propagate next valid value backward (xarray/core/dataset.py:6780)."""
+    others = [d for d in ds.dims if d != dim]
+    seq = Window.partitionBy(*others).orderBy(dim)
+    fwd = Window.partitionBy(*others).orderBy(dim).rowsBetween(0, Window.unboundedFollowing)
+    rn = F.row_number().over(seq)
+    df = ds.df.withColumn("__rn", rn)
+    exprs = []
+    for c in df.columns:
+        if c in ds.data_vars:
+            filled = F.first(c, ignorenulls=True).over(fwd)
+            if limit is not None:
+                next_valid_rn = F.first(
+                    F.when(F.col(c).isNotNull(), F.col("__rn")), ignorenulls=True
+                ).over(fwd)
+                dist = next_valid_rn - F.col("__rn")
+                filled = F.when(dist <= limit, filled)
+            exprs.append(filled.alias(c))
+        elif c != "__rn":
+            exprs.append(F.col(c))
+    return ds._replace(df=df.select(*exprs))
+
+
+def _as_double(col: Column, dtype: T.DataType) -> Column:
+    from xarray_spark._utils import to_double
+    return to_double(col, dtype)
+
+
+def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
+                   limit: int | None = None, max_gap=None) -> XDataset:
+    """Linear gap interpolation along dim (xarray/core/missing.py:331).
+
+    For each null run: previous valid (x0,y0) via a backward scan, next
+    valid (x1,y1) via a forward scan, fill y0 + (y1-y0)*(x-x0)/(x1-x0).
+    Leading/trailing nulls stay null (xarray default: interior only via
+    np.interp limits when use_coordinate & no extrapolation).
+    """
+    if method not in ("linear", "nearest"):
+        raise NotImplementedError(f"interpolate_na method {method!r} — scipy families via apply_ufunc")
+    others = [d for d in ds.dims if d != dim]
+    back = Window.partitionBy(*others).orderBy(dim).rowsBetween(Window.unboundedPreceding, 0)
+    fwd = Window.partitionBy(*others).orderBy(dim).rowsBetween(0, Window.unboundedFollowing)
+    x = _as_double(F.col(dim), ds.df.schema[dim].dataType)
+    df = ds.df
+    exprs = []
+    for c in df.columns:
+        if c in ds.data_vars:
+            v = F.col(c).cast("double")
+            pair = F.when(v.isNotNull(), F.struct(x.alias("x"), v.alias("y")))
+            prev = F.last(pair, ignorenulls=True).over(back)
+            nxt = F.first(pair, ignorenulls=True).over(fwd)
+            x0, y0 = prev.getField("x"), prev.getField("y")
+            x1, y1 = nxt.getField("x"), nxt.getField("y")
+            if method == "linear":
+                blend = y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+                interp = F.when(x1 == x0, y0).otherwise(blend)
+            else:  # nearest
+                interp = F.when((x - x0) <= (x1 - x), y0).otherwise(y1)
+            filled = F.when(v.isNotNull(), v).otherwise(
+                F.when(x0.isNotNull() & x1.isNotNull(), interp)
+            )
+            exprs.append(filled.alias(c))
+        else:
+            exprs.append(F.col(c))
+    return ds._replace(df=df.select(*exprs))
+
+
+def interp(ds: XDataset, coords: dict, method: str = "linear") -> XDataset:
+    """Regrid onto new coordinate values (xarray/core/dataset.py:3786).
+
+    Long-form strategy (1-D per dim, separable): union the target labels
+    into the label axis with null values, linearly interpolate, then keep
+    only the target labels — an as-of join + blend, all window/broadcast
+    ops (reference decomposition: xarray/core/missing.py:846).
+    """
+    if len(coords) != 1:
+        raise NotImplementedError("interp over one dim at a time (separable)")
+    (dim, targets), = coords.items()
+    targets = list(targets)
+    spark = ds.spark
+    others = [d for d in ds.dims if d != dim]
+    # rows for target labels: one per existing combination of other dims
+    tgt_labels = spark.createDataFrame([(t,) for t in targets], [dim])
+    if others:
+        other_combos = ds.df.select(*others).distinct()
+        tgt = other_combos.crossJoin(F.broadcast(tgt_labels))
+    else:
+        tgt = tgt_labels
+    for v in ds.data_vars:
+        tgt = tgt.withColumn(v, F.lit(None).cast(ds.df.schema[v].dataType))
+    for c in ds.coords:
+        tgt = tgt.withColumn(c, F.lit(None).cast(ds.df.schema[c].dataType))
+    tgt = tgt.withColumn("__is_tgt", F.lit(1))
+    base = ds.df.withColumn("__is_tgt", F.lit(0))
+    unioned = base.unionByName(tgt.select(*base.columns))
+    u = ds._replace(df=unioned)
+    filled = interpolate_na(u, dim, method=method)
+    out = filled.df.where(F.col("__is_tgt") == 1).drop("__is_tgt")
+    return ds._replace(df=out)
