@@ -307,8 +307,8 @@ def q20_concat(spark, sf_dir):
     """concat along an existing dim = union (xarray structure/concat.py:605)."""
     from xarray_spark import concat
     li = _lineitem(spark, sf_dir)
-    a = li.sel(l_shipdate=slice("1994-01-01", "1994-12-31"))
-    b = li.sel(l_shipdate=slice("1996-01-01", "1996-12-31"))
+    a = li.sel(l_shipdate=slice("1996-01-01", "1996-12-31"))
+    b = li.sel(l_shipdate=slice("1998-01-01", "1998-12-31"))
     both = concat([a, b], dim="l_orderkey")
     out = both.assign(y=F.year("l_shipdate")).groupby("y").agg(
         n=F.count(F.lit(1)), qty=_r3(F.sum("l_quantity"))
@@ -321,9 +321,9 @@ def q21_reindex_fill(spark, sf_dir):
     (xarray core/dataset.py:3546)."""
     import pandas as pd
     li = _lineitem(spark, sf_dir).assign(rev=REV)
-    d94 = li.sel(l_shipdate=slice("1994-01-01", "1994-12-31"))
-    daily = d94.groupby("l_shipdate").agg(rev=_r3(F.sum("rev")))
-    cal = [t.to_pydatetime() for t in pd.date_range("1994-01-01", "1994-12-31", freq="D")]
+    d96 = li.sel(l_shipdate=slice("1996-01-01", "1996-12-31"))
+    daily = d96.groupby("l_shipdate").agg(rev=_r3(F.sum("rev")))
+    cal = [t.to_pydatetime() for t in pd.date_range("1996-01-01", "1996-12-31", freq="D")]
     out = daily.reindex(l_shipdate=cal, fill_value=0.0)
     return out.to_spark()
 
@@ -414,7 +414,7 @@ def q29_reindex_nearest(spark, sf_dir):
     daily = _daily_revenue(spark, sf_dir)
     # sparse series: keep only high-revenue days, then as-of match
     hi = daily.query("rev >= 100000.0")
-    targets = [dt.datetime(1994, m, 15) for m in range(1, 13)]
+    targets = [dt.datetime(1996, m, 15) for m in range(1, 13)]
     out = hi.reindex(l_shipdate=targets, method="nearest")
     return out.to_spark()
 
@@ -493,6 +493,177 @@ def q36_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", F.size("feature").alias("dim"))
 
 
+def q37_coarsen_weekly(spark, sf_dir):
+    """coarsen(7, boundary='trim'): non-overlapping positional blocks
+    (xarray computation/rolling.py:1023)."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.coarsen(l_shipdate=7, boundary="trim").mean()
+    return out.to_spark().select("l_shipdate", _r6(F.col("rev")).alias("rev7"))
+
+
+def q38_shift(spark, sf_dir):
+    """shift: values move, labels stay (xarray core/dataset.py:7967)."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.shift(l_shipdate=1)
+    return out.to_spark().select("l_shipdate", _r3(F.col("rev")).alias("prev_rev"))
+
+
+def q39_groupby_quantile(spark, sf_dir):
+    """Per-group exact linear-interp quantile (xarray core/groupby.py:1285)."""
+    li = _lineitem(spark, sf_dir)
+    out = li["l_extendedprice"].groupby("l_returnflag").quantile(0.9)
+    return out.to_spark().select(
+        "l_returnflag", _r4(F.col("l_extendedprice")).alias("p90")
+    )
+
+
+def q40_dropna(spark, sf_dir):
+    """dropna: drop dim labels with nulls (xarray core/dataset.py:6355)."""
+    daily = _masked_purchase_daily(spark, sf_dir)
+    out = daily.dropna("ts")
+    return out.to_spark().select("ts", _r6(F.col("v")).alias("v"))
+
+
+def q41_dot(spark, sf_dir):
+    """Tensor contraction: join-free sum(a*b) per group
+    (xarray computation/computation.py:484)."""
+    from xarray_spark import dot
+    from xarray_spark.dataset import XDataArray
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dims = ["l_returnflag", "l_orderkey", "l_linenumber"]
+    a = XDataArray(df, dims, {}, ["l_quantity"])
+    b = XDataArray(df, dims, {}, ["l_discount"])
+    out = dot(a, b, dim=["l_orderkey", "l_linenumber"])
+    return out.to_spark().select(
+        "l_returnflag", _r3(F.col("l_quantity_dot")).alias("qd")
+    )
+
+
+def q42_stopword_ratio(spark, sf_dir):
+    """Stopword-ratio text feature (extras.text.stopword_ratio)."""
+    from xarray_spark.extras.text import stopword_ratio
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feat = docs.select("lang", stopword_ratio(F.col("text")).alias("sw"))
+    return feat.groupBy("lang").agg(_r6(F.avg("sw")).alias("avg_sw"))
+
+
+def q43_bfill(spark, sf_dir):
+    """bfill: next-valid backward fill (xarray core/dataset.py:6780)."""
+    daily = _masked_purchase_daily(spark, sf_dir)
+    out = daily.bfill("ts").assign(v=_r6(F.col("v")))
+    return out.to_spark()
+
+
+def q44_differentiate(spark, sf_dir):
+    """Central-difference gradient along time, scaled to per-day
+    (xarray core/dataset.py:8475)."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.differentiate("l_shipdate")
+    return out.to_spark().select(
+        "l_shipdate", _r6(F.col("rev") * 86400.0).alias("drev_per_day")
+    )
+
+
+def q45_resample_asfreq(spark, sf_dir):
+    """resample(...).asfreq(): value at each monthly label
+    (xarray core/resample.py:383)."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.resample(l_shipdate="MS").asfreq()
+    return out.to_spark().select(
+        F.col("l_shipdate").alias("month"), _r3(F.col("rev")).alias("rev")
+    )
+
+
+def q46_resample_6h(spark, sf_dir):
+    """Multi-unit frequency (6h epoch buckets) over the events stream."""
+    ev = _events(spark, sf_dir)
+    out = ev.resample(ts="6h").agg(n=F.count(F.lit(1)), total=_r3(F.sum("value")))
+    return out.to_spark().withColumnRenamed("ts", "bucket")
+
+
+def q47_weighted_var(spark, sf_dir):
+    """Weighted variance (xarray computation/weighted.py:319 family)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ds = XDataset(
+        df,
+        dims=["l_returnflag", "l_orderkey", "l_linenumber"],
+        coords={"l_quantity": ("l_orderkey", "l_linenumber")},
+        data_vars=["l_discount"],
+    )
+    out = ds.weighted("l_quantity").var(dim=["l_orderkey", "l_linenumber"])
+    return out.to_spark().select(
+        "l_returnflag", _r6(F.col("l_discount")).alias("wvar_disc")
+    )
+
+
+def q48_cov(spark, sf_dir):
+    """Sample covariance per group (xarray computation/computation.py:46)."""
+    from xarray_spark import cov
+    from xarray_spark.dataset import XDataArray
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dims = ["l_returnflag", "l_orderkey", "l_linenumber"]
+    a = XDataArray(df, dims, {}, ["l_quantity"])
+    b = XDataArray(df, dims, {}, ["l_extendedprice"])
+    out = cov(a, b, dim=["l_orderkey", "l_linenumber"])
+    return out.to_spark().select("l_returnflag", _r4(F.col("cov")).alias("cov"))
+
+
+def q49_fingerprint_distinct(spark, sf_dir):
+    """Document fingerprinting: distinct normalized-text count per source
+    (extras.text.fingerprint)."""
+    from xarray_spark.extras.text import fingerprint
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("source", fingerprint(F.col("text")).alias("fp")).groupBy(
+        "source"
+    ).agg(
+        F.count_distinct("fp").alias("n_unique"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q50_rolling_exp(spark, sf_dir):
+    """EWM mean over daily revenue (xarray computation/rolling_exp.py:49)
+    — rows-only (recursive kernel, no tractable SQL oracle)."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.rolling_exp(l_shipdate=7).mean()
+    return out.to_spark().select("l_shipdate", _r3(F.col("rev")).alias("ewm_rev"))
+
+
+def q51_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (extras.similarity.lsh_topk) —
+    rows-only (approximate by construction)."""
+    from xarray_spark.extras.similarity import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return lsh_topk(emb, queries, k=3, n_planes=4)
+
+
+def q52_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucketed
+    (extras.similarity.embedding_near_dups) — rows-only."""
+    from xarray_spark.extras.similarity import embedding_near_dups
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.2, n_planes=4)
+
+
+def q53_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (extras.dedup) — rows-only."""
+    from xarray_spark.extras.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+def q54_pad(spark, sf_dir):
+    """pad constant mode on the daily series (xarray core/dataset.py:9054)
+    — rows-only (synthesized edge labels)."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    d96 = li.sel(l_shipdate=slice("1996-01-01", "1996-12-31"))
+    daily = d96.groupby("l_shipdate").agg(rev=_r3(F.sum("rev")))
+    out = daily.pad(l_shipdate=(2, 2), constant_values=0.0)
+    return out.to_spark()
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -540,6 +711,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_minhash_lsh": q34_minhash_lsh,
         "q35_simhash": q35_simhash,
         "q36_multimodal_features": q36_multimodal_features,
+        "q37_coarsen_weekly": q37_coarsen_weekly,
+        "q38_shift": q38_shift,
+        "q39_groupby_quantile": q39_groupby_quantile,
+        "q40_dropna": q40_dropna,
+        "q41_dot": q41_dot,
+        "q42_stopword_ratio": q42_stopword_ratio,
+        "q43_bfill": q43_bfill,
+        "q44_differentiate": q44_differentiate,
+        "q45_resample_asfreq": q45_resample_asfreq,
+        "q46_resample_6h": q46_resample_6h,
+        "q47_weighted_var": q47_weighted_var,
+        "q48_cov": q48_cov,
+        "q49_fingerprint_distinct": q49_fingerprint_distinct,
+        "q50_rolling_exp": q50_rolling_exp,
+        "q51_lsh_topk": q51_lsh_topk,
+        "q52_embedding_near_dups": q52_embedding_near_dups,
+        "q53_ngram_jaccard": q53_ngram_jaccard,
+        "q54_pad": q54_pad,
     }
 
 
@@ -710,10 +899,10 @@ def oracle_sql() -> dict[str, str]:
         "q20_concat": """
             WITH both_years AS (
               SELECT * FROM lineitem
-              WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate <= TIMESTAMP '1994-12-31'
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31'
               UNION ALL
               SELECT * FROM lineitem
-              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31'
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate <= TIMESTAMP '1998-12-31'
             )
             SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
                    COUNT(*) AS n, ROUND(SUM(l_quantity) + 1e-6, 3) AS qty
@@ -721,14 +910,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q21_reindex_fill": """
             WITH cal AS (
-              SELECT unnest(generate_series(TIMESTAMP '1994-01-01',
-                                            TIMESTAMP '1994-12-31', INTERVAL 1 DAY)) AS d
+              SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+                                            TIMESTAMP '1996-12-31', INTERVAL 1 DAY)) AS d
             ),
             daily AS (
               SELECT l_shipdate AS d,
                      ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev
               FROM lineitem
-              WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate <= TIMESTAMP '1994-12-31'
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31'
               GROUP BY 1
             )
             SELECT cal.d AS l_shipdate, COALESCE(daily.rev, 0.0) AS rev
@@ -790,8 +979,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             hi AS (SELECT * FROM daily WHERE rev >= 100000.0),
             t AS (
-              SELECT unnest(generate_series(TIMESTAMP '1994-01-15',
-                                            TIMESTAMP '1994-12-15', INTERVAL 1 MONTH)) AS ts
+              SELECT unnest(generate_series(TIMESTAMP '1996-01-15',
+                                            TIMESTAMP '1996-12-15', INTERVAL 1 MONTH)) AS ts
             ),
             best AS (
               SELECT t.ts, hi.rev,
@@ -875,4 +1064,106 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 3
         """,
         # q34/q35/q36: engine-specific hashing / stubbed decode — rows-only
+        "q37_coarsen_weekly": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            pos AS (
+              SELECT l_shipdate, rev,
+                     ROW_NUMBER() OVER (ORDER BY l_shipdate) - 1 AS p,
+                     COUNT(*) OVER () AS n
+              FROM daily
+            )
+            SELECT MIN(l_shipdate) AS l_shipdate,
+                   ROUND(AVG(rev) + 1e-9, 6) AS rev7
+            FROM pos
+            WHERE CAST(FLOOR(p / 7) AS BIGINT) < CAST(FLOOR(n / 7) AS BIGINT)
+            GROUP BY CAST(FLOOR(p / 7) AS BIGINT)
+        """,
+        "q38_shift": f"""
+            WITH daily AS ({_DAILY_SQL})
+            SELECT l_shipdate,
+                   ROUND(LAG(rev) OVER (ORDER BY l_shipdate) + 1e-6, 3) AS prev_rev
+            FROM daily
+        """,
+        "q39_groupby_quantile": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.9) + 1e-8, 4) AS p90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q40_dropna": f"""
+            WITH m AS ({_MASKED_SQL})
+            SELECT ts, ROUND(v + 1e-9, 6) AS v FROM m WHERE v IS NOT NULL
+        """,
+        "q41_dot": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity * l_discount) + 1e-6, 3) AS qd
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q42_stopword_ratio": """
+            WITH f AS (
+              SELECT lang,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ),
+            r AS (
+              SELECT lang,
+                     CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'a'))) * 1.0 / len(toks)
+                     ELSE 0.0 END AS sw
+              FROM f
+            )
+            SELECT lang, ROUND(AVG(sw) + 1e-9, 6) AS avg_sw FROM r GROUP BY lang
+        """,
+        "q43_bfill": f"""
+            WITH m AS ({_MASKED_SQL})
+            SELECT ts,
+                   ROUND(FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) + 1e-9, 6) AS v
+            FROM m
+        """,
+        "q44_differentiate": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            g AS (
+              SELECT l_shipdate,
+                     epoch(l_shipdate) AS x, rev,
+                     LAG(epoch(l_shipdate)) OVER w AS xm, LAG(rev) OVER w AS ym,
+                     LEAD(epoch(l_shipdate)) OVER w AS xp, LEAD(rev) OVER w AS yp
+              FROM daily WINDOW w AS (ORDER BY l_shipdate)
+            )
+            SELECT l_shipdate,
+                   ROUND(CASE
+                     WHEN xm IS NULL THEN (yp - rev) / (xp - x)
+                     WHEN xp IS NULL THEN (rev - ym) / (x - xm)
+                     ELSE (yp - ym) / (xp - xm)
+                   END * 86400.0 + 1e-9, 6) AS drev_per_day
+            FROM g
+        """,
+        "q45_resample_asfreq": f"""
+            WITH daily AS ({_DAILY_SQL})
+            SELECT date_trunc('month', l_shipdate) AS month,
+                   ROUND(arg_min(rev, l_shipdate) + 1e-6, 3) AS rev
+            FROM daily GROUP BY 1
+        """,
+        "q46_resample_6h": """
+            SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS bucket,
+                   COUNT(*) AS n, ROUND(SUM(value) + 1e-6, 3) AS total
+            FROM events GROUP BY 1
+        """,
+        "q47_weighted_var": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity * l_discount * l_discount) / SUM(l_quantity)
+                         - POW(SUM(l_quantity * l_discount) / SUM(l_quantity), 2) + 1e-9, 6) AS wvar_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q48_cov": """
+            SELECT l_returnflag,
+                   ROUND(covar_samp(l_quantity, l_extendedprice) + 1e-8, 4) AS cov
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q49_fingerprint_distinct": """
+            SELECT source,
+                   COUNT(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_unique,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        # q50-q54: recursive EWM / approximate LSH / synthesized pad labels
+        # — rows-only checks
     }

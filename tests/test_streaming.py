@@ -1,0 +1,94 @@
+"""Structured Streaming extension tests — file-source micro-batches
+driven with trigger(availableNow) into a memory sink."""
+
+import datetime as dt
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_spark.streaming import (
+    open_stream,
+    stream_ewma,
+    stream_resample,
+    stream_rolling_mean,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("v", T.DoubleType()),
+])
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    path = str(tmp_path / "in")
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, m), "a", float(m)) for m in range(10)
+    ] + [
+        (dt.datetime(2024, 1, 1, 0, m), "b", float(2 * m)) for m in range(10)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(path)
+    return path
+
+
+def _run_to_memory(df, name, mode="append"):
+    # aggregations use "complete": with availableNow the watermark never
+    # passes the final windows, so "append" would hold them back
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_resample(spark, stream_dir):
+    src = open_stream(spark, stream_dir, SCHEMA)
+    out = stream_resample(
+        src, "ts", "5min", {"n": F.count(F.lit(1)), "total": F.sum("v")},
+        watermark="10 minutes", keys=["key"],
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="complete")
+    got = {
+        (r["key"], r["ts"].minute): (r["n"], r["total"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # 0-4 and 5-9 buckets per key
+    assert got[("a", 0)] == (5, 10.0)   # 0+1+2+3+4
+    assert got[("a", 5)] == (5, 35.0)   # 5+..+9
+    assert got[("b", 5)] == (5, 70.0)
+
+
+def test_stream_rolling_mean(spark, stream_dir):
+    src = open_stream(spark, stream_dir, SCHEMA)
+    out = stream_rolling_mean(
+        src, "ts", window="10min", slide="5min", value_cols=["v"],
+        watermark="10 minutes", keys=["key"],
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="complete")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {(r["key"], r["ts"].strftime("%H:%M")): r["v_mean"] for r in rows}
+    # the window covering 00:00-00:10 for key a holds 0..9 → mean 4.5
+    assert got[("a", "00:00")] == 4.5
+
+
+def test_stream_ewma_state(spark, stream_dir):
+    src = open_stream(spark, stream_dir, SCHEMA)
+    out = stream_ewma(src, "key", "ts", "v", alpha=0.5)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name)
+    rows = spark.sql(f"SELECT * FROM {name} WHERE key = 'a' ORDER BY ts").collect()
+    assert len(rows) == 10
+    # recursion: e0=0, e1=.5*1+.5*0=0.5, e2=.5*2+.5*.5=1.25
+    assert rows[0]["ewma"] == 0.0
+    assert rows[1]["ewma"] == 0.5
+    assert rows[2]["ewma"] == 1.25

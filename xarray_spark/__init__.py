@@ -29,10 +29,16 @@ from xarray_spark.computation import (
     apply_ufunc,
     cov,
     corr,
+    cross,
+    date_range,
     dot,
+    full_like,
+    ones_like,
     polyval,
     where,
+    zeros_like,
 )
+from xarray_spark.datatree import DataTree
 from xarray_spark import ufuncs
 from xarray_spark.groupers import (
     UniqueGrouper,
@@ -60,9 +66,15 @@ __all__ = [
     "apply_ufunc",
     "cov",
     "corr",
+    "cross",
+    "date_range",
     "dot",
+    "full_like",
+    "ones_like",
+    "zeros_like",
     "polyval",
     "where",
+    "DataTree",
     "ufuncs",
     "UniqueGrouper",
     "BinGrouper",

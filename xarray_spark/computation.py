@@ -184,6 +184,85 @@ def integrate(ds: XDataset, coord: str) -> XDataset:
     return XDataset(out, others, ds._coords_on(others), ds.data_vars, ds.attrs)
 
 
+def cumulative_integrate(ds: XDataset, coord: str) -> XDataset:
+    """Running trapezoidal integral (xarray/core/dataset.py:8662):
+    cumsum of the per-segment areas — one window scan."""
+    from xarray_spark._utils import to_double
+    others = [d for d in ds.dims if d != coord]
+    w = Window.partitionBy(*others).orderBy(coord)
+    cum = Window.partitionBy(*others).orderBy(coord).rowsBetween(Window.unboundedPreceding, 0)
+    x = to_double(F.col(coord), ds.df.schema[coord].dataType)
+    dx = x - F.lag(x).over(w)
+    exprs = []
+    for c in ds.df.columns:
+        if c in ds.data_vars:
+            y = F.col(c).cast("double")
+            seg = F.coalesce(dx * (y + F.lag(y).over(w)) / 2.0, F.lit(0.0))
+            exprs.append(F.sum(seg).over(cum).alias(c))
+        else:
+            exprs.append(F.col(c))
+    return ds._replace(df=ds.df.select(*exprs))
+
+
+def cross(a: XDataArray, b: XDataArray, dim: str) -> XDataArray:
+    """3-vector cross product along a length-3 dim
+    (xarray/computation/computation.py:316): pivot the component dim to
+    columns, columnar formula, unpivot back."""
+    comp_a = a.to_dataset_pivot(dim, a.name)
+    comp_b = b.to_dataset_pivot(dim, b.name)
+    labels = sorted(comp_a.data_vars)
+    if len(labels) != 3 or sorted(comp_b.data_vars) != labels:
+        raise ValueError(f"cross needs a length-3 dim; got components {labels}")
+    x, y, z = labels
+    o_df = comp_b.df
+    for c in labels:
+        o_df = o_df.withColumnRenamed(c, f"__b_{c}")
+    shared = [d for d in comp_a.dims if d in comp_b.dims]
+    j = comp_a.df.join(o_df, on=shared, how="inner") if shared else comp_a.df.crossJoin(o_df)
+    ax, ay, az = F.col(x), F.col(y), F.col(z)
+    bx, by, bz = F.col(f"__b_{x}"), F.col(f"__b_{y}"), F.col(f"__b_{z}")
+    out = j.select(
+        *shared,
+        (ay * bz - az * by).alias(x),
+        (az * bx - ax * bz).alias(y),
+        (ax * by - ay * bx).alias(z),
+    )
+    res = XDataset(out, shared, {}, labels)
+    return res.to_dataarray(dim=dim)
+
+
+def date_range(spark, start: str, end: str, freq: str = "D", name: str = "time"):
+    """Label-table constructor (xarray/coding/cftime_offsets.py
+    date_range analogue) — ``sequence()``, no driver loop."""
+    from xarray_spark.resample import _INTERVAL
+    from xarray_spark.groupers import _TRUNC, _parse_freq
+    n, unit = _parse_freq(freq)
+    trunc = _TRUNC[unit]
+    interval = _INTERVAL[trunc] if n == 1 else _INTERVAL[trunc].replace(" 1 ", f" {n} ")
+    return spark.range(1).select(
+        F.explode(F.expr(
+            f"sequence(timestamp '{start}', timestamp '{end}', {interval})"
+        )).alias(name)
+    )
+
+
+def full_like(ds: XDataset, fill_value, dtype: str | None = None) -> XDataset:
+    """Shape-preserving constant dataset (xarray/core/common.py:1497)."""
+    lit = F.lit(fill_value)
+    if dtype:
+        lit = lit.cast(dtype)
+    exprs = [lit.alias(c) if c in ds.data_vars else F.col(c) for c in ds.df.columns]
+    return ds._replace(df=ds.df.select(*exprs))
+
+
+def zeros_like(ds: XDataset) -> XDataset:
+    return full_like(ds, 0.0)
+
+
+def ones_like(ds: XDataset) -> XDataset:
+    return full_like(ds, 1.0)
+
+
 def differentiate(ds: XDataset, coord: str) -> XDataset:
     """Central-difference gradient (xarray/core/dataset.py:8475;
     numpy.gradient 2nd-order): interior (y+ - y-)/(x+ - x-); one-sided

@@ -1149,10 +1149,10 @@ class XDataset:
         return self.groupby(**{group: BinGrouper(bins=bins, labels=labels, right=right)})
 
     def resample(self, indexer: Mapping[str, str] | None = None, **kw):
-        from xarray_spark.groupers import TimeResampler
+        from xarray_spark.resample import XResample
         indexer = {**(indexer or {}), **kw}
         (dim, freq), = indexer.items()
-        return self.groupby(**{dim: TimeResampler(freq)})
+        return XResample(self, dim, freq)
 
     def rolling(self, windows: Mapping[str, int] | None = None, min_periods: int | None = None,
                 center: bool = False, **kw):
@@ -1168,6 +1168,12 @@ class XDataset:
     def cumulative(self, dim: str):
         from xarray_spark.rolling import XRolling
         return XRolling(self, {dim: -1}, min_periods=1, center=False)
+
+    def rolling_exp(self, windows: Mapping[str, float] | None = None,
+                    window_type: str = "span", **kw):
+        from xarray_spark.rolling import XRollingExp
+        windows = {**(windows or {}), **kw}
+        return XRollingExp(self, windows, window_type)
 
     def weighted(self, weights):
         from xarray_spark.computation import XWeighted
@@ -1204,6 +1210,94 @@ class XDataset:
     def integrate(self, coord: str) -> "XDataset":
         from xarray_spark.computation import integrate
         return integrate(self, coord)
+
+    def cumulative_integrate(self, coord: str) -> "XDataset":
+        from xarray_spark.computation import cumulative_integrate
+        return cumulative_integrate(self, coord)
+
+    def pad(self, pad_width: Mapping[str, tuple[int, int]] | None = None,
+            mode: str = "constant", constant_values=None, **kw) -> "XDataset":
+        """Extend dims with new labels (xarray/core/dataset.py:9054).
+
+        Long-form: new labels are synthesized by extrapolating the label
+        sequence (numeric/time dims with a regular step), then unioned
+        with values per ``mode`` ('constant' → constant_values/null,
+        'edge' → the boundary value).  The synthesis happens on the tiny
+        label table; the fact table is only unioned.
+        """
+        pad_width = {**(pad_width or {}), **kw}
+        out = self
+        for dim, width in pad_width.items():
+            before, after = (width, width) if isinstance(width, int) else width
+            out = out._pad_one(dim, before, after, mode, constant_values)
+        return out
+
+    def _pad_one(self, dim: str, before: int, after: int, mode: str, constant_values) -> "XDataset":
+        from xarray_spark._utils import to_double
+        if before == 0 and after == 0:
+            return self
+        dtype = self.df.schema[dim].dataType
+        labels = self._dim_labels(dim)
+        # label step inferred from the (assumed regular) label grid:
+        # (max - min) / (n - 1); one tiny aggregate over the label table
+        lab_num = to_double(F.col(dim), dtype)
+        row = labels.agg(
+            F.min(lab_num).alias("lo"), F.max(lab_num).alias("hi"),
+            F.max("__pos").alias("n1"),
+        ).collect()[0]
+        lo, hi, n1 = row["lo"], row["hi"], row["n1"]
+        step = (hi - lo) / n1 if n1 else 1.0
+        new_labels = [lo - step * (i + 1) for i in range(before)] + \
+                     [hi + step * (i + 1) for i in range(after)]
+        from xarray_spark._utils import is_temporal
+        if is_temporal(dtype):
+            new_rows = self.spark.createDataFrame(
+                [(float(x),) for x in new_labels], "__num double"
+            ).select(F.timestamp_seconds(F.col("__num")).cast(dtype).alias(dim))
+        else:
+            new_rows = self.spark.createDataFrame([(x,) for x in new_labels], [dim]) \
+                .select(F.col(dim).cast(dtype).alias(dim))
+        others = [d for d in self.dims if d != dim]
+        if others:
+            combos = self.df.select(*others).distinct()
+            new_rows = combos.crossJoin(F.broadcast(new_rows))
+        for c in self.df.columns:
+            if c not in new_rows.columns:
+                fill = F.lit(None).cast(self.df.schema[c].dataType)
+                if mode == "constant" and constant_values is not None and c in self.data_vars:
+                    fill = F.lit(constant_values).cast(self.df.schema[c].dataType)
+                new_rows = new_rows.withColumn(c, fill)
+        unioned = self.df.unionByName(new_rows.select(*self.df.columns))
+        out = self._replace(df=unioned)
+        if mode == "edge":
+            out = out.ffill(dim).bfill(dim)
+        return out
+
+    def set_index(self, indexes: Mapping[str, str] | None = None, **kw) -> "XDataset":
+        """Promote coords to dim keys (xarray/core/dataset.py:4778) —
+        catalog-level re-keying in long form (same as swap_dims)."""
+        return self.swap_dims({**(indexes or {}), **kw})
+
+    def reset_index(self, dims: str | Iterable[str]) -> "XDataset":
+        """Demote dim keys back to plain coords
+        (xarray/core/dataset.py:4943).  The column stays; only its
+        catalog role changes."""
+        dims = [dims] if isinstance(dims, str) else list(dims)
+        new_dims = [d for d in self.dims if d not in dims]
+        coords = dict(self.coords)
+        for d in dims:
+            coords[d] = tuple(new_dims) or (d,)
+        return self._replace(dims=new_dims or list(self.dims), coords=coords)
+
+    def to_stacked_array(self, new_dim: str = "variable", name: str = "value") -> "XDataArray":
+        """Stack data variables into one array dim
+        (xarray/core/dataset.py:5383) — SQL unpivot (melt)."""
+        return self.to_dataarray(dim=new_dim)
+
+    def to_unstacked_dataset(self, dim: str) -> "XDataset":
+        """Inverse of to_stacked_array (xarray/core/dataarray.py:3070) —
+        pivot the variable dim back into columns."""
+        return self.to_dataset_pivot(dim)
 
     def differentiate(self, coord: str) -> "XDataset":
         from xarray_spark.computation import differentiate

@@ -161,18 +161,31 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+                        n: int = 3, threshold: float = 0.5,
+                        max_df: int | None = 1000) -> DataFrame:
+    """n-gram Jaccard similarity for pairs sharing ≥1 (non-ubiquitous)
+    shingle.
 
     explode(shingles) → self-equi-join on shingle → count intersections →
-    |A∩B| / (|A|+|B|−|A∩B|).  The join key (shingle hash) is fine-grained
-    → good distribution; hot shingles should be pre-filtered by document
-    frequency at 100 TB (stop-shingle removal).
+    |A∩B| / (|A|+|B|−|A∩B|).  ``max_df`` drops shingles appearing in more
+    than that many documents BEFORE the self-join (stop-shingle removal):
+    a shingle shared by k docs contributes k² join rows, so the hottest
+    keys dominate quadratically — at 100 TB this filter is the difference
+    between a bounded join and a blow-up.  Jaccard is computed over the
+    surviving shingle sets (exact when max_df=None).
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("sh"),
-    ).withColumn("sh", F.xxhash64("sh"))
+    sh = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("sh"),
+        )
+        .withColumn("sh", F.xxhash64("sh"))
+    )
+    if max_df is not None:
+        docfreq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+        keep = docfreq.where(F.col("__df") <= max_df).select("sh")
+        sh = sh.join(keep, on="sh", how="left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

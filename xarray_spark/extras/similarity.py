@@ -67,7 +67,7 @@ def hyperplane_signature(vec, planes: list[list[float]]):
     bits = []
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(_dot(vec, arr) > 0, F.lit(1) << i).otherwise(0))
+        bits.append(F.when(_dot(vec, arr) > 0, F.lit(1 << i)).otherwise(0))
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b

@@ -1,0 +1,103 @@
+"""Resample down/up-sampling (reference: xarray/core/resample.py).
+
+Downsampling is groupBy(time bucket) — see groupby.py.  Upsampling
+(xarray/core/resample.py:132-210 pad/backfill/nearest/interpolate and
+:383 asfreq) is: generate the full target calendar (``sequence()`` —
+tiny, driver-free), then reindex the series onto it — a broadcast
+left-join plus the missing-data machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from xarray_spark.dataset import XDataset
+from xarray_spark.groupby import XGroupBy
+from xarray_spark.groupers import TimeResampler, _TRUNC, _parse_freq
+
+_INTERVAL = {
+    "second": "interval 1 second", "minute": "interval 1 minute",
+    "hour": "interval 1 hour", "day": "interval 1 day",
+    "week": "interval 7 day", "month": "interval 1 month",
+    "quarter": "interval 3 month", "year": "interval 1 year",
+}
+
+
+class XResample(XGroupBy):
+    """GroupBy over time buckets + the upsampling verbs."""
+
+    def __init__(self, ds: XDataset, dim: str, freq: str):
+        grouper = TimeResampler(freq)
+        # the time column consumes the dims it is keyed by: itself if it
+        # IS a dim, its carrier dims if it is a coord (same rule as
+        # groupby.resolve_groupers / xarray ResolvedGrouper)
+        if dim in ds.dims:
+            consumed: tuple = (dim,)
+        elif dim in ds.coords:
+            consumed = tuple(ds.coords[dim])
+        else:
+            consumed = tuple(ds.dims)
+        keys = [(dim, grouper.key_expr(F.col(dim)), consumed)]
+        super().__init__(ds, keys)
+        self._dim = dim
+        self._freq = freq
+
+    # ---------------------------------------------------------- calendar
+
+    def _calendar(self) -> DataFrame:
+        """Full run of bucket labels min..max at the target freq.
+
+        Computed as one tiny aggregate + ``sequence()`` explode — the
+        calendar is label-sized, always broadcastable.
+        """
+        n, unit = _parse_freq(self._freq)
+        trunc = _TRUNC.get(unit)
+        if trunc is None:
+            raise ValueError(f"unsupported freq {self._freq!r}")
+        interval = _INTERVAL[trunc].replace("1", str(n)).replace("7", str(7 * n)) \
+            if n != 1 else _INTERVAL[trunc]
+        key = TimeResampler(self._freq).key_expr(F.col(self._dim))
+        bounds = self.ds.df.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        )
+        return bounds.select(
+            F.explode(F.expr(f"sequence(lo, hi, {interval})")).alias(self._dim)
+        )
+
+    # ---------------------------------------------------------- verbs
+
+    def asfreq(self) -> XDataset:
+        """Values at the target freq labels, null where no data
+        (xarray/core/resample.py:383): first value per bucket, reindexed
+        onto the full calendar."""
+        binned = self.first()
+        cal = self._calendar()
+        df = F.broadcast(cal).join(binned.df, on=self._dim, how="left")
+        return binned._replace(df=df.select(*binned.df.columns))
+
+    def _filled(self, method: str | None) -> XDataset:
+        from xarray_spark.alignment import reindex
+        binned = self.first()
+        cal = self._calendar()
+        labels = [r[self._dim] for r in cal.collect()]
+        return reindex(binned, {self._dim: labels}, method=method)
+
+    def pad(self) -> XDataset:
+        """Upsample by forward-fill (xarray/core/resample.py:132)."""
+        return self._filled("ffill")
+
+    ffill = pad
+
+    def backfill(self) -> XDataset:
+        return self._filled("bfill")
+
+    bfill = backfill
+
+    def nearest(self) -> XDataset:
+        return self._filled("nearest")
+
+    def interpolate(self, method: str = "linear") -> XDataset:
+        """asfreq then linear interpolation over the gaps
+        (xarray/core/resample.py:210)."""
+        out = self.asfreq()
+        return out.interpolate_na(self._dim, method=method)

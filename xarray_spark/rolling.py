@@ -125,13 +125,18 @@ class XCoarsen:
         block_cols = []
         for dim, size in self.windows.items():
             labels = ds._dim_labels(dim)
-            if self.boundary == "exact":
-                # enforced lazily: trim semantics used; exactness asserted by caller
-                pass
             blocks = labels.select(
                 F.col(dim),
                 F.floor(F.col("__pos") / F.lit(size)).alias(f"__block_{dim}"),
+                F.col("__size"),
             )
+            if self.boundary == "trim":
+                # drop the incomplete trailing block
+                # (xarray/computation/rolling.py:1023 boundary='trim')
+                blocks = blocks.where(
+                    F.col(f"__block_{dim}") < F.floor(F.col("__size") / F.lit(size))
+                )
+            blocks = blocks.drop("__size")
             ds = ds._replace(df=ds.df.join(F.broadcast(blocks), on=dim, how="inner"))
             block_cols.append(f"__block_{dim}")
         return ds, block_cols
@@ -162,3 +167,55 @@ class XCoarsen:
     def count(self): return self._agg(lambda v: F.count(v))
     def std(self): return self._agg(lambda v: F.stddev_pop(v))
     def var(self): return self._agg(lambda v: F.var_pop(v))
+
+
+class XRollingExp:
+    """Exponentially-weighted moving ops (xarray/computation/rolling_exp.py:49).
+
+    The EWM recursion y_t = (1-α)·y_{t-1} + α·x_t is inherently
+    sequential per series — not a frame aggregate — so each complement-
+    dim group runs as one Arrow batch through applyInPandas (pandas'
+    compiled ewm kernel), mirroring the reference's numbagg path.
+    At scale the groups are the parallel unit: fine for many series,
+    degenerate for one giant series (same limit as the reference, where
+    dask cannot chunk the scan dim either).
+    """
+
+    def __init__(self, ds: XDataset, windows: Mapping[str, float], window_type: str = "span"):
+        (self.dim, self.window), = windows.items()
+        self.window_type = window_type
+        self.ds = ds
+
+    def _ewm(self, agg: str) -> XDataset:
+        ds = self.ds
+        dim = self.dim
+        others = [d for d in ds.dims if d != dim]
+        varlist = list(ds.data_vars)
+        kwargs = {self.window_type: self.window}
+        out_schema = ds.df.schema
+
+        def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(dim)
+            ew = pdf[varlist].ewm(**kwargs, min_periods=1)
+            pdf[varlist] = getattr(ew, agg)()
+            return pdf
+
+        if others:
+            df = ds.df.groupBy(*others).applyInPandas(apply_fn, out_schema)
+        else:
+            df = ds.df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+                lambda pdf: apply_fn(pdf.drop(columns="__g")), out_schema
+            )
+        return ds._replace(df=df)
+
+    def mean(self) -> XDataset:
+        return self._ewm("mean")
+
+    def sum(self) -> XDataset:
+        return self._ewm("sum")
+
+    def std(self) -> XDataset:
+        return self._ewm("std")
+
+    def var(self) -> XDataset:
+        return self._ewm("var")

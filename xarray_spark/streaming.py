@@ -1,0 +1,143 @@
+"""Structured Streaming extension (no reference counterpart —
+SURVEY.md §2.11: xarray is batch-only; the engine exposes its resample /
+rolling / fill operators over unbounded streams as a north-star
+extension).
+
+Design: the same long-form model, but ``df`` is a streaming DataFrame
+(``spark.readStream``).  Batch operators that are pure stateless
+projections (ufuncs, where, assign, str/dt accessors) work unchanged.
+Stateful time operators map to the streaming-native primitives:
+
+- resample → ``F.window`` tumbling windows + watermark (late data
+  dropped after the watermark horizon, the streaming analogue of a
+  closed resample bin)
+- rolling (time-based) → sliding ``F.window``
+- ewma / ffill across micro-batches → ``applyInPandasWithState``
+  (explicit per-key state, the engine's analogue of xarray's
+  scan-carried state)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from xarray_spark.groupers import _TRUNC, _parse_freq
+
+_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _freq_to_duration(freq: str) -> str:
+    n, unit = _parse_freq(freq)
+    trunc = _TRUNC.get(unit)
+    if trunc not in _SECS:
+        raise ValueError(f"streaming resample supports sub-month freqs; got {freq!r}")
+    return f"{n * _SECS[trunc]} seconds"
+
+
+def open_stream(spark, path: str, schema: T.StructType | str,
+                fmt: str = "parquet") -> DataFrame:
+    """File-source stream: new files under ``path`` become micro-batches
+    (the streaming analogue of open_mfdataset over a growing directory,
+    xarray/backends/api.py:1379 + to_zarr append_dim)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def stream_resample(
+    df: DataFrame,
+    time_col: str,
+    freq: str,
+    aggs: Mapping[str, F.Column],
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) windowed aggregation with late-data bound.
+
+    Batch equivalence: ``ds.resample(time=freq).agg(**aggs)`` — the
+    window *start* is the bin label, matching TimeResampler's
+    closed='left' convention (xarray/groupers.py:474).
+    """
+    dur = _freq_to_duration(freq)
+    win = F.window(F.col(time_col), dur, _freq_to_duration(slide) if slide else None)
+    wm = df.withWatermark(time_col, watermark)
+    grouped = wm.groupBy(*(keys or []), win)
+    out = grouped.agg(*[e.alias(n) for n, e in aggs.items()])
+    return out.select(
+        *(keys or []),
+        F.col("window.start").alias(time_col),
+        *aggs.keys(),
+    )
+
+
+def stream_rolling_mean(
+    df: DataFrame,
+    time_col: str,
+    window: str,
+    slide: str,
+    value_cols: list[str],
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Sliding-window mean — the streaming analogue of
+    ``rolling(time=w).mean()`` with a time-based window."""
+    aggs = {f"{c}_mean": F.avg(c) for c in value_cols}
+    return stream_resample(df, time_col, window, aggs, watermark, keys, slide=slide)
+
+
+def stream_ewma(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-micro-batch EWMA via applyInPandasWithState.
+
+    Per-key state carries (last_ewma,) between micro-batches — the
+    streaming continuation of XRollingExp's in-batch recursion.  Rows
+    within a batch are folded in event-time order; state is keyed so
+    the shuffle is one hash partitioning by key.
+    """
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField(time_col, T.TimestampType()),
+        T.StructField("ewma", T.DoubleType()),
+    ])
+    state_schema = T.StructType([T.StructField("ewma", T.DoubleType())])
+
+    def update(key, pdfs, state: GroupState):
+        prev = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for _, r in pdf.iterrows():
+                v = float(r[value_col])
+                prev = v if prev is None else alpha * v + (1 - alpha) * prev
+                rows.append((str(key[0]), r[time_col], prev))
+        state.update((prev,))
+        yield pd.DataFrame(rows, columns=["key", time_col, "ewma"])
+
+    wm = df.withWatermark(time_col, watermark)
+    return wm.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def to_stream_sink(df: DataFrame, path: str, checkpoint: str,
+                   fmt: str = "parquet", mode: str = "append"):
+    """File sink with exactly-once semantics via checkpointing — the
+    streaming analogue of region/append to_zarr writes
+    (xarray/core/dataset.py:2204 append_dim)."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+    )
