@@ -664,6 +664,73 @@ def q54_pad(spark, sf_dir):
     return out.to_spark()
 
 
+def q55_rolling_2d(spark, sf_dir):
+    """2-D rectangle rolling sum over the (year, month) revenue grid —
+    factorized into two 1-D window passes (SURVEY §2.6;
+    xarray computation/rolling.py multi-dim windows)."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    grid = li.assign(
+        y=F.year("l_shipdate").cast("int"), m=F.month("l_shipdate").cast("int")
+    )
+    byym = XDataset(grid.df, dims=["y", "m"], data_vars=["rev"]).groupby(
+        ["y", "m"]
+    ).agg(rev=F.sum("rev"))
+    out = byym.rolling(y=2, m=2, min_periods=1).sum()
+    return out.to_spark().select("y", "m", _r3(F.col("rev")).alias("rev2x2"))
+
+
+def q56_densify(spark, sf_dir):
+    """densify: materialize the full dim-label cross product with fill
+    (xarray core/dataset.py:5546 unstack densification)."""
+    li = _lineitem(spark, sf_dir)
+    cube = li.assign(y=F.year("l_shipdate").cast("int")).groupby(
+        ["l_returnflag", "y"]
+    ).agg(qty=_r3(F.sum("l_quantity")))
+    out = cube.densify(fill_value=0.0)
+    return out.to_spark()
+
+
+def q57_isel_points(spark, sf_dir):
+    """Vectorized (pointwise) indexing: parallel position arrays pick
+    individual cells into a new 'points' dim
+    (xarray core/variable.py:757 vectorized indexing)."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.isel_points(l_shipdate=[0, 5, 10, -1])
+    return out.to_spark().select("points", _r3(F.col("rev")).alias("rev"))
+
+
+def q58_where_aligned(spark, sf_dir):
+    """where with an aligned boolean DataArray cond: mask lineitems on
+    low-revenue ship dates (xarray aligned-object where,
+    core/common.py:1131)."""
+    from xarray_spark.dataset import XDataArray
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    daily = li.groupby("l_shipdate").agg(drev=F.sum("rev"))
+    cond = XDataArray(
+        daily.df.select("l_shipdate", (F.col("drev") >= 200000.0).alias("hi")),
+        ["l_shipdate"], {}, ["hi"],
+    )
+    masked = li["l_quantity"].where(cond)
+    out = masked.groupby("l_returnflag").agg(
+        qty_hi=_r3(F.sum("l_quantity")), n=F.count(F.lit(1))
+    )
+    return out.to_spark()
+
+
+def q59_decode_cf(spark, sf_dir):
+    """CF decode chain at scan time: mask + scale/offset fused into the
+    scan (xarray conventions.py:498, coding/variables.py:269)."""
+    from xarray_spark.io import decode_cf
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = decode_cf(df, {
+        "l_quantity": {"fill_value": -1.0, "scale_factor": 0.01, "add_offset": 1.0},
+    })
+    return dec.groupBy("l_returnflag").agg(
+        _r6(F.avg("l_quantity")).alias("avg_decoded"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -729,6 +796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_embedding_near_dups": q52_embedding_near_dups,
         "q53_ngram_jaccard": q53_ngram_jaccard,
         "q54_pad": q54_pad,
+        "q55_rolling_2d": q55_rolling_2d,
+        "q56_densify": q56_densify,
+        "q57_isel_points": q57_isel_points,
+        "q58_where_aligned": q58_where_aligned,
+        "q59_decode_cf": q59_decode_cf,
     }
 
 
@@ -1166,4 +1238,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q50-q54: recursive EWM / approximate LSH / synthesized pad labels
         # — rows-only checks
+        "q55_rolling_2d": """
+            WITH g AS (
+              SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+                     CAST(month(l_shipdate) AS INTEGER) AS m,
+                     SUM(l_extendedprice * (1 - l_discount)) AS rev
+              FROM lineitem GROUP BY 1, 2
+            ),
+            p1 AS (
+              SELECT y, m,
+                     SUM(rev) OVER (PARTITION BY m ORDER BY y ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+              FROM g
+            )
+            SELECT y, m,
+                   ROUND(SUM(s) OVER (PARTITION BY y ORDER BY m ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) + 1e-6, 3) AS rev2x2
+            FROM p1
+        """,
+        "q56_densify": """
+            WITH cube AS (
+              SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS y,
+                     ROUND(SUM(l_quantity) + 1e-6, 3) AS qty
+              FROM lineitem GROUP BY 1, 2
+            ),
+            rf AS (SELECT DISTINCT l_returnflag FROM cube),
+            yy AS (SELECT DISTINCT y FROM cube)
+            SELECT rf.l_returnflag, yy.y, COALESCE(cube.qty, 0.0) AS qty
+            FROM rf CROSS JOIN yy
+            LEFT JOIN cube ON cube.l_returnflag = rf.l_returnflag AND cube.y = yy.y
+        """,
+        "q57_isel_points": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            lab AS (
+              SELECT l_shipdate, rev,
+                     ROW_NUMBER() OVER (ORDER BY l_shipdate) - 1 AS p,
+                     COUNT(*) OVER () AS n
+              FROM daily
+            ),
+            pts(i, q) AS (VALUES (0, 0), (1, 5), (2, 10), (3, -1))
+            SELECT CAST(pts.i AS BIGINT) AS points, ROUND(lab.rev + 1e-6, 3) AS rev
+            FROM pts JOIN lab ON ((pts.q % lab.n) + lab.n) % lab.n = lab.p
+        """,
+        "q58_where_aligned": """
+            WITH daily AS (
+              SELECT l_shipdate, SUM(l_extendedprice * (1 - l_discount)) AS drev
+              FROM lineitem GROUP BY 1
+            )
+            SELECT l.l_returnflag,
+                   ROUND(SUM(CASE WHEN d.drev >= 200000.0 THEN l.l_quantity END) + 1e-6, 3) AS qty_hi,
+                   COUNT(*) AS n
+            FROM lineitem l JOIN daily d USING (l_shipdate)
+            GROUP BY 1
+        """,
+        "q59_decode_cf": """
+            SELECT l_returnflag,
+                   ROUND(AVG(CASE WHEN l_quantity = -1.0 THEN NULL
+                                  ELSE l_quantity * 0.01 + 1.0 END) + 1e-9, 6) AS avg_decoded,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
     }

@@ -246,6 +246,27 @@ def date_range(spark, start: str, end: str, freq: str = "D", name: str = "time")
     )
 
 
+def infer_freq(ds: XDataset, dim: str) -> str | None:
+    """Infer the (regular) label frequency of a time dim
+    (xarray/coding/frequencies.py infer_freq analogue): mode of the
+    label diffs over the tiny label table."""
+    from xarray_spark._utils import to_double
+    labels = ds.df.select(dim).where(F.col(dim).isNotNull()).distinct()
+    w = Window.orderBy(dim)
+    x = to_double(F.col(dim), ds.df.schema[dim].dataType)
+    diffs = labels.select((x - F.lag(x).over(w)).alias("__d")).where(F.col("__d").isNotNull())
+    top = diffs.groupBy("__d").count().orderBy(F.col("count").desc()).limit(1).collect()
+    if not top:
+        return None
+    sec = float(top[0]["__d"])
+    for unit, s, name in [("W", 604800.0, "W"), ("D", 86400.0, "D"),
+                          ("h", 3600.0, "h"), ("min", 60.0, "min"), ("s", 1.0, "s")]:
+        if sec >= s and sec % s == 0:
+            k = int(sec // s)
+            return name if k == 1 else f"{k}{name}"
+    return None
+
+
 def full_like(ds: XDataset, fill_value, dtype: str | None = None) -> XDataset:
     """Shape-preserving constant dataset (xarray/core/common.py:1497)."""
     lit = F.lit(fill_value)

@@ -407,10 +407,26 @@ class XDataset:
     def where(self, cond, other=None, drop: bool = False) -> "XDataset":
         """Mask values where cond is False (xarray/core/common.py:1131).
 
-        ``cond`` is a Column, a SQL string, or a callable(XDataset)->Column.
-        ``drop=True`` additionally removes dim labels where every value is
-        masked (semi-join of surviving labels per dim).
+        ``cond`` is a Column, a SQL string, a callable(XDataset)->Column,
+        or a boolean XDataArray (joined in on its dims — the aligned-
+        object form of xarray's where).  ``drop=True`` additionally
+        removes dim labels where every value is masked (semi-join of
+        surviving labels per dim).
         """
+        if isinstance(cond, XDataset):
+            c_da = cond
+            c_name = c_da.data_vars[0]
+            # join on the cond's dims — they may be dims OR coords here
+            # (e.g. masking a fact table by a per-date condition)
+            shared = [d for d in c_da.dims if d in self.df.columns]
+            if not shared:
+                raise ValueError(
+                    f"cond dims {c_da.dims} share no key column with {self.dims}"
+                )
+            c_df = c_da.df.select(*shared, F.col(c_name).alias("__cond"))
+            host = self._replace(df=self.df.join(c_df, on=shared, how="left"))
+            out = host.where(F.coalesce(F.col("__cond"), F.lit(False)), other, drop)
+            return out._replace(df=out.df.drop("__cond"))
         col = self._as_cond(cond)
         exprs = []
         for c in self.df.columns:
@@ -599,6 +615,65 @@ class XDataset:
             coords = {k: tuple(x for x in v if x != d) or tuple(fields) for k, v in coords.items()}
             out = XDataset(df, dims, coords, out.data_vars, out.attrs)
         return out
+
+    def densify(self, dims: Sequence[str] | None = None, fill_value=None) -> "XDataset":
+        """Materialize missing dim-label combinations as rows
+        (the xarray unstack densification, core/dataset.py:5546
+        _unstack_full_reindex): cross-join of the per-dim label tables
+        (each tiny, broadcast) left-joined to the data, data vars
+        coalesced to fill_value.  Long form stays sparse by default —
+        call this only when dense output is wanted."""
+        dims = list(dims) if dims else list(self.dims)
+        self._check_dims(dims)
+        grid = None
+        for d in dims:
+            labels = self.df.select(d).where(F.col(d).isNotNull()).distinct()
+            grid = labels if grid is None else grid.crossJoin(F.broadcast(labels))
+        df = grid.join(self.df, on=dims, how="left")
+        if fill_value is not None:
+            for v in self.data_vars:
+                df = df.withColumn(v, F.coalesce(F.col(v), F.lit(fill_value)))
+        return self._replace(df=df.select(*self.df.columns))
+
+    def isel_points(self, indexers: Mapping[str, Sequence[int]] | None = None,
+                    point_dim: str = "points", **kw) -> "XDataset":
+        """Vectorized (pointwise) indexing: parallel position arrays per
+        dim produce a NEW dim of picked points (xarray's vectorized
+        indexing, core/variable.py:757 _broadcast_indexes_vectorized).
+
+        The indexer tuple list becomes a small DataFrame (point id +
+        one position per dim); each dim's broadcast label table maps
+        position → label; the fact table is then inner-joined on the
+        label tuple.  One broadcast join chain, no shuffle of the fact
+        table beyond the final equi-join.
+        """
+        indexers = {**(indexers or {}), **kw}
+        self._check_dims(indexers)
+        lens = {len(v) for v in indexers.values()}
+        if len(lens) != 1:
+            raise ValueError("vectorized indexers must have equal lengths")
+        n, = lens
+        rows = [(i, *[int(indexers[d][i]) for d in indexers]) for i in range(n)]
+        pts = self.spark.createDataFrame(rows, [point_dim] + [f"__p_{d}" for d in indexers])
+        for d in indexers:
+            labels = self._dim_labels(d).select(
+                F.col(d), F.col("__pos").alias(f"__lp_{d}"), F.col("__size").alias(f"__sz_{d}")
+            )
+            # negative positions wrap (python indexing semantics)
+            norm = ((F.col(f"__p_{d}") % F.col(f"__sz_{d}")) + F.col(f"__sz_{d}")) % F.col(f"__sz_{d}")
+            pts = pts.join(F.broadcast(labels), norm == F.col(f"__lp_{d}"), "inner") \
+                .drop(f"__p_{d}", f"__lp_{d}", f"__sz_{d}")
+        df = pts.join(self.df, on=list(indexers), how="inner")
+        coords = {**{k: (point_dim,) for k in self.coords},
+                  **{k: (point_dim,) for k in indexers}}
+        out_cols = [point_dim] + list(self.df.columns)
+        return XDataset(
+            df.select(*out_cols),
+            [point_dim] + [d for d in self.dims if d not in indexers],
+            coords,
+            self.data_vars,
+            self.attrs,
+        )
 
     def transpose(self, *dims: str) -> "XDataset":
         """Reorder dims — metadata only in long form

@@ -44,16 +44,58 @@ def open_dataset(
     if dims is None:
         raise ValueError("dims required (no _xschema.json sidecar found)")
     if decoders:
-        for var, (fill, scale, offset) in decoders.items():
-            c = F.col(var)
-            if fill is not None:
-                c = F.when(F.col(var) == F.lit(fill), F.lit(None)).otherwise(c)
-            if scale is not None:
-                c = c * F.lit(scale)
-            if offset is not None:
-                c = c + F.lit(offset)
-            df = df.withColumn(var, c)
+        df = decode_cf(df, decoders)
     return XDataset(df, dims, coords)
+
+
+# CF unit name → seconds (xarray/coding/times.py _STANDARD_CALENDAR units)
+_CF_UNIT_SECONDS = {
+    "seconds": 1.0, "second": 1.0, "s": 1.0,
+    "minutes": 60.0, "minute": 60.0, "min": 60.0,
+    "hours": 3600.0, "hour": 3600.0, "h": 3600.0,
+    "days": 86400.0, "day": 86400.0, "d": 86400.0,
+}
+
+
+def decode_cf(df: DataFrame, decoders: Mapping[str, object]) -> DataFrame:
+    """Columnar CF decode chain applied at scan time — the engine's
+    analogue of xarray's coder stack (conventions.py:498 decode_cf;
+    CFMaskCoder coding/variables.py:269, CFScaleOffsetCoder :493,
+    CFDatetimeCoder coding/times.py:1355).
+
+    ``decoders[var]`` is either the legacy tuple ``(fill, scale,
+    offset)`` or a dict with keys ``fill_value, scale_factor,
+    add_offset, time_units`` (e.g. ``'seconds since 1970-01-01'``).
+    All pure expressions: mask → ``when(col == fill, null)``,
+    scale/offset → arithmetic, time → ``timestamp_seconds(col * unit +
+    epoch)`` — they fuse into the scan's codegen stage, so decode is
+    free at 100 TB (no second pass over the data).
+    """
+    for var, spec in decoders.items():
+        if isinstance(spec, tuple):
+            fill, scale, offset = spec
+            time_units = None
+        else:
+            fill = spec.get("fill_value")
+            scale = spec.get("scale_factor")
+            offset = spec.get("add_offset")
+            time_units = spec.get("time_units")
+        c = F.col(var)
+        if fill is not None:
+            c = F.when(F.col(var) == F.lit(fill), F.lit(None)).otherwise(c)
+        if scale is not None:
+            c = c * F.lit(scale)
+        if offset is not None:
+            c = c + F.lit(offset)
+        if time_units is not None:
+            unit, _, epoch = time_units.partition(" since ")
+            secs = _CF_UNIT_SECONDS[unit.strip().lower()]
+            c = F.timestamp_seconds(
+                c.cast("double") * F.lit(secs)
+                + F.unix_timestamp(F.lit(epoch.strip()).cast("timestamp"))
+            )
+        df = df.withColumn(var, c)
+    return df
 
 
 def open_mfdataset(

@@ -90,8 +90,12 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
     others = [d for d in ds.dims if d != dim]
     back = Window.partitionBy(*others).orderBy(dim).rowsBetween(Window.unboundedPreceding, 0)
     fwd = Window.partitionBy(*others).orderBy(dim).rowsBetween(0, Window.unboundedFollowing)
+    seq = Window.partitionBy(*others).orderBy(dim)
     x = _as_double(F.col(dim), ds.df.schema[dim].dataType)
     df = ds.df
+    need_rn = limit is not None
+    if need_rn:
+        df = df.withColumn("__rn", F.row_number().over(seq))
     exprs = []
     for c in df.columns:
         if c in ds.data_vars:
@@ -106,11 +110,17 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
                 interp = F.when(x1 == x0, y0).otherwise(blend)
             else:  # nearest
                 interp = F.when((x - x0) <= (x1 - x), y0).otherwise(y1)
-            filled = F.when(v.isNotNull(), v).otherwise(
-                F.when(x0.isNotNull() & x1.isNotNull(), interp)
-            )
+            can_fill = x0.isNotNull() & x1.isNotNull()
+            if limit is not None:
+                # xarray limit: fill at most `limit` consecutive nulls
+                # after the last valid value (pandas-style)
+                last_valid_rn = F.last(
+                    F.when(v.isNotNull(), F.col("__rn")), ignorenulls=True
+                ).over(back)
+                can_fill = can_fill & ((F.col("__rn") - last_valid_rn) <= limit)
+            filled = F.when(v.isNotNull(), v).otherwise(F.when(can_fill, interp))
             exprs.append(filled.alias(c))
-        else:
+        elif c != "__rn":
             exprs.append(F.col(c))
     return ds._replace(df=df.select(*exprs))
 
@@ -123,8 +133,13 @@ def interp(ds: XDataset, coords: dict, method: str = "linear") -> XDataset:
     only the target labels — an as-of join + blend, all window/broadcast
     ops (reference decomposition: xarray/core/missing.py:846).
     """
-    if len(coords) != 1:
-        raise NotImplementedError("interp over one dim at a time (separable)")
+    if len(coords) > 1:
+        # separable N-D: sequential 1-D interps, the reference's own
+        # decomposition (xarray/core/missing.py:846 decompose_interp)
+        out = ds
+        for dim, targets in coords.items():
+            out = interp(out, {dim: targets}, method)
+        return out
     (dim, targets), = coords.items()
     targets = list(targets)
     spark = ds.spark

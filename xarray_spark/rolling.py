@@ -26,30 +26,43 @@ from xarray_spark.dataset import XDataset
 
 class XRolling:
     def __init__(self, ds: XDataset, windows: Mapping[str, int], min_periods: int | None, center: bool):
-        if len(windows) != 1:
-            raise NotImplementedError("rolling over exactly one dim")
-        (self.dim, self.window), = windows.items()
+        self.windows = dict(windows)
+        (self.dim, self.window) = next(iter(self.windows.items()))
         self.ds = ds
         self.center = center
-        # window == -1 → cumulative (unbounded preceding)
-        if self.window == -1:
+        if len(self.windows) > 1:
+            # N-D window: min_periods defaults to the full rectangle
+            prod = 1
+            for w in self.windows.values():
+                prod *= w
+            self.min_periods = min_periods if min_periods is not None else prod
+        elif self.window == -1:
+            # window == -1 → cumulative (unbounded preceding)
             self.min_periods = min_periods if min_periods is not None else 1
         else:
             self.min_periods = min_periods if min_periods is not None else self.window
 
-    def _frame(self):
-        others = [d for d in self.ds.dims if d != self.dim]
-        base = Window.partitionBy(*others).orderBy(self.dim)
-        if self.window == -1:
+    def _frame(self, dim: str | None = None, window: int | None = None):
+        dim = dim or self.dim
+        window = window or self.window
+        others = [d for d in self.ds.dims if d != dim]
+        base = Window.partitionBy(*others).orderBy(dim)
+        if window == -1:
             return base.rowsBetween(Window.unboundedPreceding, 0)
         if self.center:
             # xarray center: window extends (w-1)//2 after, rest before
-            after = (self.window - 1) // 2
-            before = self.window - 1 - after
+            after = (window - 1) // 2
+            before = window - 1 - after
             return base.rowsBetween(-before, after)
-        return base.rowsBetween(-(self.window - 1), 0)
+        return base.rowsBetween(-(window - 1), 0)
 
     def _apply(self, make) -> XDataset:
+        if len(self.windows) > 1:
+            raise NotImplementedError(
+                "N-D rolling supports the separable reductions "
+                "sum/mean/min/max/count; use construct()+reduce per dim "
+                "for others"
+            )
         w = self._frame()
         ds = self.ds
         exprs = []
@@ -63,11 +76,76 @@ class XRolling:
                 exprs.append(F.col(c))
         return ds._replace(df=ds.df.select(*exprs))
 
-    def mean(self): return self._apply(lambda c, w: F.avg(c).over(w))
-    def sum(self): return self._apply(lambda c, w: F.sum(c).over(w))
-    def min(self): return self._apply(lambda c, w: F.min(c).over(w))
-    def max(self): return self._apply(lambda c, w: F.max(c).over(w))
-    def count(self): return self._apply(lambda c, w: F.count(c).over(w))
+    # ---- N-D rectangle windows: factorized into sequential 1-D passes
+    # (separable reductions; the same per-axis decomposition as
+    # xarray's sliding_window_view, xarray/core/duck_array_ops.py:144).
+    # Each pass is one shuffle; count uses SUM after the first pass so
+    # the rectangle count composes correctly.
+
+    def _pass(self, ds: XDataset, dim: str, window: int, agg_fn) -> XDataset:
+        w = self._frame(dim, window)
+        exprs = [
+            agg_fn(c, w).alias(c) if c in ds.data_vars else F.col(c)
+            for c in ds.df.columns
+        ]
+        return ds._replace(df=ds.df.select(*exprs))
+
+    def _apply_nd(self, kind: str) -> XDataset:
+        items = list(self.windows.items())
+
+        def sweep(first_fn, rest_fn):
+            out = self._pass(self.ds, *items[0], first_fn)
+            for dim, win in items[1:]:
+                out = self._pass(out, dim, win, rest_fn)
+            return out
+
+        s = lambda c, w: F.sum(c).over(w)        # noqa: E731
+        mn = lambda c, w: F.min(c).over(w)       # noqa: E731
+        mx = lambda c, w: F.max(c).over(w)       # noqa: E731
+        cnt = lambda c, w: F.count(c).over(w).cast("long")  # noqa: E731
+        if kind == "count":
+            return sweep(cnt, s)
+        n = sweep(cnt, s) if (kind == "mean" or self.min_periods > 1) else None
+        if kind == "sum":
+            out = sweep(s, s)
+        elif kind == "min":
+            out = sweep(mn, mn)
+        elif kind == "max":
+            out = sweep(mx, mx)
+        elif kind == "mean":
+            out = sweep(s, s)._binary_op_dataset(n, lambda a, b: a / b)
+        else:
+            raise NotImplementedError(f"N-D rolling {kind} (not separable)")
+        if self.min_periods > 1:
+            out = out._binary_op_dataset(
+                n, lambda a, b: F.when(b >= self.min_periods, a)
+            )
+        return out
+
+    def mean(self):
+        if len(self.windows) > 1:
+            return self._apply_nd("mean")
+        return self._apply(lambda c, w: F.avg(c).over(w))
+
+    def sum(self):
+        if len(self.windows) > 1:
+            return self._apply_nd("sum")
+        return self._apply(lambda c, w: F.sum(c).over(w))
+
+    def min(self):
+        if len(self.windows) > 1:
+            return self._apply_nd("min")
+        return self._apply(lambda c, w: F.min(c).over(w))
+
+    def max(self):
+        if len(self.windows) > 1:
+            return self._apply_nd("max")
+        return self._apply(lambda c, w: F.max(c).over(w))
+
+    def count(self):
+        if len(self.windows) > 1:
+            return self._apply_nd("count")
+        return self._apply(lambda c, w: F.count(c).over(w))
     def std(self, ddof=0):
         return self._apply(lambda c, w: (F.stddev_pop(c) if ddof == 0 else F.stddev_samp(c)).over(w))
     def var(self, ddof=0):
