@@ -1,0 +1,108 @@
+"""Property-based invariants (the reference's hypothesis strategy,
+xarray properties/test_properties.py) — random small datasets, operator
+algebra must hold."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from xarray_spark import XDataset, concat
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+values = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=2, max_size=12,
+)
+
+
+def mk(spark, vals):
+    rows = [{"t": i, "v": float(v)} for i, v in enumerate(vals)]
+    return XDataset(spark.createDataFrame(rows), dims=["t"])
+
+
+@given(vals=values)
+@settings(**SETTINGS)
+def test_cumsum_last_equals_sum(spark, vals):
+    d = mk(spark, vals)
+    last = d.cumsum("t").df.orderBy(F.col("t").desc()).limit(1).collect()[0]["v"]
+    total = d.sum().df.collect()[0]["v"]
+    assert last == pytest.approx(total, rel=1e-9, abs=1e-9)
+
+
+@given(vals=values, n=st.integers(min_value=-5, max_value=5), m=st.integers(min_value=-5, max_value=5))
+@settings(**SETTINGS)
+def test_roll_composes(spark, vals, n, m):
+    d = mk(spark, vals)
+    a = d.roll(t=n).roll(t=m).df.orderBy("t").collect()
+    b = d.roll(t=n + m).df.orderBy("t").collect()
+    assert [r["v"] for r in a] == [r["v"] for r in b]
+
+
+@given(vals=values)
+@settings(**SETTINGS)
+def test_stack_unstack_roundtrip(spark, vals):
+    rows = [{"x": i % 3, "y": i // 3, "v": float(v)} for i, v in enumerate(vals)]
+    d = XDataset(spark.createDataFrame(rows), dims=["x", "y"])
+    back = d.stack(z=["x", "y"]).unstack("z")
+    assert sorted(r["v"] for r in back.df.collect()) == sorted(
+        r["v"] for r in d.df.collect()
+    )
+
+
+@given(vals=values, k=st.integers(min_value=1, max_value=6))
+@settings(**SETTINGS)
+def test_concat_of_split_is_identity(spark, vals, k):
+    d = mk(spark, vals)
+    k = min(k, len(vals) - 1)
+    head, tail = d.isel(t=slice(None, k)), d.isel(t=slice(k, None))
+    joined = concat([head, tail], dim="t")
+    assert sorted(r["v"] for r in joined.df.collect()) == sorted(float(v) for v in vals)
+
+
+@given(vals=values)
+@settings(**SETTINGS)
+def test_ffill_bfill_idempotent(spark, vals):
+    rows = [
+        {"t": i, "v": float(v) if i % 2 == 0 else None}
+        for i, v in enumerate(vals)
+    ]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    once = d.ffill("t")
+    twice = once.ffill("t")
+    assert [r["v"] for r in once.df.orderBy("t").collect()] == [
+        r["v"] for r in twice.df.orderBy("t").collect()
+    ]
+
+
+@given(vals=values)
+@settings(**SETTINGS)
+def test_sel_isel_agree(spark, vals):
+    d = mk(spark, vals)
+    lab = d.df.orderBy("t").limit(1).collect()[0]["t"]
+    by_label = d.sel(t=lab).df.collect()
+    by_pos = d.isel(t=0).df.collect()
+    assert [r["v"] for r in by_label] == [r["v"] for r in by_pos]
+
+
+def test_region_write(spark, tmp_path):
+    path = str(tmp_path / "regioned")
+    rows = [{"part": p, "t": t, "v": float(10 * p + t)} for p in range(3) for t in range(2)]
+    d = XDataset(spark.createDataFrame(rows), dims=["part", "t"])
+    d.to_parquet(path, partition_by=["part"])
+    # region-rewrite only part=1 with doubled values
+    region = d.sel(part=[1]).assign(v=F.col("v") * 100)
+    region.to_parquet(path, partition_by=["part"], mode="overwrite", region=True)
+    back = spark.read.parquet(path)
+    got = {(r["part"], r["t"]): r["v"] for r in back.collect()}
+    assert got[(0, 0)] == 0.0 and got[(2, 1)] == 21.0  # untouched regions survive
+    assert got[(1, 0)] == 1000.0 and got[(1, 1)] == 1100.0
+    # append_dim analogue: new partition appended
+    extra = XDataset(spark.createDataFrame([{"part": 9, "t": 0, "v": 90.0}]), dims=["part", "t"])
+    extra.to_parquet(path, partition_by=["part"], mode="append")
+    assert spark.read.parquet(path).count() == 7

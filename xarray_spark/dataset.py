@@ -1423,12 +1423,26 @@ class XDataset:
             "data": [r.asDict() for r in self.df.collect()],
         }
 
-    def to_parquet(self, path: str, partition_by: Sequence[str] | None = None, mode: str = "overwrite"):
+    def to_parquet(self, path: str, partition_by: Sequence[str] | None = None,
+                   mode: str = "overwrite", region: bool = False):
         """Sink (to_netcdf/to_zarr analogue, xarray/core/dataset.py:2028).
+
         Partitioning by (a prefix of) dims gives partition pruning on
-        re-open — the long-form analogue of zarr chunk layout."""
+        re-open — the long-form analogue of zarr chunk layout.
+
+        ``region=True`` + ``partition_by`` performs a region write
+        (xarray/core/dataset.py:2204 ``to_zarr(region=...)``): only the
+        partitions present in THIS dataset are replaced, everything else
+        stays — Spark's dynamic partition overwrite.  ``mode='append'``
+        is the ``append_dim`` analogue (new labels land in new files/
+        partitions).
+        """
         import json
         w = self.df.write.mode(mode)
+        if region:
+            if not partition_by:
+                raise ValueError("region write requires partition_by")
+            w = w.option("partitionOverwriteMode", "dynamic")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
