@@ -1,0 +1,105 @@
+"""Wave 4: approx quantile, clip/astype/round, calendar ops,
+get_dummies/extractall, batch-vs-stream parity."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_spark import XDataset
+from xarray_spark.computation import convert_calendar, date_range_like
+from xarray_spark.dataset import XDataArray
+
+
+def mk(spark, rows, dims, **kw):
+    return XDataset(spark.createDataFrame(rows), dims, **kw)
+
+
+def test_quantile_approx_close_to_exact(spark):
+    rows = [{"t": i, "v": float(i)} for i in range(1000)]
+    d = mk(spark, rows, ["t"])
+    exact = d.quantile([0.5], "t").df.collect()[0]["v"]
+    approx = d.quantile([0.5], "t", approx=True).df.collect()[0]["v"]
+    assert abs(exact - approx) <= 1.0
+
+
+def test_clip_astype_round(spark):
+    d = mk(spark, [{"t": 0, "v": 3.456}], ["t"])
+    assert d.clip(min=0.0, max=2.0).df.collect()[0]["v"] == 2.0
+    assert d.round(1).df.collect()[0]["v"] == 3.5
+    assert d.astype("int").df.collect()[0]["v"] == 3
+
+
+def test_convert_calendar(spark):
+    rows = [
+        {"t": dt.datetime(2024, 2, 28), "v": 1.0},
+        {"t": dt.datetime(2024, 2, 29), "v": 2.0},
+        {"t": dt.datetime(2024, 1, 31), "v": 3.0},
+    ]
+    d = mk(spark, rows, ["t"])
+    noleap = convert_calendar(d, "t", "noleap")
+    assert noleap.df.count() == 2
+    d360 = convert_calendar(d, "t", "360_day")
+    assert {r["v"] for r in d360.df.collect()} == {1.0}
+
+
+def test_date_range_like(spark):
+    rows = [{"t": dt.datetime(2024, 1, 1) + dt.timedelta(days=i), "v": 1.0} for i in range(5)]
+    d = mk(spark, rows, ["t"])
+    cal = date_range_like(spark, d, "t")
+    assert cal.count() == 5
+
+
+def test_get_dummies(spark):
+    df = spark.createDataFrame([{"i": 0, "s": "a|b"}, {"i": 1, "s": "b|c"}])
+    da = XDataArray(df, ["i"], {}, ["s"])
+    out = da.str.get_dummies()
+    got = {r["i"]: (r["a"], r["b"], r["c"]) for r in out.df.collect()}
+    assert got == {0: (1, 1, 0), 1: (0, 1, 1)}
+
+
+def test_extractall(spark):
+    df = spark.createDataFrame([{"i": 0, "s": "x1 y2 z3"}])
+    da = XDataArray(df, ["i"], {}, ["s"])
+    out = da.str.extractall(r"([a-z])(\\d)", group=2)
+    got = {r["match"]: r["s"] for r in out.df.collect()}
+    assert got == {0: "1", 1: "2", 2: "3"}
+
+
+def test_batch_stream_resample_parity(spark, tmp_path):
+    """The streaming resample must agree with the batch engine on the
+    same data (closed windows)."""
+    import uuid
+    from xarray_spark.streaming import open_stream, stream_resample
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()), T.StructField("v", T.DoubleType())
+    ])
+    rows = [(dt.datetime(2024, 1, 1, 0, m, 30), float(m)) for m in range(30)]
+    path = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    # batch: XDataset resample
+    bds = XDataset(
+        spark.read.parquet(path).withColumn("event_id", F.monotonically_increasing_id()),
+        dims=["event_id"], coords={"ts": ("event_id",)},
+    )
+    batch = {
+        (r["ts"],): (r["n"], r["total"])
+        for r in bds.resample(ts="10min").agg(n=F.count(F.lit(1)), total=F.sum("v")).df.collect()
+    }
+
+    src = open_stream(spark, path, schema)
+    out = stream_resample(src, "ts", "10min", {"n": F.count(F.lit(1)), "total": F.sum("v")})
+    name = f"p_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        (r["ts"],): (r["n"], r["total"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert batch == stream and len(batch) == 3

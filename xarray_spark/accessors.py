@@ -107,8 +107,26 @@ class StringAccessor(_Accessor):
                 F.when(c.contains(sep), F.regexp_replace(c, f"^.*?{q}", "")).otherwise(F.lit("")).alias("tail"),
             )
         )
-    def get_dummies(self, sep: str = "|"):
-        return self._wrap(F.split(self._c, "\\Q" + sep + "\\E"))
+    def get_dummies(self, sep: str = "|") -> "XDataArray":
+        """Indicator columns per token (xarray/core/accessor_str.py:2770)
+        — split → explode → pivot 0/1 over the dim keys."""
+        da = self.da
+        toks = F.explode(F.split(self._c, "\\Q" + sep + "\\E")).alias("__tok")
+        long = da.df.select(*da.dims, toks)
+        out = long.groupBy(*da.dims).pivot("__tok").agg(F.lit(1))
+        out = out.na.fill(0)
+        from xarray_spark.dataset import XDataset
+        return XDataset(out, da.dims, {}, None, da.attrs)
+
+    def extractall(self, pat: str, group: int = 1, match_dim: str = "match") -> "XDataArray":
+        """All regex matches → a new dim (xarray regex groups → new dims,
+        core/accessor_str.py:2102): regexp_extract_all + posexplode."""
+        da = self.da
+        arr = F.expr(f"regexp_extract_all({da.name}, '{pat}', {group})")
+        df = da.df.select(
+            *da.dims, F.posexplode_outer(arr).alias(match_dim, da.name)
+        )
+        return XDataArray(df, list(da.dims) + [match_dim], {}, [da.name], da.attrs)
 
 
 class DatetimeAccessor(_Accessor):

@@ -246,6 +246,37 @@ def date_range(spark, start: str, end: str, freq: str = "D", name: str = "time")
     )
 
 
+def convert_calendar(ds: XDataset, dim: str, calendar: str = "standard",
+                     align_on: str | None = None) -> XDataset:
+    """Calendar conversion (xarray/coding/calendar_ops.py,
+    core/dataset.py:10011), for the calendars expressible on real
+    timestamps: 'standard'/'proleptic_gregorian' (no-op), 'noleap'/'365_day'
+    (drop Feb 29), '360_day' (drop day-31s and Feb 29/30 — the
+    align_on='date' convention).  cftime object calendars (which have no
+    Spark temporal type) are out of scope; see SURVEY §1.3.
+    """
+    c = F.col(dim)
+    if calendar in ("standard", "gregorian", "proleptic_gregorian"):
+        return ds
+    if calendar in ("noleap", "365_day"):
+        keep = ~((F.month(c) == 2) & (F.dayofmonth(c) == 29))
+        return ds._replace(df=ds.df.where(keep))
+    if calendar == "360_day":
+        keep = (F.dayofmonth(c) <= 30) & ~((F.month(c) == 2) & (F.dayofmonth(c) >= 29))
+        return ds._replace(df=ds.df.where(keep))
+    raise NotImplementedError(f"calendar {calendar!r} needs cftime-style date structs")
+
+
+def date_range_like(spark, ds: XDataset, dim: str, name: str | None = None):
+    """Calendar matching ds's dim span and inferred freq
+    (xarray/coding/cftime_offsets.py date_range_like)."""
+    freq = infer_freq(ds, dim)
+    if freq is None:
+        raise ValueError(f"cannot infer frequency of {dim!r}")
+    lo, hi = ds.df.agg(F.min(dim), F.max(dim)).collect()[0]
+    return date_range(spark, str(lo), str(hi), freq, name or dim)
+
+
 def infer_freq(ds: XDataset, dim: str) -> str | None:
     """Infer the (regular) label frequency of a time dim
     (xarray/coding/frequencies.py infer_freq analogue): mode of the

@@ -852,16 +852,26 @@ class XDataset:
     def any(self, dim=None) -> "XDataset":
         return self._reduce(dim, lambda v: F.bool_or(F.col(v).cast("boolean")), "any")
 
-    def quantile(self, q, dim=None, skipna: bool = True) -> "XDataset":
+    def quantile(self, q, dim=None, skipna: bool = True, approx: bool = False) -> "XDataset":
         """Exact linear-interpolation quantile (xarray/core/dataset.py:8237);
-        maps to SQL `percentile` (exact, linear — numpy's default method)."""
+        maps to SQL `percentile` (exact, linear — numpy's default method).
+
+        ``approx=True`` switches to ``approx_percentile`` (t-digest):
+        the 100 TB path — exact percentile buffers each group's values,
+        approx streams in bounded memory (SCALE.md §aggregations).
+        """
         qs = [q] if not isinstance(q, (list, tuple)) else list(q)
         dims = self._norm_dim_arg(dim)
         keep = [d for d in self.dims if d not in dims]
         coords = self._coords_on(keep)
         varlist = self._agg_numeric_vars("quantile")
         qarr = "array({})".format(", ".join(repr(float(x)) for x in qs))
-        aggs = [F.expr(f"percentile({v}, {qarr})").alias(v) for v in varlist]
+        fn = "approx_percentile" if approx else "percentile"
+        extra = ", 10000" if approx else ""
+        aggs = [
+            F.expr(f"{fn}({v}, {qarr}{extra})").cast("array<double>").alias(v)
+            for v in varlist
+        ]
         keys = keep + list(coords)
         df = self.df.groupBy(*keys).agg(*aggs) if keys else self.df.agg(*aggs)
         # explode the quantile arrays into a new 'quantile' dim
@@ -1208,6 +1218,23 @@ class XDataset:
 
     def isnull(self) -> "XDataset":
         return self.map(lambda c: c.isNull())
+
+    def clip(self, min=None, max=None) -> "XDataset":
+        """Clamp values (xarray/core/common.py:462)."""
+        def e(c):
+            if min is not None:
+                c = F.greatest(c, F.lit(min))
+            if max is not None:
+                c = F.least(c, F.lit(max))
+            return c
+        return self.map(e)
+
+    def astype(self, dtype: str) -> "XDataset":
+        """Cast every data var (xarray/core/common.py:1409)."""
+        return self.map(lambda c: c.cast(dtype))
+
+    def round(self, decimals: int = 0) -> "XDataset":
+        return self.map(lambda c: F.round(c, decimals))
 
     # ------------------------------------------------------------------ #
     # groupby / resample / rolling / coarsen — implemented in sibling
