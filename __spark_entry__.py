@@ -731,6 +731,40 @@ def q59_decode_cf(spark, sf_dir):
     )
 
 
+def q60_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation for skewed keys — must produce
+    identical results to the plain groupBy (SCALE.md skew defense)."""
+    from xarray_spark import salted_agg
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    out = salted_agg(
+        li, ["l_returnflag"],
+        {"n": ("count", "*"), "revenue": ("sum", "rev"),
+         "maxq": ("max", "l_quantity"), "avg_disc": ("avg", "l_discount")},
+        salt=16,
+    )
+    return out.to_spark().select(
+        "l_returnflag", "n", _r3(F.col("revenue")).alias("revenue"),
+        "maxq", _r6(F.col("avg_disc")).alias("avg_disc"),
+    )
+
+
+def q61_nearest_points(spark, sf_dir):
+    """N-D nearest-point selection (NDPointIndex analogue,
+    xarray/indexes/nd_point_index.py:107): nearest supplier in
+    (nationkey, acctbal) space."""
+    from xarray_spark import sel_points_nearest
+    sup = XDataset(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        dims=["s_suppkey"],
+        coords={"s_nationkey": ("s_suppkey",), "s_acctbal": ("s_suppkey",)},
+    )
+    out = sel_points_nearest(
+        sup,
+        {"s_nationkey": [0.0, 10.0, 20.0], "s_acctbal": [1000.0, 5000.0, 9000.0]},
+    )
+    return out.to_spark().select("points", "s_suppkey", _r3(F.col("s_acctbal")).alias("bal"))
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -801,6 +835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_isel_points": q57_isel_points,
         "q58_where_aligned": q58_where_aligned,
         "q59_decode_cf": q59_decode_cf,
+        "q60_salted_agg": q60_salted_agg,
+        "q61_nearest_points": q61_nearest_points,
     }
 
 
@@ -1295,5 +1331,30 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE l_quantity * 0.01 + 1.0 END) + 1e-9, 6) AS avg_decoded,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q60_salted_agg": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS revenue,
+                   MAX(l_quantity) AS maxq,
+                   ROUND(AVG(l_discount) + 1e-9, 6) AS avg_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q61_nearest_points": """
+            WITH pts(i, qn, qb) AS (
+              VALUES (0, 0.0, 1000.0), (1, 10.0, 5000.0), (2, 20.0, 9000.0)
+            ),
+            scored AS (
+              SELECT pts.i, s.s_suppkey, s.s_acctbal,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY pts.i
+                       ORDER BY (s.s_nationkey - qn) * (s.s_nationkey - qn)
+                              + (s.s_acctbal - qb) * (s.s_acctbal - qb),
+                              s.s_nationkey, s.s_acctbal
+                     ) AS rn
+              FROM pts CROSS JOIN supplier s
+            )
+            SELECT CAST(i AS BIGINT) AS points, s_suppkey,
+                   ROUND(s_acctbal + 1e-6, 3) AS bal
+            FROM scored WHERE rn = 1
         """,
     }

@@ -103,3 +103,38 @@ def test_batch_stream_resample_parity(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert batch == stream and len(batch) == 3
+
+
+def test_salted_agg_matches_plain(spark):
+    from xarray_spark import salted_agg
+    rows = [{"k": "a" if i % 10 else "b", "t": i, "v": float(i)} for i in range(100)]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"], coords={"k": ("t",)})
+    out = salted_agg(d, ["k"], {
+        "n": ("count", "*"), "s": ("sum", "v"),
+        "mx": ("max", "v"), "m": ("avg", "v"),
+    }, salt=8)
+    got = {r["k"]: (r["n"], r["s"], r["mx"], r["m"]) for r in out.df.collect()}
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mx"], r["m"])
+        for r in d.df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.max("v").alias("mx"), F.avg("v").alias("m")).collect()
+    }
+    assert got == plain
+
+
+def test_sel_points_nearest(spark):
+    from xarray_spark import sel_points_nearest
+    rows = [{"i": i, "x": float(i), "y": float(i), "v": float(100 + i)} for i in range(10)]
+    d = XDataset(spark.createDataFrame(rows), dims=["i"],
+                 coords={"x": ("i",), "y": ("i",)})
+    out = sel_points_nearest(d, {"x": [2.2, 7.9], "y": [2.0, 8.1]})
+    got = {r["points"]: r["v"] for r in out.df.collect()}
+    assert got == {0: 102.0, 1: 108.0}
+
+
+def test_cumprod(spark):
+    rows = [{"t": i, "v": float(v)} for i, v in enumerate([1, 2, 3, 4])]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"])
+    got = [r["v"] for r in d.cumprod("t").df.orderBy("t").collect()]
+    assert got == [1.0, 2.0, 6.0, 24.0]

@@ -24,7 +24,9 @@ from xarray_spark.io import (
     from_dataframe,
 )
 from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
-from xarray_spark.alignment import align, broadcast
+from xarray_spark.alignment import align, broadcast, sel_points_nearest
+from xarray_spark.computation import convert_calendar, date_range_like, infer_freq
+from xarray_spark.groupby import salted_agg
 from xarray_spark.computation import (
     apply_ufunc,
     cov,
@@ -63,6 +65,11 @@ __all__ = [
     "combine_nested",
     "align",
     "broadcast",
+    "sel_points_nearest",
+    "salted_agg",
+    "convert_calendar",
+    "date_range_like",
+    "infer_freq",
     "apply_ufunc",
     "cov",
     "corr",

@@ -135,6 +135,59 @@ def _asof_label_map(ds: XDataset, dim: str, new_labels: DataFrame, method: str, 
     return matched
 
 
+def sel_points_nearest(
+    ds: XDataset,
+    queries: Mapping[str, Sequence[float]],
+    point_dim: str = "points",
+    metric: str = "euclidean",
+) -> XDataset:
+    """N-D nearest-point selection over coordinate columns — the engine's
+    NDPointIndex (xarray/indexes/nd_point_index.py:107, KD-tree nearest
+    over irregular grids).
+
+    Spark mapping (SURVEY §1.2): broadcast the (small) query-point table
+    against the fact table, rank candidates by distance per query,
+    keep rank 1.  The fact table streams once; the only shuffle is the
+    per-query top-1 (query-count-sized).  For huge query sets, bucket
+    both sides with a space-filling key first (same pattern as the LSH
+    modules).
+    """
+    cols = list(queries)
+    lens = {len(v) for v in queries.values()}
+    if len(lens) != 1:
+        raise ValueError("query coordinate arrays must have equal lengths")
+    n, = lens
+    from pyspark.sql import Window
+    rows = [(i, *[float(queries[c][i]) for c in cols]) for i in range(n)]
+    q = ds.spark.createDataFrame(rows, [point_dim] + [f"__q_{c}" for c in cols])
+    joined = ds.df.crossJoin(F.broadcast(q))
+    if metric == "euclidean":
+        dist = sum(
+            ((F.col(c).cast("double") - F.col(f"__q_{c}")) ** 2 for c in cols),
+            F.lit(0.0),
+        )
+    elif metric == "manhattan":
+        dist = sum(
+            (F.abs(F.col(c).cast("double") - F.col(f"__q_{c}")) for c in cols),
+            F.lit(0.0),
+        )
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    w = Window.partitionBy(point_dim).orderBy(
+        dist.asc(), *[F.col(c).asc() for c in cols]
+    )
+    out = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", *[f"__q_{c}" for c in cols])
+    )
+    coords = {**{k: (point_dim,) for k in ds.coords}, **{c: (point_dim,) for c in cols}}
+    return XDataset(
+        out.select(point_dim, *ds.df.columns),
+        [point_dim], coords, ds.data_vars, ds.attrs,
+    )
+
+
 def broadcast(*datasets: XDataset) -> tuple[XDataset, ...]:
     """Give every dataset the union of dims by cross-joining the missing
     dims' label tables (xarray/structure/alignment.py:1176).  Dimension

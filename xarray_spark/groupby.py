@@ -244,3 +244,50 @@ def _numeric(ds: XDataset, v: str) -> bool:
         ds.df.schema[v].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType),
     )
+
+
+def salted_agg(ds: XDataset, keys: list[str], aggs: Mapping[str, tuple],
+               salt: int = 16) -> XDataset:
+    """Two-phase aggregation with key salting for skewed group keys.
+
+    Spark's hash agg already does map-side partials, but a single
+    pathological key still lands its ENTIRE final-stage traffic on one
+    reducer.  Salting splits each key into ``salt`` sub-keys for the
+    first shuffle, then re-aggregates the (keys × salt)-sized partials —
+    the second shuffle carries only partial rows.  This is the classic
+    skew defense at 100 TB (AQE handles moderate skew automatically;
+    salting is for the chronic case — SCALE.md §alignment).
+
+    ``aggs[name] = (op, col)`` with op ∈ {sum,count,min,max,avg}:
+    the decomposable set (avg = sum/count re-derived in phase 2).
+    """
+    df = ds.df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    p1, p2, post = [], [], {}
+    for name, (op, col) in aggs.items():
+        if op == "sum":
+            p1.append(F.sum(col).alias(f"__{name}"))
+            p2.append(F.sum(f"__{name}").alias(name))
+        elif op == "count":
+            c = F.count(F.lit(1)) if col in ("*", None) else F.count(col)
+            p1.append(c.alias(f"__{name}"))
+            p2.append(F.sum(f"__{name}").cast("long").alias(name))
+        elif op == "min":
+            p1.append(F.min(col).alias(f"__{name}"))
+            p2.append(F.min(f"__{name}").alias(name))
+        elif op == "max":
+            p1.append(F.max(col).alias(f"__{name}"))
+            p2.append(F.max(f"__{name}").alias(name))
+        elif op == "avg":
+            p1.append(F.sum(col).alias(f"__s_{name}"))
+            p1.append(F.count(col).alias(f"__c_{name}"))
+            p2.append(F.sum(f"__s_{name}").alias(f"__s2_{name}"))
+            p2.append(F.sum(f"__c_{name}").alias(f"__c2_{name}"))
+            post[name] = F.col(f"__s2_{name}") / F.col(f"__c2_{name}")
+        else:
+            raise ValueError(f"op {op!r} is not salting-decomposable")
+    partial = df.groupBy(*keys, "__salt").agg(*p1)
+    final = partial.groupBy(*keys).agg(*p2)
+    for name, expr in post.items():
+        final = final.withColumn(name, expr)
+    final = final.drop(*[c for c in final.columns if c.startswith("__")])
+    return XDataset(final, keys, {}, list(aggs), ds.attrs)

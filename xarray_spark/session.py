@@ -35,5 +35,11 @@ def get_spark(app_name: str = "xarray_spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # min/max/count reductions answered from parquet footer statistics
+        # (dim_sizes(), label-table bounds — no data scan at all)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # bound Arrow batch size so pandas-UDF workers stay memory-safe
+        # when rows are wide (multimodal binary columns)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     )
     return builder.getOrCreate()
