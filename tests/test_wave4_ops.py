@@ -138,3 +138,38 @@ def test_cumprod(spark):
     d = XDataset(spark.createDataFrame(rows), dims=["t"])
     got = [r["v"] for r in d.cumprod("t").df.orderBy("t").collect()]
     assert got == [1.0, 2.0, 6.0, 24.0]
+
+
+def test_interp_like(spark):
+    a = XDataset(spark.createDataFrame(
+        [{"t": 0.0, "v": 0.0}, {"t": 10.0, "v": 100.0}]), dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        [{"t": 2.5, "w": 1.0}, {"t": 5.0, "w": 1.0}]), dims=["t"])
+    out = a.interp_like(b)
+    got = {r["t"]: r["v"] for r in out.df.collect()}
+    assert got == {2.5: 25.0, 5.0: 50.0}
+
+
+def test_reindex_like(spark):
+    a = XDataset(spark.createDataFrame(
+        [{"t": 0, "v": 1.0}, {"t": 1, "v": 2.0}]), dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        [{"t": 1, "w": 0.0}, {"t": 2, "w": 0.0}]), dims=["t"])
+    out = a.reindex_like(b, fill_value=0.0)
+    got = {r["t"]: r["v"] for r in out.df.collect()}
+    assert got == {1: 2.0, 2: 0.0}
+
+
+def test_map_blocks(spark):
+    import pandas as pd
+    d = XDataset(spark.createDataFrame(
+        [{"t": i, "v": float(i)} for i in range(4)]), dims=["t"])
+
+    def double(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["v"] = pdf["v"] * 2
+            yield pdf
+
+    out = d.map_blocks(double)
+    assert sorted(r["v"] for r in out.df.collect()) == [0.0, 2.0, 4.0, 6.0]

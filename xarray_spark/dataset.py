@@ -1305,6 +1305,24 @@ class XDataset:
         from xarray_spark.missing import interp
         return interp(self, {**(coords or {}), **kw}, method)
 
+    def interp_like(self, other: "XDataset", method: str = "linear") -> "XDataset":
+        """Interpolate onto other's labels for every shared dim
+        (xarray/core/dataset.py:4095) — label tables flow DataFrame-to-
+        DataFrame, nothing is collected to the driver."""
+        from xarray_spark.missing import interp
+        out = self
+        for d in self.dims:
+            if d in other.dims:
+                out = interp(out, {d: other.df.select(d)}, method)
+        return out
+
+    def reindex_like(self, other: "XDataset", method: str | None = None,
+                     tolerance: float | None = None, fill_value=None) -> "XDataset":
+        """Conform to other's labels (xarray/core/dataset.py:3476)."""
+        from xarray_spark.alignment import reindex
+        indexers = {d: other for d in self.dims if d in other.dims}
+        return reindex(self, indexers, method, tolerance, fill_value)
+
     def merge(self, other: "XDataset", compat: str = "no_conflicts", join: str = "outer") -> "XDataset":
         from xarray_spark.combine import merge
         return merge([self, other], compat=compat, join=join)

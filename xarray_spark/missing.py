@@ -141,11 +141,17 @@ def interp(ds: XDataset, coords: dict, method: str = "linear") -> XDataset:
             out = interp(out, {dim: targets}, method)
         return out
     (dim, targets), = coords.items()
-    targets = list(targets)
     spark = ds.spark
     others = [d for d in ds.dims if d != dim]
-    # rows for target labels: one per existing combination of other dims
-    tgt_labels = spark.createDataFrame([(t,) for t in targets], [dim])
+    # rows for target labels: one per existing combination of other dims.
+    # Targets may be a python list OR a DataFrame/XDataset label table
+    # (no driver-side collect for the latter — interp_like path).
+    if isinstance(targets, XDataset):
+        tgt_labels = targets.df.select(dim).where(F.col(dim).isNotNull()).distinct()
+    elif hasattr(targets, "sparkSession"):  # DataFrame
+        tgt_labels = targets.select(dim).where(F.col(dim).isNotNull()).distinct()
+    else:
+        tgt_labels = spark.createDataFrame([(t,) for t in list(targets)], [dim])
     if others:
         other_combos = ds.df.select(*others).distinct()
         tgt = other_combos.crossJoin(F.broadcast(tgt_labels))
