@@ -765,6 +765,21 @@ def q61_nearest_points(spark, sf_dir):
     return out.to_spark().select("points", "s_suppkey", _r3(F.col("s_acctbal")).alias("bal"))
 
 
+def q62_interp_targets(spark, sf_dir):
+    """interp/interp_like regridding: daily revenue interpolated onto
+    mid-month noon targets (xarray core/dataset.py:3786 as-of blend)."""
+    import datetime as dt
+    from xarray_spark.dataset import XDataset as _XD
+    daily = _daily_revenue(spark, sf_dir)
+    targets = [dt.datetime(1996, m, 15, 12) for m in range(1, 13)]
+    tgt_ds = _XD(
+        spark.createDataFrame([(t,) for t in targets], "l_shipdate timestamp_ntz"),
+        dims=["l_shipdate"],
+    )
+    out = daily.interp_like(tgt_ds)
+    return out.to_spark().select("l_shipdate", _r6(F.col("rev")).alias("rev"))
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -837,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_decode_cf": q59_decode_cf,
         "q60_salted_agg": q60_salted_agg,
         "q61_nearest_points": q61_nearest_points,
+        "q62_interp_targets": q62_interp_targets,
     }
 
 
@@ -1356,5 +1372,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(i AS BIGINT) AS points, s_suppkey,
                    ROUND(s_acctbal + 1e-6, 3) AS bal
             FROM scored WHERE rn = 1
+        """,
+        "q62_interp_targets": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            t AS (
+              SELECT unnest(generate_series(TIMESTAMP '1996-01-15 12:00:00',
+                                            TIMESTAMP '1996-12-15 12:00:00',
+                                            INTERVAL 1 MONTH)) AS ts
+            ),
+            p AS (
+              SELECT t.ts, MAX(d.l_shipdate) AS pd
+              FROM t JOIN daily d ON d.l_shipdate <= t.ts GROUP BY t.ts
+            ),
+            n AS (
+              SELECT t.ts, MIN(d.l_shipdate) AS nd
+              FROM t JOIN daily d ON d.l_shipdate >= t.ts GROUP BY t.ts
+            )
+            SELECT t.ts AS l_shipdate,
+                   ROUND(CASE WHEN p.pd = n.nd THEN dp.rev
+                              ELSE dp.rev + (dn.rev - dp.rev)
+                                   * (epoch(t.ts) - epoch(p.pd))
+                                   / (epoch(n.nd) - epoch(p.pd)) END + 1e-9, 6) AS rev
+            FROM t
+            LEFT JOIN p ON p.ts = t.ts
+            LEFT JOIN n ON n.ts = t.ts
+            LEFT JOIN daily dp ON dp.l_shipdate = p.pd
+            LEFT JOIN daily dn ON dn.l_shipdate = n.nd
         """,
     }
