@@ -173,3 +173,49 @@ def test_map_blocks(spark):
 
     out = d.map_blocks(double)
     assert sorted(r["v"] for r in out.df.collect()) == [0.0, 2.0, 4.0, 6.0]
+
+
+def test_interpolate_na_max_gap(spark):
+    rows = [
+        {"t": 0.0, "v": 0.0}, {"t": 1.0, "v": None}, {"t": 2.0, "v": 2.0},
+        {"t": 3.0, "v": None}, {"t": 10.0, "v": 10.0},
+    ]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double"), dims=["t"])
+    got = {r["t"]: r["v"] for r in d.interpolate_na("t", max_gap=3.0).df.collect()}
+    assert got[1.0] == 1.0       # gap width 2 <= 3 -> filled
+    assert got[3.0] is None      # gap width 8 > 3 -> left null
+
+
+def test_from_dict_roundtrip(spark):
+    from xarray_spark.io import from_dict
+    d = XDataset(spark.createDataFrame([{"t": 0, "v": 1.5}]), dims=["t"])
+    back = from_dict(spark, d.to_dict())
+    assert back.dims == ("t",) and back.df.collect()[0]["v"] == 1.5
+
+
+def test_range_linspace_index(spark):
+    from xarray_spark.io import linspace_index, range_index
+    r = range_index(spark, "x", 0.0, 10.0, 2.5)
+    assert [row["x"] for row in r.orderBy("x").collect()] == [0.0, 2.5, 5.0, 7.5]
+    l = linspace_index(spark, "x", 0.0, 1.0, 5)
+    assert [row["x"] for row in l.orderBy("x").collect()] == [0.0, 0.25, 0.5, 0.75, 1.0]
+
+
+def test_apply_ufunc_multi_input(spark):
+    import pandas as pd
+    from xarray_spark import apply_ufunc
+    a = XDataset(spark.createDataFrame(
+        [{"g": g, "t": t, "u": float(t)} for g in range(2) for t in range(3)]),
+        dims=["g", "t"])
+    b = XDataset(spark.createDataFrame(
+        [{"g": g, "t": t, "w": 2.0} for g in range(2) for t in range(3)]),
+        dims=["g", "t"])
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["u"] = pdf["u"] * pdf["w"]
+        return pdf[["g", "t", "u", "w"]]
+
+    out = apply_ufunc(f, a, b, input_core_dims=[["t"]])
+    vals = sorted(r["u"] for r in out.df.collect())
+    assert vals == [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]

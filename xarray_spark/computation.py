@@ -403,10 +403,32 @@ def apply_ufunc(
     we group by the broadcast (non-core) dims and run the function per
     group via applyInPandas, each group holding the full core-dim axis.
 
-    ``func`` receives a pandas DataFrame (the group, long-form) and
-    returns a pandas DataFrame matching ``output_schema``.
+    ``func`` receives ONE pandas DataFrame (the group, long-form, with
+    every input's variables as columns) and returns a pandas DataFrame
+    matching ``output_schema``.  Multiple XDataset inputs are first
+    auto-aligned: inner equi-join on their shared dims (the deep_align
+    step of the reference harness), so the function sees all variables
+    side by side.
     """
     ds = args[0]
+    if len(args) > 1:
+        # align + merge variables of all inputs onto one frame
+        joined = ds.df
+        have = set(joined.columns)
+        for other in args[1:]:
+            shared = [d for d in other.dims if d in ds.dims]
+            if not shared:
+                raise ValueError(
+                    f"apply_ufunc inputs share no dims ({ds.dims} vs "
+                    f"{other.dims}); broadcast() them first"
+                )
+            o_df = other.df
+            add = [v for v in other.data_vars if v not in have]
+            o_df = o_df.select(*shared, *add)
+            joined = joined.join(o_df, on=shared, how="inner")
+            have |= set(add)
+        all_vars = [c for c in joined.columns if c not in ds.dims and c not in ds.coords]
+        ds = XDataset(joined, ds.dims, ds.coords, all_vars, ds.attrs)
     core = list(input_core_dims[0]) if input_core_dims else []
     broadcast_dims = [d for d in ds.dims if d not in core]
     schema = output_schema or ds.df.schema

@@ -121,3 +121,34 @@ def from_pandas(spark: SparkSession, pdf, dims: Sequence[str],
 def from_dataframe(df: DataFrame, dims: Sequence[str],
                    coords: Mapping[str, Sequence[str]] | None = None) -> XDataset:
     return XDataset(df, dims, coords)
+
+
+def from_dict(spark: SparkSession, d: Mapping) -> XDataset:
+    """Inverse of XDataset.to_dict (xarray/core/dataset.py:7678)."""
+    df = spark.createDataFrame(d["data"])
+    return XDataset(
+        df, d["dims"],
+        {k: tuple(v) for k, v in d.get("coords", {}).items()},
+        d.get("data_vars"), d.get("attrs"),
+    )
+
+
+def range_index(spark: SparkSession, dim: str, start: float, stop: float,
+                step: float = 1.0) -> DataFrame:
+    """Affine generated coordinate — the RangeIndex mapping
+    (xarray/indexes/range_index.py:144, arange :197): O(1) state
+    (start/stop/step), labels materialized lazily by ``spark.range`` +
+    a generated column; no stored coordinate data."""
+    n = max(0, int(-(-(stop - start) // step)))  # ceil
+    return spark.range(n).select(
+        (F.lit(float(start)) + F.col("id") * F.lit(float(step))).alias(dim)
+    )
+
+
+def linspace_index(spark: SparkSession, dim: str, start: float, stop: float,
+                   num: int = 50) -> DataFrame:
+    """(xarray/indexes/range_index.py:296 linspace)."""
+    step = (stop - start) / max(num - 1, 1)
+    return spark.range(num).select(
+        (F.lit(float(start)) + F.col("id") * F.lit(step)).alias(dim)
+    )

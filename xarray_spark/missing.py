@@ -111,6 +111,11 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
             else:  # nearest
                 interp = F.when((x - x0) <= (x1 - x), y0).otherwise(y1)
             can_fill = x0.isNotNull() & x1.isNotNull()
+            if max_gap is not None:
+                # xarray max_gap: leave gaps wider than max_gap (in
+                # coordinate units; seconds for time dims) unfilled
+                gap = float(max_gap.total_seconds()) if hasattr(max_gap, "total_seconds") else float(max_gap)
+                can_fill = can_fill & ((x1 - x0) <= gap)
             if limit is not None:
                 # xarray limit: fill at most `limit` consecutive nulls
                 # after the last valid value (pandas-style)
