@@ -84,6 +84,16 @@ class XDataset:
         self.coords: dict[str, tuple[str, ...]] = {
             k: tuple(v) for k, v in (coords or {}).items()
         }
+        # fail fast on catalog/DataFrame drift (the engine analogue of
+        # xarray's _assert_internal_invariants, testing/assertions.py:499)
+        cols = set(df.columns)
+        missing = [d for d in self.dims if d not in cols]
+        missing += [c for c in self.coords if c not in cols]
+        if missing:
+            raise ValueError(
+                f"dims/coords {missing} are not columns of the DataFrame "
+                f"(has {sorted(cols)})"
+            )
         if data_vars is None:
             reserved = set(self.dims) | set(self.coords)
             data_vars = [c for c in df.columns if c not in reserved]
