@@ -219,3 +219,41 @@ def test_apply_ufunc_multi_input(spark):
     out = apply_ufunc(f, a, b, input_core_dims=[["t"]])
     vals = sorted(r["u"] for r in out.df.collect())
     assert vals == [0.0, 0.0, 2.0, 2.0, 4.0, 4.0]
+
+
+def test_dataset_update(spark):
+    a = XDataset(spark.createDataFrame(
+        [{"t": 0, "v": 1.0}, {"t": 1, "v": 2.0}]), dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        [{"t": 1, "v": 99.0, "w": 5.0}]), dims=["t"])
+    out = a.update(b)
+    got = {r["t"]: (r["v"], r["w"]) for r in out.df.collect()}
+    assert got == {0: (1.0, None), 1: (99.0, 5.0)}
+
+
+def test_weighted_quantile(spark):
+    import numpy as np
+    rows = [{"t": i, "v": float(v), "w": float(w)}
+            for i, (v, w) in enumerate([(1, 1), (2, 1), (3, 1), (4, 1)])]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"], data_vars=["v"])
+    got = d.weighted("w").quantile(0.5).df.collect()[0]["v"]
+    # equal weights -> midpoint CDF interpolation: median of 1..4 = 2.5
+    assert got == 2.5
+    # heavy weight on 4 pulls the median up: CDF midpoints for w=[1,1,1,10]
+    # are p=[.5,1.5,2.5,8]/13 -> interp(0.5) = 3 + (.5-2.5/13)/(8/13-2.5/13)
+    rows2 = [{"t": i, "v": float(v), "w": float(w)}
+             for i, (v, w) in enumerate([(1, 1), (2, 1), (3, 1), (4, 10)])]
+    d2 = XDataset(spark.createDataFrame(rows2), dims=["t"], data_vars=["v"])
+    got2 = d2.weighted("w").quantile(0.5).df.collect()[0]["v"]
+    assert abs(got2 - (3 + (0.5 - 2.5 / 13) / (8 / 13 - 2.5 / 13))) < 1e-12
+
+
+def test_dt_decimal_year_isocalendar(spark):
+    import datetime as dt
+    from xarray_spark.dataset import XDataArray
+    df = spark.createDataFrame([{"i": 0, "ts": dt.datetime(2024, 7, 2)}])
+    da = XDataArray(df, ["i"], {}, ["ts"])
+    dy = da.dt.decimal_year.df.collect()[0]["ts"]
+    assert 2024.49 < dy < 2024.51
+    iso = da.dt.isocalendar().df.collect()[0]["ts"]
+    assert iso["year"] == 2024 and iso["week"] == 27 and iso["day"] == 2

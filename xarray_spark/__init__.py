@@ -22,6 +22,10 @@ from xarray_spark.io import (
     open_mfdataset,
     from_pandas,
     from_dataframe,
+    from_dict,
+    decode_cf,
+    range_index,
+    linspace_index,
 )
 from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
 from xarray_spark.alignment import align, broadcast, sel_points_nearest
@@ -59,6 +63,10 @@ __all__ = [
     "open_mfdataset",
     "from_pandas",
     "from_dataframe",
+    "from_dict",
+    "decode_cf",
+    "range_index",
+    "linspace_index",
     "concat",
     "merge",
     "combine_by_coords",

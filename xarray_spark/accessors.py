@@ -194,6 +194,24 @@ class DatetimeAccessor(_Accessor):
         leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
         return self._wrap(F.when(leap, 366).otherwise(365))
 
+    @property
+    def decimal_year(self):
+        """Year + elapsed fraction (xarray/core/accessor_dt.py:594)."""
+        y = F.year(self._c)
+        start = F.make_date(y, F.lit(1), F.lit(1)).cast("timestamp")
+        nxt = F.make_date(y + 1, F.lit(1), F.lit(1)).cast("timestamp")
+        frac = (F.unix_timestamp(self._c.cast("timestamp")) - F.unix_timestamp(start)) / \
+               (F.unix_timestamp(nxt) - F.unix_timestamp(start))
+        return self._wrap(y.cast("double") + frac)
+
+    def isocalendar(self):
+        """(year, week, day) struct (xarray/core/accessor_dt.py:389)."""
+        return self._wrap(F.struct(
+            F.year(self._c).alias("year"),
+            F.weekofyear(self._c).alias("week"),
+            (((F.dayofweek(self._c) + 5) % 7) + 1).alias("day"),
+        ))
+
     def strftime(self, fmt: str):
         # translate the common strftime directives to JVM SimpleDateFormat
         jvm = (fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")

@@ -388,6 +388,59 @@ class XWeighted:
         out = self.var(dim)
         return out.map(F.sqrt)
 
+    def quantile(self, q: float, dim=None) -> XDataset:
+        """Weighted quantile (xarray/computation/weighted.py:319,
+        _weighted_quantile; method='linear' on the weighted CDF).
+
+        Not a moment expression — needs the sorted weighted CDF — so
+        each group runs as one Arrow batch through applyInPandas; the
+        shuffle is the same complement-dims grouping every reduction
+        uses.
+        """
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        ds = self.ds
+        dims = ds._norm_dim_arg(dim)
+        keep = [d for d in ds.dims if d not in dims]
+        coords = ds._coords_on(keep)
+        keys = keep + list(coords)
+        varlist = list(ds.data_vars)
+        w_expr = self.w
+        df = ds.df.withColumn("__w", F.coalesce(w_expr.cast("double"), F.lit(0.0)))
+        fields = [df.schema[k] for k in keys] + [
+            T.StructField(v, T.DoubleType()) for v in varlist
+        ]
+        schema = T.StructType(fields)
+        qf = float(q)
+
+        def wq(vals: "np.ndarray", wts: "np.ndarray") -> float:
+            m = ~np.isnan(vals) & (wts > 0)
+            if not m.any():
+                return float("nan")
+            v, w = vals[m], wts[m]
+            order = np.argsort(v)
+            v, w = v[order], w[order]
+            cw = np.cumsum(w)
+            # weighted CDF midpoints (type-7-like linear interpolation)
+            p = (cw - 0.5 * w) / cw[-1]
+            return float(np.interp(qf, p, v))
+
+        def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {k: [pdf[k].iloc[0]] for k in keys}
+            for v in varlist:
+                out[v] = [wq(pdf[v].to_numpy(dtype=float), pdf["__w"].to_numpy(dtype=float))]
+            return pd.DataFrame(out)
+
+        if keys:
+            res = df.groupBy(*keys).applyInPandas(apply_fn, schema)
+        else:
+            res = df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+                lambda pdf: apply_fn(pdf.drop(columns="__g")), schema
+            )
+        return XDataset(res, keep, coords, varlist, ds.attrs)
+
 
 def apply_ufunc(
     func: Callable,

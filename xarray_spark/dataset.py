@@ -1337,6 +1337,31 @@ class XDataset:
         from xarray_spark.combine import merge
         return merge([self, other], compat=compat, join=join)
 
+    def update(self, other: "XDataset") -> "XDataset":
+        """Merge-override: other's values win where present
+        (xarray/core/dataset.py:5700)."""
+        shared = [d for d in self.dims if d in other.dims]
+        o_df = other.df
+        renames = {v: f"__u_{v}" for v in other.data_vars}
+        for old, new in renames.items():
+            o_df = o_df.withColumnRenamed(old, new)
+        joined = self.df.join(
+            o_df.select(*shared, *renames.values()), on=shared, how="left"
+        )
+        exprs = []
+        for c in self.df.columns:
+            if c in self.data_vars and c in other.data_vars:
+                exprs.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
+            else:
+                exprs.append(F.col(c))
+        new_vars = [v for v in other.data_vars if v not in self.data_vars]
+        for v in new_vars:
+            exprs.append(F.col(f"__u_{v}").alias(v))
+        return self._replace(
+            df=joined.select(*exprs),
+            data_vars=list(self.data_vars) + new_vars,
+        )
+
     def integrate(self, coord: str) -> "XDataset":
         from xarray_spark.computation import integrate
         return integrate(self, coord)
