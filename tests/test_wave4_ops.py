@@ -257,3 +257,25 @@ def test_dt_decimal_year_isocalendar(spark):
     assert 2024.49 < dy < 2024.51
     iso = da.dt.isocalendar().df.collect()[0]["ts"]
     assert iso["year"] == 2024 and iso["week"] == 27 and iso["day"] == 2
+
+
+def test_var_attrs_and_filter(spark):
+    d = XDataset(spark.createDataFrame(
+        [{"t": 0, "temp": 1.0, "rain": 2.0}]), dims=["t"])
+    d = d.assign_var_attrs("temp", units="K", standard_name="air_temperature")
+    d = d.assign_var_attrs("rain", units="mm")
+    out = d.filter_by_attrs(units="K")
+    assert out.data_vars == ("temp",)
+    out2 = d.filter_by_attrs(units=lambda u: u in ("K", "mm"))
+    assert set(out2.data_vars) == {"temp", "rain"}
+    assert d.drop_attrs().attrs == {}
+
+
+def test_groupby_groups_iter(spark):
+    rows = [{"t": t, "g": t % 2, "v": float(t)} for t in range(4)]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"], coords={"g": ("t",)})
+    gb = d.groupby("g")
+    groups = gb.groups
+    assert set(groups) == {0, 1}
+    assert sorted(r["v"] for r in groups[0].df.collect()) == [0.0, 2.0]
+    assert len(list(iter(gb))) == 2

@@ -538,6 +538,36 @@ class XDataset:
     def assign_attrs(self, **kwargs) -> "XDataset":
         return self._replace(attrs={**self.attrs, **kwargs})
 
+    def assign_var_attrs(self, var: str, **kwargs) -> "XDataset":
+        """Per-variable attrs (xarray Variable.attrs,
+        core/variable.py:370) — catalog-side, keyed under
+        ``attrs['__var__'][var]``."""
+        va = dict(self.attrs.get("__var__", {}))
+        va[var] = {**va.get(var, {}), **kwargs}
+        return self._replace(attrs={**self.attrs, "__var__": va})
+
+    def var_attrs(self, var: str) -> dict:
+        return dict(self.attrs.get("__var__", {}).get(var, {}))
+
+    def filter_by_attrs(self, **criteria) -> "XDataset":
+        """Keep data vars whose attrs match every criterion
+        (xarray/core/dataset.py:8761); values may be callables."""
+        keep = []
+        for v in self.data_vars:
+            va = self.var_attrs(v)
+            ok = True
+            for k, want in criteria.items():
+                have = va.get(k)
+                ok &= want(have) if callable(want) else have == want
+            if ok:
+                keep.append(v)
+        drop = [v for v in self.data_vars if v not in keep]
+        return self.drop_vars(drop) if drop else self
+
+    def drop_attrs(self) -> "XDataset":
+        """Strip all metadata (xarray/core/dataset.py:10632)."""
+        return self._replace(attrs={})
+
     def pipe(self, func: Callable, *args, **kwargs):
         return func(self, *args, **kwargs)
 

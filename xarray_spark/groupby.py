@@ -291,3 +291,35 @@ def salted_agg(ds: XDataset, keys: list[str], aggs: Mapping[str, tuple],
         final = final.withColumn(name, expr)
     final = final.drop(*[c for c in final.columns if c.startswith("__")])
     return XDataset(final, keys, {}, list(aggs), ds.attrs)
+
+
+def _groups_impl(gb: "XGroupBy") -> dict:
+    """Materialized group-key → XDataset mapping
+    (xarray/core/groupby.py:823 groups / :848 __iter__).
+
+    Driver-side by design — iteration over groups is an inherently
+    driver-paced API; each yielded dataset is still a lazy filtered
+    plan, not collected data."""
+    prepped = gb._prepared()
+    key_cols = [f"__key_{n}" for n in gb._key_names]
+    keys = prepped.df.select(*key_cols).distinct().collect()
+    out = {}
+    for row in keys:
+        vals = tuple(row[c] for c in key_cols)
+        cond = None
+        for c, v in zip(key_cols, vals):
+            e = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            cond = e if cond is None else (cond & e)
+        sub = prepped.df.where(cond).drop(*key_cols)
+        key = vals[0] if len(vals) == 1 else vals
+        out[key] = gb.ds._replace(df=sub)
+    return out
+
+
+def _patch_groupby_iteration():
+    XGroupBy.groups = property(lambda self: _groups_impl(self))
+    XGroupBy.__iter__ = lambda self: iter(_groups_impl(self).items())
+    XGroupBy.__len__ = lambda self: len(_groups_impl(self))
+
+
+_patch_groupby_iteration()
