@@ -780,6 +780,28 @@ def q62_interp_targets(spark, sf_dir):
     return out.to_spark().select("l_shipdate", _r6(F.col("rev")).alias("rev"))
 
 
+def q63_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k (extras.similarity.lsh_topk_multiprobe) —
+    rows-only (approximate)."""
+    from xarray_spark.extras.similarity import lsh_topk_multiprobe
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return lsh_topk_multiprobe(emb, queries, k=3, n_planes=4, n_probes=1)
+
+
+def q64_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k with a KMeans coarse quantizer
+    (extras.similarity.ivf_topk) — rows-only (approximate)."""
+    from xarray_spark.extras.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=3, n_cells=8, n_probe=2)
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -853,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_salted_agg": q60_salted_agg,
         "q61_nearest_points": q61_nearest_points,
         "q62_interp_targets": q62_interp_targets,
+        "q63_lsh_multiprobe": q63_lsh_multiprobe,
+        "q64_ivf_topk": q64_ivf_topk,
     }
 
 

@@ -1,0 +1,95 @@
+"""Bucketed tables, multi-probe LSH, IVF, session windows."""
+
+import datetime as dt
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xarray_spark import XDataset
+
+
+def test_bucketed_table_join_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows_a = [{"k": i, "v": float(i)} for i in range(1000)]
+        rows_b = [{"k": i, "w": float(2 * i)} for i in range(1000)]
+        a = XDataset(spark.createDataFrame(rows_a), dims=["k"])
+        b = XDataset(spark.createDataFrame(rows_b), dims=["k"])
+        na, nb = f"ba_{uuid.uuid4().hex[:8]}", f"bb_{uuid.uuid4().hex[:8]}"
+        a.to_table(na, bucket_by=["k"], n_buckets=8)
+        b.to_table(nb, bucket_by=["k"], n_buckets=8)
+        ta, tb = spark.table(na), spark.table(nb)
+        joined = ta.join(tb, on="k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import math
+    rows = []
+    for i in range(200):
+        vec = [math.sin(0.1 * (i + 1) * (j + 1)) for j in range(16)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_multiprobe_recall_at_least_single_probe(emb):
+    from xarray_spark.extras.similarity import cosine_topk, lsh_topk, lsh_topk_multiprobe
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding"))
+    exact = {(r["qid"], r["nid"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    single = {(r["qid"], r["nid"]) for r in
+              lsh_topk(emb, queries, k=5, n_planes=6, dim=16).collect()}
+    multi = {(r["qid"], r["nid"]) for r in
+             lsh_topk_multiprobe(emb, queries, k=5, n_planes=6, dim=16, n_probes=1).collect()}
+    assert len(multi & exact) >= len(single & exact)
+
+
+def test_ivf_topk(emb):
+    from xarray_spark.extras.similarity import cosine_topk, ivf_topk
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding"))
+    exact = {(r["qid"], r["nid"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = ivf_topk(emb, queries, k=5, n_cells=4, n_probe=2).collect()
+    got = {(r["qid"], r["nid"]) for r in approx}
+    # probing half the cells should recover a decent share of true top-5
+    assert len(got & exact) >= 5
+    # ranks are dense 1..k per query
+    ranks = sorted(r["rank"] for r in approx if r["qid"] == 0)
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_stream_sessionize(spark, tmp_path):
+    from xarray_spark.streaming import open_stream, stream_sessionize
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0), "u", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 1), "u", 2.0),
+        (dt.datetime(2024, 1, 1, 0, 2), "u", 3.0),
+        # > 5 min gap -> new session
+        (dt.datetime(2024, 1, 1, 0, 30), "u", 4.0),
+    ]
+    path = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+    src = open_stream(spark, path, schema)
+    out = stream_sessionize(src, "ts", "5 minutes",
+                            {"n": F.count(F.lit(1)), "total": F.sum("v")},
+                            keys=["user"])
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["ts"].minute: (r["n"], r["total"], r["session_seconds"])
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got[0] == (3, 6.0, 7 * 60)   # 0,1,2 min events + 5 min gap tail
+    assert got[30] == (1, 4.0, 5 * 60)

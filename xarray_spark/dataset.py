@@ -1571,6 +1571,24 @@ class XDataset:
         except OSError:
             pass
 
+    def to_table(self, name: str, bucket_by: Sequence[str] | None = None,
+                 n_buckets: int = 32, sort_by: Sequence[str] | None = None,
+                 mode: str = "overwrite") -> None:
+        """Save as a bucketed table — co-located joins on dim keys
+        (SCALE.md: bucketing removes the shuffle from every subsequent
+        equi-join/groupBy on the bucket keys; the long-form analogue of
+        zarr's chunk-aligned layout for join workloads).
+
+        Re-open with ``spark.table(name)``; Catalyst reads the bucket
+        spec from the catalog and plans shuffle-free sort-merge joins
+        between tables bucketed the same way.
+        """
+        w = self.df.write.mode(mode).format("parquet")
+        if bucket_by:
+            w = w.bucketBy(n_buckets, *bucket_by)
+            w = w.sortBy(*(sort_by or bucket_by))
+        w.saveAsTable(name)
+
     def chunk(self, n_partitions: int | None = None, by: Sequence[str] | None = None) -> "XDataset":
         """Repartition (xarray .chunk analogue, xarray/core/dataset.py:2565)."""
         if by:

@@ -26,7 +26,9 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    den = _norm(a) * _norm(b)
+    # zero-norm guard: ANSI mode (Spark 4 default) raises on div-by-zero
+    return F.when(den != 0, _dot(a, b) / den)
 
 
 def cosine_topk(
@@ -148,6 +150,118 @@ def _cosine_batch_udf():
         return pd.Series(out)
 
     return cos
+
+
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    n_planes: int = 8,
+    dim: int = 64,
+    n_probes: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query also probes the buckets that
+    differ from its signature by one bit (the classic multi-probe LSH
+    recall boost — candidates from ``1 + n_probes·n_planes`` buckets per
+    query instead of 1, at the same plane count).
+
+    The probe expansion happens on the (small) query side only; the
+    corpus keeps exactly one bucket per vector, so corpus storage and
+    shuffle are unchanged.
+    """
+    planes = _deterministic_planes(n_planes, dim)
+    cos = _cosine_batch_udf()
+    sig_c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__bucket", hyperplane_signature(F.col("__cv"), planes))
+    sig_q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__sig", hyperplane_signature(F.col("__qv"), planes))
+    probes = [F.col("__sig")]
+    if n_probes >= 1:
+        probes += [F.col("__sig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
+    sig_q = sig_q.withColumn("__bucket", F.explode(F.array(*probes)))
+    cand = sig_c.join(F.broadcast(sig_q), on="__bucket", how="inner").where(
+        F.col("nid") != F.col(query_id_col)
+    ).dropDuplicates([query_id_col, "nid"])
+    scored = cand.select(
+        query_id_col, "nid", cos(F.col("__qv"), F.col("__cv")).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "nid", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
+    probe the ``n_probe`` nearest cells per query, exact re-rank inside.
+
+    The 100 TB shape: corpus partitioned by cell id (one assignment
+    pass), each query touches n_probe/n_cells of the data.  Uses Spark
+    ML's distributed KMeans for the codebook; centroids are
+    driver-small by construction.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    cos = _cosine_batch_udf()
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__vec", array_to_vector("__cv"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell")
+    model = km.fit(c)
+    assigned = model.transform(c).select("nid", "__cv", "__cell")
+    centroids = [list(v) for v in model.clusterCenters()]
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    # nearest n_probe centroids per query — centroid list is tiny, so
+    # the ranking is a literal-expression sort, no join
+    def l2(center):
+        arr = F.array(*[F.lit(float(x)) for x in center])
+        diff = F.zip_with(F.col("__qv"), arr, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+    dists = F.array(*[
+        F.struct(l2(center).alias("d"), F.lit(i).alias("cell"))
+        for i, center in enumerate(centroids)
+    ])
+    probed = q.withColumn(
+        "__cell", F.explode(F.slice(F.array_sort(dists), 1, n_probe).getField("cell"))
+    )
+    cand = assigned.join(F.broadcast(probed), on="__cell", how="inner").where(
+        F.col("nid") != F.col(query_id_col)
+    )
+    scored = cand.select(
+        query_id_col, "nid", cos(F.col("__qv"), F.col("__cv")).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "nid", "cos", "rank")
+    )
 
 
 def embedding_near_dups(

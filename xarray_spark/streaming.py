@@ -141,3 +141,28 @@ def to_stream_sink(df: DataFrame, path: str, checkpoint: str,
         .option("checkpointLocation", checkpoint)
         .outputMode(mode)
     )
+
+
+def stream_sessionize(
+    df: DataFrame,
+    time_col: str,
+    gap: str,
+    aggs: Mapping[str, F.Column],
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows: events separated by less than ``gap`` merge into
+    one session (F.session_window — dynamic, data-driven windows; no
+    reference counterpart, xarray is batch-only).  Output label is the
+    session start; session length is emitted as ``session_seconds``."""
+    wm = df.withWatermark(time_col, watermark)
+    win = F.session_window(F.col(time_col), gap)
+    grouped = wm.groupBy(*(keys or []), win)
+    out = grouped.agg(*[e.alias(n) for n, e in aggs.items()])
+    return out.select(
+        *(keys or []),
+        F.col("session_window.start").alias(time_col),
+        (F.unix_timestamp("session_window.end")
+         - F.unix_timestamp("session_window.start")).alias("session_seconds"),
+        *aggs.keys(),
+    )
