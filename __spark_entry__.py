@@ -780,6 +780,20 @@ def q62_interp_targets(spark, sf_dir):
     return out.to_spark().select("l_shipdate", _r6(F.col("rev")).alias("rev"))
 
 
+def q65_multi_grouper(spark, sf_dir):
+    """Multiple groupers in one groupby — UniqueGrouper + BinGrouper
+    composed (xarray multi-grouper groupby, core/groupby.py:513
+    ComposedGrouper)."""
+    from xarray_spark.groupers import UniqueGrouper
+    li = _lineitem(spark, sf_dir)
+    g = li.groupby({
+        "l_returnflag": UniqueGrouper(),
+        "l_quantity": BinGrouper(bins=[0, 25, 50], labels=["lo", "hi"]),
+    })
+    out = g.agg(n=F.count(F.lit(1)), base=_r3(F.sum("l_extendedprice")))
+    return out.to_spark().withColumnRenamed("l_quantity_bins", "qbin")
+
+
 def q63_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH top-k (extras.similarity.lsh_topk_multiprobe) —
     rows-only (approximate)."""
@@ -877,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_interp_targets": q62_interp_targets,
         "q63_lsh_multiprobe": q63_lsh_multiprobe,
         "q64_ivf_topk": q64_ivf_topk,
+        "q65_multi_grouper": q65_multi_grouper,
     }
 
 
@@ -1396,6 +1411,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(i AS BIGINT) AS points, s_suppkey,
                    ROUND(s_acctbal + 1e-6, 3) AS bal
             FROM scored WHERE rn = 1
+        """,
+        "q65_multi_grouper": """
+            SELECT l_returnflag,
+                   CASE WHEN l_quantity > 0 AND l_quantity <= 25 THEN 'lo'
+                        WHEN l_quantity > 25 AND l_quantity <= 50 THEN 'hi' END AS qbin,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_extendedprice) + 1e-6, 3) AS base
+            FROM lineitem GROUP BY 1, 2
         """,
         "q62_interp_targets": f"""
             WITH daily AS ({_DAILY_SQL}),

@@ -52,3 +52,22 @@ def test_segmented_parallelism(series):
     n_parts = seg.df.select("__seg").distinct().count() if "__seg" in seg.df.columns else None
     # __seg is dropped from output; just assert correctness of row count
     assert seg.df.count() == 500
+
+
+def test_ffill_segmented_matches_global(spark):
+    from xarray_spark.segmented import ffill_segmented
+    rows = [{"t": i, "v": float(i) if i % 7 == 0 else None} for i in range(300)]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    global_ = d.ffill("t").df.orderBy("t").collect()
+    seg = ffill_segmented(d, "t", n_segments=10)
+    assert [r["v"] for r in seg.df.orderBy("t").collect()] == [r["v"] for r in global_]
+
+
+def test_ffill_segmented_all_null_segment(spark):
+    from xarray_spark.segmented import ffill_segmented
+    # only one valid value at the head; every later segment must carry it
+    rows = [{"t": i, "v": 42.0 if i == 0 else None} for i in range(200)]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    seg = ffill_segmented(d, "t", n_segments=8)
+    vals = {r["v"] for r in seg.df.collect()}
+    assert vals == {42.0}

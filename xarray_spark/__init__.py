@@ -31,7 +31,7 @@ from xarray_spark.combine import concat, merge, combine_by_coords, combine_neste
 from xarray_spark.alignment import align, broadcast, sel_points_nearest
 from xarray_spark.computation import convert_calendar, date_range_like, infer_freq
 from xarray_spark.groupby import salted_agg
-from xarray_spark.segmented import cumsum_segmented, rolling_segmented
+from xarray_spark.segmented import cumsum_segmented, ffill_segmented, rolling_segmented
 from xarray_spark.computation import (
     apply_ufunc,
     cov,
@@ -78,6 +78,7 @@ __all__ = [
     "salted_agg",
     "rolling_segmented",
     "cumsum_segmented",
+    "ffill_segmented",
     "convert_calendar",
     "date_range_like",
     "infer_freq",

@@ -122,3 +122,38 @@ def cumsum_segmented(ds: XDataset, dim: str, n_segments: int = 64) -> XDataset:
         else:
             exprs.append(F.col(c))
     return ds._replace(df=joined.select(*exprs))
+
+
+def ffill_segmented(ds: XDataset, dim: str, n_segments: int = 64) -> XDataset:
+    """Forward-fill over a global series, segment-parallel.
+
+    Per-segment local fill, then each segment's rows before its first
+    valid value take the last valid value of any PRECEDING segment —
+    computed on the (tiny) per-segment last-valid table with a prefix
+    window, broadcast back.  Two narrow passes instead of one global
+    scan; same two-phase shape as cumsum_segmented.
+    """
+    raw, _x = _with_segments(ds, dim, n_segments)
+    w_local = Window.partitionBy("__seg").orderBy(dim).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # per-segment last valid value per var (tiny table)
+    lasts = raw.groupBy("__seg").agg(
+        *[F.max_by(v, F.when(F.col(v).isNotNull(), F.col(dim))).alias(f"__last_{v}")
+          for v in ds.data_vars]
+    )
+    w_pref = Window.orderBy("__seg").rowsBetween(Window.unboundedPreceding, -1)
+    carry = lasts.select(
+        "__seg",
+        *[F.last(f"__last_{v}", ignorenulls=True).over(w_pref).alias(f"__carry_{v}")
+          for v in ds.data_vars],
+    )
+    joined = raw.join(F.broadcast(carry), on="__seg", how="left")
+    exprs = []
+    for c in ds.df.columns:
+        if c in ds.data_vars:
+            local = F.last(c, ignorenulls=True).over(w_local)
+            exprs.append(F.coalesce(local, F.col(f"__carry_{c}")).alias(c))
+        else:
+            exprs.append(F.col(c))
+    return ds._replace(df=joined.select(*exprs))
