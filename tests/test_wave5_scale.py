@@ -93,3 +93,42 @@ def test_stream_sessionize(spark, tmp_path):
            for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got[0] == (3, 6.0, 7 * 60)   # 0,1,2 min events + 5 min gap tail
     assert got[30] == (1, 4.0, 5 * 60)
+
+
+def test_argmax_multi_dim(spark):
+    rows = [{"g": g, "x": x, "y": y, "v": float(g * 100 + x * 10 + y)}
+            for g in range(2) for x in range(3) for y in range(3)]
+    d = XDataset(spark.createDataFrame(rows), dims=["g", "x", "y"])
+    out = d.idxmax(["x", "y"])
+    got = {r["g"]: (r["v"]["x"], r["v"]["y"]) for r in out.df.collect()}
+    assert got == {0: (2, 2), 1: (2, 2)}
+    out2 = d.idxmin(["x", "y"])
+    got2 = {r["g"]: (r["v"]["x"], r["v"]["y"]) for r in out2.df.collect()}
+    assert got2 == {0: (0, 0), 1: (0, 0)}
+
+
+def test_sidecar_restores_catalog(spark, tmp_path):
+    from xarray_spark import open_dataset
+    d = XDataset(
+        spark.createDataFrame([{"t": 0, "c": 1, "v": 2.0}]),
+        dims=["t"], coords={"c": ("t",)}, attrs={"title": "demo"},
+    )
+    p = str(tmp_path / "cat")
+    d.to_parquet(p)
+    back = open_dataset(spark, p)
+    assert back.dims == ("t",) and back.coords == {"c": ("t",)}
+    assert back.data_vars == ("v",) and back.attrs["title"] == "demo"
+
+
+def test_groupby_assign_and_where(spark):
+    from pyspark.sql import functions as F
+    rows = [{"t": t, "g": t % 2, "v": float(t)} for t in range(6)]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"], coords={"g": ("t",)})
+    gb = d.groupby("g")
+    out = gb.assign(gmean=F.avg("v"))
+    got = {r["t"]: r["gmean"] for r in out.df.collect()}
+    assert got[0] == 2.0 and got[1] == 3.0  # means of {0,2,4} and {1,3,5}
+    cond = gb.agg(ok=F.avg("v") > 2.5)
+    masked = d.groupby("g").where(cond)
+    vals = {r["t"]: r["v"] for r in masked.df.collect()}
+    assert vals[1] == 1.0 and vals[0] is None  # group 0 mean 2.0 -> masked

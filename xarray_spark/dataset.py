@@ -958,10 +958,16 @@ class XDataset:
 
     def _arg_reduce(self, dim, is_min: bool, use_pos: bool) -> "XDataset":
         """min_by/max_by of the dim label (idx*) or its position (arg*)
-        (xarray/core/dataset.py:9251,9447)."""
+        (xarray/core/dataset.py:9251,9447).  Multiple dims → the label
+        tuple of the extremum as a struct (the long-form rendering of
+        xarray's dict-of-arrays return, core/variable.py:2491)."""
         dims = self._norm_dim_arg(dim)
-        if len(dims) != 1:
-            raise NotImplementedError("argmin/argmax over one dim")
+        if len(dims) > 1:
+            if use_pos:
+                raise NotImplementedError("multi-dim argmin/argmax — use idxmin/idxmax (labels)")
+            fn = F.min_by if is_min else F.max_by
+            key = F.struct(*[F.col(d).alias(d) for d in dims])
+            return self._reduce(dims, lambda v: fn(key, F.col(v)))
         d = dims[0]
         ds = self
         key_col = d

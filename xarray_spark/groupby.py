@@ -323,3 +323,62 @@ def _patch_groupby_iteration():
 
 
 _patch_groupby_iteration()
+
+
+def _patch_groupby_transforms():
+    """Per-group where/assign (xarray/core/groupby.py:1438 where,
+    :1940 assign): broadcast-join a per-group aggregate back on the key,
+    then a columnar expression — no second shuffle of the fact table."""
+
+    def where(self, cond_agg: "XDataset", other=None) -> XDataset:
+        """Mask rows of groups failing a per-group condition.  cond_agg
+        is a single-boolean-var aggregate over the same group keys."""
+        prepped = self._prepared()
+        cname = cond_agg.data_vars[0]
+        a_df = cond_agg.df.withColumnRenamed(cname, "__gcond")
+        on = [
+            prepped.df[f"__key_{n}"] == a_df[n]
+            for n in self._key_names if n in a_df.columns
+        ]
+        if not on:
+            raise ValueError(
+                f"cond aggregate has none of the group keys {self._key_names}"
+            )
+        joined = prepped.df.join(F.broadcast(a_df), on, "left")
+        exprs = []
+        for c in self.ds.df.columns:
+            if c in self.ds.data_vars:
+                repl = F.lit(None) if other is None else F.lit(other)
+                exprs.append(
+                    F.when(F.coalesce(F.col("__gcond"), F.lit(False)), prepped.df[c])
+                    .otherwise(repl).alias(c)
+                )
+            else:
+                exprs.append(prepped.df[c])
+        return self.ds._replace(df=joined.select(*exprs))
+
+    def assign(self, **agg_exprs: Column) -> XDataset:
+        """Attach per-group aggregate values as new columns on every row
+        of the group (the transform/broadcast-back pattern)."""
+        agg_ds = self.agg(**agg_exprs)
+        prepped = self._prepared()
+        a_df = agg_ds.df
+        for n in agg_exprs:
+            a_df = a_df.withColumnRenamed(n, f"__ga_{n}")
+        on = [
+            prepped.df[f"__key_{k}"] == a_df[k]
+            for k in self._key_names if k in a_df.columns
+        ]
+        joined = prepped.df.join(F.broadcast(a_df), on, "left")
+        exprs = [prepped.df[c] for c in self.ds.df.columns]
+        exprs += [F.col(f"__ga_{n}").alias(n) for n in agg_exprs]
+        return self.ds._replace(
+            df=joined.select(*exprs),
+            data_vars=list(self.ds.data_vars) + list(agg_exprs),
+        )
+
+    XGroupBy.where = where
+    XGroupBy.assign = assign
+
+
+_patch_groupby_transforms()

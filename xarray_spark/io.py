@@ -36,16 +36,20 @@ def open_dataset(
     """
     df = spark.read.parquet(path)
     meta_path = os.path.join(path, "_xschema.json")
+    data_vars = None
+    attrs = None
     if dims is None and os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         dims = meta["dims"]
         coords = {k: tuple(v) for k, v in meta.get("coords", {}).items()}
+        data_vars = meta.get("data_vars")
+        attrs = meta.get("attrs")
     if dims is None:
         raise ValueError("dims required (no _xschema.json sidecar found)")
     if decoders:
         df = decode_cf(df, decoders)
-    return XDataset(df, dims, coords)
+    return XDataset(df, dims, coords, data_vars, attrs)
 
 
 # CF unit name → seconds (xarray/coding/times.py _STANDARD_CALENDAR units)
