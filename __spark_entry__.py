@@ -794,6 +794,16 @@ def q65_multi_grouper(spark, sf_dir):
     return out.to_spark().withColumnRenamed("l_quantity_bins", "qbin")
 
 
+def q66_season_resampler(spark, sf_dir):
+    """SeasonResampler: cross-year seasons, December shifts to the
+    following year's DJF (xarray groupers.py:874)."""
+    from xarray_spark.groupers import SeasonResampler
+    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    g = li.groupby(l_shipdate=SeasonResampler())
+    out = g.agg(revenue=_r3(F.sum("rev")), n=F.count(F.lit(1)))
+    return out.to_spark().withColumnRenamed("l_shipdate", "season_year")
+
+
 def q63_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH top-k (extras.similarity.lsh_topk_multiprobe) —
     rows-only (approximate)."""
@@ -892,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_lsh_multiprobe": q63_lsh_multiprobe,
         "q64_ivf_topk": q64_ivf_topk,
         "q65_multi_grouper": q65_multi_grouper,
+        "q66_season_resampler": q66_season_resampler,
     }
 
 
@@ -1411,6 +1422,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(i AS BIGINT) AS points, s_suppkey,
                    ROUND(s_acctbal + 1e-6, 3) AS bal
             FROM scored WHERE rn = 1
+        """,
+        "q66_season_resampler": """
+            SELECT CAST(year(l_shipdate)
+                     + CASE WHEN month(l_shipdate) = 12 THEN 1 ELSE 0 END AS VARCHAR)
+                   || '-' ||
+                   CASE
+                     WHEN month(l_shipdate) IN (12, 1, 2) THEN 'DJF'
+                     WHEN month(l_shipdate) IN (3, 4, 5) THEN 'MAM'
+                     WHEN month(l_shipdate) IN (6, 7, 8) THEN 'JJA'
+                     ELSE 'SON'
+                   END AS season_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1
         """,
         "q65_multi_grouper": """
             SELECT l_returnflag,

@@ -132,3 +132,44 @@ def test_groupby_assign_and_where(spark):
     masked = d.groupby("g").where(cond)
     vals = {r["t"]: r["v"] for r in masked.df.collect()}
     assert vals[1] == 1.0 and vals[0] is None  # group 0 mean 2.0 -> masked
+
+
+def test_season_resampler_cross_year(spark):
+    import datetime as dt
+    from xarray_spark.groupers import SeasonResampler
+    rows = [
+        {"t": dt.datetime(2000, 12, 15), "v": 1.0},
+        {"t": dt.datetime(2001, 1, 15), "v": 2.0},
+        {"t": dt.datetime(2001, 6, 15), "v": 4.0},
+    ]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"])
+    out = d.groupby(t=SeasonResampler()).sum()
+    got = {r["t"]: r["v"] for r in out.df.collect()}
+    # Dec 2000 shifts into 2001-DJF with Jan 2001
+    assert got["2001-DJF"] == 3.0 and got["2001-JJA"] == 4.0
+
+
+def test_register_accessor(spark):
+    from xarray_spark.dataset import register_dataset_accessor
+
+    @register_dataset_accessor("stats")
+    class StatsAccessor:
+        def __init__(self, ds):
+            self._ds = ds
+
+        def nvars(self):
+            return len(self._ds.data_vars)
+
+    d = XDataset(spark.createDataFrame([{"t": 0, "a": 1.0, "b": 2.0}]), dims=["t"])
+    assert d.stats.nvars() == 2
+
+
+def test_open_dataarray_load_dataset(spark, tmp_path):
+    from xarray_spark.io import load_dataset, open_dataarray
+    d = XDataset(spark.createDataFrame([{"t": 0, "v": 1.0}]), dims=["t"])
+    p = str(tmp_path / "single")
+    d.to_parquet(p)
+    da = open_dataarray(spark, p)
+    assert da.name == "v"
+    eager = load_dataset(spark, p)
+    assert eager.df.count() == 1

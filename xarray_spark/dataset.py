@@ -1638,3 +1638,32 @@ class XDataArray(XDataset):
             self.df.withColumnRenamed(self.name, new),
             self.dims, self.coords, [new], self.attrs,
         )
+
+
+# ---------------------------------------------------------------------- #
+# accessor registration (xarray/core/extensions.py register_*_accessor)
+# ---------------------------------------------------------------------- #
+
+def register_dataset_accessor(name: str):
+    """Attach a cached custom namespace to XDataset
+    (xarray/core/extensions.py): the decorated class is constructed with
+    the dataset on first access.
+
+    >>> @register_dataset_accessor("geo")
+    ... class GeoAccessor:
+    ...     def __init__(self, ds): self._ds = ds
+    ...     def center(self): ...
+    """
+    def wrap(cls):
+        prop = property(lambda self: cls(self))
+        setattr(XDataset, name, prop)
+        return cls
+    return wrap
+
+
+def register_dataarray_accessor(name: str):
+    def wrap(cls):
+        prop = property(lambda self: cls(self))
+        setattr(XDataArray, name, prop)
+        return cls
+    return wrap

@@ -134,3 +134,17 @@ class SeasonGrouper(Grouper):
             cond = m == F.lit(month)
             chain = F.when(cond, F.lit(season)) if chain is None else chain.when(cond, F.lit(season))
         return chain
+
+
+@dataclass
+class SeasonResampler(Grouper):
+    """Season-resampling with the cross-year convention
+    (xarray/groupers.py:874): December belongs to the FOLLOWING year's
+    DJF, so the key is 'YYYY-DJF' with Dec year-shifted by +1."""
+
+    seasons: Sequence[str] = ("DJF", "MAM", "JJA", "SON")
+
+    def key_expr(self, col: Column) -> Column:
+        season = SeasonGrouper().key_expr(col)
+        y = F.year(col) + F.when(F.month(col) == 12, F.lit(1)).otherwise(F.lit(0))
+        return F.concat_ws("-", y.cast("string"), season)

@@ -156,3 +156,22 @@ def linspace_index(spark: SparkSession, dim: str, start: float, stop: float,
     return spark.range(num).select(
         (F.lit(float(start)) + F.col("id") * F.lit(step)).alias(dim)
     )
+
+
+def open_dataarray(spark: SparkSession, path: str, **kw):
+    """Single-variable open (xarray/backends/api.py:637)."""
+    from xarray_spark.dataset import XDataArray
+    ds = open_dataset(spark, path, **kw)
+    if len(ds.data_vars) != 1:
+        raise ValueError(
+            f"open_dataarray expects exactly one data variable, found {ds.data_vars}"
+        )
+    return XDataArray(ds.df, ds.dims, ds.coords, ds.data_vars, ds.attrs)
+
+
+def load_dataset(spark: SparkSession, path: str, **kw) -> XDataset:
+    """Eager variant (xarray/backends/api.py:145): cache + materialize."""
+    ds = open_dataset(spark, path, **kw)
+    out = ds.persist()
+    out.df.count()
+    return out
