@@ -173,3 +173,19 @@ def test_open_dataarray_load_dataset(spark, tmp_path):
     assert da.name == "v"
     eager = load_dataset(spark, p)
     assert eager.df.count() == 1
+
+
+def test_salted_join_matches_plain(spark):
+    from xarray_spark.alignment import salted_join
+    # skewed: 90% of big rows share one key
+    big = spark.createDataFrame(
+        [{"k": 0 if i % 10 else i, "v": float(i)} for i in range(1000)]
+    )
+    small = spark.createDataFrame([{"k": k, "w": float(k * 10)} for k in range(100)])
+    plain = big.join(small, on="k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).collect()[0]
+    salted = salted_join(big, small, ["k"], salt=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])

@@ -28,7 +28,7 @@ from xarray_spark.io import (
     linspace_index,
 )
 from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
-from xarray_spark.alignment import align, broadcast, sel_points_nearest
+from xarray_spark.alignment import align, broadcast, salted_join, sel_points_nearest
 from xarray_spark.computation import convert_calendar, date_range_like, infer_freq
 from xarray_spark.groupby import salted_agg
 from xarray_spark.segmented import cumsum_segmented, ffill_segmented, rolling_segmented
@@ -76,6 +76,7 @@ __all__ = [
     "broadcast",
     "sel_points_nearest",
     "salted_agg",
+    "salted_join",
     "rolling_segmented",
     "cumsum_segmented",
     "ffill_segmented",

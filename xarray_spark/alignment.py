@@ -221,3 +221,24 @@ def broadcast_like(ds: XDataset, other: XDataset) -> XDataset:
             df = df.crossJoin(F.broadcast(labels))
             dims.append(d)
     return XDataset(df, dims, ds.coords, ds.data_vars, ds.attrs)
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: Sequence[str],
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join with key salting for chronically skewed join keys.
+
+    The big side gets a random salt per row; the small side is
+    replicated ``salt`` times (explode of a literal range) so every
+    (key, salt) bucket finds its match.  The shuffle key becomes
+    (key, salt) — a hot key's rows spread over ``salt`` reducers instead
+    of one.  AQE's skew-join splitting handles moderate skew on its own;
+    this is the explicit tool for the pathological case (SCALE.md).
+    Replication cost: |small| × salt rows — use only when small ≪ big.
+    """
+    on = list(on)
+    b = big.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = b.join(s, on=on + ["__salt"], how=how)
+    return out.drop("__salt")
