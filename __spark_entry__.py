@@ -826,6 +826,66 @@ def q64_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=3, n_cells=8, n_probe=2)
 
 
+def q67_stream_resample(spark, sf_dir):
+    """Structured Streaming resample driven to completion over the
+    events table (streaming.stream_resample; availableNow + complete
+    mode) — the batch-SQL oracle must match the streamed windows."""
+    import shutil
+    import tempfile
+    import uuid
+    from xarray_spark.streaming import stream_resample
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the streaming file source wants a DIRECTORY of files; stage the
+    # single-file table into a temp dir (the driver's testdata is
+    # read-only)
+    stage = tempfile.mkdtemp(prefix="q67_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    src = (
+        spark.readStream.schema(batch.schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = stream_resample(
+        src, "ts", "D", {"n": F.count(F.lit(1)), "total": F.round(F.sum("value") + F.lit(1e-6), 3)},
+        watermark="1 hour",
+    )
+    name = f"q67_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT ts AS day, n, total FROM {name}")
+
+
+def q68_datatree(spark, sf_dir):
+    """DataTree: path-keyed hierarchy + map_over_datasets
+    (xarray core/datatree.py:462, datatree_mapping.py:16)."""
+    from xarray_spark import DataTree
+    tree = DataTree({
+        "/geo/region": XDataset(
+            spark.read.parquet(f"{sf_dir}/region.parquet"), dims=["r_regionkey"]),
+        "/geo/nation": XDataset(
+            spark.read.parquet(f"{sf_dir}/nation.parquet"), dims=["n_nationkey"]),
+        "/parties/customer": XDataset(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"), dims=["c_custkey"]),
+    })
+    counted = tree.map_over_datasets(
+        lambda ds: ds._replace(df=ds.df.groupBy().agg(F.count(F.lit(1)).alias("n")),
+                               dims=[], coords={}, data_vars=["n"])
+    )
+    rows = []
+    for path in counted:
+        rows.append(
+            counted[path].df.select(F.lit(path).alias("path"), F.col("n"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -903,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_ivf_topk": q64_ivf_topk,
         "q65_multi_grouper": q65_multi_grouper,
         "q66_season_resampler": q66_season_resampler,
+        "q67_stream_resample": q67_stream_resample,
+        "q68_datatree": q68_datatree,
     }
 
 
@@ -1422,6 +1484,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(i AS BIGINT) AS points, s_suppkey,
                    ROUND(s_acctbal + 1e-6, 3) AS bal
             FROM scored WHERE rn = 1
+        """,
+        "q67_stream_resample": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value) + 1e-6, 3) AS total
+            FROM events GROUP BY 1
+        """,
+        "q68_datatree": """
+            SELECT '/geo/nation' AS path, COUNT(*) AS n FROM nation
+            UNION ALL
+            SELECT '/geo/region', COUNT(*) FROM region
+            UNION ALL
+            SELECT '/parties/customer', COUNT(*) FROM customer
         """,
         "q66_season_resampler": """
             SELECT CAST(year(l_shipdate)
