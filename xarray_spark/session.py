@@ -41,5 +41,7 @@ def get_spark(app_name: str = "xarray_spark", shuffle_partitions: int | None = N
         # bound Arrow batch size so pandas-UDF workers stay memory-safe
         # when rows are wide (multimodal binary columns)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep managed-table files out of the working directory
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
     return builder.getOrCreate()
