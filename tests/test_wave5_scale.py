@@ -189,3 +189,23 @@ def test_salted_join_matches_plain(spark):
         F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
     ).collect()[0]
     assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_mapping_interface_and_loc(spark):
+    d = XDataset(spark.createDataFrame(
+        [{"t": 0, "a": 1.0, "b": 2.0}, {"t": 1, "a": 3.0, "b": 4.0}]), dims=["t"])
+    assert len(d) == 2 and set(d.keys()) == {"a", "b"}
+    assert {name for name, _ in d.items()} == {"a", "b"}
+    assert d.sizes == {"t": 2}
+    sub = d.loc[{"t": 1}]
+    assert sub.df.collect()[0]["a"] == 3.0
+
+
+def test_ops_on_empty_dataset(spark):
+    d = XDataset(spark.createDataFrame([{"t": 1.0, "v": 2.0}]), dims=["t"])
+    empty = d.query("v > 1000")
+    assert empty.pad(t=(1, 1)).df.count() == 0
+    assert empty.mean().df.collect()[0]["v"] is None
+    assert empty.cumsum("t").df.count() == 0
+    assert empty.ffill("t").df.count() == 0
+    assert empty.rolling(t=3, min_periods=1).mean().df.count() == 0

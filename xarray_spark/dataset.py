@@ -146,6 +146,34 @@ class XDataset:
     def __contains__(self, name: str) -> bool:
         return name in self.data_vars or name in self.coords or name in self.dims
 
+    # Mapping-of-DataArrays interface (xarray.Dataset is a
+    # Mapping[Hashable, DataArray], core/dataset.py:202)
+    def __len__(self) -> int:
+        return len(self.data_vars)
+
+    def __iter__(self):
+        return iter(self.data_vars)
+
+    def keys(self):
+        return iter(self.data_vars)
+
+    def values(self):
+        return (self[v] for v in self.data_vars)
+
+    def items(self):
+        return ((v, self[v]) for v in self.data_vars)
+
+    @property
+    def sizes(self) -> dict[str, int]:
+        """Materialized dim sizes (an action; xarray .sizes)."""
+        return self.dim_sizes()
+
+    @property
+    def loc(self) -> "_LocIndexer":
+        """Label-dict selection: ``ds.loc[{'x': 3}]``
+        (xarray _LocIndexer, core/dataarray.py:230)."""
+        return _LocIndexer(self)
+
     def _coords_on(self, dims: Iterable[str]) -> dict[str, tuple[str, ...]]:
         """Coords fully keyed by the given dim subset (survivors of a reduction)."""
         dimset = set(dims)
@@ -1437,6 +1465,8 @@ class XDataset:
             F.max("__pos").alias("n1"),
         ).collect()[0]
         lo, hi, n1 = row["lo"], row["hi"], row["n1"]
+        if lo is None:  # empty dataset: nothing to extrapolate from
+            return self
         step = (hi - lo) / n1 if n1 else 1.0
         new_labels = [lo - step * (i + 1) for i in range(before)] + \
                      [hi + step * (i + 1) for i in range(after)]
@@ -1613,6 +1643,16 @@ class XDataset:
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
     identical = equals
+
+
+class _LocIndexer:
+    def __init__(self, ds: "XDataset"):
+        self._ds = ds
+
+    def __getitem__(self, key):
+        if not isinstance(key, Mapping):
+            raise TypeError("ds.loc expects a dict of {dim: label/slice}")
+        return self._ds.sel(dict(key))
 
 
 class XDataArray(XDataset):
