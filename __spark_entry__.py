@@ -826,6 +826,18 @@ def q64_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=3, n_cells=8, n_probe=2)
 
 
+def q69_bpe_token_count(spark, sf_dir):
+    """BPE-style pretokenizer token counting (extras.text
+    bpe_ish_token_count) — the LLM-token-budget proxy."""
+    from xarray_spark.extras.text import bpe_ish_token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("lang", bpe_ish_token_count(F.col("text")).alias("ntok"))
+    return t.groupBy("lang").agg(
+        F.sum("ntok").alias("total_bpe_tokens"),
+        _r6(F.avg("ntok")).alias("avg_bpe_tokens"),
+    )
+
+
 def q67_stream_resample(spark, sf_dir):
     """Structured Streaming resample driven to completion over the
     events table (streaming.stream_resample; availableNow + complete
@@ -965,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_season_resampler": q66_season_resampler,
         "q67_stream_resample": q67_stream_resample,
         "q68_datatree": q68_datatree,
+        "q69_bpe_token_count": q69_bpe_token_count,
     }
 
 
@@ -1484,6 +1497,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(i AS BIGINT) AS points, s_suppkey,
                    ROUND(s_acctbal + 1e-6, 3) AS bal
             FROM scored WHERE rn = 1
+        """,
+        "q69_bpe_token_count": """
+            WITH t AS (
+              SELECT lang,
+                     len(regexp_extract_all(text,
+                         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+''', 0)) AS ntok
+              FROM documents
+            )
+            SELECT lang, CAST(SUM(ntok) AS BIGINT) AS total_bpe_tokens,
+                   ROUND(AVG(ntok) + 1e-9, 6) AS avg_bpe_tokens
+            FROM t GROUP BY lang
         """,
         "q67_stream_resample": """
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

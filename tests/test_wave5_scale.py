@@ -209,3 +209,26 @@ def test_ops_on_empty_dataset(spark):
     assert empty.cumsum("t").df.count() == 0
     assert empty.ffill("t").df.count() == 0
     assert empty.rolling(t=3, min_periods=1).mean().df.count() == 0
+
+
+def test_dataarray_series_values_item(spark):
+    from xarray_spark.dataset import XDataArray
+    df = spark.createDataFrame([{"t": 1, "v": 10.0}, {"t": 0, "v": 5.0}])
+    da = XDataArray(df, ["t"], {}, ["v"])
+    s = da.to_series()
+    assert s.loc[0] == 5.0 and s.loc[1] == 10.0
+    assert list(da.values) == [5.0, 10.0]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        da.item()
+    one = XDataArray(spark.createDataFrame([{"t": 0, "v": 7.0}]), ["t"], {}, ["v"])
+    assert one.item() == 7.0
+
+
+def test_bpe_token_count_unit(spark):
+    from xarray_spark.extras.text import bpe_ish_token_count
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("don't stop, it's 42 now!",)], ["s"])
+    n = df.select(bpe_ish_token_count(F.col("s")).alias("n")).collect()[0]["n"]
+    # don | 't | stop | , | it | 's | 42 | now | ! -> 9
+    assert n == 9

@@ -1679,6 +1679,25 @@ class XDataArray(XDataset):
             self.dims, self.coords, [new], self.attrs,
         )
 
+    def to_series(self):
+        """pandas Series indexed by the dims
+        (xarray/core/dataarray.py:4032) — an action."""
+        pdf = self.df.select(*self.dims, self.name).toPandas()
+        return pdf.set_index(list(self.dims))[self.name]
+
+    @property
+    def values(self):
+        """numpy array of the (dim-sorted) values — an action."""
+        return self.to_series().sort_index().to_numpy()
+
+    def item(self):
+        """The single scalar value (xarray .item()); raises unless the
+        array has exactly one element."""
+        rows = self.df.select(self.name).limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError("item() requires a single-element array")
+        return rows[0][0]
+
 
 # ---------------------------------------------------------------------- #
 # accessor registration (xarray/core/extensions.py register_*_accessor)

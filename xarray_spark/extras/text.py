@@ -32,6 +32,20 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+# GPT-2-style pretokenizer shape: contractions | letter runs | digit runs
+# | punctuation runs (public regex family from the BPE literature; both
+# Java and RE2 understand the \p{L}/\p{N} classes, so the DuckDB oracle
+# can replay it).
+BPE_ISH_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-style pretokenization regex — a much
+    closer proxy for LLM token budgets than whitespace splitting
+    (counts punctuation runs and contractions separately)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def punct_ratio(text: Column) -> Column:
     """Punctuation chars / total chars (0 for empty)."""
     total = F.length(text)
