@@ -232,3 +232,36 @@ def test_bpe_token_count_unit(spark):
     n = df.select(bpe_ish_token_count(F.col("s")).alias("n")).collect()[0]["n"]
     # don | 't | stop | , | it | 's | 42 | now | ! -> 9
     assert n == 9
+
+
+def test_set_options_arithmetic_join(spark):
+    from xarray_spark import set_options
+    a = XDataset(spark.createDataFrame(
+        [{"t": 0, "v": 1.0}, {"t": 1, "v": 2.0}]), dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        [{"t": 1, "v": 10.0}, {"t": 2, "v": 20.0}]), dims=["t"])
+    inner = a + b
+    assert {r["t"] for r in inner.df.collect()} == {1}
+    with set_options(arithmetic_join="outer"):
+        outer = a + b
+        got = {r["t"]: r["v"] for r in outer.df.collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[1] == 12.0 and got[0] is None and got[2] is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        set_options(arithmetic_join="bogus")
+    with _pt.raises(ValueError):
+        set_options(no_such_option=1)
+
+
+def test_auto_segment_dispatch(spark):
+    from xarray_spark import set_options
+    rows = [{"t": i, "v": float(i)} for i in range(300)]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"])
+    plain = [r["v"] for r in d.rolling(t=5).mean().df.orderBy("t").collect()]
+    with set_options(auto_segment_threshold=100):
+        auto = d.rolling(t=5).mean()
+        vals = [r["v"] for r in auto.df.orderBy("t").collect()]
+        cum = [r["v"] for r in d.cumsum("t").df.orderBy("t").collect()]
+    assert vals == plain
+    assert cum[-1] == sum(range(300))

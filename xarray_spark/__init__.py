@@ -32,6 +32,7 @@ from xarray_spark.alignment import align, broadcast, salted_join, sel_points_nea
 from xarray_spark.computation import convert_calendar, date_range_like, infer_freq
 from xarray_spark.groupby import salted_agg
 from xarray_spark.segmented import cumsum_segmented, ffill_segmented, rolling_segmented
+from xarray_spark.options import OPTIONS, set_options
 from xarray_spark.computation import (
     apply_ufunc,
     cov,
@@ -80,6 +81,8 @@ __all__ = [
     "rolling_segmented",
     "cumsum_segmented",
     "ffill_segmented",
+    "OPTIONS",
+    "set_options",
     "convert_calendar",
     "date_range_like",
     "infer_freq",

@@ -953,6 +953,16 @@ class XDataset:
         return self._replace(df=df, dims=["quantile"] + keep, coords=coords, data_vars=varlist)
 
     def cumsum(self, dim=None, skipna: bool = True) -> "XDataset":
+        from xarray_spark.options import OPTIONS
+        dims = self._norm_dim_arg(dim)
+        thr = OPTIONS["auto_segment_threshold"]
+        if (thr is not None and len(dims) == 1
+                and not [d for d in self.dims if d != dims[0]]
+                and self.df.count() >= thr):
+            # single-task global-scan shape and over the threshold →
+            # segmented two-phase scan (options.py auto_segment_threshold)
+            from xarray_spark.segmented import cumsum_segmented
+            return cumsum_segmented(self, dims[0])
         return self._cumulative(dim, lambda v, w: F.sum(v).over(w))
 
     def cumprod(self, dim=None, skipna: bool = True) -> "XDataset":
@@ -1172,7 +1182,10 @@ class XDataset:
         for old, new in renames.items():
             o_df = o_df.withColumnRenamed(old, new)
         if shared:
-            joined = self.df.join(o_df, on=shared, how="inner")
+            from xarray_spark.options import OPTIONS
+            how = {"inner": "inner", "outer": "full_outer",
+                   "left": "left", "right": "right"}[OPTIONS["arithmetic_join"]]
+            joined = self.df.join(o_df, on=shared, how=how)
         else:
             joined = self.df.crossJoin(o_df)
         exprs = []

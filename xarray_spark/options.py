@@ -1,0 +1,49 @@
+"""Engine options (reference: xarray/core/options.py:418 OPTIONS +
+set_options context manager).
+
+- ``arithmetic_join``: the align mode of auto-aligning binary ops
+  (xarray OPTIONS['arithmetic_join']; default 'inner').
+- ``auto_segment_threshold``: when set, window ops over a dim with NO
+  complement dims (the single-task shape) automatically dispatch to the
+  segmented implementations once the series reaches this many rows.
+  Off by default because the check costs a count() action, breaking
+  strict laziness — enable it on clusters where the global-window shape
+  is infeasible.
+- ``keep_attrs``: whether attrs survive operators (catalog-side).
+"""
+
+from __future__ import annotations
+
+OPTIONS: dict = {
+    "arithmetic_join": "inner",
+    "auto_segment_threshold": None,
+    "keep_attrs": True,
+}
+
+_VALID = {
+    "arithmetic_join": {"inner", "outer", "left", "right"},
+}
+
+
+class set_options:
+    """Context manager / global setter (xarray.set_options parity).
+
+    >>> with set_options(arithmetic_join="outer"):
+    ...     c = a + b
+    """
+
+    def __init__(self, **kwargs):
+        self._old = {}
+        for k, v in kwargs.items():
+            if k not in OPTIONS:
+                raise ValueError(f"unknown option {k!r}; valid: {sorted(OPTIONS)}")
+            if k in _VALID and v not in _VALID[k]:
+                raise ValueError(f"option {k}={v!r}; valid: {sorted(_VALID[k])}")
+            self._old[k] = OPTIONS[k]
+            OPTIONS[k] = v
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        OPTIONS.update(self._old)

@@ -122,30 +122,45 @@ class XRolling:
             )
         return out
 
+    def _maybe_segmented(self, agg: str):
+        """Opt-in auto-dispatch to the segmented path for the global-
+        series shape (options.py auto_segment_threshold)."""
+        from xarray_spark.options import OPTIONS
+        thr = OPTIONS["auto_segment_threshold"]
+        if (thr is None or self.center or len(self.windows) > 1
+                or self.window == -1):
+            return None
+        if [d for d in self.ds.dims if d != self.dim]:
+            return None
+        if self.ds.df.count() < thr:
+            return None
+        from xarray_spark.segmented import rolling_segmented
+        return rolling_segmented(self.ds, self.dim, self.window, agg, self.min_periods)
+
     def mean(self):
         if len(self.windows) > 1:
             return self._apply_nd("mean")
-        return self._apply(lambda c, w: F.avg(c).over(w))
+        return self._maybe_segmented("mean") or self._apply(lambda c, w: F.avg(c).over(w))
 
     def sum(self):
         if len(self.windows) > 1:
             return self._apply_nd("sum")
-        return self._apply(lambda c, w: F.sum(c).over(w))
+        return self._maybe_segmented("sum") or self._apply(lambda c, w: F.sum(c).over(w))
 
     def min(self):
         if len(self.windows) > 1:
             return self._apply_nd("min")
-        return self._apply(lambda c, w: F.min(c).over(w))
+        return self._maybe_segmented("min") or self._apply(lambda c, w: F.min(c).over(w))
 
     def max(self):
         if len(self.windows) > 1:
             return self._apply_nd("max")
-        return self._apply(lambda c, w: F.max(c).over(w))
+        return self._maybe_segmented("max") or self._apply(lambda c, w: F.max(c).over(w))
 
     def count(self):
         if len(self.windows) > 1:
             return self._apply_nd("count")
-        return self._apply(lambda c, w: F.count(c).over(w))
+        return self._maybe_segmented("count") or self._apply(lambda c, w: F.count(c).over(w))
     def std(self, ddof=0):
         return self._apply(lambda c, w: (F.stddev_pop(c) if ddof == 0 else F.stddev_samp(c)).over(w))
     def var(self, ddof=0):
