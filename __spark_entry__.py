@@ -838,6 +838,16 @@ def q69_bpe_token_count(spark, sf_dir):
     )
 
 
+def q70_ffill_segmented(spark, sf_dir):
+    """Segment-parallel forward-fill (segmented.ffill_segmented) — must
+    match the SAME oracle as the global-window ffill (q13), proving the
+    overlap decomposition exact inside the gate."""
+    from xarray_spark.segmented import ffill_segmented
+    daily = _masked_purchase_daily(spark, sf_dir)
+    out = ffill_segmented(daily, "ts", n_segments=8)
+    return out.assign(v=_r6(F.col("v"))).to_spark()
+
+
 def q67_stream_resample(spark, sf_dir):
     """Structured Streaming resample driven to completion over the
     events table (streaming.stream_resample; availableNow + complete
@@ -978,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_stream_resample": q67_stream_resample,
         "q68_datatree": q68_datatree,
         "q69_bpe_token_count": q69_bpe_token_count,
+        "q70_ffill_segmented": q70_ffill_segmented,
     }
 
 
@@ -1497,6 +1508,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(i AS BIGINT) AS points, s_suppkey,
                    ROUND(s_acctbal + 1e-6, 3) AS bal
             FROM scored WHERE rn = 1
+        """,
+        "q70_ffill_segmented": f"""
+            WITH m AS ({_MASKED_SQL})
+            SELECT ts,
+                   ROUND(LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS v
+            FROM m
         """,
         "q69_bpe_token_count": """
             WITH t AS (
