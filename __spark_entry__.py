@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from xarray_spark import XDataset
 from xarray_spark.groupers import BinGrouper, SeasonGrouper, TimeResampler
 
-REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def REV():
+    """Revenue expression — built lazily so importing this module does
+    not require an active SparkContext (the ``1 - col`` arithmetic
+    crosses into the JVM)."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 # Epsilon-rounding: money values are exact decimal halves (prices have 2
 # decimals, revenue 4), and Spark (BigDecimal HALF_UP on the exact binary
@@ -81,7 +85,7 @@ def _events(spark: SparkSession, sf_dir: str) -> XDataset:
 
 def _daily_revenue(spark: SparkSession, sf_dir: str) -> XDataset:
     """Shared building block: revenue per ship date (rounded)."""
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     return li.groupby("l_shipdate").agg(rev=_r3(F.sum("rev")))
 
 
@@ -98,7 +102,7 @@ _DAILY_SQL = (
 def q01_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: filter + multi-agg groupby (SURVEY §2.4/2.5)."""
     li = _lineitem(spark, sf_dir).assign(
-        disc_price=REV, charge=REV * (1 + F.col("l_tax"))
+        disc_price=REV(), charge=REV() * (1 + F.col("l_tax"))
     )
     ds = li.query("l_shipdate <= timestamp '1998-09-02 00:00:00'")
     g = ds.groupby(["l_returnflag", "l_linestatus"]).agg(
@@ -117,7 +121,7 @@ def q01_pricing_summary(spark, sf_dir):
 def q02_sel_label_slice(spark, sf_dir):
     """sel with an inclusive label slice (SURVEY §2.2; xarray
     core/dataset.py:3018 slice semantics)."""
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     sub = li.sel(l_shipdate=slice("1995-01-01", "1995-12-31"))
     out = sub.groupby("l_returnflag").agg(
         revenue=_r3(F.sum("rev")), n=F.count(F.lit(1))
@@ -187,7 +191,7 @@ def q08_resample_daily_events(spark, sf_dir):
 
 def q09_season_groupby(spark, sf_dir):
     """SeasonGrouper incl. cross-year DJF (groupers.py:801)."""
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     g = li.groupby(l_shipdate=SeasonGrouper())
     out = g.agg(revenue=_r3(F.sum("rev")), n=F.count(F.lit(1)))
     return out.to_spark().withColumnRenamed("l_shipdate", "season")
@@ -277,7 +281,7 @@ def q17_rank(spark, sf_dir):
 
 def q18_idxmax(spark, sf_dir):
     """idxmax: label of the maximum (max_by; xarray core/dataset.py:9349)."""
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     byday = li.groupby(["l_returnflag", "l_shipdate"]).agg(rev=_r3(F.sum("rev")))
     out = byday.idxmax("l_shipdate")
     return out.to_spark().withColumnRenamed("rev", "best_day")
@@ -320,7 +324,7 @@ def q21_reindex_fill(spark, sf_dir):
     """reindex onto a full calendar with fill_value
     (xarray core/dataset.py:3546)."""
     import pandas as pd
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     d96 = li.sel(l_shipdate=slice("1996-01-01", "1996-12-31"))
     daily = d96.groupby("l_shipdate").agg(rev=_r3(F.sum("rev")))
     cal = [t.to_pydatetime() for t in pd.date_range("1996-01-01", "1996-12-31", freq="D")]
@@ -657,7 +661,7 @@ def q53_ngram_jaccard(spark, sf_dir):
 def q54_pad(spark, sf_dir):
     """pad constant mode on the daily series (xarray core/dataset.py:9054)
     — rows-only (synthesized edge labels)."""
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     d96 = li.sel(l_shipdate=slice("1996-01-01", "1996-12-31"))
     daily = d96.groupby("l_shipdate").agg(rev=_r3(F.sum("rev")))
     out = daily.pad(l_shipdate=(2, 2), constant_values=0.0)
@@ -668,7 +672,7 @@ def q55_rolling_2d(spark, sf_dir):
     """2-D rectangle rolling sum over the (year, month) revenue grid —
     factorized into two 1-D window passes (SURVEY §2.6;
     xarray computation/rolling.py multi-dim windows)."""
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     grid = li.assign(
         y=F.year("l_shipdate").cast("int"), m=F.month("l_shipdate").cast("int")
     )
@@ -704,7 +708,7 @@ def q58_where_aligned(spark, sf_dir):
     low-revenue ship dates (xarray aligned-object where,
     core/common.py:1131)."""
     from xarray_spark.dataset import XDataArray
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     daily = li.groupby("l_shipdate").agg(drev=F.sum("rev"))
     cond = XDataArray(
         daily.df.select("l_shipdate", (F.col("drev") >= 200000.0).alias("hi")),
@@ -735,7 +739,7 @@ def q60_salted_agg(spark, sf_dir):
     """Two-phase salted aggregation for skewed keys — must produce
     identical results to the plain groupBy (SCALE.md skew defense)."""
     from xarray_spark import salted_agg
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     out = salted_agg(
         li, ["l_returnflag"],
         {"n": ("count", "*"), "revenue": ("sum", "rev"),
@@ -798,7 +802,7 @@ def q66_season_resampler(spark, sf_dir):
     """SeasonResampler: cross-year seasons, December shifts to the
     following year's DJF (xarray groupers.py:874)."""
     from xarray_spark.groupers import SeasonResampler
-    li = _lineitem(spark, sf_dir).assign(rev=REV)
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
     g = li.groupby(l_shipdate=SeasonResampler())
     out = g.agg(revenue=_r3(F.sum("rev")), n=F.count(F.lit(1)))
     return out.to_spark().withColumnRenamed("l_shipdate", "season_year")
