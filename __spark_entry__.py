@@ -1519,7 +1519,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS v
             FROM m
         """,
-        "q69_bpe_token_count": """
+        "q69_bpe_token_count": r"""
             WITH t AS (
               SELECT lang,
                      len(regexp_extract_all(text,
