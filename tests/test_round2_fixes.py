@@ -1,0 +1,171 @@
+"""Regression tests for the round-2 advisory fixes:
+
+- resample upsample interval for n-multiple freqs ('7D' must stride 7
+  days, not 49)
+- rolling_segmented halo chaining across undersized/skewed segments
+- drop_duplicates deterministic survivor
+- reindex fill_value touching only introduced positions
+- eval() routing comparisons to the expression path
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spark import XDataset
+from xarray_spark.alignment import reindex
+from xarray_spark.segmented import rolling_segmented
+
+
+def test_resample_asfreq_7d_calendar(spark):
+    import datetime as dt
+    rows = [
+        {"t": dt.datetime(2000, 1, 1) + dt.timedelta(days=14 * i), "v": float(i)}
+        for i in range(4)
+    ]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"])
+    out = d.resample(t="7D").asfreq().df.orderBy("t").collect()
+    # span is 42 days -> 7 weekly labels, every second one populated
+    assert len(out) == 7
+    got = [r["t"] for r in out]
+    assert all((got[i + 1] - got[i]).days == 7 for i in range(6))
+    assert [r["v"] for r in out] == [0.0, None, 1.0, None, 2.0, None, 3.0]
+
+
+def test_rolling_segmented_skewed_segments(spark):
+    # one label occupies 80% of rows: approxQuantile cuts collapse and
+    # several segments end up undersized/empty — the chained halo must
+    # still reproduce the global window exactly
+    # v is constant per label so the rolling result is well-defined even
+    # though tie order among duplicate labels is arbitrary
+    rows = [
+        {"t": 0 if i < 400 else i - 399, "v": 1.0 if i < 400 else float(i - 399)}
+        for i in range(500)
+    ]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    g = d.rolling(t=9, min_periods=2).sum().df.orderBy("t", "v").collect()
+    s = rolling_segmented(d, "t", 9, "sum", min_periods=2, n_segments=16)
+    got = [r["v"] for r in s.df.orderBy("t", "v").collect()]
+    want = [r["v"] for r in g]
+    assert got == pytest.approx(want)
+
+
+def test_rolling_segmented_window_larger_than_segments(spark):
+    # window >> segment size: a frame spans MANY segments; halo must chain
+    rows = [{"t": i, "v": 1.0} for i in range(100)]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    g = d.rolling(t=40, min_periods=1).sum().df.orderBy("t").collect()
+    s = rolling_segmented(d, "t", 40, "sum", min_periods=1, n_segments=20)
+    assert [r["v"] for r in s.df.orderBy("t").collect()] == [r["v"] for r in g]
+
+
+def test_drop_duplicates_deterministic(spark):
+    rows = [
+        {"t": 1, "v": 5.0}, {"t": 1, "v": 2.0}, {"t": 1, "v": 9.0},
+        {"t": 2, "v": 7.0}, {"t": 2, "v": 1.0},
+    ]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    first = {(r["t"], r["v"]) for r in d.drop_duplicates("t").df.collect()}
+    last = {(r["t"], r["v"]) for r in d.drop_duplicates("t", keep="last").df.collect()}
+    assert first == {(1, 2.0), (2, 1.0)}
+    assert last == {(1, 9.0), (2, 7.0)}
+
+
+def test_reindex_fill_value_preserves_genuine_nulls(spark):
+    rows = [{"t": 1, "v": None}, {"t": 2, "v": 5.0}]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    out = reindex(d, {"t": [1, 2, 3]}, fill_value=-1.0)
+    got = {r["t"]: r["v"] for r in out.df.collect()}
+    # t=1 matched with a genuine null -> stays null; t=3 introduced -> filled
+    assert got[1] is None and got[2] == 5.0 and got[3] == -1.0
+
+
+def _brute_force_simhash_pairs(spark, docs, k):
+    from xarray_spark.extras.dedup import simhash
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = simhash(df).collect()
+    hs = {r["doc_id"]: r["simhash"] for r in rows}
+    ids = sorted(hs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1") <= k:
+                want.add((a, b))
+    return df, want
+
+
+@pytest.mark.parametrize("k", [3, 10])
+def test_simhash_near_dups_recall_brute_force(spark, k):
+    # clustered corpora: docs within a cluster share most tokens, so many
+    # true pairs land in the 4..10 hamming band the old 4-block bucketing
+    # silently dropped
+    docs = []
+    for c in range(8):
+        base = [f"w{c}_{j}" for j in range(30)]
+        for v in range(5):
+            toks = list(base)
+            toks[v] = f"alt{c}_{v}"
+            toks[(v * 7) % 30] = f"alt2{c}_{v}"
+            docs.append((c * 10 + v, " ".join(toks)))
+    from xarray_spark.extras.dedup import simhash_near_dups
+    df, want = _brute_force_simhash_pairs(spark, docs, k)
+    got = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(df, max_hamming=k).collect()}
+    assert got == want
+    if k == 10:
+        assert want, "test corpus should contain hamming<=10 pairs"
+
+
+VALUES = [((i * 73) % 89) * 0.5 - 11.0 for i in range(211)]
+QS = [0.0, 0.1, 0.25, 0.5, 0.731, 0.9, 1.0]
+
+
+@pytest.mark.parametrize("method", [
+    "linear", "lower", "higher", "nearest", "midpoint",
+    "inverted_cdf", "averaged_inverted_cdf", "closest_observation",
+    "interpolated_inverted_cdf", "hazen", "weibull",
+    "median_unbiased", "normal_unbiased",
+])
+def test_quantile_methods_match_numpy(spark, method):
+    import numpy as np
+    rows = [{"t": i, "v": v} for i, v in enumerate(VALUES)]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"])
+    got = {r["quantile"]: r["v"] for r in d.quantile(QS, method=method).df.collect()}
+    want = np.quantile(np.array(VALUES), QS, method=method)
+    for q, w in zip(QS, want):
+        assert got[q] == pytest.approx(w, abs=1e-12), (method, q)
+
+
+@pytest.mark.parametrize("method", ["lower", "weibull", "nearest", "closest_observation"])
+def test_grouped_quantile_methods_match_numpy(spark, method):
+    import numpy as np
+    rows = [{"g": i % 3, "t": i, "v": v} for i, v in enumerate(VALUES)]
+    d = XDataset(spark.createDataFrame(rows), dims=["g", "t"])
+    out = d.quantile([0.25, 0.5, 0.9], dim="t", method=method).df.collect()
+    got = {(r["g"], r["quantile"]): r["v"] for r in out}
+    for g in range(3):
+        vals = np.array([v for i, v in enumerate(VALUES) if i % 3 == g])
+        want = np.quantile(vals, [0.25, 0.5, 0.9], method=method)
+        for q, w in zip([0.25, 0.5, 0.9], want):
+            assert got[(g, q)] == pytest.approx(w, abs=1e-12), (method, g, q)
+
+
+def test_ungrouped_quantile_plan_has_no_percentile_buffer(spark):
+    import numpy as np
+    rows = [{"t": i, "v": v} for i, v in enumerate(VALUES)]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"])
+    out = d.quantile([0.5, 0.9])
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "percentile(" not in plan
+    got = {r["quantile"]: r["v"] for r in out.df.collect()}
+    assert got[0.5] == pytest.approx(float(np.median(VALUES)))
+    med = d.median()
+    assert med.df.collect()[0]["v"] == pytest.approx(float(np.median(VALUES)))
+
+
+def test_eval_comparison_not_assignment(spark):
+    rows = [{"t": 1, "a": 2.0, "b": 3.0}, {"t": 2, "a": 4.0, "b": 1.0}]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"], data_vars=["a", "b"])
+    out = d.eval("a == b")
+    assert "__eval" in out.df.columns
+    out2 = d.eval("c = a + b")
+    got = {r["t"]: r["c"] for r in out2.df.collect()}
+    assert got == {1: 5.0, 2: 5.0}

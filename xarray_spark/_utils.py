@@ -27,3 +27,56 @@ def to_double(col: Column, dtype: T.DataType) -> Column:
 
 def is_temporal(dtype: T.DataType) -> bool:
     return isinstance(dtype, _TEMPORAL)
+
+
+def two_phase_rank(df, col: str):
+    """Global 0-based position of each row by ``col`` — WITHOUT the
+    partition-less ``row_number() OVER (ORDER BY col)`` that funnels every
+    row through one task.
+
+    Range-repartition on the column, rank locally per partition, then
+    broadcast-join per-partition offsets (exclusive prefix sum over the
+    tiny per-partition count table).  Adds ``__rnk`` (0-based global
+    position) and ``__n`` (total row count) columns.  Ties may receive
+    positions in arbitrary order — callers needing a total order must
+    have distinct values (label tables do) or not care (order statistics
+    don't).
+    """
+    from pyspark.sql import Window
+
+    part = df.repartitionByRange(F.col(col).asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(F.col(col).asc())
+    local = part.withColumn("__lrank", F.row_number().over(w_in) - 1)
+    cnts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    offs = cnts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        F.sum("__cnt").over(w_all).cast("long").alias("__n"),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn("__rnk", (F.col("__lrank") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrank", "__off")
+    )
+
+
+def estimated_rows(df) -> float:
+    """Lazy (no-job) row-count estimate from Catalyst plan statistics.
+
+    Uses the optimized plan's CBO stats: the real ``rowCount`` when the
+    optimizer knows it, else ``sizeInBytes`` divided by a conservative
+    64 B/row.  File scans report true on-disk size, filters scale the
+    estimate — crude, but free, and only used to pick between two
+    EXACT execution strategies (global window vs segmented)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return float(str(rc.get()))
+        return float(str(stats.sizeInBytes())) / 64.0
+    except Exception:  # pragma: no cover - py4j edge cases
+        return 0.0

@@ -92,17 +92,26 @@ def reindex(
         if method is not None:
             # map each new label to the best-matching existing label
             matched = _asof_label_map(ds, dim, new_labels, method, tolerance)
-            # join data on matched old label, re-key to the new label
-            fact = out_df.withColumnRenamed(dim, "__old")
+            # join data on matched old label, re-key to the new label;
+            # __hit marks rows that found a match, so fill_value touches
+            # only positions INTRODUCED by the reindex (xarray semantics:
+            # genuine nulls at matched labels survive)
+            fact = out_df.withColumnRenamed(dim, "__old").withColumn("__hit", F.lit(1))
             out_df = (
                 F.broadcast(matched).join(fact, matched["__match"] == fact["__old"], "left")
                 .drop("__match", "__old")
             )
         else:
-            out_df = F.broadcast(new_labels).join(out_df, on=dim, how="left")
+            out_df = F.broadcast(new_labels).join(
+                out_df.withColumn("__hit", F.lit(1)), on=dim, how="left"
+            )
         if fill_value is not None:
             for v in ds.data_vars:
-                out_df = out_df.withColumn(v, F.coalesce(F.col(v), F.lit(fill_value)))
+                out_df = out_df.withColumn(
+                    v,
+                    F.when(F.col("__hit").isNull(), F.lit(fill_value)).otherwise(F.col(v)),
+                )
+        out_df = out_df.drop("__hit")
     return ds._replace(df=out_df.select(*ds.df.columns))
 
 

@@ -234,11 +234,12 @@ def cross(a: XDataArray, b: XDataArray, dim: str) -> XDataArray:
 def date_range(spark, start: str, end: str, freq: str = "D", name: str = "time"):
     """Label-table constructor (xarray/coding/cftime_offsets.py
     date_range analogue) — ``sequence()``, no driver loop."""
-    from xarray_spark.resample import _INTERVAL
+    from xarray_spark.resample import _INTERVAL_PARTS
     from xarray_spark.groupers import _TRUNC, _parse_freq
     n, unit = _parse_freq(freq)
     trunc = _TRUNC[unit]
-    interval = _INTERVAL[trunc] if n == 1 else _INTERVAL[trunc].replace(" 1 ", f" {n} ")
+    mult, base = _INTERVAL_PARTS[trunc]
+    interval = f"interval {n * mult} {base}"
     return spark.range(1).select(
         F.explode(F.expr(
             f"sequence(timestamp '{start}', timestamp '{end}', {interval})"

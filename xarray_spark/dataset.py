@@ -49,6 +49,75 @@ def _is_numeric(dtype: T.DataType) -> bool:
     return isinstance(dtype, _NUMERIC_TYPES)
 
 
+# alpha/beta plotting-position parameters of the continuous Hyndman & Fan
+# quantile families (numpy's method matrix, xarray/core/variable.py:1929)
+_Q_ALPHA_BETA = {
+    "interpolated_inverted_cdf": (0.0, 1.0),
+    "hazen": (0.5, 0.5),
+    "weibull": (0.0, 0.0),
+    "linear": (1.0, 1.0),
+    "median_unbiased": (1.0 / 3.0, 1.0 / 3.0),
+    "normal_unbiased": (3.0 / 8.0, 3.0 / 8.0),
+}
+
+QUANTILE_METHODS = tuple(_Q_ALPHA_BETA) + (
+    "inverted_cdf", "averaged_inverted_cdf", "closest_observation",
+    "lower", "higher", "nearest", "midpoint",
+)
+
+
+def _quantile_positions(method: str, q: float, n: Column):
+    """0-indexed order-statistic positions (j_lo, j_hi) and interpolation
+    weight w for one quantile, as expressions of the (column) sample size
+    — every numpy quantile ``method`` reduces to
+    ``x[j_lo] + (x[j_hi] - x[j_lo]) * w`` on the sorted sample.
+    """
+    q = float(q)
+    nn = n.cast("double")
+    zero, last = F.lit(0).cast("long"), (n - 1).cast("long")
+    if method in _Q_ALPHA_BETA:
+        a, b = _Q_ALPHA_BETA[method]
+        h = (nn + F.lit(1.0 - a - b)) * q + F.lit(a)  # 1-indexed virtual pos
+        h0 = F.greatest(F.least(h - 1, nn - 1), F.lit(0.0))
+        j_lo = F.floor(h0).cast("long")
+        return j_lo, F.least(j_lo + 1, last), h0 - F.floor(h0)
+    if method == "lower":
+        j = F.floor((nn - 1) * q).cast("long")
+        return j, j, F.lit(0.0)
+    if method == "higher":
+        j = F.ceil((nn - 1) * q).cast("long")
+        return j, j, F.lit(0.0)
+    if method == "nearest":
+        j = F.bround((nn - 1) * F.lit(q), 0).cast("long")
+        return j, j, F.lit(0.0)
+    if method == "midpoint":
+        j_lo = F.floor((nn - 1) * q).cast("long")
+        j_hi = F.ceil((nn - 1) * q).cast("long")
+        return j_lo, j_hi, F.lit(0.5)
+    if method == "inverted_cdf":
+        j = F.greatest(F.ceil(nn * q).cast("long") - 1, zero)
+        return j, j, F.lit(0.0)
+    if method == "averaged_inverted_cdf":
+        g = nn * q
+        base = F.greatest(F.ceil(g).cast("long") - 1, zero)
+        split = (g == F.floor(g)) & (base + 1 <= last)
+        j_hi = F.when(split, base + 1).otherwise(base)
+        w = F.when(split, F.lit(0.5)).otherwise(F.lit(0.0))
+        return base, j_hi, w
+    if method == "closest_observation":
+        # H&F type 3 (numpy _closest_observation): 0-indexed virtual index
+        # v = nq - 1.5; take floor(v) when v is an integer AND even, else
+        # floor(v)+1.  In the 1-indexed frame h = v + 1 that reads: take h
+        # itself only when h is integral and h-1 is even.
+        h = nn * q - 0.5
+        j1 = F.floor(h)
+        take_lower = (h == j1) & ((j1 - 1) % 2 == 0)
+        j_1idx = F.when(take_lower, j1).otherwise(j1 + 1)
+        j = F.greatest(F.least(j_1idx.cast("long") - 1, last), zero)
+        return j, j, F.lit(0.0)
+    raise ValueError(f"unknown quantile method {method!r}; valid: {QUANTILE_METHODS}")
+
+
 def _is_orderable_numeric(dtype: T.DataType) -> bool:
     return isinstance(dtype, _NUMERIC_TYPES + (T.TimestampType, T.DateType))
 
@@ -213,13 +282,19 @@ class XDataset:
         engine's positional invariant (SURVEY.md §4 item 3).  The distinct
         projection is tiny next to the fact table, so downstream joins on
         it are broadcast.
+
+        Positions come from a two-phase rank (range partition → local
+        row_number → broadcast offset join, _utils.two_phase_rank), not a
+        partition-less global window: a high-cardinality dim (minute-grain
+        time at 100 TB) would funnel through one task otherwise.
         """
+        from xarray_spark._utils import two_phase_rank
         labels = self.df.select(dim).where(F.col(dim).isNotNull()).distinct()
-        w = Window.orderBy(dim)
-        return labels.select(
+        ranked = two_phase_rank(labels, dim)
+        return ranked.select(
             dim,
-            (F.row_number().over(w) - 1).alias("__pos"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("__size"),
+            F.col("__rnk").alias("__pos"),
+            F.col("__n").alias("__size"),
         )
 
     def dim_sizes(self) -> dict[str, int]:
@@ -430,10 +505,21 @@ class XDataset:
         return out
 
     def drop_duplicates(self, dim: str, keep: str = "first") -> "XDataset":
-        """Keep first/last row per duplicated dim label
-        (xarray/core/dataset.py:9967)."""
+        """Keep one row per duplicated dim label
+        (xarray/core/dataset.py:9967).
+
+        Long form carries no positional row order, so xarray's positional
+        'first'/'last' is undefined here; the survivor is instead picked by
+        a DETERMINISTIC total order over the remaining columns (ascending
+        for 'first', descending for 'last') so repeated runs and different
+        partitionings always agree.
+        """
         others = [d for d in self.dims if d != dim]
-        order = [F.col(dim).asc() if keep == "first" else F.col(dim).desc()]
+        tiebreak = [c for c in self.df.columns if c != dim and c not in others]
+        order = [
+            F.col(c).asc_nulls_last() if keep == "first" else F.col(c).desc_nulls_last()
+            for c in tiebreak
+        ] or [F.lit(1)]
         w = Window.partitionBy(*others, dim).orderBy(*order)
         df = (
             self.df.withColumn("__rn", F.row_number().over(w))
@@ -513,10 +599,13 @@ class XDataset:
 
     def eval(self, statement: str) -> "XDataset":
         """Evaluate ``name = expression`` over variables
-        (xarray/core/dataset.py:9671)."""
-        if "=" in statement and "==" not in statement.split("=")[0] + "=":
-            name, expr = statement.split("=", 1)
-            return self.assign(**{name.strip(): F.expr(expr.strip())})
+        (xarray/core/dataset.py:9671).  Assignment is detected with a
+        lookahead so comparisons (``a == b``, ``a <= b``) route to the
+        expression path instead of a bogus assign."""
+        import re
+        m = re.match(r"^\s*([A-Za-z_]\w*)\s*=(?![=<>!])", statement)
+        if m:
+            return self.assign(**{m.group(1): F.expr(statement[m.end():].strip())})
         return self._replace(df=self.df.withColumn("__eval", F.expr(statement)),
                              data_vars=list(self.data_vars) + ["__eval"])
 
@@ -912,6 +1001,14 @@ class XDataset:
         return self._reduce(dim, e, "var", skipna)
 
     def median(self, dim=None, skipna: bool = True) -> "XDataset":
+        dims = self._norm_dim_arg(dim)
+        if not [d for d in self.dims if d not in dims]:
+            # full reduction: distributed order-statistic selection instead
+            # of the single-buffer SQL `percentile` (see quantile())
+            varlist = self._agg_numeric_vars("median")
+            qdf = self._quantile_ungrouped([0.5], varlist, "linear")
+            return self._replace(df=qdf.drop("quantile"), dims=[], coords={},
+                                 data_vars=varlist)
         return self._reduce(dim, lambda v: F.expr(f"percentile({v}, 0.5)"), "median", skipna)
 
     def all(self, dim=None) -> "XDataset":
@@ -920,27 +1017,60 @@ class XDataset:
     def any(self, dim=None) -> "XDataset":
         return self._reduce(dim, lambda v: F.bool_or(F.col(v).cast("boolean")), "any")
 
-    def quantile(self, q, dim=None, skipna: bool = True, approx: bool = False) -> "XDataset":
-        """Exact linear-interpolation quantile (xarray/core/dataset.py:8237);
-        maps to SQL `percentile` (exact, linear — numpy's default method).
+    def quantile(self, q, dim=None, skipna: bool = True, approx: bool = False,
+                 method: str = "linear") -> "XDataset":
+        """Exact quantile (xarray/core/dataset.py:8237) with the full numpy
+        interpolation-``method`` matrix (xarray/core/variable.py:1929).
 
-        ``approx=True`` switches to ``approx_percentile`` (t-digest):
-        the 100 TB path — exact percentile buffers each group's values,
-        approx streams in bounded memory (SCALE.md §aggregations).
+        Execution strategy by shape:
+
+        - **full reduction** (no surviving dims): distributed
+          order-statistic selection — two-phase rank of the values, filter
+          to the ≤2 positions each quantile needs, combine.  Never buffers
+          the column in one aggregation buffer, so it survives a 100 TB
+          ungrouped quantile where SQL ``percentile`` OOMs one task.
+        - **grouped**: SQL ``percentile`` for 'linear' (exact, buffers one
+          GROUP's values — fine when groups ≪ executor memory);
+          sorted-array order statistics for the other methods.
+        - ``approx=True``: ``approx_percentile`` t-digest, any shape —
+          the opt-in sketch when groups themselves are huge.
         """
         qs = [q] if not isinstance(q, (list, tuple)) else list(q)
         dims = self._norm_dim_arg(dim)
         keep = [d for d in self.dims if d not in dims]
         coords = self._coords_on(keep)
         varlist = self._agg_numeric_vars("quantile")
-        qarr = "array({})".format(", ".join(repr(float(x)) for x in qs))
-        fn = "approx_percentile" if approx else "percentile"
-        extra = ", 10000" if approx else ""
-        aggs = [
-            F.expr(f"{fn}({v}, {qarr}{extra})").cast("array<double>").alias(v)
-            for v in varlist
-        ]
         keys = keep + list(coords)
+        if not keys and not approx:
+            qdf = self._quantile_ungrouped(qs, varlist, method)
+            return self._replace(df=qdf, dims=["quantile"], coords={},
+                                 data_vars=varlist)
+        if approx:
+            qarr = "array({})".format(", ".join(repr(float(x)) for x in qs))
+            aggs = [
+                F.expr(f"approx_percentile({v}, {qarr}, 10000)").cast("array<double>").alias(v)
+                for v in varlist
+            ]
+        elif method == "linear":
+            qarr = "array({})".format(", ".join(repr(float(x)) for x in qs))
+            aggs = [
+                F.expr(f"percentile({v}, {qarr})").cast("array<double>").alias(v)
+                for v in varlist
+            ]
+        else:
+            # non-linear methods per group: order statistics over the
+            # group's sorted values (buffers one group, like percentile)
+            aggs = []
+            for v in varlist:
+                arr = F.sort_array(F.collect_list(F.col(v).cast("double")))
+                n = F.size(arr).cast("long")
+                vals = []
+                for x in qs:
+                    j_lo, j_hi, w = _quantile_positions(method, x, n)
+                    lo = F.element_at(arr, (j_lo + 1).cast("int"))
+                    hi = F.element_at(arr, (j_hi + 1).cast("int"))
+                    vals.append(F.when(n > 0, lo + (hi - lo) * w))
+                aggs.append(F.array(*vals).alias(v))
         df = self.df.groupBy(*keys).agg(*aggs) if keys else self.df.agg(*aggs)
         # explode the quantile arrays into a new 'quantile' dim
         qvals = F.array(*[F.lit(float(x)) for x in qs])
@@ -952,13 +1082,56 @@ class XDataset:
         )
         return self._replace(df=df, dims=["quantile"] + keep, coords=coords, data_vars=varlist)
 
+    def _quantile_ungrouped(self, qs: list, varlist: list, method: str) -> DataFrame:
+        """Distributed exact quantiles of whole columns: long-form result
+        (quantile, var...).
+
+        Two-phase rank of the non-null values (range partition → local
+        rank → broadcast offsets, _utils.two_phase_rank), filter down to
+        the ≤ 2 order-statistic positions each quantile needs, then a
+        tiny conditional aggregate.  One range shuffle per variable; no
+        aggregation buffer ever holds more than a handful of scalars —
+        the 100 TB-safe shape for ungrouped percentile/median.
+        """
+        from functools import reduce as _reduce_fn
+        from xarray_spark._utils import two_phase_rank
+        parts = []
+        for v in varlist:
+            vals = (
+                self.df.select(F.col(v).cast("double").alias("__val"))
+                .where(F.col("__val").isNotNull())
+            )
+            r = two_phase_rank(vals, "__val")
+            pos = [_quantile_positions(method, x, F.col("__n")) for x in qs]
+            keep_cond = None
+            for j_lo, j_hi, _w in pos:
+                c = (F.col("__rnk") == j_lo) | (F.col("__rnk") == j_hi)
+                keep_cond = c if keep_cond is None else (keep_cond | c)
+            kept = r.where(keep_cond)
+            aggs = [F.max("__n").alias("__n")]
+            for i, (j_lo, j_hi, _w) in enumerate(pos):
+                aggs.append(F.max(F.when(F.col("__rnk") == j_lo, F.col("__val"))).alias(f"__lo{i}"))
+                aggs.append(F.max(F.when(F.col("__rnk") == j_hi, F.col("__val"))).alias(f"__hi{i}"))
+            row = kept.agg(*aggs)
+            structs = []
+            for i, x in enumerate(qs):
+                _j_lo, _j_hi, w = _quantile_positions(method, x, F.col("__n"))
+                val = F.col(f"__lo{i}") + (F.col(f"__hi{i}") - F.col(f"__lo{i}")) * w
+                structs.append(F.struct(F.lit(float(x)).alias("quantile"), val.alias(v)))
+            part = row.select(F.explode(F.array(*structs)).alias("__s")).select(
+                F.col("__s.quantile").alias("quantile"), F.col(f"__s.{v}").alias(v)
+            )
+            parts.append(part)
+        return _reduce_fn(lambda a, b: a.join(b, on="quantile"), parts)
+
     def cumsum(self, dim=None, skipna: bool = True) -> "XDataset":
         from xarray_spark.options import OPTIONS
+        from xarray_spark._utils import estimated_rows
         dims = self._norm_dim_arg(dim)
         thr = OPTIONS["auto_segment_threshold"]
         if (thr is not None and len(dims) == 1
                 and not [d for d in self.dims if d != dims[0]]
-                and self.df.count() >= thr):
+                and estimated_rows(self.df) >= thr):
             # single-task global-scan shape and over the threshold →
             # segmented two-phase scan (options.py auto_segment_threshold)
             from xarray_spark.segmented import cumsum_segmented
@@ -1187,7 +1360,11 @@ class XDataset:
                    "left": "left", "right": "right"}[OPTIONS["arithmetic_join"]]
             joined = self.df.join(o_df, on=shared, how=how)
         else:
-            joined = self.df.crossJoin(o_df)
+            # disjoint dims: the cartesian expansion is the semantics; hint
+            # the right side (conventionally the smaller operand, e.g. a
+            # reduced climatology) as broadcast so the big side never
+            # shuffles into a CartesianProduct
+            joined = self.df.crossJoin(F.broadcast(o_df))
         exprs = []
         seen = set()
         for c in self.df.columns:

@@ -79,8 +79,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         ]), F.lit(b))
         for b in range(bands)
     ])
+    # band rows carry ONLY (id, band_id, band_hash) — not the 64-long
+    # signature, which would ride the ×bands explode through the shuffle.
+    # Signatures re-join on the (deduped, far smaller) candidate pair set.
     banded = sigs.withColumn("__bands", band_arr).select(
-        id_col, "minhash", F.posexplode("__bands").alias("band_id", "band_hash")
+        id_col, F.posexplode("__bands").alias("band_id", "band_hash")
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -90,10 +93,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.minhash").alias("sig_a"),
-            F.col("b.minhash").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")), "id_b")
     )
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)) / F.lit(float(len(range(num_hashes))))
     return (
@@ -137,16 +140,36 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k, bucketed by
-    16-bit blocks (pigeonhole: k≤3 ⇒ one of 4 blocks matches exactly)."""
+    """Near-dup pairs by SimHash hamming distance ≤ k.
+
+    Pigeonhole bucketing with **k+1 blocks** (Manku et al., WWW'07): k
+    differing bits can touch at most k blocks, so at least one of the
+    k+1 blocks matches exactly — recall is guaranteed for the requested
+    ``max_hamming``, whatever it is (a fixed 4-block split silently
+    drops pairs beyond hamming 3).  Trade-off: larger k ⇒ narrower
+    blocks ⇒ coarser buckets (2^(64/(k+1)) of them) ⇒ a bigger candidate
+    set to verify; at corpus scale keep k small or pre-shard by a
+    cheap key (e.g. language) before calling this.
+    """
     sh = simhash(df, text_col, id_col)
+    n_blocks = min(max(max_hamming + 1, 1), 64)
+    base, rem = divmod(64, n_blocks)
+    widths = [base + 1] * rem + [base] * (n_blocks - rem)
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    if n_blocks == 1:
+        keys = [F.struct(F.lit(0).alias("blk"), F.col("simhash").alias("key"))]
+    else:
+        keys = [
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned("simhash", starts[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("key"),
+            )
+            for i in range(n_blocks)
+        ]
     blocks = sh.select(
         id_col, "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("blk"),
-                     F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for i in range(4)
-        ])).alias("b"),
+        F.explode(F.array(*keys)).alias("b"),
     ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
@@ -186,19 +209,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         docfreq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
         keep = docfreq.where(F.col("__df") <= max_df).select("sh")
         sh = sh.join(keep, on="sh", how="left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # per-doc set size rides WITH each shingle row (window over the
+    # id-partitioned frame — no extra shuffle, the explode stage is
+    # already hash-partitioned by id).  Broadcasting a one-row-per-
+    # document size table instead would be an O(corpus) broadcast —
+    # a non-starter at 100 TB.
+    w_sz = Window.partitionBy(id_col)
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(w_sz))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, on="sh", how="inner")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

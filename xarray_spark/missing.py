@@ -26,8 +26,28 @@ def _ordered_windows(ds: XDataset, dim: str):
     return back, fwd, seq
 
 
+def _maybe_segmented_fill(ds: XDataset, dim: str, limit, kind: str):
+    """Auto-dispatch global-series ffill/bfill to the segmented scale
+    path (options.py auto_segment_threshold) — lazy size estimate, no
+    count() action."""
+    from xarray_spark.options import OPTIONS
+    from xarray_spark._utils import estimated_rows
+    thr = OPTIONS["auto_segment_threshold"]
+    if thr is None or limit is not None:
+        return None
+    if [d for d in ds.dims if d != dim]:
+        return None
+    if estimated_rows(ds.df) < thr:
+        return None
+    from xarray_spark.segmented import bfill_segmented, ffill_segmented
+    return (ffill_segmented if kind == "ffill" else bfill_segmented)(ds, dim)
+
+
 def ffill(ds: XDataset, dim: str, limit: int | None = None) -> XDataset:
     """Propagate last valid value forward (xarray/core/dataset.py:6716)."""
+    seg = _maybe_segmented_fill(ds, dim, limit, "ffill")
+    if seg is not None:
+        return seg
     back, _fwd, seq = _ordered_windows(ds, dim)
     rn = F.row_number().over(seq)
     df = ds.df.withColumn("__rn", rn)
@@ -50,6 +70,9 @@ def ffill(ds: XDataset, dim: str, limit: int | None = None) -> XDataset:
 
 def bfill(ds: XDataset, dim: str, limit: int | None = None) -> XDataset:
     """Propagate next valid value backward (xarray/core/dataset.py:6780)."""
+    seg = _maybe_segmented_fill(ds, dim, limit, "bfill")
+    if seg is not None:
+        return seg
     others = [d for d in ds.dims if d != dim]
     seq = Window.partitionBy(*others).orderBy(dim)
     fwd = Window.partitionBy(*others).orderBy(dim).rowsBetween(0, Window.unboundedFollowing)

@@ -3,12 +3,14 @@ set_options context manager).
 
 - ``arithmetic_join``: the align mode of auto-aligning binary ops
   (xarray OPTIONS['arithmetic_join']; default 'inner').
-- ``auto_segment_threshold``: when set, window ops over a dim with NO
-  complement dims (the single-task shape) automatically dispatch to the
-  segmented implementations once the series reaches this many rows.
-  Off by default because the check costs a count() action, breaking
-  strict laziness — enable it on clusters where the global-window shape
-  is infeasible.
+- ``auto_segment_threshold``: window ops over a dim with NO complement
+  dims (the single-task shape) automatically dispatch to the segmented
+  implementations once the series is estimated to reach this many rows.
+  The estimate is Catalyst plan statistics (_utils.estimated_rows) —
+  lazy, no count() action — and both strategies are exact, so a wrong
+  estimate costs only plan choice, never correctness.  ON by default
+  (2M rows ≈ the point where a one-task global window becomes the job's
+  straggler); set to None to always use the global window.
 - ``keep_attrs``: whether attrs survive operators (catalog-side).
 """
 
@@ -16,7 +18,7 @@ from __future__ import annotations
 
 OPTIONS: dict = {
     "arithmetic_join": "inner",
-    "auto_segment_threshold": None,
+    "auto_segment_threshold": 2_000_000,
     "keep_attrs": True,
 }
 

@@ -15,11 +15,14 @@ from xarray_spark.dataset import XDataset
 from xarray_spark.groupby import XGroupBy
 from xarray_spark.groupers import TimeResampler, _TRUNC, _parse_freq
 
-_INTERVAL = {
-    "second": "interval 1 second", "minute": "interval 1 minute",
-    "hour": "interval 1 hour", "day": "interval 1 day",
-    "week": "interval 7 day", "month": "interval 1 month",
-    "quarter": "interval 3 month", "year": "interval 1 year",
+# trunc unit -> (multiplier, base calendar unit); the upsample stride for
+# freq n*unit is ``interval {n*multiplier} {base}`` (built from parts — a
+# string-substitution approach corrupts e.g. '7D' into 49 days)
+_INTERVAL_PARTS = {
+    "second": (1, "second"), "minute": (1, "minute"),
+    "hour": (1, "hour"), "day": (1, "day"),
+    "week": (7, "day"), "month": (1, "month"),
+    "quarter": (3, "month"), "year": (1, "year"),
 }
 
 
@@ -54,8 +57,8 @@ class XResample(XGroupBy):
         trunc = _TRUNC.get(unit)
         if trunc is None:
             raise ValueError(f"unsupported freq {self._freq!r}")
-        interval = _INTERVAL[trunc].replace("1", str(n)).replace("7", str(7 * n)) \
-            if n != 1 else _INTERVAL[trunc]
+        mult, base = _INTERVAL_PARTS[trunc]
+        interval = f"interval {n * mult} {base}"
         key = TimeResampler(self._freq).key_expr(F.col(self._dim))
         bounds = self.ds.df.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")

@@ -123,16 +123,18 @@ class XRolling:
         return out
 
     def _maybe_segmented(self, agg: str):
-        """Opt-in auto-dispatch to the segmented path for the global-
-        series shape (options.py auto_segment_threshold)."""
+        """Auto-dispatch to the segmented path for the global-series
+        shape (options.py auto_segment_threshold) — lazy plan-statistics
+        size estimate, no count() action."""
         from xarray_spark.options import OPTIONS
+        from xarray_spark._utils import estimated_rows
         thr = OPTIONS["auto_segment_threshold"]
         if (thr is None or self.center or len(self.windows) > 1
                 or self.window == -1):
             return None
         if [d for d in self.ds.dims if d != self.dim]:
             return None
-        if self.ds.df.count() < thr:
+        if estimated_rows(self.ds.df) < thr:
             return None
         from xarray_spark.segmented import rolling_segmented
         return rolling_segmented(self.ds, self.dim, self.window, agg, self.min_periods)
