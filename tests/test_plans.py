@@ -55,6 +55,38 @@ def test_label_semi_join_broadcast_for_isel(spark, entry):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_dim_labels_no_global_window(spark, entry):
+    """isel/head positions must come from the two-phase rank, not a
+    partition-less row_number over the whole label table."""
+    df = entry.q03_isel_head(spark, SF)
+    plan = plan_of(df)
+    # two-phase rank windows partition by __pid; the only acceptable
+    # partition-less windows are over the tiny per-partition count table
+    for ln in plan.splitlines():
+        if "row_number()" in ln and "windowspecdefinition(" in ln:
+            spec = ln.split("windowspecdefinition(", 1)[1]
+            assert "__pid" in spec or "__seg" in spec, f"global row_number: {ln[:200]}"
+
+
+def test_ungrouped_quantile_no_percentile_buffer(spark, entry):
+    df = entry.q15_quantile(spark, SF)
+    plan = plan_of(df)
+    assert "percentile(" not in plan, "ungrouped quantile must not buffer the column"
+
+
+def test_ffill_auto_segments_above_threshold(spark):
+    from xarray_spark import XDataset
+    from xarray_spark.options import set_options
+    rows = [{"t": i, "v": float(i) if i % 5 == 0 else None} for i in range(400)]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    with set_options(auto_segment_threshold=1):
+        out = d.ffill("t")
+        plan = plan_of(out.df)
+        assert "__seg" in plan, "global-series ffill should dispatch to the segmented path"
+        got = {r["t"]: r["v"] for r in out.df.collect()}
+    assert got[4] == 0.0 and got[399] == 395.0
+
+
 def test_no_cartesian_in_gate_queries(spark, entry):
     """No gate query may plan an unbounded cartesian product (the
     broadcast nested-loop joins from as-of label matching are bounded:
