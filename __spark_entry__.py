@@ -912,6 +912,67 @@ def q68_datatree(spark, sf_dir):
     return out
 
 
+def q71_netcdf_roundtrip(spark, sf_dir):
+    """netCDF-3 classic ingestion (backends.read_netcdf3 / io.open_dataset
+    engine='netcdf'; reference front door xarray/backends/api.py:395):
+    the monthly orders series is written as a .nc file with CF time
+    units, re-opened through the backend (header parse + CF time
+    decode), and aggregated — byte format, decode chain, and long-form
+    conversion all sit on the checked path."""
+    import numpy as np
+    import tempfile
+    from xarray_spark.backends import write_netcdf3
+    monthly = (
+        _orders(spark, sf_dir)
+        .assign(month=F.date_trunc("month", F.col("o_orderdate")))
+        .df.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            _r6(F.avg("o_totalprice")).alias("avg_total"),
+        )
+        .orderBy("month")
+    )
+    pdf = monthly.toPandas()  # label-sized (≤ 100 months)
+    month_ns = pdf["month"].to_numpy().astype("datetime64[ns]").astype("int64")
+    days = (month_ns // 86_400_000_000_000).astype("float64")
+    path = tempfile.mktemp(suffix=".nc", prefix="q71_")
+    write_netcdf3(
+        path,
+        {"month": len(pdf)},
+        {
+            "month": (["month"], days, {"units": "days since 1970-01-01"}),
+            "n": (["month"], pdf["n"].to_numpy("float64")),
+            "avg_total": (["month"], pdf["avg_total"].to_numpy("float64")),
+        },
+        attrs={"title": "monthly orders"},
+    )
+    from xarray_spark.io import open_dataset
+    ds = open_dataset(spark, path)  # engine inferred from .nc, time decoded
+    return ds.df.select("month", "n", F.col("avg_total"))
+
+
+def q72_zarr_roundtrip(spark, sf_dir):
+    """zarr v2 ingestion (backends.open_zarr; reference
+    xarray/backends/zarr.py:1471): daily revenue written as a chunked,
+    zlib-compressed zarr store, re-opened CHUNK-PARALLEL (one task per
+    chunk via mapInPandas) and re-keyed to epoch seconds."""
+    import numpy as np
+    import tempfile
+    from xarray_spark.backends import to_zarr, open_zarr
+    daily = _daily_revenue(spark, sf_dir).df.orderBy("l_shipdate").toPandas()
+    ship_ns = daily["l_shipdate"].to_numpy().astype("datetime64[ns]").astype("int64")
+    secs = (ship_ns // 1_000_000_000).astype("float64")
+    store = tempfile.mkdtemp(prefix="q72_") + "/rev.zarr"
+    to_zarr(
+        {"rev": (["t_epoch"], daily["rev"].to_numpy("float64"))},
+        store,
+        dims={"t_epoch": secs},
+        chunks={"rev": [256]},
+    )
+    ds = open_zarr(spark, store)
+    return ds.df.select("t_epoch", "rev")
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -993,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_datatree": q68_datatree,
         "q69_bpe_token_count": q69_bpe_token_count,
         "q70_ffill_segmented": q70_ffill_segmented,
+        "q71_netcdf_roundtrip": q71_netcdf_roundtrip,
+        "q72_zarr_roundtrip": q72_zarr_roundtrip,
     }
 
 
@@ -1518,6 +1581,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT ts,
                    ROUND(LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS v
             FROM m
+        """,
+        "q71_netcdf_roundtrip": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   ROUND(AVG(o_totalprice) + 1e-9, 6) AS avg_total
+            FROM orders GROUP BY 1
+        """,
+        "q72_zarr_roundtrip": f"""
+            WITH daily AS ({_DAILY_SQL})
+            SELECT CAST(epoch(l_shipdate) AS DOUBLE) AS t_epoch, rev
+            FROM daily
         """,
         "q69_bpe_token_count": r"""
             WITH t AS (

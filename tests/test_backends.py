@@ -1,0 +1,177 @@
+"""netCDF-3 classic and zarr v2 backends: byte-level roundtrips and the
+long-form open paths (driver-side nc, chunk-parallel zarr)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from xarray_spark import open_dataset
+from xarray_spark.backends import (
+    open_dataset_netcdf,
+    open_mfdataset_netcdf,
+    open_zarr,
+    read_netcdf3,
+    read_zarr_array,
+    to_zarr,
+    write_netcdf3,
+)
+
+
+@pytest.fixture()
+def nc_file(tmp_path):
+    path = str(tmp_path / "sample.nc")
+    t = np.arange(4, dtype="float64")
+    x = np.array([10.0, 20.0, 30.0])
+    temp = np.arange(12, dtype="float64").reshape(4, 3) * 0.5
+    mask = np.array([[1, 2, -9], [3, -9, 4], [5, 6, 7], [8, 9, 10]], dtype="int32")
+    write_netcdf3(
+        path,
+        {"t": 4, "x": 3},
+        {
+            "t": (["t"], t),
+            "x": (["x"], x),
+            "temp": (["t", "x"], temp, {"units": "K"}),
+            "masked": (["t", "x"], mask, {"_FillValue": -9.0, "scale_factor": 2.0}),
+        },
+        attrs={"title": "fixture"},
+    )
+    return path, t, x, temp, mask
+
+
+def test_netcdf3_roundtrip_bytes(nc_file):
+    path, t, x, temp, mask = nc_file
+    meta = read_netcdf3(path)
+    assert meta["dims"] == {"t": 4, "x": 3}
+    assert meta["attrs"]["title"] == "fixture"
+    np.testing.assert_array_equal(meta["vars"]["t"]["data"], t)
+    np.testing.assert_array_equal(meta["vars"]["temp"]["data"], temp)
+    assert meta["vars"]["temp"]["attrs"]["units"] == "K"
+    np.testing.assert_array_equal(meta["vars"]["masked"]["data"], mask)
+
+
+def test_open_dataset_netcdf(spark, nc_file):
+    path, t, x, temp, mask = nc_file
+    ds = open_dataset(spark, path)  # engine inferred from .nc
+    assert sorted(ds.data_vars) == ["masked", "temp"]
+    assert list(ds.dims) == ["t", "x"]
+    rows = {(r["t"], r["x"]): r for r in ds.df.collect()}
+    assert len(rows) == 12
+    assert rows[(0.0, 10.0)]["temp"] == 0.0
+    assert rows[(3.0, 30.0)]["temp"] == 5.5
+    # CF decode from attrs: fill -> null, scale 2x
+    assert rows[(0.0, 30.0)]["masked"] is None
+    assert rows[(0.0, 20.0)]["masked"] == 4.0
+    # and the result is a full XDataset: aggregate over a dim
+    m = ds.mean("x").df.orderBy("t").collect()
+    np.testing.assert_allclose([r["temp"] for r in m], temp.mean(axis=1))
+
+
+def test_open_mfdataset_netcdf_parallel(spark, tmp_path):
+    paths = []
+    for k in range(3):
+        p = str(tmp_path / f"part{k}.nc")
+        t = np.arange(5, dtype="float64") + 5 * k
+        v = t * 2.0
+        write_netcdf3(p, {"t": 5}, {"t": (["t"], t), "v": (["t"], v)})
+        paths.append(p)
+    ds = open_mfdataset_netcdf(spark, paths)
+    rows = ds.df.orderBy("t").collect()
+    assert [r["t"] for r in rows] == [float(i) for i in range(15)]
+    assert [r["v"] for r in rows] == [float(i) * 2 for i in range(15)]
+
+
+def test_netcdf3_record_variables(tmp_path):
+    """Hand-crafted CDF-1 file with an unlimited dim: 2 records of a
+    record var interleave after the fixed var — exercises the reader's
+    record path, which the (fixed-size-only) writer never emits."""
+    path = str(tmp_path / "rec.nc")
+
+    def name(s):
+        b = s.encode()
+        pad = (4 - len(b) % 4) % 4
+        return struct.pack(">i", len(b)) + b + b"\x00" * pad
+
+    hdr = b"CDF\x01" + struct.pack(">i", 2)           # numrecs=2
+    hdr += struct.pack(">ii", 0x0A, 2)                # 2 dims
+    hdr += name("rec") + struct.pack(">i", 0)         # unlimited
+    hdr += name("x") + struct.pack(">i", 2)
+    hdr += struct.pack(">ii", 0, 0)                   # no global attrs
+    hdr += struct.pack(">ii", 0x0B, 2)                # 2 vars
+    fixed_data = np.array([7.0, 8.0], dtype=">f8")
+    rec_data = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=">f8")
+    # var 'base' (fixed, dims [x]) then var 'val' (record, dims [rec, x]);
+    # offsets: header length computed below
+    var1 = name("base") + struct.pack(">i", 1) + struct.pack(">i", 1)
+    var1 += struct.pack(">ii", 0, 0) + struct.pack(">ii", 6, 16)
+    var2 = name("val") + struct.pack(">i", 2) + struct.pack(">ii", 0, 1)
+    var2 += struct.pack(">ii", 0, 0) + struct.pack(">ii", 6, 16)
+    hlen = len(hdr) + len(var1) + 4 + len(var2) + 4
+    body = hdr + var1 + struct.pack(">i", hlen) + var2 + struct.pack(">i", hlen + 16)
+    body += fixed_data.tobytes() + rec_data.tobytes()
+    with open(path, "wb") as f:
+        f.write(body)
+    meta = read_netcdf3(path)
+    assert meta["dims"] == {"rec": 2, "x": 2}
+    np.testing.assert_array_equal(meta["vars"]["base"]["data"], [7.0, 8.0])
+    np.testing.assert_array_equal(meta["vars"]["val"]["data"], [[1.0, 2.0], [3.0, 4.0]])
+
+
+@pytest.fixture()
+def zarr_store(tmp_path):
+    store = str(tmp_path / "store.zarr")
+    t = np.arange(10, dtype="float64")
+    x = np.array([1.5, 2.5, 3.5])
+    v = np.arange(30, dtype="float64").reshape(10, 3)
+    w = (np.arange(30, dtype="int32") % 7).reshape(10, 3)
+    to_zarr(
+        {"v": (["t", "x"], v), "w": (["t", "x"], w)},
+        store,
+        dims={"t": t, "x": x},
+        chunks={"v": [4, 2], "w": [4, 2]},
+    )
+    return store, t, x, v, w
+
+
+def test_zarr_array_roundtrip(zarr_store):
+    store, t, x, v, w = zarr_store
+    np.testing.assert_array_equal(read_zarr_array(store, "t"), t)
+    np.testing.assert_array_equal(read_zarr_array(store, "v"), v)
+    np.testing.assert_array_equal(read_zarr_array(store, "w"), w)
+    # chunk files exist with the expected grid (3 x 2 chunks for 10x3 / 4x2)
+    keys = [k for k in os.listdir(os.path.join(store, "v")) if not k.startswith(".")]
+    assert sorted(keys) == ["0.0", "0.1", "1.0", "1.1", "2.0", "2.1"]
+
+
+def test_open_zarr_chunk_parallel(spark, zarr_store):
+    store, t, x, v, w = zarr_store
+    ds = open_zarr(spark, store)
+    assert sorted(ds.data_vars) == ["v", "w"]
+    rows = {(r["t"], r["x"]): (r["v"], r["w"]) for r in ds.df.collect()}
+    assert len(rows) == 30
+    for i, tv in enumerate(t):
+        for j, xv in enumerate(x):
+            assert rows[(tv, xv)] == (v[i, j], w[i, j])
+    agg = ds.sum("t").df.orderBy("x").collect()
+    np.testing.assert_allclose([r["v"] for r in agg], v.sum(axis=0))
+
+
+def test_open_zarr_uncompressed_and_missing_chunk(spark, tmp_path):
+    from xarray_spark.backends import write_zarr_array
+    store = str(tmp_path / "raw.zarr")
+    os.makedirs(store)
+    import json
+    with open(os.path.join(store, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    arr = np.arange(8, dtype="float64")
+    write_zarr_array(store, "a", arr, ["t"], chunks=[4], compressor=None)
+    # declare fill_value and delete the second chunk -> fill
+    zpath = os.path.join(store, "a", ".zarray")
+    za = json.load(open(zpath))
+    za["fill_value"] = -1.0
+    json.dump(za, open(zpath, "w"))
+    os.remove(os.path.join(store, "a", "1"))
+    ds = open_zarr(spark, store)
+    got = [r["a"] for r in ds.df.orderBy("t").collect()]
+    assert got == [0.0, 1.0, 2.0, 3.0, -1.0, -1.0, -1.0, -1.0]

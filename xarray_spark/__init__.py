@@ -27,6 +27,14 @@ from xarray_spark.io import (
     range_index,
     linspace_index,
 )
+from xarray_spark.backends import (
+    open_dataset_netcdf,
+    open_mfdataset_netcdf,
+    open_zarr,
+    read_netcdf3,
+    to_zarr,
+    write_netcdf3,
+)
 from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
 from xarray_spark.alignment import align, broadcast, salted_join, sel_points_nearest
 from xarray_spark.computation import convert_calendar, date_range_like, infer_freq
@@ -62,7 +70,13 @@ __all__ = [
     "XDataArray",
     "get_spark",
     "open_dataset",
+    "open_dataset_netcdf",
     "open_mfdataset",
+    "open_mfdataset_netcdf",
+    "open_zarr",
+    "read_netcdf3",
+    "to_zarr",
+    "write_netcdf3",
     "from_pandas",
     "from_dataframe",
     "from_dict",

@@ -24,16 +24,32 @@ def open_dataset(
     dims: Sequence[str] | None = None,
     coords: Mapping[str, Sequence[str]] | None = None,
     decoders: Mapping[str, object] | None = None,
+    engine: str | None = None,
+    variables: Sequence[str] | None = None,
 ) -> XDataset:
     """Lazy scan (xarray/backends/api.py:395).
 
-    If the path holds an ``_xschema.json`` sidecar (written by
-    ``XDataset.to_parquet``), dims/coords are recovered from it.
+    ``engine`` selects the backend: ``'parquet'`` (default), or
+    ``'netcdf'`` / ``'zarr'`` (backends.py — pure-python classic-CDF and
+    zarr-v2 readers; inferred from a ``.nc`` suffix or a ``.zgroup``
+    marker when omitted).  For parquet, an ``_xschema.json`` sidecar
+    (written by ``XDataset.to_parquet``) recovers dims/coords.
     ``decoders`` optionally applies CF-style decode expressions at scan
     time (mask/scale/offset — xarray/coding/variables.py:269,:493):
     ``{var: (fill_value, scale, offset)}`` →
     ``(when(col==fill, null) * scale + offset)``.
     """
+    if engine is None:
+        if path.endswith((".nc", ".cdf", ".nc3")):
+            engine = "netcdf"
+        elif path.endswith(".zarr") or os.path.exists(os.path.join(path, ".zgroup")):
+            engine = "zarr"
+    if engine == "netcdf":
+        from xarray_spark.backends import open_dataset_netcdf
+        return open_dataset_netcdf(spark, path, variables=variables, decoders=decoders)
+    if engine == "zarr":
+        from xarray_spark.backends import open_zarr
+        return open_zarr(spark, path, variables=variables)
     df = spark.read.parquet(path)
     meta_path = os.path.join(path, "_xschema.json")
     data_vars = None
