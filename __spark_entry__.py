@@ -973,6 +973,85 @@ def q72_zarr_roundtrip(spark, sf_dir):
     return ds.df.select("t_epoch", "rev")
 
 
+def _exp_model(x, a, b):
+    import numpy as np
+    return a * np.exp(b * x)
+
+
+def q73_curvefit(spark, sf_dir):
+    """Nonlinear least-squares per group (computation.curvefit — numpy
+    Levenberg-Marquardt in applyInPandas; xarray/computation/fit.py:311).
+    Exact exponential data is built per returnflag from the parquet
+    labels, so the fit must recover the closed-form parameters — the
+    oracle states the ground truth."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity")
+        .where(F.col("l_quantity") <= 50)
+        .distinct()
+    )
+    base = li.withColumn(
+        "y",
+        (F.lit(2.0) + F.ascii("l_returnflag") / 100.0)
+        * F.exp(F.lit(-0.05) * F.col("l_quantity")),
+    )
+    ds = XDataset(base, dims=["l_returnflag", "l_quantity"], data_vars=["y"])
+    out = ds.curvefit("l_quantity", _exp_model, p0=[1.0, -0.01], param_names=["a", "b"])
+    return out.df.select(
+        "l_returnflag", "param",
+        _r6(F.col("y_curvefit_coefficients")).alias("y_fit"),
+    )
+
+
+def q74_quantile_methods(spark, sf_dir):
+    """Non-linear quantile interpolation methods (numpy method matrix,
+    xarray core/variable.py:1929) via the distributed order-statistic
+    path — the oracle recomputes 'midpoint' and 'lower' from raw
+    row_number order statistics in SQL."""
+    li = _lineitem(spark, sf_dir)
+    da = li["l_extendedprice"]
+    mid = da.quantile([0.25, 0.5, 0.9], method="midpoint").to_spark()
+    low = da.quantile([0.25, 0.5, 0.9], method="lower").to_spark()
+    return (
+        mid.select("quantile", _r4(F.col("l_extendedprice")).alias("v"),
+                   F.lit("midpoint").alias("method"))
+        .unionByName(
+            low.select("quantile", _r4(F.col("l_extendedprice")).alias("v"),
+                       F.lit("lower").alias("method")))
+    )
+
+
+def q75_interp_zero(spark, sf_dir):
+    """Zero-order-hold gap fill (interpolate_na method='zero';
+    xarray core/missing.py:486 interp1d kind='zero') — interior gaps
+    take the previous valid value, boundary nulls stay null."""
+    daily = _masked_purchase_daily(spark, sf_dir)
+    out = daily.interpolate_na("ts", method="zero")
+    return out.assign(v=_r6(F.col("v"))).to_spark()
+
+
+def q76_interp_quadratic(spark, sf_dir):
+    """Local polynomial gap interpolation (interpolate_na
+    method='quadratic' — order-2 Lagrange via applyInPandas).  The
+    series IS a quadratic of the day ordinal, so the fill must recover
+    it exactly; the oracle states the closed form."""
+    days = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+    base = days.withColumn("i", (F.row_number().over(Window.orderBy("d")) - 1).cast("long"))
+    base = base.withColumn(
+        "y",
+        F.when(F.col("i") % 4 != 1,
+               0.5 * F.col("i") * F.col("i") - 3.0 * F.col("i") + 7.0),
+    )
+    ds = XDataset(base.select("i", "y"), dims=["i"])
+    out = ds.interpolate_na("i", method="quadratic")
+    return out.to_spark().select("i", _r6(F.col("y")).alias("y"))
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1056,6 +1135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_ffill_segmented": q70_ffill_segmented,
         "q71_netcdf_roundtrip": q71_netcdf_roundtrip,
         "q72_zarr_roundtrip": q72_zarr_roundtrip,
+        "q73_curvefit": q73_curvefit,
+        "q74_quantile_methods": q74_quantile_methods,
+        "q75_interp_zero": q75_interp_zero,
+        "q76_interp_quadratic": q76_interp_quadratic,
     }
 
 
@@ -1592,6 +1675,54 @@ def oracle_sql() -> dict[str, str]:
             WITH daily AS ({_DAILY_SQL})
             SELECT CAST(epoch(l_shipdate) AS DOUBLE) AS t_epoch, rev
             FROM daily
+        """,
+        "q73_curvefit": """
+            WITH flags AS (SELECT DISTINCT l_returnflag FROM lineitem)
+            SELECT l_returnflag, 'a' AS param,
+                   ROUND(2.0 + ascii(l_returnflag) / 100.0 + 1e-9, 6) AS y_fit
+            FROM flags
+            UNION ALL
+            SELECT l_returnflag, 'b' AS param,
+                   ROUND(-0.05 + 1e-9, 6) AS y_fit
+            FROM flags
+        """,
+        "q74_quantile_methods": """
+            WITH r AS (
+              SELECT l_extendedprice AS v,
+                     row_number() OVER (ORDER BY l_extendedprice) - 1 AS rnk,
+                     COUNT(*) OVER () AS n
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), q(q) AS (VALUES (0.25), (0.5), (0.9)),
+            st AS (
+              SELECT q.q,
+                MAX(CASE WHEN rnk = CAST(floor((n-1)*q.q) AS BIGINT) THEN v END) AS lo,
+                MAX(CASE WHEN rnk = CAST(ceil((n-1)*q.q) AS BIGINT) THEN v END) AS hi
+              FROM r CROSS JOIN q GROUP BY q.q
+            )
+            SELECT q AS quantile, ROUND((lo + hi) / 2 + 1e-8, 4) AS v,
+                   'midpoint' AS method
+            FROM st
+            UNION ALL
+            SELECT q, ROUND(lo + 1e-8, 4), 'lower' FROM st
+        """,
+        "q75_interp_zero": f"""
+            WITH m AS ({_MASKED_SQL})
+            SELECT ts,
+                   ROUND(CASE
+                     WHEN v IS NOT NULL THEN v
+                     WHEN LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+                      AND FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) IS NOT NULL
+                     THEN LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   END + 1e-9, 6) AS v
+            FROM m
+        """,
+        "q76_interp_quadratic": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS d FROM orders),
+            idx AS (SELECT row_number() OVER (ORDER BY d) - 1 AS i FROM days)
+            SELECT CAST(i AS BIGINT) AS i,
+                   ROUND(CASE WHEN i % 4 <> 1 OR i < (SELECT MAX(i) FROM idx)
+                         THEN 0.5*i*i - 3.0*i + 7.0 END + 1e-9, 6) AS y
+            FROM idx
         """,
         "q69_bpe_token_count": r"""
             WITH t AS (

@@ -161,6 +161,80 @@ def test_ungrouped_quantile_plan_has_no_percentile_buffer(spark):
     assert med.df.collect()[0]["v"] == pytest.approx(float(np.median(VALUES)))
 
 
+def test_interpolate_na_zero_hold(spark):
+    rows = [
+        {"t": 0, "v": 1.0}, {"t": 1, "v": None}, {"t": 2, "v": None},
+        {"t": 3, "v": 4.0}, {"t": 4, "v": None},
+    ]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    got = {r["t"]: r["v"] for r in d.interpolate_na("t", method="zero").df.collect()}
+    # interior gaps hold the previous value; the trailing null stays null
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 4.0, 4: None}
+
+
+def test_interpolate_na_quadratic_exact_on_parabola(spark):
+    # y = x^2 with interior holes: order-2 Lagrange recovers it exactly
+    rows = [{"t": float(i), "v": float(i * i) if i % 3 != 1 else None}
+            for i in range(12)]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double"), dims=["t"])
+    got = {r["t"]: r["v"] for r in d.interpolate_na("t", method="quadratic").df.collect()}
+    for i in range(1, 11):
+        assert got[float(i)] == pytest.approx(float(i * i), abs=1e-9), i
+    # t=10 is a trailing hole? i=10 -> 10%3==1 -> null and interior (11 valid after) -> filled
+
+
+def test_interpolate_na_polynomial_grouped(spark):
+    rows = []
+    for g in range(2):
+        for i in range(10):
+            v = float((g + 1) * i ** 3 - 2 * i) if i not in (4, 5) else None
+            rows.append({"g": g, "t": float(i), "v": v})
+    d = XDataset(spark.createDataFrame(rows, "g int, t double, v double"), dims=["g", "t"])
+    out = d.interpolate_na("t", method="polynomial", order=3)
+    got = {(r["g"], r["t"]): r["v"] for r in out.df.collect()}
+    for g in range(2):
+        for i in (4, 5):
+            assert got[(g, float(i))] == pytest.approx(float((g + 1) * i ** 3 - 2 * i), abs=1e-7)
+
+
+def test_curvefit_exponential_recovery(spark):
+    import math
+    # two groups with different (a, b); exact data -> LM recovers params
+    rows = []
+    for g, (a, b) in enumerate([(5.0, -0.7), (2.0, -0.3)]):
+        for i in range(40):
+            x = i * 0.25
+            rows.append({"g": g, "x": x, "y": a * math.exp(b * x)})
+    d = XDataset(spark.createDataFrame(rows), dims=["g", "x"])
+
+    def model(x, a, b):
+        import numpy as np
+        return a * np.exp(b * x)
+
+    out = d.curvefit("x", model, p0=[1.0, -0.1], param_names=["a", "b"])
+    got = {(r["g"], r["param"]): r["y_curvefit_coefficients"] for r in out.df.collect()}
+    assert got[(0, "a")] == pytest.approx(5.0, abs=1e-8)
+    assert got[(0, "b")] == pytest.approx(-0.7, abs=1e-8)
+    assert got[(1, "a")] == pytest.approx(2.0, abs=1e-8)
+    assert got[(1, "b")] == pytest.approx(-0.3, abs=1e-8)
+
+
+def test_curvefit_ungrouped_and_nulls(spark):
+    import math
+    rows = [{"x": float(i), "y": 3.0 * math.exp(-0.2 * i) if i % 5 else None}
+            for i in range(1, 60)]
+    d = XDataset(spark.createDataFrame(rows, "x double, y double"), dims=["x"])
+
+    def model(x, a, b):
+        import numpy as np
+        return a * np.exp(b * x)
+
+    out = d.curvefit("x", model, p0=[1.0, -0.05], param_names=["a", "b"])
+    got = {r["param"]: r["y_curvefit_coefficients"] for r in out.df.collect()}
+    assert got["a"] == pytest.approx(3.0, abs=1e-7)
+    assert got["b"] == pytest.approx(-0.2, abs=1e-7)
+
+
 def test_eval_comparison_not_assignment(spark):
     rows = [{"t": 1, "a": 2.0, "b": 3.0}, {"t": 2, "a": 4.0, "b": 1.0}]
     d = XDataset(spark.createDataFrame(rows), dims=["t"], data_vars=["a", "b"])

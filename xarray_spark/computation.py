@@ -154,15 +154,98 @@ def polyfit(ds: XDataset, dim: str, deg: int) -> XDataset:
     return XDataset(result, ["degree"] + others, {}, [f"{v}_polyfit_coefficients" for v in varlist], ds.attrs)
 
 
-def curvefit(ds: XDataset, coords: str, func: Callable, p0: Sequence[float] | None = None) -> XDataset:
-    """scipy.optimize.curve_fit per group (xarray/computation/fit.py:311)
-    → applyInPandas.  Requires scipy; gated import."""
+def curvefit(ds: XDataset, coords: str, func: Callable,
+             p0: Sequence[float], param_names: Sequence[str] | None = None,
+             maxiter: int = 100) -> XDataset:
+    """Nonlinear least-squares fit per group
+    (xarray/computation/fit.py:311 Dataset.curvefit).
+
+    numpy-only Levenberg–Marquardt with a forward-difference Jacobian —
+    no scipy in the image, and none needed: the damping loop is a dozen
+    lines.  ``func(x, *params) -> y`` must be numpy-vectorized.  One
+    Arrow batch per group via ``applyInPandas``: the fact table shuffles
+    once on the complement dims, each group's series is fit executor-side
+    (groups are series-sized, never corpus-sized).  Result: a ``param``
+    dim with ``{var}_curvefit_coefficients`` per data var — the
+    reference's naming (fit.py:560).
+    """
+    import numpy as np
     import pandas as pd
-    try:
-        from scipy.optimize import curve_fit as _cf  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("curvefit requires scipy (not in this image)") from e
-    raise NotImplementedError("curvefit: wire through applyInPandas once scipy is available")
+
+    dim = coords
+    others = [d for d in ds.dims if d != dim]
+    varlist = list(ds.data_vars)
+    n_par = len(p0)
+    names = list(param_names) if param_names is not None else [f"p{i}" for i in range(n_par)]
+    if len(names) != n_par:
+        raise ValueError("param_names length must match p0")
+    p0 = [float(p) for p in p0]
+    from xarray_spark._utils import to_double
+    xcol = to_double(F.col(dim), ds.df.schema[dim].dataType)
+    base = ds.df.select(*others, xcol.alias("__x"), *varlist)
+
+    out_fields = [base.schema[o] for o in others] + [T.StructField("param", T.StringType())] + [
+        T.StructField(f"{v}_curvefit_coefficients", T.DoubleType()) for v in varlist
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def _fit(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+        p = np.array(p0, dtype="float64")
+        if len(x) < n_par:
+            return np.full(n_par, np.nan)
+        lam = 1e-3
+        for _ in range(maxiter):
+            f = func(x, *p)
+            r = y - f
+            sse = float(r @ r)
+            # forward-difference Jacobian
+            J = np.empty((len(x), n_par))
+            for k in range(n_par):
+                dk = 1e-7 * max(abs(p[k]), 1.0)
+                pk = p.copy()
+                pk[k] += dk
+                J[:, k] = (func(x, *pk) - f) / dk
+            A = J.T @ J
+            g = J.T @ r
+            moved = False
+            for _damp in range(12):
+                try:
+                    dp = np.linalg.solve(A + lam * np.diag(np.diag(A) + 1e-12), g)
+                except np.linalg.LinAlgError:
+                    dp, *_ = np.linalg.lstsq(A, g, rcond=None)
+                p_try = p + dp
+                r_try = y - func(x, *p_try)
+                if float(r_try @ r_try) <= sse:
+                    p, lam, moved = p_try, max(lam * 0.3, 1e-14), True
+                    break
+                lam *= 10.0
+            if not moved or float(np.abs(dp).max()) < 1e-14:
+                break
+        return p
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        keys = {o: pdf[o].iloc[0] for o in others}
+        fitted = {}
+        for v in varlist:
+            sub = pdf[["__x", v]].dropna()
+            fitted[v] = _fit(sub["__x"].to_numpy("float64"), sub[v].to_numpy("float64"))
+        for i, nm in enumerate(names):
+            row = dict(keys)
+            row["param"] = nm
+            for v in varlist:
+                row[f"{v}_curvefit_coefficients"] = float(fitted[v][i])
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+    if others:
+        result = base.groupBy(*others).applyInPandas(fit_group, out_schema)
+    else:
+        result = base.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: fit_group(pdf.drop(columns="__g")), out_schema
+        )
+    return XDataset(result, ["param"] + others, {},
+                    [f"{v}_curvefit_coefficients" for v in varlist], ds.attrs)
 
 
 def integrate(ds: XDataset, coord: str) -> XDataset:

@@ -1553,9 +1553,10 @@ class XDataset:
         from xarray_spark.missing import bfill
         return bfill(self, dim, limit)
 
-    def interpolate_na(self, dim: str, method: str = "linear", limit=None, max_gap=None) -> "XDataset":
+    def interpolate_na(self, dim: str, method: str = "linear", limit=None,
+                       max_gap=None, order=None) -> "XDataset":
         from xarray_spark.missing import interpolate_na
-        return interpolate_na(self, dim, method, limit, max_gap)
+        return interpolate_na(self, dim, method, limit, max_gap, order)
 
     def reindex(self, indexers=None, method=None, tolerance=None, fill_value=None, **kw) -> "XDataset":
         from xarray_spark.alignment import reindex
@@ -1718,9 +1719,9 @@ class XDataset:
         from xarray_spark.computation import polyfit
         return polyfit(self, dim, deg)
 
-    def curvefit(self, coords, func, p0=None):
+    def curvefit(self, coords, func, p0, param_names=None, maxiter: int = 100):
         from xarray_spark.computation import curvefit
-        return curvefit(self, coords, func, p0)
+        return curvefit(self, coords, func, p0, param_names, maxiter)
 
     def map_blocks(self, func, schema=None) -> "XDataset":
         """Partition-wise UDF (xarray/core/parallel.py:228) → mapInPandas."""

@@ -100,16 +100,34 @@ def _as_double(col: Column, dtype: T.DataType) -> Column:
 
 
 def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
-                   limit: int | None = None, max_gap=None) -> XDataset:
-    """Linear gap interpolation along dim (xarray/core/missing.py:331).
+                   limit: int | None = None, max_gap=None,
+                   order: int | None = None) -> XDataset:
+    """Gap interpolation along dim (xarray/core/missing.py:331).
 
-    For each null run: previous valid (x0,y0) via a backward scan, next
-    valid (x1,y1) via a forward scan, fill y0 + (y1-y0)*(x-x0)/(x1-x0).
-    Leading/trailing nulls stay null (xarray default: interior only via
-    np.interp limits when use_coordinate & no extrapolation).
+    Methods (reference matrix core/missing.py:486):
+
+    - ``linear`` / ``slinear``: window expressions — previous valid
+      (x0,y0) via a backward scan, next valid (x1,y1) forward, blend.
+    - ``nearest``: closer of the two neighbors.
+    - ``zero``: zero-order hold (previous valid value), interior only.
+    - ``polynomial`` (with ``order``), ``quadratic`` (order 2),
+      ``cubic`` (order 3): local Lagrange interpolation through the
+      ``order+1`` nearest valid points, numpy per series via
+      applyInPandas (scipy's spline variants are B-splines; the local
+      polynomial is the numpy-only equivalent and is exact on data that
+      IS a polynomial of that order).
+
+    Leading/trailing nulls stay null (xarray default: interior only).
     """
-    if method not in ("linear", "nearest"):
-        raise NotImplementedError(f"interpolate_na method {method!r} — scipy families via apply_ufunc")
+    if method in ("quadratic", "cubic", "polynomial"):
+        o = {"quadratic": 2, "cubic": 3}.get(method, order)
+        if o is None:
+            raise ValueError("method='polynomial' requires order=")
+        return _interpolate_na_poly(ds, dim, int(o), limit, max_gap)
+    if method == "slinear":
+        method = "linear"
+    if method not in ("linear", "nearest", "zero"):
+        raise NotImplementedError(f"interpolate_na method {method!r}")
     others = [d for d in ds.dims if d != dim]
     back = Window.partitionBy(*others).orderBy(dim).rowsBetween(Window.unboundedPreceding, 0)
     fwd = Window.partitionBy(*others).orderBy(dim).rowsBetween(0, Window.unboundedFollowing)
@@ -131,6 +149,8 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
             if method == "linear":
                 blend = y0 + (y1 - y0) * (x - x0) / (x1 - x0)
                 interp = F.when(x1 == x0, y0).otherwise(blend)
+            elif method == "zero":
+                interp = y0
             else:  # nearest
                 interp = F.when((x - x0) <= (x1 - x), y0).otherwise(y1)
             can_fill = x0.isNotNull() & x1.isNotNull()
@@ -151,6 +171,64 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
         elif c != "__rn":
             exprs.append(F.col(c))
     return ds._replace(df=df.select(*exprs))
+
+
+def _interpolate_na_poly(ds: XDataset, dim: str, order: int,
+                         limit: int | None, max_gap) -> XDataset:
+    """Local Lagrange gap fill: each null takes the exact-fit polynomial
+    through the ``order+1`` nearest valid points.  One Arrow batch per
+    complement-dim group (a global series buffers in one group — same
+    shape as the reference's numpy execution; segment first if the
+    series itself is corpus-sized)."""
+    import numpy as np
+    import pandas as pd
+
+    others = [d for d in ds.dims if d != dim]
+    varlist = list(ds.data_vars)
+    gap = None
+    if max_gap is not None:
+        gap = float(max_gap.total_seconds()) if hasattr(max_gap, "total_seconds") else float(max_gap)
+    xdtype = ds.df.schema[dim].dataType
+    xnum = _as_double(F.col(dim), xdtype)
+    base = ds.df.withColumn("__x", xnum)
+    schema = base.drop("__x").schema
+
+    def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__x").reset_index(drop=True)
+        x = pdf["__x"].to_numpy("float64")
+        for v in varlist:
+            y = pdf[v].to_numpy("float64")
+            valid = ~np.isnan(y)
+            xv, yv = x[valid], y[valid]
+            if len(xv) < order + 1:
+                continue
+            vidx = np.flatnonzero(valid)
+            for i in np.flatnonzero(~valid):
+                # interior only: need a valid point on both sides
+                pos = np.searchsorted(vidx, i)
+                if pos == 0 or pos == len(vidx):
+                    continue
+                if gap is not None and (x[vidx[pos]] - x[vidx[pos - 1]]) > gap:
+                    continue
+                if limit is not None and (i - vidx[pos - 1]) > limit:
+                    continue
+                d = np.abs(xv - x[i])
+                near = np.argsort(d, kind="stable")[: order + 1]
+                # center on the fill point: the Vandermonde of raw
+                # coordinates is catastrophically conditioned for large
+                # ordinals; centered, the constant term IS the value
+                c = np.polyfit(xv[near] - x[i], yv[near], order)
+                y[i] = float(c[-1])
+            pdf[v] = y
+        return pdf.drop(columns="__x")
+
+    if others:
+        out = base.groupBy(*others).applyInPandas(fill_group, schema)
+    else:
+        out = base.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: fill_group(pdf.drop(columns="__g")), schema
+        )
+    return ds._replace(df=out)
 
 
 def interp(ds: XDataset, coords: dict, method: str = "linear") -> XDataset:
