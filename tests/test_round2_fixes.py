@@ -197,6 +197,45 @@ def test_interpolate_na_polynomial_grouped(spark):
             assert got[(g, float(i))] == pytest.approx(float((g + 1) * i ** 3 - 2 * i), abs=1e-7)
 
 
+def test_embedding_near_dups_banded_recall(spark):
+    """Clusters of near-identical vectors: every intra-cluster pair has
+    cosine ≥ 0.999 and must be found by the banded sign-LSH (and nothing
+    below threshold may appear — the exact re-rank guarantees that)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rows = []
+    truth = set()
+    vid = 0
+    vecs = {}
+    for c in range(20):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        members = []
+        for m in range(3):
+            v = base + rng.normal(size=16) * 1e-3
+            rows.append((vid, [float(x) for x in v]))
+            vecs[vid] = v
+            members.append(vid)
+            vid += 1
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                truth.add((a, b))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from xarray_spark.extras.similarity import embedding_near_dups
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dups(df, threshold=0.95, dim=16).collect()}
+    # exact: verified candidates only, and banded recall finds every pair
+    brute = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            cs = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if cs >= 0.95:
+                brute.add((a, b))
+    assert truth <= brute
+    assert got == brute
+
+
 def test_curvefit_exponential_recovery(spark):
     import math
     # two groups with different (a, b); exact data -> LM recovers params

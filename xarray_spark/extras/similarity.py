@@ -13,7 +13,7 @@ import math
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -200,6 +200,62 @@ def lsh_topk_multiprobe(
     )
 
 
+def ivf_fit(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list:
+    """Fit the IVF coarse quantizer ONCE: distributed KMeans over the
+    corpus, returning the (driver-small) centroid list.
+
+    Codebook lifecycle (the 100 TB discipline): fit on ingest or on a
+    sample, persist the centroids (they are a few KB — a sidecar JSON
+    or literal list), and hand them to every ``ivf_topk`` call.  The
+    query path then contains NO iterative ML jobs — assignment and cell
+    probing are pure literal expressions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(vec_col).cast("array<double>").alias("__cv")
+    ).withColumn("__vec", array_to_vector("__cv"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell")
+    model = km.fit(c)
+    return [list(v) for v in model.clusterCenters()]
+
+
+def _nearest_cells(vec: Column, centroids: list, n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids — a literal-expression
+    sort over the tiny codebook, fully codegen'd, no join and no ML."""
+    def l2(center):
+        arr = F.array(*[F.lit(float(x)) for x in center])
+        diff = F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+
+    dists = F.array(*[
+        F.struct(l2(center).alias("d"), F.lit(i).alias("cell"))
+        for i, center in enumerate(centroids)
+    ])
+    return F.slice(F.array_sort(dists), 1, n).getField("cell")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest cell — one expression
+    pass; the result is what you would bucket/partition by ``__cell``
+    and persist for repeated querying."""
+    return corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cell", _nearest_cells(F.col("__cv"), centroids, 1)[0])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -210,45 +266,27 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     seed: int = 7,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer,
     probe the ``n_probe`` nearest cells per query, exact re-rank inside.
 
     The 100 TB shape: corpus partitioned by cell id (one assignment
-    pass), each query touches n_probe/n_cells of the data.  Uses Spark
-    ML's distributed KMeans for the codebook; centroids are
-    driver-small by construction.
+    pass), each query touches n_probe/n_cells of the data.  Pass
+    ``centroids`` from a prior ``ivf_fit`` so the query plan holds no
+    KMeans jobs; omitting it fits in place (exploratory use only).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
     cos = _cosine_batch_udf()
-    c = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__vec", array_to_vector("__cv"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell")
-    model = km.fit(c)
-    assigned = model.transform(c).select("nid", "__cv", "__cell")
-    centroids = [list(v) for v in model.clusterCenters()]
+    if centroids is None:
+        centroids = ivf_fit(corpus, n_cells, vec_col, seed)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    # nearest n_probe centroids per query — centroid list is tiny, so
-    # the ranking is a literal-expression sort, no join
-    def l2(center):
-        arr = F.array(*[F.lit(float(x)) for x in center])
-        diff = F.zip_with(F.col("__qv"), arr, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
-
-    dists = F.array(*[
-        F.struct(l2(center).alias("d"), F.lit(i).alias("cell"))
-        for i, center in enumerate(centroids)
-    ])
     probed = q.withColumn(
-        "__cell", F.explode(F.slice(F.array_sort(dists), 1, n_probe).getField("cell"))
+        "__cell", F.explode(_nearest_cells(F.col("__qv"), centroids, n_probe))
     )
     cand = assigned.join(F.broadcast(probed), on="__cell", how="inner").where(
         F.col("nid") != F.col(query_id_col)
@@ -269,25 +307,53 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_bands: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed
-    (sign-LSH collision probability 1−θ/π per plane).  The candidate
-    stream is scored with the Arrow-batched numpy cosine."""
-    planes = _deterministic_planes(n_planes, dim)
+    """Near-duplicate pairs by cosine ≥ threshold: BANDED sign-LSH
+    (n_bands independent tables of n_planes hyperplanes each — the same
+    OR-of-ANDs construction the minhash path uses), exact Arrow-batched
+    cosine re-rank, dedup across bands.
+
+    Scale shape: 2^n_planes buckets PER BAND bounds the quadratic
+    within-bucket self-join (16 planes ≈ 65k buckets/band); recall is
+    recovered across bands, 1−(1−p^n)^L with p = 1−θ/π — at the
+    defaults ≈ 0.8 for pairs AT cosine 0.95 and > 0.999 for true
+    near-dups (cosine ≥ 0.999), where one 8-plane table (256 buckets,
+    quadratic blow-up) or one 20-plane table (12 % recall) both fail.
+    Grow ``n_planes`` with corpus size, ``n_bands`` with the recall
+    target.
+    """
+    planes = _deterministic_planes(n_planes * n_bands, dim)
     cos = _cosine_batch_udf()
-    sig = df.select(
+    base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("__bucket", hyperplane_signature(F.col("__v"), planes))
+    )
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            hyperplane_signature(
+                F.col("__v"), planes[b * n_planes:(b + 1) * n_planes]
+            ).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ])
+    sig = base.select(id_col, "__v", F.explode(bands).alias("__b")).select(
+        id_col, "__v",
+        F.col("__b.band").alias("__band"), F.col("__b.bucket").alias("__bucket"),
+    )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
-        a.join(b, on="__bucket", how="inner")
+        a.join(b, on=["__band", "__bucket"], how="inner")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cos(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cos(F.col("__va"), F.col("__vb")).alias("cos"))
     )
     return cand.where(F.col("cos") >= threshold)
