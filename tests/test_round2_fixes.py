@@ -197,6 +197,83 @@ def test_interpolate_na_polynomial_grouped(spark):
             assert got[(g, float(i))] == pytest.approx(float((g + 1) * i ** 3 - 2 * i), abs=1e-7)
 
 
+def _str_da(spark, values):
+    from xarray_spark import XDataArray
+    rows = [{"i": i, "s": v} for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "i int, s string")
+    return XDataArray(df, ["i"], {}, ["s"])
+
+
+def test_str_accessor_tail(spark):
+    da = _str_da(spark, ["a-b-c", "plain", "Hello World", "xxabcxx"])
+    rp = {r["i"]: r["s"] for r in da.str.rpartition("-").df.collect()}
+    assert (rp[0]["head"], rp[0]["sep"], rp[0]["tail"]) == ("a-b", "-", "c")
+    assert (rp[1]["head"], rp[1]["sep"], rp[1]["tail"]) == ("", "", "plain")
+    ct = {r["i"]: r["s"] for r in da.str.center(9, "*").df.collect()}
+    assert ct[1] == "**plain**"
+    assert ct[2] == "Hello World"
+    rmp = {r["i"]: r["s"] for r in da.str.removeprefix("xx").df.collect()}
+    assert rmp[3] == "abcxx" and rmp[1] == "plain"
+    rms = {r["i"]: r["s"] for r in da.str.removesuffix("xx").df.collect()}
+    assert rms[3] == "xxabc"
+    rf = {r["i"]: r["s"] for r in da.str.rfind("x").df.collect()}
+    assert rf[3] == 6 and rf[1] == -1
+    it = {r["i"]: r["s"] for r in da.str.istitle().df.collect()}
+    assert it[2] is True and it[1] is False
+    nz = {r["i"]: r["s"] for r in da.str.normalize("NFC").df.collect()}
+    assert nz[1] == "plain"
+
+
+def test_str_wrap(spark):
+    da = _str_da(spark, ["the quick brown fox jumps"])
+    out = da.str.wrap(10).df.collect()[0]["s"]
+    assert out == "the quick\nbrown fox\njumps"
+    for line in out.split("\n"):
+        assert len(line) <= 10
+
+
+def test_dt_accessor_tail(spark):
+    import datetime as dt
+    from xarray_spark import XDataArray
+    rows = [
+        {"i": 0, "t": dt.datetime(2000, 3, 31, 5, 6, 7, 123456)},
+        {"i": 1, "t": dt.datetime(2001, 7, 4)},
+    ]
+    df = spark.createDataFrame(rows)
+    da = XDataArray(df, ["i"], {}, ["t"])
+    qe = {r["i"]: r["t"] for r in da.dt.is_quarter_end.df.collect()}
+    assert qe[0] is True and qe[1] is False
+    us = {r["i"]: r["t"] for r in da.dt.microsecond.df.collect()}
+    assert us[0] == 123456 and us[1] == 0
+    dn = {r["i"]: r["t"] for r in da.dt.day_name().df.collect()}
+    assert dn[1] == "Wednesday"
+    mn = {r["i"]: r["t"] for r in da.dt.month_name().df.collect()}
+    assert mn[0] == "March"
+
+
+def test_sel_label_slice_step(spark):
+    rows = [{"t": i, "v": float(i)} for i in range(20)]
+    d = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    out = d.sel(t=slice(3, 15, 4))
+    got = sorted(r["t"] for r in out.df.collect())
+    assert got == [3, 7, 11, 15]
+
+
+def test_identical_and_broadcast_equals(spark):
+    rows = [{"t": i, "v": float(i)} for i in range(5)]
+    a = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    b = XDataset(spark.createDataFrame(rows, "t int, v double"), dims=["t"])
+    assert a.identical(b)
+    c = b._replace(attrs={"note": "x"})
+    assert a.equals(c) and not a.identical(c)
+    # broadcast_equals: constant-over-t equals its reduced form
+    const = XDataset(spark.createDataFrame([{"t": i, "v": 7.0} for i in range(5)],
+                                           "t int, v double"), dims=["t"])
+    scalar = XDataset(spark.createDataFrame([{"v": 7.0}], "v double"), dims=[])
+    assert const.broadcast_equals(scalar)
+    assert not const.equals(scalar)
+
+
 def test_embedding_near_dups_banded_recall(spark):
     """Clusters of near-identical vectors: every intra-cluster pair has
     cosine ≥ 0.999 and must be found by the banded sign-LSH (and nothing
@@ -282,3 +359,78 @@ def test_eval_comparison_not_assignment(spark):
     out2 = d.eval("c = a + b")
     got = {r["t"]: r["c"] for r in out2.df.collect()}
     assert got == {1: 5.0, 2: 5.0}
+
+
+def test_align_override_positional(spark):
+    from xarray_spark.alignment import align
+    a = XDataset(spark.createDataFrame(
+        [(10, 1.0), (20, 2.0), (30, 3.0)], ["t", "v"]), dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        [(11, 5.0), (21, 6.0), (31, 7.0)], ["t", "w"]), dims=["t"])
+    a2, b2 = align(a, b, join="override")
+    # b's labels are rewritten positionally to a's
+    got = {r["t"]: r["w"] for r in b2.df.collect()}
+    assert got == {10: 5.0, 20: 6.0, 30: 7.0}
+    assert sorted(r["t"] for r in a2.df.collect()) == [10, 20, 30]
+
+
+def test_align_override_size_mismatch_raises(spark):
+    from xarray_spark.alignment import align
+    a = XDataset(spark.createDataFrame([(10, 1.0), (20, 2.0)], ["t", "v"]), dims=["t"])
+    b = XDataset(spark.createDataFrame([(11, 5.0)], ["t", "w"]), dims=["t"])
+    with pytest.raises(ValueError, match="override"):
+        align(a, b, join="override")
+
+
+def test_merge_compat_equals_raises_on_difference(spark):
+    from xarray_spark.combine import merge
+    a = XDataset(spark.createDataFrame([(1, 1.0), (2, 2.0)], ["t", "v"]), dims=["t"])
+    b = XDataset(spark.createDataFrame([(1, 1.0), (2, 9.0)], ["t", "v"]), dims=["t"])
+    with pytest.raises(ValueError, match="not equal"):
+        merge([a, b], compat="equals")
+    # equal inputs pass
+    b_ok = XDataset(spark.createDataFrame([(1, 1.0), (2, 2.0)], ["t", "v"]), dims=["t"])
+    out = merge([a, b_ok], compat="equals")
+    assert sorted(r["v"] for r in out.df.collect()) == [1.0, 2.0]
+
+
+def test_merge_compat_equals_null_pattern_strict(spark):
+    from xarray_spark.combine import merge
+    # no_conflicts tolerates null-vs-value; equals must NOT
+    a = XDataset(spark.createDataFrame([(1, None), (2, 2.0)], "t int, v double"), dims=["t"])
+    b = XDataset(spark.createDataFrame([(1, 1.0), (2, 2.0)], "t int, v double"), dims=["t"])
+    merge([a, b], compat="no_conflicts")  # fine
+    with pytest.raises(ValueError, match="not equal"):
+        merge([a, b], compat="equals")
+
+
+def test_merge_compat_identical_checks_attrs(spark):
+    from xarray_spark.combine import merge
+    a = XDataset(spark.createDataFrame([(1, 1.0)], ["t", "v"]), dims=["t"],
+                 attrs={"units": "m"})
+    b = XDataset(spark.createDataFrame([(1, 2.0)], ["t", "w"]), dims=["t"],
+                 attrs={"units": "ft"})
+    with pytest.raises(ValueError, match="attrs"):
+        merge([a, b], compat="identical")
+
+
+def test_merge_compat_broadcast_equals(spark):
+    from xarray_spark.combine import merge
+    # v is constant along s in `b`; a carries v without the s dim
+    a = XDataset(spark.createDataFrame([(1, 5.0), (2, 6.0)], ["t", "v"]), dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        [(1, "x", 5.0), (1, "y", 5.0), (2, "x", 6.0), (2, "y", 6.0)],
+        ["t", "s", "v"]), dims=["t", "s"])
+    out = merge([a, b], compat="broadcast_equals")
+    assert "v" in out.data_vars
+
+
+def test_merge_compat_minimal_drops_overlap(spark):
+    from xarray_spark.combine import merge
+    a = XDataset(spark.createDataFrame([(1, 1.0, 10.0)], ["t", "v", "a_only"]),
+                 dims=["t"], data_vars=["v", "a_only"])
+    b = XDataset(spark.createDataFrame([(1, 9.0, 20.0)], ["t", "v", "b_only"]),
+                 dims=["t"], data_vars=["v", "b_only"])
+    out = merge([a, b], compat="minimal")
+    assert set(out.data_vars) == {"a_only", "b_only"}
+    assert "v" not in out.df.columns

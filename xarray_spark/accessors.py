@@ -2,11 +2,14 @@
 accessor_dt.py:321).
 
 Each method is a columnar transform of the single data var of an
-XDataArray — all JVM-side builtin functions (codegen'd); nothing drops
-to Python.
+XDataArray — JVM-side builtin functions (codegen'd) except
+``str.normalize``, which needs unicodedata and uses an Arrow-batched
+pandas UDF.
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -107,6 +110,76 @@ class StringAccessor(_Accessor):
                 F.when(c.contains(sep), F.regexp_replace(c, f"^.*?{q}", "")).otherwise(F.lit("")).alias("tail"),
             )
         )
+    def rpartition(self, sep: str):
+        """Split on the LAST occurrence (core/accessor_str.py:2408)."""
+        c = self._c
+        q = "\\Q" + sep + "\\E"
+        return self._wrap(
+            F.struct(
+                F.when(c.contains(sep), F.regexp_extract(c, f"^(.*){q}", 1)
+                       ).otherwise(F.lit("")).alias("head"),
+                F.when(c.contains(sep), F.lit(sep)).otherwise(F.lit("")).alias("sep"),
+                F.when(c.contains(sep), F.regexp_extract(c, f".*{q}(.*)$", 1)).otherwise(c).alias("tail"),
+            )
+        )
+
+    def wrap(self, width: int):
+        """Greedy line wrap at ``width`` columns, newline-joined
+        (core/accessor_str.py:1645 textwrap semantics for simple
+        space-separated text): inject a break before the word that would
+        overflow — a regex pass, no Python."""
+        # match up to `width` chars ending at a word boundary, then a space
+        pat = f"(\\S[^\\n]{{0,{max(width - 1, 0)}}})(?: +|$)"
+        return self._wrap(F.regexp_replace(F.regexp_replace(self._c, pat, "$1\n"), "\n$", ""))
+
+    def normalize(self, form: str = "NFC"):
+        """Unicode normalization (core/accessor_str.py:671) — no JVM
+        built-in; Arrow-batched pandas UDF over unicodedata."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _norm(s: pd.Series) -> pd.Series:
+            import unicodedata
+            return s.map(lambda x: unicodedata.normalize(form, x) if x is not None else None)
+
+        return self._wrap(_norm(self._c))
+
+    def casefold(self): return self._wrap(F.lower(self._c))
+
+    def center(self, width: int, fillchar: str = " "):
+        """Pad both sides (pandas str.center: extra char goes right)."""
+        c = self._c
+        left = (F.lit(width) - F.length(c)) / 2
+        lpad_w = F.length(c) + F.floor(left).cast("int")
+        return self._wrap(
+            F.when(F.length(c) >= width, c)
+            .otherwise(F.rpad(F.lpad(c, lpad_w, fillchar), width, fillchar))
+        )
+
+    def removeprefix(self, prefix: str):
+        q = "\\Q" + prefix + "\\E"
+        return self._wrap(F.regexp_replace(self._c, f"^{q}", ""))
+
+    def removesuffix(self, suffix: str):
+        q = "\\Q" + suffix + "\\E"
+        return self._wrap(F.regexp_replace(self._c, f"{q}$", ""))
+
+    def rfind(self, sub: str):
+        c = self._c
+        q = "\\Q" + sub + "\\E"
+        # last occurrence 0-indexed; -1 when absent
+        tail_len = F.length(F.regexp_extract(c, f".*{q}(.*)$", 1))
+        pos = F.length(c) - tail_len - len(sub)
+        return self._wrap(F.when(c.contains(sub), pos).otherwise(F.lit(-1)))
+
+    def istitle(self):
+        return self._wrap(
+            self._c.rlike("^([A-Z][a-z]*)(\\s+[A-Z][a-z]*)*$")
+        )
+
+    def isnumeric(self): return self._wrap(self._c.rlike("^[0-9]+$"))
+    isdecimal = isnumeric
+
     def get_dummies(self, sep: str = "|") -> "XDataArray":
         """Indicator columns per token (xarray/core/accessor_str.py:2770)
         — split → explode → pivot 0/1 over the dim keys."""
@@ -193,6 +266,34 @@ class DatetimeAccessor(_Accessor):
         y = F.year(self._c)
         leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
         return self._wrap(F.when(leap, 366).otherwise(365))
+
+    @property
+    def is_quarter_end(self):
+        return self._wrap(
+            (F.to_date(self._c) == F.last_day(self._c)) & (F.month(self._c) % 3 == 0)
+        )
+
+    @property
+    def microsecond(self):
+        return self._wrap(
+            (F.unix_micros(self._c.cast("timestamp")) % 1_000_000).cast("int")
+        )
+
+    @property
+    def nanosecond(self):
+        # nanos WITHIN the microsecond (pandas .dt.nanosecond): Spark
+        # timestamps are microsecond-grain, so this is identically 0
+        return self._wrap(F.lit(0).cast("int"))
+
+    @property
+    def weekday(self):
+        return self.dayofweek
+
+    def day_name(self):
+        return self._wrap(F.date_format(self._c, "EEEE"))
+
+    def month_name(self):
+        return self._wrap(F.date_format(self._c, "MMMM"))
 
     @property
     def decimal_year(self):

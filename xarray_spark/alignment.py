@@ -35,7 +35,7 @@ def _aligned_label_sets(datasets: Sequence[XDataset], join: str) -> dict[str, Da
                     raise ValueError(f"indexes along dimension {dim!r} are not equal")
             out[dim] = tabs[0]
             continue
-        if join in ("override", "left"):
+        if join == "left":
             out[dim] = tabs[0]
             continue
         if join == "right":
@@ -55,7 +55,14 @@ def align(*datasets: XDataset, join: str = "inner") -> tuple[XDataset, ...]:
     join='outer' introduces missing labels → those rows simply don't
     exist in long form until a densify/reindex fills them; semantics of
     downstream ops (outer-join arithmetic) still hold.
+
+    join='override' (xarray/structure/alignment.py:196): the FIRST
+    dataset's labels replace the others' positionally — indexes must
+    have equal sizes.  Long form: join each other dataset's label table
+    to the first's on position, then broadcast-remap the dim column.
     """
+    if join == "override":
+        return _align_override(datasets)
     label_sets = _aligned_label_sets(datasets, join)
     out = []
     for ds in datasets:
@@ -63,6 +70,47 @@ def align(*datasets: XDataset, join: str = "inner") -> tuple[XDataset, ...]:
         for dim, labels in label_sets.items():
             if dim in ds.dims:
                 df = df.join(F.broadcast(labels), on=dim, how="left_semi")
+        out.append(ds._replace(df=df))
+    return tuple(out)
+
+
+def _align_override(datasets: Sequence[XDataset]) -> tuple[XDataset, ...]:
+    """Positional label replacement: dataset k's labels on each shared
+    dim are rewritten to the first dataset's label at the same ordinal.
+    Sizes must match (ValueError otherwise — xarray parity).  The remap
+    table is label-table-sized → broadcast join; facts never shuffle."""
+    from collections import Counter
+    counts = Counter(d for ds in datasets for d in ds.dims)
+    shared = [d for d, n in counts.items() if n > 1]
+    first = datasets[0]
+    out = [first]
+    base_labels = {
+        dim: first._dim_labels(dim).select(
+            F.col(dim).alias("__new"), "__pos", "__size"
+        )
+        for dim in shared if dim in first.dims
+    }
+    for ds in datasets[1:]:
+        df = ds.df
+        for dim in shared:
+            if dim not in ds.dims or dim not in base_labels:
+                continue
+            mine = ds._dim_labels(dim)
+            remap = mine.join(base_labels[dim], on="__pos", how="full_outer")
+            # any position present on one side only ⇒ size mismatch
+            bad = remap.where(F.col(dim).isNull() | F.col("__new").isNull())
+            if not bad.isEmpty():
+                raise ValueError(
+                    f"cannot align with join='override': index sizes differ "
+                    f"along dimension {dim!r}"
+                )
+            remap = remap.select(dim, "__new")
+            df = (
+                df.join(F.broadcast(remap), on=dim, how="inner")
+                .drop(dim)
+                .withColumnRenamed("__new", dim)
+                .select(*ds.df.columns)
+            )
         out.append(ds._replace(df=df))
     return tuple(out)
 

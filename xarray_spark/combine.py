@@ -43,19 +43,36 @@ def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None) -
     return XDataset(df, [dim] + list(first.dims), first.coords, first.data_vars, first.attrs)
 
 
+_VALID_COMPAT = ("identical", "equals", "broadcast_equals", "minimal",
+                 "no_conflicts", "override")
+
+
 def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "outer") -> XDataset:
     """Merge variables of multiple datasets (xarray/structure/merge.py:855).
 
     Full-outer join on shared dims; same-name variable conflicts resolved
-    per ``compat``:
-    - 'override' / 'equals' / 'identical': first wins
-    - 'no_conflicts': coalesce (values must agree where both non-null;
-      enforced semantics of xarray/core/variable.py:1920 without the
-      eager check — call ``assert_no_conflicts`` for the check)
-    - 'minimal': only non-conflicting vars kept
+    per ``compat`` (the reference's _VALID_COMPAT matrix, merge.py:106):
+    - 'override': first wins, no checking.
+    - 'no_conflicts': coalesce; values must agree where both non-null
+      (xarray/core/variable.py:1920) — checked EAGERLY (one inner join
+      on the shared labels per pair, label-table-shaped work).
+    - 'equals': overlapping variables must be element-wise equal
+      (same values AND same null pattern) — eager check, first kept.
+    - 'identical': 'equals' + dataset attrs must match.
+    - 'broadcast_equals': equal after broadcasting to the union of dims
+      (a constant-along-t variable merges with its reduced form).
+    - 'minimal': overlapping data vars are DROPPED from the result
+      (keep only vars unique to one input), no equality requirement.
     """
+    if compat not in _VALID_COMPAT:
+        raise ValueError(f"compat {compat!r} not in {_VALID_COMPAT}")
     how = {"outer": "full_outer", "inner": "inner", "left": "left", "right": "right"}[join]
     acc = objs[0]
+    if compat == "identical":
+        a0 = dict(objs[0].attrs or {})
+        for o in objs[1:]:
+            if dict(o.attrs or {}) != a0:
+                raise ValueError("merge(compat='identical'): attrs differ")
     for other in objs[1:]:
         shared = [d for d in acc.dims if d in other.dims]
         o_df = other.df
@@ -68,16 +85,19 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "o
                 renames[c] = f"__m_{c}"
         for old, new in renames.items():
             o_df = o_df.withColumnRenamed(old, new)
+        if overlap_vars and compat in ("equals", "identical", "broadcast_equals"):
+            _assert_vars_equal(acc, other, overlap_vars, shared,
+                               broadcast_first=(compat == "broadcast_equals"))
+        elif overlap_vars and compat == "no_conflicts":
+            assert_no_conflicts(acc, other)
+        dropped = set(overlap_vars) if compat == "minimal" else set()
         joined = acc.df.join(o_df, on=shared, how=how) if shared else acc.df.crossJoin(o_df)
         exprs = []
         for c in acc.df.columns:
+            if c in dropped:
+                continue
             if c in overlap_vars:
-                if compat in ("override", "equals", "identical"):
-                    exprs.append(F.coalesce(F.col(c), F.col(f"__m_{c}")).alias(c))
-                elif compat == "no_conflicts":
-                    exprs.append(F.coalesce(F.col(c), F.col(f"__m_{c}")).alias(c))
-                else:
-                    raise ValueError(f"compat {compat!r}")
+                exprs.append(F.coalesce(F.col(c), F.col(f"__m_{c}")).alias(c))
             else:
                 exprs.append(F.col(c))
         new_vars = [v for v in other.data_vars if v not in acc.data_vars]
@@ -92,10 +112,40 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "o
             joined.select(*exprs),
             new_dims,
             coords,
-            list(acc.data_vars) + new_vars,
+            [v for v in acc.data_vars if v not in dropped] + new_vars,
             {**other.attrs, **acc.attrs},
         )
     return acc
+
+
+def _assert_vars_equal(a: XDataset, b: XDataset, overlap: Sequence[str],
+                       shared: Sequence[str], broadcast_first: bool = False) -> None:
+    """Eager per-variable equality for merge compat 'equals'/'identical'/
+    'broadcast_equals': on the shared label domain, values must match
+    INCLUDING the null pattern (unlike no_conflicts, which lets a null
+    on one side coexist with a value on the other)."""
+    if broadcast_first:
+        from xarray_spark.alignment import broadcast as _bcast
+        a, b = _bcast(a, b)
+        shared = [d for d in a.dims if d in b.dims]
+    o_df = b.df
+    for v in overlap:
+        o_df = o_df.withColumnRenamed(v, f"__b_{v}")
+    j = a.df.select(*shared, *overlap).join(
+        o_df.select(*shared, *[f"__b_{v}" for v in overlap]),
+        on=list(shared), how="inner",
+    )
+    conds = [
+        ~F.col(v).eqNullSafe(F.col(f"__b_{v}"))  # null-safe inequality
+        for v in overlap
+    ]
+    bad = j.where(conds[0] if len(conds) == 1 else
+                  F.greatest(*[c.cast("int") for c in conds]) == 1)
+    if not bad.isEmpty():
+        raise ValueError(
+            "merge conflict: overlapping variables are not equal "
+            f"(compat='{'broadcast_equals' if broadcast_first else 'equals'}')"
+        )
 
 
 def assert_no_conflicts(a: XDataset, b: XDataset) -> None:

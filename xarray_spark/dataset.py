@@ -342,7 +342,21 @@ class XDataset:
                     cond = cond & (F.col(dim) <= F.lit(value.stop))
                 df = self.df.where(cond)
                 if value.step is not None:
-                    raise NotImplementedError("label slice step — use isel")
+                    # every step-th label of the in-range label table
+                    # (xarray core/dataset.py:3018 slice semantics): the
+                    # offset anchors at the first in-range label, positions
+                    # come from the broadcast label table
+                    step = int(value.step)
+                    if step <= 0:
+                        raise NotImplementedError("label slice step must be positive")
+                    labels = self._dim_labels(dim).where(cond)
+                    base = labels.withColumn(
+                        "__p0", F.min("__pos").over(Window.partitionBy())
+                    )
+                    keep = base.where(
+                        (F.col("__pos") - F.col("__p0")) % step == 0
+                    ).select(dim)
+                    df = df.join(F.broadcast(keep), on=dim, how="left_semi")
                 return self._replace(df=df)
             if isinstance(value, (list, tuple)):
                 return self._replace(df=self.df.where(F.col(dim).isin(list(value))))
@@ -1647,13 +1661,14 @@ class XDataset:
         if before == 0 and after == 0:
             return self
         dtype = self.df.schema[dim].dataType
-        labels = self._dim_labels(dim)
         # label step inferred from the (assumed regular) label grid:
-        # (max - min) / (n - 1); one tiny aggregate over the label table
+        # (max - min) / (n - 1); min/max/count need no label positions,
+        # so this is one direct partial+final aggregate over the fact
+        # table — no rank, no extra shuffle
         lab_num = to_double(F.col(dim), dtype)
-        row = labels.agg(
+        row = self.df.agg(
             F.min(lab_num).alias("lo"), F.max(lab_num).alias("hi"),
-            F.max("__pos").alias("n1"),
+            (F.countDistinct(dim) - 1).alias("n1"),
         ).collect()[0]
         lo, hi, n1 = row["lo"], row["hi"], row["n1"]
         if lo is None:  # empty dataset: nothing to extrapolate from
@@ -1833,7 +1848,27 @@ class XDataset:
             return False
         return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
-    identical = equals
+    def identical(self, other: "XDataset") -> bool:
+        """equals + matching catalog: dims order, coord mapping, var
+        names, and attrs (xarray/core/dataset.py:1751)."""
+        return (
+            list(self.dims) == list(other.dims)
+            and dict(self.coords) == dict(other.coords)
+            and list(self.data_vars) == list(other.data_vars)
+            and dict(self.attrs or {}) == dict(other.attrs or {})
+            and self.equals(other)
+        )
+
+    def broadcast_equals(self, other: "XDataset") -> bool:
+        """Equal after broadcasting both to the union of dims
+        (xarray/core/dataset.py:1603) — e.g. a constant-along-t variable
+        equals its reduced form."""
+        from xarray_spark.alignment import broadcast as _bcast
+        a, b = _bcast(self, other)
+        # same dim order for the row comparison
+        a = a._replace(df=a.df, dims=sorted(a.dims))
+        b = b._replace(df=b.df, dims=sorted(b.dims))
+        return a.equals(b)
 
 
 class _LocIndexer:

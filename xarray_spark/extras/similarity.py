@@ -330,30 +330,43 @@ def embedding_near_dups(
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            hyperplane_signature(
-                F.col("__v"), planes[b * n_planes:(b + 1) * n_planes]
-            ).alias("bucket"),
-        )
-        for b in range(n_bands)
-    ])
-    sig = base.select(id_col, "__v", F.explode(bands).alias("__b")).select(
-        id_col, "__v",
-        F.col("__b.band").alias("__band"), F.col("__b.bucket").alias("__bucket"),
+    # all n_bands × n_planes sign bits in ONE Arrow-batched matmul —
+    # the literal-expression form would be an (n_bands·n_planes·dim)-term
+    # Catalyst tree (128 planes × 64 dims = 8k terms: codegen blow-up),
+    # and per-row numpy is exactly what sign-LSH is at 100 TB anyway:
+    # a (batch × dim) @ (dim × planes) product per scan partition.
+    from pyspark.sql.functions import pandas_udf
+
+    P = [list(p) for p in planes]
+    nb, npl = n_bands, n_planes
+
+    @pandas_udf("array<long>")
+    def _band_buckets(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy())
+        bits = (M @ np.asarray(P).T) > 0
+        w = 1 << np.arange(npl, dtype=np.int64)
+        buckets = bits.reshape(len(M), nb, npl) @ w
+        return pd.Series(list(buckets))
+
+    sig = (
+        base.withColumn("__bk", _band_buckets("__v"))
+        .select(id_col, "__v", F.posexplode("__bk").alias("__band", "__bucket"))
     )
-    a, b = sig.alias("a"), sig.alias("b")
+    # candidate rows carry ONLY ids through the band join and the
+    # cross-band dedup shuffle — vectors (128 doubles/pair) re-join on
+    # the far smaller deduped pair set, as the minhash path does.
+    lite = sig.select(id_col, "__band", "__bucket")
+    a, b = lite.alias("a"), lite.alias("b")
     cand = (
         a.join(b, on=["__band", "__bucket"], how="inner")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va")), "id_a")
+        .join(base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")), "id_b")
         .select("id_a", "id_b", cos(F.col("__va"), F.col("__vb")).alias("cos"))
     )
     return cand.where(F.col("cos") >= threshold)
