@@ -1126,6 +1126,25 @@ def q79_sel_step(spark, sf_dir):
     return out.to_spark().select("l_shipdate", "rev")
 
 
+def q80_cf_360day(spark, sf_dir):
+    """360_day-calendar monthly revenue (cftime.py encoded ordinals;
+    xarray coding/calendar_ops.py convert_calendar use_cftime path).
+    Real shipdates convert with align_on='date' (day-31 rows drop —
+    nonexistent in 360_day), revenue aggregates per encoded month-start
+    ordinal — all integer arithmetic, reproduced exactly in SQL."""
+    from xarray_spark.computation import convert_calendar
+    from xarray_spark import cftime as cft
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
+    d95 = li.sel(l_shipdate=slice("1995-01-01", "1995-12-31"))
+    enc = convert_calendar(d95, "l_shipdate", "360_day", use_cftime=True)
+    o = F.col("l_shipdate")
+    month_start = (o - (o % 30)).alias("month_ord")
+    monthly = enc.df.groupBy(month_start).agg(
+        _r3(F.sum("rev")).alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    return monthly
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1145,7 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle) and (b) 25 round-1 greens chosen to keep one representative
     per operator family — prioritizing paths rewritten this round
     (two-phase rank: q03/q17/q37; segmented windows: q10/q11/q70;
-    reindex fill-marker: q21; resample calendar: q45/q46).  Queries
+    reindex fill-marker: q21; resample calendar: q45/q46) — plus the
+    new cftime gate q80 in place of the q47 anchor.  Queries
     outside the window keep their round-1 CORRECTNESS rows as evidence
     and are still exercised by tests/test_oracle.py at sf0.001.
     """
@@ -1175,7 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_dot": q41_dot,
         "q45_resample_asfreq": q45_resample_asfreq,
         "q46_resample_6h": q46_resample_6h,
-        "q47_weighted_var": q47_weighted_var,
+        "q80_cf_360day": q80_cf_360day,
         # ---- rotation window: round-2 debutants (never driver-checked) ----
         "q53_ngram_jaccard": q53_ngram_jaccard,
         "q54_pad": q54_pad,
@@ -1232,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_embedding_near_dups": q52_embedding_near_dups,
         "q63_lsh_multiprobe": q63_lsh_multiprobe,
         "q64_ivf_topk": q64_ivf_topk,
+        "q47_weighted_var": q47_weighted_var,
     }
 
 
@@ -1871,6 +1892,22 @@ def oracle_sql() -> dict[str, str]:
               FROM stats, unnest([1, 2]) AS u(i)
             )
             SELECT * FROM daily UNION ALL SELECT * FROM pads
+        """,
+        "q80_cf_360day": """
+            WITH enc AS (
+              SELECT (year(l_shipdate) - 1970) * 360
+                     + (month(l_shipdate) - 1) * 30
+                     + (day(l_shipdate) - 1) AS o,
+                     l_extendedprice * (1 - l_discount) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <= TIMESTAMP '1995-12-31'
+                AND day(l_shipdate) <= 30
+            )
+            SELECT o - (o % 30) AS month_ord,
+                   ROUND(SUM(rev) + 1e-6, 3) AS rev,
+                   COUNT(*) AS n
+            FROM enc GROUP BY 1
         """,
         "q77_str_tail": """
             SELECT c_custkey,

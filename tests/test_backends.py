@@ -175,3 +175,89 @@ def test_open_zarr_uncompressed_and_missing_chunk(spark, tmp_path):
     ds = open_zarr(spark, store)
     got = [r["a"] for r in ds.df.orderBy("t").collect()]
     assert got == [0.0, 1.0, 2.0, 3.0, -1.0, -1.0, -1.0, -1.0]
+
+
+def test_backend_registry_and_guess(spark, tmp_path):
+    from xarray_spark import io as xio
+    from xarray_spark import XDataset, register_backend, list_engines
+    assert set(list_engines()) >= {"parquet", "netcdf", "zarr"}
+    assert xio.guess_engine("x.nc") == "netcdf"
+    assert xio.guess_engine("x.zarr") == "zarr"
+    assert xio.guess_engine("some/table") == "parquet"
+    # third-party registration: a csv engine with a sniffer
+    calls = {}
+
+    def open_csv(sp, path, variables=None, decoders=None):
+        from pyspark.sql import functions as F
+        calls["path"] = path
+        df = sp.read.option("header", "true").csv(path)
+        return XDataset(df.select(F.col("t").cast("long").alias("t"),
+                                  F.col("v").cast("double").alias("v")), dims=["t"])
+
+    register_backend("csv", open_csv, lambda p: p.endswith(".csv"))
+    try:
+        p = str(tmp_path / "tiny.csv")
+        import pandas as pd
+        pd.DataFrame({"t": [1, 2], "v": [0.5, 1.5]}).to_csv(p, index=False)
+        ds = xio.open_dataset(spark, p)  # engine sniffed from suffix
+        assert calls["path"] == p
+        assert ds.df.count() == 2
+    finally:
+        xio._BACKENDS.pop("csv", None)
+
+
+def test_open_groups_parquet_tree(spark, tmp_path):
+    from xarray_spark import XDataset, open_groups, open_datatree
+    from xarray_spark.datatree import DataTree
+    a = XDataset(spark.createDataFrame([(1, 2.0)], ["t", "v"]), dims=["t"])
+    b = XDataset(spark.createDataFrame([(1, 3.0)], ["t", "w"]), dims=["t"])
+    tree = DataTree({"/coarse": a, "/coarse/fine": b})
+    root = str(tmp_path / "tree")
+    tree.to_parquet(root)
+    groups = open_groups(spark, root)
+    assert set(groups) == {"/coarse", "/coarse/fine"}
+    assert groups["/coarse/fine"].df.collect()[0]["w"] == 3.0
+    dt2 = open_datatree(spark, root)
+    assert set(dt2.groups) == {"/coarse", "/coarse/fine"}
+
+
+def test_open_groups_zarr_nested(spark, tmp_path):
+    import numpy as np
+    from xarray_spark import to_zarr, open_groups
+    store = str(tmp_path / "h.zarr")
+    to_zarr({"v": (["t"], np.arange(4, dtype="float64"))}, store,
+            dims={"t": np.arange(4, dtype="float64")})
+    groups = open_groups(spark, store)
+    assert "/" in groups
+    assert groups["/"].df.count() == 4
+
+
+def test_from_series_and_to_masked_array(spark):
+    import numpy as np
+    import pandas as pd
+    from xarray_spark import from_series
+    s = pd.Series([1.0, np.nan, 3.0],
+                  index=pd.Index([10, 20, 30], name="t"), name="v")
+    da = from_series(spark, s)
+    assert da.name == "v"
+    ma = da.to_masked_array()
+    assert list(ma.mask) == [False, True, False]
+    assert ma[0] == 1.0 and ma[2] == 3.0
+
+
+def test_decode_cf_bool_unsigned_and_cf_calendar(spark):
+    from xarray_spark.io import decode_cf
+    from xarray_spark import cftime as cft
+    df = spark.createDataFrame(
+        [(1, -1, 0.0), (0, 5, 59.0)], "flag int, count smallint, t double")
+    out = decode_cf(df, {
+        "flag": {"dtype": "bool"},
+        "count": {"unsigned": True},
+        "t": {"time_units": "days since 2000-01-01", "calendar": "360_day"},
+    }).collect()
+    rows = sorted((r["flag"], r["count"], r["t"]) for r in out)
+    # -1 in a signed i16 container with _Unsigned -> 65535
+    assert rows == [
+        (False, 5, cft._py_ordinal(2000, 2, 30, "360_day")),
+        (True, 65535, cft._py_ordinal(2000, 1, 1, "360_day")),
+    ]

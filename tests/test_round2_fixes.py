@@ -434,3 +434,27 @@ def test_merge_compat_minimal_drops_overlap(spark):
     out = merge([a, b], compat="minimal")
     assert set(out.data_vars) == {"a_only", "b_only"}
     assert "v" not in out.df.columns
+
+
+def test_reorder_levels_struct_field_order(spark):
+    d = XDataset(spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.0)], ["t", "s", "v"]), dims=["t", "s"])
+    st = d.stack(z=["t", "s"])
+    ro = st.reorder_levels(z=["s", "t"])
+    f = ro.df.schema["z"].dataType.names
+    assert f == ["s", "t"]
+    # values preserved
+    rows = sorted((r["z"]["t"], r["z"]["s"], r["v"]) for r in ro.df.collect())
+    assert rows == [(1, "a", 2.0), (2, "b", 3.0)]
+
+
+def test_set_xindex_records_and_sel_works(spark):
+    d = XDataset(spark.createDataFrame(
+        [(1, 10.0, 2.0), (2, 20.0, 3.0)], ["t", "alt", "v"]),
+        dims=["t"], coords={"alt": ("t",)})
+    dx = d.set_xindex("alt")
+    assert dx.attrs["_xindexes"] == ["alt"]
+    got = dx.sel(alt=20.0).df.collect()
+    assert len(got) == 1 and got[0]["t"] == 2
+    with pytest.raises(ValueError):
+        d.set_xindex("missing")

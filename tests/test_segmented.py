@@ -71,3 +71,41 @@ def test_ffill_segmented_all_null_segment(spark):
     seg = ffill_segmented(d, "t", n_segments=8)
     vals = {r["v"] for r in seg.df.collect()}
     assert vals == {42.0}
+
+
+def test_ewm_segmented_matches_pandas_kernel(spark):
+    import numpy as np
+    import pandas as pd
+    from xarray_spark import XDataset
+    from xarray_spark.segmented import ewm_segmented, ewm_alpha
+    rng = np.random.RandomState(7)
+    n = 5000
+    v = rng.randn(n).cumsum()
+    v[np.random.RandomState(8).choice(n, 300, replace=False)] = np.nan
+    pdf = pd.DataFrame({"t": np.arange(n, dtype="int64"), "v": v})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    alpha = ewm_alpha(20, "span")
+    for agg in ("mean", "sum"):
+        got = (
+            ewm_segmented(ds, "t", alpha, agg, n_segments=16)
+            .df.orderBy("t").toPandas()["v"].to_numpy()
+        )
+        exp = getattr(pdf["v"].ewm(span=20, min_periods=1), agg)().to_numpy()
+        assert np.allclose(got, exp, rtol=1e-9, atol=1e-9, equal_nan=True), agg
+
+
+def test_ewm_auto_segment_dispatch(spark):
+    import numpy as np
+    import pandas as pd
+    from xarray_spark import XDataset, set_options
+    pdf = pd.DataFrame({"t": np.arange(2000, dtype="int64"),
+                        "v": np.arange(2000, dtype="float64")})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    with set_options(auto_segment_threshold=100):
+        out = ds.rolling_exp(t=10).mean().df
+        # two-phase plan: no partition-less window, grouped by __seg
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" in plan or "__seg" in plan
+        got = out.orderBy("t").toPandas()["v"].to_numpy()
+    exp = pdf["v"].ewm(span=10, min_periods=1).mean().to_numpy()
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-9)

@@ -19,13 +19,19 @@ from xarray_spark.dataset import XDataset, XDataArray
 from xarray_spark.session import get_spark
 from xarray_spark.io import (
     open_dataset,
+    open_datatree,
+    open_groups,
     open_mfdataset,
     from_pandas,
     from_dataframe,
     from_dict,
+    from_series,
     decode_cf,
+    guess_engine,
+    list_engines,
     range_index,
     linspace_index,
+    register_backend,
 )
 from xarray_spark.backends import (
     open_dataset_netcdf,
@@ -38,8 +44,14 @@ from xarray_spark.backends import (
 from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
 from xarray_spark.alignment import align, broadcast, salted_join, sel_points_nearest
 from xarray_spark.computation import convert_calendar, date_range_like, infer_freq
+from xarray_spark.cftime import cf_date_range, cf_field, cf_ordinal
 from xarray_spark.groupby import salted_agg
-from xarray_spark.segmented import cumsum_segmented, ffill_segmented, rolling_segmented
+from xarray_spark.segmented import (
+    cumsum_segmented,
+    ewm_segmented,
+    ffill_segmented,
+    rolling_segmented,
+)
 from xarray_spark.options import OPTIONS, set_options
 from xarray_spark.computation import (
     apply_ufunc,
@@ -70,6 +82,11 @@ __all__ = [
     "XDataArray",
     "get_spark",
     "open_dataset",
+    "open_datatree",
+    "open_groups",
+    "guess_engine",
+    "list_engines",
+    "register_backend",
     "open_dataset_netcdf",
     "open_mfdataset",
     "open_mfdataset_netcdf",
@@ -78,6 +95,7 @@ __all__ = [
     "to_zarr",
     "write_netcdf3",
     "from_pandas",
+    "from_series",
     "from_dataframe",
     "from_dict",
     "decode_cf",
@@ -97,8 +115,12 @@ __all__ = [
     "ffill_segmented",
     "OPTIONS",
     "set_options",
+    "cf_date_range",
+    "cf_field",
+    "cf_ordinal",
     "convert_calendar",
     "date_range_like",
+    "ewm_segmented",
     "infer_freq",
     "apply_ufunc",
     "cov",

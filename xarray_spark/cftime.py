@@ -1,0 +1,226 @@
+"""cftime-style non-real calendars (reference: xarray/coding/cftime_offsets.py,
+coding/calendar_ops.py, coding/times.py:1355).
+
+The reference holds 360_day / noleap / all_leap dates as cftime objects —
+a Python object dtype Spark has no column type for.  The engine's
+representation is an **int64 ordinal: days since 1970-01-01 IN THAT
+CALENDAR** (so 1970-02-30 exists in 360_day as ordinal 59), carried in a
+plain long column with the calendar name in the dataset/variable attrs.
+Every field extraction and conversion below is pure integer arithmetic —
+whole-stage-codegen expressions, no Python, no objects — which is the
+only representation that stays JVM-side at 100 TB.
+
+Calendars:
+- ``360_day``:  12 × 30-day months, year = 360 days.
+- ``noleap`` / ``365_day``: Gregorian month lengths, never a Feb 29.
+- ``all_leap`` / ``366_day``: always a Feb 29.
+- ``standard`` / ``proleptic_gregorian``: real timestamps (not encoded
+  here — convert_calendar bridges the two worlds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH_YEAR = 1970
+
+_NOLEAP_CUM = [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334]
+_ALLLEAP_CUM = [0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335]
+
+_YEAR_LEN = {"360_day": 360, "noleap": 365, "365_day": 365,
+             "all_leap": 366, "366_day": 366}
+
+REAL_CALENDARS = ("standard", "gregorian", "proleptic_gregorian")
+
+
+def _canon(calendar: str) -> str:
+    return {"365_day": "noleap", "366_day": "all_leap"}.get(calendar, calendar)
+
+
+def _cum_days(calendar: str) -> list[int]:
+    return _NOLEAP_CUM if _canon(calendar) == "noleap" else _ALLLEAP_CUM
+
+
+def year_length(calendar: str) -> int:
+    return _YEAR_LEN[calendar]
+
+
+# --------------------------------------------------------------------- #
+# encode / decode: (year, month, day) <-> ordinal, all expressions
+# --------------------------------------------------------------------- #
+
+def cf_ordinal(year: Column, month: Column, day: Column, calendar: str) -> Column:
+    """Days since 1970-01-01 in ``calendar`` — from integer field
+    columns.  Closed-form for 360_day; a 12-branch CASE (constant-folded
+    per month) for the fixed-month-table calendars."""
+    cal = _canon(calendar)
+    y = year.cast("long") - EPOCH_YEAR
+    if cal == "360_day":
+        return y * 360 + (month.cast("long") - 1) * 30 + (day.cast("long") - 1)
+    cum = _cum_days(cal)
+    month_off = F.element_at(F.array(*[F.lit(c) for c in cum]), month.cast("int"))
+    return y * _YEAR_LEN[cal] + month_off.cast("long") + (day.cast("long") - 1)
+
+
+def cf_field(ordinal: Column, field: str, calendar: str) -> Column:
+    """year / month / day / dayofyear from an encoded ordinal — integer
+    arithmetic only (floor division handles pre-1970 ordinals)."""
+    cal = _canon(calendar)
+    ylen = _YEAR_LEN[cal]
+    o = ordinal.cast("long")
+    y = F.floor(o / ylen).cast("long")
+    doy = (o - y * ylen).cast("int")  # 0-based day of year
+    if field == "year":
+        return (y + EPOCH_YEAR).cast("int")
+    if field == "dayofyear":
+        return doy + 1
+    if cal == "360_day":
+        if field == "month":
+            return (F.floor(doy / 30) + 1).cast("int")
+        if field == "day":
+            return (doy % 30 + 1).cast("int")
+    else:
+        cum = _cum_days(cal)
+        # month = number of cum entries <= doy (12-branch sum, codegen'd)
+        month = sum(
+            (doy >= F.lit(c)).cast("int") for c in cum[1:]
+        ) + F.lit(1)
+        if field == "month":
+            return month.cast("int")
+        if field == "day":
+            month_off = F.element_at(F.array(*[F.lit(c) for c in cum]), month)
+            return (doy - month_off + 1).cast("int")
+    raise ValueError(f"field {field!r}")
+
+
+# --------------------------------------------------------------------- #
+# ranges
+# --------------------------------------------------------------------- #
+
+def cf_date_range(spark: SparkSession, start: str, end: str, freq: str = "D",
+                  calendar: str = "noleap", name: str = "time") -> DataFrame:
+    """Encoded-ordinal label table for a non-real calendar
+    (xarray/coding/cftime_offsets.py date_range with calendar=...).
+
+    'D'/'nD' step in days; 'MS' steps month starts (exact in every
+    calendar here because month lengths are data-independent).  One
+    ``sequence()`` expression — no driver loop.
+    """
+    cal = _canon(calendar)
+    sy, sm, sd = (int(x) for x in start.split("-"))
+    ey, em, ed = (int(x) for x in end.split("-"))
+    lo = _py_ordinal(sy, sm, sd, cal)
+    hi = _py_ordinal(ey, em, ed, cal)
+    if freq.endswith("D"):
+        step = int(freq[:-1] or 1)
+        return spark.range(1).select(
+            F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(step))).alias(name)
+        )
+    if freq == "MS":
+        mi_lo = (sy - EPOCH_YEAR) * 12 + (sm - 1)
+        mi_hi = (ey - EPOCH_YEAR) * 12 + (em - 1)
+        mi = F.explode(F.sequence(F.lit(mi_lo), F.lit(mi_hi), F.lit(1))).alias("__mi")
+        yy = F.floor(F.col("__mi") / 12).cast("long")
+        mm = (F.col("__mi") - yy * 12 + 1).cast("int")
+        return spark.range(1).select(mi).select(
+            cf_ordinal(yy + EPOCH_YEAR, mm, F.lit(1), cal).alias(name)
+        )
+    raise NotImplementedError(f"cf_date_range freq {freq!r}")
+
+
+def _py_ordinal(y: int, m: int, d: int, calendar: str) -> int:
+    cal = _canon(calendar)
+    if cal == "360_day":
+        return (y - EPOCH_YEAR) * 360 + (m - 1) * 30 + (d - 1)
+    return (y - EPOCH_YEAR) * _YEAR_LEN[cal] + _cum_days(cal)[m - 1] + (d - 1)
+
+
+# --------------------------------------------------------------------- #
+# conversions (xarray/coding/calendar_ops.py convert_calendar)
+# --------------------------------------------------------------------- #
+
+def encode_timestamp(ts: Column, calendar: str, align_on: str = "date") -> Column:
+    """Real timestamp -> encoded ordinal.
+
+    align_on='date': same (y, m, d); dates that don't exist in the
+    target (Feb 29 -> noleap; day 31 / Feb 29 -> 360_day) become null —
+    the caller drops or fills them (xarray's `missing` handling).
+    align_on='year': map day-of-year proportionally
+    (xarray calendar_ops.py:291 _interpolate_day_of_year) — every source
+    date lands on a valid target date.
+    """
+    cal = _canon(calendar)
+    y, m, d = F.year(ts), F.month(ts), F.dayofmonth(ts)
+    if align_on == "date":
+        ok = _valid_date(y, m, d, cal)
+        return F.when(ok, cf_ordinal(y, m, d, cal))
+    if align_on == "year":
+        src_len = F.when(
+            ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0), F.lit(366)
+        ).otherwise(F.lit(365))
+        doy = F.dayofyear(ts) - 1
+        tlen = _YEAR_LEN[cal]
+        tdoy = F.floor(doy * tlen / src_len).cast("long")
+        return (y.cast("long") - EPOCH_YEAR) * tlen + tdoy
+    raise ValueError(f"align_on {align_on!r}")
+
+
+def decode_to_timestamp(ordinal: Column, calendar: str,
+                        align_on: str = "date") -> Column:
+    """Encoded ordinal -> real timestamp (null where the target date
+    doesn't exist in Gregorian under align_on='date': Feb 30)."""
+    cal = _canon(calendar)
+    y = cf_field(ordinal, "year", cal)
+    if align_on == "date":
+        m = cf_field(ordinal, "month", cal)
+        d = cf_field(ordinal, "day", cal)
+        return F.try_to_timestamp(
+            F.concat_ws("-", y.cast("string"),
+                        F.lpad(m.cast("string"), 2, "0"),
+                        F.lpad(d.cast("string"), 2, "0"))
+        )
+    if align_on == "year":
+        tlen = _YEAR_LEN[cal]
+        doy = cf_field(ordinal, "dayofyear", cal) - 1
+        leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+        dst_len = F.when(leap, F.lit(366)).otherwise(F.lit(365))
+        tdoy = F.floor(doy * dst_len / tlen).cast("int")
+        jan1 = F.to_timestamp(F.concat(y.cast("string"), F.lit("-01-01")))
+        return F.timestamp_seconds(F.unix_timestamp(jan1) + tdoy.cast("long") * 86400)
+    raise ValueError(f"align_on {align_on!r}")
+
+
+def _valid_date(y: Column, m: Column, d: Column, cal: str) -> Column:
+    if cal == "360_day":
+        return d <= 30
+    if cal == "noleap":
+        return ~((m == 2) & (d == 29))
+    return F.lit(True)  # all_leap: every Gregorian date exists
+
+
+def convert_between(ordinal: Column, src: str, dst: str) -> Column:
+    """Encoded -> encoded via (y, m, d) with align_on='date' semantics
+    (nonexistent target dates -> null)."""
+    src, dst = _canon(src), _canon(dst)
+    y = cf_field(ordinal, "year", src)
+    m = cf_field(ordinal, "month", src)
+    d = cf_field(ordinal, "day", src)
+    ok = _valid_date(y, m, d, dst)
+    return F.when(ok, cf_ordinal(y, m, d, dst))
+
+
+def decode_cf_time(col: Column, units: str, calendar: str) -> Column:
+    """CF time decode for a non-real calendar: '<unit> since <date>'
+    where the reference date is IN that calendar — the ubiquitous
+    climate-model-output encoding (coding/times.py:1355).  Returns the
+    encoded ordinal (long), not a timestamp."""
+    cal = _canon(calendar)
+    unit, _, epoch = units.partition(" since ")
+    unit = unit.strip().lower()
+    per_day = {"days": 1.0, "hours": 24.0, "minutes": 1440.0,
+               "seconds": 86400.0}[unit]
+    ep = epoch.strip().split(" ")[0]
+    ey, em, ed = (int(x) for x in ep.split("-"))
+    base = _py_ordinal(ey, em, ed, cal)
+    return (F.floor(col.cast("double") / per_day) + F.lit(base)).cast("long")

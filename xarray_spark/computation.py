@@ -331,15 +331,43 @@ def date_range(spark, start: str, end: str, freq: str = "D", name: str = "time")
 
 
 def convert_calendar(ds: XDataset, dim: str, calendar: str = "standard",
-                     align_on: str | None = None) -> XDataset:
+                     align_on: str | None = None, use_cftime: bool = False,
+                     source_calendar: str | None = None) -> XDataset:
     """Calendar conversion (xarray/coding/calendar_ops.py,
-    core/dataset.py:10011), for the calendars expressible on real
-    timestamps: 'standard'/'proleptic_gregorian' (no-op), 'noleap'/'365_day'
-    (drop Feb 29), '360_day' (drop day-31s and Feb 29/30 — the
-    align_on='date' convention).  cftime object calendars (which have no
-    Spark temporal type) are out of scope; see SURVEY §1.3.
+    core/dataset.py:10011).
+
+    Two representations (SURVEY §1.3):
+
+    - ``use_cftime=False`` (default): the dim stays a real timestamp and
+      the conversion FILTERS dates the target calendar lacks —
+      'noleap'/'365_day' drops Feb 29, '360_day' drops day-31s and
+      Feb 29/30 (the align_on='date' convention).
+    - ``use_cftime=True``: the dim becomes an **encoded int64 ordinal**
+      (days since 1970-1-1 in the target calendar — cftime.py), which
+      can hold dates Gregorian can't (Feb 30 in 360_day).  Supports
+      real→encoded (align_on 'date' drops nonexistent, 'year' maps
+      day-of-year proportionally — calendar_ops.py:291), encoded→encoded,
+      and encoded→real via ``source_calendar``; the calendar name is
+      recorded in attrs['calendar'].
     """
+    from xarray_spark import cftime as cft
+
     c = F.col(dim)
+    src = source_calendar or (ds.attrs or {}).get("calendar", "standard")
+    if use_cftime or src not in cft.REAL_CALENDARS:
+        if src in cft.REAL_CALENDARS:
+            if calendar in cft.REAL_CALENDARS:
+                return ds
+            enc = cft.encode_timestamp(c, calendar, align_on or "date")
+        elif calendar in cft.REAL_CALENDARS:
+            enc = cft.decode_to_timestamp(c, src, align_on or "date")
+        else:
+            enc = cft.convert_between(c, src, calendar)
+        df = ds.df.withColumn(dim, enc).where(F.col(dim).isNotNull())
+        attrs = {**(ds.attrs or {}), "calendar": calendar}
+        if calendar in cft.REAL_CALENDARS:
+            attrs.pop("calendar", None)
+        return ds._replace(df=df, attrs=attrs)
     if calendar in ("standard", "gregorian", "proleptic_gregorian"):
         return ds
     if calendar in ("noleap", "365_day"):
@@ -348,7 +376,7 @@ def convert_calendar(ds: XDataset, dim: str, calendar: str = "standard",
     if calendar == "360_day":
         keep = (F.dayofmonth(c) <= 30) & ~((F.month(c) == 2) & (F.dayofmonth(c) >= 29))
         return ds._replace(df=ds.df.where(keep))
-    raise NotImplementedError(f"calendar {calendar!r} needs cftime-style date structs")
+    raise NotImplementedError(f"calendar {calendar!r}")
 
 
 def date_range_like(spark, ds: XDataset, dim: str, name: str | None = None):

@@ -1705,6 +1705,40 @@ class XDataset:
         catalog-level re-keying in long form (same as swap_dims)."""
         return self.swap_dims({**(indexes or {}), **kw})
 
+    def reorder_levels(self, dim_order: Mapping[str, Sequence[str]] | None = None,
+                       **kw: Sequence[str]) -> "XDataset":
+        """Reorder the component levels of a stacked (struct) dim
+        (xarray/core/dataset.py:5228) — rebuilds the struct column with
+        fields in the new order; pure projection, no shuffle."""
+        dim_order = {**(dim_order or {}), **kw}
+        out = self
+        for dim, levels in dim_order.items():
+            dtype = out.df.schema[dim].dataType
+            if not isinstance(dtype, T.StructType):
+                raise ValueError(f"{dim!r} is not a stacked (struct) dim")
+            have = set(dtype.names)
+            if set(levels) != have:
+                raise ValueError(f"levels {list(levels)} != existing {sorted(have)}")
+            new = F.struct(*[F.col(dim).getField(l).alias(l) for l in levels])
+            out = out._replace(df=out.df.withColumn(dim, new))
+        return out
+
+    def set_xindex(self, coord_names: str | Sequence[str], index_cls=None) -> "XDataset":
+        """Register coords as a selectable index (xarray/core/dataset.py:4995).
+
+        Long form needs no index STRUCTURE — any key column filters/joins
+        directly, and Catalyst chooses the access path — so this
+        validates the coords exist and records the intent in attrs
+        (``index_cls`` accepted for API parity, ignored)."""
+        names = [coord_names] if isinstance(coord_names, str) else list(coord_names)
+        for n in names:
+            if n not in self.df.columns:
+                raise ValueError(f"{n!r} is not a variable of the dataset")
+        attrs = {**(self.attrs or {})}
+        existing = list(attrs.get("_xindexes", ()))
+        attrs["_xindexes"] = existing + [n for n in names if n not in existing]
+        return self._replace(attrs=attrs)
+
     def reset_index(self, dims: str | Iterable[str]) -> "XDataset":
         """Demote dim keys back to plain coords
         (xarray/core/dataset.py:4943).  The column stays; only its
@@ -1915,6 +1949,15 @@ class XDataArray(XDataset):
     def values(self):
         """numpy array of the (dim-sorted) values — an action."""
         return self.to_series().sort_index().to_numpy()
+
+    def to_masked_array(self):
+        """numpy masked array of the dim-sorted values, mask = nulls
+        (xarray/core/dataarray.py:3994 to_masked_array) — an action,
+        driver-sized by definition."""
+        import numpy as np
+        s = self.to_series().sort_index()
+        vals = s.to_numpy()
+        return np.ma.MaskedArray(vals, mask=s.isna().to_numpy())
 
     def item(self):
         """The single scalar value (xarray .item()); raises unless the

@@ -18,6 +18,65 @@ from pyspark.sql import functions as F
 from xarray_spark.dataset import XDataset
 
 
+# --------------------------------------------------------------------- #
+# backend plugin registry (xarray/backends/plugins.py: BACKEND_ENTRYPOINTS
+# + guess_engine).  Third-party formats register an opener and an
+# optional sniffer; open_dataset dispatches by name or by sniffing.
+# --------------------------------------------------------------------- #
+
+_BACKENDS: dict = {}
+
+
+def register_backend(name: str, open_fn, guess_can_open=None) -> None:
+    """Register a backend engine (xarray BackendEntrypoint analogue).
+
+    ``open_fn(spark, path, variables=None, decoders=None) -> XDataset``;
+    ``guess_can_open(path) -> bool`` lets ``open_dataset`` pick the
+    engine from the path when none is given.
+    """
+    _BACKENDS[name] = {"open": open_fn, "guess": guess_can_open}
+
+
+def list_engines() -> list[str]:
+    """Registered engine names, parquet (the native scan) first."""
+    return ["parquet"] + list(_BACKENDS)
+
+
+def guess_engine(path: str) -> str:
+    """First registered backend whose sniffer claims the path
+    (xarray/backends/plugins.py:171 guess_engine); parquet otherwise."""
+    for name, spec in _BACKENDS.items():
+        g = spec.get("guess")
+        try:
+            if g is not None and g(path):
+                return name
+        except Exception:  # noqa: BLE001 - a broken sniffer must not block others
+            continue
+    return "parquet"
+
+
+def _register_builtin_backends() -> None:
+    def _open_nc(spark, path, variables=None, decoders=None):
+        from xarray_spark.backends import open_dataset_netcdf
+        return open_dataset_netcdf(spark, path, variables=variables, decoders=decoders)
+
+    def _open_zarr(spark, path, variables=None, decoders=None):
+        from xarray_spark.backends import open_zarr
+        return open_zarr(spark, path, variables=variables)
+
+    register_backend(
+        "netcdf", _open_nc,
+        lambda p: p.endswith((".nc", ".cdf", ".nc3")),
+    )
+    register_backend(
+        "zarr", _open_zarr,
+        lambda p: p.endswith(".zarr") or os.path.exists(os.path.join(p, ".zgroup")),
+    )
+
+
+_register_builtin_backends()
+
+
 def open_dataset(
     spark: SparkSession,
     path: str,
@@ -40,16 +99,14 @@ def open_dataset(
     ``(when(col==fill, null) * scale + offset)``.
     """
     if engine is None:
-        if path.endswith((".nc", ".cdf", ".nc3")):
-            engine = "netcdf"
-        elif path.endswith(".zarr") or os.path.exists(os.path.join(path, ".zgroup")):
-            engine = "zarr"
-    if engine == "netcdf":
-        from xarray_spark.backends import open_dataset_netcdf
-        return open_dataset_netcdf(spark, path, variables=variables, decoders=decoders)
-    if engine == "zarr":
-        from xarray_spark.backends import open_zarr
-        return open_zarr(spark, path, variables=variables)
+        engine = guess_engine(path)
+    if engine != "parquet":
+        opener = _BACKENDS.get(engine)
+        if opener is None:
+            raise ValueError(
+                f"unknown engine {engine!r}; registered: {list_engines()}"
+            )
+        return opener["open"](spark, path, variables=variables, decoders=decoders)
     df = spark.read.parquet(path)
     meta_path = os.path.join(path, "_xschema.json")
     data_vars = None
@@ -94,20 +151,39 @@ def decode_cf(df: DataFrame, decoders: Mapping[str, object]) -> DataFrame:
     for var, spec in decoders.items():
         if isinstance(spec, tuple):
             fill, scale, offset = spec
-            time_units = None
+            time_units = unsigned = dtype = calendar = None
         else:
             fill = spec.get("fill_value")
             scale = spec.get("scale_factor")
             offset = spec.get("add_offset")
             time_units = spec.get("time_units")
+            unsigned = spec.get("unsigned")       # CF _Unsigned attr
+            dtype = spec.get("dtype")             # 'bool' → CFBoolCoder
+            calendar = spec.get("calendar")       # non-real → cftime ordinal
         c = F.col(var)
+        if unsigned:
+            # netCDF-3 has no unsigned types: producers store u8/u16/u32
+            # in the signed container with _Unsigned='true'
+            # (coding/variables.py:768 UnsignedIntegerCoder) — reinterpret
+            # negative values by adding 2^bits, JVM integer arithmetic
+            bits = {"byte": 8, "tinyint": 8, "smallint": 16, "short": 16,
+                    "int": 32, "integer": 32}.get(df.schema[var].dataType.simpleString(), 32)
+            c = F.when(c < 0, c.cast("long") + F.lit(1 << bits)).otherwise(c.cast("long"))
         if fill is not None:
             c = F.when(F.col(var) == F.lit(fill), F.lit(None)).otherwise(c)
         if scale is not None:
             c = c * F.lit(scale)
         if offset is not None:
             c = c + F.lit(offset)
-        if time_units is not None:
+        if dtype == "bool":
+            # CFBoolCoder (coding/variables.py:732): i1 0/1 -> boolean
+            c = c.cast("int").cast("boolean")
+        if time_units is not None and calendar not in (None, "standard",
+                                                       "gregorian",
+                                                       "proleptic_gregorian"):
+            from xarray_spark.cftime import decode_cf_time
+            c = decode_cf_time(c, time_units, calendar)
+        elif time_units is not None:
             unit, _, epoch = time_units.partition(" since ")
             secs = _CF_UNIT_SECONDS[unit.strip().lower()]
             c = F.timestamp_seconds(
@@ -143,6 +219,17 @@ def from_dataframe(df: DataFrame, dims: Sequence[str],
     return XDataset(df, dims, coords)
 
 
+def from_series(spark: SparkSession, series, name: str | None = None):
+    """pandas Series -> XDataArray (xarray/core/dataarray.py:3929
+    from_series): the (multi)index levels become dims, the values the
+    single data var."""
+    pdf = series.rename(name or series.name or "value").reset_index()
+    dims = list(pdf.columns[:-1])
+    var = pdf.columns[-1]
+    ds = XDataset(spark.createDataFrame(pdf), dims, data_vars=[var])
+    return ds[var]
+
+
 def from_dict(spark: SparkSession, d: Mapping) -> XDataset:
     """Inverse of XDataset.to_dict (xarray/core/dataset.py:7678)."""
     df = spark.createDataFrame(d["data"])
@@ -172,6 +259,51 @@ def linspace_index(spark: SparkSession, dim: str, start: float, stop: float,
     return spark.range(num).select(
         (F.lit(float(start)) + F.col("id") * F.lit(step)).alias(dim)
     )
+
+
+def open_groups(spark: SparkSession, root: str) -> dict:
+    """Discover and open every group under a hierarchical store
+    (xarray/backends/api.py open_groups): returns ``{'/path': XDataset}``.
+
+    Two store layouts:
+    - a DataTree parquet root (``DataTree.to_parquet``): every
+      subdirectory holding an ``_xschema.json`` sidecar is a group;
+    - a zarr store: every directory holding a ``.zgroup`` whose children
+      include ``.zarray`` arrays is a group.
+
+    Only the store's directory tree is walked (metadata-sized work);
+    each group opens as its own lazy scan.
+    """
+    root = root.rstrip("/")
+    out: dict = {}
+    if os.path.exists(os.path.join(root, ".zgroup")):
+        for cur, dirs, files in os.walk(root):
+            if ".zgroup" not in files:
+                continue
+            has_arrays = any(
+                os.path.exists(os.path.join(cur, d, ".zarray")) for d in dirs
+            )
+            if not has_arrays:
+                continue
+            rel = "/" + os.path.relpath(cur, root).replace(os.sep, "/")
+            rel = "/" if rel == "/." else rel
+            from xarray_spark.backends import open_zarr
+            out[rel] = open_zarr(spark, cur)
+        return out
+    for cur, _dirs, files in os.walk(root):
+        if "_xschema.json" not in files:
+            continue
+        rel = "/" + os.path.relpath(cur, root).replace(os.sep, "/")
+        rel = "/" if rel == "/." else rel
+        out[rel] = open_dataset(spark, cur)
+    return out
+
+
+def open_datatree(spark: SparkSession, root: str):
+    """Open a hierarchical store as a DataTree (xarray/backends/api.py:868)
+    — ``open_groups`` + tree assembly."""
+    from xarray_spark.datatree import DataTree
+    return DataTree(open_groups(spark, root))
 
 
 def open_dataarray(spark: SparkSession, path: str, **kw):

@@ -298,10 +298,29 @@ class XRollingExp:
         if others:
             df = ds.df.groupBy(*others).applyInPandas(apply_fn, out_schema)
         else:
+            seg = self._maybe_segmented(agg)
+            if seg is not None:
+                return seg
             df = ds.df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
                 lambda pdf: apply_fn(pdf.drop(columns="__g")), out_schema
             )
         return ds._replace(df=df)
+
+    def _maybe_segmented(self, agg: str):
+        """Global-series EWM above the auto-segment threshold goes
+        two-phase (segmented.ewm_segmented) instead of one Arrow batch —
+        mean/sum are exact linear recurrences; std/var stay on the
+        pandas kernel."""
+        from xarray_spark.options import OPTIONS
+        from xarray_spark._utils import estimated_rows
+        thr = OPTIONS["auto_segment_threshold"]
+        if thr is None or agg not in ("mean", "sum"):
+            return None
+        if estimated_rows(self.ds.df) < thr:
+            return None
+        from xarray_spark.segmented import ewm_alpha, ewm_segmented
+        alpha = ewm_alpha(self.window, self.window_type)
+        return ewm_segmented(self.ds, self.dim, alpha, agg)
 
     def mean(self) -> XDataset:
         return self._ewm("mean")

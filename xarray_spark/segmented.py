@@ -230,3 +230,132 @@ def ffill_segmented(ds: XDataset, dim: str, n_segments: int = 64) -> XDataset:
         else:
             exprs.append(F.col(c))
     return ds._replace(df=joined.select(*exprs))
+
+
+def ewm_alpha(window: float, window_type: str) -> float:
+    """Smoothing factor α from the reference's window-type vocabulary
+    (xarray/computation/rolling_exp.py:26 _get_alpha)."""
+    import math
+    if window_type == "alpha":
+        return float(window)
+    if window_type == "span":
+        return 2.0 / (float(window) + 1.0)
+    if window_type == "com":
+        return 1.0 / (1.0 + float(window))
+    if window_type == "halflife":
+        return 1.0 - math.exp(-math.log(2.0) / float(window))
+    raise ValueError(f"window_type {window_type!r}")
+
+
+def ewm_segmented(ds: XDataset, dim: str, alpha: float, agg: str = "mean",
+                  n_segments: int = 64) -> XDataset:
+    """Exact EWM (adjust=True, ignore_na=False, min_periods=1) over a
+    global series, segment-parallel — the scale path for the one shape
+    where the pandas-kernel EWM degenerates to a single Arrow batch.
+
+    The EWM numerator/denominator are linear recurrences
+        N_i = (1-α)·N_{i-1} + x_i,   D_i = (1-α)·D_{i-1} + 1_{x_i≠null}
+    so they admit the same two-phase decomposition as cumsum: phase 1
+    computes per-segment LOCAL (N, D) arrays (block-scaled vectorized
+    scan inside an applyInPandas — numerically safe because each block
+    bounds the weight ratio at e^300, and contributions damped below
+    that are < 1e-130 of the result); phase 2 chains the n_segments
+    boundary states on the driver (a 64-row linear recurrence) and
+    broadcast-joins the per-segment carry, decayed per row by
+    (1-α)^(pos+1) — which underflows to exactly 0 deep inside a
+    segment, as the mathematics says it should.
+
+    mean = (N + carry_N·f) / (D + carry_D·f);  sum = N + carry_N·f.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    decay = 1.0 - float(alpha)
+    varlist = list(ds.data_vars)
+    raw, _x = _with_segments(ds, dim, n_segments)
+
+    extra = [T.StructField("__p", T.LongType())]
+    for v in varlist:
+        extra += [T.StructField(f"__n_{v}", T.DoubleType()),
+                  T.StructField(f"__d_{v}", T.DoubleType())]
+    out_schema = T.StructType(list(raw.schema.fields) + extra)
+
+    if decay <= 0.0:
+        block = 1
+    else:
+        block = max(1, min(8192, int(300.0 / max(-math.log(decay), 1e-12))))
+
+    def _scan(x: np.ndarray):
+        n = len(x)
+        val = np.nan_to_num(x, nan=0.0)
+        ind = (~np.isnan(x)).astype("float64")
+        if decay <= 0.0:
+            return val, ind
+        N = np.empty(n); D = np.empty(n)
+        cN = cD = 0.0
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            k = e - s
+            w = decay ** np.arange(k, dtype="float64")
+            inv = 1.0 / w
+            f = decay ** np.arange(1, k + 1, dtype="float64")
+            N[s:e] = np.cumsum(val[s:e] * inv) * w + cN * f
+            D[s:e] = np.cumsum(ind[s:e] * inv) * w + cD * f
+            cN, cD = N[e - 1], D[e - 1]
+        return N, D
+
+    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(dim).reset_index(drop=True)
+        pdf["__p"] = np.arange(len(pdf), dtype="int64")
+        for v in varlist:
+            N, D = _scan(pdf[v].to_numpy("float64", na_value=np.nan))
+            pdf[f"__n_{v}"] = N
+            pdf[f"__d_{v}"] = D
+        return pdf
+
+    local = raw.groupBy("__seg").applyInPandas(phase1, out_schema)
+
+    # boundary states: one row per segment — driver-sized by construction
+    summary = (
+        local.groupBy("__seg")
+        .agg(
+            F.max("__p").alias("__pmax"),
+            *[F.max_by(f"__n_{v}", "__p").alias(f"__ne_{v}") for v in varlist],
+            *[F.max_by(f"__d_{v}", "__p").alias(f"__de_{v}") for v in varlist],
+        )
+        .orderBy("__seg")
+        .collect()
+    )
+    carry_rows = []
+    g = {v: (0.0, 0.0) for v in varlist}
+    for r in summary:
+        carry_rows.append((r["__seg"],
+                           *[g[v][0] for v in varlist],
+                           *[g[v][1] for v in varlist]))
+        dk = decay ** (r["__pmax"] + 1)
+        g = {v: (r[f"__ne_{v}"] + g[v][0] * dk,
+                 r[f"__de_{v}"] + g[v][1] * dk) for v in varlist}
+    carry = ds.spark.createDataFrame(
+        carry_rows,
+        ["__seg"] + [f"__cn_{v}" for v in varlist] + [f"__cd_{v}" for v in varlist],
+    )
+
+    joined = local.join(F.broadcast(carry), on="__seg", how="left")
+    f_row = F.pow(F.lit(decay), F.col("__p") + 1)
+    exprs = []
+    for c in ds.df.columns:
+        if c in ds.data_vars:
+            num = F.col(f"__n_{c}") + F.col(f"__cn_{c}") * f_row
+            den = F.col(f"__d_{c}") + F.col(f"__cd_{c}") * f_row
+            if agg == "mean":
+                exprs.append(F.when(den > 0, num / den).alias(c))
+            elif agg == "sum":
+                exprs.append(num.alias(c))
+            else:
+                raise ValueError(f"ewm agg {agg!r}")
+        else:
+            exprs.append(F.col(c))
+    return ds._replace(df=joined.select(*exprs))
