@@ -205,25 +205,49 @@ def ivf_fit(
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 7,
+    train_sample: int = 4096,
 ) -> list:
-    """Fit the IVF coarse quantizer ONCE: distributed KMeans over the
-    corpus, returning the (driver-small) centroid list.
+    """Fit the IVF coarse quantizer ONCE on a bounded training sample,
+    returning the (driver-small) centroid list.
 
-    Codebook lifecycle (the 100 TB discipline): fit on ingest or on a
-    sample, persist the centroids (they are a few KB — a sidecar JSON
-    or literal list), and hand them to every ``ivf_topk`` call.  The
-    query path then contains NO iterative ML jobs — assignment and cell
-    probing are pure literal expressions.
+    Codebook lifecycle (the 100 TB discipline, the FAISS training
+    convention): the quantizer trains on a SAMPLE whose size depends on
+    n_cells, not on the corpus — one deterministic hash-ordered top-N
+    scan (TakeOrdered: O(sample) per partition, no shuffle of the
+    corpus) pulls ``train_sample`` vectors to the driver, then Lloyd
+    iterations run in numpy (sample × d — milliseconds).  Persist the
+    centroids (a few KB — sidecar JSON or literal list) and hand them
+    to every ``ivf_topk`` call: the query path then contains NO
+    iterative ML jobs — assignment and cell probing are pure literal
+    expressions.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    c = corpus.select(
-        F.col(vec_col).cast("array<double>").alias("__cv")
-    ).withColumn("__vec", array_to_vector("__cv"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell")
-    model = km.fit(c)
-    return [list(v) for v in model.clusterCenters()]
+    rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("__cv"))
+        .where(F.col("__cv").isNotNull())
+        .orderBy(F.xxhash64(F.col("__cv"), F.lit(seed)))
+        .limit(train_sample)
+        .collect()
+    )
+    x = np.asarray([r["__cv"] for r in rows], dtype="float64")
+    rng = np.random.RandomState(seed)
+    # kmeans++ seeding, then Lloyd to convergence (the sample is tiny)
+    cents = x[rng.randint(len(x))][None, :]
+    for _ in range(1, min(n_cells, len(x))):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1).min(1)
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents = np.vstack([cents, x[rng.choice(len(x), p=p)]])
+    for _ in range(25):
+        assign = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        new = np.vstack([
+            x[assign == i].mean(0) if (assign == i).any() else cents[i]
+            for i in range(len(cents))
+        ])
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return [list(map(float, c)) for c in cents]
 
 
 def _nearest_cells(vec: Column, centroids: list, n: int) -> Column:
