@@ -1126,6 +1126,20 @@ def q79_sel_step(spark, sf_dir):
     return out.to_spark().select("l_shipdate", "rev")
 
 
+def q81_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: exact word-trigram Jaccard pairs (same
+    parameters as q53, so the edge list is SQL-reproducible) fed through
+    min-label/pointer-jump connected components
+    (extras.dedup.connected_components) — per-doc cluster assignment,
+    cluster = smallest doc_id in the component.  The oracle closes the
+    same edge list with a recursive CTE."""
+    from xarray_spark.extras.dedup import connected_components, ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_df=200)
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster")
+
+
 def q80_cf_360day(spark, sf_dir):
     """360_day-calendar monthly revenue (cftime.py encoded ordinals;
     xarray coding/calendar_ops.py convert_calendar use_cftime path).
@@ -1194,8 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_shift": q38_shift,
         "q41_dot": q41_dot,
         "q45_resample_asfreq": q45_resample_asfreq,
-        "q46_resample_6h": q46_resample_6h,
         "q80_cf_360day": q80_cf_360day,
+        "q81_dedup_clusters": q81_dedup_clusters,
         # ---- rotation window: round-2 debutants (never driver-checked) ----
         "q53_ngram_jaccard": q53_ngram_jaccard,
         "q54_pad": q54_pad,
@@ -1252,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_embedding_near_dups": q52_embedding_near_dups,
         "q63_lsh_multiprobe": q63_lsh_multiprobe,
         "q64_ivf_topk": q64_ivf_topk,
+        "q46_resample_6h": q46_resample_6h,
         "q47_weighted_var": q47_weighted_var,
     }
 
@@ -1868,6 +1883,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON inter.id_a = sa.doc_id
             JOIN sz sb ON inter.id_b = sb.doc_id
             WHERE i / (sa.sz + sb.sz - i) >= 0.3
+        """,
+        "q81_dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            sh0 AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          ELSE '' END AS sh
+              FROM toks, LATERAL unnest(range(1, greatest(len(t) - 1, 2))) AS u(i)
+            ),
+            sh AS (
+              SELECT sh0.doc_id, sh0.sh FROM sh0
+              JOIN (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh) d USING (sh)
+              WHERE d.df <= 200
+            ),
+            sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON inter.id_a = sa.doc_id
+              JOIN sz sb ON inter.id_b = sb.doc_id
+              WHERE i / (sa.sz + sb.sz - i) >= 0.3
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+            )
+            SELECT u AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY u
         """,
         "q54_pad": f"""
             WITH daily AS (

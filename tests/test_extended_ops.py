@@ -149,3 +149,41 @@ def test_datatree(spark, tmp_path):
     tree.to_parquet(root)
     back = DataTree.open(spark, root, ["/grp_a", "/grp_b/nested"])
     assert back["/grp_b/nested"].df.collect()[0]["v"] == 2.0
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+    from xarray_spark.extras.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 199), rng.randint(0, 199)) for _ in range(150)]
+    edges += [(i, i + 1) for i in range(300, 340)]  # a 41-node chain
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["cluster"]
+           for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_dedup_keep_canonical(spark):
+    from xarray_spark.extras.dedup import dedup_keep_canonical
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [0, 1, 4]

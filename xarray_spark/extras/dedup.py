@@ -235,3 +235,75 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster assignment from a near-dup pair list: min-label
+    connected components, the stage that turns pairwise LSH/Jaccard
+    output into deletable groups.  Returns ``(id, cluster)`` where
+    ``cluster`` is the smallest id in the component — deterministic
+    regardless of iteration order.
+
+    Algorithm (the hash-to-min / pointer-jumping family of MapReduce CC
+    — Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round first relaxes every node's label to the min of
+    its neighbors' labels (one shuffle keyed by node id), then pointer-
+    jumps ``l(v) <- l(l(v))`` (a second keyed shuffle), which halves
+    chain depth — so rounds = O(log diameter), not O(diameter).  Dedup
+    graphs are shallow (near-clique clusters); typical convergence is
+    2-3 rounds.
+
+    Scale shape: every shuffle is keyed by node/label id; nothing but a
+    one-row changed-count ever reaches the driver; ``localCheckpoint``
+    truncates lineage each round so the plan doesn't grow with the
+    iteration count.  The driver-paced loop is the algorithm's iteration
+    structure (as in GraphX/GraphFrames), not a per-row collect.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    und = und.persist()
+    labels = (
+        und.select(F.col("u").alias("id")).distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels.withColumnRenamed("id", "v"), on="v")
+            .groupBy("u").agg(F.min("lbl").alias("nl"))
+        )
+        relaxed = (
+            labels.join(nbr.withColumnRenamed("u", "id"), on="id", how="left")
+            .select("id", F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl"))
+        )
+        jumped = (
+            relaxed.alias("a")
+            .join(labels.select(F.col("id").alias("lbl"),
+                                F.col("lbl").alias("ll")).alias("b"),
+                  on="lbl", how="left")
+            .select(F.col("a.id").alias("id"),
+                    F.least("lbl", F.coalesce("ll", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n").join(labels.alias("o"), on="id")
+            .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("id"), F.col("lbl").alias("cluster"))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                         src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """End-to-end near-dup removal: cluster the pair list and keep one
+    canonical row (the min id) per duplicate cluster; rows in no pair
+    survive untouched.  Anti-join keyed by id — no row data moves
+    through the CC iterations, only (id, label) pairs."""
+    cc = connected_components(pairs, src, dst)
+    drop = cc.where(F.col("id") != F.col("cluster")).select(F.col("id").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")
