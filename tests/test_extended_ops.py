@@ -187,3 +187,54 @@ def test_dedup_keep_canonical(spark):
         [(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"])
     kept = sorted(r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect())
     assert kept == [0, 1, 4]
+
+
+def test_str_tail2_methods(spark):
+    from xarray_spark import XDataset
+    d = XDataset(spark.createDataFrame(
+        [(1, "a-b-c-d"), (2, "x-y")], ["t", "s"]), dims=["t"])
+    da = d["s"]
+    rows = {r["t"]: r["s"] for r in da.str.rsplit("-", maxsplit=1).df.collect()}
+    assert rows[1] == ["a-b-c", "d"] and rows[2] == ["x", "y"]
+    rows = {r["t"]: r["s"] for r in da.str.slice_replace(1, 3, "Z").df.collect()}
+    assert rows[1] == "aZ-c-d" and rows[2] == "xZ"
+    only1 = d.isel(t=[0])["s"]
+    assert only1.str.index("b").df.collect()[0]["s"] == 2
+    import pytest as _pt
+    with _pt.raises(Exception, match="not found"):
+        da.str.index("q").df.collect()
+    # join along the dim consumes it
+    j = d["s"].str.join(dim="t", sep="|").df.collect()
+    assert j[0]["s"] == "a-b-c-d|x-y"
+
+
+def test_str_format_and_rindex(spark):
+    from xarray_spark import XDataset
+    d = XDataset(spark.createDataFrame(
+        [(1, "v={0}:{k}"), (2, "plain")], ["t", "s"]), dims=["t"])
+    rows = {r["t"]: r["s"] for r in d["s"].str.format(7, k="x").df.collect()}
+    assert rows == {1: "v=7:x", 2: "plain"}
+    d2 = XDataset(spark.createDataFrame([(1, "abcabc")], ["t", "s"]), dims=["t"])
+    assert d2["s"].str.rindex("bc").df.collect()[0]["s"] == 4
+
+
+def test_dt_timedelta_fields_and_aliases(spark):
+    from pyspark.sql import functions as F
+    from xarray_spark import XDataset
+    df = spark.createDataFrame(
+        [(1, "2020-01-03 12:00:00.500000", "2020-01-01 00:00:00")],
+        ["t", "b", "a"],
+    ).select(
+        "t",
+        (F.col("b").cast("timestamp") - F.col("a").cast("timestamp")).alias("td"),
+        F.col("b").cast("timestamp").alias("ts"),
+    )
+    d = XDataset(df, dims=["t"])
+    td = d["td"]
+    assert td.dt.days.df.collect()[0]["td"] == 2
+    assert td.dt.seconds.df.collect()[0]["td"] == 43200
+    assert td.dt.microseconds.df.collect()[0]["td"] == 500000
+    assert abs(td.dt.total_seconds().df.collect()[0]["td"] - 216000.5) < 1e-6
+    ts = d["ts"]
+    assert ts.dt.day_of_week.df.collect()[0]["ts"] == 4  # Friday=4
+    assert ts.dt.calendar == "proleptic_gregorian"

@@ -180,6 +180,91 @@ class StringAccessor(_Accessor):
     def isnumeric(self): return self._wrap(self._c.rlike("^[0-9]+$"))
     isdecimal = isnumeric
 
+    def index(self, sub: str):
+        """find() that errors on absence (accessor_str.py:1793 .index) —
+        raise_error keeps the check JVM-side, surfacing at action time
+        like any Spark runtime error."""
+        pos = F.instr(self._c, sub) - 1
+        return self._wrap(
+            F.when(pos >= 0, pos).otherwise(
+                F.raise_error(F.concat(F.lit(f"substring {sub!r} not found in "), self._c))
+            )
+        )
+
+    def rindex(self, sub: str):
+        """rfind() that errors on absence (accessor_str.py:1844)."""
+        q = "\\Q" + sub + "\\E"
+        tail_len = F.length(F.regexp_extract(self._c, f".*{q}(.*)$", 1))
+        pos = F.length(self._c) - tail_len - len(sub)
+        return self._wrap(
+            F.when(self._c.contains(sub), pos).otherwise(
+                F.raise_error(F.concat(F.lit(f"substring {sub!r} not found in "), self._c))
+            )
+        )
+
+    def join(self, dim: str | None = None, sep: str = ""):
+        """Join list elements with sep (accessor_str.py:515 .join).  On
+        an array column this is array_join; with a real ``dim`` it
+        concatenates along that dim (collect_list ordered by the dim —
+        an aggregation, the dim is consumed)."""
+        from pyspark.sql import types as T
+        da = self.da
+        if isinstance(da.df.schema[da.name].dataType, T.ArrayType):
+            return self._wrap(F.array_join(self._c, sep))
+        if dim is None:
+            raise ValueError("join on a scalar string column needs dim=")
+        others = [d for d in da.dims if d != dim]
+        joined = F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct(F.col(dim).alias("k"),
+                                                             self._c.alias("v")))),
+                        lambda s: s["v"]),
+            sep,
+        ).alias(da.name)
+        df = da.df.groupBy(*others).agg(joined) if others else da.df.agg(joined)
+        from xarray_spark.dataset import XDataArray
+        return XDataArray(df, others, da._coords_on(others), [da.name], da.attrs)
+
+    def rsplit(self, sep: str, maxsplit: int = -1):
+        """Right-anchored split (accessor_str.py:2652): at most
+        ``maxsplit`` breaks counted from the end — pure array algebra on
+        the full split (slice + array_join), no Python."""
+        q = "\\Q" + sep + "\\E"
+        parts = F.split(self._c, q)
+        if maxsplit < 0:
+            return self._wrap(parts)
+        n = F.size(parts)
+        k = n - maxsplit  # leading parts to re-merge
+        merged = F.array_join(F.slice(parts, 1, F.greatest(k, F.lit(0))), sep)
+        out = F.when(n <= maxsplit + 1, parts).otherwise(
+            F.concat(F.array(merged), F.slice(parts, k + 1, maxsplit))
+        )
+        return self._wrap(out)
+
+    def slice_replace(self, start: int | None = None, stop: int | None = None,
+                      repl: str = ""):
+        """Replace positions [start, stop) with repl
+        (accessor_str.py:387): substring surgery, fully codegen'd."""
+        c = self._c
+        s = 0 if start is None else start
+        head = F.substring(c, 1, s)
+        tail = F.lit("") if stop is None else F.substring(c, stop + 1, 1 << 30)
+        return self._wrap(F.concat(head, F.lit(repl), tail))
+
+    def format(self, *args, **kwargs):
+        """Elementwise ``str.format`` where each ELEMENT is the template
+        (accessor_str.py:586) — inherently Python string semantics, so
+        this is the one .str method on the Arrow-batched pandas_udf
+        path (scalar args only; array-like broadcasting is out of
+        scope)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _fmt(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: t.format(*args, **kwargs) if t is not None else None)
+
+        return self._wrap(_fmt(self._c))
+
     def get_dummies(self, sep: str = "|") -> "XDataArray":
         """Indicator columns per token (xarray/core/accessor_str.py:2770)
         — split → explode → pivot 0/1 over the dim keys."""
@@ -318,6 +403,56 @@ class DatetimeAccessor(_Accessor):
         jvm = (fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
                   .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss"))
         return self._wrap(F.date_format(self._c, jvm))
+
+    # pandas/xarray long-name aliases (accessor_dt.py:484-520)
+    @property
+    def day_of_week(self): return self.dayofweek
+    @property
+    def day_of_year(self): return self.dayofyear
+    @property
+    def week(self): return self.weekofyear
+
+    @property
+    def calendar(self) -> str:
+        """Calendar name of the dim (accessor_dt.py:642) — metadata, not
+        a column: real Spark timestamps are proleptic_gregorian; encoded
+        cftime ordinals carry their calendar in attrs['calendar']."""
+        return (self.da.attrs or {}).get("calendar", "proleptic_gregorian")
+
+    # ---- timedelta fields (accessor_dt.py TimedeltaAccessor) ----------
+    # Operate on DayTimeIntervalType columns (timestamp - timestamp) or
+    # on plain numeric seconds; pandas remainder conventions.
+    def _td_total_seconds(self):
+        dtype = self.da.df.schema[self.da.name].dataType.simpleString()
+        if dtype.startswith("interval"):
+            # exact micros: shift the epoch by the interval and read it
+            # back (cast-to-bigint truncates the fraction)
+            micros = F.unix_micros(F.lit("1970-01-01").cast("timestamp") + self._c)
+            return micros.cast("double") / 1_000_000
+        return self._c.cast("double")
+
+    @property
+    def days(self):
+        return self._wrap(F.floor(self._td_total_seconds() / 86400).cast("long"))
+
+    @property
+    def seconds(self):
+        s = self._td_total_seconds()
+        return self._wrap((s - F.floor(s / 86400) * 86400).cast("long"))
+
+    @property
+    def microseconds(self):
+        s = self._td_total_seconds()
+        frac = s - F.floor(s)
+        return self._wrap(F.round(frac * 1_000_000).cast("long"))
+
+    @property
+    def nanoseconds(self):
+        # micro-grain storage: nanos within the microsecond are 0
+        return self._wrap(F.lit(0).cast("long"))
+
+    def total_seconds(self):
+        return self._wrap(self._td_total_seconds())
 
     def floor(self, freq: str):
         from xarray_spark.groupers import TimeResampler
