@@ -261,3 +261,50 @@ def test_decode_cf_bool_unsigned_and_cf_calendar(spark):
         (False, 5, cft._py_ordinal(2000, 2, 30, "360_day")),
         (True, 65535, cft._py_ordinal(2000, 1, 1, "360_day")),
     ]
+
+
+def test_zarr_v3_roundtrip(spark, tmp_path):
+    import numpy as np
+    from xarray_spark.backends import open_zarr, read_zarr_array, to_zarr
+    store = str(tmp_path / "v3.zarr")
+    t = np.arange(8, dtype="float64")
+    v = (t * 2.5)
+    to_zarr({"v": (["t"], v)}, store, dims={"t": t},
+            chunks={"v": [3]}, zarr_format=3)
+    import os, json
+    meta = json.load(open(os.path.join(store, "zarr.json")))
+    assert meta["zarr_format"] == 3 and meta["node_type"] == "group"
+    assert os.path.exists(os.path.join(store, "v", "c", "0"))  # default key encoding
+    np.testing.assert_array_equal(read_zarr_array(store, "v"), v)
+    ds = open_zarr(spark, store)
+    got = {r["t"]: r["v"] for r in ds.df.collect()}
+    assert got == {float(i): float(i) * 2.5 for i in range(8)}
+
+
+def test_zarr_v3_guess_and_groups(spark, tmp_path):
+    import numpy as np
+    from xarray_spark import open_dataset, open_groups
+    from xarray_spark.io import guess_engine
+    from xarray_spark.backends import to_zarr
+    store = str(tmp_path / "h3")
+    to_zarr({"v": (["t"], np.arange(4, dtype="float64"))}, store,
+            dims={"t": np.arange(4, dtype="float64")}, zarr_format=3)
+    assert guess_engine(store) == "zarr"
+    ds = open_dataset(spark, store)
+    assert ds.df.count() == 4
+    groups = open_groups(spark, store)
+    assert "/" in groups and groups["/"].df.count() == 4
+
+
+def test_zarr_v3_missing_chunk_fill(spark, tmp_path):
+    import numpy as np, os
+    from xarray_spark.backends import open_zarr, to_zarr
+    store = str(tmp_path / "m3.zarr")
+    to_zarr({"a": (["t"], np.arange(6, dtype="float64"))}, store,
+            dims={"t": np.arange(6, dtype="float64")},
+            chunks={"a": [2]}, zarr_format=3)
+    os.remove(os.path.join(store, "a", "c", "2"))  # drop the last chunk
+    got = sorted((r["t"], r["a"]) for r in open_zarr(spark, store).df.collect())
+    assert got[:4] == [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0)]
+    # v3 float fill = NaN -> long-form null (NaN≡null across Arrow)
+    assert all(a is None or np.isnan(a) for _, a in got[4:])

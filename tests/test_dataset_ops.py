@@ -183,8 +183,13 @@ def test_rolling_center(spark):
 def test_rolling_construct_and_reduce(spark):
     rows = [{"t": i, "v": float(i)} for i in range(4)]
     d = make_ds(spark, rows, dims=["t"])
-    arrs = {r["t"]: r["v"] for r in d.rolling(t=2).construct("w").df.collect()}
-    assert arrs[2] == [1.0, 2.0]
+    con = d.rolling(t=2).construct("w")
+    assert con.dims == ("t", "w")
+    arrs = {(r["t"], r["w"]): r["v"] for r in con.df.collect()}
+    # aligned: current element last; first row front-padded with null
+    assert arrs[(2, 0)] == 1.0 and arrs[(2, 1)] == 2.0
+    assert arrs[(0, 0)] is None and arrs[(0, 1)] == 0.0
+    assert len(arrs) == 8
     red = d.rolling(t=2).reduce(lambda a: float(a.sum()))
     got = {r["t"]: r["v"] for r in red.df.collect()}
     assert got == {0: None, 1: 1.0, 2: 3.0, 3: 5.0}

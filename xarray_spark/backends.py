@@ -398,15 +398,78 @@ def _zarr_decompress(raw: bytes, compressor) -> bytes:
         "in this environment (supported: zlib, gzip, uncompressed)")
 
 
+def _zarr3_fill(v, dt: np.dtype):
+    if isinstance(v, str) and dt.kind == "f":
+        return {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}.get(v, float(v))
+    return v
+
+
 def _zarr_meta(store: str, name: str) -> tuple[dict, dict]:
+    """Normalized array metadata for BOTH store layouts — zarr v2
+    (``.zarray``/``.zattrs``) and zarr v3 (``zarr.json``, the format
+    current xarray writes by default; spec at zarr-specs v3.0).
+
+    Returns ``(zarray, zattrs)`` where zarray always carries the
+    v2-shaped keys (shape/chunks/dtype/fill_value/compressor/
+    dimension_separator) plus ``key_prefix`` ('' for v2, 'c<sep>' for
+    the v3 'default' chunk-key encoding), and zattrs always exposes
+    ``_ARRAY_DIMENSIONS`` (mapped from v3 ``dimension_names``)."""
+    v3path = os.path.join(store, name, "zarr.json")
+    if os.path.exists(v3path):
+        with open(v3path) as f:
+            z3 = json.load(f)
+        if z3.get("node_type") != "array":
+            raise ValueError(f"{v3path}: not an array node")
+        dt = np.dtype(z3["data_type"])
+        comp = None
+        for codec in z3.get("codecs", []):
+            cn = codec.get("name")
+            if cn == "bytes":
+                endian = codec.get("configuration", {}).get("endian", "little")
+                dt = dt.newbyteorder("<" if endian == "little" else ">")
+            elif cn in ("gzip", "zlib"):
+                comp = {"id": cn,
+                        "level": codec.get("configuration", {}).get("level", 1)}
+            elif cn == "transpose" or cn is None:
+                raise NotImplementedError(f"zarr v3 codec {codec!r}")
+            else:
+                raise NotImplementedError(
+                    f"zarr v3 codec {cn!r} needs a native library not in "
+                    "this environment (supported: bytes, gzip, zlib)")
+        cke = z3.get("chunk_key_encoding", {"name": "default"})
+        sep = cke.get("configuration", {}).get(
+            "separator", "/" if cke.get("name") == "default" else ".")
+        prefix = f"c{sep}" if cke.get("name", "default") == "default" else ""
+        zarray = {
+            "shape": z3["shape"],
+            "chunks": z3["chunk_grid"]["configuration"]["chunk_shape"],
+            "dtype": dt.str,
+            "fill_value": _zarr3_fill(z3.get("fill_value"), dt),
+            "compressor": comp,
+            "dimension_separator": sep,
+            "key_prefix": prefix,
+        }
+        zattrs = dict(z3.get("attributes", {}))
+        if "dimension_names" in z3:
+            zattrs["_ARRAY_DIMENSIONS"] = list(z3["dimension_names"])
+        return zarray, zattrs
     with open(os.path.join(store, name, ".zarray")) as f:
         zarray = json.load(f)
+    zarray.setdefault("key_prefix", "")
     zattrs = {}
     ap = os.path.join(store, name, ".zattrs")
     if os.path.exists(ap):
         with open(ap) as f:
             zattrs = json.load(f)
     return zarray, zattrs
+
+
+def _zarr_chunk_key(zarray: dict, idx: tuple) -> str:
+    sep = zarray.get("dimension_separator") or "."
+    prefix = zarray.get("key_prefix", "")
+    if not idx:
+        return (prefix.rstrip(sep) or "0") if prefix else "0"
+    return prefix + sep.join(str(i) for i in idx)
 
 
 def read_zarr_array(store: str, name: str) -> np.ndarray:
@@ -416,14 +479,12 @@ def read_zarr_array(store: str, name: str) -> np.ndarray:
     shape, chunks = zarray["shape"], zarray["chunks"]
     dt = np.dtype(zarray["dtype"])
     fill = zarray.get("fill_value")
-    sep = zarray.get("dimension_separator", ".")
     out = np.full(shape, fill if fill is not None else 0, dtype=dt)
     if not shape:
         return out
     grid = [(-(-s // c)) for s, c in zip(shape, chunks)]
     for idx in np.ndindex(*grid):
-        key = sep.join(str(i) for i in idx)
-        cpath = os.path.join(store, name, key)
+        cpath = os.path.join(store, name, _zarr_chunk_key(zarray, idx))
         sel = tuple(slice(i * c, min((i + 1) * c, s))
                     for i, c, s in zip(idx, chunks, shape))
         if not os.path.exists(cpath):
@@ -438,21 +499,46 @@ def read_zarr_array(store: str, name: str) -> np.ndarray:
 
 def write_zarr_array(store: str, name: str, arr: np.ndarray,
                      dims: Sequence[str], chunks: Sequence[int] | None = None,
-                     compressor: str | None = "zlib") -> None:
+                     compressor: str | None = "zlib",
+                     zarr_format: int = 2) -> None:
     arr = np.ascontiguousarray(arr)
     chunks = list(chunks) if chunks is not None else list(arr.shape)
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
-    comp = {"id": "zlib", "level": 1} if compressor == "zlib" else None
-    zarray = {
-        "zarr_format": 2, "shape": list(arr.shape), "chunks": chunks,
-        "dtype": arr.dtype.newbyteorder("<").str, "compressor": comp,
-        "fill_value": None, "order": "C", "filters": None,
-    }
-    with open(os.path.join(adir, ".zarray"), "w") as f:
-        json.dump(zarray, f)
-    with open(os.path.join(adir, ".zattrs"), "w") as f:
-        json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
+    if zarr_format == 3:
+        # v3 gzip codec (zlib isn't a registered v3 codec name)
+        comp = {"id": "gzip", "level": 1} if compressor else None
+        meta = {
+            "zarr_format": 3, "node_type": "array",
+            "shape": list(arr.shape),
+            "data_type": arr.dtype.newbyteorder("=").name,
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": chunks}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": 0 if arr.dtype.kind in "iub" else "NaN",
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "little"}}]
+                      + ([{"name": "gzip", "configuration": {"level": 1}}]
+                         if comp else []),
+            "dimension_names": list(dims),
+            "attributes": {},
+        }
+        with open(os.path.join(adir, "zarr.json"), "w") as f:
+            json.dump(meta, f)
+        keyfn = lambda idx: "c/" + "/".join(str(i) for i in idx) if idx else "c"  # noqa: E731
+    else:
+        comp = {"id": "zlib", "level": 1} if compressor == "zlib" else None
+        zarray = {
+            "zarr_format": 2, "shape": list(arr.shape), "chunks": chunks,
+            "dtype": arr.dtype.newbyteorder("<").str, "compressor": comp,
+            "fill_value": None, "order": "C", "filters": None,
+        }
+        with open(os.path.join(adir, ".zarray"), "w") as f:
+            json.dump(zarray, f)
+        with open(os.path.join(adir, ".zattrs"), "w") as f:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
+        keyfn = lambda idx: ".".join(str(i) for i in idx) if idx else "0"  # noqa: E731
     le = arr.astype(arr.dtype.newbyteorder("<"))
     grid = [(-(-s // c)) for s, c in zip(arr.shape, chunks)] or [1]
     if not arr.shape:
@@ -468,24 +554,40 @@ def write_zarr_array(store: str, name: str, arr: np.ndarray,
             block = padded
         raw = block.tobytes()
         if comp is not None:
-            raw = zlib.compress(raw, comp["level"])
-        key = ".".join(str(i) for i in idx) if idx else "0"
-        with open(os.path.join(adir, key), "wb") as f:
+            raw = (gzip_compress(raw, comp["level"])
+                   if comp["id"] == "gzip" else zlib.compress(raw, comp["level"]))
+        kpath = os.path.join(adir, keyfn(tuple(idx)))
+        os.makedirs(os.path.dirname(kpath), exist_ok=True)
+        with open(kpath, "wb") as f:
             f.write(raw)
 
 
+def gzip_compress(raw: bytes, level: int = 1) -> bytes:
+    import gzip as _gz
+    return _gz.compress(raw, compresslevel=level, mtime=0)
+
+
 def to_zarr(ds_or_arrays, store: str, dims: Mapping[str, np.ndarray] | None = None,
-            chunks: Mapping[str, Sequence[int]] | None = None) -> None:
-    """Write a zarr v2 group from a dict of named numpy arrays
-    (name → (dims, array)); coordinate arrays from ``dims``."""
+            chunks: Mapping[str, Sequence[int]] | None = None,
+            zarr_format: int = 2) -> None:
+    """Write a zarr group from a dict of named numpy arrays
+    (name → (dims, array)); coordinate arrays from ``dims``.
+    ``zarr_format=2`` writes the classic ``.zgroup`` layout,
+    ``zarr_format=3`` the current ``zarr.json`` layout."""
     os.makedirs(store, exist_ok=True)
-    with open(os.path.join(store, ".zgroup"), "w") as f:
-        json.dump({"zarr_format": 2}, f)
+    if zarr_format == 3:
+        with open(os.path.join(store, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "group",
+                       "attributes": {}}, f)
+    else:
+        with open(os.path.join(store, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
     for d, labels in (dims or {}).items():
-        write_zarr_array(store, d, np.asarray(labels), [d])
+        write_zarr_array(store, d, np.asarray(labels), [d], zarr_format=zarr_format)
     for name, (vdims, arr) in ds_or_arrays.items():
         ck = (chunks or {}).get(name)
-        write_zarr_array(store, name, np.asarray(arr), vdims, ck)
+        write_zarr_array(store, name, np.asarray(arr), vdims, ck,
+                         zarr_format=zarr_format)
 
 
 def open_zarr(spark: SparkSession, store: str,
@@ -500,9 +602,18 @@ def open_zarr(spark: SparkSession, store: str,
     designed around — so a 100 TB store never funnels through the
     driver.
     """
+    def _is_array(n: str) -> bool:
+        d = os.path.join(store, n)
+        if os.path.exists(os.path.join(d, ".zarray")):
+            return True
+        zp = os.path.join(d, "zarr.json")
+        if os.path.exists(zp):
+            with open(zp) as f:
+                return json.load(f).get("node_type") == "array"
+        return False
+
     names = [n for n in sorted(os.listdir(store))
-             if os.path.isdir(os.path.join(store, n))
-             and os.path.exists(os.path.join(store, n, ".zarray"))]
+             if os.path.isdir(os.path.join(store, n)) and _is_array(n)]
     metas = {n: _zarr_meta(store, n) for n in names}
     dims_of = lambda v: list(metas[v][1].get("_ARRAY_DIMENSIONS", [v]))  # noqa: E731
     all_vars = {n: None for n in names}
@@ -544,9 +655,7 @@ def open_zarr(spark: SparkSession, store: str,
                 var_blocks = {}
                 for v in data_names:
                     za = zarrays[v]
-                    sep = za.get("dimension_separator", ".")
-                    key = sep.join(str(i) for i in idx)
-                    cpath = os.path.join(store, v, key)
+                    cpath = os.path.join(store, v, _zarr_chunk_key(za, idx))
                     dt = np.dtype(za["dtype"])
                     csel = tuple(sl.stop - sl.start for sl in sel)
                     if os.path.exists(cpath):

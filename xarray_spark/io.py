@@ -70,7 +70,9 @@ def _register_builtin_backends() -> None:
     )
     register_backend(
         "zarr", _open_zarr,
-        lambda p: p.endswith(".zarr") or os.path.exists(os.path.join(p, ".zgroup")),
+        lambda p: (p.endswith(".zarr")
+                   or os.path.exists(os.path.join(p, ".zgroup"))
+                   or os.path.exists(os.path.join(p, "zarr.json"))),
     )
 
 
@@ -268,21 +270,39 @@ def open_groups(spark: SparkSession, root: str) -> dict:
     Two store layouts:
     - a DataTree parquet root (``DataTree.to_parquet``): every
       subdirectory holding an ``_xschema.json`` sidecar is a group;
-    - a zarr store: every directory holding a ``.zgroup`` whose children
-      include ``.zarray`` arrays is a group.
+    - a zarr store (v2 ``.zgroup`` or v3 ``zarr.json``): every group
+      directory whose children include arrays is a group.
 
     Only the store's directory tree is walked (metadata-sized work);
     each group opens as its own lazy scan.
     """
+    import json as _json
+
+    def _is_group(cur, files):
+        if ".zgroup" in files:
+            return True
+        if "zarr.json" in files:
+            with open(os.path.join(cur, "zarr.json")) as f:
+                return _json.load(f).get("node_type") == "group"
+        return False
+
+    def _is_array(path):
+        if os.path.exists(os.path.join(path, ".zarray")):
+            return True
+        zp = os.path.join(path, "zarr.json")
+        if os.path.exists(zp):
+            with open(zp) as f:
+                return _json.load(f).get("node_type") == "array"
+        return False
+
     root = root.rstrip("/")
     out: dict = {}
-    if os.path.exists(os.path.join(root, ".zgroup")):
+    if (os.path.exists(os.path.join(root, ".zgroup"))
+            or os.path.exists(os.path.join(root, "zarr.json"))):
         for cur, dirs, files in os.walk(root):
-            if ".zgroup" not in files:
+            if not _is_group(cur, files):
                 continue
-            has_arrays = any(
-                os.path.exists(os.path.join(cur, d, ".zarray")) for d in dirs
-            )
+            has_arrays = any(_is_array(os.path.join(cur, d)) for d in dirs)
             if not has_arrays:
                 continue
             rel = "/" + os.path.relpath(cur, root).replace(os.sep, "/")

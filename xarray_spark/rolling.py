@@ -170,10 +170,9 @@ class XRolling:
     def median(self):
         return self._apply(lambda c, w: F.expr(f"percentile({c}, 0.5)").over(w))
 
-    def construct(self, window_dim: str) -> XDataset:
-        """Materialize the window as an array column
-        (xarray/computation/rolling.py:327 construct → view; here:
-        collect_list over the frame)."""
+    def _construct_arrays(self) -> XDataset:
+        """Window contents as an array column (collect_list over the
+        frame) — the internal representation reduce() consumes."""
         w = self._frame()
         ds = self.ds
         exprs = [
@@ -182,10 +181,39 @@ class XRolling:
         ]
         return ds._replace(df=ds.df.select(*exprs))
 
+    def construct(self, window_dim: str, fill_value=None) -> XDataset:
+        """Materialize the rolling window as a REAL new dim
+        (xarray/computation/rolling.py:327 construct): each row becomes
+        ``window`` rows keyed by ``window_dim`` ∈ [0, window), aligned so
+        the current element is last; positions before the series start
+        hold ``fill_value`` (xarray's NaN padding).  Long form: array
+        front-pad + posexplode — one window scan, one narrow explode, no
+        Python."""
+        win = int(self.window)
+        arrs = self._construct_arrays()
+        ds = self.ds
+        fill = F.lit(fill_value)
+        padded = {}
+        for v in ds.data_vars:
+            a = F.col(v)
+            pad = F.array_repeat(fill.cast(ds.df.schema[v].dataType),
+                                 F.lit(win) - F.size(a))
+            padded[v] = F.concat(pad, a)
+        zipped = F.arrays_zip(*[padded[v].alias(v) for v in ds.data_vars])
+        df = arrs.df.select(
+            *[c for c in ds.df.columns if c not in ds.data_vars],
+            F.posexplode(zipped).alias(window_dim, "__w"),
+        ).select(
+            *[c for c in ds.df.columns if c not in ds.data_vars],
+            F.col(window_dim),
+            *[F.col(f"__w.{v}").alias(v) for v in ds.data_vars],
+        )
+        return ds._replace(df=df, dims=list(ds.dims) + [window_dim])
+
     def reduce(self, func, dtype: str = "double") -> XDataset:
         """Windowed UDAF (xarray/computation/rolling.py:477): build the
         window arrays then apply a vectorized pandas UDF per array."""
-        constructed = self.construct("__w")
+        constructed = self._construct_arrays()
         min_periods = self.min_periods  # plain int: the udf closure must
         # not capture self (it holds the DataFrame -> SparkContext)
 
