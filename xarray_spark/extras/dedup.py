@@ -123,17 +123,39 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .withColumn("__h", F.xxhash64("__t"))
     )
 
-    def vote(b: int):
-        mask = (1 << b) if b < 63 else -(1 << 63)
-        return F.sum(
-            F.when(F.col("__h").bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1)
-        ).alias(f"__v{b}")
+    # Per-bit one-counts S_b, packed 3 per aggregation column in 21-bit
+    # lanes (lane capacity 2^21 ≈ 2M distinct tokens per doc — far above
+    # any real document): ceil(bits/3) sum() columns instead of ``bits``
+    # conditional aggregates, which cuts whole-stage-codegen compile and
+    # buffer width ~3×.  Majority vote falls out as 2*S_b > n.
+    LANE = 21
+    n_packs = -(-bits // 3)
 
-    votes = ex.groupBy(id_col).agg(*[vote(b) for b in range(bits)])
+    def pack(j: int):
+        h = F.col("__h")
+        lanes = []
+        for k in range(3):
+            b = 3 * j + k
+            if b >= bits:
+                break
+            bit = F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1))
+            lanes.append(F.shiftleft(bit, LANE * k))
+        e = lanes[0]
+        for x in lanes[1:]:
+            e = e + x
+        return F.sum(e).alias(f"__p{j}")
+
+    votes = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"), *[pack(j) for j in range(n_packs)]
+    )
+    mask21 = (1 << LANE) - 1
     sim = None
     for b in range(bits):
-        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")
-        term = F.when(F.col(f"__v{b}") > 0, mask).otherwise(F.lit(0).cast("long"))
+        j, k = divmod(b, 3)
+        s_b = F.shiftrightunsigned(F.col(f"__p{j}"), LANE * k).bitwiseAND(F.lit(mask21))
+        bit_set = (s_b * 2) > F.col("__n")
+        term = F.when(bit_set, F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")) \
+                .otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim.bitwiseOR(term)
     return votes.select(id_col, sim.alias("simhash"))
 
