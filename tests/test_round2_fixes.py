@@ -458,3 +458,16 @@ def test_set_xindex_records_and_sel_works(spark):
     assert len(got) == 1 and got[0]["t"] == 2
     with pytest.raises(ValueError):
         d.set_xindex("missing")
+
+
+def test_drop_indexes(spark):
+    d = XDataset(spark.createDataFrame(
+        [(1, 10.0, 2.0)], ["t", "alt", "v"]),
+        dims=["t"], coords={"alt": ("t",)})
+    dx = d.set_xindex("alt")
+    assert dx.attrs["_xindexes"] == ["alt"]
+    dd = dx.drop_indexes("alt")
+    assert dd.attrs["_xindexes"] == []
+    assert "alt" in dd.df.columns  # the column survives
+    with pytest.raises(ValueError):
+        d.drop_indexes("alt")  # was never an index

@@ -92,3 +92,22 @@ def test_stream_ewma_state(spark, stream_dir):
     assert rows[0]["ewma"] == 0.0
     assert rows[1]["ewma"] == 0.5
     assert rows[2]["ewma"] == 1.25
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    from xarray_spark.streaming import open_stream, stream_dedup_exact
+    path = str(tmp_path / "dup_in")
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0), "k1", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 1), "k1", 1.0),   # duplicate key
+        (dt.datetime(2024, 1, 1, 0, 2), "k2", 2.0),
+        (dt.datetime(2024, 1, 1, 0, 3), "k2", 2.0),   # duplicate key
+        (dt.datetime(2024, 1, 1, 0, 4), "k3", 3.0),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(path)
+    src = open_stream(spark, path, SCHEMA)
+    out = stream_dedup_exact(src, ["key"], "ts", watermark="10 minutes")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name, mode="append")
+    got = sorted(r["key"] for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == ["k1", "k2", "k3"]

@@ -1739,6 +1739,20 @@ class XDataset:
         attrs["_xindexes"] = existing + [n for n in names if n not in existing]
         return self._replace(attrs=attrs)
 
+    def drop_indexes(self, coord_names: str | Sequence[str],
+                     errors: str = "raise") -> "XDataset":
+        """Unregister indexes recorded by set_xindex
+        (xarray/core/dataset.py:5834 drop_indexes).  Long form keeps the
+        columns — only the catalog marker goes."""
+        names = [coord_names] if isinstance(coord_names, str) else list(coord_names)
+        attrs = {**(self.attrs or {})}
+        existing = list(attrs.get("_xindexes", ()))
+        for n in names:
+            if n not in existing and errors == "raise":
+                raise ValueError(f"{n!r} is not an index of the dataset")
+        attrs["_xindexes"] = [n for n in existing if n not in names]
+        return self._replace(attrs=attrs)
+
     def reset_index(self, dims: str | Iterable[str]) -> "XDataset":
         """Demote dim keys back to plain coords
         (xarray/core/dataset.py:4943).  The column stays; only its

@@ -166,3 +166,24 @@ def stream_sessionize(
          - F.unix_timestamp("session_window.start")).alias("session_seconds"),
         *aggs.keys(),
     )
+
+
+def stream_dedup_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingestion-time stage of the
+    dedup pipeline (batch counterpart: extras.dedup.dedup_exact).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store by
+    ``key_cols`` (use a content fingerprint, never raw text — state is
+    per-key and lives until the watermark expires it) and emits only the
+    first arrival of each key; late duplicates inside the watermark are
+    suppressed, state is evicted after it.  Bounded state = the number
+    of distinct keys per watermark horizon, independent of stream
+    length — the property that makes this run forever at ingest scale.
+    """
+    return df.withWatermark(time_col, watermark) \
+             .dropDuplicatesWithinWatermark(key_cols)
