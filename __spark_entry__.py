@@ -489,12 +489,19 @@ def q35_simhash(spark, sf_dir):
 
 
 def q36_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: Arrow-batched feature extraction over binary
-    media (extras.multimodal) — rows-only check (stubbed decode)."""
-    from xarray_spark.extras.multimodal import extract_features, synth_media_table
+    """Multimodal plumbing: Arrow-batched feature extraction PLUS the
+    decode → bilinear-resize pipeline over binary media
+    (extras.multimodal) — rows-only check (codec kernel is the
+    documented deterministic fake; resize is real numpy math)."""
+    from xarray_spark.extras.multimodal import (
+        decode_image, extract_features, resize_image, synth_media_table,
+    )
     media = synth_media_table(spark, n=64)
     feats = extract_features(media)
-    return feats.select("media_id", "n_bytes", F.size("feature").alias("dim"))
+    resized = resize_image(decode_image(media), 4, 4).select(
+        "media_id", F.size("pixels").alias("n_px"))
+    return (feats.join(resized, on="media_id")
+            .select("media_id", "n_bytes", F.size("feature").alias("dim"), "n_px"))
 
 
 def q37_coarsen_weekly(spark, sf_dir):

@@ -265,3 +265,40 @@ def test_auto_segment_dispatch(spark):
         cum = [r["v"] for r in d.cumsum("t").df.orderBy("t").collect()]
     assert vals == plain
     assert cum[-1] == sum(range(300))
+
+
+def test_multimodal_decode_resize_pipeline(spark):
+    import numpy as np
+    from xarray_spark.extras.multimodal import (
+        decode_image, resize_image, synth_media_table,
+    )
+    media = synth_media_table(spark, n=8)
+    dec = decode_image(media)
+    rows = dec.collect()
+    assert len(rows) == 8
+    r0 = rows[0]
+    assert len(r0["pixels"]) == r0["width"] * r0["height"] * r0["channels"]
+    # determinism: same payload -> same pixels
+    again = {r["media_id"]: r["pixels"] for r in decode_image(media).collect()}
+    assert again[r0["media_id"]] == r0["pixels"]
+    rs = resize_image(dec, 4, 4).collect()
+    assert all(len(r["pixels"]) == 4 * 4 * r["channels"] for r in rs)
+    # bilinear identity: resizing to the same shape reproduces the buffer
+    same = {r["media_id"]: r["pixels"]
+            for r in resize_image(dec, 16, 16).collect()}
+    orig = {r["media_id"]: r["pixels"] for r in rows}
+    for k in orig:
+        np.testing.assert_allclose(same[k], orig[k], rtol=1e-6)
+
+
+def test_multimodal_frame_sample(spark):
+    from xarray_spark.extras.multimodal import frame_sample, synth_media_table
+    media = synth_media_table(spark, n=4)
+    frames = frame_sample(media, every_n=2, frame_bytes=64).collect()
+    # payload sizes are 128..256 bytes -> 2..4 pseudo-frames, keep 0,2
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(idxs == sorted(idxs) and all(i % 2 == 0 for i in idxs)
+               for idxs in by_id.values())
+    assert len(by_id) == 4
