@@ -471,3 +471,43 @@ def test_drop_indexes(spark):
     assert "alt" in dd.df.columns  # the column survives
     with pytest.raises(ValueError):
         d.drop_indexes("alt")  # was never an index
+
+
+def test_interpolate_na_pchip_monotone_no_overshoot(spark):
+    # steep step data: cubic Lagrange overshoots, pchip must not
+    rows = [(0.0, 0.0), (1.0, 0.1), (2.0, None), (3.0, 9.9), (4.0, 10.0)]
+    d = XDataset(spark.createDataFrame(rows, ["t", "v"]), dims=["t"])
+    got = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", method="pchip").df.collect()}
+    assert got[2.0] is not None and 0.1 <= got[2.0] <= 9.9
+    # linear data is reproduced exactly
+    rows = [(float(i), 2.0 * i if i != 3 else None) for i in range(6)]
+    d = XDataset(spark.createDataFrame(rows, ["t", "v"]), dims=["t"])
+    got = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", method="pchip").df.collect()}
+    assert got[3.0] == pytest.approx(6.0, abs=1e-9)
+
+
+def test_interpolate_na_akima_hand_computed(spark):
+    # quadratic with a hole at t=3: valid xv=[0,1,2,4,...], secants
+    # m=[1,3,6,9,...]; Akima slopes d(2)=4.2, d(4)=7.8; cubic Hermite
+    # on [2,4] at t=0.5 gives 2 + 1.05 + 8 - 1.95 = 9.1 (hand-computed
+    # from Akima 1970's published formula)
+    rows = [(float(i), float(i * i) if i != 3 else None)
+            for i in range(10)]
+    d = XDataset(spark.createDataFrame(rows, ["t", "v"]), dims=["t"])
+    got = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", method="akima").df.collect()}
+    assert got[3.0] == pytest.approx(9.1, abs=1e-9)
+    # linear data reproduced exactly (all secants equal)
+    rows = [(float(i), 2.0 * i if i != 4 else None) for i in range(8)]
+    d = XDataset(spark.createDataFrame(rows, ["t", "v"]), dims=["t"])
+    got = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", method="akima").df.collect()}
+    assert got[4.0] == pytest.approx(8.0, abs=1e-9)
+    # leading/trailing nulls stay null (interior-only semantics)
+    rows2 = [(0.0, None), (1.0, 1.0), (2.0, None), (3.0, 3.0), (4.0, None)]
+    d2 = XDataset(spark.createDataFrame(rows2, ["t", "v"]), dims=["t"])
+    got2 = {r["t"]: r["v"] for r in
+            d2.interpolate_na("t", method="akima").df.collect()}
+    assert got2[0.0] is None and got2[4.0] is None and got2[2.0] is not None

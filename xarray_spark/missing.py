@@ -124,6 +124,8 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
         if o is None:
             raise ValueError("method='polynomial' requires order=")
         return _interpolate_na_poly(ds, dim, int(o), limit, max_gap)
+    if method in ("pchip", "akima"):
+        return _interpolate_na_hermite(ds, dim, method, limit, max_gap)
     if method == "slinear":
         method = "linear"
     if method not in ("linear", "nearest", "zero"):
@@ -171,6 +173,116 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
         elif c != "__rn":
             exprs.append(F.col(c))
     return ds._replace(df=df.select(*exprs))
+
+
+def _hermite_slopes(xv, yv, method: str):
+    """Per-point derivatives for cubic-Hermite gap fill.
+
+    - ``pchip``: Fritsch–Carlson monotone slopes (the construction
+      behind scipy.interpolate.PchipInterpolator, published in
+      Fritsch & Carlson, SIAM J. Numer. Anal. 1980) — weighted harmonic
+      mean of adjacent secants, 0 at local extrema, so the interpolant
+      never overshoots the data.
+    - ``akima``: Akima's 1970 weighted-slope rule with quadratic slope
+      extrapolation at the ends.
+    """
+    import numpy as np
+    n = len(xv)
+    h = np.diff(xv)
+    m = np.diff(yv) / h
+    d = np.empty(n)
+    if method == "pchip":
+        # interior: harmonic mean where secants agree in sign, else 0
+        for i in range(1, n - 1):
+            if m[i - 1] * m[i] <= 0:
+                d[i] = 0.0
+            else:
+                w1 = 2 * h[i] + h[i - 1]
+                w2 = h[i] + 2 * h[i - 1]
+                d[i] = (w1 + w2) / (w1 / m[i - 1] + w2 / m[i])
+        # one-sided endpoint formula with monotonicity clipping
+        for i, (ha, hb, ma, mb) in ((0, (h[0], h[1] if n > 2 else h[0],
+                                          m[0], m[1] if n > 2 else m[0])),
+                                    (n - 1, (h[-1], h[-2] if n > 2 else h[-1],
+                                             m[-1], m[-2] if n > 2 else m[-1]))):
+            t = ((2 * ha + hb) * ma - ha * mb) / (ha + hb)
+            if t * ma <= 0:
+                t = 0.0
+            elif ma * mb < 0 and abs(t) > 3 * abs(ma):
+                t = 3 * ma
+            d[i] = t
+    else:  # akima
+        # extend the secant sequence by quadratic extrapolation
+        me = np.concatenate(([2 * m[0] - m[1] if n > 2 else m[0],
+                              3 * m[0] - 2 * (m[1] if n > 2 else m[0])][::-1],
+                             m,
+                             [2 * m[-1] - (m[-2] if n > 2 else m[-1]),
+                              3 * m[-1] - 2 * (m[-2] if n > 2 else m[-1])]))
+        for i in range(n):
+            m1, m2, m3, m4 = me[i], me[i + 1], me[i + 2], me[i + 3]
+            w1, w2 = abs(m4 - m3), abs(m2 - m1)
+            d[i] = (m2 + m3) / 2 if (w1 + w2) == 0 else (w1 * m2 + w2 * m3) / (w1 + w2)
+    return d
+
+
+def _interpolate_na_hermite(ds: XDataset, dim: str, method: str,
+                            limit: int | None, max_gap) -> XDataset:
+    """pchip/akima gap fill: cubic Hermite in the containing interval
+    with family-specific slopes (_hermite_slopes) — numpy per series via
+    applyInPandas, same harness and interior-only/limit/max_gap
+    semantics as the polynomial path (xarray/core/missing.py:486 routes
+    these to scipy; the slope constructions here are the published
+    formulas, no scipy needed)."""
+    import numpy as np
+    import pandas as pd
+
+    others = [d for d in ds.dims if d != dim]
+    varlist = list(ds.data_vars)
+    gap = None
+    if max_gap is not None:
+        gap = float(max_gap.total_seconds()) if hasattr(max_gap, "total_seconds") else float(max_gap)
+    xdtype = ds.df.schema[dim].dataType
+    base = ds.df.withColumn("__x", _as_double(F.col(dim), xdtype))
+    schema = base.drop("__x").schema
+
+    def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__x").reset_index(drop=True)
+        x = pdf["__x"].to_numpy("float64")
+        for v in varlist:
+            y = pdf[v].to_numpy("float64")
+            valid = ~np.isnan(y)
+            xv, yv = x[valid], y[valid]
+            if len(xv) < 2:
+                continue
+            slopes = _hermite_slopes(xv, yv, method)
+            vidx = np.flatnonzero(valid)
+            for i in np.flatnonzero(~valid):
+                pos = np.searchsorted(vidx, i)
+                if pos == 0 or pos == len(vidx):
+                    continue  # interior only
+                j = pos - 1
+                if gap is not None and (xv[j + 1] - xv[j]) > gap:
+                    continue
+                if limit is not None and (i - vidx[j]) > limit:
+                    continue
+                hh = xv[j + 1] - xv[j]
+                t = (x[i] - xv[j]) / hh
+                h00 = (1 + 2 * t) * (1 - t) ** 2
+                h10 = t * (1 - t) ** 2
+                h01 = t * t * (3 - 2 * t)
+                h11 = t * t * (t - 1)
+                y[i] = (h00 * yv[j] + h10 * hh * slopes[j]
+                        + h01 * yv[j + 1] + h11 * hh * slopes[j + 1])
+            pdf[v] = y
+        return pdf.drop(columns="__x")
+
+    if others:
+        out = base.groupBy(*others).applyInPandas(fill_group, schema)
+    else:
+        out = base.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: fill_group(pdf.drop(columns="__g")), schema
+        )
+    return ds._replace(df=out)
 
 
 def _interpolate_na_poly(ds: XDataset, dim: str, order: int,
