@@ -1806,6 +1806,19 @@ class XDataset:
 
     load = compute
 
+    @property
+    def chunksizes(self) -> dict:
+        """Partitioning report (xarray .chunksizes analogue,
+        core/dataset.py:2547): long form has one partition axis, so this
+        is {'partitions': n} — metadata only, no job."""
+        return {"partitions": self.df.rdd.getNumPartitions()}
+
+    def unify_chunks(self) -> "XDataset":
+        """No-op for parity (core/dataset.py:8856): a single DataFrame
+        has one partitioning by construction; multi-input alignment
+        happens per-operation in align()."""
+        return self
+
     def to_spark(self) -> DataFrame:
         return self.df
 
