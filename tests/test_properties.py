@@ -106,3 +106,42 @@ def test_region_write(spark, tmp_path):
     extra = XDataset(spark.createDataFrame([{"part": 9, "t": 0, "v": 90.0}]), dims=["part", "t"])
     extra.to_parquet(path, partition_by=["part"], mode="append")
     assert spark.read.parquet(path).count() == 7
+
+
+@given(vals=values, q=st.floats(min_value=0.05, max_value=0.95),
+       method=st.sampled_from(["linear", "lower", "higher", "nearest",
+                               "midpoint", "median_unbiased", "hazen",
+                               "weibull", "interpolated_inverted_cdf"]))
+@settings(**SETTINGS)
+def test_quantile_methods_match_numpy(spark, vals, q, method):
+    import numpy as np
+    d = mk(spark, vals)
+    got = d.quantile(q, method=method).df.collect()[0]["v"]
+    want = float(np.quantile(np.array(vals, dtype="float64"), q, method=method))
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@given(vals=values)
+@settings(**SETTINGS)
+def test_interpolate_na_linear_matches_pandas(spark, vals):
+    import numpy as np
+    import pandas as pd
+    arr = [v if i % 3 != 1 else None for i, v in enumerate(vals)]
+    rows = [{"t": float(i), "v": arr[i]} for i in range(len(arr))]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double"), dims=["t"])
+    got = (d.interpolate_na("t", method="linear")
+           .df.orderBy("t").toPandas()["v"].to_numpy())
+    want = (pd.Series(arr, dtype="float64")
+            .interpolate(method="linear", limit_area="inside").to_numpy())
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9, equal_nan=True)
+
+
+@given(vals=values)
+@settings(**SETTINGS)
+def test_ewm_matches_pandas(spark, vals):
+    import numpy as np
+    import pandas as pd
+    d = mk(spark, vals)
+    got = (d.rolling_exp(t=4).mean().df.orderBy("t").toPandas()["v"].to_numpy())
+    want = pd.Series(vals, dtype="float64").ewm(span=4, min_periods=1).mean().to_numpy()
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)

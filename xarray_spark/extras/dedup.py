@@ -291,7 +291,7 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             und.join(labels.withColumnRenamed("id", "v"), on="v")
             .groupBy("u").agg(F.min("lbl").alias("nl"))
@@ -309,6 +309,11 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                     F.least("lbl", F.coalesce("ll", "lbl")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        if it == 0:
+            # round 1 always lowers labels when any edge exists — skip
+            # the convergence job and keep iterating
+            labels = jumped
+            continue
         changed = (
             jumped.alias("n").join(labels.alias("o"), on="id")
             .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count()
