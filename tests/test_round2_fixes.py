@@ -511,3 +511,19 @@ def test_interpolate_na_akima_hand_computed(spark):
     got2 = {r["t"]: r["v"] for r in
             d2.interpolate_na("t", method="akima").df.collect()}
     assert got2[0.0] is None and got2[4.0] is None and got2[2.0] is not None
+
+
+def test_top_level_api_surface(spark, tmp_path):
+    import xarray_spark as xs
+    d = XDataset(spark.createDataFrame([(1, 2.0)], ["t", "v"]), dims=["t"])
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    xs.save_mfdataset([d, d], [p1, p2])
+    back = xs.load_dataset(spark, p1)
+    assert back.df.count() == 1
+    da = xs.load_dataarray(spark, p2)
+    assert da.name == "v"
+    opts = xs.get_options()
+    assert "arithmetic_join" in opts and opts is not xs.OPTIONS
+    out = xs.map_blocks(lambda pdf: pdf.assign(v=pdf.v * 2), d)
+    assert out.df.collect()[0]["v"] == 4.0
+    assert xs.unify_chunks(d)[0] is d

@@ -19,6 +19,10 @@ from xarray_spark.dataset import XDataset, XDataArray
 from xarray_spark.session import get_spark
 from xarray_spark.io import (
     open_dataset,
+    open_dataarray,
+    load_dataset,
+    load_dataarray,
+    save_mfdataset,
     open_datatree,
     open_groups,
     open_mfdataset,
@@ -52,7 +56,7 @@ from xarray_spark.segmented import (
     ffill_segmented,
     rolling_segmented,
 )
-from xarray_spark.options import OPTIONS, set_options
+from xarray_spark.options import OPTIONS, get_options, set_options
 from xarray_spark.computation import (
     apply_ufunc,
     cov,
@@ -114,7 +118,14 @@ __all__ = [
     "cumsum_segmented",
     "ffill_segmented",
     "OPTIONS",
+    "get_options",
     "set_options",
+    "open_dataarray",
+    "load_dataset",
+    "load_dataarray",
+    "save_mfdataset",
+    "map_blocks",
+    "unify_chunks",
     "cf_date_range",
     "cf_field",
     "cf_ordinal",
@@ -140,3 +151,16 @@ __all__ = [
     "TimeResampler",
     "SeasonGrouper",
 ]
+
+
+def map_blocks(func, obj, schema=None):
+    """Top-level map_blocks (xarray/core/parallel.py:186): dispatch to
+    the dataset method."""
+    return obj.map_blocks(func, schema)
+
+
+def unify_chunks(*objects):
+    """Top-level unify_chunks parity (xarray/core/dataset.py:8856):
+    each Spark DataFrame owns its partitioning; alignment is
+    per-operation, so this returns the inputs unchanged."""
+    return objects

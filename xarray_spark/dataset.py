@@ -1787,9 +1787,20 @@ class XDataset:
         return curvefit(self, coords, func, p0, param_names, maxiter)
 
     def map_blocks(self, func, schema=None) -> "XDataset":
-        """Partition-wise UDF (xarray/core/parallel.py:228) → mapInPandas."""
+        """Partition-wise UDF (xarray/core/parallel.py:228) → mapInPandas.
+
+        ``func`` is either xarray-style (one pandas block in, one block
+        out) or a raw mapInPandas generator (iterator of batches in,
+        iterator out) — detected by inspection."""
+        import inspect
         out_schema = schema or self.df.schema
-        df = self.df.mapInPandas(func, out_schema)
+        if inspect.isgeneratorfunction(func):
+            gen = func
+        else:
+            def gen(batches, _f=func):
+                for pdf in batches:
+                    yield _f(pdf)
+        df = self.df.mapInPandas(gen, out_schema)
         return self._replace(df=df)
 
     # ------------------------------------------------------------------ #

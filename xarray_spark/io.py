@@ -343,3 +343,21 @@ def load_dataset(spark: SparkSession, path: str, **kw) -> XDataset:
     out = ds.persist()
     out.df.count()
     return out
+
+
+def load_dataarray(spark: SparkSession, path: str, **kw):
+    """Eager single-variable open (xarray/backends/api.py:221)."""
+    da = open_dataarray(spark, path, **kw)
+    out = da.persist()
+    out.df.count()
+    return out
+
+
+def save_mfdataset(datasets, paths, mode: str = "overwrite") -> None:
+    """Write many datasets to many paths (xarray/backends/api.py:1585
+    save_mfdataset) — one parquet sink per dataset; Spark parallelizes
+    within each write, the loop is metadata-paced."""
+    if len(datasets) != len(paths):
+        raise ValueError("save_mfdataset: len(datasets) != len(paths)")
+    for ds, p in zip(datasets, paths):
+        ds.to_parquet(p, mode=mode)

@@ -49,3 +49,8 @@ class set_options:
 
     def __exit__(self, *exc):
         OPTIONS.update(self._old)
+
+
+def get_options() -> dict:
+    """Snapshot of the current options (xarray.get_options parity)."""
+    return dict(OPTIONS)
