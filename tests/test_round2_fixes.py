@@ -527,3 +527,28 @@ def test_top_level_api_surface(spark, tmp_path):
     out = xs.map_blocks(lambda pdf: pdf.assign(v=pdf.v * 2), d)
     assert out.df.collect()[0]["v"] == 4.0
     assert xs.unify_chunks(d)[0] is d
+
+
+def test_pad_positional_modes_match_numpy(spark):
+    import numpy as np
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    rows = [{"t": float(i), "v": v} for i, v in enumerate(vals)]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"])
+    for mode in ("reflect", "symmetric", "wrap", "mean", "maximum", "minimum"):
+        out = d.pad(t=(2, 3), mode=mode)
+        got = [r["v"] for r in out.df.orderBy("t").collect()]
+        want = list(np.pad(np.array(vals), (2, 3), mode=mode))
+        assert got == pytest.approx(want), mode
+    # linear_ramp to 0: before-edge 3.0 ramps 1.5 at i=1? numpy ramps
+    # from edge to end over the width INCLUDING the outermost = end
+    out = d.pad(t=(2, 2), mode="linear_ramp", end_values=0.0)
+    got = [r["v"] for r in out.df.orderBy("t").collect()]
+    want = list(np.pad(np.array(vals), (2, 2), mode="linear_ramp", end_values=0.0))
+    assert got == pytest.approx(want)
+
+
+def test_pad_positional_width_guard(spark):
+    rows = [{"t": 0.0, "v": 1.0}, {"t": 1.0, "v": 2.0}]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"])
+    with pytest.raises(ValueError, match="width"):
+        d.pad(t=(3, 0), mode="reflect")

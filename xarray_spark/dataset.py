@@ -1640,23 +1640,36 @@ class XDataset:
         return cumulative_integrate(self, coord)
 
     def pad(self, pad_width: Mapping[str, tuple[int, int]] | None = None,
-            mode: str = "constant", constant_values=None, **kw) -> "XDataset":
+            mode: str = "constant", constant_values=None, end_values=0.0,
+            **kw) -> "XDataset":
         """Extend dims with new labels (xarray/core/dataset.py:9054).
 
         Long-form: new labels are synthesized by extrapolating the label
-        sequence (numeric/time dims with a regular step), then unioned
-        with values per ``mode`` ('constant' → constant_values/null,
-        'edge' → the boundary value).  The synthesis happens on the tiny
-        label table; the fact table is only unioned.
+        sequence (numeric/time dims with a regular step), then values
+        fill per ``mode``:
+
+        - ``constant`` → constant_values/null, ``edge`` → boundary value
+        - ``reflect`` / ``symmetric`` / ``wrap`` → POSITIONAL source
+          mapping (numpy pad semantics): each pad row joins the fact row
+          at its mirrored/wrapped position via the label table — exact
+          on irregular grids too
+        - ``mean`` / ``maximum`` / ``minimum`` → per-series aggregate
+        - ``linear_ramp`` → edge value ramped to ``end_values`` over the
+          pad width
+
+        Label synthesis happens on the tiny label table; the fact table
+        is unioned (and for positional modes, equi-joined by source
+        label) — never sorted globally.
         """
         pad_width = {**(pad_width or {}), **kw}
         out = self
         for dim, width in pad_width.items():
             before, after = (width, width) if isinstance(width, int) else width
-            out = out._pad_one(dim, before, after, mode, constant_values)
+            out = out._pad_one(dim, before, after, mode, constant_values, end_values)
         return out
 
-    def _pad_one(self, dim: str, before: int, after: int, mode: str, constant_values) -> "XDataset":
+    def _pad_one(self, dim: str, before: int, after: int, mode: str,
+                 constant_values, end_values=0.0) -> "XDataset":
         from xarray_spark._utils import to_double
         if before == 0 and after == 0:
             return self
@@ -1685,6 +1698,23 @@ class XDataset:
             new_rows = self.spark.createDataFrame([(x,) for x in new_labels], [dim]) \
                 .select(F.col(dim).cast(dtype).alias(dim))
         others = [d for d in self.dims if d != dim]
+        if mode in ("reflect", "symmetric", "wrap", "linear_ramp"):
+            return self._pad_positional(dim, before, after, mode, new_labels,
+                                        n1 + 1, end_values)
+        if mode in ("mean", "maximum", "minimum"):
+            aggfn = {"mean": F.avg, "maximum": F.max, "minimum": F.min}[mode]
+            aggs = [aggfn(v).alias(v) for v in self.data_vars]
+            agg = (self.df.groupBy(*others).agg(*aggs) if others
+                   else self.df.agg(*aggs))
+            new_rows = (new_rows.crossJoin(F.broadcast(agg)) if not others
+                        else self.df.select(*others).distinct()
+                        .crossJoin(F.broadcast(new_rows)).join(agg, on=others))
+            for c in self.df.columns:
+                if c not in new_rows.columns:
+                    new_rows = new_rows.withColumn(
+                        c, F.lit(None).cast(self.df.schema[c].dataType))
+            return self._replace(
+                df=self.df.unionByName(new_rows.select(*self.df.columns)))
         if others:
             combos = self.df.select(*others).distinct()
             new_rows = combos.crossJoin(F.broadcast(new_rows))
@@ -1699,6 +1729,57 @@ class XDataset:
         if mode == "edge":
             out = out.ffill(dim).bfill(dim)
         return out
+
+    def _pad_positional(self, dim: str, before: int, after: int, mode: str,
+                        new_labels: list, n: int, end_values) -> "XDataset":
+        """reflect/symmetric/wrap/linear_ramp pad: each pad row joins the
+        fact row at a computed SOURCE position (numpy pad semantics),
+        resolved through the label table — label-table-sized planning,
+        one equi-join against the fact table."""
+        from xarray_spark._utils import is_temporal
+        if mode != "linear_ramp" and max(before, after) >= n:
+            raise ValueError(f"pad mode {mode!r} needs width < dim size {n}")
+        # (side, 1-based pad offset) -> source position (numpy semantics)
+        def src_pos(side: str, i: int) -> int:
+            if mode == "reflect":
+                return i if side == "b" else n - 1 - i
+            if mode == "symmetric":
+                return i - 1 if side == "b" else n - i
+            if mode == "wrap":
+                return n - i if side == "b" else i - 1
+            return 0 if side == "b" else n - 1  # linear_ramp: edge row
+        specs = ([("b", i) for i in range(1, before + 1)]
+                 + [("a", i) for i in range(1, after + 1)])
+        meta = [(float(lab), src_pos(side, i),
+                 (i / before if side == "b" else i / after) if mode == "linear_ramp" else 0.0)
+                for lab, (side, i) in zip(new_labels, specs)]
+        meta_df = self.spark.createDataFrame(meta, ["__newlab", "__srcpos", "__frac"])
+        dtype = self.df.schema[dim].dataType
+        newlab = (F.timestamp_seconds(F.col("__newlab")).cast(dtype)
+                  if is_temporal(dtype) else F.col("__newlab").cast(dtype))
+        meta_df = meta_df.withColumn("__newlab", newlab)
+        labels = self._dim_labels(dim).select(
+            F.col(dim).alias("__srclab"), F.col("__pos").alias("__srcpos"))
+        src = meta_df.join(F.broadcast(labels), on="__srcpos")
+        fact = self.df.withColumnRenamed(dim, "__srclab")
+        joined = fact.join(F.broadcast(src), on="__srclab")
+        exprs = []
+        for c in self.df.columns:
+            if c == dim:
+                exprs.append(F.col("__newlab").alias(dim))
+            elif c in self.data_vars and mode == "linear_ramp":
+                v = F.col(c).cast("double")
+                ramp = v + (F.lit(float(end_values)) - v) * F.col("__frac")
+                exprs.append(ramp.cast(self.df.schema[c].dataType).alias(c))
+            elif c in self.data_vars or c in [d for d in self.dims if d != dim]:
+                exprs.append(F.col(c))
+            else:
+                # coords keyed on THIS dim would be stale at the new label
+                dims_of = (self.coords or {}).get(c, ())
+                exprs.append(F.lit(None).cast(self.df.schema[c].dataType).alias(c)
+                             if dim in dims_of else F.col(c))
+        new_full = joined.select(*exprs)
+        return self._replace(df=self.df.unionByName(new_full.select(*self.df.columns)))
 
     def set_index(self, indexes: Mapping[str, str] | None = None, **kw) -> "XDataset":
         """Promote coords to dim keys (xarray/core/dataset.py:4778) —
