@@ -96,3 +96,41 @@ def test_no_cartesian_in_gate_queries(spark, entry):
             continue
         plan = plan_of(fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def test_connected_components_joins_are_keyed(spark):
+    """CC rounds must be hash/broadcast equi-joins keyed by node id —
+    never a cartesian/nested-loop over the edge list."""
+    from xarray_spark.extras.dedup import connected_components
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(60)], ["id_a", "id_b"])
+    out = connected_components(edges, max_iter=3)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pad_positional_broadcasts_label_side(spark):
+    """Positional pad joins the (tiny) pad-spec/label tables broadcast;
+    the fact table is never globally sorted."""
+    from xarray_spark import XDataset
+    rows = [{"t": float(i), "v": float(i)} for i in range(32)]
+    d = XDataset(spark.createDataFrame(rows), dims=["t"])
+    plan = plan_of(d.pad(t=(2, 2), mode="reflect").df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no partition-less global Sort over the fact side
+    assert "Sort [t" not in plan.replace("SortMergeJoin", "")
+
+
+def test_ivf_query_plan_has_no_ml_jobs(spark):
+    """With a prefit codebook the IVF query plan is joins + literal
+    expressions — no KMeans stages, no cartesian."""
+    from xarray_spark.extras.similarity import ivf_fit, ivf_topk
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = ivf_fit(emb, n_cells=4)
+    q = emb.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+    out = ivf_topk(emb, q, k=2, n_cells=4, n_probe=2, centroids=cb)
+    assert "CartesianProduct" not in plan_of(out)
