@@ -308,3 +308,25 @@ def test_zarr_v3_missing_chunk_fill(spark, tmp_path):
     assert got[:4] == [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0)]
     # v3 float fill = NaN -> long-form null (NaN≡null across Arrow)
     assert all(a is None or np.isnan(a) for _, a in got[4:])
+
+
+def test_to_zarr_distributed_roundtrip(spark, tmp_path):
+    import numpy as np
+    from xarray_spark import XDataset
+    from xarray_spark.backends import open_zarr, to_zarr_distributed
+    n = 1000
+    rows = [(float(i), float(i) * 0.5, float(i % 7)) for i in range(n)]
+    ds = XDataset(spark.createDataFrame(rows, ["t", "a", "b"]), dims=["t"])
+    for fmt in (2, 3):
+        store = str(tmp_path / f"dist_v{fmt}.zarr")
+        to_zarr_distributed(ds, store, chunk_rows=128, zarr_format=fmt)
+        back = open_zarr(spark, store)
+        got = back.df.orderBy("t").collect()
+        assert len(got) == n
+        assert got[13]["a"] == 6.5 and got[13]["b"] == 6.0
+        # 1000 rows / 128-chunk => 8 chunk files per var
+        import os
+        vdir = os.path.join(store, "a")
+        files = [f for root, _, fs in os.walk(vdir) for f in fs
+                 if not f.startswith((".", "zarr"))]
+        assert len(files) == 8

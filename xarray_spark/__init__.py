@@ -43,6 +43,7 @@ from xarray_spark.backends import (
     open_zarr,
     read_netcdf3,
     to_zarr,
+    to_zarr_distributed,
     write_netcdf3,
 )
 from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
@@ -97,6 +98,8 @@ __all__ = [
     "open_zarr",
     "read_netcdf3",
     "to_zarr",
+    "to_zarr_distributed",
+    "to_zarr_distributed",
     "write_netcdf3",
     "from_pandas",
     "from_series",

@@ -497,12 +497,12 @@ def read_zarr_array(store: str, name: str) -> np.ndarray:
     return out.astype(dt.newbyteorder("=")) if dt.kind in "iuf" else out
 
 
-def write_zarr_array(store: str, name: str, arr: np.ndarray,
-                     dims: Sequence[str], chunks: Sequence[int] | None = None,
-                     compressor: str | None = "zlib",
-                     zarr_format: int = 2) -> None:
-    arr = np.ascontiguousarray(arr)
-    chunks = list(chunks) if chunks is not None else list(arr.shape)
+def _write_zarr_meta(store: str, name: str, shape: Sequence[int],
+                     chunks: Sequence[int], dtype: np.dtype,
+                     dims: Sequence[str], compressor: str | None,
+                     zarr_format: int):
+    """Write one array's metadata (v2 .zarray/.zattrs or v3 zarr.json);
+    returns (normalized compressor dict | None, chunk-key function)."""
     adir = os.path.join(store, name)
     os.makedirs(adir, exist_ok=True)
     if zarr_format == 3:
@@ -510,13 +510,13 @@ def write_zarr_array(store: str, name: str, arr: np.ndarray,
         comp = {"id": "gzip", "level": 1} if compressor else None
         meta = {
             "zarr_format": 3, "node_type": "array",
-            "shape": list(arr.shape),
-            "data_type": arr.dtype.newbyteorder("=").name,
+            "shape": list(shape),
+            "data_type": dtype.newbyteorder("=").name,
             "chunk_grid": {"name": "regular",
-                           "configuration": {"chunk_shape": chunks}},
+                           "configuration": {"chunk_shape": list(chunks)}},
             "chunk_key_encoding": {"name": "default",
                                    "configuration": {"separator": "/"}},
-            "fill_value": 0 if arr.dtype.kind in "iub" else "NaN",
+            "fill_value": 0 if dtype.kind in "iub" else "NaN",
             "codecs": [{"name": "bytes",
                         "configuration": {"endian": "little"}}]
                       + ([{"name": "gzip", "configuration": {"level": 1}}]
@@ -530,8 +530,8 @@ def write_zarr_array(store: str, name: str, arr: np.ndarray,
     else:
         comp = {"id": "zlib", "level": 1} if compressor == "zlib" else None
         zarray = {
-            "zarr_format": 2, "shape": list(arr.shape), "chunks": chunks,
-            "dtype": arr.dtype.newbyteorder("<").str, "compressor": comp,
+            "zarr_format": 2, "shape": list(shape), "chunks": list(chunks),
+            "dtype": dtype.newbyteorder("<").str, "compressor": comp,
             "fill_value": None, "order": "C", "filters": None,
         }
         with open(os.path.join(adir, ".zarray"), "w") as f:
@@ -539,6 +539,33 @@ def write_zarr_array(store: str, name: str, arr: np.ndarray,
         with open(os.path.join(adir, ".zattrs"), "w") as f:
             json.dump({"_ARRAY_DIMENSIONS": list(dims)}, f)
         keyfn = lambda idx: ".".join(str(i) for i in idx) if idx else "0"  # noqa: E731
+    return comp, keyfn
+
+
+def _zarr_chunk_bytes(block: np.ndarray, chunks: Sequence[int], comp) -> bytes:
+    """Pad an edge block to the full chunk shape, serialize little-endian,
+    compress per the normalized compressor dict."""
+    le = block.astype(block.dtype.newbyteorder("<"))
+    if le.shape != tuple(chunks) and chunks:
+        padded = np.zeros(chunks, dtype=le.dtype)
+        padded[tuple(slice(0, b) for b in le.shape)] = le
+        le = padded
+    raw = le.tobytes()
+    if comp is not None:
+        raw = (gzip_compress(raw, comp["level"])
+               if comp["id"] == "gzip" else zlib.compress(raw, comp["level"]))
+    return raw
+
+
+def write_zarr_array(store: str, name: str, arr: np.ndarray,
+                     dims: Sequence[str], chunks: Sequence[int] | None = None,
+                     compressor: str | None = "zlib",
+                     zarr_format: int = 2) -> None:
+    arr = np.ascontiguousarray(arr)
+    chunks = list(chunks) if chunks is not None else list(arr.shape)
+    adir = os.path.join(store, name)
+    comp, keyfn = _write_zarr_meta(store, name, arr.shape, chunks, arr.dtype,
+                                   dims, compressor, zarr_format)
     le = arr.astype(arr.dtype.newbyteorder("<"))
     grid = [(-(-s // c)) for s, c in zip(arr.shape, chunks)] or [1]
     if not arr.shape:
@@ -546,16 +573,7 @@ def write_zarr_array(store: str, name: str, arr: np.ndarray,
     for idx in (np.ndindex(*grid) if grid else [()]):
         sel = tuple(slice(i * c, min((i + 1) * c, s))
                     for i, c, s in zip(idx, chunks, arr.shape))
-        block = le[sel]
-        # pad edge chunks to the full chunk shape (zarr layout)
-        if block.shape != tuple(chunks) and chunks:
-            padded = np.zeros(chunks, dtype=le.dtype)
-            padded[tuple(slice(0, b) for b in block.shape)] = block
-            block = padded
-        raw = block.tobytes()
-        if comp is not None:
-            raw = (gzip_compress(raw, comp["level"])
-                   if comp["id"] == "gzip" else zlib.compress(raw, comp["level"]))
+        raw = _zarr_chunk_bytes(le[sel], chunks, comp)
         kpath = os.path.join(adir, keyfn(tuple(idx)))
         os.makedirs(os.path.dirname(kpath), exist_ok=True)
         with open(kpath, "wb") as f:
@@ -673,3 +691,90 @@ def open_zarr(spark: SparkSession, store: str,
 
     df = files.mapInPandas(gen, schema=schema)
     return XDataset(df, dims, {}, data_names, {})
+
+
+def to_zarr_distributed(ds, store: str, dim: str | None = None,
+                        chunk_rows: int = 100_000,
+                        compressor: str | None = "zlib",
+                        zarr_format: int = 2) -> None:
+    """CHUNK-PARALLEL zarr write of a (1-D) XDataset: the write-side
+    mirror of ``open_zarr``'s scale shape (xarray to_zarr with dask:
+    one task per chunk, backends/zarr.py store.set_variables).
+
+    Plan: join the fact table to the two-phase-ranked label table for
+    positions, key every row by ``pos // chunk_rows``, and let each
+    ``applyInPandas`` group serialize + compress + write ITS OWN chunk
+    file — executor-side, straight to the store; the driver writes only
+    metadata and the (label-sized) coordinate array.  Requires a store
+    path all executors can reach (local FS here; any POSIX/fuse mount on
+    a cluster — the same requirement zarr itself has).
+
+    Data vars must be numeric; rows are assumed dense on the dim (one
+    row per label), matching the array model being written.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as SF  # noqa: N812 - local alias
+    from pyspark.sql import types as ST
+
+    dim = dim or ds.dims[0]
+    if len(ds.dims) != 1:
+        raise NotImplementedError("to_zarr_distributed: single-dim datasets "
+                                  "(stack() first for N-D)")
+    varlist = list(ds.data_vars)
+    labels = ds._dim_labels(dim)
+    n = labels.select(SF.max("__size")).collect()[0][0] or 0
+    if n == 0:
+        raise ValueError("empty dataset")
+    os.makedirs(store, exist_ok=True)
+    if zarr_format == 3:
+        with open(os.path.join(store, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "group",
+                       "attributes": {}}, f)
+    else:
+        with open(os.path.join(store, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+    # coordinate array: label-sized, driver-side by definition
+    coord = np.array([r[0] for r in labels.orderBy("__pos").select(dim).collect()])
+    if coord.dtype.kind == "M":
+        coord = coord.astype("datetime64[s]").astype("int64").astype("float64")
+    write_zarr_array(store, dim, coord, [dim], [min(chunk_rows, n)],
+                     compressor, zarr_format)
+    comps, keyfns = {}, {}
+    for v in varlist:
+        comps[v], keyfns[v] = _write_zarr_meta(
+            store, v, [n], [chunk_rows], np.dtype("float64"), [dim],
+            compressor, zarr_format)
+    chunks = [chunk_rows]
+
+    fact = (
+        ds.df.join(SF.broadcast(labels.select(dim, "__pos")), on=dim)
+        .withColumn("__chunk", SF.floor(SF.col("__pos") / chunk_rows))
+        .select("__chunk", "__pos", *[SF.col(v).cast("double").alias(v)
+                                      for v in varlist])
+    )
+    out_schema = ST.StructType([ST.StructField("chunk", ST.LongType()),
+                                ST.StructField("written", ST.IntegerType())])
+
+    def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["__chunk"].iloc[0])
+        pdf = pdf.sort_values("__pos")
+        base = cid * chunk_rows
+        size = min(chunk_rows, n - base)
+        written = 0
+        for v in varlist:
+            block = np.full(size, np.nan, dtype="float64")
+            block[pdf["__pos"].to_numpy("int64") - base] = pdf[v].to_numpy("float64")
+            raw = _zarr_chunk_bytes(block, chunks, comps[v])
+            kpath = os.path.join(store, v, keyfns[v]((cid,)))
+            os.makedirs(os.path.dirname(kpath), exist_ok=True)
+            with open(kpath, "wb") as f:
+                f.write(raw)
+            written += 1
+        return pd.DataFrame({"chunk": [cid], "written": [written]})
+
+    done = fact.groupBy("__chunk").applyInPandas(write_chunk, out_schema)
+    wrote = done.agg(SF.sum("written")).collect()[0][0]
+    expected = (-(-n // chunk_rows)) * len(varlist)
+    if wrote != expected:
+        raise IOError(f"to_zarr_distributed: wrote {wrote} chunks, "
+                      f"expected {expected}")

@@ -1928,6 +1928,16 @@ class XDataset:
             "data": [r.asDict() for r in self.df.collect()],
         }
 
+    def to_zarr(self, store: str, dim: str | None = None,
+                chunk_rows: int = 100_000, zarr_format: int = 2) -> None:
+        """Chunk-parallel zarr write (xarray/core/dataset.py:2204
+        to_zarr): each Spark task serializes and writes its own chunk
+        file; the driver writes only metadata and the label-sized
+        coordinate array (backends.to_zarr_distributed)."""
+        from xarray_spark.backends import to_zarr_distributed
+        to_zarr_distributed(self, store, dim, chunk_rows,
+                            zarr_format=zarr_format)
+
     def to_parquet(self, path: str, partition_by: Sequence[str] | None = None,
                    mode: str = "overwrite", region: bool = False):
         """Sink (to_netcdf/to_zarr analogue, xarray/core/dataset.py:2028).
