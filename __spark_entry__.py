@@ -981,24 +981,27 @@ def q71_netcdf_roundtrip(spark, sf_dir):
 
 
 def q72_zarr_roundtrip(spark, sf_dir):
-    """zarr ingestion, BOTH format generations (backends.open_zarr;
-    reference xarray/backends/zarr.py:1471): daily revenue written as a
-    chunked v2 (.zgroup, zlib) AND a v3 (zarr.json, gzip, c/N chunk
-    keys) store, each re-opened CHUNK-PARALLEL (one task per chunk via
-    mapInPandas) and inner-joined on the epoch key — the oracle matches
-    only if both layouts decode identically."""
+    """zarr ingestion AND egress, both format generations
+    (backends.open_zarr / to_zarr_distributed; reference
+    xarray/backends/zarr.py:1471): daily revenue written driver-side as
+    a chunked v2 (.zgroup, zlib) store AND CHUNK-PARALLEL as a v3
+    (zarr.json, gzip, c/N keys) store — each Spark task writes its own
+    chunk file — then both re-opened chunk-parallel and inner-joined on
+    the epoch key: the oracle matches only if writer and reader agree
+    across layouts."""
     import numpy as np
     import tempfile
-    from xarray_spark.backends import to_zarr, open_zarr
-    daily = _daily_revenue(spark, sf_dir).df.orderBy("l_shipdate").toPandas()
+    from xarray_spark.backends import to_zarr, open_zarr, to_zarr_distributed
+    daily_ds = _daily_revenue(spark, sf_dir)
+    daily = daily_ds.df.orderBy("l_shipdate").toPandas()
     ship_ns = daily["l_shipdate"].to_numpy().astype("datetime64[ns]").astype("int64")
     secs = (ship_ns // 1_000_000_000).astype("float64")
     arrays = {"rev": (["t_epoch"], daily["rev"].to_numpy("float64"))}
     base = tempfile.mkdtemp(prefix="q72_")
     store2, store3 = base + "/rev_v2.zarr", base + "/rev_v3.zarr"
     to_zarr(arrays, store2, dims={"t_epoch": secs}, chunks={"rev": [256]})
-    to_zarr(arrays, store3, dims={"t_epoch": secs}, chunks={"rev": [256]},
-            zarr_format=3)
+    to_zarr_distributed(daily_ds.rename({"l_shipdate": "t_epoch"}), store3,
+                        chunk_rows=256, zarr_format=3)
     v2 = open_zarr(spark, store2).df.select("t_epoch", "rev")
     v3 = open_zarr(spark, store3).df.select("t_epoch", F.col("rev").alias("rev3"))
     return (v2.join(v3, on="t_epoch")

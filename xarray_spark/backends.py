@@ -734,9 +734,15 @@ def to_zarr_distributed(ds, store: str, dim: str | None = None,
         with open(os.path.join(store, ".zgroup"), "w") as f:
             json.dump({"zarr_format": 2}, f)
     # coordinate array: label-sized, driver-side by definition
-    coord = np.array([r[0] for r in labels.orderBy("__pos").select(dim).collect()])
-    if coord.dtype.kind == "M":
-        coord = coord.astype("datetime64[s]").astype("int64").astype("float64")
+    vals = [r[0] for r in labels.orderBy("__pos").select(dim).collect()]
+    import datetime as _dt
+    if vals and isinstance(vals[0], (_dt.datetime, _dt.date)):
+        coord = (np.array(vals, dtype="datetime64[s]")
+                 .astype("int64").astype("float64"))
+    else:
+        coord = np.asarray(vals)
+        if coord.dtype.kind == "M":
+            coord = coord.astype("datetime64[s]").astype("int64").astype("float64")
     write_zarr_array(store, dim, coord, [dim], [min(chunk_rows, n)],
                      compressor, zarr_format)
     comps, keyfns = {}, {}
