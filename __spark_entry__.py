@@ -1192,8 +1192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle) and (b) 25 round-1 greens chosen to keep one representative
     per operator family — prioritizing paths rewritten this round
     (two-phase rank: q03/q17/q37; segmented windows: q10/q11/q70;
-    reindex fill-marker: q21; resample calendar: q45/q46) — plus the
-    new cftime gate q80 in place of the q47 anchor.  Queries
+    reindex fill-marker: q21; resample calendar: q45) — plus the new
+    cftime gate q80 and the CC-clustering gate q81 in place of the
+    q46/q47 anchors.  Queries
     outside the window keep their round-1 CORRECTNESS rows as evidence
     and are still exercised by tests/test_oracle.py at sf0.001.
     """
