@@ -302,3 +302,33 @@ def test_multimodal_frame_sample(spark):
     assert all(idxs == sorted(idxs) and all(i % 2 == 0 for i in idxs)
                for idxs in by_id.values())
     assert len(by_id) == 4
+
+
+def test_near_dup_shard_cols_bound_candidates(spark):
+    """shard_cols pre-shards every near-dup join: pairs never cross a
+    shard boundary (the 100 TB candidate-set bound), within-shard
+    results identical to the unsharded run on that shard alone."""
+    from xarray_spark.extras.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_dups,
+    )
+    docs = []
+    for lang in ("en", "de"):
+        base = [f"{lang}tok{j}" for j in range(25)]
+        for v in range(4):
+            toks = list(base)
+            toks[v] = f"{lang}alt{v}"
+            docs.append((("en" == lang) * 100 + v, lang, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    lang_of = {i: l for i, l, _ in docs}
+    for fn, kw in ((simhash_near_dups, dict(max_hamming=20)),
+                   (ngram_jaccard_pairs, dict(threshold=0.1)),
+                   (minhash_lsh_pairs, dict(threshold=0.1))):
+        pairs = fn(df, shard_cols=["lang"], **kw).collect()
+        assert pairs, fn.__name__
+        assert all(lang_of[r["id_a"]] == lang_of[r["id_b"]] for r in pairs), fn.__name__
+        # per-shard parity with the unsharded operator
+        en_only = df.where(F.col("lang") == "en")
+        solo = {(r["id_a"], r["id_b"]) for r in fn(en_only, **kw).collect()}
+        sharded_en = {(r["id_a"], r["id_b"]) for r in pairs
+                      if lang_of[r["id_a"]] == "en"}
+        assert sharded_en == solo, fn.__name__

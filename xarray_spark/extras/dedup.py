@@ -35,7 +35,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       num_hashes: int = 64, n: int = 3) -> DataFrame:
+                       num_hashes: int = 64, n: int = 3,
+                       shard_cols: list | None = None) -> DataFrame:
     """(id, minhash[num_hashes]) per document.
 
     Shape matters for scale: explode shingles → ONE xxhash64 per
@@ -47,21 +48,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     min aggregate is map-side partial, so the shuffle carries only
     (id, k longs) per document.
     """
+    shard_cols = list(shard_cols or [])
     ex = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-        .select(F.col(id_col), F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("__sh"))
+        .select(F.col(id_col), *shard_cols,
+                F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("__sh"))
         .withColumn("__h", F.xxhash64("__sh"))
     )
     aggs = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
-    sig = ex.groupBy(id_col).agg(*aggs)
+    sig = ex.groupBy(id_col, *shard_cols).agg(*aggs)
     return sig.select(
-        id_col, F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash")
+        id_col, *shard_cols,
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash")
     )
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3, num_hashes: int = 64, bands: int = 16,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      shard_cols: list | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified with the
     signature-estimated Jaccard.
 
@@ -71,7 +76,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     (a < b).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    shard_cols = list(shard_cols or [])
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, shard_cols)
     band_arr = F.array(*[
         F.xxhash64(F.concat_ws(",", *[
             F.col("minhash")[b * rows_per_band + r].cast("string")
@@ -83,12 +89,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # signature, which would ride the ×bands explode through the shuffle.
     # Signatures re-join on the (deduped, far smaller) candidate pair set.
     banded = sigs.withColumn("__bands", band_arr).select(
-        id_col, F.posexplode("__bands").alias("band_id", "band_hash")
+        id_col, *shard_cols,
+        F.posexplode("__bands").alias("band_id", "band_hash")
     )
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
-        left.join(right, on=["band_id", "band_hash"], how="inner")
+        left.join(right, on=["band_id", "band_hash", *shard_cols], how="inner")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -107,7 +114,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, shard_cols: list | None = None) -> DataFrame:
     """(id, simhash) per document: per-token xxhash64, majority vote per
     bit.
 
@@ -116,10 +123,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     The per-row form (k nested F.aggregate over a transform) makes
     Catalyst duplicate the token-hash expression k times.
     """
+    shard_cols = list(shard_cols or [])
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
     ex = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-        .select(F.col(id_col), F.explode(toks).alias("__t"))
+        .select(F.col(id_col), *shard_cols, F.explode(toks).alias("__t"))
         .withColumn("__h", F.xxhash64("__t"))
     )
 
@@ -145,7 +153,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             e = e + x
         return F.sum(e).alias(f"__p{j}")
 
-    votes = ex.groupBy(id_col).agg(
+    votes = ex.groupBy(id_col, *shard_cols).agg(
         F.count(F.lit(1)).alias("__n"), *[pack(j) for j in range(n_packs)]
     )
     mask21 = (1 << LANE) - 1
@@ -157,11 +165,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         term = F.when(bit_set, F.expr(f"shiftleft(CAST(1 AS BIGINT), {b})")) \
                 .otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim.bitwiseOR(term)
-    return votes.select(id_col, sim.alias("simhash"))
+    return votes.select(id_col, *shard_cols, sim.alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      shard_cols: list | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k.
 
     Pigeonhole bucketing with **k+1 blocks** (Manku et al., WWW'07): k
@@ -173,7 +182,8 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     set to verify; at corpus scale keep k small or pre-shard by a
     cheap key (e.g. language) before calling this.
     """
-    sh = simhash(df, text_col, id_col)
+    shard_cols = list(shard_cols or [])
+    sh = simhash(df, text_col, id_col, shard_cols=shard_cols)
     n_blocks = min(max(max_hamming + 1, 1), 64)
     base, rem = divmod(64, n_blocks)
     widths = [base + 1] * rem + [base] * (n_blocks - rem)
@@ -190,12 +200,13 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             for i in range(n_blocks)
         ]
     blocks = sh.select(
-        id_col, "simhash",
+        id_col, *shard_cols, "simhash",
         F.explode(F.array(*keys)).alias("b"),
-    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
+    ).select(id_col, *shard_cols, "simhash",
+             F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
-        a.join(b, on=["blk", "key"], how="inner")
+        a.join(b, on=["blk", "key", *shard_cols], how="inner")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
                 F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
@@ -207,7 +218,8 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
-                        max_df: int | None = 1000) -> DataFrame:
+                        max_df: int | None = 1000,
+                        shard_cols: list | None = None) -> DataFrame:
     """n-gram Jaccard similarity for pairs sharing ≥1 (non-ubiquitous)
     shingle.
 
@@ -219,10 +231,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     between a bounded join and a blow-up.  Jaccard is computed over the
     surviving shingle sets (exact when max_df=None).
     """
+    shard_cols = list(shard_cols or [])
     sh = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .select(
-            F.col(id_col),
+            F.col(id_col), *shard_cols,
             F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("sh"),
         )
         .withColumn("sh", F.xxhash64("sh"))
@@ -241,7 +254,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, on="sh", how="inner")
+        a.join(b, on=["sh", *shard_cols], how="inner")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(
