@@ -330,3 +330,14 @@ def test_to_zarr_distributed_roundtrip(spark, tmp_path):
         files = [f for root, _, fs in os.walk(vdir) for f in fs
                  if not f.startswith((".", "zarr"))]
         assert len(files) == 8
+
+
+def test_dataset_to_netcdf_roundtrip(spark, tmp_path):
+    from xarray_spark import XDataset, open_dataset
+    p = str(tmp_path / "out.nc")
+    rows = [(float(i), float(i) * 3.0) for i in range(6)]
+    ds = XDataset(spark.createDataFrame(rows, ["t", "v"]), dims=["t"])
+    ds.to_netcdf(p)
+    back = open_dataset(spark, p)
+    got = {r["t"]: r["v"] for r in back.df.collect()}
+    assert got == {float(i): float(i) * 3.0 for i in range(6)}

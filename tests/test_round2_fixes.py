@@ -552,3 +552,12 @@ def test_pad_positional_width_guard(spark):
     d = XDataset(spark.createDataFrame(rows), dims=["t"])
     with pytest.raises(ValueError, match="width"):
         d.pad(t=(3, 0), mode="reflect")
+
+
+def test_interp_pchip_smooth(spark):
+    from xarray_spark.missing import interp
+    rows = [(float(i), float(i * i)) for i in range(8)]
+    d = XDataset(spark.createDataFrame(rows, ["t", "v"]), dims=["t"])
+    out = interp(d, {"t": [2.5]}, method="pchip")
+    got = {r["t"]: r["v"] for r in out.df.collect()}
+    assert got[2.5] == pytest.approx(6.25, abs=0.05)  # pchip near x^2

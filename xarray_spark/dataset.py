@@ -1928,6 +1928,27 @@ class XDataset:
             "data": [r.asDict() for r in self.df.collect()],
         }
 
+    def to_netcdf(self, path: str) -> None:
+        """Write a classic netCDF-3 file (xarray/core/dataset.py:2028
+        to_netcdf; backends.write_netcdf3).  A classic CDF file is a
+        single-machine object by definition (one file, 2 GiB offsets) —
+        this collects through pandas and is for label-sized results;
+        use to_parquet / to_zarr for fact-sized data."""
+        import numpy as np
+        from xarray_spark.backends import write_netcdf3
+        if len(self.dims) != 1:
+            raise NotImplementedError("to_netcdf: single-dim datasets "
+                                      "(stack() or to_parquet for N-D)")
+        dim = self.dims[0]
+        pdf = self.df.orderBy(dim).toPandas()
+        lab = pdf[dim].to_numpy()
+        if lab.dtype.kind in "mM" or str(lab.dtype).startswith("datetime"):
+            lab = lab.astype("datetime64[s]").astype("int64").astype("float64")
+        variables = {dim: ([dim], lab)}
+        for v in self.data_vars:
+            variables[v] = ([dim], pdf[v].to_numpy("float64"))
+        write_netcdf3(path, {dim: len(pdf)}, variables, attrs=self.attrs or {})
+
     def to_zarr(self, store: str, dim: str | None = None,
                 chunk_rows: int = 100_000, zarr_format: int = 2) -> None:
         """Chunk-parallel zarr write (xarray/core/dataset.py:2204
