@@ -238,3 +238,13 @@ def test_dt_timedelta_fields_and_aliases(spark):
     ts = d["ts"]
     assert ts.dt.day_of_week.df.collect()[0]["ts"] == 4  # Friday=4
     assert ts.dt.calendar == "proleptic_gregorian"
+
+
+def test_datatree_filter_match_prune(spark):
+    a = make_ds(spark, [{"t": 0, "v": 1.0}], dims=["t"])
+    b = make_ds(spark, [{"t": 0, "v": 9.0}], dims=["t"])
+    tree = DataTree({"/obs/a": a, "/obs/b": b, "/model/a": a})
+    assert set(tree.match("/obs/*").groups) == {"/obs/a", "/obs/b"}
+    big = tree.filter(lambda ds: ds.df.collect()[0]["v"] > 5)
+    assert set(big.groups) == {"/obs/b"}
+    assert set(tree.prune().groups) == set(tree.groups)  # none empty

@@ -57,6 +57,25 @@ class DataTree:
         (xarray/core/datatree_mapping.py:16)."""
         return DataTree({k: func(v) for k, v in self._nodes.items()})
 
+    def filter(self, filterfunc: Callable[[XDataset], bool]) -> "DataTree":
+        """Keep nodes whose dataset satisfies the predicate
+        (xarray/core/datatree.py:1403 DataTree.filter)."""
+        return DataTree({k: v for k, v in self._nodes.items() if filterfunc(v)})
+
+    def match(self, pattern: str) -> "DataTree":
+        """Keep nodes whose path matches the Unix-style glob
+        (xarray/core/datatree.py:1354 DataTree.match)."""
+        import fnmatch
+        return DataTree({
+            k: v for k, v in self._nodes.items()
+            if fnmatch.fnmatch(k, pattern) or fnmatch.fnmatch(k.lstrip("/"), pattern)
+        })
+
+    def prune(self) -> "DataTree":
+        """Drop empty-dataset nodes (datatree prune convention: keep
+        only nodes carrying data variables)."""
+        return DataTree({k: v for k, v in self._nodes.items() if v.data_vars})
+
     def to_parquet(self, root: str) -> None:
         """One parquet dir per node under ``root`` (to_zarr group layout,
         xarray/core/datatree.py to_zarr analogue)."""
