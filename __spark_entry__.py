@@ -632,8 +632,9 @@ def q49_fingerprint_distinct(spark, sf_dir):
 
 
 def q50_rolling_exp(spark, sf_dir):
-    """EWM mean over daily revenue (xarray computation/rolling_exp.py:49)
-    — rows-only (recursive kernel, no tractable SQL oracle)."""
+    """EWM mean over daily revenue (xarray computation/rolling_exp.py:49).
+    Oracle: the adjust=True recurrence N_i = x_i + (1-α)N_{i-1},
+    D_i = 1 + (1-α)D_{i-1} unrolled with a linear recursive CTE."""
     daily = _daily_revenue(spark, sf_dir)
     out = daily.rolling_exp(l_shipdate=7).mean()
     return out.to_spark().select("l_shipdate", _r3(F.col("rev")).alias("ewm_rev"))
@@ -1215,7 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_pivot": q22_pivot,
         "q24_integrate": q24_integrate,
         "q25_polyfit": q25_polyfit,
-        "q26_corr": q26_corr,
+        "q50_rolling_exp": q50_rolling_exp,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_text_features": q31_text_features,
         "q33_cosine_topk": q33_cosine_topk,
@@ -1276,7 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_differentiate": q44_differentiate,
         "q48_cov": q48_cov,
         "q49_fingerprint_distinct": q49_fingerprint_distinct,
-        "q50_rolling_exp": q50_rolling_exp,
+        "q26_corr": q26_corr,
         "q51_lsh_topk": q51_lsh_topk,
         "q52_embedding_near_dups": q52_embedding_near_dups,
         "q63_lsh_multiprobe": q63_lsh_multiprobe,
@@ -1718,8 +1719,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY source
         """,
-        # q50-q54: recursive EWM / approximate LSH / synthesized pad labels
-        # — rows-only checks
+        "q50_rolling_exp": f"""
+            WITH RECURSIVE daily AS (
+              SELECT l_shipdate, rev,
+                     row_number() OVER (ORDER BY l_shipdate) AS rn
+              FROM ({_DAILY_SQL})
+            ),
+            e(rn, l_shipdate, num, den) AS (
+              SELECT rn, l_shipdate, rev, CAST(1.0 AS DOUBLE)
+              FROM daily WHERE rn = 1
+              UNION ALL
+              SELECT d.rn, d.l_shipdate, d.rev + 0.75 * e.num, 1 + 0.75 * e.den
+              FROM e JOIN daily d ON d.rn = e.rn + 1
+            )
+            SELECT l_shipdate, ROUND(num / den + 1e-6, 3) AS ewm_rev FROM e
+        """,
+        # q51-q54: approximate LSH / synthesized pad labels — rows-only checks
         "q55_rolling_2d": """
             WITH g AS (
               SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
