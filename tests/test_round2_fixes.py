@@ -561,3 +561,17 @@ def test_interp_pchip_smooth(spark):
     out = interp(d, {"t": [2.5]}, method="pchip")
     got = {r["t"]: r["v"] for r in out.df.collect()}
     assert got[2.5] == pytest.approx(6.25, abs=0.05)  # pchip near x^2
+
+
+def test_interpolate_na_use_coordinate_false(spark):
+    # irregular labels: positional interpolation averages neighbors,
+    # coordinate interpolation weights by label distance
+    rows = [(0.0, 0.0), (1.0, None), (10.0, 10.0)]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double"), dims=["t"])
+    pos = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", use_coordinate=False).df.collect()}
+    lab = {r["t"]: r["v"] for r in d.interpolate_na("t").df.collect()}
+    assert pos[1.0] == pytest.approx(5.0)   # midpoint by position
+    assert lab[1.0] == pytest.approx(1.0)   # weighted by label
+    cub = d.interpolate_na("t", method="pchip", use_coordinate=False)
+    assert {r["t"]: r["v"] for r in cub.df.collect()}[1.0] == pytest.approx(5.0)

@@ -1568,9 +1568,11 @@ class XDataset:
         return bfill(self, dim, limit)
 
     def interpolate_na(self, dim: str, method: str = "linear", limit=None,
-                       max_gap=None, order=None) -> "XDataset":
+                       max_gap=None, order=None,
+                       use_coordinate: bool = True) -> "XDataset":
         from xarray_spark.missing import interpolate_na
-        return interpolate_na(self, dim, method, limit, max_gap, order)
+        return interpolate_na(self, dim, method, limit, max_gap, order,
+                              use_coordinate)
 
     def reindex(self, indexers=None, method=None, tolerance=None, fill_value=None, **kw) -> "XDataset":
         from xarray_spark.alignment import reindex

@@ -101,7 +101,8 @@ def _as_double(col: Column, dtype: T.DataType) -> Column:
 
 def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
                    limit: int | None = None, max_gap=None,
-                   order: int | None = None) -> XDataset:
+                   order: int | None = None,
+                   use_coordinate: bool = True) -> XDataset:
     """Gap interpolation along dim (xarray/core/missing.py:331).
 
     Methods (reference matrix core/missing.py:486):
@@ -123,9 +124,11 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
         o = {"quadratic": 2, "cubic": 3}.get(method, order)
         if o is None:
             raise ValueError("method='polynomial' requires order=")
-        return _interpolate_na_poly(ds, dim, int(o), limit, max_gap)
+        return _interpolate_na_poly(ds, dim, int(o), limit, max_gap,
+                                    use_coordinate)
     if method in ("pchip", "akima"):
-        return _interpolate_na_hermite(ds, dim, method, limit, max_gap)
+        return _interpolate_na_hermite(ds, dim, method, limit, max_gap,
+                                       use_coordinate)
     if method == "slinear":
         method = "linear"
     if method not in ("linear", "nearest", "zero"):
@@ -136,9 +139,13 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
     seq = Window.partitionBy(*others).orderBy(dim)
     x = _as_double(F.col(dim), ds.df.schema[dim].dataType)
     df = ds.df
-    need_rn = limit is not None
+    need_rn = limit is not None or not use_coordinate
     if need_rn:
         df = df.withColumn("__rn", F.row_number().over(seq))
+    if not use_coordinate:
+        # positional interpolation (xarray use_coordinate=False,
+        # core/missing.py:248): x = ordinal along the dim
+        x = F.col("__rn").cast("double")
     exprs = []
     for c in df.columns:
         if c in ds.data_vars:
@@ -226,7 +233,8 @@ def _hermite_slopes(xv, yv, method: str):
 
 
 def _interpolate_na_hermite(ds: XDataset, dim: str, method: str,
-                            limit: int | None, max_gap) -> XDataset:
+                            limit: int | None, max_gap,
+                            use_coordinate: bool = True) -> XDataset:
     """pchip/akima gap fill: cubic Hermite in the containing interval
     with family-specific slopes (_hermite_slopes) — numpy per series via
     applyInPandas, same harness and interior-only/limit/max_gap
@@ -247,7 +255,8 @@ def _interpolate_na_hermite(ds: XDataset, dim: str, method: str,
 
     def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__x").reset_index(drop=True)
-        x = pdf["__x"].to_numpy("float64")
+        x = (pdf["__x"].to_numpy("float64") if use_coordinate
+             else np.arange(len(pdf), dtype="float64"))
         for v in varlist:
             y = pdf[v].to_numpy("float64")
             valid = ~np.isnan(y)
@@ -286,7 +295,8 @@ def _interpolate_na_hermite(ds: XDataset, dim: str, method: str,
 
 
 def _interpolate_na_poly(ds: XDataset, dim: str, order: int,
-                         limit: int | None, max_gap) -> XDataset:
+                         limit: int | None, max_gap,
+                         use_coordinate: bool = True) -> XDataset:
     """Local Lagrange gap fill: each null takes the exact-fit polynomial
     through the ``order+1`` nearest valid points.  One Arrow batch per
     complement-dim group (a global series buffers in one group — same
@@ -307,7 +317,8 @@ def _interpolate_na_poly(ds: XDataset, dim: str, order: int,
 
     def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__x").reset_index(drop=True)
-        x = pdf["__x"].to_numpy("float64")
+        x = (pdf["__x"].to_numpy("float64") if use_coordinate
+             else np.arange(len(pdf), dtype="float64"))
         for v in varlist:
             y = pdf[v].to_numpy("float64")
             valid = ~np.isnan(y)
