@@ -575,3 +575,19 @@ def test_interpolate_na_use_coordinate_false(spark):
     assert lab[1.0] == pytest.approx(1.0)   # weighted by label
     cub = d.interpolate_na("t", method="pchip", use_coordinate=False)
     assert {r["t"]: r["v"] for r in cub.df.collect()}[1.0] == pytest.approx(5.0)
+
+
+def test_interpolate_na_natural_spline_hand_computed(spark):
+    # knots x=[0,1,2,3], y=[0,1,1,0]: natural spline M=[0,-1.2,-1.2,0],
+    # S(1.5) = 1.15 (hand-solved tridiagonal system)
+    rows = [(0.0, 0.0), (1.0, 1.0), (1.5, None), (2.0, 1.0), (3.0, 0.0)]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double"), dims=["t"])
+    got = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", method="spline").df.collect()}
+    assert got[1.5] == pytest.approx(1.15, abs=1e-9)
+    # linear data reproduced exactly (all second derivatives zero)
+    rows = [(float(i), 2.0 * i if i != 3 else None) for i in range(6)]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double"), dims=["t"])
+    got = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", method="spline").df.collect()}
+    assert got[3.0] == pytest.approx(6.0, abs=1e-9)

@@ -129,6 +129,8 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
     if method in ("pchip", "akima"):
         return _interpolate_na_hermite(ds, dim, method, limit, max_gap,
                                        use_coordinate)
+    if method in ("spline", "cubic_spline", "natural"):
+        return _interpolate_na_spline(ds, dim, limit, max_gap, use_coordinate)
     if method == "slinear":
         method = "linear"
     if method not in ("linear", "nearest", "zero"):
@@ -396,4 +398,84 @@ def interp(ds: XDataset, coords: dict, method: str = "linear") -> XDataset:
     u = ds._replace(df=unioned)
     filled = interpolate_na(u, dim, method=method)
     out = filled.df.where(F.col("__is_tgt") == 1).drop("__is_tgt")
+    return ds._replace(df=out)
+
+
+def _interpolate_na_spline(ds: XDataset, dim: str, limit: int | None,
+                           max_gap, use_coordinate: bool = True) -> XDataset:
+    """Natural cubic spline gap fill (xarray routes method='spline' to
+    scipy's interpolator, core/missing.py:486; here the classic natural
+    spline: second derivatives from the tridiagonal system solved with
+    the Thomas algorithm in numpy — no scipy).  Same applyInPandas
+    harness and interior-only/limit/max_gap semantics as the other
+    families."""
+    import numpy as np
+    import pandas as pd
+
+    others = [d for d in ds.dims if d != dim]
+    varlist = list(ds.data_vars)
+    gap = None
+    if max_gap is not None:
+        gap = float(max_gap.total_seconds()) if hasattr(max_gap, "total_seconds") else float(max_gap)
+    xdtype = ds.df.schema[dim].dataType
+    base = ds.df.withColumn("__x", _as_double(F.col(dim), xdtype))
+    schema = base.drop("__x").schema
+
+    def _second_derivs(xv, yv):
+        n = len(xv)
+        M = np.zeros(n)
+        if n < 3:
+            return M
+        h = np.diff(xv)
+        # tridiagonal system, natural ends (M[0]=M[-1]=0), Thomas solve
+        a = h[:-1].copy()                      # sub-diagonal
+        b = 2.0 * (h[:-1] + h[1:])             # diagonal
+        c = h[1:].copy()                       # super-diagonal
+        d = 6.0 * ((yv[2:] - yv[1:-1]) / h[1:] - (yv[1:-1] - yv[:-2]) / h[:-1])
+        for i in range(1, n - 2):
+            w = a[i] / b[i - 1]
+            b[i] -= w * c[i - 1]
+            d[i] -= w * d[i - 1]
+        m = np.zeros(n - 2)
+        m[-1] = d[-1] / b[-1]
+        for i in range(n - 4, -1, -1):
+            m[i] = (d[i] - c[i] * m[i + 1]) / b[i]
+        M[1:-1] = m
+        return M
+
+    def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__x").reset_index(drop=True)
+        x = (pdf["__x"].to_numpy("float64") if use_coordinate
+             else np.arange(len(pdf), dtype="float64"))
+        for v in varlist:
+            y = pdf[v].to_numpy("float64")
+            valid = ~np.isnan(y)
+            xv, yv = x[valid], y[valid]
+            if len(xv) < 2:
+                continue
+            M = _second_derivs(xv, yv)
+            vidx = np.flatnonzero(valid)
+            for i in np.flatnonzero(~valid):
+                pos = np.searchsorted(vidx, i)
+                if pos == 0 or pos == len(vidx):
+                    continue  # interior only
+                j = pos - 1
+                if gap is not None and (xv[j + 1] - xv[j]) > gap:
+                    continue
+                if limit is not None and (i - vidx[j]) > limit:
+                    continue
+                hh = xv[j + 1] - xv[j]
+                t0, t1 = xv[j + 1] - x[i], x[i] - xv[j]
+                y[i] = (M[j] * t0 ** 3 / (6 * hh) + M[j + 1] * t1 ** 3 / (6 * hh)
+                        + (yv[j] / hh - M[j] * hh / 6) * t0
+                        + (yv[j + 1] / hh - M[j + 1] * hh / 6) * t1)
+            pdf[v] = y
+        return pdf.drop(columns="__x")
+
+    if others:
+        out = base.groupBy(*others).applyInPandas(fill_group, schema)
+    else:
+        out = base.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+            lambda pdf: fill_group(pdf.drop(columns="__g")), schema
+        )
     return ds._replace(df=out)
