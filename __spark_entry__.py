@@ -1155,6 +1155,18 @@ def q81_dedup_clusters(spark, sf_dir):
     return cc.select(F.col("id").alias("doc_id"), "cluster")
 
 
+def q82_pad_reflect(spark, sf_dir):
+    """pad mode='reflect' on the 1996 daily series (numpy positional
+    mirror via the label table — dataset._pad_positional); the oracle
+    mirrors positions with row_number and synthesizes the same
+    extrapolated labels as q54."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
+    d96 = li.sel(l_shipdate=slice("1996-01-01", "1996-12-31"))
+    daily = d96.groupby("l_shipdate").agg(rev=_r3(F.sum("rev")))
+    out = daily.pad(l_shipdate=(2, 2), mode="reflect")
+    return out.to_spark()
+
+
 def q80_cf_360day(spark, sf_dir):
     """360_day-calendar monthly revenue (cftime.py encoded ordinals;
     xarray coding/calendar_ops.py convert_calendar use_cftime path).
@@ -1284,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_ivf_topk": q64_ivf_topk,
         "q46_resample_6h": q46_resample_6h,
         "q47_weighted_var": q47_weighted_var,
+        "q82_pad_reflect": q82_pad_reflect,
     }
 
 
@@ -1977,6 +1990,35 @@ def oracle_sql() -> dict[str, str]:
               FROM stats, unnest([1, 2]) AS u(i)
             )
             SELECT * FROM daily UNION ALL SELECT * FROM pads
+        """,
+        "q82_pad_reflect": """
+            WITH daily AS (
+              SELECT l_shipdate,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev,
+                     row_number() OVER (ORDER BY l_shipdate) - 1 AS pos
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <= TIMESTAMP '1996-12-31'
+              GROUP BY l_shipdate
+            ),
+            stats AS (
+              SELECT epoch(MIN(l_shipdate)) AS lo, epoch(MAX(l_shipdate)) AS hi,
+                     COUNT(*) - 1 AS n1, COUNT(*) AS n
+              FROM daily
+            ),
+            pads AS (
+              SELECT make_timestamp(CAST(trunc((lo - (hi - lo) / n1 * i) * 1000000) AS BIGINT)) AS l_shipdate,
+                     i AS srcpos
+              FROM stats, unnest([1, 2]) AS u(i)
+              UNION ALL
+              SELECT make_timestamp(CAST(trunc((hi + (hi - lo) / n1 * i) * 1000000) AS BIGINT)),
+                     n - 1 - i
+              FROM stats, unnest([1, 2]) AS u(i)
+            )
+            SELECT l_shipdate, rev FROM daily
+            UNION ALL
+            SELECT p.l_shipdate, d.rev
+            FROM pads p JOIN daily d ON d.pos = p.srcpos
         """,
         "q80_cf_360day": """
             WITH enc AS (
