@@ -1155,6 +1155,55 @@ def q81_dedup_clusters(spark, sf_dir):
     return cc.select(F.col("id").alias("doc_id"), "cluster")
 
 
+def q83_str_tail2(spark, sf_dir):
+    """String accessor round-2 tail — slice_replace / rsplit
+    (xarray core/accessor_str.py:387, :2652): customer names with the
+    prefix surgically replaced and the trailing '#'-component split off
+    right-anchored."""
+    cust = XDataset(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        dims=["c_custkey"],
+    )
+    name = cust["c_name"]
+    surg = name.str.slice_replace(0, 9, "ID:")
+    last = name.str.rsplit("#", maxsplit=1)
+    return (
+        surg.to_spark()
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name").alias("surg"),
+        )
+        .join(
+            last.to_spark().select(
+                F.col("c_custkey"),
+                F.element_at(F.col("c_name"), -1).alias("tailpart"),
+            ),
+            on="c_custkey",
+        )
+    )
+
+
+def q84_dt_timedelta(spark, sf_dir):
+    """Timedelta accessor fields (xarray accessor_dt.py TimedeltaAccessor):
+    ship-minus-order intervals -> .dt.days / .dt.total_seconds,
+    histogrammed by lag."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.monotonically_increasing_id().alias("rid"),
+        (F.col("l_shipdate") - F.col("o_orderdate").cast("timestamp")).alias("lag"),
+    )
+    ds = XDataset(j, dims=["rid"])
+    lag = ds["lag"]
+    days = lag.dt.days.to_spark().select("rid", F.col("lag").alias("lag_days"))
+    secs = lag.dt.total_seconds().to_spark().select("rid", F.col("lag").alias("lag_secs"))
+    joined = days.join(secs, on="rid")
+    return joined.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r3(F.sum("lag_secs")).alias("total_secs"),
+    )
+
+
 def q82_pad_reflect(spark, sf_dir):
     """pad mode='reflect' on the 1996 daily series (numpy positional
     mirror via the label table — dataset._pad_positional); the oracle
@@ -1297,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_resample_6h": q46_resample_6h,
         "q47_weighted_var": q47_weighted_var,
         "q82_pad_reflect": q82_pad_reflect,
+        "q83_str_tail2": q83_str_tail2,
+        "q84_dt_timedelta": q84_dt_timedelta,
     }
 
 
@@ -1990,6 +2041,22 @@ def oracle_sql() -> dict[str, str]:
               FROM stats, unnest([1, 2]) AS u(i)
             )
             SELECT * FROM daily UNION ALL SELECT * FROM pads
+        """,
+        "q83_str_tail2": """
+            SELECT c_custkey,
+                   'ID:' || substr(c_name, 10) AS surg,
+                   regexp_extract(c_name, '([^#]*)$', 1) AS tailpart
+            FROM customer
+        """,
+        "q84_dt_timedelta": """
+            WITH lag AS (
+              SELECT CAST(floor((epoch(l_shipdate) - epoch(CAST(o_orderdate AS TIMESTAMP))) / 86400) AS BIGINT) AS lag_days,
+                     epoch(l_shipdate) - epoch(CAST(o_orderdate AS TIMESTAMP)) AS lag_secs
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            )
+            SELECT lag_days, COUNT(*) AS n,
+                   ROUND(SUM(CAST(lag_secs AS DOUBLE)) + 1e-6, 3) AS total_secs
+            FROM lag GROUP BY lag_days
         """,
         "q82_pad_reflect": """
             WITH daily AS (
