@@ -1253,10 +1253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (q53-q79, minus the approximate-ANN entries that have no exact
     oracle) and (b) 25 round-1 greens chosen to keep one representative
     per operator family — prioritizing paths rewritten this round
-    (two-phase rank: q03/q17/q37; segmented windows: q10/q11/q70;
+    (two-phase rank: q03/q37; segmented windows: q10/q11/q70;
     reindex fill-marker: q21; resample calendar: q45) — plus the new
-    cftime gate q80 and the CC-clustering gate q81 in place of the
-    q46/q47 anchors.  Queries
+    cftime gate q80, the CC-clustering gate q81, and the round-2
+    accessor/pad gates q82-q84 in place of stable round-1 anchors
+    (q17/q20/q41 rotate out with their green rows standing).  Queries
     outside the window keep their round-1 CORRECTNESS rows as evidence
     and are still exercised by tests/test_oracle.py at sf0.001.
     """
@@ -1269,10 +1270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_cumsum": q11_cumsum,
         "q14_interpolate_na": q14_interpolate_na,
         "q15_quantile": q15_quantile,
-        "q17_rank": q17_rank,
+        "q82_pad_reflect": q82_pad_reflect,
         "q18_idxmax": q18_idxmax,
         "q19_binary_align": q19_binary_align,
-        "q20_concat": q20_concat,
+        "q83_str_tail2": q83_str_tail2,
         "q21_reindex_fill": q21_reindex_fill,
         "q22_pivot": q22_pivot,
         "q24_integrate": q24_integrate,
@@ -1283,7 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_cosine_topk": q33_cosine_topk,
         "q37_coarsen_weekly": q37_coarsen_weekly,
         "q38_shift": q38_shift,
-        "q41_dot": q41_dot,
+        "q84_dt_timedelta": q84_dt_timedelta,
         "q45_resample_asfreq": q45_resample_asfreq,
         "q80_cf_360day": q80_cf_360day,
         "q81_dedup_clusters": q81_dedup_clusters,
@@ -1345,9 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_ivf_topk": q64_ivf_topk,
         "q46_resample_6h": q46_resample_6h,
         "q47_weighted_var": q47_weighted_var,
-        "q82_pad_reflect": q82_pad_reflect,
-        "q83_str_tail2": q83_str_tail2,
-        "q84_dt_timedelta": q84_dt_timedelta,
+        "q17_rank": q17_rank,
+        "q20_concat": q20_concat,
+        "q41_dot": q41_dot,
     }
 
 

@@ -218,6 +218,23 @@ def test_str_format_and_rindex(spark):
     assert d2["s"].str.rindex("bc").df.collect()[0]["s"] == 4
 
 
+def test_str_format_array_broadcast(spark):
+    from pyspark.sql import functions as F
+    from xarray_spark import XDataset
+    d = XDataset(spark.createDataFrame(
+        [(1, "{0}-{n}", "A", 10), (2, "{n}/{0}", "B", 20), (3, None, "C", 30)],
+        ["t", "s", "tag", "num"]), dims=["t"])
+    # XDataArray args broadcast elementwise; scalar kwarg mixes in
+    got = {r["t"]: r["s"] for r in
+           d["s"].str.format(d["tag"], n=d["num"]).df.collect()}
+    assert got == {1: "A-10", 2: "20/B", 3: None}
+    # XDataArray arg aligns on the shared dim
+    other = XDataset(spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], ["t", "v"]), dims=["t"])["v"]
+    got2 = {r["t"]: r["s"] for r in d["s"].str.format(other, n=0).df.collect()}
+    assert got2 == {1: "x-0", 2: "0/y", 3: None}
+
+
 def test_dt_timedelta_fields_and_aliases(spark):
     from pyspark.sql import functions as F
     from xarray_spark import XDataset

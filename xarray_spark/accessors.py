@@ -254,16 +254,60 @@ class StringAccessor(_Accessor):
         """Elementwise ``str.format`` where each ELEMENT is the template
         (accessor_str.py:586) — inherently Python string semantics, so
         this is the one .str method on the Arrow-batched pandas_udf
-        path (scalar args only; array-like broadcasting is out of
-        scope)."""
-        import pandas as pd
+        path.  Array-like args (``XDataArray`` aligned on shared dims,
+        or raw ``Column``) broadcast elementwise like the reference;
+        plain Python values stay scalar."""
         from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf("string")
-        def _fmt(s: pd.Series) -> pd.Series:
-            return s.map(lambda t: t.format(*args, **kwargs) if t is not None else None)
+        da = self.da
+        df = da.df
+        arr_cols: list[Column] = []
+        scalars: list = []
 
-        return self._wrap(_fmt(self._c))
+        def classify(v):
+            nonlocal df
+            if isinstance(v, XDataArray):
+                tag = f"__fmt{len(arr_cols)}"
+                shared = [d for d in v.dims if d in da.dims]
+                side = v.df.select(*shared, F.col(v.name).alias(tag))
+                df = (df.join(side, on=shared, how="inner") if shared
+                      else df.crossJoin(F.broadcast(side)))
+                arr_cols.append(F.col(tag))
+                return ("c", len(arr_cols) - 1)
+            if isinstance(v, Column):
+                arr_cols.append(v)
+                return ("c", len(arr_cols) - 1)
+            scalars.append(v)
+            return ("s", len(scalars) - 1)
+
+        aspec = [classify(v) for v in args]
+        kspec = {k: classify(v) for k, v in kwargs.items()}
+
+        if not arr_cols:
+            @pandas_udf("string")
+            def _fmt0(s: pd.Series) -> pd.Series:
+                return s.map(lambda t: t.format(*args, **kwargs)
+                             if t is not None else None)
+            return self._wrap(_fmt0(self._c))
+
+        @pandas_udf("string")
+        def _fmt(*series: pd.Series) -> pd.Series:
+            tmpl = series[0]
+            def one(i):
+                t = tmpl.iloc[i]
+                if t is None:
+                    return None
+                def res(spec):
+                    kind, j = spec
+                    return scalars[j] if kind == "s" else series[j + 1].iloc[i]
+                return t.format(*[res(s) for s in aspec],
+                                **{k: res(s) for k, s in kspec.items()})
+            return pd.Series([one(i) for i in range(len(tmpl))])
+
+        out = da.name
+        res = df.withColumn(out, _fmt(F.col(da.name), *arr_cols))
+        cols = list(da.dims) + list(da.coords) + [out]
+        return XDataArray(res.select(*cols), da.dims, da.coords, [out], da.attrs)
 
     def get_dummies(self, sep: str = "|") -> "XDataArray":
         """Indicator columns per token (xarray/core/accessor_str.py:2770)
