@@ -240,15 +240,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         )
         .withColumn("sh", F.xxhash64("sh"))
     )
+    # stop-shingle removal: hash-aggregate the document frequency and
+    # semi-join it back (partial+final agg, no sort — measurably cheaper
+    # than a count-over-window, whose per-group window exec dominates)
     if max_df is not None:
         docfreq = sh.groupBy("sh").agg(F.count("*").alias("__df"))
         keep = docfreq.where(F.col("__df") <= max_df).select("sh")
         sh = sh.join(keep, on="sh", how="left_semi")
-    # per-doc set size rides WITH each shingle row (window over the
-    # id-partitioned frame — no extra shuffle, the explode stage is
-    # already hash-partitioned by id).  Broadcasting a one-row-per-
-    # document size table instead would be an O(corpus) broadcast —
-    # a non-starter at 100 TB.
+    # per-doc set size rides WITH each shingle row (window keyed by doc
+    # id).  Broadcasting a one-row-per-document size table instead would
+    # be an O(corpus) broadcast — a non-starter at 100 TB.
     w_sz = Window.partitionBy(id_col)
     sh = sh.withColumn("sz", F.count(F.lit(1)).over(w_sz))
     a = sh.alias("a")
@@ -295,8 +296,19 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     iteration count.  The driver-paced loop is the algorithm's iteration
     structure (as in GraphX/GraphFrames), not a per-row collect.
     """
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # both edge directions from ONE scan of the (possibly expensive,
+    # uncached) upstream pair pipeline — a union of two selects would
+    # execute that pipeline twice, once per branch
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
     )
     und = und.persist()
     labels = (
@@ -311,27 +323,27 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         )
         relaxed = (
             labels.join(nbr.withColumnRenamed("u", "id"), on="id", how="left")
-            .select("id", F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl"))
+            .select("id", F.col("lbl").alias("__old"),
+                    F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl"))
         )
+        # carry the pre-round label through the checkpoint so convergence
+        # is a scan of the materialized partitions, not an extra
+        # shuffle-join job against the previous labels frame
         jumped = (
             relaxed.alias("a")
             .join(labels.select(F.col("id").alias("lbl"),
                                 F.col("lbl").alias("ll")).alias("b"),
                   on="lbl", how="left")
-            .select(F.col("a.id").alias("id"),
+            .select(F.col("a.id").alias("id"), F.col("a.__old").alias("__old"),
                     F.least("lbl", F.coalesce("ll", "lbl")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        labels = jumped.select("id", "lbl")
         if it == 0:
             # round 1 always lowers labels when any edge exists — skip
-            # the convergence job and keep iterating
-            labels = jumped
+            # the convergence scan and keep iterating
             continue
-        changed = (
-            jumped.alias("n").join(labels.alias("o"), on="id")
-            .where(F.col("n.lbl") != F.col("o.lbl")).limit(1).count()
-        )
-        labels = jumped
+        changed = jumped.where(F.col("lbl") != F.col("__old")).limit(1).count()
         if changed == 0:
             break
     und.unpersist()

@@ -217,4 +217,7 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
         (i, bytes([(i * 37 + j) % 256 for j in range(128 + (i % 5) * 32)]), "fake", 16, 16)
         for i in range(n)
     ]
-    return spark.createDataFrame(rows, IMAGE_SCHEMA)
+    # a table this small should not fan out one Arrow/Python worker per
+    # core across the downstream mapInPandas stages
+    parts = max(1, min(4, n // 16))
+    return spark.createDataFrame(rows, IMAGE_SCHEMA).coalesce(parts)
