@@ -591,3 +591,42 @@ def test_interpolate_na_natural_spline_hand_computed(spark):
     got = {r["t"]: r["v"] for r in
            d.interpolate_na("t", method="spline").df.collect()}
     assert got[3.0] == pytest.approx(6.0, abs=1e-9)
+
+
+def test_interpolate_na_smoothing_spline_vs_dense(spark):
+    """Banded Reinsch solve vs an independent dense solve of
+    g = (I + lam*K)^-1 y with K = Delta^T W^-1 Delta (Green & Silverman
+    formulation), evaluated mid-gap with the natural-spline formula."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    xv = np.sort(rng.uniform(0, 10, 12))
+    yv = np.sin(xv) + rng.normal(0, 0.1, 12)
+    lam = 0.5
+    n = len(xv)
+    h = np.diff(xv); e = 1.0 / h; m = n - 2
+    Delta = np.zeros((m, n)); W = np.zeros((m, m))
+    for j in range(m):
+        Delta[j, j] = e[j]; Delta[j, j + 1] = -(e[j] + e[j + 1]); Delta[j, j + 2] = e[j + 1]
+        W[j, j] = (h[j] + h[j + 1]) / 3.0
+        if j < m - 1:
+            W[j, j + 1] = W[j + 1, j] = h[j + 1] / 6.0
+    K = Delta.T @ np.linalg.inv(W) @ Delta
+    g = np.linalg.solve(np.eye(n) + lam * K, yv)
+    gamma = np.linalg.solve(W, Delta @ g)
+    M = np.concatenate([[0.0], gamma, [0.0]])
+    xq = (xv[5] + xv[6]) / 2.0
+    j = 5; hh = xv[j + 1] - xv[j]; t0, t1 = xv[j + 1] - xq, xq - xv[j]
+    want = (M[j] * t0 ** 3 / (6 * hh) + M[j + 1] * t1 ** 3 / (6 * hh)
+            + (g[j] / hh - M[j] * hh / 6) * t0
+            + (g[j + 1] / hh - M[j + 1] * hh / 6) * t1)
+    rows = [(float(x), float(y)) for x, y in zip(xv, yv)] + [(float(xq), None)]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double"), dims=["t"])
+    got = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", method="smooth_spline", lam=lam).df.collect()}
+    assert got[float(xq)] == pytest.approx(float(want), abs=1e-9)
+    # lam -> 0 degenerates to the interpolating natural spline
+    nat = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", method="spline").df.collect()}
+    sm0 = {r["t"]: r["v"] for r in
+           d.interpolate_na("t", method="smooth_spline", lam=1e-12).df.collect()}
+    assert sm0[float(xq)] == pytest.approx(nat[float(xq)], abs=1e-5)

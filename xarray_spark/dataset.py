@@ -1569,10 +1569,11 @@ class XDataset:
 
     def interpolate_na(self, dim: str, method: str = "linear", limit=None,
                        max_gap=None, order=None,
-                       use_coordinate: bool = True) -> "XDataset":
+                       use_coordinate: bool = True,
+                       lam: float | None = None) -> "XDataset":
         from xarray_spark.missing import interpolate_na
         return interpolate_na(self, dim, method, limit, max_gap, order,
-                              use_coordinate)
+                              use_coordinate, lam=lam)
 
     def reindex(self, indexers=None, method=None, tolerance=None, fill_value=None, **kw) -> "XDataset":
         from xarray_spark.alignment import reindex

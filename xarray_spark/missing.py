@@ -102,7 +102,8 @@ def _as_double(col: Column, dtype: T.DataType) -> Column:
 def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
                    limit: int | None = None, max_gap=None,
                    order: int | None = None,
-                   use_coordinate: bool = True) -> XDataset:
+                   use_coordinate: bool = True,
+                   lam: float | None = None) -> XDataset:
     """Gap interpolation along dim (xarray/core/missing.py:331).
 
     Methods (reference matrix core/missing.py:486):
@@ -129,8 +130,11 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
     if method in ("pchip", "akima"):
         return _interpolate_na_hermite(ds, dim, method, limit, max_gap,
                                        use_coordinate)
-    if method in ("spline", "cubic_spline", "natural"):
-        return _interpolate_na_spline(ds, dim, limit, max_gap, use_coordinate)
+    if method in ("spline", "cubic_spline", "natural", "smooth_spline"):
+        if method == "smooth_spline" and lam is None:
+            raise ValueError("method='smooth_spline' requires lam=")
+        return _interpolate_na_spline(ds, dim, limit, max_gap, use_coordinate,
+                                      lam=lam)
     if method == "slinear":
         method = "linear"
     if method not in ("linear", "nearest", "zero"):
@@ -402,13 +406,23 @@ def interp(ds: XDataset, coords: dict, method: str = "linear") -> XDataset:
 
 
 def _interpolate_na_spline(ds: XDataset, dim: str, limit: int | None,
-                           max_gap, use_coordinate: bool = True) -> XDataset:
+                           max_gap, use_coordinate: bool = True,
+                           lam: float | None = None) -> XDataset:
     """Natural cubic spline gap fill (xarray routes method='spline' to
     scipy's interpolator, core/missing.py:486; here the classic natural
     spline: second derivatives from the tridiagonal system solved with
     the Thomas algorithm in numpy — no scipy).  Same applyInPandas
     harness and interior-only/limit/max_gap semantics as the other
-    families."""
+    families.
+
+    With ``lam`` set, fits the PENALIZED (smoothing) cubic spline
+    instead — minimize sum (y-g)^2 + lam * integral g''^2 (the Reinsch
+    algorithm, as in scipy.interpolate.make_smoothing_spline(lam=...)):
+    solve (W + lam * Delta Delta^T) gamma = Delta y on the pentadiagonal
+    band by Cholesky, fitted knot values g = y - lam * Delta^T gamma,
+    then evaluate the resulting natural spline inside gaps.  lam=0
+    degenerates to the interpolating spline.  All numpy, O(n) per
+    series."""
     import numpy as np
     import pandas as pd
 
@@ -443,6 +457,77 @@ def _interpolate_na_spline(ds: XDataset, dim: str, limit: int | None,
         M[1:-1] = m
         return M
 
+    def _smooth_fit(xv, yv, lam_):
+        """Reinsch solve: returns (fitted knot values g, second derivs M).
+
+        Bands of A = W + lam * Delta Delta^T (m = n-2 interior knots,
+        e[j] = 1/h[j]):  A[j,j] = (h[j]+h[j+1])/3 + lam*(e[j]^2 +
+        (e[j]+e[j+1])^2 + e[j+1]^2),  A[j,j+1] = h[j+1]/6 -
+        lam*e[j+1]*(e[j]+e[j+1]+e[j+2]... see below),  A[j,j+2] =
+        lam*e[j+1]*e[j+2].  SPD pentadiagonal -> banded Cholesky."""
+        n = len(xv)
+        M = np.zeros(n)
+        if n < 3:
+            return yv.copy(), M
+        h = np.diff(xv)
+        e = 1.0 / h
+        m = n - 2
+        # rhs: (Delta y)[j] = e[j+1]*(y[j+2]-y[j+1]) - e[j]*(y[j+1]-y[j])
+        rhs = e[1:] * (yv[2:] - yv[1:-1]) - e[:-1] * (yv[1:-1] - yv[:-2])
+        # W bands
+        a = (h[:-1] + h[1:]) / 3.0
+        b = np.zeros(m); c = np.zeros(m)
+        b[: m - 1] = h[1:-1] / 6.0
+        # + lam * Delta Delta^T bands
+        a += lam_ * (e[:-1] ** 2 + (e[:-1] + e[1:]) ** 2 + e[1:] ** 2)
+        if m > 1:
+            b[: m - 1] += lam_ * (-(e[:-2] + e[1:-1]) * e[1:-1]
+                                  - e[1:-1] * (e[1:-1] + e[2:]))
+        if m > 2:
+            c[: m - 2] = lam_ * e[1:-2] * e[2:-1]
+        # banded Cholesky A = L L^T with L bands (p diag, q sub1, r sub2)
+        p = np.zeros(m); q = np.zeros(m); r = np.zeros(m)
+        for j in range(m):
+            t = a[j]
+            if j >= 1:
+                t -= q[j - 1] ** 2
+            if j >= 2:
+                t -= r[j - 2] ** 2
+            p[j] = np.sqrt(t)
+            if j < m - 1:
+                t = b[j]
+                if j >= 1:
+                    t -= q[j - 1] * r[j - 1]
+                q[j] = t / p[j]
+            if j < m - 2:
+                r[j] = c[j] / p[j]
+        # forward then backward substitution
+        z = np.zeros(m)
+        for j in range(m):
+            t = rhs[j]
+            if j >= 1:
+                t -= q[j - 1] * z[j - 1]
+            if j >= 2:
+                t -= r[j - 2] * z[j - 2]
+            z[j] = t / p[j]
+        g = np.zeros(m)
+        for j in range(m - 1, -1, -1):
+            t = z[j]
+            if j < m - 1:
+                t -= q[j] * g[j + 1]
+            if j < m - 2:
+                t -= r[j] * g[j + 2]
+            g[j] = t / p[j]
+        gamma = g
+        # fitted values: y - lam * Delta^T gamma
+        dtg = np.zeros(n)
+        dtg[:m] += e[:-1] * gamma
+        dtg[1 : m + 1] -= (e[:-1] + e[1:]) * gamma
+        dtg[2 : m + 2] += e[1:] * gamma
+        fitted = yv - lam_ * dtg
+        M[1:-1] = gamma
+        return fitted, M
+
     def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__x").reset_index(drop=True)
         x = (pdf["__x"].to_numpy("float64") if use_coordinate
@@ -453,7 +538,10 @@ def _interpolate_na_spline(ds: XDataset, dim: str, limit: int | None,
             xv, yv = x[valid], y[valid]
             if len(xv) < 2:
                 continue
-            M = _second_derivs(xv, yv)
+            if lam is None:
+                gv, M = yv, _second_derivs(xv, yv)
+            else:
+                gv, M = _smooth_fit(xv, yv, float(lam))
             vidx = np.flatnonzero(valid)
             for i in np.flatnonzero(~valid):
                 pos = np.searchsorted(vidx, i)
@@ -467,8 +555,8 @@ def _interpolate_na_spline(ds: XDataset, dim: str, limit: int | None,
                 hh = xv[j + 1] - xv[j]
                 t0, t1 = xv[j + 1] - x[i], x[i] - xv[j]
                 y[i] = (M[j] * t0 ** 3 / (6 * hh) + M[j + 1] * t1 ** 3 / (6 * hh)
-                        + (yv[j] / hh - M[j] * hh / 6) * t0
-                        + (yv[j + 1] / hh - M[j + 1] * hh / 6) * t1)
+                        + (gv[j] / hh - M[j] * hh / 6) * t0
+                        + (gv[j + 1] / hh - M[j + 1] * hh / 6) * t1)
             pdf[v] = y
         return pdf.drop(columns="__x")
 
