@@ -94,3 +94,77 @@ def test_decode_cf_time_360day(spark):
     out = df.select(cft.decode_cf_time(F.col("time"), "days since 2000-01-01", "360_day").alias("o"))
     o = out.collect()[0]["o"]
     assert cft._py_ordinal(2000, 2, 30, "360_day") == o
+
+
+def test_us_ordinal_fields_and_roundtrip(spark):
+    # 360_day 2000-02-30 13:45:30.250000
+    day = cft._py_ordinal(2000, 2, 30, "360_day")
+    us = day * cft.US_PER_DAY + (13 * 3600 + 45 * 60 + 30) * 1_000_000 + 250_000
+    df = spark.createDataFrame([(us,)], "o long")
+    got = df.select(
+        *[cft.cf_field_us(F.col("o"), f, "360_day").alias(f)
+          for f in ("year", "month", "day", "hour", "minute", "second",
+                    "microsecond")]
+    ).collect()[0]
+    assert (got["year"], got["month"], got["day"]) == (2000, 2, 30)
+    assert (got["hour"], got["minute"], got["second"], got["microsecond"]) == \
+        (13, 45, 30, 250_000)
+    # cf_ordinal_us reconstructs the same instant
+    back = df.select(
+        cft.cf_ordinal_us(F.lit(2000), F.lit(2), F.lit(30), "360_day",
+                          hour=F.lit(13), minute=F.lit(45), second=F.lit(30),
+                          microsecond=F.lit(250_000)).alias("o2")
+    ).collect()[0]["o2"]
+    assert back == us
+
+
+def test_us_pre_epoch_floor_and_weekday(spark):
+    # 1969-12-31 23:00 noleap = ordinal -1 day + 23h -> day field must
+    # floor to Dec 31, not round toward zero
+    us = -1 * cft.US_PER_DAY + 23 * 3_600_000_000
+    df = spark.createDataFrame([(us,)], "o long")
+    got = df.select(
+        cft.cf_field_us(F.col("o"), "year", "noleap").alias("y"),
+        cft.cf_field_us(F.col("o"), "month", "noleap").alias("m"),
+        cft.cf_field_us(F.col("o"), "day", "noleap").alias("d"),
+        cft.cf_field_us(F.col("o"), "hour", "noleap").alias("h"),
+    ).collect()[0]
+    assert (got["y"], got["m"], got["d"], got["h"]) == (1969, 12, 31, 23)
+    # weekday: 1970-01-01 is Thursday (cftime dayofwk 3, 0=Monday)
+    wd = spark.createDataFrame([(0,), (1,), (-1,)], "o long").select(
+        cft.cf_field(F.col("o"), "weekday", "noleap").alias("w")).collect()
+    assert [r["w"] for r in wd] == [3, 4, 2]
+
+
+def test_decode_cf_time_us_hours_since(spark):
+    # 'hours since 2000-01-01 06:00:00' value 30.5 -> 2000-01-02 12:30
+    df = spark.createDataFrame([(30.5,)], "time double")
+    out = df.select(cft.decode_cf_time_us(
+        F.col("time"), "hours since 2000-01-01 06:00:00", "noleap").alias("o"))
+    o = out.collect()[0]["o"]
+    want = (cft._py_ordinal(2000, 1, 2, "noleap") * cft.US_PER_DAY
+            + (12 * 3600 + 30 * 60) * 1_000_000)
+    assert o == want
+    assert spark.range(1).select(
+        cft.cf_field_us(F.lit(o), "hour", "noleap").alias("h")
+    ).collect()[0]["h"] == 12
+
+
+def test_us_timestamp_bridge_and_convert(spark):
+    import datetime as dt
+    ts = dt.datetime(2001, 3, 1, 7, 30, 15, 123456)
+    df = spark.createDataFrame([(ts,)], ["t"])
+    enc = df.select(cft.encode_timestamp_us(F.col("t"), "noleap").alias("o"))
+    o = enc.collect()[0]["o"]
+    assert o == (cft._py_ordinal(2001, 3, 1, "noleap") * cft.US_PER_DAY
+                 + (7 * 3600 + 30 * 60 + 15) * 1_000_000 + 123456)
+    back = enc.select(cft.decode_to_timestamp_us(F.col("o"), "noleap").alias("t"))
+    assert back.collect()[0]["t"] == ts
+    # convert noleap -> 360_day keeps the intraday part
+    conv = enc.select(cft.convert_between_us(F.col("o"), "noleap", "360_day").alias("o2"))
+    o2 = conv.collect()[0]["o2"]
+    assert o2 == (cft._py_ordinal(2001, 3, 1, "360_day") * cft.US_PER_DAY
+                  + (7 * 3600 + 30 * 60 + 15) * 1_000_000 + 123456)
+    # days_in_month field
+    dim = enc.select(cft.cf_field_us(F.col("o"), "days_in_month", "noleap").alias("n"))
+    assert dim.collect()[0]["n"] == 31

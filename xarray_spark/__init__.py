@@ -49,7 +49,14 @@ from xarray_spark.backends import (
 from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
 from xarray_spark.alignment import align, broadcast, salted_join, sel_points_nearest
 from xarray_spark.computation import convert_calendar, date_range_like, infer_freq
-from xarray_spark.cftime import cf_date_range, cf_field, cf_ordinal
+from xarray_spark.cftime import (
+    cf_date_range,
+    cf_field,
+    cf_field_us,
+    cf_ordinal,
+    cf_ordinal_us,
+    decode_cf_time_us,
+)
 from xarray_spark.groupby import salted_agg
 from xarray_spark.segmented import (
     cumsum_segmented,
@@ -131,6 +138,9 @@ __all__ = [
     "unify_chunks",
     "cf_date_range",
     "cf_field",
+    "cf_field_us",
+    "cf_ordinal_us",
+    "decode_cf_time_us",
     "cf_ordinal",
     "convert_calendar",
     "date_range_like",

@@ -75,11 +75,17 @@ def cf_field(ordinal: Column, field: str, calendar: str) -> Column:
         return (y + EPOCH_YEAR).cast("int")
     if field == "dayofyear":
         return doy + 1
+    if field in ("weekday", "dayofweek"):
+        # continuous 7-day cycle in every fixed calendar (cftime dayofwk
+        # semantics, 0 = Monday); 1970-01-01 was a Thursday
+        return (((o + 3) % 7 + 7) % 7).cast("int")
     if cal == "360_day":
         if field == "month":
             return (F.floor(doy / 30) + 1).cast("int")
         if field == "day":
             return (doy % 30 + 1).cast("int")
+        if field == "days_in_month":
+            return F.lit(30).cast("int")
     else:
         cum = _cum_days(cal)
         # month = number of cum entries <= doy (12-branch sum, codegen'd)
@@ -91,7 +97,112 @@ def cf_field(ordinal: Column, field: str, calendar: str) -> Column:
         if field == "day":
             month_off = F.element_at(F.array(*[F.lit(c) for c in cum]), month)
             return (doy - month_off + 1).cast("int")
+        if field == "days_in_month":
+            lens = _cum_days(cal) + [ylen]
+            month_len = [lens[i + 1] - lens[i] for i in range(12)]
+            return F.element_at(F.array(*[F.lit(x) for x in month_len]), month).cast("int")
     raise ValueError(f"field {field!r}")
+
+
+# --------------------------------------------------------------------- #
+# microsecond-grain ordinals (sub-daily cftime)
+# --------------------------------------------------------------------- #
+
+US_PER_DAY = 86_400_000_000
+
+_US_PER_UNIT = {
+    "days": US_PER_DAY, "hours": 3_600_000_000, "minutes": 60_000_000,
+    "seconds": 1_000_000, "milliseconds": 1_000, "microseconds": 1,
+}
+
+
+def cf_ordinal_us(year: Column, month: Column, day: Column, calendar: str,
+                  hour: Column | None = None, minute: Column | None = None,
+                  second: Column | None = None,
+                  microsecond: Column | None = None) -> Column:
+    """Microseconds since 1970-01-01T00:00:00 in ``calendar`` — the
+    sub-daily extension of :func:`cf_ordinal`.  int64 spans ±292k years
+    at this grain; still pure integer expressions."""
+    o = cf_ordinal(year, month, day, calendar).cast("long") * US_PER_DAY
+    for part, scale in ((hour, 3_600_000_000), (minute, 60_000_000),
+                        (second, 1_000_000), (microsecond, 1)):
+        if part is not None:
+            o = o + part.cast("long") * scale
+    return o
+
+
+def cf_field_us(ordinal_us: Column, field: str, calendar: str) -> Column:
+    """Field extraction from a microsecond-grain ordinal: date fields
+    delegate to :func:`cf_field` on the floored day ordinal; time-of-day
+    fields are modular arithmetic on the intraday remainder."""
+    o = ordinal_us.cast("long")
+    day_ord = F.floor(o / US_PER_DAY).cast("long")
+    intra = o - day_ord * US_PER_DAY  # always in [0, US_PER_DAY)
+    if field == "hour":
+        return F.floor(intra / 3_600_000_000).cast("int")
+    if field == "minute":
+        return (F.floor(intra / 60_000_000) % 60).cast("int")
+    if field == "second":
+        return (F.floor(intra / 1_000_000) % 60).cast("int")
+    if field == "microsecond":
+        return (intra % 1_000_000).cast("int")
+    return cf_field(day_ord, field, calendar)
+
+
+def day_ordinal_us(ordinal_us: Column) -> Column:
+    """Day-grain ordinal from a microsecond-grain one (floor division
+    keeps pre-epoch instants on the correct day)."""
+    return F.floor(ordinal_us.cast("long") / US_PER_DAY).cast("long")
+
+
+def decode_cf_time_us(col: Column, units: str, calendar: str) -> Column:
+    """CF time decode preserving sub-daily precision: returns the
+    microsecond-grain ordinal (:func:`decode_cf_time` floors to days).
+    Handles fractional numeric values ('hours since ...' stored as
+    double)."""
+    cal = _canon(calendar)
+    unit, _, epoch = units.partition(" since ")
+    unit = unit.strip().lower()
+    per = _US_PER_UNIT[unit]
+    parts = epoch.strip().split(" ")
+    ey, em, ed = (int(x) for x in parts[0].split("-"))
+    base = _py_ordinal(ey, em, ed, cal) * US_PER_DAY
+    if len(parts) > 1:
+        hh, mm, *rest = parts[1].split(":")
+        ss = float(rest[0]) if rest else 0.0
+        base += (int(hh) * 3600 + int(mm) * 60) * 1_000_000 + int(round(ss * 1e6))
+    return (F.round(col.cast("double") * per).cast("long") + F.lit(base))
+
+
+def encode_timestamp_us(ts: Column, calendar: str,
+                        align_on: str = "date") -> Column:
+    """Real timestamp -> microsecond-grain ordinal (time of day
+    preserved; date mapping as in :func:`encode_timestamp`)."""
+    day = encode_timestamp(ts, calendar, align_on)
+    intra = (
+        F.hour(ts).cast("long") * 3_600_000_000
+        + F.minute(ts).cast("long") * 60_000_000
+        + F.second(ts).cast("long") * 1_000_000
+        + (F.unix_micros(ts) % 1_000_000 + 1_000_000) % 1_000_000
+    )
+    return day.cast("long") * US_PER_DAY + intra
+
+
+def decode_to_timestamp_us(ordinal_us: Column, calendar: str,
+                           align_on: str = "date") -> Column:
+    """Microsecond-grain ordinal -> real timestamp with time of day."""
+    day_ord = day_ordinal_us(ordinal_us)
+    intra = ordinal_us.cast("long") - day_ord * US_PER_DAY
+    base = decode_to_timestamp(day_ord, calendar, align_on)
+    return F.timestamp_micros(F.unix_micros(base) + intra)
+
+
+def convert_between_us(ordinal_us: Column, src: str, dst: str) -> Column:
+    """Sub-daily calendar-to-calendar conversion: date part remapped via
+    :func:`convert_between`, intraday microseconds carried over."""
+    day_ord = day_ordinal_us(ordinal_us)
+    intra = ordinal_us.cast("long") - day_ord * US_PER_DAY
+    return convert_between(day_ord, src, dst) * US_PER_DAY + intra
 
 
 # --------------------------------------------------------------------- #
