@@ -111,3 +111,57 @@ def test_stream_dedup_exact(spark, tmp_path):
     _run_to_memory(out, name, mode="append")
     got = sorted(r["key"] for r in spark.sql(f"SELECT * FROM {name}").collect())
     assert got == ["k1", "k2", "k3"]
+
+
+def test_stream_asof_join(spark, tmp_path):
+    from xarray_spark.streaming import stream_asof_join
+    obs_dir, tgt_dir = str(tmp_path / "obs"), str(tmp_path / "tgt")
+    obs_rows = [
+        (dt.datetime(2024, 1, 1, 0, 0), "a", 10.0),
+        (dt.datetime(2024, 1, 1, 0, 5), "a", 20.0),
+        (dt.datetime(2024, 1, 1, 0, 2), "b", 7.0),
+    ]
+    # target ticks every 3 minutes
+    tgt_rows = [(dt.datetime(2024, 1, 1, 0, m), k, None)
+                for m in (0, 3, 6, 9) for k in ("a", "b")]
+    spark.createDataFrame(obs_rows, SCHEMA).coalesce(1).write.parquet(obs_dir)
+    spark.createDataFrame(tgt_rows, SCHEMA).coalesce(1).write.parquet(tgt_dir)
+    out = stream_asof_join(
+        open_stream(spark, obs_dir, SCHEMA),
+        open_stream(spark, tgt_dir, SCHEMA).select("ts", "key"),
+        key_col="key", time_col="ts", value_cols=["v"],
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name)
+    got = {(r["key"], r["ts"].minute): r["v"]
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got[("a", 0)] == 10.0      # exact-ts obs folds first
+    assert got[("a", 3)] == 10.0
+    assert got[("a", 6)] == 20.0
+    assert got[("a", 9)] == 20.0
+    assert got[("b", 0)] is None      # no obs yet
+    assert got[("b", 3)] == 7.0
+    assert got[("b", 9)] == 7.0
+
+
+def test_stream_asof_join_tolerance_and_state(spark, tmp_path):
+    from xarray_spark.streaming import stream_asof_join
+    obs_dir, tgt_dir = str(tmp_path / "obs"), str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0), "a", 5.0)], SCHEMA
+    ).coalesce(1).write.parquet(obs_dir)
+    spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 2), "a", None),
+         (dt.datetime(2024, 1, 1, 0, 30), "a", None)], SCHEMA
+    ).coalesce(1).write.parquet(tgt_dir)
+    out = stream_asof_join(
+        open_stream(spark, obs_dir, SCHEMA),
+        open_stream(spark, tgt_dir, SCHEMA).select("ts", "key"),
+        key_col="key", time_col="ts", value_cols=["v"],
+        tolerance=600.0,  # 10 minutes
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(out, name)
+    got = {r["ts"].minute: r["v"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got[2] == 5.0
+    assert got[30] is None  # beyond tolerance -> null, not stale value

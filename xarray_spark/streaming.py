@@ -168,6 +168,89 @@ def stream_sessionize(
     )
 
 
+def stream_asof_join(
+    obs: DataFrame,
+    targets: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_cols: list[str],
+    tolerance: float | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream as-of join: for every row of ``targets`` emit the
+    most recent ``obs`` values with ``obs.ts <= target.ts`` (backward
+    as-of, pandas ``merge_asof`` semantics) — the streaming analogue of
+    ``reindex(method='ffill')`` onto a live label stream.
+
+    Built as union + ``applyInPandasWithState``: the two streams are
+    tagged and unioned (so one shuffle keyed by ``key_col``), and per-key
+    state carries the latest observation across micro-batches.  Within a
+    batch rows fold in event-time order (obs before targets at equal
+    timestamps).  Cross-batch correctness assumes per-key event-time
+    ordering across micro-batches — file/Kafka replay in order; for
+    out-of-order sources widen the micro-batch (the in-batch sort
+    handles any disorder inside one batch).
+
+    ``tolerance`` (seconds): targets farther than this from the latest
+    observation emit null values rather than stale ones.
+
+    State is O(1) per key (one timestamp + one double per value col) —
+    bounded by key cardinality, not stream length.
+    """
+    vtag = [(c, f"__v_{c}") for c in value_cols]
+    obs_t = obs.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.col(time_col).alias("__ts"),
+        F.lit(0).alias("__src"),
+        *[F.col(c).cast("double").alias(a) for c, a in vtag],
+    )
+    tgt_t = targets.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.col(time_col).alias("__ts"),
+        F.lit(1).alias("__src"),
+        *[F.lit(None).cast("double").alias(a) for _, a in vtag],
+    )
+    unioned = obs_t.unionByName(tgt_t).withWatermark("__ts", watermark)
+
+    out_schema = T.StructType(
+        [T.StructField(key_col, T.StringType()),
+         T.StructField(time_col, T.TimestampType())]
+        + [T.StructField(c, T.DoubleType()) for c in value_cols]
+    )
+    state_schema = T.StructType(
+        [T.StructField("ts", T.DoubleType())]
+        + [T.StructField(f"v{i}", T.DoubleType()) for i in range(len(value_cols))]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        last_ts, last_vals = None, None
+        if state.exists:
+            st = state.get
+            last_ts, last_vals = st[0], list(st[1:])
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts", "__src"])
+            for _, r in pdf.iterrows():
+                ets = r["__ts"].timestamp()
+                if r["__src"] == 0:
+                    last_ts = ets
+                    last_vals = [r[a] for _, a in vtag]
+                else:
+                    stale = (
+                        last_ts is None
+                        or (tolerance is not None and ets - last_ts > tolerance)
+                    )
+                    vals = [None] * len(value_cols) if stale else last_vals
+                    rows.append((str(key[0]), r["__ts"], *vals))
+        if last_ts is not None:
+            state.update((last_ts, *last_vals))
+        yield pd.DataFrame(rows, columns=[key_col, time_col, *value_cols])
+
+    return unioned.groupBy("__k").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_dedup_exact(
     df: DataFrame,
     key_cols: list[str],
