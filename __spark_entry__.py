@@ -1235,6 +1235,49 @@ def q80_cf_360day(spark, sf_dir):
     return monthly
 
 
+def q85_stream_asof(spark, sf_dir):
+    """Stream-stream as-of join driven to completion: a 6-hourly tick
+    stream reindex-ffill'd onto the live event stream per event_type
+    (streaming.stream_asof_join — union + applyInPandasWithState,
+    O(1)-per-key state).  The oracle is DuckDB's native ASOF LEFT JOIN
+    over the same tick calendar."""
+    import shutil
+    import tempfile
+    import uuid
+    from xarray_spark.streaming import stream_asof_join
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage_o = tempfile.mkdtemp(prefix="q85_obs_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_o}/events.parquet")
+    obs = (
+        spark.readStream.schema(batch.schema).parquet(stage_o)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("ts", "event_type", "value")
+    )
+    ticks = batch.select("event_type").distinct().crossJoin(
+        spark.range(1).select(
+            F.explode(F.sequence(
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+                F.to_timestamp(F.lit("2024-01-30 18:00:00")),
+                F.expr("interval 6 hours"),
+            )).alias("ts")
+        )
+    )
+    stage_t = tempfile.mkdtemp(prefix="q85_ticks_")
+    ticks.coalesce(1).write.mode("overwrite").parquet(stage_t)
+    tgt = spark.readStream.schema(ticks.schema).parquet(stage_t)
+    out = stream_asof_join(obs, tgt, key_col="event_type", time_col="ts",
+                           value_cols=["value"])
+    name = f"q85_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT event_type AS k, ts, value AS v FROM {name}")
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1275,7 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_binary_align": q19_binary_align,
         "q83_str_tail2": q83_str_tail2,
         "q21_reindex_fill": q21_reindex_fill,
-        "q22_pivot": q22_pivot,
+        "q85_stream_asof": q85_stream_asof,
         "q24_integrate": q24_integrate,
         "q25_polyfit": q25_polyfit,
         "q50_rolling_exp": q50_rolling_exp,
@@ -1349,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q41_dot": q41_dot,
+        "q22_pivot": q22_pivot,
     }
 
 
@@ -2146,6 +2190,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    ROUND(SUM(value) + 1e-6, 3) AS total
             FROM events GROUP BY 1
+        """,
+        "q85_stream_asof": """
+            WITH ticks AS (
+              SELECT t.ts AS tick, et.event_type
+              FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                   TIMESTAMP '2024-01-30 18:00:00',
+                                   INTERVAL 6 HOUR) AS t(ts)
+              CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+            )
+            SELECT ticks.event_type AS k, ticks.tick AS ts, e.value AS v
+            FROM ticks ASOF LEFT JOIN events e
+              ON ticks.event_type = e.event_type AND ticks.tick >= e.ts
         """,
         "q68_datatree": """
             SELECT '/geo/nation' AS path, COUNT(*) AS n FROM nation

@@ -92,7 +92,7 @@ def test_no_cartesian_in_gate_queries(spark, entry):
     broadcast nested-loop joins from as-of label matching are bounded:
     one side is a literal label table)."""
     for name, fn in entry.queries().items():
-        if name in ("q67_stream_resample",):  # streaming: no batch plan
+        if name in ("q67_stream_resample", "q85_stream_asof"):  # streaming: no batch plan
             continue
         plan = plan_of(fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
