@@ -1278,6 +1278,28 @@ def q85_stream_asof(spark, sf_dir):
         f"SELECT event_type AS k, ts, value AS v FROM {name}")
 
 
+def q86_cf_subdaily(spark, sf_dir):
+    """Sub-daily cftime: event timestamps encoded to microsecond-grain
+    noleap ordinals (cftime.encode_timestamp_us), hour-of-day extracted
+    back with cf_field_us, aggregated per (day-ordinal, hour) — all
+    whole-stage-codegen integer arithmetic, replicated exactly in SQL."""
+    from xarray_spark import cftime as cft
+    ds = _events(spark, sf_dir)
+    enc = ds.df.select(
+        cft.encode_timestamp_us(F.col("ts"), "noleap").alias("ous"),
+        F.col("value"),
+    )
+    return (
+        enc.select(
+            cft.day_ordinal_us(F.col("ous")).alias("day_ord"),
+            cft.cf_field_us(F.col("ous"), "hour", "noleap").alias("hh"),
+            "value",
+        )
+        .groupBy("day_ord", "hh")
+        .agg(F.count(F.lit(1)).alias("n"), _r3(F.sum("value")).alias("sv"))
+    )
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1319,7 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_str_tail2": q83_str_tail2,
         "q21_reindex_fill": q21_reindex_fill,
         "q85_stream_asof": q85_stream_asof,
-        "q24_integrate": q24_integrate,
+        "q86_cf_subdaily": q86_cf_subdaily,
         "q25_polyfit": q25_polyfit,
         "q50_rolling_exp": q50_rolling_exp,
         "q30_dedup_exact": q30_dedup_exact,
@@ -1393,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_concat": q20_concat,
         "q41_dot": q41_dot,
         "q22_pivot": q22_pivot,
+        "q24_integrate": q24_integrate,
     }
 
 
@@ -2190,6 +2213,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    ROUND(SUM(value) + 1e-6, 3) AS total
             FROM events GROUP BY 1
+        """,
+        "q86_cf_subdaily": """
+            SELECT (year(ts) - 1970) * 365
+                   + list_extract([0,31,59,90,120,151,181,212,243,273,304,334],
+                                  month(ts))
+                   + (day(ts) - 1) AS day_ord,
+                   hour(ts) AS hh,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value) + 1e-6, 3) AS sv
+            FROM events GROUP BY 1, 2
         """,
         "q85_stream_asof": """
             WITH ticks AS (
