@@ -11,7 +11,8 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "xarray_spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(app_name: str = "xarray_spark", shuffle_partitions: int | None = None,
+              rocksdb_state_store: bool = False) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     - AQE on: runtime coalescing + skew-join handling — the 100 TB story
@@ -44,4 +45,15 @@ def get_spark(app_name: str = "xarray_spark", shuffle_partitions: int | None = N
         # keep managed-table files out of the working directory
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
+    if rocksdb_state_store:
+        # streaming state off-heap and spillable: the default HDFS-backed
+        # store keeps every key in executor memory, which caps stateful
+        # streams (dedup/as-of/EWMA) at heap size; RocksDB bounds memory
+        # and scales state to disk — use on real clusters with large key
+        # cardinality
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     return builder.getOrCreate()
