@@ -2214,6 +2214,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value) + 1e-6, 3) AS total
             FROM events GROUP BY 1
         """,
+        "q36_multimodal_features": """
+            -- the gate's synthetic media table is deterministic:
+            -- payload length 128+(i%5)*32, 8-float fake embedding,
+            -- 4x4x3 resize -> 48 pixels; the oracle re-derives the
+            -- shape columns the query returns
+            SELECT i AS media_id,
+                   CAST(128 + (i % 5) * 32 AS BIGINT) AS n_bytes,
+                   8 AS dim,
+                   48 AS n_px
+            FROM generate_series(0, 63) t(i)
+        """,
         "q86_cf_subdaily": """
             SELECT (year(ts) - 1970) * 365
                    + list_extract([0,31,59,90,120,151,181,212,243,273,304,334],
