@@ -630,3 +630,17 @@ def test_interpolate_na_smoothing_spline_vs_dense(spark):
     sm0 = {r["t"]: r["v"] for r in
            d.interpolate_na("t", method="smooth_spline", lam=1e-12).df.collect()}
     assert sm0[float(xq)] == pytest.approx(nat[float(xq)], abs=1e-5)
+
+
+def test_interp_higher_order_families(spark):
+    # data IS a cubic polynomial: cubic interp is exact at any target
+    rows = [(float(i), float(i**3 - 2 * i)) for i in range(8)]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double"), dims=["t"])
+    out = d.interp(t=[2.5, 4.25], method="cubic")
+    got = {r["t"]: r["v"] for r in out.df.collect()}
+    assert got[2.5] == pytest.approx(2.5**3 - 5.0, abs=1e-9)
+    assert got[4.25] == pytest.approx(4.25**3 - 8.5, abs=1e-9)
+    # polynomial order via kwargs= (xarray's scipy-kwargs convention)
+    out2 = d.interp(t=[3.5], method="polynomial", kwargs={"order": 3})
+    assert {r["t"]: r["v"] for r in out2.df.collect()}[3.5] == \
+        pytest.approx(3.5**3 - 7.0, abs=1e-9)

@@ -1583,9 +1583,15 @@ class XDataset:
         from xarray_spark.alignment import broadcast_like
         return broadcast_like(self, other)
 
-    def interp(self, coords=None, method: str = "linear", **kw) -> "XDataset":
+    def interp(self, coords=None, method: str = "linear",
+               kwargs: dict | None = None, **kw) -> "XDataset":
+        """Regrid; like the reference, interpolator args (``order`` for
+        polynomial, ``lam`` for smooth_spline) ride in ``kwargs=``
+        (xarray/core/dataset.py:3786 passes them to scipy the same way)."""
         from xarray_spark.missing import interp
-        return interp(self, {**(coords or {}), **kw}, method)
+        kwargs = kwargs or {}
+        return interp(self, {**(coords or {}), **kw}, method,
+                      order=kwargs.get("order"), lam=kwargs.get("lam"))
 
     def interp_like(self, other: "XDataset", method: str = "linear") -> "XDataset":
         """Interpolate onto other's labels for every shared dim

@@ -360,20 +360,23 @@ def _interpolate_na_poly(ds: XDataset, dim: str, order: int,
     return ds._replace(df=out)
 
 
-def interp(ds: XDataset, coords: dict, method: str = "linear") -> XDataset:
+def interp(ds: XDataset, coords: dict, method: str = "linear",
+           order: int | None = None, lam: float | None = None) -> XDataset:
     """Regrid onto new coordinate values (xarray/core/dataset.py:3786).
 
     Long-form strategy (1-D per dim, separable): union the target labels
-    into the label axis with null values, linearly interpolate, then keep
-    only the target labels — an as-of join + blend, all window/broadcast
-    ops (reference decomposition: xarray/core/missing.py:846).
+    into the label axis with null values, interpolate with any
+    :func:`interpolate_na` family (linear/nearest/zero/quadratic/cubic/
+    polynomial/pchip/akima/spline/smooth_spline), then keep only the
+    target labels — an as-of join + blend (reference decomposition:
+    xarray/core/missing.py:846).
     """
     if len(coords) > 1:
         # separable N-D: sequential 1-D interps, the reference's own
         # decomposition (xarray/core/missing.py:846 decompose_interp)
         out = ds
         for dim, targets in coords.items():
-            out = interp(out, {dim: targets}, method)
+            out = interp(out, {dim: targets}, method, order=order, lam=lam)
         return out
     (dim, targets), = coords.items()
     spark = ds.spark
@@ -400,7 +403,7 @@ def interp(ds: XDataset, coords: dict, method: str = "linear") -> XDataset:
     base = ds.df.withColumn("__is_tgt", F.lit(0))
     unioned = base.unionByName(tgt.select(*base.columns))
     u = ds._replace(df=unioned)
-    filled = interpolate_na(u, dim, method=method)
+    filled = interpolate_na(u, dim, method=method, order=order, lam=lam)
     out = filled.df.where(F.col("__is_tgt") == 1).drop("__is_tgt")
     return ds._replace(df=out)
 
