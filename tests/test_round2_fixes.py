@@ -644,3 +644,32 @@ def test_interp_higher_order_families(spark):
     out2 = d.interp(t=[3.5], method="polynomial", kwargs={"order": 3})
     assert {r["t"]: r["v"] for r in out2.df.collect()}[3.5] == \
         pytest.approx(3.5**3 - 7.0, abs=1e-9)
+
+
+def test_polyfit_skipna_consistent_moments(spark):
+    # nulls in y must drop the row from BOTH sides of the normal
+    # equations; the fit on the remaining points is exact
+    import numpy as np
+    rows = [{"t": float(i), "v": 2.0 * i + 1.0 if i not in (2, 5) else None}
+            for i in range(8)]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double"), dims=["t"])
+    out = {r["degree"]: r["v_polyfit_coefficients"]
+           for r in d.polyfit("t", 1).df.collect()}
+    assert out[1] == pytest.approx(2.0, abs=1e-9)
+    assert out[0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_polyfit_weighted_matches_numpy(spark):
+    import numpy as np
+    xs = np.arange(10, dtype="float64")
+    ys = 3.0 * xs - 2.0 + np.array([0.5, -0.5] * 5)
+    ws = np.array([1.0, 4.0] * 5)
+    rows = [{"t": float(x), "v": float(y), "wt": float(w)}
+            for x, y, w in zip(xs, ys, ws)]
+    d = XDataset(spark.createDataFrame(rows, "t double, v double, wt double"),
+                 dims=["t"])
+    out = {r["degree"]: r["v_polyfit_coefficients"]
+           for r in d.polyfit("t", 1, w="wt").df.collect()}
+    want = np.polyfit(xs, ys, 1, w=ws)  # np convention: w scales residuals
+    assert out[1] == pytest.approx(want[0], abs=1e-9)
+    assert out[0] == pytest.approx(want[1], abs=1e-9)

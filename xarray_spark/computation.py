@@ -94,28 +94,38 @@ def polyval(coord: XDataArray, coeffs: Mapping[int, float], name: str = "polyval
     return XDataArray(df.select(*coord.dims, *coord.coords, name), coord.dims, coord.coords, [name], coord.attrs)
 
 
-def polyfit(ds: XDataset, dim: str, deg: int) -> XDataset:
+def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None) -> XDataset:
     """Least-squares polynomial fit per complement-dim group
-    (xarray/computation/fit.py:101).
+    (xarray/computation/fit.py:101); ``w=`` names a weight column
+    (xarray's array-like ``w`` in long form).
 
-    Scale strategy: compute the Vandermonde moments S_k = Σ x^k
-    (k ≤ 2·deg) and T_k = Σ x^k·y with ONE hash aggregation over the
+    Scale strategy: compute the Vandermonde moments S_k = Σ w·x^k
+    (k ≤ 2·deg) and T_k = Σ w·x^k·y with ONE hash aggregation over the
     fact table, then solve the (deg+1)×(deg+1) normal equations on the
-    tiny aggregated result via applyInPandas — no per-row Python."""
+    tiny aggregated result via applyInPandas — no per-row Python.
+    Moments are masked per data var (rows where y is null contribute to
+    neither side — xarray's skipna), so each var solves a consistent
+    system."""
     import numpy as np
     import pandas as pd
 
     others = [d for d in ds.dims if d != dim]
     from xarray_spark._utils import to_double
     x = to_double(F.col(dim), ds.df.schema[dim].dataType)
+    # np.polyfit convention (xarray passes w through): weights scale the
+    # RESIDUALS, so the normal equations see w^2
+    wc = (F.col(w).cast("double") ** 2) if w is not None else F.lit(1.0)
     aggs = []
-    for k in range(2 * deg + 1):
-        aggs.append(F.sum(F.pow(x, float(k))).alias(f"__s{k}"))
-    varlist = [v for v in ds.data_vars]
+    varlist = [v for v in ds.data_vars if v != w]
     for v in varlist:
+        mask = F.col(v).isNotNull()
+        for k in range(2 * deg + 1):
+            aggs.append(
+                F.sum(F.when(mask, wc * F.pow(x, float(k)))).alias(f"__s_{v}_{k}")
+            )
         for k in range(deg + 1):
             aggs.append(
-                F.sum(F.when(F.col(v).isNotNull(), F.pow(x, float(k)) * F.col(v))).alias(f"__t_{v}_{k}")
+                F.sum(F.when(mask, wc * F.pow(x, float(k)) * F.col(v))).alias(f"__t_{v}_{k}")
             )
     moments = ds.df.groupBy(*others).agg(*aggs) if others else ds.df.agg(*aggs)
 
@@ -127,10 +137,10 @@ def polyfit(ds: XDataset, dim: str, deg: int) -> XDataset:
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for _, r in pdf.iterrows():
-            S = np.array([[r[f"__s{i + j}"] for j in range(deg + 1)] for i in range(deg + 1)])
-            res = {d: [] for d in others}
             coefs = {}
             for v in varlist:
+                S = np.array([[r[f"__s_{v}_{i + j}"] for j in range(deg + 1)]
+                              for i in range(deg + 1)])
                 t = np.array([r[f"__t_{v}_{k}"] for k in range(deg + 1)])
                 try:
                     c = np.linalg.solve(S, t)

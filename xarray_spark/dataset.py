@@ -1868,9 +1868,9 @@ class XDataset:
         from xarray_spark.computation import differentiate
         return differentiate(self, coord)
 
-    def polyfit(self, dim: str, deg: int):
+    def polyfit(self, dim: str, deg: int, w: str | None = None):
         from xarray_spark.computation import polyfit
-        return polyfit(self, dim, deg)
+        return polyfit(self, dim, deg, w=w)
 
     def curvefit(self, coords, func, p0, param_names=None, maxiter: int = 100):
         from xarray_spark.computation import curvefit
