@@ -65,13 +65,30 @@ def _orders(spark: SparkSession, sf_dir: str) -> XDataset:
     )
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Events ``ts`` arrives either as a real TIMESTAMP (current driver
+    testdata) or as raw INT64 nanos (older generations stored
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects — the
+    ``nanosAsLong`` conf surfaces them as longs).  Convert only in the
+    long case, truncating to microseconds to match DuckDB's ns->us cast.
+
+    Parquet timestamps without a timezone flag come back as
+    TIMESTAMP_NTZ, which ``unix_micros`` / streaming watermarks reject —
+    cast to TIMESTAMP (instant-preserving: the session timezone is
+    pinned to UTC in session.py)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> XDataset:
-    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    # reader rejects; read the raw nanos and truncate to microseconds
-    # (matching DuckDB's ns->us cast).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    df = _normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     return XDataset(
         df,
         dims=["event_id"],
@@ -897,10 +914,8 @@ def q67_stream_resample(spark, sf_dir):
     # read-only)
     stage = tempfile.mkdtemp(prefix="q67_events_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    src = (
-        spark.readStream.schema(batch.schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = _normalize_event_ts(
+        spark.readStream.schema(batch.schema).parquet(stage)
     )
     out = stream_resample(
         src, "ts", "D", {"n": F.count(F.lit(1)), "total": F.round(F.sum("value") + F.lit(1e-6), 3)},
@@ -1249,11 +1264,9 @@ def q85_stream_asof(spark, sf_dir):
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stage_o = tempfile.mkdtemp(prefix="q85_obs_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage_o}/events.parquet")
-    obs = (
+    obs = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage_o)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("ts", "event_type", "value")
-    )
+    ).select("ts", "event_type", "value")
     ticks = batch.select("event_type").distinct().crossJoin(
         spark.range(1).select(
             F.explode(F.sequence(

@@ -52,13 +52,30 @@ def main() -> None:
             print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(json.dumps({
-        "metric": "total_query_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }))
+    # Full per-query map for humans / local tooling.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        json.dump({"metric": "total_query_wall", "value": total,
+                   "unit": "sec", "queries": timings, "sf": sf}, fh, indent=1)
+
+    # The driver captures only the LAST 2000 chars of stdout; the final
+    # JSON line must fit entirely inside that window or it cannot be
+    # parsed (BENCH_r02 lesson: 86 full-name entries ≈ 2600 chars).
+    # Emit full names if they fit, else fall back to the qNN prefix.
+    def line(qmap):
+        return json.dumps({"metric": "total_query_wall", "value": total,
+                           "unit": "sec", "queries": qmap, "sf": sf},
+                          separators=(",", ":"))
+
+    full = line(timings)
+    if len(full) <= 1800:
+        print(full)
+    else:
+        short = {}
+        for name, t in timings.items():
+            key = name.split("_", 1)[0]
+            short[key if key not in short else name] = round(t, 2)
+        print(line(short))
 
 
 if __name__ == "__main__":
