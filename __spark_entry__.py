@@ -491,18 +491,26 @@ def q33_cosine_topk(spark, sf_dir):
 
 
 def q34_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (extras.dedup) — rows-only check
-    (hash seeds are engine-specific; no SQL oracle)."""
+    """MinHash-LSH near-dup candidates (extras.dedup) with the
+    md5-derived portable hashes (extras.portable), so the full banded
+    pipeline — shingle → 64 universal minhashes → 16-band equi-join →
+    signature-estimated Jaccard — is verified bit-for-bit against a
+    DuckDB oracle that recomputes the identical signatures."""
     from xarray_spark.extras.dedup import minhash_lsh_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, threshold=0.2)
+    pairs = minhash_lsh_pairs(docs, threshold=0.2, hash_mode="portable")
+    return pairs.select("id_a", "id_b", _r6(F.col("jaccard_est")).alias("jaccard_est"))
 
 
 def q35_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (extras.dedup) — rows-only check."""
+    """SimHash near-dup pairs at hamming ≤ 10 over the 60-bit portable
+    fingerprint (extras.dedup).  The k+1-block pigeonhole bucketing
+    guarantees exact recall for the requested radius, so the result
+    EQUALS the brute-force all-pairs oracle — which is exactly what the
+    DuckDB side computes (125k pairs at gate scale)."""
     from xarray_spark.extras.dedup import simhash_near_dups
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dups(docs, max_hamming=10)
+    return simhash_near_dups(docs, max_hamming=10, bits=60, hash_mode="portable")
 
 
 def q36_multimodal_features(spark, sf_dir):
@@ -658,14 +666,17 @@ def q50_rolling_exp(spark, sf_dir):
 
 
 def q51_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH approximate top-k (extras.similarity.lsh_topk) —
-    rows-only (approximate by construction)."""
+    """Hyperplane-LSH approximate top-k (extras.similarity.lsh_topk),
+    portable mode: md5-derived INTEGER hyperplanes over floor-quantized
+    vectors make bucket membership engine-exact, so the DuckDB oracle
+    replays the same bucketing + rounded-cosine re-rank and the result
+    hash-matches despite the operator being approximate."""
     from xarray_spark.extras.similarity import lsh_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
-    return lsh_topk(emb, queries, k=3, n_planes=4)
+    return lsh_topk(emb, queries, k=3, n_planes=4, hash_mode="portable")
 
 
 def q52_embedding_near_dups(spark, sf_dir):
@@ -676,10 +687,11 @@ def q52_embedding_near_dups(spark, sf_dir):
     the within-bucket self-join; recall recovered across the 8 bands.
     threshold=0.5 sits just above the synthetic corpus's random-pair
     cosine ceiling, so the surviving pairs are the genuinely close
-    ones."""
+    ones.  Portable mode: integer-plane band buckets + rounded-cosine
+    threshold, replayed exactly by the DuckDB oracle."""
     from xarray_spark.extras.similarity import embedding_near_dups
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, threshold=0.5)
+    return embedding_near_dups(emb, threshold=0.5, hash_mode="portable")
 
 
 def q53_ngram_jaccard(spark, sf_dir):
@@ -847,14 +859,16 @@ def q66_season_resampler(spark, sf_dir):
 
 
 def q63_lsh_multiprobe(spark, sf_dir):
-    """Multi-probe LSH top-k (extras.similarity.lsh_topk_multiprobe) —
-    rows-only (approximate)."""
+    """Multi-probe LSH top-k (extras.similarity.lsh_topk_multiprobe),
+    portable mode — the oracle expands the same flip-one-bit probe set
+    per query and replays the rounded-cosine re-rank."""
     from xarray_spark.extras.similarity import lsh_topk_multiprobe
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
-    return lsh_topk_multiprobe(emb, queries, k=3, n_planes=4, n_probes=1)
+    return lsh_topk_multiprobe(emb, queries, k=3, n_planes=4, n_probes=1,
+                               hash_mode="portable")
 
 
 _IVF_CODEBOOKS: dict = {}
@@ -1313,6 +1327,85 @@ def q86_cf_subdaily(spark, sf_dir):
     )
 
 
+def q87_stream_dedup(spark, sf_dir):
+    """Streaming ingest-time exact dedup (streaming.stream_dedup_exact:
+    dropDuplicatesWithinWatermark keyed by a content fingerprint).  The
+    events stream has duplicate (user_id, event_type, value) triples;
+    keep the first arrival of each.  Oracle: batch DISTINCT aggregate —
+    identical because the gate replays the whole (bounded) stream under
+    one watermark horizon."""
+    import shutil
+    import tempfile
+    import uuid
+    from xarray_spark.streaming import stream_dedup_exact
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="q87_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    src = _normalize_event_ts(
+        spark.readStream.schema(batch.schema).parquet(stage)
+    ).select("ts", "user_id", "event_type", "value")
+    deduped = stream_dedup_exact(
+        src, ["user_id", "event_type", "value"], "ts", watermark="365 days")
+    name = f"q87_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, event_type, ROUND(value + 1e-9, 6) AS value "
+        f"FROM {name}"
+    ).groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        _r3(F.sum("value")).alias("sum_v"),
+    )
+
+
+def q88_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling (extras.sampling.hash_sample): a 10 %
+    reproducible, partitioning-independent sample of lineitem — the
+    map-only filter a 100 TB pipeline uses instead of seed-dependent
+    df.sample().  The md5-derived bucket is replayed exactly in SQL."""
+    from xarray_spark.extras.sampling import hash_sample
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("__k"),
+    )
+    s = hash_sample(li, 0.10, "__k")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _r3(F.sum("l_quantity")).alias("sum_qty"),
+        _r3(F.sum("l_extendedprice")).alias("sum_price"),
+    )
+
+
+def q89_hash_split(spark, sf_dir):
+    """Hash-based train/val/test split (extras.sampling.hash_split,
+    90/5/5): per-split row counts and revenue — append-stable split
+    assignment, verified against the identical SQL bucketing."""
+    from xarray_spark.extras.sampling import hash_split
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = hash_split(o, {"train": 0.90, "val": 0.05, "test": 0.05}, "o_orderkey")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r3(F.sum("o_totalprice")).alias("sum_price"),
+    )
+
+
+def q90_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic rates (extras.sampling.
+    stratified_hash_sample): downsample dominant languages of the
+    document corpus, keep rare ones whole — the class-rebalancing
+    primitive of corpus curation."""
+    from xarray_spark.extras.sampling import stratified_hash_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = stratified_hash_sample(
+        docs, {"en": 0.25, "de": 0.5, "fr": 1.0}, "lang", "doc_id")
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r3(F.sum("n_chars")).alias("sum_chars"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1326,114 +1419,312 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: every implemented operator, one entry each.
 
     ORDERING IS DELIBERATE: the driver's correctness gate evaluates the
-    first 50 entries, so the window rotates per round.  Round 2 front-
-    loads (a) the 25 oracle-backed queries the round-1 gate never saw
-    (q53-q79, minus the approximate-ANN entries that have no exact
-    oracle) and (b) 25 round-1 greens chosen to keep one representative
-    per operator family — prioritizing paths rewritten this round
-    (two-phase rank: q03/q37; segmented windows: q10/q11/q70;
-    reindex fill-marker: q21; resample calendar: q45) — plus the new
-    cftime gate q80, the CC-clustering gate q81, and the round-2
-    accessor/pad gates q82-q84 in place of stable round-1 anchors
-    (q17/q20/q41 rotate out with their green rows standing).  Queries
-    outside the window keep their round-1 CORRECTNESS rows as evidence
-    and are still exercised by tests/test_oracle.py at sf0.001.
+    first 50 entries, so the window rotates per round.  Round 3 front-
+    loads (a) the 13 queries that have never produced a green driver
+    row — the ANN/dedup set q34/q35/q51/q52/q63, now backed by
+    portable-hash DuckDB oracles, plus q36/q64 (rows-only) and the
+    events/streaming queries that errored in round 2 (q67/q70/q75/q78/
+    q85/q86, broken by the testdata's switch to timestamp[us]); (b) the
+    6 other events-table queries whose round-1 greens predate that
+    schema change (q08/q13/q14/q28/q40/q43/q46); (c) the round-1 greens
+    that sat outside the round-2 window, for a second row on fresh
+    data (minus q17/q20/q22/q24, whose slots go to the new
+    training-pipeline gates q87–q90); and (d) a handful of round-2
+    anchors (q01/q53/q59/q62/q72/q74/q81) spanning the operator
+    families.  Everything rotated out carries a green round-1/2 row
+    and stays covered by tests/test_oracle.py at sf0.001.
     """
     return {
-        # ---- rotation window: round-1 greens, one per operator family ----
+        # ---- window: never-green — portable-oracle ANN/dedup + fixed events ----
+        "q34_minhash_lsh": q34_minhash_lsh,
+        "q35_simhash": q35_simhash,
+        "q36_multimodal_features": q36_multimodal_features,
+        "q51_lsh_topk": q51_lsh_topk,
+        "q52_embedding_near_dups": q52_embedding_near_dups,
+        "q63_lsh_multiprobe": q63_lsh_multiprobe,
+        "q64_ivf_topk": q64_ivf_topk,
+        "q67_stream_resample": q67_stream_resample,
+        "q70_ffill_segmented": q70_ffill_segmented,
+        "q75_interp_zero": q75_interp_zero,
+        "q78_dt_tail": q78_dt_tail,
+        "q85_stream_asof": q85_stream_asof,
+        "q86_cf_subdaily": q86_cf_subdaily,
+        # ---- window: events-table queries revalidated on timestamp[us] data ----
+        "q08_resample_daily_events": q08_resample_daily_events,
+        "q13_ffill": q13_ffill,
+        "q14_interpolate_na": q14_interpolate_na,
+        "q28_dt_fields": q28_dt_fields,
+        "q40_dropna": q40_dropna,
+        "q43_bfill": q43_bfill,
+        "q46_resample_6h": q46_resample_6h,
+        # ---- window: round-1 greens outside the round-2 window ----
+        "q02_sel_label_slice": q02_sel_label_slice,
+        "q04_where_mask": q04_where_mask,
+        "q05_orders_groupby": q05_orders_groupby,
+        "q07_resample_monthly": q07_resample_monthly,
+        "q09_season_groupby": q09_season_groupby,
+        "q12_diff": q12_diff,
+        "q16_groupby_median": q16_groupby_median,
+        "q23_weighted_mean": q23_weighted_mean,
+        "q26_corr": q26_corr,
+        "q27_str_ops": q27_str_ops,
+        "q29_reindex_nearest": q29_reindex_nearest,
+        "q32_language_id": q32_language_id,
+        "q39_groupby_quantile": q39_groupby_quantile,
+        "q41_dot": q41_dot,
+        "q42_stopword_ratio": q42_stopword_ratio,
+        "q44_differentiate": q44_differentiate,
+        "q47_weighted_var": q47_weighted_var,
+        "q48_cov": q48_cov,
+        "q49_fingerprint_distinct": q49_fingerprint_distinct,
+        # ---- window: round-3 debutants (training-pipeline ops) ----
+        "q87_stream_dedup": q87_stream_dedup,
+        "q88_hash_sample": q88_hash_sample,
+        "q89_hash_split": q89_hash_split,
+        "q90_stratified_sample": q90_stratified_sample,
+        # ---- window: round-2 anchors, one per operator family ----
         "q01_pricing_summary": q01_pricing_summary,
+        "q53_ngram_jaccard": q53_ngram_jaccard,
+        "q59_decode_cf": q59_decode_cf,
+        "q62_interp_targets": q62_interp_targets,
+        "q72_zarr_roundtrip": q72_zarr_roundtrip,
+        "q74_quantile_methods": q74_quantile_methods,
+        "q81_dedup_clusters": q81_dedup_clusters,
+        # ---- outside the window: round-1/2 green rows stand as evidence ----
+        "q17_rank": q17_rank,
+        "q20_concat": q20_concat,
+        "q22_pivot": q22_pivot,
+        "q24_integrate": q24_integrate,
         "q03_isel_head": q03_isel_head,
         "q06_groupby_bins": q06_groupby_bins,
         "q10_rolling_mean": q10_rolling_mean,
         "q11_cumsum": q11_cumsum,
-        "q14_interpolate_na": q14_interpolate_na,
         "q15_quantile": q15_quantile,
-        "q82_pad_reflect": q82_pad_reflect,
         "q18_idxmax": q18_idxmax,
         "q19_binary_align": q19_binary_align,
-        "q83_str_tail2": q83_str_tail2,
         "q21_reindex_fill": q21_reindex_fill,
-        "q85_stream_asof": q85_stream_asof,
-        "q86_cf_subdaily": q86_cf_subdaily,
         "q25_polyfit": q25_polyfit,
-        "q50_rolling_exp": q50_rolling_exp,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_text_features": q31_text_features,
         "q33_cosine_topk": q33_cosine_topk,
         "q37_coarsen_weekly": q37_coarsen_weekly,
         "q38_shift": q38_shift,
-        "q84_dt_timedelta": q84_dt_timedelta,
         "q45_resample_asfreq": q45_resample_asfreq,
-        "q80_cf_360day": q80_cf_360day,
-        "q81_dedup_clusters": q81_dedup_clusters,
-        # ---- rotation window: round-2 debutants (never driver-checked) ----
-        "q53_ngram_jaccard": q53_ngram_jaccard,
+        "q50_rolling_exp": q50_rolling_exp,
         "q54_pad": q54_pad,
         "q55_rolling_2d": q55_rolling_2d,
         "q56_densify": q56_densify,
         "q57_isel_points": q57_isel_points,
         "q58_where_aligned": q58_where_aligned,
-        "q59_decode_cf": q59_decode_cf,
         "q60_salted_agg": q60_salted_agg,
         "q61_nearest_points": q61_nearest_points,
-        "q62_interp_targets": q62_interp_targets,
         "q65_multi_grouper": q65_multi_grouper,
         "q66_season_resampler": q66_season_resampler,
-        "q67_stream_resample": q67_stream_resample,
         "q68_datatree": q68_datatree,
         "q69_bpe_token_count": q69_bpe_token_count,
-        "q70_ffill_segmented": q70_ffill_segmented,
         "q71_netcdf_roundtrip": q71_netcdf_roundtrip,
-        "q72_zarr_roundtrip": q72_zarr_roundtrip,
         "q73_curvefit": q73_curvefit,
-        "q74_quantile_methods": q74_quantile_methods,
-        "q75_interp_zero": q75_interp_zero,
         "q76_interp_quadratic": q76_interp_quadratic,
         "q77_str_tail": q77_str_tail,
-        "q78_dt_tail": q78_dt_tail,
         "q79_sel_step": q79_sel_step,
-        # ---- outside the window: round-1 green rows stand as evidence ----
-        "q02_sel_label_slice": q02_sel_label_slice,
-        "q04_where_mask": q04_where_mask,
-        "q05_orders_groupby": q05_orders_groupby,
-        "q07_resample_monthly": q07_resample_monthly,
-        "q08_resample_daily_events": q08_resample_daily_events,
-        "q09_season_groupby": q09_season_groupby,
-        "q12_diff": q12_diff,
-        "q13_ffill": q13_ffill,
-        "q16_groupby_median": q16_groupby_median,
-        "q23_weighted_mean": q23_weighted_mean,
-        "q27_str_ops": q27_str_ops,
-        "q28_dt_fields": q28_dt_fields,
-        "q29_reindex_nearest": q29_reindex_nearest,
-        "q32_language_id": q32_language_id,
-        "q34_minhash_lsh": q34_minhash_lsh,
-        "q35_simhash": q35_simhash,
-        "q36_multimodal_features": q36_multimodal_features,
-        "q39_groupby_quantile": q39_groupby_quantile,
-        "q40_dropna": q40_dropna,
-        "q42_stopword_ratio": q42_stopword_ratio,
-        "q43_bfill": q43_bfill,
-        "q44_differentiate": q44_differentiate,
-        "q48_cov": q48_cov,
-        "q49_fingerprint_distinct": q49_fingerprint_distinct,
-        "q26_corr": q26_corr,
-        "q51_lsh_topk": q51_lsh_topk,
-        "q52_embedding_near_dups": q52_embedding_near_dups,
-        "q63_lsh_multiprobe": q63_lsh_multiprobe,
-        "q64_ivf_topk": q64_ivf_topk,
-        "q46_resample_6h": q46_resample_6h,
-        "q47_weighted_var": q47_weighted_var,
-        "q17_rank": q17_rank,
-        "q20_concat": q20_concat,
-        "q41_dot": q41_dot,
-        "q22_pivot": q22_pivot,
-        "q24_integrate": q24_integrate,
+        "q80_cf_360day": q80_cf_360day,
+        "q82_pad_reflect": q82_pad_reflect,
+        "q83_str_tail2": q83_str_tail2,
+        "q84_dt_timedelta": q84_dt_timedelta,
     }
+
+
+# --------------------------------------------------------------------- #
+# portable-hash oracle builders — DuckDB twins of extras.portable.
+# The md5-derived coefficients are INLINED from the same Python
+# generators the Spark expressions use, so both engines share literals.
+# --------------------------------------------------------------------- #
+
+_P31 = 2_147_483_647
+_SQL_WORDS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _sql_md5l(e: str) -> str:
+    return f"(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+
+def _sql_trigram_toks() -> str:
+    """documents → (doc_id, sh): distinct word trigrams, matching
+    extras.text.ngrams (k<3 ⇒ [''])."""
+    return f"""
+      words AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [''] END)) AS sh
+        FROM words)"""
+
+
+def _minhash_oracle(num_hashes=64, bands=16, threshold=0.2) -> str:
+    from xarray_spark.extras.portable import perm_coeffs
+    rows = num_hashes // bands
+    coeffs = perm_coeffs(num_hashes)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {_P31}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs))
+    band_rows = "\n        UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS key FROM sig".format(
+            b=b, key=" || ',' || ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows)))
+        for b in range(bands))
+    matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes))
+    return f"""
+      WITH {_sql_trigram_toks()},
+      h AS (SELECT doc_id, {_sql_md5l('sh')} % {_P31} AS h FROM toks),
+      sig AS (SELECT doc_id,
+               {mins}
+              FROM h GROUP BY doc_id),
+      bands AS ({band_rows}),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bands a JOIN bands b
+                 ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id),
+      est AS (SELECT cand.id_a, cand.id_b, ({matches}) / {float(num_hashes)} AS je
+              FROM cand
+              JOIN sig sa ON sa.doc_id = cand.id_a
+              JOIN sig sb ON sb.doc_id = cand.id_b)
+      SELECT id_a, id_b, ROUND(je + 1e-9, 6) AS jaccard_est
+      FROM est WHERE je >= {threshold}"""
+
+
+def _simhash_oracle(bits=60, max_hamming=10) -> str:
+    sums = ",\n               ".join(
+        f"SUM((h >> {b}) & 1) AS s{b}" for b in range(bits))
+    sig = " | ".join(f"(((2 * s{b} > n)::BIGINT) << {b})" for b in range(bits))
+    return f"""
+      WITH words AS (SELECT doc_id,
+              list_distinct({_SQL_WORDS}) AS w FROM documents),
+      toks AS (SELECT doc_id, unnest(w) AS t FROM words),
+      h AS (SELECT doc_id, {_sql_md5l('t')} AS h FROM toks),
+      votes AS (SELECT doc_id, COUNT(*) AS n,
+               {sums}
+              FROM h GROUP BY doc_id),
+      sig AS (SELECT doc_id, ({sig}) AS sh FROM votes)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}"""
+
+
+def _sql_planes(n_flat: int, dim: int) -> str:
+    """md5-derived integer plane coefficients computed inside DuckDB —
+    identical to extras.portable.plane_coeffs (flat plane index p)."""
+    c = _sql_md5l("'plane-' || p::VARCHAR || '-' || j::VARCHAR")
+    return (f"planes AS (SELECT p, j, ({c} % 2001 - 1000) AS c "
+            f"FROM range({n_flat}) t1(p), range({dim}) t2(j))")
+
+
+_SQL_QVEC = ("qv AS (SELECT vec_id, "
+             "list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS v, "
+             "CAST(embedding AS DOUBLE[]) AS e FROM embeddings)")
+_SQL_COS = ("list_cosine_similarity(a.e, b.e)")
+
+
+def _lsh_topk_oracle(n_planes=4, k=3, probes=False) -> str:
+    probe_list = "[bucket" + "".join(f", xor(bucket, {1 << b}::BIGINT)"
+                                     for b in range(n_planes)) + "]"
+    qside = (f"qprobe AS (SELECT vec_id, unnest({probe_list}) AS bucket "
+             f"FROM sig WHERE vec_id < 5)"
+             if probes else
+             "qprobe AS (SELECT vec_id, bucket FROM sig WHERE vec_id < 5)")
+    return f"""
+      WITH {_SQL_QVEC},
+      {_sql_planes(n_planes, 64)},
+      dots AS (SELECT q.vec_id, p.p, SUM(q.v[p.j + 1] * p.c) AS d
+               FROM qv q, planes p GROUP BY 1, 2),
+      sig AS (SELECT vec_id,
+                SUM(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+              FROM dots GROUP BY 1),
+      {qside},
+      cand AS (SELECT DISTINCT qp.vec_id AS qid, cs.vec_id AS nid
+               FROM qprobe qp JOIN sig cs ON cs.bucket = qp.bucket
+               WHERE cs.vec_id <> qp.vec_id),
+      scored AS (SELECT cand.qid, cand.nid,
+                  ROUND(list_cosine_similarity(a.e, b.e) + 1e-9, 6) AS cos
+                 FROM cand JOIN qv a ON a.vec_id = cand.qid
+                 JOIN qv b ON b.vec_id = cand.nid),
+      ranked AS (SELECT qid, nid, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+                 FROM scored)
+      SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= {k}"""
+
+
+def _near_dups_oracle(n_planes=16, n_bands=8, threshold=0.5) -> str:
+    return f"""
+      WITH {_SQL_QVEC},
+      {_sql_planes(n_planes * n_bands, 64)},
+      dots AS (SELECT q.vec_id, p.p // {n_planes} AS band, p.p % {n_planes} AS pl,
+                SUM(q.v[p.j + 1] * p.c) AS d
+               FROM qv q, planes p GROUP BY 1, 2, 3),
+      sig AS (SELECT vec_id, band,
+                SUM(CASE WHEN d > 0 THEN (1::BIGINT << pl) ELSE 0::BIGINT END) AS bucket
+              FROM dots GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM sig a JOIN sig b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      scored AS (SELECT cand.id_a, cand.id_b,
+                  ROUND(list_cosine_similarity(a.e, b.e) + 1e-9, 6) AS cos
+                 FROM cand JOIN qv a ON a.vec_id = cand.id_a
+                 JOIN qv b ON b.vec_id = cand.id_b)
+      SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}"""
+
+
+def _sql_bucket(salt: str, key_expr: str) -> str:
+    """DuckDB twin of extras.sampling._bucket."""
+    return (f"(('0x' || substr(md5('{salt}' || {key_expr}), 1, 15))::BIGINT"
+            f" % 1000000)")
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q87_stream_dedup": """
+            SELECT user_id, event_type, COUNT(*) AS n_kept,
+                   ROUND(SUM(ROUND(value + 1e-9, 6)) + 1e-6, 3) AS sum_v
+            FROM (SELECT DISTINCT user_id, event_type, value FROM events)
+            GROUP BY 1, 2
+        """,
+        "q88_hash_sample": f"""
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(SUM(l_quantity) + 1e-6, 3) AS sum_qty,
+                   ROUND(SUM(l_extendedprice) + 1e-6, 3) AS sum_price
+            FROM lineitem
+            WHERE {_sql_bucket('sample',
+                "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR")} < 100000
+        """,
+        "q89_hash_split": f"""
+            WITH k AS (SELECT o_totalprice,
+                   {_sql_bucket('split', 'o_orderkey::VARCHAR')} AS b
+              FROM orders)
+            SELECT CASE WHEN b < 900000 THEN 'train'
+                        WHEN b < 950000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice) + 1e-6, 3) AS sum_price
+            FROM k GROUP BY 1
+        """,
+        "q90_stratified_sample": f"""
+            WITH k AS (SELECT lang, n_chars,
+                   {_sql_bucket('stratum', 'doc_id::VARCHAR')} AS b
+              FROM documents)
+            SELECT lang, COUNT(*) AS n,
+                   ROUND(SUM(n_chars) + 1e-6, 3) AS sum_chars
+            FROM k
+            WHERE (lang = 'en' AND b < 250000)
+               OR (lang = 'de' AND b < 500000)
+               OR (lang = 'fr' AND b < 1000000)
+            GROUP BY 1
+        """,
+        "q34_minhash_lsh": _minhash_oracle(),
+        "q35_simhash": _simhash_oracle(),
+        "q51_lsh_topk": _lsh_topk_oracle(probes=False),
+        "q63_lsh_multiprobe": _lsh_topk_oracle(probes=True),
+        "q52_embedding_near_dups": _near_dups_oracle(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity) + 1e-6, 3) AS sum_qty,

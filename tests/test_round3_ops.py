@@ -1,0 +1,101 @@
+"""Round-3 additions: portable hashing (oracle-checkable dedup/ANN) and
+deterministic hash sampling/splitting."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_md5_long_matches_python(spark):
+    from xarray_spark.extras.portable import md5_long
+    df = spark.createDataFrame([("hello",), ("",), ("the fast key",)], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", md5_long(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        assert h == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_int_signature_deterministic(spark):
+    from xarray_spark.extras.portable import int_signature, plane_coeffs
+    planes = plane_coeffs(4, 8)
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [-0.5] * 8)], ["id", "v"]
+    ).select("id", F.col("v").cast("array<double>").alias("v"))
+    out = {r["id"]: r["sig"] for r in
+           df.select("id", int_signature(F.col("v"), planes).alias("sig")).collect()}
+    # recompute driver-side: bit i set iff sum(floor(x*1e6)*coef) > 0
+    for rid, vec in [(1, [0.1] * 8), (2, [-0.5] * 8)]:
+        import math
+        expect = 0
+        for i, p in enumerate(planes):
+            d = sum(math.floor(x * 1e6) * c for x, c in zip(vec, p))
+            if d > 0:
+                expect |= 1 << i
+        assert out[rid] == expect
+
+
+def test_portable_minhash_band_recall(spark):
+    """Identical docs share every band; disjoint docs share none."""
+    from xarray_spark.extras.dedup import minhash_lsh_pairs
+    rows = [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+            (3, "q r s t u v w x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, threshold=0.5, hash_mode="portable").collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard_est"] == 1.0
+
+
+def test_portable_simhash_exact_recall(spark):
+    from xarray_spark.extras.dedup import simhash_near_dups
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+            (3, "omega psi chi phi")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = simhash_near_dups(df, max_hamming=10, bits=60,
+                            hash_mode="portable").collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_hash_sample_reproducible_and_partition_independent(spark):
+    from xarray_spark.extras.sampling import hash_sample
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in hash_sample(df, 0.2, "k").collect())
+    b = sorted(r["k"] for r in hash_sample(df.repartition(7), 0.2, "k").collect())
+    assert a == b
+    assert 250 < len(a) < 550  # ~400 expected
+
+
+def test_hash_sample_rate_bounds():
+    from xarray_spark.extras.sampling import hash_sample
+    with pytest.raises(ValueError):
+        hash_sample(None, 1.5, "k")
+
+
+def test_hash_split_partition_and_stability(spark):
+    from xarray_spark.extras.sampling import hash_split
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    s = hash_split(df, {"train": 0.8, "test": 0.2}, "k")
+    counts = {r["split"]: r["n"] for r in
+              s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "test"}
+    assert sum(counts.values()) == 1000
+    # appending rows must not move existing assignments
+    s2 = hash_split(spark.range(0, 2000).withColumnRenamed("id", "k"),
+                    {"train": 0.8, "test": 0.2}, "k")
+    m1 = {r["k"]: r["split"] for r in s.collect()}
+    m2 = {r["k"]: r["split"] for r in s2.collect()}
+    assert all(m2[k] == v for k, v in m1.items())
+
+
+def test_stratified_hash_sample_drops_unlisted(spark):
+    from xarray_spark.extras.sampling import stratified_hash_sample
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zz") for i in range(200)], ["k", "lang"])
+    out = stratified_hash_sample(df, {"en": 1.0}, "lang", "k")
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == 100

@@ -36,7 +36,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 64, n: int = 3,
-                       shard_cols: list | None = None) -> DataFrame:
+                       shard_cols: list | None = None,
+                       hash_mode: str = "fast") -> DataFrame:
     """(id, minhash[num_hashes]) per document.
 
     Shape matters for scale: explode shingles → ONE xxhash64 per
@@ -47,15 +48,30 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     scan produced.  The explode form hashes each shingle once and the
     min aggregate is map-side partial, so the shuffle carries only
     (id, k longs) per document.
+
+    ``hash_mode="portable"`` swaps xxhash64 for the md5-derived
+    universal hashes of extras.portable — bit-identical in DuckDB SQL,
+    so the LSH pipeline becomes oracle-verifiable (one md5 + 64
+    multiply-mods per shingle instead of 65 JVM xxhashes: the fast mode
+    stays the production default).
     """
     shard_cols = list(shard_cols or [])
     ex = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .select(F.col(id_col), *shard_cols,
                 F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("__sh"))
-        .withColumn("__h", F.xxhash64("__sh"))
     )
-    aggs = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
+    if hash_mode == "portable":
+        from xarray_spark.extras.portable import PRIME31, md5_long, perm_coeffs
+        ex = ex.withColumn("__h", md5_long(F.col("__sh")) % F.lit(PRIME31))
+        coeffs = perm_coeffs(num_hashes)
+        aggs = [
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(PRIME31)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    else:
+        ex = ex.withColumn("__h", F.xxhash64("__sh"))
+        aggs = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
     sig = ex.groupBy(id_col, *shard_cols).agg(*aggs)
     return sig.select(
         id_col, *shard_cols,
@@ -66,7 +82,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3, num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5,
-                      shard_cols: list | None = None) -> DataFrame:
+                      shard_cols: list | None = None,
+                      hash_mode: str = "fast") -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified with the
     signature-estimated Jaccard.
 
@@ -77,14 +94,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """
     rows_per_band = num_hashes // bands
     shard_cols = list(shard_cols or [])
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, shard_cols)
-    band_arr = F.array(*[
-        F.xxhash64(F.concat_ws(",", *[
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, shard_cols,
+                              hash_mode=hash_mode)
+
+    def band_key(b):
+        joined = F.concat_ws(",", *[
             F.col("minhash")[b * rows_per_band + r].cast("string")
             for r in range(rows_per_band)
-        ]), F.lit(b))
-        for b in range(bands)
-    ])
+        ])
+        # portable: join on the raw "m0,m1,m2,m3" string the oracle can
+        # rebuild; fast: collapse to one xxhash64 (narrower shuffle key).
+        return joined if hash_mode == "portable" else F.xxhash64(joined, F.lit(b))
+
+    band_arr = F.array(*[band_key(b) for b in range(bands)])
     # band rows carry ONLY (id, band_id, band_hash) — not the 64-long
     # signature, which would ride the ×bands explode through the shuffle.
     # Signatures re-join on the (deduped, far smaller) candidate pair set.
@@ -114,7 +136,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64, shard_cols: list | None = None) -> DataFrame:
+            bits: int = 64, shard_cols: list | None = None,
+            hash_mode: str = "fast") -> DataFrame:
     """(id, simhash) per document: per-token xxhash64, majority vote per
     bit.
 
@@ -122,14 +145,23 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``bits`` partial-aggregated vote SUMs → assemble the fingerprint.
     The per-row form (k nested F.aggregate over a transform) makes
     Catalyst duplicate the token-hash expression k times.
-    """
+
+    ``hash_mode="portable"`` uses the md5-derived 60-bit token hash of
+    extras.portable (use with ``bits <= 60``) so a DuckDB oracle can
+    recompute the identical fingerprint."""
     shard_cols = list(shard_cols or [])
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
     ex = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .select(F.col(id_col), *shard_cols, F.explode(toks).alias("__t"))
-        .withColumn("__h", F.xxhash64("__t"))
     )
+    if hash_mode == "portable":
+        from xarray_spark.extras.portable import md5_long
+        if bits > 60:
+            raise ValueError("portable simhash carries 60 hash bits (md5 prefix)")
+        ex = ex.withColumn("__h", md5_long(F.col("__t")))
+    else:
+        ex = ex.withColumn("__h", F.xxhash64("__t"))
 
     # Per-bit one-counts S_b, packed 3 per aggregation column in 21-bit
     # lanes (lane capacity 2^21 ≈ 2M distinct tokens per doc — far above
@@ -169,8 +201,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3,
-                      shard_cols: list | None = None) -> DataFrame:
+                      max_hamming: int = 3, bits: int = 64,
+                      shard_cols: list | None = None,
+                      hash_mode: str = "fast") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k.
 
     Pigeonhole bucketing with **k+1 blocks** (Manku et al., WWW'07): k
@@ -183,9 +216,10 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     cheap key (e.g. language) before calling this.
     """
     shard_cols = list(shard_cols or [])
-    sh = simhash(df, text_col, id_col, shard_cols=shard_cols)
-    n_blocks = min(max(max_hamming + 1, 1), 64)
-    base, rem = divmod(64, n_blocks)
+    sh = simhash(df, text_col, id_col, bits=bits, shard_cols=shard_cols,
+                 hash_mode=hash_mode)
+    n_blocks = min(max(max_hamming + 1, 1), bits)
+    base, rem = divmod(bits, n_blocks)
     widths = [base + 1] * rem + [base] * (n_blocks - rem)
     starts = [sum(widths[:i]) for i in range(n_blocks)]
     if n_blocks == 1:

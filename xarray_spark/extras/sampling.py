@@ -1,0 +1,89 @@
+"""Deterministic, reproducible sampling for 100 TB training pipelines.
+
+``df.sample()`` is seed-dependent per partitioning: the same call over
+the same data re-partitioned returns a DIFFERENT sample, which breaks
+resumable pipelines and train/test hygiene.  The operators here key
+every decision on a content hash of a stable id column instead:
+
+- **map-only**: a filter expression per row, no shuffle, no state —
+  Catalyst pushes it into the scan like any other predicate;
+- **reproducible**: the same row lands in the same split on any
+  cluster, any partitioning, any engine (the hash is the md5-derived
+  portable one, so a SQL engine reproduces the exact sample);
+- **stable under growth**: appending new rows never reassigns old ones
+  (the property that makes hash-split the standard train/test design
+  for continuously-ingested corpora).
+
+Public precedent: Spark's own ``hash``-mod bucketing idiom and the
+train/test-split-by-hash pattern from large-scale ML data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xarray_spark.extras.portable import md5_long
+
+#: hash-space resolution: rates are quantized to 1e-6 (one in a million)
+_DENOM = 1_000_000
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Stable bucket in [0, 1e6): md5 of (salt + key-as-string).  The
+    salt decorrelates independent sampling decisions on the same key."""
+    return md5_long(F.concat(F.lit(salt), key.cast("string"))) % F.lit(_DENOM)
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str,
+                salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by key hash.
+
+    Unlike ``df.sample(rate)`` this is exactly reproducible and
+    partitioning-independent; unlike LIMIT it is unbiased.  Map-only:
+    survives any scale-up as a pushed filter."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(_bucket(F.col(key_col), salt) < int(round(rate * _DENOM)))
+
+
+def hash_split(df: DataFrame, weights: dict[str, float], key_col: str,
+               salt: str = "split", split_col: str = "split") -> DataFrame:
+    """Partition rows into named splits by key hash (train/val/test).
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder is dropped, which expresses e.g. a 1 % eval carve-out of
+    a huge corpus without a full pass).  Rows keep their split when new
+    data is appended — the hygiene property random splits lack."""
+    edges = []
+    acc = 0.0
+    for name, wfrac in weights.items():
+        acc += wfrac
+        edges.append((name, int(round(acc * _DENOM))))
+    if edges and edges[-1][1] > _DENOM:
+        raise ValueError(f"weights sum to {acc} > 1")
+    b = _bucket(F.col(key_col), salt)
+    expr = None
+    prev = 0
+    for name, hi in edges:
+        cond = (b >= F.lit(prev)) & (b < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        prev = hi
+    return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
+                           stratum_col: str, key_col: str,
+                           salt: str = "stratum") -> DataFrame:
+    """Per-stratum deterministic sampling rates (e.g. downsample the
+    dominant language, keep all of a rare one).  The rate lookup is a
+    literal CASE expression — no join, no shuffle; strata not listed in
+    ``rates`` are dropped."""
+    b = _bucket(F.col(key_col), salt)
+    expr = None
+    for stratum, r in rates.items():
+        cond = (F.col(stratum_col) == F.lit(stratum)) & (b < int(round(r * _DENOM)))
+        expr = cond if expr is None else expr | cond
+    if expr is None:
+        raise ValueError("rates must be non-empty")
+    return df.where(expr)

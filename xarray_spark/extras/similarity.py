@@ -92,6 +92,24 @@ def _deterministic_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[f
     return planes
 
 
+def _signature_fn(n_planes: int, dim: int, hash_mode: str):
+    """Bucket-signature builder: float LCG planes (fast) or md5-derived
+    integer planes with exact integer dots (portable — bucket membership
+    is reproducible bit-for-bit in DuckDB SQL, see extras.portable)."""
+    if hash_mode == "portable":
+        from xarray_spark.extras.portable import int_signature, plane_coeffs
+        planes = plane_coeffs(n_planes, dim)
+        return lambda v: int_signature(v, planes)
+    planes = _deterministic_planes(n_planes, dim)
+    return lambda v: hyperplane_signature(v, planes)
+
+
+def _round6(c):
+    """Cross-engine-stable 6-decimal rounding (the repo-wide epsilon
+    convention: move values off exact .5 boundaries before rounding)."""
+    return F.round(c + F.lit(1e-9), 6)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,28 +119,35 @@ def lsh_topk(
     query_id_col: str = "qid",
     n_planes: int = 8,
     dim: int = 64,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Approximate top-k: candidates = same LSH bucket, exact re-rank.
 
     At 100 TB the bucket join replaces the full cross product — recall
     traded via n_planes (8 planes ⇒ 256 buckets).  Multi-probe (flip one
     bit) would raise recall; single-probe keeps the demo exact-join only.
+
+    ``hash_mode="portable"`` makes bucketing and ranking deterministic
+    across engines: integer-plane signatures and rank order on the
+    ROUNDED cosine (float ties at 1e-16 would otherwise reorder rows
+    between Spark and the SQL oracle).
     """
-    planes = _deterministic_planes(n_planes, dim)
+    sig = _signature_fn(n_planes, dim, hash_mode)
     sig_c = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__bucket", hyperplane_signature(F.col("__cv"), planes))
+    ).withColumn("__bucket", sig(F.col("__cv")))
     sig_q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__bucket", hyperplane_signature(F.col("__qv"), planes))
+    ).withColumn("__bucket", sig(F.col("__qv")))
     cand = sig_c.join(F.broadcast(sig_q), on="__bucket", how="inner").where(
         F.col("nid") != F.col(query_id_col)
     )
-    scored = cand.select(
-        query_id_col, "nid", cosine(F.col("__qv"), F.col("__cv")).alias("cos")
-    )
+    score = cosine(F.col("__qv"), F.col("__cv"))
+    if hash_mode == "portable":
+        score = _round6(score)
+    scored = cand.select(query_id_col, "nid", score.alias("cos"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -162,6 +187,7 @@ def lsh_topk_multiprobe(
     n_planes: int = 8,
     dim: int = 64,
     n_probes: int = 1,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Multi-probe LSH top-k: each query also probes the buckets that
     differ from its signature by one bit (the classic multi-probe LSH
@@ -172,16 +198,16 @@ def lsh_topk_multiprobe(
     corpus keeps exactly one bucket per vector, so corpus storage and
     shuffle are unchanged.
     """
-    planes = _deterministic_planes(n_planes, dim)
+    sig = _signature_fn(n_planes, dim, hash_mode)
     cos = _cosine_batch_udf()
     sig_c = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__bucket", hyperplane_signature(F.col("__cv"), planes))
+    ).withColumn("__bucket", sig(F.col("__cv")))
     sig_q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    ).withColumn("__sig", hyperplane_signature(F.col("__qv"), planes))
+    ).withColumn("__sig", sig(F.col("__qv")))
     probes = [F.col("__sig")]
     if n_probes >= 1:
         probes += [F.col("__sig").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
@@ -189,9 +215,10 @@ def lsh_topk_multiprobe(
     cand = sig_c.join(F.broadcast(sig_q), on="__bucket", how="inner").where(
         F.col("nid") != F.col(query_id_col)
     ).dropDuplicates([query_id_col, "nid"])
-    scored = cand.select(
-        query_id_col, "nid", cos(F.col("__qv"), F.col("__cv")).alias("cos")
-    )
+    score = cos(F.col("__qv"), F.col("__cv"))
+    if hash_mode == "portable":
+        score = _round6(score)
+    scored = cand.select(query_id_col, "nid", score.alias("cos"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -334,6 +361,7 @@ def embedding_near_dups(
     n_planes: int = 16,
     n_bands: int = 8,
     dim: int = 64,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold: BANDED sign-LSH
     (n_bands independent tables of n_planes hyperplanes each — the same
@@ -349,7 +377,6 @@ def embedding_near_dups(
     Grow ``n_planes`` with corpus size, ``n_bands`` with the recall
     target.
     """
-    planes = _deterministic_planes(n_planes * n_bands, dim)
     cos = _cosine_batch_udf()
     base = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
@@ -361,13 +388,26 @@ def embedding_near_dups(
     # a (batch × dim) @ (dim × planes) product per scan partition.
     from pyspark.sql.functions import pandas_udf
 
-    P = [list(p) for p in planes]
     nb, npl = n_bands, n_planes
+    portable = hash_mode == "portable"
+    if portable:
+        from xarray_spark.extras.portable import plane_coeffs
+        P = plane_coeffs(n_planes * n_bands, dim)
+    else:
+        P = [list(p) for p in _deterministic_planes(n_planes * n_bands, dim)]
 
     @pandas_udf("array<long>")
     def _band_buckets(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy())
-        bits = (M @ np.asarray(P).T) > 0
+        if portable:
+            # exact int64 matmul of floor-quantized vectors against the
+            # md5-derived integer planes — the bucket id a SQL oracle
+            # recomputes bit-for-bit (float dots near 0 flip across
+            # engines; integer sums cannot).
+            Mq = np.floor(M * 1e6).astype(np.int64)
+            bits = (Mq @ np.asarray(P, dtype=np.int64).T) > 0
+        else:
+            bits = (M @ np.asarray(P).T) > 0
         w = 1 << np.arange(npl, dtype=np.int64)
         buckets = bits.reshape(len(M), nb, npl) @ w
         return pd.Series(list(buckets))
@@ -391,6 +431,10 @@ def embedding_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .join(base.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va")), "id_a")
         .join(base.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")), "id_b")
-        .select("id_a", "id_b", cos(F.col("__va"), F.col("__vb")).alias("cos"))
+        .select("id_a", "id_b",
+                (_round6(cos(F.col("__va"), F.col("__vb"))) if portable
+                 else cos(F.col("__va"), F.col("__vb"))).alias("cos"))
     )
+    # portable: threshold the ROUNDED cosine so the pair set cannot
+    # disagree with the oracle at a float boundary.
     return cand.where(F.col("cos") >= threshold)
