@@ -1571,7 +1571,10 @@ def _minhash_oracle(num_hashes=64, bands=16, threshold=0.2) -> str:
         for i, (a, b) in enumerate(coeffs))
     band_rows = "\n        UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, {key} AS key FROM sig".format(
-            b=b, key=" || ',' || ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows)))
+            b=b,
+            key=_sql_md5l(" || ',' || ".join(f"m{b * rows + r}::VARCHAR"
+                                             for r in range(rows))
+                          + f" || '|{b}'"))
         for b in range(bands))
     matches = " + ".join(f"(sa.m{i} = sb.m{i})::INT" for i in range(num_hashes))
     return f"""

@@ -96,15 +96,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     shard_cols = list(shard_cols or [])
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n, shard_cols,
                               hash_mode=hash_mode)
+    # The signature table is read THREE times (band explode + the two
+    # candidate-pair re-joins); without materialization Spark re-runs
+    # the whole shingle→hash→min pipeline per read.  Materialize once —
+    # (id, 64 longs) per doc is the compact artifact you would persist
+    # as a table at corpus scale anyway (lineage truncated, storage
+    # reclaimed by the context cleaner when the frame is collected).
+    sigs = sigs.localCheckpoint(eager=False)
 
     def band_key(b):
         joined = F.concat_ws(",", *[
             F.col("minhash")[b * rows_per_band + r].cast("string")
             for r in range(rows_per_band)
         ])
-        # portable: join on the raw "m0,m1,m2,m3" string the oracle can
-        # rebuild; fast: collapse to one xxhash64 (narrower shuffle key).
-        return joined if hash_mode == "portable" else F.xxhash64(joined, F.lit(b))
+        # Both modes collapse the band tuple to ONE long join key (a
+        # string key costs ~30% on the band self-join shuffle); portable
+        # uses the md5-derived hash the oracle can recompute.
+        if hash_mode == "portable":
+            from xarray_spark.extras.portable import md5_long
+            return md5_long(F.concat(joined, F.lit(f"|{b}")))
+        return F.xxhash64(joined, F.lit(b))
 
     band_arr = F.array(*[band_key(b) for b in range(bands)])
     # band rows carry ONLY (id, band_id, band_hash) — not the 64-long
@@ -218,6 +229,9 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     shard_cols = list(shard_cols or [])
     sh = simhash(df, text_col, id_col, bits=bits, shard_cols=shard_cols,
                  hash_mode=hash_mode)
+    # fingerprints feed both sides of the block self-join — materialize
+    # the (id, 1 long) table instead of re-running the token vote twice
+    sh = sh.localCheckpoint(eager=False)
     n_blocks = min(max(max_hamming + 1, 1), bits)
     base, rem = divmod(bits, n_blocks)
     widths = [base + 1] * rem + [base] * (n_blocks - rem)
@@ -291,6 +305,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     inter = (
         a.join(b, on=["sh", *shard_cols], how="inner")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # size filter (the length-filter bound of the set-similarity-join
+        # literature, e.g. PPJoin): J(A,B) <= min/max of the set sizes,
+        # so pairs failing min >= t*max can never reach the threshold.
+        # Dropping them BEFORE the pair aggregation shrinks the hash
+        # table the groupBy must hold — exactness is unaffected.
+        .where(F.least(F.col("a.sz"), F.col("b.sz"))
+               >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(
             F.count("*").alias("inter"),

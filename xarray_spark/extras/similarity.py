@@ -419,7 +419,9 @@ def embedding_near_dups(
     # candidate rows carry ONLY ids through the band join and the
     # cross-band dedup shuffle — vectors (128 doubles/pair) re-join on
     # the far smaller deduped pair set, as the minhash path does.
-    lite = sig.select(id_col, "__band", "__bucket")
+    # Materialize the (id, band, bucket) table: both join sides read it,
+    # and without a checkpoint each side re-runs the signature matmul.
+    lite = sig.select(id_col, "__band", "__bucket").localCheckpoint(eager=False)
     a, b = lite.alias("a"), lite.alias("b")
     cand = (
         a.join(b, on=["__band", "__bucket"], how="inner")
