@@ -1406,6 +1406,34 @@ def q90_stratified_sample(spark, sf_dir):
     )
 
 
+def q91_decontaminate(spark, sf_dir):
+    """Train/test decontamination (extras.curation.decontaminate):
+    remove corpus docs whose normalized-text fingerprint appears in a
+    held-out eval slice — the leakage guard of every training pipeline.
+    Broadcast anti-join on a 64-bit fingerprint; the oracle anti-joins
+    on the normalized text itself (identical semantics, collision-free
+    at gate scale)."""
+    from xarray_spark.extras.curation import decontaminate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_set = docs.where(F.col("doc_id") % 10 == 3)
+    clean = decontaminate(docs, eval_set)
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r3(F.sum("n_chars")).alias("sum_chars"),
+    )
+
+
+def q92_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (extras.curation.
+    pack_sequences): per-document (bucket, tokens_before, bin) layout
+    for 256-token training sequences — prefix sums over deterministic
+    hash buckets, replayed exactly by a SQL window."""
+    from xarray_spark.extras.curation import pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, budget=256, n_buckets=8)
+    return out.select("doc_id", "bucket", "n_tokens", "tokens_before", "bin")
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1464,8 +1492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_resample_monthly": q07_resample_monthly,
         "q09_season_groupby": q09_season_groupby,
         "q12_diff": q12_diff,
-        "q16_groupby_median": q16_groupby_median,
-        "q23_weighted_mean": q23_weighted_mean,
         "q26_corr": q26_corr,
         "q27_str_ops": q27_str_ops,
         "q29_reindex_nearest": q29_reindex_nearest,
@@ -1482,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_hash_sample": q88_hash_sample,
         "q89_hash_split": q89_hash_split,
         "q90_stratified_sample": q90_stratified_sample,
+        "q91_decontaminate": q91_decontaminate,
+        "q92_pack_sequences": q92_pack_sequences,
         # ---- window: round-2 anchors, one per operator family ----
         "q01_pricing_summary": q01_pricing_summary,
         "q53_ngram_jaccard": q53_ngram_jaccard,
@@ -1491,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_quantile_methods": q74_quantile_methods,
         "q81_dedup_clusters": q81_dedup_clusters,
         # ---- outside the window: round-1/2 green rows stand as evidence ----
+        "q16_groupby_median": q16_groupby_median,
+        "q23_weighted_mean": q23_weighted_mean,
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q22_pivot": q22_pivot,
@@ -1686,6 +1716,34 @@ def _sql_bucket(salt: str, key_expr: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q91_decontaminate": """
+            WITH ev AS (SELECT DISTINCT
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+              FROM documents WHERE doc_id % 10 = 3)
+            SELECT lang, COUNT(*) AS n,
+                   ROUND(SUM(n_chars) + 1e-6, 3) AS sum_chars
+            FROM documents
+            WHERE regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                  NOT IN (SELECT nt FROM ev)
+            GROUP BY 1
+        """,
+        "q92_pack_sequences": f"""
+            WITH t AS (SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END::BIGINT AS n_tokens,
+                   ({_sql_md5l('doc_id::VARCHAR')} % 8) AS bucket
+              FROM documents),
+            p AS (SELECT doc_id, bucket, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS tokens_before
+              FROM t)
+            SELECT doc_id, bucket, n_tokens,
+                   tokens_before::BIGINT AS tokens_before,
+                   (tokens_before // 256)::BIGINT AS bin
+            FROM p
+        """,
         "q87_stream_dedup": """
             SELECT user_id, event_type, COUNT(*) AS n_kept,
                    ROUND(SUM(ROUND(value + 1e-9, 6)) + 1e-6, 3) AS sum_v

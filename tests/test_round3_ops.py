@@ -99,3 +99,29 @@ def test_stratified_hash_sample_drops_unlisted(spark):
     langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert out.count() == 100
+
+
+def test_decontaminate_removes_exact_matches(spark):
+    from xarray_spark.extras.curation import decontaminate
+    corpus = spark.createDataFrame(
+        [(1, "keep me"), (2, "Remove  Me"), (3, "also keep")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(9, "remove me")], ["doc_id", "text"])
+    out = sorted(r["doc_id"] for r in decontaminate(corpus, ev).collect())
+    assert out == [1, 3]  # normalization folds case/whitespace
+
+
+def test_pack_sequences_layout(spark):
+    from xarray_spark.extras.curation import pack_sequences
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(20)], ["doc_id", "text"])
+    out = pack_sequences(docs, budget=25, n_buckets=1).collect()
+    by_id = sorted(out, key=lambda r: r["doc_id"])
+    # single bucket: docs laid end-to-end in id order, 10 tokens each
+    for i, r in enumerate(by_id):
+        assert r["n_tokens"] == 10
+        assert r["tokens_before"] == 10 * i
+        assert r["bin"] == (10 * i) // 25
+    # deterministic: identical layout on re-run
+    again = sorted(pack_sequences(docs, budget=25, n_buckets=1).collect(),
+                   key=lambda r: r["doc_id"])
+    assert [r["bin"] for r in again] == [r["bin"] for r in by_id]

@@ -1,0 +1,86 @@
+"""Corpus-curation operators: decontamination and sequence packing.
+
+The two pipeline stages between "deduped corpus" and "training batches":
+
+- **decontamination**: remove training documents whose content also
+  appears in an evaluation set (train/test leakage).  The scalable form
+  is an anti-join on a 64-bit content fingerprint — the eval side is
+  tiny (benchmarks are thousands of rows, the corpus is billions), so
+  the fingerprint set broadcasts and the scan streams once.
+- **sequence packing**: lay variable-length documents end-to-end and
+  cut fixed-token-budget training sequences (the concat-and-chunk
+  packing GPT-style pipelines use — documents may straddle a boundary;
+  the attention mask handles the joint).  Bin-packing variants that
+  forbid straddling are a sequential recurrence (next-fit carries
+  wasted space forward), but concat-and-chunk has a closed form over a
+  prefix sum: bin = floor(tokens_before / budget) — a window sum
+  Catalyst evaluates with no Python and no driver loop.  Packing runs
+  WITHIN deterministic hash buckets so the prefix sums parallelize;
+  re-runs produce identical layouts (resumable pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xarray_spark.extras.text import fingerprint, token_count
+
+
+def decontaminate(corpus: DataFrame, eval_set: DataFrame,
+                  text_col: str = "text", eval_text_col: str | None = None,
+                  normalize: bool = True) -> DataFrame:
+    """Drop corpus rows whose normalized text fingerprint appears in
+    ``eval_set`` — exact-match train/test decontamination.
+
+    Shape: the eval fingerprint set is DISTINCT'd then broadcast
+    (benchmarks are small by construction); the corpus side is one scan
+    plus a broadcast-hash anti-join — no shuffle of corpus rows at all.
+    For fuzzy decontamination compose with the MinHash pair list
+    (extras.dedup.minhash_lsh_pairs) over corpus ∪ eval instead."""
+    eval_text_col = eval_text_col or text_col
+    fps = (
+        eval_set.select(
+            fingerprint(F.col(eval_text_col), normalize).alias("__fp"))
+        .distinct()
+    )
+    tagged = corpus.withColumn("__fp", fingerprint(F.col(text_col), normalize))
+    return (
+        tagged.join(F.broadcast(fps), on="__fp", how="left_anti")
+        .drop("__fp")
+    )
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_buckets: int = 1024,
+                   count_col: str | None = None) -> DataFrame:
+    """Concat-and-chunk packing layout: documents are laid end-to-end
+    per hash bucket (deterministic order by id) and each is labeled
+    with the ``budget``-token chunk its first token falls in.
+
+    Returns the input plus ``n_tokens``, ``tokens_before`` (start
+    offset inside the bucket's token stream), ``bucket`` and ``bin``
+    (= floor(tokens_before / budget)) — everything a writer needs to
+    ``repartition("bucket").sortWithinPartitions("tokens_before")`` and
+    emit dense training sequences.
+
+    Scale shape: one shuffle keyed by the deterministic bucket, one
+    window prefix-sum per bucket — bucket count scales the parallelism;
+    identical layout on every re-run."""
+    from xarray_spark.extras.portable import md5_long
+
+    nt = (F.col(count_col) if count_col
+          else token_count(F.col(text_col))).cast("long")
+    # portable bucket hash (one md5 per document — not a hot path): the
+    # layout is reproducible on ANY engine, which is what you want for
+    # a packing manifest other systems must be able to recompute.
+    b = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_buckets))
+    base = df.withColumn("n_tokens", nt).withColumn("bucket", b)
+    w = (Window.partitionBy("bucket").orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pre = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tokens_before")
+    return (
+        base.withColumn("tokens_before", pre)
+        .withColumn("bin", F.floor(F.col("tokens_before") / F.lit(budget)))
+    )
