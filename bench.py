@@ -40,6 +40,8 @@ def main() -> None:
     # plan, not first-touch session setup
     force(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1))
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -50,6 +52,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        # drop per-query DataFrame refs so the context cleaner reclaims
+        # localCheckpoint/persist storage before the next measurement —
+        # otherwise late queries inherit earlier queries' memory pressure
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     # Full per-query map for humans / local tooling.
