@@ -1434,6 +1434,19 @@ def q92_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "bucket", "n_tokens", "tokens_before", "bin")
 
 
+def q93_shuffle_rank(spark, sf_dir):
+    """Deterministic corpus shuffle (extras.sampling.
+    shuffle_deterministic): reproducible pre-training shuffle order via
+    a two-phase rank on the md5 key hash — no partition-less global
+    window.  Returns the head of the shuffled order; the oracle replays
+    the same hash rank in SQL."""
+    from xarray_spark.extras.sampling import shuffle_deterministic
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = shuffle_deterministic(docs, "doc_id")
+    return (s.where(F.col("shuffle_rank") <= 20)
+            .select("shuffle_rank", "doc_id", "lang"))
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1492,7 +1505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_resample_monthly": q07_resample_monthly,
         "q09_season_groupby": q09_season_groupby,
         "q12_diff": q12_diff,
-        "q26_corr": q26_corr,
         "q27_str_ops": q27_str_ops,
         "q29_reindex_nearest": q29_reindex_nearest,
         "q32_language_id": q32_language_id,
@@ -1510,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_stratified_sample": q90_stratified_sample,
         "q91_decontaminate": q91_decontaminate,
         "q92_pack_sequences": q92_pack_sequences,
+        "q93_shuffle_rank": q93_shuffle_rank,
         # ---- window: round-2 anchors, one per operator family ----
         "q01_pricing_summary": q01_pricing_summary,
         "q53_ngram_jaccard": q53_ngram_jaccard,
@@ -1521,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- outside the window: round-1/2 green rows stand as evidence ----
         "q16_groupby_median": q16_groupby_median,
         "q23_weighted_mean": q23_weighted_mean,
+        "q26_corr": q26_corr,
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q22_pivot": q22_pivot,
@@ -1716,6 +1730,15 @@ def _sql_bucket(salt: str, key_expr: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q93_shuffle_rank": f"""
+            WITH h AS (SELECT doc_id, lang,
+                   (('0x' || substr(md5('shuffle' || doc_id::VARCHAR), 1, 15))::BIGINT) AS hk
+              FROM documents),
+            r AS (SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS shuffle_rank
+              FROM h)
+            SELECT shuffle_rank, doc_id, lang FROM r WHERE shuffle_rank <= 20
+        """,
         "q91_decontaminate": """
             WITH ev AS (SELECT DISTINCT
                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt

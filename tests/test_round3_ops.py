@@ -125,3 +125,18 @@ def test_pack_sequences_layout(spark):
     again = sorted(pack_sequences(docs, budget=25, n_buckets=1).collect(),
                    key=lambda r: r["doc_id"])
     assert [r["bin"] for r in again] == [r["bin"] for r in by_id]
+
+
+def test_shuffle_deterministic_total_order(spark):
+    from xarray_spark.extras.sampling import shuffle_deterministic
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = shuffle_deterministic(df, "k").collect()
+    ranks = sorted(r["shuffle_rank"] for r in a)
+    assert ranks == list(range(1, 501))  # total order, no gaps/dups
+    # reproducible across partitionings
+    b = shuffle_deterministic(df.repartition(13), "k").collect()
+    assert ({(r["k"], r["shuffle_rank"]) for r in a}
+            == {(r["k"], r["shuffle_rank"]) for r in b})
+    # scrambled w.r.t. natural order
+    by_rank = [r["k"] for r in sorted(a, key=lambda r: r["shuffle_rank"])]
+    assert by_rank != sorted(by_rank)

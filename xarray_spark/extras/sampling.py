@@ -87,3 +87,35 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
     if expr is None:
         raise ValueError("rates must be non-empty")
     return df.where(expr)
+
+
+def shuffle_deterministic(df: DataFrame, key_col: str,
+                          salt: str = "shuffle",
+                          out_col: str = "shuffle_rank") -> DataFrame:
+    """Reproducible global shuffle order for training: rank rows by the
+    md5 bucket of their key (ties broken by the key itself).
+
+    A training pipeline must SHUFFLE the corpus but also re-produce the
+    same order on resume — ORDER BY rand() cannot.  The hash rank is
+    that order: uniformly scrambled w.r.t. any natural ordering, yet a
+    pure function of the data.
+
+    Scale shape: the rank is the repo's two-phase form (range partition
+    on the hash → local row_number → broadcast offset join,
+    _utils.two_phase_rank) — NOT a partition-less global window, which
+    would funnel the corpus through one task.  At write time you'd
+    `repartitionByRange(hash).sortWithinPartitions` and skip the
+    explicit rank entirely: the files' lexicographic order IS the
+    shuffle."""
+    from xarray_spark._utils import two_phase_rank
+
+    h = md5_long(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    # rank on (hash, key): the key tie-break keeps the order total even
+    # under a (astronomically rare) 60-bit hash collision
+    tagged = df.withColumn("__shk", F.struct(h.alias("h"),
+                                             F.col(key_col).alias("k")))
+    ranked = two_phase_rank(tagged, "__shk")
+    return (
+        ranked.withColumn(out_col, (F.col("__rnk") + 1).cast("long"))
+        .drop("__shk", "__rnk", "__n")
+    )
