@@ -1447,6 +1447,24 @@ def q93_shuffle_rank(spark, sf_dir):
             .select("shuffle_rank", "doc_id", "lang"))
 
 
+def q94_audio_features(spark, sf_dir):
+    """Audio pipeline (extras.multimodal): REAL raw-PCM16 decode (numpy
+    int16 → float, no codec library) + per-frame RMS energy and
+    zero-crossing rate over Arrow batches.  The synthetic payload bytes
+    are closed-form ((i*37+j) mod 256), so the oracle re-derives every
+    sample and verifies the DSP VALUES — not just shapes."""
+    from xarray_spark.extras.multimodal import (
+        audio_features, decode_audio, synth_audio_table,
+    )
+    audio = synth_audio_table(spark, n=32)
+    feats = audio_features(decode_audio(audio), frame_len=32)
+    return feats.select(
+        "media_id", "frame_idx",
+        _r6(F.col("rms")).alias("rms"),
+        _r6(F.col("zcr")).alias("zcr"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1505,7 +1523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_resample_monthly": q07_resample_monthly,
         "q09_season_groupby": q09_season_groupby,
         "q12_diff": q12_diff,
-        "q27_str_ops": q27_str_ops,
         "q29_reindex_nearest": q29_reindex_nearest,
         "q32_language_id": q32_language_id,
         "q39_groupby_quantile": q39_groupby_quantile,
@@ -1523,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_decontaminate": q91_decontaminate,
         "q92_pack_sequences": q92_pack_sequences,
         "q93_shuffle_rank": q93_shuffle_rank,
+        "q94_audio_features": q94_audio_features,
         # ---- window: round-2 anchors, one per operator family ----
         "q01_pricing_summary": q01_pricing_summary,
         "q53_ngram_jaccard": q53_ngram_jaccard,
@@ -1535,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_groupby_median": q16_groupby_median,
         "q23_weighted_mean": q23_weighted_mean,
         "q26_corr": q26_corr,
+        "q27_str_ops": q27_str_ops,
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q22_pivot": q22_pivot,
@@ -1730,6 +1749,36 @@ def _sql_bucket(salt: str, key_expr: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q94_audio_features": """
+            -- synthetic payloads: byte j of media i = (i*37+j) % 256;
+            -- PCM16 LE sample k = bytes (2k, 2k+1); frames of 32
+            WITH m AS (SELECT i AS media_id, (128 + (i % 5) * 32) // 2 AS ns
+                       FROM generate_series(0, 31) t(i)),
+            s AS (SELECT media_id, k.k AS idx,
+                    ((media_id*37 + 2*k.k) % 256)
+                    + 256 * ((media_id*37 + 2*k.k + 1) % 256) AS u
+                  FROM m, LATERAL (SELECT unnest(range(ns)) AS k) k),
+            v AS (SELECT media_id, idx,
+                    (CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+                    / 32768.0 AS x
+                  FROM s),
+            f AS (SELECT media_id, (idx // 32)::INT AS frame_idx,
+                         idx % 32 AS pos, x,
+                         COUNT(*) OVER (PARTITION BY media_id, idx // 32)
+                           AS frame_n
+                  FROM v),
+            z AS (SELECT media_id, frame_idx, pos, x, frame_n,
+                    LAG(x) OVER (PARTITION BY media_id, frame_idx
+                                 ORDER BY pos) AS px
+                  FROM f)
+            SELECT media_id, frame_idx,
+                   ROUND(sqrt(AVG(x*x)) + 1e-9, 6) AS rms,
+                   ROUND(SUM(CASE WHEN px IS NOT NULL AND px * x < 0
+                                  THEN 1 ELSE 0 END) / 31.0 + 1e-9, 6) AS zcr
+            FROM z
+            WHERE frame_n = 32
+            GROUP BY 1, 2
+        """,
         "q93_shuffle_rank": f"""
             WITH h AS (SELECT doc_id, lang,
                    (('0x' || substr(md5('shuffle' || doc_id::VARCHAR), 1, 15))::BIGINT) AS hk

@@ -140,3 +140,29 @@ def test_shuffle_deterministic_total_order(spark):
     # scrambled w.r.t. natural order
     by_rank = [r["k"] for r in sorted(a, key=lambda r: r["shuffle_rank"])]
     assert by_rank != sorted(by_rank)
+
+
+def test_audio_pcm16_decode_real_math(spark):
+    import numpy as np
+    from xarray_spark.extras.multimodal import audio_features, decode_audio
+    # known payload: samples [0, -32768, 16384] as PCM16 LE + odd tail byte
+    data = (np.array([0, -32768, 16384], dtype="<i2").tobytes() + b"\x7f")
+    df = spark.createDataFrame(
+        [(1, bytearray(data), "pcm16", 16000)],
+        "media_id long, data binary, format string, sample_rate int")
+    dec = decode_audio(df).collect()[0]
+    assert dec["samples"] == [0.0, -1.0, 0.5]  # odd byte dropped
+    # frame of 3: rms = sqrt((0+1+0.25)/3), zcr = 1 change (-1 -> 0.5) / 2
+    f = audio_features(decode_audio(df), frame_len=3).collect()[0]
+    assert abs(f["rms"] - (1.25 / 3) ** 0.5) < 1e-12
+    assert f["zcr"] == 0.5
+
+
+def test_audio_non_pcm_raises(spark):
+    import pytest as _pt
+    from xarray_spark.extras.multimodal import decode_audio
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xx"), "mp3", 44100)],
+        "media_id long, data binary, format string, sample_rate int")
+    with _pt.raises(Exception, match="pcm16"):
+        decode_audio(df).collect()
