@@ -5,4 +5,12 @@ These have no xarray equivalent — they exist because the engine targets
 100 TB document/embedding corpora (BASELINE.json north star).
 """
 
-from xarray_spark.extras import dedup, similarity, text, multimodal  # noqa: F401
+from xarray_spark.extras import (  # noqa: F401
+    curation,
+    dedup,
+    multimodal,
+    portable,
+    sampling,
+    similarity,
+    text,
+)
