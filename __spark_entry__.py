@@ -1465,6 +1465,41 @@ def q94_audio_features(spark, sf_dir):
     )
 
 
+def q95_pii_scan(spark, sf_dir):
+    """Safety/PII scanning (extras.text.pii_scan): email / URL / long-
+    digit-run counts + combined flag, map-only JVM regex.  The gate
+    injects deterministic PII into a slice of the corpus (mirrored
+    exactly in the oracle SQL) so the counts are non-trivial."""
+    from xarray_spark.extras.text import pii_scan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.coalesce(
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.lit(" contact user"), F.col("doc_id"),
+                                F.lit("@example.com now")))
+                .when(F.col("doc_id") % 7 == 1,
+                      F.concat(F.lit(" see https://example.com/d/"),
+                               F.col("doc_id")))
+                .when(F.col("doc_id") % 7 == 2,
+                      F.concat(F.lit(" call 555"),
+                               F.col("doc_id") + F.lit(1000000))),
+                F.lit(""),
+            ),
+        ),
+    )
+    out = pii_scan(injected)
+    return out.groupBy("lang").agg(
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_urls").alias("urls"),
+        F.sum("n_digit_runs").alias("digit_runs"),
+        F.sum(F.col("pii_flag").cast("long")).alias("n_flagged"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1523,7 +1558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_resample_monthly": q07_resample_monthly,
         "q09_season_groupby": q09_season_groupby,
         "q12_diff": q12_diff,
-        "q29_reindex_nearest": q29_reindex_nearest,
         "q32_language_id": q32_language_id,
         "q39_groupby_quantile": q39_groupby_quantile,
         "q41_dot": q41_dot,
@@ -1541,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_pack_sequences": q92_pack_sequences,
         "q93_shuffle_rank": q93_shuffle_rank,
         "q94_audio_features": q94_audio_features,
+        "q95_pii_scan": q95_pii_scan,
         # ---- window: round-2 anchors, one per operator family ----
         "q01_pricing_summary": q01_pricing_summary,
         "q53_ngram_jaccard": q53_ngram_jaccard,
@@ -1554,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_weighted_mean": q23_weighted_mean,
         "q26_corr": q26_corr,
         "q27_str_ops": q27_str_ops,
+        "q29_reindex_nearest": q29_reindex_nearest,
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q22_pivot": q22_pivot,
@@ -1749,6 +1785,33 @@ def _sql_bucket(salt: str, key_expr: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q95_pii_scan": """
+            WITH inj AS (SELECT lang,
+                   text || COALESCE(
+                     CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || doc_id::VARCHAR
+                                 || '@example.com now'
+                          WHEN doc_id % 7 = 1
+                            THEN ' see https://example.com/d/'
+                                 || doc_id::VARCHAR
+                          WHEN doc_id % 7 = 2
+                            THEN ' call 555' || (doc_id + 1000000)::VARCHAR
+                     END, '') AS t
+              FROM documents),
+            c AS (SELECT lang,
+                   len(regexp_extract_all(t,
+                     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS e,
+                   len(regexp_extract_all(t,
+                     'https?://[a-zA-Z0-9./_%?=&#-]+')) AS u,
+                   len(regexp_extract_all(t, '[0-9]{7,}')) AS d
+              FROM inj)
+            SELECT lang, SUM(e)::BIGINT AS emails, SUM(u)::BIGINT AS urls,
+                   SUM(d)::BIGINT AS digit_runs,
+                   SUM(CASE WHEN e + u + d > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_flagged,
+                   COUNT(*) AS n
+            FROM c GROUP BY 1
+        """,
         "q94_audio_features": """
             -- synthetic payloads: byte j of media i = (i*37+j) % 256;
             -- PCM16 LE sample k = bytes (2k, 2k+1); frames of 32

@@ -37,8 +37,16 @@ def main() -> None:
 
     qs = entrymod.queries()
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # plan, not first-touch session setup
+    # plan, not first-touch session setup; include one tiny shuffle and
+    # one Arrow/Python round-trip so the first real query doesn't absorb
+    # executor/exchange/worker spin-up either
     force(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1))
+    force(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000)
+        .groupBy("l_returnflag").count()
+    )
+    force(spark.range(100).toDF("x").mapInPandas(
+        lambda it: it, "x long"))
 
     import gc
 

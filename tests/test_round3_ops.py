@@ -166,3 +166,17 @@ def test_audio_non_pcm_raises(spark):
         "media_id long, data binary, format string, sample_rate int")
     with _pt.raises(Exception, match="pcm16"):
         decode_audio(df).collect()
+
+
+def test_pii_scan_counts(spark):
+    from xarray_spark.extras.text import pii_scan
+    df = spark.createDataFrame(
+        [(1, "mail me a@b.io or c@d.org"),
+         (2, "go to https://x.y/z?a=1"),
+         (3, "call 12345678 now"),
+         (4, "clean text only")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["pii_flag"]
+    assert out[2]["n_urls"] == 1 and out[2]["pii_flag"]
+    assert out[3]["n_digit_runs"] == 1 and out[3]["pii_flag"]
+    assert not out[4]["pii_flag"]

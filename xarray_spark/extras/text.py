@@ -130,3 +130,39 @@ def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_guess", language_id(t))
         .withColumn("fp", fingerprint(t))
     )
+
+
+# --------------------------------------------------------------------- #
+# safety / PII scanning — regex patterns chosen to behave identically
+# under Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+# backreferences, explicit character classes.
+# --------------------------------------------------------------------- #
+
+EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+URL_PATTERN = r"https?://[a-zA-Z0-9./_%?=&#-]+"
+#: digit runs of 7+ (phone-ish) — deliberately coarse: PII scans favor
+#: recall; a verification pass downstream removes false positives
+DIGIT_RUN_PATTERN = r"[0-9]{7,}"
+
+
+def pattern_count(text: Column, pattern: str) -> Column:
+    """Occurrences of a regex in the text — whole-stage-codegen JVM
+    regex, no Python.  The building block of safety scans."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach PII-indicator counts (emails, URLs, long digit runs) and a
+    combined flag.  At 100 TB this is a map-only scan — the flag column
+    then drives a pushed filter or a quarantine split
+    (extras.sampling.hash_split keyed on it)."""
+    t = F.col(text_col)
+    out = (
+        df.withColumn("n_emails", pattern_count(t, EMAIL_PATTERN))
+        .withColumn("n_urls", pattern_count(t, URL_PATTERN))
+        .withColumn("n_digit_runs", pattern_count(t, DIGIT_RUN_PATTERN))
+    )
+    return out.withColumn(
+        "pii_flag",
+        (F.col("n_emails") + F.col("n_urls") + F.col("n_digit_runs")) > 0,
+    )
