@@ -1500,6 +1500,39 @@ def q95_pii_scan(spark, sf_dir):
     )
 
 
+def q96_stream_sessionize(spark, sf_dir):
+    """Streaming session windows (streaming.stream_sessionize:
+    F.session_window, data-driven merge when the next event lands inside
+    the previous event's gap horizon).  Oracle: the classic
+    gaps-and-islands rewrite — LAG + new-session flag + running sum —
+    which is the exact batch semantics of session_window over a bounded
+    replay."""
+    import shutil
+    import tempfile
+    import uuid
+    from xarray_spark.streaming import stream_sessionize
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="q96_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    src = _normalize_event_ts(
+        spark.readStream.schema(batch.schema).parquet(stage)
+    ).select("ts", "user_id", "value")
+    out = stream_sessionize(
+        src, "ts", "12 hours",
+        {"n": F.count(F.lit(1)), "sv": _r3(F.sum("value"))},
+        keys=["user_id"], watermark="1 hour",
+    )
+    name = f"q96_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, ts AS session_start, session_seconds, n, sv "
+        f"FROM {name}"
+    )
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1558,7 +1591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_resample_monthly": q07_resample_monthly,
         "q09_season_groupby": q09_season_groupby,
         "q12_diff": q12_diff,
-        "q32_language_id": q32_language_id,
         "q39_groupby_quantile": q39_groupby_quantile,
         "q41_dot": q41_dot,
         "q42_stopword_ratio": q42_stopword_ratio,
@@ -1576,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_shuffle_rank": q93_shuffle_rank,
         "q94_audio_features": q94_audio_features,
         "q95_pii_scan": q95_pii_scan,
+        "q96_stream_sessionize": q96_stream_sessionize,
         # ---- window: round-2 anchors, one per operator family ----
         "q01_pricing_summary": q01_pricing_summary,
         "q53_ngram_jaccard": q53_ngram_jaccard,
@@ -1590,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_corr": q26_corr,
         "q27_str_ops": q27_str_ops,
         "q29_reindex_nearest": q29_reindex_nearest,
+        "q32_language_id": q32_language_id,
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q22_pivot": q22_pivot,
@@ -1785,6 +1819,24 @@ def _sql_bucket(salt: str, key_expr: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "q96_stream_sessionize": """
+            WITH o AS (SELECT user_id, ts, value,
+                    CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 12 HOUR
+                           OR LAG(ts) OVER w IS NULL
+                         THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts, value,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS sid
+              FROM o)
+            SELECT user_id, MIN(ts) AS session_start,
+                   (epoch_us(MAX(ts) + INTERVAL 12 HOUR) // 1000000
+                    - epoch_us(MIN(ts)) // 1000000) AS session_seconds,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value) + 1e-6, 3) AS sv
+            FROM s GROUP BY user_id, sid
+        """,
         "q95_pii_scan": """
             WITH inj AS (SELECT lang,
                    text || COALESCE(
