@@ -1553,13 +1553,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events/streaming queries that errored in round 2 (q67/q70/q75/q78/
     q85/q86, broken by the testdata's switch to timestamp[us]); (b) the
     6 other events-table queries whose round-1 greens predate that
-    schema change (q08/q13/q14/q28/q40/q43/q46); (c) the round-1 greens
-    that sat outside the round-2 window, for a second row on fresh
-    data (minus q17/q20/q22/q24, whose slots go to the new
-    training-pipeline gates q87–q90); and (d) a handful of round-2
-    anchors (q01/q53/q59/q62/q72/q74/q81) spanning the operator
-    families.  Everything rotated out carries a green round-1/2 row
-    and stays covered by tests/test_oracle.py at sf0.001.
+    schema change (q08/q13/q14/q28/q40/q43/q46); (c) the ten new
+    round-3 training-pipeline gates q87–q96 (streaming dedup, hash
+    sampling/split/stratified, decontamination, sequence packing,
+    deterministic shuffle, audio DSP, PII scan, sessionization);
+    (d) round-1 greens that sat outside the round-2 window, for a
+    second row on fresh data (q16/q17/q20/q22-q24/q26/q27/q29/q32
+    rotate out to make room — their green rows stand); and (e) a
+    handful of round-2 anchors (q01/q53/q59/q62/q72/q74/q81) spanning
+    the operator families.  Everything rotated out carries a green
+    round-1/2 row and stays covered by tests/test_oracle.py at
+    sf0.001.
     """
     return {
         # ---- window: never-green — portable-oracle ANN/dedup + fixed events ----
