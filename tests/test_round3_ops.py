@@ -180,3 +180,12 @@ def test_pii_scan_counts(spark):
     assert out[2]["n_urls"] == 1 and out[2]["pii_flag"]
     assert out[3]["n_digit_runs"] == 1 and out[3]["pii_flag"]
     assert not out[4]["pii_flag"]
+
+
+def test_hash_split_partial_weights_drop_remainder(spark):
+    from xarray_spark.extras.sampling import hash_split
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    s = hash_split(df, {"eval": 0.01}, "k")
+    rows = s.collect()
+    assert 0 < len(rows) < 100  # ~10 expected, remainder dropped
+    assert all(r["split"] == "eval" for r in rows)

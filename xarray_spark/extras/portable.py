@@ -104,6 +104,9 @@ def int_dot(qvec: Column, plane: list[int]) -> Column:
 
 def int_signature(vec: Column, planes: list[list[int]]) -> Column:
     """Sign-bit LSH bucket id over integer planes: bit i = (v·p_i) > 0."""
+    if len(planes) > 62:
+        raise ValueError("int_signature packs bits into a signed 64-bit "
+                         f"bucket id; {len(planes)} planes would overflow")
     qv = quantize_vec(vec)
     sig = None
     for i, p in enumerate(planes):

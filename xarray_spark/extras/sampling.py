@@ -69,7 +69,10 @@ def hash_split(df: DataFrame, weights: dict[str, float], key_col: str,
         cond = (b >= F.lit(prev)) & (b < F.lit(hi))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         prev = hi
-    return df.withColumn(split_col, expr)
+    # rows past the last edge (weights summing below 1) are DROPPED, as
+    # documented — a NULL split would silently leak them into whichever
+    # side forgets to filter
+    return df.withColumn(split_col, expr).where(F.col(split_col).isNotNull())
 
 
 def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
