@@ -1533,6 +1533,21 @@ def q96_stream_sessionize(spark, sf_dir):
     )
 
 
+def q97_ivf_fixed(spark, sf_dir):
+    """IVF query path over a FIXED md5-derived integer codebook
+    (extras.similarity.ivf_topk_fixed): integer-exact cell assignment,
+    2-cell probe expansion, rounded-cosine re-rank — the full inverted-
+    file query plan, value-verified by a SQL oracle that replays the
+    same codebook.  (Trained-codebook IVF stays in q64, rows-only —
+    KMeans is not SQL-expressible.)"""
+    from xarray_spark.extras.similarity import ivf_topk_fixed
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return ivf_topk_fixed(emb, queries, k=3, n_cells=8, n_probe=2)
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1594,7 +1609,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_orders_groupby": q05_orders_groupby,
         "q07_resample_monthly": q07_resample_monthly,
         "q09_season_groupby": q09_season_groupby,
-        "q12_diff": q12_diff,
         "q39_groupby_quantile": q39_groupby_quantile,
         "q41_dot": q41_dot,
         "q42_stopword_ratio": q42_stopword_ratio,
@@ -1613,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_audio_features": q94_audio_features,
         "q95_pii_scan": q95_pii_scan,
         "q96_stream_sessionize": q96_stream_sessionize,
+        "q97_ivf_fixed": q97_ivf_fixed,
         # ---- window: round-2 anchors, one per operator family ----
         "q01_pricing_summary": q01_pricing_summary,
         "q53_ngram_jaccard": q53_ngram_jaccard,
@@ -1628,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_str_ops": q27_str_ops,
         "q29_reindex_nearest": q29_reindex_nearest,
         "q32_language_id": q32_language_id,
+        "q12_diff": q12_diff,
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q22_pivot": q22_pivot,
@@ -1821,8 +1837,39 @@ def _sql_bucket(salt: str, key_expr: str) -> str:
             f" % 1000000)")
 
 
+def _ivf_fixed_oracle(n_cells=8, n_probe=2, k=3) -> str:
+    cell = _sql_md5l("'cell-' || c::VARCHAR || '-' || j::VARCHAR")
+    return f"""
+      WITH {_SQL_QVEC},
+      cells AS (SELECT c, j, ({cell} % 2001 - 1000) * 1000 AS x
+                FROM range({n_cells}) t1(c), range(64) t2(j)),
+      dist AS (SELECT q.vec_id, cl.c,
+                SUM((q.v[cl.j + 1] - cl.x) * (q.v[cl.j + 1] - cl.x)) AS d
+               FROM qv q, cells cl GROUP BY 1, 2),
+      rankd AS (SELECT vec_id, c,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+                FROM dist),
+      assign AS (SELECT vec_id, c AS cell FROM rankd WHERE rn = 1),
+      qprobe AS (SELECT vec_id, c AS cell FROM rankd
+                 WHERE rn <= {n_probe} AND vec_id < 5),
+      cand AS (SELECT DISTINCT qp.vec_id AS qid, a.vec_id AS nid
+               FROM qprobe qp JOIN assign a ON a.cell = qp.cell
+               WHERE a.vec_id <> qp.vec_id),
+      scored AS (SELECT cand.qid, cand.nid,
+                  ROUND(list_cosine_similarity(a.e, b.e) + 1e-9, 6) AS cos
+                 FROM cand JOIN qv a ON a.vec_id = cand.qid
+                 JOIN qv b ON b.vec_id = cand.nid),
+      ranked AS (SELECT qid, nid, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+                    AS rank
+                 FROM scored)
+      SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q97_ivf_fixed": _ivf_fixed_oracle(),
         "q96_stream_sessionize": """
             WITH o AS (SELECT user_id, ts, value,
                     CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 12 HOUR

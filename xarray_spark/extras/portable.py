@@ -114,3 +114,15 @@ def int_signature(vec: Column, planes: list[list[int]]) -> Column:
                .otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return sig
+
+
+def centroid_coeffs(n_cells: int, dim: int) -> list[list[int]]:
+    """Fixed integer centroids in quantized-embedding space (coeff in
+    [-1000, 1000] scaled by 1000 → the floor(x*1e6) range of unit-ish
+    embeddings), md5-derived position-wise.  NOT a trained codebook —
+    these verify the IVF *query path* (assignment, probing, re-rank)
+    against a SQL oracle; production codebooks come from ivf_fit."""
+    return [
+        [(_md5_int(f"cell-{c}-{j}") % 2001 - 1000) * 1000 for j in range(dim)]
+        for c in range(n_cells)
+    ]

@@ -440,3 +440,68 @@ def embedding_near_dups(
     # portable: threshold the ROUNDED cosine so the pair set cannot
     # disagree with the oracle at a float boundary.
     return cand.where(F.col("cos") >= threshold)
+
+
+def _nearest_cells_int(vec: Column, centroids_q: list[list[int]], n: int) -> Column:
+    """Integer-exact twin of _nearest_cells: L2 distances between the
+    floor-quantized vector and integer centroids are exact int64 sums
+    (≤ dim·(2e6)² ≈ 2.6e14), so the argmin — tie-broken by cell id via
+    the struct sort — is deterministic across engines."""
+    from xarray_spark.extras.portable import quantize_vec
+
+    qv = quantize_vec(vec)
+
+    def l2(center):
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in center])
+        diff = F.zip_with(qv, arr, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    dists = F.array(*[
+        F.struct(l2(center).alias("d"), F.lit(i).alias("cell"))
+        for i, center in enumerate(centroids_q)
+    ])
+    return F.slice(F.array_sort(dists), 1, n).getField("cell")
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF top-k over the FIXED md5-derived integer codebook
+    (extras.portable.centroid_coeffs) — the oracle-checkable variant of
+    the IVF query path: integer-exact cell assignment, query-side probe
+    expansion, rounded-cosine re-rank.  Same plan shape as ivf_topk
+    (cell equi-join replaces the cross product); a trained codebook from
+    ivf_fit gives better recall but cannot be replayed in SQL."""
+    from xarray_spark.extras.portable import centroid_coeffs
+
+    cents = centroid_coeffs(n_cells, dim)
+    base_c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cell", _nearest_cells_int(F.col("__cv"), cents, 1)[0])
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__cell",
+                 F.explode(_nearest_cells_int(F.col("__qv"), cents, n_probe)))
+    cand = base_c.join(F.broadcast(q), on="__cell", how="inner").where(
+        F.col("nid") != F.col(query_id_col)
+    )
+    scored = cand.select(
+        query_id_col, "nid",
+        _round6(cosine(F.col("__qv"), F.col("__cv"))).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "nid", "cos", "rank")
+    )
