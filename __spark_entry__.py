@@ -1548,6 +1548,16 @@ def q97_ivf_fixed(spark, sf_dir):
     return ivf_topk_fixed(emb, queries, k=3, n_cells=8, n_probe=2)
 
 
+def q98_chunk_documents(spark, sf_dir):
+    """RAG-style document chunking (extras.curation.chunk_documents):
+    200-char chunks with 50-char overlap, pure sequence/substring/
+    posexplode JVM expressions — verified row-for-row against the SQL
+    range+substr replay."""
+    from xarray_spark.extras.curation import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_chars=200, overlap=50)
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1608,7 +1618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_where_mask": q04_where_mask,
         "q05_orders_groupby": q05_orders_groupby,
         "q07_resample_monthly": q07_resample_monthly,
-        "q09_season_groupby": q09_season_groupby,
         "q39_groupby_quantile": q39_groupby_quantile,
         "q41_dot": q41_dot,
         "q42_stopword_ratio": q42_stopword_ratio,
@@ -1628,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_pii_scan": q95_pii_scan,
         "q96_stream_sessionize": q96_stream_sessionize,
         "q97_ivf_fixed": q97_ivf_fixed,
+        "q98_chunk_documents": q98_chunk_documents,
         # ---- window: round-2 anchors, one per operator family ----
         "q01_pricing_summary": q01_pricing_summary,
         "q53_ngram_jaccard": q53_ngram_jaccard,
@@ -1644,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_reindex_nearest": q29_reindex_nearest,
         "q32_language_id": q32_language_id,
         "q12_diff": q12_diff,
+        "q09_season_groupby": q09_season_groupby,
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q22_pivot": q22_pivot,
@@ -1870,6 +1881,17 @@ def _ivf_fixed_oracle(n_cells=8, n_probe=2, k=3) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q97_ivf_fixed": _ivf_fixed_oracle(),
+        "q98_chunk_documents": """
+            WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+            st AS (SELECT doc_id, text,
+                    unnest(CASE WHEN n = 0 THEN [0]
+                           ELSE range(0, n, 150) END) AS s
+              FROM d)
+            SELECT doc_id, (s // 150)::INT AS chunk_idx,
+                   s::BIGINT AS chunk_start,
+                   substr(text, (s + 1)::INT, 200) AS chunk
+            FROM st
+        """,
         "q96_stream_sessionize": """
             WITH o AS (SELECT user_id, ts, value,
                     CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 12 HOUR

@@ -189,3 +189,18 @@ def test_hash_split_partial_weights_drop_remainder(spark):
     rows = s.collect()
     assert 0 < len(rows) < 100  # ~10 expected, remainder dropped
     assert all(r["split"] == "eval" for r in rows)
+
+
+def test_chunk_documents_overlap_and_empty(spark):
+    from xarray_spark.extras.curation import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_chars=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk"])
+            for r in out.collect()}
+    # stride 2 over 10 chars: starts 0,2,4,6,8
+    assert rows[(1, 0)] == (0, "abcd")
+    assert rows[(1, 1)] == (2, "cdef")
+    assert rows[(1, 4)] == (8, "ij")
+    assert rows[(2, 0)] == (0, "")  # empty doc keeps one empty chunk
+    assert len([k for k in rows if k[0] == 1]) == 5

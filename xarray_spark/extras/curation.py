@@ -84,3 +84,40 @@ def pack_sequences(df: DataFrame, budget: int,
         base.withColumn("tokens_before", pre)
         .withColumn("bin", F.floor(F.col("tokens_before") / F.lit(budget)))
     )
+
+
+def chunk_documents(df: DataFrame, chunk_chars: int, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-width character chunks with optional
+    overlap — the chunking stage of a retrieval/embedding pipeline.
+
+    Returns one row per chunk: (id, chunk_idx, chunk_start, chunk) with
+    stride ``chunk_chars - overlap``.  Pure JVM expressions: the offset
+    list is a ``sequence`` and the slicing a ``substring`` inside a
+    ``transform`` + ``posexplode`` — no Python, and the explode happens
+    after the scan so Spark shuffles chunk rows only if a downstream op
+    asks it to.  Empty documents yield one empty chunk (so no document
+    silently disappears from the index)."""
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n = F.length(t)
+    # starts: 0, stride, 2*stride, ... covering [0, len); len==0 -> [0]
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.floor((n - F.lit(1)).cast("double") / F.lit(stride)).cast("long"),
+            F.lit(0).cast("long"),
+        ) * F.lit(stride),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.substring(t, (s + 1).cast("int"), chunk_chars)
+    )
+    return (
+        df.select(F.col(id_col), n.alias("__len"),
+                  F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .withColumn("chunk_start", (F.col("chunk_idx") * F.lit(stride)).cast("long"))
+        .drop("__len")
+    )
