@@ -1882,7 +1882,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q97_ivf_fixed": _ivf_fixed_oracle(),
         "q98_chunk_documents": """
-            WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+                              len(coalesce(text, '')) AS n FROM documents),
             st AS (SELECT doc_id, text,
                     unnest(CASE WHEN n = 0 THEN [0]
                            ELSE range(0, n, 150) END) AS s
@@ -2807,8 +2808,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q78_dt_tail": """
             SELECT dayname(ts) AS dname, COUNT(*) AS n,
-                   SUM(CASE WHEN ts::DATE = last_day(ts::DATE)
-                             AND month(ts) % 3 = 0 THEN 1 ELSE 0 END) AS n_qend
+                   CAST(SUM(CASE WHEN ts::DATE = last_day(ts::DATE)
+                             AND month(ts) % 3 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_qend
             FROM events GROUP BY 1
         """,
         "q79_sel_step": f"""

@@ -419,10 +419,25 @@ class DatetimeAccessor(_Accessor):
         return self.dayofweek
 
     def day_name(self):
-        return self._wrap(F.date_format(self._c, "EEEE"))
+        # Locale-independent: F.date_format(.., 'EEEE') renders in the JVM
+        # default locale; pandas .dt.day_name() defaults to English.  Map
+        # dayofweek (1=Sunday..7=Saturday) through a literal English array.
+        names = F.array(*[F.lit(n) for n in (
+            "Sunday", "Monday", "Tuesday", "Wednesday",
+            "Thursday", "Friday", "Saturday")])
+        return self._wrap(
+            F.when(self._c.isNotNull(),
+                   F.element_at(names, F.dayofweek(self._c))))
 
     def month_name(self):
-        return self._wrap(F.date_format(self._c, "MMMM"))
+        # Same locale-independence rationale as day_name.
+        names = F.array(*[F.lit(n) for n in (
+            "January", "February", "March", "April", "May", "June",
+            "July", "August", "September", "October", "November",
+            "December")])
+        return self._wrap(
+            F.when(self._c.isNotNull(),
+                   F.element_at(names, F.month(self._c))))
 
     @property
     def decimal_year(self):

@@ -101,7 +101,9 @@ def chunk_documents(df: DataFrame, chunk_chars: int, overlap: int = 0,
     if overlap >= chunk_chars:
         raise ValueError(f"overlap {overlap} must be < chunk_chars {chunk_chars}")
     stride = chunk_chars - overlap
-    t = F.col(text_col)
+    # NULL text behaves like empty text (one empty chunk) instead of
+    # collapsing the floor(NULL) start list to a single NULL chunk.
+    t = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(t)
     # starts: 0, stride, 2*stride, ... covering [0, len); len==0 -> [0]
     starts = F.sequence(
@@ -116,8 +118,7 @@ def chunk_documents(df: DataFrame, chunk_chars: int, overlap: int = 0,
         starts, lambda s: F.substring(t, (s + 1).cast("int"), chunk_chars)
     )
     return (
-        df.select(F.col(id_col), n.alias("__len"),
+        df.select(F.col(id_col),
                   F.posexplode(chunks).alias("chunk_idx", "chunk"))
         .withColumn("chunk_start", (F.col("chunk_idx") * F.lit(stride)).cast("long"))
-        .drop("__len")
     )
