@@ -48,7 +48,7 @@ from xarray_spark.backends import (
 )
 from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
 from xarray_spark.alignment import align, broadcast, salted_join, sel_points_nearest
-from xarray_spark.computation import convert_calendar, date_range_like, infer_freq
+from xarray_spark.computation import convert_calendar, interp_calendar, date_range_like, infer_freq
 from xarray_spark.cftime import (
     cf_date_range,
     cf_field,
@@ -143,6 +143,7 @@ __all__ = [
     "decode_cf_time_us",
     "cf_ordinal",
     "convert_calendar",
+    "interp_calendar",
     "date_range_like",
     "ewm_segmented",
     "infer_freq",

@@ -80,3 +80,60 @@ def estimated_rows(df) -> float:
         return float(str(stats.sizeInBytes())) / 64.0
     except Exception:  # pragma: no cover - py4j edge cases
         return 0.0
+
+
+def parse_iso8601_prefix(s: str):
+    """Parse an ISO8601-like prefix string into a half-open datetime
+    range ``(start, end, resolution)`` — the engine's analogue of
+    pandas/xarray partial-string time indexing
+    (xarray/coding/times.py parse_iso8601_like; pandas
+    DatetimeIndex.__getitem__ partial-string semantics).
+
+    '2001' -> the year, '2001-03' -> the month, '2001-03-05' -> the day,
+    '2001-03-05T12' -> the hour, down to seconds (resolution 'second',
+    where start == the exact instant).  Returns None when the string is
+    not ISO8601-like (caller falls back to exact-label equality).
+    """
+    import datetime as dt
+    import re
+
+    m = re.fullmatch(
+        r"(?P<y>\d{4})"
+        r"(?:-(?P<mo>\d{1,2})"
+        r"(?:-(?P<d>\d{1,2})"
+        r"(?:[ T](?P<h>\d{1,2})"
+        r"(?::(?P<mi>\d{1,2})"
+        r"(?::(?P<s>\d{1,2})(?:\.(?P<f>\d{1,6}))?)?)?)?)?)?",
+        s.strip(),
+    )
+    if m is None:
+        return None
+    g = m.groupdict()
+
+    def _add_month(t, n=1):
+        y, mo = divmod(t.year * 12 + (t.month - 1) + n, 12)
+        return t.replace(year=y, month=mo + 1)
+
+    try:
+        if g["mo"] is None:
+            start = dt.datetime(int(g["y"]), 1, 1)
+            return start, start.replace(year=start.year + 1), "year"
+        if g["d"] is None:
+            start = dt.datetime(int(g["y"]), int(g["mo"]), 1)
+            return start, _add_month(start), "month"
+        if g["h"] is None:
+            start = dt.datetime(int(g["y"]), int(g["mo"]), int(g["d"]))
+            return start, start + dt.timedelta(days=1), "day"
+        if g["mi"] is None:
+            start = dt.datetime(int(g["y"]), int(g["mo"]), int(g["d"]), int(g["h"]))
+            return start, start + dt.timedelta(hours=1), "hour"
+        if g["s"] is None:
+            start = dt.datetime(int(g["y"]), int(g["mo"]), int(g["d"]),
+                                int(g["h"]), int(g["mi"]))
+            return start, start + dt.timedelta(minutes=1), "minute"
+        micro = int((g["f"] or "0").ljust(6, "0"))
+        start = dt.datetime(int(g["y"]), int(g["mo"]), int(g["d"]),
+                            int(g["h"]), int(g["mi"]), int(g["s"]), micro)
+        return start, start + dt.timedelta(seconds=1), "second"
+    except ValueError:
+        return None

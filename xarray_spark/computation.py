@@ -389,6 +389,74 @@ def convert_calendar(ds: XDataset, dim: str, calendar: str = "standard",
     raise NotImplementedError(f"calendar {calendar!r}")
 
 
+def _decimal_year_expr(c, dtype, calendar: str):
+    """Decimal-year expression for a real timestamp OR an encoded cftime
+    ordinal (xarray/coding/calendar_ops.py:417 _decimal_year)."""
+    from xarray_spark._utils import is_temporal
+    from xarray_spark import cftime as cft
+    if is_temporal(dtype):
+        y = F.year(c)
+        start = F.make_date(y, F.lit(1), F.lit(1)).cast("timestamp")
+        nxt = F.make_date(y + 1, F.lit(1), F.lit(1)).cast("timestamp")
+        frac = (
+            (F.unix_timestamp(c.cast("timestamp")) - F.unix_timestamp(start))
+            / (F.unix_timestamp(nxt) - F.unix_timestamp(start))
+        )
+        return y.cast("double") + frac
+    ylen = cft.year_length(cft._canon(calendar))
+    o = c.cast("long")
+    y = F.floor(o / ylen).cast("long")
+    return (y + cft.EPOCH_YEAR).cast("double") + \
+        (o - y * ylen).cast("double") / F.lit(float(ylen))
+
+
+def interp_calendar(ds: XDataset, target, dim: str = "time",
+                    target_calendar: str | None = None) -> XDataset:
+    """Interpolate onto another calendar's time axis via the decimal-year
+    measure (xarray/coding/calendar_ops.py:349 interp_calendar,
+    core/dataset.py:10134): both axes are converted to ``year +
+    fraction-of-year`` doubles, the source is linearly interpolated onto
+    the target's decimal years, and the result is re-keyed to the target
+    labels.
+
+    ``target`` may be an XDataset (calendar from its attrs), a DataFrame
+    of labels, or a python list of labels.  Scale shape: the dim is
+    re-keyed by a pure expression, the interpolation is the existing
+    union + segmented as-of blend (missing.interp), and the final
+    re-key is a broadcast join against the target label table.
+    """
+    from xarray_spark import cftime as cft
+    from xarray_spark.missing import interp
+    spark = ds.spark
+    src_cal = (ds.attrs or {}).get("calendar", "standard")
+    if isinstance(target, XDataset):
+        tdf = target.df.select(dim).where(F.col(dim).isNotNull()).distinct()
+        tgt_cal = target_calendar or (target.attrs or {}).get("calendar", "standard")
+    elif hasattr(target, "sparkSession"):
+        tdf = target.select(dim).where(F.col(dim).isNotNull()).distinct()
+        tgt_cal = target_calendar or "standard"
+    else:
+        tdf = spark.createDataFrame([(t,) for t in list(target)], [dim])
+        tgt_cal = target_calendar or "standard"
+    src_dy = _decimal_year_expr(F.col(dim), ds.df.schema[dim].dataType, src_cal)
+    src = ds._replace(df=ds.df.withColumn(dim, src_dy))
+    tdy = tdf.select(
+        F.col(dim).alias("__tgt"),
+        _decimal_year_expr(F.col(dim), tdf.schema[dim].dataType, tgt_cal).alias(dim),
+    )
+    out = interp(src, {dim: tdy.select(dim)}, "linear")
+    df = (
+        out.df.join(F.broadcast(tdy), on=dim, how="inner")
+        .drop(dim).withColumnRenamed("__tgt", dim)
+    )
+    attrs = {**(ds.attrs or {})}
+    if tgt_cal in cft.REAL_CALENDARS:
+        attrs.pop("calendar", None)
+    else:
+        attrs["calendar"] = tgt_cal
+    return ds._replace(df=df.select(*ds.df.columns), attrs=attrs)
+
+
 def date_range_like(spark, ds: XDataset, dim: str, name: str | None = None):
     """Calendar matching ds's dim span and inferred freq
     (xarray/coding/cftime_offsets.py date_range_like)."""

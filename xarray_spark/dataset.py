@@ -331,40 +331,99 @@ class XDataset:
             out = out._sel_one(dim, value, method, tolerance)
         return out
 
+    def _sel_bound(self, dim: str, value, side: str):
+        """Slice-bound condition; ISO8601 prefix strings on temporal dims
+        expand to the containing period (pandas partial-string slicing:
+        slice('1995-01', '1995-03') covers Jan 1 through Mar 31)."""
+        from xarray_spark._utils import is_temporal, parse_iso8601_prefix
+        if isinstance(value, str) and is_temporal(self.df.schema[dim].dataType):
+            parsed = parse_iso8601_prefix(value)
+            if parsed is not None:
+                start, end, _res = parsed
+                if side == "start":
+                    return F.col(dim) >= F.lit(start)
+                return F.col(dim) < F.lit(end)
+        op = (F.col(dim) >= F.lit(value)) if side == "start" else (F.col(dim) <= F.lit(value))
+        return op
+
     def _sel_one(self, dim: str, value, method, tolerance) -> "XDataset":
+        from xarray_spark._utils import is_temporal, parse_iso8601_prefix
         scalar = not isinstance(value, (list, tuple, slice)) and not hasattr(value, "__len__") or isinstance(value, str)
         if method is None:
             if isinstance(value, slice):
+                # a negative step reverses the bound roles: slice(hi, lo,
+                # -k) ranges from hi DOWN to lo (pandas .loc semantics),
+                # so .start is the UPPER bound and .stop the LOWER one
+                reverse = value.step is not None and int(value.step) < 0
                 cond = F.lit(True)
                 if value.start is not None:
-                    cond = cond & (F.col(dim) >= F.lit(value.start))
+                    cond = cond & self._sel_bound(
+                        dim, value.start, "stop" if reverse else "start")
                 if value.stop is not None:
-                    cond = cond & (F.col(dim) <= F.lit(value.stop))
+                    cond = cond & self._sel_bound(
+                        dim, value.stop, "start" if reverse else "stop")
                 df = self.df.where(cond)
                 if value.step is not None:
                     # every step-th label of the in-range label table
-                    # (xarray core/dataset.py:3018 slice semantics): the
-                    # offset anchors at the first in-range label, positions
-                    # come from the broadcast label table
+                    # (xarray core/dataset.py:3018 slice semantics):
+                    # positive step anchors at the FIRST in-range label,
+                    # negative step at the LAST (pandas .loc[b:a:-k] —
+                    # every |k|-th label counting down from the top of
+                    # the range); positions from the broadcast label table
                     step = int(value.step)
-                    if step <= 0:
-                        raise NotImplementedError("label slice step must be positive")
+                    if step == 0:
+                        raise ValueError("label slice step cannot be zero")
                     labels = self._dim_labels(dim).where(cond)
-                    base = labels.withColumn(
-                        "__p0", F.min("__pos").over(Window.partitionBy())
-                    )
-                    keep = base.where(
-                        (F.col("__pos") - F.col("__p0")) % step == 0
-                    ).select(dim)
+                    if step > 0:
+                        base = labels.withColumn(
+                            "__p0", F.min("__pos").over(Window.partitionBy())
+                        )
+                        keep = base.where(
+                            (F.col("__pos") - F.col("__p0")) % step == 0
+                        ).select(dim)
+                    else:
+                        base = labels.withColumn(
+                            "__p1", F.max("__pos").over(Window.partitionBy())
+                        )
+                        keep = base.where(
+                            (F.col("__p1") - F.col("__pos")) % (-step) == 0
+                        ).select(dim)
                     df = df.join(F.broadcast(keep), on=dim, how="left_semi")
                 return self._replace(df=df)
             if isinstance(value, (list, tuple)):
                 return self._replace(df=self.df.where(F.col(dim).isin(list(value))))
+            if isinstance(value, str) and is_temporal(self.df.schema[dim].dataType):
+                # ISO8601 partial-string selection (pandas/xarray
+                # partial datetime indexing; xarray coding/times.py
+                # parse_iso8601_like): a coarse prefix selects the whole
+                # period and KEEPS the dim; a full-resolution string is
+                # an exact scalar match and drops it.
+                parsed = parse_iso8601_prefix(value)
+                if parsed is not None:
+                    start, end, res = parsed
+                    if res == "second":
+                        out = self._replace(
+                            df=self.df.where(F.col(dim) == F.lit(start)))
+                        return out._drop_dim(dim)
+                    return self._replace(df=self.df.where(
+                        (F.col(dim) >= F.lit(start)) & (F.col(dim) < F.lit(end))))
             # scalar: filter and drop the dim (xarray drops scalar-selected dims)
             out = self._replace(df=self.df.where(F.col(dim) == F.lit(value)))
             return out._drop_dim(dim)
         # inexact matching: resolve requested labels against the label table
         req = [value] if scalar else list(value)
+        if not scalar and len(req) > 128:
+            # scale path: a 10^6-request list must not round-trip through
+            # the driver — resolve request→label with the same broadcast
+            # as-of map reindex uses (alignment.py) and semi-join the
+            # fact table on the matched labels.  No collect.
+            from xarray_spark.alignment import _asof_label_map
+            req_df = self.spark.createDataFrame([(r,) for r in req], [dim])
+            matched = _asof_label_map(self, dim, req_df, method, tolerance)
+            keep = (matched.select(F.col("__match").alias(dim))
+                    .where(F.col(dim).isNotNull()).distinct())
+            return self._replace(
+                df=self.df.join(F.broadcast(keep), on=dim, how="left_semi"))
         matched = self._asof_match_labels(dim, req, method, tolerance)
         if scalar:
             if not matched:
@@ -1188,9 +1247,33 @@ class XDataset:
         xarray's dict-of-arrays return, core/variable.py:2491)."""
         dims = self._norm_dim_arg(dim)
         if len(dims) > 1:
-            if use_pos:
-                raise NotImplementedError("multi-dim argmin/argmax — use idxmin/idxmax (labels)")
             fn = F.min_by if is_min else F.max_by
+            if use_pos:
+                # dict-of-positions return (core/variable.py:2491): one
+                # broadcast position lookup per dim; the extremum is the
+                # MIN/MAX of an ordered struct (value first, then the
+                # position tuple) so ties break on the smallest position
+                # — numpy's first-occurrence semantics, deterministic
+                # where min_by/max_by is not.
+                ds = self
+                for d in dims:
+                    labels = self._dim_labels(d).select(
+                        d, F.col("__pos").alias(f"__pos_{d}"))
+                    ds = ds._replace(
+                        df=ds.df.join(F.broadcast(labels), on=d, how="left"))
+
+                def agg(v):
+                    if is_min:
+                        s = F.min(F.when(F.col(v).isNotNull(), F.struct(
+                            F.col(v).alias("__val"),
+                            *[F.col(f"__pos_{d}").alias(d) for d in dims])))
+                        return F.struct(*[s[d].alias(d) for d in dims])
+                    s = F.max(F.when(F.col(v).isNotNull(), F.struct(
+                        F.col(v).alias("__val"),
+                        *[(-F.col(f"__pos_{d}")).alias(d) for d in dims])))
+                    return F.struct(*[(-s[d]).alias(d) for d in dims])
+
+                return ds._reduce(dims, agg)
             key = F.struct(*[F.col(d).alias(d) for d in dims])
             return self._reduce(dims, lambda v: fn(key, F.col(v)))
         d = dims[0]

@@ -291,6 +291,79 @@ class XCoarsen:
     def std(self): return self._agg(lambda v: F.stddev_pop(v))
     def var(self): return self._agg(lambda v: F.var_pop(v))
 
+    def construct(self, window_dim: Mapping[str, tuple] | None = None,
+                  **window_dim_kwargs) -> XDataset:
+        """Split each coarsened dim into (outer, inner) dims without
+        reducing (xarray/computation/rolling.py:1269 Coarsen.construct).
+
+        ``construct(time=("year", "season"))`` replaces the ``time`` key
+        column with integer ``year`` (block index) and ``season``
+        (offset inside the block); the original labels stay attached as
+        a coordinate keyed by the new dims.  Long-form twist: the block
+        structure comes from the broadcast label table (one position
+        lookup joined back), so the fact table is never sorted and cells
+        missing from a trailing partial block are simply absent rows —
+        the sparse analogue of the reference's NaN padding."""
+        spec = dict(window_dim or {})
+        spec.update(window_dim_kwargs)
+        ds = self.ds
+        new_dims: list[str] = []
+        coords = dict(ds.coords)
+        for dim, size in self.windows.items():
+            if dim not in spec:
+                raise ValueError(f"window_dim missing entry for {dim!r}")
+            outer, inner = spec[dim]
+            labels = ds._dim_labels(dim).select(
+                F.col(dim),
+                F.floor(F.col("__pos") / F.lit(size)).cast("long").alias(outer),
+                F.pmod(F.col("__pos"), F.lit(size)).cast("long").alias(inner),
+                F.col("__size"),
+            )
+            if self.boundary == "trim":
+                labels = labels.where(
+                    F.col(outer) < F.floor(F.col("__size") / F.lit(size)))
+            labels = labels.drop("__size")
+            ds = ds._replace(df=ds.df.join(F.broadcast(labels), on=dim, how="inner"))
+            new_dims += [outer, inner]
+            coords[dim] = (outer, inner)  # original labels ride as a coord
+        kept = [d for d in ds.dims if d not in self.windows]
+        return XDataset(ds.df, new_dims + kept, coords, ds.data_vars, ds.attrs)
+
+    def reduce(self, func, dtype: str = "double") -> XDataset:
+        """Apply an arbitrary NumPy reduction per block
+        (xarray/computation/rolling.py:1365 Coarsen.reduce).  The func
+        runs as a grouped-agg pandas UDF — Arrow batches, one scalar per
+        block, same shuffle as the built-in reductions.  Spark refuses
+        to mix pandas and JVM aggregates in one groupBy, so the block
+        labels are aggregated on the (broadcast-tiny) label table and
+        joined back instead of riding the fact aggregation."""
+        @F.pandas_udf(dtype)
+        def red(v: pd.Series) -> float:
+            return func(v.to_numpy())
+
+        ds, block_cols = self._blocked()
+        coarse_dims = list(self.windows)
+        kept = [d for d in self.ds.dims if d not in coarse_dims]
+        coords = self.ds._coords_on(kept)
+        keys = block_cols + kept + list(coords)
+        df = ds.df.groupBy(*keys).agg(
+            *[red(F.col(v)).alias(v) for v in self.ds.data_vars]
+        )
+        for dim in coarse_dims:
+            size = self.windows[dim]
+            bcol = f"__block_{dim}"
+            dt = self.ds.df.schema[dim].dataType
+            lab_agg = (F.avg(dim) if isinstance(
+                dt, (T.FloatType, T.DoubleType, T.IntegerType, T.LongType))
+                else F.min(dim)).alias(dim)
+            blocks = (self.ds._dim_labels(dim)
+                      .withColumn(bcol, F.floor(F.col("__pos") / F.lit(size)))
+                      .groupBy(bcol).agg(lab_agg))
+            df = df.join(F.broadcast(blocks), on=bcol, how="inner")
+        df = df.drop(*block_cols)
+        return XDataset(df, coarse_dims + kept, coords, self.ds.data_vars,
+                        self.ds.attrs)
+
 
 class XRollingExp:
     """Exponentially-weighted moving ops (xarray/computation/rolling_exp.py:49).
@@ -361,3 +434,49 @@ class XRollingExp:
 
     def var(self) -> XDataset:
         return self._ewm("var")
+
+    def _ewm_pair(self, other: XDataset, agg: str) -> XDataset:
+        """EWM cov/corr against ``other`` (xarray
+        computation/rolling_exp.py:229 cov, :262 corr — numbagg
+        move_exp_nancov/nancorr; pandas' ewm kernel computes the same
+        debiased recursion, verified value-for-value).
+
+        ``other`` must share the scan dim; each of self's data_vars is
+        paired with other's single variable.  One inner join on the dims
+        (broadcast-friendly label keys), then the same per-group Arrow
+        batch as the unary EWM ops."""
+        ds = self.ds
+        dim = self.dim
+        if dim not in other.dims:
+            raise ValueError(f"other lacks the EWM dim {other.dims} vs {dim!r}")
+        ovar = other.data_vars[0]
+        right = other.df.select(
+            *[c for c in other.dims], F.col(ovar).alias("__other")
+        )
+        joined = ds.df.join(right, on=list(other.dims), how="inner")
+        others = [d for d in ds.dims if d != dim]
+        varlist = list(ds.data_vars)
+        kwargs = {self.window_type: self.window}
+        out_schema = joined.drop("__other").schema
+
+        def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(dim)
+            b = pdf["__other"].astype("float64")
+            for v in varlist:
+                ew = pdf[v].astype("float64").ewm(**kwargs, min_periods=1)
+                pdf[v] = getattr(ew, agg)(b)
+            return pdf.drop(columns="__other")
+
+        if others:
+            df = joined.groupBy(*others).applyInPandas(apply_fn, out_schema)
+        else:
+            df = joined.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+                lambda pdf: apply_fn(pdf.drop(columns="__g")), out_schema
+            )
+        return ds._replace(df=df.select(*ds.df.columns))
+
+    def cov(self, other: XDataset) -> XDataset:
+        return self._ewm_pair(other, "cov")
+
+    def corr(self, other: XDataset) -> XDataset:
+        return self._ewm_pair(other, "corr")

@@ -116,3 +116,79 @@ heaviside = lambda a, h: F.when(a < 0, 0.0).when(a == 0, h).otherwise(1.0)  # no
 # numpy ufuncs with no JVM builtin — would require a pandas_udf; kept
 # explicit so coverage is auditable:
 _NO_BUILTIN = ("spacing", "nextafter", "frexp", "modf")
+
+
+# ------------------------------------------------------------------ #
+# complex family (reference ufuncs.py angle/conj/real/imag/iscomplex/
+# isreal).  SURVEY §1.4 representation: a complex value is a
+# struct<re: double, im: double> column — built with complex_col /
+# build_complex, consumed by the ufuncs below.  All pure JVM struct
+# field expressions, codegen'd like any scalar op.
+# ------------------------------------------------------------------ #
+
+def complex_col(re, im) -> Column:
+    """Build a struct<re,im> complex column from two numeric columns."""
+    re = re if isinstance(re, Column) else F.lit(re)
+    im = im if isinstance(im, Column) else F.lit(im)
+    return F.struct(re.cast("double").alias("re"), im.cast("double").alias("im"))
+
+
+def build_complex(x: XDataset, re_var: str, im_var: str, name: str = "z") -> XDataset:
+    """Pair two real data variables into one complex variable."""
+    df = x.df.withColumn(name, complex_col(F.col(re_var), F.col(im_var)))
+    df = df.drop(re_var, im_var)
+    data_vars = [v for v in x.data_vars if v not in (re_var, im_var)] + [name]
+    return XDataset(df, x.dims, x.coords, data_vars, x.attrs)
+
+
+real = _mk(lambda c: c["re"])
+imag = _mk(lambda c: c["im"])
+conj = _mk(lambda c: F.struct(c["re"].alias("re"), (-c["im"]).alias("im")))
+conjugate = conj
+
+
+def angle(x, deg: bool = False):
+    def fn(c):
+        a = F.atan2(c["im"], c["re"])
+        return a * F.lit(180.0 / math.pi) if deg else a
+    return _apply(x, fn)
+
+
+iscomplex = _mk(lambda c: c["im"] != F.lit(0.0))
+isreal = _mk(lambda c: c["im"] == F.lit(0.0))
+
+# complex arithmetic helpers (the binary ops the struct encoding needs
+# spelled out; real ops stay on the ordinary arithmetic operators)
+cabs = _mk(lambda c: F.hypot(c["re"], c["im"]))
+
+
+def cadd(a, b) -> Column:
+    return F.struct((a["re"] + b["re"]).alias("re"), (a["im"] + b["im"]).alias("im"))
+
+
+def csub(a, b) -> Column:
+    return F.struct((a["re"] - b["re"]).alias("re"), (a["im"] - b["im"]).alias("im"))
+
+
+def cmul(a, b) -> Column:
+    return F.struct(
+        (a["re"] * b["re"] - a["im"] * b["im"]).alias("re"),
+        (a["re"] * b["im"] + a["im"] * b["re"]).alias("im"),
+    )
+
+
+def cdiv(a, b) -> Column:
+    d = b["re"] * b["re"] + b["im"] * b["im"]
+    return F.struct(
+        ((a["re"] * b["re"] + a["im"] * b["im"]) / d).alias("re"),
+        ((a["im"] * b["re"] - a["re"] * b["im"]) / d).alias("im"),
+    )
+
+
+def cexp(x):
+    """exp of a complex struct: e^re * (cos im + i sin im)."""
+    def fn(c):
+        m = F.exp(c["re"])
+        return F.struct((m * F.cos(c["im"])).alias("re"),
+                        (m * F.sin(c["im"])).alias("im"))
+    return _apply(x, fn)
