@@ -1,0 +1,245 @@
+"""Round-4 additions: ISO8601 partial-string sel, negative slice step,
+EWM cov/corr, coarsen construct/reduce, interp_calendar, complex ufuncs,
+multi-dim argmin/argmax, scale-safe list sel(method=)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spark import XDataset, interp_calendar
+from xarray_spark import ufuncs as xu
+
+
+@pytest.fixture(scope="module")
+def daily(spark):
+    base = dt.datetime(1995, 1, 1)
+    pdf = pd.DataFrame({
+        "t": [base + dt.timedelta(days=i) for i in range(400)],
+        "v": np.arange(400, dtype="float64"),
+    })
+    return XDataset(spark.createDataFrame(pdf), dims=["t"])
+
+
+# ------------------------------------------------------------------ #
+# partial-string time selection
+# ------------------------------------------------------------------ #
+
+def test_sel_partial_string_month(daily):
+    out = daily.sel(t="1995-06").to_pandas().sort_values("t")
+    assert len(out) == 30
+    assert out["t"].iloc[0] == pd.Timestamp("1995-06-01")
+    assert out["t"].iloc[-1] == pd.Timestamp("1995-06-30")
+
+
+def test_sel_partial_string_year(daily):
+    out = daily.sel(t="1995").to_pandas()
+    assert len(out) == 365
+
+
+def test_sel_partial_string_exact_drops_dim(daily):
+    out = daily.sel(t="1995-02-03 00:00:00")
+    assert "t" not in out.dims
+    assert out.to_pandas()["v"].iloc[0] == 33.0
+
+
+def test_sel_slice_partial_strings(daily):
+    out = daily.sel(t=slice("1995-01", "1995-03")).to_pandas()
+    assert len(out) == 31 + 28 + 31
+    assert out["t"].max() == pd.Timestamp("1995-03-31")
+
+
+def test_sel_nonsense_string_falls_back(daily):
+    # not ISO8601-like -> exact equality -> empty result, no crash
+    assert daily.sel(t=slice("1995-01", "1995-01")).to_pandas().shape[0] == 31
+
+
+# ------------------------------------------------------------------ #
+# negative label-slice step
+# ------------------------------------------------------------------ #
+
+def test_sel_negative_step(daily):
+    hi, lo = dt.datetime(1995, 12, 31), dt.datetime(1995, 1, 1)
+    out = daily.sel(t=slice(hi, lo, -7)).to_pandas().sort_values("t")
+    fwd = daily.sel(t=slice(lo, hi, 7)).to_pandas()
+    assert len(out) == len(fwd) == 53
+    # anchored at the TOP of the range: last label present
+    assert out["t"].iloc[-1] == pd.Timestamp("1995-12-31")
+    assert out["t"].iloc[0] == pd.Timestamp("1995-01-01")  # 364 % 7 == 0
+
+
+def test_sel_step_zero_raises(daily):
+    with pytest.raises(ValueError):
+        daily.sel(t=slice(None, None, 0))
+
+
+# ------------------------------------------------------------------ #
+# list-valued sel(method=) scale path (no driver collect)
+# ------------------------------------------------------------------ #
+
+def test_sel_list_nearest_large(daily):
+    reqs = [dt.datetime(1995, 1, 1, 1) + dt.timedelta(days=i)
+            for i in range(200)]
+    out = daily.sel(t=reqs, method="nearest").to_pandas()
+    # each request snaps to its own day -> 200 matched labels
+    assert len(out) == 200
+    assert out["t"].min() == pd.Timestamp("1995-01-01")
+
+
+def test_sel_list_nearest_small_matches_large(daily):
+    reqs = [dt.datetime(1995, 3, 1, 5), dt.datetime(1995, 3, 2, 23)]
+    small = daily.sel(t=reqs, method="nearest").to_pandas()
+    big = daily.sel(t=reqs * 100, method="nearest").to_pandas()
+    assert sorted(small["t"]) == sorted(big["t"].unique())
+
+
+# ------------------------------------------------------------------ #
+# EWM cov / corr
+# ------------------------------------------------------------------ #
+
+def test_rolling_exp_cov_corr(spark):
+    pdf = pd.DataFrame({"t": range(20),
+                        "a": np.sin(np.arange(20.0)),
+                        "b": np.cos(np.arange(20.0)) + np.arange(20) * 0.1})
+    df = spark.createDataFrame(pdf)
+    ds = XDataset(df.select("t", "a"), dims=["t"])
+    other = XDataset(df.select("t", "b"), dims=["t"])
+    got = (ds.rolling_exp(t=4, window_type="span").cov(other)
+           .to_pandas().sort_values("t")["a"].to_numpy())
+    exp = pdf["a"].ewm(span=4, min_periods=1).cov(pdf["b"]).to_numpy()
+    np.testing.assert_allclose(got[1:], exp[1:], rtol=1e-12)
+    gotc = (ds.rolling_exp(t=4, window_type="span").corr(other)
+            .to_pandas().sort_values("t")["a"].to_numpy())
+    expc = pdf["a"].ewm(span=4, min_periods=1).corr(pdf["b"]).to_numpy()
+    np.testing.assert_allclose(gotc[2:], expc[2:], rtol=1e-9)
+
+
+def test_rolling_exp_cov_grouped(spark):
+    pdf = pd.DataFrame({
+        "g": [0] * 10 + [1] * 10, "t": list(range(10)) * 2,
+        "a": np.arange(20.0), "b": np.arange(20.0) ** 2,
+    })
+    df = spark.createDataFrame(pdf)
+    ds = XDataset(df.select("g", "t", "a"), dims=["g", "t"])
+    other = XDataset(df.select("g", "t", "b"), dims=["g", "t"])
+    got = (ds.rolling_exp(t=3, window_type="span").cov(other)
+           .to_pandas().sort_values(["g", "t"]))
+    for g in (0, 1):
+        sub = pdf[pdf["g"] == g]
+        exp = sub["a"].ewm(span=3, min_periods=1).cov(sub["b"]).to_numpy()
+        np.testing.assert_allclose(
+            got[got["g"] == g]["a"].to_numpy()[1:], exp[1:], rtol=1e-12)
+
+
+# ------------------------------------------------------------------ #
+# coarsen construct / reduce
+# ------------------------------------------------------------------ #
+
+def test_coarsen_construct(spark):
+    pdf = pd.DataFrame({"t": range(10), "v": np.arange(10.0)})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    out = (ds.coarsen(t=4, boundary="trim").construct(t=("tb", "ti"))
+           .to_pandas().sort_values(["tb", "ti"]))
+    assert out["tb"].tolist() == [0] * 4 + [1] * 4  # partial block trimmed
+    assert out["ti"].tolist() == [0, 1, 2, 3] * 2
+    assert "t" in out.columns  # original labels ride along as a coord
+
+
+def test_coarsen_construct_pad_keeps_partial(spark):
+    pdf = pd.DataFrame({"t": range(10), "v": np.arange(10.0)})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    out = ds.coarsen(t=4).construct(t=("tb", "ti")).to_pandas()
+    assert len(out) == 10  # sparse: partial block present, no NaN rows
+
+
+def test_coarsen_reduce(spark):
+    pdf = pd.DataFrame({"t": range(12), "v": np.arange(12.0) ** 2})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    out = (ds.coarsen(t=4).reduce(np.ptp).to_pandas().sort_values("t"))
+    exp = [np.ptp(np.arange(12.0)[i:i + 4] ** 2) for i in (0, 4, 8)]
+    np.testing.assert_allclose(sorted(out["v"]), sorted(exp))
+
+
+# ------------------------------------------------------------------ #
+# interp_calendar
+# ------------------------------------------------------------------ #
+
+def test_interp_calendar_360_to_standard(spark):
+    src_df = (spark.range(360 * 25, 360 * 26)
+              .select(F.col("id").cast("long").alias("time"),
+                      (F.col("id") - 360 * 25).cast("double").alias("v")))
+    src = XDataset(src_df, dims=["time"], attrs={"calendar": "360_day"})
+    tgt = [dt.datetime(1995, 1, 1) + dt.timedelta(days=i) for i in range(365)]
+    out = interp_calendar(src, tgt, dim="time").to_pandas().sort_values("time")
+    assert len(out) == 365
+    assert out["v"].iloc[0] == 0.0
+    v = out["v"].to_numpy()
+    inner = v[~np.isnan(v)]
+    assert np.all(np.diff(inner) > 0)          # smooth monotone ramp
+    np.testing.assert_allclose(inner[-1], 359.0, atol=1.5)
+
+
+def test_interp_calendar_standard_to_standard_identity(spark):
+    base = dt.datetime(2000, 1, 1)
+    pdf = pd.DataFrame({"time": [base + dt.timedelta(days=i) for i in range(50)],
+                        "v": np.arange(50.0)})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    out = interp_calendar(ds, list(pdf["time"]), dim="time").to_pandas()
+    got = out.sort_values("time")["v"].to_numpy()
+    np.testing.assert_allclose(got, np.arange(50.0), atol=1e-6)
+
+
+# ------------------------------------------------------------------ #
+# complex ufuncs
+# ------------------------------------------------------------------ #
+
+def test_complex_ufuncs(spark):
+    pdf = pd.DataFrame({"re": [1.0, 0.0, -1.0, 3.0], "im": [0.0, 2.0, -1.0, -4.0]})
+    df = spark.createDataFrame(pdf).withColumn(
+        "z", xu.complex_col(F.col("re"), F.col("im")))
+    out = df.select(
+        xu.angle(F.col("z")).alias("ang"),
+        xu.cabs(F.col("z")).alias("mag"),
+        xu.real(F.col("z")).alias("r"),
+        xu.imag(F.col("z")).alias("i"),
+        xu.real(xu.cmul(F.col("z"), xu.conj(F.col("z")))).alias("zz"),
+        xu.imag(xu.cdiv(F.col("z"), F.col("z"))).alias("one_im"),
+        xu.real(xu.cexp(F.col("z"))).alias("er"),
+        xu.iscomplex(F.col("z")).alias("isc"),
+    ).toPandas()
+    z = pdf["re"].to_numpy() + 1j * pdf["im"].to_numpy()
+    np.testing.assert_allclose(out["ang"], np.angle(z))
+    np.testing.assert_allclose(out["mag"], np.abs(z))
+    np.testing.assert_allclose(out["zz"], np.abs(z) ** 2)
+    np.testing.assert_allclose(out["one_im"], 0.0, atol=1e-12)
+    np.testing.assert_allclose(out["er"], np.exp(z).real, rtol=1e-12)
+    assert out["isc"].tolist() == [False, True, True, True]
+
+
+def test_build_complex(spark):
+    pdf = pd.DataFrame({"t": [0, 1], "re": [1.0, 2.0], "im": [3.0, 4.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    z = xu.build_complex(ds, "re", "im")
+    assert list(z.data_vars) == ["z"]
+    out = xu.cabs(z).to_pandas().sort_values("t")
+    np.testing.assert_allclose(out["z"], [np.hypot(1, 3), np.hypot(2, 4)])
+
+
+# ------------------------------------------------------------------ #
+# multi-dim argmin/argmax dict/struct form
+# ------------------------------------------------------------------ #
+
+def test_argmax_multidim_first_occurrence(spark):
+    pdf = pd.DataFrame([(i, j, float((i * 7 + j * 3) % 11))
+                        for i in range(4) for j in range(5)],
+                       columns=["x", "y", "v"])
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x", "y"])
+    arr = pdf.pivot(index="x", columns="y", values="v").to_numpy()
+    got_max = ds.argmax(["x", "y"]).to_pandas()["v"].iloc[0]
+    got_min = ds.argmin(["x", "y"]).to_pandas()["v"].iloc[0]
+    exp_max = np.unravel_index(np.argmax(arr), arr.shape)
+    exp_min = np.unravel_index(np.argmin(arr), arr.shape)
+    assert (got_max["x"], got_max["y"]) == exp_max
+    assert (got_min["x"], got_min["y"]) == exp_min

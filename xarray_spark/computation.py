@@ -436,7 +436,11 @@ def interp_calendar(ds: XDataset, target, dim: str = "time",
         tdf = target.select(dim).where(F.col(dim).isNotNull()).distinct()
         tgt_cal = target_calendar or "standard"
     else:
-        tdf = spark.createDataFrame([(t,) for t in list(target)], [dim])
+        # pd.Timestamp infers as an empty struct in Spark — downcast to
+        # plain datetime before building the label table
+        vals = [t.to_pydatetime() if hasattr(t, "to_pydatetime") else t
+                for t in list(target)]
+        tdf = spark.createDataFrame([(t,) for t in vals], [dim])
         tgt_cal = target_calendar or "standard"
     src_dy = _decimal_year_expr(F.col(dim), ds.df.schema[dim].dataType, src_cal)
     src = ds._replace(df=ds.df.withColumn(dim, src_dy))

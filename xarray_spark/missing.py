@@ -395,13 +395,22 @@ def interp(ds: XDataset, coords: dict, method: str = "linear",
         tgt = other_combos.crossJoin(F.broadcast(tgt_labels))
     else:
         tgt = tgt_labels
+    keys = [*others, dim]
+    # exact-label hits take their existing values verbatim (no interp
+    # artifact at the series edges); only labels genuinely absent from a
+    # series go through the interpolating union.  Two joins on the
+    # (others, dim) key — broadcast when the target side is small.
+    marker = tgt.select(*keys).withColumn("__is_tgt", F.lit(1))
+    base = ds.df.join(marker, on=keys, how="left").withColumn(
+        "__is_tgt", F.coalesce(F.col("__is_tgt"), F.lit(0)))
+    new_rows = tgt.select(*keys).join(
+        ds.df.select(*keys), on=keys, how="left_anti")
     for v in ds.data_vars:
-        tgt = tgt.withColumn(v, F.lit(None).cast(ds.df.schema[v].dataType))
+        new_rows = new_rows.withColumn(v, F.lit(None).cast(ds.df.schema[v].dataType))
     for c in ds.coords:
-        tgt = tgt.withColumn(c, F.lit(None).cast(ds.df.schema[c].dataType))
-    tgt = tgt.withColumn("__is_tgt", F.lit(1))
-    base = ds.df.withColumn("__is_tgt", F.lit(0))
-    unioned = base.unionByName(tgt.select(*base.columns))
+        new_rows = new_rows.withColumn(c, F.lit(None).cast(ds.df.schema[c].dataType))
+    new_rows = new_rows.withColumn("__is_tgt", F.lit(1))
+    unioned = base.unionByName(new_rows.select(*base.columns))
     u = ds._replace(df=unioned)
     filled = interpolate_na(u, dim, method=method, order=order, lam=lam)
     out = filled.df.where(F.col("__is_tgt") == 1).drop("__is_tgt")
