@@ -1558,6 +1558,132 @@ def q98_chunk_documents(spark, sf_dir):
     return chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
+def q99_sel_partial_string(spark, sf_dir):
+    """ISO8601 partial-string time selection (pandas/xarray partial
+    datetime indexing; xarray coding/times.py parse_iso8601_like):
+    sel(l_shipdate='1995-06') selects the whole month."""
+    daily = _daily_revenue(spark, sf_dir)
+    return daily.sel(l_shipdate="1995-06").to_spark().select("l_shipdate", "rev")
+
+
+def q100_sel_negative_step(spark, sf_dir):
+    """Negative label-slice step (pandas .loc[hi:lo:-k] semantics,
+    xarray core/dataset.py:3018): every 7th daily-revenue label counting
+    DOWN from the top of the 1995 range."""
+    import datetime as dt
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.sel(l_shipdate=slice(dt.datetime(1995, 12, 31),
+                                     dt.datetime(1995, 1, 1), -7))
+    return out.to_spark().select("l_shipdate", "rev")
+
+
+def q101_ewm_corr(spark, sf_dir):
+    """EWM correlation of daily revenue vs daily order count
+    (xarray computation/rolling_exp.py:262 RollingExp.corr — numbagg
+    move_exp_nancorr; pandas' ewm kernel is value-identical).  The
+    oracle replays the adjust=True weighted-moment formula with window
+    prefix sums (debias factors cancel in corr)."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
+    daily = li.groupby("l_shipdate").agg(rev=F.sum("rev"), n=F.count(F.lit(1)))
+    rev = XDataset(daily.to_spark().select("l_shipdate", "rev"), dims=["l_shipdate"])
+    cnt = XDataset(
+        daily.to_spark().select("l_shipdate", F.col("n").cast("double").alias("n")),
+        dims=["l_shipdate"],
+    )
+    out = rev.rolling_exp(l_shipdate=20, window_type="span").corr(cnt)
+    sdf = out.to_spark().select(
+        "l_shipdate", F.round(F.col("rev") + F.lit(1e-9), 6).alias("ewm_corr")
+    )
+    # the seed rows' corr is NaN/NULL (undefined variance) and NaN !=
+    # NULL at hash level — compare once the EWM is seeded (testdata ship
+    # dates begin 1995-01-02)
+    return sdf.where(F.col("l_shipdate") > F.to_timestamp(F.lit("1995-01-10")))
+
+
+def q102_coarsen_construct(spark, sf_dir):
+    """coarsen.construct (xarray computation/rolling.py:1269): the 1995
+    daily-revenue axis split into (week_block, day_in_block) dims with
+    trim boundary; original labels ride along as a coord."""
+    import datetime as dt
+    daily = _daily_revenue(spark, sf_dir).sel(
+        l_shipdate=slice(dt.datetime(1995, 1, 1), dt.datetime(1995, 12, 31)))
+    out = daily.coarsen(l_shipdate=7, boundary="trim").construct(
+        l_shipdate=("wk", "dow"))
+    return out.to_spark().select("wk", "dow", "l_shipdate", "rev")
+
+
+def q103_coarsen_reduce(spark, sf_dir):
+    """coarsen.reduce with a custom NumPy callable (np.ptp = max-min per
+    block; xarray computation/rolling.py:1365) over weekly blocks of the
+    1995 daily-revenue axis — grouped-agg pandas UDF, block labels from
+    the label table."""
+    import datetime as dt
+    import numpy as np
+    daily = _daily_revenue(spark, sf_dir).sel(
+        l_shipdate=slice(dt.datetime(1995, 1, 1), dt.datetime(1995, 12, 31)))
+    out = daily.coarsen(l_shipdate=7, boundary="trim").reduce(
+        lambda a: float(np.max(a) - np.min(a)))
+    return out.to_spark().select(
+        "l_shipdate", F.round(F.col("rev") + F.lit(1e-6), 3).alias("rev_range"))
+
+
+def q104_interp_calendar(spark, sf_dir):
+    """interp_calendar (xarray coding/calendar_ops.py:349): the 1995
+    standard-calendar daily-revenue series interpolated onto a 360_day
+    axis via the decimal-year measure.  Oracle: DuckDB ASOF joins on
+    the same decimal years."""
+    import datetime as dt
+    from xarray_spark import interp_calendar
+    daily = _daily_revenue(spark, sf_dir).sel(
+        l_shipdate=slice(dt.datetime(1995, 1, 1), dt.datetime(1995, 12, 31)))
+    # target: every day of 1995 in the 360_day calendar (ordinals are
+    # days since 1970-01-01 in that calendar: year 25, 360 days)
+    tgt = spark.range(360 * 25, 360 * 26).select(
+        F.col("id").cast("long").alias("l_shipdate"))
+    out = interp_calendar(daily, tgt, dim="l_shipdate",
+                          target_calendar="360_day")
+    return out.to_spark().select(
+        F.col("l_shipdate").alias("ordinal_360"),
+        F.round(F.col("rev") + F.lit(1e-6), 3).alias("rev"),
+    ).where(F.col("rev").isNotNull())
+
+
+def q105_argmax_grid(spark, sf_dir):
+    """Multi-dim argmax dict form (xarray core/variable.py:2491): the
+    (returnflag, shipdate) position tuple of the revenue-grid maximum,
+    first-occurrence tie-break.  Positions come from the broadcast label
+    tables; the oracle recomputes them with dense_rank."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
+    grid = li.groupby(["l_returnflag", "l_shipdate"]).agg(rev=_r3(F.sum("rev")))
+    out = grid.argmax(["l_returnflag", "l_shipdate"])
+    return out.to_spark().select(
+        F.col("rev.l_returnflag").cast("long").alias("pos_flag"),
+        F.col("rev.l_shipdate").cast("long").alias("pos_date"),
+    )
+
+
+def q106_complex_phase(spark, sf_dir):
+    """Complex ufunc family on struct<re,im> (reference ufuncs.py
+    angle/conj/real/imag): treat (scaled quantity, scaled discount) as a
+    complex plane, aggregate magnitude and phase per return flag — all
+    JVM struct-field expressions."""
+    from xarray_spark import ufuncs as xu
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    z = xu.complex_col(F.col("l_quantity") - 25.0, F.col("l_discount") * 100.0 - 5.0)
+    zz = xu.cmul(z, xu.conj(z))
+    out = li.select(
+        "l_returnflag",
+        xu.cabs(z).alias("mag"),
+        xu.angle(z).alias("ang"),
+        xu.real(zz).alias("pw"),
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.round(F.avg("mag") + F.lit(1e-9), 6).alias("avg_mag"),
+        F.round(F.avg("ang") + F.lit(1e-9), 6).alias("avg_angle"),
+        F.round(F.sum("pw") + F.lit(1e-6), 3).alias("sum_power"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1638,6 +1764,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_stream_sessionize": q96_stream_sessionize,
         "q97_ivf_fixed": q97_ivf_fixed,
         "q98_chunk_documents": q98_chunk_documents,
+        # ---- window: round-4 debutants (sel/window/calendar/complex) ----
+        "q99_sel_partial_string": q99_sel_partial_string,
+        "q100_sel_negative_step": q100_sel_negative_step,
+        "q101_ewm_corr": q101_ewm_corr,
+        "q102_coarsen_construct": q102_coarsen_construct,
+        "q103_coarsen_reduce": q103_coarsen_reduce,
+        "q104_interp_calendar": q104_interp_calendar,
+        "q105_argmax_grid": q105_argmax_grid,
+        "q106_complex_phase": q106_complex_phase,
         # ---- window: round-2 anchors, one per operator family ----
         "q01_pricing_summary": q01_pricing_summary,
         "q53_ngram_jaccard": q53_ngram_jaccard,
@@ -2928,5 +3063,144 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN n ON n.ts = t.ts
             LEFT JOIN daily dp ON dp.l_shipdate = p.pd
             LEFT JOIN daily dn ON dn.l_shipdate = n.nd
+        """,
+        "q99_sel_partial_string": f"""
+            WITH daily AS ({_DAILY_SQL})
+            SELECT l_shipdate, rev FROM daily
+            WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+              AND l_shipdate <  TIMESTAMP '1995-07-01'
+        """,
+        "q100_sel_negative_step": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            ranged AS (
+              SELECT l_shipdate, rev,
+                     row_number() OVER (ORDER BY l_shipdate DESC) - 1 AS rn
+              FROM daily
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <= TIMESTAMP '1995-12-31'
+            )
+            SELECT l_shipdate, rev FROM ranged WHERE rn % 7 = 0
+        """,
+        "q101_ewm_corr": """
+            -- adjust=True EWM corr via prefix sums: w_i(t) = q^(t-i)
+            -- factorizes as q^t * q^(-i), and every q^t cancels in corr,
+            -- so the unscaled sums S* = SUM(q^(-i) * f_i) suffice.
+            WITH daily AS (
+              SELECT l_shipdate,
+                     SUM(l_extendedprice * (1 - l_discount)) AS x,
+                     COUNT(*)::DOUBLE AS y
+              FROM lineitem GROUP BY 1
+            ),
+            o AS (
+              SELECT l_shipdate, x, y,
+                     row_number() OVER (ORDER BY l_shipdate) AS rn
+              FROM daily
+            ),
+            w AS (SELECT *, pow(19.0/21.0, -rn) AS u FROM o),
+            s AS (
+              SELECT l_shipdate,
+                     SUM(u)     OVER win AS a,
+                     SUM(u*x)   OVER win AS sx,
+                     SUM(u*y)   OVER win AS sy,
+                     SUM(u*x*x) OVER win AS sxx,
+                     SUM(u*y*y) OVER win AS syy,
+                     SUM(u*x*y) OVER win AS sxy
+              FROM w
+              WINDOW win AS (ORDER BY rn
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT l_shipdate,
+                   -- sqrt applied per factor: vx*vy overflows double max
+                   -- once the q^(-i) weights pass ~1e150
+                   ROUND((a*sxy - sx*sy)
+                         / NULLIF(sqrt(GREATEST(a*sxx - sx*sx, 0))
+                                  * sqrt(GREATEST(a*syy - sy*sy, 0)), 0)
+                         + 1e-9, 6) AS ewm_corr
+            FROM s
+            WHERE l_shipdate > TIMESTAMP '1995-01-10'
+        """,
+        "q102_coarsen_construct": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            ranged AS (
+              SELECT l_shipdate, rev,
+                     row_number() OVER (ORDER BY l_shipdate) - 1 AS p,
+                     COUNT(*) OVER () AS n
+              FROM daily
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <= TIMESTAMP '1995-12-31'
+            )
+            SELECT (p // 7)::BIGINT AS wk, (p % 7)::BIGINT AS dow,
+                   l_shipdate, rev
+            FROM ranged WHERE p // 7 < n // 7
+        """,
+        "q103_coarsen_reduce": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            ranged AS (
+              SELECT l_shipdate, rev,
+                     row_number() OVER (ORDER BY l_shipdate) - 1 AS p,
+                     COUNT(*) OVER () AS n
+              FROM daily
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <= TIMESTAMP '1995-12-31'
+            )
+            SELECT MIN(l_shipdate) AS l_shipdate,
+                   ROUND(MAX(rev) - MIN(rev) + 1e-6, 3) AS rev_range
+            FROM ranged WHERE p // 7 < n // 7
+            GROUP BY p // 7
+        """,
+        "q104_interp_calendar": f"""
+            -- decimal-year lerp of 1995 daily revenue onto a 360_day axis
+            WITH daily AS ({_DAILY_SQL}),
+            src AS (
+              SELECT l_shipdate, rev,
+                     1995 + (l_shipdate::DATE - DATE '1995-01-01') / 365.0 AS dy
+              FROM daily
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <= TIMESTAMP '1995-12-31'
+            ),
+            tgt AS (
+              SELECT o, 1995 + (o - 360 * 25) / 360.0 AS dy
+              FROM (SELECT unnest(range(360 * 25, 360 * 26)) AS o)
+            ),
+            p AS (SELECT t.o, t.dy, MAX(s.dy) AS pd
+                  FROM tgt t JOIN src s ON s.dy <= t.dy GROUP BY t.o, t.dy),
+            n AS (SELECT t.o, MIN(s.dy) AS nd
+                  FROM tgt t JOIN src s ON s.dy >= t.dy GROUP BY t.o)
+            SELECT p.o::BIGINT AS ordinal_360,
+                   ROUND(CASE WHEN p.pd = n.nd THEN sp.rev
+                              ELSE sp.rev + (sn.rev - sp.rev)
+                                   * (p.dy - p.pd) / (n.nd - p.pd) END
+                         + 1e-6, 3) AS rev
+            FROM p JOIN n ON n.o = p.o
+            JOIN src sp ON sp.dy = p.pd
+            JOIN src sn ON sn.dy = n.nd
+        """,
+        "q105_argmax_grid": """
+            WITH grid AS (
+              SELECT l_returnflag, l_shipdate,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev
+              FROM lineitem GROUP BY 1, 2
+            ),
+            pos AS (
+              SELECT l_returnflag, l_shipdate, rev,
+                     dense_rank() OVER (ORDER BY l_returnflag) - 1 AS pos_flag,
+                     dense_rank() OVER (ORDER BY l_shipdate) - 1 AS pos_date
+              FROM grid
+            )
+            SELECT pos_flag::BIGINT AS pos_flag, pos_date::BIGINT AS pos_date
+            FROM pos ORDER BY rev DESC, pos_flag ASC, pos_date ASC LIMIT 1
+        """,
+        "q106_complex_phase": """
+            WITH z AS (
+              SELECT l_returnflag,
+                     l_quantity - 25.0 AS re,
+                     l_discount * 100.0 - 5.0 AS im
+              FROM lineitem
+            )
+            SELECT l_returnflag,
+                   ROUND(AVG(sqrt(re*re + im*im)) + 1e-9, 6) AS avg_mag,
+                   ROUND(AVG(atan2(im, re)) + 1e-9, 6) AS avg_angle,
+                   ROUND(SUM(re*re + im*im) + 1e-6, 3) AS sum_power
+            FROM z GROUP BY 1
         """,
     }
