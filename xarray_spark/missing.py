@@ -161,6 +161,13 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
             nxt = F.first(pair, ignorenulls=True).over(fwd)
             x0, y0 = prev.getField("x"), prev.getField("y")
             x1, y1 = nxt.getField("x"), nxt.getField("y")
+            # exact-label duplicates (interp() unions a null row per
+            # target label; a target equal to an existing label sits at
+            # distance 0 from it): fillable from ONE side, no blend —
+            # this is what keeps identity interpolation exact at the
+            # series edges without any extra joins in interp()
+            exact_prev = x0.isNotNull() & (x0 == x)
+            exact_next = x1.isNotNull() & (x1 == x)
             if method == "linear":
                 blend = y0 + (y1 - y0) * (x - x0) / (x1 - x0)
                 interp = F.when(x1 == x0, y0).otherwise(blend)
@@ -168,12 +175,15 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
                 interp = y0
             else:  # nearest
                 interp = F.when((x - x0) <= (x1 - x), y0).otherwise(y1)
-            can_fill = x0.isNotNull() & x1.isNotNull()
+            interp = F.when(exact_prev, y0).when(exact_next, y1).otherwise(interp)
+            two_sided = x0.isNotNull() & x1.isNotNull()
             if max_gap is not None:
                 # xarray max_gap: leave gaps wider than max_gap (in
-                # coordinate units; seconds for time dims) unfilled
+                # coordinate units; seconds for time dims) unfilled —
+                # a distance-0 exact hit is never a gap
                 gap = float(max_gap.total_seconds()) if hasattr(max_gap, "total_seconds") else float(max_gap)
-                can_fill = can_fill & ((x1 - x0) <= gap)
+                two_sided = two_sided & ((x1 - x0) <= gap)
+            can_fill = exact_prev | exact_next | two_sided
             if limit is not None:
                 # xarray limit: fill at most `limit` consecutive nulls
                 # after the last valid value (pandas-style)
@@ -395,22 +405,18 @@ def interp(ds: XDataset, coords: dict, method: str = "linear",
         tgt = other_combos.crossJoin(F.broadcast(tgt_labels))
     else:
         tgt = tgt_labels
-    keys = [*others, dim]
-    # exact-label hits take their existing values verbatim (no interp
-    # artifact at the series edges); only labels genuinely absent from a
-    # series go through the interpolating union.  Two joins on the
-    # (others, dim) key — broadcast when the target side is small.
-    marker = tgt.select(*keys).withColumn("__is_tgt", F.lit(1))
-    base = ds.df.join(marker, on=keys, how="left").withColumn(
-        "__is_tgt", F.coalesce(F.col("__is_tgt"), F.lit(0)))
-    new_rows = tgt.select(*keys).join(
-        ds.df.select(*keys), on=keys, how="left_anti")
+    # pure union, no joins: every target label gets a null row and the
+    # interpolation expression fills it — including distance-0 exact
+    # hits at the series edges, which interpolate_na's exact_prev/
+    # exact_next one-sided fill handles (identity interpolation stays
+    # exact without any join in this plan)
     for v in ds.data_vars:
-        new_rows = new_rows.withColumn(v, F.lit(None).cast(ds.df.schema[v].dataType))
+        tgt = tgt.withColumn(v, F.lit(None).cast(ds.df.schema[v].dataType))
     for c in ds.coords:
-        new_rows = new_rows.withColumn(c, F.lit(None).cast(ds.df.schema[c].dataType))
-    new_rows = new_rows.withColumn("__is_tgt", F.lit(1))
-    unioned = base.unionByName(new_rows.select(*base.columns))
+        tgt = tgt.withColumn(c, F.lit(None).cast(ds.df.schema[c].dataType))
+    tgt = tgt.withColumn("__is_tgt", F.lit(1))
+    base = ds.df.withColumn("__is_tgt", F.lit(0))
+    unioned = base.unionByName(tgt.select(*base.columns))
     u = ds._replace(df=unioned)
     filled = interpolate_na(u, dim, method=method, order=order, lam=lam)
     out = filled.df.where(F.col("__is_tgt") == 1).drop("__is_tgt")
