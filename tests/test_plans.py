@@ -134,3 +134,56 @@ def test_ivf_query_plan_has_no_ml_jobs(spark):
     q = emb.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
     out = ivf_topk(emb, q, k=2, n_cells=4, n_probe=2, centroids=cb)
     assert "CartesianProduct" not in plan_of(out)
+
+
+def test_large_list_sel_method_has_no_collect(spark):
+    """List-valued sel(method=) above the 128-request threshold must
+    resolve through the as-of label map + semi-join — building the plan
+    must not trigger ANY job (a .collect() would), and the final plan
+    joins rather than inlining an isin literal list."""
+    import datetime as dt
+    from xarray_spark import XDataset
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    daily = li.groupBy("l_shipdate").agg(F.sum("l_quantity").alias("q"))
+    ds = XDataset(daily, dims=["l_shipdate"])
+    reqs = [dt.datetime(1995, 1, 1) + dt.timedelta(hours=i) for i in range(10_000)]
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = ds.sel(l_shipdate=reqs, method="nearest")  # plan construction only
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "sel(method=) with a 10k request list ran a driver job"
+    plan = plan_of(out.to_spark())
+    assert "Join" in plan
+    # the isin fast path would show a giant In(...) literal list
+    assert plan.count("1995-01-01") <= 2
+
+
+def test_ewm_pair_join_no_cartesian(spark):
+    """rolling_exp.cov/corr joins other on the dims — never a cross
+    product."""
+    import pandas as pd
+    import numpy as np
+    from xarray_spark import XDataset
+    pdf = pd.DataFrame({"t": range(50), "a": np.arange(50.0)})
+    pdf2 = pd.DataFrame({"t": range(50), "b": np.arange(50.0) ** 2})
+    a = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    b = XDataset(spark.createDataFrame(pdf2), dims=["t"])
+    plan = plan_of(a.rolling_exp(t=4, window_type="span").cov(b).to_spark())
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_coarsen_construct_broadcasts_label_blocks(spark, entry):
+    """coarsen.construct's block structure must ride a broadcast join of
+    the label table, not a shuffle of the fact table."""
+    df = entry.q102_coarsen_construct(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_string_sel_pushes_range_predicate(spark, entry):
+    """sel(time='1995-06') must compile to a pushable range filter."""
+    df = entry.q99_sel_partial_string(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed
