@@ -1684,6 +1684,38 @@ def q106_complex_phase(spark, sf_dir):
     )
 
 
+def q107_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText-style within-document repetition signals
+    (extras.text.repetition_stats): duplicate-line fraction/char
+    fraction, top-bigram share, duplicate-trigram fraction — the
+    repetition quality-filter family, aggregated per language."""
+    from xarray_spark.extras.text import repetition_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rs = repetition_stats(docs).join(docs.select("doc_id", "lang"), on="doc_id")
+    return rs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").alias("total_lines"),
+        _r6(F.avg("dup_line_frac")).alias("avg_dup_line_frac"),
+        _r6(F.avg("dup_line_char_frac")).alias("avg_dup_char_frac"),
+        _r6(F.avg("top_bigram_share")).alias("avg_top_bigram"),
+        _r6(F.avg("dup_trigram_frac")).alias("avg_dup_trigram"),
+    )
+
+
+def q108_blend_epochs(spark, sf_dir):
+    """Fractional-epoch dataset blending (extras.sampling.blend_epochs):
+    1.5 epochs of en, 2.25 of de, 0.4 of fr — deterministic hash-driven
+    mixture with a 0-based epoch index, replayed exactly in SQL."""
+    from xarray_spark.extras.sampling import blend_epochs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = blend_epochs(docs, {"en": 1.5, "de": 2.25, "fr": 0.4},
+                       source_col="lang", key_col="doc_id")
+    return out.groupBy("lang", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # driver contract
 # --------------------------------------------------------------------- #
@@ -1771,9 +1803,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_ffill_segmented": q70_ffill_segmented,
         "q75_interp_zero": q75_interp_zero,
         "q86_cf_subdaily": q86_cf_subdaily,
+        # round-4 curation debutants (repetition signals, epoch blending)
+        "q107_repetition_stats": q107_repetition_stats,
+        "q108_blend_epochs": q108_blend_epochs,
+        # ---- outside the window: green rows from earlier rounds stand ----
         "q05_orders_groupby": q05_orders_groupby,
         "q39_groupby_quantile": q39_groupby_quantile,
-        # ---- outside the window: green rows from earlier rounds stand ----
         "q64_ivf_topk": q64_ivf_topk,
         "q04_where_mask": q04_where_mask,
         "q07_resample_monthly": q07_resample_monthly,
@@ -3189,6 +3224,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pos_flag::BIGINT AS pos_flag, pos_date::BIGINT AS pos_date
             FROM pos ORDER BY rev DESC, pos_flag ASC, pos_date ASC LIMIT 1
+        """,
+        "q107_repetition_stats": r"""
+            WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS text
+                       FROM documents),
+            lines AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, chr(10)),
+                                           x -> len(x) > 0)) AS ln FROM d),
+            pl AS (SELECT doc_id, ln, COUNT(*) AS c, MIN(len(ln)) AS l
+                   FROM lines GROUP BY 1, 2),
+            ls AS (SELECT doc_id, SUM(c) AS n_lines,
+                     1.0 - COUNT(*) / SUM(c) AS dlf,
+                     SUM((c-1)*l)::DOUBLE / SUM(c*l) AS dlcf
+                   FROM pl GROUP BY 1),
+            w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                  FROM d),
+            bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+                     THEN list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i+1])
+                     ELSE [] END) AS g FROM w),
+            pb AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            bs AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top
+                   FROM pb GROUP BY 1),
+            tg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+                     THEN list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                     ELSE [] END) AS g FROM w),
+            pt AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+            ts AS (SELECT doc_id, 1.0 - COUNT(*) / SUM(c) AS dtf
+                   FROM pt GROUP BY 1),
+            per AS (SELECT d.doc_id, d.lang,
+                      coalesce(ls.n_lines, 0) AS n_lines,
+                      coalesce(ls.dlf, 0) AS dlf,
+                      coalesce(ls.dlcf, 0) AS dlcf,
+                      coalesce(bs.top, 0) AS top,
+                      coalesce(ts.dtf, 0) AS dtf
+                    FROM d LEFT JOIN ls USING (doc_id)
+                    LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id))
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+                   ROUND(AVG(dlf) + 1e-9, 6) AS avg_dup_line_frac,
+                   ROUND(AVG(dlcf) + 1e-9, 6) AS avg_dup_char_frac,
+                   ROUND(AVG(top) + 1e-9, 6) AS avg_top_bigram,
+                   ROUND(AVG(dtf) + 1e-9, 6) AS avg_dup_trigram
+            FROM per GROUP BY 1
+        """,
+        "q108_blend_epochs": f"""
+            WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+                       WHERE lang IN ('en', 'de', 'fr')),
+            w AS (SELECT doc_id, lang, n_chars,
+                    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 ELSE 0 END AS nf,
+                    CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                              ELSE 400000 END AS fr,
+                    {_sql_bucket('blend', "lang || '|' || doc_id::VARCHAR")} AS b
+                  FROM d),
+            c AS (SELECT lang, n_chars,
+                    nf + CASE WHEN b < fr THEN 1 ELSE 0 END AS nc FROM w),
+            e AS (SELECT lang, n_chars, unnest(range(0, nc)) AS epoch
+                  FROM c WHERE nc > 0)
+            SELECT lang, epoch::INT AS epoch, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM e GROUP BY 1, 2
         """,
         "q106_complex_phase": """
             WITH z AS (

@@ -243,3 +243,52 @@ def test_argmax_multidim_first_occurrence(spark):
     exp_min = np.unravel_index(np.argmin(arr), arr.shape)
     assert (got_max["x"], got_max["y"]) == exp_max
     assert (got_min["x"], got_min["y"]) == exp_min
+
+
+# ------------------------------------------------------------------ #
+# round-4 curation extras
+# ------------------------------------------------------------------ #
+
+def test_repetition_stats_values(spark):
+    import pandas as pd
+    from xarray_spark.extras.text import repetition_stats
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b\na b\nc d",      # 1 dup line of 3; top bigram 'a b' 2/5
+                 "x y z w",            # no repetition
+                 None,                 # NULL doc -> zeroed stats
+                 "t t t t t"],         # bigram 't t' 4/4; trigram dups 2/3
+    }))
+    out = repetition_stats(docs).orderBy("doc_id").toPandas()
+    assert out["n_lines"].tolist() == [3, 1, 0, 1]
+    assert abs(out["dup_line_frac"][0] - 1 / 3) < 1e-12
+    assert abs(out["dup_line_char_frac"][0] - 3 / 9) < 1e-12
+    assert abs(out["top_bigram_share"][0] - 2 / 5) < 1e-12
+    assert out["dup_trigram_frac"][1] == 0.0
+    assert out.iloc[2, 1:].tolist() == [0, 0.0, 0.0, 0.0, 0.0]
+    assert out["top_bigram_share"][3] == 1.0
+    assert abs(out["dup_trigram_frac"][3] - 2 / 3) < 1e-12
+
+
+def test_blend_epochs_rates_and_determinism(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from xarray_spark.extras.sampling import blend_epochs
+    pdf = pd.DataFrame({"k": range(2000), "src": ["a"] * 1000 + ["b"] * 1000})
+    df = spark.createDataFrame(pdf)
+    out = blend_epochs(df, {"a": 2.3, "b": 0.25}, "src", "k")
+    g = {r["src"]: r for r in out.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n"), F.max("epoch").alias("me")).collect()}
+    assert abs(g["a"]["n"] / 1000 - 2.3) < 0.1 and g["a"]["me"] == 2
+    assert abs(g["b"]["n"] / 1000 - 0.25) < 0.1 and g["b"]["me"] == 0
+    # deterministic: same call, same rows
+    again = blend_epochs(df, {"a": 2.3, "b": 0.25}, "src", "k")
+    assert out.exceptAll(again).isEmpty() and again.exceptAll(out).isEmpty()
+
+
+def test_blend_epochs_drops_unlisted_sources(spark):
+    import pandas as pd
+    from xarray_spark.extras.sampling import blend_epochs
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "src": ["a", "zzz"]}))
+    out = blend_epochs(df, {"a": 1.0}, "src", "k").toPandas()
+    assert set(out["src"]) == {"a"}

@@ -122,3 +122,47 @@ def shuffle_deterministic(df: DataFrame, key_col: str,
         ranked.withColumn(out_col, (F.col("__rnk") + 1).cast("long"))
         .drop("__shk", "__rnk", "__n")
     )
+
+
+def blend_epochs(df: DataFrame, weights: dict[str, float], source_col: str,
+                 key_col: str, salt: str = "blend",
+                 epoch_col: str = "epoch") -> DataFrame:
+    """Weighted dataset blending with FRACTIONAL epochs — the mixture
+    stage of a training pipeline ("2.3 epochs of source A, 0.25 of B").
+
+    Weight w emits floor(w) whole copies of every row plus one more
+    deterministic copy for a hash-selected w-floor(w) fraction; w < 1
+    degenerates to plain stratified sampling.  The ``epoch_col`` output
+    (0-based copy index) lets the downstream shuffle interleave copies
+    instead of replaying the corpus epoch-by-epoch.
+
+    Scale shape: a literal CASE expression per source (no join) feeding
+    one ``posexplode`` of a ``sequence`` — map-only, no shuffle, and the
+    fan-out factor is exactly the blend weight.  Deterministic: the
+    fractional-copy decision hashes (salt, source, key), so the same row
+    blends identically on any engine — the oracle replays it in SQL.
+
+    Sources absent from ``weights`` are dropped (explicit > implicit)."""
+    n_full_expr = None
+    frac_expr = None
+    for src, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {src!r}")
+        n_full, frac = int(w), int(round((w - int(w)) * _DENOM))
+        cond = F.col(source_col) == F.lit(src)
+        n_full_expr = (F.when(cond, n_full) if n_full_expr is None
+                       else n_full_expr.when(cond, n_full))
+        frac_expr = (F.when(cond, frac) if frac_expr is None
+                     else frac_expr.when(cond, frac))
+    if n_full_expr is None:
+        raise ValueError("weights must be non-empty")
+    b = md5_long(F.concat(F.lit(salt), F.col(source_col).cast("string"),
+                          F.lit("|"), F.col(key_col).cast("string"))) % F.lit(_DENOM)
+    n_copies = n_full_expr.otherwise(F.lit(None)) + (b < frac_expr.otherwise(0)).cast("int")
+    return (
+        df.withColumn("__nc", n_copies)
+        .where(F.col("__nc") > 0)
+        .select("*", F.posexplode(F.sequence(F.lit(1), F.col("__nc")))
+                .alias(epoch_col, "__dummy"))
+        .drop("__nc", "__dummy")
+    )

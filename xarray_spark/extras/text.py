@@ -166,3 +166,75 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
         "pii_flag",
         (F.col("n_emails") + F.col("n_urls") + F.col("n_digit_runs")) > 0,
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    quality-filter family: Rae et al. 2021 §A1.1 "repetition" rules —
+    public paper, reimplemented from the published definitions):
+
+    - ``n_lines``, ``dup_line_frac``: fraction of newline-separated
+      lines that are duplicates of an earlier line;
+    - ``dup_line_char_frac``: fraction of line characters belonging to
+      those duplicate occurrences;
+    - ``top_bigram_share``: occurrences of the most frequent word
+      2-gram over all 2-gram occurrences;
+    - ``dup_trigram_frac``: fraction of word 3-gram occurrences that
+      are repeats.
+
+    Scale shape: two explodes (lines; word n-grams) each followed by a
+    partial-aggregated groupBy on (id, token) then (id) — the
+    minhash-style hash-once/aggregate-tree shape, no window functions,
+    no per-doc quadratic expression trees.  Empty docs produce zeroed
+    stats (LEFT join + coalesce), so no document silently disappears."""
+    ids = df.select(id_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    lines = (
+        df.select(F.col(id_col), F.explode(F.split(t, "\n")).alias("__ln"))
+        .where(F.length("__ln") > 0)
+    )
+    per_line = lines.groupBy(id_col, "__ln").agg(
+        F.count(F.lit(1)).alias("__c"), F.length("__ln").alias("__len"))
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_lines"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("__c")).alias("dup_line_frac"),
+        (F.sum((F.col("__c") - 1) * F.col("__len"))
+         / F.sum(F.col("__c") * F.col("__len"))).alias("dup_line_char_frac"),
+    )
+
+    words = F.split(F.trim(t), r"\s+")
+
+    def gram_stats(n: int, top_share: bool):
+        # guard: Spark's sequence(0, k) DESCENDS when k < 0, so short
+        # docs must short-circuit to an empty gram list
+        grams = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
+                                             for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        ex = df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        per_gram = ex.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+        if top_share:
+            return per_gram.groupBy(id_col).agg(
+                (F.max("__c") / F.sum("__c")).alias("top_bigram_share"))
+        return per_gram.groupBy(id_col).agg(
+            (F.lit(1.0) - F.count(F.lit(1)) / F.sum("__c")).alias("dup_trigram_frac"))
+
+    out = (
+        ids.join(line_stats, on=id_col, how="left")
+        .join(gram_stats(2, True), on=id_col, how="left")
+        .join(gram_stats(3, False), on=id_col, how="left")
+    )
+    return out.select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+        F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
+        F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+    )
