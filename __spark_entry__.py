@@ -1684,6 +1684,57 @@ def q106_complex_phase(spark, sf_dir):
     )
 
 
+def q109_stream_interval_join(spark, sf_dir):
+    """Stream-stream event-time interval join driven to completion
+    (streaming.stream_interval_join — Spark's native join-with-time-
+    range, state bounded by watermark + window width): every 6-hour
+    tick matches the events of its type inside [tick, tick+6h), then a
+    batch aggregate over the sink counts and sums per bucket.  Oracle:
+    the identical range join in SQL."""
+    import shutil
+    import tempfile
+    import uuid
+    from xarray_spark.streaming import stream_interval_join
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage_e = tempfile.mkdtemp(prefix="q109_ev_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_e}/events.parquet")
+    ev = _normalize_event_ts(
+        spark.readStream.schema(batch.schema).parquet(stage_e)
+    ).select("ts", "event_type", "value")
+    ticks = batch.select("event_type").distinct().crossJoin(
+        spark.range(1).select(
+            F.explode(F.sequence(
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+                F.to_timestamp(F.lit("2024-01-30 18:00:00")),
+                F.expr("interval 6 hours"),
+            )).alias("tick")
+        )
+    )
+    stage_t = tempfile.mkdtemp(prefix="q109_ticks_")
+    ticks.coalesce(1).write.mode("overwrite").parquet(stage_t)
+    tk = spark.readStream.schema(ticks.schema).parquet(stage_t)
+    joined = stream_interval_join(
+        tk, ev, key_col="event_type", left_ts="tick", right_ts="ts",
+        lower="0 seconds", upper="6 hours", watermark="90 days",
+    ).select(
+        F.col("l.event_type").alias("event_type"),
+        F.col("l.tick").alias("tick"),
+        F.col("r.value").alias("value"),
+    )
+    name = f"q109_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""SELECT event_type, tick, COUNT(*) AS n,
+                   ROUND(SUM(value) + 1e-6, 3) AS sv
+            FROM {name} GROUP BY event_type, tick"""
+    )
+
+
 def q107_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText-style within-document repetition signals
     (extras.text.repetition_stats): duplicate-line fraction/char
@@ -1777,7 +1828,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_stream_resample": q67_stream_resample,
         "q85_stream_asof": q85_stream_asof,
         "q87_stream_dedup": q87_stream_dedup,
-        "q96_stream_sessionize": q96_stream_sessionize,
         "q88_hash_sample": q88_hash_sample,
         "q89_hash_split": q89_hash_split,
         "q90_stratified_sample": q90_stratified_sample,
@@ -1803,10 +1853,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_ffill_segmented": q70_ffill_segmented,
         "q75_interp_zero": q75_interp_zero,
         "q86_cf_subdaily": q86_cf_subdaily,
-        # round-4 curation debutants (repetition signals, epoch blending)
+        # round-4 debutants: curation signals, epoch blending, native
+        # stream-stream interval join (q96 rotates out on its r3 green
+        # to make room for q109)
         "q107_repetition_stats": q107_repetition_stats,
         "q108_blend_epochs": q108_blend_epochs,
+        "q109_stream_interval_join": q109_stream_interval_join,
         # ---- outside the window: green rows from earlier rounds stand ----
+        "q96_stream_sessionize": q96_stream_sessionize,
         "q05_orders_groupby": q05_orders_groupby,
         "q39_groupby_quantile": q39_groupby_quantile,
         "q64_ivf_topk": q64_ivf_topk,
@@ -3224,6 +3278,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pos_flag::BIGINT AS pos_flag, pos_date::BIGINT AS pos_date
             FROM pos ORDER BY rev DESC, pos_flag ASC, pos_date ASC LIMIT 1
+        """,
+        "q109_stream_interval_join": """
+            WITH ticks AS (
+              SELECT et.event_type, t.tick
+              FROM (SELECT DISTINCT event_type FROM events) et
+              CROSS JOIN (SELECT unnest(generate_series(
+                            TIMESTAMP '2024-01-01 00:00:00',
+                            TIMESTAMP '2024-01-30 18:00:00',
+                            INTERVAL 6 HOUR)) AS tick) t
+            )
+            SELECT t.event_type, t.tick, COUNT(*) AS n,
+                   ROUND(SUM(e.value) + 1e-6, 3) AS sv
+            FROM ticks t JOIN events e
+              ON e.event_type = t.event_type
+             AND e.ts >= t.tick AND e.ts < t.tick + INTERVAL 6 HOUR
+            GROUP BY 1, 2
         """,
         "q107_repetition_stats": r"""
             WITH d AS (SELECT doc_id, lang, coalesce(text, '') AS text

@@ -270,3 +270,41 @@ def stream_dedup_exact(
     """
     return df.withWatermark(time_col, watermark) \
              .dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time INTERVAL join — Spark Structured
+    Streaming's native join-with-time-range (the temporal correlation
+    primitive: "each left row matches right rows whose timestamp falls
+    in [left_ts + lower, left_ts + upper)").
+
+    Declarative all the way down: equality on ``key_col`` plus a range
+    predicate on event time.  Spark's state store keeps only rows inside
+    ``watermark + (upper - lower)`` of the frontier per side, so state
+    is bounded by stream RATE × window width, not stream length — the
+    planner derives the eviction bound from the join condition itself
+    (no custom state code, unlike the as-of join above, which needs
+    last-value semantics Spark's join state cannot express).
+
+    Both inputs keep their own column names; the result carries the
+    aliases ``l`` / ``r`` for disambiguation (select
+    ``F.col("l.<key>")`` downstream).
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} + interval {lower}"))
+        & (F.col(f"r.{right_ts}") < F.expr(f"l.{left_ts} + interval {upper}"))
+    )
+    return lw.join(rw, cond, how)
