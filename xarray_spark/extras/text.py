@@ -110,13 +110,25 @@ def fingerprint(text: Column, normalize: bool = True) -> Column:
 
 
 def ngrams(text: Column, n: int = 3) -> Column:
-    """Word n-gram array (lowercased) — the shingle set for MinHash/Jaccard."""
-    toks = F.split(F.lower(F.trim(text)), _WS)
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    return F.when(k >= n, F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
-    )).otherwise(F.array(F.concat_ws(" ", *[F.lit("")])))
+    """Word n-gram array (lowercased) — the shingle set for MinHash/Jaccard.
+
+    The token array is BOUND through an outer transform lambda before
+    the per-gram lambda touches it: Catalyst does not common-
+    subexpression-eliminate inside higher-order functions, so
+    referencing the raw split expression from the gram lambda would
+    re-split the whole text once per gram — O(words²) on every
+    document.  Binding via a 1-element array makes the split evaluate
+    exactly once per row."""
+    toks_expr = F.split(F.lower(F.trim(text)), _WS)
+
+    def build(toks):
+        k = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+        return F.when(k >= n, F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+        )).otherwise(F.array(F.concat_ws(" ", *[F.lit("")])))
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
 
 
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -204,12 +216,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
          / F.sum(F.col("__c") * F.col("__len"))).alias("dup_line_char_frac"),
     )
 
-    words = F.split(F.trim(t), r"\s+")
+    # materialize the split ONCE as a column: a lambda body referencing
+    # the raw split expression re-evaluates it per array element
+    # (Catalyst does not common-subexpression-eliminate inside
+    # higher-order functions), turning n-gram assembly O(words^2)
+    wdf = df.select(F.col(id_col), F.split(F.trim(t), r"\s+").alias("__ws"))
+    words = F.col("__ws")
 
-    def gram_stats(n: int, top_share: bool):
+    def gram_list(n: int):
         # guard: Spark's sequence(0, k) DESCENDS when k < 0, so short
         # docs must short-circuit to an empty gram list
-        grams = F.when(
+        return F.when(
             F.size(words) >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - n),
@@ -217,18 +234,29 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                                              for j in range(n)]),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        ex = df.select(F.col(id_col), F.explode(grams).alias("__g"))
-        per_gram = ex.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
-        if top_share:
-            return per_gram.groupBy(id_col).agg(
-                (F.max("__c") / F.sum("__c")).alias("top_bigram_share"))
-        return per_gram.groupBy(id_col).agg(
-            (F.lit(1.0) - F.count(F.lit(1)) / F.sum("__c")).alias("dup_trigram_frac"))
+
+    # bigrams and trigrams ride ONE explode (tagged structs) — one scan,
+    # one shuffle on (id, n, gram) instead of two full passes
+    tagged = F.concat(
+        F.transform(gram_list(2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+        F.transform(gram_list(3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
+    )
+    ex = wdf.select(F.col(id_col), F.explode(tagged).alias("__t")).select(
+        id_col, F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g"))
+    per_gram = ex.groupBy(id_col, "__n", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    per_n = per_gram.groupBy(id_col, "__n").agg(
+        F.max("__c").alias("__mx"), F.sum("__c").alias("__s"),
+        F.count(F.lit(1)).alias("__d"))
+    gram_stats = per_n.groupBy(id_col).agg(
+        F.max(F.when(F.col("__n") == 2, F.col("__mx") / F.col("__s")))
+        .alias("top_bigram_share"),
+        F.max(F.when(F.col("__n") == 3, F.lit(1.0) - F.col("__d") / F.col("__s")))
+        .alias("dup_trigram_frac"),
+    )
 
     out = (
         ids.join(line_stats, on=id_col, how="left")
-        .join(gram_stats(2, True), on=id_col, how="left")
-        .join(gram_stats(3, False), on=id_col, how="left")
+        .join(gram_stats, on=id_col, how="left")
     )
     return out.select(
         id_col,
