@@ -145,3 +145,33 @@ def test_ewm_matches_pandas(spark, vals):
     got = (d.rolling_exp(t=4).mean().df.orderBy("t").toPandas()["v"].to_numpy())
     want = pd.Series(vals, dtype="float64").ewm(span=4, min_periods=1).mean().to_numpy()
     assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+@given(st.datetimes(min_value=__import__("datetime").datetime(1900, 1, 1),
+                    max_value=__import__("datetime").datetime(2199, 12, 28)),
+       st.sampled_from(["year", "month", "day", "hour", "minute", "second"]))
+@settings(max_examples=200, deadline=None)
+def test_iso8601_prefix_contains_instant(ts, res):
+    """For any timestamp, the parsed range of its string prefix at any
+    resolution contains the timestamp, and the half-open bounds are
+    tight (start <= ts < end)."""
+    from xarray_spark._utils import parse_iso8601_prefix
+    fmt = {"year": "%Y", "month": "%Y-%m", "day": "%Y-%m-%d",
+           "hour": "%Y-%m-%d %H", "minute": "%Y-%m-%d %H:%M",
+           "second": "%Y-%m-%d %H:%M:%S"}[res]
+    s = ts.strftime(fmt)
+    parsed = parse_iso8601_prefix(s)
+    assert parsed is not None and parsed[2] == res
+    start, end, _ = parsed
+    trunc = ts.replace(microsecond=0)
+    assert start <= trunc < end
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_iso8601_prefix_never_crashes(s):
+    from xarray_spark._utils import parse_iso8601_prefix
+    out = parse_iso8601_prefix(s)
+    if out is not None:
+        start, end, res = out
+        assert start < end
