@@ -913,6 +913,18 @@ def q70_ffill_segmented(spark, sf_dir):
     return out.assign(v=_r6(F.col("v"))).to_spark()
 
 
+def _stream_state_conf(spark):
+    """Streaming gates replay a small bounded file stream with
+    availableNow: 8 state partitions instead of the session's 32 cuts
+    the per-query state-store spin-up ~4x (a stream-stream join opens
+    4 stores PER partition).  A real deployment sizes
+    spark.sql.shuffle.partitions to key cardinality before the first
+    checkpoint instead.  Returns the previous value for restore."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    return old
+
+
 def q67_stream_resample(spark, sf_dir):
     """Structured Streaming resample driven to completion over the
     events table (streaming.stream_resample; availableNow + complete
@@ -922,6 +934,7 @@ def q67_stream_resample(spark, sf_dir):
     import uuid
     from xarray_spark.streaming import stream_resample
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the streaming file source wants a DIRECTORY of files; stage the
     # single-file table into a temp dir (the driver's testdata is
@@ -941,6 +954,7 @@ def q67_stream_resample(spark, sf_dir):
         .outputMode("complete").trigger(availableNow=True).start()
     )
     q.awaitTermination(300)
+    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
     return spark.sql(f"SELECT ts AS day, n, total FROM {name}")
 
 
@@ -1275,6 +1289,7 @@ def q85_stream_asof(spark, sf_dir):
     import uuid
     from xarray_spark.streaming import stream_asof_join
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stage_o = tempfile.mkdtemp(prefix="q85_obs_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage_o}/events.parquet")
@@ -1301,6 +1316,7 @@ def q85_stream_asof(spark, sf_dir):
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination(300)
+    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
     return spark.sql(
         f"SELECT event_type AS k, ts, value AS v FROM {name}")
 
@@ -1339,6 +1355,7 @@ def q87_stream_dedup(spark, sf_dir):
     import uuid
     from xarray_spark.streaming import stream_dedup_exact
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stage = tempfile.mkdtemp(prefix="q87_events_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
@@ -1351,6 +1368,7 @@ def q87_stream_dedup(spark, sf_dir):
     q = (deduped.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(300)
+    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
     return spark.sql(
         f"SELECT user_id, event_type, ROUND(value + 1e-9, 6) AS value "
         f"FROM {name}"
@@ -1512,6 +1530,7 @@ def q96_stream_sessionize(spark, sf_dir):
     import uuid
     from xarray_spark.streaming import stream_sessionize
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stage = tempfile.mkdtemp(prefix="q96_events_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
@@ -1527,6 +1546,7 @@ def q96_stream_sessionize(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(300)
+    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
     return spark.sql(
         f"SELECT user_id, ts AS session_start, session_seconds, n, sv "
         f"FROM {name}"
@@ -1696,6 +1716,7 @@ def q109_stream_interval_join(spark, sf_dir):
     import uuid
     from xarray_spark.streaming import stream_interval_join
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stage_e = tempfile.mkdtemp(prefix="q109_ev_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage_e}/events.parquet")
@@ -1728,6 +1749,7 @@ def q109_stream_interval_join(spark, sf_dir):
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination(300)
+    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
     return spark.sql(
         f"""SELECT event_type, tick, COUNT(*) AS n,
                    ROUND(SUM(value) + 1e-6, 3) AS sv
