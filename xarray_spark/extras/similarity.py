@@ -95,11 +95,28 @@ def _deterministic_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[f
 def _signature_fn(n_planes: int, dim: int, hash_mode: str):
     """Bucket-signature builder: float LCG planes (fast) or md5-derived
     integer planes with exact integer dots (portable — bucket membership
-    is reproducible bit-for-bit in DuckDB SQL, see extras.portable)."""
+    is reproducible bit-for-bit in DuckDB SQL, see extras.portable).
+
+    The portable path runs as ONE Arrow matmul (same trick as
+    embedding_near_dups): floor-quantize to int64, integer matrix
+    product against the plane matrix, sign bits packed to the bucket id.
+    Bit-identical to the expression form (portable.int_signature —
+    float→double is exact, np.floor == Spark floor, int64 matmul is
+    exact integer arithmetic) but vectorized instead of n_planes×dim
+    interpreted higher-order-function steps per row."""
     if hash_mode == "portable":
-        from xarray_spark.extras.portable import int_signature, plane_coeffs
-        planes = plane_coeffs(n_planes, dim)
-        return lambda v: int_signature(v, planes)
+        from xarray_spark.extras.portable import plane_coeffs
+        P = np.array(plane_coeffs(n_planes, dim), dtype=np.int64)  # (planes, dim)
+        shifts = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+        @F.pandas_udf("long")
+        def sig(v: pd.Series) -> pd.Series:
+            M = np.stack(v.to_numpy()).astype(np.float64)
+            Q = np.floor(M * 1e6).astype(np.int64)
+            bits = (Q @ P.T > 0)
+            return pd.Series((bits * shifts).sum(axis=1))
+
+        return sig
     planes = _deterministic_planes(n_planes, dim)
     return lambda v: hyperplane_signature(v, planes)
 
@@ -278,18 +295,21 @@ def ivf_fit(
 
 
 def _nearest_cells(vec: Column, centroids: list, n: int) -> Column:
-    """Array of the ``n`` nearest centroid ids — a literal-expression
-    sort over the tiny codebook, fully codegen'd, no join and no ML."""
-    def l2(center):
-        arr = F.array(*[F.lit(float(x)) for x in center])
-        diff = F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+    """Array of the ``n`` nearest centroid ids — ONE Arrow batch per
+    partition (numpy matmul against the literal codebook), no join and
+    no ML jobs in the plan.  Ties break on the ascending cell id
+    (stable argsort), matching the struct-sort expression form."""
+    C = np.array([list(map(float, c)) for c in centroids], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
 
-    dists = F.array(*[
-        F.struct(l2(center).alias("d"), F.lit(i).alias("cell"))
-        for i, center in enumerate(centroids)
-    ])
-    return F.slice(F.array_sort(dists), 1, n).getField("cell")
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        d = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c2[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return cells(vec)
 
 
 def ivf_assign(
@@ -445,22 +465,23 @@ def embedding_near_dups(
 def _nearest_cells_int(vec: Column, centroids_q: list[list[int]], n: int) -> Column:
     """Integer-exact twin of _nearest_cells: L2 distances between the
     floor-quantized vector and integer centroids are exact int64 sums
-    (≤ dim·(2e6)² ≈ 2.6e14), so the argmin — tie-broken by cell id via
-    the struct sort — is deterministic across engines."""
-    from xarray_spark.extras.portable import quantize_vec
+    (≤ dim·(2e6)² ≈ 2.6e14), so the argmin — stable-sorted, ties to the
+    ascending cell id — is deterministic across engines.  Runs as one
+    Arrow int64 matmul per batch (expansion ||q||²-2q·c+||c||² is exact
+    in int64, no float rounding anywhere), replacing n_cells
+    interpreted zip_with/aggregate passes per row."""
+    C = np.array(centroids_q, dtype=np.int64)
+    c2 = (C * C).sum(axis=1)
 
-    qv = quantize_vec(vec)
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        Q = np.floor(M * 1e6).astype(np.int64)
+        d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + c2[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(order))
 
-    def l2(center):
-        arr = F.array(*[F.lit(int(x)).cast("long") for x in center])
-        diff = F.zip_with(qv, arr, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-    dists = F.array(*[
-        F.struct(l2(center).alias("d"), F.lit(i).alias("cell"))
-        for i, center in enumerate(centroids_q)
-    ])
-    return F.slice(F.array_sort(dists), 1, n).getField("cell")
+    return cells(vec)
 
 
 def ivf_topk_fixed(
