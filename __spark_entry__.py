@@ -1757,6 +1757,17 @@ def q109_stream_interval_join(spark, sf_dir):
     )
 
 
+def q110_dedup_lines(spark, sf_dir):
+    """Corpus-wide boilerplate line removal (extras.curation.dedup_lines
+    — the C4/CCNet paragraph-dedup step): drop lines occurring in ≥3
+    distinct documents, reassemble each document from its surviving
+    lines in order.  The oracle replays split → document-frequency →
+    ordered string_agg in SQL."""
+    from xarray_spark.extras.curation import dedup_lines
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_lines(docs, min_df=3)
+
+
 def q107_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText-style within-document repetition signals
     (extras.text.repetition_stats): duplicate-line fraction/char
@@ -1869,7 +1880,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_ffill": q13_ffill,
         "q14_interpolate_na": q14_interpolate_na,
         "q28_dt_fields": q28_dt_fields,
-        "q40_dropna": q40_dropna,
         "q43_bfill": q43_bfill,
         "q46_resample_6h": q46_resample_6h,
         "q70_ffill_segmented": q70_ffill_segmented,
@@ -1881,7 +1891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_repetition_stats": q107_repetition_stats,
         "q108_blend_epochs": q108_blend_epochs,
         "q109_stream_interval_join": q109_stream_interval_join,
+        "q110_dedup_lines": q110_dedup_lines,
         # ---- outside the window: green rows from earlier rounds stand ----
+        "q40_dropna": q40_dropna,
         "q96_stream_sessionize": q96_stream_sessionize,
         "q05_orders_groupby": q05_orders_groupby,
         "q39_groupby_quantile": q39_groupby_quantile,
@@ -3300,6 +3312,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pos_flag::BIGINT AS pos_flag, pos_date::BIGINT AS pos_date
             FROM pos ORDER BY rev DESC, pos_flag ASC, pos_date ASC LIMIT 1
+        """,
+        "q110_dedup_lines": """
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text
+                       FROM documents),
+            sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+            l AS (SELECT doc_id, unnest(ls) AS ln,
+                         unnest(range(len(ls))) AS pos FROM sp),
+            b AS (SELECT ln FROM (
+                    SELECT ln, COUNT(DISTINCT doc_id) AS dfc
+                    FROM l WHERE len(ln) > 0 GROUP BY ln)
+                  WHERE dfc >= 3),
+            k AS (SELECT l.doc_id, l.pos, l.ln, (b.ln IS NOT NULL) AS isb
+                  FROM l LEFT JOIN b ON l.ln = b.ln)
+            SELECT doc_id,
+                   coalesce(string_agg(ln, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT isb), '') AS text,
+                   CAST(COUNT(*) FILTER (WHERE NOT isb) AS BIGINT) AS n_kept,
+                   CAST(COUNT(*) FILTER (WHERE isb) AS BIGINT) AS n_dropped
+            FROM k GROUP BY doc_id
         """,
         "q109_stream_interval_join": """
             WITH ticks AS (

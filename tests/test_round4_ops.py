@@ -292,3 +292,18 @@ def test_blend_epochs_drops_unlisted_sources(spark):
     df = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "src": ["a", "zzz"]}))
     out = blend_epochs(df, {"a": 1.0}, "src", "k").toPandas()
     assert set(out["src"]) == {"a"}
+
+
+def test_dedup_lines(spark):
+    import pandas as pd
+    from xarray_spark.extras.curation import dedup_lines
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["keep me\nCOOKIE\nunique a", "COOKIE\nunique b",
+                 "solo doc", None],
+    }))
+    out = dedup_lines(docs, min_df=2).orderBy("doc_id").toPandas()
+    assert out["text"].tolist() == ["keep me\nunique a", "unique b",
+                                    "solo doc", ""]
+    assert out["n_kept"].tolist() == [2, 1, 1, 1]   # NULL doc -> one '' line
+    assert out["n_dropped"].tolist() == [1, 1, 0, 0]

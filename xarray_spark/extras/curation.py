@@ -122,3 +122,51 @@ def chunk_documents(df: DataFrame, chunk_chars: int, overlap: int = 0,
                   F.posexplode(chunks).alias("chunk_idx", "chunk"))
         .withColumn("chunk_start", (F.col("chunk_idx") * F.lit(stride)).cast("long"))
     )
+
+
+def dedup_lines(df: DataFrame, min_df: int = 2, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide boilerplate line removal (the C4/CCNet paragraph-
+    dedup step: drop every line that occurs in ≥ ``min_df`` distinct
+    documents — navigation chrome, cookie banners, license footers —
+    then reassemble each document from its surviving lines in order).
+
+    Returns (id, text, n_kept, n_dropped) with ``text`` rebuilt from the
+    kept lines joined by newlines.
+
+    Scale shape: one ``posexplode`` (line order rides along as the
+    position), one partial-aggregated distinct-count per line to find
+    the boilerplate set, one anti-join of the line stream against it
+    (broadcast when the boilerplate set is small — it is, by Zipf), and
+    one groupBy(id) reassembly via ``array_sort`` of (pos, line)
+    structs.  At 100 TB you would key the count and the anti-join on
+    ``xxhash64(line)`` so the shuffle carries 8-byte keys; the gate
+    keeps the exact string key so the SQL oracle replays it verbatim."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, "\n")).alias("__pos", "__ln"),
+    )
+    boiler = (
+        lines.where(F.length("__ln") > 0)
+        .groupBy("__ln")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__ln")
+    )
+    tagged = lines.join(F.broadcast(boiler.withColumn("__b", F.lit(1))),
+                        on="__ln", how="left")
+    kept = tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__b").isNull(), F.struct(
+                        F.col("__pos").alias("p"), F.col("__ln").alias("l"))))),
+                lambda s: s["l"],
+            ),
+        ).alias(text_col),
+        F.sum(F.when(F.col("__b").isNull(), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).cast("long").alias("n_dropped"),
+    )
+    return kept
