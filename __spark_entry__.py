@@ -1768,6 +1768,17 @@ def q110_dedup_lines(spark, sf_dir):
     return dedup_lines(docs, min_df=3)
 
 
+def q111_rolling_argmin(spark, sf_dir):
+    """rolling.argmin (xarray computation/rolling.py injected argmin):
+    position of the 7-day window's revenue minimum, padded-window index
+    semantics.  Oracle: arg_min window aggregate re-based to the window
+    start."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.rolling(l_shipdate=7, min_periods=1).argmin()
+    return out.to_spark().select(
+        "l_shipdate", F.col("rev").cast("long").alias("amin"))
+
+
 def q107_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText-style within-document repetition signals
     (extras.text.repetition_stats): duplicate-line fraction/char
@@ -1892,7 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_blend_epochs": q108_blend_epochs,
         "q109_stream_interval_join": q109_stream_interval_join,
         "q110_dedup_lines": q110_dedup_lines,
-        # ---- outside the window: green rows from earlier rounds stand ----
+        # ---- outside the window (q111 oracle-ready for a future rotation): green rows from earlier rounds stand ----
+        "q111_rolling_argmin": q111_rolling_argmin,
         "q40_dropna": q40_dropna,
         "q96_stream_sessionize": q96_stream_sessionize,
         "q05_orders_groupby": q05_orders_groupby,
@@ -3312,6 +3324,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pos_flag::BIGINT AS pos_flag, pos_date::BIGINT AS pos_date
             FROM pos ORDER BY rev DESC, pos_flag ASC, pos_date ASC LIMIT 1
+        """,
+        "q111_rolling_argmin": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            o AS (SELECT l_shipdate, rev,
+                    CAST(row_number() OVER (ORDER BY l_shipdate) - 1
+                         AS BIGINT) AS rp
+                  FROM daily)
+            SELECT l_shipdate,
+                   CAST(arg_min(rp, rev) OVER
+                          (ORDER BY rp ROWS BETWEEN 6 PRECEDING
+                           AND CURRENT ROW)
+                        - (rp - 6) AS BIGINT) AS amin
+            FROM o
         """,
         "q110_dedup_lines": """
             WITH d AS (SELECT doc_id, coalesce(text, '') AS text

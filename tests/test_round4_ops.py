@@ -307,3 +307,21 @@ def test_dedup_lines(spark):
                                     "solo doc", ""]
     assert out["n_kept"].tolist() == [2, 1, 1, 1]   # NULL doc -> one '' line
     assert out["n_dropped"].tolist() == [1, 1, 0, 0]
+
+
+def test_rolling_argmin_argmax(spark):
+    import pandas as pd
+    vals = [3., 1., 4., 1., 5., 9., 2., 6.]
+    pdf = pd.DataFrame({"t": range(8), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    got_min = ds.rolling(t=3, min_periods=1).argmin().to_pandas().sort_values("t")["v"].tolist()
+    got_max = ds.rolling(t=3, min_periods=1).argmax().to_pandas().sort_values("t")["v"].tolist()
+    arr = np.array(vals)
+    exp_min, exp_max = [], []
+    for i in range(8):
+        win = np.full(3, np.nan)
+        seg = arr[max(0, i - 2):i + 1]
+        win[3 - len(seg):] = seg
+        exp_min.append(int(np.nanargmin(win)))
+        exp_max.append(int(np.nanargmax(win)))
+    assert got_min == exp_min and got_max == exp_max

@@ -170,6 +170,52 @@ class XRolling:
     def median(self):
         return self._apply(lambda c, w: F.expr(f"percentile({c}, 0.5)").over(w))
 
+    def argmin(self):
+        return self._arg_window(True)
+
+    def argmax(self):
+        return self._arg_window(False)
+
+    def _arg_window(self, is_min: bool) -> XDataset:
+        """Index of the window extremum (xarray rolling argmin/argmax,
+        computation/rolling.py _reduce_method over sliding windows):
+        0-based WITHIN the w-length window INCLUDING the NaN padding of
+        partial leading windows (the reference constructs the padded
+        window array then argmins it), first occurrence on ties.  One
+        ordered-struct extremum over the same frame as min/max — no
+        window array materialization."""
+        if len(self.windows) > 1:
+            raise NotImplementedError("N-D rolling argmin/argmax")
+        dim = self.dim
+        others = [d for d in self.ds.dims if d != dim]
+        seq = Window.partitionBy(*others).orderBy(dim)
+        w = self._frame()
+        ds = self.ds
+        window = self.window
+        after = (window - 1) // 2 if self.center else 0
+        before = window - 1 - after
+        df = ds.df.withColumn("__rp", (F.row_number().over(seq) - 1).cast("long"))
+        exprs = []
+        for c in df.columns:
+            if c in ds.data_vars:
+                if is_min:
+                    pair = F.when(F.col(c).isNotNull(), F.struct(
+                        F.col(c).alias("v"), F.col("__rp").alias("p")))
+                    pos = F.min(pair).over(w)["p"]
+                else:
+                    pair = F.when(F.col(c).isNotNull(), F.struct(
+                        F.col(c).alias("v"), (-F.col("__rp")).alias("p")))
+                    pos = -F.max(pair).over(w)["p"]
+                # window start is UNclamped: leading partial windows are
+                # NaN-padded in the reference, so index 0 is the pad slot
+                agg = (pos - (F.col("__rp") - before)).cast("long")
+                if self.min_periods > 1:
+                    agg = F.when(F.count(c).over(w) >= self.min_periods, agg)
+                exprs.append(agg.alias(c))
+            elif c != "__rp":
+                exprs.append(F.col(c))
+        return ds._replace(df=df.select(*exprs))
+
     def _construct_arrays(self) -> XDataset:
         """Window contents as an array column (collect_list over the
         frame) — the internal representation reduce() consumes."""
