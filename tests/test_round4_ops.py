@@ -325,3 +325,32 @@ def test_rolling_argmin_argmax(spark):
         exp_min.append(int(np.nanargmin(win)))
         exp_max.append(int(np.nanargmax(win)))
     assert got_min == exp_min and got_max == exp_max
+
+
+def test_parity_surface(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"t": range(5), "v": np.arange(5.0)})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    assert str(ds.dtypes["v"]) == "DoubleType()"
+    assert ds.chunks == ds.chunksizes
+    assert ds.nbytes > 0
+    assert list(ds.indexes) == ["t"] and list(ds.xindexes) == ["t"]
+    assert ds.copy().dims == ds.dims
+    assert ds.as_numpy() is ds
+    import io as _io
+    buf = _io.StringIO()
+    ds.info(buf)
+    assert "dimensions" in buf.getvalue()
+    z = xu.build_complex(
+        XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": [0], "re": [1.0], "im": [2.0]})), dims=["t"]),
+        "re", "im")
+    assert z.real.to_pandas()["z"].tolist() == [1.0]
+    assert z.imag.to_pandas()["z"].tolist() == [2.0]
+    # method forms of the calendar ops
+    base = pd.DataFrame({"time": pd.date_range("2000-01-01", periods=10),
+                         "v": np.arange(10.0)})
+    cds = XDataset(spark.createDataFrame(base), dims=["time"])
+    assert cds.convert_calendar("noleap", dim="time").to_pandas().shape[0] == 10
+    out = cds.interp_calendar(list(base["time"]), dim="time").to_pandas()
+    assert out.shape[0] == 10

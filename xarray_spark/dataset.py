@@ -2006,10 +2006,126 @@ class XDataset:
     def to_spark(self) -> DataFrame:
         return self.df
 
+    # dask-API parity name (the reference's to_dask_dataframe returns
+    # the distributed frame; ours IS one)
+    to_dask_dataframe = to_spark
+
     def to_pandas(self):
         return self.df.toPandas()
 
     to_dataframe = to_pandas
+
+    # ---------------------------------------------------------------- #
+    # thin parity surface (reference core/dataset.py method names whose
+    # semantics are trivial or aliases under the long-form model)
+    # ---------------------------------------------------------------- #
+
+    def apply(self, func, **kw) -> "XDataset":
+        """Deprecated alias of map (core/dataset.py:7164)."""
+        return self.map(func, **kw)
+
+    def copy(self, deep: bool = False) -> "XDataset":
+        """Plans are immutable; copy is a catalog-level clone
+        (core/dataset.py:1280 — `deep` has no distributed meaning)."""
+        return self._replace(df=self.df)
+
+    def as_numpy(self) -> "XDataset":
+        """Parity no-op (core/dataset.py:1427): the long-form engine has
+        no lazy *array* backends to realize; compute()/to_pandas() are
+        the materialization points."""
+        return self
+
+    @property
+    def chunks(self) -> dict:
+        """Alias of chunksizes (core/dataset.py:2527)."""
+        return self.chunksizes
+
+    @property
+    def dtypes(self) -> dict:
+        """var -> Spark DataType (core/dataset.py:1404)."""
+        sch = self.df.schema
+        return {v: sch[v].dataType for v in self.data_vars}
+
+    @property
+    def nbytes(self) -> int:
+        """Catalyst plan-statistics size estimate in bytes
+        (core/dataset.py:1416) — no job, optimizer metadata only."""
+        return int(self.df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+
+    @property
+    def indexes(self) -> dict:
+        """dim -> its (lazy) label table (core/dataset.py:1692 — the
+        engine's analogue of the pandas-index mapping)."""
+        return {d: self._dim_labels(d) for d in self.dims}
+
+    xindexes = indexes
+
+    @property
+    def encoding(self) -> dict:
+        """On-disk encoding attrs (CF coder parameters travel in attrs
+        under the long-form model; a separate encoding dict is kept for
+        API shape, core/dataset.py:1373)."""
+        return dict((self.attrs or {}).get("__encoding__", {}))
+
+    def drop_encoding(self) -> "XDataset":
+        attrs = {k: v for k, v in (self.attrs or {}).items()
+                 if k != "__encoding__"}
+        return self._replace(attrs=attrs)
+
+    reset_encoding = drop_encoding
+
+    def info(self, buf=None) -> None:
+        """netcdf-style summary print (core/dataset.py:1341)."""
+        import sys
+        out = buf or sys.stdout
+        lines = ["xarray_spark.XDataset {", "dimensions:"]
+        lines += [f"\t{d} ;" for d in self.dims]
+        lines.append("variables:")
+        sch = self.df.schema
+        for v in self.data_vars:
+            lines.append(f"\t{sch[v].dataType.simpleString()} {v}({', '.join(self.dims)}) ;")
+        for c in self.coords:
+            lines.append(f"\t{sch[c].dataType.simpleString()} {c} ;")
+        if self.attrs:
+            lines.append("// global attributes:")
+            lines += [f"\t:{k} = {v!r} ;" for k, v in self.attrs.items()]
+        lines.append("}")
+        print("\n".join(lines), file=out)
+
+    def to_array(self, dim: str = "variable") -> "XDataArray":
+        """Deprecated alias of to_dataarray (core/dataset.py:7297)."""
+        return self.to_dataarray(dim)
+
+    @property
+    def real(self) -> "XDataset":
+        """Real part of struct<re,im> complex vars (ufuncs.real)."""
+        from xarray_spark import ufuncs as xu
+        return xu.real(self)
+
+    @property
+    def imag(self) -> "XDataset":
+        from xarray_spark import ufuncs as xu
+        return xu.imag(self)
+
+    def convert_calendar(self, calendar: str = "standard", dim: str = "time",
+                         **kw) -> "XDataset":
+        from xarray_spark.computation import convert_calendar
+        return convert_calendar(self, dim, calendar, **kw)
+
+    def interp_calendar(self, target, dim: str = "time") -> "XDataset":
+        from xarray_spark.computation import interp_calendar
+        return interp_calendar(self, target, dim)
+
+    @staticmethod
+    def from_dataframe(df, dims, **kw) -> "XDataset":
+        from xarray_spark.io import from_dataframe
+        return from_dataframe(df, dims, **kw)
+
+    @staticmethod
+    def from_dict(spark, d) -> "XDataset":
+        from xarray_spark.io import from_dict
+        return from_dict(spark, d)
 
     def to_dict(self) -> dict:
         return {
