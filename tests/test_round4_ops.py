@@ -354,3 +354,25 @@ def test_parity_surface(spark):
     assert cds.convert_calendar("noleap", dim="time").to_pandas().shape[0] == 10
     out = cds.interp_calendar(list(base["time"]), dim="time").to_pandas()
     assert out.shape[0] == 10
+
+
+def test_dataarray_parity_surface(spark):
+    import pandas as pd
+    from xarray_spark.dataset import XDataArray
+    pdf = pd.DataFrame([(i, j, float(i * 10 + j))
+                        for i in range(3) for j in range(4)],
+                       columns=["x", "y", "v"])
+    da = XDataArray(spark.createDataFrame(pdf), dims=["x", "y"])
+    assert da.ndim == 2 and da.shape == (3, 4) and da.size == 12
+    arr = da.to_numpy()
+    assert arr.shape == (3, 4) and arr[2, 3] == 23.0
+    one = XDataArray(spark.createDataFrame(pdf[pdf.x == 0][["y", "v"]]),
+                     dims=["y"])
+    assert list(one.to_index()) == [0, 1, 2, 3]
+    ds2 = da.to_dataset("z")
+    assert list(ds2.data_vars) == ["z"]
+    assert da.variable is da
+    # sparse data refuses to reshape
+    sparse = XDataArray(spark.createDataFrame(pdf.iloc[:-1]), dims=["x", "y"])
+    with pytest.raises(ValueError):
+        sparse.to_numpy()

@@ -2308,6 +2308,61 @@ class XDataArray(XDataset):
         """numpy array of the (dim-sorted) values — an action."""
         return self.to_series().sort_index().to_numpy()
 
+    @property
+    def dtype(self):
+        return self.df.schema[self.name].dataType
+
+    @property
+    def ndim(self) -> int:
+        return len(self.dims)
+
+    @property
+    def shape(self) -> tuple:
+        """Dim sizes (xarray/core/dataarray.py shape) — an ACTION here
+        (one countDistinct per dim), unlike the metadata lookup of an
+        in-memory array."""
+        sizes = self.dim_sizes()
+        return tuple(sizes[d] for d in self.dims)
+
+    @property
+    def size(self) -> int:
+        import math as _math
+        return _math.prod(self.shape)
+
+    def to_numpy(self):
+        """Dense N-D numpy array, dims in order — an action; raises if
+        the long-form data is sparse (missing cells have no NaN rows to
+        reshape into; densify() first)."""
+        import numpy as np
+        s = self.to_series().sort_index()
+        shape = self.shape
+        if len(s) != int(np.prod(shape)):
+            raise ValueError(
+                f"sparse data: {len(s)} rows != dense shape {shape}; "
+                "use .densify() before to_numpy()")
+        return s.to_numpy().reshape(shape)
+
+    def to_index(self):
+        """pandas Index of the labels (1-D only,
+        xarray/core/dataarray.py:4055) — an action."""
+        if len(self.dims) != 1:
+            raise ValueError("to_index requires a 1-D DataArray")
+        import pandas as pd
+        d = self.dims[0]
+        rows = self._dim_labels(d).orderBy("__pos").select(d).toPandas()
+        return pd.Index(rows[d], name=d)
+
+    def to_dataset(self, name: str | None = None) -> "XDataset":
+        """Promote back to a Dataset (xarray/core/dataarray.py:611)."""
+        da = self.rename_var(name) if name else self
+        return XDataset(da.df, da.dims, da.coords, da.data_vars, da.attrs)
+
+    @property
+    def variable(self):
+        """No separate Variable layer in the long-form model — the
+        array IS its variable (parity shim)."""
+        return self
+
     def to_masked_array(self):
         """numpy masked array of the dim-sorted values, mask = nulls
         (xarray/core/dataarray.py:3994 to_masked_array) — an action,
