@@ -376,3 +376,20 @@ def test_dataarray_parity_surface(spark):
     sparse = XDataArray(spark.createDataFrame(pdf.iloc[:-1]), dims=["x", "y"])
     with pytest.raises(ValueError):
         sparse.to_numpy()
+
+
+def test_groupby_reduce_and_shuffle(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"k": ["a"] * 3 + ["b"] * 2, "t": range(5),
+                        "v": [1.0, 5.0, 3.0, 2.0, 8.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"k": ("t",)})
+    g = ds.groupby("k")
+    out = g.reduce(np.ptp).to_pandas().sort_values("k")
+    assert out["v"].tolist() == [4.0, 6.0]
+    assert g.shuffle_to_chunks().to_spark().count() == 5
+    def summ(p):
+        out = p[["v"]].sum().to_frame().T
+        out["__key_k"] = p["__key_k"].iloc[0]
+        return out
+    got = g.apply(summ, "__key_k string, v double")
+    assert got.to_spark().count() == 2

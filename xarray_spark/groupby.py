@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Mapping
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -180,6 +181,31 @@ class XGroupBy:
         for n in self._key_names:
             out = out.withColumnRenamed(f"__key_{n}", n)
         return XDataset(out, self._key_names, {}, None, self.ds.attrs)
+
+    def apply(self, func, schema) -> XDataset:
+        """Deprecated alias of map (xarray/core/groupby.py apply)."""
+        return self.map(func, schema)
+
+    def reduce(self, func, dim=None, dtype: str = "double") -> XDataset:
+        """Generic per-group array reduction (xarray/core/groupby.py
+        GroupBy.reduce): ``func`` is a numpy callable collapsing each
+        data var's group values to a scalar.  Runs as a grouped-agg
+        pandas UDF — one Arrow batch per (group, var), the same shuffle
+        as the built-in reductions."""
+        @F.pandas_udf(dtype)
+        def red(v: pd.Series) -> float:
+            return func(v.to_numpy())
+
+        return self._agg(lambda v: red(F.col(v)), True)
+
+    def shuffle_to_chunks(self) -> XDataset:
+        """Co-locate each group's rows in one partition (the analogue of
+        xarray/core/groupby.py shuffle_to_chunks, which re-chunks dask
+        arrays group-aligned): a single repartition on the group keys,
+        after which every per-group op — map/applyInPandas, window —
+        runs shuffle-free on the cached layout."""
+        exprs = [expr for _, expr, _src in self.keys]
+        return self.ds._replace(df=self.ds.df.repartition(*exprs))
 
     # ---- groupby binary ops: ds.groupby('k') - ds.groupby('k').mean() ----
 
