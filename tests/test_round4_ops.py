@@ -393,3 +393,20 @@ def test_groupby_reduce_and_shuffle(spark):
         return out
     got = g.apply(summ, "__key_k string, v double")
     assert got.to_spark().count() == 2
+
+
+def test_datatree_parity(spark):
+    import pandas as pd
+    from xarray_spark.datatree import DataTree
+    a = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "v": [1.0, 2.0]})), dims=["t"])
+    tree = DataTree.from_dict({"/": a, "/sub": a})
+    t2 = tree.assign({"/x": a}).drop_nodes("/x")
+    assert t2.isomorphic(tree) and t2.equals(tree) and t2.identical(tree)
+    assert tree.dataset is not None and not tree.is_empty
+    assert tree.has_data("/sub")
+    assert tree.isel(t=slice(0, 1))["/sub"].to_spark().count() == 1
+    assert list(tree.filter_like(DataTree({"/": a}))) == ["/"]
+    with pytest.raises(KeyError):
+        tree.drop_nodes("/nope")
+    assert tree.get("/nope") is None

@@ -91,3 +91,100 @@ class DataTree:
             p: open_dataset(spark, root.rstrip("/") + DataTree._norm(p))
             for p in paths
         })
+
+    # ---------------------------------------------------------------- #
+    # round-4 parity tail (reference core/datatree.py names)
+    # ---------------------------------------------------------------- #
+
+    @staticmethod
+    def from_dict(nodes: Mapping[str, XDataset]) -> "DataTree":
+        """Constructor parity (core/datatree.py:1135 from_dict)."""
+        return DataTree(nodes)
+
+    def to_dict(self) -> dict:
+        return dict(self._nodes)
+
+    def get(self, path: str, default=None):
+        return self._nodes.get(self._norm(path), default)
+
+    def assign(self, nodes: Mapping[str, XDataset]) -> "DataTree":
+        """New tree with nodes added/replaced (core/datatree.py:1311)."""
+        out = dict(self._nodes)
+        for k, v in nodes.items():
+            out[self._norm(k)] = v
+        return DataTree(out)
+
+    def drop_nodes(self, names, errors: str = "raise") -> "DataTree":
+        """Remove nodes by path (core/datatree.py:1340)."""
+        names = {self._norm(n) for n in
+                 ([names] if isinstance(names, str) else names)}
+        missing = names - set(self._nodes)
+        if missing and errors == "raise":
+            raise KeyError(f"nodes not present: {sorted(missing)}")
+        return DataTree({k: v for k, v in self._nodes.items()
+                         if k not in names})
+
+    @property
+    def dataset(self) -> XDataset | None:
+        """The root node's dataset (core/datatree.py ds property)."""
+        return self._nodes.get("/")
+
+    ds = dataset
+
+    @property
+    def is_empty(self) -> bool:
+        return not any(v.data_vars for v in self._nodes.values())
+
+    @property
+    def is_hollow(self) -> bool:
+        """True when only leaves carry data (core/datatree.py:741)."""
+        leaves = {k for k in self._nodes
+                  if not any(o != k and o.startswith(k.rstrip("/") + "/")
+                             for o in self._nodes)}
+        return all(not v.data_vars for k, v in self._nodes.items()
+                   if k not in leaves)
+
+    def has_data(self, path: str = "/") -> bool:
+        node = self.get(path)
+        return bool(node is not None and node.data_vars)
+
+    def isomorphic(self, other: "DataTree") -> bool:
+        """Same node paths (core/datatree.py:1565)."""
+        return set(self._nodes) == set(other._nodes)
+
+    def equals(self, other: "DataTree") -> bool:
+        """Isomorphic + node-wise dataset equality (core/datatree.py:1583)."""
+        return self.isomorphic(other) and all(
+            self._nodes[k].equals(other._nodes[k]) for k in self._nodes)
+
+    def identical(self, other: "DataTree") -> bool:
+        return self.isomorphic(other) and all(
+            self._nodes[k].identical(other._nodes[k]) for k in self._nodes)
+
+    def filter_like(self, other: "DataTree") -> "DataTree":
+        """Keep only paths present in ``other`` (core/datatree.py:1432)."""
+        return DataTree({k: v for k, v in self._nodes.items()
+                         if k in other._nodes})
+
+    def isel(self, indexers=None, **kw) -> "DataTree":
+        """Map isel over every node that has all the requested dims
+        (datatree inherited-selection convention)."""
+        idx = {**(indexers or {}), **kw}
+        return self.map_over_datasets(
+            lambda d: d.isel({k: v for k, v in idx.items() if k in d.dims})
+            if any(k in d.dims for k in idx) else d)
+
+    def sel(self, indexers=None, **kw) -> "DataTree":
+        idx = {**(indexers or {}), **kw}
+        return self.map_over_datasets(
+            lambda d: d.sel({k: v for k, v in idx.items() if k in d.dims})
+            if any(k in d.dims for k in idx) else d)
+
+    def persist(self) -> "DataTree":
+        return self.map_over_datasets(lambda d: d.persist())
+
+    def compute(self) -> dict:
+        """Materialize every node (action) — path → row list."""
+        return {k: v.compute() for k, v in self._nodes.items()}
+
+    load = compute
