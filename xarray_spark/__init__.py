@@ -49,6 +49,8 @@ from xarray_spark.backends import (
 from xarray_spark.combine import concat, merge, combine_by_coords, combine_nested
 from xarray_spark.alignment import align, broadcast, salted_join, sel_points_nearest
 from xarray_spark.computation import convert_calendar, interp_calendar, date_range_like, infer_freq
+from xarray_spark.dataset import register_dataset_accessor, register_dataarray_accessor
+from xarray_spark.datatree import DataTree
 from xarray_spark.cftime import (
     cf_date_range,
     cf_field,
@@ -89,7 +91,37 @@ from xarray_spark.groupers import (
 
 __version__ = "0.1.0"
 
+
+# reference top-level name parity
+__version__ = "0.4.0"
+cftime_range = cf_date_range
+
+
+def map_over_datasets(func, tree):
+    """Top-level DataTree map (reference __init__ export)."""
+    return tree.map_over_datasets(func)
+
+
+def load_datatree(spark, root, paths):
+    """Open + materialize a DataTree (reference load_datatree)."""
+    t = DataTree.open(spark, root, paths)
+    return t.persist()
+
+
+def show_versions(file=None):
+    import sys
+    import pyspark
+    print(f"xarray_spark {__version__} / pyspark {pyspark.__version__} / "
+          f"python {sys.version.split()[0]}", file=file)
+
 __all__ = [
+    "__version__",
+    "show_versions",
+    "load_datatree",
+    "map_over_datasets",
+    "cftime_range",
+    "register_dataarray_accessor",
+    "register_dataset_accessor",
     "XDataset",
     "XDataArray",
     "get_spark",
