@@ -93,6 +93,7 @@ class StringAccessor(_Accessor):
         return self._wrap(F.concat_ws(sep, self._c, F.col(other) if isinstance(other, str) else other))
     def isalpha(self): return self._wrap(self._c.rlike("^[A-Za-z]+$"))
     def isdigit(self): return self._wrap(self._c.rlike("^[0-9]+$"))
+    def isdecimal(self): return self._wrap(self._c.rlike("^[0-9]+$"))
     def isalnum(self): return self._wrap(self._c.rlike("^[A-Za-z0-9]+$"))
     def isspace(self): return self._wrap(self._c.rlike("^\\s+$"))
     def isupper(self): return self._wrap((self._c == F.upper(self._c)) & self._c.rlike("[A-Za-z]"))
