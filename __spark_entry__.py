@@ -1757,6 +1757,19 @@ def q109_stream_interval_join(spark, sf_dir):
     )
 
 
+def q112_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (extras.similarity.pq_encode_fixed /
+    pq_topk_fixed — the FAISS IndexPQ query path, Jégou et al. 2011):
+    corpus compressed to m=8 4-bit-ish codes against the fixed integer
+    codebook, queries ranked by exact-integer asymmetric distance.  The
+    oracle recomputes every code and every ADC distance in SQL."""
+    from xarray_spark.extras.similarity import pq_topk_fixed
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding"))
+    return pq_topk_fixed(emb, qs, kk=3)
+
+
 def q110_dedup_lines(spark, sf_dir):
     """Corpus-wide boilerplate line removal (extras.curation.dedup_lines
     — the C4/CCNet paragraph-dedup step): drop lines occurring in ≥3
@@ -1891,7 +1904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_ffill": q13_ffill,
         "q14_interpolate_na": q14_interpolate_na,
         "q28_dt_fields": q28_dt_fields,
-        "q43_bfill": q43_bfill,
         "q46_resample_6h": q46_resample_6h,
         "q70_ffill_segmented": q70_ffill_segmented,
         "q75_interp_zero": q75_interp_zero,
@@ -1903,7 +1915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_blend_epochs": q108_blend_epochs,
         "q109_stream_interval_join": q109_stream_interval_join,
         "q110_dedup_lines": q110_dedup_lines,
+        "q112_pq_topk": q112_pq_topk,
         # ---- outside the window (q111 oracle-ready for a future rotation): green rows from earlier rounds stand ----
+        "q43_bfill": q43_bfill,
         "q111_rolling_argmin": q111_rolling_argmin,
         "q40_dropna": q40_dropna,
         "q96_stream_sessionize": q96_stream_sessionize,
@@ -2110,6 +2124,12 @@ def _near_dups_oracle(n_planes=16, n_bands=8, threshold=0.5) -> str:
                  FROM cand JOIN qv a ON a.vec_id = cand.id_a
                  JOIN qv b ON b.vec_id = cand.id_b)
       SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}"""
+
+
+def _sql_pq_entry(s_expr: str, c_expr: str, j_expr: str) -> str:
+    """DuckDB twin of extras.portable.pq_codebook entries."""
+    from xarray_spark.extras.portable import sql_pq_entry
+    return sql_pq_entry(s_expr, c_expr, j_expr)
 
 
 def _sql_bucket(salt: str, key_expr: str) -> str:
@@ -3337,6 +3357,41 @@ def oracle_sql() -> dict[str, str]:
                            AND CURRENT ROW)
                         - (rp - 6) AS BIGINT) AS amin
             FROM o
+        """,
+        "q112_pq_topk": f"""
+            WITH cb AS (
+              SELECT s.s, c.c, j.j, {_sql_pq_entry("s.s", "c.c", "j.j")} AS e
+              FROM (SELECT unnest(range(8)) AS s) s,
+                   (SELECT unnest(range(16)) AS c) c,
+                   (SELECT unnest(range(8)) AS j) j
+            ),
+            qv AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+                   FROM embeddings),
+            dists AS (
+              SELECT v.vec_id, cb.s, cb.c,
+                     SUM((v.q[cb.s * 8 + cb.j + 1] - cb.e)
+                         * (v.q[cb.s * 8 + cb.j + 1] - cb.e)) AS d
+              FROM qv v, cb GROUP BY 1, 2, 3
+            ),
+            codes AS (
+              SELECT vec_id, s, c AS code FROM (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d ASC, c ASC) AS rn
+                FROM dists) WHERE rn = 1
+            ),
+            qd AS (SELECT vec_id AS qid, s, c, d FROM dists WHERE vec_id < 5),
+            adc AS (
+              SELECT qd.qid, co.vec_id AS nid, CAST(SUM(qd.d) AS BIGINT) AS dist
+              FROM codes co JOIN qd ON qd.s = co.s AND qd.c = co.code
+              WHERE co.vec_id != qd.qid GROUP BY 1, 2
+            )
+            SELECT qid, nid, dist, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY dist ASC, nid ASC) AS rank
+              FROM adc) WHERE rank <= 3
         """,
         "q110_dedup_lines": """
             WITH d AS (SELECT doc_id, coalesce(text, '') AS text

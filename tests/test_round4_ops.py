@@ -410,3 +410,25 @@ def test_datatree_parity(spark):
     with pytest.raises(KeyError):
         tree.drop_nodes("/nope")
     assert tree.get("/nope") is None
+
+
+def test_pq_encode_and_topk(spark):
+    import pandas as pd
+    from xarray_spark.extras.similarity import pq_encode_fixed, pq_topk_fixed
+    from xarray_spark.extras.portable import pq_codebook
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = pq_encode_fixed(emb).toPandas()
+    assert all(len(c) == 8 for c in codes["pq_codes"])
+    assert all(0 <= x < 16 for c in codes["pq_codes"] for x in c)
+    # numpy replay of the encode on one vector
+    row = emb.orderBy("vec_id").first()
+    C = np.array(pq_codebook(8, 16, 8), dtype=np.int64)
+    Q = np.floor(np.array(row["embedding"], dtype=np.float64) * 1e6
+                 ).astype(np.int64).reshape(8, 8)
+    d = ((Q[:, None, :] - C) ** 2).sum(axis=2)
+    exp = np.argsort(d, axis=1, kind="stable")[:, 0].tolist()
+    got = codes.set_index("vec_id").loc[row["vec_id"], "pq_codes"]
+    assert list(got) == exp
+    qs = emb.limit(2).selectExpr("vec_id AS qid", "embedding")
+    out = pq_topk_fixed(emb, qs, kk=3).toPandas()
+    assert len(out) == 6 and set(out["rank"]) == {1, 2, 3}

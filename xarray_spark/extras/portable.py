@@ -126,3 +126,25 @@ def centroid_coeffs(n_cells: int, dim: int) -> list[list[int]]:
         [(_md5_int(f"cell-{c}-{j}") % 2001 - 1000) * 1000 for j in range(dim)]
         for c in range(n_cells)
     ]
+
+
+def pq_codebook(m: int, k: int, d_sub: int) -> list:
+    """Fixed integer PQ codebooks: ``m`` subquantizers × ``k`` codes ×
+    ``d_sub`` dims, entries md5-derived in the quantized-embedding range
+    ([-1000, 1000]·1000 — the floor(x·1e6) scale of unit-ish vectors).
+    NOT trained — these verify the PQ *query path* (encode, ADC rank)
+    bit-for-bit against a SQL oracle; production codebooks come from
+    k-means over subvector samples (same bounded-sample recipe as
+    ivf_fit)."""
+    return [
+        [[(_md5_int(f"pq-{s}-{c}-{j}") % 2001 - 1000) * 1000
+          for j in range(d_sub)]
+         for c in range(k)]
+        for s in range(m)
+    ]
+
+
+def sql_pq_entry(s_expr: str, c_expr: str, j_expr: str) -> str:
+    """The same PQ codebook entry inside DuckDB SQL."""
+    h = sql_md5_long(f"'pq-' || ({s_expr}) || '-' || ({c_expr}) || '-' || ({j_expr})")
+    return f"(({h} % 2001 - 1000) * 1000)"

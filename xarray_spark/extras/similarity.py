@@ -526,3 +526,81 @@ def ivf_topk_fixed(
         .where(F.col("rank") <= k)
         .select(query_id_col, "nid", "cos", "rank")
     )
+
+
+# --------------------------------------------------------------------- #
+# product quantization (FAISS IndexPQ query path, fixed codebook)
+# --------------------------------------------------------------------- #
+
+def pq_encode_fixed(df: DataFrame, m: int = 8, k: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64) -> DataFrame:
+    """PQ-encode vectors against the fixed integer codebook
+    (extras.portable.pq_codebook): split each floor-quantized vector
+    into ``m`` subvectors, store the id of the nearest codebook entry
+    per subquantizer — ``m`` small ints instead of ``dim`` floats
+    (the 32× compression that makes billion-vector search RAM-feasible;
+    Jégou et al. 2011, FAISS IndexPQ).
+
+    Integer-exact (int64 expansion distances, stable tie to the lowest
+    code id) so a SQL oracle replays the codes bit-for-bit.  One Arrow
+    einsum per batch; map-only, no shuffle."""
+    from xarray_spark.extras.portable import pq_codebook
+    d_sub = dim // m
+    C = np.array(pq_codebook(m, k, d_sub), dtype=np.int64)      # (m, k, d_sub)
+    c2 = (C * C).sum(axis=2)                                    # (m, k)
+
+    @F.pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        Q = np.floor(M * 1e6).astype(np.int64).reshape(len(M), m, d_sub)
+        # (n, m, k) int64: ||q||² - 2 q·c + ||c||², exact
+        cross = np.einsum("nmd,mkd->nmk", Q, C)
+        d = (Q * Q).sum(axis=2)[:, :, None] - 2 * cross + c2[None, :, :]
+        codes = np.argsort(d, axis=2, kind="stable")[:, :, 0].astype(np.int32)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), enc(F.col(vec_col).cast("array<double>")).alias("pq_codes"))
+
+
+def pq_topk_fixed(corpus: DataFrame, queries: DataFrame, kk: int = 10,
+                  m: int = 8, k: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_id_col: str = "qid", dim: int = 64) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact, each corpus vector is its ``m`` codebook ids, and the
+    distance is Σ_s ||q_sub − C[s][code_s]||² — the FAISS IndexPQ scan.
+
+    Scale shape: the corpus side carries ONLY (id, m codes) — the point
+    of PQ is that this fits in memory where raw vectors don't; the scan
+    is embarrassingly parallel, and at 100 TB you compose with the IVF
+    cell join (ivf_topk_fixed) to prune it (IVF-PQ).  Integer-exact end
+    to end → the SQL oracle reproduces every distance and the exact
+    ranking (ties to the ascending corpus id)."""
+    from xarray_spark.extras.portable import pq_codebook
+    d_sub = dim // m
+    C = np.array(pq_codebook(m, k, d_sub), dtype=np.int64)
+
+    codes = pq_encode_fixed(corpus, m, k, id_col, vec_col, dim).select(
+        F.col(id_col).alias("nid"), "pq_codes")
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"))
+    cand = codes.crossJoin(F.broadcast(q)).where(
+        F.col("nid") != F.col(query_id_col))
+
+    @F.pandas_udf("long")
+    def adc(qv: pd.Series, cd: pd.Series) -> pd.Series:
+        Qm = np.stack(qv.to_numpy()).astype(np.float64)
+        Q = np.floor(Qm * 1e6).astype(np.int64).reshape(len(Qm), m, d_sub)
+        codes_arr = np.stack(cd.to_numpy()).astype(np.int64)     # (n, m)
+        sel = C[np.arange(m)[None, :], codes_arr]                # (n, m, d_sub)
+        return pd.Series(((Q - sel) ** 2).sum(axis=(1, 2)))
+
+    scored = cand.select(query_id_col, "nid",
+                         adc(F.col("__qv"), F.col("pq_codes")).alias("dist"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= kk)
+            .select(query_id_col, "nid", "dist", "rank"))
