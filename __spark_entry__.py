@@ -1770,6 +1770,20 @@ def q112_pq_topk(spark, sf_dir):
     return pq_topk_fixed(emb, qs, kk=3)
 
 
+def q113_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (extras.similarity.ivfpq_topk_fixed — the FAISS
+    IndexIVFPQ composition, the engine's 100 TB ANN path): coarse-cell
+    pruning via the fixed integer centroids, PQ asymmetric-distance
+    ranking over the compressed codes.  The oracle replays cell
+    assignment, probe expansion, PQ codes, and every ADC distance from
+    the same md5 coefficients."""
+    from xarray_spark.extras.similarity import ivfpq_topk_fixed
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding"))
+    return ivfpq_topk_fixed(emb, qs, kk=3, n_cells=8, n_probe=2)
+
+
 def q110_dedup_lines(spark, sf_dir):
     """Corpus-wide boilerplate line removal (extras.curation.dedup_lines
     — the C4/CCNet paragraph-dedup step): drop lines occurring in ≥3
@@ -1904,7 +1918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_ffill": q13_ffill,
         "q14_interpolate_na": q14_interpolate_na,
         "q28_dt_fields": q28_dt_fields,
-        "q46_resample_6h": q46_resample_6h,
         "q70_ffill_segmented": q70_ffill_segmented,
         "q75_interp_zero": q75_interp_zero,
         "q86_cf_subdaily": q86_cf_subdaily,
@@ -1916,7 +1929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_stream_interval_join": q109_stream_interval_join,
         "q110_dedup_lines": q110_dedup_lines,
         "q112_pq_topk": q112_pq_topk,
+        "q113_ivfpq_topk": q113_ivfpq_topk,
         # ---- outside the window (q111 oracle-ready for a future rotation): green rows from earlier rounds stand ----
+        "q46_resample_6h": q46_resample_6h,
         "q43_bfill": q43_bfill,
         "q111_rolling_argmin": q111_rolling_argmin,
         "q40_dropna": q40_dropna,
@@ -3357,6 +3372,53 @@ def oracle_sql() -> dict[str, str]:
                            AND CURRENT ROW)
                         - (rp - 6) AS BIGINT) AS amin
             FROM o
+        """,
+        "q113_ivfpq_topk": f"""
+            WITH qv AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+                   FROM embeddings),
+            cells AS (SELECT c.c, j.j,
+                     ({_sql_md5l("'cell-' || c.c::VARCHAR || '-' || j.j::VARCHAR")}
+                      % 2001 - 1000) * 1000 AS x
+                   FROM (SELECT unnest(range(8)) AS c) c,
+                        (SELECT unnest(range(64)) AS j) j),
+            cdist AS (SELECT v.vec_id, cl.c,
+                     SUM((v.q[cl.j + 1] - cl.x) * (v.q[cl.j + 1] - cl.x)) AS d
+                   FROM qv v, cells cl GROUP BY 1, 2),
+            crank AS (SELECT vec_id, c,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, c ASC) AS rn
+                   FROM cdist),
+            assign AS (SELECT vec_id, c AS cell FROM crank WHERE rn = 1),
+            qprobe AS (SELECT vec_id AS qid, c AS cell FROM crank
+                       WHERE rn <= 2 AND vec_id < 5),
+            cb AS (SELECT s.s, c.c, j.j, {_sql_pq_entry("s.s", "c.c", "j.j")} AS e
+                   FROM (SELECT unnest(range(8)) AS s) s,
+                        (SELECT unnest(range(16)) AS c) c,
+                        (SELECT unnest(range(8)) AS j) j),
+            pdists AS (SELECT v.vec_id, cb.s, cb.c,
+                     SUM((v.q[cb.s * 8 + cb.j + 1] - cb.e)
+                         * (v.q[cb.s * 8 + cb.j + 1] - cb.e)) AS d
+                   FROM qv v, cb GROUP BY 1, 2, 3),
+            codes AS (SELECT vec_id, s, c AS code FROM (
+                     SELECT vec_id, s, c,
+                            row_number() OVER (PARTITION BY vec_id, s
+                                               ORDER BY d ASC, c ASC) AS rn
+                     FROM pdists) WHERE rn = 1),
+            cand AS (SELECT DISTINCT qp.qid, a.vec_id AS nid
+                   FROM qprobe qp JOIN assign a ON a.cell = qp.cell
+                   WHERE a.vec_id <> qp.qid),
+            qd AS (SELECT vec_id AS qid, s, c, d FROM pdists WHERE vec_id < 5),
+            adc AS (SELECT cand.qid, cand.nid, CAST(SUM(qd.d) AS BIGINT) AS dist
+                   FROM cand JOIN codes co ON co.vec_id = cand.nid
+                   JOIN qd ON qd.qid = cand.qid AND qd.s = co.s
+                          AND qd.c = co.code
+                   GROUP BY 1, 2)
+            SELECT qid, nid, dist, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY dist ASC, nid ASC) AS rank
+              FROM adc) WHERE rank <= 3
         """,
         "q112_pq_topk": f"""
             WITH cb AS (

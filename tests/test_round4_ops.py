@@ -432,3 +432,15 @@ def test_pq_encode_and_topk(spark):
     qs = emb.limit(2).selectExpr("vec_id AS qid", "embedding")
     out = pq_topk_fixed(emb, qs, kk=3).toPandas()
     assert len(out) == 6 and set(out["rank"]) == {1, 2, 3}
+
+
+def test_ivfpq_topk(spark):
+    from xarray_spark.extras.similarity import ivfpq_topk_fixed, pq_topk_fixed
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.limit(2).selectExpr("vec_id AS qid", "embedding")
+    out = ivfpq_topk_fixed(emb, qs, kk=3).toPandas()
+    assert set(out["rank"]) <= {1, 2, 3}
+    # IVF-PQ distances agree with full-scan PQ for shared candidates
+    full = pq_topk_fixed(emb, qs, kk=50).toPandas()
+    merged = out.merge(full, on=["qid", "nid"], suffixes=("_ivf", "_full"))
+    assert (merged["dist_ivf"] == merged["dist_full"]).all()

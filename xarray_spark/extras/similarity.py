@@ -604,3 +604,56 @@ def pq_topk_fixed(corpus: DataFrame, queries: DataFrame, kk: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= kk)
             .select(query_id_col, "nid", "dist", "rank"))
+
+
+def ivfpq_topk_fixed(corpus: DataFrame, queries: DataFrame, kk: int = 10,
+                     n_cells: int = 8, n_probe: int = 2,
+                     m: int = 8, k: int = 16,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "qid", dim: int = 64) -> DataFrame:
+    """IVF-PQ: the FAISS IndexIVFPQ composition and the engine's
+    100 TB ANN path — candidates pruned by the coarse-cell equi-join
+    (only ``n_probe``/``n_cells`` of the corpus is touched per query),
+    then ranked by the exact-integer PQ asymmetric distance over the
+    compressed code stream.  Both stages run against fixed md5-derived
+    codebooks, so the full pipeline — assignment, probing, codes, every
+    distance — replays bit-for-bit in SQL."""
+    from xarray_spark.extras.portable import centroid_coeffs, pq_codebook
+    d_sub = dim // m
+    cents = centroid_coeffs(n_cells, dim)
+    C = np.array(pq_codebook(m, k, d_sub), dtype=np.int64)
+
+    base_c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cell", _nearest_cells_int(F.col("__cv"), cents, 1)[0])
+    codes = pq_encode_fixed(
+        base_c.select(F.col("nid").alias(id_col), F.col("__cv").alias(vec_col)),
+        m, k, id_col, vec_col, dim,
+    ).select(F.col(id_col).alias("nid"), "pq_codes")
+    corpus_side = base_c.select("nid", "__cell").join(codes, on="nid")
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn("__cell",
+                 F.explode(_nearest_cells_int(F.col("__qv"), cents, n_probe)))
+    cand = corpus_side.join(F.broadcast(q), on="__cell", how="inner").where(
+        F.col("nid") != F.col(query_id_col))
+
+    @F.pandas_udf("long")
+    def adc(qv: pd.Series, cd: pd.Series) -> pd.Series:
+        Qm = np.stack(qv.to_numpy()).astype(np.float64)
+        Q = np.floor(Qm * 1e6).astype(np.int64).reshape(len(Qm), m, d_sub)
+        codes_arr = np.stack(cd.to_numpy()).astype(np.int64)
+        sel = C[np.arange(m)[None, :], codes_arr]
+        return pd.Series(((Q - sel) ** 2).sum(axis=(1, 2)))
+
+    scored = cand.select(query_id_col, "nid",
+                         adc(F.col("__qv"), F.col("pq_codes")).alias("dist"))
+    scored = scored.dropDuplicates([query_id_col, "nid"])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= kk)
+            .select(query_id_col, "nid", "dist", "rank"))
