@@ -444,3 +444,22 @@ def test_ivfpq_topk(spark):
     full = pq_topk_fixed(emb, qs, kk=50).toPandas()
     merged = out.merge(full, on=["qid", "nid"], suffixes=("_ivf", "_full"))
     assert (merged["dist_ivf"] == merged["dist_full"]).all()
+
+
+def test_testing_module(spark):
+    import pandas as pd
+    from xarray_spark import testing
+    a = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "v": [1.0, 2.0]})), dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [1, 0], "v": [2.0, 1.0]})), dims=["t"])
+    testing.assert_equal(a, b)
+    testing.assert_identical(a, b)
+    c = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "v": [1.0, 2.0000001]})), dims=["t"])
+    with pytest.raises(AssertionError):
+        testing.assert_equal(a, c)
+    testing.assert_allclose(a, c, rtol=1e-5)
+    d = a._replace(attrs={"x": 1})
+    with pytest.raises(AssertionError):
+        testing.assert_identical(a, d)

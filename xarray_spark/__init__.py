@@ -114,7 +114,10 @@ def show_versions(file=None):
     print(f"xarray_spark {__version__} / pyspark {pyspark.__version__} / "
           f"python {sys.version.split()[0]}", file=file)
 
+from xarray_spark import testing  # noqa: E402  (public submodule)
+
 __all__ = [
+    "testing",
     "__version__",
     "show_versions",
     "load_datatree",
