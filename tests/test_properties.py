@@ -175,3 +175,58 @@ def test_iso8601_prefix_never_crashes(s):
     if out is not None:
         start, end, res = out
         assert start < end
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=3, max_size=40),
+       st.integers(min_value=2, max_value=6))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rolling_matches_pandas(spark, vals, w):
+    """Differential: rolling mean/sum/min/max/std against pandas on
+    random series."""
+    import pandas as pd
+    import numpy as np
+    from xarray_spark import XDataset
+    pdf = pd.DataFrame({"t": range(len(vals)), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    for agg in ("mean", "sum", "min", "max"):
+        got = (getattr(ds.rolling(t=w, min_periods=1), agg)()
+               .to_pandas().sort_values("t")["v"].to_numpy())
+        exp = getattr(pdf["v"].rolling(w, min_periods=1), agg)().to_numpy()
+        np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-9)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=2, max_size=30),
+       st.integers(min_value=2, max_value=5))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_coarsen_matches_manual_blocks(spark, vals, size):
+    import pandas as pd
+    import numpy as np
+    from xarray_spark import XDataset
+    pdf = pd.DataFrame({"t": range(len(vals)), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    got = (ds.coarsen(t=size, boundary="trim").mean()
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    n = (len(vals) // size) * size
+    exp = np.array(vals[:n]).reshape(-1, size).mean(axis=1)
+    np.testing.assert_allclose(np.sort(got), np.sort(exp), rtol=1e-12)
+
+
+@given(st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False),
+                min_size=4, max_size=30),
+       st.floats(min_value=2.0, max_value=20.0))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewm_matches_pandas(spark, vals, span):
+    import pandas as pd
+    import numpy as np
+    from xarray_spark import XDataset
+    pdf = pd.DataFrame({"t": range(len(vals)), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    got = (ds.rolling_exp(t=span, window_type="span").mean()
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    exp = pdf["v"].ewm(span=span, min_periods=1).mean().to_numpy()
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
