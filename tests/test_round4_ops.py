@@ -463,3 +463,38 @@ def test_testing_module(spark):
     d = a._replace(attrs={"x": 1})
     with pytest.raises(AssertionError):
         testing.assert_identical(a, d)
+
+
+# ------------------------------------------------------------------ #
+# reference-test replications (xarray/tests/test_calendar_ops.py:277
+# test_interp_calendar — same construction, same assertions)
+# ------------------------------------------------------------------ #
+
+@pytest.mark.parametrize("direction", ["std_to_360", "360_to_std"])
+def test_interp_calendar_reference_ramp(spark, direction):
+    """A 0→1 linspace over Jan-Jul 2004 interpolated between calendars:
+    min stays exactly 0, max ≈ 1 to 2 decimals (the reference's own
+    acceptance test for interp_calendar)."""
+    import pandas as pd
+    from xarray_spark import cftime as cft
+    std = pd.date_range("2004-01-01", "2004-07-30", freq="D")
+    std_df = spark.createDataFrame(
+        pd.DataFrame({"time": std,
+                      "v": np.linspace(0, 1, len(std))}))
+    cal_df = cft.cf_date_range(spark, "2004-01-01", "2004-07-30",
+                               freq="D", calendar="360_day")
+    if direction == "std_to_360":
+        src = XDataset(std_df, dims=["time"])
+        tgt = XDataset(cal_df, dims=["time"], attrs={"calendar": "360_day"})
+    else:
+        n = cal_df.count()
+        src = XDataset(
+            cal_df.withColumn("v", (F.col("time") -
+                                    F.lit(cal_df.agg(F.min("time")).first()[0]))
+                              .cast("double") / F.lit(float(n - 1))),
+            dims=["time"], attrs={"calendar": "360_day"})
+        tgt = XDataset(std_df.select("time"), dims=["time"])
+    out = interp_calendar(src, tgt, dim="time").to_pandas()
+    v = out["v"].dropna()
+    assert float(v.min()) == 0.0
+    assert abs(float(v.max()) - 1.0) < 0.01
