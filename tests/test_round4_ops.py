@@ -498,3 +498,29 @@ def test_interp_calendar_reference_ramp(spark, direction):
     v = out["v"].dropna()
     assert float(v.min()) == 0.0
     assert abs(float(v.max()) - 1.0) < 0.01
+
+
+def test_weighted_quantile_reference_values(spark):
+    """The reference's own printed acceptance values
+    (xarray/tests/test_weighted.py:198 test_weighted_quantile_no_nan,
+    computed from Akinshin's published reference implementation)."""
+    import pandas as pd
+    vals = [1, 1.9, 2.2, 3, 3.7, 4.1, 5]
+    cases = [
+        ([0.25, 0.05, 0.15, 0.25, 0.15, 0.1, 0.05],
+         [1.554595, 2.463784, 3.000000, 3.518378]),
+        ([0.05, 0.05, 0.1, 0.15, 0.15, 0.25, 0.25],
+         [2.840000, 3.632973, 4.076216, 4.523243]),
+    ]
+    for ws, exps in cases:
+        pdf = pd.DataFrame({"t": range(7), "v": vals, "w": ws})
+        ds = XDataset(spark.createDataFrame(pdf), dims=["t"],
+                      coords={"w": ("t",)})
+        for q, exp in zip([0.2, 0.4, 0.6, 0.8], exps):
+            got = ds.weighted("w").quantile(q).to_pandas()["v"].iloc[0]
+            assert abs(got - exp) < 1e-5, (q, got, exp)
+    # zero weights drop their samples entirely (test_weighted.py:236)
+    pdf = pd.DataFrame({"t": range(4), "v": [0.0, 1, 2, 3],
+                        "w": [1.0, 0, 1, 0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"w": ("t",)})
+    assert ds.weighted("w").quantile(0.75).to_pandas()["v"].iloc[0] == 1.5

@@ -237,15 +237,31 @@ def test_weighted_quantile(spark):
             for i, (v, w) in enumerate([(1, 1), (2, 1), (3, 1), (4, 1)])]
     d = XDataset(spark.createDataFrame(rows), dims=["t"], data_vars=["v"])
     got = d.weighted("w").quantile(0.5).df.collect()[0]["v"]
-    # equal weights -> midpoint CDF interpolation: median of 1..4 = 2.5
+    # equal weights -> the weighted HF7 estimator reduces to numpy's
+    # linear quantile: median of 1..4 = 2.5
     assert got == 2.5
-    # heavy weight on 4 pulls the median up: CDF midpoints for w=[1,1,1,10]
-    # are p=[.5,1.5,2.5,8]/13 -> interp(0.5) = 3 + (.5-2.5/13)/(8/13-2.5/13)
+
+    def akinshin_wq(v, w, q):
+        # the reference's algorithm (computation/weighted.py:348),
+        # replicated independently
+        v, w = np.asarray(v, float), np.asarray(w, float)
+        order = np.argsort(v)
+        v, w = v[order], w[order]
+        nw = w.sum() ** 2 / (w ** 2).sum()
+        w = w / w.sum()
+        wcum = np.append(0, np.cumsum(w))
+        h = np.clip((nw - 1) * q + 1, 1, nw)
+        u = np.maximum((h - 1) / nw, np.minimum(h / nw, wcum))
+        vv = u * nw - h + 1
+        return (v * np.diff(vv)).sum()
+
+    # heavy weight on 4 pulls the median up — reference semantics
     rows2 = [{"t": i, "v": float(v), "w": float(w)}
              for i, (v, w) in enumerate([(1, 1), (2, 1), (3, 1), (4, 10)])]
     d2 = XDataset(spark.createDataFrame(rows2), dims=["t"], data_vars=["v"])
     got2 = d2.weighted("w").quantile(0.5).df.collect()[0]["v"]
-    assert abs(got2 - (3 + (0.5 - 2.5 / 13) / (8 / 13 - 2.5 / 13))) < 1e-12
+    assert abs(got2 - akinshin_wq([1, 2, 3, 4], [1, 1, 1, 10], 0.5)) < 1e-12
+    assert got2 > 3.0  # the heavy tail weight dominates
 
 
 def test_dt_decimal_year_isocalendar(spark):

@@ -610,16 +610,25 @@ class XWeighted:
         qf = float(q)
 
         def wq(vals: "np.ndarray", wts: "np.ndarray") -> float:
+            # The weighted Hyndman-Fan type-7 estimator the reference
+            # uses (computation/weighted.py:348 _weighted_quantile_1d,
+            # after Akinshin's published reference implementation):
+            # Kish effective sample size, h-index interpolation, and
+            # per-sample weights from the clipped cumulative-weight
+            # window — matches the reference's printed test values.
             m = ~np.isnan(vals) & (wts > 0)
             if not m.any():
                 return float("nan")
             v, w = vals[m], wts[m]
             order = np.argsort(v)
             v, w = v[order], w[order]
-            cw = np.cumsum(w)
-            # weighted CDF midpoints (type-7-like linear interpolation)
-            p = (cw - 0.5 * w) / cw[-1]
-            return float(np.interp(qf, p, v))
+            nw = w.sum() ** 2 / (w ** 2).sum()      # Kish effective n
+            w = w / w.sum()
+            wcum = np.append(0, np.cumsum(w))
+            h = np.clip((nw - 1) * qf + 1, 1, nw)   # method='linear'
+            u = np.maximum((h - 1) / nw, np.minimum(h / nw, wcum))
+            vv = u * nw - h + 1
+            return float((v * np.diff(vv)).sum())
 
         def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             out = {k: [pdf[k].iloc[0]] for k in keys}
