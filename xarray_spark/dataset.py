@@ -1295,7 +1295,10 @@ class XDataset:
         exprs = []
         for c in df.columns:
             if c in self.data_vars:
-                w = Window.partitionBy(*others).orderBy(F.col(c).asc())
+                # nulls sort LAST so valid values rank 1..n_valid — the
+                # reference ranks among valid entries only (bottleneck
+                # nanrankdata / pandas rank with na_option='keep')
+                w = Window.partitionBy(*others).orderBy(F.col(c).asc_nulls_last())
                 wv = Window.partitionBy(*others, c)
                 wp = Window.partitionBy(*others)
                 # average rank = min_rank + (ties-1)/2
@@ -1790,7 +1793,10 @@ class XDataset:
             new_rows = self.spark.createDataFrame([(x,) for x in new_labels], [dim]) \
                 .select(F.col(dim).cast(dtype).alias(dim))
         others = [d for d in self.dims if d != dim]
-        if mode in ("reflect", "symmetric", "wrap", "linear_ramp"):
+        if mode in ("reflect", "symmetric", "wrap", "linear_ramp", "edge"):
+            # edge rides the positional path (source = boundary row,
+            # no ramp) so INTERIOR nulls stay null — an ffill/bfill over
+            # the unioned series would fill genuine missing values too
             return self._pad_positional(dim, before, after, mode, new_labels,
                                         n1 + 1, end_values)
         if mode in ("mean", "maximum", "minimum"):
@@ -1817,10 +1823,7 @@ class XDataset:
                     fill = F.lit(constant_values).cast(self.df.schema[c].dataType)
                 new_rows = new_rows.withColumn(c, fill)
         unioned = self.df.unionByName(new_rows.select(*self.df.columns))
-        out = self._replace(df=unioned)
-        if mode == "edge":
-            out = out.ffill(dim).bfill(dim)
-        return out
+        return self._replace(df=unioned)
 
     def _pad_positional(self, dim: str, before: int, after: int, mode: str,
                         new_labels: list, n: int, end_values) -> "XDataset":
@@ -1829,7 +1832,7 @@ class XDataset:
         resolved through the label table — label-table-sized planning,
         one equi-join against the fact table."""
         from xarray_spark._utils import is_temporal
-        if mode != "linear_ramp" and max(before, after) >= n:
+        if mode not in ("linear_ramp", "edge") and max(before, after) >= n:
             raise ValueError(f"pad mode {mode!r} needs width < dim size {n}")
         # (side, 1-based pad offset) -> source position (numpy semantics)
         def src_pos(side: str, i: int) -> int:
