@@ -211,3 +211,133 @@ def test_dt_fields_match_reference(spark):
     got_name = (da.dt.day_name().to_pandas().sort_values("i")["v"].tolist())
     exp_name = ref.dt.strftime("%A").values.tolist()
     assert got_name == exp_name
+
+
+# ------------------------------------------------------------------ #
+# wave 2: computation / alignment / reshape
+# ------------------------------------------------------------------ #
+
+def test_integrate_differentiate_match_reference(spark):
+    x = np.sort(RNG.rand(30)).astype("float64")
+    y = np.sin(x * 6).round(6)
+    ref = xr.DataArray(y, dims="t", coords={"t": x})
+    pdf = pd.DataFrame({"t": x, "v": y})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    got_i = ds.integrate("t").to_pandas()["v"].iloc[0]
+    np.testing.assert_allclose(got_i, float(ref.integrate("t")), rtol=1e-9)
+    got_d = (ds.differentiate("t").to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got_d, ref.differentiate("t").values, rtol=1e-9)
+
+
+def test_polyfit_polyval_match_reference(spark):
+    x = np.arange(25.0)
+    y = (0.5 * x ** 2 - 3 * x + 7 + RNG.randn(25) * 0.01).round(6)
+    ref = xr.DataArray(y, dims="t", coords={"t": x})
+    fit = ref.polyfit("t", 2)
+    pdf = pd.DataFrame({"t": x, "v": y})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    got = (ds.polyfit("t", 2).to_pandas().sort_values("degree")
+           ["v_polyfit_coefficients"].to_numpy())
+    exp = np.sort(fit.polyfit_coefficients.values)
+    np.testing.assert_allclose(np.sort(got), exp, rtol=1e-6)
+
+
+def test_cov_corr_match_reference(spark):
+    a = RNG.randn(40).round(6)
+    b = (a * 0.5 + RNG.randn(40) * 0.3).round(6)
+    ra = xr.DataArray(a, dims="t")
+    rb = xr.DataArray(b, dims="t")
+    pdf = pd.DataFrame({"t": np.arange(40), "x": a, "y": b})
+    from xarray_spark.computation import cov, corr
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf[["t", "x"]]), dims=["t"])
+    db = XDataArray(spark.createDataFrame(pdf[["t", "y"]]), dims=["t"])
+    np.testing.assert_allclose(
+        cov(da, db).to_pandas().iloc[0, 0], float(xr.cov(ra, rb)), rtol=1e-9)
+    np.testing.assert_allclose(
+        corr(da, db).to_pandas().iloc[0, 0], float(xr.corr(ra, rb)), rtol=1e-9)
+
+
+def test_groupby_bins_matches_reference(spark):
+    vals = RNG.randn(50).round(6)
+    x = RNG.rand(50).round(6)
+    bins = [0, 0.25, 0.5, 0.75, 1.0]
+    ref = (xr.DataArray(vals, dims="t", coords={"x": ("t", x)})
+           .groupby_bins("x", bins).mean())
+    pdf = pd.DataFrame({"t": np.arange(50), "v": vals, "x": x})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"x": ("t",)})
+    got = ds.groupby_bins("x", bins).mean().to_pandas()
+    np.testing.assert_allclose(np.sort(got["v"].to_numpy()),
+                               np.sort(ref.values), rtol=1e-9)
+
+
+def test_where_clip_match_reference(sds, series):
+    from pyspark.sql import functions as F
+    got = _ours(sds.where(F.col("v") > 0))
+    exp = _ref(series).where(_ref(series) > 0).values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+    got_c = _ours(sds.clip(-0.5, 0.5))
+    exp_c = _ref(series).clip(-0.5, 0.5).values
+    np.testing.assert_allclose(got_c, exp_c, equal_nan=True)
+
+
+def test_cumprod_prod_match_reference(spark):
+    vals = (RNG.rand(20) + 0.5).round(6)
+    ref = xr.DataArray(vals, dims="t")
+    pdf = pd.DataFrame({"t": np.arange(20), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    np.testing.assert_allclose(
+        _ours(ds.cumprod("t")), ref.cumprod("t").values, rtol=1e-9)
+    np.testing.assert_allclose(
+        ds.prod("t").to_pandas()["v"].iloc[0], float(ref.prod("t")), rtol=1e-9)
+
+
+def test_reindex_interp_match_reference(spark):
+    x = np.arange(0.0, 20.0, 2.0)
+    y = (x ** 1.5).round(6)
+    ref = xr.DataArray(y, dims="t", coords={"t": x})
+    pdf = pd.DataFrame({"t": x, "v": y})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    tgt = [1.0, 5.0, 9.5, 14.0]
+    got = (ds.interp(t=tgt).to_pandas().sort_values("t")["v"].to_numpy())
+    # reference interp needs scipy (absent); its linear kernel is
+    # np.interp on the coordinate
+    exp = np.interp(tgt, x, y)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+    got_r = (ds.reindex({"t": [2.0, 3.0, 8.0]}).to_pandas()
+             .sort_values("t")["v"].to_numpy())
+    exp_r = ref.reindex(t=[2.0, 3.0, 8.0]).values
+    np.testing.assert_allclose(got_r, exp_r, equal_nan=True)
+
+
+def test_season_groupby_matches_reference(spark):
+    times = pd.date_range("2000-01-01", periods=400, freq="D")
+    vals = RNG.randn(400).round(6)
+    ref = (xr.DataArray(vals, dims="time", coords={"time": times})
+           .groupby("time.season").mean())
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    from xarray_spark.groupers import SeasonGrouper
+    got = (ds.groupby(time=SeasonGrouper()).mean().to_pandas())
+    got_map = dict(zip(got["time"], got["v"]))
+    for season, exp in zip(ref["season"].values, ref.values):
+        np.testing.assert_allclose(got_map[season], exp, rtol=1e-9,
+                                   err_msg=season)
+
+
+def test_str_accessor_matches_pandas(spark):
+    words = ["Customer#%03d-x" % i for i in range(20)]
+    s = pd.Series(words)
+    pdf = pd.DataFrame({"i": np.arange(20), "v": words})
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf), dims=["i"])
+    def ours(x):
+        return x.to_pandas().sort_values("i")["v"].tolist()
+    assert ours(da.str.upper()) == s.str.upper().tolist()
+    assert ours(da.str.len()) == s.str.len().tolist()
+    assert ours(da.str.slice(2, 6)) == s.str.slice(2, 6).tolist()
+    assert ours(da.str.replace("#", "@", regex=False)) == \
+        s.str.replace("#", "@", regex=False).tolist()
+    assert ours(da.str.zfill(20)) == s.str.zfill(20).tolist()
+    assert ours(da.str.contains("0[12]", regex=True)) == \
+        s.str.contains("0[12]", regex=True).tolist()

@@ -510,20 +510,25 @@ def ones_like(ds: XDataset) -> XDataset:
 
 
 def differentiate(ds: XDataset, coord: str) -> XDataset:
-    """Central-difference gradient (xarray/core/dataset.py:8475;
-    numpy.gradient 2nd-order): interior (y+ - y-)/(x+ - x-); one-sided
-    at the edges."""
+    """np.gradient gradient (xarray/core/dataset.py:8475): SECOND-order
+    accurate interior stencil on possibly NON-uniform grids —
+    f'_i = (hs²·f₊ + (hd² − hs²)·f − hd²·f₋) / (hs·hd·(hd + hs))
+    with hs = x−x₋, hd = x₊−x (np.gradient's published formula; the
+    naive (f₊−f₋)/(x₊−x₋) is only first-order when spacings differ) —
+    one-sided first differences at the edges (edge_order=1)."""
     from xarray_spark._utils import to_double
     others = [d for d in ds.dims if d != coord]
     w = Window.partitionBy(*others).orderBy(coord)
     x = to_double(F.col(coord), ds.df.schema[coord].dataType)
     xm, xp = F.lag(x).over(w), F.lead(x).over(w)
+    hs, hd = x - xm, xp - x
     exprs = []
     for c in ds.df.columns:
         if c in ds.data_vars:
             y = F.col(c).cast("double")
             ym, yp = F.lag(y).over(w), F.lead(y).over(w)
-            interior = (yp - ym) / (xp - xm)
+            interior = (hs * hs * yp + (hd * hd - hs * hs) * y
+                        - hd * hd * ym) / (hs * hd * (hd + hs))
             left = (yp - y) / (xp - x)
             right = (y - ym) / (x - xm)
             e = F.when(xm.isNull(), left).when(xp.isNull(), right).otherwise(interior)

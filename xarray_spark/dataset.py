@@ -1584,13 +1584,16 @@ class XDataset:
         return self.map(lambda c: c.isNull())
 
     def clip(self, min=None, max=None) -> "XDataset":
-        """Clamp values (xarray/core/common.py:462)."""
+        """Clamp values (xarray/core/common.py:462).  Nulls stay null —
+        Spark's greatest/least silently IGNORE nulls and would resurrect
+        a missing value as the clip bound."""
         def e(c):
+            out = c
             if min is not None:
-                c = F.greatest(c, F.lit(min))
+                out = F.greatest(out, F.lit(min))
             if max is not None:
-                c = F.least(c, F.lit(max))
-            return c
+                out = F.least(out, F.lit(max))
+            return F.when(c.isNotNull(), out)
         return self.map(e)
 
     def astype(self, dtype: str) -> "XDataset":
