@@ -341,3 +341,114 @@ def test_str_accessor_matches_pandas(spark):
     assert ours(da.str.zfill(20)) == s.str.zfill(20).tolist()
     assert ours(da.str.contains("0[12]", regex=True)) == \
         s.str.contains("0[12]", regex=True).tolist()
+
+
+# ------------------------------------------------------------------ #
+# wave 3: 2-D datasets, reshape, missing-data options, dt details
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def grid2d(spark):
+    vals = RNG.randn(6, 8).round(6)
+    ref = xr.DataArray(vals, dims=("x", "y"),
+                       coords={"x": np.arange(6), "y": np.arange(8)})
+    rows = [(i, j, float(vals[i, j])) for i in range(6) for j in range(8)]
+    pdf = pd.DataFrame(rows, columns=["x", "y", "v"])
+    ours = XDataset(spark.createDataFrame(pdf), dims=["x", "y"])
+    return ref, ours
+
+
+@pytest.mark.parametrize("dim", ["x", "y"])
+@pytest.mark.parametrize("agg", ["mean", "sum", "min", "std"])
+def test_2d_reduction_matches_reference(grid2d, dim, agg):
+    ref, ours = grid2d
+    keep = "y" if dim == "x" else "x"
+    got = (getattr(ours, agg)(dim=dim).to_pandas()
+           .sort_values(keep)["v"].to_numpy())
+    exp = getattr(ref, agg)(dim=dim).values
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_2d_rolling_one_dim_matches_reference(grid2d):
+    ref, ours = grid2d
+    got = (ours.rolling(y=3, min_periods=1).mean().to_pandas()
+           .sort_values(["x", "y"])["v"].to_numpy().reshape(6, 8))
+    exp = ref.rolling(y=3, min_periods=1).mean().values
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_2d_argmax_matches_reference(grid2d):
+    ref, ours = grid2d
+    got = ours.argmax(["x", "y"]).to_pandas()["v"].iloc[0]
+    exp = ref.argmax(["x", "y"])
+    assert got["x"] == int(exp["x"]) and got["y"] == int(exp["y"])
+
+
+def test_stack_matches_reference(grid2d):
+    ref, ours = grid2d
+    exp = ref.stack(z=("x", "y")).values
+    got = (ours.stack(z=("x", "y")).to_pandas())
+    zs = pd.DataFrame({"x": got["z"].map(lambda r: r["x"]),
+                       "y": got["z"].map(lambda r: r["y"]), "v": got["v"]})
+    zs = zs.sort_values(["x", "y"])
+    np.testing.assert_allclose(zs["v"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_roll_matches_reference(sds, series):
+    got = _ours(sds.roll(t=4))
+    # reference roll shifts DATA, keeps labels
+    exp = _ref(series).roll(t=4, roll_coords=False).values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_dropna_fillna_match_reference(sds, series):
+    assert (sds.dropna("t").to_spark().count()
+            == int(_ref(series).dropna("t").size))
+    got = _ours(sds.fillna(0.0))
+    exp = _ref(series).fillna(0.0).values
+    np.testing.assert_allclose(got, exp)
+
+
+def test_thin_head_tail_match_reference(sds, series):
+    np.testing.assert_allclose(
+        np.sort(_ours(sds.thin(t=5))), np.sort(_ref(series).thin(t=5).values),
+        equal_nan=True)
+    np.testing.assert_allclose(
+        np.sort(_ours(sds.head(t=7))), np.sort(_ref(series).head(t=7).values),
+        equal_nan=True)
+    np.testing.assert_allclose(
+        np.sort(_ours(sds.tail(t=7))), np.sort(_ref(series).tail(t=7).values),
+        equal_nan=True)
+
+
+def test_isocalendar_dayofweek_match_reference(spark):
+    times = pd.date_range("2014-12-25", periods=30, freq="D")
+    ref = xr.DataArray(times, dims="i")
+    pdf = pd.DataFrame({"i": np.arange(30), "v": times})
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf), dims=["i"])
+    got_dow = (da.dt.dayofweek.to_pandas().sort_values("i")["v"]
+               .to_numpy().astype("int64"))
+    exp_dow = ref.dt.dayofweek.values.astype("int64")
+    np.testing.assert_array_equal(got_dow, exp_dow)
+    iso = (da.dt.isocalendar().to_pandas().sort_values("i")["v"])
+    got_weeks = np.array([r["week"] for r in iso], dtype="int64")
+    exp_weeks = ref.dt.isocalendar().week.values.astype("int64")
+    np.testing.assert_array_equal(got_weeks, exp_weeks)
+
+
+def test_weighted_mean_with_nan_matches_reference(spark):
+    vals = RNG.randn(20).round(6)
+    vals[[3, 9]] = np.nan
+    wts = RNG.rand(20).round(6)
+    ref = xr.DataArray(vals, dims="t").weighted(xr.DataArray(wts, dims="t"))
+    pdf = pd.DataFrame({"t": np.arange(20), "v": vals, "w": wts})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"w": ("t",)})
+    got = ds.weighted("w").mean().to_pandas()["v"].iloc[0]
+    np.testing.assert_allclose(got, float(ref.mean()), rtol=1e-9)
+
+
+def test_cumulative_matches_reference(sds, series):
+    got = _ours(sds.cumulative("t").sum())
+    exp = _ref(series).cumulative("t").sum().values
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
