@@ -452,3 +452,107 @@ def test_cumulative_matches_reference(sds, series):
     got = _ours(sds.cumulative("t").sum())
     exp = _ref(series).cumulative("t").sum().values
     np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+# ------------------------------------------------------------------ #
+# wave 4: align/concat/merge/combine + resample variants + groupby ops
+# ------------------------------------------------------------------ #
+
+def test_align_matches_reference(spark):
+    a_vals = RNG.randn(10).round(6)
+    b_vals = RNG.randn(10).round(6)
+    ra = xr.DataArray(a_vals, dims="t", coords={"t": np.arange(10)})
+    rb = xr.DataArray(b_vals, dims="t", coords={"t": np.arange(5, 15)})
+    from xarray_spark import align
+    pa = pd.DataFrame({"t": np.arange(10), "v": a_vals})
+    pb = pd.DataFrame({"t": np.arange(5, 15), "v": b_vals})
+    da = XDataset(spark.createDataFrame(pa), dims=["t"])
+    db = XDataset(spark.createDataFrame(pb), dims=["t"])
+    for join in ("inner", "outer", "left", "right"):
+        ea, eb = xr.align(ra, rb, join=join)
+        ga, gb = align(da, db, join=join)
+        np.testing.assert_allclose(
+            ga.to_pandas().sort_values("t")["v"].to_numpy(), ea.values,
+            equal_nan=True, err_msg=f"{join} left")
+        np.testing.assert_allclose(
+            gb.to_pandas().sort_values("t")["v"].to_numpy(), eb.values,
+            equal_nan=True, err_msg=f"{join} right")
+
+
+def test_concat_matches_reference(spark):
+    a_vals = RNG.randn(6).round(6)
+    b_vals = RNG.randn(4).round(6)
+    ra = xr.DataArray(a_vals, dims="t", coords={"t": np.arange(6)})
+    rb = xr.DataArray(b_vals, dims="t", coords={"t": np.arange(6, 10)})
+    exp = xr.concat([ra, rb], dim="t").values
+    from xarray_spark import concat
+    da = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(6), "v": a_vals})), dims=["t"])
+    db = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(6, 10), "v": b_vals})), dims=["t"])
+    got = (concat([da, db], dim="t").to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_binary_op_auto_align_matches_reference(spark):
+    a_vals = RNG.randn(8).round(6)
+    b_vals = RNG.randn(8).round(6)
+    ra = xr.DataArray(a_vals, dims="t", coords={"t": np.arange(8)})
+    rb = xr.DataArray(b_vals, dims="t", coords={"t": np.arange(4, 12)})
+    exp = (ra + rb).values  # inner join on overlapping labels
+    da = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(8), "v": a_vals})), dims=["t"])
+    db = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(4, 12), "v": b_vals})), dims=["t"])
+    got = ((da + db).to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+# our 'W' is the ISO week (Mon-Sun) = pandas weeks ending Sunday
+@pytest.mark.parametrize("freq_ours,freq_ref", [("W", "W-SUN"), ("7D", "7D")])
+def test_resample_weekly_matches_reference(spark, freq_ours, freq_ref):
+    times = pd.date_range("2001-03-01", periods=60, freq="D")
+    vals = RNG.randn(60).round(6)
+    try:
+        exp = (xr.DataArray(vals, dims="time", coords={"time": times})
+               .resample(time=freq_ref).sum())
+    except Exception:
+        pytest.skip(f"reference cannot resample {freq_ref}")
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    got = (ds.resample(time=freq_ours).sum().to_pandas()
+           .sort_values("time"))
+    if len(got) == len(exp["time"]):
+        np.testing.assert_allclose(np.sort(got["v"].to_numpy()),
+                                   np.sort(exp.values), rtol=1e-9)
+    else:
+        # label conventions differ (anchored weeks); compare totals
+        np.testing.assert_allclose(got["v"].sum(), float(exp.sum()),
+                                   rtol=1e-9)
+
+
+def test_groupby_binary_op_matches_reference(spark):
+    vals = RNG.randn(30).round(6)
+    keys = RNG.randint(0, 3, 30)
+    ref_da = xr.DataArray(vals, dims="t", coords={"k": ("t", keys)})
+    exp = (ref_da.groupby("k") - ref_da.groupby("k").mean()).values
+    pdf = pd.DataFrame({"t": np.arange(30), "v": vals, "k": keys})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"k": ("t",)})
+    g = ds.groupby("k")
+    got = ((g - g.mean()).to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_combine_first_matches_reference(spark):
+    a_vals = RNG.randn(8).round(6); a_vals[[2, 5]] = np.nan
+    b_vals = RNG.randn(8).round(6)
+    ra = xr.DataArray(a_vals, dims="t", coords={"t": np.arange(8)})
+    rb = xr.DataArray(b_vals, dims="t", coords={"t": np.arange(8)})
+    exp = ra.combine_first(rb).values
+    da = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(8), "v": a_vals})), dims=["t"])
+    db = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(8), "v": b_vals})), dims=["t"])
+    got = (da.combine_first(db).to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, equal_nan=True)

@@ -49,12 +49,34 @@ def _aligned_label_sets(datasets: Sequence[XDataset], join: str) -> dict[str, Da
     return out
 
 
+def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame) -> XDataset:
+    """Restrict ds to the label set AND materialize rows (null vars) for
+    labels it lacks — reference align semantics, where an outer join
+    introduces NaN slices.  Missing labels appear as other-combos ×
+    missing-label rows (the interp()-style synthesis), so dim key
+    columns are never null.  Both joins are broadcast-label-sized."""
+    df = ds.df.join(F.broadcast(labels), on=dim, how="left_semi")
+    missing = labels.join(ds.df.select(dim).distinct(), on=dim, how="left_anti")
+    others = [d for d in ds.dims if d != dim]
+    if others:
+        combos = ds.df.select(*others).distinct()
+        new_rows = combos.crossJoin(F.broadcast(missing))
+    else:
+        new_rows = missing
+    for c in ds.df.columns:
+        if c not in new_rows.columns:
+            new_rows = new_rows.withColumn(
+                c, F.lit(None).cast(ds.df.schema[c].dataType))
+    return ds._replace(df=df.unionByName(new_rows.select(*ds.df.columns)))
+
+
 def align(*datasets: XDataset, join: str = "inner") -> tuple[XDataset, ...]:
     """N-way alignment (xarray/structure/alignment.py:678).
 
-    join='outer' introduces missing labels → those rows simply don't
-    exist in long form until a densify/reindex fills them; semantics of
-    downstream ops (outer-join arithmetic) still hold.
+    join='outer'/'left'/'right': labels a dataset lacks materialize as
+    null-variable rows (the long-form rendering of the reference's NaN
+    slices) — one broadcast anti-join + union per dim, facts never
+    shuffled.
 
     join='override' (xarray/structure/alignment.py:196): the FIRST
     dataset's labels replace the others' positionally — indexes must
@@ -66,11 +88,15 @@ def align(*datasets: XDataset, join: str = "inner") -> tuple[XDataset, ...]:
     label_sets = _aligned_label_sets(datasets, join)
     out = []
     for ds in datasets:
-        df = ds.df
+        cur = ds
         for dim, labels in label_sets.items():
-            if dim in ds.dims:
-                df = df.join(F.broadcast(labels), on=dim, how="left_semi")
-        out.append(ds._replace(df=df))
+            if dim in cur.dims:
+                if join == "inner" or join == "exact":
+                    cur = cur._replace(df=cur.df.join(
+                        F.broadcast(labels), on=dim, how="left_semi"))
+                else:
+                    cur = _conform_to_labels(cur, dim, labels)
+        out.append(cur)
     return tuple(out)
 
 
