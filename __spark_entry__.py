@@ -2747,10 +2747,16 @@ def oracle_sql() -> dict[str, str]:
               FROM daily WINDOW w AS (ORDER BY l_shipdate)
             )
             SELECT l_shipdate,
+                   -- np.gradient's second-order nonuniform stencil
+                   -- (matches the reference on gappy daily grids where
+                   -- the naive (yp-ym)/(xp-xm) is only first-order)
                    ROUND(CASE
                      WHEN xm IS NULL THEN (yp - rev) / (xp - x)
                      WHEN xp IS NULL THEN (rev - ym) / (x - xm)
-                     ELSE (yp - ym) / (xp - xm)
+                     ELSE ((x - xm) * (x - xm) * yp
+                           + ((xp - x) * (xp - x) - (x - xm) * (x - xm)) * rev
+                           - (xp - x) * (xp - x) * ym)
+                          / ((x - xm) * (xp - x) * ((xp - x) + (x - xm)))
                    END * 86400.0 + 1e-9, 6) AS drev_per_day
             FROM g
         """,
