@@ -1915,12 +1915,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_zarr_roundtrip": q72_zarr_roundtrip,
         "q74_quantile_methods": q74_quantile_methods,
         "q08_resample_daily_events": q08_resample_daily_events,
-        "q13_ffill": q13_ffill,
         "q14_interpolate_na": q14_interpolate_na,
         "q28_dt_fields": q28_dt_fields,
         "q70_ffill_segmented": q70_ffill_segmented,
         "q75_interp_zero": q75_interp_zero,
         "q86_cf_subdaily": q86_cf_subdaily,
+        # differentiate's stencil changed this round -> re-validate in-window
+        "q44_differentiate": q44_differentiate,
         # round-4 debutants: curation signals, epoch blending, native
         # stream-stream interval join (q96 rotates out on its r3 green
         # to make room for q109)
@@ -1931,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_pq_topk": q112_pq_topk,
         "q113_ivfpq_topk": q113_ivfpq_topk,
         # ---- outside the window (q111 oracle-ready for a future rotation): green rows from earlier rounds stand ----
+        "q13_ffill": q13_ffill,
         "q46_resample_6h": q46_resample_6h,
         "q43_bfill": q43_bfill,
         "q111_rolling_argmin": q111_rolling_argmin,
@@ -1943,7 +1945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_resample_monthly": q07_resample_monthly,
         "q41_dot": q41_dot,
         "q42_stopword_ratio": q42_stopword_ratio,
-        "q44_differentiate": q44_differentiate,
         "q47_weighted_var": q47_weighted_var,
         "q48_cov": q48_cov,
         "q49_fingerprint_distinct": q49_fingerprint_distinct,
