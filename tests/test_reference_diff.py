@@ -617,3 +617,69 @@ def test_sortby_matches_reference(spark):
     m = dict(zip(key, vals))
     for kk, vv in zip(got_k, got):
         assert m[kk] == vv
+
+
+# ------------------------------------------------------------------ #
+# wave 6: CF coding, UDF harness, groupby quantile
+# ------------------------------------------------------------------ #
+
+def test_cf_time_decode_matches_reference(spark):
+    """CF 'days since' decoding vs the reference's coder stack."""
+    import xarray.coding.times as ref_times
+    nums = np.array([0, 1, 17, 365, 1000], dtype="int64")
+    units = "days since 2000-01-01"
+    exp = ref_times.decode_cf_datetime(nums, units, "standard")
+    from xarray_spark.io import decode_cf
+    pdf = pd.DataFrame({"i": np.arange(5), "v": nums})
+    df = decode_cf(spark.createDataFrame(pdf),
+                   {"v": {"time_units": units}})
+    got = (df.toPandas().sort_values("i")["v"]
+           .to_numpy().astype("datetime64[ns]"))
+    np.testing.assert_array_equal(got, exp.astype("datetime64[ns]"))
+
+
+def test_cf_mask_scale_matches_reference(spark):
+    """mask_and_scale decoding (scale_factor/add_offset/_FillValue) vs
+    the reference's conventions.decode_cf."""
+    raw = np.array([0, 10, 20, -99, 40], dtype="int16")
+    ref_ds = xr.Dataset(
+        {"v": ("t", raw, {"scale_factor": 0.5, "add_offset": 2.0,
+                          "_FillValue": np.int16(-99)})},
+        coords={"t": np.arange(5)})
+    exp = xr.decode_cf(ref_ds)["v"].values
+    from xarray_spark.io import decode_cf
+    pdf = pd.DataFrame({"t": np.arange(5), "v": raw.astype("int32")})
+    df = decode_cf(spark.createDataFrame(pdf),
+                   {"v": {"fill_value": -99, "scale_factor": 0.5,
+                          "add_offset": 2.0}})
+    got = df.toPandas().sort_values("t")["v"].to_numpy()
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_apply_ufunc_matches_reference(sds, series):
+    from xarray_spark.computation import apply_ufunc
+    got = (apply_ufunc(np.square, sds).to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    exp = xr.apply_ufunc(np.square, _ref(series)).values
+    np.testing.assert_allclose(got, exp, rtol=1e-12, equal_nan=True)
+
+
+def test_groupby_quantile_matches_reference(spark):
+    vals = RNG.randn(40).round(6)
+    keys = RNG.randint(0, 3, 40)
+    ref = (xr.DataArray(vals, dims="t", coords={"k": ("t", keys)})
+           .groupby("k").quantile(0.7))
+    pdf = pd.DataFrame({"t": np.arange(40), "v": vals, "k": keys})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"k": ("t",)})
+    got = (ds.groupby("k").quantile(0.7).to_pandas()
+           .sort_values("k")["v"].to_numpy())
+    np.testing.assert_allclose(got, ref.values, rtol=1e-9)
+
+
+def test_unstack_roundtrip_matches_reference(grid2d):
+    ref, ours = grid2d
+    # stack -> unstack returns to the original grid in both engines
+    exp = ref.stack(z=("x", "y")).unstack("z").values
+    back = (ours.stack(z=("x", "y")).unstack("z").to_pandas()
+            .sort_values(["x", "y"])["v"].to_numpy().reshape(6, 8))
+    np.testing.assert_allclose(back, exp, rtol=1e-12)
