@@ -187,3 +187,22 @@ def test_partial_string_sel_pushes_range_predicate(spark, entry):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters")[1][:300]
     assert "l_shipdate" in pushed
+
+
+def test_outer_align_stays_broadcast(spark):
+    """The round-4 outer-align label materialization must keep both the
+    semi-join and the missing-label synthesis broadcast — no fact-table
+    shuffle for alignment bookkeeping."""
+    import pandas as pd
+    import numpy as np
+    from xarray_spark import XDataset, align
+    a = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(1000), "v": np.arange(1000.0)})),
+        dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(500, 1500), "v": np.arange(1000.0)})),
+        dims=["t"])
+    ga, _ = align(a, b, join="outer")
+    plan = plan_of(ga.to_spark())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan

@@ -524,3 +524,64 @@ def test_weighted_quantile_reference_values(spark):
                         "w": [1.0, 0, 1, 0]})
     ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"w": ("t",)})
     assert ds.weighted("w").quantile(0.75).to_pandas()["v"].iloc[0] == 1.5
+
+
+# ------------------------------------------------------------------ #
+# degenerate-input torture: empty, single-row, and all-null datasets
+# must not crash core operator families
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def degenerates(spark):
+    import pandas as pd
+    empty = XDataset(
+        spark.createDataFrame([], "t double, v double"), dims=["t"])
+    one = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0.0], "v": [1.5]})), dims=["t"])
+    nulls = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0.0, 1.0, 2.0],
+                      "v": [None, None, None]}).astype({"v": "float64"})),
+        dims=["t"])
+    return empty, one, nulls
+
+
+def test_degenerate_reductions(degenerates):
+    for ds in degenerates:
+        for op in ("mean", "sum", "min", "max", "count", "std"):
+            getattr(ds, op)("t").to_pandas()          # must not raise
+        ds.quantile(0.5, dim="t").to_pandas()
+        ds.cumsum("t").to_pandas()
+        ds.rank("t").to_pandas()
+
+
+def test_degenerate_windows(degenerates):
+    for ds in degenerates:
+        ds.rolling(t=3, min_periods=1).mean().to_pandas()
+        ds.coarsen(t=2).mean().to_pandas()
+        ds.rolling_exp(t=3).mean().to_pandas()
+        ds.diff("t").to_pandas()
+        ds.shift(t=1).to_pandas()
+
+
+def test_degenerate_missing_data(degenerates):
+    for ds in degenerates:
+        ds.ffill("t").to_pandas()
+        ds.bfill("t").to_pandas()
+        ds.interpolate_na("t").to_pandas()
+        ds.dropna("t").to_pandas()
+        ds.fillna(0.0).to_pandas()
+
+
+def test_degenerate_selection(degenerates):
+    empty, one, nulls = degenerates
+    for ds in degenerates:
+        ds.isel(t=slice(0, 2)).to_pandas()
+        ds.sel(t=slice(0.0, 5.0)).to_pandas()
+        ds.head(t=3).to_pandas()
+        ds.where(F.col("v") > 0).to_pandas()
+    assert one.sel(t=0.0).to_pandas()["v"].iloc[0] == 1.5
+
+
+def test_degenerate_groupby(degenerates):
+    for ds in degenerates:
+        ds.groupby("t").mean().to_pandas()

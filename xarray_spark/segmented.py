@@ -329,6 +329,9 @@ def ewm_segmented(ds: XDataset, dim: str, alpha: float, agg: str = "mean",
         .orderBy("__seg")
         .collect()
     )
+    if not summary:
+        # empty series: nothing to chain, nothing to fill
+        return ds
     carry_rows = []
     g = {v: (0.0, 0.0) for v in varlist}
     for r in summary:
