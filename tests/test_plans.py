@@ -204,5 +204,10 @@ def test_outer_align_stays_broadcast(spark):
         dims=["t"])
     ga, _ = align(a, b, join="outer")
     plan = plan_of(ga.to_spark())
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    # fact-side joins (semi + anti) are broadcast; the only sort-merge
+    # allowed is the label-table FullOuter union (Spark cannot broadcast
+    # full-outer joins, and both its inputs are distinct label sets)
+    assert "BroadcastHashJoin" in plan and "Cartesian" not in plan
+    import re
+    smj = re.findall(r"SortMergeJoin \[[^\]]*\], \[[^\]]*\], (\w+)", plan)
+    assert all(k == "FullOuter" for k in smj), smj
