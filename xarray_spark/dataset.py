@@ -1156,20 +1156,100 @@ class XDataset:
         return self._replace(df=df, dims=["quantile"] + keep, coords=coords, data_vars=varlist)
 
     def _quantile_ungrouped(self, qs: list, varlist: list, method: str) -> DataFrame:
-        """Distributed exact quantiles of whole columns: long-form result
-        (quantile, var...).
+        """Distributed exact quantiles of whole columns — histogram-
+        guided selection: (1) one min/max/count aggregate, (2) one
+        8192-bin histogram aggregate (map-side partial), (3) collect
+        ONLY the rows of the ≤2 bins each order statistic lands in and
+        finish locally.  Three cheap scans and zero sort/shuffle of the
+        data — a global rank of 100 TB never happens.  The virtual
+        positions come from ``np.quantile(arange(n), q, method)``, which
+        reduces every numpy method to the same two order statistics.
 
-        Two-phase rank of the non-null values (range partition → local
-        rank → broadcast offsets, _utils.two_phase_rank), filter down to
-        the ≤ 2 order-statistic positions each quantile needs, then a
-        tiny conditional aggregate.  One range shuffle per variable; no
-        aggregation buffer ever holds more than a handful of scalars —
-        the 100 TB-safe shape for ungrouped percentile/median.
+        Falls back to the two-phase-rank path when a needed bin is
+        pathologically heavy (massive value duplication) or the column
+        contains non-finite values the binning can't place.
         """
+        import math as _math
+        import numpy as _np
+        from functools import reduce as _reduce_fn
+
+        NB = 8192
+        HEAVY = 2_000_000
+        parts = []
+        for v in varlist:
+            vals = (
+                self.df.select(F.col(v).cast("double").alias("__val"))
+                .where(F.col("__val").isNotNull() & ~F.isnan("__val"))
+            )
+            st = vals.agg(F.count("__val").alias("n"), F.min("__val").alias("lo"),
+                          F.max("__val").alias("hi")).first()
+            n, lo, hi = st["n"], st["lo"], st["hi"]
+            part = None
+            if n and _math.isfinite(lo) and _math.isfinite(hi):
+                if lo == hi:
+                    rows = [(float(x), float(lo)) for x in qs]
+                    part = self.spark.createDataFrame(rows, ["quantile", v])
+                else:
+                    pos = [float(_np.quantile(_np.arange(n), float(x),
+                                              method=method)) for x in qs]
+                    ranks = sorted({int(_math.floor(p)) for p in pos}
+                                   | {int(_math.ceil(p)) for p in pos})
+                    width = (hi - lo) / NB
+                    bcol = F.least(F.floor((F.col("__val") - F.lit(lo))
+                                           / F.lit(width)), F.lit(NB - 1)
+                                   ).cast("int")
+                    hist = dict(vals.groupBy(bcol.alias("__b")).count()
+                                .collect())
+                    cum, acc = {}, 0
+                    for b in range(NB):
+                        cum[b] = acc
+                        acc += hist.get(b, 0)
+                    rank_bin = {}
+                    for r in ranks:
+                        b = max(b0 for b0 in range(NB)
+                                if cum[b0] <= r and hist.get(b0, 0) > 0
+                                and r < cum[b0] + hist.get(b0, 0))
+                        rank_bin[r] = b
+                    need = sorted(set(rank_bin.values()))
+                    if sum(hist.get(b, 0) for b in need) <= HEAVY:
+                        local = (vals.where(bcol.isin(need))
+                                 .toPandas()["__val"].to_numpy())
+                        local.sort()
+                        # local array holds the needed bins' rows in value
+                        # order; global rank r lives at local index
+                        # (#collected rows in bins below r's bin) + (r −
+                        # cumulative count below the bin)
+                        def value_at(r: int) -> float:
+                            b = rank_bin[r]
+                            below_in_set = sum(hist.get(b2, 0) for b2 in need
+                                               if b2 < b)
+                            return float(local[below_in_set + (r - cum[b])])
+                        rows = []
+                        for x, p in zip(qs, pos):
+                            jl, jh = int(_math.floor(p)), int(_math.ceil(p))
+                            w = p - jl
+                            val = (value_at(jl) if jl == jh
+                                   else value_at(jl) * (1 - w) + value_at(jh) * w)
+                            rows.append((float(x), val))
+                        part = self.spark.createDataFrame(rows, ["quantile", v])
+            elif not n:
+                part = self.spark.createDataFrame(
+                    [(float(x), None) for x in qs], f"quantile double, {v} double")
+            if part is None:
+                part = self._quantile_ungrouped_rank(qs, v, method)
+            parts.append(part)
+        return _reduce_fn(lambda a, b: a.join(b, on="quantile"), parts)
+
+    def _quantile_ungrouped_rank(self, qs: list, v: str, method: str) -> DataFrame:
+        """Fallback exact path: two-phase rank of the values (range
+        partition → local rank → broadcast offsets), filter to the ≤2
+        order-statistic positions, tiny conditional aggregate.  Never
+        buffers the column — the shape that survives adversarial
+        duplication the histogram path punts on."""
         from functools import reduce as _reduce_fn
         from xarray_spark._utils import two_phase_rank
         parts = []
-        for v in varlist:
+        for v in [v]:
             vals = (
                 self.df.select(F.col(v).cast("double").alias("__val"))
                 .where(F.col("__val").isNotNull())
