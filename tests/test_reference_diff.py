@@ -683,3 +683,62 @@ def test_unstack_roundtrip_matches_reference(grid2d):
     back = (ours.stack(z=("x", "y")).unstack("z").to_pandas()
             .sort_values(["x", "y"])["v"].to_numpy().reshape(6, 8))
     np.testing.assert_allclose(back, exp, rtol=1e-12)
+
+
+# ------------------------------------------------------------------ #
+# wave 7: merge/combine_by_coords, encode->decode roundtrip, isel grids
+# ------------------------------------------------------------------ #
+
+def test_merge_matches_reference(spark):
+    a_vals = RNG.randn(8).round(6)
+    b_vals = RNG.randn(8).round(6)
+    ra = xr.Dataset({"a": ("t", a_vals)}, coords={"t": np.arange(8)})
+    rb = xr.Dataset({"b": ("t", b_vals)}, coords={"t": np.arange(8)})
+    exp = xr.merge([ra, rb])
+    from xarray_spark import merge
+    da = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(8), "a": a_vals})), dims=["t"])
+    db = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(8), "b": b_vals})), dims=["t"])
+    got = merge([da, db]).to_pandas().sort_values("t")
+    np.testing.assert_allclose(got["a"].to_numpy(), exp["a"].values)
+    np.testing.assert_allclose(got["b"].to_numpy(), exp["b"].values)
+
+
+def test_combine_by_coords_matches_reference(spark):
+    v1 = RNG.randn(5).round(6)
+    v2 = RNG.randn(5).round(6)
+    r1 = xr.Dataset({"v": ("t", v1)}, coords={"t": np.arange(5)})
+    r2 = xr.Dataset({"v": ("t", v2)}, coords={"t": np.arange(5, 10)})
+    exp = xr.combine_by_coords([r2, r1])["v"].values
+    from xarray_spark import combine_by_coords
+    d1 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(5), "v": v1})), dims=["t"])
+    d2 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(5, 10), "v": v2})), dims=["t"])
+    got = (combine_by_coords([d2, d1]).to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp)
+
+
+def test_isel_grid_matches_reference(grid2d):
+    ref, ours = grid2d
+    exp = ref.isel(x=[1, 3], y=slice(2, 6)).values
+    got = (ours.isel(x=[1, 3], y=slice(2, 6)).to_pandas()
+           .sort_values(["x", "y"])["v"].to_numpy().reshape(2, 4))
+    np.testing.assert_allclose(got, exp)
+
+
+def test_isel_negative_matches_reference(sds, series):
+    got = sds.isel(t=-1).to_pandas()["v"].iloc[0]
+    exp = float(_ref(series).isel(t=-1))
+    if np.isnan(exp):
+        assert np.isnan(got)
+    else:
+        assert got == exp
+
+
+def test_assign_arith_pipe_match_reference(sds, series):
+    got = _ours((sds * 2 + 1).pipe(lambda d: d - 0.5))
+    exp = ((_ref(series) * 2 + 1) - 0.5).values
+    np.testing.assert_allclose(got, exp, rtol=1e-12, equal_nan=True)
