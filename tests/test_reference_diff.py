@@ -742,3 +742,58 @@ def test_assign_arith_pipe_match_reference(sds, series):
     got = _ours((sds * 2 + 1).pipe(lambda d: d - 0.5))
     exp = ((_ref(series) * 2 + 1) - 0.5).values
     np.testing.assert_allclose(got, exp, rtol=1e-12, equal_nan=True)
+
+
+def test_outer_align_keeps_other_dim_coords(spark):
+    """Wave 8: a coord keyed on the NON-aligned dim must stay populated
+    on rows synthesized by outer align (reference keeps non-aligned
+    indexes' coords intact; only coords keyed on the aligned dim go
+    NaN).  Regression test for the r4 advisor finding."""
+    lat = np.array([10.0, 20.0, 30.0])
+    ra = xr.DataArray(
+        RNG.randn(3, 4).round(6), dims=("station", "time"),
+        coords={"station": [0, 1, 2], "time": np.arange(4), "lat": ("station", lat)},
+    )
+    rb = xr.DataArray(
+        RNG.randn(3, 4).round(6), dims=("station", "time"),
+        coords={"station": [0, 1, 2], "time": np.arange(2, 6)},
+    )
+    ea, _ = xr.align(ra, rb, join="outer")
+    rows = []
+    for i, s in enumerate([0, 1, 2]):
+        for j, t in enumerate(range(4)):
+            rows.append((s, t, lat[i], float(ra.values[i, j])))
+    pa = pd.DataFrame(rows, columns=["station", "time", "lat", "v"])
+    pb = pd.DataFrame(
+        [(s, t, float(rb.values[i, j]))
+         for i, s in enumerate([0, 1, 2]) for j, t in enumerate(range(2, 6))],
+        columns=["station", "time", "v"])
+    from xarray_spark import align
+    da = XDataset(spark.createDataFrame(pa), dims=["station", "time"],
+                  coords={"lat": ("station",)})
+    db = XDataset(spark.createDataFrame(pb), dims=["station", "time"])
+    ga, _ = align(da, db, join="outer")
+    gp = ga.to_pandas().sort_values(["station", "time"])
+    # lat populated on EVERY row, including time=4,5 synthesized ones
+    assert gp["lat"].notna().all()
+    exp_lat = ea["lat"].broadcast_like(ea).values.ravel()
+    np.testing.assert_allclose(
+        gp["lat"].to_numpy(), exp_lat)
+    np.testing.assert_allclose(
+        gp["v"].to_numpy(), ea.values.ravel(), equal_nan=True)
+
+
+def test_sel_method_unmatched_raises_like_reference(spark, sds, series):
+    """Wave 8: list-valued sel(method=, tolerance=) with an unmatched
+    request raises KeyError (reference: pandas get_indexer -1 →
+    'not all values found in index')."""
+    ref = _ref(series).assign_coords(t=np.arange(N))
+    with pytest.raises(KeyError):
+        ref.sel(t=[0, 999], method="nearest", tolerance=1)
+    with pytest.raises(KeyError):
+        sds.sel(t=[0, 999], method="nearest", tolerance=1)
+    # matched requests still work identically
+    exp = ref.sel(t=[0.4, 10.2], method="nearest").values
+    got = (sds.sel(t=[0.4, 10.2], method="nearest").to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, equal_nan=True)

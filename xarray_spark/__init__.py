@@ -89,11 +89,8 @@ from xarray_spark.groupers import (
     SeasonGrouper,
 )
 
-__version__ = "0.1.0"
-
-
 # reference top-level name parity
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 cftime_range = cf_date_range
 
 

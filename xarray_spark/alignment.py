@@ -59,7 +59,14 @@ def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame) -> XDataset:
     missing = labels.join(ds.df.select(dim).distinct(), on=dim, how="left_anti")
     others = [d for d in ds.dims if d != dim]
     if others:
-        combos = ds.df.select(*others).distinct()
+        # coords functionally dependent on the OTHER dims stay populated
+        # on synthesized rows (reference outer align keeps non-aligned
+        # indexes' coords intact); only coords keyed on `dim` go null.
+        dep_coords = [
+            c for c, keys in ds.coords.items()
+            if set(keys) <= set(others)
+        ]
+        combos = ds.df.select(*others, *dep_coords).distinct()
         new_rows = combos.crossJoin(F.broadcast(missing))
     else:
         new_rows = missing

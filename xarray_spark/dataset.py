@@ -420,6 +420,17 @@ class XDataset:
             from xarray_spark.alignment import _asof_label_map
             req_df = self.spark.createDataFrame([(r,) for r in req], [dim])
             matched = _asof_label_map(self, dim, req_df, method, tolerance)
+            # reference parity: unmatched requests raise KeyError (pandas
+            # get_indexer -1 → xarray "not all values found in index").
+            # One tiny agg on the broadcast-sized match map — no fact scan.
+            n_miss = matched.where(F.col("__match").isNull()).limit(1).count()
+            if n_miss:
+                raise KeyError(
+                    f"not all values found in index {dim!r} with "
+                    f"method={method!r}")
+            # known divergence: duplicate matches collapse to one row here
+            # (distinct + semi-join keeps the fact table un-duplicated);
+            # the reference repeats the matched label once per request.
             keep = (matched.select(F.col("__match").alias(dim))
                     .where(F.col(dim).isNotNull()).distinct())
             return self._replace(
@@ -430,6 +441,9 @@ class XDataset:
                 raise KeyError(f"no label matching {value!r} on {dim!r}")
             out = self._replace(df=self.df.where(F.col(dim) == F.lit(matched[0])))
             return out._drop_dim(dim)
+        if len(matched) < len(req):
+            raise KeyError(
+                f"not all values found in index {dim!r} with method={method!r}")
         return self._replace(df=self.df.where(F.col(dim).isin(matched)))
 
     def _asof_match_labels(self, dim: str, requests: list, method: str, tolerance) -> list:
@@ -1252,7 +1266,7 @@ class XDataset:
         for v in [v]:
             vals = (
                 self.df.select(F.col(v).cast("double").alias("__val"))
-                .where(F.col("__val").isNotNull())
+                .where(F.col("__val").isNotNull() & ~F.isnan("__val"))
             )
             r = two_phase_rank(vals, "__val")
             pos = [_quantile_positions(method, x, F.col("__n")) for x in qs]

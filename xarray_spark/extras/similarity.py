@@ -298,14 +298,16 @@ def _nearest_cells(vec: Column, centroids: list, n: int) -> Column:
     """Array of the ``n`` nearest centroid ids — ONE Arrow batch per
     partition (numpy matmul against the literal codebook), no join and
     no ML jobs in the plan.  Ties break on the ascending cell id
-    (stable argsort), matching the struct-sort expression form."""
+    (stable argsort).  Distances use the direct sum((a-b)^2) form — the
+    same float64 rounding as the expression plan this replaced, so
+    near-tie cell assignments are bit-stable versus existing oracles
+    (the ||a||^2-2ab+||b||^2 expansion rounds differently)."""
     C = np.array([list(map(float, c)) for c in centroids], dtype=np.float64)
-    c2 = (C * C).sum(axis=1)
 
     @F.pandas_udf("array<int>")
     def cells(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy()).astype(np.float64)
-        d = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c2[None, :]
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
         order = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
         return pd.Series(list(order))
 
