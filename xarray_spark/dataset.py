@@ -118,6 +118,132 @@ def _quantile_positions(method: str, q: float, n: Column):
     raise ValueError(f"unknown quantile method {method!r}; valid: {QUANTILE_METHODS}")
 
 
+def _grouped_quantile_needs_hist(df: DataFrame, keys: list) -> bool:
+    """Whether a grouped exact quantile should take the histogram path.
+
+    Free when plan statistics bound the WHOLE table under the buffer
+    limit (no group can exceed it); otherwise one count job finds the
+    max group size.  Both outcomes are exact — this only picks a plan.
+    """
+    from xarray_spark.options import OPTIONS
+    from xarray_spark._utils import estimated_rows
+    limit = OPTIONS.get("grouped_quantile_buffer_limit")
+    if limit is None:
+        return False
+    if estimated_rows(df) <= limit:
+        return False
+    row = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")) \
+            .agg(F.max("__n").alias("m")).first()
+    return bool(row and row["m"] and row["m"] > limit)
+
+
+def _grouped_quantile_hist(df: DataFrame, keys: list, v: str, qs: list,
+                           method: str, nb: int = 8192) -> DataFrame:
+    """Exact per-group quantiles with NO per-group value buffering —
+    the grouped form of the histogram-guided selection
+    (:meth:`XDataset._quantile_ungrouped`), fully distributed: no
+    driver-side per-group work, so it scales in BOTH directions
+    (many groups × huge groups).
+
+    Plan: (1) per-group stats aggregate (finite count/min/max plus
+    ±inf counts — one shuffle keyed by the group, partial-agged);
+    (2) per-(group, bin) histogram over ``nb`` equi-width bins (second
+    keyed shuffle); (3) cumulative counts by a ≤``nb``-row-per-group
+    window; (4) each order statistic's bin found by a keys-equi-join
+    of the (groups × ≤2·|qs|) rank table against the histogram;
+    (5) ONLY candidate-bin rows get a local row_number sort — a
+    ~n/nb-sized slice per group, spill-safe, never an aggregation
+    buffer.  Positions use the same closed-form
+    ``_quantile_positions`` expressions as every other quantile path,
+    so all nine numpy methods work per group.
+
+    Returns long form: ``keys… , quantile, v``.
+    """
+    val = F.col(v).cast("double")
+    rows = df.select(*keys, val.alias("__v"))
+    vv = F.col("__v")
+    is_fin = vv.isNotNull() & ~F.isnan(vv) & (vv > F.lit(float("-inf"))) & (vv < F.lit(float("inf")))
+    stats = rows.groupBy(*keys).agg(
+        F.count(F.when(is_fin, 1)).alias("__nf"),
+        F.min(F.when(is_fin, vv)).alias("__lo"),
+        F.max(F.when(is_fin, vv)).alias("__hi"),
+        F.count(F.when(vv == F.lit(float("-inf")), 1)).alias("__nneg"),
+        F.count(F.when(vv == F.lit(float("inf")), 1)).alias("__npos"),
+    ).withColumn("__n", (F.col("__nf") + F.col("__nneg") + F.col("__npos")).cast("long"))
+    # the stats/histogram tables are reused by several plan branches —
+    # checkpoint once so the fact scan doesn't re-run per branch
+    stats = stats.localCheckpoint(eager=False)
+    pos_structs = []
+    for x in qs:
+        j_lo, j_hi, w = _quantile_positions(method, float(x), F.col("__n"))
+        pos_structs.append(F.struct(
+            F.lit(float(x)).alias("q"), j_lo.cast("long").alias("jl"),
+            j_hi.cast("long").alias("jh"), w.cast("double").alias("w")))
+    ranks = stats.select(
+        *keys, "__n", "__nf", "__nneg", "__npos", "__lo", "__hi",
+        F.explode(F.array(*pos_structs)).alias("__p"),
+    ).select(
+        *keys, "__n", "__nf", "__nneg", "__npos", "__lo", "__hi",
+        F.col("__p.q").alias("__q"), F.col("__p.jl").alias("__jl"),
+        F.col("__p.jh").alias("__jh"), F.col("__p.w").alias("__w"),
+    )
+    need = (ranks.where(F.col("__n") > 0)
+            .select(*keys, "__nf", "__nneg", "__npos", "__lo", "__hi",
+                    F.explode(F.array("__jl", "__jh")).alias("__r"))
+            .distinct())
+    # ±inf ranks resolve without touching the histogram; so do groups
+    # whose finite values are all equal (lo == hi)
+    neg, nf = F.col("__nneg"), F.col("__nf")
+    direct = need.where(
+        (F.col("__r") < neg) | (F.col("__r") >= neg + nf)
+        | (F.col("__lo") == F.col("__hi"))
+    ).select(*keys, "__r", F.when(F.col("__r") < neg, F.lit(float("-inf")))
+             .when(F.col("__r") >= neg + nf, F.lit(float("inf")))
+             .otherwise(F.col("__lo")).alias("__rv"))
+    fneed = (need.where((F.col("__r") >= neg) & (F.col("__r") < neg + nf)
+                        & (F.col("__lo") != F.col("__hi")))
+             .select(*keys, "__r", (F.col("__r") - neg).alias("__rf")))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nb))
+    bcol = F.least(F.floor((vv - F.col("__lo")) / width), F.lit(nb - 1)).cast("int")
+    binned = (rows.where(is_fin)
+              .join(stats.select(*keys, "__lo", "__hi"), on=keys)
+              .where(F.col("__lo") != F.col("__hi"))
+              .select(*keys, "__v", bcol.alias("__b")))
+    hist = binned.groupBy(*keys, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (Window.partitionBy(*keys).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    hist = hist.withColumn("__cum", F.coalesce(F.sum("__c").over(wcum), F.lit(0)))
+    hist = hist.localCheckpoint(eager=False)
+    targets = (fneed.join(hist, on=keys)
+               .where((F.col("__cum") <= F.col("__rf"))
+                      & (F.col("__rf") < F.col("__cum") + F.col("__c")))
+               .select(*keys, "__r", "__rf", "__b", "__cum"))
+    wloc = Window.partitionBy(*keys, "__b").orderBy("__v")
+    cand = (binned.join(targets.select(*keys, "__b").distinct(),
+                        on=keys + ["__b"], how="left_semi")
+            .withColumn("__lr", F.row_number().over(wloc) - 1))
+    hit = (cand.join(targets, on=keys + ["__b"])
+           .where(F.col("__lr") == F.col("__rf") - F.col("__cum"))
+           .select(*keys, "__r", F.col("__v").alias("__rv")))
+    rank_vals = hit.unionByName(direct)
+    lo_vals = rank_vals.select(
+        *keys, F.col("__r").alias("__jl"), F.col("__rv").alias("__vlo"))
+    hi_vals = rank_vals.select(
+        *keys, F.col("__r").alias("__jh"), F.col("__rv").alias("__vhi"))
+    res = (ranks.join(lo_vals, on=keys + ["__jl"], how="left")
+           .join(hi_vals, on=keys + ["__jh"], how="left"))
+    vlo, vhi, w = F.col("__vlo"), F.col("__vhi"), F.col("__w")
+    # w==0 / w==1 short-circuits matter when the spread is infinite:
+    # -inf + (inf)*0 would poison an exact order statistic with NaN
+    out_val = (F.when(F.col("__n") == 0, F.lit(None).cast("double"))
+               .when(F.col("__jl") == F.col("__jh"), vlo)
+               .when(vlo == vhi, vlo)
+               .when(w == 0, vlo)
+               .when(w == 1, vhi)
+               .otherwise(vlo + (vhi - vlo) * w))
+    return res.select(*keys, F.col("__q").alias("quantile"), out_val.alias(v))
+
+
 def _is_orderable_numeric(dtype: T.DataType) -> bool:
     return isinstance(dtype, _NUMERIC_TYPES + (T.TimestampType, T.DateType))
 
@@ -1096,6 +1222,11 @@ class XDataset:
             qdf = self._quantile_ungrouped([0.5], varlist, "linear")
             return self._replace(df=qdf.drop("quantile"), dims=[], coords={},
                                  data_vars=varlist)
+        if skipna:
+            # grouped: via quantile() so the buffer-limit guard applies
+            q = self.quantile(0.5, dim=dim, skipna=skipna)
+            return q._replace(df=q.df.drop("quantile"),
+                              dims=[d for d in q.dims if d != "quantile"])
         return self._reduce(dim, lambda v: F.expr(f"percentile({v}, 0.5)"), "median", skipna)
 
     def all(self, dim=None) -> "XDataset":
@@ -1132,6 +1263,16 @@ class XDataset:
             qdf = self._quantile_ungrouped(qs, varlist, method)
             return self._replace(df=qdf, dims=["quantile"], coords={},
                                  data_vars=varlist)
+        if keys and not approx and _grouped_quantile_needs_hist(self.df, keys):
+            # some group exceeds the buffer limit: distributed per-group
+            # histogram selection — exact, never buffers a group
+            from functools import reduce as _reduce_fn
+            parts = [_grouped_quantile_hist(self.df, keys, v, qs, method)
+                     for v in varlist]
+            df = _reduce_fn(lambda a, b: a.join(b, on=keys + ["quantile"]),
+                            parts)
+            return self._replace(df=df, dims=["quantile"] + keep,
+                                 coords=coords, data_vars=varlist)
         if approx:
             qarr = "array({})".format(", ".join(repr(float(x)) for x in qs))
             aggs = [

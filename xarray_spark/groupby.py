@@ -95,7 +95,10 @@ class XGroupBy:
         coords = self.ds._coords_on(kept)
         varlist = [
             v for v in self.ds.data_vars
-            if not numeric_only or _numeric(self.ds, v)
+            if (not numeric_only or _numeric(self.ds, v))
+            # a data var grouped BY becomes the group index (xarray:
+            # the group variable is consumed), not an aggregated var
+            and v not in self._key_names
         ]
         group_cols = [f"__key_{n}" for n in self._key_names] + kept + list(coords)
         aggs = []
@@ -143,7 +146,8 @@ class XGroupBy:
     def count(self): return self._agg(lambda v: F.count(v))
     def std(self, ddof=0): return self._agg(lambda v: F.stddev_pop(v) if ddof == 0 else F.stddev_samp(v), True)
     def var(self, ddof=0): return self._agg(lambda v: F.var_pop(v) if ddof == 0 else F.var_samp(v), True)
-    def median(self): return self._agg(lambda v: F.expr(f"percentile({v}, 0.5)"), True)
+    def median(self):
+        return self._quantile_exact(0.5)
     def prod(self): return self._agg(lambda v: F.product(v), True)
     def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")))
     def any(self): return self._agg(lambda v: F.bool_or(F.col(v).cast("boolean")))
@@ -169,7 +173,36 @@ class XGroupBy:
         return self._agg(e)
 
     def quantile(self, q):
-        qf = float(q)
+        return self._quantile_exact(float(q))
+
+    def _quantile_exact(self, qf: float) -> XDataset:
+        """Exact per-group quantile.  Small groups: one-shuffle SQL
+        ``percentile`` (buffers one group — fine under the buffer
+        limit).  Any group above
+        ``OPTIONS['grouped_quantile_buffer_limit']``: the distributed
+        per-group histogram selection (dataset._grouped_quantile_hist)
+        — exact, no group ever buffered, so a 10^9-row group cannot
+        OOM an executor."""
+        from xarray_spark.dataset import (
+            _grouped_quantile_hist, _grouped_quantile_needs_hist)
+        prepped = self._prepared()
+        kept = self._kept_dims
+        coords = self.ds._coords_on(kept)
+        varlist = [v for v in self.ds.data_vars
+                   if _numeric(self.ds, v) and v not in self._key_names]
+        group_cols = [f"__key_{n}" for n in self._key_names] + kept + list(coords)
+        if _grouped_quantile_needs_hist(prepped.df, group_cols):
+            from functools import reduce as _reduce_fn
+            parts = [_grouped_quantile_hist(prepped.df, group_cols, v,
+                                            [qf], "linear")
+                     for v in varlist]
+            out = _reduce_fn(
+                lambda a, b: a.join(b, on=group_cols + ["quantile"]), parts
+            ).drop("quantile")
+            for n in self._key_names:
+                out = out.withColumnRenamed(f"__key_{n}", n)
+            return XDataset(out, self._key_names + kept, coords, varlist,
+                            self.ds.attrs)
         return self._agg(lambda v: F.expr(f"percentile({v}, {qf!r})"), True)
 
     def map(self, func, schema) -> XDataset:

@@ -20,6 +20,13 @@ OPTIONS: dict = {
     "arithmetic_join": "inner",
     "auto_segment_threshold": 2_000_000,
     "keep_attrs": True,
+    # Grouped EXACT quantile/median: max rows any single group may
+    # buffer in one SQL percentile/collect_list aggregation before the
+    # plan switches to the distributed per-group histogram selection
+    # (no buffering, ~4 scans).  The check is free (plan statistics)
+    # when the whole table fits; above that one count job decides.
+    # None = always buffer (pre-r5 behavior).
+    "grouped_quantile_buffer_limit": 4_000_000,
 }
 
 _VALID = {
