@@ -211,3 +211,36 @@ def test_outer_align_stays_broadcast(spark):
     import re
     smj = re.findall(r"SortMergeJoin \[[^\]]*\], \[[^\]]*\], (\w+)", plan)
     assert all(k == "FullOuter" for k in smj), smj
+
+
+def test_bucketed_source_windows_have_no_exchange(spark, tmp_path_factory):
+    """Round 5: a source saved with to_table(bucket_by=complement dims,
+    sort_by=dim) satisfies the Window's ClusteredDistribution, so
+    ffill / rolling / cumsum over `dim` plan with NO Exchange — the
+    repeated-window workload (feature pipelines re-running ffill or
+    rolling per run) never re-shuffles the fact table.  Measured at
+    90M values: 5.4 s bucketed vs 10-12 s flat, 1.4x the reference's
+    in-RAM numpy scan (SCALE.md round-5 head-to-head)."""
+    import numpy as np
+    import pandas as pd
+    from xarray_spark import XDataset
+
+    spark.sql("DROP TABLE IF EXISTS __bkt_win_test")
+    pdf = pd.DataFrame({
+        "x": np.repeat(np.arange(8), 50),
+        "time": np.tile(np.arange(50), 8),
+        "v": np.where(np.random.RandomState(0).rand(400) > 0.2,
+                      np.random.RandomState(1).randn(400), np.nan),
+    })
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x", "time"])
+    ds.to_table("__bkt_win_test", bucket_by=["x"], sort_by=["x", "time"],
+                n_buckets=4)
+    bds = XDataset(spark.table("__bkt_win_test"), dims=["x", "time"])
+    for out in (bds.ffill("time"), bds.rolling(time=5).mean(),
+                bds.cumsum("time")):
+        plan = out.df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+    # same ops on a NON-bucketed source do need the shuffle
+    plan = ds.ffill("time").df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+    spark.sql("DROP TABLE IF EXISTS __bkt_win_test")
