@@ -797,3 +797,36 @@ def test_sel_method_unmatched_raises_like_reference(spark, sds, series):
     got = (sds.sel(t=[0.4, 10.2], method="nearest").to_pandas()
            .sort_values("t")["v"].to_numpy())
     np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_encoded_groups_matches_reference(spark):
+    """Wave 8: groupby with precomputed integer codes (EncodedGroups,
+    reference groupers.py:78) — same codes, same labels, same means;
+    the -1 sentinel group is omitted on both sides."""
+    vals = RNG.randn(24).round(6)
+    codes = np.array([0, 1, 2, 0, 1, 2, -1, 0] * 3)
+    labels = pd.Index(["a", "b", "c"])
+    ref = xr.DataArray(
+        vals, dims="t", name="v",
+        coords={"code": ("t", codes)})
+    from xarray.groupers import EncodedGroups as RefEncoded, Grouper
+
+    class Precomputed(Grouper):
+        # the reference's EncodedGroups surface: a Grouper whose
+        # factorize hands back precomputed codes + labels verbatim
+        def factorize(self, group):
+            codes_da = group.copy(data=group.data).rename("key")
+            return RefEncoded(codes=codes_da, full_index=labels)
+
+        def reset(self):
+            return type(self)()
+
+    exp = ref.groupby(code=Precomputed()).mean()
+    from xarray_spark.groupers import EncodedGroups
+    pdf = pd.DataFrame({"t": np.arange(24), "code": codes, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    got = (ds.groupby(code=EncodedGroups(labels=list(labels))).mean()
+           .to_pandas())
+    got = got[got["code"].notna()].sort_values("code")
+    np.testing.assert_allclose(got["v"].to_numpy(), exp.values)
+    assert list(got["code"]) == list(exp["key"].values)

@@ -87,6 +87,7 @@ from xarray_spark.groupers import (
     BinGrouper,
     TimeResampler,
     SeasonGrouper,
+    EncodedGroups,
 )
 
 # reference top-level name parity

@@ -58,6 +58,34 @@ class BinGrouper(Grouper):
         return chain.otherwise(expr) if chain is not None else expr
 
 
+@dataclass
+class EncodedGroups(Grouper):
+    """Precomputed integer codes → labels (reference xarray/groupers.py:78
+    EncodedGroups).
+
+    The grouped-by column already holds the integer codes of an earlier
+    factorization (e.g. a dictionary-encoded parquet column or the
+    output of an upstream pipeline stage); ``labels[i]`` names code
+    ``i``.  The mapping compiles to one ``element_at`` against a
+    literal array — fully codegen'd, no join.
+
+    The reference's ``-1`` sentinel ("in no group") maps to a null key;
+    Spark's groupBy keeps a null-key group where the reference omits
+    it, so drop it (``where(key.isNotNull())``) when exact parity
+    matters — the differential test does exactly that.
+    """
+
+    labels: Sequence = field(default_factory=list)
+
+    def key_expr(self, col: Column) -> Column:
+        arr = F.array(*[F.lit(lab) for lab in self.labels])
+        code = col.cast("int")
+        return F.when(
+            (code >= 0) & (code < F.lit(len(self.labels))),
+            F.element_at(arr, code + 1),
+        )
+
+
 # pandas-style frequency aliases → (date_trunc unit, None) or special
 _TRUNC = {
     "S": "second", "s": "second",
