@@ -830,3 +830,234 @@ def test_encoded_groups_matches_reference(spark):
     got = got[got["code"].notna()].sort_values("code")
     np.testing.assert_allclose(got["v"].to_numpy(), exp.values)
     assert list(got["code"]) == list(exp["key"].values)
+
+
+def test_datatree_map_filter_match_reference(spark):
+    """Wave 8: DataTree map_over_datasets + filter vs the reference's
+    DataTree (xarray/core/datatree.py)."""
+    vals = {p: RNG.randn(6).round(6) for p in ("/a", "/a/b", "/c")}
+    ref = xr.DataTree.from_dict({
+        p: xr.Dataset({"v": ("t", v)}, coords={"t": np.arange(6)})
+        for p, v in vals.items()})
+    rmapped = ref.map_over_datasets(lambda d: d * 2 + 1)
+    from xarray_spark.datatree import DataTree
+    ours = DataTree.from_dict({
+        p: XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": np.arange(6), "v": v})), dims=["t"])
+        for p, v in vals.items()})
+    omapped = ours.map_over_datasets(lambda d: d * 2 + 1)
+    for p in vals:
+        exp = rmapped[p].ds["v"].values
+        got = omapped[p].to_pandas().sort_values("t")["v"].to_numpy()
+        np.testing.assert_allclose(got, exp)
+    # filter: keep nodes whose mean is positive, both sides
+    rkept = {p for p in vals
+             if p.strip("/") and float(ref[p].ds["v"].mean()) > 0}
+    okept = ours.filter(
+        lambda d: d.to_pandas()["v"].mean() > 0)
+    assert {k for k in okept.groups if k in vals or k.rstrip("/") in vals
+            } >= set() # structural smoke
+    got_paths = {p for p in vals if p in okept.groups}
+    assert got_paths == rkept
+
+
+def test_cf_encode_decode_roundtrip_matches_reference(spark):
+    """Wave 8: bytes encoded by the REFERENCE's CF coders
+    (scale_factor/add_offset/_FillValue) decode through this engine's
+    decode_cf to the same floats the reference's decode_cf returns."""
+    raw = RNG.randn(40).round(3) * 10
+    raw[[3, 17]] = np.nan
+    da = xr.DataArray(raw, dims="t", name="v",
+                      coords={"t": np.arange(40)})
+    enc = {"scale_factor": 0.01, "add_offset": 5.0,
+           "_FillValue": -9999, "dtype": "int32"}
+    ref_ds = da.to_dataset()
+    ref_ds["v"].encoding.update(enc)
+    import xarray.conventions as conv
+    encoded = conv.encode_dataset_coordinates(ref_ds)[0]
+    enc_var = conv.encode_cf_variable(ref_ds["v"].variable)
+    ints = np.asarray(enc_var.values)
+    decoded_ref = conv.decode_cf_variable("v", enc_var).values
+    from xarray_spark.io import decode_cf
+    pdf = pd.DataFrame({"t": np.arange(40), "v": ints})
+    sdf = decode_cf(spark.createDataFrame(pdf),
+                    {"v": {"fill_value": -9999, "scale_factor": 0.01,
+                           "add_offset": 5.0}})
+    got = (XDataset(sdf, dims=["t"]).to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, np.asarray(decoded_ref, dtype=float),
+                               rtol=1e-9, equal_nan=True)
+
+
+def test_isel_points_matches_reference(grid2d):
+    """Wave 8: vectorized (pointwise) indexing — parallel index arrays
+    make a new points dim, matching the reference's vectorized isel."""
+    ref, ours = grid2d
+    ix = [0, 3, 1, 4]
+    iy = [2, 0, 7, 5]
+    exp = ref.isel(x=xr.DataArray(ix, dims="points"),
+                   y=xr.DataArray(iy, dims="points")).values
+    got = (ours.isel_points(x=ix, y=iy).to_pandas()
+           .sort_values("points")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp)
+
+
+@pytest.mark.parametrize("which", ["argmin", "argmax"])
+def test_rolling_argminmax_matches_reference(spark, which):
+    """Wave 8: rolling argmin/argmax (q111's operator) vs the
+    reference's rolling reduction — NaN-free series (the reference's
+    nanarg* raises on all-NaN windows)."""
+    vals = RNG.randn(40).round(6)
+    r = xr.DataArray(vals, dims="t").rolling(t=5, min_periods=5)
+    exp = getattr(r, which)().values
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(40), "v": vals})), dims=["t"])
+    got = (getattr(ds.rolling(t=5, min_periods=5), which)()
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_grouped_hist_quantile_matches_reference(spark):
+    """Wave 8: the round-5 distributed per-group histogram quantile
+    path (buffer limit forced to 1) against the reference's
+    groupby().quantile()."""
+    from xarray_spark import set_options
+    vals = RNG.randn(120).round(6)
+    keys = np.repeat(np.arange(4), 30)
+    ref = xr.DataArray(
+        vals, dims="t",
+        coords={"k": ("t", keys)}).groupby("k").quantile([0.2, 0.8])
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(120), "k": keys, "v": vals})),
+        dims=["t"], coords={"k": ("t",)})
+    with set_options(grouped_quantile_buffer_limit=1):
+        got = (ds.groupby("k").quantile(0.2).to_pandas().sort_values("k")
+               ["v"].to_numpy())
+    np.testing.assert_allclose(got, ref.sel(quantile=0.2).values,
+                               rtol=1e-9)
+    with set_options(grouped_quantile_buffer_limit=1):
+        got = (ds.groupby("k").quantile(0.8).to_pandas().sort_values("k")
+               ["v"].to_numpy())
+    np.testing.assert_allclose(got, ref.sel(quantile=0.8).values,
+                               rtol=1e-9)
+
+
+def test_sel_label_slice_step_matches_reference(spark):
+    vals = RNG.randn(60).round(6)
+    labels = np.arange(0, 120, 2)
+    ref = xr.DataArray(vals, dims="t", coords={"t": labels})
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": labels, "v": vals})), dims=["t"])
+    for sl in (slice(10, 80, 3), slice(100, 20, -4)):
+        exp = ref.sel(t=sl).values
+        got_pd = ds.sel(t=sl).to_pandas()
+        got_pd = got_pd.sort_values("t", ascending=sl.step is None
+                                    or sl.step > 0)
+        np.testing.assert_allclose(got_pd["v"].to_numpy(), exp,
+                                   err_msg=str(sl))
+
+
+def test_interp_targets_match_reference(spark):
+    """Wave 8: interp() onto explicit targets incl. EXACT-HIT labels
+    (the q62 shape) vs the reference's linear interp."""
+    vals = RNG.randn(30).round(6)
+    labels = np.arange(0, 60, 2).astype(float)
+    ref = xr.DataArray(vals, dims="t", coords={"t": labels})
+    targets = [0.0, 5.0, 10.0, 17.3, 58.0, 31.0]   # mix of hits + gaps
+    # reference interp needs scipy (absent); its linear interpolator is
+    # np.interp on interior points, which all targets are
+    exp = np.interp(np.array(targets), labels, vals)
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": labels, "v": vals})), dims=["t"])
+    got_pd = ds.interp(t=targets).to_pandas()
+    got = got_pd.set_index("t").loc[targets]["v"].to_numpy()
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_shift_negative_and_diff2_match_reference(sds, series):
+    got = _ours(sds.shift(t=-2))
+    exp = _ref(series).shift(t=-2).values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+    got = (sds.diff("t", n=2).to_pandas().sort_values("t")["v"]
+           .to_numpy())
+    exp = _ref(series).diff("t", n=2).values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_coarsen_construct_matches_reference(sds, series):
+    """Wave 8: coarsen.construct window reshaping vs reference."""
+    exp = _ref(series)[:56].coarsen(t=7).construct(t=("t0", "win"))
+    got_ds = sds.isel(t=slice(0, 56)).coarsen(t=7).construct(
+        t=("t0", "win"))
+    gp = got_ds.to_pandas().sort_values(["t0", "win"])
+    np.testing.assert_allclose(
+        gp["v"].to_numpy().reshape(8, 7), exp.values, equal_nan=True)
+
+
+def test_where_drop_matches_reference(sds, series):
+    exp = _ref(series).where(_ref(series) > 0, drop=True).values
+    got = np.sort(_ours(sds.where(sds["v"] > 0, drop=True)))
+    np.testing.assert_allclose(got, np.sort(exp), equal_nan=True)
+
+
+def test_fillna_matches_reference(sds, series):
+    got = _ours(sds.fillna(0.25))
+    exp = _ref(series).fillna(0.25).values
+    np.testing.assert_allclose(got, exp)
+
+
+def test_rank_pct_matches_pandas(sds, series):
+    got = _ours(sds.rank("t", pct=True))
+    exp = pd.Series(series).rank(method="average", pct=True).to_numpy()
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_broadcast_like_matches_reference(spark):
+    a = xr.DataArray(RNG.randn(4).round(6), dims="x",
+                     coords={"x": np.arange(4)})
+    b = xr.DataArray(RNG.randn(3).round(6), dims="y",
+                     coords={"y": np.arange(3)})
+    exp = a.broadcast_like(a * b)
+    from xarray_spark import broadcast
+    da = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": np.arange(4), "v": a.values})), dims=["x"])
+    db = XDataset(spark.createDataFrame(
+        pd.DataFrame({"y": np.arange(3), "w": b.values})), dims=["y"])
+    ga, gb = broadcast(da, db)
+    gp = ga.to_pandas().sort_values(["x", "y"])
+    np.testing.assert_allclose(
+        gp["v"].to_numpy().reshape(4, 3),
+        np.broadcast_to(exp.transpose("x", "y").values, (4, 3)))
+
+
+def test_drop_duplicates_matches_reference(spark):
+    vals = np.array([3.0, 1.0, 3.0, 2.0, 1.0, 5.0])
+    ref = xr.Dataset({"v": ("t", vals)},
+                     coords={"t": [0, 1, 0, 2, 1, 3]})
+    exp = ref.drop_duplicates("t", keep="first")
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1, 0, 2, 1, 3], "v": vals})), dims=["t"])
+    got = ds.drop_duplicates("t", keep="first").to_pandas().sort_values("t")
+    np.testing.assert_allclose(got["v"].to_numpy(), exp["v"].values)
+
+
+def test_to_stacked_array_roundtrip_matches_reference(spark):
+    """to_stacked_array / to_unstacked_dataset round-trip preserves the
+    reference's variable stacking semantics."""
+    a = RNG.randn(5).round(6)
+    b = RNG.randn(5).round(6)
+    ref = xr.Dataset({"a": ("t", a), "b": ("t", b)},
+                     coords={"t": np.arange(5)})
+    exp = ref.to_stacked_array("z", sample_dims=["t"])
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(5), "a": a, "b": b})), dims=["t"])
+    st = ds.to_stacked_array("z", sample_dims=["t"])
+    sp = st.to_pandas()
+    vcol = [c for c in sp.columns if c not in ("t", "z")][0]
+    got = (sp.sort_values(["t", "z"])[vcol]
+           .to_numpy().reshape(5, 2))
+    np.testing.assert_allclose(got, exp.transpose("t", "z").values)
+    back = st.to_unstacked_dataset("z")
+    bp = back.to_pandas().sort_values("t")
+    np.testing.assert_allclose(bp["a"].to_numpy(), a)
+    np.testing.assert_allclose(bp["b"].to_numpy(), b)

@@ -2178,9 +2178,21 @@ class XDataset:
             coords[d] = tuple(new_dims) or (d,)
         return self._replace(dims=new_dims or list(self.dims), coords=coords)
 
-    def to_stacked_array(self, new_dim: str = "variable", name: str = "value") -> "XDataArray":
+    def to_stacked_array(self, new_dim: str = "variable",
+                         sample_dims: Sequence[str] | None = None,
+                         name: str = "value") -> "XDataArray":
         """Stack data variables into one array dim
-        (xarray/core/dataset.py:5383) — SQL unpivot (melt)."""
+        (xarray/core/dataset.py:5383) — SQL unpivot (melt).
+
+        ``sample_dims`` (reference signature) are the dims PRESERVED by
+        the stacking; every other dim would fold into ``new_dim``
+        alongside the variable names.  The long form supports the
+        all-dims-sampled case (pure variable melt); folding extra dims
+        requires a prior :meth:`stack`, which composes explicitly."""
+        if sample_dims is not None and set(sample_dims) != set(self.dims):
+            raise NotImplementedError(
+                "to_stacked_array with sample_dims a strict subset of "
+                "dims: stack() the non-sample dims first, then melt")
         return self.to_dataarray(dim=new_dim)
 
     def to_unstacked_dataset(self, dim: str) -> "XDataset":
