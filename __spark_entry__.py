@@ -1847,6 +1847,91 @@ def q108_blend_epochs(spark, sf_dir):
 
 # --------------------------------------------------------------------- #
 # driver contract
+def q114_encoded_groups(spark, sf_dir):
+    """EncodedGroups grouper (reference groupers.py:78, added round 5):
+    a precomputed integer-code column maps through a literal label
+    array (one element_at, codegen'd, no join) and groups like any
+    other key.  Oracle: the same CASE mapping in SQL."""
+    from xarray_spark.groupers import EncodedGroups
+    li = _lineitem(spark, sf_dir).assign(
+        rev=REV(), code=(F.col("l_linenumber") - 1) % 4)
+    g = li.groupby(code=EncodedGroups(
+        labels=["alpha", "beta", "gamma", "delta"]))
+    out = g.agg(n=F.count(F.lit(1)), rev=_r3(F.sum("rev")))
+    return out.to_spark().withColumnRenamed("code", "grp")
+
+
+def q115_grouped_quantile_hist(spark, sf_dir):
+    """Grouped EXACT quantile through the round-5 distributed
+    per-group histogram selection (dataset._grouped_quantile_hist) —
+    the buffer limit is forced to 1 so the gate pins the no-buffer
+    path: per-group stats, per-(group,bin) histogram, rank→bin join,
+    row_number only inside the ≤2 needed bins.  Oracle: DuckDB
+    quantile_cont (linear interpolation, same estimator)."""
+    from xarray_spark import set_options
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    ds = XDataset(df, dims=["l_orderkey", "l_linenumber"],
+                  coords={"l_returnflag": ("l_orderkey", "l_linenumber")})
+    with set_options(grouped_quantile_buffer_limit=1):
+        out = ds.groupby("l_returnflag").quantile(0.25)
+    return out.to_spark().select(
+        "l_returnflag", _r4(F.col("l_extendedprice")).alias("q_price"))
+
+
+def q116_bucketed_ffill(spark, sf_dir):
+    """Bucket-aware window layout (round 5): a (flag, day) revenue
+    grid saved with to_table(bucket_by=flag, sort_by=[flag, day]) and
+    reopened plans its ffill with NO Exchange (plan guard:
+    tests/test_plans.py) — this gate pins the VALUES of the
+    shuffle-free fill.  Every third day keeps its revenue, the rest
+    forward-fill.  Oracle: last_value IGNORE NULLS over the same
+    sparse grid."""
+    import shutil
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
+    daily = li.groupby({"l_returnflag": "l_returnflag",
+                        "l_shipdate": "l_shipdate"}).agg(
+        rev=_r3(F.sum("rev")))
+    sparse = daily.assign(
+        rev=F.when(F.dayofmonth("l_shipdate") % 3 == 0, F.col("rev")))
+    name = "q116_bkt_grid"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/{name}", ignore_errors=True)
+    sparse.to_table(name, bucket_by=["l_returnflag"],
+                    sort_by=["l_returnflag", "l_shipdate"], n_buckets=4)
+    bds = XDataset(spark.table(name), dims=["l_returnflag", "l_shipdate"])
+    out = bds.ffill("l_shipdate")
+    return out.to_spark().select(
+        "l_returnflag", "l_shipdate", F.col("rev").alias("rev_filled"))
+
+
+def q117_outer_align_coords(spark, sf_dir):
+    """Outer align materializes missing-label rows WITH the coords
+    keyed on the non-aligned dims populated (round-5 advisor fix,
+    alignment._conform_to_labels): A covers Jan–Aug 1995, B May–Dec;
+    aligning outer on the month axis synthesizes A's Sep–Dec rows with
+    null revenue but a live flag_class coord.  Oracle: the equivalent
+    flags × month-union left join in SQL."""
+    from xarray_spark import align
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
+
+    def month_rev(lo, hi):
+        sub = li.query(f"l_shipdate >= '{lo}' and l_shipdate < '{hi}'")
+        g = sub.groupby({"l_returnflag": "l_returnflag",
+                         "m": F.date_trunc("month", F.col("l_shipdate"))})
+        out = g.agg(rev=_r3(F.sum("rev")))
+        df = out.to_spark().withColumn(
+            "flag_class", F.lower(F.col("l_returnflag")))
+        return XDataset(df, dims=["l_returnflag", "m"],
+                        coords={"flag_class": ("l_returnflag",)})
+
+    a = month_rev("1995-01-01", "1995-09-01")
+    b = month_rev("1995-05-01", "1996-01-01")
+    ga, _ = align(a, b, join="outer")
+    return ga.to_spark().select("l_returnflag", "flag_class", "m", "rev")
+
+
 # --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1858,33 +1943,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: every implemented operator, one entry each.
 
     ORDERING IS DELIBERATE: the driver's correctness gate evaluates the
-    first 50 entries, so the window rotates per round.  Round 4 front-
-    loads (a) q78_dt_tail, the one red-with-oracle row of round 3, now
-    fixed (locale-independent day_name + BIGINT oracle cast); (b) the
-    eight round-4 debutants q99-q106 (partial-string sel, negative-step
-    slice, EWM corr, coarsen construct/reduce, interp_calendar,
-    multi-dim argmax, complex ufuncs); (c) every query whose code path
-    changed this round — the sel slice machinery (q02/q79), interp
-    exact-hit handling (q62), chunk_documents NULL handling (q98);
-    and (d) re-validation anchors covering every operator family
-    (ANN/dedup portable set, streaming, training-pipeline ops, events
-    accessors, groupby).  q64_ivf_topk is OUT of the window for good:
-    rows-only by design (KMeans is not SQL-expressible) and its query
-    plan is value-verified by the oracle-green q97_ivf_fixed, so a
-    permanently-red gate row would waste a slot every rotation.
-    Everything below the window carries a green row from rounds 1-3 and
-    stays covered by tests/test_oracle.py at sf0.001.
+    first 50 entries, so the window rotates per round.  Round 5 front-
+    loads (a) the four round-5 debutants q114-q117 (EncodedGroups,
+    grouped histogram quantile with the buffer limit forced to 1,
+    bucketed shuffle-free ffill, outer-align coord materialization);
+    (b) q111_rolling_argmin, the one query that had never had driver
+    evidence; (c) every query whose code path changed this round — the
+    grouped quantile/median reroute (q16/q39/q74/q15), the groupby
+    _agg varlist fix (q05/q06/q65/q66/q09 + resamples), the alignment
+    coord fix (q19/q21/q29), the IVF float-distance form (q97/q113/
+    q112), the quantile-fallback NaN filter; and (d) regression
+    anchors (q78, q62, the ANN/dedup portable set, all five streaming
+    gates, q01).  q64_ivf_topk stays OUT permanently (rows-only by
+    design; its plan is value-verified by q97).  Everything below the
+    window carries a green driver row from rounds 1-4 and stays
+    covered by tests/test_oracle.py at sf0.001 each round.
     """
     return {
-        # ---- ROUND-4 GATE WINDOW (first 50): the q78 fix, the eight
-        # round-4 debutants q99-q106, every query whose code path was
-        # touched this round (sel slice machinery: q02/q79; interp:
-        # q62; chunk_documents: q98), and re-validation anchors across
-        # every operator family.  q64_ivf_topk moves OUT of the window
-        # permanently: it is rows-only by design (KMeans isn't SQL) and
-        # its query plan is value-verified by q97_ivf_fixed.  Everything
-        # below the window carries a green row from rounds 1-3.
+        # ---- ROUND-5 GATE WINDOW (first 50) ----
+        "q114_encoded_groups": q114_encoded_groups,
+        "q115_grouped_quantile_hist": q115_grouped_quantile_hist,
+        "q116_bucketed_ffill": q116_bucketed_ffill,
+        "q117_outer_align_coords": q117_outer_align_coords,
+        "q111_rolling_argmin": q111_rolling_argmin,
+        "q16_groupby_median": q16_groupby_median,
+        "q39_groupby_quantile": q39_groupby_quantile,
+        "q74_quantile_methods": q74_quantile_methods,
+        "q15_quantile": q15_quantile,
+        "q05_orders_groupby": q05_orders_groupby,
+        "q06_groupby_bins": q06_groupby_bins,
+        "q65_multi_grouper": q65_multi_grouper,
+        "q66_season_resampler": q66_season_resampler,
+        "q09_season_groupby": q09_season_groupby,
+        "q10_rolling_mean": q10_rolling_mean,
+        "q60_salted_agg": q60_salted_agg,
+        "q07_resample_monthly": q07_resample_monthly,
+        "q08_resample_daily_events": q08_resample_daily_events,
+        "q46_resample_6h": q46_resample_6h,
+        "q45_resample_asfreq": q45_resample_asfreq,
+        "q19_binary_align": q19_binary_align,
+        "q21_reindex_fill": q21_reindex_fill,
+        "q29_reindex_nearest": q29_reindex_nearest,
+        "q61_nearest_points": q61_nearest_points,
+        "q02_sel_label_slice": q02_sel_label_slice,
+        "q79_sel_step": q79_sel_step,
+        "q97_ivf_fixed": q97_ivf_fixed,
+        "q113_ivfpq_topk": q113_ivfpq_topk,
+        "q112_pq_topk": q112_pq_topk,
+        "q63_lsh_multiprobe": q63_lsh_multiprobe,
+        "q51_lsh_topk": q51_lsh_topk,
+        "q52_embedding_near_dups": q52_embedding_near_dups,
+        "q34_minhash_lsh": q34_minhash_lsh,
+        "q35_simhash": q35_simhash,
+        "q53_ngram_jaccard": q53_ngram_jaccard,
+        "q81_dedup_clusters": q81_dedup_clusters,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q110_dedup_lines": q110_dedup_lines,
         "q78_dt_tail": q78_dt_tail,
+        "q62_interp_targets": q62_interp_targets,
+        "q14_interpolate_na": q14_interpolate_na,
+        "q70_ffill_segmented": q70_ffill_segmented,
+        "q13_ffill": q13_ffill,
+        "q43_bfill": q43_bfill,
+        "q67_stream_resample": q67_stream_resample,
+        "q109_stream_interval_join": q109_stream_interval_join,
+        "q96_stream_sessionize": q96_stream_sessionize,
+        "q85_stream_asof": q85_stream_asof,
+        "q87_stream_dedup": q87_stream_dedup,
+        "q01_pricing_summary": q01_pricing_summary,
+        # ---- below the window: green rows from rounds 1-4 stand ----
         "q99_sel_partial_string": q99_sel_partial_string,
         "q100_sel_negative_step": q100_sel_negative_step,
         "q101_ewm_corr": q101_ewm_corr,
@@ -1893,19 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_interp_calendar": q104_interp_calendar,
         "q105_argmax_grid": q105_argmax_grid,
         "q106_complex_phase": q106_complex_phase,
-        "q02_sel_label_slice": q02_sel_label_slice,
-        "q79_sel_step": q79_sel_step,
-        "q62_interp_targets": q62_interp_targets,
         "q98_chunk_documents": q98_chunk_documents,
-        "q34_minhash_lsh": q34_minhash_lsh,
-        "q35_simhash": q35_simhash,
-        "q51_lsh_topk": q51_lsh_topk,
-        "q52_embedding_near_dups": q52_embedding_near_dups,
-        "q63_lsh_multiprobe": q63_lsh_multiprobe,
-        "q97_ivf_fixed": q97_ivf_fixed,
-        "q67_stream_resample": q67_stream_resample,
-        "q85_stream_asof": q85_stream_asof,
-        "q87_stream_dedup": q87_stream_dedup,
         "q88_hash_sample": q88_hash_sample,
         "q89_hash_split": q89_hash_split,
         "q90_stratified_sample": q90_stratified_sample,
@@ -1915,83 +2030,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_audio_features": q94_audio_features,
         "q95_pii_scan": q95_pii_scan,
         "q36_multimodal_features": q36_multimodal_features,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q53_ngram_jaccard": q53_ngram_jaccard,
-        "q81_dedup_clusters": q81_dedup_clusters,
         "q59_decode_cf": q59_decode_cf,
         "q72_zarr_roundtrip": q72_zarr_roundtrip,
-        "q74_quantile_methods": q74_quantile_methods,
-        "q08_resample_daily_events": q08_resample_daily_events,
-        "q14_interpolate_na": q14_interpolate_na,
         "q28_dt_fields": q28_dt_fields,
-        "q70_ffill_segmented": q70_ffill_segmented,
         "q75_interp_zero": q75_interp_zero,
         "q86_cf_subdaily": q86_cf_subdaily,
-        # differentiate's stencil changed this round -> re-validate in-window
         "q44_differentiate": q44_differentiate,
-        # round-4 debutants: curation signals, epoch blending, native
-        # stream-stream interval join (q96 rotates out on its r3 green
-        # to make room for q109)
         "q107_repetition_stats": q107_repetition_stats,
         "q108_blend_epochs": q108_blend_epochs,
-        "q109_stream_interval_join": q109_stream_interval_join,
-        "q110_dedup_lines": q110_dedup_lines,
-        "q112_pq_topk": q112_pq_topk,
-        "q113_ivfpq_topk": q113_ivfpq_topk,
-        # ---- outside the window (q111 oracle-ready for a future rotation): green rows from earlier rounds stand ----
-        "q13_ffill": q13_ffill,
-        "q46_resample_6h": q46_resample_6h,
-        "q43_bfill": q43_bfill,
-        "q111_rolling_argmin": q111_rolling_argmin,
         "q40_dropna": q40_dropna,
-        "q96_stream_sessionize": q96_stream_sessionize,
-        "q05_orders_groupby": q05_orders_groupby,
-        "q39_groupby_quantile": q39_groupby_quantile,
         "q64_ivf_topk": q64_ivf_topk,
         "q04_where_mask": q04_where_mask,
-        "q07_resample_monthly": q07_resample_monthly,
         "q41_dot": q41_dot,
         "q42_stopword_ratio": q42_stopword_ratio,
         "q47_weighted_var": q47_weighted_var,
         "q48_cov": q48_cov,
         "q49_fingerprint_distinct": q49_fingerprint_distinct,
-        "q16_groupby_median": q16_groupby_median,
         "q23_weighted_mean": q23_weighted_mean,
         "q26_corr": q26_corr,
         "q27_str_ops": q27_str_ops,
-        "q29_reindex_nearest": q29_reindex_nearest,
         "q32_language_id": q32_language_id,
         "q12_diff": q12_diff,
-        "q09_season_groupby": q09_season_groupby,
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q22_pivot": q22_pivot,
         "q24_integrate": q24_integrate,
         "q03_isel_head": q03_isel_head,
-        "q06_groupby_bins": q06_groupby_bins,
-        "q10_rolling_mean": q10_rolling_mean,
         "q11_cumsum": q11_cumsum,
-        "q15_quantile": q15_quantile,
         "q18_idxmax": q18_idxmax,
-        "q19_binary_align": q19_binary_align,
-        "q21_reindex_fill": q21_reindex_fill,
         "q25_polyfit": q25_polyfit,
-        "q30_dedup_exact": q30_dedup_exact,
         "q31_text_features": q31_text_features,
         "q33_cosine_topk": q33_cosine_topk,
         "q37_coarsen_weekly": q37_coarsen_weekly,
         "q38_shift": q38_shift,
-        "q45_resample_asfreq": q45_resample_asfreq,
         "q50_rolling_exp": q50_rolling_exp,
         "q54_pad": q54_pad,
         "q55_rolling_2d": q55_rolling_2d,
         "q56_densify": q56_densify,
         "q57_isel_points": q57_isel_points,
         "q58_where_aligned": q58_where_aligned,
-        "q60_salted_agg": q60_salted_agg,
-        "q61_nearest_points": q61_nearest_points,
-        "q65_multi_grouper": q65_multi_grouper,
-        "q66_season_resampler": q66_season_resampler,
         "q68_datatree": q68_datatree,
         "q69_bpe_token_count": q69_bpe_token_count,
         "q71_netcdf_roundtrip": q71_netcdf_roundtrip,
@@ -3577,5 +3654,60 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(atan2(im, re)) + 1e-9, 6) AS avg_angle,
                    ROUND(SUM(re*re + im*im) + 1e-6, 3) AS sum_power
             FROM z GROUP BY 1
+        """,
+        "q114_encoded_groups": """
+            SELECT CASE ((l_linenumber - 1) % 4)
+                     WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                     WHEN 2 THEN 'gamma' WHEN 3 THEN 'delta' END AS grp,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev
+            FROM lineitem GROUP BY 1
+        """,
+        "q115_grouped_quantile_hist": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.25) + 1e-8, 4) AS q_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q116_bucketed_ffill": """
+            WITH daily AS (
+              SELECT l_returnflag, l_shipdate,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev
+              FROM lineitem GROUP BY 1, 2
+            ),
+            sparse AS (
+              SELECT l_returnflag, l_shipdate,
+                     CASE WHEN EXTRACT(day FROM l_shipdate) % 3 = 0
+                          THEN rev END AS rev
+              FROM daily
+            )
+            SELECT l_returnflag, l_shipdate,
+                   LAST_VALUE(rev IGNORE NULLS) OVER (
+                     PARTITION BY l_returnflag ORDER BY l_shipdate
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS rev_filled
+            FROM sparse
+        """,
+        "q117_outer_align_coords": """
+            WITH a AS (
+              SELECT l_returnflag, date_trunc('month', l_shipdate) AS m,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                AND l_shipdate <  TIMESTAMP '1995-09-01'
+              GROUP BY 1, 2
+            ),
+            b_m AS (
+              SELECT DISTINCT date_trunc('month', l_shipdate) AS m
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-05-01'
+                AND l_shipdate <  TIMESTAMP '1996-01-01'
+            ),
+            months AS (SELECT m FROM a UNION SELECT m FROM b_m),
+            flags AS (SELECT DISTINCT l_returnflag,
+                             lower(l_returnflag) AS flag_class FROM a)
+            SELECT f.l_returnflag, f.flag_class, mo.m, a.rev
+            FROM flags f
+            CROSS JOIN months mo
+            LEFT JOIN a ON a.l_returnflag = f.l_returnflag AND a.m = mo.m
         """,
     }
