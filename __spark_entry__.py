@@ -1915,14 +1915,17 @@ def q117_outer_align_coords(spark, sf_dir):
     flags × month-union left join in SQL."""
     from xarray_spark import align
     li = _lineitem(spark, sf_dir).assign(rev=REV())
+    # ONE lineitem scan: aggregate the full year, carve A and B out of
+    # the (tiny, checkpointed) month table
+    g = li.query("l_shipdate >= '1995-01-01' and l_shipdate < '1996-01-01'") \
+          .groupby({"l_returnflag": "l_returnflag",
+                    "m": F.date_trunc("month", F.col("l_shipdate"))})
+    gdf = (g.agg(rev=_r3(F.sum("rev"))).to_spark()
+           .withColumn("flag_class", F.lower(F.col("l_returnflag")))
+           .localCheckpoint(eager=False))
 
     def month_rev(lo, hi):
-        sub = li.query(f"l_shipdate >= '{lo}' and l_shipdate < '{hi}'")
-        g = sub.groupby({"l_returnflag": "l_returnflag",
-                         "m": F.date_trunc("month", F.col("l_shipdate"))})
-        out = g.agg(rev=_r3(F.sum("rev")))
-        df = out.to_spark().withColumn(
-            "flag_class", F.lower(F.col("l_returnflag")))
+        df = gdf.where((F.col("m") >= F.lit(lo)) & (F.col("m") < F.lit(hi)))
         return XDataset(df, dims=["l_returnflag", "m"],
                         coords={"flag_class": ("l_returnflag",)})
 
@@ -1930,6 +1933,42 @@ def q117_outer_align_coords(spark, sf_dir):
     b = month_rev("1995-05-01", "1996-01-01")
     ga, _ = align(a, b, join="outer")
     return ga.to_spark().select("l_returnflag", "flag_class", "m", "rev")
+
+
+def q118_temperature_sample(spark, sf_dir):
+    """Temperature-scaled source rebalancing (extras.sampling.
+    temperature_sample — the multilingual q_s ∝ p_s^alpha smoothing
+    rule, alpha=0.5): per-source keep rate sqrt(n_min/n_s) through the
+    deterministic md5 bucket, so DuckDB replays the exact row set;
+    id-sum checksum pins membership, not just counts."""
+    from xarray_spark.extras.sampling import temperature_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = temperature_sample(docs, "source", "doc_id", alpha=0.5)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"))
+
+
+def q119_dedup_substrings(spark, sf_dir):
+    """Cross-document exact-substring dedup (extras.curation.
+    dedup_substrings — the k-token-window ExactSubstr shape of Lee et
+    al., ACL 2022): 5-token spans present in ≥2 docs drop from every
+    non-canonical document; the oracle rebuilds every document from
+    the same window algebra in SQL."""
+    from xarray_spark.extras.curation import dedup_substrings
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_substrings(docs, k=5, min_docs=2)
+    return out.select("doc_id", "text", "n_tokens", "n_dropped")
+
+
+def q120_semdedup(spark, sf_dir):
+    """SemDeDup pairs (extras.similarity.semdedup_pairs — Abbas et al.
+    2023): cluster embeddings by the fixed integer codebook, call
+    within-cell cosine ≥ threshold a semantic duplicate.  The oracle
+    replays cell assignment and every within-cell cosine."""
+    from xarray_spark.extras.similarity import semdedup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_pairs(emb, threshold=0.4, n_cells=64)
 
 
 # --------------------------------------------------------------------- #
@@ -1965,6 +2004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_grouped_quantile_hist": q115_grouped_quantile_hist,
         "q116_bucketed_ffill": q116_bucketed_ffill,
         "q117_outer_align_coords": q117_outer_align_coords,
+        "q118_temperature_sample": q118_temperature_sample,
+        "q119_dedup_substrings": q119_dedup_substrings,
+        "q120_semdedup": q120_semdedup,
         "q111_rolling_argmin": q111_rolling_argmin,
         "q16_groupby_median": q16_groupby_median,
         "q39_groupby_quantile": q39_groupby_quantile,
@@ -1997,14 +2039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_simhash": q35_simhash,
         "q53_ngram_jaccard": q53_ngram_jaccard,
         "q81_dedup_clusters": q81_dedup_clusters,
-        "q30_dedup_exact": q30_dedup_exact,
         "q110_dedup_lines": q110_dedup_lines,
         "q78_dt_tail": q78_dt_tail,
         "q62_interp_targets": q62_interp_targets,
         "q14_interpolate_na": q14_interpolate_na,
         "q70_ffill_segmented": q70_ffill_segmented,
-        "q13_ffill": q13_ffill,
-        "q43_bfill": q43_bfill,
         "q67_stream_resample": q67_stream_resample,
         "q109_stream_interval_join": q109_stream_interval_join,
         "q96_stream_sessionize": q96_stream_sessionize,
@@ -2012,6 +2051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_stream_dedup": q87_stream_dedup,
         "q01_pricing_summary": q01_pricing_summary,
         # ---- below the window: green rows from rounds 1-4 stand ----
+        "q13_ffill": q13_ffill,
+        "q43_bfill": q43_bfill,
+        "q30_dedup_exact": q30_dedup_exact,
         "q99_sel_partial_string": q99_sel_partial_string,
         "q100_sel_negative_step": q100_sel_negative_step,
         "q101_ewm_corr": q101_ewm_corr,
@@ -3709,5 +3751,94 @@ def oracle_sql() -> dict[str, str]:
             FROM flags f
             CROSS JOIN months mo
             LEFT JOIN a ON a.l_returnflag = f.l_returnflag AND a.m = mo.m
+        """,
+        "q118_temperature_sample": """
+            WITH c AS (SELECT source, COUNT(*) AS n
+                       FROM documents GROUP BY source),
+            r AS (SELECT source, n,
+                         floor(sqrt((SELECT MIN(n) FROM c)::DOUBLE
+                                    / n::DOUBLE) * 1000000)::BIGINT AS thresh
+                  FROM c),
+            kept AS (
+              SELECT d.source, d.doc_id
+              FROM documents d JOIN r USING (source)
+              WHERE (('0x' || substr(md5('temp' || d.source || '|'
+                                         || d.doc_id), 1, 15))::BIGINT
+                     % 1000000) < r.thresh
+            )
+            SELECT source, COUNT(*)::BIGINT AS n_kept,
+                   SUM(doc_id)::BIGINT AS id_sum
+            FROM kept GROUP BY source
+        """,
+        "q119_dedup_substrings": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))),
+                                        '\s+') AS t
+              FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, t[i] AS tok, i - 1 AS pos
+              FROM toks,
+                   LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+            ),
+            wins AS (
+              SELECT doc_id, i - 1 AS wpos,
+                     array_to_string(list_slice(t, i, i + 4), ' ') AS win
+              FROM toks,
+                   LATERAL unnest(range(1, greatest(len(t) - 3, 1)::BIGINT))
+                     AS r(i)
+            ),
+            dup AS (
+              SELECT win, MIN(doc_id) AS canon
+              FROM wins GROUP BY win
+              HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            droppos AS (
+              SELECT DISTINCT w.doc_id, w.wpos + o.off AS pos
+              FROM wins w JOIN dup d USING (win),
+                   LATERAL unnest(range(0, 5)) AS o(off)
+              WHERE w.doc_id <> d.canon
+            ),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok,
+                     dp.pos IS NOT NULL AS dropped
+              FROM tok t LEFT JOIN droppos dp
+                ON dp.doc_id = t.doc_id AND dp.pos = t.pos
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(
+                     list(tok ORDER BY pos) FILTER (WHERE NOT dropped),
+                     ' '), '') AS text,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   SUM(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT
+                     AS n_dropped
+            FROM kept GROUP BY doc_id
+        """,
+        "q120_semdedup": f"""
+            WITH {_SQL_QVEC},
+            cells AS (SELECT c, j,
+                       ({_sql_md5l("'cell-' || c::VARCHAR || '-' || j::VARCHAR")}
+                        % 2001 - 1000) * 1000 AS x
+                      FROM range(64) t1(c), range(64) t2(j)),
+            dist AS (SELECT q.vec_id, cl.c,
+                      SUM((q.v[cl.j + 1] - cl.x) * (q.v[cl.j + 1] - cl.x)) AS d
+                     FROM qv q, cells cl GROUP BY 1, 2),
+            rankd AS (SELECT vec_id, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c)
+                         AS rn
+                      FROM dist),
+            assign AS (SELECT vec_id, c AS cell FROM rankd WHERE rn = 1),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assign a JOIN assign b ON a.cell = b.cell
+              WHERE a.vec_id < b.vec_id
+            )
+            SELECT p.id_a, p.id_b,
+                   ROUND(list_cosine_similarity(qa.e, qb.e) + 1e-9, 6) AS cos
+            FROM pairs p
+            JOIN qv qa ON qa.vec_id = p.id_a
+            JOIN qv qb ON qb.vec_id = p.id_b
+            WHERE ROUND(list_cosine_similarity(qa.e, qb.e) + 1e-9, 6) >= 0.4
         """,
     }

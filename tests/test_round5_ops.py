@@ -88,3 +88,95 @@ def test_groupby_quantile_and_median_hist(spark):
             got_q[got_q["k"] == k]["v"].iloc[0], exp_q, rtol=1e-9)
         np.testing.assert_allclose(
             got_m[got_m["k"] == k]["v"].iloc[0], exp_m, rtol=1e-9)
+
+
+def test_groupby_quantile_list_and_methods(spark):
+    """GroupBy.quantile accepts a list (quantile dim) and non-linear
+    methods, on BOTH the buffer and histogram paths."""
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({
+        "t": np.arange(900), "k": np.arange(900) % 3,
+        "v": rng.randn(900).round(6)})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    for limit in (None, 10):
+        with set_options(grouped_quantile_buffer_limit=limit):
+            out = (ds.groupby("k").quantile([0.25, 0.75]).to_pandas()
+                   .sort_values(["k", "quantile"]))
+            lo = (ds.groupby("k").quantile(0.25, method="lower")
+                  .to_pandas().sort_values("k"))
+        for k, grp in pdf.groupby("k"):
+            vals = grp["v"].to_numpy()
+            exp = np.quantile(vals, [0.25, 0.75])
+            sub = out[out["k"] == k].sort_values("quantile")["v"].to_numpy()
+            np.testing.assert_allclose(sub, exp, rtol=1e-9,
+                                       err_msg=f"limit={limit} k={k}")
+            exp_lo = np.quantile(vals, 0.25, method="lower")
+            np.testing.assert_allclose(
+                lo[lo["k"] == k]["v"].iloc[0], exp_lo, rtol=1e-12)
+
+
+def test_temperature_sample(spark):
+    """alpha=1 keeps everything; alpha=0.5 keeps the smallest source
+    whole and downsamples big ones toward sqrt share; deterministic
+    under repartitioning."""
+    from xarray_spark.extras.sampling import temperature_sample
+    rows = ([("big", i) for i in range(4000)]
+            + [("mid", i) for i in range(1000)]
+            + [("small", i) for i in range(250)])
+    df = spark.createDataFrame(rows, "src string, id long")
+    kept1 = temperature_sample(df, "src", "id", alpha=1.0)
+    assert kept1.count() == len(rows)
+    kept = temperature_sample(df, "src", "id", alpha=0.5)
+    by = {r["src"]: r["n"] for r in
+          kept.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["small"] == 250                      # rate 1 for the min
+    # expected rates: sqrt(250/4000)=0.25, sqrt(250/1000)=0.5
+    assert abs(by["big"] - 1000) < 80
+    assert abs(by["mid"] - 500) < 60
+    # partitioning-independence
+    re = temperature_sample(df.repartition(13), "src", "id", alpha=0.5)
+    assert sorted(r["id"] for r in re.where("src='big'").collect()) == \
+           sorted(r["id"] for r in kept.where("src='big'").collect())
+
+
+def test_dedup_substrings(spark):
+    """A k-token span shared by two docs disappears from the
+    non-canonical doc; unique text survives; canonical doc intact."""
+    from xarray_spark.extras.curation import dedup_substrings
+    boiler = "the quick brown fox jumps"
+    rows = [
+        (1, f"intro one {boiler} tail one"),
+        (2, f"{boiler} completely different middle section here"),
+        (3, "nothing shared with anyone at all today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_substrings(df, k=5, min_docs=2).collect()}
+    assert out[1]["text"] == f"intro one {boiler} tail one"  # canonical
+    assert out[1]["n_dropped"] == 0
+    assert boiler not in out[2]["text"]
+    assert "completely different middle section here" in out[2]["text"]
+    assert out[2]["n_dropped"] == 5
+    assert out[3]["text"] == rows[2][1]
+    assert out[3]["n_dropped"] == 0
+
+
+def test_semdedup(spark):
+    """Near-identical embeddings in the same cell pair up and the
+    non-canonical ids drop; orthogonal vectors survive."""
+    import numpy as np
+    from xarray_spark.extras.similarity import semdedup_pairs, semdedup_keep
+    rng = np.random.RandomState(4)
+    base = rng.randn(64)
+    rows = []
+    for i in range(3):                      # 0,1,2 near-identical
+        v = base + rng.randn(64) * 0.01
+        rows.append((i, [float(x) for x in v]))
+    for i in range(3, 10):                  # unrelated
+        rows.append((i, [float(x) for x in rng.randn(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semdedup_pairs(df, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+    keep = {r["vec_id"] for r in semdedup_keep(df, threshold=0.95).collect()}
+    assert keep == {0, 3, 4, 5, 6, 7, 8, 9}

@@ -170,3 +170,71 @@ def dedup_lines(df: DataFrame, min_df: int = 2, text_col: str = "text",
         F.sum(F.when(F.col("__b").isNotNull(), 1).otherwise(0)).cast("long").alias("n_dropped"),
     )
     return kept
+
+
+def dedup_substrings(df: DataFrame, k: int = 5, min_docs: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Cross-document EXACT-substring dedup — the k-token-window form
+    of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., ACL 2022, ExactSubstr): any run of ``k`` consecutive
+    tokens appearing in ≥ ``min_docs`` distinct documents is a
+    duplicated span; every document EXCEPT the canonical one (smallest
+    id containing the span) drops the span's tokens, and the text is
+    reassembled from the survivors in order.
+
+    Returns (id, text, n_tokens, n_dropped).
+
+    Scale shape — the suffix-array of the paper is a single-machine
+    construction; the distributed equivalent is window hashing:
+    one token posexplode; k-gram windows via ``slice`` inside a
+    transform over the token array (linear in tokens × k); one
+    partial-aggregated (n_docs, min_doc) per window key; a semi-join
+    of window occurrences against the duplicated keys (broadcast under
+    Zipf); span→token-position expansion with ``sequence`` ONLY for
+    duplicated windows; one anti-join + ordered reassembly, the
+    :func:`dedup_lines` pattern.  At corpus scale key the window
+    shuffle on ``xxhash64(window)`` (8-byte keys); the exact string
+    key here is what lets the SQL oracle replay it verbatim."""
+    toks_arr = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    base = df.select(F.col(id_col), toks_arr.alias("__ts"))
+    # one row per token (for reassembly) …
+    toks = base.select(
+        id_col, F.posexplode("__ts").alias("__pos", "__tok"))
+    # … and one row per k-token window start
+    nwin = F.greatest(F.size("__ts") - F.lit(k - 1), F.lit(0))
+    wins = base.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_join(F.slice(F.col("__ts"), i, k), " "),
+        )).alias("__wpos", "__win"),
+    )
+    dup = (wins.groupBy("__win")
+           .agg(F.countDistinct(id_col).alias("__nd"),
+                F.min(id_col).alias("__canon"))
+           .where(F.col("__nd") >= min_docs))
+    # positions covered by a duplicated window in a NON-canonical doc
+    drop_pos = (
+        wins.join(F.broadcast(dup), on="__win")
+        .where(F.col(id_col) != F.col("__canon"))
+        .select(id_col, F.explode(
+            F.sequence(F.col("__wpos"), F.col("__wpos") + F.lit(k - 1))
+        ).alias("__pos"))
+        .distinct()
+    )
+    tagged = toks.join(drop_pos.withColumn("__d", F.lit(1)),
+                       on=[id_col, "__pos"], how="left")
+    return tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__d").isNull(), F.struct(
+                        F.col("__pos").alias("p"), F.col("__tok").alias("t"))))),
+                lambda s: s["t"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("__d").isNotNull().cast("int")).cast("long").alias("n_dropped"),
+    )

@@ -166,3 +166,48 @@ def blend_epochs(df: DataFrame, weights: dict[str, float], source_col: str,
                 .alias(epoch_col, "__dummy"))
         .drop("__nc", "__dummy")
     )
+
+
+def temperature_sample(df: DataFrame, source_col: str, key_col: str,
+                       alpha: float = 0.5,
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-scaled source rebalancing — the multilingual-corpus
+    sampling rule (exponential smoothing q_s ∝ p_s^alpha used by
+    mBERT/XLM-R style pipelines): a source holding share p_s of the
+    corpus is downsampled with per-row keep rate
+    ``r_s = (n_min / n_s)^(1 - alpha)``, so the sampled distribution
+    follows p_s^alpha (alpha=1 keeps everything, alpha=0 equalizes all
+    sources to the smallest).  Downsample-only by construction (the
+    smallest source keeps rate 1); compose with :func:`blend_epochs`
+    to upsample instead.
+
+    Scale shape: one tiny per-source count aggregate (partial-agged),
+    rates derived ON the count table (a window over #sources rows —
+    never the data), broadcast-joined back, then the same
+    deterministic md5-bucket filter every sampler here uses: map-only
+    over the fact table, reproducible on any partitioning and in SQL.
+    With ``alpha=0.5`` the rate arithmetic is sqrt+divide (both
+    IEEE-correctly-rounded), so an external engine reproduces the
+    exact row set bit-for-bit; other alphas go through pow(), where
+    engines may differ in the last ulp on rate boundaries."""
+    from pyspark.sql import Window
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_all = Window.partitionBy()
+    n_min = F.min("__n").over(w_all)
+    if alpha == 0.5:
+        rate = F.sqrt(n_min.cast("double") / F.col("__n").cast("double"))
+    else:
+        rate = F.pow(n_min.cast("double") / F.col("__n").cast("double"),
+                     F.lit(1.0 - float(alpha)))
+    rates = counts.withColumn(
+        "__thresh", F.floor(rate * F.lit(float(_DENOM))).cast("long"))
+    b = _bucket(F.concat(F.col(source_col).cast("string"), F.lit("|"),
+                         F.col(key_col).cast("string")), salt)
+    return (
+        df.join(F.broadcast(rates.select(source_col, "__thresh")),
+                on=source_col)
+        .where(b < F.col("__thresh"))
+        .drop("__thresh")
+    )

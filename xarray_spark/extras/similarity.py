@@ -659,3 +659,76 @@ def ivfpq_topk_fixed(corpus: DataFrame, queries: DataFrame, kk: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= kk)
             .select(query_id_col, "nid", "dist", "rank"))
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic-dedup candidate pairs — the SemDeDup recipe (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): k-means-cluster the embeddings, then
+    call two documents semantic duplicates when their cosine
+    similarity WITHIN a cluster exceeds ``threshold``.
+
+    This variant uses the fixed md5-derived integer codebook
+    (extras.portable.centroid_coeffs, the same one q97/q113 pin), so
+    cell assignment is integer-exact and a SQL oracle replays every
+    pair.  Production swaps in ivf_fit's trained centroids — the plan
+    is identical.
+
+    Scale shape: one Arrow-matmul cell assignment (no ML jobs), one
+    equi-join on the cell id — the all-pairs cosine is confined to a
+    cell, never the corpus, and runs as an Arrow batch (numpy), not an
+    interpreted HOF (the round-4 lesson).  The within-cell pair count
+    is (n/n_cells)²·n_cells, so SIZE n_cells TO THE CORPUS — SemDeDup
+    itself uses ~sqrt-scale cluster counts (11k clusters for LAION) —
+    or the quadratic term eats the cell win.  Returns
+    (id_a, id_b, cos) with id_a < id_b.
+    """
+    from xarray_spark.extras.portable import centroid_coeffs
+    cents = centroid_coeffs(n_cells, dim)
+    base = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    ).withColumn("__cell", _nearest_cells_int(F.col("__cv"), cents, 1)[0])
+    base = base.localCheckpoint(eager=False)
+    a = base.select(F.col("nid").alias("id_a"),
+                    F.col("__cv").alias("__va"), "__cell")
+    b = base.select(F.col("nid").alias("id_b"),
+                    F.col("__cv").alias("__vb"), "__cell")
+    cos_batch = _cosine_batch_udf()
+    return (
+        a.join(b, on="__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                _round6(cos_batch(F.col("__va"), F.col("__vb"))).alias("cos"))
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+
+
+def semdedup_keep(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Ids surviving SemDeDup: connected components over the
+    semantic-duplicate pairs, keep the minimum id per component (the
+    same canonical-keep convention as extras.dedup).  Components are
+    cell-local by construction, so the label propagation converges in
+    O(log cluster-diameter) keyed joins."""
+    from xarray_spark.extras.dedup import connected_components
+    pairs = semdedup_pairs(corpus, threshold, id_col, vec_col,
+                           n_cells, dim)
+    comp = connected_components(pairs, "id_a", "id_b")
+    drop = comp.where(F.col("id") != F.col("cluster")) \
+               .select(F.col("id").alias(id_col))
+    return corpus.select(id_col).distinct().join(
+        drop, on=id_col, how="left_anti")

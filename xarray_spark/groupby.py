@@ -147,7 +147,7 @@ class XGroupBy:
     def std(self, ddof=0): return self._agg(lambda v: F.stddev_pop(v) if ddof == 0 else F.stddev_samp(v), True)
     def var(self, ddof=0): return self._agg(lambda v: F.var_pop(v) if ddof == 0 else F.var_samp(v), True)
     def median(self):
-        return self._quantile_exact(0.5)
+        return self._quantile_exact([0.5])
     def prod(self): return self._agg(lambda v: F.product(v), True)
     def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")))
     def any(self): return self._agg(lambda v: F.bool_or(F.col(v).cast("boolean")))
@@ -172,11 +172,20 @@ class XGroupBy:
             return agg.getField("v")
         return self._agg(e)
 
-    def quantile(self, q):
-        return self._quantile_exact(float(q))
+    def quantile(self, q, method: str = "linear"):
+        """Exact per-group quantile(s) (xarray GroupBy.quantile).
 
-    def _quantile_exact(self, qf: float) -> XDataset:
-        """Exact per-group quantile.  Small groups: one-shuffle SQL
+        A scalar ``q`` keeps the reference's scalar shape (no quantile
+        dim); a list adds a ``quantile`` dim like Dataset.quantile.
+        """
+        if isinstance(q, (list, tuple)):
+            return self._quantile_exact([float(x) for x in q], method,
+                                        scalar=False)
+        return self._quantile_exact([float(q)], method, scalar=True)
+
+    def _quantile_exact(self, qs: list, method: str = "linear",
+                        scalar: bool = True) -> XDataset:
+        """Exact per-group quantiles.  Small groups: one-shuffle SQL
         ``percentile`` (buffers one group — fine under the buffer
         limit).  Any group above
         ``OPTIONS['grouped_quantile_buffer_limit']``: the distributed
@@ -184,7 +193,8 @@ class XGroupBy:
         — exact, no group ever buffered, so a 10^9-row group cannot
         OOM an executor."""
         from xarray_spark.dataset import (
-            _grouped_quantile_hist, _grouped_quantile_needs_hist)
+            _grouped_quantile_hist, _grouped_quantile_needs_hist,
+            _quantile_positions)
         prepped = self._prepared()
         kept = self._kept_dims
         coords = self.ds._coords_on(kept)
@@ -194,16 +204,50 @@ class XGroupBy:
         if _grouped_quantile_needs_hist(prepped.df, group_cols):
             from functools import reduce as _reduce_fn
             parts = [_grouped_quantile_hist(prepped.df, group_cols, v,
-                                            [qf], "linear")
+                                            qs, method)
                      for v in varlist]
             out = _reduce_fn(
-                lambda a, b: a.join(b, on=group_cols + ["quantile"]), parts
-            ).drop("quantile")
+                lambda a, b: a.join(b, on=group_cols + ["quantile"]), parts)
+            if scalar:
+                out = out.drop("quantile")
             for n in self._key_names:
                 out = out.withColumnRenamed(f"__key_{n}", n)
-            return XDataset(out, self._key_names + kept, coords, varlist,
-                            self.ds.attrs)
-        return self._agg(lambda v: F.expr(f"percentile({v}, {qf!r})"), True)
+            dims = ([] if scalar else ["quantile"]) + self._key_names + kept
+            return XDataset(out, dims, coords, varlist, self.ds.attrs)
+        if scalar and method == "linear":
+            qf = qs[0]
+            return self._agg(lambda v: F.expr(f"percentile({v}, {qf!r})"), True)
+        # list-valued / non-linear buffer path: per-group sorted-array
+        # order statistics (same construction as Dataset.quantile)
+        if method == "linear":
+            qarr = "array({})".format(
+                ", ".join(repr(float(x)) for x in qs))
+            agg_for = lambda v: F.expr(  # noqa: E731
+                f"percentile({v}, {qarr})").cast("array<double>")
+        else:
+            def agg_for(v):
+                arr = F.sort_array(F.collect_list(F.col(v).cast("double")))
+                n = F.size(arr).cast("long")
+                vals = []
+                for x in qs:
+                    j_lo, j_hi, w = _quantile_positions(method, x, n)
+                    lo = F.element_at(arr, (j_lo + 1).cast("int"))
+                    hi = F.element_at(arr, (j_hi + 1).cast("int"))
+                    vals.append(F.when(n > 0, lo + (hi - lo) * w))
+                return F.array(*vals)
+        agged = self._agg(agg_for, True)
+        if scalar:
+            return agged._replace(df=agged.df.select(
+                *[c for c in agged.df.columns if c not in varlist],
+                *[F.col(v)[0].alias(v) for v in varlist]))
+        qvals = F.array(*[F.lit(float(x)) for x in qs])
+        df = agged.df.withColumn("__q", F.arrays_zip(
+            qvals.alias("q"), *[F.col(v).alias(v) for v in varlist]))
+        keys = [c for c in agged.df.columns if c not in varlist]
+        df = df.select(*keys, F.explode("__q").alias("__qs")).select(
+            *keys, F.col("__qs.q").alias("quantile"),
+            *[F.col(f"__qs.{v}").alias(v) for v in varlist])
+        return agged._replace(df=df, dims=["quantile"] + list(agged.dims))
 
     def map(self, func, schema) -> XDataset:
         """Split-apply-combine UDTF (xarray/core/groupby.py:1614) →
