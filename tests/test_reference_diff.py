@@ -1061,3 +1061,19 @@ def test_to_stacked_array_roundtrip_matches_reference(spark):
     bp = back.to_pandas().sort_values("t")
     np.testing.assert_allclose(bp["a"].to_numpy(), a)
     np.testing.assert_allclose(bp["b"].to_numpy(), b)
+
+
+def test_argsort_matches_reference(sds, series):
+    """Wave 9: argsort (inverse sort permutation) vs numpy/reference —
+    NaN-free slice (numpy puts NaN last; ours nulls_last matches, but
+    label alignment of the tail is ambiguous across ties)."""
+    # distinct fill values: numpy's default argsort is not stable, so
+    # ties would compare implementation detail, not semantics
+    clean = series.copy()
+    clean[np.isnan(clean)] = 99.0 + np.arange(np.isnan(clean).sum())
+    ref = xr.DataArray(clean, dims="t")
+    exp = ref.argsort().values
+    pdf = pd.DataFrame({"t": np.arange(N), "v": clean})
+    ds = XDataset(sds.df.sparkSession.createDataFrame(pdf), dims=["t"])
+    got = ds.argsort("t").to_pandas().sort_values("t")["v"].to_numpy()
+    np.testing.assert_array_equal(got, exp)

@@ -180,3 +180,75 @@ def test_semdedup(spark):
     assert got == {(0, 1), (0, 2), (1, 2)}
     keep = {r["vec_id"] for r in semdedup_keep(df, threshold=0.95).collect()}
     assert keep == {0, 3, 4, 5, 6, 7, 8, 9}
+
+
+def test_sel_method_scale_path_raises_on_unmatched(spark):
+    """>128-request sel(method=) raises at action time (raise_error in
+    the plan — no driver job at build; plan guard covers that)."""
+    import pandas as pd
+    pdf = pd.DataFrame({"t": np.arange(200, dtype=float), "v": np.arange(200.0)})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    reqs = [float(i) for i in range(150)] + [9999.0]
+    out = ds.sel(t=reqs, method="nearest", tolerance=0.5)
+    with pytest.raises(Exception, match="not all values found"):
+        out.to_pandas()
+    ok = ds.sel(t=[float(i) + 0.2 for i in range(150)], method="nearest",
+                tolerance=0.5)
+    assert ok.to_pandas().shape[0] == 150
+
+
+def test_api_parity_tail(spark):
+    """Round-5 API sweep additions: get/get_index/variables/drop/
+    close/set_close/context manager/load_async/argsort/conj +
+    exception classes + Dataset/DataArray aliases."""
+    import asyncio
+    import pandas as pd
+    import xarray_spark as xs
+    pdf = pd.DataFrame({"t": [0, 1, 2, 3], "v": [3.0, 1.0, 2.0, 0.5]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    # aliases + exceptions exported
+    assert xs.Dataset is XDataset
+    assert issubclass(xs.AlignmentError, ValueError)
+    assert issubclass(xs.MergeError, ValueError)
+    assert xs.ALL_DIMS is ...
+    # get / get_index / variables
+    assert ds.get("nope", 42) == 42
+    assert ds.get("v") is not None
+    idx = ds.get_index("t")
+    assert list(idx) == [0, 1, 2, 3] and idx.name == "t"
+    assert set(ds.variables) == {"v"}
+    # drop alias
+    assert ds.drop("v").data_vars == ()
+    # close / set_close / context manager
+    hits = []
+    ds.set_close(lambda: hits.append(1))
+    with ds as d:
+        assert d is ds
+    assert hits == [1]
+    ds.close()            # idempotent
+    assert hits == [1]
+    # load_async
+    rows = asyncio.get_event_loop().run_until_complete(ds.load_async())
+    assert len(rows) == 4
+    # argsort matches numpy
+    got = (ds.argsort("t").to_pandas().sort_values("t")["v"]
+           .to_numpy())
+    np.testing.assert_array_equal(got, np.argsort(pdf["v"].to_numpy()))
+    # conj on complex struct vars
+    from pyspark.sql import functions as F
+    cdf = spark.createDataFrame(pd.DataFrame({"t": [0, 1]})).select(
+        "t", F.struct(F.lit(1.0).alias("re"), F.lit(2.0).alias("im")).alias("z"))
+    zds = XDataset(cdf, dims=["t"])
+    zp = zds.conj().to_pandas()
+    assert zp["z"].iloc[0]["im"] == -2.0
+
+
+def test_align_exact_raises_alignment_error(spark):
+    import pandas as pd
+    from xarray_spark import align, AlignmentError
+    a = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "v": [1.0, 2.0]})), dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [1, 2], "v": [1.0, 2.0]})), dims=["t"])
+    with pytest.raises(AlignmentError):
+        align(a, b, join="exact")

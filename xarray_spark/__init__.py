@@ -90,6 +90,24 @@ from xarray_spark.groupers import (
     EncodedGroups,
 )
 
+from xarray_spark.errors import (
+    AlignmentError,
+    MergeError,
+    CoordinateValidationError,
+    SerializationWarning,
+    InvalidTreeError,
+    NotFoundInTreeError,
+    TreeIsomorphismError,
+)
+from xarray_spark.datatree import register_datatree_accessor, group_subtrees
+
+#: reference sentinel for "reduce over every dim" (xarray.ALL_DIMS)
+ALL_DIMS = ...
+
+# migration-friendly class-name aliases (xarray.Dataset / xarray.DataArray)
+Dataset = XDataset
+DataArray = XDataArray
+
 # reference top-level name parity
 __version__ = "0.5.0"
 cftime_range = cf_date_range
@@ -197,6 +215,19 @@ __all__ = [
     "BinGrouper",
     "TimeResampler",
     "SeasonGrouper",
+    "EncodedGroups",
+    "Dataset",
+    "DataArray",
+    "ALL_DIMS",
+    "AlignmentError",
+    "MergeError",
+    "CoordinateValidationError",
+    "SerializationWarning",
+    "InvalidTreeError",
+    "NotFoundInTreeError",
+    "TreeIsomorphismError",
+    "register_datatree_accessor",
+    "group_subtrees",
 ]
 
 

@@ -32,7 +32,9 @@ def _aligned_label_sets(datasets: Sequence[XDataset], join: str) -> dict[str, Da
             for t in tabs[1:]:
                 diff = tabs[0].exceptAll(t).union(t.exceptAll(tabs[0]))
                 if not diff.isEmpty():
-                    raise ValueError(f"indexes along dimension {dim!r} are not equal")
+                    from xarray_spark.errors import AlignmentError
+                    raise AlignmentError(
+                        f"indexes along dimension {dim!r} are not equal")
             out[dim] = tabs[0]
             continue
         if join == "left":

@@ -18,6 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import functions as F
 
 from xarray_spark.dataset import XDataset
+from xarray_spark.errors import MergeError
 
 
 def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None) -> XDataset:
@@ -72,7 +73,7 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "o
         a0 = dict(objs[0].attrs or {})
         for o in objs[1:]:
             if dict(o.attrs or {}) != a0:
-                raise ValueError("merge(compat='identical'): attrs differ")
+                raise MergeError("merge(compat='identical'): attrs differ")
     for other in objs[1:]:
         shared = [d for d in acc.dims if d in other.dims]
         o_df = other.df
@@ -142,7 +143,7 @@ def _assert_vars_equal(a: XDataset, b: XDataset, overlap: Sequence[str],
     bad = j.where(conds[0] if len(conds) == 1 else
                   F.greatest(*[c.cast("int") for c in conds]) == 1)
     if not bad.isEmpty():
-        raise ValueError(
+        raise MergeError(
             "merge conflict: overlapping variables are not equal "
             f"(compat='{'broadcast_equals' if broadcast_first else 'equals'}')"
         )
@@ -165,7 +166,7 @@ def assert_no_conflicts(a: XDataset, b: XDataset) -> None:
     ]
     bad = j.where(conds[0] if len(conds) == 1 else F.greatest(*[c.cast("int") for c in conds]) == 1)
     if not bad.isEmpty():
-        raise ValueError("merge conflict: overlapping values disagree")
+        raise MergeError("merge conflict: overlapping values disagree")
 
 
 def combine_by_coords(objs: Sequence[XDataset]) -> XDataset:

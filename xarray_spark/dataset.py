@@ -264,7 +264,7 @@ class XDataset:
     attrs : dict, optional
     """
 
-    __slots__ = ("df", "dims", "coords", "data_vars", "attrs")
+    __slots__ = ("df", "dims", "coords", "data_vars", "attrs", "_close_fn")
 
     def __init__(
         self,
@@ -546,19 +546,23 @@ class XDataset:
             from xarray_spark.alignment import _asof_label_map
             req_df = self.spark.createDataFrame([(r,) for r in req], [dim])
             matched = _asof_label_map(self, dim, req_df, method, tolerance)
-            # reference parity: unmatched requests raise KeyError (pandas
-            # get_indexer -1 → xarray "not all values found in index").
-            # One tiny agg on the broadcast-sized match map — no fact scan.
-            n_miss = matched.where(F.col("__match").isNull()).limit(1).count()
-            if n_miss:
-                raise KeyError(
-                    f"not all values found in index {dim!r} with "
-                    f"method={method!r}")
-            # known divergence: duplicate matches collapse to one row here
-            # (distinct + semi-join keeps the fact table un-duplicated);
-            # the reference repeats the matched label once per request.
-            keep = (matched.select(F.col("__match").alias(dim))
-                    .where(F.col(dim).isNotNull()).distinct())
+            # reference parity: unmatched requests fail ("not all values
+            # found in index").  The check rides IN the plan (raise_error
+            # on a null match) so building the selection runs zero driver
+            # jobs (plan-guard: tests/test_plans.py) — divergences from
+            # the reference, documented: the error surfaces at ACTION
+            # time as a SparkRuntimeException rather than an eager
+            # KeyError, and duplicate matches collapse to one row
+            # (distinct + semi-join keeps the fact table un-duplicated
+            # where the reference repeats the label per request).
+            dt_dim = self.df.schema[dim].dataType
+            checked = F.when(
+                F.col("__match").isNull(),
+                F.raise_error(F.lit(
+                    f"KeyError: not all values found in index {dim!r} "
+                    f"with method={method!r}")).cast(dt_dim),
+            ).otherwise(F.col("__match"))
+            keep = matched.select(checked.alias(dim)).distinct()
             return self._replace(
                 df=self.df.join(F.broadcast(keep), on=dim, how="left_semi"))
         matched = self._asof_match_labels(dim, req, method, tolerance)
@@ -2242,6 +2246,120 @@ class XDataset:
         return self.df.collect()
 
     load = compute
+
+    async def load_async(self):
+        """Async-surface parity (xarray Dataset.load_async): Spark
+        actions block the calling thread, so this simply awaits the
+        synchronous load — same contract, no background I/O claim."""
+        return self.load()
+
+    def close(self) -> None:
+        """Release any resource attached via :meth:`set_close`
+        (xarray Dataset.close).  Plain DataFrames hold no file handles
+        — parity for `with open_dataset(...) as ds:` call sites."""
+        fn = getattr(self, "_close_fn", None)
+        if fn is not None:
+            self._close_fn = None
+            fn()
+
+    def set_close(self, close) -> None:
+        """Register the closer invoked by :meth:`close`
+        (xarray Dataset.set_close — backends attach theirs here)."""
+        self._close_fn = close
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def get(self, name, default=None):
+        """Mapping-style access (xarray Dataset.get)."""
+        try:
+            return self[name]
+        except (KeyError, Exception):
+            if name in self.df.columns:
+                raise
+            return default
+
+    def get_index(self, dim: str):
+        """The dim's labels as a pandas Index (xarray Dataset.get_index).
+
+        Label tables are small by invariant #1 — this is the one place
+        the engine hands a label set to the driver on purpose."""
+        import pandas as pd
+        if dim not in self.dims:
+            raise KeyError(f"{dim!r} is not a dimension")
+        rows = self._dim_labels(dim).orderBy("__pos").select(dim).collect()
+        return pd.Index([r[dim] for r in rows], name=dim)
+
+    @property
+    def variables(self) -> dict:
+        """name → single-variable view for every column
+        (xarray Dataset.variables, coords + data vars)."""
+        return {c: self[c] for c in [*self.coords, *self.data_vars]}
+
+    def drop(self, labels=None, dim=None, **kw):
+        """Deprecated reference alias: names → drop_vars, dim labels →
+        drop_sel (xarray Dataset.drop)."""
+        if dim is not None:
+            return self.drop_sel({dim: labels})
+        names = [labels] if isinstance(labels, str) else list(labels or [])
+        if names and all(n in self.df.columns for n in names):
+            return self.drop_vars(names)
+        return self.drop_sel(labels, **kw)
+
+    def conj(self) -> "XDataset":
+        """Complex conjugate (xarray Dataset.conj): negate the ``im``
+        field of struct<re,im> vars, identity on real vars."""
+        from xarray_spark.ufuncs import conj as _conj
+
+        def e(c, dtype):
+            if isinstance(dtype, T.StructType) and {f.name for f in dtype.fields} >= {"re", "im"}:
+                return _conj(c)
+            return c
+        out = self.df
+        for v in self.data_vars:
+            out = out.withColumn(v, e(F.col(v), self.df.schema[v].dataType))
+        return self._replace(df=out)
+
+    conjugate = conj
+
+    def argsort(self, dim: str | None = None) -> "XDataset":
+        """Positions that would sort each variable along ``dim``
+        (numpy argsort semantics, stable ties): output position j holds
+        the ORIGINAL 0-based position of the j-th smallest value.
+
+        Long form: sorted rank j from a row_number window (keyed by the
+        complement dims — one shuffle), original positions from the
+        broadcast label table, then the inverse permutation re-keys the
+        value to the label at position j."""
+        dim = dim or self.dims[-1]
+        others = [d for d in self.dims if d != dim]
+        labels = self._dim_labels(dim).select(
+            F.col(dim), F.col("__pos").alias("__orig"))
+        df = self.df.join(F.broadcast(labels), on=dim)
+        out_cols = []
+        for v in self.data_vars:
+            w = Window.partitionBy(*others).orderBy(
+                F.col(v).asc_nulls_last(), F.col("__orig").asc())
+            df = df.withColumn(f"__j_{v}", F.row_number().over(w) - 1)
+            out_cols.append(v)
+        # re-key: position j → label at position j
+        back = self._dim_labels(dim).select(
+            F.col("__pos").alias("__j"), F.col(dim).alias("__newlab"))
+        outs = []
+        for v in out_cols:
+            part = df.select(
+                *others, F.col(f"__j_{v}").alias("__j"),
+                F.col("__orig").cast("long").alias(v))
+            part = part.join(F.broadcast(back), on="__j")
+            outs.append(part.select(
+                *others, F.col("__newlab").alias(dim), v))
+        from functools import reduce as _red
+        res = _red(lambda a, b: a.join(b, on=[*others, dim]), outs)
+        return self._replace(df=res.select(*self.dims, *out_cols),
+                             coords={}, data_vars=out_cols)
 
     @property
     def chunksizes(self) -> dict:

@@ -188,3 +188,27 @@ class DataTree:
         return {k: v.compute() for k, v in self._nodes.items()}
 
     load = compute
+
+
+def register_datatree_accessor(name: str):
+    """Attach a cached custom namespace to DataTree
+    (xarray.register_datatree_accessor parity — same pattern as the
+    dataset/dataarray registrations in dataset.py)."""
+    def wrap(cls):
+        prop = property(lambda self: cls(self))
+        setattr(DataTree, name, prop)
+        return cls
+    return wrap
+
+
+def group_subtrees(*trees: "DataTree"):
+    """Iterate matching (path, nodes-tuple) across isomorphic trees
+    (xarray.group_subtrees): raises TreeIsomorphismError when the
+    path sets differ."""
+    from xarray_spark.errors import TreeIsomorphismError
+    paths = [set(t.groups) for t in trees]
+    if any(p != paths[0] for p in paths[1:]):
+        raise TreeIsomorphismError(
+            "trees are not isomorphic: node paths differ")
+    for p in sorted(paths[0]):
+        yield p, tuple(t[p] if p in t else None for t in trees)
