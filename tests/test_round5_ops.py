@@ -252,3 +252,24 @@ def test_align_exact_raises_alignment_error(spark):
         pd.DataFrame({"t": [1, 2], "v": [1.0, 2.0]})), dims=["t"])
     with pytest.raises(AlignmentError):
         align(a, b, join="exact")
+
+
+def test_dataarray_parity_tail(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"t": np.arange(6), "v": [1.0, 3.0, 3.5, 7.0, 9.0, 12.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    da = ds["v"]
+    assert da.get_axis_num("t") == 0
+    np.testing.assert_array_equal(da.data, pdf["v"].to_numpy())
+    # searchsorted matches numpy on scalar + list, both sides
+    arr = pdf["v"].to_numpy()
+    assert da.searchsorted(3.0) == np.searchsorted(arr, 3.0)
+    assert da.searchsorted(3.0, side="right") == np.searchsorted(arr, 3.0, side="right")
+    np.testing.assert_array_equal(
+        da.searchsorted([0.0, 3.5, 100.0]), np.searchsorted(arr, [0.0, 3.5, 100.0]))
+    # dot method form
+    other = ds["v"].rename_var("w") if False else ds["v"]
+    got = da.dot(other).to_pandas().iloc[0, 0]
+    np.testing.assert_allclose(got, float((arr * arr).sum()))
+    # T on a 1-D array is identity
+    assert da.T.dims == da.dims[::-1]

@@ -25,11 +25,14 @@ def where(cond: Column, x, y, ds: XDataset, name: str = "where") -> XDataArray:
     return XDataArray(df.select(*ds.dims, *ds.coords, name), ds.dims, ds.coords, [name], ds.attrs)
 
 
-def dot(a: XDataArray, b: XDataArray, dim: str | Sequence[str]) -> XDataArray:
+def dot(a: XDataArray, b: XDataArray, dim: str | Sequence[str] | None = None) -> XDataArray:
     """Tensor contraction (xarray/computation/computation.py:484):
     equi-join on shared dims + sum(a*b) grouped by the remaining dims —
     one shuffle for the join (or broadcast if a side is small), one for
-    the agg, both with partial aggregation."""
+    the agg, both with partial aggregation.  ``dim=None`` contracts
+    over every shared dim (reference default)."""
+    if dim is None:
+        dim = [d for d in a.dims if d in b.dims]
     dims = [dim] if isinstance(dim, str) else list(dim)
     av, bv = a.name, b.name
     if a.df is b.df and av in a.df.columns and bv in a.df.columns and av != bv:

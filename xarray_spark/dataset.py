@@ -2689,6 +2689,52 @@ class XDataArray(XDataset):
         return self.to_series().sort_index().to_numpy()
 
     @property
+    def data(self):
+        """Reference .data alias (xarray DataArray.data) — an action."""
+        return self.values
+
+    @property
+    def T(self) -> "XDataArray":
+        """Transpose property (xarray DataArray.T) — catalog-only in
+        long form (dim order reverses, no data movement)."""
+        return self.transpose(*reversed(self.dims))
+
+    def get_axis_num(self, dim):
+        """Dim name → axis position (xarray DataArray.get_axis_num)."""
+        if isinstance(dim, str):
+            return self.dims.index(dim)
+        return tuple(self.dims.index(d) for d in dim)
+
+    def dot(self, other, dim=None):
+        """Method form of the top-level dot (xarray DataArray.dot)."""
+        from xarray_spark.computation import dot as _dot_fn
+        return _dot_fn(self, other, dim=dim)
+
+    def searchsorted(self, v, side: str = "left"):
+        """Insertion indices keeping the (assumed-sorted) array sorted
+        (numpy searchsorted semantics).  Distributed: index = COUNT of
+        values < v (side='left') / <= v (side='right') — one tiny
+        conditional aggregate per probe batch, never a sort or a
+        collect of the array itself."""
+        import numpy as np
+        scalar = np.isscalar(v)
+        probes = [v] if scalar else list(v)
+        col = F.col(self.name)
+        aggs = []
+        for i, p in enumerate(probes):
+            cmp = (col < F.lit(p)) if side == "left" else (col <= F.lit(p))
+            aggs.append(F.sum(cmp.cast("long")).alias(f"__c{i}"))
+        row = self.df.agg(*aggs).first()
+        out = np.array([row[f"__c{i}"] or 0 for i in range(len(probes))])
+        return int(out[0]) if scalar else out
+
+    @classmethod
+    def from_series(cls, spark, series, name: str | None = None):
+        """Classmethod parity (xarray DataArray.from_series)."""
+        from xarray_spark.io import from_series as _fs
+        return _fs(spark, series, name)
+
+    @property
     def dtype(self):
         return self.df.schema[self.name].dataType
 
