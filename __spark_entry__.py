@@ -1044,6 +1044,9 @@ def q72_zarr_roundtrip(spark, sf_dir):
     import tempfile
     from xarray_spark.backends import to_zarr, open_zarr, to_zarr_distributed
     daily_ds = _daily_revenue(spark, sf_dir)
+    # the month table feeds the driver-side v2 write AND the
+    # distributed v3 write — one aggregation, not two
+    daily_ds = daily_ds._replace(df=daily_ds.df.localCheckpoint(eager=False))
     daily = daily_ds.df.orderBy("l_shipdate").toPandas()
     ship_ns = daily["l_shipdate"].to_numpy().astype("datetime64[ns]").astype("int64")
     secs = (ship_ns // 1_000_000_000).astype("float64")

@@ -1077,3 +1077,75 @@ def test_argsort_matches_reference(sds, series):
     ds = XDataset(sds.df.sparkSession.createDataFrame(pdf), dims=["t"])
     got = ds.argsort("t").to_pandas().sort_values("t")["v"].to_numpy()
     np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("q", [0.1, 0.5, 0.9])
+def test_weighted_quantile_grid_matches_reference(spark, q):
+    """Wave 9: weighted quantile across the q grid (the reference's
+    Akinshin weighted-HF7 estimator, aligned in round 4)."""
+    vals = RNG.rand(40).round(6)
+    wts = (RNG.rand(40) * 3).round(6) + 0.1
+    ref = xr.DataArray(vals, dims="t").weighted(
+        xr.DataArray(wts, dims="t"))
+    exp = float(ref.quantile(q))
+    pdf = pd.DataFrame({"t": np.arange(40), "v": vals, "w": wts})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"],
+                  coords={"w": ("t",)})
+    got = ds.weighted("w").quantile(q).to_pandas()["v"].iloc[0]
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+@pytest.mark.parametrize("method", [
+    "median_unbiased", "normal_unbiased", "inverted_cdf",
+    "averaged_inverted_cdf", "closest_observation"])
+def test_quantile_tail_methods_match_reference(sds, series, method):
+    """Wave 9: the remaining four-plus quantile methods (the first five
+    are grid-covered above)."""
+    for q in (0.25, 0.75):
+        got = sds.quantile(q, dim="t", method=method).to_pandas()["v"].iloc[0]
+        exp = float(_ref(series).quantile(q, dim="t", method=method,
+                                          skipna=True))
+        np.testing.assert_allclose(got, exp, rtol=1e-12,
+                                   err_msg=f"{method} q={q}")
+
+
+def test_groupby_bins_left_closed_matches_reference(spark):
+    vals = RNG.rand(50).round(6) * 100
+    ref = (xr.DataArray(vals, dims="t")
+           .groupby_bins(xr.DataArray(vals, dims="t").rename("x"),
+                         bins=[0, 25, 50, 100], right=False,
+                         labels=["a", "b", "c"]).mean())
+    pdf = pd.DataFrame({"t": np.arange(50), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    got = (ds.groupby_bins("v", bins=[0, 25, 50, 100], right=False,
+                           labels=["a", "b", "c"]).mean()
+           .to_pandas())
+    got = got.dropna(subset=["v_bins"]).set_index("v_bins")["v"]
+    for lab, exp_v in zip(ref["x_bins"].values, ref.values):
+        lab_name = {"[0, 25)": "a", "[25, 50)": "b", "[50, 100)": "c"}.get(
+            str(lab), None)
+        np.testing.assert_allclose(got[lab_name if lab_name else str(lab)],
+                                   exp_v, rtol=1e-9)
+
+
+def test_convert_calendar_roundtrip_matches_reference(spark):
+    """Wave 9: standard→noleap drops Feb 29 and keeps values; the
+    reference needs the cftime package for the target calendar — skip
+    when absent (values then verified against engine invariants)."""
+    times = pd.date_range("2000-02-26", periods=8, freq="D")  # spans Feb 29
+    vals = RNG.randn(8).round(6)
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    from xarray_spark import convert_calendar
+    got = convert_calendar(ds, "noleap", dim="time")
+    gp = got.to_pandas()
+    assert gp.shape[0] == 7                      # Feb 29 dropped
+    try:
+        ref = xr.DataArray(vals, dims="time",
+                           coords={"time": times}).convert_calendar("noleap")
+        np.testing.assert_allclose(
+            np.sort(gp["v"].to_numpy()), np.sort(ref.values))
+    except (ImportError, ModuleNotFoundError):
+        surv = pdf[~((times.month == 2) & (times.day == 29))]
+        np.testing.assert_allclose(np.sort(gp["v"].to_numpy()),
+                                   np.sort(surv["v"].to_numpy()))

@@ -343,11 +343,16 @@ def date_range(spark, start: str, end: str, freq: str = "D", name: str = "time")
     )
 
 
-def convert_calendar(ds: XDataset, dim: str, calendar: str = "standard",
+def convert_calendar(ds: XDataset, calendar: str = "standard",
+                     dim: str = "time",
                      align_on: str | None = None, use_cftime: bool = False,
                      source_calendar: str | None = None) -> XDataset:
     """Calendar conversion (xarray/coding/calendar_ops.py,
-    core/dataset.py:10011).
+    core/dataset.py:10011).  Positional order matches the reference:
+    ``convert_calendar(obj, calendar, dim='time')``.  Calls written in
+    the engine's pre-round-5 order (ds, dim, calendar) keep working:
+    a second positional that IS a dim of ``ds`` while ``dim`` isn't
+    swaps back.
 
     Two representations (SURVEY §1.3):
 
@@ -365,6 +370,9 @@ def convert_calendar(ds: XDataset, dim: str, calendar: str = "standard",
     """
     from xarray_spark import cftime as cft
 
+    if calendar in ds.dims and dim not in ds.dims:
+        # legacy (ds, dim, calendar) positional order
+        calendar, dim = dim, calendar
     c = F.col(dim)
     src = source_calendar or (ds.attrs or {}).get("calendar", "standard")
     if use_cftime or src not in cft.REAL_CALENDARS:

@@ -2482,7 +2482,7 @@ class XDataset:
     def convert_calendar(self, calendar: str = "standard", dim: str = "time",
                          **kw) -> "XDataset":
         from xarray_spark.computation import convert_calendar
-        return convert_calendar(self, dim, calendar, **kw)
+        return convert_calendar(self, calendar, dim, **kw)
 
     def interp_calendar(self, target, dim: str = "time") -> "XDataset":
         from xarray_spark.computation import interp_calendar
