@@ -370,7 +370,7 @@ def convert_calendar(ds: XDataset, calendar: str = "standard",
     """
     from xarray_spark import cftime as cft
 
-    if calendar in ds.dims and dim not in ds.dims:
+    if calendar in ds.df.columns and dim not in ds.df.columns:
         # legacy (ds, dim, calendar) positional order
         calendar, dim = dim, calendar
     c = F.col(dim)
