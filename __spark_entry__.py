@@ -1974,6 +1974,17 @@ def q120_semdedup(spark, sf_dir):
     return semdedup_pairs(emb, threshold=0.4, n_cells=64)
 
 
+def q121_argsort(spark, sf_dir):
+    """argsort (round-5 API sweep): the inverse sort permutation of the
+    daily-revenue series — output position j holds the original 0-based
+    position of the j-th smallest revenue (numpy argsort semantics,
+    stable ties).  One keyed window + broadcast label re-key; the
+    oracle replays the permutation with two ROW_NUMBERs."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.argsort("l_shipdate")
+    return out.to_spark().select("l_shipdate", F.col("rev").alias("rev_pos"))
+
+
 # --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2010,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_temperature_sample": q118_temperature_sample,
         "q119_dedup_substrings": q119_dedup_substrings,
         "q120_semdedup": q120_semdedup,
+        "q121_argsort": q121_argsort,
         "q111_rolling_argmin": q111_rolling_argmin,
         "q16_groupby_median": q16_groupby_median,
         "q39_groupby_quantile": q39_groupby_quantile,
@@ -2042,7 +2054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_simhash": q35_simhash,
         "q53_ngram_jaccard": q53_ngram_jaccard,
         "q81_dedup_clusters": q81_dedup_clusters,
-        "q110_dedup_lines": q110_dedup_lines,
         "q78_dt_tail": q78_dt_tail,
         "q62_interp_targets": q62_interp_targets,
         "q14_interpolate_na": q14_interpolate_na,
@@ -2054,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_stream_dedup": q87_stream_dedup,
         "q01_pricing_summary": q01_pricing_summary,
         # ---- below the window: green rows from rounds 1-4 stand ----
+        "q110_dedup_lines": q110_dedup_lines,
         "q13_ffill": q13_ffill,
         "q43_bfill": q43_bfill,
         "q30_dedup_exact": q30_dedup_exact,
@@ -3754,6 +3766,21 @@ def oracle_sql() -> dict[str, str]:
             FROM flags f
             CROSS JOIN months mo
             LEFT JOIN a ON a.l_returnflag = f.l_returnflag AND a.m = mo.m
+        """,
+        "q121_argsort": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            pos AS (
+              SELECT l_shipdate, rev,
+                     ROW_NUMBER() OVER (ORDER BY l_shipdate) - 1 AS orig
+              FROM daily
+            ),
+            srt AS (
+              SELECT orig,
+                     ROW_NUMBER() OVER (ORDER BY rev, orig) - 1 AS j
+              FROM pos
+            )
+            SELECT p2.l_shipdate, s.orig::BIGINT AS rev_pos
+            FROM srt s JOIN pos p2 ON p2.orig = s.j
         """,
         "q118_temperature_sample": """
             WITH c AS (SELECT source, COUNT(*) AS n
