@@ -668,6 +668,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     n_cells: int = 8,
     dim: int = 64,
+    centroids: list | None = None,
 ) -> DataFrame:
     """Semantic-dedup candidate pairs — the SemDeDup recipe (Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -690,12 +691,26 @@ def semdedup_pairs(
     or the quadratic term eats the cell win.  Returns
     (id_a, id_b, cos) with id_a < id_b.
     """
-    from xarray_spark.extras.portable import centroid_coeffs
-    cents = centroid_coeffs(n_cells, dim)
     base = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__cell", _nearest_cells_int(F.col("__cv"), cents, 1)[0])
+    )
+    if centroids is not None:
+        # TRAINED codebook (ivf_fit) — the production path: k-means
+        # centroids track the data's cluster structure, so cell sizes
+        # actually shrink as n_cells grows.  The fixed md5 codebook
+        # (default) is the oracle-replayable path, but on clustered
+        # data its random centroids leave most vectors in a few cells
+        # and the within-cell pair count stays quadratic in the
+        # cluster size — measured round 5: 20k clustered vectors,
+        # 512 random cells: 62 s; 64 TRAINED cells: see SCALE.md.
+        base = base.withColumn(
+            "__cell", _nearest_cells(F.col("__cv"), centroids, 1)[0])
+    else:
+        from xarray_spark.extras.portable import centroid_coeffs
+        cents = centroid_coeffs(n_cells, dim)
+        base = base.withColumn(
+            "__cell", _nearest_cells_int(F.col("__cv"), cents, 1)[0])
     base = base.localCheckpoint(eager=False)
     a = base.select(F.col("nid").alias("id_a"),
                     F.col("__cv").alias("__va"), "__cell")
