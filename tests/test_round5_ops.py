@@ -273,3 +273,34 @@ def test_dataarray_parity_tail(spark):
     np.testing.assert_allclose(got, float((arr * arr).sum()))
     # T on a 1-D array is identity
     assert da.T.dims == da.dims[::-1]
+
+
+def test_groupby_rolling_coarsen_surface_tail(spark):
+    """Round-5 sweep: GroupBy.cumprod/dims/sizes, Rolling.prod,
+    Coarsen.prod/median/all/any vs numpy/pandas semantics."""
+    import pandas as pd
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 2.0, 0.5])
+    pdf = pd.DataFrame({"t": np.arange(6), "k": [0, 0, 0, 1, 1, 1],
+                        "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"],
+                  coords={"k": ("t",)})
+    g = ds.groupby("k")
+    assert g.dims == ("k",)
+    assert g.sizes == {0: 3, 1: 3}
+    got = (g.cumprod().to_pandas().sort_values("t")["v"].to_numpy())
+    exp = pdf.groupby("k")["v"].cumprod().to_numpy()
+    np.testing.assert_allclose(got, exp)
+    # rolling prod
+    rp = (ds.rolling(t=2, min_periods=2).prod().to_pandas()
+          .sort_values("t")["v"].to_numpy())
+    exp_rp = pd.Series(vals).rolling(2, min_periods=2).apply(np.prod).to_numpy()
+    np.testing.assert_allclose(rp, exp_rp, equal_nan=True)
+    # coarsen prod/median/all/any
+    c = ds.coarsen(t=3, boundary="trim")
+    np.testing.assert_allclose(
+        np.sort(c.prod().to_pandas()["v"].to_numpy()),
+        np.sort([vals[:3].prod(), vals[3:].prod()]))
+    np.testing.assert_allclose(
+        np.sort(c.median().to_pandas()["v"].to_numpy()),
+        np.sort([np.median(vals[:3]), np.median(vals[3:])]))
+    assert sorted(c.all().to_pandas()["v"]) == [True, True]

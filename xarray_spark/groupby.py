@@ -341,6 +341,41 @@ class XGroupBy:
         ]
         return self.ds._replace(df=prepped.df.select(*exprs))
 
+    def cumprod(self) -> XDataset:
+        """Cumulative product within groups along the consumed dim
+        (xarray GroupBy.cumprod) — log-free: Spark has no product
+        window, so exp(sum(ln|x|)) with sign/zero bookkeeping would
+        lose exactness; instead use the product aggregate over the
+        expanding frame (Spark ≥3.2 F.product is a true aggregate)."""
+        prepped = self._prepared()
+        order_dim = next(iter(self._consumed))
+        keys = [f"__key_{n}" for n in self._key_names]
+        kept = self._kept_dims
+        w = Window.partitionBy(*keys, *kept).orderBy(order_dim) \
+                  .rowsBetween(Window.unboundedPreceding, 0)
+        exprs = [
+            F.product(c).over(w).alias(c)
+            if c in self.ds.data_vars and _numeric(self.ds, c) else F.col(c)
+            for c in self.ds.df.columns
+        ]
+        return self.ds._replace(df=prepped.df.select(*exprs))
+
+    @property
+    def dims(self):
+        """Output dims (xarray GroupBy.dims): key names + kept dims."""
+        return tuple(self._key_names) + tuple(self._kept_dims)
+
+    @property
+    def sizes(self) -> dict:
+        """Group sizes (xarray GroupBy.sizes semantics rendered
+        long-form: {key_tuple: row count} — one tiny agg)."""
+        prepped = self._prepared()
+        keys = [f"__key_{n}" for n in self._key_names]
+        rows = prepped.df.groupBy(*keys).count().collect()
+        if len(self._key_names) == 1:
+            return {r[keys[0]]: r["count"] for r in rows}
+        return {tuple(r[k] for k in keys): r["count"] for r in rows}
+
 
 def _numeric(ds: XDataset, v: str) -> bool:
     return isinstance(

@@ -170,6 +170,9 @@ class XRolling:
     def median(self):
         return self._apply(lambda c, w: F.expr(f"percentile({c}, 0.5)").over(w))
 
+    def prod(self):
+        return self._apply(lambda c, w: F.product(c).over(w))
+
     def argmin(self):
         return self._arg_window(True)
 
@@ -336,6 +339,10 @@ class XCoarsen:
     def count(self): return self._agg(lambda v: F.count(v))
     def std(self): return self._agg(lambda v: F.stddev_pop(v))
     def var(self): return self._agg(lambda v: F.var_pop(v))
+    def prod(self): return self._agg(lambda v: F.product(v))
+    def median(self): return self._agg(lambda v: F.expr(f"percentile({v}, 0.5)"))
+    def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")))
+    def any(self): return self._agg(lambda v: F.bool_or(F.col(v).cast("boolean")))
 
     def construct(self, window_dim: Mapping[str, tuple] | None = None,
                   **window_dim_kwargs) -> XDataset:
