@@ -304,3 +304,48 @@ def test_groupby_rolling_coarsen_surface_tail(spark):
         np.sort(c.median().to_pandas()["v"].to_numpy()),
         np.sort([np.median(vals[:3]), np.median(vals[3:])]))
     assert sorted(c.all().to_pandas()["v"]) == [True, True]
+
+
+def test_datatree_navigation_and_passthrough(spark):
+    """Round-5 DataTree surface: path navigation matches the reference
+    tree's structure answers; reductions map over every node."""
+    import pandas as pd
+    from xarray_spark.datatree import DataTree
+    mk = lambda v: XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(4), "v": v * np.arange(4.0)})),
+        dims=["t"])
+    t = DataTree.from_dict({
+        "/": mk(1.0), "/a": mk(2.0), "/a/b": mk(3.0), "/c": mk(4.0)})
+    assert t.children("/") == ("/a", "/c")
+    assert t.children("/a") == ("/a/b",)
+    assert t.parent("/a/b") == "/a"
+    assert t.parent("/") is None
+    assert t.leaves == ("/a/b", "/c")
+    assert t.depth == 2 and t.width == 1 and t.width_at('/a') == 2
+    assert t.is_leaf("/c") and not t.is_leaf("/a")
+    assert t.ancestors("/a/b") == ("/", "/a")
+    assert t.find_common_ancestor("/a/b", "/c") == "/"
+    assert t.relative_to("/a/b", "/a") == "b"
+    assert sorted(t.keys()) == ["/", "/a", "/a/b", "/c"]
+    # reduction passthrough maps every node
+    m = t.mean("t")
+    assert set(m.groups) == set(t.groups)
+    np.testing.assert_allclose(
+        m["/a/b"].to_pandas()["v"].iloc[0], np.mean(3.0 * np.arange(4)))
+    # update is non-mutating
+    t2 = t.update({"/c": mk(5.0)})
+    np.testing.assert_allclose(
+        t2["/c"].to_pandas().sort_values("t")["v"].to_numpy(),
+        5.0 * np.arange(4))
+    np.testing.assert_allclose(
+        t["/c"].to_pandas().sort_values("t")["v"].to_numpy(),
+        4.0 * np.arange(4))
+    # reference structure agreement
+    import sys
+    sys.path.insert(0, "/root/reference")
+    import xarray as xr
+    ref = xr.DataTree.from_dict({
+        p: xr.Dataset({"v": ("t", np.arange(4.0))})
+        for p in ("/", "/a", "/a/b", "/c")})
+    assert t.depth == ref.depth and t.width == ref.width
+    assert sorted(l.path for l in ref.leaves) == list(t.leaves)

@@ -57,6 +57,158 @@ class DataTree:
         (xarray/core/datatree_mapping.py:16)."""
         return DataTree({k: func(v) for k, v in self._nodes.items()})
 
+    # ------------------------------------------------------------------ #
+    # tree navigation on the path-keyed model (reference treenode.py —
+    # the node-object walk becomes path-string arithmetic, all metadata)
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _parent_path(path: str) -> str | None:
+        p = path.rstrip("/")
+        if p in ("", "/"):
+            return None
+        head = p.rsplit("/", 1)[0]
+        return head or "/"
+
+    def parent(self, path: str) -> str | None:
+        """Parent path (reference DataTree.parent)."""
+        return self._parent_path(self._norm(path))
+
+    def children(self, path: str = "/") -> tuple[str, ...]:
+        """Immediate child paths (reference DataTree.children)."""
+        p = self._norm(path)
+        base = "" if p == "/" else p
+        seen = set()
+        for k in self._nodes:
+            if k != p and k.startswith(base + "/"):
+                rest = k[len(base) + 1:]
+                seen.add(base + "/" + rest.split("/", 1)[0])
+        return tuple(sorted(seen))
+
+    def siblings(self, path: str) -> tuple[str, ...]:
+        par = self.parent(path)
+        if par is None:
+            return ()
+        return tuple(c for c in self.children(par)
+                     if c != self._norm(path))
+
+    @property
+    def leaves(self) -> tuple[str, ...]:
+        """Paths with no children (reference DataTree.leaves)."""
+        return tuple(p for p in self.groups if not self.children(p))
+
+    def depth_of(self, path: str) -> int:
+        p = self._norm(path)
+        return 0 if p == "/" else p.count("/")
+
+    @property
+    def depth(self) -> int:
+        """Max node depth (reference DataTree.depth)."""
+        return max((self.depth_of(p) for p in self.groups), default=0)
+
+    @property
+    def width(self) -> int:
+        """Node count at the ROOT's level — 1 by construction (the
+        reference's width is a per-node property: "number of nodes at
+        this level"; on the root that is always 1).  Use
+        :meth:`width_at` for other levels."""
+        return self.width_at("/")
+
+    def width_at(self, path: str) -> int:
+        """Number of nodes at ``path``'s level, cousins included
+        (reference treenode.py:487 width semantics)."""
+        lvl = self.depth_of(path)
+        return sum(1 for p in self.groups if self.depth_of(p) == lvl)
+
+    def is_leaf(self, path: str) -> bool:
+        return not self.children(path)
+
+    def is_root(self, path: str) -> bool:
+        return self._norm(path) == "/"
+
+    @property
+    def root(self) -> str:
+        return "/"
+
+    def ancestors(self, path: str) -> tuple[str, ...]:
+        out = []
+        cur = self.parent(path)
+        while cur is not None:
+            out.append(cur)
+            cur = self._parent_path(cur)
+        return tuple(reversed(out))
+
+    def find_common_ancestor(self, a: str, b: str) -> str:
+        pa = [*self.ancestors(a), self._norm(a)]
+        pb = set([*self.ancestors(b), self._norm(b)])
+        common = [p for p in pa if p in pb]
+        return common[-1] if common else "/"
+
+    def relative_to(self, path: str, other: str) -> str:
+        p, o = self._norm(path), self._norm(other)
+        if p == o:
+            return "."
+        if not p.startswith(o.rstrip("/") + "/") and o != "/":
+            raise ValueError(f"{path!r} is not inside {other!r}")
+        return p[len(o.rstrip("/")) + 1:]
+
+    def same_tree(self, other: "DataTree") -> bool:
+        return self is other
+
+    # dict-like views (reference DataTree mapping interface)
+    def keys(self):
+        return iter(self.groups)
+
+    def items(self):
+        return ((p, self._nodes[p]) for p in self.groups)
+
+    def values(self):
+        return (self._nodes[p] for p in self.groups)
+
+    def copy(self) -> "DataTree":
+        return DataTree(dict(self._nodes))
+
+    def update(self, other) -> "DataTree":
+        """New tree with ``other``'s nodes overriding (reference
+        DataTree.update is mutating; the engine keeps trees immutable
+        like every other operator)."""
+        nodes = dict(self._nodes)
+        src = other._nodes if isinstance(other, DataTree) else {
+            self._norm(k): v for k, v in other.items()}
+        nodes.update(src)
+        return DataTree(nodes)
+
+    def pipe(self, func, *args, **kw):
+        return func(self, *args, **kw)
+
+    # ------------------------------------------------------------------ #
+    # dataset-op passthrough: reductions/transforms apply per node
+    # (reference DataTree inherits the Dataset namespace and maps it
+    # over the subtree — datatree_mapping.py)
+    # ------------------------------------------------------------------ #
+
+    def _map_method(self, name, *args, **kw):
+        return self.map_over_datasets(
+            lambda d: getattr(d, name)(*args, **kw))
+
+    def mean(self, *a, **k): return self._map_method("mean", *a, **k)
+    def sum(self, *a, **k): return self._map_method("sum", *a, **k)
+    def min(self, *a, **k): return self._map_method("min", *a, **k)
+    def max(self, *a, **k): return self._map_method("max", *a, **k)
+    def std(self, *a, **k): return self._map_method("std", *a, **k)
+    def var(self, *a, **k): return self._map_method("var", *a, **k)
+    def median(self, *a, **k): return self._map_method("median", *a, **k)
+    def count(self, *a, **k): return self._map_method("count", *a, **k)
+    def prod(self, *a, **k): return self._map_method("prod", *a, **k)
+    def all(self, *a, **k): return self._map_method("all", *a, **k)
+    def any(self, *a, **k): return self._map_method("any", *a, **k)
+    def cumsum(self, *a, **k): return self._map_method("cumsum", *a, **k)
+    def cumprod(self, *a, **k): return self._map_method("cumprod", *a, **k)
+    def reduce(self, *a, **k): return self._map_method("reduce", *a, **k)
+    def round(self, *a, **k): return self._map_method("round", *a, **k)
+    def conj(self): return self._map_method("conj")
+    def chunk(self, *a, **k): return self._map_method("chunk", *a, **k)
+
     def filter(self, filterfunc: Callable[[XDataset], bool]) -> "DataTree":
         """Keep nodes whose dataset satisfies the predicate
         (xarray/core/datatree.py:1403 DataTree.filter)."""
