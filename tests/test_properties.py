@@ -230,3 +230,33 @@ def test_ewm_matches_pandas(spark, vals, span):
            .to_pandas().sort_values("t")["v"].to_numpy())
     exp = pdf["v"].ewm(span=span, min_periods=1).mean().to_numpy()
     np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+                min_size=6, max_size=40),
+       st.integers(min_value=2, max_value=4),
+       st.sampled_from(["linear", "lower", "higher", "nearest", "midpoint",
+                        "inverted_cdf", "median_unbiased"]),
+       st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_hist_quantile_equals_numpy(spark, vals, ngroups, method, q):
+    """Property: the round-5 distributed per-group histogram quantile
+    equals numpy's per-group quantile for every method on arbitrary
+    finite data (buffer limit forced to 1 so the histogram path runs)."""
+    import numpy as np
+    import pandas as pd
+    from xarray_spark import set_options
+    keys = [i % ngroups for i in range(len(vals))]
+    pdf = pd.DataFrame({"t": range(len(vals)), "k": keys, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"],
+                  coords={"k": ("t",)})
+    with set_options(grouped_quantile_buffer_limit=1):
+        got = (ds.groupby("k").quantile(q, method=method).to_pandas()
+               .sort_values("k")["v"].to_numpy())
+    exp = np.array([
+        np.quantile(np.array([v for v, kk in zip(vals, keys) if kk == g]),
+                    q, method=method)
+        for g in sorted(set(keys))
+    ])
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
