@@ -1149,3 +1149,12 @@ def test_convert_calendar_roundtrip_matches_reference(spark):
         surv = pdf[~((times.month == 2) & (times.day == 29))]
         np.testing.assert_allclose(np.sort(gp["v"].to_numpy()),
                                    np.sort(surv["v"].to_numpy()))
+
+
+def test_rolling_construct_stride_matches_reference(sds, series):
+    """Wave 9: rolling.construct(stride=) subsampling vs reference."""
+    exp = (_ref(series).rolling(t=4).construct("win", stride=3).values)
+    got_ds = sds.rolling(t=4).construct("win", stride=3)
+    gp = got_ds.to_pandas().sort_values(["t", "win"])
+    got = gp["v"].to_numpy().reshape(-1, 4)
+    np.testing.assert_allclose(got, exp, equal_nan=True)

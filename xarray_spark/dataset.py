@@ -130,6 +130,9 @@ def _grouped_quantile_needs_hist(df: DataFrame, keys: list) -> bool:
     limit = OPTIONS.get("grouped_quantile_buffer_limit")
     if limit is None:
         return False
+    if limit < 2:
+        # buffering is banned outright — no data inspection needed
+        return True
     if estimated_rows(df) <= limit:
         return False
     row = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")) \

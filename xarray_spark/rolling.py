@@ -220,27 +220,43 @@ class XRolling:
         return ds._replace(df=df.select(*exprs))
 
     def _construct_arrays(self) -> XDataset:
-        """Window contents as an array column (collect_list over the
-        frame) — the internal representation reduce() consumes."""
+        """Window contents as an array column — the internal
+        representation construct()/reduce() consume.  NULL-PRESERVING:
+        ``collect_list(col)`` silently drops nulls, which would shift
+        interior NaNs to the window front after padding (caught by the
+        round-5 stride differential test); collecting structs keeps
+        every slot, then ``transform`` unwraps."""
         w = self._frame()
         ds = self.ds
         exprs = [
-            F.collect_list(c).over(w).alias(c) if c in ds.data_vars else F.col(c)
+            F.transform(
+                F.collect_list(F.struct(F.col(c).alias("v"))).over(w),
+                lambda s: s["v"],
+            ).alias(c) if c in ds.data_vars else F.col(c)
             for c in ds.df.columns
         ]
         return ds._replace(df=ds.df.select(*exprs))
 
-    def construct(self, window_dim: str, fill_value=None) -> XDataset:
+    def construct(self, window_dim: str, stride: int = 1,
+                  fill_value=None) -> XDataset:
         """Materialize the rolling window as a REAL new dim
         (xarray/computation/rolling.py:327 construct): each row becomes
         ``window`` rows keyed by ``window_dim`` ∈ [0, window), aligned so
         the current element is last; positions before the series start
-        hold ``fill_value`` (xarray's NaN padding).  Long form: array
-        front-pad + posexplode — one window scan, one narrow explode, no
-        Python."""
+        hold ``fill_value`` (xarray's NaN padding).  ``stride`` keeps
+        every stride-th window (the reference's subsampling knob) — a
+        broadcast position filter BEFORE the explode, so the fan-out
+        itself shrinks by the stride.  Long form: array front-pad +
+        posexplode — one window scan, one narrow explode, no Python."""
         win = int(self.window)
         arrs = self._construct_arrays()
         ds = self.ds
+        if int(stride) > 1:
+            pos = ds._dim_labels(self.dim).select(
+                self.dim, "__pos").where(F.col("__pos") % int(stride) == 0)
+            arrs = arrs._replace(df=arrs.df.join(
+                F.broadcast(pos.select(self.dim)), on=self.dim,
+                how="left_semi"))
         fill = F.lit(fill_value)
         padded = {}
         for v in ds.data_vars:
@@ -269,7 +285,18 @@ class XRolling:
         @F.pandas_udf(dtype)
         def apply_fn(s: pd.Series) -> pd.Series:
             import numpy as np
-            return s.map(lambda arr: func(np.asarray(arr)) if arr is not None and len(arr) >= min_periods else None)
+
+            def one(arr):
+                if arr is None:
+                    return None
+                # windows are null-preserving: None slots become NaN;
+                # min_periods counts VALID values (xarray masking rule)
+                a = np.array([np.nan if x is None else x for x in arr],
+                             dtype="float64")
+                if int((~np.isnan(a)).sum()) < min_periods:
+                    return None
+                return func(a)
+            return s.map(one)
 
         ds = constructed
         exprs = [
