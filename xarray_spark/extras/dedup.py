@@ -34,6 +34,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition before a heavy explode ONLY when the scan is
+    under-parallel (single/few-file inputs — the local-test shape).
+    A 100 TB input already arrives in thousands of splits; re-keying
+    it by id would be a full-table shuffle for nothing.  Partition
+    count read from the plan, no job."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - plan->RDD edge cases
+        have = 0
+    if have >= max(2, target // 2):
+        return df
+    return df.repartition(target, id_col)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = 64, n: int = 3,
                        shard_cols: list | None = None,
@@ -57,7 +74,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     shard_cols = list(shard_cols or [])
     ex = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        _spread(df, id_col)
         .select(F.col(id_col), *shard_cols,
                 F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("__sh"))
     )
@@ -163,7 +180,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shard_cols = list(shard_cols or [])
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), "\\s+"))
     ex = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        _spread(df, id_col)
         .select(F.col(id_col), *shard_cols, F.explode(toks).alias("__t"))
     )
     if hash_mode == "portable":
@@ -281,7 +298,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     """
     shard_cols = list(shard_cols or [])
     sh = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        _spread(df, id_col)
         .select(
             F.col(id_col), *shard_cols,
             F.explode(F.array_distinct(ngrams(F.col(text_col), n))).alias("sh"),
