@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from xarray_spark.extras.dedup import _spread
 from xarray_spark.extras.text import fingerprint, token_count
 
 
@@ -143,7 +144,7 @@ def dedup_lines(df: DataFrame, min_df: int = 2, text_col: str = "text",
     ``xxhash64(line)`` so the shuffle carries 8-byte keys; the gate
     keeps the exact string key so the SQL oracle replays it verbatim."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = df.select(
+    lines = _spread(df, id_col).select(
         F.col(id_col),
         F.posexplode(F.split(t, "\n")).alias("__pos", "__ln"),
     )
@@ -197,7 +198,7 @@ def dedup_substrings(df: DataFrame, k: int = 5, min_docs: int = 2,
     shuffle on ``xxhash64(window)`` (8-byte keys); the exact string
     key here is what lets the SQL oracle replay it verbatim."""
     toks_arr = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
-    base = df.select(F.col(id_col), toks_arr.alias("__ts"))
+    base = _spread(df, id_col).select(F.col(id_col), toks_arr.alias("__ts"))
     # one row per token (for reassembly) …
     toks = base.select(
         id_col, F.posexplode("__ts").alias("__pos", "__tok"))

@@ -691,7 +691,8 @@ def semdedup_pairs(
     or the quadratic term eats the cell win.  Returns
     (id_a, id_b, cos) with id_a < id_b.
     """
-    base = corpus.select(
+    from xarray_spark.extras.dedup import _spread
+    base = _spread(corpus, id_col).select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
