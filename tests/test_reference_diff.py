@@ -1158,3 +1158,87 @@ def test_rolling_construct_stride_matches_reference(sds, series):
     gp = got_ds.to_pandas().sort_values(["t", "win"])
     got = gp["v"].to_numpy().reshape(-1, 4)
     np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+# ------------------------------------------------------------------ #
+# wave 10: sparse unstack/densify, resample fill family, coarsen pad,
+#          multi-dim arg-reduce dict form, season grouper
+# ------------------------------------------------------------------ #
+def test_densify_missing_combos_matches_reference(spark):
+    """Unstack with missing combinations: the reference materializes
+    NaN holes (core/dataset.py:5546 _unstack_full_reindex); long form
+    keeps sparse rows and densify() produces the same dense grid."""
+    pairs = [(i, j) for i in range(4) for j in range(5)
+             if (i, j) not in {(0, 3), (2, 1), (3, 4), (1, 0)}]
+    vals = RNG.randn(len(pairs)).round(6)
+    s = pd.Series(vals, index=pd.MultiIndex.from_tuples(pairs,
+                                                        names=["x", "y"]))
+    exp = xr.DataArray.from_series(s).values          # 4x5 with NaN holes
+    pdf = pd.DataFrame([(i, j, v) for (i, j), v in zip(pairs, vals)],
+                       columns=["x", "y", "v"])
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x", "y"])
+    gp = ds.densify().to_pandas().sort_values(["x", "y"])
+    got = gp["v"].to_numpy().reshape(4, 5)
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+@pytest.mark.parametrize("meth", ["asfreq", "pad", "backfill", "nearest"])
+def test_resample_fill_methods_match_reference(spark, meth):
+    """Wave 10: upsampling resample fill family (core/resample.py:383
+    asfreq/pad/backfill/nearest) on a 3-day series re-keyed to daily."""
+    times = pd.date_range("2001-01-01", periods=10, freq="3D")
+    vals = RNG.randn(10).round(6)
+    exp = getattr(
+        xr.DataArray(vals, dims="time", coords={"time": times})
+        .resample(time="1D"), meth)().values
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    gp = (getattr(ds.resample(time="D"), meth)()
+          .to_pandas().sort_values("time"))
+    np.testing.assert_allclose(gp["v"].to_numpy(), exp, equal_nan=True)
+
+
+def test_coarsen_pad_boundary_matches_reference(sds, series):
+    """Wave 10: boundary='pad' NaN-pads the ragged tail block in the
+    reference (computation/rolling.py:1023); the long form's absent
+    rows under skipna reductions produce identical block means."""
+    exp = np.sort(_ref(series).coarsen(t=7, boundary="pad").mean().values)
+    got = np.sort(_ours(sds.coarsen(t=7, boundary="pad").mean()))
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_argmin_dict_form_matches_reference(grid2d):
+    """Wave 10: multi-dim argmin dict form (core/variable.py:2491) —
+    the (x, y) position pair of the grid minimum, first occurrence."""
+    from pyspark.sql import functions as F
+    ref, ours = grid2d
+    exp = ref.argmin(dim=["x", "y"])
+    out = ours.argmin(["x", "y"]).to_spark().select(
+        F.col("v.x").alias("px"), F.col("v.y").alias("py")).toPandas()
+    assert int(out["px"][0]) == int(exp["x"].values)
+    assert int(out["py"][0]) == int(exp["y"].values)
+
+
+def test_season_grouper_matches_reference(spark):
+    """Wave 10: SeasonGrouper means vs the reference grouper
+    (xarray/groupers.py:801), incl. the cross-year DJF wrap."""
+    times = pd.date_range("2001-01-01", periods=400, freq="D")
+    vals = RNG.randn(400).round(6)
+    try:
+        from xarray.groupers import SeasonGrouper as RefSeason
+        exp_da = (xr.DataArray(vals, dims="time", coords={"time": times})
+                  .groupby(time=RefSeason(["DJF", "MAM", "JJA", "SON"]))
+                  .mean())
+        exp = {str(k): float(v) for k, v in
+               zip(exp_da[exp_da.dims[0]].values, exp_da.values)}
+    except ImportError:
+        pytest.skip("reference SeasonGrouper unavailable")
+    from xarray_spark.groupers import SeasonGrouper
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    gp = (ds.groupby(time=SeasonGrouper()).mean().to_pandas())
+    season_col = [c for c in gp.columns if c != "v"][0]
+    got = {str(r[season_col]): float(r["v"]) for _, r in gp.iterrows()}
+    assert set(got) == set(exp)
+    for k in exp:
+        np.testing.assert_allclose(got[k], exp[k], rtol=1e-9)
