@@ -66,11 +66,27 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # Re-measure the slowest queries warm: each query's unique generated
+    # classes are whole-stage-codegen'd + C2-JIT'd on first run, a cost
+    # that amortizes to zero on a long-lived cluster but dominates the
+    # one-shot tail here (ROADMAP round-6 #1).  The headline metric stays
+    # the cold pass; the warm numbers are evidence, recorded locally only.
+    warm_n = int(os.environ.get("SPARK_GRAFT_WARM_TOP", "8"))
+    warm_top: dict[str, float] = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:warm_n]:
+        t0 = time.perf_counter()
+        try:
+            force(qs[name](spark, sf_dir))
+            warm_top[name] = round(time.perf_counter() - t0, 4)
+        except Exception:  # noqa: BLE001
+            warm_top[name] = -1.0
+        gc.collect()
     # Full per-query map for humans / local tooling.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as fh:
         json.dump({"metric": "total_query_wall", "value": total,
-                   "unit": "sec", "queries": timings, "sf": sf}, fh, indent=1)
+                   "unit": "sec", "queries": timings, "sf": sf,
+                   "warm_top": warm_top}, fh, indent=1)
 
     # The driver captures only the LAST 2000 chars of stdout; the final
     # JSON line must fit entirely inside that window or it cannot be
