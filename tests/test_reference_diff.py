@@ -1242,3 +1242,111 @@ def test_season_grouper_matches_reference(spark):
     assert set(got) == set(exp)
     for k in exp:
         np.testing.assert_allclose(got[k], exp[k], rtol=1e-9)
+
+
+# ------------------------------------------------------------------ #
+# wave 11: weighted sums, cumprod, shift fill_value, skipna=False,
+#          str accessor matrix, DataTree reductions
+# ------------------------------------------------------------------ #
+def test_weighted_sums_match_reference(spark):
+    """Wave 11: sum_of_weights / sum_of_squares (computation/weighted.py)
+    — NaN values mask their weights out of both statistics."""
+    vals = RNG.randn(30).round(6)
+    vals[[3, 11]] = np.nan
+    wts = RNG.rand(30).round(6)
+    ref = xr.DataArray(vals, dims="t").weighted(xr.DataArray(wts, dims="t"))
+    pdf = pd.DataFrame({"t": np.arange(30), "v": vals, "w": wts})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"],
+                  coords={"w": ("t",)})
+    w = ds.weighted("w")
+    np.testing.assert_allclose(
+        w.sum_of_weights().to_pandas()["v"].iloc[0],
+        float(ref.sum_of_weights()), rtol=1e-9)
+    np.testing.assert_allclose(
+        w.sum_of_squares().to_pandas()["v"].iloc[0],
+        float(ref.sum_of_squares()), rtol=1e-9)
+
+
+def test_cumprod_matches_reference(sds, series):
+    """Wave 11: cumprod with NaN skip (generated _aggregations.py)."""
+    got = _ours(sds.cumprod("t"))
+    exp = _ref(series).cumprod("t").values
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_shift_fill_value_matches_reference(sds, series):
+    """Wave 11: shift(fill_value=) replaces the vacated slots
+    (core/dataset.py:7967) instead of leaving NaN."""
+    exp = _ref(series).shift(t=4, fill_value=-1.5).values
+    got = _ours(sds.shift(t=4, fill_value=-1.5))
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_skipna_false_matches_reference(sds, series):
+    """Wave 11: skipna=False poisons the reduction with NaN like the
+    reference (series has 4 NaNs, so every result is NaN); skipna=True
+    on the same data stays finite."""
+    for agg in ("mean", "sum"):
+        got = getattr(sds, agg)(dim="t", skipna=False).to_pandas()["v"].iloc[0]
+        exp = float(getattr(_ref(series), agg)(skipna=False))
+        assert np.isnan(got) == np.isnan(exp)
+        got_t = getattr(sds, agg)(dim="t", skipna=True).to_pandas()["v"].iloc[0]
+        exp_t = float(getattr(_ref(series), agg)(skipna=True))
+        np.testing.assert_allclose(got_t, exp_t, rtol=1e-9)
+
+
+def test_str_accessor_matrix_matches_reference(spark):
+    """Wave 11: .str accessor ops vs the reference's numpy-object
+    accessor (core/accessor_str.py) on mixed-case padded strings."""
+    words = ["  Hello World ", "spark SQL", "", "aAbB  cC", "12345",
+             "ba na na", None, "Zz  "]
+    ref = xr.DataArray(np.array([w for w in words if w is not None],
+                                dtype="U20"), dims="i")
+    pdf = pd.DataFrame({"i": np.arange(len(words)), "s": words})
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf, "i long, s string"),
+                    dims=["i"])
+    cases = [
+        ("upper", (), {}), ("lower", (), {}), ("len", (), {}),
+        ("strip", (), {}), ("capitalize", (), {}), ("title", (), {}),
+        ("startswith", ("a",), {}), ("contains", ("na",), {}),
+        ("replace", ("a", "_"), {}), ("zfill", (8,), {}),
+        ("count", ("a",), {}), ("swapcase", (), {}),
+        ("rjust", (6,), {}), ("ljust", (6,), {}), ("center", (6,), {}),
+    ]
+    for meth, args, kw in cases:
+        if not hasattr(ref.str, meth):
+            continue
+        exp = getattr(ref.str, meth)(*args, **kw).values
+        gp = (getattr(da.str, meth)(*args, **kw).to_pandas()
+              .sort_values("i"))
+        got = gp[gp["i"].isin([i for i, w in enumerate(words)
+                               if w is not None])]["s"].to_numpy()
+        if exp.dtype.kind in "if":
+            np.testing.assert_allclose(got.astype("float64"),
+                                       exp.astype("float64"),
+                                       err_msg=meth)
+        elif exp.dtype.kind == "b":
+            np.testing.assert_array_equal(got.astype(bool), exp, err_msg=meth)
+        else:
+            assert got.tolist() == exp.tolist(), meth
+
+
+def test_datatree_reduction_matches_reference(spark):
+    """Wave 11: per-node DataTree reductions (mean over the node's
+    dataset) vs the reference DataTree."""
+    vals = {p: RNG.randn(8).round(6) for p in ("/x", "/x/y", "/z")}
+    ref = xr.DataTree.from_dict({
+        p: xr.Dataset({"v": ("t", v)}, coords={"t": np.arange(8)})
+        for p, v in vals.items()})
+    rmean = ref.mean(dim="t")
+    from xarray_spark.datatree import DataTree
+    ours = DataTree.from_dict({
+        p: XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": np.arange(8), "v": v})), dims=["t"])
+        for p, v in vals.items()})
+    omean = ours.mean(dim="t")
+    for p in vals:
+        exp = float(rmean[p].ds["v"])
+        got = float(omean[p].to_pandas()["v"].iloc[0])
+        np.testing.assert_allclose(got, exp, rtol=1e-9)

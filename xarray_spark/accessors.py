@@ -77,16 +77,22 @@ class StringAccessor(_Accessor):
         pat = sep if regex else "\\Q" + sep + "\\E"
         return self._wrap(F.split(self._c, pat))
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        """No-truncate padding: Spark's lpad/rpad TRUNCATE strings
+        longer than width; Python's rjust/ljust/center (what the
+        reference accessor_str.py:1424 delegates to) never do."""
+        c = self._c
         if side == "left":
-            return self._wrap(F.lpad(self._c, width, fillchar))
-        if side == "right":
-            return self._wrap(F.rpad(self._c, width, fillchar))
-        # both: lpad then rpad
-        half = F.lpad(self._c, (width + F.length(self._c).cast("int")) / 2, fillchar)
-        return self._wrap(F.rpad(F.lpad(self._c, ((width + F.length(self._c)) / 2).cast("int"), fillchar), width, fillchar))
-    def zfill(self, width: int): return self._wrap(F.lpad(self._c, width, "0"))
-    def ljust(self, width: int, fillchar: str = " "): return self._wrap(F.rpad(self._c, width, fillchar))
-    def rjust(self, width: int, fillchar: str = " "): return self._wrap(F.lpad(self._c, width, fillchar))
+            filled = F.lpad(c, width, fillchar)
+        elif side == "right":
+            filled = F.rpad(c, width, fillchar)
+        else:  # both: extra char goes right (pandas str.center)
+            lpad_w = (F.length(c)
+                      + F.floor((F.lit(width) - F.length(c)) / 2).cast("int"))
+            filled = F.rpad(F.lpad(c, lpad_w, fillchar), width, fillchar)
+        return self._wrap(F.when(F.length(c) >= width, c).otherwise(filled))
+    def zfill(self, width: int): return self.pad(width, "left", "0")
+    def ljust(self, width: int, fillchar: str = " "): return self.pad(width, "right", fillchar)
+    def rjust(self, width: int, fillchar: str = " "): return self.pad(width, "left", fillchar)
     def repeat(self, n: int): return self._wrap(F.repeat(self._c, n))
     def translate(self, frm: str, to: str): return self._wrap(F.translate(self._c, frm, to))
     def cat(self, other: str, sep: str = ""):

@@ -584,7 +584,15 @@ class XWeighted:
         return self._reduce(dim, lambda v, w: F.sum(F.when(v.isNotNull(), w)))
 
     def sum_of_squares(self, dim=None):
-        return self._reduce(dim, lambda v, w: F.sum(F.when(v.isNotNull(), w * v * v)))
+        # the reference DEMEANS first (computation/weighted.py:262
+        # _sum_of_squares reduces (da - weighted_mean)²):
+        # Σw(v-μ)² = Σwv² - (Σwv)²/Σw
+        def e(v, w):
+            s1 = F.sum(F.when(v.isNotNull(), v * w))
+            s2 = F.sum(F.when(v.isNotNull(), w * v * v))
+            sw = F.sum(F.when(v.isNotNull(), w))
+            return s2 - s1 * s1 / sw
+        return self._reduce(dim, e)
 
     def var(self, dim=None):
         def e(v, w):

@@ -1602,9 +1602,16 @@ class XDataset:
             exprs = []
             for c in out.df.columns:
                 if c in out.data_vars:
-                    e = F.lag(c, n).over(w)
                     if fill_value is not None:
-                        e = F.coalesce(e, F.lit(fill_value))
+                        # fill ONLY vacated slots (no source ROW), never a
+                        # shifted-along null value — the reference keeps
+                        # pre-existing NaNs NaN (core/dataset.py:7967).
+                        # lag of a struct is null iff the row is absent.
+                        se = F.lag(F.struct(F.col(c).alias("v")), n).over(w)
+                        e = F.when(se.isNull(), F.lit(fill_value)) \
+                             .otherwise(se["v"])
+                    else:
+                        e = F.lag(c, n).over(w)
                     exprs.append(e.alias(c))
                 else:
                     exprs.append(F.col(c))
