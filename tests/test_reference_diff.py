@@ -1350,3 +1350,134 @@ def test_datatree_reduction_matches_reference(spark):
         exp = float(rmean[p].ds["v"])
         got = float(omean[p].to_pandas()["v"].iloc[0])
         np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+# ------------------------------------------------------------------ #
+# wave 12: dt floor/ceil/round/strftime, timedelta fields, pad stat
+#          modes, groupby first/last, combine_nested, align override,
+#          searchsorted
+# ------------------------------------------------------------------ #
+def test_dt_floor_ceil_round_matches_reference(spark):
+    """Wave 12: dt.floor/ceil/round vs the reference accessor
+    (core/accessor_dt.py:288-330)."""
+    times = pd.date_range("2001-05-03 07:23:41", periods=40, freq="97min")
+    pdf = pd.DataFrame({"i": np.arange(40), "v": times})
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf), dims=["i"])
+    ref = xr.DataArray(times, dims="i")
+    for meth, freq_r, freq_o in [("floor", "D", "D"), ("floor", "h", "h"),
+                                 ("ceil", "h", "h"), ("round", "h", "h")]:
+        exp = getattr(ref.dt, meth)(freq_r).values.astype("datetime64[us]")
+        got = (getattr(da.dt, meth)(freq_o).to_pandas().sort_values("i")
+               ["v"].to_numpy().astype("datetime64[us]"))
+        np.testing.assert_array_equal(got, exp, err_msg=f"{meth}({freq_r})")
+
+
+def test_dt_strftime_matches_reference(spark):
+    times = pd.date_range("1999-12-28 23:59:05", periods=20, freq="11h")
+    pdf = pd.DataFrame({"i": np.arange(20), "v": times})
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf), dims=["i"])
+    exp = xr.DataArray(times, dims="i").dt.strftime("%Y-%m-%d %H:%M").values
+    got = (da.dt.strftime("%Y-%m-%d %H:%M").to_pandas()
+           .sort_values("i")["v"].tolist())
+    assert got == exp.tolist()
+
+
+def test_timedelta_fields_match_reference(spark):
+    """Wave 12: TimedeltaAccessor days/seconds/total_seconds
+    (core/accessor_dt.py:574)."""
+    t0 = pd.Timestamp("2001-01-01")
+    deltas = pd.to_timedelta(
+        ["1 days 02:03:04", "0 days 23:59:59", "7 days 00:00:01",
+         "0 days 00:00:00", "3 days 12:30:00"])
+    ref = xr.DataArray(deltas, dims="i")
+    pdf = pd.DataFrame({"i": np.arange(5), "a": t0 + deltas, "b": t0})
+    from pyspark.sql import functions as F
+    sdf = spark.createDataFrame(pdf).select(
+        "i", (F.col("a") - F.col("b")).alias("v"))
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(sdf, dims=["i"])
+    np.testing.assert_array_equal(
+        da.dt.days.to_pandas().sort_values("i")["v"].to_numpy(),
+        ref.dt.days.values)
+    np.testing.assert_array_equal(
+        da.dt.seconds.to_pandas().sort_values("i")["v"].to_numpy(),
+        ref.dt.seconds.values)
+    np.testing.assert_allclose(
+        da.dt.total_seconds().to_pandas().sort_values("i")["v"].to_numpy(),
+        ref.dt.total_seconds().values)
+
+
+@pytest.mark.parametrize("mode", ["maximum", "mean", "minimum"])
+def test_pad_stat_modes_match_reference(spark, mode):
+    """Wave 12: np.pad statistic modes through the reference pad
+    (core/dataset.py pad -> np.pad)."""
+    vals = RNG.randn(20).round(6)      # no NaN: np.pad stats are exact
+    ref = xr.DataArray(vals, dims="t")
+    pdf = pd.DataFrame({"t": np.arange(20), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    exp = ref.pad(t=(2, 3), mode=mode).values
+    got = (ds.pad(t=(2, 3), mode=mode).to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_groupby_first_last_match_reference(spark):
+    vals = RNG.randn(30).round(6)
+    keys = RNG.randint(0, 5, 30)
+    ref = xr.DataArray(vals, dims="t", coords={"k": ("t", keys)}).groupby("k")
+    pdf = pd.DataFrame({"t": np.arange(30), "v": vals, "k": keys})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"k": ("t",)})
+    for meth in ("first", "last"):
+        got = (getattr(ds.groupby("k"), meth)().to_pandas()
+               .sort_values("k")["v"].to_numpy())
+        exp = getattr(ref, meth)().values
+        np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_combine_nested_matches_reference(spark):
+    a_vals = RNG.randn(6).round(6)
+    b_vals = RNG.randn(6).round(6)
+    exp = xr.combine_nested(
+        [xr.DataArray(a_vals, dims="t", coords={"t": np.arange(6)},
+                      name="v").to_dataset(),
+         xr.DataArray(b_vals, dims="t", coords={"t": np.arange(6, 12)},
+                      name="v").to_dataset()],
+        concat_dim="t")["v"].values
+    from xarray_spark.combine import combine_nested
+    mk = lambda vals, off: XDataset(spark.createDataFrame(  # noqa: E731
+        pd.DataFrame({"t": np.arange(off, off + 6), "v": vals})), dims=["t"])
+    got = (combine_nested([mk(a_vals, 0), mk(b_vals, 6)], concat_dim="t")
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_align_override_matches_reference(spark):
+    """join='override': the right object keeps its values but takes the
+    left's labels verbatim (core/alignment.py)."""
+    a_vals = RNG.randn(5).round(6)
+    b_vals = RNG.randn(5).round(6)
+    ra = xr.DataArray(a_vals, dims="t", coords={"t": [10, 20, 30, 40, 50]})
+    rb = xr.DataArray(b_vals, dims="t", coords={"t": [11, 21, 31, 41, 51]})
+    ea, eb = xr.align(ra, rb, join="override")
+    from xarray_spark.alignment import align
+    mk = lambda vals, ts: XDataset(spark.createDataFrame(  # noqa: E731
+        pd.DataFrame({"t": ts, "v": vals})), dims=["t"])
+    ga, gb = align(mk(a_vals, [10, 20, 30, 40, 50]),
+                   mk(b_vals, [11, 21, 31, 41, 51]), join="override")
+    gb_p = gb.to_pandas().sort_values("t")
+    np.testing.assert_array_equal(gb_p["t"].to_numpy(), eb["t"].values)
+    np.testing.assert_allclose(gb_p["v"].to_numpy(), eb.values, rtol=1e-12)
+
+
+def test_searchsorted_matches_numpy(spark):
+    vals = np.sort(RNG.randn(40).round(6))
+    pdf = pd.DataFrame({"t": np.arange(40), "v": vals})
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf), dims=["t"])
+    probes = [vals[7], vals[7] + 1e-9, -10.0, 10.0, 0.0]
+    for side in ("left", "right"):
+        got = da.searchsorted(probes, side=side)
+        exp = np.searchsorted(vals, probes, side=side)
+        np.testing.assert_array_equal(np.asarray(got), exp, err_msg=side)
