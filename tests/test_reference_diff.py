@@ -1481,3 +1481,103 @@ def test_searchsorted_matches_numpy(spark):
         got = da.searchsorted(probes, side=side)
         exp = np.searchsorted(vals, probes, side=side)
         np.testing.assert_array_equal(np.asarray(got), exp, err_msg=side)
+
+
+# ------------------------------------------------------------------ #
+# wave 13: datetime differentiate/integrate units, rolling default
+#          min_periods, groupby.map, reindex nearest+tolerance,
+#          map_blocks, groupby.reduce
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize("unit", ["s", "h"])
+def test_differentiate_datetime_unit_matches_reference(spark, unit):
+    """Wave 13: gradient over a datetime coord in a chosen unit
+    (core/dataset.py:8495 datetime_unit)."""
+    times = pd.date_range("2001-01-01", periods=20, freq="7h")
+    vals = RNG.randn(20).round(6)
+    ref = xr.DataArray(vals, dims="time", coords={"time": times})
+    exp_d = ref.differentiate("time", datetime_unit=unit).values
+    exp_i = float(ref.integrate("time", datetime_unit=unit))
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    got_d = (ds.differentiate("time", datetime_unit=unit).to_pandas()
+             .sort_values("time")["v"].to_numpy())
+    np.testing.assert_allclose(got_d, exp_d, rtol=1e-9)
+    got_i = ds.integrate("time", datetime_unit=unit).to_pandas()["v"].iloc[0]
+    np.testing.assert_allclose(got_i, exp_i, rtol=1e-9)
+
+
+def test_rolling_default_min_periods_matches_reference(sds, series):
+    """Wave 13: min_periods defaults to the window size (NaN until the
+    window fills — computation/rolling.py:120)."""
+    got = _ours(sds.rolling(t=5).mean())
+    exp = _ref(series).rolling(t=5).mean().values
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_groupby_map_matches_reference(spark):
+    """Wave 13: GroupBy.map with an arbitrary block function
+    (core/groupby.py:1614) — per-group demeaning."""
+    vals = RNG.randn(30).round(6)
+    keys = RNG.randint(0, 3, 30)
+    ref = (xr.DataArray(vals, dims="t", coords={"k": ("t", keys)})
+           .groupby("k").map(lambda g: g - g.mean()))
+    pdf = pd.DataFrame({"t": np.arange(30), "v": vals, "k": keys})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"k": ("t",)})
+
+    def demean(g):
+        g = g.copy()
+        g["v"] = g["v"] - g["v"].mean()
+        return g[["t", "v", "__key_k"]]
+
+    got = (ds.groupby("k").map(demean, schema="t long, v double, __key_k bigint")
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, ref.values, rtol=1e-9)
+
+
+def test_groupby_reduce_matches_reference(spark):
+    """Wave 13: GroupBy.reduce with a numpy callable (nan-ptp)."""
+    vals = RNG.randn(40).round(6)
+    keys = RNG.randint(0, 4, 40)
+    ref = (xr.DataArray(vals, dims="t", coords={"k": ("t", keys)})
+           .groupby("k").reduce(lambda a, axis=None: np.max(a) - np.min(a)))
+    pdf = pd.DataFrame({"t": np.arange(40), "v": vals, "k": keys})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"k": ("t",)})
+    got = (ds.groupby("k").reduce(lambda a: float(np.max(a) - np.min(a)))
+           .to_pandas().sort_values("k")["v"].to_numpy())
+    np.testing.assert_allclose(got, ref.values, rtol=1e-9)
+
+
+def test_reindex_nearest_tolerance_matches_reference(spark):
+    """Wave 13: reindex(method='nearest', tolerance=) — unmatched
+    targets materialize as NaN rows (core/dataset.py:3721)."""
+    vals = RNG.randn(8).round(6)
+    src_t = np.array([0.0, 1.0, 2.0, 3.5, 5.0, 7.0, 9.0, 12.0])
+    tgt_t = np.array([0.1, 2.4, 4.9, 8.0, 11.0])
+    ref = (xr.DataArray(vals, dims="t", coords={"t": src_t})
+           .reindex(t=tgt_t, method="nearest", tolerance=0.6))
+    pdf = pd.DataFrame({"t": src_t, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    gp = (ds.reindex(t=[float(x) for x in tgt_t], method="nearest",
+                     tolerance=0.6)
+          .to_pandas().sort_values("t"))
+    np.testing.assert_allclose(gp["t"].to_numpy(), ref["t"].values)
+    np.testing.assert_allclose(gp["v"].to_numpy(), ref.values,
+                               rtol=1e-9, equal_nan=True)
+
+
+def test_map_blocks_matches_reference(spark):
+    """Wave 13: map_blocks with a block-local transform
+    (core/parallel.py:228); blockwise x*2+1 is partition-invariant."""
+    vals = RNG.randn(25).round(6)
+    ref = (xr.DataArray(vals, dims="t", name="v").to_dataset()
+           .map_blocks(lambda d: d * 2 + 1))
+    pdf = pd.DataFrame({"t": np.arange(25), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+
+    def double(block):
+        block = block.copy()
+        block["v"] = block["v"] * 2 + 1
+        return block
+
+    got = (ds.map_blocks(double).to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, ref["v"].values, rtol=1e-12)

@@ -261,13 +261,32 @@ def curvefit(ds: XDataset, coords: str, func: Callable,
                     [f"{v}_curvefit_coefficients" for v in varlist], ds.attrs)
 
 
-def integrate(ds: XDataset, coord: str) -> XDataset:
+#: datetime_unit → seconds, for differentiate/integrate on temporal
+#: coords (xarray/core/dataset.py:8495 datetime_unit).  Engine default
+#: is "s" (documented divergence: the reference defaults to the coord's
+#: own storage precision, which for Spark timestamps would be "us").
+_DT_UNIT_SECONDS = {"W": 604800.0, "D": 86400.0, "h": 3600.0, "m": 60.0,
+                    "s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+
+
+def _coord_numeric(ds: XDataset, coord: str, datetime_unit: str | None):
+    """Numeric view of a (possibly temporal) coord in datetime_unit."""
+    from xarray_spark._utils import is_temporal, to_double
+    x = to_double(F.col(coord), ds.df.schema[coord].dataType)
+    if datetime_unit is not None:
+        if not is_temporal(ds.df.schema[coord].dataType):
+            raise ValueError("datetime_unit is only valid for datetime coords")
+        x = x / F.lit(_DT_UNIT_SECONDS[datetime_unit])
+    return x
+
+
+def integrate(ds: XDataset, coord: str,
+              datetime_unit: str | None = None) -> XDataset:
     """Trapezoidal integral along coord (xarray/core/dataset.py:8545):
     Σ (x - lag(x)) · (y + lag(y))/2 — lag window + one aggregation."""
-    from xarray_spark._utils import to_double
     others = [d for d in ds.dims if d != coord]
     w = Window.partitionBy(*others).orderBy(coord)
-    x = to_double(F.col(coord), ds.df.schema[coord].dataType)
+    x = _coord_numeric(ds, coord, datetime_unit)
     dx = x - F.lag(x).over(w)
     aggs = []
     df = ds.df
@@ -280,14 +299,14 @@ def integrate(ds: XDataset, coord: str) -> XDataset:
     return XDataset(out, others, ds._coords_on(others), ds.data_vars, ds.attrs)
 
 
-def cumulative_integrate(ds: XDataset, coord: str) -> XDataset:
+def cumulative_integrate(ds: XDataset, coord: str,
+                         datetime_unit: str | None = None) -> XDataset:
     """Running trapezoidal integral (xarray/core/dataset.py:8662):
     cumsum of the per-segment areas — one window scan."""
-    from xarray_spark._utils import to_double
     others = [d for d in ds.dims if d != coord]
     w = Window.partitionBy(*others).orderBy(coord)
     cum = Window.partitionBy(*others).orderBy(coord).rowsBetween(Window.unboundedPreceding, 0)
-    x = to_double(F.col(coord), ds.df.schema[coord].dataType)
+    x = _coord_numeric(ds, coord, datetime_unit)
     dx = x - F.lag(x).over(w)
     exprs = []
     for c in ds.df.columns:
@@ -520,17 +539,17 @@ def ones_like(ds: XDataset) -> XDataset:
     return full_like(ds, 1.0)
 
 
-def differentiate(ds: XDataset, coord: str) -> XDataset:
+def differentiate(ds: XDataset, coord: str,
+                  datetime_unit: str | None = None) -> XDataset:
     """np.gradient gradient (xarray/core/dataset.py:8475): SECOND-order
     accurate interior stencil on possibly NON-uniform grids —
     f'_i = (hs²·f₊ + (hd² − hs²)·f − hd²·f₋) / (hs·hd·(hd + hs))
     with hs = x−x₋, hd = x₊−x (np.gradient's published formula; the
     naive (f₊−f₋)/(x₊−x₋) is only first-order when spacings differ) —
     one-sided first differences at the edges (edge_order=1)."""
-    from xarray_spark._utils import to_double
     others = [d for d in ds.dims if d != coord]
     w = Window.partitionBy(*others).orderBy(coord)
-    x = to_double(F.col(coord), ds.df.schema[coord].dataType)
+    x = _coord_numeric(ds, coord, datetime_unit)
     xm, xp = F.lag(x).over(w), F.lead(x).over(w)
     hs, hd = x - xm, xp - x
     exprs = []

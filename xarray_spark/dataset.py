@@ -1978,13 +1978,14 @@ class XDataset:
             data_vars=list(self.data_vars) + new_vars,
         )
 
-    def integrate(self, coord: str) -> "XDataset":
+    def integrate(self, coord: str, datetime_unit: str | None = None) -> "XDataset":
         from xarray_spark.computation import integrate
-        return integrate(self, coord)
+        return integrate(self, coord, datetime_unit=datetime_unit)
 
-    def cumulative_integrate(self, coord: str) -> "XDataset":
+    def cumulative_integrate(self, coord: str,
+                             datetime_unit: str | None = None) -> "XDataset":
         from xarray_spark.computation import cumulative_integrate
-        return cumulative_integrate(self, coord)
+        return cumulative_integrate(self, coord, datetime_unit=datetime_unit)
 
     def pad(self, pad_width: Mapping[str, tuple[int, int]] | None = None,
             mode: str = "constant", constant_values=None, end_values=0.0,
@@ -2214,9 +2215,10 @@ class XDataset:
         pivot the variable dim back into columns."""
         return self.to_dataset_pivot(dim)
 
-    def differentiate(self, coord: str) -> "XDataset":
+    def differentiate(self, coord: str,
+                      datetime_unit: str | None = None) -> "XDataset":
         from xarray_spark.computation import differentiate
-        return differentiate(self, coord)
+        return differentiate(self, coord, datetime_unit=datetime_unit)
 
     def polyfit(self, dim: str, deg: int, w: str | None = None):
         from xarray_spark.computation import polyfit
