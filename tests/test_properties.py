@@ -260,3 +260,49 @@ def test_grouped_hist_quantile_equals_numpy(spark, vals, ngroups, method, q):
         for g in sorted(set(keys))
     ])
     np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+_strings = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126,
+                                   blacklist_characters="'\\\""),
+            max_size=12),
+    min_size=1, max_size=6,
+)
+
+
+@given(strs=_strings, width=st.integers(min_value=0, max_value=15),
+       side=st.sampled_from(["left", "right", "both"]))
+@settings(**SETTINGS)
+def test_str_pad_matches_python(spark, strs, width, side):
+    """pad/ljust/rjust/center equal Python's str methods on arbitrary
+    printable strings — in particular NO truncation past width."""
+    import pandas as pd
+    from xarray_spark.dataset import XDataArray
+    pdf = pd.DataFrame({"i": range(len(strs)), "s": strs})
+    da = XDataArray(spark.createDataFrame(pdf, "i long, s string"),
+                    dims=["i"])
+    got = (da.str.pad(width, side=side, fillchar="*").to_pandas()
+           .sort_values("i")["s"].tolist())
+    py = {"left": str.rjust, "right": str.ljust, "both": str.center}[side]
+    exp = [py(s, width, "*") for s in strs]
+    assert got == exp
+
+
+@given(vals=values, n=st.integers(min_value=-4, max_value=4),
+       fv=st.floats(min_value=-10, max_value=10, allow_nan=False))
+@settings(**SETTINGS)
+def test_shift_fill_value_slot_count(spark, vals, n, fv):
+    """shift(fill_value=) fills exactly min(|n|, len) vacated slots and
+    the surviving values are the original ones, in order."""
+    import numpy as np
+    ds = mk(spark, vals)
+    gp = ds.shift(t=n, fill_value=float(fv)).to_pandas().sort_values("t")
+    got = gp["v"].to_numpy()
+    L = len(vals)
+    k = min(abs(n), L)
+    arr = np.asarray(vals, dtype="float64")
+    if n >= 0:
+        exp = np.concatenate([np.full(k, fv), arr[:L - k]])
+    else:
+        exp = np.concatenate([arr[k:], np.full(k, fv)])
+    np.testing.assert_allclose(got, exp, rtol=1e-7)

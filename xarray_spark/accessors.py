@@ -85,10 +85,11 @@ class StringAccessor(_Accessor):
             filled = F.lpad(c, width, fillchar)
         elif side == "right":
             filled = F.rpad(c, width, fillchar)
-        else:  # both: extra char goes right (pandas str.center)
-            lpad_w = (F.length(c)
-                      + F.floor((F.lit(width) - F.length(c)) / 2).cast("int"))
-            filled = F.rpad(F.lpad(c, lpad_w, fillchar), width, fillchar)
+        else:  # both = str.center: left margin is marg//2 + (marg&width&1)
+            marg = F.lit(width) - F.length(c)
+            left = F.floor(marg / 2) + (marg % 2) * F.lit(width % 2)
+            filled = F.rpad(F.lpad(c, (F.length(c) + left).cast("int"),
+                                   fillchar), width, fillchar)
         return self._wrap(F.when(F.length(c) >= width, c).otherwise(filled))
     def zfill(self, width: int): return self.pad(width, "left", "0")
     def ljust(self, width: int, fillchar: str = " "): return self.pad(width, "right", fillchar)
@@ -154,14 +155,9 @@ class StringAccessor(_Accessor):
     def casefold(self): return self._wrap(F.lower(self._c))
 
     def center(self, width: int, fillchar: str = " "):
-        """Pad both sides (pandas str.center: extra char goes right)."""
-        c = self._c
-        left = (F.lit(width) - F.length(c)) / 2
-        lpad_w = F.length(c) + F.floor(left).cast("int")
-        return self._wrap(
-            F.when(F.length(c) >= width, c)
-            .otherwise(F.rpad(F.lpad(c, lpad_w, fillchar), width, fillchar))
-        )
+        """Pad both sides (Python str.center — what the reference's
+        pad(side='both') delegates to, accessor_str.py:1322)."""
+        return self.pad(width, "both", fillchar)
 
     def removeprefix(self, prefix: str):
         q = "\\Q" + prefix + "\\E"
