@@ -1581,3 +1581,29 @@ def test_map_blocks_matches_reference(spark):
 
     got = (ds.map_blocks(double).to_pandas().sort_values("t")["v"].to_numpy())
     np.testing.assert_allclose(got, ref["v"].values, rtol=1e-12)
+
+
+# ------------------------------------------------------------------ #
+# wave 14: Python slice semantics of the str accessor
+# ------------------------------------------------------------------ #
+def test_str_slice_grid_matches_reference(spark):
+    """Wave 14: str.slice over a (start, stop, step) grid incl.
+    negatives and reversals, plus get() with negative indices — Python
+    slicing per element (accessor_str.py:324,356)."""
+    import itertools
+    words = ["hello", "ab", "", "spark sql", "x"]
+    ref = xr.DataArray(np.array(words, dtype="U10"), dims="i")
+    pdf = pd.DataFrame({"i": np.arange(len(words)), "s": words})
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf, "i long, s string"),
+                    dims=["i"])
+    opts = [None, 0, 2, -1, -3, -10]
+    for start, stop, step in itertools.product(opts, opts, [None, 2, -1]):
+        exp = ref.str.slice(start, stop, step).values.tolist()
+        got = (da.str.slice(start, stop, step).to_pandas()
+               .sort_values("i")["s"].tolist())
+        assert got == exp, (start, stop, step, got, exp)
+    for i in [-1, -6, 0, 4]:
+        exp = ref.str.get(i, "?").values.tolist()
+        got = da.str.get(i, "?").to_pandas().sort_values("i")["s"].tolist()
+        assert got == exp, ("get", i)

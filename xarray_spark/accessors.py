@@ -55,10 +55,55 @@ class StringAccessor(_Accessor):
         return self._wrap(F.trim(self._c) if to_strip is None else F.expr(f"trim(BOTH '{to_strip}' FROM {self.da.name})"))
     def lstrip(self): return self._wrap(F.ltrim(self._c))
     def rstrip(self): return self._wrap(F.rtrim(self._c))
-    def get(self, i: int): return self._wrap(F.substring(self._c, i + 1, 1))
-    def slice(self, start=0, stop=None):
-        length = (stop - start) if stop is not None else 1 << 30
-        return self._wrap(F.substring(self._c, start + 1, length))
+    def get(self, i: int, default: str = ""):
+        """Character at position i, Python indexing incl. negative;
+        out-of-range → default (reference accessor_str.py:324)."""
+        c = self._c
+        if i >= 0:
+            ch = F.substring(c, i + 1, 1)
+        else:
+            ch = F.when(F.length(c) >= -i, F.substring(c, i, 1)) \
+                 .otherwise(F.lit(""))
+        return self._wrap(F.when(ch == "", F.lit(default)).otherwise(ch))
+
+    def slice(self, start=None, stop=None, step=None):
+        """Python slice semantics per element — negative indices, both
+        defaults, and step (reference accessor_str.py:356).  step==1 is
+        one substring; other steps walk an index sequence, still fully
+        JVM-side."""
+        c = self._c
+        L = F.length(c)
+        stp = 1 if step is None else int(step)
+        if stp == 0:
+            raise ValueError("slice step cannot be zero")
+
+        def norm(idx, default, lo_clamp, hi_clamp):
+            # Python slice.indices(): negatives offset from the end,
+            # then clamp into [lo_clamp, hi_clamp]
+            if idx is None:
+                return default
+            if idx < 0:
+                return F.greatest(L + idx, lo_clamp)
+            return F.least(F.lit(idx), hi_clamp)
+
+        if stp > 0:
+            s = norm(start, F.lit(0), F.lit(0), L)
+            e = norm(stop, L, F.lit(0), L)
+            if stp == 1:
+                ln = F.greatest(e - s, F.lit(0))
+                return self._wrap(
+                    F.substring(c, (s + 1).cast("int"), ln.cast("int")))
+            idx = F.when(e > s, F.sequence(
+                s.cast("int"), (e - 1).cast("int"), F.lit(stp))
+            ).otherwise(F.array().cast("array<int>"))
+        else:
+            s = norm(start, L - 1, F.lit(-1), L - 1)
+            e = norm(stop, F.lit(-1), F.lit(-1), L - 1)
+            idx = F.when(s > e, F.sequence(
+                s.cast("int"), (e + 1).cast("int"), F.lit(stp))
+            ).otherwise(F.array().cast("array<int>"))
+        picked = F.transform(idx, lambda i: F.substring(c, i + F.lit(1), F.lit(1)))
+        return self._wrap(F.array_join(picked, ""))
     def startswith(self, pat: str): return self._wrap(self._c.startswith(pat))
     def endswith(self, pat: str): return self._wrap(self._c.endswith(pat))
     def contains(self, pat: str, regex: bool = True):
