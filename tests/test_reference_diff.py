@@ -1607,3 +1607,40 @@ def test_str_slice_grid_matches_reference(spark):
         exp = ref.str.get(i, "?").values.tolist()
         got = da.str.get(i, "?").to_pandas().sort_values("i")["s"].tolist()
         assert got == exp, ("get", i)
+
+
+def test_str_partition_split_wrap_translate_match_reference(spark):
+    """Wave 14b: partition/rpartition (Python tuple semantics incl. the
+    no-separator case), whitespace split, split maxsplit tail-merge,
+    textwrap-exact wrap, and maketrans translate."""
+    words = ["Hello World", "ab", "", "  pad  ", "a-b-c-d", "aaa bbb  ccc"]
+    ref = xr.DataArray(np.array(words, dtype="U20"), dims="i")
+    pdf = pd.DataFrame({"i": np.arange(len(words)), "s": words})
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf, "i long, s string"),
+                    dims=["i"])
+    unstruct = lambda x: list(x.values()) if isinstance(x, dict) else list(x)  # noqa: E731
+    for sep in ["-", " "]:
+        got = [unstruct(x) for x in
+               da.str.partition(sep).to_pandas().sort_values("i")["s"]]
+        assert got == [list(w.partition(sep)) for w in words], sep
+        got = [unstruct(x) for x in
+               da.str.rpartition(sep).to_pandas().sort_values("i")["s"]]
+        assert got == [list(w.rpartition(sep)) for w in words], sep
+    got = [list(x) for x in da.str.split().to_pandas().sort_values("i")["s"]]
+    assert got == [w.split() for w in words]
+    for ms in [0, 1, 2]:
+        got = [list(x) for x in da.str.split("-", maxsplit=ms)
+               .to_pandas().sort_values("i")["s"]]
+        assert got == [w.split("-", ms) for w in words], ms
+    exp = ref.str.wrap(5).values.tolist()
+    got = da.str.wrap(5).to_pandas().sort_values("i")["s"].tolist()
+    assert got == exp
+    tbl = str.maketrans({"a": "X", "b": None, "-": "__"})
+    exp = ref.str.translate(tbl).values.tolist()
+    got = da.str.translate(tbl).to_pandas().sort_values("i")["s"].tolist()
+    assert got == exp
+    # index raises (at execution time, lazily) on a miss — find doesn't
+    with pytest.raises(Exception, match="not found"):
+        da.str.index("zzz").to_pandas()
+    assert da.str.find("zzz").to_pandas()["s"].tolist() == [-1] * len(words)

@@ -118,9 +118,30 @@ class StringAccessor(_Accessor):
         return self._wrap(F.regexp_extract(self._c, pat, group))
     def findall(self, pat: str):
         return self._wrap(F.expr(f"regexp_extract_all({self.da.name}, '{pat}')"))
-    def split(self, sep: str, regex: bool = False):
-        pat = sep if regex else "\\Q" + sep + "\\E"
-        return self._wrap(F.split(self._c, pat))
+    def split(self, sep: str | None = None, regex: bool = False,
+              maxsplit: int = -1):
+        """Split into an array column.  ``sep=None`` is Python
+        whitespace splitting (runs collapse, empty → []); the reference
+        API puts a new-dim name first (accessor_str.py:2536) — long
+        form keeps the array column instead (documented divergence)."""
+        c = self._c
+        if sep is None:
+            t = F.trim(c)
+            parts = F.when(t == "", F.array().cast("array<string>")) \
+                     .otherwise(F.split(t, "\\s+"))
+            joiner = " "
+        else:
+            pat = sep if regex else "\\Q" + sep + "\\E"
+            parts = F.split(c, pat)
+            joiner = sep if not regex else " "
+        if maxsplit >= 0:
+            n = F.size(parts)
+            merged = F.array_join(
+                F.slice(parts, maxsplit + 1,
+                        F.greatest(n - maxsplit, F.lit(0))), joiner)
+            parts = F.when(n <= maxsplit + 1, parts).otherwise(
+                F.concat(F.slice(parts, 1, maxsplit), F.array(merged)))
+        return self._wrap(parts)
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
         """No-truncate padding: Spark's lpad/rpad TRUNCATE strings
         longer than width; Python's rjust/ljust/center (what the
@@ -140,7 +161,23 @@ class StringAccessor(_Accessor):
     def ljust(self, width: int, fillchar: str = " "): return self.pad(width, "right", fillchar)
     def rjust(self, width: int, fillchar: str = " "): return self.pad(width, "left", fillchar)
     def repeat(self, n: int): return self._wrap(F.repeat(self._c, n))
-    def translate(self, frm: str, to: str): return self._wrap(F.translate(self._c, frm, to))
+    def translate(self, frm, to: str | None = None):
+        """Two forms: SQL-style (frm, to) char maps → F.translate; the
+        reference's dict table (accessor_str.py:1673, str.translate
+        semantics incl. deletions and multi-char targets) → Arrow UDF."""
+        if to is not None:
+            return self._wrap(F.translate(self._c, frm, to))
+        table = {}
+        for k, v in dict(frm).items():
+            key = k if isinstance(k, int) else ord(k)
+            table[key] = v
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _tr(s: pd.Series) -> pd.Series:
+            return s.map(lambda x: x.translate(table) if x is not None else None)
+
+        return self._wrap(_tr(self._c))
     def cat(self, other: str, sep: str = ""):
         return self._wrap(F.concat_ws(sep, self._c, F.col(other) if isinstance(other, str) else other))
     def isalpha(self): return self._wrap(self._c.rlike("^[A-Za-z]+$"))
@@ -151,6 +188,20 @@ class StringAccessor(_Accessor):
     def isupper(self): return self._wrap((self._c == F.upper(self._c)) & self._c.rlike("[A-Za-z]"))
     def islower(self): return self._wrap((self._c == F.lower(self._c)) & self._c.rlike("[A-Za-z]"))
     def find(self, sub: str): return self._wrap(F.instr(self._c, sub) - 1)
+    def index(self, sub: str):
+        """find that raises on a miss (accessor_str.py:1793) — the
+        raise happens at execution time (lazy engine)."""
+        pos = F.instr(self._c, sub) - 1
+        return self._wrap(F.when(
+            pos < 0, F.raise_error(F.lit(f"substring {sub!r} not found"))
+        ).otherwise(pos))
+    def rindex(self, sub: str):
+        c = self._c
+        rpos = F.instr(F.reverse(c), sub[::-1])
+        pos = F.length(c) - rpos - F.lit(len(sub)) + 1
+        return self._wrap(F.when(
+            rpos == 0, F.raise_error(F.lit(f"substring {sub!r} not found"))
+        ).otherwise(pos))
     def encode(self, charset: str = "UTF-8"): return self._wrap(F.encode(self._c, charset))
     def decode(self, charset: str = "UTF-8"): return self._wrap(F.decode(self._c, charset))
     def partition(self, sep: str):
@@ -158,7 +209,9 @@ class StringAccessor(_Accessor):
         q = "\\Q" + sep + "\\E"
         return self._wrap(
             F.struct(
-                F.regexp_extract(c, f"^(.*?){q}", 1).alias("head"),
+                # Python partition: no separator → (whole, '', '')
+                F.when(c.contains(sep), F.regexp_extract(c, f"^(.*?){q}", 1))
+                 .otherwise(c).alias("head"),
                 F.when(c.contains(sep), F.lit(sep)).otherwise(F.lit("")).alias("sep"),
                 F.when(c.contains(sep), F.regexp_replace(c, f"^.*?{q}", "")).otherwise(F.lit("")).alias("tail"),
             )
@@ -176,14 +229,21 @@ class StringAccessor(_Accessor):
             )
         )
 
-    def wrap(self, width: int):
-        """Greedy line wrap at ``width`` columns, newline-joined
-        (core/accessor_str.py:1645 textwrap semantics for simple
-        space-separated text): inject a break before the word that would
-        overflow — a regex pass, no Python."""
-        # match up to `width` chars ending at a word boundary, then a space
-        pat = f"(\\S[^\\n]{{0,{max(width - 1, 0)}}})(?: +|$)"
-        return self._wrap(F.regexp_replace(F.regexp_replace(self._c, pat, "$1\n"), "\n$", ""))
+    def wrap(self, width: int, **kwargs):
+        """Paragraph wrap (core/accessor_str.py:1645).  The reference
+        delegates to textwrap.TextWrapper — whose hyphen/whitespace
+        rules a regex cannot reproduce — so this is the exact thing,
+        Arrow-batched."""
+        import textwrap
+
+        from pyspark.sql.functions import pandas_udf
+        tw = textwrap.TextWrapper(width=width, **kwargs)
+
+        @pandas_udf("string")
+        def _wrapf(s: pd.Series) -> pd.Series:
+            return s.map(lambda x: "\n".join(tw.wrap(x)) if x is not None else None)
+
+        return self._wrap(_wrapf(self._c))
 
     def normalize(self, form: str = "NFC"):
         """Unicode normalization (core/accessor_str.py:671) — no JVM
