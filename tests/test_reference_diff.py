@@ -1644,3 +1644,31 @@ def test_str_partition_split_wrap_translate_match_reference(spark):
     with pytest.raises(Exception, match="not found"):
         da.str.index("zzz").to_pandas()
     assert da.str.find("zzz").to_pandas()["s"].tolist() == [-1] * len(words)
+
+
+def test_dt_field_sweep_matches_reference(spark):
+    """Wave 14c: every shared dt accessor field vs the reference on a
+    microsecond-bearing, year-crossing series (accessor_dt.py)."""
+    times = pd.date_range("1999-11-25 13:45:05.123456", periods=40,
+                          freq="37h41min7s")
+    ref = xr.DataArray(times, dims="i")
+    pdf = pd.DataFrame({"i": np.arange(40), "v": times})
+    from xarray_spark.dataset import XDataArray
+    da = XDataArray(spark.createDataFrame(pdf), dims=["i"])
+    props = ["year", "month", "day", "hour", "minute", "second",
+             "microsecond", "nanosecond", "dayofweek", "weekday",
+             "dayofyear", "quarter", "days_in_month", "daysinmonth",
+             "is_month_start", "is_month_end", "is_quarter_start",
+             "is_quarter_end", "is_year_start", "is_year_end",
+             "is_leap_year", "date", "time", "day_of_year", "day_of_week"]
+    for p in props:
+        if not (hasattr(ref.dt, p) and hasattr(da.dt, p)):
+            continue
+        exp = getattr(ref.dt, p).values
+        got = (getattr(da.dt, p).to_pandas().sort_values("i")["v"]
+               .to_numpy())
+        if exp.dtype.kind in "iufb":
+            np.testing.assert_array_equal(got.astype("float64"),
+                                          exp.astype("float64"), err_msg=p)
+        else:
+            assert [str(g) for g in got] == [str(e) for e in exp], p

@@ -474,7 +474,15 @@ class DatetimeAccessor(_Accessor):
     @property
     def date(self): return self._wrap(F.to_date(self._c))
     @property
-    def time(self): return self._wrap(F.date_format(self._c, "HH:mm:ss"))
+    def time(self):
+        """Wall-clock time as a string (Spark has no TIME type);
+        str(datetime.time) form — fraction only when micros != 0,
+        matching the reference's time objects rendered to str."""
+        c = self._c
+        has_us = F.date_format(c, "SSSSSS") != "000000"
+        return self._wrap(
+            F.when(has_us, F.date_format(c, "HH:mm:ss.SSSSSS"))
+            .otherwise(F.date_format(c, "HH:mm:ss")))
     @property
     def season(self):
         m = F.month(self._c)
