@@ -1672,3 +1672,59 @@ def test_dt_field_sweep_matches_reference(spark):
                                           exp.astype("float64"), err_msg=p)
         else:
             assert [str(g) for g in got] == [str(e) for e in exp], p
+
+
+# ------------------------------------------------------------------ #
+# wave 15: IEEE float semantics — division family, ufunc corner grid
+# ------------------------------------------------------------------ #
+def test_division_ieee_semantics_match_reference(spark):
+    """Wave 15: x/0 → ±inf, 0/0 → nan, % floored like Python — the
+    reference computes with numpy floats; Spark's raw `/` and `%`
+    ERROR under ANSI mode (Spark 4 default) or yield NULL."""
+    a = np.array([1.0, 0.0, -3.0, 7.0, -7.0, 5.5])
+    b = np.array([0.0, 0.0, 0.0, 2.0, 3.0, -3.0])
+    ra = xr.DataArray(a, dims="t")
+    rb = xr.DataArray(b, dims="t")
+    pdf_a = pd.DataFrame({"t": np.arange(6), "v": a})
+    pdf_b = pd.DataFrame({"t": np.arange(6), "v": b})
+    da = XDataset(spark.createDataFrame(pdf_a), dims=["t"])
+    db = XDataset(spark.createDataFrame(pdf_b), dims=["t"])
+    with np.errstate(all="ignore"):
+        for op in ("__truediv__", "__mod__", "__floordiv__"):
+            exp = getattr(ra, op)(rb).values
+            got = (getattr(da, op)(db).to_pandas().sort_values("t")["v"]
+                   .to_numpy())
+            np.testing.assert_allclose(got, exp, equal_nan=True, err_msg=op)
+
+
+def test_ufunc_corner_grid_matches_numpy(spark):
+    """Wave 15: ufunc corners vs numpy — log family at 0 (-inf),
+    ceil/floor/trunc at ±inf, NaN propagation of maximum/minimum vs
+    the NaN-skipping fmax/fmin, copysign at ±0, stable logaddexp."""
+    import xarray_spark.ufuncs as xu
+    vals = np.array([-2.7, -1.0, -0.0, 0.0, 0.5, 2.7, np.inf, -np.inf])
+    pdf = pd.DataFrame({"t": np.arange(len(vals)), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    with np.errstate(all="ignore"):
+        for name in ("log", "log10", "log2", "log1p", "ceil", "floor",
+                     "trunc", "reciprocal", "sign", "sqrt"):
+            exp = getattr(np, name)(vals).astype("float64")
+            got = (getattr(xu, name)(ds).to_pandas().sort_values("t")["v"]
+                   .to_numpy().astype("float64"))
+            np.testing.assert_allclose(got, exp, rtol=1e-12,
+                                       equal_nan=True, err_msg=name)
+        a = np.array([5.0, np.nan, 2.0, np.nan, 3.0, -3.0, 800.0])
+        b = np.array([3.0, 2.0, np.nan, np.nan, -0.0, 0.0, 801.0])
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"t": np.arange(len(a)), "a": a, "b": b}))
+        from pyspark.sql import functions as F
+        for name in ("maximum", "minimum", "fmax", "fmin", "copysign",
+                     "logaddexp", "fmod", "mod", "floor_divide"):
+            exp = getattr(np, name)(a, b).astype("float64")
+            expr = getattr(xu, name)(F.col("a"), F.col("b"))
+            got = np.array([np.nan if r["r"] is None else r["r"]
+                            for r in sdf.orderBy("t")
+                            .select(expr.cast("double").alias("r"))
+                            .collect()])
+            np.testing.assert_allclose(got, exp, rtol=1e-12,
+                                       equal_nan=True, err_msg=name)

@@ -137,3 +137,51 @@ def parse_iso8601_prefix(s: str):
         return start, start + dt.timedelta(seconds=1), "second"
     except ValueError:
         return None
+
+
+def is_negative(col: Column) -> Column:
+    """True for negatives INCLUDING -0.0 (detected via the string
+    render — Spark has no signbit builtin)."""
+    d = col.cast("double")
+    return (d < 0) | ((d == 0) & d.cast("string").startswith("-"))
+
+
+def ieee_div(a: Column, b: Column) -> Column:
+    """IEEE-754 float division (numpy semantics): x/0 → ±inf, 0/0 and
+    nan/0 → nan.  Spark's `/` ERRORS on a zero divisor under ANSI mode
+    (the Spark 4 default) and yields NULL otherwise — neither is what a
+    reference user gets.  CASE branches evaluate lazily per row, so the
+    raw division never sees a zero divisor."""
+    ad, bd = a.cast("double"), b.cast("double")
+    zero_b = bd == 0
+    nan_out = F.isnan(ad) | (ad == 0)
+    sign_neg = is_negative(ad) != is_negative(bd)
+    return (
+        F.when(zero_b & nan_out, F.lit(float("nan")))
+        .when(zero_b, F.when(sign_neg, F.lit(float("-inf")))
+              .otherwise(F.lit(float("inf"))))
+        .otherwise(ad / bd)
+    )
+
+
+def ieee_mod(a: Column, b: Column) -> Column:
+    """numpy mod / Python %: floored division remainder (sign follows
+    the DIVISOR); x % 0 → nan instead of an ANSI error."""
+    ad, bd = a.cast("double"), b.cast("double")
+    return F.when(bd == 0, F.lit(float("nan"))) \
+            .otherwise(ad - F.floor(ad / bd) * bd)
+
+
+def ieee_fmod(a: Column, b: Column) -> Column:
+    """C fmod (sign follows the DIVIDEND — Spark's native %);
+    x fmod 0 → nan instead of an ANSI error."""
+    ad, bd = a.cast("double"), b.cast("double")
+    return F.when(bd == 0, F.lit(float("nan"))).otherwise(ad % bd)
+
+
+def ieee_floor(c: Column) -> Column:
+    """floor that passes ±inf/nan through as doubles (SQL FLOOR returns
+    BIGINT, overflowing on ±inf)."""
+    d = c.cast("double")
+    return F.when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), d) \
+            .otherwise(F.floor(d).cast("double"))

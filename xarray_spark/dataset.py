@@ -1743,11 +1743,22 @@ class XDataset:
     def __rsub__(self, o): return self._binary_op(o, lambda a, b: a - b, True)
     def __mul__(self, o): return self._binary_op(o, lambda a, b: a * b)
     def __rmul__(self, o): return self._binary_op(o, lambda a, b: a * b, True)
-    def __truediv__(self, o): return self._binary_op(o, lambda a, b: a / b)
-    def __rtruediv__(self, o): return self._binary_op(o, lambda a, b: a / b, True)
+    # division family uses numpy float semantics (x/0 → ±inf, 0/0 → nan,
+    # % floored like Python) — Spark's raw operators error under ANSI
+    def __truediv__(self, o):
+        from xarray_spark._utils import ieee_div
+        return self._binary_op(o, ieee_div)
+    def __rtruediv__(self, o):
+        from xarray_spark._utils import ieee_div
+        return self._binary_op(o, ieee_div, True)
     def __pow__(self, o): return self._binary_op(o, lambda a, b: F.pow(a, b))
-    def __mod__(self, o): return self._binary_op(o, lambda a, b: a % b)
-    def __floordiv__(self, o): return self._binary_op(o, lambda a, b: F.floor(a / b))
+    def __mod__(self, o):
+        from xarray_spark._utils import ieee_mod
+        return self._binary_op(o, ieee_mod)
+    def __floordiv__(self, o):
+        from xarray_spark._utils import ieee_div
+        from xarray_spark._utils import ieee_floor
+        return self._binary_op(o, lambda a, b: ieee_floor(ieee_div(a, b)))
     def __neg__(self): return self._binary_op(-1, lambda a, b: a * b)
     def __abs__(self): return self.map(F.abs)
     def __lt__(self, o): return self._binary_op(o, lambda a, b: a < b)

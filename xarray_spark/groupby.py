@@ -319,7 +319,8 @@ class XGroupBy:
 
     def __truediv__(self, other):
         if isinstance(other, XDataset):
-            return self._binary_with_agg(other, lambda a, b: a / b)
+            from xarray_spark._utils import ieee_div
+            return self._binary_with_agg(other, ieee_div)
         return NotImplemented
 
     def fillna(self, value) -> XDataset:

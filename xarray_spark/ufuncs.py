@@ -14,6 +14,11 @@ from typing import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from xarray_spark._utils import ieee_div as _ieee_div
+from xarray_spark._utils import ieee_floor as _ieee_floor
+from xarray_spark._utils import ieee_fmod as _ieee_fmod
+from xarray_spark._utils import ieee_mod as _ieee_mod
+from xarray_spark._utils import is_negative as _is_neg
 from xarray_spark.dataset import XDataset
 
 
@@ -41,15 +46,31 @@ arcsinh = _mk(F.asinh); arccosh = _mk(F.acosh); arctanh = _mk(F.atanh)
 exp = _mk(F.exp)
 expm1 = _mk(F.expm1)
 exp2 = _mk(lambda c: F.pow(F.lit(2.0), c))
-log = _mk(F.log)
-log10 = _mk(F.log10)
-log2 = _mk(F.log2)
-log1p = _mk(F.log1p)
-logaddexp = lambda a, b: F.log(F.exp(a) + F.exp(b))  # noqa: E731
+# Spark log(0) yields NULL where numpy yields -inf (and NULL for
+# negatives where numpy yields nan — nan is what NULL round-trips to,
+# so only the zero case needs a guard)
+_NEG_INF = float("-inf")
+log = _mk(lambda c: F.when(c == 0, F.lit(_NEG_INF)).otherwise(F.log(c)))
+log10 = _mk(lambda c: F.when(c == 0, F.lit(_NEG_INF)).otherwise(F.log10(c)))
+log2 = _mk(lambda c: F.when(c == 0, F.lit(_NEG_INF)).otherwise(F.log2(c)))
+log1p = _mk(lambda c: F.when(c == -1, F.lit(_NEG_INF)).otherwise(F.log1p(c)))
+# numerically stable form (the naive log(e^a + e^b) overflows ~709)
+logaddexp = lambda a, b: F.greatest(a, b) + F.log1p(F.exp(-F.abs(a - b)))  # noqa: E731
+
+
+def _int_round_guard(fn):
+    # SQL floor/ceil return BIGINT, which overflows on ±inf and drops
+    # nan; numpy keeps them as floats
+    def g(c):
+        d = c.cast("double")
+        return F.when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), d) \
+                .otherwise(fn(c).cast("double"))
+    return g
+
 
 # rounding
-ceil = _mk(F.ceil); floor = _mk(F.floor)
-trunc = _mk(lambda c: c.cast("long"))
+ceil = _mk(_int_round_guard(F.ceil)); floor = _mk(_int_round_guard(F.floor))
+trunc = _mk(_int_round_guard(lambda c: c.cast("long")))
 rint = _mk(F.bround)
 round = _mk(F.round)  # noqa: A001
 
@@ -57,7 +78,7 @@ round = _mk(F.round)  # noqa: A001
 sqrt = _mk(F.sqrt)
 cbrt = _mk(F.cbrt)
 square = _mk(lambda c: c * c)
-reciprocal = _mk(lambda c: F.lit(1.0) / c)
+reciprocal = _mk(lambda c: _ieee_div(F.lit(1.0), c))
 hypot = lambda a, b: F.hypot(a, b)  # noqa: E731
 power = lambda a, b: F.pow(a, b)  # noqa: E731
 
@@ -67,7 +88,7 @@ fabs = _mk(F.abs)
 sign = _mk(F.signum)
 negative = _mk(lambda c: -c)
 positive = _mk(lambda c: c)
-copysign = lambda a, b: F.abs(a) * F.signum(b)  # noqa: E731
+copysign = lambda a, b: F.when(_is_neg(b), -F.abs(a)).otherwise(F.abs(a))  # noqa: E731
 
 # predicates
 isnan = _mk(F.isnan)
@@ -75,11 +96,19 @@ isnull = _mk(lambda c: c.isNull())
 isfinite = _mk(lambda c: c.isNotNull() & ~F.isnan(c.cast("double")) & (F.abs(c.cast("double")) != F.lit(float("inf"))))
 isinf = _mk(lambda c: F.abs(c.cast("double")) == F.lit(float("inf")))
 
-# comparison
-maximum = lambda a, b: F.greatest(a, b)  # noqa: E731
-minimum = lambda a, b: F.least(a, b)  # noqa: E731
-fmax = maximum
-fmin = minimum
+# comparison — numpy maximum/minimum PROPAGATE NaN, fmax/fmin SKIP it.
+# Spark orders NaN as the largest double, so greatest propagates-by-
+# accident but least silently skips: both spelled out explicitly.
+def _nan(c):
+    # pandas/Arrow NaN lands as Spark NULL — both mean NaN here
+    d = c.cast("double")
+    return d.isNull() | F.isnan(d)
+
+
+maximum = lambda a, b: F.when(_nan(a) | _nan(b), F.lit(float("nan"))).otherwise(F.greatest(a, b))  # noqa: E731
+minimum = lambda a, b: F.when(_nan(a) | _nan(b), F.lit(float("nan"))).otherwise(F.least(a, b))  # noqa: E731
+fmax = lambda a, b: F.when(_nan(a), b).when(_nan(b), a).otherwise(F.greatest(a, b))  # noqa: E731
+fmin = lambda a, b: F.when(_nan(a), b).when(_nan(b), a).otherwise(F.least(a, b))  # noqa: E731
 
 # logical
 logical_and = lambda a, b: a & b  # noqa: E731
@@ -97,11 +126,13 @@ left_shift = lambda a, b: F.shiftleft(a, b)  # noqa: E731
 right_shift = lambda a, b: F.shiftright(a, b)  # noqa: E731
 bitwise_count = _mk(F.bit_count)
 
-# float structure
-fmod = lambda a, b: a % b  # noqa: E731
-mod = fmod
-remainder = lambda a, b: a - F.floor(a / b) * b  # noqa: E731
-floor_divide = lambda a, b: F.floor(a / b)  # noqa: E731
+# float structure — numpy sign rules: fmod follows the DIVIDEND,
+# mod/remainder (floored) follow the DIVISOR; all give nan on a zero
+# divisor instead of Spark's ANSI error
+fmod = _ieee_fmod
+mod = _ieee_mod
+remainder = _ieee_mod
+floor_divide = lambda a, b: _ieee_floor(_ieee_div(a, b))  # noqa: E731
 ldexp = lambda a, b: a * F.pow(F.lit(2.0), b)  # noqa: E731
 
 # degrees / radians
