@@ -1728,3 +1728,25 @@ def test_ufunc_corner_grid_matches_numpy(spark):
                             .collect()])
             np.testing.assert_allclose(got, exp, rtol=1e-12,
                                        equal_nan=True, err_msg=name)
+
+
+def test_round_half_even_and_unicode_predicates_match_reference(spark):
+    """Wave 15b: np.round is banker's rounding; str predicates are
+    Unicode character classes, not ASCII ranges."""
+    vals = np.array([0.5, 1.5, 2.5, -0.5, -1.5, 3.5])
+    ref = xr.DataArray(vals, dims="t").round()
+    pdf = pd.DataFrame({"t": np.arange(len(vals)), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    np.testing.assert_allclose(
+        ds.round().to_pandas().sort_values("t")["v"].to_numpy(), ref.values)
+    words = ["abc", "épée", "Ω", "１２３", "½", "³", "ABC", "Épée", ""]
+    from xarray_spark.dataset import XDataArray
+    pdf2 = pd.DataFrame({"i": np.arange(len(words)), "s": words})
+    da = XDataArray(spark.createDataFrame(pdf2, "i long, s string"),
+                    dims=["i"])
+    for meth in ("isalpha", "isdigit", "isdecimal", "isnumeric",
+                 "isalnum", "isupper", "islower"):
+        exp = [getattr(w, meth)() for w in words]
+        got = [bool(x) for x in
+               getattr(da.str, meth)().to_pandas().sort_values("i")["s"]]
+        assert got == exp, meth

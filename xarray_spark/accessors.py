@@ -180,13 +180,20 @@ class StringAccessor(_Accessor):
         return self._wrap(_tr(self._c))
     def cat(self, other: str, sep: str = ""):
         return self._wrap(F.concat_ws(sep, self._c, F.col(other) if isinstance(other, str) else other))
-    def isalpha(self): return self._wrap(self._c.rlike("^[A-Za-z]+$"))
-    def isdigit(self): return self._wrap(self._c.rlike("^[0-9]+$"))
-    def isdecimal(self): return self._wrap(self._c.rlike("^[0-9]+$"))
-    def isalnum(self): return self._wrap(self._c.rlike("^[A-Za-z0-9]+$"))
+    # Unicode character classes via Java regex properties (Python's
+    # str predicates are Unicode-aware; [A-Za-z0-9] is not).  The
+    # superscript/subscript digits are spelled out — Python isdigit
+    # includes Numeric_Type=Digit code points that \p{Nd} misses.
+    # Known approximation: ideographic numerals (Numeric_Type on Lo
+    # chars, e.g. 一) count for Python isnumeric but not \p{N}.
+    _SUPSUB = "²³¹⁰-⁹₀-₉"
+    def isalpha(self): return self._wrap(self._c.rlike("^\\p{L}+$"))
+    def isdigit(self): return self._wrap(self._c.rlike(f"^[\\p{{Nd}}{self._SUPSUB}]+$"))
+    def isdecimal(self): return self._wrap(self._c.rlike("^\\p{Nd}+$"))
+    def isalnum(self): return self._wrap(self._c.rlike(f"^[\\p{{L}}\\p{{N}}{self._SUPSUB}]+$"))
     def isspace(self): return self._wrap(self._c.rlike("^\\s+$"))
-    def isupper(self): return self._wrap((self._c == F.upper(self._c)) & self._c.rlike("[A-Za-z]"))
-    def islower(self): return self._wrap((self._c == F.lower(self._c)) & self._c.rlike("[A-Za-z]"))
+    def isupper(self): return self._wrap((self._c == F.upper(self._c)) & self._c.rlike("\\p{L}"))
+    def islower(self): return self._wrap((self._c == F.lower(self._c)) & self._c.rlike("\\p{L}"))
     def find(self, sub: str): return self._wrap(F.instr(self._c, sub) - 1)
     def index(self, sub: str):
         """find that raises on a miss (accessor_str.py:1793) — the
@@ -285,8 +292,10 @@ class StringAccessor(_Accessor):
             self._c.rlike("^([A-Z][a-z]*)(\\s+[A-Z][a-z]*)*$")
         )
 
-    def isnumeric(self): return self._wrap(self._c.rlike("^[0-9]+$"))
-    isdecimal = isnumeric
+    def isnumeric(self):
+        # \p{N} = Nd+Nl+No (fractions, roman numerals, circled digits);
+        # ideographic-numeral Lo chars are the documented approximation
+        return self._wrap(self._c.rlike(f"^[\\p{{N}}{self._SUPSUB}]+$"))
 
     def index(self, sub: str):
         """find() that errors on absence (accessor_str.py:1793 .index) —

@@ -1861,7 +1861,9 @@ class XDataset:
         return self.map(lambda c: c.cast(dtype))
 
     def round(self, decimals: int = 0) -> "XDataset":
-        return self.map(lambda c: F.round(c, decimals))
+        # np.round is banker's rounding (half to even) — Spark's round
+        # is half-up; bround is the half-even form
+        return self.map(lambda c: F.bround(c, decimals))
 
     # ------------------------------------------------------------------ #
     # groupby / resample / rolling / coarsen — implemented in sibling

@@ -72,7 +72,7 @@ def _int_round_guard(fn):
 ceil = _mk(_int_round_guard(F.ceil)); floor = _mk(_int_round_guard(F.floor))
 trunc = _mk(_int_round_guard(lambda c: c.cast("long")))
 rint = _mk(F.bround)
-round = _mk(F.round)  # noqa: A001
+round = _mk(F.bround)  # noqa: A001  # np.round = half to even, not half-up
 
 # powers / roots
 sqrt = _mk(F.sqrt)
