@@ -1857,8 +1857,10 @@ class XDataset:
         return self.map(e)
 
     def astype(self, dtype: str) -> "XDataset":
-        """Cast every data var (xarray/core/common.py:1409)."""
-        return self.map(lambda c: c.cast(dtype))
+        """Cast every data var (xarray/core/common.py:1409).  try_cast:
+        NaN→int is platform garbage in numpy and a runtime ERROR under
+        Spark ANSI — NULL (the engine's NaN) is the sane rendering."""
+        return self.map(lambda c: c.try_cast(dtype))
 
     def round(self, decimals: int = 0) -> "XDataset":
         # np.round is banker's rounding (half to even) — Spark's round
