@@ -1750,3 +1750,55 @@ def test_round_half_even_and_unicode_predicates_match_reference(spark):
         got = [bool(x) for x in
                getattr(da.str, meth)().to_pandas().sort_values("i")["s"]]
         assert got == exp, meth
+
+
+# ------------------------------------------------------------------ #
+# wave 16: resample closed/label/offset + end-anchored ME
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize("closed,label", [("left", "left"), ("left", "right"),
+                                          ("right", "left"), ("right", "right")])
+def test_resample_closed_label_match_reference(spark, closed, label):
+    """Wave 16: the closed/label bin-edge matrix on a fixed-width freq
+    (reference groupers.py:474 TimeResampler params)."""
+    times = pd.date_range("2001-01-01", periods=50, freq="150min")
+    vals = RNG.randn(50).round(6)
+    exp = (xr.DataArray(vals, dims="time", coords={"time": times})
+           .resample(time="6h", closed=closed, label=label).sum())
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    gp = (ds.resample(time="6h", closed=closed, label=label).sum()
+          .to_pandas().sort_values("time"))
+    np.testing.assert_array_equal(
+        gp["time"].to_numpy().astype("datetime64[us]"),
+        exp["time"].values.astype("datetime64[us]"))
+    np.testing.assert_allclose(gp["v"].to_numpy(), exp.values, rtol=1e-9)
+
+
+def test_resample_offset_matches_reference(spark):
+    times = pd.date_range("2001-01-01", periods=50, freq="150min")
+    vals = RNG.randn(50).round(6)
+    exp = (xr.DataArray(vals, dims="time", coords={"time": times})
+           .resample(time="6h", offset="1h30min").sum())
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    gp = (ds.resample(time="6h", offset="1h30min").sum()
+          .to_pandas().sort_values("time"))
+    np.testing.assert_array_equal(
+        gp["time"].to_numpy().astype("datetime64[us]"),
+        exp["time"].values.astype("datetime64[us]"))
+    np.testing.assert_allclose(gp["v"].to_numpy(), exp.values, rtol=1e-9)
+
+
+def test_resample_month_end_matches_reference(spark):
+    """Wave 16: 'ME' — right-closed month bins labeled at month ends."""
+    times = pd.date_range("2001-01-28", periods=40, freq="31h")
+    vals = RNG.randn(40).round(6)
+    exp = (xr.DataArray(vals, dims="time", coords={"time": times})
+           .resample(time="ME").sum())
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    gp = (ds.resample(time="ME").sum().to_pandas().sort_values("time"))
+    np.testing.assert_array_equal(
+        gp["time"].to_numpy().astype("datetime64[us]"),
+        exp["time"].values.astype("datetime64[us]"))
+    np.testing.assert_allclose(gp["v"].to_numpy(), exp.values, rtol=1e-9)

@@ -1881,11 +1881,14 @@ class XDataset:
         from xarray_spark.groupers import BinGrouper
         return self.groupby(**{group: BinGrouper(bins=bins, labels=labels, right=right)})
 
-    def resample(self, indexer: Mapping[str, str] | None = None, **kw):
+    def resample(self, indexer: Mapping[str, str] | None = None,
+                 closed: str | None = None, label: str | None = None,
+                 offset=None, **kw):
         from xarray_spark.resample import XResample
         indexer = {**(indexer or {}), **kw}
         (dim, freq), = indexer.items()
-        return XResample(self, dim, freq)
+        return XResample(self, dim, freq, closed=closed, label=label,
+                         offset=offset)
 
     def rolling(self, windows: Mapping[str, int] | None = None, min_periods: int | None = None,
                 center: bool = False, **kw):

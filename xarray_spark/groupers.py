@@ -108,6 +108,19 @@ def _parse_freq(freq: str) -> tuple[int, str]:
     return n, unit
 
 
+def _offset_seconds(off) -> int:
+    """Bin-origin offset → whole seconds (pandas offset string,
+    timedelta, or pd.Timedelta)."""
+    if off is None:
+        return 0
+    import pandas as pd
+    return int(pd.Timedelta(off).total_seconds())
+
+
+#: units whose pandas spelling anchors bins/labels at the period END
+_END_ANCHORED = ("ME", "QE", "YE")
+
+
 @dataclass
 class TimeResampler(Grouper):
     """Time-frequency resampling (xarray/groupers.py:474).
@@ -116,28 +129,63 @@ class TimeResampler(Grouper):
     map to epoch-arithmetic tumbling windows, the same binning
     ``F.window`` produces but keeping the window *start* as the label
     (pandas/xarray resample label convention, closed='left').
+
+    ``closed``/``label``/``offset`` mirror the reference TimeResampler
+    params: fixed-width units (s/min/h/D) honor all three exactly;
+    end-anchored spellings (ME/QE/YE) default to closed/label='right'
+    with month-end labels.  'W' stays the ISO Mon-Sun week (documented
+    divergence from pandas' anchored weeks); modifiers on W raise.
     """
 
     freq: str = "D"
+    closed: str | None = None
+    label: str | None = None
+    offset: str | None = None
 
     def key_expr(self, col: Column) -> Column:
         n, unit = _parse_freq(self.freq)
         trunc = _TRUNC.get(unit)
         if trunc is None:
             raise ValueError(f"unsupported resample freq {self.freq!r}")
-        if n == 1:
-            return F.date_trunc(trunc, col)
+        end_anchored = unit in _END_ANCHORED
+        closed = self.closed or ("right" if end_anchored else "left")
+        label = self.label or ("right" if end_anchored else "left")
+        mods = (closed != "left") or (label != "left") or self.offset
         if trunc in ("month", "quarter", "year"):
-            # n-multiples of calendar units: bucket the month ordinal
+            if self.offset:
+                raise NotImplementedError("offset on calendar-unit freqs")
             months = {"month": 1, "quarter": 3, "year": 12}[trunc] * n
             m0 = (F.year(col) * 12 + F.month(col) - 1)
             start = F.floor(m0 / months) * months
-            return F.make_date(
-                (start / 12).cast("int"), (start % 12 + 1).cast("int"), F.lit(1)
-            ).cast("timestamp")
-        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}[trunc] * n
-        epoch = F.unix_timestamp(col)
-        return F.timestamp_seconds(F.floor(epoch / secs) * secs)
+            start_date = F.make_date(
+                (start / 12).cast("int"), (start % 12 + 1).cast("int"), F.lit(1))
+            # pandas end-anchored bins are plain calendar-block
+            # membership (the whole last day included; the next block
+            # starts exactly at its first midnight) — only the LABEL
+            # moves to the block end
+            if label == "right":
+                return F.last_day(F.add_months(start_date, months - 1)) \
+                        .cast("timestamp")
+            return start_date.cast("timestamp")
+        if trunc == "week":
+            if mods:
+                raise NotImplementedError(
+                    "closed/label/offset on weekly freqs (ISO weeks)")
+            if n == 1:
+                return F.date_trunc(trunc, col)
+        elif n == 1 and not mods:
+            return F.date_trunc(trunc, col)
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                "week": 604800}[trunc] * n
+        off = _offset_seconds(self.offset)
+        e = F.unix_timestamp(col) - F.lit(off)
+        if closed == "right":
+            # bin is (start, start+secs]: a point ON the edge stays left
+            start = (F.ceil(e / F.lit(float(secs))) * secs) - secs
+        else:
+            start = F.floor(e / secs) * secs
+        lab = start + F.lit(secs if label == "right" else 0) + F.lit(off)
+        return F.timestamp_seconds(lab)
 
 
 _SEASON_OF_MONTH = {

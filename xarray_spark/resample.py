@@ -29,8 +29,11 @@ _INTERVAL_PARTS = {
 class XResample(XGroupBy):
     """GroupBy over time buckets + the upsampling verbs."""
 
-    def __init__(self, ds: XDataset, dim: str, freq: str):
-        grouper = TimeResampler(freq)
+    def __init__(self, ds: XDataset, dim: str, freq: str,
+                 closed: str | None = None, label: str | None = None,
+                 offset=None):
+        grouper = TimeResampler(freq, closed=closed, label=label,
+                                offset=offset)
         # the time column consumes the dims it is keyed by: itself if it
         # IS a dim, its carrier dims if it is a coord (same rule as
         # groupby.resolve_groupers / xarray ResolvedGrouper)
@@ -44,6 +47,7 @@ class XResample(XGroupBy):
         super().__init__(ds, keys)
         self._dim = dim
         self._freq = freq
+        self._grouper = grouper
 
     # ---------------------------------------------------------- calendar
 
@@ -57,9 +61,14 @@ class XResample(XGroupBy):
         trunc = _TRUNC.get(unit)
         if trunc is None:
             raise ValueError(f"unsupported freq {self._freq!r}")
+        from xarray_spark.groupers import _END_ANCHORED
+        if unit in _END_ANCHORED:
+            # month-end label runs are not a fixed-interval sequence
+            raise NotImplementedError(
+                "upsampling onto end-anchored (ME/QE/YE) labels")
         mult, base = _INTERVAL_PARTS[trunc]
         interval = f"interval {n * mult} {base}"
-        key = TimeResampler(self._freq).key_expr(F.col(self._dim))
+        key = self._grouper.key_expr(F.col(self._dim))
         bounds = self.ds.df.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         )
