@@ -1802,3 +1802,18 @@ def test_resample_month_end_matches_reference(spark):
         gp["time"].to_numpy().astype("datetime64[us]"),
         exp["time"].values.astype("datetime64[us]"))
     np.testing.assert_allclose(gp["v"].to_numpy(), exp.values, rtol=1e-9)
+
+
+def test_assign_coords_tuple_form_matches_reference(spark):
+    """Wave 16b: assign_coords(k=("t", values)) — positional values
+    along a named dim, the everyday xarray idiom (core/common.py:467)."""
+    vals = [1.0, 2.0, 3.0, 4.0]
+    ref = (xr.DataArray(vals, dims="t")
+           .assign_coords(k=("t", [7, 8, 9, 10]))
+           .groupby("k").sum())
+    pdf = pd.DataFrame({"t": np.arange(4), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    got = (ds.assign_coords(k=("t", np.array([7, 8, 9, 10])))
+           .groupby("k").sum().to_pandas().sort_values("k"))
+    np.testing.assert_array_equal(got["k"].to_numpy(), ref["k"].values)
+    np.testing.assert_allclose(got["v"].to_numpy(), ref.values)

@@ -861,7 +861,29 @@ class XDataset:
     def assign_coords(self, **kwargs) -> "XDataset":
         df = self.df
         coords = dict(self.coords)
+        out = self
         for name, value in kwargs.items():
+            if (isinstance(value, tuple) and len(value) == 2
+                    and not isinstance(value, Column)):
+                # the xarray idiom assign_coords(k=("t", values)):
+                # values are POSITIONAL along the named dim — map them
+                # through the broadcast label table (pos → literal)
+                dims_spec, vals = value
+                dims_spec = ((dims_spec,) if isinstance(dims_spec, str)
+                             else tuple(dims_spec))
+                if len(dims_spec) != 1:
+                    raise NotImplementedError(
+                        "tuple-form coords spanning multiple dims")
+                d = dims_spec[0]
+                lits = [F.lit(v.item() if hasattr(v, "item") else v)
+                        for v in list(vals)]
+                mapping = out._dim_labels(d).select(
+                    F.col(d),
+                    F.element_at(F.array(*lits),
+                                 (F.col("__pos") + 1).cast("int")).alias(name))
+                df = df.drop(name).join(F.broadcast(mapping), on=d, how="left")
+                coords[name] = (d,)
+                continue
             if callable(value) and not isinstance(value, Column):
                 value = value(self)
             if isinstance(value, str):
