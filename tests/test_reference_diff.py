@@ -1817,3 +1817,19 @@ def test_assign_coords_tuple_form_matches_reference(spark):
            .groupby("k").sum().to_pandas().sort_values("k"))
     np.testing.assert_array_equal(got["k"].to_numpy(), ref["k"].values)
     np.testing.assert_allclose(got["v"].to_numpy(), ref.values)
+
+
+def test_attr_access_and_setitem_match_reference(spark):
+    """Wave 16c: ds.varname attribute access and ds[k] = value
+    assignment (incl. the ("dim", values) tuple form) — the everyday
+    xarray mutation surface."""
+    vals = [1.0, 2.0, 3.0, 4.0]
+    ref = xr.DataArray(vals, dims="t", name="v").to_dataset()
+    ref["w"] = ("t", [10.0, 20.0, 30.0, 40.0])
+    exp = (ref.v + ref.w).values
+    pdf = pd.DataFrame({"t": np.arange(4), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    ds["w"] = ("t", [10.0, 20.0, 30.0, 40.0])
+    got = ((ds.v + ds.w).to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp)
+    assert "w" in ds.data_vars

@@ -328,6 +328,41 @@ class XDataset:
             f"data_vars={list(self.data_vars)}>"
         )
 
+    def __getattr__(self, name: str):
+        # xarray attribute access: ds.varname ≡ ds["varname"]
+        # (__getattr__ only fires when normal lookup fails, so the
+        # catalog attributes themselves never route through here)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:  # slotted class: read the catalog without re-entering here
+            names = (object.__getattribute__(self, "data_vars")
+                     + tuple(object.__getattribute__(self, "coords"))
+                     + object.__getattribute__(self, "dims"))
+        except AttributeError:  # mid-__init__
+            raise AttributeError(name) from None
+        if name in names:
+            return self[name]
+        raise AttributeError(name)
+
+    def __setitem__(self, key: str, value) -> None:
+        """In-place variable assignment (xarray Dataset.__setitem__):
+        accepts a Column / scalar / SQL string like assign, or the
+        positional ("dim", values) tuple form."""
+        if (isinstance(value, tuple) and len(value) == 2
+                and not isinstance(value, Column)):
+            new = self.assign_coords(**{key: value})
+            # tuple-form __setitem__ creates a DATA var, not a coord
+            new = new._replace(
+                coords={k: v for k, v in new.coords.items() if k != key},
+                data_vars=list(new.data_vars) + [key])
+        else:
+            new = self.assign(**{key: value})
+        self.df = new.df
+        self.dims = new.dims
+        self.coords = new.coords
+        self.data_vars = new.data_vars
+        self.attrs = new.attrs
+
     def __getitem__(self, name: str) -> "XDataArray":
         if name not in self.data_vars and name not in self.coords and name not in self.dims:
             raise KeyError(name)
