@@ -376,6 +376,15 @@ class XDataset:
         df = self.df.select(*dict.fromkeys(keep))
         return XDataArray(df, self.dims, {}, [name] if name not in self.dims else [name], self.attrs)
 
+    def __delitem__(self, key: str) -> None:
+        """In-place variable removal (xarray Dataset.__delitem__)."""
+        new = self.drop_vars(key)
+        self.df = new.df
+        self.dims = new.dims
+        self.coords = new.coords
+        self.data_vars = new.data_vars
+        self.attrs = new.attrs
+
     def __contains__(self, name: str) -> bool:
         return name in self.data_vars or name in self.coords or name in self.dims
 
