@@ -1833,3 +1833,24 @@ def test_attr_access_and_setitem_match_reference(spark):
     got = ((ds.v + ds.w).to_pandas().sort_values("t")["v"].to_numpy())
     np.testing.assert_allclose(got, exp)
     assert "w" in ds.data_vars
+
+
+def test_resample_origin_matches_reference(spark):
+    """Wave 16d: pandas origin anchoring — start_day default fixes the
+    epoch-anchored '7D' divergence; explicit timestamp origins shift
+    the grid (pandas resample origin semantics)."""
+    times = pd.date_range("2001-03-04", periods=30, freq="D")
+    vals = np.arange(30.0)
+    pdf = pd.DataFrame({"time": times, "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["time"])
+    ref = xr.DataArray(vals, dims="time", coords={"time": times})
+    for kw_ref, kw_ours in [({}, {}),
+                            ({"origin": pd.Timestamp("2001-03-01")},
+                             {"origin": "2001-03-01"})]:
+        exp = ref.resample(time="7D", **kw_ref).sum()
+        gp = (ds.resample(time="7D", **kw_ours).sum()
+              .to_pandas().sort_values("time"))
+        np.testing.assert_array_equal(
+            gp["time"].to_numpy().astype("datetime64[us]"),
+            exp["time"].values.astype("datetime64[us]"))
+        np.testing.assert_allclose(gp["v"].to_numpy(), exp.values)

@@ -1949,12 +1949,12 @@ class XDataset:
 
     def resample(self, indexer: Mapping[str, str] | None = None,
                  closed: str | None = None, label: str | None = None,
-                 offset=None, **kw):
+                 offset=None, origin: str = "start_day", **kw):
         from xarray_spark.resample import XResample
         indexer = {**(indexer or {}), **kw}
         (dim, freq), = indexer.items()
         return XResample(self, dim, freq, closed=closed, label=label,
-                         offset=offset)
+                         offset=offset, origin=origin)
 
     def rolling(self, windows: Mapping[str, int] | None = None, min_periods: int | None = None,
                 center: bool = False, **kw):

@@ -26,12 +26,55 @@ _INTERVAL_PARTS = {
 }
 
 
+def _origin_offset_seconds(ds: XDataset, dim: str, freq: str,
+                           origin: str) -> int:
+    """Seconds to shift the epoch bin grid so it anchors at `origin`
+    (pandas resample origin semantics).  0 whenever the epoch anchor
+    already coincides (day-dividing widths, origin='epoch', calendar
+    units)."""
+    if origin == "epoch":
+        return 0
+    n, unit = _parse_freq(freq)
+    trunc = _TRUNC.get(unit)
+    if trunc not in ("second", "minute", "hour", "day"):
+        return 0  # calendar units / weeks anchor by the calendar itself
+    secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[trunc] * n
+    if origin == "start_day":
+        if secs <= 86400 and 86400 % secs == 0:
+            return 0  # every midnight is already on the epoch grid
+        from pyspark.sql import types as T
+        if not isinstance(ds.df.schema[dim].dataType,
+                          (T.TimestampType, T.DateType)):
+            return 0
+        if ds.df.isStreaming:
+            return 0  # no eager lookup on a stream: epoch anchor
+        row = ds.df.agg(
+            F.min(F.date_trunc("day", F.col(dim))).alias("o")).first()
+        if row["o"] is None:
+            return 0
+        import pandas as pd
+        o_epoch = int(pd.Timestamp(row["o"]).timestamp())
+    else:  # explicit timestamp origin
+        import pandas as pd
+        o_epoch = int(pd.Timestamp(origin).timestamp())
+    return o_epoch % secs
+
+
 class XResample(XGroupBy):
     """GroupBy over time buckets + the upsampling verbs."""
 
     def __init__(self, ds: XDataset, dim: str, freq: str,
                  closed: str | None = None, label: str | None = None,
-                 offset=None):
+                 offset=None, origin: str = "start_day"):
+        # pandas bins anchor at `origin` (default start_day: midnight of
+        # the data's first day).  For day-dividing widths that equals the
+        # epoch anchor, so nothing extra is computed; only multi-day /
+        # odd widths need the 1-row min-day lookup (parquet-footer cheap
+        # under aggregatePushdown).
+        extra = _origin_offset_seconds(ds, dim, freq, origin)
+        if extra:
+            base = _offset_seconds(offset) if offset is not None else 0
+            offset = f"{base + extra}s"
         grouper = TimeResampler(freq, closed=closed, label=label,
                                 offset=offset)
         # the time column consumes the dims it is keyed by: itself if it
