@@ -1854,3 +1854,30 @@ def test_resample_origin_matches_reference(spark):
             gp["time"].to_numpy().astype("datetime64[us]"),
             exp["time"].values.astype("datetime64[us]"))
         np.testing.assert_allclose(gp["v"].to_numpy(), exp.values)
+
+
+def test_int_bins_and_labeled_concat_match_reference(spark):
+    """Wave 16e: groupby_bins(bins=<int>) derives pandas.cut's exact
+    equal-width edges (incl. the 0.1% left extension) from a tiny
+    min/max agg; concat(dim=pd.Index(...)) names the new dim and
+    supplies labels."""
+    vals = RNG.rand(60).round(6) * 100
+    ref = (xr.DataArray(vals, dims="t", name="v")
+           .groupby_bins(xr.DataArray(vals, dims="t").rename("x"),
+                         bins=5).mean())
+    pdf = pd.DataFrame({"t": np.arange(60), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    got = ds.groupby_bins("v", bins=5).mean().to_pandas()["v"].dropna()
+    np.testing.assert_allclose(sorted(got), sorted(ref.values), rtol=1e-9)
+    from xarray_spark.combine import concat
+    mk = lambda v: XDataset(spark.createDataFrame(  # noqa: E731
+        pd.DataFrame({"t": np.arange(3), "v": v})), dims=["t"])
+    out = (concat([mk([1.0, 2.0, 3.0]), mk([4.0, 5.0, 6.0])],
+                  dim=pd.Index(["m1", "m2"], name="model"))
+           .to_pandas().sort_values(["model", "t"]))
+    rc = xr.concat([xr.DataArray([1.0, 2.0, 3.0], dims="t"),
+                    xr.DataArray([4.0, 5.0, 6.0], dims="t")],
+                   dim=pd.Index(["m1", "m2"], name="model"))
+    np.testing.assert_allclose(
+        out["v"].to_numpy().reshape(2, 3), rc.values)
+    assert sorted(out["model"].unique()) == ["m1", "m2"]

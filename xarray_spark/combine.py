@@ -29,6 +29,11 @@ def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None) -
     """
     objs = list(objs)
     first = objs[0]
+    if not isinstance(dim, str) and hasattr(dim, "name"):
+        # the xarray idiom concat(objs, dim=pd.Index(values, name=...)):
+        # the index names the new dim and supplies its labels
+        labels = list(dim)
+        dim = dim.name or "concat_dim"
     if dim in first.dims:
         df = objs[0].df
         for o in objs[1:]:

@@ -1943,9 +1943,23 @@ class XDataset:
         keys = resolve_groupers(self, group, groupers)
         return XGroupBy(self, keys)
 
-    def groupby_bins(self, group: str, bins, labels=None, right: bool = True):
+    def groupby_bins(self, group: str, bins, labels=None, right: bool = True,
+                     include_lowest: bool = False):
         from xarray_spark.groupers import BinGrouper
-        return self.groupby(**{group: BinGrouper(bins=bins, labels=labels, right=right)})
+        if isinstance(bins, int):
+            # pandas.cut integer form: equal-width edges over the data
+            # range with pandas' own 0.1% left extension — let pandas
+            # derive the exact edge set from the (tiny, footer-cheap)
+            # min/max so membership matches cut() bit-for-bit
+            import pandas as pd
+            row = self.df.agg(F.min(group).alias("lo"),
+                              F.max(group).alias("hi")).first()
+            _, edges = pd.cut(pd.Series([row["lo"], row["hi"]],
+                                        dtype="float64"), bins, retbins=True)
+            bins = [float(e) for e in edges]
+        return self.groupby(**{group: BinGrouper(
+            bins=bins, labels=labels, right=right,
+            include_lowest=include_lowest)})
 
     def resample(self, indexer: Mapping[str, str] | None = None,
                  closed: str | None = None, label: str | None = None,

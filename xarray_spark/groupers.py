@@ -41,6 +41,7 @@ class BinGrouper(Grouper):
     bins: Sequence[float] = field(default_factory=list)
     labels: Sequence | None = None
     right: bool = True
+    include_lowest: bool = False
 
     def key_expr(self, col: Column) -> Column:
         edges = list(self.bins)
@@ -49,7 +50,8 @@ class BinGrouper(Grouper):
         for i in range(len(edges) - 1):
             lo, hi = edges[i], edges[i + 1]
             if self.right:
-                cond = (col > F.lit(lo)) & (col <= F.lit(hi))
+                closed_lo = (col >= F.lit(lo)) if (i == 0 and self.include_lowest) else (col > F.lit(lo))
+                cond = closed_lo & (col <= F.lit(hi))
                 label = self.labels[i] if self.labels is not None else f"({lo}, {hi}]"
             else:
                 cond = (col >= F.lit(lo)) & (col < F.lit(hi))
