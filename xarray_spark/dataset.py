@@ -972,6 +972,13 @@ class XDataset:
         return self._replace(attrs={})
 
     def pipe(self, func: Callable, *args, **kwargs):
+        if isinstance(func, tuple):
+            # (callable, "kwarg_name") form (pandas/xarray pipe)
+            func, target = func
+            if target in kwargs:
+                raise ValueError(f"{target} is both pipe target and kwarg")
+            kwargs[target] = self
+            return func(*args, **kwargs)
         return func(self, *args, **kwargs)
 
     def map(self, func: Callable[[Column], Column]) -> "XDataset":
