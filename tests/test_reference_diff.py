@@ -1881,3 +1881,26 @@ def test_int_bins_and_labeled_concat_match_reference(spark):
     np.testing.assert_allclose(
         out["v"].to_numpy().reshape(2, 3), rc.values)
     assert sorted(out["model"].unique()) == ["m1", "m2"]
+
+
+@pytest.mark.parametrize("side", ["left", "right"])
+@pytest.mark.parametrize("boundary", ["trim", "pad"])
+def test_coarsen_side_matrix_matches_reference(spark, side, boundary):
+    """Wave 16f: coarsen side= puts the ragged block at the start
+    (side='right') or end; crossed with trim/pad boundaries
+    (computation/rolling.py:1023)."""
+    vals = np.arange(10.0)
+    ref = xr.DataArray(vals, dims="t")
+    pdf = pd.DataFrame({"t": np.arange(10), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    exp = np.sort(ref.coarsen(t=3, boundary=boundary, side=side).sum().values)
+    got = np.sort(ds.coarsen(t=3, boundary=boundary, side=side).sum()
+                  .to_pandas()["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_rolling_even_center_matches_reference(sds, series):
+    """Wave 16f: center=True with an EVEN window (asymmetric split)."""
+    got = _ours(sds.rolling(t=4, center=True, min_periods=1).mean())
+    exp = _ref(series).rolling(t=4, center=True, min_periods=1).mean().values
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)

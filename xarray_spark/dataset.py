@@ -1983,10 +1983,11 @@ class XDataset:
         windows = {**(windows or {}), **kw}
         return XRolling(self, windows, min_periods, center)
 
-    def coarsen(self, windows: Mapping[str, int] | None = None, boundary: str = "exact", **kw):
+    def coarsen(self, windows: Mapping[str, int] | None = None,
+                boundary: str = "exact", side: str = "left", **kw):
         from xarray_spark.rolling import XCoarsen
         windows = {**(windows or {}), **kw}
-        return XCoarsen(self, windows, boundary)
+        return XCoarsen(self, windows, boundary, side)
 
     def cumulative(self, dim: str):
         from xarray_spark.rolling import XRolling

@@ -314,27 +314,40 @@ class XCoarsen:
     aggregation, no sort.
     """
 
-    def __init__(self, ds: XDataset, windows: Mapping[str, int], boundary: str = "exact"):
+    def __init__(self, ds: XDataset, windows: Mapping[str, int], boundary: str = "exact",
+                 side: str = "left"):
         self.ds = ds
         self.windows = dict(windows)
         self.boundary = boundary
+        self.side = side
 
     def _blocked(self) -> tuple[XDataset, list[str]]:
         ds = self.ds
         block_cols = []
         for dim, size in self.windows.items():
             labels = ds._dim_labels(dim)
+            # side='right' counts blocks from the END: the ragged block
+            # (if any) sits at the START (xarray coarsen side param) —
+            # expressed as a left pad of the position grid
+            pad = ((F.lit(size) - F.col("__size") % size) % size
+                   if self.side == "right" else F.lit(0))
             blocks = labels.select(
                 F.col(dim),
-                F.floor(F.col("__pos") / F.lit(size)).alias(f"__block_{dim}"),
+                F.floor((F.col("__pos") + pad) / F.lit(size)).alias(f"__block_{dim}"),
                 F.col("__size"),
             )
             if self.boundary == "trim":
-                # drop the incomplete trailing block
-                # (xarray/computation/rolling.py:1023 boundary='trim')
-                blocks = blocks.where(
-                    F.col(f"__block_{dim}") < F.floor(F.col("__size") / F.lit(size))
-                )
+                # drop the incomplete block: trailing for side='left'
+                # (xarray/computation/rolling.py:1023 boundary='trim'),
+                # leading for side='right'
+                if self.side == "right":
+                    blocks = blocks.where(
+                        (F.col(f"__block_{dim}") > 0)
+                        | (F.col("__size") % size == 0))
+                else:
+                    blocks = blocks.where(
+                        F.col(f"__block_{dim}") < F.floor(F.col("__size") / F.lit(size))
+                    )
             blocks = blocks.drop("__size")
             ds = ds._replace(df=ds.df.join(F.broadcast(blocks), on=dim, how="inner"))
             block_cols.append(f"__block_{dim}")
