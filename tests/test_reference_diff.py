@@ -1904,3 +1904,86 @@ def test_rolling_even_center_matches_reference(sds, series):
     got = _ours(sds.rolling(t=4, center=True, min_periods=1).mean())
     exp = _ref(series).rolling(t=4, center=True, min_periods=1).mean().values
     np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_true_nan_ingestion_matches_reference(spark):
+    """Wave 17: genuine NaN DOUBLES (computed 0/0, non-Arrow ingestion)
+    must behave as missing values in every skipna reduction — SQL
+    aggregates otherwise rank NaN as the LARGEST double.  Built by
+    computing 0/0 in-plan so the NaN is real regardless of the
+    session's Arrow conversion."""
+    vals = np.array([1.0, -1.0, 3.0, 5.0, 2.0, 4.0])
+    ks = np.array([0, 0, 0, 1, 1, 1])
+    nv = vals.copy(); nv[1] = np.nan
+    ref = xr.DataArray(nv, dims="t", coords={"k": ("t", ks)})
+    pdf = pd.DataFrame({"t": np.arange(6), "v": vals, "k": ks})
+    from pyspark.sql import functions as F
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"k": ("t",)})
+    # v=-1 -> a true NaN literal, in-plan (independent of Arrow's
+    # NaN->NULL ingestion conversion)
+    ds = ds.assign(v=F.when(F.col("v") == -1.0,
+                            F.lit(float("nan"))).otherwise(F.col("v")))
+    np.testing.assert_allclose(
+        ds.groupby("k").quantile(0.5).to_pandas().sort_values("k")["v"].to_numpy(),
+        ref.groupby("k").quantile(0.5).values, rtol=1e-12)
+    np.testing.assert_allclose(
+        ds.groupby("k").mean().to_pandas().sort_values("k")["v"].to_numpy(),
+        ref.groupby("k").mean().values, rtol=1e-12)
+    np.testing.assert_allclose(
+        float(ds.max("t").to_pandas()["v"].iloc[0]), float(ref.max()))
+    np.testing.assert_allclose(
+        ds.cumsum("t").to_pandas().sort_values("t")["v"].to_numpy(),
+        ref.cumsum("t").values, rtol=1e-12)
+    np.testing.assert_allclose(
+        ds.ffill("t").to_pandas().sort_values("t")["v"].to_numpy(),
+        pd.Series(nv).ffill().to_numpy(), rtol=1e-12)
+    got_roll = (ds.rolling(t=3, min_periods=1).mean()
+                .to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(
+        got_roll, ref.rolling(t=3, min_periods=1).mean().values, rtol=1e-12)
+
+
+def test_leading_nan_cumulative_matches_reference(sds, series):
+    """Wave 17: all-NaN prefixes accumulate the identity (np.nancumsum
+    0 / nancumprod 1), not NaN."""
+    vals = np.array([np.nan, np.nan, 2.0, 3.0])
+    ref = xr.DataArray(vals, dims="t")
+    pdf = pd.DataFrame({"t": np.arange(4), "v": vals})
+    ds = XDataset(sds.df.sparkSession.createDataFrame(pdf), dims=["t"])
+    np.testing.assert_allclose(
+        ds.cumsum("t").to_pandas().sort_values("t")["v"].to_numpy(),
+        ref.cumsum("t").values)
+    np.testing.assert_allclose(
+        ds.cumprod("t").to_pandas().sort_values("t")["v"].to_numpy(),
+        ref.cumprod("t").values)
+
+
+def test_quantile_skipna_false_matches_reference(spark):
+    """Wave 17: quantile(skipna=False) — any NaN poisons the whole
+    population's quantiles (grouped and ungrouped)."""
+    nv = np.array([1.0, np.nan, 3.0, 5.0, 2.0, 4.0])
+    ks = np.array([0, 0, 0, 1, 1, 1])
+    ref = xr.DataArray(nv, dims="t", coords={"k": ("t", ks)})
+    pdf = pd.DataFrame({"t": np.arange(6), "v": nv, "k": ks})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"], coords={"k": ("t",)})
+    exp_u = float(ref.quantile(0.5, skipna=False))
+    got_u = ds.quantile(0.5, skipna=False).to_pandas()["v"].iloc[0]
+    assert np.isnan(got_u) == np.isnan(exp_u)
+    exp_g = ref.groupby("k").quantile(0.5, skipna=False).values
+    got_g = (ds.groupby("k").quantile(0.5, skipna=False)
+             .to_pandas().sort_values("k")["v"].to_numpy())
+    np.testing.assert_allclose(got_g, exp_g, equal_nan=True)
+
+
+@pytest.mark.parametrize("rt", ["even", "odd"])
+def test_pad_reflect_type_matches_reference(spark, rt):
+    """Wave 17: pad reflect_type='odd' mirrors THROUGH the edge value
+    (np.pad semantics)."""
+    vals = np.array([1.0, 3.0, 6.0, 10.0])
+    ref = xr.DataArray(vals, dims="t")
+    pdf = pd.DataFrame({"t": np.arange(4), "v": vals})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    exp = ref.pad(t=(2, 2), mode="reflect", reflect_type=rt).values
+    got = (ds.pad(t=(2, 2), mode="reflect", reflect_type=rt)
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp)

@@ -185,3 +185,16 @@ def ieee_floor(c: Column) -> Column:
     d = c.cast("double")
     return F.when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), d) \
             .otherwise(F.floor(d).cast("double"))
+
+
+def nan_to_null(df, varlist, schema):
+    """Normalize true-NaN doubles to NULL (the engine's missing-value
+    sentinel) on the given float/double vars before a skipna-respecting
+    aggregation.  Computed NaN (0/0, poison literals) and non-Arrow
+    ingestion are the two paths that produce genuine NaN values; SQL
+    aggregates would otherwise rank them as the LARGEST double instead
+    of skipping them like numpy's nan* reductions."""
+    for v in varlist:
+        if isinstance(schema[v].dataType, (T.FloatType, T.DoubleType)):
+            df = df.withColumn(v, F.nanvl(F.col(v), F.lit(None).cast("double")))
+    return df

@@ -1229,6 +1229,8 @@ class XDataset:
         keep = [d for d in self.dims if d not in dims]
         coords = self._coords_on(keep)
         varlist = self._agg_numeric_vars(funcname)
+        from xarray_spark._utils import nan_to_null
+        base = nan_to_null(self.df, varlist, self.df.schema)
         aggs = []
         for v in varlist:
             e = exprs_for(v)
@@ -1238,9 +1240,9 @@ class XDataset:
             aggs.append(e.alias(v))
         keys = keep + list(coords)
         if keys:
-            df = self.df.groupBy(*keys).agg(*aggs)
+            df = base.groupBy(*keys).agg(*aggs)
         else:
-            df = self.df.agg(*aggs)
+            df = base.agg(*aggs)
         return self._replace(df=df, dims=keep, coords=coords, data_vars=varlist)
 
     def mean(self, dim=None, skipna: bool = True) -> "XDataset":
@@ -1339,6 +1341,24 @@ class XDataset:
         coords = self._coords_on(keep)
         varlist = self._agg_numeric_vars("quantile")
         keys = keep + list(coords)
+        if not skipna:
+            # numpy semantics: ANY NaN in the reduced population poisons
+            # every quantile of it.  Compute with skipna, then poison by
+            # a group-count-sized (broadcast) nan-flag join.
+            out = self.quantile(q, dim=dim, skipna=True, approx=approx,
+                                method=method)
+            nan_ = lambda v: (F.col(v).isNull()  # noqa: E731
+                              | F.isnan(F.col(v).cast("double"))).cast("int")
+            flag_aggs = [F.max(nan_(v)).alias(f"__nan_{v}") for v in varlist]
+            flags = (self.df.groupBy(*keys).agg(*flag_aggs)
+                     if keys else self.df.agg(*flag_aggs))
+            fdf = F.broadcast(flags)
+            df = out.df.join(fdf, on=keys) if keys else out.df.crossJoin(fdf)
+            for v in varlist:
+                df = df.withColumn(v, F.when(
+                    F.col(f"__nan_{v}") == 1, F.lit(float("nan"))
+                ).otherwise(F.col(v)))
+            return out._replace(df=df.drop(*[f"__nan_{v}" for v in varlist]))
         if not keys and not approx:
             qdf = self._quantile_ungrouped(qs, varlist, method)
             return self._replace(df=qdf, dims=["quantile"], coords={},
@@ -1379,7 +1399,9 @@ class XDataset:
                     hi = F.element_at(arr, (j_hi + 1).cast("int"))
                     vals.append(F.when(n > 0, lo + (hi - lo) * w))
                 aggs.append(F.array(*vals).alias(v))
-        df = self.df.groupBy(*keys).agg(*aggs) if keys else self.df.agg(*aggs)
+        from xarray_spark._utils import nan_to_null
+        qbase = nan_to_null(self.df, varlist, self.df.schema)
+        df = qbase.groupBy(*keys).agg(*aggs) if keys else qbase.agg(*aggs)
         # explode the quantile arrays into a new 'quantile' dim
         qvals = F.array(*[F.lit(float(x)) for x in qs])
         df = df.withColumn("__q", F.arrays_zip(qvals.alias("q"), *[F.col(v).alias(v) for v in varlist]))
@@ -1524,10 +1546,14 @@ class XDataset:
             # segmented two-phase scan (options.py auto_segment_threshold)
             from xarray_spark.segmented import cumsum_segmented
             return cumsum_segmented(self, dims[0])
-        return self._cumulative(dim, lambda v, w: F.sum(v).over(w))
+        # np.nancumsum: an all-NaN prefix accumulates 0, not NaN
+        return self._cumulative(
+            dim, lambda v, w: F.coalesce(F.sum(v).over(w), F.lit(0.0)))
 
     def cumprod(self, dim=None, skipna: bool = True) -> "XDataset":
-        return self._cumulative(dim, lambda v, w: F.product(v).over(w))
+        # np.nancumprod: an all-NaN prefix accumulates 1
+        return self._cumulative(
+            dim, lambda v, w: F.coalesce(F.product(v).over(w), F.lit(1.0)))
 
     def _cumulative(self, dim, make) -> "XDataset":
         dims = self._norm_dim_arg(dim)
@@ -1537,11 +1563,13 @@ class XDataset:
         others = [x for x in self.dims if x != d]
         w = Window.partitionBy(*others).orderBy(d).rowsBetween(Window.unboundedPreceding, 0)
         varlist = self._agg_numeric_vars("cumsum")
+        from xarray_spark._utils import nan_to_null
+        base = nan_to_null(self.df, varlist, self.df.schema)
         exprs = [
             make(v, w).alias(v) if v in varlist else F.col(v)
-            for v in self.df.columns
+            for v in base.columns
         ]
-        return self._replace(df=self.df.select(*exprs))
+        return self._replace(df=base.select(*exprs))
 
     def argmin(self, dim=None) -> "XDataset":
         return self._arg_reduce(dim, True, use_pos=True)
@@ -2095,7 +2123,7 @@ class XDataset:
 
     def pad(self, pad_width: Mapping[str, tuple[int, int]] | None = None,
             mode: str = "constant", constant_values=None, end_values=0.0,
-            **kw) -> "XDataset":
+            reflect_type: str = "even", **kw) -> "XDataset":
         """Extend dims with new labels (xarray/core/dataset.py:9054).
 
         Long-form: new labels are synthesized by extrapolating the label
@@ -2119,11 +2147,13 @@ class XDataset:
         out = self
         for dim, width in pad_width.items():
             before, after = (width, width) if isinstance(width, int) else width
-            out = out._pad_one(dim, before, after, mode, constant_values, end_values)
+            out = out._pad_one(dim, before, after, mode, constant_values,
+                               end_values, reflect_type)
         return out
 
     def _pad_one(self, dim: str, before: int, after: int, mode: str,
-                 constant_values, end_values=0.0) -> "XDataset":
+                 constant_values, end_values=0.0,
+                 reflect_type: str = "even") -> "XDataset":
         from xarray_spark._utils import to_double
         if before == 0 and after == 0:
             return self
@@ -2157,7 +2187,7 @@ class XDataset:
             # no ramp) so INTERIOR nulls stay null — an ffill/bfill over
             # the unioned series would fill genuine missing values too
             return self._pad_positional(dim, before, after, mode, new_labels,
-                                        n1 + 1, end_values)
+                                        n1 + 1, end_values, reflect_type)
         if mode in ("mean", "maximum", "minimum"):
             aggfn = {"mean": F.avg, "maximum": F.max, "minimum": F.min}[mode]
             aggs = [aggfn(v).alias(v) for v in self.data_vars]
@@ -2185,7 +2215,8 @@ class XDataset:
         return self._replace(df=unioned)
 
     def _pad_positional(self, dim: str, before: int, after: int, mode: str,
-                        new_labels: list, n: int, end_values) -> "XDataset":
+                        new_labels: list, n: int, end_values,
+                        reflect_type: str = "even") -> "XDataset":
         """reflect/symmetric/wrap/linear_ramp pad: each pad row joins the
         fact row at a computed SOURCE position (numpy pad semantics),
         resolved through the label table — label-table-sized planning,
@@ -2205,9 +2236,11 @@ class XDataset:
         specs = ([("b", i) for i in range(1, before + 1)]
                  + [("a", i) for i in range(1, after + 1)])
         meta = [(float(lab), src_pos(side, i),
-                 (i / before if side == "b" else i / after) if mode == "linear_ramp" else 0.0)
+                 (i / before if side == "b" else i / after) if mode == "linear_ramp" else 0.0,
+                 side)
                 for lab, (side, i) in zip(new_labels, specs)]
-        meta_df = self.spark.createDataFrame(meta, ["__newlab", "__srcpos", "__frac"])
+        meta_df = self.spark.createDataFrame(
+            meta, ["__newlab", "__srcpos", "__frac", "__side"])
         dtype = self.df.schema[dim].dataType
         newlab = (F.timestamp_seconds(F.col("__newlab")).cast(dtype)
                   if is_temporal(dtype) else F.col("__newlab").cast(dtype))
@@ -2217,10 +2250,30 @@ class XDataset:
         src = meta_df.join(F.broadcast(labels), on="__srcpos")
         fact = self.df.withColumnRenamed(dim, "__srclab")
         joined = fact.join(F.broadcast(src), on="__srclab")
+        odd = mode == "reflect" and reflect_type == "odd"
+        if odd:
+            # np.pad reflect_type='odd': value = 2*edge - mirrored.  The
+            # per-series edge rows (pos 0 / n-1) form a series-count-
+            # sized table — joined back per side.
+            others_d = [d for d in self.dims if d != dim]
+            edges = self._dim_labels(dim).where(
+                F.col("__pos").isin(0, n - 1)).select(
+                F.col(dim).alias("__srclab"),
+                F.when(F.col("__pos") == 0, "b").otherwise("a").alias("__side"))
+            efact = (self.df.withColumnRenamed(dim, "__srclab")
+                     .join(F.broadcast(edges), on="__srclab")
+                     .select(*others_d, "__side",
+                             *[F.col(v).alias(f"__e_{v}") for v in self.data_vars]))
+            joined = joined.join(F.broadcast(efact), on=others_d + ["__side"])
         exprs = []
         for c in self.df.columns:
             if c == dim:
                 exprs.append(F.col("__newlab").alias(dim))
+            elif c in self.data_vars and odd:
+                v = F.col(c).cast("double")
+                e = F.col(f"__e_{c}").cast("double")
+                exprs.append((F.lit(2.0) * e - v)
+                             .cast(self.df.schema[c].dataType).alias(c))
             elif c in self.data_vars and mode == "linear_ramp":
                 v = F.col(c).cast("double")
                 ramp = v + (F.lit(float(end_values)) - v) * F.col("__frac")

@@ -101,13 +101,15 @@ class XGroupBy:
             and v not in self._key_names
         ]
         group_cols = [f"__key_{n}" for n in self._key_names] + kept + list(coords)
+        from xarray_spark._utils import nan_to_null
+        base = nan_to_null(prepped.df, varlist, prepped.df.schema)
         aggs = []
         for v in varlist:
             e = exprs_for(v)
             if not skipna:
                 e = F.when(F.max(F.col(v).isNull().cast("int")) == 1, F.lit(None)).otherwise(e)
             aggs.append(e.alias(v))
-        out = prepped.df.groupBy(*group_cols).agg(*aggs)
+        out = base.groupBy(*group_cols).agg(*aggs)
         for n in self._key_names:
             out = out.withColumnRenamed(f"__key_{n}", n)
         dims = self._key_names + kept
@@ -172,12 +174,32 @@ class XGroupBy:
             return agg.getField("v")
         return self._agg(e)
 
-    def quantile(self, q, method: str = "linear"):
+    def quantile(self, q, method: str = "linear", skipna: bool = True):
         """Exact per-group quantile(s) (xarray GroupBy.quantile).
 
         A scalar ``q`` keeps the reference's scalar shape (no quantile
         dim); a list adds a ``quantile`` dim like Dataset.quantile.
+        ``skipna=False`` poisons any group containing NaN (numpy
+        semantics) via a group-count-sized flag join.
         """
+        if not skipna:
+            out = self.quantile(q, method=method)
+            flags = self._agg(
+                lambda v: F.max((F.col(v).isNull()
+                                 | F.isnan(F.col(v).cast("double")))
+                                .cast("int")), True)
+            varlist = list(flags.data_vars)
+            fdf = flags.df
+            for v in varlist:
+                fdf = fdf.withColumnRenamed(v, f"__nan_{v}")
+            join_cols = [c for c in fdf.columns if not c.startswith("__nan_")]
+            df = out.df.join(F.broadcast(fdf), on=join_cols)
+            for v in varlist:
+                if v in out.df.columns:
+                    df = df.withColumn(v, F.when(
+                        F.col(f"__nan_{v}") == 1, F.lit(float("nan"))
+                    ).otherwise(F.col(v)))
+            return out._replace(df=df.drop(*[f"__nan_{v}" for v in varlist]))
         if isinstance(q, (list, tuple)):
             return self._quantile_exact([float(x) for x in q], method,
                                         scalar=False)

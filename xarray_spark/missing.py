@@ -48,9 +48,11 @@ def ffill(ds: XDataset, dim: str, limit: int | None = None) -> XDataset:
     seg = _maybe_segmented_fill(ds, dim, limit, "ffill")
     if seg is not None:
         return seg
+    from xarray_spark._utils import nan_to_null
     back, _fwd, seq = _ordered_windows(ds, dim)
     rn = F.row_number().over(seq)
-    df = ds.df.withColumn("__rn", rn)
+    df = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema) \
+        .withColumn("__rn", rn)
     back_rn = Window.partitionBy(*[d for d in ds.dims if d != dim]).orderBy(dim).rowsBetween(Window.unboundedPreceding, 0)
     exprs = []
     for c in df.columns:
@@ -77,7 +79,9 @@ def bfill(ds: XDataset, dim: str, limit: int | None = None) -> XDataset:
     seq = Window.partitionBy(*others).orderBy(dim)
     fwd = Window.partitionBy(*others).orderBy(dim).rowsBetween(0, Window.unboundedFollowing)
     rn = F.row_number().over(seq)
-    df = ds.df.withColumn("__rn", rn)
+    from xarray_spark._utils import nan_to_null
+    df = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema) \
+        .withColumn("__rn", rn)
     exprs = []
     for c in df.columns:
         if c in ds.data_vars:
@@ -121,6 +125,8 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
 
     Leading/trailing nulls stay null (xarray default: interior only).
     """
+    from xarray_spark._utils import nan_to_null
+    ds = ds._replace(df=nan_to_null(ds.df, list(ds.data_vars), ds.df.schema))
     if method in ("quadratic", "cubic", "polynomial"):
         o = {"quadratic": 2, "cubic": 3}.get(method, order)
         if o is None:

@@ -65,6 +65,9 @@ class XRolling:
             )
         w = self._frame()
         ds = self.ds
+        from xarray_spark._utils import nan_to_null
+        base = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
+        ds = ds._replace(df=base)
         exprs = []
         for c in ds.df.columns:
             if c in ds.data_vars:
@@ -369,7 +372,9 @@ class XCoarsen:
                 aggs.append(F.min(dim).alias(dim))
         for v in self.ds.data_vars:
             aggs.append(make(v).alias(v))
-        df = ds.df.groupBy(*keys).agg(*aggs).drop(*block_cols)
+        from xarray_spark._utils import nan_to_null
+        base = nan_to_null(ds.df, list(self.ds.data_vars), ds.df.schema)
+        df = base.groupBy(*keys).agg(*aggs).drop(*block_cols)
         return XDataset(df, coarse_dims + kept, coords, self.ds.data_vars, self.ds.attrs)
 
     def mean(self): return self._agg(lambda v: F.avg(v))

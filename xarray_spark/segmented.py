@@ -75,6 +75,8 @@ def rolling_segmented(ds: XDataset, dim: str, window: int, agg: str = "mean",
     across earlier segments when the predecessors are undersized.
     """
     min_periods = window if min_periods is None else min_periods
+    from xarray_spark._utils import nan_to_null
+    ds = ds._replace(df=nan_to_null(ds.df, list(ds.data_vars), ds.df.schema))
     df, _x = _with_segments(ds, dim, n_segments)
     w_end = Window.partitionBy("__seg").orderBy(F.col(dim).desc())
     ranked = df.withColumn("__from_end", F.row_number().over(w_end))
@@ -141,6 +143,8 @@ def cumsum_segmented(ds: XDataset, dim: str, n_segments: int = 64) -> XDataset:
     prefix offsets and runs ONE segment-partitioned window pass.  The
     windowed plan is never recomputed for the totals.
     """
+    from xarray_spark._utils import nan_to_null
+    ds = ds._replace(df=nan_to_null(ds.df, list(ds.data_vars), ds.df.schema))
     raw, _x = _with_segments(ds, dim, n_segments)
     totals = raw.groupBy("__seg").agg(
         *[F.sum(v).alias(f"__tot_{v}") for v in ds.data_vars]
@@ -160,7 +164,10 @@ def cumsum_segmented(ds: XDataset, dim: str, n_segments: int = 64) -> XDataset:
     exprs = []
     for c in ds.df.columns:
         if c in ds.data_vars:
-            exprs.append((F.sum(c).over(w_local) + F.col(f"__off_{c}")).alias(c))
+            # coalesce: a segment whose window so far holds only nulls
+            # must contribute 0, not poison the offset (np.nancumsum)
+            exprs.append((F.coalesce(F.sum(c).over(w_local), F.lit(0.0))
+                          + F.col(f"__off_{c}")).alias(c))
         else:
             exprs.append(F.col(c))
     return ds._replace(df=joined.select(*exprs))
@@ -172,6 +179,8 @@ def bfill_segmented(ds: XDataset, dim: str, n_segments: int = 64) -> XDataset:
     segment's last valid value take the first valid value of any
     FOLLOWING segment (tiny per-segment first-valid table, suffix
     window, broadcast back)."""
+    from xarray_spark._utils import nan_to_null
+    ds = ds._replace(df=nan_to_null(ds.df, list(ds.data_vars), ds.df.schema))
     raw, _x = _with_segments(ds, dim, n_segments)
     w_local = Window.partitionBy("__seg").orderBy(dim).rowsBetween(
         0, Window.unboundedFollowing
@@ -206,6 +215,8 @@ def ffill_segmented(ds: XDataset, dim: str, n_segments: int = 64) -> XDataset:
     window, broadcast back.  Two narrow passes instead of one global
     scan; same two-phase shape as cumsum_segmented.
     """
+    from xarray_spark._utils import nan_to_null
+    ds = ds._replace(df=nan_to_null(ds.df, list(ds.data_vars), ds.df.schema))
     raw, _x = _with_segments(ds, dim, n_segments)
     w_local = Window.partitionBy("__seg").orderBy(dim).rowsBetween(
         Window.unboundedPreceding, 0
