@@ -77,8 +77,12 @@ def _pairwise(a: XDataArray, b: XDataArray, dim, agg, out_name: str) -> XDataArr
         joined = a_df.join(b_df, on=shared, how="inner")
     dims = list(a.dims) if dim is None else ([dim] if isinstance(dim, str) else list(dim))
     keep = [d for d in a.dims if d not in dims]
-    # pairwise completeness: both non-null (xarray masks mutual NaN)
-    both = F.col(av).isNotNull() & F.col(bv).isNotNull()
+    # pairwise completeness: both non-null AND non-NaN (xarray masks
+    # mutual NaN; true-NaN doubles count as missing too)
+    def _valid(c):
+        d = F.col(c).cast("double")
+        return d.isNotNull() & ~F.isnan(d)
+    both = _valid(av) & _valid(bv)
     x = F.when(both, F.col(av))
     y = F.when(both, F.col(bv))
     e = agg(x, y).alias(out_name)
@@ -121,7 +125,8 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None) -> XDataset:
     aggs = []
     varlist = [v for v in ds.data_vars if v != w]
     for v in varlist:
-        mask = F.col(v).isNotNull()
+        vd = F.col(v).cast("double")
+        mask = vd.isNotNull() & ~F.isnan(vd)
         for k in range(2 * deg + 1):
             aggs.append(
                 F.sum(F.when(mask, wc * F.pow(x, float(k)))).alias(f"__s_{v}_{k}")
@@ -583,9 +588,15 @@ class XWeighted:
         dims = ds._norm_dim_arg(dim)
         keep = [d for d in ds.dims if d not in dims]
         coords = ds._coords_on(keep)
-        w = F.coalesce(self.w.cast("double"), F.lit(0.0))
+        # NaN weights act as 0 (reference masks them); true-NaN values
+        # normalize to NULL so the isNotNull masks in the aggregate
+        # builders skip them like numpy's nan* reductions
+        w = F.coalesce(F.nanvl(self.w.cast("double"), F.lit(None).cast("double")),
+                       F.lit(0.0))
         varlist = [v for v in ds.data_vars]
-        aggs = [make(F.col(v).cast("double"), w).alias(v) for v in varlist]
+        aggs = [make(F.nanvl(F.col(v).cast("double"), F.lit(None).cast("double")),
+                     w).alias(v)
+                for v in varlist]
         keys = keep + list(coords)
         df = ds.df.groupBy(*keys).agg(*aggs) if keys else ds.df.agg(*aggs)
         return XDataset(df, keep, coords, varlist, ds.attrs)
