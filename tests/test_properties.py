@@ -306,3 +306,40 @@ def test_shift_fill_value_slot_count(spark, vals, n, fv):
     else:
         exp = np.concatenate([arr[k:], np.full(k, fv)])
     np.testing.assert_allclose(got, exp, rtol=1e-7)
+
+
+_nan_values = st.lists(
+    st.one_of(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                        width=32),
+              st.just(float("nan"))),
+    min_size=2, max_size=12,
+)
+
+
+@given(vals=_nan_values)
+@settings(**SETTINGS)
+def test_nan_reductions_match_numpy(spark, vals):
+    """skipna reductions equal numpy's nan* forms on arbitrary NaN
+    placements — incl. all-NaN inputs."""
+    import numpy as np
+    arr = np.asarray(vals, dtype="float64")
+    ds = mk(spark, vals)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cases = [
+            ("mean", np.nanmean), ("sum", np.nansum),
+            ("min", np.nanmin), ("max", np.nanmax),
+        ]
+        for name, npf in cases:
+            got = getattr(ds, name)("t").to_pandas()["v"].iloc[0]
+            exp = npf(arr)
+            if name == "sum" and np.isnan(arr).all():
+                exp = 0.0  # xarray min_count=0 convention
+            ok = (np.isnan(got) and np.isnan(exp)) or np.isclose(
+                got if got is not None else np.nan,
+                exp, rtol=1e-7, equal_nan=True)
+            assert ok, (name, got, exp)
+        got_c = (ds.cumsum("t").to_pandas().sort_values("t")["v"]
+                 .to_numpy())
+        np.testing.assert_allclose(got_c, np.nancumsum(arr), rtol=1e-7)
