@@ -1634,7 +1634,8 @@ class XDataset:
         """Average-method rank along dim (xarray/core/dataset.py:8416;
         bottleneck average ranking), NaN/null stays null."""
         others = [x for x in self.dims if x != dim]
-        df = self.df
+        from xarray_spark._utils import nan_to_null
+        df = nan_to_null(self.df, list(self.data_vars), self.df.schema)
         exprs = []
         for c in df.columns:
             if c in self.data_vars:
