@@ -1987,3 +1987,23 @@ def test_pad_reflect_type_matches_reference(spark, rt):
     got = (ds.pad(t=(2, 2), mode="reflect", reflect_type=rt)
            .to_pandas().sort_values("t")["v"].to_numpy())
     np.testing.assert_allclose(got, exp)
+
+
+def test_2d_rolling_true_nan_matches_reference(spark):
+    """Wave 17b: the separable N-D rolling sweep also treats true-NaN
+    doubles as missing (each pass normalizes before its window)."""
+    from pyspark.sql import functions as F
+    vals = np.arange(24.0).reshape(4, 6)
+    nv = vals.copy(); nv[1, 2] = np.nan
+    rows = [(i, j, float(vals[i, j])) for i in range(4) for j in range(6)]
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["x", "y", "v"])), dims=["x", "y"])
+    ds = ds.assign(v=F.when((F.col("x") == 1) & (F.col("y") == 2),
+                            F.lit(float("nan"))).otherwise(F.col("v")))
+    ref = xr.DataArray(nv, dims=("x", "y"))
+    for kind in ("mean", "sum", "count"):
+        exp = getattr(ref.rolling(x=2, y=2, min_periods=1), kind)().values
+        gp = (getattr(ds.rolling(x=2, y=2, min_periods=1), kind)()
+              .to_pandas().sort_values(["x", "y"])["v"].to_numpy()
+              .astype("float64").reshape(4, 6))
+        np.testing.assert_allclose(gp, exp, equal_nan=True, err_msg=kind)

@@ -95,9 +95,12 @@ class XRolling:
 
     def _apply_nd(self, kind: str) -> XDataset:
         items = list(self.windows.items())
+        from xarray_spark._utils import nan_to_null
+        base = self.ds._replace(df=nan_to_null(
+            self.ds.df, list(self.ds.data_vars), self.ds.df.schema))
 
         def sweep(first_fn, rest_fn):
-            out = self._pass(self.ds, *items[0], first_fn)
+            out = self._pass(base, *items[0], first_fn)
             for dim, win in items[1:]:
                 out = self._pass(out, dim, win, rest_fn)
             return out
