@@ -2007,3 +2007,32 @@ def test_2d_rolling_true_nan_matches_reference(spark):
               .to_pandas().sort_values(["x", "y"])["v"].to_numpy()
               .astype("float64").reshape(4, 6))
         np.testing.assert_allclose(gp, exp, equal_nan=True, err_msg=kind)
+
+
+def test_merge_compat_corners_match_reference(spark):
+    """Wave 18: merge compat corner grid — override picks the first
+    dataset's variable wholesale (null outside its labels); equals
+    compares AFTER outer alignment so misaligned labels conflict;
+    no_conflicts coalesces agreeing overlaps (merge.py:151,174)."""
+    from xarray_spark.combine import MergeError, merge
+    mk = lambda d: XDataset(spark.createDataFrame(pd.DataFrame(d)),  # noqa: E731
+                            dims=["t"])
+    a = mk({"t": [0, 1, 2], "v": [1.0, 2.0, 3.0]})
+    b = mk({"t": [1, 2, 3], "v": [20.0, 30.0, 40.0]})
+    b2 = mk({"t": [1, 2, 3], "v": [2.0, 3.0, 40.0]})
+    ra = xr.DataArray([1.0, 2.0, 3.0], dims="t",
+                      coords={"t": [0, 1, 2]}, name="v").to_dataset()
+    rb = xr.DataArray([20.0, 30.0, 40.0], dims="t",
+                      coords={"t": [1, 2, 3]}, name="v").to_dataset()
+    rb2 = xr.DataArray([2.0, 3.0, 40.0], dims="t",
+                       coords={"t": [1, 2, 3]}, name="v").to_dataset()
+    exp = xr.merge([ra, rb], compat="override", join="outer")["v"].values
+    got = (merge([a, b], compat="override").to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+    with pytest.raises(MergeError):
+        merge([a, b2], compat="equals").to_pandas()
+    exp = xr.merge([ra, rb2], compat="no_conflicts", join="outer")["v"].values
+    got = (merge([a, b2], compat="no_conflicts").to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, equal_nan=True)

@@ -103,7 +103,13 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "o
             if c in dropped:
                 continue
             if c in overlap_vars:
-                exprs.append(F.coalesce(F.col(c), F.col(f"__m_{c}")).alias(c))
+                if compat == "override":
+                    # the reference picks the FIRST dataset's variable
+                    # wholesale (merge.py:151): labels it lacks stay
+                    # null after the union — no elementwise fallback
+                    exprs.append(F.col(c))
+                else:
+                    exprs.append(F.coalesce(F.col(c), F.col(f"__m_{c}")).alias(c))
             else:
                 exprs.append(F.col(c))
         new_vars = [v for v in other.data_vars if v not in acc.data_vars]
@@ -137,9 +143,13 @@ def _assert_vars_equal(a: XDataset, b: XDataset, overlap: Sequence[str],
     o_df = b.df
     for v in overlap:
         o_df = o_df.withColumnRenamed(v, f"__b_{v}")
+    # FULL OUTER: the reference compares after outer alignment, so a
+    # label present on one side only is itself a conflict (the aligned
+    # null differs from the other side's value — merge.py:174
+    # unique_variable equals-after-align)
     j = a.df.select(*shared, *overlap).join(
         o_df.select(*shared, *[f"__b_{v}" for v in overlap]),
-        on=list(shared), how="inner",
+        on=list(shared), how="full_outer",
     )
     conds = [
         ~F.col(v).eqNullSafe(F.col(f"__b_{v}"))  # null-safe inequality
