@@ -2036,3 +2036,20 @@ def test_merge_compat_corners_match_reference(spark):
     got = (merge([a, b2], compat="no_conflicts").to_pandas()
            .sort_values("t")["v"].to_numpy())
     np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_update_replaces_variable_matches_reference(spark):
+    """Wave 18b: Dataset.update replaces the variable wholesale,
+    reindexed to self's labels (core/dataset.py:5700) — labels other
+    lacks become NaN, self's old values never show through."""
+    mk = lambda d: XDataset(spark.createDataFrame(pd.DataFrame(d)),  # noqa: E731
+                            dims=["t"])
+    a = mk({"t": [0, 1, 2], "v": [1.0, 2.0, 3.0]})
+    b = mk({"t": [1, 2, 3], "v": [20.0, 30.0, 40.0]})
+    ra = xr.Dataset({"v": ("t", [1.0, 2.0, 3.0])}, coords={"t": [0, 1, 2]})
+    rb = xr.Dataset({"v": ("t", [20.0, 30.0, 40.0])}, coords={"t": [1, 2, 3]})
+    ra.update(rb)
+    gp = a.update(b).to_pandas().sort_values("t")
+    np.testing.assert_array_equal(gp["t"].to_numpy(), ra["t"].values)
+    np.testing.assert_allclose(gp["v"].to_numpy(), ra["v"].values,
+                               equal_nan=True)

@@ -228,7 +228,10 @@ def test_dataset_update(spark):
         [{"t": 1, "v": 99.0, "w": 5.0}]), dims=["t"])
     out = a.update(b)
     got = {r["t"]: (r["v"], r["w"]) for r in out.df.collect()}
-    assert got == {0: (1.0, None), 1: (99.0, 5.0)}
+    # reference semantics: update REPLACES the variable wholesale,
+    # reindexed to self's labels — t=0 has no source row in b, so v
+    # becomes null there (verified against the reference directly)
+    assert got == {0: (None, None), 1: (99.0, 5.0)}
 
 
 def test_weighted_quantile(spark):

@@ -2089,8 +2089,10 @@ class XDataset:
         return merge([self, other], compat=compat, join=join)
 
     def update(self, other: "XDataset") -> "XDataset":
-        """Merge-override: other's values win where present
-        (xarray/core/dataset.py:5700)."""
+        """In-place-style variable REPLACEMENT (xarray/core/dataset.py:
+        5700): a variable present in ``other`` replaces self's version
+        wholesale, reindexed onto self's labels — labels other lacks
+        become null, self's old values never show through."""
         shared = [d for d in self.dims if d in other.dims]
         o_df = other.df
         renames = {v: f"__u_{v}" for v in other.data_vars}
@@ -2102,7 +2104,7 @@ class XDataset:
         exprs = []
         for c in self.df.columns:
             if c in self.data_vars and c in other.data_vars:
-                exprs.append(F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c))
+                exprs.append(F.col(f"__u_{c}").alias(c))
             else:
                 exprs.append(F.col(c))
         new_vars = [v for v in other.data_vars if v not in self.data_vars]
