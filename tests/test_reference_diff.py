@@ -2053,3 +2053,23 @@ def test_update_replaces_variable_matches_reference(spark):
     np.testing.assert_array_equal(gp["t"].to_numpy(), ra["t"].values)
     np.testing.assert_allclose(gp["v"].to_numpy(), ra["v"].values,
                                equal_nan=True)
+
+
+def test_fillna_dataset_misaligned_matches_reference(spark):
+    """Wave 18c: fillna(other) keeps SELF's shape — other's values join
+    on the shared labels, they never drop or add rows
+    (core/dataset.py:6489)."""
+    sv = np.array([1.0, np.nan, 3.0])
+    ov = np.array([9.0, 20.0])
+    s = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1, 2], "v": sv})), dims=["t"])
+    o = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [1, 3], "v": ov})), dims=["t"])
+    rs = xr.DataArray(sv, dims="t", coords={"t": [0, 1, 2]},
+                      name="v").to_dataset()
+    ro = xr.DataArray(ov, dims="t", coords={"t": [1, 3]},
+                      name="v").to_dataset()
+    exp = rs.fillna(ro)["v"].values
+    gp = s.fillna(o).to_pandas().sort_values("t")
+    assert gp["t"].tolist() == [0, 1, 2]
+    np.testing.assert_allclose(gp["v"].to_numpy(), exp, equal_nan=True)

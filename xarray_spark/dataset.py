@@ -1877,7 +1877,25 @@ class XDataset:
         """Fill nulls from a scalar, per-var dict, or another XDataset
         (join + coalesce) (xarray/core/dataset.py:6489)."""
         if isinstance(value, XDataset):
-            return self._binary_op_dataset(value, lambda a, b: F.coalesce(a, b))
+            # the reference keeps SELF's shape (this join does not align
+            # like arithmetic): left-join other's values on the shared
+            # labels and coalesce into self's gaps
+            shared = [d for d in self.dims if d in value.dims]
+            o_df = value.df
+            overlap = [v for v in value.data_vars if v in self.data_vars]
+            for v in overlap:
+                o_df = o_df.withColumnRenamed(v, f"__f_{v}")
+            joined = self.df.join(
+                o_df.select(*shared, *[f"__f_{v}" for v in overlap]),
+                on=shared, how="left")
+            exprs = [
+                F.coalesce(F.nanvl(F.col(c).cast("double"),
+                                   F.lit(None).cast("double")),
+                           F.col(f"__f_{c}").cast("double")).alias(c)
+                if c in overlap else F.col(c)
+                for c in self.df.columns
+            ]
+            return self._replace(df=joined.select(*exprs))
         if isinstance(value, Mapping):
             exprs = [
                 F.coalesce(F.col(c), F.lit(value[c])).alias(c)
