@@ -2073,3 +2073,135 @@ def test_fillna_dataset_misaligned_matches_reference(spark):
     gp = s.fillna(o).to_pandas().sort_values("t")
     assert gp["t"].tolist() == [0, 1, 2]
     np.testing.assert_allclose(gp["v"].to_numpy(), exp, equal_nan=True)
+
+
+# wave 19: isin NaN, array clip bounds, diff label, groupby NaN keys +
+# shift, concat fill_value, resample empty-bin materialization,
+# idx/arg skipna=False (np.argmax first-NaN-wins) + fill_value
+
+
+def test_isin_nan_matches_reference(sds, series):
+    """np.isin: NaN never matches (IEEE NaN != NaN), missing is False."""
+    got = _ours(sds.isin([series[0], np.nan])).astype(float)
+    exp = _ref(series).isin([series[0], np.nan]).values.astype(float)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_clip_array_bounds_match_reference(spark, series):
+    """clip bounds may be arrays (common.py:462 broadcasts them)."""
+    lo = np.linspace(-1, 0, N)
+    hi = np.linspace(1, 0.2, N)
+    refc = xr.Dataset({"v": ("t", series), "lo": ("t", lo),
+                       "hi": ("t", hi)}, coords={"t": np.arange(N)})
+    sc = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(N), "v": series, "lo": lo, "hi": hi})),
+        dims=["t"])
+    got = (sc.clip(min=sc["lo"], max=sc["hi"])
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    exp = refc["v"].clip(min=refc["lo"], max=refc["hi"]).values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_diff_label_lower_matches_reference(sds, series):
+    got = _ours(sds.diff("t", label="lower"))
+    exp = _ref(series).diff("t", label="lower").values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+    got2 = _ours(sds.diff("t", n=2, label="lower"))
+    exp2 = _ref(series).diff("t", n=2, label="lower").values
+    np.testing.assert_allclose(got2, exp2, equal_nan=True)
+
+
+def test_groupby_nan_key_dropped_matches_reference(spark, series):
+    """NaN group labels form no group (factorize drops NaN)."""
+    gn = np.arange(N) % 3.0
+    gn[[2, 7]] = np.nan
+    refn = xr.Dataset({"v": ("t", series)},
+                      coords={"t": np.arange(N), "gn": ("t", gn)})
+    sgn = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(N), "v": series, "gn": gn})),
+        dims=["t"])
+    got = np.sort(sgn.groupby("gn").mean().to_pandas()["v"].to_numpy())
+    exp = np.sort(refn.groupby("gn").mean()["v"].values)
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_groupby_shift_matches_pandas(spark, sds, series):
+    """Engine extension (pandas GroupBy.shift semantics; the reference
+    DatasetGroupBy dropped shift)."""
+    g = np.arange(N) % 4
+    sg = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(N), "v": series, "g": g})), dims=["t"])
+    for n in (1, -2):
+        got = (sg.groupby("g").shift(t=n)
+               .to_pandas().sort_values("t")["v"].to_numpy())
+        exp = (pd.DataFrame({"v": series, "g": g})
+               .groupby("g")["v"].shift(n).to_numpy())
+        np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_concat_fill_value_matches_reference(spark):
+    from xarray_spark.combine import concat
+    a = xr.Dataset({"x": ("t", [1.0, 2.0]), "y": ("t", [5.0, 6.0])},
+                   coords={"t": [0, 1]})
+    b = xr.Dataset({"x": ("t", [3.0, 4.0])}, coords={"t": [2, 3]})
+    sa = XDataset(spark.createDataFrame(a.to_dataframe().reset_index()),
+                  dims=["t"])
+    sb = XDataset(spark.createDataFrame(b.to_dataframe().reset_index()),
+                  dims=["t"])
+    exp = xr.concat([a, b], dim="t", fill_value=-1.0)
+    gp = concat([sa, sb], dim="t", fill_value=-1.0).to_pandas().sort_values("t")
+    np.testing.assert_allclose(gp["y"].to_numpy(), exp["y"].values,
+                               equal_nan=True)
+    np.testing.assert_allclose(gp["x"].to_numpy(), exp["x"].values)
+
+
+def test_resample_empty_bins_match_reference(spark):
+    """resample materializes the FULL first..last bin run; empty bins
+    are missing-valued in every reduction, count included
+    (core/resample.py)."""
+    ts = pd.date_range("2001-01-01", periods=20, freq="D").delete(
+        [5, 6, 7, 8])
+    tv = np.arange(len(ts), dtype=float)
+    refr = xr.DataArray(tv, dims="time", coords={"time": ts})
+    sr = XDataset(spark.createDataFrame(
+        pd.DataFrame({"time": ts, "v": tv})), dims=["time"])
+    for verb, kw in [("count", {}), ("mean", {}), ("max", {}),
+                     ("first", {}), ("sum", {"min_count": 3})]:
+        got = (getattr(sr.resample(time="3D"), verb)(**kw)
+               .to_pandas().sort_values("time")["v"].to_numpy(dtype=float))
+        exp = getattr(refr.resample(time="3D"), verb)(**kw).values.astype(float)
+        np.testing.assert_allclose(got, exp, equal_nan=True,
+                                   err_msg=f"resample {verb}")
+
+
+def test_idx_arg_skipna_false_matches_reference(sds, series):
+    """skipna=False is np.argmax/argmin: NaN comparisons are always
+    False, so the FIRST NaN wins whenever one exists."""
+    refc = xr.DataArray(series, dims="t", coords={"t": np.arange(N)})
+    for meth in ("idxmax", "idxmin", "argmax", "argmin"):
+        got = getattr(sds, meth)("t", skipna=False).to_pandas()["v"].iloc[0]
+        exp = float(getattr(refc, meth)("t", skipna=False).values)
+        assert float(got) == exp, f"{meth}: {got} != {exp}"
+
+
+def test_idxmax_fill_value_matches_reference(spark):
+    allnan = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "v": [np.nan, np.nan]})), dims=["t"])
+    refan = xr.DataArray([np.nan, np.nan], dims="t", coords={"t": [0, 1]})
+    got = allnan.idxmax("t", fill_value=-1).to_pandas()["v"].iloc[0]
+    exp = float(refan.idxmax("t", fill_value=-1).values)
+    assert float(got) == exp
+
+
+def test_argmax_dict_skipna_false_matches_reference(spark):
+    g = np.arange(12, dtype=float).reshape(3, 4)
+    g[1, 2] = np.nan
+    rg = xr.DataArray(g, dims=("y", "x"),
+                      coords={"y": range(3), "x": range(4)})
+    rows = [(int(y), int(x), g[y, x]) for y in range(3) for x in range(4)]
+    sg = XDataset(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["y", "x", "v"])), dims=["y", "x"])
+    exp = rg.argmax(dim=["y", "x"], skipna=False)
+    got = sg.argmax(dim=["y", "x"], skipna=False).to_pandas()["v"].iloc[0]
+    assert (got["y"], got["x"]) == (float(exp["y"].values),
+                                    float(exp["x"].values))

@@ -21,32 +21,45 @@ from xarray_spark.dataset import XDataset
 from xarray_spark.errors import MergeError
 
 
-def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None) -> XDataset:
+def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None,
+           fill_value=None) -> XDataset:
     """Concatenate datasets (xarray/structure/concat.py:45).
 
     If ``dim`` is an existing dim in the inputs → plain union.
     If new → each input gets a literal label (0..n-1 or ``labels``).
+    A variable absent from one input takes ``fill_value`` on that
+    input's rows (default missing — the reference's dtypes.NA).
     """
     objs = list(objs)
     first = objs[0]
+    all_vars = list(dict.fromkeys(v for o in objs for v in o.data_vars))
     if not isinstance(dim, str) and hasattr(dim, "name"):
         # the xarray idiom concat(objs, dim=pd.Index(values, name=...)):
         # the index names the new dim and supplies its labels
         labels = list(dim)
         dim = dim.name or "concat_dim"
+
+    def _with_fill(o: XDataset):
+        df = o.df
+        if fill_value is not None:
+            for v in all_vars:
+                if v not in df.columns:
+                    df = df.withColumn(v, F.lit(fill_value))
+        return df
+
     if dim in first.dims:
-        df = objs[0].df
+        df = _with_fill(objs[0])
         for o in objs[1:]:
-            df = df.unionByName(o.df, allowMissingColumns=True)
-        return first._replace(df=df)
+            df = df.unionByName(_with_fill(o), allowMissingColumns=True)
+        return first._replace(df=df, data_vars=all_vars)
     labels = list(labels) if labels is not None else list(range(len(objs)))
     dfs = []
     for lab, o in zip(labels, objs):
-        dfs.append(o.df.withColumn(dim, F.lit(lab)))
+        dfs.append(_with_fill(o).withColumn(dim, F.lit(lab)))
     df = dfs[0]
     for d in dfs[1:]:
         df = df.unionByName(d, allowMissingColumns=True)
-    return XDataset(df, [dim] + list(first.dims), first.coords, first.data_vars, first.attrs)
+    return XDataset(df, [dim] + list(first.dims), first.coords, all_vars, first.attrs)
 
 
 _VALID_COMPAT = ("identical", "equals", "broadcast_equals", "minimal",

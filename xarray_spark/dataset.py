@@ -874,9 +874,23 @@ class XDataset:
                              data_vars=list(self.data_vars) + ["__eval"])
 
     def isin(self, values: Iterable) -> "XDataset":
-        vals = list(values)
+        """Membership test (xarray/core/common.py:1368 → np.isin):
+        NaN never matches — np.isin follows IEEE NaN != NaN — and a
+        missing value tests False, never null."""
+        import math
+        vals = [v for v in values
+                if not (isinstance(v, float) and math.isnan(v))]
+
+        def e(name):
+            c = F.col(name)
+            cond = c.isin(vals) if vals else F.lit(False)
+            if isinstance(self.df.schema[name].dataType,
+                          (T.FloatType, T.DoubleType)):
+                cond = cond & ~F.isnan(c)
+            return F.coalesce(cond, F.lit(False))
+
         exprs = [
-            F.col(c).isin(vals).alias(c) if c in self.data_vars else F.col(c)
+            e(c).alias(c) if c in self.data_vars else F.col(c)
             for c in self.df.columns
         ]
         return self._replace(df=self.df.select(*exprs))
@@ -1571,19 +1585,24 @@ class XDataset:
         ]
         return self._replace(df=base.select(*exprs))
 
-    def argmin(self, dim=None) -> "XDataset":
-        return self._arg_reduce(dim, True, use_pos=True)
+    def argmin(self, dim=None, skipna: bool | None = None, fill_value=None) -> "XDataset":
+        return self._arg_reduce(dim, True, use_pos=True, skipna=skipna,
+                                fill_value=fill_value)
 
-    def argmax(self, dim=None) -> "XDataset":
-        return self._arg_reduce(dim, False, use_pos=True)
+    def argmax(self, dim=None, skipna: bool | None = None, fill_value=None) -> "XDataset":
+        return self._arg_reduce(dim, False, use_pos=True, skipna=skipna,
+                                fill_value=fill_value)
 
-    def idxmin(self, dim=None) -> "XDataset":
-        return self._arg_reduce(dim, True, use_pos=False)
+    def idxmin(self, dim=None, skipna: bool | None = None, fill_value=None) -> "XDataset":
+        return self._arg_reduce(dim, True, use_pos=False, skipna=skipna,
+                                fill_value=fill_value)
 
-    def idxmax(self, dim=None) -> "XDataset":
-        return self._arg_reduce(dim, False, use_pos=False)
+    def idxmax(self, dim=None, skipna: bool | None = None, fill_value=None) -> "XDataset":
+        return self._arg_reduce(dim, False, use_pos=False, skipna=skipna,
+                                fill_value=fill_value)
 
-    def _arg_reduce(self, dim, is_min: bool, use_pos: bool) -> "XDataset":
+    def _arg_reduce(self, dim, is_min: bool, use_pos: bool,
+                    skipna: bool | None = None, fill_value=None) -> "XDataset":
         """min_by/max_by of the dim label (idx*) or its position (arg*)
         (xarray/core/dataset.py:9251,9447).  Multiple dims → the label
         tuple of the extremum as a struct (the long-form rendering of
@@ -1606,19 +1625,37 @@ class XDataset:
                         df=ds.df.join(F.broadcast(labels), on=d, how="left"))
 
                 def agg(v):
+                    # skipna=False is np.argmax/argmin semantics: NaN
+                    # comparisons are always False, so the FIRST NaN
+                    # (smallest position) wins whenever one exists.
+                    # _reduce normalized NaN -> null already.
+                    nan_first = F.min(F.when(F.col(v).isNull(), F.struct(
+                        *[F.col(f"__pos_{d}").alias(d) for d in dims])))
                     if is_min:
                         s = F.min(F.when(F.col(v).isNotNull(), F.struct(
                             F.col(v).alias("__val"),
                             *[F.col(f"__pos_{d}").alias(d) for d in dims])))
-                        return F.struct(*[s[d].alias(d) for d in dims])
-                    s = F.max(F.when(F.col(v).isNotNull(), F.struct(
-                        F.col(v).alias("__val"),
-                        *[(-F.col(f"__pos_{d}")).alias(d) for d in dims])))
-                    return F.struct(*[(-s[d]).alias(d) for d in dims])
+                        out = F.struct(*[s[d].alias(d) for d in dims])
+                    else:
+                        s = F.max(F.when(F.col(v).isNotNull(), F.struct(
+                            F.col(v).alias("__val"),
+                            *[(-F.col(f"__pos_{d}")).alias(d) for d in dims])))
+                        out = F.struct(*[(-s[d]).alias(d) for d in dims])
+                    if skipna is False:
+                        out = F.coalesce(nan_first, out)
+                    return out
 
-                return ds._reduce(dims, agg)
+                return self._fill_agg_nulls(ds._reduce(dims, agg), fill_value)
             key = F.struct(*[F.col(d).alias(d) for d in dims])
-            return self._reduce(dims, lambda v: fn(key, F.col(v)))
+
+            def agg_plain(v):
+                e = fn(key, F.col(v))
+                if skipna is False:
+                    e = F.coalesce(F.min(F.when(F.col(v).isNull(), key)), e)
+                return e
+
+            return self._fill_agg_nulls(self._reduce(dims, agg_plain),
+                                        fill_value)
         d = dims[0]
         ds = self
         key_col = d
@@ -1627,8 +1664,33 @@ class XDataset:
             ds = self._replace(df=self.df.join(F.broadcast(labels), on=d, how="left"))
             key_col = f"__pos_{d}"
         fn = F.min_by if is_min else F.max_by
-        out = ds._reduce(dims, lambda v: fn(F.col(key_col), F.col(v)))
-        return out
+
+        def agg1(v):
+            e = fn(F.col(key_col), F.col(v))
+            if skipna is False:
+                # np.argmax/argmin: the first NaN wins when present
+                e = F.coalesce(F.min(F.when(F.col(v).isNull(),
+                                            F.col(key_col))), e)
+            return e
+
+        out = ds._reduce(dims, agg1)
+        return self._fill_agg_nulls(out, fill_value)
+
+    @staticmethod
+    def _fill_agg_nulls(out: "XDataset", fill_value) -> "XDataset":
+        """idxmin/idxmax/argmin/argmax fill_value: replace the null
+        results (all-NaN slices, or skipna=False poisoning) with the
+        given label (xarray/core/dataarray.py idxmax fill_value)."""
+        import math
+        if fill_value is None or (isinstance(fill_value, float)
+                                  and math.isnan(fill_value)):
+            return out
+        exprs = [
+            F.coalesce(F.col(c), F.lit(fill_value)).alias(c)
+            if c in out.data_vars else F.col(c)
+            for c in out.df.columns
+        ]
+        return out._replace(df=out.df.select(*exprs))
 
     def rank(self, dim: str, pct: bool = False) -> "XDataset":
         """Average-method rank along dim (xarray/core/dataset.py:8416;
@@ -1720,22 +1782,34 @@ class XDataset:
             out = out._replace(df=out.df.select(*exprs))
         return out
 
-    def diff(self, dim: str, n: int = 1) -> "XDataset":
+    def diff(self, dim: str, n: int = 1, label: str = "upper") -> "XDataset":
         """n-th discrete difference along dim (xarray/core/dataset.py:7879).
-        Keeps labels where the lagged value exists (xarray drops the first
-        label)."""
+        label='upper' (default) keeps the label of the later operand
+        (xarray drops the first label); label='lower' keeps the earlier
+        one (drops the last)."""
+        if label not in ("upper", "lower"):
+            raise ValueError(f"label must be 'upper' or 'lower', got {label!r}")
         out = self
         for _ in range(n):
             others = [x for x in out.dims if x != dim]
             w = Window.partitionBy(*others).orderBy(dim)
-            exprs, valid = [], None
+            exprs = []
             for c in out.df.columns:
                 if c in out.data_vars:
-                    exprs.append((F.col(c) - F.lag(c, 1).over(w)).alias(c))
+                    if label == "upper":
+                        exprs.append((F.col(c) - F.lag(c, 1).over(w)).alias(c))
+                    else:
+                        exprs.append((F.lead(c, 1).over(w) - F.col(c)).alias(c))
                 else:
                     exprs.append(F.col(c))
-            rn = F.row_number().over(w)
-            df = out.df.select(*exprs, rn.alias("__rn")).where(F.col("__rn") > 1).drop("__rn")
+            if label == "upper":
+                rn = F.row_number().over(w)
+                df = (out.df.select(*exprs, rn.alias("__rn"))
+                      .where(F.col("__rn") > 1).drop("__rn"))
+            else:
+                nxt = F.lead(F.col(dim), 1).over(w)
+                df = (out.df.select(*exprs, nxt.alias("__nx"))
+                      .where(F.col("__nx").isNotNull()).drop("__nx"))
             out = out._replace(df=df)
         return out
 
@@ -1966,15 +2040,46 @@ class XDataset:
     def clip(self, min=None, max=None) -> "XDataset":
         """Clamp values (xarray/core/common.py:462).  Nulls stay null —
         Spark's greatest/least silently IGNORE nulls and would resurrect
-        a missing value as the clip bound."""
-        def e(c):
+        a missing value as the clip bound.  Bounds may be scalars,
+        Columns, or single-variable XDataset/XDataArray objects (the
+        reference broadcasts array bounds); array bounds join on their
+        dims.  A null bound row clips nothing at that label."""
+        df = self.df
+
+        def resolve(b, tag):
+            nonlocal df
+            if b is None:
+                return None
+            if isinstance(b, XDataset):
+                (var,) = tuple(b.data_vars)
+                bdims = [d for d in b.dims if d in self.dims]
+                if not bdims:
+                    raise ValueError("clip bound shares no dims with self")
+                bdf = b.df.select(*bdims, F.col(var).alias(tag))
+                df = df.join(bdf, on=bdims, how="left")
+                return F.col(tag)
+            if isinstance(b, Column):
+                return b
+            return F.lit(b)
+
+        lo = resolve(min, "__clip_lo")
+        hi = resolve(max, "__clip_hi")
+
+        def e(name):
+            c = F.col(name)
             out = c
-            if min is not None:
-                out = F.greatest(out, F.lit(min))
-            if max is not None:
-                out = F.least(out, F.lit(max))
+            if lo is not None:
+                out = F.greatest(out, lo)
+            if hi is not None:
+                out = F.least(out, hi)
             return F.when(c.isNotNull(), out)
-        return self.map(e)
+
+        exprs = [
+            e(c).alias(c) if c in self.data_vars else F.col(c)
+            for c in self.df.columns
+            if c not in ("__clip_lo", "__clip_hi")
+        ]
+        return self._replace(df=df.select(*exprs))
 
     def astype(self, dtype: str) -> "XDataset":
         """Cast every data var (xarray/core/common.py:1409).  try_cast:

@@ -83,11 +83,55 @@ class XGroupBy:
         return [d for d in self.ds.dims if d not in self._consumed]
 
     def _prepared(self) -> XDataset:
-        """Materialize key columns on the dataframe."""
+        """Materialize key columns on the dataframe.  Rows whose key is
+        null or NaN belong to no group and are dropped — pandas/xarray
+        factorize excludes NaN labels (reference groupby.py; pandas
+        cut drops out-of-bin values the same way)."""
         df = self.ds.df
+        cond = None
         for name, expr, _src in self.keys:
-            df = df.withColumn(f"__key_{name}", expr)
+            kname = f"__key_{name}"
+            df = df.withColumn(kname, expr)
+            k = F.col(kname)
+            c = k.isNotNull()
+            if isinstance(df.schema[kname].dataType,
+                          (T.FloatType, T.DoubleType)):
+                c = c & ~F.isnan(k)
+            cond = c if cond is None else (cond & c)
+        if cond is not None:
+            df = df.where(cond)
         return self.ds._replace(df=df)
+
+    def shift(self, shifts: Mapping[str, int] | None = None,
+              fill_value=None, **shifts_kw) -> XDataset:
+        """Shift each group's values along a dim (pandas
+        GroupBy.shift semantics — an engine extension; the reference
+        DatasetGroupBy dropped shift): window lag/lead partitioned by
+        (group key, other dims) — slots shifted in from outside the
+        group get fill_value (default missing)."""
+        shifts = {**(shifts or {}), **shifts_kw}
+        prepped = self._prepared()
+        keys = [f"__key_{n}" for n in self._key_names]
+        out_df = prepped.df
+        for dim, n in shifts.items():
+            others = [d for d in self.ds.dims if d != dim]
+            w = Window.partitionBy(*keys, *others).orderBy(dim)
+            rn = F.row_number().over(w)
+            cnt = F.count(F.lit(1)).over(Window.partitionBy(*keys, *others))
+            exprs = []
+            for c in out_df.columns:
+                if c in self.ds.data_vars and c not in self._key_names:
+                    if n >= 0:
+                        e = F.when(rn > n, F.lag(c, n).over(w)) \
+                             .otherwise(F.lit(fill_value))
+                    else:
+                        e = F.when(rn <= cnt + n, F.lead(c, -n).over(w)) \
+                             .otherwise(F.lit(fill_value))
+                    exprs.append(e.alias(c))
+                else:
+                    exprs.append(F.col(c))
+            out_df = out_df.select(*exprs)
+        return self.ds._replace(df=out_df.drop(*keys))
 
     def _agg(self, exprs_for: Callable[[str], Column], numeric_only=False, skipna=True) -> XDataset:
         prepped = self._prepared()

@@ -92,6 +92,58 @@ class XResample(XGroupBy):
         self._freq = freq
         self._grouper = grouper
 
+    # ------------------------------------------------------ densify bins
+
+    def _agg(self, exprs_for, numeric_only=False, skipna=True) -> XDataset:
+        out = super()._agg(exprs_for, numeric_only, skipna)
+        if getattr(self, "_skip_densify", False):
+            return out
+        return self._densify_bins(out)
+
+    def _raw_pick(self, asc: bool = True) -> XDataset:
+        """Per-bin first/last WITHOUT the empty-bin densify — the
+        upsample verbs join/reindex onto the full calendar themselves,
+        and present-but-null gap rows would defeat reindex(method=)."""
+        self._skip_densify = True
+        try:
+            return self._ordered_pick(asc)
+        finally:
+            self._skip_densify = False
+
+    def _densify_bins(self, out: XDataset) -> XDataset:
+        """Materialize EVERY bin first..last (xarray resample yields the
+        full pandas date_range of bins; empty bins are missing-valued —
+        even ``count`` becomes NaN there, core/resample.py).
+
+        The bin run is derived from the agg output itself (bin-sized,
+        tiny): min/max → ``sequence()`` explode → left join back.  The
+        agg's shuffle exchange is reused by Spark for the bounds branch,
+        so the fact table is still scanned once."""
+        if out.df.isStreaming:
+            return out  # streaming agg: no retrospective bin run
+        n, unit = _parse_freq(self._freq)
+        trunc = _TRUNC.get(unit)
+        from xarray_spark.groupers import _END_ANCHORED
+        if trunc is None or unit in _END_ANCHORED:
+            return out  # end-anchored labels: not a fixed-interval run
+        from pyspark.sql import types as T
+        if not isinstance(out.df.schema[self._dim].dataType,
+                          (T.TimestampType, T.DateType)):
+            return out
+        mult, base = _INTERVAL_PARTS[trunc]
+        interval = f"interval {n * mult} {base}"
+        dim = self._dim
+        kept = [d for d in out.dims if d != dim]
+        b = out.df
+        bounds = b.groupBy().agg(F.min(dim).alias("__lo"),
+                                 F.max(dim).alias("__hi"))
+        cal = bounds.select(F.explode(
+            F.expr(f"sequence(__lo, __hi, {interval})")).alias(dim))
+        if kept:
+            cal = cal.crossJoin(b.select(*kept).distinct())
+        joined = cal.join(F.broadcast(b), on=[dim] + kept, how="left")
+        return out._replace(df=joined.select(*b.columns))
+
     # ---------------------------------------------------------- calendar
 
     def _calendar(self) -> DataFrame:
@@ -125,14 +177,14 @@ class XResample(XGroupBy):
         """Values at the target freq labels, null where no data
         (xarray/core/resample.py:383): first value per bucket, reindexed
         onto the full calendar."""
-        binned = self.first()
+        binned = self._raw_pick()
         cal = self._calendar()
         df = F.broadcast(cal).join(binned.df, on=self._dim, how="left")
         return binned._replace(df=df.select(*binned.df.columns))
 
     def _filled(self, method: str | None) -> XDataset:
         from xarray_spark.alignment import reindex
-        binned = self.first()
+        binned = self._raw_pick()
         cal = self._calendar()
         labels = [r[self._dim] for r in cal.collect()]
         return reindex(binned, {self._dim: labels}, method=method)
