@@ -2205,3 +2205,97 @@ def test_argmax_dict_skipna_false_matches_reference(spark):
     got = sg.argmax(dim=["y", "x"], skipna=False).to_pandas()["v"].iloc[0]
     assert (got["y"], got["x"]) == (float(exp["y"].values),
                                     float(exp["x"].values))
+
+
+# wave 20: 3-arg where + array other, IEEE NaN comparisons, polyfit
+# full/cov, coarsen coord_func, unstack fill_value, *_like dtype
+
+
+def test_where_3arg_and_array_other_match_reference(spark, sds, series):
+    import xarray_spark as xs
+    ref = xr.DataArray(series, dims="t", coords={"t": np.arange(N)})
+    got = (xs.where(sds["v"] > 0, sds["v"], -9.0)
+           .to_pandas().sort_values("t")["where"].to_numpy())
+    exp = xr.where(ref > 0, ref, -9.0).values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+    other = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(N), "v": np.full(N, 7.0)})), dims=["t"])
+    rother = xr.DataArray(np.full(N, 7.0), dims="t",
+                          coords={"t": np.arange(N)})
+    got = _ours(sds.where(sds["v"] > 0, other))
+    exp = ref.where(ref > 0, rother).values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_nan_comparisons_match_numpy(sds, series):
+    """Spark orders NaN as the largest value; numpy comparisons with
+    NaN are ALWAYS False. The cmp operators normalize."""
+    ref = _ref(series)
+    for ops, opr in [(lambda d: d > 0.0, lambda r: r > 0.0),
+                     (lambda d: d <= 0.5, lambda r: r <= 0.5),
+                     (lambda d: d >= -0.1, lambda r: r >= -0.1),
+                     (lambda d: d < 2.0, lambda r: r < 2.0)]:
+        got = _ours(ops(sds)).astype(float)
+        exp = opr(ref).values.astype(float)
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_polyfit_full_cov_match_reference(spark):
+    rng = np.random.RandomState(5)
+    n = 25
+    vv = rng.randn(n).round(6)
+    s3 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(n, dtype=float), "v": vv})), dims=["t"])
+    r3 = xr.DataArray(vv, dims="t", coords={"t": np.arange(n, dtype=float)})
+    gf = s3.polyfit("t", 2, full=True).to_pandas().sort_values(
+        "degree", ascending=False)
+    rf = r3.polyfit("t", 2, full=True)
+    np.testing.assert_allclose(gf["v_polyfit_coefficients"].to_numpy(),
+                               rf["polyfit_coefficients"].values, rtol=1e-7)
+    assert gf["t_matrix_rank"].iloc[0] == int(rf["t_matrix_rank"].values)
+    np.testing.assert_allclose(gf["t_singular_values"].to_numpy(),
+                               rf["t_singular_values"].values, rtol=1e-7)
+    np.testing.assert_allclose(gf["v_polyfit_residuals"].iloc[0],
+                               float(rf["polyfit_residuals"].values),
+                               rtol=1e-6)
+    for cv in (True, "unscaled"):
+        gc = s3.polyfit("t", 2, cov=cv).to_pandas().sort_values(
+            "degree", ascending=False)
+        rc = r3.polyfit("t", 2, cov=cv)
+        np.testing.assert_allclose(
+            np.vstack(gc["v_polyfit_covariance"].to_numpy()),
+            rc["polyfit_covariance"].values, rtol=1e-6)
+
+
+def test_coarsen_coord_func_matches_reference(sds, series):
+    got = (sds.coarsen(t=5, boundary="trim", coord_func="min").mean()
+           .to_pandas().sort_values("t"))
+    exp = _ref(series).assign_coords(t=np.arange(N)).coarsen(
+        t=5, boundary="trim", coord_func="min").mean()
+    np.testing.assert_array_equal(got["t"].to_numpy(), exp["t"].values)
+    np.testing.assert_allclose(got["v"].to_numpy(), exp.values,
+                               equal_nan=True)
+
+
+def test_unstack_fill_value_matches_reference(spark):
+    rsrc = (xr.DataArray(np.arange(6, dtype=float), dims="p",
+                         coords={"y": ("p", [0, 0, 1, 1, 2, 2]),
+                                 "x": ("p", [0, 1, 0, 1, 0, 1])})
+            .set_index(p=["y", "x"]).drop_isel(p=3))
+    exp = rsrc.unstack("p", fill_value=-5.0).transpose("y", "x").values.ravel()
+    sst = XDataset(spark.createDataFrame(
+        pd.DataFrame({"y": [0, 0, 1, 2, 2], "x": [0, 1, 0, 0, 1],
+                      "v": [0., 1., 2., 4., 5.]})), dims=["y", "x"])
+    got = (sst.stack(p=["y", "x"]).unstack("p", fill_value=-5.0)
+           .to_pandas().sort_values(["y", "x"])["v"].to_numpy())
+    np.testing.assert_allclose(got, exp)
+
+
+def test_like_dtype_matches_reference(spark):
+    import xarray_spark as xs
+    ids = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(5), "v": np.arange(5)})), dims=["t"])
+    g1 = xs.ones_like(ids, dtype="double").to_pandas()["v"]
+    assert g1.dtype == np.float64 and (g1 == 1.0).all()
+    g2 = xs.full_like(ids, 5).to_pandas()["v"]
+    assert g2.dtype == np.int64 and (g2 == 5).all()

@@ -16,9 +16,43 @@ from pyspark.sql import types as T
 from xarray_spark.dataset import XDataArray, XDataset
 
 
-def where(cond: Column, x, y, ds: XDataset, name: str = "where") -> XDataArray:
-    """3-arg where (xarray/computation/computation.py:682) as a column
-    expression over a host dataset."""
+def where(cond, x, y, ds: XDataset | None = None,
+          name: str = "where") -> XDataArray:
+    """3-arg where (xarray/computation/computation.py:682).
+
+    Operands may be Columns/scalars over an explicit host ``ds``
+    (the engine's original form), or XDataset/XDataArray objects like
+    the reference's ``xr.where(cond, x, y)`` — the first array operand
+    hosts the expression and the other array operands join in on their
+    dims."""
+    if ds is None:
+        host = next((o for o in (cond, x, y) if isinstance(o, XDataset)),
+                    None)
+        if host is None:
+            raise TypeError(
+                "where() needs a host: pass ds=, or make one of "
+                "cond/x/y an XDataset/XDataArray")
+        df = host.df
+        def operand(o, tag):
+            nonlocal df
+            if not isinstance(o, XDataset):
+                return o if isinstance(o, Column) else F.lit(o)
+            (var,) = tuple(o.data_vars)
+            if o is host:
+                return F.col(var)
+            odims = [d for d in o.dims if d in host.df.columns]
+            if not odims:
+                raise ValueError(f"operand dims {o.dims} share no key "
+                                 f"column with {host.dims}")
+            df = df.join(o.df.select(*odims, F.col(var).alias(tag)),
+                         on=odims, how="left")
+            return F.col(tag)
+        cc = operand(cond, "__wh_c")
+        xc = operand(x, "__wh_x")
+        yc = operand(y, "__wh_y")
+        df = df.withColumn(name, F.when(cc.cast("boolean"), xc).otherwise(yc))
+        return XDataArray(df.select(*host.dims, *host.coords, name),
+                          host.dims, host.coords, [name], host.attrs)
     xc = x if isinstance(x, Column) else F.lit(x)
     yc = y if isinstance(y, Column) else F.lit(y)
     df = ds.df.withColumn(name, F.when(cond, xc).otherwise(yc))
@@ -101,7 +135,9 @@ def polyval(coord: XDataArray, coeffs: Mapping[int, float], name: str = "polyval
     return XDataArray(df.select(*coord.dims, *coord.coords, name), coord.dims, coord.coords, [name], coord.attrs)
 
 
-def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None) -> XDataset:
+def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
+            full: bool = False, cov: bool | str = False,
+            rcond: float | None = None) -> XDataset:
     """Least-squares polynomial fit per complement-dim group
     (xarray/computation/fit.py:101); ``w=`` names a weight column
     (xarray's array-like ``w`` in long form).
@@ -112,7 +148,18 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None) -> XDataset:
     tiny aggregated result via applyInPandas — no per-row Python.
     Moments are masked per data var (rows where y is null contribute to
     neither side — xarray's skipna), so each var solves a consistent
-    system."""
+    system.
+
+    ``full=True`` adds (fit.py:204-212) ``{v}_polyfit_residuals``
+    (Σ w²(y−p(x))², from the Syy moment — no extra pass),
+    ``{dim}_matrix_rank`` and ``{dim}_singular_values`` of the scaled
+    weighted Vandermonde (label-table-sized numpy on the driver; both
+    broadcast along the degree rows — the long-form rendering of the
+    reference's scalar/degree-dim variables).  ``cov=True`` adds
+    residuals plus ``{v}_polyfit_covariance``: each degree row carries
+    its ROW of the covariance matrix as array<double> (cov_i ≡ degree
+    row, cov_j ≡ array index); ``cov='unscaled'`` skips the
+    residual/(n−order) factor (fit.py:281-294)."""
     import numpy as np
     import pandas as pd
 
@@ -122,6 +169,8 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None) -> XDataset:
     # np.polyfit convention (xarray passes w through): weights scale the
     # RESIDUALS, so the normal equations see w^2
     wc = (F.col(w).cast("double") ** 2) if w is not None else F.lit(1.0)
+    order = deg + 1
+    need_resid = bool(full or cov)
     aggs = []
     varlist = [v for v in ds.data_vars if v != w]
     for v in varlist:
@@ -135,17 +184,69 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None) -> XDataset:
             aggs.append(
                 F.sum(F.when(mask, wc * F.pow(x, float(k)) * F.col(v))).alias(f"__t_{v}_{k}")
             )
+        if need_resid:
+            aggs.append(F.sum(F.when(mask, wc * vd * vd)).alias(f"__yy_{v}"))
     moments = ds.df.groupBy(*others).agg(*aggs) if others else ds.df.agg(*aggs)
+
+    # rank / singular values / covariance base: properties of the
+    # weighted scaled Vandermonde ALONE (fit.py:202 — built from the
+    # full coordinate, independent of y) — label-table-sized driver
+    # numpy, consistent with the engine's bounded-label-collect rule.
+    rank_v = sing_v = Vbase = n_x = None
+    if need_resid:
+        if w is not None:
+            lab = (ds.df.select(x.alias("__x"), F.col(w).cast("double")
+                                .alias("__w"))
+                   .where(F.col("__x").isNotNull()).distinct().toPandas()
+                   .sort_values("__x"))
+            xs_ = lab["__x"].to_numpy(float)
+            lhs = np.vander(xs_, order) * lab["__w"].to_numpy(float)[:, None]
+        else:
+            xs_ = np.sort(np.array([r[0] for r in
+                                    ds.df.select(x.alias("__x"))
+                                    .where(F.col("__x").isNotNull())
+                                    .distinct().collect()], dtype=float))
+            lhs = np.vander(xs_, order)
+        n_x = len(xs_)
+        scale = np.sqrt((lhs * lhs).sum(axis=0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lhs_s = lhs / scale
+        rank_v = int(np.linalg.matrix_rank(lhs_s))
+        if full:
+            sing = np.linalg.svd(lhs_s, compute_uv=False)
+            sing_v = np.concatenate(
+                [np.full(order - rank_v, np.nan), sing])[:order]
+        if cov:
+            try:
+                Vbase = np.linalg.inv(lhs_s.T @ lhs_s) / np.outer(scale, scale)
+            except np.linalg.LinAlgError:
+                Vbase = np.full((order, order), np.nan)
 
     out_fields = [moments.schema[o] for o in others] + [T.StructField("degree", T.IntegerType())] + [
         T.StructField(f"{v}_polyfit_coefficients", T.DoubleType()) for v in varlist
     ]
+    extra_vars: list[str] = []
+    if need_resid:
+        for v in varlist:
+            out_fields.append(
+                T.StructField(f"{v}_polyfit_residuals", T.DoubleType()))
+            extra_vars.append(f"{v}_polyfit_residuals")
+    if full:
+        out_fields.append(T.StructField(f"{dim}_matrix_rank", T.IntegerType()))
+        out_fields.append(
+            T.StructField(f"{dim}_singular_values", T.DoubleType()))
+        extra_vars += [f"{dim}_matrix_rank", f"{dim}_singular_values"]
+    if cov:
+        for v in varlist:
+            out_fields.append(T.StructField(
+                f"{v}_polyfit_covariance", T.ArrayType(T.DoubleType())))
+            extra_vars.append(f"{v}_polyfit_covariance")
     out_schema = T.StructType(out_fields)
 
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for _, r in pdf.iterrows():
-            coefs = {}
+            coefs, resids = {}, {}
             for v in varlist:
                 S = np.array([[r[f"__s_{v}_{i + j}"] for j in range(deg + 1)]
                               for i in range(deg + 1)])
@@ -155,11 +256,24 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None) -> XDataset:
                 except np.linalg.LinAlgError:
                     c = np.full(deg + 1, np.nan)
                 coefs[v] = c
+                if need_resid:
+                    # ‖w·y − w·p(x)‖² = Syy − cᵀT (normal equations)
+                    resids[v] = float(r[f"__yy_{v}"] - c @ t)
             for d_i in range(deg + 1):
                 row = {o: r[o] for o in others}
                 row["degree"] = deg - d_i  # xarray orders degree desc
                 for v in varlist:
                     row[f"{v}_polyfit_coefficients"] = float(coefs[v][::-1][d_i])
+                    if need_resid:
+                        row[f"{v}_polyfit_residuals"] = resids[v]
+                    if cov:
+                        fac = 1.0 if cov == "unscaled" else (
+                            resids[v] / (n_x - order)) if n_x > order else np.nan
+                        row[f"{v}_polyfit_covariance"] = \
+                            (Vbase[d_i] * fac).tolist()
+                if full:
+                    row[f"{dim}_matrix_rank"] = rank_v
+                    row[f"{dim}_singular_values"] = float(sing_v[d_i])
                 rows.append(row)
         return pd.DataFrame(rows, columns=[f.name for f in out_fields])
 
@@ -169,7 +283,9 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None) -> XDataset:
         result = moments.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
             lambda pdf: solve(pdf.drop(columns="__g")), out_schema
         )
-    return XDataset(result, ["degree"] + others, {}, [f"{v}_polyfit_coefficients" for v in varlist], ds.attrs)
+    return XDataset(result, ["degree"] + others, {},
+                    [f"{v}_polyfit_coefficients" for v in varlist] + extra_vars,
+                    ds.attrs)
 
 
 def curvefit(ds: XDataset, coords: str, func: Callable,
@@ -528,20 +644,33 @@ def infer_freq(ds: XDataset, dim: str) -> str | None:
 
 
 def full_like(ds: XDataset, fill_value, dtype: str | None = None) -> XDataset:
-    """Shape-preserving constant dataset (xarray/core/common.py:1497)."""
-    lit = F.lit(fill_value)
-    if dtype:
-        lit = lit.cast(dtype)
-    exprs = [lit.alias(c) if c in ds.data_vars else F.col(c) for c in ds.df.columns]
+    """Shape-preserving constant dataset (xarray/core/common.py:1497).
+    Without ``dtype`` each variable keeps its own dtype (reference
+    semantics); a fill that can't represent (NaN into int) is NULL —
+    the engine's rendering of numpy's unsafe-cast garbage."""
+    import math
+    is_nan = isinstance(fill_value, float) and math.isnan(fill_value)
+
+    def e(c):
+        lit = F.lit(fill_value)
+        if dtype:
+            return lit.try_cast(dtype)
+        target = ds.df.schema[c].dataType
+        if is_nan and not isinstance(target, (T.FloatType, T.DoubleType)):
+            return F.lit(None).cast(target)
+        return lit.try_cast(target)
+
+    exprs = [e(c).alias(c) if c in ds.data_vars else F.col(c)
+             for c in ds.df.columns]
     return ds._replace(df=ds.df.select(*exprs))
 
 
-def zeros_like(ds: XDataset) -> XDataset:
-    return full_like(ds, 0.0)
+def zeros_like(ds: XDataset, dtype: str | None = None) -> XDataset:
+    return full_like(ds, 0.0, dtype=dtype)
 
 
-def ones_like(ds: XDataset) -> XDataset:
-    return full_like(ds, 1.0)
+def ones_like(ds: XDataset, dtype: str | None = None) -> XDataset:
+    return full_like(ds, 1.0, dtype=dtype)
 
 
 def differentiate(ds: XDataset, coord: str,

@@ -816,14 +816,31 @@ class XDataset:
             out = host.where(F.coalesce(F.col("__cond"), F.lit(False)), other, drop)
             return out._replace(df=out.df.drop("__cond"))
         col = self._as_cond(cond)
+        host_df = self.df
+        if isinstance(other, XDataset):
+            # array-valued replacement (common.py:1131 aligns other):
+            # join its single variable in on its dims
+            (ovar,) = tuple(other.data_vars)
+            odims = [d for d in other.dims if d in self.df.columns]
+            if not odims:
+                raise ValueError(
+                    f"other dims {other.dims} share no key column with {self.dims}")
+            odf = other.df.select(*odims, F.col(ovar).alias("__w_other"))
+            host_df = host_df.join(odf, on=odims, how="left")
+            repl_col = F.col("__w_other")
+        elif other is None:
+            repl_col = F.lit(None)
+        elif isinstance(other, Column):
+            repl_col = other
+        else:
+            repl_col = F.lit(other)
         exprs = []
         for c in self.df.columns:
             if c in self.data_vars:
-                repl = F.lit(None) if other is None else (other if isinstance(other, Column) else F.lit(other))
-                exprs.append(F.when(col, F.col(c)).otherwise(repl).alias(c))
+                exprs.append(F.when(col, F.col(c)).otherwise(repl_col).alias(c))
             else:
                 exprs.append(F.col(c))
-        df = self.df.select(*exprs)
+        df = host_df.select(*exprs)
         out = self._replace(df=df)
         if drop:
             survivors = self.df.where(col)
@@ -1056,13 +1073,16 @@ class XDataset:
             out = XDataset(df, dims, coords, out.data_vars, out.attrs)
         return out
 
-    def unstack(self, dim: str | None = None) -> "XDataset":
+    def unstack(self, dim: str | None = None, fill_value=None) -> "XDataset":
         """Split a stacked struct dim back into its component dims
         (xarray/core/dataset.py:5597).  Long form stays sparse — missing
-        combinations are simply absent rows (densify() adds them)."""
+        combinations are simply absent rows (densify() adds them);
+        passing ``fill_value`` densifies the unstacked dims with that
+        value (the reference's unstack(fill_value=))."""
         dims_to_unstack = [dim] if dim else [
             d for d in self.dims if isinstance(self.df.schema[d].dataType, T.StructType)
         ]
+        new_fields: list[str] = []
         out = self
         for d in dims_to_unstack:
             dtype = out.df.schema[d].dataType
@@ -1078,6 +1098,11 @@ class XDataset:
             coords = {k: v for k, v in out.coords.items() if k not in fields}
             coords = {k: tuple(x for x in v if x != d) or tuple(fields) for k, v in coords.items()}
             out = XDataset(df, dims, coords, out.data_vars, out.attrs)
+            new_fields.extend(fields)
+        if fill_value is not None and new_fields:
+            # the reference's unstack is dense: missing label combos
+            # materialize as fill_value
+            out = out.densify(fill_value=fill_value)
         return out
 
     def densify(self, dims: Sequence[str] | None = None, fill_value=None) -> "XDataset":
@@ -1843,20 +1868,36 @@ class XDataset:
     # arithmetic with auto-align (SURVEY.md §2.3; xarray _typed_ops)
     # ------------------------------------------------------------------ #
 
-    def _binary_op(self, other, op: Callable[[Column, Column], Column], reflexive=False) -> "XDataset":
+    def _binary_op(self, other, op: Callable[[Column, Column], Column],
+                   reflexive=False, cmp=False) -> "XDataset":
         if isinstance(other, XDataset):
-            return self._binary_op_dataset(other, op, reflexive)
-        lit = other if isinstance(other, Column) else F.lit(other)
+            return self._binary_op_dataset(other, op, reflexive, cmp)
+        import math
+        if cmp and isinstance(other, float) and math.isnan(other):
+            lit = F.lit(None).cast("double")
+        else:
+            lit = other if isinstance(other, Column) else F.lit(other)
         exprs = []
         for c in self.df.columns:
             if c in self.data_vars:
-                a, b = (lit, F.col(c)) if reflexive else (F.col(c), lit)
-                exprs.append(op(a, b).alias(c))
+                cc = F.col(c)
+                if cmp and isinstance(self.df.schema[c].dataType,
+                                      (T.FloatType, T.DoubleType)):
+                    # IEEE comparison: NaN compares False against
+                    # everything (Spark orders NaN as the LARGEST value
+                    # — numpy does not)
+                    cc = F.nanvl(cc, F.lit(None))
+                a, b = (lit, cc) if reflexive else (cc, lit)
+                e = op(a, b)
+                if cmp:
+                    e = F.coalesce(e, F.lit(False))
+                exprs.append(e.alias(c))
             else:
                 exprs.append(F.col(c))
         return self._replace(df=self.df.select(*exprs))
 
-    def _binary_op_dataset(self, other: "XDataset", op, reflexive=False) -> "XDataset":
+    def _binary_op_dataset(self, other: "XDataset", op, reflexive=False,
+                           cmp=False) -> "XDataset":
         """Join-on-shared-dims then columnar expression — xarray's
         auto-align binary op (xarray/core/dataset.py:7783; inner join is
         the default arithmetic_join)."""
@@ -1896,8 +1937,19 @@ class XDataset:
             if c in (p[0] for p in pairs):
                 ov = dict(pairs)[c]
                 ocol = F.col(renames.get(ov, ov))
-                a, b = (ocol, F.col(c)) if reflexive else (F.col(c), ocol)
-                exprs.append(op(a, b).alias(c))
+                scol = F.col(c)
+                if cmp:
+                    if isinstance(self.df.schema[c].dataType,
+                                  (T.FloatType, T.DoubleType)):
+                        scol = F.nanvl(scol, F.lit(None))
+                    if isinstance(other.df.schema[ov].dataType,
+                                  (T.FloatType, T.DoubleType)):
+                        ocol = F.nanvl(ocol, F.lit(None))
+                a, b = (ocol, scol) if reflexive else (scol, ocol)
+                e = op(a, b)
+                if cmp:
+                    e = F.coalesce(e, F.lit(False))
+                exprs.append(e.alias(c))
             elif c in self.dims or c in self.coords:
                 exprs.append(F.col(c))
             seen.add(c)
@@ -1937,10 +1989,10 @@ class XDataset:
         return self._binary_op(o, lambda a, b: ieee_floor(ieee_div(a, b)))
     def __neg__(self): return self._binary_op(-1, lambda a, b: a * b)
     def __abs__(self): return self.map(F.abs)
-    def __lt__(self, o): return self._binary_op(o, lambda a, b: a < b)
-    def __le__(self, o): return self._binary_op(o, lambda a, b: a <= b)
-    def __gt__(self, o): return self._binary_op(o, lambda a, b: a > b)
-    def __ge__(self, o): return self._binary_op(o, lambda a, b: a >= b)
+    def __lt__(self, o): return self._binary_op(o, lambda a, b: a < b, cmp=True)
+    def __le__(self, o): return self._binary_op(o, lambda a, b: a <= b, cmp=True)
+    def __gt__(self, o): return self._binary_op(o, lambda a, b: a > b, cmp=True)
+    def __ge__(self, o): return self._binary_op(o, lambda a, b: a >= b, cmp=True)
     def equals_values(self, o): return self._binary_op(o, lambda a, b: a == b)
 
     # ------------------------------------------------------------------ #
@@ -2136,10 +2188,11 @@ class XDataset:
         return XRolling(self, windows, min_periods, center)
 
     def coarsen(self, windows: Mapping[str, int] | None = None,
-                boundary: str = "exact", side: str = "left", **kw):
+                boundary: str = "exact", side: str = "left",
+                coord_func: str = "mean", **kw):
         from xarray_spark.rolling import XCoarsen
         windows = {**(windows or {}), **kw}
-        return XCoarsen(self, windows, boundary, side)
+        return XCoarsen(self, windows, boundary, side, coord_func)
 
     def cumulative(self, dim: str):
         from xarray_spark.rolling import XRolling
@@ -2505,9 +2558,11 @@ class XDataset:
         from xarray_spark.computation import differentiate
         return differentiate(self, coord, datetime_unit=datetime_unit)
 
-    def polyfit(self, dim: str, deg: int, w: str | None = None):
+    def polyfit(self, dim: str, deg: int, w: str | None = None,
+                full: bool = False, cov: bool | str = False,
+                rcond: float | None = None):
         from xarray_spark.computation import polyfit
-        return polyfit(self, dim, deg, w=w)
+        return polyfit(self, dim, deg, w=w, full=full, cov=cov, rcond=rcond)
 
     def curvefit(self, coords, func, p0, param_names=None, maxiter: int = 100):
         from xarray_spark.computation import curvefit

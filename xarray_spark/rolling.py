@@ -321,11 +321,12 @@ class XCoarsen:
     """
 
     def __init__(self, ds: XDataset, windows: Mapping[str, int], boundary: str = "exact",
-                 side: str = "left"):
+                 side: str = "left", coord_func: str = "mean"):
         self.ds = ds
         self.windows = dict(windows)
         self.boundary = boundary
         self.side = side
+        self.coord_func = coord_func
 
     def _blocked(self) -> tuple[XDataset, list[str]]:
         ds = self.ds
@@ -366,12 +367,21 @@ class XCoarsen:
         coords = self.ds._coords_on(kept)
         keys = block_cols + kept + list(coords)
         aggs = []
+        # xarray coarsen coord_func (computation/rolling.py:1023): how
+        # the block's new label is derived from its member labels
+        cf = {"mean": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+              "first": F.min, "last": F.max,
+              "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+              }.get(self.coord_func)
+        if cf is None:
+            raise ValueError(f"unsupported coord_func {self.coord_func!r}")
         for dim in coarse_dims:
-            # new label for the block: mean for numeric labels, min otherwise
             dt = self.ds.df.schema[dim].dataType
-            if isinstance(dt, (T.FloatType, T.DoubleType, T.IntegerType, T.LongType)):
-                aggs.append(F.avg(dim).alias(dim))
+            if isinstance(dt, (T.FloatType, T.DoubleType, T.IntegerType,
+                               T.LongType)) or self.coord_func != "mean":
+                aggs.append(cf(dim).alias(dim))
             else:
+                # mean of non-numeric labels: fall back to min
                 aggs.append(F.min(dim).alias(dim))
         for v in self.ds.data_vars:
             aggs.append(make(v).alias(v))
