@@ -2299,3 +2299,106 @@ def test_like_dtype_matches_reference(spark):
     assert g1.dtype == np.float64 and (g1 == 1.0).all()
     g2 = xs.full_like(ids, 5).to_pandas()["v"]
     assert g2.dtype == np.int64 and (g2 == 5).all()
+
+
+# wave 21: align fill_value, roll_coords, dt accessor on the index
+# itself, str.contains case=, swap_dims consumes the variable,
+# groupby by list of names, ddof params
+
+
+def test_align_fill_value_matches_reference(spark):
+    import xarray_spark as xs
+    a = xr.Dataset({"v": ("t", [1.0, 2.0])}, coords={"t": [0, 1]})
+    b = xr.Dataset({"v": ("t", [5.0, 6.0])}, coords={"t": [1, 2]})
+    ea, eb = xr.align(a, b, join="outer", fill_value=-1.0)
+    sa = XDataset(spark.createDataFrame(a.to_dataframe().reset_index()),
+                  dims=["t"])
+    sb = XDataset(spark.createDataFrame(b.to_dataframe().reset_index()),
+                  dims=["t"])
+    ga, gb = xs.align(sa, sb, join="outer", fill_value=-1.0)
+    np.testing.assert_allclose(
+        ga.to_pandas().sort_values("t")["v"].to_numpy(), ea["v"].values)
+    np.testing.assert_allclose(
+        gb.to_pandas().sort_values("t")["v"].to_numpy(), eb["v"].values)
+
+
+def test_roll_coords_keeps_pairing(sds, series):
+    """roll_coords=True rolls index and data together — every value
+    keeps its label, which is the identity in label-keyed long form."""
+    ref = xr.DataArray(series, dims="t", coords={"t": np.arange(N)})
+    e = ref.roll(t=3, roll_coords=True)
+    epair = pd.Series(e.values, index=e["t"].values).sort_index().to_numpy()
+    got = sds.roll(t=3, roll_coords=True).to_pandas() \
+             .sort_values("t")["v"].to_numpy()
+    np.testing.assert_allclose(got, epair, equal_nan=True)
+
+
+def test_dt_accessor_on_index_matches_reference(spark):
+    """da.dt on the time index itself: the result column is suffixed
+    (time_) so the dim column survives; values match the reference."""
+    ts = pd.date_range("2000-01-30", periods=20, freq="17D")
+    sdt = XDataset(spark.createDataFrame(
+        pd.DataFrame({"time": ts, "v": np.arange(20.0)})), dims=["time"])
+    rdt = xr.DataArray(np.arange(20.0), dims="time", coords={"time": ts})
+    for f in ["is_leap_year", "is_month_start", "is_month_end",
+              "quarter", "days_in_month"]:
+        got = (getattr(sdt["time"].dt, f).to_pandas()
+               .sort_values("time")["time_"].to_numpy(dtype=float))
+        exp = getattr(rdt["time"].dt, f).values.astype(float)
+        np.testing.assert_array_equal(got, exp, err_msg=f)
+    gs = (sdt["time"].dt.season.to_pandas()
+          .sort_values("time")["time_"].tolist())
+    assert gs == list(rdt["time"].dt.season.values)
+
+
+def test_str_contains_case_matches_pandas(spark):
+    words = ["Apple", "bAnana", "Cherry", "date", "ANchovy", "Eclair"]
+    sstr = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(6), "s": words})), dims=["t"])
+    ps = pd.Series(words)
+    for case in (True, False):
+        for regex in (True, False):
+            got = [bool(g) for g in
+                   sstr["s"].str.contains("an", case=case, regex=regex)
+                   .to_pandas().sort_values("t")["s"]]
+            exp = [bool(e) for e in
+                   ps.str.contains("an", case=case, regex=regex)]
+            assert got == exp, f"case={case} regex={regex}"
+
+
+def test_swap_dims_consumes_variable(spark):
+    s2 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(4), "u": [10, 20, 30, 40],
+                      "v": [1., 2., 3., 4.]})), dims=["t"])
+    sw = s2.swap_dims({"t": "u"})
+    rsw = xr.Dataset({"u": ("t", [10, 20, 30, 40]),
+                      "v": ("t", [1., 2., 3., 4.])},
+                     coords={"t": range(4)}).swap_dims({"t": "u"})
+    assert list(sw.dims) == ["u"] and list(sw.data_vars) == ["v"]
+    assert list(rsw.data_vars) == ["v"]
+    assert float(sw.mean("u").to_pandas()["v"].iloc[0]) == \
+        float(rsw["v"].mean().values)
+
+
+def test_groupby_list_of_names_matches_reference(spark, series):
+    g1 = np.arange(N) % 2
+    g2 = np.arange(N) % 3
+    refg = xr.Dataset({"v": ("t", series)},
+                      coords={"t": np.arange(N), "a": ("t", g1),
+                              "b": ("t", g2)})
+    sg = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(N), "v": series, "a": g1, "b": g2})),
+        dims=["t"])
+    got = np.sort(sg.groupby(["a", "b"]).mean().to_pandas()["v"].to_numpy())
+    exp = np.sort(refg.groupby(["a", "b"]).mean()["v"].values.ravel())
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_std_var_ddof_match_reference(sds, series):
+    ref = _ref(series)
+    for meth in ("std", "var"):
+        for ddof in (0, 1):
+            got = float(getattr(sds, meth)("t", ddof=ddof)
+                        .to_pandas()["v"].iloc[0])
+            exp = float(getattr(ref, meth)("t", ddof=ddof).values)
+            np.testing.assert_allclose(got, exp, rtol=1e-9)

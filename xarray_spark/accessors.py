@@ -24,6 +24,10 @@ class _Accessor:
     def _wrap(self, expr: Column, name: str | None = None) -> XDataArray:
         da = self.da
         out = name or da.name
+        if out in da.dims or (out in da.coords and out not in da.data_vars):
+            # accessor on a dim/coord-named array (da.dt on the index
+            # itself): suffix the result so the dim column survives
+            out = f"{out}_"
         df = da.df.withColumn(out, expr)
         cols = list(da.dims) + list(da.coords) + [out]
         return XDataArray(df.select(*cols), da.dims, da.coords, [out], da.attrs)
@@ -106,7 +110,11 @@ class StringAccessor(_Accessor):
         return self._wrap(F.array_join(picked, ""))
     def startswith(self, pat: str): return self._wrap(self._c.startswith(pat))
     def endswith(self, pat: str): return self._wrap(self._c.endswith(pat))
-    def contains(self, pat: str, regex: bool = True):
+    def contains(self, pat: str, case: bool = True, regex: bool = True):
+        if not case:
+            if regex:
+                return self._wrap(self._c.rlike(f"(?i){pat}"))
+            return self._wrap(F.lower(self._c).contains(pat.lower()))
         return self._wrap(self._c.rlike(pat) if regex else self._c.contains(pat))
     def match(self, pat: str): return self._wrap(self._c.rlike(f"^{pat}"))
     def count(self, pat: str): return self._wrap(F.expr(f"regexp_count({self.da.name}, '{pat}')"))

@@ -51,7 +51,8 @@ def _aligned_label_sets(datasets: Sequence[XDataset], join: str) -> dict[str, Da
     return out
 
 
-def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame) -> XDataset:
+def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame,
+                       fill_value=None) -> XDataset:
     """Restrict ds to the label set AND materialize rows (null vars) for
     labels it lacks — reference align semantics, where an outer join
     introduces NaN slices.  Missing labels appear as other-combos ×
@@ -74,18 +75,24 @@ def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame) -> XDataset:
         new_rows = missing
     for c in ds.df.columns:
         if c not in new_rows.columns:
+            # synthesized slices take fill_value for data vars (the
+            # reference's align(fill_value=); default NaN ≙ null)
+            fill = (F.lit(fill_value) if fill_value is not None
+                    and c in ds.data_vars else F.lit(None))
             new_rows = new_rows.withColumn(
-                c, F.lit(None).cast(ds.df.schema[c].dataType))
+                c, fill.cast(ds.df.schema[c].dataType))
     return ds._replace(df=df.unionByName(new_rows.select(*ds.df.columns)))
 
 
-def align(*datasets: XDataset, join: str = "inner") -> tuple[XDataset, ...]:
+def align(*datasets: XDataset, join: str = "inner",
+          fill_value=None) -> tuple[XDataset, ...]:
     """N-way alignment (xarray/structure/alignment.py:678).
 
     join='outer'/'left'/'right': labels a dataset lacks materialize as
     null-variable rows (the long-form rendering of the reference's NaN
     slices) — one broadcast anti-join + union per dim, facts never
-    shuffled.
+    shuffled.  ``fill_value`` fills those synthesized slices instead
+    of missing (reference align(fill_value=)).
 
     join='override' (xarray/structure/alignment.py:196): the FIRST
     dataset's labels replace the others' positionally — indexes must
@@ -104,7 +111,7 @@ def align(*datasets: XDataset, join: str = "inner") -> tuple[XDataset, ...]:
                     cur = cur._replace(df=cur.df.join(
                         F.broadcast(labels), on=dim, how="left_semi"))
                 else:
-                    cur = _conform_to_labels(cur, dim, labels)
+                    cur = _conform_to_labels(cur, dim, labels, fill_value)
         out.append(cur)
     return tuple(out)
 

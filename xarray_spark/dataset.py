@@ -1198,13 +1198,18 @@ class XDataset:
         mapping = {**(mapping or {}), **kw}
         dims = list(self.dims)
         coords = dict(self.coords)
+        data_vars = list(self.data_vars)
         for old, new in mapping.items():
             if new not in self.df.columns:
                 raise KeyError(new)
             dims[dims.index(old)] = new
             coords.pop(new, None)
             coords[old] = (new,)
-        return self._replace(dims=dims, coords=coords)
+            if new in data_vars:
+                # the swapped-to variable becomes the index — it is no
+                # longer a data var (reference swap_dims semantics)
+                data_vars.remove(new)
+        return self._replace(dims=dims, coords=coords, data_vars=data_vars)
 
     def sortby(self, variables: str | Sequence[str], ascending: bool = True) -> "XDataset":
         if isinstance(variables, str):
@@ -1838,10 +1843,17 @@ class XDataset:
             out = out._replace(df=df)
         return out
 
-    def roll(self, shifts: Mapping[str, int] | None = None, **kw) -> "XDataset":
+    def roll(self, shifts: Mapping[str, int] | None = None,
+             roll_coords: bool = False, **kw) -> "XDataset":
         """Circular shift (xarray/core/dataset.py:8038): re-key positions
-        modulo size via the broadcast label table."""
+        modulo size via the broadcast label table.
+
+        ``roll_coords=True`` rolls the index together with the data, so
+        every value KEEPS its own label — in the label-keyed long form
+        (rows have no positional order) that is the identity mapping."""
         shifts = {**(shifts or {}), **kw}
+        if roll_coords:
+            return self
         out = self
         for dim, n in shifts.items():
             labels = out._dim_labels(dim)
