@@ -1985,6 +1985,61 @@ def q121_argsort(spark, sf_dir):
     return out.to_spark().select("l_shipdate", F.col("rev").alias("rev_pos"))
 
 
+def q122_polyfit_full(spark, sf_dir):
+    """polyfit(full=True) (round-5 wave 20; xarray computation/
+    fit.py:204): residuals + matrix rank alongside the coefficients —
+    the residual comes from the Syy moment in the SAME single hash
+    aggregation (Σw²y² − cᵀT via the normal equations), the rank from
+    the label-table Vandermonde on the driver.  Oracle: regr_slope/
+    intercept + SSE = regr_syy·(1−r²)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ds = XDataset(df, dims=["l_quantity"], data_vars=["l_extendedprice"])
+    fit = ds.polyfit("l_quantity", deg=1, full=True)
+    return fit.to_spark().select(
+        "degree",
+        _r4(F.col("l_extendedprice_polyfit_coefficients")).alias("coef"),
+        F.round(F.col("l_extendedprice_polyfit_residuals") / F.lit(1e9),
+                3).alias("resid_b"),
+        F.col("l_quantity_matrix_rank").alias("rank"),
+    )
+
+
+def q123_where_isin(spark, sf_dir):
+    """Composition of the wave-19/20 masking semantics: where(cond,
+    other=0) + clip(max=) + isin membership — all JVM expressions, one
+    groupBy each, joined on the group key."""
+    li = _lineitem(spark, sf_dir).assign(rev=REV())
+    masked = li.where(F.col("l_quantity") > 25.0, 0.0).clip(max=4000.0)
+    agg1 = masked.groupby("l_returnflag").agg(
+        masked_rev=_r3(F.sum("rev")))
+    member = li["l_quantity"].isin([5.0, 10.0, 15.0, 20.0])
+    agg2 = member.groupby("l_returnflag").agg(
+        n_in=F.sum(F.col("l_quantity").cast("long")))
+    return agg1.to_spark().join(agg2.to_spark(), on="l_returnflag")
+
+
+def q124_resample_gaps(spark, sf_dir):
+    """resample over a SPARSE series (wave 19): the reference
+    materializes the FULL first..last bin run — empty bins are
+    missing-valued rows, even for count.  The engine derives the bin
+    run from the agg output itself (bin-sized), no second fact scan.
+    Oracle: generate_series densify + left join."""
+    ev = _events(spark, sf_dir).query("value > 250")
+    out = ev.resample(ts="1h").mean()
+    return out.to_spark().select(
+        "ts", F.round(F.col("value") + F.lit(1e-9), 4).alias("v"))
+
+
+def q125_diff_lower(spark, sf_dir):
+    """diff(label='lower') (wave 19; xarray core/dataset.py:7879):
+    lead-difference keeping the EARLIER label, last label dropped."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.diff("l_shipdate", label="lower").assign(
+        d_rev=_r3(F.col("rev"))
+    ).drop_vars("rev")
+    return out.to_spark()
+
+
 # --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2010,11 +2065,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fields), q110 (curation _spread), and q44 (datetime_unit
     differentiate) for the unchanged double-green anchors q02/q79/
     q63/q97; and (d) regression anchors (q78, q62, the ANN/dedup
-    portable set, all five streaming gates, q01).  q64_ivf_topk stays
-    OUT permanently (rows-only by design; its plan is value-verified
-    by q97).  Everything below the window carries a green driver row
-    from rounds 1-4 and stays covered by tests/test_oracle.py at
-    sf0.001 each round.
+    portable set, all five streaming gates).  The third round-5
+    session added the wave-19/20 debutants q122-q125 (polyfit full,
+    where/clip/isin composition, resample empty-bin materialization,
+    diff label='lower') and recalled q04/q58 (the where() refactor:
+    array-valued other + IEEE NaN cond), displacing the unchanged
+    double-green anchors q01/q61/q51/q52/q112/q113.  q64_ivf_topk
+    stays OUT permanently (rows-only by design; its plan is
+    value-verified by q97).  Everything below the window carries a
+    green driver row from rounds 1-4 and stays covered by
+    tests/test_oracle.py at sf0.001 each round.
     """
     return {
         # ---- ROUND-5 GATE WINDOW (first 50) ----
@@ -2045,15 +2105,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_binary_align": q19_binary_align,
         "q21_reindex_fill": q21_reindex_fill,
         "q29_reindex_nearest": q29_reindex_nearest,
-        "q61_nearest_points": q61_nearest_points,
+        "q122_polyfit_full": q122_polyfit_full,
         "q27_str_ops": q27_str_ops,
         "q84_dt_timedelta": q84_dt_timedelta,
         "q110_dedup_lines": q110_dedup_lines,
-        "q113_ivfpq_topk": q113_ivfpq_topk,
-        "q112_pq_topk": q112_pq_topk,
+        "q123_where_isin": q123_where_isin,
+        "q124_resample_gaps": q124_resample_gaps,
         "q44_differentiate": q44_differentiate,
-        "q51_lsh_topk": q51_lsh_topk,
-        "q52_embedding_near_dups": q52_embedding_near_dups,
+        "q125_diff_lower": q125_diff_lower,
+        "q04_where_mask": q04_where_mask,
         "q34_minhash_lsh": q34_minhash_lsh,
         "q35_simhash": q35_simhash,
         "q53_ngram_jaccard": q53_ngram_jaccard,
@@ -2067,8 +2127,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_stream_sessionize": q96_stream_sessionize,
         "q85_stream_asof": q85_stream_asof,
         "q87_stream_dedup": q87_stream_dedup,
-        "q01_pricing_summary": q01_pricing_summary,
+        "q58_where_aligned": q58_where_aligned,
         # ---- below the window: green rows from rounds 1-4 stand ----
+        "q01_pricing_summary": q01_pricing_summary,
+        "q61_nearest_points": q61_nearest_points,
+        "q113_ivfpq_topk": q113_ivfpq_topk,
+        "q112_pq_topk": q112_pq_topk,
+        "q51_lsh_topk": q51_lsh_topk,
+        "q52_embedding_near_dups": q52_embedding_near_dups,
         "q13_ffill": q13_ffill,
         "q02_sel_label_slice": q02_sel_label_slice,
         "q79_sel_step": q79_sel_step,
@@ -2103,7 +2169,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_blend_epochs": q108_blend_epochs,
         "q40_dropna": q40_dropna,
         "q64_ivf_topk": q64_ivf_topk,
-        "q04_where_mask": q04_where_mask,
         "q41_dot": q41_dot,
         "q42_stopword_ratio": q42_stopword_ratio,
         "q47_weighted_var": q47_weighted_var,
@@ -2130,7 +2195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_rolling_2d": q55_rolling_2d,
         "q56_densify": q56_densify,
         "q57_isel_points": q57_isel_points,
-        "q58_where_aligned": q58_where_aligned,
         "q68_datatree": q68_datatree,
         "q69_bpe_token_count": q69_bpe_token_count,
         "q71_netcdf_roundtrip": q71_netcdf_roundtrip,
@@ -3785,6 +3849,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p2.l_shipdate, s.orig::BIGINT AS rev_pos
             FROM srt s JOIN pos p2 ON p2.orig = s.j
+        """,
+        "q122_polyfit_full": """
+            WITH m AS (
+              SELECT regr_slope(l_extendedprice, l_quantity) AS s,
+                     regr_intercept(l_extendedprice, l_quantity) AS i,
+                     regr_syy(l_extendedprice, l_quantity) AS syy,
+                     regr_r2(l_extendedprice, l_quantity) AS r2,
+                     CAST(CASE WHEN COUNT(DISTINCT l_quantity) >= 2
+                          THEN 2 ELSE 1 END AS INTEGER) AS rk
+              FROM lineitem
+            )
+            SELECT CAST(1 AS INTEGER) AS degree,
+                   ROUND(s + 1e-8, 4) AS coef,
+                   ROUND(syy * (1 - r2) / 1e9 + 1e-9, 3) AS resid_b,
+                   rk AS rank
+            FROM m
+            UNION ALL
+            SELECT CAST(0 AS INTEGER),
+                   ROUND(i + 1e-8, 4),
+                   ROUND(syy * (1 - r2) / 1e9 + 1e-9, 3),
+                   rk
+            FROM m
+        """,
+        "q123_where_isin": """
+            SELECT l_returnflag,
+                   ROUND(SUM(CASE WHEN l_quantity > 25.0
+                         THEN LEAST(l_extendedprice * (1 - l_discount), 4000.0)
+                         ELSE 0.0 END) + 1e-6, 3) AS masked_rev,
+                   CAST(SUM(CASE WHEN l_quantity IN (5.0, 10.0, 15.0, 20.0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q124_resample_gaps": """
+            WITH f AS (SELECT ts, value FROM events WHERE value > 250),
+            b AS (
+              SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bin,
+                     AVG(value) AS v
+              FROM f GROUP BY 1
+            ),
+            cal AS (
+              SELECT UNNEST(generate_series((SELECT MIN(bin) FROM b),
+                                            (SELECT MAX(bin) FROM b),
+                                            INTERVAL 1 HOUR)) AS bin
+            )
+            SELECT CAST(cal.bin AS TIMESTAMP) AS ts,
+                   ROUND(b.v + 1e-9, 4) AS v
+            FROM cal LEFT JOIN b ON b.bin = cal.bin
+        """,
+        "q125_diff_lower": f"""
+            WITH daily AS ({_DAILY_SQL})
+            SELECT l_shipdate,
+                   ROUND(LEAD(rev) OVER (ORDER BY l_shipdate) - rev + 1e-6, 3) AS d_rev
+            FROM daily
+            QUALIFY LEAD(rev) OVER (ORDER BY l_shipdate) IS NOT NULL
         """,
         "q118_temperature_sample": """
             WITH c AS (SELECT source, COUNT(*) AS n
