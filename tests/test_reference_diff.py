@@ -2402,3 +2402,74 @@ def test_std_var_ddof_match_reference(sds, series):
                         .to_pandas()["v"].iloc[0])
             exp = float(getattr(ref, meth)("t", ddof=ddof).values)
             np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+# wave 22: query NaN semantics, boolean isel masks, sortby lexsort
+# parity (notnull-flag descending), head/tail int + default forms,
+# interpolate_na fill_value edge constants
+
+
+def test_query_nan_semantics_match_reference(spark):
+    rng = np.random.RandomState(21)
+    n = 30
+    vals = rng.randn(n).round(6)
+    vals[[3, 8]] = np.nan
+    u = rng.rand(n).round(6)
+    sds2 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(n), "v": vals, "u": u})), dims=["t"])
+    refds = xr.Dataset({"v": ("t", vals), "u": ("t", u)},
+                       coords={"t": np.arange(n)})
+    got = (sds2.query("v > 0 and u < 0.5").to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    exp = refds.query(t="v > 0 and u < 0.5")["v"].values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_isel_bool_mask_matches_reference(sds, series):
+    mask = series > 0
+    ref = xr.Dataset({"v": ("t", series)}, coords={"t": np.arange(N)})
+    got = (sds.isel(t=np.asarray(mask, bool)).to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    exp = ref.isel(t=mask)["v"].values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_sortby_lexsort_parity_matches_reference(spark):
+    u2 = np.array([3.0, 1.0, 2.0, 1.0, 2.0])
+    v2 = np.array([9.0, 5.0, np.nan, 6.0, 7.0])
+    s3 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(5), "v": v2, "u": u2})), dims=["t"])
+    r3 = xr.Dataset({"v": ("t", v2), "u": ("t", u2)},
+                    coords={"t": range(5)})
+    for asc in (True, False):
+        got = s3.sortby(["u", "v"], ascending=asc).to_pandas()["v"].to_numpy()
+        exp = r3.sortby(["u", "v"], ascending=asc)["v"].values
+        np.testing.assert_allclose(got, exp, equal_nan=True,
+                                   err_msg=f"ascending={asc}")
+
+
+def test_head_tail_int_forms_match_reference(sds, series):
+    ref = xr.Dataset({"v": ("t", series)}, coords={"t": np.arange(N)})
+    np.testing.assert_allclose(
+        sds.tail(4).to_pandas().sort_values("t")["v"].to_numpy(),
+        ref.tail(4)["v"].values, equal_nan=True)
+    np.testing.assert_allclose(
+        sds.head().to_pandas().sort_values("t")["v"].to_numpy(),
+        ref.head()["v"].values, equal_nan=True)
+
+
+def test_interp_na_fill_value_matches_reference(spark):
+    rng = np.random.RandomState(4)
+    n = 20
+    tt = np.arange(n, dtype=float) ** 1.5
+    vv = rng.randn(n).round(6)
+    vv[[0, 5, n - 2, n - 1]] = np.nan
+    s2 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": tt, "v": vv})), dims=["t"])
+    r2 = xr.DataArray(vv, dims="t", coords={"t": tt})
+    for fv in (-7.0, (-7.0, 9.0)):
+        got = (s2.interpolate_na("t", fill_value=fv).to_pandas()
+               .sort_values("t")["v"].to_numpy())
+        exp = r2.interpolate_na("t", fill_value=fv).values
+        np.testing.assert_allclose(got, exp, equal_nan=True,
+                                   err_msg=str(fv))

@@ -670,6 +670,13 @@ class XDataset:
         return out
 
     def _isel_one(self, dim: str, value) -> "XDataset":
+        import numpy as _np
+        if isinstance(value, (list, tuple, _np.ndarray)):
+            arr = _np.asarray(value)
+            if arr.dtype == bool:
+                # boolean-mask indexer (xarray isel accepts masks):
+                # positions where True
+                value = [int(i) for i in _np.nonzero(arr)[0]]
         labels = self._dim_labels(dim)
         pos, size = F.col("__pos"), F.col("__size")
         norm = lambda i: F.when(F.lit(i) < 0, size + F.lit(i)).otherwise(F.lit(i))  # noqa: E731
@@ -712,16 +719,26 @@ class XDataset:
             coords={k: v for k, v in self.coords.items() if k not in dead_coords},
         )
 
+    def _count_indexers(self, indexers, kw, default=None):
+        """head/tail/thin accept a mapping, an int (applied to every
+        dim), or nothing (reference default 5)."""
+        if isinstance(indexers, int):
+            return {d: indexers for d in self.dims}
+        merged = {**(indexers or {}), **kw}
+        if not merged and default is not None:
+            return {d: default for d in self.dims}
+        return merged
+
     def head(self, indexers=None, **kw) -> "XDataset":
-        indexers = {**(indexers or {}), **kw}
+        indexers = self._count_indexers(indexers, kw, default=5)
         return self.isel({d: slice(None, n) for d, n in indexers.items()})
 
     def tail(self, indexers=None, **kw) -> "XDataset":
-        indexers = {**(indexers or {}), **kw}
+        indexers = self._count_indexers(indexers, kw, default=5)
         return self.isel({d: slice(-n, None) for d, n in indexers.items()})
 
     def thin(self, indexers=None, **kw) -> "XDataset":
-        indexers = {**(indexers or {}), **kw}
+        indexers = self._count_indexers(indexers, kw)
         return self.isel({d: slice(None, None, k) for d, k in indexers.items()})
 
     def squeeze(self, dim: str | None = None) -> "XDataset":
@@ -866,14 +883,19 @@ class XDataset:
 
     def query(self, expr: str | Mapping[str, str] | None = None, **kw) -> "XDataset":
         """Filter with a SQL expression (xarray/core/dataset.py:9777) —
-        Spark SQL *is* the evaluator here."""
+        Spark SQL *is* the evaluator here.  Float predicates see NaN as
+        NULL (dropped by filters, like the reference's NaN-comparisons-
+        are-False); the one divergence is negated predicates over
+        missing values, where pandas keeps the row (NOT False = True)
+        and SQL three-valued logic drops it."""
         parts = []
         if isinstance(expr, str):
             parts.append(expr)
         elif isinstance(expr, Mapping):
             parts.extend(expr.values())
         parts.extend(kw.values())
-        df = self.df
+        from xarray_spark._utils import nan_to_null
+        df = nan_to_null(self.df, list(self.data_vars), self.df.schema)
         for p in parts:
             df = df.where(F.expr(p))
         return self._replace(df=df)
@@ -1212,9 +1234,27 @@ class XDataset:
         return self._replace(dims=dims, coords=coords, data_vars=data_vars)
 
     def sortby(self, variables: str | Sequence[str], ascending: bool = True) -> "XDataset":
+        """Sort rows by variables (xarray/core/dataset.py:8273).
+        Missing keys — NULL or true NaN — sort LAST in either direction
+        (np.argsort/pandas sort_values convention; Spark alone would
+        order NaN as the largest value)."""
         if isinstance(variables, str):
             variables = [variables]
-        cols = [F.col(v).asc() if ascending else F.col(v).desc() for v in variables]
+        keys = []
+        for v in variables:
+            c = F.col(v)
+            if isinstance(self.df.schema[v].dataType,
+                          (T.FloatType, T.DoubleType)):
+                c = F.nanvl(c, F.lit(None))
+            keys.append(c)
+        if ascending:
+            cols = [c.asc_nulls_last() for c in keys]
+        else:
+            # descending appends notnull flags as the HIGHEST-priority
+            # lexsort keys (reference dataset.py:8226, gh-7358): a row
+            # missing ANY sort key sorts after every complete row
+            cols = [c.isNull().cast("int").asc() for c in keys]
+            cols += [c.desc_nulls_last() for c in keys]
         return self._replace(df=self.df.orderBy(*cols))
 
     def to_dataarray(self, dim: str = "variable") -> "XDataArray":
@@ -2231,10 +2271,11 @@ class XDataset:
     def interpolate_na(self, dim: str, method: str = "linear", limit=None,
                        max_gap=None, order=None,
                        use_coordinate: bool = True,
-                       lam: float | None = None) -> "XDataset":
+                       lam: float | None = None,
+                       fill_value=None) -> "XDataset":
         from xarray_spark.missing import interpolate_na
         return interpolate_na(self, dim, method, limit, max_gap, order,
-                              use_coordinate, lam=lam)
+                              use_coordinate, lam=lam, fill_value=fill_value)
 
     def reindex(self, indexers=None, method=None, tolerance=None, fill_value=None, **kw) -> "XDataset":
         from xarray_spark.alignment import reindex

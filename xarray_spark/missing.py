@@ -107,7 +107,8 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
                    limit: int | None = None, max_gap=None,
                    order: int | None = None,
                    use_coordinate: bool = True,
-                   lam: float | None = None) -> XDataset:
+                   lam: float | None = None,
+                   fill_value=None) -> XDataset:
     """Gap interpolation along dim (xarray/core/missing.py:331).
 
     Methods (reference matrix core/missing.py:486):
@@ -123,8 +124,17 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
       polynomial is the numpy-only equivalent and is exact on data that
       IS a polynomial of that order).
 
-    Leading/trailing nulls stay null (xarray default: interior only).
+    Leading/trailing nulls stay null (xarray default: interior only);
+    ``fill_value`` (scalar or (left, right) pair — np.interp's
+    left/right through the reference NumpyInterpolator,
+    core/missing.py:100) fills those edge nulls with constants.
+    ``limit``/``max_gap`` govern interior gaps only.
     """
+    if fill_value is not None and method not in ("linear", "nearest",
+                                                 "zero", "slinear"):
+        raise NotImplementedError(
+            "fill_value= is the NumpyInterpolator's left/right edge "
+            "constant — linear/nearest/zero only")
     from xarray_spark._utils import nan_to_null
     ds = ds._replace(df=nan_to_null(ds.df, list(ds.data_vars), ds.df.schema))
     if method in ("quadratic", "cubic", "polynomial"):
@@ -198,6 +208,17 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
                 ).over(back)
                 can_fill = can_fill & ((F.col("__rn") - last_valid_rn) <= limit)
             filled = F.when(v.isNotNull(), v).otherwise(F.when(can_fill, interp))
+            if fill_value is not None:
+                if isinstance(fill_value, (tuple, list)) and len(fill_value) == 2:
+                    lval, rval = fill_value
+                else:
+                    lval = rval = fill_value
+                filled = (
+                    F.when(v.isNull() & x0.isNull() & x1.isNotNull(),
+                           F.lit(float(lval)))
+                    .when(v.isNull() & x1.isNull() & x0.isNotNull(),
+                          F.lit(float(rval)))
+                    .otherwise(filled))
             exprs.append(filled.alias(c))
         elif c != "__rn":
             exprs.append(F.col(c))
