@@ -2473,3 +2473,59 @@ def test_interp_na_fill_value_matches_reference(spark):
         exp = r2.interpolate_na("t", fill_value=fv).values
         np.testing.assert_allclose(got, exp, equal_nan=True,
                                    err_msg=str(fv))
+
+
+# wave 23: full xarray.ufuncs surface — the reference __all__ exists
+# here too, and the new stragglers match numpy on adversarial inputs
+
+
+def test_ufunc_surface_complete():
+    import xarray.ufuncs as xu
+    import xarray_spark.ufuncs as su
+    ref = sorted(
+        n for n in dir(xu)
+        if not n.startswith("_") and callable(getattr(xu, n))
+        and n not in ("ABC", "GroupBy", "abstractmethod",
+                      "get_array_namespace"))
+    missing = [n for n in ref if not hasattr(su, n)]
+    assert missing == [], f"ufuncs missing vs reference: {missing}"
+
+
+def test_new_ufuncs_match_numpy(spark):
+    import xarray_spark.ufuncs as su
+    from pyspark.sql import functions as F
+    a = np.array([1.5, -2.5, 0.0, -0.0, np.nan, np.inf, 3.25, 7.0])
+    b = np.array([2.0, -1.5, 1.0, -3.0, 2.0, 1.0, np.nan, 7.0])
+    df = spark.createDataFrame(pd.DataFrame({"i": range(8), "a": a, "b": b}))
+    A, B = F.col("a"), F.col("b")
+
+    def got(c):
+        out = (df.select(F.col("i"), c.alias("r")).toPandas()
+               .sort_values("i")["r"].to_numpy())
+        return np.array([np.nan if v is None else v for v in out],
+                        dtype=float)
+
+    np.testing.assert_allclose(got(su.arctan2(A, B)), np.arctan2(a, b),
+                               equal_nan=True)
+    np.testing.assert_allclose(got(su.logaddexp2(A, B)),
+                               np.logaddexp2(a, b), equal_nan=True)
+    np.testing.assert_array_equal(got(su.equal(A, B).cast("double")),
+                                  np.equal(a, b).astype(float))
+    np.testing.assert_array_equal(got(su.not_equal(A, B).cast("double")),
+                                  np.not_equal(a, b).astype(float))
+    np.testing.assert_array_equal(got(su.signbit(A).cast("double")),
+                                  np.signbit(a).astype(float))
+    np.testing.assert_allclose(got(su.nextafter(A, B)),
+                               np.nextafter(a, b), equal_nan=True)
+    np.testing.assert_allclose(got(su.spacing(A)), np.spacing(a),
+                               equal_nan=True)
+    ai = np.array([12, 18, 0, 7, 100, 64, 9, 5])
+    bi = np.array([8, 24, 5, 0, 75, 48, 3, 10])
+    dfi = spark.createDataFrame(pd.DataFrame({"i": range(8), "a": ai,
+                                              "b": bi}))
+    gg = (dfi.select("i", su.gcd(F.col("a"), F.col("b")).alias("r"))
+          .toPandas().sort_values("i")["r"].to_numpy())
+    np.testing.assert_array_equal(gg, np.gcd(ai, bi))
+    ll = (dfi.select("i", su.lcm(F.col("a"), F.col("b")).alias("r"))
+          .toPandas().sort_values("i")["r"].to_numpy())
+    np.testing.assert_array_equal(ll, np.lcm(ai, bi))

@@ -116,8 +116,41 @@ logical_or = lambda a, b: a | b  # noqa: E731
 logical_xor = lambda a, b: a.cast("boolean") != b.cast("boolean")  # noqa: E731
 logical_not = _mk(lambda c: ~c.cast("boolean"))
 
-# int ops
-gcd = lambda a, b: F.expr(f"gcd({a}, {b})") if isinstance(a, str) else None  # noqa: E731
+# int ops — Spark has no gcd/lcm builtin; Euclid unrolls poorly in SQL,
+# so these two go through an Arrow-batched pandas_udf (np.gcd/np.lcm)
+def _np_binary(npfunc_name: str, out_type: str = "long"):
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd  # noqa: F401
+
+    @pandas_udf(out_type)
+    def f(a, b):
+        import numpy as np
+        return pd.Series(getattr(np, npfunc_name)(a.to_numpy(), b.to_numpy()))
+    return f
+
+
+def gcd(a, b):
+    return _np_binary("gcd")(a.cast("long"), b.cast("long"))
+
+
+def lcm(a, b):
+    return _np_binary("lcm")(a.cast("long"), b.cast("long"))
+
+
+def nextafter(a, b):
+    return _np_binary("nextafter", "double")(a.cast("double"), b.cast("double"))
+
+
+def spacing(x):
+    from pyspark.sql.functions import pandas_udf
+    import pandas as pd  # noqa: F401
+
+    @pandas_udf("double")
+    def f(a):
+        import numpy as np
+        return pd.Series(np.spacing(a.to_numpy()))
+    return _apply(x, lambda c: f(c.cast("double")))
+
 bitwise_and = lambda a, b: a.bitwiseAND(b)  # noqa: E731
 bitwise_or = lambda a, b: a.bitwiseOR(b)  # noqa: E731
 bitwise_xor = lambda a, b: a.bitwiseXOR(b)  # noqa: E731
@@ -144,9 +177,10 @@ radians = deg2rad
 # misc
 heaviside = lambda a, h: F.when(a < 0, 0.0).when(a == 0, h).otherwise(1.0)  # noqa: E731
 
-# numpy ufuncs with no JVM builtin — would require a pandas_udf; kept
-# explicit so coverage is auditable:
-_NO_BUILTIN = ("spacing", "nextafter", "frexp", "modf")
+# numpy ufuncs with no JVM builtin: spacing/nextafter/gcd/lcm run as
+# Arrow-batched pandas_udfs (above); frexp/modf (multi-output ufuncs)
+# remain out — no single-column rendering:
+_NO_BUILTIN = ("frexp", "modf")
 
 
 # ------------------------------------------------------------------ #
@@ -223,3 +257,77 @@ def cexp(x):
         return F.struct((m * F.cos(c["im"])).alias("re"),
                         (m * F.sin(c["im"])).alias("im"))
     return _apply(x, fn)
+
+
+# ------------------------------------------------------------------ #
+# reference xarray.ufuncs surface completion (ufuncs.py __all__):
+# array-API spellings, arithmetic/comparison ufuncs, and the few
+# numpy-only stragglers.
+# ------------------------------------------------------------------ #
+
+absolute = abs  # noqa: A001
+acos = arccos
+acosh = arccosh
+asin = arcsin
+asinh = arcsinh
+atan = arctan
+atanh = arctanh
+
+def arctan2(a, b):
+    # Spark's atan2 flattens -0.0 to +0.0 in the y argument; numpy
+    # keeps the signed-zero quadrant (atan2(-0., -3.) = -pi)
+    base = F.atan2(a, b)
+    negzero_y = (a == 0) & _is_neg(a)
+    return F.when(negzero_y, -F.abs(base)).otherwise(base)
+
+
+atan2 = arctan2
+
+add = lambda a, b: a + b  # noqa: E731
+subtract = lambda a, b: a - b  # noqa: E731
+multiply = lambda a, b: a * b  # noqa: E731
+divide = _ieee_div
+true_divide = _ieee_div
+pow = power  # noqa: A001
+# np.float_power always computes in float64
+float_power = lambda a, b: F.pow(  # noqa: E731
+    (a.cast("double") if isinstance(a, Column) else F.lit(float(a))),
+    (b.cast("double") if isinstance(b, Column) else F.lit(float(b))))
+
+# log2 flavor of the stable logaddexp: log2(2^a + 2^b)
+_LN2 = math.log(2.0)
+logaddexp2 = lambda a, b: F.greatest(a, b) + (  # noqa: E731
+    F.log1p(F.pow(F.lit(2.0), -F.abs(a - b))) / F.lit(_LN2))
+
+invert = bitwise_not
+bitwise_invert = bitwise_not
+bitwise_left_shift = left_shift
+bitwise_right_shift = right_shift
+
+
+def _ieee_cmp_col(c: Column) -> Column:
+    # NaN participates as NULL so every comparison with it is null;
+    # callers coalesce to numpy's False/True
+    return F.nanvl(c.cast("double"), F.lit(None))
+
+
+def _cmp(op, default=False):
+    def f(a, b):
+        ac = _ieee_cmp_col(a) if isinstance(a, Column) else F.lit(a)
+        bc = _ieee_cmp_col(b) if isinstance(b, Column) else F.lit(b)
+        return F.coalesce(op(ac, bc), F.lit(default))
+    return f
+
+
+equal = _cmp(lambda a, b: a == b)
+not_equal = _cmp(lambda a, b: a != b, default=True)
+greater = _cmp(lambda a, b: a > b)
+greater_equal = _cmp(lambda a, b: a >= b)
+less = _cmp(lambda a, b: a < b)
+less_equal = _cmp(lambda a, b: a <= b)
+
+# np.signbit(NaN) is False (nan's sign bit is clear in practice);
+# missing values must not propagate null through the predicate
+signbit = _mk(lambda c: F.coalesce(_is_neg(c), F.lit(False)))
+# NaT renders as NULL on datetime columns (the engine's missing-time)
+isnat = _mk(lambda c: c.isNull())
