@@ -2529,3 +2529,70 @@ def test_new_ufuncs_match_numpy(spark):
     ll = (dfi.select("i", su.lcm(F.col("a"), F.col("b")).alias("r"))
           .toPandas().sort_values("i")["r"].to_numpy())
     np.testing.assert_array_equal(ll, np.lcm(ai, bi))
+
+
+# wave 24: clip NaN + min>max, cross with numeric labels (stack
+# backquoting), drop_sel KeyError, datetime difference, rolling
+# construct fill_value, weighted quantile with zero weights
+
+
+def test_clip_nan_and_min_gt_max_matches_reference(sds, series):
+    ref = _ref(series)
+    got = _ours(sds.clip(0.5, -0.5))
+    exp = ref.clip(0.5, -0.5).values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_cross_matches_reference(spark):
+    import xarray_spark as xs
+    c1 = np.array([1.0, 2.0, 3.0])
+    c2 = np.array([4.0, 5.0, 6.0])
+    s1 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"d": [0, 1, 2], "u": c1})), dims=["d"])
+    s2 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"d": [0, 1, 2], "w": c2})), dims=["d"])
+    got = (xs.cross(s1["u"], s2["w"], dim="d").to_pandas()
+           .sort_values("d")["value"].to_numpy())
+    r1 = xr.DataArray(c1, dims="d", coords={"d": [0, 1, 2]})
+    r2 = xr.DataArray(c2, dims="d", coords={"d": [0, 1, 2]})
+    np.testing.assert_allclose(got, xr.cross(r1, r2, dim="d").values)
+
+
+def test_drop_sel_missing_label_raises(sds):
+    with pytest.raises(KeyError):
+        sds.drop_sel(t=[999])
+    assert sds.drop_sel(t=[999], errors="ignore").to_pandas().shape[0] == N
+
+
+def test_datetime_difference_matches_reference(spark):
+    ts = pd.date_range("2001-01-01", periods=12, freq="7h13min")
+    sdt = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(12), "a": ts,
+                      "b": ts[::-1]})), dims=["t"])
+    rdt = xr.Dataset({"a": ("t", ts), "b": ("t", np.array(ts[::-1]))},
+                     coords={"t": np.arange(12)})
+    got = (sdt["a"] - sdt["b"]).to_pandas().sort_values("t").iloc[:, -1]
+    gv = np.array([g.total_seconds() for g in got])
+    exp = (rdt["a"] - rdt["b"]).values / np.timedelta64(1, "s")
+    np.testing.assert_allclose(gv, exp)
+
+
+def test_rolling_construct_fill_value_matches_reference(sds, series):
+    got = np.sort(sds.rolling(t=3).construct("w", fill_value=-9.0)
+                  .to_pandas()["v"].to_numpy())
+    exp = np.sort(_ref(series).rolling(t=3)
+                  .construct("w", fill_value=-9.0).values.ravel())
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_weighted_quantile_zero_weights_matches_reference(spark, series):
+    w0 = np.ones(N)
+    w0[:10] = 0.0
+    sw = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(N), "v": series, "w": w0})),
+        dims=["t"])
+    rw = xr.DataArray(series, dims="t").weighted(xr.DataArray(w0, dims="t"))
+    got = float(sw.weighted("w").quantile(0.5, dim="t")
+                .to_pandas()["v"].iloc[0])
+    exp = float(rw.quantile(0.5, dim="t").values)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)

@@ -242,3 +242,34 @@ def unify_chunks(*objects):
     each Spark DataFrame owns its partitioning; alignment is
     per-operation, so this returns the inputs unchanged."""
     return objects
+
+
+def as_variable(obj, name=None):
+    """Thin parity shim for xr.as_variable (xarray/core/variable.py:84):
+    the long-form engine has no standalone Variable class — a variable
+    IS a named column of a dataset — so array-likes resolve to a
+    single-variable XDataset/XDataArray.
+
+    Accepted: an XDataset/XDataArray (passes through, optionally
+    renamed), or a ``(dims, data)`` / ``(dims, data, attrs)`` tuple of
+    in-memory values (built via the active SparkSession)."""
+    if isinstance(obj, XDataset):
+        if name is not None and list(obj.data_vars) != [name]:
+            return obj.rename({obj.data_vars[0]: name})
+        return obj
+    if isinstance(obj, tuple) and len(obj) in (2, 3):
+        dims, data = obj[0], obj[1]
+        attrs = obj[2] if len(obj) == 3 else None
+        dims = [dims] if isinstance(dims, str) else list(dims)
+        if len(dims) != 1:
+            raise NotImplementedError(
+                "as_variable tuple form supports 1-D data here; build "
+                "multi-dim variables with XDataset.from_dataframe")
+        import pandas as pd
+        vname = name or "variable"
+        pdf = pd.DataFrame({dims[0]: range(len(data)), vname: list(data)})
+        ds = XDataset(get_spark().createDataFrame(pdf), dims=dims)
+        if attrs:
+            ds = ds.assign_attrs(**dict(attrs))
+        return ds
+    raise TypeError(f"cannot convert {type(obj)!r} to a variable")

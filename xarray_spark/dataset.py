@@ -750,13 +750,24 @@ class XDataset:
                 out = out._drop_dim(d)
         return out
 
-    def drop_sel(self, indexers=None, **kw) -> "XDataset":
+    def drop_sel(self, indexers=None, errors: str = "raise", **kw) -> "XDataset":
+        """Drop rows by label (xarray/core/dataset.py:5938).  Like the
+        reference, a label absent from the index raises KeyError unless
+        errors='ignore' — one label-table-sized existence check per
+        dim (eager, same class as the merge compat checks)."""
         indexers = {**(indexers or {}), **kw}
         self._check_selectable(indexers)
         df = self.df
         for dim, value in indexers.items():
-            vals = value if isinstance(value, (list, tuple)) else [value]
-            df = df.where(~F.col(dim).isin(list(vals)))
+            vals = list(value) if isinstance(value, (list, tuple)) else [value]
+            if errors == "raise":
+                found = (self.df.select(dim).where(F.col(dim).isin(vals))
+                         .distinct().count())
+                if found < len(set(vals)):
+                    raise KeyError(
+                        f"not all values found in index {dim!r}; use "
+                        f"errors='ignore' to skip")
+            df = df.where(~F.col(dim).isin(vals))
         return self._replace(df=df)
 
     def drop_isel(self, indexers=None, **kw) -> "XDataset":
@@ -1269,7 +1280,9 @@ class XDataset:
             *id_cols, F.expr(
                 "stack({n}, {args}) as ({dim}, value)".format(
                     n=len(self.data_vars),
-                    args=", ".join(f"'{v}', cast({v} as double)" for v in self.data_vars),
+                    # backquote: numeric-like variable names ('0' from a
+                    # pivot) would otherwise parse as literals
+                    args=", ".join(f"'{v}', cast(`{v}` as double)" for v in self.data_vars),
                     dim=dim,
                 )
             )
@@ -2176,7 +2189,14 @@ class XDataset:
                 out = F.greatest(out, lo)
             if hi is not None:
                 out = F.least(out, hi)
-            return F.when(c.isNotNull(), out)
+            guard = c.isNotNull()
+            if isinstance(self.df.schema[name].dataType,
+                          (T.FloatType, T.DoubleType)):
+                # true NaN must stay NaN: Spark orders NaN as the
+                # largest double, so least() would clip it to max
+                guard = guard & ~F.isnan(c)
+                return F.when(guard, out).otherwise(c)
+            return F.when(guard, out)
 
         exprs = [
             e(c).alias(c) if c in self.data_vars else F.col(c)
