@@ -2596,3 +2596,86 @@ def test_weighted_quantile_zero_weights_matches_reference(spark, series):
                 .to_pandas()["v"].iloc[0])
     exp = float(rw.quantile(0.5, dim="t").values)
     np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+# wave 25: polyval with array coefficients (incl. polyfit roundtrip),
+# rename conflict/missing errors, 2-D idx/arg reductions,
+# resample.reduce, groupby.quantile list-q
+
+
+def test_polyval_array_coeffs_matches_reference(spark):
+    import xarray_spark as xs
+    coeffs = xr.DataArray([2.0, -1.0, 0.5], dims="degree",
+                          coords={"degree": [2, 1, 0]})
+    xcoord = xr.DataArray(np.arange(5, dtype=float), dims="t",
+                          coords={"t": np.arange(5)})
+    sx = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(5, dtype=float)})), dims=["t"])
+    sc = XDataset(spark.createDataFrame(
+        pd.DataFrame({"degree": [2, 1, 0], "c": [2.0, -1.0, 0.5]})),
+        dims=["degree"])
+    got = (xs.polyval(sx["t"], sc["c"]).to_pandas()
+           .sort_values("t").iloc[:, -1].to_numpy())
+    np.testing.assert_allclose(got, xr.polyval(xcoord, coeffs).values)
+    vals = np.random.RandomState(1).randn(20)
+    sd = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(20, dtype=float), "v": vals})),
+        dims=["t"])
+    fit = sd.polyfit("t", 2)
+    got2 = (xs.polyval(sd["t"], fit).to_pandas()
+            .sort_values("t").iloc[:, -1].to_numpy())
+    rfit = xr.DataArray(vals, dims="t",
+                        coords={"t": np.arange(20, dtype=float)}) \
+        .polyfit("t", 2)
+    exp2 = xr.polyval(xr.DataArray(np.arange(20, dtype=float), dims="t"),
+                      rfit["polyfit_coefficients"]).values
+    np.testing.assert_allclose(got2, exp2, rtol=1e-6)
+
+
+def test_rename_errors_match_reference(sds):
+    with pytest.raises(ValueError):
+        sds.rename({"v": "t"})
+    with pytest.raises(ValueError):
+        sds.rename({"nope": "q"})
+    assert list(sds.rename({"v": "w"}).data_vars) == ["w"]
+
+
+def test_idx_reductions_2d_match_reference(spark):
+    rng = np.random.RandomState(44)
+    g = rng.randn(3, 4).round(6)
+    rows = [(int(y), int(x), g[y, x]) for y in range(3) for x in range(4)]
+    s2 = XDataset(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["y", "x", "v"])), dims=["y", "x"])
+    r2 = xr.DataArray(g, dims=("y", "x"),
+                      coords={"y": range(3), "x": range(4)})
+    np.testing.assert_array_equal(
+        s2.idxmax("x").to_pandas().sort_values("y")["v"].to_numpy(),
+        r2.idxmax("x").values)
+    np.testing.assert_array_equal(
+        s2.argmin("y").to_pandas().sort_values("x")["v"].to_numpy(),
+        r2.argmin("y").values)
+
+
+def test_resample_reduce_matches_reference(spark, series):
+    ts2 = pd.date_range("2001-01-01", periods=N, freq="D")
+    srt = XDataset(spark.createDataFrame(
+        pd.DataFrame({"time": ts2, "v": series})), dims=["time"])
+    rrt = xr.DataArray(series, dims="time", coords={"time": ts2})
+    got = np.sort(srt.resample(time="5D").reduce(np.nanmean)
+                  .to_pandas()["v"].to_numpy())
+    exp = np.sort(rrt.resample(time="5D").reduce(np.nanmean).values)
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_groupby_quantile_list_matches_reference(spark, series):
+    gk = np.arange(N) % 3
+    sg = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(N), "v": series, "g": gk})),
+        dims=["t"])
+    rg = xr.Dataset({"v": ("t", series)},
+                    coords={"t": np.arange(N), "g": ("t", gk)})
+    got = np.sort(sg.groupby("g").quantile([0.25, 0.75])
+                  .to_pandas()["v"].to_numpy())
+    exp = np.sort(rg.groupby("g").quantile([0.25, 0.75])["v"]
+                  .values.ravel())
+    np.testing.assert_allclose(got, exp, equal_nan=True)

@@ -124,8 +124,21 @@ def _pairwise(a: XDataArray, b: XDataArray, dim, agg, out_name: str) -> XDataArr
     return XDataArray(df, keep, {}, [out_name], a.attrs)
 
 
-def polyval(coord: XDataArray, coeffs: Mapping[int, float], name: str = "polyval") -> XDataArray:
-    """Horner evaluation (xarray/computation/computation.py:836)."""
+def polyval(coord: XDataArray, coeffs, name: str = "polyval",
+            degree_dim: str = "degree") -> XDataArray:
+    """Horner evaluation (xarray/computation/computation.py:836).
+
+    ``coeffs`` is a {degree: value} mapping, or an XDataset/XDataArray
+    on the degree dim (e.g. polyfit's output — the coefficients table
+    is degree-sized, so the one collect here is label-table work)."""
+    if isinstance(coeffs, XDataset):
+        if len(coeffs.data_vars) == 1:
+            (var,) = tuple(coeffs.data_vars)
+        else:
+            var = next(v for v in coeffs.data_vars
+                       if v.endswith("polyfit_coefficients"))
+        rows = coeffs.df.select(degree_dim, var).collect()
+        coeffs = {int(r[0]): float(r[1]) for r in rows}
     cname = coord.name
     degrees = sorted(coeffs, reverse=True)
     expr = F.lit(0.0)

@@ -1056,6 +1056,15 @@ class XDataset:
 
     def rename(self, mapping: Mapping[str, str] | None = None, **kw) -> "XDataset":
         mapping = {**(mapping or {}), **kw}
+        for old, new in mapping.items():
+            if old not in self.df.columns:
+                raise ValueError(
+                    f"cannot rename {old!r}: not a variable/dim here")
+            if new in self.df.columns and new not in mapping:
+                # reference rename refuses to shadow an existing name
+                # that is not itself being renamed away
+                raise ValueError(
+                    f"cannot rename {old!r} to {new!r}: name already exists")
         df = self.df
         for old, new in mapping.items():
             df = df.withColumnRenamed(old, new)
