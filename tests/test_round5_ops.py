@@ -349,3 +349,64 @@ def test_datatree_navigation_and_passthrough(spark):
         for p in ("/", "/a", "/a/b", "/c")})
     assert t.depth == ref.depth and t.width == ref.width
     assert sorted(l.path for l in ref.leaves) == list(t.leaves)
+
+
+def test_wave26_str_regex_and_findall(spark):
+    """str.count/findall take the column API, not SQL-literal
+    interpolation, so backslash classes survive (pandas
+    str.count/str.findall semantics; reference accessor_str.py)."""
+    import pandas as pd
+    pdf = pd.DataFrame({"i": [0, 1, 2], "s": ["a1b22c", "x9", "no"]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["i"])
+    out = ds["s"].str.count(r"\d").to_pandas()
+    assert sorted(out[out.columns[-1]].tolist()) == [0, 1, 3]
+    fa = ds["s"].str.findall(r"\d+").to_pandas()
+    assert sorted(map(list, fa[fa.columns[-1]]), key=len) == \
+        [[], ["9"], ["1", "22"]]
+    # 1-group pattern returns the group, like pandas
+    fg = ds["s"].str.findall(r"([a-z])\d").to_pandas()
+    assert sorted(map(list, fg[fg.columns[-1]]), key=len) == \
+        [[], ["x"], ["a", "b"]]
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        ds["s"].str.findall(r"([a-z])(\d)")
+
+
+def test_wave26_stacked_tuple_sel_and_to_dataframe(spark):
+    """sel on a stacked dim accepts a label tuple (xarray multiindex
+    scalar sel); to_dataframe returns a dim-MultiIndex pandas frame
+    (reference core/dataset.py:7450)."""
+    import itertools
+    import pandas as pd
+    rows = [(x, y, float(i)) for i, (x, y) in
+            enumerate(itertools.product([1, 2], ["a", "b"]), 1)]
+    pdf = pd.DataFrame(rows, columns=["x", "y", "v"])
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x", "y"])
+    st = ds.stack(z=("x", "y"))
+    assert st.sel(z=(2, "b")).to_pandas()["v"].tolist() == [4.0]
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        st.sel(z=(2, "b", 1))
+    out = ds.to_dataframe()
+    assert list(out.index.names) == ["x", "y"]
+    assert out.loc[(2, "a"), "v"] == 3.0
+
+
+def test_wave26_datatree_arithmetic(spark):
+    """DataTree arithmetic maps over nodes; tree (+) tree requires
+    isomorphic trees (reference DataTree typed-ops mixin)."""
+    import pandas as pd
+    from xarray_spark.datatree import DataTree
+    mk = lambda v: XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(3), "v": v * np.arange(3.0)})),
+        dims=["t"])
+    t = DataTree.from_dict({"/a": mk(1.0), "/b": mk(2.0)})
+    got = (t * 2 + 1)["/b"].to_pandas().sort_values("t")["v"].to_numpy()
+    np.testing.assert_allclose(got, 2 * 2.0 * np.arange(3.0) + 1)
+    diff = (t - t)["/a"].to_pandas()["v"].to_numpy()
+    np.testing.assert_allclose(diff, 0.0)
+    neg = sorted((-t)["/b"].to_pandas()["v"].tolist())
+    np.testing.assert_allclose(neg, [-4.0, -2.0, 0.0])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        t + DataTree.from_dict({"/only": mk(1.0)})

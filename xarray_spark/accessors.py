@@ -117,7 +117,10 @@ class StringAccessor(_Accessor):
             return self._wrap(F.lower(self._c).contains(pat.lower()))
         return self._wrap(self._c.rlike(pat) if regex else self._c.contains(pat))
     def match(self, pat: str): return self._wrap(self._c.rlike(f"^{pat}"))
-    def count(self, pat: str): return self._wrap(F.expr(f"regexp_count({self.da.name}, '{pat}')"))
+    def count(self, pat: str):
+        # column-API form: embedding pat in a SQL literal would mangle
+        # backslash classes like \d
+        return self._wrap(F.regexp_count(self._c, F.lit(pat)))
     def replace(self, pat: str, repl: str, regex: bool = True):
         if regex:
             return self._wrap(F.regexp_replace(self._c, pat, repl))
@@ -125,7 +128,22 @@ class StringAccessor(_Accessor):
     def extract(self, pat: str, group: int = 1):
         return self._wrap(F.regexp_extract(self._c, pat, group))
     def findall(self, pat: str):
-        return self._wrap(F.expr(f"regexp_extract_all({self.da.name}, '{pat}')"))
+        """All matches as an array (pandas str.findall): a groupless
+        pattern returns full matches (regexp_extract_all needs a
+        capture group, so one is wrapped on); a 1-group pattern returns
+        that group's matches."""
+        import re as _re
+        ngroups = _re.compile(pat).groups
+        if ngroups == 0:
+            pat, idx = f"({pat})", 1
+        elif ngroups == 1:
+            idx = 1
+        else:
+            raise NotImplementedError(
+                "findall with >1 capture group returns tuples in "
+                "pandas — no array<struct> rendering here")
+        return self._wrap(
+            F.regexp_extract_all(self._c, F.lit(pat), F.lit(idx)))
     def split(self, sep: str | None = None, regex: bool = False,
               maxsplit: int = -1):
         """Split into an array column.  ``sep=None`` is Python

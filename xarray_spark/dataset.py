@@ -521,6 +521,18 @@ class XDataset:
 
     def _sel_one(self, dim: str, value, method, tolerance) -> "XDataset":
         from xarray_spark._utils import is_temporal, parse_iso8601_prefix
+        if (isinstance(value, tuple)
+                and isinstance(self.df.schema[dim].dataType, T.StructType)):
+            # selecting on a stacked dim by label tuple
+            # (xarray multiindex sel): tuple -> struct literal
+            fields = self.df.schema[dim].dataType.fields
+            if len(value) != len(fields):
+                raise KeyError(
+                    f"stacked dim {dim!r} has {len(fields)} levels, "
+                    f"got a {len(value)}-tuple")
+            value = F.struct(*[F.lit(v).cast(f.dataType).alias(f.name)
+                               for v, f in zip(value, fields)])
+            return self._replace(df=self.df.where(F.col(dim) == value))
         scalar = not isinstance(value, (list, tuple, slice)) and not hasattr(value, "__len__") or isinstance(value, str)
         if method is None:
             if isinstance(value, slice):
@@ -2818,7 +2830,15 @@ class XDataset:
     def to_pandas(self):
         return self.df.toPandas()
 
-    to_dataframe = to_pandas
+    def to_dataframe(self):
+        """Collected pandas frame indexed by the dims (the reference's
+        to_dataframe returns a dim-MultiIndex frame,
+        core/dataset.py:7450); rows come back label-sorted."""
+        pdf = self.df.toPandas()
+        dims = [d for d in self.dims if d in pdf.columns]
+        if dims:
+            pdf = pdf.sort_values(dims).set_index(dims)
+        return pdf
 
     # ---------------------------------------------------------------- #
     # thin parity surface (reference core/dataset.py method names whose

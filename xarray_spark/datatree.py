@@ -191,6 +191,30 @@ class DataTree:
         return self.map_over_datasets(
             lambda d: getattr(d, name)(*args, **kw))
 
+    # arithmetic maps over every node (reference DataTree inherits the
+    # typed-ops mixin, datatree.py); scalar/Column operands only — a
+    # tree⊗tree op would need isomorphic alignment
+    def _tree_binop(self, other, opname, reflexive=False):
+        if isinstance(other, DataTree):
+            if not self.isomorphic(other):
+                raise ValueError("tree arithmetic needs isomorphic trees")
+            out = DataTree()
+            for p in self._nodes:
+                a, b = self._nodes[p], other._nodes[p]
+                out[p] = getattr(a, opname)(b)
+            return out
+        return self.map_over_datasets(lambda d: getattr(d, opname)(other))
+
+    def __add__(self, o): return self._tree_binop(o, "__add__")
+    def __sub__(self, o): return self._tree_binop(o, "__sub__")
+    def __mul__(self, o): return self._tree_binop(o, "__mul__")
+    def __truediv__(self, o): return self._tree_binop(o, "__truediv__")
+    def __pow__(self, o): return self._tree_binop(o, "__pow__")
+    def __radd__(self, o): return self.map_over_datasets(lambda d: d.__radd__(o))
+    def __rmul__(self, o): return self.map_over_datasets(lambda d: d.__rmul__(o))
+    def __rsub__(self, o): return self.map_over_datasets(lambda d: d.__rsub__(o))
+    def __neg__(self): return self.map_over_datasets(lambda d: -d)
+
     def mean(self, *a, **k): return self._map_method("mean", *a, **k)
     def sum(self, *a, **k): return self._map_method("sum", *a, **k)
     def min(self, *a, **k): return self._map_method("min", *a, **k)
