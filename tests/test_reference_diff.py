@@ -2679,3 +2679,87 @@ def test_groupby_quantile_list_matches_reference(spark, series):
     exp = np.sort(rg.groupby("g").quantile([0.25, 0.75])["v"]
                   .values.ravel())
     np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+# wave 27: pandas-cut default label rendering (precision=3 +
+# include_lowest -0.1% edge), merge compat corners, coder matrix 2
+
+def test_groupby_bins_default_labels_match_reference(spark):
+    """Default bin labels must render exactly as pandas.cut does —
+    precision=3 significant rounding and the include_lowest adjusted
+    first edge (reference groupers.py:344 delegates to pandas)."""
+    vals = np.array([0.0, 1.0, 1.0000001, 2.5, 5.0, 5.0001, -3.0,
+                     np.nan, 10.0, 3.0, 2.0, 4.0])
+    n = len(vals)
+    refds = xr.Dataset({"v": ("i", np.arange(float(n))),
+                        "x": ("i", vals)})
+    sds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"i": np.arange(n), "v": np.arange(float(n)),
+                      "x": vals})), dims=["i"])
+    for kw in (dict(bins=[0, 2, 5], include_lowest=True),
+               dict(bins=3),
+               dict(bins=[0, 2, 5], right=False)):
+        g = refds.groupby_bins("x", **kw).mean()
+        exp = sorted((str(k), float(m)) for k, m in
+                     zip(g["x_bins"].values, g["v"].values))
+        p = sds.groupby_bins("x", **kw).mean().to_pandas()
+        kc = [c for c in p.columns if c != "v"][0]
+        got = sorted((str(k), float(m)) for k, m in zip(p[kc], p["v"]))
+        assert got == exp, (kw, got, exp)
+
+
+def test_merge_combine_attrs_matches_reference(spark):
+    """merge/concat combine_attrs policies (reference merge.py:545
+    merge_attrs; default 'override' = FIRST dataset's attrs only)."""
+    from xarray_spark.combine import merge as xmerge, concat as xconcat
+    from xarray_spark.errors import MergeError
+    r1 = xr.Dataset({"a": ("x", [1.0, 2.0])}, coords={"x": [0, 1]},
+                    attrs={"k": 1, "shared": "s"})
+    r2 = xr.Dataset({"b": ("x", [3.0, 4.0])}, coords={"x": [0, 1]},
+                    attrs={"k": 2, "other": "o", "shared": "s"})
+    mk = lambda var, vals, attrs: XDataset(
+        spark.createDataFrame(pd.DataFrame({"x": [0, 1], var: vals})),
+        dims=["x"], attrs=attrs)
+    s1 = mk("a", [1.0, 2.0], {"k": 1, "shared": "s"})
+    s2 = mk("b", [3.0, 4.0], {"k": 2, "other": "o", "shared": "s"})
+    for ca in ("override", "drop", "drop_conflicts"):
+        exp = xr.merge([r1, r2], combine_attrs=ca).attrs
+        assert xmerge([s1, s2], combine_attrs=ca).attrs == exp, ca
+    for bad in ("no_conflicts", "identical"):
+        with pytest.raises(MergeError):
+            xmerge([s1, s2], combine_attrs=bad)
+    # concat combine_attrs over a shared-name variable
+    got = xconcat([s1.rename({"a": "v"}), s2.rename({"b": "v"})],
+                  dim="y", combine_attrs="drop_conflicts").attrs
+    assert got == {"shared": "s", "other": "o"}
+
+
+def test_merge_fill_value_and_exact_matches_reference(spark):
+    """merge(fill_value=) fills ONLY alignment-introduced slices
+    (reference merge.py merge_core -> align fill_value); join='exact'
+    raises on label mismatch."""
+    r3 = xr.Dataset({"a": ("x", [1.0])}, coords={"x": [0]})
+    r4 = xr.Dataset({"b": ("x", [9.0])}, coords={"x": [1]})
+    exp = xr.merge([r3, r4], fill_value=-1.0, join="outer")
+    s3 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": [0], "a": [1.0]})), dims=["x"])
+    s4 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": [1], "b": [9.0]})), dims=["x"])
+    from xarray_spark.combine import merge as xmerge
+    got = xmerge([s3, s4], fill_value=-1.0).to_pandas().sort_values("x")
+    np.testing.assert_allclose(got["a"].to_numpy(), exp["a"].values)
+    np.testing.assert_allclose(got["b"].to_numpy(), exp["b"].values)
+    # a pre-existing null must NOT be filled
+    s5 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": [0, 1], "a": [1.0, None]})), dims=["x"])
+    got2 = xmerge([s5, s4], fill_value=-1.0).to_pandas().sort_values("x")
+    assert np.isnan(got2["a"].to_numpy()[1])
+    # exact join parity: reference raises on mismatched labels
+    with pytest.raises(Exception):
+        xr.merge([r3, r4], join="exact")
+    with pytest.raises(ValueError):
+        xmerge([s3, s4], join="exact")
+    # and passes on equal labels
+    s6 = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": [0], "b": [5.0]})), dims=["x"])
+    assert xmerge([s3, s6], join="exact").to_pandas().shape[0] == 1

@@ -21,8 +21,60 @@ from xarray_spark.dataset import XDataset
 from xarray_spark.errors import MergeError
 
 
+def _attrs_equiv(a, b) -> bool:
+    try:
+        import numpy as np
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            return bool(np.array_equal(a, b, equal_nan=True))
+        return bool(a == b)
+    except Exception:
+        return False
+
+
+def combine_attrs_fn(attrs_list: Sequence[dict], combine_attrs="override") -> dict:
+    """Attrs-combination policies (xarray/structure/merge.py:545
+    merge_attrs): drop / override / no_conflicts / drop_conflicts /
+    identical, or a callable (attrs_list, context=None)."""
+    attrs_list = [dict(a or {}) for a in attrs_list]
+    if callable(combine_attrs):
+        return combine_attrs(attrs_list, None)
+    if combine_attrs == "drop":
+        return {}
+    if combine_attrs == "override":
+        return dict(attrs_list[0]) if attrs_list else {}
+    if combine_attrs == "no_conflicts":
+        out: dict = {}
+        for a in attrs_list:
+            for k, v in a.items():
+                if k in out and not _attrs_equiv(out[k], v):
+                    raise MergeError(
+                        f"combine_attrs='no_conflicts': attr {k!r} has "
+                        f"conflicting values {out[k]!r} vs {v!r}")
+                out.setdefault(k, v)
+        return out
+    if combine_attrs == "drop_conflicts":
+        out, dropped = {}, set()
+        for a in attrs_list:
+            for k, v in a.items():
+                if k in dropped:
+                    continue
+                if k in out and not _attrs_equiv(out[k], v):
+                    del out[k]
+                    dropped.add(k)
+                else:
+                    out.setdefault(k, v)
+        return out
+    if combine_attrs == "identical":
+        for a in attrs_list[1:]:
+            if a != attrs_list[0]:
+                raise MergeError(
+                    "combine_attrs='identical': attrs differ")
+        return dict(attrs_list[0]) if attrs_list else {}
+    raise ValueError(f"unknown combine_attrs {combine_attrs!r}")
+
+
 def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None,
-           fill_value=None) -> XDataset:
+           fill_value=None, combine_attrs="override") -> XDataset:
     """Concatenate datasets (xarray/structure/concat.py:45).
 
     If ``dim`` is an existing dim in the inputs → plain union.
@@ -47,11 +99,12 @@ def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None,
                     df = df.withColumn(v, F.lit(fill_value))
         return df
 
+    attrs = combine_attrs_fn([o.attrs for o in objs], combine_attrs)
     if dim in first.dims:
         df = _with_fill(objs[0])
         for o in objs[1:]:
             df = df.unionByName(_with_fill(o), allowMissingColumns=True)
-        return first._replace(df=df, data_vars=all_vars)
+        return first._replace(df=df, data_vars=all_vars, attrs=attrs)
     labels = list(labels) if labels is not None else list(range(len(objs)))
     dfs = []
     for lab, o in zip(labels, objs):
@@ -59,14 +112,16 @@ def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None,
     df = dfs[0]
     for d in dfs[1:]:
         df = df.unionByName(d, allowMissingColumns=True)
-    return XDataset(df, [dim] + list(first.dims), first.coords, all_vars, first.attrs)
+    return XDataset(df, [dim] + list(first.dims), first.coords, all_vars, attrs)
 
 
 _VALID_COMPAT = ("identical", "equals", "broadcast_equals", "minimal",
                  "no_conflicts", "override")
 
 
-def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "outer") -> XDataset:
+def merge(objs: Sequence[XDataset], compat: str = "no_conflicts",
+          join: str = "outer", fill_value=None,
+          combine_attrs="override") -> XDataset:
     """Merge variables of multiple datasets (xarray/structure/merge.py:855).
 
     Full-outer join on shared dims; same-name variable conflicts resolved
@@ -82,10 +137,19 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "o
       (a constant-along-t variable merges with its reduced form).
     - 'minimal': overlapping data vars are DROPPED from the result
       (keep only vars unique to one input), no equality requirement.
+
+    ``fill_value`` fills ONLY alignment-introduced missing slices (a
+    presence marker per side distinguishes "row absent" from "value
+    null" — reference align semantics); pre-existing nulls stay null.
+    ``combine_attrs`` follows merge_attrs (default 'override' = first
+    dataset's attrs, the reference default).  ``join='exact'`` raises
+    when any shared dim's label sets differ (alignment.py exact).
     """
     if compat not in _VALID_COMPAT:
         raise ValueError(f"compat {compat!r} not in {_VALID_COMPAT}")
-    how = {"outer": "full_outer", "inner": "inner", "left": "left", "right": "right"}[join]
+    exact = join == "exact"
+    how = {"outer": "full_outer", "inner": "inner", "left": "left",
+           "right": "right", "exact": "full_outer"}[join]
     acc = objs[0]
     if compat == "identical":
         a0 = dict(objs[0].attrs or {})
@@ -94,6 +158,14 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "o
                 raise MergeError("merge(compat='identical'): attrs differ")
     for other in objs[1:]:
         shared = [d for d in acc.dims if d in other.dims]
+        if exact:
+            for d in shared:
+                l = acc.df.select(d).distinct()
+                r = other.df.select(d).distinct()
+                if l.subtract(r).union(r.subtract(l)).take(1):
+                    raise ValueError(
+                        f"merge(join='exact'): indexes along dimension "
+                        f"{d!r} are not equal")
         o_df = other.df
         overlap_vars = [v for v in other.data_vars if v in acc.data_vars]
         renames = {}
@@ -110,7 +182,20 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "o
         elif overlap_vars and compat == "no_conflicts":
             assert_no_conflicts(acc, other)
         dropped = set(overlap_vars) if compat == "minimal" else set()
-        joined = acc.df.join(o_df, on=shared, how=how) if shared else acc.df.crossJoin(o_df)
+        acc_df = acc.df
+        if fill_value is not None:
+            # presence markers: fill ONLY alignment-introduced slices,
+            # never a variable's own pre-existing nulls
+            acc_df = acc_df.withColumn("__pl", F.lit(True))
+            o_df = o_df.withColumn("__pr", F.lit(True))
+        joined = acc_df.join(o_df, on=shared, how=how) if shared else acc_df.crossJoin(o_df)
+
+        def _fillwrap(expr, marker):
+            if fill_value is None:
+                return expr
+            return F.when(F.col(marker).isNull(),
+                          F.lit(fill_value)).otherwise(expr)
+
         exprs = []
         for c in acc.df.columns:
             if c in dropped:
@@ -120,14 +205,16 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "o
                     # the reference picks the FIRST dataset's variable
                     # wholesale (merge.py:151): labels it lacks stay
                     # null after the union — no elementwise fallback
-                    exprs.append(F.col(c))
+                    exprs.append(_fillwrap(F.col(c), "__pl").alias(c))
                 else:
                     exprs.append(F.coalesce(F.col(c), F.col(f"__m_{c}")).alias(c))
+            elif c in acc.data_vars:
+                exprs.append(_fillwrap(F.col(c), "__pl").alias(c))
             else:
                 exprs.append(F.col(c))
         new_vars = [v for v in other.data_vars if v not in acc.data_vars]
         for v in new_vars:
-            exprs.append(F.col(renames.get(v, v)).alias(v))
+            exprs.append(_fillwrap(F.col(renames.get(v, v)), "__pr").alias(v))
         new_dims = list(acc.dims) + [d for d in other.dims if d not in acc.dims]
         for d in other.dims:
             if d not in acc.dims:
@@ -138,9 +225,10 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts", join: str = "o
             new_dims,
             coords,
             [v for v in acc.data_vars if v not in dropped] + new_vars,
-            {**other.attrs, **acc.attrs},
+            acc.attrs,
         )
-    return acc
+    return acc._replace(
+        attrs=combine_attrs_fn([o.attrs for o in objs], combine_attrs))
 
 
 def _assert_vars_equal(a: XDataset, b: XDataset, overlap: Sequence[str],

@@ -2354,9 +2354,12 @@ class XDataset:
         indexers = {d: other for d in self.dims if d in other.dims}
         return reindex(self, indexers, method, tolerance, fill_value)
 
-    def merge(self, other: "XDataset", compat: str = "no_conflicts", join: str = "outer") -> "XDataset":
+    def merge(self, other: "XDataset", compat: str = "no_conflicts",
+              join: str = "outer", fill_value=None,
+              combine_attrs="override") -> "XDataset":
         from xarray_spark.combine import merge
-        return merge([self, other], compat=compat, join=join)
+        return merge([self, other], compat=compat, join=join,
+                     fill_value=fill_value, combine_attrs=combine_attrs)
 
     def update(self, other: "XDataset") -> "XDataset":
         """In-place-style variable REPLACEMENT (xarray/core/dataset.py:

@@ -45,6 +45,18 @@ class BinGrouper(Grouper):
 
     def key_expr(self, col: Column) -> Column:
         edges = list(self.bins)
+        if self.labels is not None:
+            labels = list(self.labels)
+        else:
+            # pandas renders interval labels at precision=3 and shows
+            # include_lowest as the -0.1%-adjusted first edge; derive
+            # them from pandas itself (empty cut) so text matches
+            # cut() bit-for-bit.  Membership below uses the TRUE edges.
+            import pandas as pd
+            cats = pd.cut(pd.Series([], dtype="float64"), bins=edges,
+                          right=self.right,
+                          include_lowest=self.include_lowest).cat.categories
+            labels = [str(c) for c in cats]
         expr = F.lit(None).cast("string")
         chain = None
         for i in range(len(edges) - 1):
@@ -52,10 +64,9 @@ class BinGrouper(Grouper):
             if self.right:
                 closed_lo = (col >= F.lit(lo)) if (i == 0 and self.include_lowest) else (col > F.lit(lo))
                 cond = closed_lo & (col <= F.lit(hi))
-                label = self.labels[i] if self.labels is not None else f"({lo}, {hi}]"
             else:
                 cond = (col >= F.lit(lo)) & (col < F.lit(hi))
-                label = self.labels[i] if self.labels is not None else f"[{lo}, {hi})"
+            label = labels[i]
             chain = F.when(cond, F.lit(label)) if chain is None else chain.when(cond, F.lit(label))
         return chain.otherwise(expr) if chain is not None else expr
 
