@@ -2763,3 +2763,50 @@ def test_merge_fill_value_and_exact_matches_reference(spark):
     s6 = XDataset(spark.createDataFrame(
         pd.DataFrame({"x": [0], "b": [5.0]})), dims=["x"])
     assert xmerge([s3, s6], join="exact").to_pandas().shape[0] == 1
+
+
+def test_cf_decode_matrix2_matches_reference(spark):
+    """Wave 27: CF coder matrix round 2 — mask+scale+offset order,
+    missing_value, _Unsigned with fill, bool coder, and the full
+    sub-second/udunits time-grain set (reference coding/times.py
+    _netcdf_to_numpy_timeunit includes ms/us)."""
+    import warnings
+    warnings.filterwarnings("ignore")
+    from xarray_spark.io import decode_cf
+
+    def ref_decode(raw, attrs, dtype):
+        return xr.decode_cf(
+            xr.Dataset({"v": ("i", np.array(raw, dtype=dtype), attrs)}))["v"].values
+
+    def spark_decode(raw, spec, sparktype):
+        df = spark.createDataFrame(
+            pd.DataFrame({"i": range(len(raw)), "v": raw}))
+        df = df.withColumn("v", df["v"].cast(sparktype))
+        return (decode_cf(df, {"v": spec}).toPandas()
+                .sort_values("i")["v"].to_numpy())
+
+    cases = [
+        ([1, 2, -99, 4],
+         {"_FillValue": -99, "scale_factor": 0.5, "add_offset": 10.0},
+         {"fill_value": -99, "scale_factor": 0.5, "add_offset": 10.0},
+         "int16", "smallint"),
+        ([1, 2, -99, 4], {"missing_value": -99},
+         {"fill_value": -99}, "int16", "smallint"),
+        ([-1, 5, -128], {"_Unsigned": "true", "_FillValue": np.int8(-1)},
+         {"unsigned": True, "fill_value": -1}, "int8", "tinyint"),
+    ]
+    for raw, attrs, spec, npdt, st in cases:
+        exp = np.asarray(ref_decode(raw, attrs, npdt), dtype="float64")
+        got = np.asarray([np.nan if x is None else float(x)
+                          for x in spark_decode(raw, spec, st)])
+        np.testing.assert_allclose(got, exp, equal_nan=True)
+    for units in ("milliseconds since 1970-01-01",
+                  "microseconds since 1999-12-31 23:59:59"):
+        raw = [0, 1, 36, 100]
+        exp = xr.decode_cf(xr.Dataset(
+            {"t": ("i", np.array(raw, "int32"), {"units": units})}
+        ))["t"].values.astype("datetime64[us]")
+        got = np.array([np.datetime64(pd.Timestamp(x), "us")
+                        for x in spark_decode(raw, {"time_units": units},
+                                              "int")])
+        np.testing.assert_array_equal(got, exp)

@@ -410,3 +410,33 @@ def test_wave26_datatree_arithmetic(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         t + DataTree.from_dict({"/only": mk(1.0)})
+
+
+def test_wave27_interp_nan_poisoning(spark):
+    """interp follows scipy interp1d semantics for NaN SOURCE values
+    (reference routes interp to scipy, core/missing.py:486): a NaN
+    bracketing value poisons the segment and an exact hit on a NaN
+    source is NaN — unlike interpolate_na, which treats NaN as a gap.
+    (scipy absent from this runtime: expectations are the hand-derived
+    interp1d results.)"""
+    import pandas as pd
+
+    def run(xcoord, vals, targets, method="linear"):
+        sds = XDataset(spark.createDataFrame(
+            pd.DataFrame({"x": np.asarray(xcoord, "float64"),
+                          "v": np.asarray(vals, "float64")})), dims=["x"])
+        p = sds.interp(x=list(targets), method=method).to_pandas()
+        return p.sort_values("x")["v"].to_numpy()
+
+    np.testing.assert_allclose(
+        run([0, 1, 2, 3], [0, np.nan, 20, 30], [0.5, 1.5, 2.5]),
+        [np.nan, np.nan, 25.0], equal_nan=True)
+    np.testing.assert_allclose(
+        run([0, 1, 2], [0, np.nan, 20], [1.0]), [np.nan], equal_nan=True)
+    np.testing.assert_allclose(
+        run([0, 1, 2], [0, np.nan, 20], [0.6], method="nearest"),
+        [np.nan], equal_nan=True)
+    # clean data unchanged, exact hits exact, out-of-range NaN
+    np.testing.assert_allclose(
+        run([0, 1, 2], [0, 10, 20], [0.0, 0.5, 5.0]),
+        [0.0, 5.0, np.nan], equal_nan=True)

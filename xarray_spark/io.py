@@ -129,10 +129,16 @@ def open_dataset(
 
 # CF unit name → seconds (xarray/coding/times.py _STANDARD_CALENDAR units)
 _CF_UNIT_SECONDS = {
-    "seconds": 1.0, "second": 1.0, "s": 1.0,
-    "minutes": 60.0, "minute": 60.0, "min": 60.0,
-    "hours": 3600.0, "hour": 3600.0, "h": 3600.0,
+    # full CF/udunits grain set (reference coding/times.py _netcdf_to_
+    # numpy_timeunit): micro/milli below the second, weeks above the day
+    "microseconds": 1e-6, "microsecond": 1e-6, "us": 1e-6,
+    "milliseconds": 1e-3, "millisecond": 1e-3, "ms": 1e-3,
+    "seconds": 1.0, "second": 1.0, "s": 1.0, "sec": 1.0, "secs": 1.0,
+    "minutes": 60.0, "minute": 60.0, "min": 60.0, "mins": 60.0,
+    "hours": 3600.0, "hour": 3600.0, "h": 3600.0, "hrs": 3600.0,
+    "hr": 3600.0,
     "days": 86400.0, "day": 86400.0, "d": 86400.0,
+    "weeks": 604800.0, "week": 604800.0,
 }
 
 

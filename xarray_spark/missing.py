@@ -442,11 +442,44 @@ def interp(ds: XDataset, coords: dict, method: str = "linear",
     for c in ds.coords:
         tgt = tgt.withColumn(c, F.lit(None).cast(ds.df.schema[c].dataType))
     tgt = tgt.withColumn("__is_tgt", F.lit(1))
-    base = ds.df.withColumn("__is_tgt", F.lit(0))
-    unioned = base.unionByName(tgt.select(*base.columns))
+    from xarray_spark._utils import nan_to_null
+    base = (nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
+            .withColumn("__is_tgt", F.lit(0)))
+    # NaN poisoning (scipy interp semantics, unlike interpolate_na's
+    # gap-skipping): a target bracketed by a NaN SOURCE value is NaN,
+    # and an exact hit on a NaN source is NaN.  Capture each source
+    # row's (x, value-was-null) here; the windows below share
+    # interpolate_na's partition/sort, so they fuse into the same
+    # Window stage — no extra shuffle.
+    xs_d = _as_double(F.col(dim), ds.df.schema[dim].dataType)
+    srccols = []
+    for v in ds.data_vars:
+        srccols.append(f"__src_{v}")
+        base = base.withColumn(
+            f"__src_{v}",
+            F.struct(xs_d.alias("x"), F.col(v).isNull().alias("n")))
+    unioned = base.unionByName(
+        tgt.withColumns({c: F.lit(None).cast(base.schema[c].dataType)
+                         for c in srccols}).select(*base.columns))
     u = ds._replace(df=unioned)
     filled = interpolate_na(u, dim, method=method, order=order, lam=lam)
-    out = filled.df.where(F.col("__is_tgt") == 1).drop("__is_tgt")
+    back = Window.partitionBy(*others).orderBy(dim).rowsBetween(
+        Window.unboundedPreceding, 0)
+    fwd = Window.partitionBy(*others).orderBy(dim).rowsBetween(
+        0, Window.unboundedFollowing)
+    fdf = filled.df
+    for v in ds.data_vars:
+        prev = F.last(F.col(f"__src_{v}"), ignorenulls=True).over(back)
+        nxt = F.first(F.col(f"__src_{v}"), ignorenulls=True).over(fwd)
+        pn, nn = prev.getField("n"), nxt.getField("n")
+        poison = (F.when(prev.getField("x") == xs_d, pn)
+                  .when(nxt.getField("x") == xs_d, nn)
+                  .otherwise(F.coalesce(pn, F.lit(False))
+                             | F.coalesce(nn, F.lit(False))))
+        fdf = fdf.withColumn(
+            v, F.when((F.col("__is_tgt") == 1) & poison,
+                      F.lit(None)).otherwise(F.col(v)))
+    out = fdf.where(F.col("__is_tgt") == 1).drop("__is_tgt", *srccols)
     return ds._replace(df=out)
 
 
