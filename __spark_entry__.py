@@ -2813,7 +2813,7 @@ def oracle_sql() -> dict[str, str]:
             best AS (
               SELECT t.ts, hi.rev,
                      ROW_NUMBER() OVER (PARTITION BY t.ts
-                                        ORDER BY ABS(epoch(hi.d) - epoch(t.ts)), hi.d) AS rn
+                                        ORDER BY ABS(epoch(hi.d) - epoch(t.ts)), hi.d DESC) AS rn
               FROM t CROSS JOIN hi
             )
             SELECT ts AS l_shipdate, rev FROM best WHERE rn = 1

@@ -2810,3 +2810,31 @@ def test_cf_decode_matrix2_matches_reference(spark):
                         for x in spark_decode(raw, {"time_units": units},
                                               "int")])
         np.testing.assert_array_equal(got, exp)
+
+
+def test_reindex_sel_nearest_tie_matches_reference(spark):
+    """pandas get_indexer(method='nearest') breaks exact-midpoint ties
+    toward the HIGHER label (reference sel/reindex route through it);
+    full method/tolerance grid cross-checked."""
+    xc = [0.0, 1.0, 2.0, 5.0, 10.0]
+    vals = [0.0, 10.0, 20.0, 50.0, 100.0]
+    ref = xr.Dataset({"v": ("x", np.array(vals))},
+                     coords={"x": np.array(xc)})
+    sds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": xc, "v": vals})), dims=["x"])
+    for kw in (dict(x=[0.5], method="nearest"),
+               dict(x=[1.5], method="nearest", tolerance=0.5),
+               dict(x=[0.4, 1.6, 7.0], method="nearest"),
+               dict(x=[0.4, 1.6, 7.0], method="ffill"),
+               dict(x=[-1.0, 0.4], method="bfill", tolerance=0.5)):
+        exp = ref.reindex(**kw)["v"].values
+        kw2 = dict(kw)
+        tgts = kw2.pop("x")
+        got = (sds.reindex({"x": tgts}, **kw2)
+               .to_pandas().sort_values("x")["v"].to_numpy())
+        np.testing.assert_allclose(np.sort(got), np.sort(exp),
+                                   equal_nan=True)
+    # sel nearest tie agrees too
+    assert (sds.sel({"x": [0.5]}, method="nearest")
+            .to_pandas()["v"].tolist() ==
+            ref.sel(x=[0.5], method="nearest")["v"].values.tolist())

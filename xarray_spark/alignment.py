@@ -226,7 +226,10 @@ def _asof_label_map(ds: XDataset, dim: str, new_labels: DataFrame, method: str, 
         raise ValueError(method)
     if tolerance is not None:
         j = j.where(dist <= F.lit(float(tolerance)))
-    w = Window.partitionBy(dim).orderBy(dist.asc(), lab.asc())
+    # pandas get_indexer(method='nearest') breaks distance ties
+    # toward the HIGHER label; pad/backfill ties are impossible
+    tie = lab.desc() if method == "nearest" else lab.asc()
+    w = Window.partitionBy(dim).orderBy(dist.asc(), tie)
     best = j.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
     matched = new_labels.join(
         best.select(dim, F.col("__lab").alias("__match")), on=dim, how="left"

@@ -662,7 +662,10 @@ class XDataset:
             raise ValueError(f"unknown sel method {method!r}")
         if tolerance is not None:
             j = j.where(dist <= F.lit(float(tolerance)))
-        w = Window.partitionBy("__req").orderBy(dist.asc(), lab.asc())
+        # pandas get_indexer(method='nearest') breaks distance ties
+        # toward the HIGHER label; pad/backfill ties are impossible
+        tie = lab.desc() if method == "nearest" else lab.asc()
+        w = Window.partitionBy("__req").orderBy(dist.asc(), tie)
         best = j.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
         rows = best.select("__req", "__lab").collect()
         got = {r["__req"]: r["__lab"] for r in rows}
