@@ -2838,3 +2838,39 @@ def test_reindex_sel_nearest_tie_matches_reference(spark):
     assert (sds.sel({"x": [0.5]}, method="nearest")
             .to_pandas()["v"].tolist() ==
             ref.sel(x=[0.5], method="nearest")["v"].values.tolist())
+
+
+def test_groupby_transform_ops_match_reference(spark):
+    """Wave 27: groupby binary-op transforms (anomaly/normalize),
+    scalar fillna (group-independent, reference ops delegation), and
+    map with inferred schema (reference groupby.py:1614)."""
+    N = 12
+    rng = np.random.RandomState(0)
+    v = rng.randn(N)
+    v[3] = np.nan
+    g = np.arange(N) % 3
+    ref = xr.Dataset({"v": ("t", v)},
+                     coords={"t": np.arange(N), "g": ("t", g)})
+    sds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(N), "v": v, "g": g})), dims=["t"],
+        coords={"g": ("t",)})
+
+    def check(refout, sout):
+        exp = refout["v"].values
+        got = sout.to_pandas().sort_values("t")["v"].to_numpy()
+        np.testing.assert_allclose(
+            np.sort(exp[~np.isnan(exp)]), np.sort(got[~np.isnan(got)]))
+        assert np.isnan(exp).sum() == np.isnan(got).sum()
+
+    check(ref.groupby("g") - ref.groupby("g").mean(),
+          sds.groupby("g") - sds.groupby("g").mean())
+    check(ref.groupby("g") / ref.groupby("g").max(),
+          sds.groupby("g") / sds.groupby("g").max())
+    check(ref.groupby("g").fillna(-1.0), sds.groupby("g").fillna(-1.0))
+
+    def demean(pdf):
+        pdf = pdf.copy()
+        pdf["v"] = pdf["v"] - pdf["v"].mean()
+        return pdf
+    check(ref.groupby("g").map(lambda x: x - x.mean()),
+          sds.groupby("g").map(demean))

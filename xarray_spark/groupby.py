@@ -315,11 +315,26 @@ class XGroupBy:
             *[F.col(f"__qs.{v}").alias(v) for v in varlist])
         return agged._replace(df=df, dims=["quantile"] + list(agged.dims))
 
-    def map(self, func, schema) -> XDataset:
+    def map(self, func, schema=None) -> XDataset:
         """Split-apply-combine UDTF (xarray/core/groupby.py:1614) →
-        applyInPandas (true grouped-map: arbitrary rows out)."""
+        applyInPandas (true grouped-map: arbitrary rows out).
+
+        ``schema=None`` infers the output schema by running ``func`` on
+        ONE bounded group sample (≤1000 rows to the driver, once at plan
+        time) — pass it explicitly in production pipelines."""
         prepped = self._prepared()
         group_cols = [f"__key_{n}" for n in self._key_names]
+        if schema is None:
+            first = prepped.df.limit(1).collect()
+            if not first:
+                raise ValueError("map(schema=None) on an empty dataset")
+            k0 = first[0]
+            cond = None
+            for c in group_cols:
+                e = (F.col(c) == F.lit(k0[c])) if k0[c] is not None else F.col(c).isNull()
+                cond = e if cond is None else (cond & e)
+            sample = prepped.df.where(cond).limit(1000).toPandas()
+            schema = self.ds.spark.createDataFrame(func(sample)).schema
         out = prepped.df.groupBy(*group_cols).applyInPandas(func, schema)
         for n in self._key_names:
             out = out.withColumnRenamed(f"__key_{n}", n)
@@ -390,9 +405,13 @@ class XGroupBy:
         return NotImplemented
 
     def fillna(self, value) -> XDataset:
-        """Fill with per-group values (xarray/core/groupby.py:1259)."""
+        """Fill with per-group values (xarray/core/groupby.py:1259);
+        a scalar fill is group-independent and delegates to
+        Dataset.fillna (the reference does the same via ops)."""
         if isinstance(value, XDataset):
             return self._binary_with_agg(value, lambda a, b: F.coalesce(a, b))
+        if isinstance(value, (int, float)):
+            return self.ds.fillna(value)
         raise TypeError(type(value))
 
     def cumsum(self) -> XDataset:
