@@ -2874,3 +2874,20 @@ def test_groupby_transform_ops_match_reference(spark):
         return pdf
     check(ref.groupby("g").map(lambda x: x - x.mean()),
           sds.groupby("g").map(demean))
+
+
+def test_differentiate_edge_order2_matches_reference(spark):
+    """np.gradient edge_order=2: 3-point one-sided edge stencils on a
+    non-uniform grid (reference core/dataset.py:8475 differentiate)."""
+    x = np.array([0.0, 1.0, 2.5, 3.0, 7.0])
+    v = np.array([0.0, 2.0, 1.0, 5.0, 3.0])
+    ref = xr.Dataset({"v": ("x", v)}, coords={"x": x})
+    sds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": x, "v": v})), dims=["x"])
+    for eo in (1, 2):
+        exp = ref.differentiate("x", edge_order=eo)["v"].values
+        got = (sds.differentiate("x", edge_order=eo)
+               .to_pandas().sort_values("x")["v"].to_numpy())
+        np.testing.assert_allclose(got, exp)
+    with pytest.raises(ValueError):
+        sds.differentiate("x", edge_order=3)

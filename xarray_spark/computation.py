@@ -687,27 +687,48 @@ def ones_like(ds: XDataset, dtype: str | None = None) -> XDataset:
 
 
 def differentiate(ds: XDataset, coord: str,
-                  datetime_unit: str | None = None) -> XDataset:
+                  datetime_unit: str | None = None,
+                  edge_order: int = 1) -> XDataset:
     """np.gradient gradient (xarray/core/dataset.py:8475): SECOND-order
     accurate interior stencil on possibly NON-uniform grids —
     f'_i = (hs²·f₊ + (hd² − hs²)·f − hd²·f₋) / (hs·hd·(hd + hs))
     with hs = x−x₋, hd = x₊−x (np.gradient's published formula; the
     naive (f₊−f₋)/(x₊−x₋) is only first-order when spacings differ) —
-    one-sided first differences at the edges (edge_order=1)."""
+    one-sided differences at the edges: edge_order=1 first
+    differences (default), edge_order=2 the 3-point one-sided stencil
+    (np.gradient edge_order semantics; falls back to first order on a
+    2-point series)."""
+    if edge_order not in (1, 2):
+        raise ValueError("edge_order must be 1 or 2")
     others = [d for d in ds.dims if d != coord]
     w = Window.partitionBy(*others).orderBy(coord)
     x = _coord_numeric(ds, coord, datetime_unit)
     xm, xp = F.lag(x).over(w), F.lead(x).over(w)
+    xm2, xp2 = F.lag(x, 2).over(w), F.lead(x, 2).over(w)
     hs, hd = x - xm, xp - x
     exprs = []
     for c in ds.df.columns:
         if c in ds.data_vars:
             y = F.col(c).cast("double")
             ym, yp = F.lag(y).over(w), F.lead(y).over(w)
+            ym2, yp2 = F.lag(y, 2).over(w), F.lead(y, 2).over(w)
             interior = (hs * hs * yp + (hd * hd - hs * hs) * y
                         - hd * hd * ym) / (hs * hd * (hd + hs))
             left = (yp - y) / (xp - x)
             right = (y - ym) / (x - xm)
+            if edge_order == 2:
+                # left edge: points (x, x+1, x+2), h1 = x₁−x₀, h2 = x₂−x₁
+                h1l, h2l = xp - x, xp2 - xp
+                left2 = (-(2 * h1l + h2l) / (h1l * (h1l + h2l)) * y
+                         + (h1l + h2l) / (h1l * h2l) * yp
+                         - h1l / (h2l * (h1l + h2l)) * yp2)
+                left = F.when(xp2.isNotNull(), left2).otherwise(left)
+                # right edge: points (x-2, x-1, x), h1 = x₋₁−x₋₂, h2 = x−x₋₁
+                h1r, h2r = xm - xm2, x - xm
+                right2 = (h2r / (h1r * (h1r + h2r)) * ym2
+                          - (h1r + h2r) / (h1r * h2r) * ym
+                          + (2 * h2r + h1r) / (h2r * (h1r + h2r)) * y)
+                right = F.when(xm2.isNotNull(), right2).otherwise(right)
             e = F.when(xm.isNull(), left).when(xp.isNull(), right).otherwise(interior)
             exprs.append(e.alias(c))
         else:

@@ -2654,9 +2654,11 @@ class XDataset:
         return self.to_dataset_pivot(dim)
 
     def differentiate(self, coord: str,
-                      datetime_unit: str | None = None) -> "XDataset":
+                      datetime_unit: str | None = None,
+                      edge_order: int = 1) -> "XDataset":
         from xarray_spark.computation import differentiate
-        return differentiate(self, coord, datetime_unit=datetime_unit)
+        return differentiate(self, coord, datetime_unit=datetime_unit,
+                             edge_order=edge_order)
 
     def polyfit(self, dim: str, deg: int, w: str | None = None,
                 full: bool = False, cov: bool | str = False,
