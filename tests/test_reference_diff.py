@@ -2891,3 +2891,18 @@ def test_differentiate_edge_order2_matches_reference(spark):
         np.testing.assert_allclose(got, exp)
     with pytest.raises(ValueError):
         sds.differentiate("x", edge_order=3)
+
+
+def test_cumsum_skipna_false_matches_reference(spark):
+    """cumsum/cumprod skipna=False: NaN poisons every later prefix
+    (np.cumsum semantics; reference _aggregations cumsum skipna)."""
+    v = np.array([1.0, 3.0, np.nan, 7.0, 5.0, 2.0])
+    ref = xr.Dataset({"v": ("t", v)}, coords={"t": np.arange(6)})
+    sds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(6), "v": v})), dims=["t"])
+    for op in ("cumsum", "cumprod"):
+        for skipna in (True, False):
+            exp = getattr(ref, op)("t", skipna=skipna)["v"].values
+            got = (getattr(sds, op)("t", skipna=skipna)
+                   .to_pandas().sort_values("t")["v"].to_numpy())
+            np.testing.assert_allclose(got, exp, equal_nan=True)

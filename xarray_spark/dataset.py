@@ -1660,23 +1660,26 @@ class XDataset:
         from xarray_spark._utils import estimated_rows
         dims = self._norm_dim_arg(dim)
         thr = OPTIONS["auto_segment_threshold"]
-        if (thr is not None and len(dims) == 1
+        if (skipna and thr is not None and len(dims) == 1
                 and not [d for d in self.dims if d != dims[0]]
                 and estimated_rows(self.df) >= thr):
             # single-task global-scan shape and over the threshold →
             # segmented two-phase scan (options.py auto_segment_threshold)
             from xarray_spark.segmented import cumsum_segmented
             return cumsum_segmented(self, dims[0])
-        # np.nancumsum: an all-NaN prefix accumulates 0, not NaN
+        # np.nancumsum: an all-NaN prefix accumulates 0, not NaN;
+        # skipna=False poisons from the first NaN on (np.cumsum)
         return self._cumulative(
-            dim, lambda v, w: F.coalesce(F.sum(v).over(w), F.lit(0.0)))
+            dim, lambda v, w: F.coalesce(F.sum(v).over(w), F.lit(0.0)),
+            skipna=skipna)
 
     def cumprod(self, dim=None, skipna: bool = True) -> "XDataset":
         # np.nancumprod: an all-NaN prefix accumulates 1
         return self._cumulative(
-            dim, lambda v, w: F.coalesce(F.product(v).over(w), F.lit(1.0)))
+            dim, lambda v, w: F.coalesce(F.product(v).over(w), F.lit(1.0)),
+            skipna=skipna)
 
-    def _cumulative(self, dim, make) -> "XDataset":
+    def _cumulative(self, dim, make, skipna: bool = True) -> "XDataset":
         dims = self._norm_dim_arg(dim)
         if len(dims) != 1:
             raise NotImplementedError("cumulative over exactly one dim")
@@ -1686,8 +1689,18 @@ class XDataset:
         varlist = self._agg_numeric_vars("cumsum")
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(self.df, varlist, self.df.schema)
+
+        def _mk(v, w):
+            e = make(v, w)
+            if not skipna:
+                # np.cumsum/np.cumprod: NaN poisons every later prefix
+                seen_nan = F.sum(F.when(F.col(v).isNull(), 1)
+                                 .otherwise(0)).over(w) > 0
+                e = F.when(seen_nan, F.lit(float("nan"))).otherwise(e)
+            return e
+
         exprs = [
-            make(v, w).alias(v) if v in varlist else F.col(v)
+            _mk(v, w).alias(v) if v in varlist else F.col(v)
             for v in base.columns
         ]
         return self._replace(df=base.select(*exprs))
