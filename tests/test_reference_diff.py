@@ -2906,3 +2906,29 @@ def test_cumsum_skipna_false_matches_reference(spark):
             got = (getattr(sds, op)("t", skipna=skipna)
                    .to_pandas().sort_values("t")["v"].to_numpy())
             np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_pad_per_side_constants_and_symmetric_odd(spark):
+    """Wave 27: per-side constant_values (np.pad ((before, after),)
+    and dict forms) and reflect_type='odd' applied to symmetric too
+    (reference core/dataset.py:9054 pad -> np.pad semantics)."""
+    v = np.array([1.0, 3.0, np.nan, 7.0, 5.0, 2.0])
+    ref = xr.Dataset({"v": ("t", v)}, coords={"t": np.arange(6)})
+    sds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(6), "v": v})), dims=["t"])
+    for kw in (dict(t=(2, 1), mode="constant",
+                    constant_values=((4.0, 6.0),)),
+               dict(t=(2, 2), mode="symmetric", reflect_type="odd"),
+               dict(t=(2, 2), mode="reflect", reflect_type="odd")):
+        kw2 = dict(kw)
+        pw = kw2.pop("t")
+        exp = ref.pad(t=pw, **kw2)["v"].values
+        got = (sds.pad(t=pw, **kw2).to_pandas()
+               .sort_values("t")["v"].to_numpy())
+        np.testing.assert_allclose(got, exp, equal_nan=True)
+    # dict form {dim: (b, a)}
+    got = (sds.pad(t=(1, 1), mode="constant",
+                   constant_values={"t": (8.0, 9.0)})
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(
+        got, np.concatenate([[8.0], v, [9.0]]), equal_nan=True)

@@ -2466,13 +2466,17 @@ class XDataset:
         new_labels = [lo - step * (i + 1) for i in range(before)] + \
                      [hi + step * (i + 1) for i in range(after)]
         from xarray_spark._utils import is_temporal
+        sides = ["b"] * before + ["a"] * after
         if is_temporal(dtype):
             new_rows = self.spark.createDataFrame(
-                [(float(x),) for x in new_labels], "__num double"
-            ).select(F.timestamp_seconds(F.col("__num")).cast(dtype).alias(dim))
+                [(float(x), s) for x, s in zip(new_labels, sides)],
+                "__num double, __side string"
+            ).select(F.timestamp_seconds(F.col("__num")).cast(dtype).alias(dim),
+                     "__side")
         else:
-            new_rows = self.spark.createDataFrame([(x,) for x in new_labels], [dim]) \
-                .select(F.col(dim).cast(dtype).alias(dim))
+            new_rows = self.spark.createDataFrame(
+                [(x, s) for x, s in zip(new_labels, sides)], [dim, "__side"]) \
+                .select(F.col(dim).cast(dtype).alias(dim), "__side")
         others = [d for d in self.dims if d != dim]
         if mode in ("reflect", "symmetric", "wrap", "linear_ramp", "edge"):
             # edge rides the positional path (source = boundary row,
@@ -2497,14 +2501,36 @@ class XDataset:
         if others:
             combos = self.df.select(*others).distinct()
             new_rows = combos.crossJoin(F.broadcast(new_rows))
+        cv_b, cv_a = self._norm_constant_values(constant_values, dim)
         for c in self.df.columns:
             if c not in new_rows.columns:
                 fill = F.lit(None).cast(self.df.schema[c].dataType)
-                if mode == "constant" and constant_values is not None and c in self.data_vars:
-                    fill = F.lit(constant_values).cast(self.df.schema[c].dataType)
+                if mode == "constant" and c in self.data_vars and (
+                        cv_b is not None or cv_a is not None):
+                    # per-side constants (np.pad ((before, after),) form)
+                    fill = (F.when(F.col("__side") == "b", F.lit(cv_b))
+                            .otherwise(F.lit(cv_a))
+                            .cast(self.df.schema[c].dataType))
                 new_rows = new_rows.withColumn(c, fill)
         unioned = self.df.unionByName(new_rows.select(*self.df.columns))
         return self._replace(df=unioned)
+
+    @staticmethod
+    def _norm_constant_values(constant_values, dim):
+        """Normalize np.pad/xarray constant_values forms — scalar,
+        (before, after), ((before, after),), {dim: scalar-or-pair} —
+        to a per-side pair."""
+        cv = constant_values
+        if isinstance(cv, dict):
+            cv = cv.get(dim)
+        if cv is None:
+            return None, None
+        if isinstance(cv, (tuple, list)):
+            if len(cv) == 1 and isinstance(cv[0], (tuple, list)):
+                cv = cv[0]
+            b, a = cv
+            return b, a
+        return cv, cv
 
     def _pad_positional(self, dim: str, before: int, after: int, mode: str,
                         new_labels: list, n: int, end_values,
@@ -2542,7 +2568,7 @@ class XDataset:
         src = meta_df.join(F.broadcast(labels), on="__srcpos")
         fact = self.df.withColumnRenamed(dim, "__srclab")
         joined = fact.join(F.broadcast(src), on="__srclab")
-        odd = mode == "reflect" and reflect_type == "odd"
+        odd = mode in ("reflect", "symmetric") and reflect_type == "odd"
         if odd:
             # np.pad reflect_type='odd': value = 2*edge - mirrored.  The
             # per-series edge rows (pos 0 / n-1) form a series-count-
