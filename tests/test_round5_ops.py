@@ -440,3 +440,33 @@ def test_wave27_interp_nan_poisoning(spark):
     np.testing.assert_allclose(
         run([0, 1, 2], [0, 10, 20], [0.0, 0.5, 5.0]),
         [0.0, 5.0, np.nan], equal_nan=True)
+
+
+def test_wave27_curvefit_reference_signature(spark):
+    """curvefit reference-signature parity (fit.py:311): param names
+    inferred from func signature, partial p0 dict, box bounds
+    (projected Gauss-Newton), skipna, errors='ignore'."""
+    import pandas as pd
+    x = np.linspace(0, 5, 40)
+    rng = np.random.RandomState(1)
+    y = 3.0 * np.exp(-0.8 * x) + 0.05 * rng.randn(40)
+    sds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": x, "v": y})), dims=["x"])
+
+    def expdec(t, a, k):
+        return a * np.exp(-k * t)
+
+    r = (sds.curvefit("x", expdec).to_pandas()
+         .set_index("param")["v_curvefit_coefficients"])
+    assert abs(r["a"] - 3.0) < 0.2 and abs(r["k"] - 0.8) < 0.1
+    r2 = (sds.curvefit("x", expdec, p0={"a": 2.0},
+                       bounds={"k": (0.5, 0.7)}).to_pandas()
+          .set_index("param")["v_curvefit_coefficients"])
+    assert 0.5 <= r2["k"] <= 0.7
+    tiny = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": [0.0], "v": [1.0]})), dims=["x"])
+    out = tiny.curvefit("x", expdec, errors="ignore").to_pandas()
+    assert np.isnan(out["v_curvefit_coefficients"]).all()
+    import pytest as _pt
+    with _pt.raises(Exception):
+        tiny.curvefit("x", expdec).to_pandas()

@@ -302,8 +302,9 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
 
 
 def curvefit(ds: XDataset, coords: str, func: Callable,
-             p0: Sequence[float], param_names: Sequence[str] | None = None,
-             maxiter: int = 100) -> XDataset:
+             p0=None, param_names: Sequence[str] | None = None,
+             maxiter: int = 100, reduce_dims=None, skipna: bool = True,
+             bounds=None, errors: str = "raise") -> XDataset:
     """Nonlinear least-squares fit per group
     (xarray/computation/fit.py:311 Dataset.curvefit).
 
@@ -320,16 +321,58 @@ def curvefit(ds: XDataset, coords: str, func: Callable,
     import pandas as pd
 
     dim = coords
-    others = [d for d in ds.dims if d != dim]
+    reduce_dims = ([reduce_dims] if isinstance(reduce_dims, str)
+                   else list(reduce_dims or []))
+    others = [d for d in ds.dims if d != dim and d not in reduce_dims]
     varlist = list(ds.data_vars)
-    n_par = len(p0)
-    names = list(param_names) if param_names is not None else [f"p{i}" for i in range(n_par)]
-    if len(names) != n_par:
+    # parameter names: explicit > p0-dict keys > func signature
+    # (reference fit.py _get_func_args; varargs funcs need param_names)
+    if param_names is not None:
+        names = list(param_names)
+    else:
+        import inspect
+        sigp = list(inspect.signature(func).parameters.values())[1:]
+        if any(p.kind == inspect.Parameter.VAR_POSITIONAL for p in sigp):
+            # varargs func: names come from p0 (dict) or positional count
+            if isinstance(p0, Mapping):
+                names = list(p0)
+            elif p0 is not None:
+                names = [f"p{i}" for i in range(len(p0))]
+            else:
+                raise ValueError(
+                    "param_names (or p0) required for *args func")
+        else:
+            names = [p.name for p in sigp]
+    n_par = len(names)
+    bounds = dict(bounds or {})
+    lb = np.array([float(bounds.get(n, (-np.inf, np.inf))[0]) for n in names])
+    ub = np.array([float(bounds.get(n, (-np.inf, np.inf))[1]) for n in names])
+
+    def _init(n, i):
+        # reference fit.py _initialize_curvefit_params: default 1 when
+        # inside the bounds, else midpoint / edge+1
+        l, u = lb[i], ub[i]
+        if np.isfinite(l) and np.isfinite(u):
+            return 1.0 if l < 1.0 < u else 0.5 * (l + u)
+        if np.isfinite(l):
+            return l + 1.0
+        if np.isfinite(u):
+            return u - 1.0
+        return 1.0
+
+    if p0 is None:
+        p0 = [_init(n, i) for i, n in enumerate(names)]
+    elif isinstance(p0, Mapping):
+        p0 = [float(p0[n]) if n in p0 else _init(n, i)
+              for i, n in enumerate(names)]
+    else:
+        p0 = [float(p) for p in p0]
+    if len(p0) != n_par:
         raise ValueError("param_names length must match p0")
-    p0 = [float(p) for p in p0]
     from xarray_spark._utils import to_double
     xcol = to_double(F.col(dim), ds.df.schema[dim].dataType)
     base = ds.df.select(*others, xcol.alias("__x"), *varlist)
+    # reduce_dims are pooled into each fit: simply absent from the keys
 
     out_fields = [base.schema[o] for o in others] + [T.StructField("param", T.StringType())] + [
         T.StructField(f"{v}_curvefit_coefficients", T.DoubleType()) for v in varlist
@@ -337,8 +380,11 @@ def curvefit(ds: XDataset, coords: str, func: Callable,
     out_schema = T.StructType(out_fields)
 
     def _fit(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
-        p = np.array(p0, dtype="float64")
+        p = np.clip(np.array(p0, dtype="float64"), lb, ub)
         if len(x) < n_par:
+            if errors == "raise":
+                raise ValueError(
+                    f"curvefit: {len(x)} points < {n_par} parameters")
             return np.full(n_par, np.nan)
         lam = 1e-3
         for _ in range(maxiter):
@@ -360,7 +406,7 @@ def curvefit(ds: XDataset, coords: str, func: Callable,
                     dp = np.linalg.solve(A + lam * np.diag(np.diag(A) + 1e-12), g)
                 except np.linalg.LinAlgError:
                     dp, *_ = np.linalg.lstsq(A, g, rcond=None)
-                p_try = p + dp
+                p_try = np.clip(p + dp, lb, ub)
                 r_try = y - func(x, *p_try)
                 if float(r_try @ r_try) <= sse:
                     p, lam, moved = p_try, max(lam * 0.3, 1e-14), True
@@ -375,8 +421,14 @@ def curvefit(ds: XDataset, coords: str, func: Callable,
         keys = {o: pdf[o].iloc[0] for o in others}
         fitted = {}
         for v in varlist:
-            sub = pdf[["__x", v]].dropna()
-            fitted[v] = _fit(sub["__x"].to_numpy("float64"), sub[v].to_numpy("float64"))
+            sub = pdf[["__x", v]].dropna() if skipna else pdf[["__x", v]]
+            try:
+                fitted[v] = _fit(sub["__x"].to_numpy("float64"),
+                                 sub[v].to_numpy("float64"))
+            except Exception:
+                if errors == "raise":
+                    raise
+                fitted[v] = np.full(n_par, np.nan)
         for i, nm in enumerate(names):
             row = dict(keys)
             row["param"] = nm

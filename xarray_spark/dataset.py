@@ -2705,9 +2705,13 @@ class XDataset:
         from xarray_spark.computation import polyfit
         return polyfit(self, dim, deg, w=w, full=full, cov=cov, rcond=rcond)
 
-    def curvefit(self, coords, func, p0, param_names=None, maxiter: int = 100):
+    def curvefit(self, coords, func, p0=None, param_names=None,
+                 maxiter: int = 100, reduce_dims=None, skipna: bool = True,
+                 bounds=None, errors: str = "raise"):
         from xarray_spark.computation import curvefit
-        return curvefit(self, coords, func, p0, param_names, maxiter)
+        return curvefit(self, coords, func, p0, param_names, maxiter,
+                        reduce_dims=reduce_dims, skipna=skipna,
+                        bounds=bounds, errors=errors)
 
     def map_blocks(self, func, schema=None) -> "XDataset":
         """Partition-wise UDF (xarray/core/parallel.py:228) → mapInPandas.
