@@ -2070,7 +2070,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     where/clip/isin composition, resample empty-bin materialization,
     diff label='lower') and recalled q04/q58 (the where() refactor:
     array-valued other + IEEE NaN cond), displacing the unchanged
-    double-green anchors q01/q61/q51/q52/q112/q113.  q64_ivf_topk
+    double-green anchors q01/q61/q51/q52/q112/q113.  The fourth
+    session (wave 27) recalled q54 (pad per-side constants — new
+    __side row construction) and q02 (sel — new stacked-tuple branch
+    in _sel_one), displacing double-green q46/q110 whose paths wave
+    27 did not touch; wave-27 changes to concat attrs (q20), curvefit
+    defaults (q73) and cumsum skipna wrapper (q11) are metadata- or
+    default-preserving and were re-verified green at sf0.001 this
+    session.  q64_ivf_topk
     stays OUT permanently (rows-only by design; its plan is
     value-verified by q97).  Everything below the window carries a
     green driver row from rounds 1-4 and stays covered by
@@ -2100,7 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_salted_agg": q60_salted_agg,
         "q07_resample_monthly": q07_resample_monthly,
         "q08_resample_daily_events": q08_resample_daily_events,
-        "q46_resample_6h": q46_resample_6h,
+        "q02_sel_label_slice": q02_sel_label_slice,
         "q45_resample_asfreq": q45_resample_asfreq,
         "q19_binary_align": q19_binary_align,
         "q21_reindex_fill": q21_reindex_fill,
@@ -2108,7 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_polyfit_full": q122_polyfit_full,
         "q27_str_ops": q27_str_ops,
         "q84_dt_timedelta": q84_dt_timedelta,
-        "q110_dedup_lines": q110_dedup_lines,
+        "q54_pad": q54_pad,
         "q123_where_isin": q123_where_isin,
         "q124_resample_gaps": q124_resample_gaps,
         "q44_differentiate": q44_differentiate,
@@ -2136,7 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_lsh_topk": q51_lsh_topk,
         "q52_embedding_near_dups": q52_embedding_near_dups,
         "q13_ffill": q13_ffill,
-        "q02_sel_label_slice": q02_sel_label_slice,
+        "q46_resample_6h": q46_resample_6h,
         "q79_sel_step": q79_sel_step,
         "q97_ivf_fixed": q97_ivf_fixed,
         "q63_lsh_multiprobe": q63_lsh_multiprobe,
@@ -2191,7 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_coarsen_weekly": q37_coarsen_weekly,
         "q38_shift": q38_shift,
         "q50_rolling_exp": q50_rolling_exp,
-        "q54_pad": q54_pad,
+        "q110_dedup_lines": q110_dedup_lines,
         "q55_rolling_2d": q55_rolling_2d,
         "q56_densify": q56_densify,
         "q57_isel_points": q57_isel_points,
