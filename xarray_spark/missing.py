@@ -108,7 +108,8 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
                    order: int | None = None,
                    use_coordinate: bool = True,
                    lam: float | None = None,
-                   fill_value=None) -> XDataset:
+                   fill_value=None,
+                   _src_pred=None) -> XDataset:
     """Gap interpolation along dim (xarray/core/missing.py:331).
 
     Methods (reference matrix core/missing.py:486):
@@ -172,7 +173,13 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
     for c in df.columns:
         if c in ds.data_vars:
             v = F.col(c).cast("double")
-            pair = F.when(v.isNotNull(), F.struct(x.alias("x"), v.alias("y")))
+            # _src_pred (interp()'s private hook): pairs come from
+            # SOURCE rows even when their value is null, so a NaN
+            # source poisons the blend and an exact hit on it returns
+            # NaN — scipy interp1d semantics at zero extra window cost.
+            pair = F.when(_src_pred if _src_pred is not None
+                          else v.isNotNull(),
+                          F.struct(x.alias("x"), v.alias("y")))
             prev = F.last(pair, ignorenulls=True).over(back)
             nxt = F.first(pair, ignorenulls=True).over(fwd)
             x0, y0 = prev.getField("x"), prev.getField("y")
@@ -445,13 +452,24 @@ def interp(ds: XDataset, coords: dict, method: str = "linear",
     from xarray_spark._utils import nan_to_null
     base = (nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
             .withColumn("__is_tgt", F.lit(0)))
-    # NaN poisoning (scipy interp semantics, unlike interpolate_na's
-    # gap-skipping): a target bracketed by a NaN SOURCE value is NaN,
-    # and an exact hit on a NaN source is NaN.  Capture each source
-    # row's (x, value-was-null) here; the windows below share
-    # interpolate_na's partition/sort, so they fuse into the same
-    # Window stage — no extra shuffle.
     xs_d = _as_double(F.col(dim), ds.df.schema[dim].dataType)
+    window_methods = method in ("linear", "slinear", "nearest", "zero")
+    if window_methods:
+        # NaN poisoning (scipy interp1d semantics) comes FREE on this
+        # path: interpolate_na pairs on "is a source row" instead of
+        # "is non-null", so a NaN source bracketing value nulls the
+        # blend and an exact hit on a NaN source returns NaN — same
+        # two windows per var, no extra plan cost.
+        unioned = base.unionByName(tgt.select(*base.columns))
+        u = ds._replace(df=unioned)
+        filled = interpolate_na(u, dim, method=method, order=order,
+                                lam=lam,
+                                _src_pred=F.col("__is_tgt") == 0)
+        out = filled.df.where(F.col("__is_tgt") == 1).drop("__is_tgt")
+        return ds._replace(df=out)
+    # higher-order (applyInPandas) methods: fill first, then poison
+    # targets whose immediate source bracket contains a NaN value —
+    # the windows reuse the group partitioning, one extra sort only.
     srccols = []
     for v in ds.data_vars:
         srccols.append(f"__src_{v}")
