@@ -470,3 +470,22 @@ def test_wave27_curvefit_reference_signature(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         tiny.curvefit("x", expdec).to_pandas()
+
+
+def test_wave27_quantile_subnormal_range(spark):
+    """Histogram quantile paths survive a subnormal value range:
+    (hi-lo)/nbins underflows to 0 while lo < hi — the groups fall to a
+    single bin and the candidate sort stays exact (no ANSI /0)."""
+    import pandas as pd
+    vals = [0.0, 0.0, 0.0, 0.0, 0.0, 5e-324]
+    sds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(6), "v": vals})), dims=["t"])
+    got = (sds.quantile([0.0, 0.5, 1.0]).to_pandas()
+           .sort_values("quantile")["v"].to_numpy())
+    np.testing.assert_array_equal(got, np.quantile(vals, [0.0, 0.5, 1.0]))
+    # grouped path
+    gds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(6), "g": [0, 0, 0, 1, 1, 1],
+                      "v": vals})), dims=["t"], coords={"g": ("t",)})
+    got2 = np.sort(gds.groupby("g").quantile(1.0).to_pandas()["v"].to_numpy())
+    np.testing.assert_array_equal(got2, [0.0, 5e-324])

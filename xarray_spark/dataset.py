@@ -207,7 +207,14 @@ def _grouped_quantile_hist(df: DataFrame, keys: list, v: str, qs: list,
                         & (F.col("__lo") != F.col("__hi")))
              .select(*keys, "__r", (F.col("__r") - neg).alias("__rf")))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nb))
-    bcol = F.least(F.floor((vv - F.col("__lo")) / width), F.lit(nb - 1)).cast("int")
+    # width can UNDERFLOW to 0 while lo < hi (subnormal range, e.g.
+    # hi-lo = 5e-324): guard the ANSI division and drop such groups
+    # into a single bin — the candidate sort then yields exact order
+    # statistics for them
+    bcol = (F.when(width > 0,
+                   F.least(F.floor((vv - F.col("__lo")) / width),
+                           F.lit(nb - 1)))
+            .otherwise(F.lit(0))).cast("int")
     binned = (rows.where(is_fin)
               .join(stats.select(*keys, "__lo", "__hi"), on=keys)
               .where(F.col("__lo") != F.col("__hi"))
@@ -1573,9 +1580,15 @@ class XDataset:
                     ranks = sorted({int(_math.floor(p)) for p in pos}
                                    | {int(_math.ceil(p)) for p in pos})
                     width = (hi - lo) / NB
-                    bcol = F.least(F.floor((F.col("__val") - F.lit(lo))
-                                           / F.lit(width)), F.lit(NB - 1)
-                                   ).cast("int")
+                    if width > 0:
+                        bcol = F.least(F.floor((F.col("__val") - F.lit(lo))
+                                               / F.lit(width)), F.lit(NB - 1)
+                                       ).cast("int")
+                    else:
+                        # subnormal range underflows the width to 0
+                        # (lo < hi but (hi-lo)/NB == 0): one bin, the
+                        # candidate sort stays exact
+                        bcol = F.lit(0).cast("int")
                     hist = dict(vals.groupBy(bcol.alias("__b")).count()
                                 .collect())
                     cum, acc = {}, 0
