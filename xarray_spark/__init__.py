@@ -134,6 +134,7 @@ from xarray_spark import testing  # noqa: E402  (public submodule)
 
 __all__ = [
     "testing",
+    "Variable",
     "__version__",
     "show_versions",
     "load_datatree",
@@ -242,6 +243,14 @@ def unify_chunks(*objects):
     each Spark DataFrame owns its partitioning; alignment is
     per-operation, so this returns the inputs unchanged."""
     return objects
+
+
+def Variable(dims, data, attrs=None):
+    """Constructor-compatible shim for xr.Variable (variable.py:268):
+    the long-form engine has no standalone Variable — it resolves to a
+    single-variable dataset via :func:`as_variable`."""
+    return as_variable((dims, data, attrs) if attrs is not None
+                       else (dims, data))
 
 
 def as_variable(obj, name=None):
