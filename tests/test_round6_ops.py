@@ -1,0 +1,135 @@
+"""Round-6 tests: the five round-5 advisor findings (ieee_div NULL
+dividend, atomic rename, ieee_mod/trunc 2^63 ANSI overflow, single
+str.index/rindex definition, fillna dtype preservation)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spark import XDataset
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("r")).first()["r"]
+
+
+class TestIeeeDiv:
+    def test_null_dividend_zero_divisor_stays_null(self, spark):
+        from xarray_spark._utils import ieee_div
+        r = _one(spark, ieee_div(F.lit(None).cast("double"), F.lit(0.0)))
+        assert r is None  # was +inf: NULL skipped the nan branch
+
+    def test_null_divisor_stays_null(self, spark):
+        from xarray_spark._utils import ieee_div
+        r = _one(spark, ieee_div(F.lit(3.0), F.lit(None).cast("double")))
+        assert r is None
+
+    def test_normal_cases_unchanged(self, spark):
+        from xarray_spark._utils import ieee_div
+        rows = spark.range(1).select(
+            ieee_div(F.lit(1.0), F.lit(0.0)).alias("a"),
+            ieee_div(F.lit(-1.0), F.lit(0.0)).alias("b"),
+            ieee_div(F.lit(0.0), F.lit(0.0)).alias("c"),
+            ieee_div(F.lit(6.0), F.lit(3.0)).alias("d"),
+        ).first()
+        assert rows["a"] == math.inf and rows["b"] == -math.inf
+        assert math.isnan(rows["c"]) and rows["d"] == 2.0
+
+
+class TestIeeeModOverflow:
+    def test_mod_inf_ratio(self, spark):
+        from xarray_spark._utils import ieee_mod
+        # np.mod(inf, 2) = nan; raw FLOOR(inf) ANSI-overflows BIGINT
+        r = _one(spark, ieee_mod(F.lit(math.inf), F.lit(2.0)))
+        assert math.isnan(r)
+
+    def test_mod_huge_ratio(self, spark):
+        from xarray_spark._utils import ieee_mod
+        # ratio ≥ 2^63: numpy gives mod(1e300, 1.0) = 0.0
+        r = _one(spark, ieee_mod(F.lit(1e300), F.lit(1.0)))
+        assert r == np.mod(1e300, 1.0)
+
+    def test_trunc_floor_ceil_huge(self, spark):
+        from xarray_spark import ufuncs as xu
+        import xarray_spark as xs
+        pdf = pd.DataFrame({"i": [0, 1, 2], "v": [1e300, -2.0 ** 63, 2.5]})
+        ds = XDataset(spark.createDataFrame(pdf), dims=["i"])
+        for fn, npfn in [(xu.trunc, np.trunc), (xu.floor, np.floor),
+                         (xu.ceil, np.ceil)]:
+            got = fn(ds["v"]).to_pandas().sort_values("i")["v"].to_numpy()
+            np.testing.assert_array_equal(got, npfn(pdf["v"].to_numpy()))
+
+
+class TestAtomicRename:
+    def _ds(self, spark):
+        pdf = pd.DataFrame({"x": [1, 2], "a": [10.0, 20.0], "b": [30.0, 40.0]})
+        return XDataset(spark.createDataFrame(pdf), dims=["x"],
+                        data_vars=["a", "b"])
+
+    def test_swap(self, spark):
+        out = self._ds(spark).rename({"a": "b", "b": "a"}).to_pandas().sort_values("x")
+        assert out["b"].tolist() == [10.0, 20.0]  # old a
+        assert out["a"].tolist() == [30.0, 40.0]  # old b
+
+    def test_chain(self, spark):
+        # {a:'b', b:'c'}: old-a → b, old-b → c (atomic, no clobber)
+        out = self._ds(spark).rename({"a": "b", "b": "c"}).to_pandas().sort_values("x")
+        assert out["b"].tolist() == [10.0, 20.0]
+        assert out["c"].tolist() == [30.0, 40.0]
+        assert "a" not in out.columns
+
+    def test_still_refuses_plain_shadow(self, spark):
+        with pytest.raises(ValueError):
+            self._ds(spark).rename({"a": "b"})
+
+
+class TestStrIndexSingleDef:
+    def test_index_and_rindex(self, spark):
+        pdf = pd.DataFrame({"i": [0, 1], "s": ["abcabc", "xxabx"]})
+        ds = XDataset(spark.createDataFrame(pdf), dims=["i"])
+        got = ds["s"].str.index("ab").to_pandas().sort_values("i")["s"].tolist()
+        assert got == [0, 2]
+        got = ds["s"].str.rindex("ab").to_pandas().sort_values("i")["s"].tolist()
+        assert got == [3, 2]
+
+    def test_index_raises_on_miss(self, spark):
+        pdf = pd.DataFrame({"i": [0], "s": ["zzz"]})
+        ds = XDataset(spark.createDataFrame(pdf), dims=["i"])
+        with pytest.raises(Exception):
+            ds["s"].str.index("ab").to_pandas()
+
+    def test_single_definition(self):
+        import inspect
+        from xarray_spark.accessors import StringAccessor
+        src = inspect.getsource(StringAccessor)
+        assert src.count("def index(") == 1
+        assert src.count("def rindex(") == 1
+
+
+class TestFillnaDtype:
+    def test_int_var_not_promoted(self, spark):
+        left = pd.DataFrame({"x": [1, 2, 3],
+                             "n": pd.array([5, None, 7], dtype="Int64"),
+                             "s": ["a", None, "c"]})
+        right = pd.DataFrame({"x": [1, 2, 3], "n": [100, 200, 300],
+                              "s": ["A", "B", "C"]})
+        ds = XDataset(spark.createDataFrame(left), dims=["x"])
+        other = XDataset(spark.createDataFrame(right), dims=["x"])
+        out = ds.fillna(other)
+        sch = dict(out.df.dtypes)
+        assert sch["n"] == "bigint"  # was silently promoted to double
+        assert sch["s"] == "string"  # was an ANSI cast failure
+        got = out.to_pandas().sort_values("x")
+        assert got["n"].tolist() == [5, 200, 7]
+        assert got["s"].tolist() == ["a", "B", "c"]
+
+    def test_float_nan_still_filled(self, spark):
+        left = pd.DataFrame({"x": [1, 2], "v": [np.nan, 1.5]})
+        right = pd.DataFrame({"x": [1, 2], "v": [9.0, 99.0]})
+        ds = XDataset(spark.createDataFrame(left), dims=["x"])
+        other = XDataset(spark.createDataFrame(right), dims=["x"])
+        got = ds.fillna(other).to_pandas().sort_values("x")
+        assert got["v"].tolist() == [9.0, 1.5]

@@ -157,7 +157,10 @@ def ieee_div(a: Column, b: Column) -> Column:
     nan_out = F.isnan(ad) | (ad == 0)
     sign_neg = is_negative(ad) != is_negative(bd)
     return (
-        F.when(zero_b & nan_out, F.lit(float("nan")))
+        # missing dividend/divisor stays missing (NULL&zero_b would
+        # otherwise skip the nan branch and fall through to ±inf)
+        F.when(ad.isNull() | bd.isNull(), F.lit(None).cast("double"))
+        .when(zero_b & nan_out, F.lit(float("nan")))
         .when(zero_b, F.when(sign_neg, F.lit(float("-inf")))
               .otherwise(F.lit(float("inf"))))
         .otherwise(ad / bd)
@@ -168,8 +171,10 @@ def ieee_mod(a: Column, b: Column) -> Column:
     """numpy mod / Python %: floored division remainder (sign follows
     the DIVISOR); x % 0 → nan instead of an ANSI error."""
     ad, bd = a.cast("double"), b.cast("double")
+    # ieee_floor: raw FLOOR returns BIGINT, which ANSI-overflows when
+    # the ratio is ±inf (np.mod(inf, 2) must be nan) or ≥2^63
     return F.when(bd == 0, F.lit(float("nan"))) \
-            .otherwise(ad - F.floor(ad / bd) * bd)
+            .otherwise(ad - ieee_floor(ad / bd) * bd)
 
 
 def ieee_fmod(a: Column, b: Column) -> Column:
@@ -181,9 +186,11 @@ def ieee_fmod(a: Column, b: Column) -> Column:
 
 def ieee_floor(c: Column) -> Column:
     """floor that passes ±inf/nan through as doubles (SQL FLOOR returns
-    BIGINT, overflowing on ±inf)."""
+    BIGINT, overflowing on ±inf).  Finite doubles ≥2^63 are already
+    integral (double mantissa is 53 bits) — pass them through too
+    instead of hitting the ANSI BIGINT overflow."""
     d = c.cast("double")
-    return F.when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), d) \
+    return F.when(F.isnan(d) | (F.abs(d) >= F.lit(2.0 ** 63)), d) \
             .otherwise(F.floor(d).cast("double"))
 
 

@@ -221,20 +221,7 @@ class StringAccessor(_Accessor):
     def isupper(self): return self._wrap((self._c == F.upper(self._c)) & self._c.rlike("\\p{L}"))
     def islower(self): return self._wrap((self._c == F.lower(self._c)) & self._c.rlike("\\p{L}"))
     def find(self, sub: str): return self._wrap(F.instr(self._c, sub) - 1)
-    def index(self, sub: str):
-        """find that raises on a miss (accessor_str.py:1793) — the
-        raise happens at execution time (lazy engine)."""
-        pos = F.instr(self._c, sub) - 1
-        return self._wrap(F.when(
-            pos < 0, F.raise_error(F.lit(f"substring {sub!r} not found"))
-        ).otherwise(pos))
-    def rindex(self, sub: str):
-        c = self._c
-        rpos = F.instr(F.reverse(c), sub[::-1])
-        pos = F.length(c) - rpos - F.lit(len(sub)) + 1
-        return self._wrap(F.when(
-            rpos == 0, F.raise_error(F.lit(f"substring {sub!r} not found"))
-        ).otherwise(pos))
+    # (index/rindex are defined once, below, in regex-based form)
     def encode(self, charset: str = "UTF-8"): return self._wrap(F.encode(self._c, charset))
     def decode(self, charset: str = "UTF-8"): return self._wrap(F.decode(self._c, charset))
     def partition(self, sep: str):

@@ -1087,10 +1087,11 @@ class XDataset:
                 # that is not itself being renamed away
                 raise ValueError(
                     f"cannot rename {old!r} to {new!r}: name already exists")
-        df = self.df
-        for old, new in mapping.items():
-            df = df.withColumnRenamed(old, new)
         ren = lambda n: mapping.get(n, n)  # noqa: E731
+        # one select with aliases = atomic rename: simultaneous swaps
+        # like {a:'b', b:'a'} stay correct (sequential
+        # withColumnRenamed would duplicate then clobber)
+        df = self.df.select(*[self.df[c].alias(ren(c)) for c in self.df.columns])
         return self._replace(
             df=df,
             dims=[ren(d) for d in self.dims],
@@ -2129,13 +2130,20 @@ class XDataset:
             joined = self.df.join(
                 o_df.select(*shared, *[f"__f_{v}" for v in overlap]),
                 on=shared, how="left")
-            exprs = [
-                F.coalesce(F.nanvl(F.col(c).cast("double"),
-                                   F.lit(None).cast("double")),
-                           F.col(f"__f_{c}").cast("double")).alias(c)
-                if c in overlap else F.col(c)
-                for c in self.df.columns
-            ]
+            schema = self.df.schema
+            def _fill(c):
+                # NaN-as-missing normalization only applies to float
+                # vars; int/string overlap vars keep their dtype (a
+                # blanket double cast would silently promote ints and
+                # ANSI-fail on non-numeric columns)
+                if isinstance(schema[c].dataType, (T.FloatType, T.DoubleType)):
+                    return F.coalesce(
+                        F.nanvl(F.col(c).cast("double"),
+                                F.lit(None).cast("double")),
+                        F.col(f"__f_{c}").cast("double")).alias(c)
+                return F.coalesce(F.col(c), F.col(f"__f_{c}")).alias(c)
+            exprs = [_fill(c) if c in overlap else F.col(c)
+                     for c in self.df.columns]
             return self._replace(df=joined.select(*exprs))
         if isinstance(value, Mapping):
             exprs = [

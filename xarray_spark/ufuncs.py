@@ -60,10 +60,12 @@ logaddexp = lambda a, b: F.greatest(a, b) + F.log1p(F.exp(-F.abs(a - b)))  # noq
 
 def _int_round_guard(fn):
     # SQL floor/ceil return BIGINT, which overflows on ±inf and drops
-    # nan; numpy keeps them as floats
+    # nan; numpy keeps them as floats.  Finite doubles ≥2^63 are
+    # already integral (53-bit mantissa) — pass through unchanged
+    # rather than ANSI-overflowing the BIGINT cast.
     def g(c):
         d = c.cast("double")
-        return F.when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), d) \
+        return F.when(F.isnan(d) | (F.abs(d) >= F.lit(2.0 ** 63)), d) \
                 .otherwise(fn(c).cast("double"))
     return g
 
