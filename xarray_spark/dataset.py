@@ -274,7 +274,8 @@ class XDataset:
     attrs : dict, optional
     """
 
-    __slots__ = ("df", "dims", "coords", "data_vars", "attrs", "_close_fn")
+    __slots__ = ("df", "dims", "coords", "data_vars", "attrs", "_close_fn",
+                 "_qscan_cache")
 
     def __init__(
         self,
@@ -1561,15 +1562,30 @@ class XDataset:
 
         NB = 8192
         HEAVY = 2_000_000
+        # Per-instance scan cache: repeated quantile()/median() calls on
+        # the SAME (immutable) XDataset — e.g. the numpy method matrix,
+        # one call per method — share the stats aggregate, the histogram
+        # and the candidate-bin collect instead of re-running 3 jobs per
+        # method.  Plans here are deterministic (no rand()), so reuse is
+        # sound; a new instance (any transformation) starts empty.
+        try:
+            cache = self._qscan_cache
+        except AttributeError:
+            cache = {}
+            self._qscan_cache = cache
         parts = []
         for v in varlist:
             vals = (
                 self.df.select(F.col(v).cast("double").alias("__val"))
                 .where(F.col("__val").isNotNull() & ~F.isnan("__val"))
             )
-            st = vals.agg(F.count("__val").alias("n"), F.min("__val").alias("lo"),
-                          F.max("__val").alias("hi")).first()
-            n, lo, hi = st["n"], st["lo"], st["hi"]
+            if ("st", v) in cache:
+                n, lo, hi = cache[("st", v)]
+            else:
+                st = vals.agg(F.count("__val").alias("n"), F.min("__val").alias("lo"),
+                              F.max("__val").alias("hi")).first()
+                n, lo, hi = st["n"], st["lo"], st["hi"]
+                cache[("st", v)] = (n, lo, hi)
             part = None
             if n and _math.isfinite(lo) and _math.isfinite(hi):
                 if lo == hi:
@@ -1590,8 +1606,12 @@ class XDataset:
                         # (lo < hi but (hi-lo)/NB == 0): one bin, the
                         # candidate sort stays exact
                         bcol = F.lit(0).cast("int")
-                    hist = dict(vals.groupBy(bcol.alias("__b")).count()
-                                .collect())
+                    if ("hist", v) in cache:
+                        hist = cache[("hist", v)]
+                    else:
+                        hist = dict(vals.groupBy(bcol.alias("__b")).count()
+                                    .collect())
+                        cache[("hist", v)] = hist
                     cum, acc = {}, 0
                     for b in range(NB):
                         cum[b] = acc
@@ -1604,16 +1624,27 @@ class XDataset:
                         rank_bin[r] = b
                     need = sorted(set(rank_bin.values()))
                     if sum(hist.get(b, 0) for b in need) <= HEAVY:
-                        local = (vals.where(bcol.isin(need))
-                                 .toPandas()["__val"].to_numpy())
-                        local.sort()
-                        # local array holds the needed bins' rows in value
+                        # candidate collect cached by bin UNION: bins
+                        # partition disjoint value ranges, so the sorted
+                        # union array is ordered bin-by-bin and any
+                        # subset's offsets stay valid against it
+                        ent = cache.get(("cand", v))
+                        if ent is None or not set(need) <= set(ent[0]):
+                            allb = sorted(set(need)
+                                          | (set(ent[0]) if ent else set()))
+                            local = (vals.where(bcol.isin(allb))
+                                     .toPandas()["__val"].to_numpy())
+                            local.sort()
+                            ent = (allb, local)
+                            cache[("cand", v)] = ent
+                        cbins, local = ent
+                        # local array holds the cached bins' rows in value
                         # order; global rank r lives at local index
                         # (#collected rows in bins below r's bin) + (r −
                         # cumulative count below the bin)
                         def value_at(r: int) -> float:
                             b = rank_bin[r]
-                            below_in_set = sum(hist.get(b2, 0) for b2 in need
+                            below_in_set = sum(hist.get(b2, 0) for b2 in cbins
                                                if b2 < b)
                             return float(local[below_in_set + (r - cum[b])])
                         rows = []
