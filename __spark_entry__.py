@@ -11,6 +11,8 @@ order-insensitive value hash is stable against summation-order noise.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -926,28 +928,78 @@ def _stream_state_conf(spark):
     with 1 (parallelism loss beats spin-up saving below 8), and 11.6 s
     under RocksDB (JNI + file-layer overhead dwarfs tiny state —
     RocksDB is the LARGE-state knob for real clusters, exposed via
-    get_spark(rocksdb_state_store=True), not a local-harness win)."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
+    get_spark(rocksdb_state_store=True), not a local-harness win).
+
+    Round 6: also disables the trailing NO-DATA microbatch
+    (spark.sql.streaming.noDataMicroBatches.enabled=false) — with
+    availableNow over a bounded replay it only advances the watermark,
+    re-opening and committing every state store for zero output rows
+    (~1-2 s here).  Safe for every gate shape this harness runs:
+    complete-mode aggregations re-emit identical results per batch,
+    inner stream-stream joins and NoTimeout applyInPandasWithState and
+    dropDuplicatesWithinWatermark all emit in the data batch.  An
+    APPEND-mode windowed aggregation would need it back (final windows
+    only emit when a later batch moves the watermark) — restore via
+    _restore_stream_conf, which this harness always does."""
+    old = {
+        "spark.sql.shuffle.partitions":
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.streaming.noDataMicroBatches.enabled":
+            spark.conf.get(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "true"),
+    }
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     return old
+
+
+def _restore_stream_conf(spark, old):
+    if isinstance(old, dict):
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    else:  # legacy: bare shuffle-partitions value
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+_STAGED_DIRS: dict = {}
+
+
+def _staged_events_dir(sf_dir):
+    """One staged copy of events.parquet shared by every streaming gate
+    (the file source wants a DIRECTORY; testdata is read-only).  The
+    per-gate mkdtemp+copy added ~0.1-0.3 s x 5 gates per process."""
+    import shutil
+    import tempfile
+    d = _STAGED_DIRS.get(("events", sf_dir))
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="xs_events_")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STAGED_DIRS[("events", sf_dir)] = d
+    return d
+
+
+def _staged_write(df, key):
+    """Write a small deterministic driver-side table (tick calendars)
+    to a staged dir once per process; later gates reuse the files."""
+    import tempfile
+    d = _STAGED_DIRS.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="xs_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        _STAGED_DIRS[key] = d
+    return d
 
 
 def q67_stream_resample(spark, sf_dir):
     """Structured Streaming resample driven to completion over the
     events table (streaming.stream_resample; availableNow + complete
     mode) — the batch-SQL oracle must match the streamed windows."""
-    import shutil
-    import tempfile
     import uuid
     from xarray_spark.streaming import stream_resample
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # the streaming file source wants a DIRECTORY of files; stage the
-    # single-file table into a temp dir (the driver's testdata is
-    # read-only)
-    stage = tempfile.mkdtemp(prefix="q67_events_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stage = _staged_events_dir(sf_dir)
     src = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage)
     )
@@ -961,7 +1013,7 @@ def q67_stream_resample(spark, sf_dir):
         .outputMode("complete").trigger(availableNow=True).start()
     )
     q.awaitTermination(300)
-    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
+    _restore_stream_conf(spark, __old_sp)
     return spark.sql(f"SELECT ts AS day, n, total FROM {name}")
 
 
@@ -1294,15 +1346,12 @@ def q85_stream_asof(spark, sf_dir):
     (streaming.stream_asof_join — union + applyInPandasWithState,
     O(1)-per-key state).  The oracle is DuckDB's native ASOF LEFT JOIN
     over the same tick calendar."""
-    import shutil
-    import tempfile
     import uuid
     from xarray_spark.streaming import stream_asof_join
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage_o = tempfile.mkdtemp(prefix="q85_obs_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_o}/events.parquet")
+    stage_o = _staged_events_dir(sf_dir)
     obs = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage_o)
     ).select("ts", "event_type", "value")
@@ -1315,8 +1364,7 @@ def q85_stream_asof(spark, sf_dir):
             )).alias("ts")
         )
     )
-    stage_t = tempfile.mkdtemp(prefix="q85_ticks_")
-    ticks.coalesce(1).write.mode("overwrite").parquet(stage_t)
+    stage_t = _staged_write(ticks, ("q85_ticks", sf_dir))
     tgt = spark.readStream.schema(ticks.schema).parquet(stage_t)
     out = stream_asof_join(obs, tgt, key_col="event_type", time_col="ts",
                            value_cols=["value"])
@@ -1326,7 +1374,7 @@ def q85_stream_asof(spark, sf_dir):
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination(300)
-    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
+    _restore_stream_conf(spark, __old_sp)
     return spark.sql(
         f"SELECT event_type AS k, ts, value AS v FROM {name}")
 
@@ -1360,15 +1408,12 @@ def q87_stream_dedup(spark, sf_dir):
     keep the first arrival of each.  Oracle: batch DISTINCT aggregate —
     identical because the gate replays the whole (bounded) stream under
     one watermark horizon."""
-    import shutil
-    import tempfile
     import uuid
     from xarray_spark.streaming import stream_dedup_exact
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="q87_events_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stage = _staged_events_dir(sf_dir)
     src = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage)
     ).select("ts", "user_id", "event_type", "value")
@@ -1378,7 +1423,7 @@ def q87_stream_dedup(spark, sf_dir):
     q = (deduped.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(300)
-    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
+    _restore_stream_conf(spark, __old_sp)
     return spark.sql(
         f"SELECT user_id, event_type, ROUND(value + 1e-9, 6) AS value "
         f"FROM {name}"
@@ -1535,15 +1580,12 @@ def q96_stream_sessionize(spark, sf_dir):
     gaps-and-islands rewrite — LAG + new-session flag + running sum —
     which is the exact batch semantics of session_window over a bounded
     replay."""
-    import shutil
-    import tempfile
     import uuid
     from xarray_spark.streaming import stream_sessionize
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage = tempfile.mkdtemp(prefix="q96_events_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stage = _staged_events_dir(sf_dir)
     src = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage)
     ).select("ts", "user_id", "value")
@@ -1556,7 +1598,7 @@ def q96_stream_sessionize(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(300)
-    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
+    _restore_stream_conf(spark, __old_sp)
     return spark.sql(
         f"SELECT user_id, ts AS session_start, session_seconds, n, sv "
         f"FROM {name}"
@@ -1721,15 +1763,12 @@ def q109_stream_interval_join(spark, sf_dir):
     tick matches the events of its type inside [tick, tick+6h), then a
     batch aggregate over the sink counts and sums per bucket.  Oracle:
     the identical range join in SQL."""
-    import shutil
-    import tempfile
     import uuid
     from xarray_spark.streaming import stream_interval_join
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stage_e = tempfile.mkdtemp(prefix="q109_ev_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage_e}/events.parquet")
+    stage_e = _staged_events_dir(sf_dir)
     ev = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage_e)
     ).select("ts", "event_type", "value")
@@ -1742,8 +1781,7 @@ def q109_stream_interval_join(spark, sf_dir):
             )).alias("tick")
         )
     )
-    stage_t = tempfile.mkdtemp(prefix="q109_ticks_")
-    ticks.coalesce(1).write.mode("overwrite").parquet(stage_t)
+    stage_t = _staged_write(ticks, ("q109_ticks", sf_dir))
     tk = spark.readStream.schema(ticks.schema).parquet(stage_t)
     joined = stream_interval_join(
         tk, ev, key_col="event_type", left_ts="tick", right_ts="ts",
@@ -1759,7 +1797,7 @@ def q109_stream_interval_join(spark, sf_dir):
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination(300)
-    spark.conf.set("spark.sql.shuffle.partitions", __old_sp)
+    _restore_stream_conf(spark, __old_sp)
     return spark.sql(
         f"""SELECT event_type, tick, COUNT(*) AS n,
                    ROUND(SUM(value) + 1e-6, 3) AS sv
@@ -2040,6 +2078,24 @@ def q125_diff_lower(spark, sf_dir):
     return out.to_spark()
 
 
+def q126_semdedup_trained(spark, sf_dir):
+    """SemDeDup with a TRAINED codebook (extras.similarity.
+    semdedup_train_centroids + semdedup_pairs(centroids_q=…)) — the
+    production path q120's fixed codebook stands in for, now
+    value-verified: two integer-exact Lloyd iterations from the md5
+    init codebook over a deterministic id<256 sample, then within-cell
+    cosine pairs.  The oracle replays the TRAINING (both unrolled
+    iterations — assignment, per-dim floor((2s+n)/(2n)) centroid
+    update, empty-cell carry) and every within-cell cosine in SQL."""
+    from xarray_spark.extras.similarity import (
+        semdedup_pairs, semdedup_train_centroids)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = semdedup_train_centroids(emb, n_cells=8, iters=2,
+                                     sample_max_id=256)
+    return semdedup_pairs(emb, threshold=0.4, n_cells=8,
+                          centroids_q=cents)
+
+
 # --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2051,53 +2107,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: every implemented operator, one entry each.
 
     ORDERING IS DELIBERATE: the driver's correctness gate evaluates the
-    first 50 entries, so the window rotates per round.  Round 5 front-
-    loads (a) the four round-5 debutants q114-q117 (EncodedGroups,
-    grouped histogram quantile with the buffer limit forced to 1,
-    bucketed shuffle-free ffill, outer-align coord materialization);
-    (b) q111_rolling_argmin, the one query that had never had driver
-    evidence; (c) every query whose code path changed this round — the
-    grouped quantile/median reroute (q16/q39/q74/q15), the groupby
-    _agg varlist fix (q05/q06/q65/q66/q09 + resamples), the alignment
-    coord fix (q19/q21/q29), the IVF float-distance form (q97/q113/
-    q112), the quantile-fallback NaN filter; the continuation session
-    then swapped in q27 (str accessor parity sweep), q84 (dt/timedelta
-    fields), q110 (curation _spread), and q44 (datetime_unit
-    differentiate) for the unchanged double-green anchors q02/q79/
-    q63/q97; and (d) regression anchors (q78, q62, the ANN/dedup
-    portable set, all five streaming gates).  The third round-5
-    session added the wave-19/20 debutants q122-q125 (polyfit full,
-    where/clip/isin composition, resample empty-bin materialization,
-    diff label='lower') and recalled q04/q58 (the where() refactor:
-    array-valued other + IEEE NaN cond), displacing the unchanged
-    double-green anchors q01/q61/q51/q52/q112/q113.  The fourth
-    session (wave 27) recalled q54 (pad per-side constants — new
-    __side row construction) and q02 (sel — new stacked-tuple branch
-    in _sel_one), displacing double-green q46/q110 whose paths wave
-    27 did not touch; wave-27 changes to concat attrs (q20), curvefit
-    defaults (q73) and cumsum skipna wrapper (q11) are metadata- or
-    default-preserving and were re-verified green at sf0.001 this
-    session.  q64_ivf_topk
-    stays OUT permanently (rows-only by design; its plan is
-    value-verified by q97).  Everything below the window carries a
-    green driver row from rounds 1-4 and stays covered by
-    tests/test_oracle.py at sf0.001 each round.
+    first 50 entries, so the window rotates per round.  The ROUND-6
+    window front-loads (a) the debutant q126 (trained-centroid
+    semdedup — the production path q120 stood in for, now
+    value-verified end-to-end including the SQL-replayed Lloyd
+    training); (b) every query whose code path changed this round:
+    the quantile family (q74/q15/q16/q39/q115 — the per-instance
+    stats/histogram/candidate scan cache), q119 (dedup_substrings lost
+    its forced broadcast hint; AQE decides now), q120 (semdedup_pairs
+    gained the centroids_q branch), all five streaming gates
+    (q67/q109/q96/q85/q87 — shared staged events dir + no-data
+    microbatch disabled under availableNow), q27 (str index/rindex
+    single definition), q19 (binary ops — ieee_div NULL-dividend fix),
+    q106 (ufunc family — 2^63 floor/ceil/trunc ANSI guard), q21
+    (alignment family, near the fillna dtype fix); and (c) the
+    ROTATION-DEBT recall the round-5 verdict ordered: the r4 debutants
+    q99-q105 + q98 + q110 and the displaced double-green anchors
+    q01/q46/q51/q52/q61/q63/q79/q97/q112/q113 — all re-earn fresh
+    driver rows this round (≥10 below-fold recalls, per the documented
+    discipline).  Displaced to below the fold: the round-5 debutants
+    and anchors that are double-green (driver r5 + local oracle) and
+    whose code paths round 6 did NOT touch (q114/q116/q117/q118/
+    q121-q125, q02/q04-q10, q34/q35/q44/q45/q53/q54/q58/q60/q62/q65/
+    q66/q70/q78/q81/q84/q111/q14).  q64_ivf_topk stays OUT permanently
+    (rows-only by design; its plan is value-verified by q97).
+    Everything below the window carries a green driver row from
+    rounds 1-5 and stays covered by tests/test_oracle.py at sf0.001
+    each round.
     """
     return {
-        # ---- ROUND-5 GATE WINDOW (first 50) ----
-        "q114_encoded_groups": q114_encoded_groups,
+        # ---- ROUND-6 GATE WINDOW (first 50) ----
+        "q126_semdedup_trained": q126_semdedup_trained,
+        "q74_quantile_methods": q74_quantile_methods,
+        "q15_quantile": q15_quantile,
+        "q16_groupby_median": q16_groupby_median,
+        "q39_groupby_quantile": q39_groupby_quantile,
         "q115_grouped_quantile_hist": q115_grouped_quantile_hist,
+        "q119_dedup_substrings": q119_dedup_substrings,
+        "q120_semdedup": q120_semdedup,
+        "q67_stream_resample": q67_stream_resample,
+        "q109_stream_interval_join": q109_stream_interval_join,
+        "q96_stream_sessionize": q96_stream_sessionize,
+        "q85_stream_asof": q85_stream_asof,
+        "q87_stream_dedup": q87_stream_dedup,
+        "q27_str_ops": q27_str_ops,
+        "q19_binary_align": q19_binary_align,
+        "q106_complex_phase": q106_complex_phase,
+        "q21_reindex_fill": q21_reindex_fill,
+        "q99_sel_partial_string": q99_sel_partial_string,
+        "q100_sel_negative_step": q100_sel_negative_step,
+        "q101_ewm_corr": q101_ewm_corr,
+        "q102_coarsen_construct": q102_coarsen_construct,
+        "q103_coarsen_reduce": q103_coarsen_reduce,
+        "q104_interp_calendar": q104_interp_calendar,
+        "q105_argmax_grid": q105_argmax_grid,
+        "q98_chunk_documents": q98_chunk_documents,
+        "q110_dedup_lines": q110_dedup_lines,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q46_resample_6h": q46_resample_6h,
+        "q51_lsh_topk": q51_lsh_topk,
+        "q52_embedding_near_dups": q52_embedding_near_dups,
+        "q61_nearest_points": q61_nearest_points,
+        "q63_lsh_multiprobe": q63_lsh_multiprobe,
+        "q79_sel_step": q79_sel_step,
+        "q97_ivf_fixed": q97_ivf_fixed,
+        "q112_pq_topk": q112_pq_topk,
+        "q113_ivfpq_topk": q113_ivfpq_topk,
+        "q88_hash_sample": q88_hash_sample,
+        "q89_hash_split": q89_hash_split,
+        "q90_stratified_sample": q90_stratified_sample,
+        "q91_decontaminate": q91_decontaminate,
+        "q92_pack_sequences": q92_pack_sequences,
+        "q93_shuffle_rank": q93_shuffle_rank,
+        "q94_audio_features": q94_audio_features,
+        "q95_pii_scan": q95_pii_scan,
+        "q36_multimodal_features": q36_multimodal_features,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q43_bfill": q43_bfill,
+        "q13_ffill": q13_ffill,
+        "q33_cosine_topk": q33_cosine_topk,
+        "q59_decode_cf": q59_decode_cf,
+        # ---- below the window: green rows from rounds 1-5 stand ----
+        "q114_encoded_groups": q114_encoded_groups,
         "q116_bucketed_ffill": q116_bucketed_ffill,
         "q117_outer_align_coords": q117_outer_align_coords,
         "q118_temperature_sample": q118_temperature_sample,
-        "q119_dedup_substrings": q119_dedup_substrings,
-        "q120_semdedup": q120_semdedup,
         "q121_argsort": q121_argsort,
         "q111_rolling_argmin": q111_rolling_argmin,
-        "q16_groupby_median": q16_groupby_median,
-        "q39_groupby_quantile": q39_groupby_quantile,
-        "q74_quantile_methods": q74_quantile_methods,
-        "q15_quantile": q15_quantile,
         "q05_orders_groupby": q05_orders_groupby,
         "q06_groupby_bins": q06_groupby_bins,
         "q65_multi_grouper": q65_multi_grouper,
@@ -2109,11 +2205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_resample_daily_events": q08_resample_daily_events,
         "q02_sel_label_slice": q02_sel_label_slice,
         "q45_resample_asfreq": q45_resample_asfreq,
-        "q19_binary_align": q19_binary_align,
-        "q21_reindex_fill": q21_reindex_fill,
         "q29_reindex_nearest": q29_reindex_nearest,
         "q122_polyfit_full": q122_polyfit_full,
-        "q27_str_ops": q27_str_ops,
         "q84_dt_timedelta": q84_dt_timedelta,
         "q54_pad": q54_pad,
         "q123_where_isin": q123_where_isin,
@@ -2129,45 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_interp_targets": q62_interp_targets,
         "q14_interpolate_na": q14_interpolate_na,
         "q70_ffill_segmented": q70_ffill_segmented,
-        "q67_stream_resample": q67_stream_resample,
-        "q109_stream_interval_join": q109_stream_interval_join,
-        "q96_stream_sessionize": q96_stream_sessionize,
-        "q85_stream_asof": q85_stream_asof,
-        "q87_stream_dedup": q87_stream_dedup,
         "q58_where_aligned": q58_where_aligned,
-        # ---- below the window: green rows from rounds 1-4 stand ----
-        "q01_pricing_summary": q01_pricing_summary,
-        "q61_nearest_points": q61_nearest_points,
-        "q113_ivfpq_topk": q113_ivfpq_topk,
-        "q112_pq_topk": q112_pq_topk,
-        "q51_lsh_topk": q51_lsh_topk,
-        "q52_embedding_near_dups": q52_embedding_near_dups,
-        "q13_ffill": q13_ffill,
-        "q46_resample_6h": q46_resample_6h,
-        "q79_sel_step": q79_sel_step,
-        "q97_ivf_fixed": q97_ivf_fixed,
-        "q63_lsh_multiprobe": q63_lsh_multiprobe,
-        "q43_bfill": q43_bfill,
-        "q30_dedup_exact": q30_dedup_exact,
-        "q99_sel_partial_string": q99_sel_partial_string,
-        "q100_sel_negative_step": q100_sel_negative_step,
-        "q101_ewm_corr": q101_ewm_corr,
-        "q102_coarsen_construct": q102_coarsen_construct,
-        "q103_coarsen_reduce": q103_coarsen_reduce,
-        "q104_interp_calendar": q104_interp_calendar,
-        "q105_argmax_grid": q105_argmax_grid,
-        "q106_complex_phase": q106_complex_phase,
-        "q98_chunk_documents": q98_chunk_documents,
-        "q88_hash_sample": q88_hash_sample,
-        "q89_hash_split": q89_hash_split,
-        "q90_stratified_sample": q90_stratified_sample,
-        "q91_decontaminate": q91_decontaminate,
-        "q92_pack_sequences": q92_pack_sequences,
-        "q93_shuffle_rank": q93_shuffle_rank,
-        "q94_audio_features": q94_audio_features,
-        "q95_pii_scan": q95_pii_scan,
-        "q36_multimodal_features": q36_multimodal_features,
-        "q59_decode_cf": q59_decode_cf,
         "q72_zarr_roundtrip": q72_zarr_roundtrip,
         "q28_dt_fields": q28_dt_fields,
         "q75_interp_zero": q75_interp_zero,
@@ -2194,11 +2249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_idxmax": q18_idxmax,
         "q25_polyfit": q25_polyfit,
         "q31_text_features": q31_text_features,
-        "q33_cosine_topk": q33_cosine_topk,
         "q37_coarsen_weekly": q37_coarsen_weekly,
         "q38_shift": q38_shift,
         "q50_rolling_exp": q50_rolling_exp,
-        "q110_dedup_lines": q110_dedup_lines,
         "q55_rolling_2d": q55_rolling_2d,
         "q56_densify": q56_densify,
         "q57_isel_points": q57_isel_points,
@@ -2400,9 +2453,65 @@ def _ivf_fixed_oracle(n_cells=8, n_probe=2, k=3) -> str:
       FROM ranked WHERE rank <= {k}"""
 
 
+def _semdedup_trained_oracle(n_cells=8, sample_max_id=256,
+                             threshold=0.4) -> str:
+    """SQL replay of q126: the two unrolled integer Lloyd iterations
+    (extras.similarity.semdedup_train_centroids) + final assignment +
+    within-cell cosine pairs.  All training arithmetic is int64-exact;
+    the centroid update FLOOR((2s+n)/(2.0n)) is the same mathematical
+    floor as the engine's Python (2s+n)//(2n)."""
+    cell = _sql_md5l("'cell-' || c::VARCHAR || '-' || j::VARCHAR")
+    sql = f"""
+      WITH {_SQL_QVEC},
+      c0 AS (SELECT c, j, ({cell} % 2001 - 1000) * 1000 AS x
+             FROM range({n_cells}) t1(c), range(64) t2(j)),
+      samp AS (SELECT vec_id, v FROM qv WHERE vec_id < {sample_max_id})"""
+    prev = "c0"
+    for i in (1, 2):
+        sql += f""",
+      d{i} AS (SELECT s.vec_id, cl.c,
+                SUM((s.v[cl.j + 1] - cl.x) * (s.v[cl.j + 1] - cl.x)) AS d
+               FROM samp s, {prev} cl GROUP BY 1, 2),
+      a{i} AS (SELECT vec_id, c FROM (
+                 SELECT vec_id, c,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d, c) AS rn
+                 FROM d{i}) WHERE rn = 1),
+      m{i} AS (SELECT a.c, t.j, SUM(s.v[t.j + 1]) AS sm, COUNT(*) AS n
+               FROM a{i} a JOIN samp s USING (vec_id)
+               CROSS JOIN range(64) t(j)
+               GROUP BY 1, 2),
+      c{i} AS (SELECT p.c, p.j,
+                COALESCE(FLOOR((2 * m.sm + m.n) / (2.0 * m.n))::BIGINT,
+                         p.x) AS x
+               FROM {prev} p LEFT JOIN m{i} m ON m.c = p.c AND m.j = p.j)"""
+        prev = f"c{i}"
+    sql += f""",
+      dfin AS (SELECT q.vec_id, cl.c,
+                SUM((q.v[cl.j + 1] - cl.x) * (q.v[cl.j + 1] - cl.x)) AS d
+               FROM qv q, {prev} cl GROUP BY 1, 2),
+      assign AS (SELECT vec_id, c AS cell FROM (
+                   SELECT vec_id, c,
+                          ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, c) AS rn
+                   FROM dfin) WHERE rn = 1),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assign a JOIN assign b ON a.cell = b.cell
+                WHERE a.vec_id < b.vec_id)
+      SELECT p.id_a, p.id_b,
+             ROUND(list_cosine_similarity(qa.e, qb.e) + 1e-9, 6) AS cos
+      FROM pairs p
+      JOIN qv qa ON qa.vec_id = p.id_a
+      JOIN qv qb ON qb.vec_id = p.id_b
+      WHERE ROUND(list_cosine_similarity(qa.e, qb.e) + 1e-9, 6)
+            >= {threshold}"""
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q97_ivf_fixed": _ivf_fixed_oracle(),
+        "q126_semdedup_trained": _semdedup_trained_oracle(),
         "q98_chunk_documents": """
             WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
                               len(coalesce(text, '')) AS n FROM documents),

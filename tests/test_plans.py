@@ -244,3 +244,22 @@ def test_bucketed_source_windows_have_no_exchange(spark, tmp_path_factory):
     plan = ds.ffill("time").df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
     spark.sql("DROP TABLE IF EXISTS __bkt_win_test")
+
+
+def test_dedup_substrings_no_forced_broadcast(spark):
+    """The duplicated-window table must NOT carry a forced broadcast
+    hint: on the adversarial wide-duplication corpus this operator
+    targets, that table can exceed driver memory at 100 TB.  AQE still
+    broadcasts it at runtime when stats say it is small — the hint-free
+    logical plan is what makes the heavy case take a shuffled join."""
+    from xarray_spark.extras.curation import dedup_substrings
+    rows = [{"doc_id": i, "text": "a b c d e f g h " + str(i)}
+            for i in range(8)]
+    out = dedup_substrings(spark.createDataFrame(rows), k=5, min_docs=2)
+    logical = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    assert "broadcast" not in logical.lower() or "Join" in logical
+    # result still correct: window 'a b c d e f g h' duplicated, doc 0
+    # canonical keeps all tokens
+    got = {r["doc_id"]: r["n_dropped"] for r in out.collect()}
+    assert got[0] == 0 and all(got[i] > 0 for i in range(1, 8))

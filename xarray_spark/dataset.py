@@ -2249,7 +2249,9 @@ class XDataset:
         a missing value as the clip bound.  Bounds may be scalars,
         Columns, or single-variable XDataset/XDataArray objects (the
         reference broadcasts array bounds); array bounds join on their
-        dims.  A null bound row clips nothing at that label."""
+        dims.  A NaN/missing BOUND poisons its row (np.clip is
+        minimum(maximum(x, lo), hi) — NaN propagates; wave-28 fuzz
+        find)."""
         df = self.df
 
         def resolve(b, tag):
@@ -2271,6 +2273,17 @@ class XDataset:
         lo = resolve(min, "__clip_lo")
         hi = resolve(max, "__clip_hi")
 
+        def _bad_bound(b):
+            # missing or true-NaN bound → the row's result is missing
+            d = b.cast("double")
+            return d.isNull() | F.isnan(d)
+
+        bound_bad = None
+        for b in (lo, hi):
+            if b is not None:
+                bb = _bad_bound(b)
+                bound_bad = bb if bound_bad is None else (bound_bad | bb)
+
         def e(name):
             c = F.col(name)
             out = c
@@ -2278,6 +2291,8 @@ class XDataset:
                 out = F.greatest(out, lo)
             if hi is not None:
                 out = F.least(out, hi)
+            if bound_bad is not None:
+                out = F.when(bound_bad, F.lit(None)).otherwise(out)
             guard = c.isNotNull()
             if isinstance(self.df.schema[name].dataType,
                           (T.FloatType, T.DoubleType)):

@@ -215,9 +215,14 @@ def dedup_substrings(df: DataFrame, k: int = 5, min_docs: int = 2,
            .agg(F.countDistinct(id_col).alias("__nd"),
                 F.min(id_col).alias("__canon"))
            .where(F.col("__nd") >= min_docs))
-    # positions covered by a duplicated window in a NON-canonical doc
+    # positions covered by a duplicated window in a NON-canonical doc.
+    # No broadcast hint on `dup`: under Zipfian duplication it is tiny
+    # and AQE broadcasts it from runtime stats anyway, but on the
+    # adversarial wide-duplication corpus this operator exists for, the
+    # duplicated-window table can exceed driver memory at 100 TB — a
+    # forced broadcast there is an OOM, a shuffled join is just a plan.
     drop_pos = (
-        wins.join(F.broadcast(dup), on="__win")
+        wins.join(dup, on="__win")
         .where(F.col(id_col) != F.col("__canon"))
         .select(id_col, F.explode(
             F.sequence(F.col("__wpos"), F.col("__wpos") + F.lit(k - 1))

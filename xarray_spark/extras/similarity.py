@@ -661,6 +661,62 @@ def ivfpq_topk_fixed(corpus: DataFrame, queries: DataFrame, kk: int = 10,
             .select(query_id_col, "nid", "dist", "rank"))
 
 
+def semdedup_train_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+    sample_max_id: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Deterministic, SQL-replayable Lloyd training for the semdedup
+    PRODUCTION path (trained codebook) — the bit-exact twin of ivf_fit
+    for gate verification.  Every step is integer arithmetic both
+    engines reproduce:
+
+    - training sample = vectors with ``id < sample_max_id`` (no hash
+      order, no RNG), floor-quantized to the 1e6 integer space the
+      portable oracles already use;
+    - init = the md5 integer codebook (portable.centroid_coeffs);
+    - each Lloyd iteration: integer-exact L2 assignment (ties → lowest
+      cell id), then per-dim centroid update
+      ``floor((2*sum + n) / (2*n))`` — round-half-up expressed as a
+      mathematical floor, identical under Python integer floor division
+      and DuckDB's float ``FLOOR`` (quotient denominators ≤ 2n keep the
+      float division exact around integers); an empty cell keeps its
+      previous centroid.
+
+    The bounded sample (≤ sample_max_id rows × dim ints) trains on the
+    driver in one collect — the ivf_fit lifecycle: codebooks are
+    driver-small artifacts, queries stay free of ML jobs."""
+    from xarray_spark.extras.portable import centroid_coeffs
+    rows = (
+        corpus.where(F.col(id_col) < sample_max_id)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    X = np.floor(
+        np.array([r["v"] for r in rows], dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    cents = [list(c) for c in centroid_coeffs(n_cells, dim)]
+    for _ in range(iters):
+        C = np.array(cents, dtype=np.int64)
+        d = ((X * X).sum(1)[:, None] - 2 * (X @ C.T) + (C * C).sum(1)[None, :])
+        assign = d.argmin(axis=1)  # first occurrence = lowest cell id
+        new = []
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                s = X[m].sum(axis=0)
+                n = int(m.sum())
+                new.append([(2 * int(sj) + n) // (2 * n) for sj in s])
+            else:
+                new.append(cents[c])
+        cents = new
+    return cents
+
+
 def semdedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -669,6 +725,7 @@ def semdedup_pairs(
     n_cells: int = 8,
     dim: int = 64,
     centroids: list | None = None,
+    centroids_q: list | None = None,
 ) -> DataFrame:
     """Semantic-dedup candidate pairs — the SemDeDup recipe (Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -696,7 +753,14 @@ def semdedup_pairs(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
-    if centroids is not None:
+    if centroids_q is not None:
+        # TRAINED integer codebook (semdedup_train_centroids): the
+        # production trained path with the fixed codebook's
+        # bit-replayability — integer-exact assignment, SQL oracle
+        # replays training AND assignment (gate q126).
+        base = base.withColumn(
+            "__cell", _nearest_cells_int(F.col("__cv"), centroids_q, 1)[0])
+    elif centroids is not None:
         # TRAINED codebook (ivf_fit) — the production path: k-means
         # centroids track the data's cluster structure, so cell sizes
         # actually shrink as n_cells grows.  The fixed md5 codebook
