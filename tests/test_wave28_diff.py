@@ -333,3 +333,164 @@ def test_coder_unsigned_16_matches_reference(spark):
         {"v": ("i", packed, {"_Unsigned": "true"})}))["v"].values
     got = _spark_decode(spark, packed, {"unsigned": True}, "smallint")
     np.testing.assert_allclose(got, np.asarray(exp, dtype=float))
+
+
+# ------------------------------------------------------------------ #
+# D. round-6 fix guards (advisor items + quantile scan cache), each
+#    value-checked against the reference
+# ------------------------------------------------------------------ #
+
+def test_rename_swap_matches_reference(spark):
+    ref = xr.Dataset({"a": ("x", np.arange(3.0)),
+                      "b": ("x", np.arange(3.0) * 10)},
+                     coords={"x": np.arange(3)})
+    exp = ref.rename({"a": "b", "b": "a"})
+    ours = XDataset(spark.createDataFrame(pd.DataFrame(
+        {"x": np.arange(3), "a": np.arange(3.0),
+         "b": np.arange(3.0) * 10})), dims=["x"])
+    got = ours.rename({"a": "b", "b": "a"}).to_pandas().sort_values("x")
+    np.testing.assert_allclose(got["a"].to_numpy(), exp["a"].values)
+    np.testing.assert_allclose(got["b"].to_numpy(), exp["b"].values)
+
+
+def test_division_nan_null_zero_matches_reference(spark):
+    """x/y over the {normal, 0, NaN/missing} × {normal, 0} grid — the
+    advisor's NULL-dividend-over-zero-divisor case included."""
+    a = np.array([1.0, -2.0, 0.0, np.nan, 5.0, np.nan])
+    b = np.array([2.0, 0.0, 0.0, 0.0, np.nan, np.nan])
+    ra = xr.DataArray(a, dims="t")
+    rb = xr.DataArray(b, dims="t")
+    exp = (ra / rb).values
+    pdf = pd.DataFrame({"t": np.arange(6), "u": a})
+    pdf2 = pd.DataFrame({"t": np.arange(6), "u": b})
+    da = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    db = XDataset(spark.createDataFrame(pdf2), dims=["t"])
+    got = ((da / db).to_pandas().sort_values("t")["u"].to_numpy())
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_mod_inf_and_huge_matches_numpy(spark):
+    a = np.array([np.inf, -np.inf, 1e300, 7.5, -7.5])
+    b = np.array([2.0, 3.0, 1.0, 2.0, 2.0])
+    exp = np.mod(a, b)
+    da = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(5), "u": a})), dims=["t"])
+    db = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(5), "u": b})), dims=["t"])
+    got = (da % db).to_pandas().sort_values("t")["u"].to_numpy()
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_trunc_floor_ceil_inf_huge_matches_numpy(spark):
+    from xarray_spark import ufuncs as xu
+    vals = np.array([np.inf, -np.inf, np.nan, 2.0 ** 63, -1e300, 2.5,
+                     -2.5])
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(7), "v": vals})), dims=["t"])
+    for fn, npfn in ((xu.trunc, np.trunc), (xu.floor, np.floor),
+                     (xu.ceil, np.ceil)):
+        got = (fn(ds["v"]).to_pandas().sort_values("t")["v"].to_numpy())
+        np.testing.assert_array_equal(got, npfn(vals))
+
+
+def test_quantile_repeat_methods_match_reference(spark):
+    """The round-6 per-instance scan cache: repeated quantile() calls
+    with different methods on ONE instance must each match the
+    reference (the q74 shape — shared stats/histogram/candidates)."""
+    rng = np.random.RandomState(55)
+    vals = rng.randn(500).round(6)
+    ref = xr.DataArray(vals, dims="t")
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(500), "v": vals})), dims=["t"])
+    for method in ("midpoint", "lower", "higher", "nearest", "linear"):
+        exp = ref.quantile([0.25, 0.5, 0.9], method=method).values
+        got = (ds.quantile([0.25, 0.5, 0.9], method=method).to_pandas()
+               .sort_values("quantile")["v"].to_numpy())
+        np.testing.assert_allclose(got, exp, rtol=1e-9,
+                                   err_msg=method)
+
+
+def test_quantile_cache_not_shared_across_transforms(spark):
+    """A transformed instance must NOT reuse the parent's cached scans
+    — the filtered quantile differs from the parent's."""
+    rng = np.random.RandomState(8)
+    vals = rng.randn(300).round(6)
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(300), "v": vals})), dims=["t"])
+    full = ds.quantile([0.5]).to_pandas()["v"].iloc[0]
+    sub = ds.where(ds["v"] > 0, drop=True)
+    got = sub.quantile([0.5]).to_pandas()["v"].iloc[0]
+    exp = np.quantile(vals[vals > 0], 0.5)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+    assert got != full
+
+
+def test_median_then_quantile_share_instance_matches_reference(spark):
+    rng = np.random.RandomState(21)
+    vals = rng.randn(400).round(6)
+    vals[rng.choice(400, 30, replace=False)] = np.nan
+    ref = xr.DataArray(vals, dims="t")
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(400), "v": vals})), dims=["t"])
+    got_med = ds.median("t").to_pandas()["v"].iloc[0]
+    np.testing.assert_allclose(got_med, ref.median().values, rtol=1e-9)
+    got_q = (ds.quantile([0.1, 0.9]).to_pandas()
+             .sort_values("quantile")["v"].to_numpy())
+    np.testing.assert_allclose(got_q, ref.quantile([0.1, 0.9]).values,
+                               rtol=1e-9)
+
+
+def test_fillna_dataset_matches_reference(spark):
+    """Dataset-valued fillna keeps self's labels, fills only gaps —
+    float + (engine extension) int dtype preservation."""
+    a = np.array([1.0, np.nan, 3.0, np.nan])
+    f = np.array([10.0, 20.0, 30.0, 40.0])
+    ref = xr.Dataset({"v": ("x", a)}, coords={"x": np.arange(4)}).fillna(
+        xr.Dataset({"v": ("x", f)}, coords={"x": np.arange(4)}))
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": np.arange(4), "v": a})), dims=["x"]).fillna(
+        XDataset(spark.createDataFrame(
+            pd.DataFrame({"x": np.arange(4), "v": f})), dims=["x"]))
+    got = ours.to_pandas().sort_values("x")["v"].to_numpy()
+    np.testing.assert_allclose(got, ref["v"].values)
+
+
+def test_interp_nearest_nan_hit_matches_semantics(spark):
+    """method='nearest' with a NaN source at the nearest label → NaN
+    (scipy kind='nearest' picks the value as-is)."""
+    labels = np.array([0.0, 10.0, 20.0, 30.0])
+    vals = np.array([1.0, np.nan, 3.0, 4.0])
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": labels, "v": vals})), dims=["t"])
+    got_pd = (ds.interp(t=[2.0, 9.0, 24.0], method="nearest")
+              .to_pandas().set_index("t"))
+    got = got_pd.loc[[2.0, 9.0, 24.0]]["v"].to_numpy()
+    np.testing.assert_allclose(got, [1.0, np.nan, 3.0], equal_nan=True)
+
+
+def test_where_drop_fuzz_matches_reference(spark):
+    rng = np.random.RandomState(31)
+    vals = rng.randn(N).round(6)
+    vals[rng.choice(N, 8, replace=False)] = np.nan
+    ref = xr.DataArray(vals, dims="t")
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(N), "v": vals})), dims=["t"])
+    for thr in (-0.5, 0.0, 0.7):
+        exp = np.sort(ref.where(ref > thr, drop=True).values)
+        got = np.sort(
+            ds.where(ds["v"] > thr, drop=True).to_pandas()["v"]
+            .to_numpy())
+        np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_coder_scale_only_float32_matches_reference(spark):
+    raw = np.array([0.5, 1.25, np.nan, -3.75], dtype="float64")
+    packed, decoded = _ref_encode(
+        raw, {"scale_factor": np.float32(0.25), "_FillValue": -999,
+              "dtype": "int16"}, "float64")
+    got = _spark_decode(spark, packed,
+                        {"fill_value": -999,
+                         "scale_factor": float(np.float32(0.25))},
+                        "smallint")
+    np.testing.assert_allclose(got, np.asarray(decoded, dtype=float),
+                               rtol=1e-6, equal_nan=True)
