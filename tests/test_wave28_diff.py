@@ -494,3 +494,99 @@ def test_coder_scale_only_float32_matches_reference(spark):
                         "smallint")
     np.testing.assert_allclose(got, np.asarray(decoded, dtype=float),
                                rtol=1e-6, equal_nan=True)
+
+
+# ------------------------------------------------------------------ #
+# E. custom index strategy hook (set_xindex(index_cls=...)) — the same
+#    custom index implemented on BOTH engines
+# ------------------------------------------------------------------ #
+
+def test_custom_index_both_sides_matches_reference(spark):
+    """A FloorIndex — sel(x=v) resolves to the row labelled floor(v) —
+    implemented as a reference xarray.Index subclass AND as an engine
+    XIndex strategy; both selections must agree."""
+    from xarray.core.indexes import Index as RefIndex, PandasIndex
+    from xarray.core.indexing import IndexSelResult
+    from xarray_spark import XIndex
+
+    class RefFloorIndex(RefIndex):
+        def __init__(self, labels, dim):
+            self.labels = np.asarray(labels)
+            self.dim = dim
+
+        @classmethod
+        def from_variables(cls, variables, *, options):
+            (name, var), = variables.items()
+            return cls(var.values, var.dims[0])
+
+        def sel(self, labels, **kw):
+            (name, value), = labels.items()
+            tgt = float(np.floor(value))
+            pos = int(np.where(self.labels == tgt)[0][0])
+            return IndexSelResult({self.dim: pos})
+
+    class EngineFloorIndex(XIndex):
+        def sel(self, ds, labels, method=None, tolerance=None):
+            from pyspark.sql import functions as F
+            (name, value), = labels.items()
+            return ds._replace(
+                df=ds.df.where(F.col(name) == float(np.floor(value))))
+
+    labels = np.arange(8.0)
+    vals = labels * 11
+    ref = xr.Dataset({"v": ("t", vals)},
+                     coords={"t": np.arange(8), "x": ("t", labels)})
+    ref = ref.set_xindex("x", RefFloorIndex)
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(8), "x": labels, "v": vals})),
+        dims=["t"], coords={"x": ("t",)})
+    ours = ours.set_xindex("x", EngineFloorIndex)
+    for req in (3.7, 5.0, 0.2):
+        exp = float(ref.sel(x=req)["v"].values)
+        got_df = ours.sel(x=req).to_pandas()
+        assert len(got_df) == 1
+        assert float(got_df["v"].iloc[0]) == exp, req
+
+
+def test_predicate_index_strategy_matches_default(spark):
+    """The built-in PredicateIndex strategy must reproduce the default
+    sel path exactly (scalar, list, slice)."""
+    from xarray_spark import PredicateIndex
+    vals = np.arange(20.0)
+    base = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(20), "v": vals})), dims=["t"])
+    reg = base.set_xindex("t", PredicateIndex)
+    # scalar sel squeezes the dim away on both paths
+    exp = base.sel(t=7).to_pandas()["v"].tolist()
+    got = reg.sel(t=7).to_pandas()["v"].tolist()
+    assert got == exp
+    for req in ([2, 5, 11], slice(4, 9)):
+        exp = base.sel(t=req).to_pandas().sort_values("t")
+        got = reg.sel(t=req).to_pandas().sort_values("t")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True))
+
+
+def test_ndpoint_index_strategy_matches_direct(spark):
+    """NDPointIndex through the hook == sel_points_nearest direct."""
+    from xarray_spark import NDPointIndex, sel_points_nearest
+    rng = np.random.RandomState(5)
+    xs, ys = rng.uniform(0, 10, 50), rng.uniform(0, 10, 50)
+    pdf = pd.DataFrame({"i": np.arange(50), "cx": xs, "cy": ys,
+                        "v": rng.randn(50).round(6)})
+    base = XDataset(spark.createDataFrame(pdf), dims=["i"],
+                    coords={"cx": ("i",), "cy": ("i",)})
+    reg = base.set_xindex(["cx", "cy"], NDPointIndex)
+    q = {"cx": [1.0, 8.0, 5.5], "cy": [2.0, 3.0, 9.0]}
+    exp = (sel_points_nearest(base, q).to_pandas()
+           .sort_values("points")["v"].to_numpy())
+    got = (reg.sel(cx=q["cx"], cy=q["cy"]).to_pandas()
+           .sort_values("points")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp)
+
+
+def test_set_xindex_rejects_non_strategy(spark):
+    base = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "v": [1.0, 2.0]})), dims=["t"])
+    with pytest.raises(TypeError):
+        base.set_xindex("t", dict)

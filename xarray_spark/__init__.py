@@ -131,9 +131,15 @@ def show_versions(file=None):
           f"python {sys.version.split()[0]}", file=file)
 
 from xarray_spark import testing  # noqa: E402  (public submodule)
+from xarray_spark import indexes  # noqa: E402  (index strategy plugin API)
+from xarray_spark.indexes import XIndex, PredicateIndex, NDPointIndex  # noqa: E402
 
 __all__ = [
     "testing",
+    "indexes",
+    "XIndex",
+    "PredicateIndex",
+    "NDPointIndex",
     "Variable",
     "__version__",
     "show_versions",

@@ -508,6 +508,14 @@ class XDataset:
         indexers = {**(indexers or {}), **indexers_kwargs}
         self._check_selectable(indexers)
         out = self
+        # registered index strategies (set_xindex(index_cls=…)) claim
+        # their coords' requests first; the rest take the default path
+        strategies = (self.attrs or {}).get("_xindex_strategies", ())
+        for strategy in strategies:
+            mine = {k: indexers.pop(k) for k in list(indexers)
+                    if k in strategy.coord_names}
+            if mine:
+                out = strategy.sel(out, mine, method, tolerance)
         for dim, value in indexers.items():
             out = out._sel_one(dim, value, method, tolerance)
         return out
@@ -2696,13 +2704,23 @@ class XDataset:
             out = out._replace(df=out.df.withColumn(dim, new))
         return out
 
-    def set_xindex(self, coord_names: str | Sequence[str], index_cls=None) -> "XDataset":
+    def set_xindex(self, coord_names: str | Sequence[str], index_cls=None,
+                   **options) -> "XDataset":
         """Register coords as a selectable index (xarray/core/dataset.py:4995).
 
         Long form needs no index STRUCTURE — any key column filters/joins
-        directly, and Catalyst chooses the access path — so this
-        validates the coords exist and records the intent in attrs
-        (``index_cls`` accepted for API parity, ignored)."""
+        directly, and Catalyst chooses the access path — so by default
+        this validates the coords exist and records the intent in attrs.
+
+        ``index_cls`` (the reference's Index plugin hook,
+        core/indexes.py:39) accepts an :class:`xarray_spark.indexes.
+        XIndex` STRATEGY class: ``index_cls.from_variables(names,
+        **options)`` is instantiated and subsequent ``.sel`` requests on
+        these coords are rewritten by the strategy's plan choice (pushed
+        predicate, nearest-point join, …) instead of the default path.
+        The built-in equivalents (PredicateIndex, NDPointIndex) are
+        themselves registered through this hook — see
+        xarray_spark/indexes.py."""
         names = [coord_names] if isinstance(coord_names, str) else list(coord_names)
         for n in names:
             if n not in self.df.columns:
@@ -2710,6 +2728,17 @@ class XDataset:
         attrs = {**(self.attrs or {})}
         existing = list(attrs.get("_xindexes", ()))
         attrs["_xindexes"] = existing + [n for n in names if n not in existing]
+        if index_cls is not None:
+            from xarray_spark.indexes import XIndex
+            if not (isinstance(index_cls, type)
+                    and issubclass(index_cls, XIndex)):
+                raise TypeError(
+                    f"index_cls must be an xarray_spark.indexes.XIndex "
+                    f"subclass, got {index_cls!r}")
+            strategy = index_cls.from_variables(names, **options)
+            strategies = [s for s in attrs.get("_xindex_strategies", ())
+                          if not set(s.coord_names) & set(names)]
+            attrs["_xindex_strategies"] = strategies + [strategy]
         return self._replace(attrs=attrs)
 
     def drop_indexes(self, coord_names: str | Sequence[str],
