@@ -716,14 +716,26 @@ class XDataset:
             sel = labels.where(pos == norm(value))
             drop = True
         elif isinstance(value, slice):
-            cond = F.lit(True)
-            if value.start is not None:
-                cond = cond & (pos >= norm(value.start))
-            if value.stop is not None:
-                cond = cond & (pos < norm(value.stop))
-            if value.step is not None:
-                start = F.lit(0) if value.start is None else norm(value.start)
-                cond = cond & ((pos - start) % F.lit(value.step) == 0)
+            if value.step is not None and value.step < 0:
+                # negative step anchors at the END (Python slice
+                # semantics: default start is n-1, stop is exclusive
+                # going DOWN) — wave-29 diff find: the positive-step
+                # predicate anchored at 0 picked the wrong position set
+                start = (size - F.lit(1)) if value.start is None \
+                    else norm(value.start)
+                cond = pos <= start
+                if value.stop is not None:
+                    cond = cond & (pos > norm(value.stop))
+                cond = cond & ((start - pos) % F.lit(-value.step) == 0)
+            else:
+                cond = F.lit(True)
+                if value.start is not None:
+                    cond = cond & (pos >= norm(value.start))
+                if value.stop is not None:
+                    cond = cond & (pos < norm(value.stop))
+                if value.step is not None:
+                    start = F.lit(0) if value.start is None else norm(value.start)
+                    cond = cond & ((pos - start) % F.lit(value.step) == 0)
             sel = labels.where(cond)
         elif isinstance(value, (list, tuple)):
             arr = F.array(*[norm(i) for i in value])
@@ -835,9 +847,15 @@ class XDataset:
         'first'/'last' is undefined here; the survivor is instead picked by
         a DETERMINISTIC total order over the remaining columns (ascending
         for 'first', descending for 'last') so repeated runs and different
-        partitionings always agree.
+        partitionings always agree.  ``keep=False`` drops EVERY row whose
+        label is duplicated (reference parity; wave-29 diff find).
         """
         others = [d for d in self.dims if d != dim]
+        if keep is False:
+            w0 = Window.partitionBy(*others, dim)
+            df = (self.df.withColumn("__ct", F.count(F.lit(1)).over(w0))
+                  .where(F.col("__ct") == 1).drop("__ct"))
+            return self._replace(df=df)
         tiebreak = [c for c in self.df.columns if c != dim and c not in others]
         order = [
             F.col(c).asc_nulls_last() if keep == "first" else F.col(c).desc_nulls_last()
@@ -1307,6 +1325,15 @@ class XDataset:
             # missing ANY sort key sorts after every complete row
             cols = [c.isNull().cast("int").asc() for c in keys]
             cols += [c.desc_nulls_last() for c in keys]
+        # dim tiebreak for rows with EQUAL sort keys: the reference's
+        # stable lexsort keeps positional order ascending and — because
+        # descending is implemented as reversed ascending — REVERSED
+        # positional order when ascending=False (wave-29 diff find).
+        # Positions here are the dim labels; without this the tie order
+        # is partition-dependent.
+        tieb = [d for d in self.dims if d not in variables]
+        cols += [(F.col(d).asc_nulls_last() if ascending
+                  else F.col(d).desc_nulls_last()) for d in tieb]
         return self._replace(df=self.df.orderBy(*cols))
 
     def to_dataarray(self, dim: str = "variable") -> "XDataArray":
