@@ -2078,6 +2078,20 @@ def q125_diff_lower(spark, sf_dir):
     return out.to_spark()
 
 
+def q127_gopher_filter(spark, sf_dir):
+    """Gopher quality-rule filter (extras.curation.gopher_filter — Rae
+    et al. 2021 Appendix A): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, alphabetic-word fraction, stop-word
+    hits — one map-only JVM projection, every signal and the verdict
+    replayed rule-by-rule in SQL.  Thresholds scaled to the synthetic
+    corpus (its documents are ~tens of words)."""
+    from xarray_spark.extras.curation import gopher_filter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_filter(docs, min_words=10, max_words=2000,
+                         min_mean_word_len=3.0, max_mean_word_len=8.0,
+                         min_alpha_word_frac=0.8, min_stopword_hits=1)
+
+
 def q126_semdedup_trained(spark, sf_dir):
     """SemDeDup with a TRAINED codebook (extras.similarity.
     semdedup_train_centroids + semdedup_pairs(centroids_q=…)) — the
@@ -2108,10 +2122,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING IS DELIBERATE: the driver's correctness gate evaluates the
     first 50 entries, so the window rotates per round.  The ROUND-6
-    window front-loads (a) the debutant q126 (trained-centroid
+    window front-loads (a) the debutants q126 (trained-centroid
     semdedup — the production path q120 stood in for, now
     value-verified end-to-end including the SQL-replayed Lloyd
-    training); (b) every query whose code path changed this round:
+    training) and q127 (Gopher quality-rule filter, a new first-class
+    curation operator; q01 leads the window so the cheapest scan+agg
+    absorbs residual session spin-up, and q59 moved below the fold to
+    keep the window at 50); (b) every query whose code path changed this round:
     the quantile family (q74/q15/q16/q39/q115 — the per-instance
     stats/histogram/candidate scan cache), q119 (dedup_substrings lost
     its forced broadcast hint; AQE decides now), q120 (semdedup_pairs
@@ -2137,6 +2154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ---- ROUND-6 GATE WINDOW (first 50) ----
+        # (q01 leads: the first query also absorbs residual session
+        # spin-up; a plain scan+agg is the cheapest place to pay it)
+        "q01_pricing_summary": q01_pricing_summary,
+        "q127_gopher_filter": q127_gopher_filter,
         "q126_semdedup_trained": q126_semdedup_trained,
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
@@ -2163,7 +2184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_argmax_grid": q105_argmax_grid,
         "q98_chunk_documents": q98_chunk_documents,
         "q110_dedup_lines": q110_dedup_lines,
-        "q01_pricing_summary": q01_pricing_summary,
         "q46_resample_6h": q46_resample_6h,
         "q51_lsh_topk": q51_lsh_topk,
         "q52_embedding_near_dups": q52_embedding_near_dups,
@@ -2186,8 +2206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_bfill": q43_bfill,
         "q13_ffill": q13_ffill,
         "q33_cosine_topk": q33_cosine_topk,
-        "q59_decode_cf": q59_decode_cf,
         # ---- below the window: green rows from rounds 1-5 stand ----
+        "q59_decode_cf": q59_decode_cf,
         "q114_encoded_groups": q114_encoded_groups,
         "q116_bucketed_ffill": q116_bucketed_ffill,
         "q117_outer_align_coords": q117_outer_align_coords,
@@ -2512,6 +2532,49 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q97_ivf_fixed": _ivf_fixed_oracle(),
         "q126_semdedup_trained": _semdedup_trained_oracle(),
+        "q127_gopher_filter": """
+            WITH w AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\\s+') AS ws
+              FROM documents),
+            sig AS (
+              SELECT doc_id,
+                     CASE WHEN trim(t) = '' THEN 0
+                          ELSE len(ws) END AS n_words,
+                     t, ws
+              FROM w),
+            m AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN n_words > 0 THEN
+                       ROUND(list_sum(list_transform(ws, x -> len(x)))
+                             / n_words + 1e-9, 6)
+                     ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN n_words > 0 THEN
+                       ROUND(((len(t) - len(replace(t, '#', '')))
+                              + CAST((len(t) - len(replace(t, '...', '')))
+                                     // 3 AS BIGINT))
+                             / n_words + 1e-9, 6)
+                     ELSE 0.0 END AS symbol_ratio,
+                     CASE WHEN n_words > 0 THEN
+                       ROUND(len(list_filter(ws,
+                               x -> regexp_matches(x, '[a-zA-Z]')))
+                             / n_words + 1e-9, 6)
+                     ELSE 0.0 END AS alpha_frac,
+                     CAST(len(list_filter(ws, x -> list_contains(
+                       ['the','be','to','of','and','that','have','with'],
+                       lower(x)))) AS BIGINT) AS stop_hits
+              FROM sig)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_frac, stop_hits,
+                   (n_words >= 10 AND n_words <= 2000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 8.0
+                    AND symbol_ratio <= 0.1
+                    AND alpha_frac >= 0.8
+                    AND stop_hits >= 1) AS passes
+            FROM m
+        """,
         "q98_chunk_documents": """
             WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
                               len(coalesce(text, '')) AS n FROM documents),

@@ -47,6 +47,37 @@ def main() -> None:
     )
     force(spark.range(100).toDF("x").mapInPandas(
         lambda it: it, "x long"))
+    # shared FRAMEWORK first-touch costs (not query plans): the window
+    # executor, the broadcast-join machinery, and the structured-
+    # streaming micro-batch engine + state store + memory sink all JIT
+    # large class graphs on first use — without this block whichever
+    # query happens to run first absorbs them (measured: the first
+    # streaming gate pays ~2-4 s of engine spin-up).  Per-query codegen
+    # is NOT warmed here — each query still compiles its own stages.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+    _t = spark.range(256).toDF("x")
+    force(_t.withColumn("r", _F.row_number().over(
+        _W.partitionBy(_F.col("x") % 4).orderBy("x"))))
+    force(_t.join(_F.broadcast(spark.range(8).toDF("x")), on="x"))
+    try:
+        import tempfile as _tf
+        import uuid as _uuid
+        _d = _tf.mkdtemp(prefix="bench_warm_")
+        spark.range(64).selectExpr(
+            "timestamp_seconds(1704067200 + id * 60) AS ts",
+            "id % 4 AS k", "CAST(id AS DOUBLE) AS v",
+        ).coalesce(1).write.mode("overwrite").parquet(_d)
+        _src = spark.readStream.schema("ts timestamp, k bigint, v double") \
+            .parquet(_d)
+        _q = (_src.withWatermark("ts", "1 hour")
+              .groupBy(_F.window("ts", "10 minutes"), "k").count()
+              .writeStream.format("memory")
+              .queryName(f"warm_{_uuid.uuid4().hex[:8]}")
+              .outputMode("complete").trigger(availableNow=True).start())
+        _q.awaitTermination(120)
+    except Exception:
+        pass  # streaming warm-up is best-effort
 
     import gc
 

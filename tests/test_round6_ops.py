@@ -133,3 +133,39 @@ class TestFillnaDtype:
         other = XDataset(spark.createDataFrame(right), dims=["x"])
         got = ds.fillna(other).to_pandas().sort_values("x")
         assert got["v"].tolist() == [9.0, 1.5]
+
+
+class TestGopherFilter:
+    def test_signals_and_verdict(self, spark):
+        from xarray_spark.extras.curation import gopher_filter
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog again and again today"),
+            (1, "## ### #### ..."),               # symbol heavy, no stopwords
+            (2, ""),                               # empty
+            (3, None),                             # null
+            (4, "a b c d e f g h i j k l"),        # 1-char words
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               gopher_filter(df, min_words=5, max_words=100,
+                             min_mean_word_len=2.0, max_mean_word_len=8.0,
+                             min_alpha_word_frac=0.8,
+                             min_stopword_hits=1).collect()}
+        assert out[0]["passes"] is True
+        assert out[0]["n_words"] == 13
+        assert out[0]["stop_hits"] >= 2
+        assert out[1]["passes"] is False       # alpha_frac 0, no stopwords
+        assert out[1]["alpha_frac"] == 0.0
+        assert out[2]["n_words"] == 0 and out[2]["passes"] is False
+        assert out[3]["n_words"] == 0 and out[3]["passes"] is False
+        assert out[4]["passes"] is False       # mean word len 1.0
+        assert out[4]["mean_word_len"] == 1.0
+
+    def test_symbol_ratio_counts(self, spark):
+        from xarray_spark.extras.curation import gopher_filter
+        df = spark.createDataFrame(
+            [(0, "alpha # beta ... gamma #")], ["doc_id", "text"])
+        r = gopher_filter(df, min_words=1).collect()[0]
+        # 2 hashes + 1 ellipsis over 5 words (the # and ... count as
+        # words too in the split)
+        assert r["symbol_ratio"] == round(3 / r["n_words"] + 1e-9, 6)

@@ -244,3 +244,81 @@ def dedup_substrings(df: DataFrame, k: int = 5, min_docs: int = 2,
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum(F.col("__d").isNotNull().cast("int")).cast("long").alias("n_dropped"),
     )
+
+
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                     "with"]
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule document filter (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", Appendix A — the rule set C4/MassiveText-style pipelines
+    apply before dedup): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (# and ellipsis), alphabetic-word fraction,
+    and a minimum stop-word hit count.
+
+    Returns ``(id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    stop_hits, passes)`` — signals kept so downstream can re-threshold
+    without rescanning.
+
+    Scale shape: pure JVM expressions over one projection — a single
+    map-only pass, no shuffle, no Python; the words array is BOUND to a
+    column first (Catalyst does not CSE inside HOF lambdas — the
+    round-4 lesson), so each signal reuses one split."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        txt.alias("__t"),
+        F.split(F.trim(txt), r"\s+").alias("__w"),
+    ).select(
+        id_col, "__t", "__w",
+        F.when(F.trim(F.col("__t")) == "", F.lit(0))
+        .otherwise(F.size("__w")).alias("n_words"),
+    )
+    wlen = F.aggregate(
+        "__w", F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w))
+    n = F.col("n_words")
+    hash_count = (F.length("__t")
+                  - F.length(F.replace(F.col("__t"), F.lit("#"), F.lit(""))))
+    ellipsis_count = (
+        (F.length("__t")
+         - F.length(F.replace(F.col("__t"), F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    alpha_words = F.size(F.filter(
+        "__w", lambda w: w.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(
+        "__w", lambda w: F.array_contains(stop_arr, F.lower(w))))
+    sig = base.select(
+        id_col, "n_words",
+        F.when(n > 0, F.round(wlen / n + F.lit(1e-9), 6))
+        .otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(n > 0, F.round((hash_count + ellipsis_count) / n
+                              + F.lit(1e-9), 6))
+        .otherwise(F.lit(0.0)).alias("symbol_ratio"),
+        F.when(n > 0, F.round(alpha_words / n + F.lit(1e-9), 6))
+        .otherwise(F.lit(0.0)).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_word_ratio)
+        & (F.col("alpha_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stopword_hits)
+    )
+    return sig.withColumn("passes", passes)
