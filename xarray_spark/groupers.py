@@ -146,8 +146,10 @@ class TimeResampler(Grouper):
     ``closed``/``label``/``offset`` mirror the reference TimeResampler
     params: fixed-width units (s/min/h/D) honor all three exactly;
     end-anchored spellings (ME/QE/YE) default to closed/label='right'
-    with month-end labels.  'W' stays the ISO Mon-Sun week (documented
-    divergence from pandas' anchored weeks); modifiers on W raise.
+    with month-end labels.  'W'/'W-XXX' are pandas ANCHORED weeks
+    (right-closed at end-of-anchor-day, labeled by the anchor date;
+    'W' == 'W-SUN' — fixed round 6, was ISO Mon-Sun); modifiers on W
+    raise; multi-week 'nW' keeps epoch-tumbling windows.
     """
 
     freq: str = "D"
@@ -157,6 +159,11 @@ class TimeResampler(Grouper):
 
     def key_expr(self, col: Column) -> Column:
         n, unit = _parse_freq(self.freq)
+        week_anchor = 1  # pandas 'W' == 'W-SUN'
+        if unit.upper().startswith("W-"):
+            week_anchor = {"SUN": 1, "MON": 2, "TUE": 3, "WED": 4,
+                           "THU": 5, "FRI": 6, "SAT": 7}[unit[2:].upper()]
+            unit = "W"
         trunc = _TRUNC.get(unit)
         if trunc is None:
             raise ValueError(f"unsupported resample freq {self.freq!r}")
@@ -183,9 +190,16 @@ class TimeResampler(Grouper):
         if trunc == "week":
             if mods:
                 raise NotImplementedError(
-                    "closed/label/offset on weekly freqs (ISO weeks)")
+                    "closed/label/offset on weekly freqs")
             if n == 1:
-                return F.date_trunc(trunc, col)
+                # pandas anchored weeks (wave-30 diff find; 'W' ==
+                # 'W-SUN'): every timestamp whose DATE is ≤ the next
+                # anchor day belongs to that anchor's bin, labeled by
+                # the anchor date — right-closed at end-of-anchor-day.
+                # Spark dayofweek: 1=Sunday … 7=Saturday.
+                off = (F.lit(week_anchor) - F.dayofweek(col) + 7) % 7
+                return F.date_add(F.to_date(col), off.cast("int")) \
+                        .cast("timestamp")
         elif n == 1 and not mods:
             return F.date_trunc(trunc, col)
         secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
