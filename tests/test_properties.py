@@ -343,3 +343,104 @@ def test_nan_reductions_match_numpy(spark, vals):
         got_c = (ds.cumsum("t").to_pandas().sort_values("t")["v"]
                  .to_numpy())
         np.testing.assert_allclose(got_c, np.nancumsum(arr), rtol=1e-7)
+
+
+def _maybe_nan_floats(lo, hi):
+    return st.one_of(
+        st.just(float("nan")),
+        st.floats(min_value=lo, max_value=hi, width=32))
+
+
+@given(vals=st.lists(
+    _maybe_nan_floats(-1e6, 1e6),
+    min_size=3, max_size=14),
+    methods=st.lists(st.sampled_from(
+        ["linear", "lower", "higher", "nearest", "midpoint"]),
+        min_size=2, max_size=4, unique=True),
+    q=st.floats(min_value=0.0, max_value=1.0))
+@settings(**SETTINGS)
+def test_quantile_scan_cache_sequence_matches_numpy(spark, vals, methods, q):
+    """Round-6 scan cache: an ARBITRARY sequence of quantile calls on
+    ONE instance (the q74 shape) must each match numpy — the cached
+    stats/histogram/candidates may never leak between methods."""
+    import numpy as np
+    finite = [v for v in vals if not np.isnan(v)]
+    d = mk(spark, [0.0 if np.isnan(v) else v for v in vals])
+    # reuse the same instance with genuine NaNs via a where-mask
+    rows = [{"t": i, "v": (None if np.isnan(v) else float(v))}
+            for i, v in enumerate(vals)]
+    d = XDataset(spark.createDataFrame(rows, "t long, v double"),
+                 dims=["t"])
+    for m in methods:
+        got = d.quantile([q], method=m).df.collect()[0]["v"]
+        if not finite:
+            assert got is None
+            continue
+        exp = float(np.quantile(np.array(finite), q, method=m))
+        assert got == pytest.approx(exp, rel=1e-9, abs=1e-12), m
+
+
+@given(vals=st.lists(
+    _maybe_nan_floats(-100, 100),
+    min_size=2, max_size=10),
+    lo=_maybe_nan_floats(-50, 0),
+    hi=_maybe_nan_floats(0, 50))
+@settings(**SETTINGS)
+def test_clip_scalar_bounds_match_numpy(spark, vals, lo, hi):
+    import numpy as np
+    d = mk(spark, [0.0] * len(vals))
+    rows = [{"t": i, "v": (None if np.isnan(v) else float(v))}
+            for i, v in enumerate(vals)]
+    d = XDataset(spark.createDataFrame(rows, "t long, v double"),
+                 dims=["t"])
+    got = [r["v"] for r in
+           d.clip(min=float(lo), max=float(hi)).df.orderBy("t").collect()]
+    arr = np.array([np.nan if v is None or np.isnan(v) else v
+                    for v in vals])
+    exp = np.clip(arr, lo, hi)
+    for g, e in zip(got, exp):
+        g = np.nan if g is None else g
+        assert (np.isnan(g) and np.isnan(e)) or g == pytest.approx(e)
+
+
+@given(n=st.integers(min_value=1, max_value=12),
+       start=st.one_of(st.none(), st.integers(min_value=-15, max_value=15)),
+       stop=st.one_of(st.none(), st.integers(min_value=-15, max_value=15)),
+       step=st.integers(min_value=-5, max_value=5).filter(lambda s: s != 0))
+@settings(**SETTINGS)
+def test_isel_slice_matches_numpy_semantics(spark, n, start, stop, step):
+    """isel with ANY slice (negative starts/stops/steps) selects the
+    same POSITION SET as numpy (long form is set-semantics; order is
+    carried by labels)."""
+    import numpy as np
+    d = mk(spark, list(range(n)))
+    sl = slice(start, stop, step)
+    exp = sorted(np.arange(n)[sl].tolist())
+    got = sorted(r["t"] for r in d.isel(t=sl).df.collect())
+    assert got == exp, sl
+
+
+@given(start=st.dates(min_value=__import__("datetime").date(2000, 1, 1),
+                      max_value=__import__("datetime").date(2024, 6, 1)),
+       n=st.integers(min_value=1, max_value=40),
+       anchor=st.sampled_from(["W", "W-MON", "W-WED", "W-SAT"]))
+@settings(**SETTINGS)
+def test_weekly_resample_matches_pandas(spark, start, n, anchor):
+    import numpy as np
+    import pandas as pd
+    idx = pd.date_range(start, periods=n, freq="D")
+    vals = np.arange(n, dtype=float)
+    exp = pd.Series(vals, index=idx).resample(anchor).sum()
+    exp = exp[exp.notna() & (exp != 0) | (exp.index.isin(
+        pd.Series(vals, index=idx).resample(anchor).count()
+        [lambda c: c > 0].index))]
+    rows = [{"time": t.to_pydatetime(), "v": float(v)}
+            for t, v in zip(idx, vals)]
+    d = XDataset(spark.createDataFrame(rows), dims=["time"])
+    got = {pd.Timestamp(r["time"]): r["v"] for r in
+           d.resample(time=anchor).sum().df.collect()}
+    cnt = pd.Series(vals, index=idx).resample(anchor).count()
+    for ts in cnt[cnt > 0].index:
+        assert got[ts] == pytest.approx(
+            float(pd.Series(vals, index=idx).resample(anchor).sum()[ts])
+        ), (ts, anchor)
