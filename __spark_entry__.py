@@ -2092,6 +2092,35 @@ def q127_gopher_filter(spark, sf_dir):
                          min_alpha_word_frac=0.8, min_stopword_hits=1)
 
 
+def q128_c4_filter(spark, sf_dir):
+    """C4 cleaning rules (extras.curation.c4_filter — Raffel et al.
+    2020 §2.2): terminal-punctuation line keep, 3-word line minimum,
+    javascript-line drop, lorem-ipsum / curly-brace / badword page
+    drops, minimum sentence count — one map-only JVM projection,
+    every rule replayed in SQL.
+
+    The synthetic corpus has no newlines or punctuation, so the query
+    first INJECTS deterministic structure with literal replaces
+    (identical left-to-right non-overlapping semantics in Spark and
+    DuckDB): ``" value" -> ".\\n"`` creates lines and terminal
+    periods, ``" merge " -> " { "`` plants code braces, and
+    ``" batch batch " -> " lorem ipsum "`` plants the filler phrase —
+    so every rule actually fires on real data."""
+    from xarray_spark.extras.curation import c4_filter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.replace(F.coalesce(F.col("text"), F.lit("")),
+                          F.lit(" value"), F.lit(".\n")),
+                F.lit(" merge "), F.lit(" { ")),
+            F.lit(" batch batch "), F.lit(" lorem ipsum ")).alias("text"),
+    )
+    return c4_filter(staged, min_line_words=3, min_sentences=2,
+                     badwords=("vector",))
+
+
 def q126_semdedup_trained(spark, sf_dir):
     """SemDeDup with a TRAINED codebook (extras.similarity.
     semdedup_train_centroids + semdedup_pairs(centroids_q=…)) — the
@@ -2125,10 +2154,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window front-loads (a) the debutants q126 (trained-centroid
     semdedup — the production path q120 stood in for, now
     value-verified end-to-end including the SQL-replayed Lloyd
-    training) and q127 (Gopher quality-rule filter, a new first-class
-    curation operator; q01 leads the window so the cheapest scan+agg
-    absorbs residual session spin-up, and q59 moved below the fold to
-    keep the window at 50); (b) every query whose code path changed this round:
+    training), q127 (Gopher quality-rule filter, a new first-class
+    curation operator) and q128 (C4 cleaning rules, its sibling —
+    line-level terminal-punct/word-count/javascript keeps plus
+    page-level lorem-ipsum/brace/badword drops; q01 leads the window
+    so the cheapest scan+agg absorbs residual session spin-up, and
+    q59 moved below the fold to keep the window at 50 — it is an
+    untouched double-green anchor); (b) every query whose code path changed this round:
     the quantile family (q74/q15/q16/q39/q115 — the per-instance
     stats/histogram/candidate scan cache), q119 (dedup_substrings lost
     its forced broadcast hint; AQE decides now), q120 (semdedup_pairs
@@ -2158,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spin-up; a plain scan+agg is the cheapest place to pay it)
         "q01_pricing_summary": q01_pricing_summary,
         "q127_gopher_filter": q127_gopher_filter,
+        "q128_c4_filter": q128_c4_filter,
         "q126_semdedup_trained": q126_semdedup_trained,
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
@@ -2574,6 +2607,48 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.8
                     AND stop_hits >= 1) AS passes
             FROM m
+        """,
+        "q128_c4_filter": """
+            WITH staged AS (
+              SELECT doc_id,
+                     replace(replace(replace(coalesce(text, ''),
+                         ' value', '.' || chr(10)),
+                         ' merge ', ' { '),
+                         ' batch batch ', ' lorem ipsum ') AS t
+              FROM documents),
+            lined AS (
+              SELECT doc_id, t,
+                     string_split(t, chr(10)) AS ls
+              FROM staged),
+            kept AS (
+              SELECT doc_id, t,
+                     len(ls) AS n_lines,
+                     list_filter(ls, l ->
+                       regexp_matches(trim(l), '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+                       AND NOT contains(lower(l), 'javascript')) AS ks
+              FROM lined),
+            cleaned AS (
+              SELECT doc_id, t, n_lines,
+                     len(ks) AS n_lines_kept,
+                     list_aggregate(list_transform(ks, l -> trim(l)),
+                                    'string_agg', chr(10)) AS joined
+              FROM kept),
+            sig AS (
+              SELECT doc_id, n_lines, n_lines_kept,
+                     coalesce(joined, '') AS clean_text, t
+              FROM cleaned)
+            SELECT doc_id, n_lines, n_lines_kept,
+                   CAST(len(regexp_extract_all(clean_text, '[.!?]'))
+                        AS BIGINT) AS n_sentences,
+                   CAST(len(clean_text) AS BIGINT) AS clean_chars,
+                   clean_text,
+                   (len(regexp_extract_all(clean_text, '[.!?]')) >= 2
+                    AND NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(t, '{')
+                    AND NOT regexp_matches(lower(t),
+                                           '\\b(vector)\\b')) AS passes
+            FROM sig
         """,
         "q98_chunk_documents": """
             WITH d AS (SELECT doc_id, coalesce(text, '') AS text,

@@ -169,3 +169,68 @@ class TestGopherFilter:
         # 2 hashes + 1 ellipsis over 5 words (the # and ... count as
         # words too in the split)
         assert r["symbol_ratio"] == round(3 / r["n_words"] + 1e-9, 6)
+
+
+class TestC4Filter:
+    def test_line_and_page_rules(self, spark):
+        from xarray_spark.extras.curation import c4_filter
+        rows = [
+            (0, "The cat sat on the mat.\nshort.\nno terminal punct here\n"
+                "Another good sentence here!\nAnd one more fine line?"),
+            (1, "Enable javascript to view this.\n"
+                "A valid closing sentence stands here."),
+            (2, "function() { return 1; }\nA sentence that passes fine.\n"
+                "And a second good sentence too."),
+            (3, "Lorem ipsum dolor sit amet.\nMore filler text follows now."),
+            (4, None),
+            (5, "Buy spamword pills online now!\nOther normal sentence here."),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               c4_filter(df, min_sentences=2,
+                         badwords=("spamword",)).collect()}
+        # doc 0: "short." (<3 words) and the punct-less line drop
+        assert out[0]["n_lines"] == 5 and out[0]["n_lines_kept"] == 3
+        assert out[0]["n_sentences"] == 3 and out[0]["passes"] is True
+        assert "no terminal punct" not in out[0]["clean_text"]
+        # doc 1: javascript line removed -> only 1 sentence left
+        assert out[1]["n_lines_kept"] == 1 and out[1]["passes"] is False
+        assert "javascript" not in out[1]["clean_text"]
+        # doc 2: brace page dropped even with 2 good sentences
+        assert out[2]["n_sentences"] == 2 and out[2]["passes"] is False
+        # doc 3: lorem ipsum page dropped
+        assert out[3]["passes"] is False
+        # doc 4: null text -> empty everything
+        assert out[4]["n_lines_kept"] == 0 and out[4]["passes"] is False
+        # doc 5: badword page dropped (word-boundary, case-blind)
+        assert out[5]["passes"] is False
+
+    def test_clean_text_trims_and_joins(self, spark):
+        from xarray_spark.extras.curation import c4_filter
+        df = spark.createDataFrame(
+            [(0, "  First good sentence here.  \n  Second fine line too!  ")],
+            ["doc_id", "text"])
+        r = c4_filter(df, min_sentences=1).collect()[0]
+        assert r["clean_text"] == ("First good sentence here.\n"
+                                   "Second fine line too!")
+        assert r["clean_chars"] == len(r["clean_text"])
+        assert r["passes"] is True
+
+    def test_badword_is_word_boundary(self, spark):
+        from xarray_spark.extras.curation import c4_filter
+        df = spark.createDataFrame(
+            [(0, "The class classification sentence is fine today.")],
+            ["doc_id", "text"])
+        r = c4_filter(df, min_sentences=1, badwords=("class",)).collect()[0]
+        # "classification" must NOT trigger the "class" badword …
+        assert r["passes"] is False  # … but the standalone "class" does
+        r2 = c4_filter(
+            df, min_sentences=1, badwords=("lass",)).collect()[0]
+        assert r2["passes"] is True  # substring never matches
+
+    def test_map_only_plan(self, spark):
+        from xarray_spark.extras.curation import c4_filter
+        df = spark.createDataFrame(
+            [(0, "One fair sentence stands here.")], ["doc_id", "text"])
+        plan = c4_filter(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # single map-only projection
