@@ -2121,6 +2121,20 @@ def q128_c4_filter(spark, sf_dir):
                      badwords=("vector",))
 
 
+def q129_ngram_lm_score(spark, sf_dir):
+    """CCNet-style perplexity scoring (extras.text.ngram_lm_score —
+    Wenzek et al. 2020): char-trigram LM trained on the corpus itself,
+    add-one smoothing, per-gram log-probs QUANTIZED to integers
+    (floor(ln p * 1e4)) so per-doc totals are exact integer sums —
+    order-independent across partitions AND engines — then exact
+    ntile thirds into head/middle/tail.  The oracle replays the
+    training counts, the quantization, the backoff coalesce, and the
+    ntile in SQL."""
+    from xarray_spark.extras.text import ngram_lm_score
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_lm_score(docs, n=3, vocab_size=128, quant=10_000)
+
+
 def q126_semdedup_trained(spark, sf_dir):
     """SemDeDup with a TRAINED codebook (extras.similarity.
     semdedup_train_centroids + semdedup_pairs(centroids_q=…)) — the
@@ -2155,12 +2169,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semdedup — the production path q120 stood in for, now
     value-verified end-to-end including the SQL-replayed Lloyd
     training), q127 (Gopher quality-rule filter, a new first-class
-    curation operator) and q128 (C4 cleaning rules, its sibling —
+    curation operator), q128 (C4 cleaning rules, its sibling —
     line-level terminal-punct/word-count/javascript keeps plus
-    page-level lorem-ipsum/brace/badword drops; q01 leads the window
-    so the cheapest scan+agg absorbs residual session spin-up, and
-    q59 moved below the fold to keep the window at 50 — it is an
-    untouched double-green anchor); (b) every query whose code path changed this round:
+    page-level lorem-ipsum/brace/badword drops) and q129 (CCNet
+    perplexity scoring — corpus-trained char-trigram LM with
+    integer-quantized log-probs and exact ntile thirds; q01 leads the
+    window so the cheapest scan+agg absorbs residual session spin-up,
+    and q59/q33 moved below the fold to keep the window at 50 — both
+    untouched double-green anchors re-oracled at sf0.001 each round);
+    (b) every query whose code path changed this round:
     the quantile family (q74/q15/q16/q39/q115 — the per-instance
     stats/histogram/candidate scan cache), q119 (dedup_substrings lost
     its forced broadcast hint; AQE decides now), q120 (semdedup_pairs
@@ -2191,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q127_gopher_filter": q127_gopher_filter,
         "q128_c4_filter": q128_c4_filter,
+        "q129_ngram_lm_score": q129_ngram_lm_score,
         "q126_semdedup_trained": q126_semdedup_trained,
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
@@ -2607,6 +2625,64 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.8
                     AND stop_hits >= 1) AS passes
             FROM m
+        """,
+        "q129_ngram_lm_score": """
+            WITH nm AS (
+              SELECT doc_id,
+                     ' ' || trim(regexp_replace(
+                         lower(coalesce(text, '')), '\\s+', ' ', 'g'))
+                     || ' ' AS s
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(CASE WHEN len(s) >= 3 THEN
+                       list_transform(range(1, len(s) - 1),
+                                      i -> substr(s, i::INT, 3))
+                     ELSE [] END) AS gram
+              FROM nm),
+            cn AS (SELECT gram, count(*) AS c3 FROM g GROUP BY gram),
+            cc AS (SELECT substr(gram, 1, 2) AS ctx, sum(c3) AS c2
+                   FROM cn GROUP BY 1),
+            model AS (
+              SELECT cn.gram,
+                     CAST(floor(ln((c3 + 1) / (c2 + 128.0)) * 10000)
+                          AS BIGINT) AS lq
+              FROM cn JOIN cc ON substr(cn.gram, 1, 2) = cc.ctx),
+            ctxq AS (
+              SELECT ctx,
+                     CAST(floor(ln(1.0 / (c2 + 128.0)) * 10000)
+                          AS BIGINT) AS lq_ctx
+              FROM cc),
+            sc AS (
+              SELECT g.doc_id,
+                     coalesce(m.lq, cq.lq_ctx,
+                       CAST(floor(ln(1.0 / 128.0) * 10000) AS BIGINT))
+                     AS q
+              FROM g LEFT JOIN model m ON g.gram = m.gram
+                     LEFT JOIN ctxq cq ON substr(g.gram, 1, 2) = cq.ctx),
+            per AS (
+              SELECT doc_id, count(*)::BIGINT AS n_grams,
+                     (-sum(q))::BIGINT AS nll_q
+              FROM sc GROUP BY doc_id),
+            alldocs AS (
+              SELECT d.doc_id,
+                     coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+                     coalesce(p.nll_q, 0)::BIGINT AS nll_q
+              FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id),
+            withppl AS (
+              SELECT doc_id, n_grams, nll_q,
+                     CASE WHEN n_grams > 0 THEN
+                       round(exp(nll_q / 10000.0 / n_grams), 6)
+                     END AS ppl
+              FROM alldocs),
+            ranked AS (
+              SELECT doc_id, n_grams, nll_q, ppl,
+                     ntile(3) OVER (ORDER BY nll_q::DOUBLE / n_grams ASC,
+                                    doc_id ASC)::INT AS bucket
+              FROM withppl WHERE n_grams > 0)
+            SELECT * FROM ranked
+            UNION ALL
+            SELECT doc_id, n_grams, nll_q, ppl, NULL::INT AS bucket
+            FROM withppl WHERE n_grams = 0
         """,
         "q128_c4_filter": """
             WITH staged AS (

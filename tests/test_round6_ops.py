@@ -234,3 +234,74 @@ class TestC4Filter:
             [(0, "One fair sentence stands here.")], ["doc_id", "text"])
         plan = c4_filter(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # single map-only projection
+
+
+class TestNgramLmScore:
+    def test_buckets_track_predictability(self, spark):
+        from xarray_spark.extras.text import ngram_lm_score
+        rows = [
+            (0, "the the the the the the"),    # repetitive -> low ppl
+            (1, "zq xv kj qp wz jx vq"),        # rare grams -> high ppl
+            (2, "the cat sat on the mat"),
+            (3, ""),
+            (4, None),
+            (5, "the dog sat on the log"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in ngram_lm_score(df).collect()}
+        assert out[0]["bucket"] == 1            # head = most predictable
+        assert out[1]["bucket"] == 3            # tail = least predictable
+        assert out[0]["ppl"] < out[2]["ppl"] < out[1]["ppl"]
+        # empty/null docs: zero grams, NULL ppl and bucket
+        for i in (3, 4):
+            assert out[i]["n_grams"] == 0 and out[i]["nll_q"] == 0
+            assert out[i]["ppl"] is None and out[i]["bucket"] is None
+
+    def test_integer_quantization_is_run_deterministic(self, spark):
+        from xarray_spark.extras.text import ngram_lm_score
+        rows = [(i, f"some text body number {i} repeated words words")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        a = {r["doc_id"]: r["nll_q"] for r in
+             ngram_lm_score(df).collect()}
+        b = {r["doc_id"]: r["nll_q"] for r in
+             ngram_lm_score(df.repartition(7)).collect()}
+        assert a == b  # integer sums: partitioning can never change them
+
+    def test_threshold_fast_path_matches_cutpoints(self, spark):
+        from xarray_spark.extras.text import ngram_lm_score
+        rows = [(0, "aaa aaa aaa aaa"), (1, "the cat sat on a mat"),
+                (2, "zq xv kj qp wz")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        base = {r["doc_id"]: r["ppl"] for r in ngram_lm_score(df).collect()}
+        ppls = sorted(base.values())
+        t1 = (ppls[0] + ppls[1]) / 2
+        t2 = (ppls[1] + ppls[2]) / 2
+        out = {r["doc_id"]: r["bucket"] for r in
+               ngram_lm_score(df, thresholds=(t1, t2)).collect()}
+        by_ppl = sorted(base, key=base.get)
+        assert out[by_ppl[0]] == 1
+        assert out[by_ppl[1]] == 2
+        assert out[by_ppl[2]] == 3
+
+    def test_external_train_corpus(self, spark):
+        from xarray_spark.extras.text import ngram_lm_score
+        train = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"])
+        score = spark.createDataFrame(
+            [(10, "the quick brown fox"), (11, "zzz qqq xxx")],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               ngram_lm_score(score, train=train).collect()}
+        # grams seen in train score far better than all-OOV text
+        assert out[10]["ppl"] < out[11]["ppl"]
+
+    def test_model_joins_are_broadcast(self, spark):
+        from xarray_spark.extras.text import ngram_lm_score
+        df = spark.createDataFrame(
+            [(0, "plain text here")], ["doc_id", "text"])
+        plan = (ngram_lm_score(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan

@@ -6,6 +6,8 @@ run at scan speed with full predicate pushdown; no Python in the loop.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -266,3 +268,127 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
         F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
     )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    vocab_size: int = 128,
+    quant: int = 10_000,
+    buckets: int = 3,
+    thresholds: tuple | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity scoring and bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data" — public paper, reimplemented from the published
+    method): score each document under a character-``n``-gram language
+    model trained on ``train`` (default: the corpus itself; CCNet
+    trains on Wikipedia — pass any reference corpus), then split the
+    corpus into ``head``/``middle``/``tail`` thirds by perplexity
+    (bucket 1 = head = lowest perplexity = cleanest text).
+
+    Model: add-one-smoothed conditional char n-grams over
+    whitespace-collapsed lowercased text padded with one space on each
+    side — ``p(c_n | ctx) = (cnt_n + 1) / (cnt_ctx + vocab_size)``,
+    unseen context backs off to ``1 / vocab_size``.  Per-gram log
+    probabilities are QUANTIZED to integers (``floor(ln p * quant)``)
+    before summing, so per-document totals are exact integer sums —
+    order-independent across partitions, runs, and engines (the same
+    trick as the integer-exact Lloyd training in semdedup).
+
+    Returns ``(id, n_grams, nll_q, ppl, bucket)``: ``nll_q`` the
+    quantized total negative log-likelihood (bigint), ``ppl = exp(nll_q
+    / quant / n_grams)`` rounded to 6 decimals, ``bucket`` in
+    ``1..buckets`` (NULL for docs with no grams).
+
+    Scale shape: the model is bounded by ``alphabet^n`` rows regardless
+    of corpus size (char trigrams over web text: ~1M rows, a few MB) —
+    it BROADCASTS, so scoring is explode -> broadcast-join ->
+    partial-agg per doc: one doc-level shuffle, no model-side skew.
+    Bucketing is exact ``ntile`` over doc-level rows by default (one
+    global doc-level sort — fine up to hundreds of millions of docs);
+    at larger scale pass ``thresholds=(t1, t2, ...)`` (perplexity cut
+    points, e.g. from a sampled quantile or a previous epoch) and the
+    bucket assignment becomes a map-only comparison with no sort."""
+    from pyspark.sql import Window
+
+    train = df if train is None else train
+
+    def gram_df(src):
+        norm = F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"\s+", " ")),
+            F.lit(" "))
+        base = src.select(F.col(id_col), norm.alias("__n"))
+        grams = F.when(
+            F.length("__n") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("__n") - n + 1),
+                lambda i: F.col("__n").substr(i, F.lit(n))),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(id_col, F.explode(grams).alias("__g"))
+
+    # ---- train: conditional counts, bounded by alphabet^n rows ----
+    cnt_n = gram_df(train).groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__cn"))
+    cnt_ctx = cnt_n.groupBy(
+        F.col("__g").substr(F.lit(1), F.lit(n - 1)).alias("__ctx")).agg(
+        F.sum("__cn").alias("__cc"))
+    model = cnt_n.withColumn(
+        "__ctx", F.col("__g").substr(F.lit(1), F.lit(n - 1))
+    ).join(cnt_ctx, "__ctx").select(
+        "__g", "__cc",
+        F.floor(F.log((F.col("__cn") + 1)
+                      / (F.col("__cc") + vocab_size)) * quant)
+        .cast("long").alias("__lq"))
+    ctx_only = cnt_ctx.select(
+        "__ctx",
+        F.floor(F.log(1.0 / (F.col("__cc") + vocab_size)) * quant)
+        .cast("long").alias("__lq_ctx"))
+    lq_oov = int(math.floor(math.log(1.0 / vocab_size) * quant))
+
+    # ---- score: explode -> broadcast joins -> one doc-level agg ----
+    scored_grams = (
+        gram_df(df)
+        .join(F.broadcast(model.select("__g", "__lq")), "__g", "left")
+        .withColumn("__ctx", F.col("__g").substr(F.lit(1), F.lit(n - 1)))
+        .join(F.broadcast(ctx_only), "__ctx", "left")
+        .select(
+            id_col,
+            F.coalesce("__lq", "__lq_ctx", F.lit(lq_oov)).alias("__q"))
+    )
+    per_doc = scored_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        (-F.sum("__q")).cast("long").alias("nll_q"))
+    all_docs = df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"))
+    ppl = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.exp(F.col("nll_q") / F.lit(float(quant))
+                      / F.col("n_grams")), 6))
+    scored = all_docs.withColumn("ppl", ppl)
+
+    if thresholds is not None:
+        b = F.lit(1)
+        for t in thresholds:
+            b = b + F.when(F.col("ppl") > float(t), 1).otherwise(0)
+        return scored.withColumn(
+            "bucket", F.when(F.col("ppl").isNotNull(), b).cast("int"))
+
+    # exact deterministic thirds: integer sort key (nll_q/n_grams is an
+    # IEEE double of two exact ints — identical in any engine), doc-id
+    # tiebreak; NULL-ppl docs excluded then re-attached with NULL bucket
+    nonnull = scored.where(F.col("n_grams") > 0)
+    w = Window.orderBy(
+        (F.col("nll_q") / F.col("n_grams")).asc(), F.col(id_col).asc())
+    ranked = nonnull.withColumn("bucket", F.ntile(buckets).over(w))
+    empty = scored.where(F.col("n_grams") == 0).withColumn(
+        "bucket", F.lit(None).cast("int"))
+    return ranked.unionByName(empty)
