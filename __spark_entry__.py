@@ -245,7 +245,7 @@ def q12_diff(spark, sf_dir):
 
 
 def _masked_purchase_daily(spark, sf_dir):
-    ev = _events(spark, sf_dir).sel(event_type="purchase")
+    ev = _events(spark, sf_dir).sel(event_type="purchase", drop=True)
     daily = ev.resample(ts="D").agg(v=F.avg("value"))
     # mask low days -> nulls to exercise the fill/interp machinery
     return daily.where(F.col("v") >= 10.0)

@@ -1,0 +1,242 @@
+"""Differential wave 31: signature-audit parity — the kwargs the
+round-6 reference-signature diff surfaced (sel/isel drop, squeeze
+drop/axis, missing_dims, groupby_bins precision/duplicates, polyfit
+skipna, quantile interpolation alias, merge overwrite_vars, pad
+stat_length, reset_index/reset_coords drop, drop_vars errors,
+to_dataarray name, cumulative min_periods) — each behavior compared
+against the reference xarray."""
+
+import sys
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/reference")
+import xarray as xr  # noqa: E402
+
+from xarray_spark import XDataset  # noqa: E402
+
+warnings.filterwarnings("ignore")
+
+
+def _pair(spark, n=8, seed=3):
+    rng = np.random.RandomState(seed)
+    vals = rng.randn(n).round(6)
+    keys = rng.randint(0, 3, n)
+    ref = xr.Dataset({"v": ("t", vals)},
+                     coords={"t": np.arange(n), "k": ("t", keys)})
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(n), "k": keys, "v": vals})),
+        dims=["t"], coords={"k": ("t",)})
+    return ref, ours
+
+
+def test_scalar_sel_keeps_scalar_coords_like_reference(spark):
+    ref, ours = _pair(spark)
+    r = ref.sel(t=3)
+    o = ours.sel(t=3)
+    # reference: t and k become scalar coords, still present
+    assert set(r.coords) == {"t", "k"}
+    assert o.dims == () and set(o.coords) == {"t", "k"}
+    assert set(o.df.columns) == {"t", "k", "v"}
+    p = o.to_pandas()
+    assert p["t"].iloc[0] == 3 and p["k"].iloc[0] == int(r["k"])
+
+
+def test_scalar_sel_drop_true_matches_reference(spark):
+    ref, ours = _pair(spark)
+    r = ref.sel(t=3, drop=True)
+    o = ours.sel(t=3, drop=True)
+    assert dict(r.coords) == {}
+    assert o.coords == {} and set(o.df.columns) == {"v"}
+    assert o.to_pandas()["v"].iloc[0] == float(r["v"])
+
+
+def test_scalar_isel_drop_grid_matches_reference(spark):
+    ref, ours = _pair(spark)
+    for drop in (False, True):
+        r = ref.isel(t=5, drop=drop)
+        o = ours.isel(t=5, drop=drop)
+        assert set(o.coords) == set(r.coords)
+        assert o.to_pandas()["v"].iloc[0] == float(r["v"])
+
+
+def test_isel_missing_dims_matches_reference(spark):
+    ref, ours = _pair(spark)
+    with pytest.raises(ValueError):
+        ref.isel(zz=0)
+    with pytest.raises(ValueError):
+        ours.isel(zz=0)
+    r = ref.isel(zz=0, missing_dims="ignore")
+    o = ours.isel(zz=0, missing_dims="ignore")
+    assert list(r.dims) == ["t"] and list(o.dims) == ["t"]
+    with pytest.warns(UserWarning):
+        ours.isel(zz=0, missing_dims="warn")
+
+
+def test_squeeze_default_and_drop_match_reference(spark):
+    ref, ours = _pair(spark)
+    r0 = ref.isel(t=slice(2, 3)).squeeze()
+    o0 = ours.isel(t=slice(2, 3)).squeeze()
+    assert set(o0.coords) == set(r0.coords) == {"t", "k"}
+    r1 = ref.isel(t=slice(2, 3)).squeeze(drop=True)
+    o1 = ours.isel(t=slice(2, 3)).squeeze(drop=True)
+    assert dict(r1.coords) == {} and o1.coords == {}
+    # explicit dim of size > 1 raises on both sides
+    with pytest.raises(ValueError):
+        ref.squeeze("t")
+    with pytest.raises(ValueError):
+        ours.squeeze("t")
+
+
+def test_groupby_bins_precision_matches_reference(spark):
+    ref, ours = _pair(spark, n=40, seed=7)
+    bins = [-2.13579, -0.2468, 0.13579, 2.97531]
+    exp = ref.groupby_bins("v", bins, precision=5).sum()
+    got = (ours.groupby_bins("v", bins, precision=5).sum()
+           .to_pandas().set_index("v_bins")["v"])
+    lbls = [str(c) for c in exp["v_bins"].values]
+    assert sorted(got.index) == sorted(lbls)
+    for lbl, val in zip(lbls, exp["v"].values):
+        assert got[lbl] == pytest.approx(val, rel=1e-9)
+
+
+def test_groupby_bins_duplicates_matches_pandas(spark):
+    _, ours = _pair(spark, n=20, seed=11)
+    with pytest.raises(ValueError):
+        ours.groupby_bins("v", [0.0, 0.0, 1.0]).sum().to_pandas()
+    # duplicates='drop' collapses the repeated edge like pandas.cut
+    got = (ours.groupby_bins("v", [-9.0, 0.0, 0.0, 9.0],
+                             duplicates="drop").sum().to_pandas())
+    s = pd.Series(ours.to_pandas()["v"].to_numpy())
+    exp = s.groupby(pd.cut(s, [-9.0, 0.0, 0.0, 9.0],
+                           duplicates="drop")).sum()
+    exp = exp[exp.index.astype(str).isin(got["v_bins"].tolist())]
+    got = got.set_index("v_bins")["v"]
+    for iv, val in exp.items():
+        assert got[str(iv)] == pytest.approx(val, rel=1e-9)
+
+
+def test_polyfit_skipna_false_poisons_like_reference(spark):
+    n = 12
+    vals = np.linspace(0, 3, n) + 0.5
+    vals[4] = np.nan
+    clean = np.linspace(1, 4, n)
+    ref = xr.Dataset({"a": ("t", vals), "b": ("t", clean)},
+                     coords={"t": np.arange(n, dtype=float)})
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(n, dtype=float),
+                      "a": vals, "b": clean})), dims=["t"])
+    r = ref.polyfit("t", 1, skipna=False)
+    o = (ours.polyfit("t", 1, skipna=False).to_pandas()
+         .sort_values("degree", ascending=False))
+    assert np.isnan(r["a_polyfit_coefficients"].values).all()
+    assert np.isnan(o["a_polyfit_coefficients"].to_numpy()).all()
+    np.testing.assert_allclose(o["b_polyfit_coefficients"].to_numpy(),
+                               r["b_polyfit_coefficients"].values,
+                               rtol=1e-8)
+
+
+def test_quantile_interpolation_alias_matches_reference(spark):
+    ref, ours = _pair(spark, n=30, seed=5)
+    with pytest.warns(FutureWarning):
+        exp = ref.quantile(0.3, interpolation="lower")
+    with pytest.warns(FutureWarning):
+        got = ours.quantile(0.3, interpolation="lower").to_pandas()
+    assert got["v"].iloc[0] == pytest.approx(float(exp["v"]), rel=1e-12)
+
+
+def test_merge_overwrite_vars_matches_reference(spark):
+    a_ref = xr.Dataset({"u": ("t", [1.0, 2.0]), "w": ("t", [5.0, 6.0])},
+                       coords={"t": [0, 1]})
+    b_ref = xr.Dataset({"u": ("t", [9.0, 9.0])}, coords={"t": [0, 1]})
+    exp = a_ref.merge(b_ref, overwrite_vars="u")
+    a = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "u": [1.0, 2.0], "w": [5.0, 6.0]})),
+        dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "u": [9.0, 9.0]})), dims=["t"])
+    # without overwrite_vars the conflicting u raises on both sides
+    with pytest.raises(Exception):
+        a_ref.merge(b_ref)
+    with pytest.raises(Exception):
+        a.merge(b)
+    got = a.merge(b, overwrite_vars="u").to_pandas().sort_values("t")
+    np.testing.assert_allclose(got["u"].to_numpy(), exp["u"].values)
+    np.testing.assert_allclose(got["w"].to_numpy(), exp["w"].values)
+
+
+def test_pad_stat_length_matches_numpy(spark):
+    vals = np.array([1.0, 5.0, 2.0, 8.0, 4.0, 7.0])
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(6), "v": vals})), dims=["t"])
+    for mode in ("mean", "maximum", "minimum"):
+        for sl in (1, 2, ((3, 1),)):
+            exp = np.pad(vals, (2, 2), mode=mode, stat_length=sl)
+            got = (ours.pad(t=(2, 2), mode=mode, stat_length=sl)
+                   .to_pandas().sort_values("t")["v"].to_numpy())
+            np.testing.assert_allclose(got, exp, err_msg=f"{mode}/{sl}")
+
+
+def test_reset_index_drop_matches_reference(spark):
+    ref, ours = _pair(spark)
+    r = ref.set_index(t="k").reset_index("t", drop=True)
+    o = ours.set_index(t="k").reset_index("t", drop=True)
+    assert "t" not in r.coords and "t" not in o.df.columns
+
+
+def test_reset_coords_drop_matches_reference(spark):
+    ref, ours = _pair(spark)
+    r = ref.reset_coords("k", drop=True)
+    o = ours.reset_coords("k", drop=True)
+    assert "k" not in r.variables and "k" not in o.df.columns
+    assert list(r.data_vars) == ["v"] and list(o.data_vars) == ["v"]
+
+
+def test_drop_vars_errors_matches_reference(spark):
+    ref, ours = _pair(spark)
+    with pytest.raises(ValueError):
+        ref.drop_vars("nope")
+    with pytest.raises(ValueError):
+        ours.drop_vars("nope")
+    assert list(ref.drop_vars("nope", errors="ignore").data_vars) == ["v"]
+    assert list(ours.drop_vars("nope", errors="ignore").data_vars) == ["v"]
+    with pytest.raises(ValueError):
+        ours.drop_dims("nope")
+    assert ours.drop_dims("nope", errors="ignore").dims == ("t",)
+
+
+def test_to_dataarray_name_matches_reference(spark):
+    ref, ours = _pair(spark)
+    # reference to_dataarray names the ARRAY; long form names the value
+    # column of the melted table — both surface the chosen name
+    r = ref.to_dataarray(dim="var")
+    o = ours.to_dataarray(dim="var", name="reading")
+    assert "reading" in o.df.columns and "var" in o.df.columns
+    got = o.to_pandas().sort_values("t")["reading"].to_numpy()
+    np.testing.assert_allclose(got, r.sel(var="v").values)
+
+
+def test_cumulative_min_periods_matches_reference(spark):
+    ref, ours = _pair(spark, n=10, seed=9)
+    exp = ref["v"].cumulative("t", min_periods=3).mean()
+    got = (ours.cumulative("t", min_periods=3).mean()
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp.values, equal_nan=True)
+
+
+def test_set_index_multilevel_roundtrip(spark):
+    _, ours = _pair(spark)
+    pdf = pd.DataFrame({"t": [0, 1, 2, 3], "a": ["p", "p", "q", "q"],
+                        "b": [0, 1, 0, 1], "v": [1.0, 2.0, 3.0, 4.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"],
+                  coords={"a": ("t",), "b": ("t",)})
+    m = ds.set_index(t=["a", "b"])
+    # struct key with the two levels; selectable by tuple like a
+    # stacked dim
+    sel = m.sel(t=("q", 1)).to_pandas()
+    assert sel["v"].iloc[0] == 4.0
+    with pytest.raises(KeyError):
+        ds.set_index(t=["a", "zz"])

@@ -150,7 +150,8 @@ def polyval(coord: XDataArray, coeffs, name: str = "polyval",
 
 def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
             full: bool = False, cov: bool | str = False,
-            rcond: float | None = None) -> XDataset:
+            rcond: float | None = None,
+            skipna: bool | None = None) -> XDataset:
     """Least-squares polynomial fit per complement-dim group
     (xarray/computation/fit.py:101); ``w=`` names a weight column
     (xarray's array-like ``w`` in long form).
@@ -172,7 +173,12 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
     residuals plus ``{v}_polyfit_covariance``: each degree row carries
     its ROW of the covariance matrix as array<double> (cov_i ≡ degree
     row, cov_j ≡ array index); ``cov='unscaled'`` skips the
-    residual/(n−order) factor (fit.py:281-294)."""
+    residual/(n−order) factor (fit.py:281-294).
+
+    ``skipna``: None/True mask invalid values out of the moments (the
+    default path); ``skipna=False`` reproduces np.polyfit fed raw NaNs —
+    any invalid value in a group poisons that var's coefficients (one
+    extra MAX flag in the same aggregation, no second pass)."""
     import numpy as np
     import pandas as pd
 
@@ -199,6 +205,8 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
             )
         if need_resid:
             aggs.append(F.sum(F.when(mask, wc * vd * vd)).alias(f"__yy_{v}"))
+        if skipna is False:
+            aggs.append(F.max((~mask).cast("int")).alias(f"__nan_{v}"))
     moments = ds.df.groupBy(*others).agg(*aggs) if others else ds.df.agg(*aggs)
 
     # rank / singular values / covariance base: properties of the
@@ -267,6 +275,8 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
                 try:
                     c = np.linalg.solve(S, t)
                 except np.linalg.LinAlgError:
+                    c = np.full(deg + 1, np.nan)
+                if skipna is False and r.get(f"__nan_{v}", 0) == 1:
                     c = np.full(deg + 1, np.nan)
                 coefs[v] = c
                 if need_resid:

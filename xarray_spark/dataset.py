@@ -517,8 +517,29 @@ class XDataset:
             if mine:
                 out = strategy.sel(out, mine, method, tolerance)
         for dim, value in indexers.items():
-            out = out._sel_one(dim, value, method, tolerance)
+            out = out._sel_one(dim, value, method, tolerance, drop)
         return out
+
+    def _demote_dim(self, dim: str, drop: bool) -> "XDataset":
+        """Collapse a scalar-selected dim: xarray KEEPS it as a scalar
+        coordinate (drop=False, the default) and only removes it under
+        drop=True (xarray/core/dataset.py:3003 sel drop param).  In long
+        form a scalar coord is a constant column recorded in ``coords``
+        with an EMPTY dims tuple; coords formerly keyed on the collapsed
+        dim become scalar coords themselves."""
+        if drop:
+            return self._drop_dim(dim)
+        if dim not in self.dims:
+            if dim in self.coords:
+                coords = dict(self.coords)
+                coords[dim] = ()
+                return self._replace(coords=coords)
+            return self
+        new_coords = {k: tuple(d for d in v if d != dim)
+                      for k, v in self.coords.items()}
+        new_coords[dim] = ()
+        return self._replace(dims=[d for d in self.dims if d != dim],
+                             coords=new_coords)
 
     def _sel_bound(self, dim: str, value, side: str):
         """Slice-bound condition; ISO8601 prefix strings on temporal dims
@@ -535,7 +556,8 @@ class XDataset:
         op = (F.col(dim) >= F.lit(value)) if side == "start" else (F.col(dim) <= F.lit(value))
         return op
 
-    def _sel_one(self, dim: str, value, method, tolerance) -> "XDataset":
+    def _sel_one(self, dim: str, value, method, tolerance,
+                 drop: bool = False) -> "XDataset":
         from xarray_spark._utils import is_temporal, parse_iso8601_prefix
         if (isinstance(value, tuple)
                 and isinstance(self.df.schema[dim].dataType, T.StructType)):
@@ -605,12 +627,13 @@ class XDataset:
                     if res == "second":
                         out = self._replace(
                             df=self.df.where(F.col(dim) == F.lit(start)))
-                        return out._drop_dim(dim)
+                        return out._demote_dim(dim, drop)
                     return self._replace(df=self.df.where(
                         (F.col(dim) >= F.lit(start)) & (F.col(dim) < F.lit(end))))
-            # scalar: filter and drop the dim (xarray drops scalar-selected dims)
+            # scalar: filter; the dim collapses to a scalar coord
+            # (removed entirely only under drop=True — xarray parity)
             out = self._replace(df=self.df.where(F.col(dim) == F.lit(value)))
-            return out._drop_dim(dim)
+            return out._demote_dim(dim, drop)
         # inexact matching: resolve requested labels against the label table
         req = [value] if scalar else list(value)
         if not scalar and len(req) > 128:
@@ -645,7 +668,7 @@ class XDataset:
             if not matched:
                 raise KeyError(f"no label matching {value!r} on {dim!r}")
             out = self._replace(df=self.df.where(F.col(dim) == F.lit(matched[0])))
-            return out._drop_dim(dim)
+            return out._demote_dim(dim, drop)
         if len(matched) < len(req):
             raise KeyError(
                 f"not all values found in index {dim!r} with method={method!r}")
@@ -687,20 +710,46 @@ class XDataset:
         got = {r["__req"]: r["__lab"] for r in rows}
         return [got[r] for r in requests if r in got]
 
-    def isel(self, indexers: Mapping[str, Any] | None = None, **indexers_kwargs) -> "XDataset":
+    def isel(self, indexers: Mapping[str, Any] | None = None,
+             drop: bool = False, missing_dims: str = "raise",
+             **indexers_kwargs) -> "XDataset":
         """Positional selection: int, slice, or list of ints per dim.
 
         Positions come from the broadcast label table (dense rank of label
         order) — the fact table itself is only filtered, never sorted.
+        An int indexer collapses the dim to a scalar coord (removed under
+        ``drop=True``); ``missing_dims`` in {'raise','warn','ignore'}
+        governs indexers naming absent dims (xarray
+        core/dataset.py:3003).
         """
         indexers = {**(indexers or {}), **indexers_kwargs}
+        indexers = self._apply_missing_dims(indexers, missing_dims)
         self._check_selectable(indexers)
         out = self
         for dim, value in indexers.items():
-            out = out._isel_one(dim, value)
+            out = out._isel_one(dim, value, drop)
         return out
 
-    def _isel_one(self, dim: str, value) -> "XDataset":
+    def _apply_missing_dims(self, indexers: dict, missing_dims: str) -> dict:
+        if missing_dims not in ("raise", "warn", "ignore"):
+            raise ValueError(
+                f"missing_dims must be 'raise', 'warn' or 'ignore', "
+                f"got {missing_dims!r}")
+        absent = [d for d in indexers if d not in self.df.columns]
+        if not absent:
+            return indexers
+        if missing_dims == "raise":
+            raise ValueError(
+                f"Dimensions {absent} do not exist. Expected one or more "
+                f"of {list(self.dims)}")
+        if missing_dims == "warn":
+            import warnings
+            warnings.warn(
+                f"Dimensions {absent} do not exist. Expected one or more "
+                f"of {list(self.dims)}", UserWarning, stacklevel=3)
+        return {k: v for k, v in indexers.items() if k not in absent}
+
+    def _isel_one(self, dim: str, value, drop: bool = False) -> "XDataset":
         import numpy as _np
         if isinstance(value, (list, tuple, _np.ndarray)):
             arr = _np.asarray(value)
@@ -711,18 +760,21 @@ class XDataset:
         labels = self._dim_labels(dim)
         pos, size = F.col("__pos"), F.col("__size")
         norm = lambda i: F.when(F.lit(i) < 0, size + F.lit(i)).otherwise(F.lit(i))  # noqa: E731
-        drop = False
+        collapsed = False
         if isinstance(value, int):
             sel = labels.where(pos == norm(value))
-            drop = True
+            collapsed = True
         elif isinstance(value, slice):
             if value.step is not None and value.step < 0:
                 # negative step anchors at the END (Python slice
                 # semantics: default start is n-1, stop is exclusive
                 # going DOWN) — wave-29 diff find: the positive-step
                 # predicate anchored at 0 picked the wrong position set
+                # Python clamps an out-of-range start DOWN to n-1 for
+                # negative steps (slice.indices) — the step anchor and
+                # the bound must use the clamped value
                 start = (size - F.lit(1)) if value.start is None \
-                    else norm(value.start)
+                    else F.least(norm(value.start), size - F.lit(1))
                 cond = pos <= start
                 if value.stop is not None:
                     cond = cond & (pos > norm(value.stop))
@@ -734,7 +786,12 @@ class XDataset:
                 if value.stop is not None:
                     cond = cond & (pos < norm(value.stop))
                 if value.step is not None:
-                    start = F.lit(0) if value.start is None else norm(value.start)
+                    # Python clamps a below-range start UP to 0 for
+                    # positive steps (slice.indices: max(n+start, 0)) —
+                    # without the clamp the modulo anchors off-grid
+                    # (hypothesis find: n=1, slice(-2, None, 2))
+                    start = F.lit(0) if value.start is None \
+                        else F.greatest(norm(value.start), F.lit(0))
                     cond = cond & ((pos - start) % F.lit(value.step) == 0)
             sel = labels.where(cond)
         elif isinstance(value, (list, tuple)):
@@ -744,7 +801,7 @@ class XDataset:
             raise TypeError(f"isel indexer for {dim!r}: {type(value)}")
         df = self.df.join(F.broadcast(sel.select(dim)), on=dim, how="left_semi")
         out = self._replace(df=df)
-        return out._drop_dim(dim) if drop else out
+        return out._demote_dim(dim, drop) if collapsed else out
 
     def _drop_dim(self, dim: str) -> "XDataset":
         """Remove a dim/coord column after a scalar selection collapsed it."""
@@ -784,13 +841,25 @@ class XDataset:
         indexers = self._count_indexers(indexers, kw)
         return self.isel({d: slice(None, None, k) for d, k in indexers.items()})
 
-    def squeeze(self, dim: str | None = None) -> "XDataset":
-        dims = [dim] if dim else list(self.dims)
+    def squeeze(self, dim: str | None = None, drop: bool = False,
+                axis: int | None = None) -> "XDataset":
+        """Collapse size-1 dims to scalar coords (columns kept; removed
+        under ``drop=True`` — xarray core/dataset.py:4843 squeeze)."""
+        if axis is not None:
+            if dim is not None:
+                raise ValueError("cannot use both 'dim' and 'axis'")
+            dims = [self.dims[axis]]
+        else:
+            dims = [dim] if dim else list(self.dims)
         sizes = self.dim_sizes()
+        if dim is not None and sizes.get(dim) != 1:
+            raise ValueError(
+                f"cannot select a dimension to squeeze out which has "
+                f"length greater than one: {dim!r}")
         out = self
         for d in dims:
             if sizes.get(d) == 1:
-                out = out._drop_dim(d)
+                out = out._demote_dim(d, drop)
         return out
 
     def drop_sel(self, indexers=None, errors: str = "raise", **kw) -> "XDataset":
@@ -825,15 +894,34 @@ class XDataset:
             out = out._replace(df=out.df.join(F.broadcast(sel.select(dim)), on=dim, how="left_semi"))
         return out
 
-    def drop_vars(self, names: str | Iterable[str]) -> "XDataset":
+    def drop_vars(self, names: str | Iterable[str],
+                  errors: str = "raise") -> "XDataset":
+        """Drop variables; a missing name raises unless errors='ignore'
+        (xarray/core/dataset.py:5508)."""
         names = [names] if isinstance(names, str) else list(names)
+        if errors == "raise":
+            have = set(self.df.columns)
+            missing = [n for n in names if n not in have]
+            if missing:
+                raise ValueError(
+                    f"These variables cannot be found in this dataset: "
+                    f"{missing}")
         new_vars = [v for v in self.data_vars if v not in names]
         new_coords = {k: v for k, v in self.coords.items() if k not in names}
         keep = [c for c in self.df.columns if c not in names or c in self.dims]
         return self._replace(df=self.df.select(*keep), coords=new_coords, data_vars=new_vars)
 
-    def drop_dims(self, dims: str | Iterable[str]) -> "XDataset":
+    def drop_dims(self, dims: str | Iterable[str],
+                  errors: str = "raise") -> "XDataset":
+        """Drop dims and every variable using them; a missing dim raises
+        unless errors='ignore' (xarray/core/dataset.py:5560)."""
         dims = [dims] if isinstance(dims, str) else list(dims)
+        if errors == "raise":
+            missing = [d for d in dims if d not in self.dims]
+            if missing:
+                raise ValueError(
+                    f"Dataset does not contain the dimensions: {missing}")
+        dims = [d for d in dims if d in self.dims]
         out = self
         for d in dims:
             out = out._drop_dim(d)
@@ -1138,8 +1226,17 @@ class XDataset:
             coords=coords, data_vars=[v for v in self.data_vars if v not in names]
         )
 
-    def reset_coords(self, names: str | Iterable[str] | None = None) -> "XDataset":
+    def reset_coords(self, names: str | Iterable[str] | None = None,
+                     drop: bool = False) -> "XDataset":
+        """Demote coords to data vars; ``drop=True`` removes them
+        entirely instead (xarray/core/dataset.py:1737)."""
         names = list(self.coords) if names is None else ([names] if isinstance(names, str) else list(names))
+        if drop:
+            keep = [c for c in self.df.columns if c not in names]
+            return self._replace(
+                df=self.df.select(*keep),
+                coords={k: v for k, v in self.coords.items() if k not in names},
+            )
         return self._replace(
             coords={k: v for k, v in self.coords.items() if k not in names},
             data_vars=list(self.data_vars) + [n for n in names if n in self.coords],
@@ -1336,26 +1433,25 @@ class XDataset:
                   else F.col(d).desc_nulls_last()) for d in tieb]
         return self._replace(df=self.df.orderBy(*cols))
 
-    def to_dataarray(self, dim: str = "variable") -> "XDataArray":
+    def to_dataarray(self, dim: str = "variable",
+                     name: str | None = None) -> "XDataArray":
         """Melt data variables into a new dim (xarray/core/dataset.py:7200)
-        — SQL unpivot."""
+        — SQL unpivot.  ``name`` renames the melted value variable."""
         id_cols = list(self.dims) + list(self.coords)
-        pairs = []
-        for v in self.data_vars:
-            pairs.append(F.lit(v))
-            pairs.append(F.col(v).cast("double"))
+        value_name = name if name is not None else "value"
         df = self.df.select(
             *id_cols, F.expr(
-                "stack({n}, {args}) as ({dim}, value)".format(
+                "stack({n}, {args}) as ({dim}, `{val}`)".format(
                     n=len(self.data_vars),
                     # backquote: numeric-like variable names ('0' from a
                     # pivot) would otherwise parse as literals
                     args=", ".join(f"'{v}', cast(`{v}` as double)" for v in self.data_vars),
-                    dim=dim,
+                    dim=dim, val=value_name,
                 )
             )
         )
-        return XDataArray(df, [dim] + list(self.dims), self.coords, ["value"], self.attrs)
+        return XDataArray(df, [dim] + list(self.dims), self.coords,
+                          [value_name], self.attrs)
 
     def to_dataset_pivot(self, dim: str, value_var: str | None = None) -> "XDataset":
         """Pivot one dim's labels into variables (inverse of to_dataarray)."""
@@ -1483,7 +1579,8 @@ class XDataset:
         return self._reduce(dim, lambda v: F.bool_or(F.col(v).cast("boolean")), "any")
 
     def quantile(self, q, dim=None, skipna: bool = True, approx: bool = False,
-                 method: str = "linear") -> "XDataset":
+                 method: str = "linear", numeric_only: bool = False,
+                 interpolation: str | None = None) -> "XDataset":
         """Exact quantile (xarray/core/dataset.py:8237) with the full numpy
         interpolation-``method`` matrix (xarray/core/variable.py:1929).
 
@@ -1500,6 +1597,11 @@ class XDataset:
         - ``approx=True``: ``approx_percentile`` t-digest, any shape —
           the opt-in sketch when groups themselves are huge.
         """
+        if interpolation is not None:
+            import warnings
+            warnings.warn("the 'interpolation' argument is deprecated, "
+                          "use 'method'", FutureWarning, stacklevel=2)
+            method = interpolation
         qs = [q] if not isinstance(q, (list, tuple)) else list(q)
         dims = self._norm_dim_arg(dim)
         keep = [d for d in self.dims if d not in dims]
@@ -2366,7 +2468,8 @@ class XDataset:
         return XGroupBy(self, keys)
 
     def groupby_bins(self, group: str, bins, labels=None, right: bool = True,
-                     include_lowest: bool = False):
+                     include_lowest: bool = False, precision: int = 3,
+                     duplicates: str = "raise"):
         from xarray_spark.groupers import BinGrouper
         if isinstance(bins, int):
             # pandas.cut integer form: equal-width edges over the data
@@ -2381,7 +2484,8 @@ class XDataset:
             bins = [float(e) for e in edges]
         return self.groupby(**{group: BinGrouper(
             bins=bins, labels=labels, right=right,
-            include_lowest=include_lowest)})
+            include_lowest=include_lowest, precision=precision,
+            duplicates=duplicates)})
 
     def resample(self, indexer: Mapping[str, str] | None = None,
                  closed: str | None = None, label: str | None = None,
@@ -2405,9 +2509,10 @@ class XDataset:
         windows = {**(windows or {}), **kw}
         return XCoarsen(self, windows, boundary, side, coord_func)
 
-    def cumulative(self, dim: str):
+    def cumulative(self, dim: str, min_periods: int = 1):
         from xarray_spark.rolling import XRolling
-        return XRolling(self, {dim: -1}, min_periods=1, center=False)
+        return XRolling(self, {dim: -1}, min_periods=min_periods,
+                        center=False)
 
     def rolling_exp(self, windows: Mapping[str, float] | None = None,
                     window_type: str = "span", **kw):
@@ -2473,10 +2578,17 @@ class XDataset:
         return reindex(self, indexers, method, tolerance, fill_value)
 
     def merge(self, other: "XDataset", compat: str = "no_conflicts",
-              join: str = "outer", fill_value=None,
-              combine_attrs="override") -> "XDataset":
+              join: str = "outer", fill_value=None, combine_attrs="override",
+              overwrite_vars: str | Iterable[str] = frozenset()) -> "XDataset":
+        """Merge; ``overwrite_vars`` names variables where other's version
+        wins WITHOUT compat checking (xarray/core/dataset.py:5832)."""
         from xarray_spark.combine import merge
-        return merge([self, other], compat=compat, join=join,
+        ov = {overwrite_vars} if isinstance(overwrite_vars, str) else set(overwrite_vars)
+        left = self
+        if ov:
+            left = left.drop_vars([v for v in left.data_vars if v in ov
+                                   and v in other.data_vars])
+        return merge([left, other], compat=compat, join=join,
                      fill_value=fill_value, combine_attrs=combine_attrs)
 
     def update(self, other: "XDataset") -> "XDataset":
@@ -2517,7 +2629,8 @@ class XDataset:
 
     def pad(self, pad_width: Mapping[str, tuple[int, int]] | None = None,
             mode: str = "constant", constant_values=None, end_values=0.0,
-            reflect_type: str = "even", **kw) -> "XDataset":
+            reflect_type: str = "even", stat_length=None,
+            **kw) -> "XDataset":
         """Extend dims with new labels (xarray/core/dataset.py:9054).
 
         Long-form: new labels are synthesized by extrapolating the label
@@ -2542,12 +2655,12 @@ class XDataset:
         for dim, width in pad_width.items():
             before, after = (width, width) if isinstance(width, int) else width
             out = out._pad_one(dim, before, after, mode, constant_values,
-                               end_values, reflect_type)
+                               end_values, reflect_type, stat_length)
         return out
 
     def _pad_one(self, dim: str, before: int, after: int, mode: str,
                  constant_values, end_values=0.0,
-                 reflect_type: str = "even") -> "XDataset":
+                 reflect_type: str = "even", stat_length=None) -> "XDataset":
         from xarray_spark._utils import to_double
         if before == 0 and after == 0:
             return self
@@ -2589,11 +2702,40 @@ class XDataset:
         if mode in ("mean", "maximum", "minimum"):
             aggfn = {"mean": F.avg, "maximum": F.max, "minimum": F.min}[mode]
             aggs = [aggfn(v).alias(v) for v in self.data_vars]
-            agg = (self.df.groupBy(*others).agg(*aggs) if others
-                   else self.df.agg(*aggs))
-            new_rows = (new_rows.crossJoin(F.broadcast(agg)) if not others
-                        else self.df.select(*others).distinct()
-                        .crossJoin(F.broadcast(new_rows)).join(agg, on=others))
+            sl_b, sl_a = self._norm_constant_values(stat_length, dim)
+            if sl_b is not None or sl_a is not None:
+                # np.pad stat_length: the statistic uses only the
+                # nearest k values at EACH edge — per-side aggregates
+                # over position-filtered rows (positions from the
+                # broadcast label table, one extra equi-join, no sort)
+                labels = self._dim_labels(dim).select(
+                    dim, "__pos", "__size")
+                fact = self.df.join(F.broadcast(labels), on=dim)
+                cb = (F.col("__pos") < int(sl_b)) if sl_b else F.lit(True)
+                ca = (F.col("__pos") >= F.col("__size") - int(sl_a))                     if sl_a else F.lit(True)
+                agg_b = (fact.where(cb).groupBy(*others).agg(*aggs)
+                         if others else fact.where(cb).agg(*aggs))
+                agg_a = (fact.where(ca).groupBy(*others).agg(*aggs)
+                         if others else fact.where(ca).agg(*aggs))
+                sides = []
+                for tag, agg_s in (("b", agg_b), ("a", agg_a)):
+                    rows_s = new_rows.where(F.col("__side") == tag)
+                    if others:
+                        rows_s = (self.df.select(*others).distinct()
+                                  .crossJoin(F.broadcast(rows_s))
+                                  .join(agg_s, on=others))
+                    else:
+                        rows_s = rows_s.crossJoin(F.broadcast(agg_s))
+                    sides.append(rows_s)
+                new_rows = sides[0].unionByName(sides[1])
+            else:
+                agg = (self.df.groupBy(*others).agg(*aggs) if others
+                       else self.df.agg(*aggs))
+                new_rows = (new_rows.crossJoin(F.broadcast(agg))
+                            if not others
+                            else self.df.select(*others).distinct()
+                            .crossJoin(F.broadcast(new_rows))
+                            .join(agg, on=others))
             for c in self.df.columns:
                 if c not in new_rows.columns:
                     new_rows = new_rows.withColumn(
@@ -2708,10 +2850,60 @@ class XDataset:
         new_full = joined.select(*exprs)
         return self._replace(df=self.df.unionByName(new_full.select(*self.df.columns)))
 
-    def set_index(self, indexes: Mapping[str, str] | None = None, **kw) -> "XDataset":
+    def set_index(self, indexes: Mapping[str, Any] | None = None,
+                  append: bool = False, **kw) -> "XDataset":
         """Promote coords to dim keys (xarray/core/dataset.py:4778) —
-        catalog-level re-keying in long form (same as swap_dims)."""
-        return self.swap_dims({**(indexes or {}), **kw})
+        catalog-level re-keying in long form (same as swap_dims).
+        A list value builds a stacked (struct) multi-level key like
+        stack(); ``append=True`` extends the EXISTING key with the new
+        level(s) instead of replacing it (pandas set_index append)."""
+        indexes = {**(indexes or {}), **kw}
+        out = self
+        for dim, spec in indexes.items():
+            levels = [spec] if isinstance(spec, str) else list(spec)
+            if append:
+                dtype = out.df.schema[dim].dataType
+                old = ([f"{dim}.{f}" for f in dtype.names]
+                       if isinstance(dtype, T.StructType) else [dim])
+                fields = []
+                for ref in old:
+                    name = ref.split(".")[-1]
+                    fields.append(F.col(ref).alias(name))
+                for lv in levels:
+                    if lv not in out.df.columns:
+                        raise KeyError(lv)
+                    fields.append(F.col(lv).alias(lv))
+                df = out.df.withColumn(f"__sk_{dim}", F.struct(*fields))
+                keep = [c for c in df.columns if c != dim]
+                df = df.select(*keep).withColumnRenamed(f"__sk_{dim}", dim)
+                coords = {k: v for k, v in out.coords.items()
+                          if k not in levels}
+                for lv in levels:
+                    coords[lv] = (dim,)
+                out = XDataset(df, out.dims, coords,
+                               [v for v in out.data_vars
+                                if v not in levels], out.attrs)
+            elif len(levels) > 1:
+                # multi-level index: the dim's key becomes a struct of
+                # the named coords (the old index coord is replaced,
+                # as in the reference)
+                for lv in levels:
+                    if lv not in out.df.columns:
+                        raise KeyError(lv)
+                fields = [F.col(lv).alias(lv) for lv in levels]
+                df = out.df.withColumn(f"__sk_{dim}", F.struct(*fields))
+                keep = [c for c in df.columns if c != dim]
+                df = df.select(*keep).withColumnRenamed(f"__sk_{dim}", dim)
+                coords = {k: v for k, v in out.coords.items()
+                          if k not in levels and k != dim}
+                for lv in levels:
+                    coords[lv] = (dim,)
+                out = XDataset(df, out.dims, coords,
+                               [v for v in out.data_vars
+                                if v not in levels], out.attrs)
+            else:
+                out = out.swap_dims({dim: levels[0]})
+        return out
 
     def reorder_levels(self, dim_order: Mapping[str, Sequence[str]] | None = None,
                        **kw: Sequence[str]) -> "XDataset":
@@ -2782,12 +2974,22 @@ class XDataset:
         attrs["_xindexes"] = [n for n in existing if n not in names]
         return self._replace(attrs=attrs)
 
-    def reset_index(self, dims: str | Iterable[str]) -> "XDataset":
+    def reset_index(self, dims: str | Iterable[str],
+                    drop: bool = False) -> "XDataset":
         """Demote dim keys back to plain coords
         (xarray/core/dataset.py:4943).  The column stays; only its
-        catalog role changes."""
+        catalog role changes.  ``drop=True`` removes the demoted
+        columns instead of keeping them as coords."""
         dims = [dims] if isinstance(dims, str) else list(dims)
         new_dims = [d for d in self.dims if d not in dims]
+        if drop:
+            keep = [c for c in self.df.columns if c not in dims]
+            return self._replace(
+                df=self.df.select(*keep),
+                dims=new_dims or [d for d in self.dims if d not in dims],
+                coords={k: v for k, v in self.coords.items()
+                        if k not in dims},
+            )
         coords = dict(self.coords)
         for d in dims:
             coords[d] = tuple(new_dims) or (d,)
@@ -2795,6 +2997,7 @@ class XDataset:
 
     def to_stacked_array(self, new_dim: str = "variable",
                          sample_dims: Sequence[str] | None = None,
+                         variable_dim: str = "variable",
                          name: str = "value") -> "XDataArray":
         """Stack data variables into one array dim
         (xarray/core/dataset.py:5383) — SQL unpivot (melt).
@@ -2808,7 +3011,13 @@ class XDataset:
             raise NotImplementedError(
                 "to_stacked_array with sample_dims a strict subset of "
                 "dims: stack() the non-sample dims first, then melt")
-        return self.to_dataarray(dim=new_dim)
+        out = self.to_dataarray(dim=new_dim, name=name)
+        if variable_dim != "variable":
+            # the reference names the variable LEVEL of the stacked
+            # multiindex; the long-form stacked dim has one level, so
+            # the level name rides in attrs for to_unstacked_dataset
+            out.attrs["_stacked_variable_dim"] = variable_dim
+        return out
 
     def to_unstacked_dataset(self, dim: str) -> "XDataset":
         """Inverse of to_stacked_array (xarray/core/dataarray.py:3070) —
@@ -2824,9 +3033,10 @@ class XDataset:
 
     def polyfit(self, dim: str, deg: int, w: str | None = None,
                 full: bool = False, cov: bool | str = False,
-                rcond: float | None = None):
+                rcond: float | None = None, skipna: bool | None = None):
         from xarray_spark.computation import polyfit
-        return polyfit(self, dim, deg, w=w, full=full, cov=cov, rcond=rcond)
+        return polyfit(self, dim, deg, w=w, full=full, cov=cov, rcond=rcond,
+                       skipna=skipna)
 
     def curvefit(self, coords, func, p0=None, param_names=None,
                  maxiter: int = 100, reduce_dims=None, skipna: bool = True,
@@ -3092,9 +3302,10 @@ class XDataset:
         lines.append("}")
         print("\n".join(lines), file=out)
 
-    def to_array(self, dim: str = "variable") -> "XDataArray":
+    def to_array(self, dim: str = "variable",
+                 name: str | None = None) -> "XDataArray":
         """Deprecated alias of to_dataarray (core/dataset.py:7297)."""
-        return self.to_dataarray(dim)
+        return self.to_dataarray(dim, name=name)
 
     @property
     def real(self) -> "XDataset":

@@ -42,9 +42,20 @@ class BinGrouper(Grouper):
     labels: Sequence | None = None
     right: bool = True
     include_lowest: bool = False
+    precision: int = 3
+    duplicates: str = "raise"
 
     def key_expr(self, col: Column) -> Column:
         edges = list(self.bins)
+        if len(set(edges)) < len(edges):
+            # pandas.cut duplicates= policy: raise on repeated edges
+            # unless duplicates='drop' collapses them
+            if self.duplicates == "drop":
+                edges = sorted(set(edges))
+            else:
+                raise ValueError(
+                    "Bin edges must be unique. You can drop duplicate "
+                    "edges by setting the 'duplicates' kwarg")
         if self.labels is not None:
             labels = list(self.labels)
         else:
@@ -54,7 +65,7 @@ class BinGrouper(Grouper):
             # cut() bit-for-bit.  Membership below uses the TRUE edges.
             import pandas as pd
             cats = pd.cut(pd.Series([], dtype="float64"), bins=edges,
-                          right=self.right,
+                          right=self.right, precision=self.precision,
                           include_lowest=self.include_lowest).cat.categories
             labels = [str(c) for c in cats]
         expr = F.lit(None).cast("string")
