@@ -2674,15 +2674,22 @@ def oracle_sql() -> dict[str, str]:
                        round(exp(nll_q / 10000.0 / n_grams), 6)
                      END AS ppl
               FROM alldocs),
-            ranked AS (
+            keyed AS (
               SELECT doc_id, n_grams, nll_q, ppl,
-                     ntile(3) OVER (ORDER BY nll_q::DOUBLE / n_grams ASC,
-                                    doc_id ASC)::INT AS bucket
-              FROM withppl WHERE n_grams > 0)
-            SELECT * FROM ranked
-            UNION ALL
-            SELECT doc_id, n_grams, nll_q, ppl, NULL::INT AS bucket
-            FROM withppl WHERE n_grams = 0
+                     CASE WHEN n_grams > 0 THEN nll_q::DOUBLE / n_grams
+                     END AS k,
+                     row_number() OVER (
+                       ORDER BY CASE WHEN n_grams > 0 THEN
+                                  nll_q::DOUBLE / n_grams END
+                                ASC NULLS LAST, doc_id ASC) AS rn,
+                     count(CASE WHEN n_grams > 0 THEN 1 END)
+                       OVER () AS nn
+              FROM withppl)
+            SELECT doc_id, n_grams, nll_q, ppl,
+                   CASE WHEN k IS NOT NULL THEN
+                     (floor(((rn - 1) * 3)::DOUBLE / nn) + 1)::INT
+                   END AS bucket
+            FROM keyed
         """,
         "q128_c4_filter": """
             WITH staged AS (

@@ -334,8 +334,16 @@ def ngram_lm_score(
         return base.select(id_col, F.explode(grams).alias("__g"))
 
     # ---- train: conditional counts, bounded by alphabet^n rows ----
+    # the count table is REUSED by the gram-model and the context
+    # backoff; materialize the one heavy explode+agg job once (the
+    # result is alphabet^n-bounded — a few MB — exactly what a
+    # production pipeline would persist between train and score)
     cnt_n = gram_df(train).groupBy("__g").agg(
         F.count(F.lit(1)).alias("__cn"))
+    try:
+        cnt_n = cnt_n.localCheckpoint()
+    except Exception:
+        pass  # keep lineage when checkpointing is unavailable
     cnt_ctx = cnt_n.groupBy(
         F.col("__g").substr(F.lit(1), F.lit(n - 1)).alias("__ctx")).agg(
         F.sum("__cn").alias("__cc"))
@@ -384,11 +392,19 @@ def ngram_lm_score(
 
     # exact deterministic thirds: integer sort key (nll_q/n_grams is an
     # IEEE double of two exact ints — identical in any engine), doc-id
-    # tiebreak; NULL-ppl docs excluded then re-attached with NULL bucket
-    nonnull = scored.where(F.col("n_grams") > 0)
-    w = Window.orderBy(
-        (F.col("nll_q") / F.col("n_grams")).asc(), F.col(id_col).asc())
-    ranked = nonnull.withColumn("bucket", F.ntile(buckets).over(w))
-    empty = scored.where(F.col("n_grams") == 0).withColumn(
-        "bucket", F.lit(None).cast("int"))
-    return ranked.unionByName(empty)
+    # tiebreak.  ntile is computed CLOSED-FORM from row_number with
+    # NULLS LAST (bucket = floor((rn-1)*k/nn)+1, the SQL-standard
+    # remainder-to-front distribution) so zero-gram docs ride the same
+    # single pass with a NULL bucket — a filter+union here would
+    # duplicate the whole scoring subplan (measured: 10 parquet scans
+    # -> 6)
+    key = F.when(F.col("n_grams") > 0, F.col("nll_q") / F.col("n_grams"))
+    w = Window.orderBy(key.asc_nulls_last(), F.col(id_col).asc())
+    rn = F.row_number().over(w)
+    nn = F.count(key).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing))
+    bucket = F.when(
+        key.isNotNull(),
+        F.floor(((rn - F.lit(1)) * buckets) / nn) + F.lit(1)).cast("int")
+    return scored.withColumn("bucket", bucket)
