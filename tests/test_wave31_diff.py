@@ -240,3 +240,22 @@ def test_set_index_multilevel_roundtrip(spark):
     assert sel["v"].iloc[0] == 4.0
     with pytest.raises(KeyError):
         ds.set_index(t=["a", "zz"])
+
+
+def test_keep_attrs_matrix_matches_reference(spark):
+    import xarray_spark as xs
+    ref = xr.Dataset({"v": ("t", [1.0, 2.0, 3.0])},
+                     coords={"t": [0, 1, 2]}, attrs={"units": "m"})
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1, 2], "v": [1.0, 2.0, 3.0]})),
+        dims=["t"], attrs={"units": "m"})
+    for meth in ("mean", "sum", "min", "max", "std", "var", "count",
+                 "median", "all", "any", "prod"):
+        assert getattr(ours, meth)().attrs == getattr(ref, meth)().attrs, meth
+        assert (getattr(ours, meth)(keep_attrs=False).attrs
+                == getattr(ref, meth)(keep_attrs=False).attrs == {}), meth
+    with xr.set_options(keep_attrs=False):
+        exp = ref.mean().attrs
+    with xs.set_options(keep_attrs=False):
+        got = ours.mean().attrs
+    assert got == exp == {}

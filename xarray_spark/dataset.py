@@ -1480,11 +1480,16 @@ class XDataset:
         exprs_for: Callable[[str], Column],
         funcname: str = "",
         skipna: bool = True,
+        keep_attrs: bool | None = None,
     ) -> "XDataset":
         """Group by the complement dims and aggregate every data var.
 
         One shuffle; Spark's partial/final hash aggregation is the direct
         analogue of flox's tree reduce (xarray/core/groupby.py:1064).
+
+        ``keep_attrs``: None defers to OPTIONS['keep_attrs'] (True — the
+        reference keeps attrs on Dataset reductions by default);
+        ``False`` drops them (xarray keep_attrs parity).
         """
         dims = self._norm_dim_arg(dim)
         keep = [d for d in self.dims if d not in dims]
@@ -1504,38 +1509,58 @@ class XDataset:
             df = base.groupBy(*keys).agg(*aggs)
         else:
             df = base.agg(*aggs)
-        return self._replace(df=df, dims=keep, coords=coords, data_vars=varlist)
+        return self._replace(df=df, dims=keep, coords=coords,
+                             data_vars=varlist,
+                             attrs=self._resolve_attrs(keep_attrs))
 
-    def mean(self, dim=None, skipna: bool = True) -> "XDataset":
-        return self._reduce(dim, lambda v: F.avg(v), "mean", skipna)
+    def _resolve_attrs(self, keep_attrs: bool | None) -> dict:
+        """keep_attrs=None defers to OPTIONS['keep_attrs']; an EMPTY dict
+        result deliberately drops attrs (XDataset treats {} as none)."""
+        if keep_attrs is None:
+            from xarray_spark.options import OPTIONS
+            keep_attrs = OPTIONS["keep_attrs"]
+        return dict(self.attrs) if keep_attrs else {}
 
-    def sum(self, dim=None, skipna: bool = True, min_count: int = 0) -> "XDataset":
+    def mean(self, dim=None, skipna: bool = True,
+             keep_attrs: bool | None = None) -> "XDataset":
+        return self._reduce(dim, lambda v: F.avg(v), "mean", skipna,
+                            keep_attrs)
+
+    def sum(self, dim=None, skipna: bool = True, min_count: int = 0,
+            keep_attrs: bool | None = None) -> "XDataset":
         def e(v):
             s = F.sum(v)
             if min_count > 0:
                 return F.when(F.count(v) >= min_count, s)
             # xarray: empty/all-NaN sum is 0 when min_count=0
             return F.coalesce(s, F.lit(0).cast(self.df.schema[v].dataType))
-        return self._reduce(dim, e, "sum", skipna)
+        return self._reduce(dim, e, "sum", skipna, keep_attrs)
 
-    def prod(self, dim=None, skipna: bool = True, min_count: int = 0) -> "XDataset":
+    def prod(self, dim=None, skipna: bool = True, min_count: int = 0,
+             keep_attrs: bool | None = None) -> "XDataset":
         def e(v):
             p = F.product(v)
             if min_count > 0:
                 return F.when(F.count(v) >= min_count, p)
             return F.coalesce(p, F.lit(1.0))
-        return self._reduce(dim, e, "prod", skipna)
+        return self._reduce(dim, e, "prod", skipna, keep_attrs)
 
-    def min(self, dim=None, skipna: bool = True) -> "XDataset":
-        return self._reduce(dim, lambda v: F.min(v), "min", skipna)
+    def min(self, dim=None, skipna: bool = True,
+            keep_attrs: bool | None = None) -> "XDataset":
+        return self._reduce(dim, lambda v: F.min(v), "min", skipna,
+                            keep_attrs)
 
-    def max(self, dim=None, skipna: bool = True) -> "XDataset":
-        return self._reduce(dim, lambda v: F.max(v), "max", skipna)
+    def max(self, dim=None, skipna: bool = True,
+            keep_attrs: bool | None = None) -> "XDataset":
+        return self._reduce(dim, lambda v: F.max(v), "max", skipna,
+                            keep_attrs)
 
-    def count(self, dim=None) -> "XDataset":
-        return self._reduce(dim, lambda v: F.count(v), "count")
+    def count(self, dim=None, keep_attrs: bool | None = None) -> "XDataset":
+        return self._reduce(dim, lambda v: F.count(v), "count",
+                            keep_attrs=keep_attrs)
 
-    def std(self, dim=None, skipna: bool = True, ddof: int = 0) -> "XDataset":
+    def std(self, dim=None, skipna: bool = True, ddof: int = 0,
+            keep_attrs: bool | None = None) -> "XDataset":
         # xarray default ddof=0 (population), Spark stddev_samp is ddof=1
         def e(v):
             if ddof == 0:
@@ -1544,9 +1569,10 @@ class XDataset:
                 return F.stddev_samp(v)
             n = F.count(v)
             return F.sqrt(F.var_pop(v) * n / (n - F.lit(ddof)))
-        return self._reduce(dim, e, "std", skipna)
+        return self._reduce(dim, e, "std", skipna, keep_attrs)
 
-    def var(self, dim=None, skipna: bool = True, ddof: int = 0) -> "XDataset":
+    def var(self, dim=None, skipna: bool = True, ddof: int = 0,
+            keep_attrs: bool | None = None) -> "XDataset":
         def e(v):
             if ddof == 0:
                 return F.var_pop(v)
@@ -1554,9 +1580,10 @@ class XDataset:
                 return F.var_samp(v)
             n = F.count(v)
             return F.var_pop(v) * n / (n - F.lit(ddof))
-        return self._reduce(dim, e, "var", skipna)
+        return self._reduce(dim, e, "var", skipna, keep_attrs)
 
-    def median(self, dim=None, skipna: bool = True) -> "XDataset":
+    def median(self, dim=None, skipna: bool = True,
+               keep_attrs: bool | None = None) -> "XDataset":
         dims = self._norm_dim_arg(dim)
         if not [d for d in self.dims if d not in dims]:
             # full reduction: distributed order-statistic selection instead
@@ -1564,19 +1591,24 @@ class XDataset:
             varlist = self._agg_numeric_vars("median")
             qdf = self._quantile_ungrouped([0.5], varlist, "linear")
             return self._replace(df=qdf.drop("quantile"), dims=[], coords={},
-                                 data_vars=varlist)
+                                 data_vars=varlist,
+                                 attrs=self._resolve_attrs(keep_attrs))
         if skipna:
             # grouped: via quantile() so the buffer-limit guard applies
             q = self.quantile(0.5, dim=dim, skipna=skipna)
             return q._replace(df=q.df.drop("quantile"),
-                              dims=[d for d in q.dims if d != "quantile"])
-        return self._reduce(dim, lambda v: F.expr(f"percentile({v}, 0.5)"), "median", skipna)
+                              dims=[d for d in q.dims if d != "quantile"],
+                              attrs=self._resolve_attrs(keep_attrs))
+        return self._reduce(dim, lambda v: F.expr(f"percentile({v}, 0.5)"),
+                            "median", skipna, keep_attrs)
 
-    def all(self, dim=None) -> "XDataset":
-        return self._reduce(dim, lambda v: F.bool_and(F.col(v).cast("boolean")), "all")
+    def all(self, dim=None, keep_attrs: bool | None = None) -> "XDataset":
+        return self._reduce(dim, lambda v: F.bool_and(
+            F.col(v).cast("boolean")), "all", keep_attrs=keep_attrs)
 
-    def any(self, dim=None) -> "XDataset":
-        return self._reduce(dim, lambda v: F.bool_or(F.col(v).cast("boolean")), "any")
+    def any(self, dim=None, keep_attrs: bool | None = None) -> "XDataset":
+        return self._reduce(dim, lambda v: F.bool_or(
+            F.col(v).cast("boolean")), "any", keep_attrs=keep_attrs)
 
     def quantile(self, q, dim=None, skipna: bool = True, approx: bool = False,
                  method: str = "linear", numeric_only: bool = False,
