@@ -259,3 +259,66 @@ def test_keep_attrs_matrix_matches_reference(spark):
     with xs.set_options(keep_attrs=False):
         got = ours.mean().attrs
     assert got == exp == {}
+
+
+def test_transpose_ellipsis_and_partial_match_reference(spark):
+    pdf = pd.DataFrame({"x": [0, 0, 1, 1], "y": [0, 1, 0, 1],
+                        "v": [1.0, 2.0, 3.0, 4.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x", "y"])
+    ref = xr.Dataset({"v": (("x", "y"), [[1.0, 2.0], [3.0, 4.0]])},
+                     coords={"x": [0, 1], "y": [0, 1]})
+    assert (ds.transpose("y", ...).dims
+            == tuple(ref.transpose("y", ...)["v"].dims))
+    with pytest.raises(ValueError):
+        ds.transpose("y")
+    with pytest.raises(ValueError):
+        ref.transpose("y")
+    with pytest.raises(ValueError):
+        ds.transpose("zz", "y", "x")
+    assert ds.transpose("zz", "y", "x",
+                        missing_dims="ignore").dims == ("y", "x")
+
+
+def test_expand_dims_axis_matches_reference(spark):
+    pdf = pd.DataFrame({"x": [0, 1], "v": [1.0, 2.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x"])
+    ref = xr.Dataset({"v": ("x", [1.0, 2.0])}, coords={"x": [0, 1]})
+    assert (ds.expand_dims(z=[7, 8], axis=1).dims
+            == tuple(ref.expand_dims(z=[7, 8], axis=1)["v"].dims))
+    assert (ds.expand_dims(["a", "b"]).dims
+            == tuple(ref.expand_dims(["a", "b"])["v"].dims))
+    assert (ds.expand_dims("w", axis=-1).dims
+            == tuple(ref.expand_dims("w", axis=-1)["v"].dims))
+    with pytest.raises(IndexError):
+        ds.expand_dims("q", axis=5)
+    # values survive the cross join
+    got = (ds.expand_dims(z=[7, 8]).to_pandas()
+           .sort_values(["z", "x"])["v"].to_numpy())
+    exp = ref.expand_dims(z=[7, 8])["v"].transpose("z", "x").values.ravel()
+    np.testing.assert_allclose(got, exp)
+
+
+def test_map_blocks_template_changes_schema(spark):
+    pdf = pd.DataFrame({"x": [0, 1], "v": [1.0, 2.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x"])
+    t = pd.DataFrame({"x": [0], "v2": [1.0]})
+    out = ds.map_blocks(
+        lambda p: p.assign(v2=p.v * 2).drop(columns="v"), template=t)
+    got = out.to_pandas().sort_values("x")
+    assert list(got.columns) == ["x", "v2"]
+    np.testing.assert_allclose(got["v2"].to_numpy(), [2.0, 4.0])
+
+
+def test_convert_calendar_missing_fills_absent_dates(spark):
+    idx = pd.date_range("2001-01-28", periods=7, freq="D")  # spans Jan 31
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"time": idx,
+                      "v": [float(i) for i in range(7)]})), dims=["time"])
+    enc = ds.convert_calendar("360_day", use_cftime=True)
+    back = enc.convert_calendar("standard", missing=-99.0)
+    p = back.to_pandas().sort_values("time")
+    assert len(p) == 7  # Jan 31 rematerialized
+    jan31 = p[p["time"].dt.strftime("%m-%d") == "01-31"]["v"].iloc[0]
+    assert jan31 == -99.0
+    # without missing= the gap stays absent
+    assert len(enc.convert_calendar("standard").to_pandas()) == 6

@@ -561,7 +561,8 @@ def date_range(spark, start: str, end: str, freq: str = "D", name: str = "time")
 def convert_calendar(ds: XDataset, calendar: str = "standard",
                      dim: str = "time",
                      align_on: str | None = None, use_cftime: bool = False,
-                     source_calendar: str | None = None) -> XDataset:
+                     source_calendar: str | None = None,
+                     missing=None) -> XDataset:
     """Calendar conversion (xarray/coding/calendar_ops.py,
     core/dataset.py:10011).  Positional order matches the reference:
     ``convert_calendar(obj, calendar, dim='time')``.  Calls written in
@@ -603,7 +604,10 @@ def convert_calendar(ds: XDataset, calendar: str = "standard",
         attrs = {**(ds.attrs or {}), "calendar": calendar}
         if calendar in cft.REAL_CALENDARS:
             attrs.pop("calendar", None)
-        return ds._replace(df=df, attrs=attrs)
+        out = ds._replace(df=df, attrs=attrs)
+        if missing is not None and calendar in cft.REAL_CALENDARS:
+            return _fill_missing_dates(out, dim, missing)
+        return out
     if calendar in ("standard", "gregorian", "proleptic_gregorian"):
         return ds
     if calendar in ("noleap", "365_day"):
@@ -613,6 +617,28 @@ def convert_calendar(ds: XDataset, calendar: str = "standard",
         keep = (F.dayofmonth(c) <= 30) & ~((F.month(c) == 2) & (F.dayofmonth(c) >= 29))
         return ds._replace(df=ds.df.where(keep))
     raise NotImplementedError(f"calendar {calendar!r}")
+
+
+def _fill_missing_dates(ds: XDataset, dim: str, missing) -> XDataset:
+    """convert_calendar(missing=) (xarray/coding/calendar_ops.py:169):
+    dates the TARGET calendar has that the source lacked are
+    materialized and filled with ``missing`` instead of staying absent —
+    a reindex onto the full inferred-frequency range (align_on='date'
+    convention; real-timestamp targets only).  Label-table-sized
+    planning: one min/max aggregate, one pandas date_range, one
+    broadcast reindex."""
+    import pandas as pd
+    row = ds.df.agg(F.min(dim).alias("lo"), F.max(dim).alias("hi")).first()
+    if row["lo"] is None:
+        return ds
+    freq = infer_freq(ds, dim)
+    if freq is None:
+        raise ValueError(
+            "convert_calendar(missing=...) requires an inferable "
+            f"frequency on {dim!r}")
+    full = [t.to_pydatetime()
+            for t in pd.date_range(row["lo"], row["hi"], freq=freq)]
+    return ds.reindex({dim: full}, fill_value=missing)
 
 
 def _decimal_year_expr(c, dtype, calendar: str):

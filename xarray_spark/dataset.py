@@ -1353,25 +1353,58 @@ class XDataset:
             self.attrs,
         )
 
-    def transpose(self, *dims: str) -> "XDataset":
+    def transpose(self, *dims: str,
+                  missing_dims: str = "raise") -> "XDataset":
         """Reorder dims — metadata only in long form
-        (xarray/core/dataset.py:6299)."""
+        (xarray/core/dataset.py:6299).  ``missing_dims`` in
+        {'raise','warn','ignore'} governs names absent from the dataset
+        (reference transpose signature)."""
         if not dims:
             dims = tuple(reversed(self.dims))
+        kept = self._apply_missing_dims(
+            {d: None for d in dims if d != "..." and d is not Ellipsis},
+            missing_dims)
+        dims = tuple(d for d in dims
+                     if d in kept or d == "..." or d is Ellipsis)
+        if "..." in dims or Ellipsis in dims:
+            # ellipsis: every unmentioned dim slots in at its position
+            dims = tuple("..." if d is Ellipsis else d for d in dims)
+            rest = [d for d in self.dims if d not in dims]
+            i = dims.index("...")
+            dims = dims[:i] + tuple(rest) + dims[i + 1:]
+        elif set(dims) != set(self.dims):
+            raise ValueError(
+                f"transpose requires all dims (or '...'): asked for "
+                f"{list(dims)}, dataset has {list(self.dims)}")
         self._check_dims(dims)
         return self._replace(dims=list(dims))
 
-    def expand_dims(self, dim=None, **kw) -> "XDataset":
+    def expand_dims(self, dim=None, axis=None,
+                    create_index_for_new_dim: bool = True,
+                    **kw) -> "XDataset":
         """Add new dims (xarray/core/dataset.py:4535): scalar label or a
-        list of labels (cross join against the tiny label list)."""
+        list of labels (cross join against the tiny label list).
+        ``axis`` places each new dim at that position of the dims tuple
+        (metadata-only in long form); ``create_index_for_new_dim=False``
+        records the new dim without treating its column as an index —
+        in long form both forms produce the same key column, so the
+        flag is accepted for signature parity (the catalog has no
+        separate index object to skip)."""
         spec: dict[str, Any] = {}
         if isinstance(dim, str):
             spec[dim] = [0]
         elif isinstance(dim, Mapping):
             spec.update(dim)
+        elif isinstance(dim, (list, tuple)):
+            for d in dim:
+                spec[d] = [0]
         spec.update(kw)
+        axes = ([axis] * len(spec) if isinstance(axis, int) or axis is None
+                else list(axis))
+        if len(axes) != len(spec):
+            raise ValueError("lengths of dim and axis should be identical")
         out = self
-        for name, labels in spec.items():
+        for i, ((name, labels), ax) in enumerate(zip(spec.items(), axes)):
             if not isinstance(labels, (list, tuple)):
                 labels = [labels]
             if len(labels) == 1:
@@ -1379,7 +1412,14 @@ class XDataset:
             else:
                 lab_df = out.spark.createDataFrame([(l,) for l in labels], [name])
                 df = out.df.crossJoin(F.broadcast(lab_df))
-            out = XDataset(df, [name] + list(out.dims), out.coords, out.data_vars, out.attrs)
+            dims = list(out.dims)
+            # default placement: new dims lead, in the LISTED order
+            pos = i if ax is None else (ax if ax >= 0 else len(dims) + 1 + ax)
+            if not 0 <= pos <= len(dims):
+                raise IndexError(f"axis {ax} out of range for "
+                                 f"{len(dims) + 1} dims")
+            dims.insert(pos, name)
+            out = XDataset(df, dims, out.coords, out.data_vars, out.attrs)
         return out
 
     def swap_dims(self, mapping: Mapping[str, str] | None = None, **kw) -> "XDataset":
@@ -3078,13 +3118,21 @@ class XDataset:
                         reduce_dims=reduce_dims, skipna=skipna,
                         bounds=bounds, errors=errors)
 
-    def map_blocks(self, func, schema=None) -> "XDataset":
+    def map_blocks(self, func, schema=None, template=None) -> "XDataset":
         """Partition-wise UDF (xarray/core/parallel.py:228) → mapInPandas.
 
         ``func`` is either xarray-style (one pandas block in, one block
         out) or a raw mapInPandas generator (iterator of batches in,
-        iterator out) — detected by inspection."""
+        iterator out) — detected by inspection.  ``template`` (reference
+        parity) supplies the OUTPUT structure when it differs from the
+        input: an XDataset (its schema is used) or a pandas DataFrame
+        (schema inferred from its dtypes)."""
         import inspect
+        if template is not None and schema is None:
+            if isinstance(template, XDataset):
+                schema = template.df.schema
+            else:
+                schema = self.spark.createDataFrame(template.head(1)).schema
         out_schema = schema or self.df.schema
         if inspect.isgeneratorfunction(func):
             gen = func
