@@ -322,3 +322,82 @@ def test_convert_calendar_missing_fills_absent_dates(spark):
     assert jan31 == -99.0
     # without missing= the gap stays absent
     assert len(enc.convert_calendar("standard").to_pandas()) == 6
+
+
+def test_keep_attrs_unary_family_matches_reference(spark):
+    ref = xr.Dataset({"v": ("t", [1.0, 2.0, 3.0])},
+                     coords={"t": [0, 1, 2]}, attrs={"u": "m"})
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1, 2], "v": [1.0, 2.0, 3.0]})),
+        dims=["t"], attrs={"u": "m"})
+    pairs = [
+        (ours.cumsum("t", keep_attrs=False), ref.cumsum("t", keep_attrs=False)),
+        (ours.isnull(keep_attrs=False), ref.isnull(keep_attrs=False)),
+        (ours.notnull(keep_attrs=False), ref.notnull(keep_attrs=False)),
+        (ours.clip(0, 2, keep_attrs=False), ref.clip(0, 2, keep_attrs=False)),
+    ]
+    for o, r in pairs:
+        assert o.attrs == r.attrs == {}
+    # reference quirk: Dataset.idxmax keep_attrs only touches
+    # per-variable attrs — dataset attrs survive keep_attrs=False
+    assert (ours.idxmax("t", keep_attrs=False).attrs
+            == ref.idxmax("t", keep_attrs=False).attrs == {"u": "m"})
+    # reference rank needs bottleneck (absent in this runtime) — pin
+    # ours directly
+    assert ours.rank("t", keep_attrs=False).attrs == {}
+    assert ours.rank("t").attrs == {"u": "m"}
+    assert ours.cumsum("t").attrs == ref.cumsum("t").attrs == {"u": "m"}
+
+
+def test_broadcast_like_exclude_matches_reference(spark):
+    ra = xr.DataArray([1.0, 2.0], dims="x", coords={"x": [0, 1]})
+    rb = xr.DataArray([[1.0, 2.0], [3.0, 4.0]], dims=("y", "z"),
+                      coords={"y": [0, 1], "z": [10, 20]})
+    exp = ra.broadcast_like(rb, exclude=["z"])
+    a = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": [0, 1], "v": [1.0, 2.0]})), dims=["x"])
+    b = XDataset(spark.createDataFrame(
+        pd.DataFrame({"y": [0, 0, 1, 1], "z": [10, 20, 10, 20],
+                      "w": [1.0, 2.0, 3.0, 4.0]})), dims=["y", "z"])
+    got = a.broadcast_like(b, exclude=["z"])
+    assert set(got.dims) == set(exp.dims)
+    assert got.to_pandas().shape[0] == exp.size
+
+
+def test_reduce_numeric_only_and_keepdims(spark):
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "v": [1.0, 2.0], "s": ["a", "b"]})),
+        dims=["t"])
+    got = ours.reduce(np.nansum, "t", numeric_only=True).to_pandas()
+    assert list(got.columns) == ["v"] and got["v"].iloc[0] == 3.0
+    with pytest.raises(NotImplementedError):
+        ours.reduce(np.nansum, "t", keepdims=True)
+
+
+def test_unstack_sparse_raises(spark):
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": [0, 1], "y": [0, 1], "v": [1.0, 2.0]})),
+        dims=["x", "y"])
+    with pytest.raises(NotImplementedError):
+        ours.stack(p=["x", "y"]).unstack("p", sparse=True)
+
+
+def test_to_dataframe_dim_order_matches_reference(spark):
+    ref = xr.Dataset({"v": (("x", "y"), [[1.0, 2.0], [3.0, 4.0]])},
+                     coords={"x": [0, 1], "y": [0, 1]})
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"x": [0, 0, 1, 1], "y": [0, 1, 0, 1],
+                      "v": [1.0, 2.0, 3.0, 4.0]})), dims=["x", "y"])
+    exp = ref.to_dataframe(dim_order=["y", "x"])
+    got = ours.to_dataframe(dim_order=["y", "x"])
+    assert got.index.names == list(exp.index.names)
+    np.testing.assert_allclose(got["v"].to_numpy(), exp["v"].to_numpy())
+    with pytest.raises(ValueError):
+        ours.to_dataframe(dim_order=["y"])
+
+
+def test_to_dict_data_false_matches_reference_shape(spark):
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0], "v": [1.0]})), dims=["t"])
+    d = ours.to_dict(data=False)
+    assert "data" not in d and "dtypes" in d

@@ -1029,13 +1029,19 @@ class XDataset:
             raise NotImplementedError("XDataArray cond — pass a Column instead")
         raise TypeError(type(cond))
 
-    def query(self, expr: str | Mapping[str, str] | None = None, **kw) -> "XDataset":
+    def query(self, expr: str | Mapping[str, str] | None = None,
+              parser: str = "pandas", engine=None,
+              missing_dims: str = "raise", **kw) -> "XDataset":
         """Filter with a SQL expression (xarray/core/dataset.py:9777) —
         Spark SQL *is* the evaluator here.  Float predicates see NaN as
         NULL (dropped by filters, like the reference's NaN-comparisons-
         are-False); the one divergence is negated predicates over
         missing values, where pandas keeps the row (NOT False = True)
         and SQL three-valued logic drops it."""
+        if parser not in ("pandas", "python"):
+            raise ValueError(f"invalid parser {parser!r}")
+        if engine not in (None, "python", "numexpr"):
+            raise ValueError(f"invalid engine {engine!r}")
         parts = []
         if isinstance(expr, str):
             parts.append(expr)
@@ -1048,11 +1054,15 @@ class XDataset:
             df = df.where(F.expr(p))
         return self._replace(df=df)
 
-    def eval(self, statement: str) -> "XDataset":
+    def eval(self, statement: str, parser: str = "pandas") -> "XDataset":
         """Evaluate ``name = expression`` over variables
         (xarray/core/dataset.py:9671).  Assignment is detected with a
         lookahead so comparisons (``a == b``, ``a <= b``) route to the
-        expression path instead of a bogus assign."""
+        expression path instead of a bogus assign.  The evaluator is
+        Spark SQL (documented divergence: expressions are SQL, not
+        pandas-eval syntax); ``parser`` is validated for parity."""
+        if parser not in ("pandas", "python"):
+            raise ValueError(f"invalid parser {parser!r}")
         import re
         m = re.match(r"^\s*([A-Za-z_]\w*)\s*=(?![=<>!])", statement)
         if m:
@@ -1168,8 +1178,11 @@ class XDataset:
         drop = [v for v in self.data_vars if v not in keep]
         return self.drop_vars(drop) if drop else self
 
-    def drop_attrs(self) -> "XDataset":
-        """Strip all metadata (xarray/core/dataset.py:10632)."""
+    def drop_attrs(self, deep: bool = True) -> "XDataset":
+        """Strip all metadata (xarray/core/dataset.py:10632).  The long
+        form keeps one catalog-level attrs dict (no per-variable attrs
+        to preserve), so ``deep`` has no further effect — accepted for
+        signature parity."""
         return self._replace(attrs={})
 
     def pipe(self, func: Callable, *args, **kwargs):
@@ -1262,12 +1275,20 @@ class XDataset:
             out = XDataset(df, dims, coords, out.data_vars, out.attrs)
         return out
 
-    def unstack(self, dim: str | None = None, fill_value=None) -> "XDataset":
+    def unstack(self, dim: str | None = None, fill_value=None,
+                sparse: bool = False) -> "XDataset":
         """Split a stacked struct dim back into its component dims
         (xarray/core/dataset.py:5597).  Long form stays sparse — missing
         combinations are simply absent rows (densify() adds them);
         passing ``fill_value`` densifies the unstacked dims with that
-        value (the reference's unstack(fill_value=))."""
+        value (the reference's unstack(fill_value=)).  ``sparse=True``
+        (reference: pydata/sparse output) has no meaning here — the
+        long form IS the sparse representation; it raises to avoid
+        silently pretending."""
+        if sparse:
+            raise NotImplementedError(
+                "unstack(sparse=True): long form is already sparse — "
+                "missing combinations are absent rows")
         dims_to_unstack = [dim] if dim else [
             d for d in self.dims if isinstance(self.df.schema[d].dataType, T.StructType)
         ]
@@ -1909,7 +1930,8 @@ class XDataset:
             parts.append(part)
         return _reduce_fn(lambda a, b: a.join(b, on="quantile"), parts)
 
-    def cumsum(self, dim=None, skipna: bool = True) -> "XDataset":
+    def cumsum(self, dim=None, skipna: bool = True,
+               keep_attrs: bool | None = None) -> "XDataset":
         from xarray_spark.options import OPTIONS
         from xarray_spark._utils import estimated_rows
         dims = self._norm_dim_arg(dim)
@@ -1920,18 +1942,20 @@ class XDataset:
             # single-task global-scan shape and over the threshold →
             # segmented two-phase scan (options.py auto_segment_threshold)
             from xarray_spark.segmented import cumsum_segmented
-            return cumsum_segmented(self, dims[0])
+            out = cumsum_segmented(self, dims[0])
+            return out._replace(attrs=self._resolve_attrs(keep_attrs))
         # np.nancumsum: an all-NaN prefix accumulates 0, not NaN;
         # skipna=False poisons from the first NaN on (np.cumsum)
         return self._cumulative(
             dim, lambda v, w: F.coalesce(F.sum(v).over(w), F.lit(0.0)),
-            skipna=skipna)
+            skipna=skipna)._replace(attrs=self._resolve_attrs(keep_attrs))
 
-    def cumprod(self, dim=None, skipna: bool = True) -> "XDataset":
+    def cumprod(self, dim=None, skipna: bool = True,
+                keep_attrs: bool | None = None) -> "XDataset":
         # np.nancumprod: an all-NaN prefix accumulates 1
         return self._cumulative(
             dim, lambda v, w: F.coalesce(F.product(v).over(w), F.lit(1.0)),
-            skipna=skipna)
+            skipna=skipna)._replace(attrs=self._resolve_attrs(keep_attrs))
 
     def _cumulative(self, dim, make, skipna: bool = True) -> "XDataset":
         dims = self._norm_dim_arg(dim)
@@ -1967,11 +1991,17 @@ class XDataset:
         return self._arg_reduce(dim, False, use_pos=True, skipna=skipna,
                                 fill_value=fill_value)
 
-    def idxmin(self, dim=None, skipna: bool | None = None, fill_value=None) -> "XDataset":
+    def idxmin(self, dim=None, skipna: bool | None = None, fill_value=None,
+               keep_attrs: bool | None = None) -> "XDataset":
+        # reference quirk (measured): Dataset.idxmin/idxmax keep_attrs
+        # governs per-VARIABLE attrs only — DATASET attrs survive even
+        # keep_attrs=False; the long form has one attrs dict, so the
+        # kwarg is accepted and dataset attrs ride through
         return self._arg_reduce(dim, True, use_pos=False, skipna=skipna,
                                 fill_value=fill_value)
 
-    def idxmax(self, dim=None, skipna: bool | None = None, fill_value=None) -> "XDataset":
+    def idxmax(self, dim=None, skipna: bool | None = None, fill_value=None,
+               keep_attrs: bool | None = None) -> "XDataset":
         return self._arg_reduce(dim, False, use_pos=False, skipna=skipna,
                                 fill_value=fill_value)
 
@@ -2066,7 +2096,8 @@ class XDataset:
         ]
         return out._replace(df=out.df.select(*exprs))
 
-    def rank(self, dim: str, pct: bool = False) -> "XDataset":
+    def rank(self, dim: str, pct: bool = False,
+             keep_attrs: bool | None = None) -> "XDataset":
         """Average-method rank along dim (xarray/core/dataset.py:8416;
         bottleneck average ranking), NaN/null stays null."""
         others = [x for x in self.dims if x != dim]
@@ -2090,16 +2121,26 @@ class XDataset:
                 exprs.append(r.alias(c))
             else:
                 exprs.append(F.col(c))
-        return self._replace(df=df.select(*exprs))
+        return self._replace(df=df.select(*exprs),
+                             attrs=self._resolve_attrs(keep_attrs))
 
-    def reduce(self, func: Callable, dim=None, schema: str | None = None) -> "XDataset":
+    def reduce(self, func: Callable, dim=None, schema: str | None = None,
+               keep_attrs: bool | None = None, keepdims: bool = False,
+               numeric_only: bool = False) -> "XDataset":
         """Arbitrary per-group reduction via applyInPandas
         (xarray/core/dataset.py:6864 → SURVEY §2.10)."""
         dims = self._norm_dim_arg(dim)
         keep = [d for d in self.dims if d not in dims]
         coords = self._coords_on(keep)
+        if keepdims:
+            raise NotImplementedError(
+                "reduce(keepdims=True): the long form has no size-1 "
+                "array axes to keep; reshape with expand_dims after")
         keys = keep + list(coords)
         varlist = list(self.data_vars)
+        if numeric_only:
+            varlist = [v for v in varlist
+                       if _is_numeric(self.df.schema[v].dataType)]
         if schema is None:
             fields = [self.df.schema[k] for k in keys] + [
                 T.StructField(v, T.DoubleType()) for v in varlist
@@ -2123,7 +2164,9 @@ class XDataset:
             df = self.df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
                 lambda pdf: apply_fn(pdf.drop(columns="__g")), out_schema
             )
-        return self._replace(df=df, dims=keep, coords=coords, data_vars=varlist)
+        return self._replace(df=df, dims=keep, coords=coords,
+                             data_vars=varlist,
+                             attrs=self._resolve_attrs(keep_attrs))
 
     # ------------------------------------------------------------------ #
     # shift / diff / roll (SURVEY.md §2.6)
@@ -2446,13 +2489,16 @@ class XDataset:
         df = self.df.join(F.broadcast(keep.select(dim)), on=dim, how="left_semi")
         return self._replace(df=df)
 
-    def notnull(self) -> "XDataset":
-        return self.map(lambda c: c.isNotNull())
+    def notnull(self, keep_attrs: bool | None = None) -> "XDataset":
+        return self.map(lambda c: c.isNotNull())._replace(
+            attrs=self._resolve_attrs(keep_attrs))
 
-    def isnull(self) -> "XDataset":
-        return self.map(lambda c: c.isNull())
+    def isnull(self, keep_attrs: bool | None = None) -> "XDataset":
+        return self.map(lambda c: c.isNull())._replace(
+            attrs=self._resolve_attrs(keep_attrs))
 
-    def clip(self, min=None, max=None) -> "XDataset":
+    def clip(self, min=None, max=None,
+             keep_attrs: bool | None = None) -> "XDataset":
         """Clamp values (xarray/core/common.py:462).  Nulls stay null —
         Spark's greatest/least silently IGNORE nulls and would resurrect
         a missing value as the clip bound.  Bounds may be scalars,
@@ -2516,13 +2562,22 @@ class XDataset:
             for c in self.df.columns
             if c not in ("__clip_lo", "__clip_hi")
         ]
-        return self._replace(df=df.select(*exprs))
+        return self._replace(df=df.select(*exprs),
+                             attrs=self._resolve_attrs(keep_attrs))
 
-    def astype(self, dtype: str) -> "XDataset":
+    def astype(self, dtype: str, order=None, casting=None, subok=None,
+               copy=None, keep_attrs: bool | None = None) -> "XDataset":
         """Cast every data var (xarray/core/common.py:1409).  try_cast:
         NaN→int is platform garbage in numpy and a runtime ERROR under
-        Spark ANSI — NULL (the engine's NaN) is the sane rendering."""
-        return self.map(lambda c: c.try_cast(dtype))
+        Spark ANSI — NULL (the engine's NaN) is the sane rendering.
+        ``order``/``casting``/``subok``/``copy`` are numpy memory-layout
+        knobs with no distributed meaning (accepted for signature
+        parity, validated only); ``keep_attrs=False`` drops attrs."""
+        if casting not in (None, "no", "equiv", "safe", "same_kind",
+                           "unsafe"):
+            raise ValueError(f"invalid casting {casting!r}")
+        out = self.map(lambda c: c.try_cast(dtype))
+        return out._replace(attrs=self._resolve_attrs(keep_attrs))
 
     def round(self, decimals: int = 0) -> "XDataset":
         # np.round is banker's rounding (half to even) — Spark's round
@@ -2534,7 +2589,17 @@ class XDataset:
     # modules; bound late to avoid circular imports
     # ------------------------------------------------------------------ #
 
-    def groupby(self, group=None, **groupers):
+    def groupby(self, group=None, squeeze: bool = False,
+                restore_coord_dims: bool = False,
+                eagerly_compute_group=None, **groupers):
+        """``squeeze``/``restore_coord_dims``/``eagerly_compute_group``
+        are reference-signature knobs for in-memory array layout (the
+        first two deprecated upstream); the long form has no array axes
+        to squeeze or coord dims to restore, so they are validated and
+        otherwise inert."""
+        if squeeze not in (False, None):
+            raise TypeError("squeeze=True was removed in the reference "
+                            "(deprecated); the long form never squeezes")
         from xarray_spark.groupby import XGroupBy, resolve_groupers
         keys = resolve_groupers(self, group, groupers)
         return XGroupBy(self, keys)
@@ -2617,12 +2682,24 @@ class XDataset:
         from xarray_spark.alignment import reindex
         return reindex(self, {**(indexers or {}), **kw}, method, tolerance, fill_value)
 
-    def broadcast_like(self, other: "XDataset") -> "XDataset":
+    def broadcast_like(self, other: "XDataset",
+                       exclude=None) -> "XDataset":
+        """``exclude``: dims NOT broadcast against other (reference
+        broadcast_like signature) — dropped from other's dim set before
+        the label cross-product."""
         from xarray_spark.alignment import broadcast_like
+        if exclude:
+            excl = {exclude} if isinstance(exclude, str) else set(exclude)
+            trimmed = other
+            for d in excl:
+                if d in other.dims and d not in self.dims:
+                    trimmed = trimmed._drop_dim(d)
+            other = trimmed
         return broadcast_like(self, other)
 
     def interp(self, coords=None, method: str = "linear",
-               kwargs: dict | None = None, **kw) -> "XDataset":
+               kwargs: dict | None = None, assume_sorted: bool = False,
+               method_non_numeric: str = "nearest", **kw) -> "XDataset":
         """Regrid; like the reference, interpolator args (``order`` for
         polynomial, ``lam`` for smooth_spline) ride in ``kwargs=``
         (xarray/core/dataset.py:3786 passes them to scipy the same way)."""
@@ -3294,12 +3371,22 @@ class XDataset:
     def to_pandas(self):
         return self.df.toPandas()
 
-    def to_dataframe(self):
+    def to_dataframe(self, dim_order: Sequence[str] | None = None):
         """Collected pandas frame indexed by the dims (the reference's
         to_dataframe returns a dim-MultiIndex frame,
-        core/dataset.py:7450); rows come back label-sorted."""
+        core/dataset.py:7450); rows come back label-sorted.
+        ``dim_order`` reorders the MultiIndex levels (and the row sort)
+        like the reference."""
+        if dim_order is not None:
+            if set(dim_order) != set(self.dims):
+                raise ValueError(
+                    f"dim_order {list(dim_order)} does not match dims "
+                    f"{list(self.dims)}")
+            order = list(dim_order)
+        else:
+            order = list(self.dims)
         pdf = self.df.toPandas()
-        dims = [d for d in self.dims if d in pdf.columns]
+        dims = [d for d in order if d in pdf.columns]
         if dims:
             pdf = pdf.sort_values(dims).set_index(dims)
         return pdf
@@ -3313,10 +3400,24 @@ class XDataset:
         """Deprecated alias of map (core/dataset.py:7164)."""
         return self.map(func, **kw)
 
-    def copy(self, deep: bool = False) -> "XDataset":
+    def copy(self, deep: bool = False, data=None) -> "XDataset":
         """Plans are immutable; copy is a catalog-level clone
-        (core/dataset.py:1280 — `deep` has no distributed meaning)."""
-        return self._replace(df=self.df)
+        (core/dataset.py:1280 — `deep` has no distributed meaning).
+        ``data`` replaces data-var contents like the reference: a
+        mapping of var -> new column/expression (long-form rendering of
+        the reference's array replacement)."""
+        out = self._replace(df=self.df)
+        if data:
+            if not isinstance(data, Mapping):
+                raise TypeError("copy(data=...) takes {var: Column} here")
+            unknown = [k for k in data if k not in self.data_vars]
+            if unknown:
+                raise ValueError(f"data keys {unknown} are not data_vars")
+            df = out.df
+            for k, v in data.items():
+                df = df.withColumn(k, v)
+            out = out._replace(df=df)
+        return out
 
     def as_numpy(self) -> "XDataset":
         """Parity no-op (core/dataset.py:1427): the long-form engine has
@@ -3417,14 +3518,20 @@ class XDataset:
         from xarray_spark.io import from_dict
         return from_dict(spark, d)
 
-    def to_dict(self) -> dict:
-        return {
+    def to_dict(self, data: bool = True) -> dict:
+        """``data=False`` returns the schema-only dict (reference
+        to_dict(data=False) — no values collected, no job runs)."""
+        out = {
             "dims": list(self.dims),
             "coords": {k: list(v) for k, v in self.coords.items()},
             "data_vars": list(self.data_vars),
             "attrs": self.attrs,
-            "data": [r.asDict() for r in self.df.collect()],
         }
+        if data:
+            out["data"] = [r.asDict() for r in self.df.collect()]
+        else:
+            out["dtypes"] = dict(self.df.dtypes)
+        return out
 
     def to_netcdf(self, path: str) -> None:
         """Write a classic netCDF-3 file (xarray/core/dataset.py:2028
