@@ -5,9 +5,10 @@ import os
 import struct
 
 import numpy as np
+import pandas as pd
 import pytest
 
-from xarray_spark import open_dataset
+from xarray_spark import XDataset, open_dataset
 from xarray_spark.backends import (
     open_dataset_netcdf,
     open_mfdataset_netcdf,
@@ -341,3 +342,77 @@ def test_dataset_to_netcdf_roundtrip(spark, tmp_path):
     back = open_dataset(spark, p)
     got = {r["t"]: r["v"] for r in back.df.collect()}
     assert got == {float(i): float(i) * 3.0 for i in range(6)}
+
+
+class TestZarrRegionAppend:
+    @pytest.mark.parametrize("fmt", [2, 3])
+    def test_region_overwrite_roundtrip(self, spark, tmp_path, fmt):
+        import numpy as np
+        from xarray_spark.backends import read_zarr_array
+        store = str(tmp_path / f"z{fmt}")
+        full = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(20),
+                          "v": [float(i) for i in range(20)]})),
+            dims=["t"])
+        full.to_zarr(store, chunk_rows=5, zarr_format=fmt)
+        reg = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(5, 15),
+                          "v": [-float(i) for i in range(5, 15)]})),
+            dims=["t"])
+        reg.to_zarr(store, region={"t": slice(5, 15)})
+        arr = read_zarr_array(store, "v")
+        exp = np.array([float(i) for i in range(5)]
+                       + [-float(i) for i in range(5, 15)]
+                       + [float(i) for i in range(15, 20)])
+        np.testing.assert_allclose(arr, exp)
+
+    @pytest.mark.parametrize("fmt", [2, 3])
+    def test_append_dim_extends_store(self, spark, tmp_path, fmt):
+        import numpy as np
+        from xarray_spark.backends import open_zarr, read_zarr_array
+        store = str(tmp_path / f"za{fmt}")
+        full = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(20),
+                          "v": [float(i) for i in range(20)]})),
+            dims=["t"])
+        full.to_zarr(store, chunk_rows=5, zarr_format=fmt)
+        app = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(20, 30),
+                          "v": [float(i) * 10 for i in range(20, 30)]})),
+            dims=["t"])
+        app.to_zarr(store, append_dim="t")
+        arr = read_zarr_array(store, "v")
+        coord = read_zarr_array(store, "t")
+        assert arr.shape == (30,)
+        np.testing.assert_allclose(arr[20:],
+                                   [float(i) * 10 for i in range(20, 30)])
+        np.testing.assert_allclose(coord, np.arange(30))
+        assert open_zarr(spark, store).df.count() == 30
+
+    def test_region_alignment_guard(self, spark, tmp_path):
+        store = str(tmp_path / "zg")
+        full = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(20),
+                          "v": [float(i) for i in range(20)]})),
+            dims=["t"])
+        full.to_zarr(store, chunk_rows=5)
+        reg = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(3, 13),
+                          "v": [0.0] * 10})), dims=["t"])
+        with pytest.raises(ValueError):
+            reg.to_zarr(store, region={"t": slice(3, 13)})
+        # wrong row count for the region
+        with pytest.raises(ValueError):
+            reg.to_zarr(store, region={"t": slice(0, 5)})
+
+    def test_append_partial_chunk_guard(self, spark, tmp_path):
+        store = str(tmp_path / "zp")
+        full = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(7),
+                          "v": [float(i) for i in range(7)]})),
+            dims=["t"])
+        full.to_zarr(store, chunk_rows=5)  # 7 % 5 != 0
+        app = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": [7], "v": [9.0]})), dims=["t"])
+        with pytest.raises(NotImplementedError):
+            app.to_zarr(store, append_dim="t")

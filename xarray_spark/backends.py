@@ -693,10 +693,157 @@ def open_zarr(spark: SparkSession, store: str,
     return XDataset(df, dims, {}, data_names, {})
 
 
+def _zarr_set_shape(store: str, name: str, shape: list) -> None:
+    """Rewrite one array's shape in its metadata file (v2 .zarray or v3
+    zarr.json) — the driver-side step of an append_dim write."""
+    v3path = os.path.join(store, name, "zarr.json")
+    if os.path.exists(v3path):
+        with open(v3path) as f:
+            meta = json.load(f)
+        meta["shape"] = list(shape)
+        with open(v3path, "w") as f:
+            json.dump(meta, f)
+        return
+    zpath = os.path.join(store, name, ".zarray")
+    with open(zpath) as f:
+        meta = json.load(f)
+    meta["shape"] = list(shape)
+    with open(zpath, "w") as f:
+        json.dump(meta, f)
+
+
+def _to_zarr_update(ds, store: str, dim: str | None,
+                    region: dict | None, append_dim: str | None) -> None:
+    """to_zarr(region=...) / to_zarr(append_dim=...) against an EXISTING
+    store (xarray/core/dataset.py:2204 region/append_dim semantics):
+
+    - ``region={dim: slice(start, stop)}`` overwrites exactly that slice of
+      every data var.  Like the reference, the region must be
+      CHUNK-ALIGNED (start on a chunk boundary; stop on a boundary or at
+      the array end) so each Spark task owns whole chunk files — no
+      read-modify-write, no cross-writer races at 1000 executors.
+    - ``append_dim=dim`` extends the arrays: metadata shapes bump
+      driver-side (tiny JSON), the label-sized coordinate array is
+      extended driver-side, and ONLY the new chunks are written by
+      executors.  Requires the existing length to be chunk-aligned (a
+      partial final chunk would need a read-modify-merge; rewrite the
+      store or choose a dividing chunk size — the honest guard).
+
+    Chunk size, dtype, compressor, and key layout all come FROM THE
+    STORE's metadata, so updates interoperate with any prior writer and
+    both zarr formats.  Coordinate VALUES inside a region are trusted to
+    match (the reference verifies them by reading; at 100 TB that read
+    is wasted work — validate once upstream if needed)."""
+    import datetime as _dt
+
+    import pandas as pd
+    from pyspark.sql import functions as SF  # noqa: N812
+    from pyspark.sql import types as ST
+
+    if region is not None:
+        (dim, sl), = region.items()
+    else:
+        dim = append_dim
+    varlist = list(ds.data_vars)
+    if not varlist:
+        raise ValueError("no data vars to write")
+    zarray0, _ = _zarr_meta(store, varlist[0])
+    for v in varlist[1:]:
+        za, _ = _zarr_meta(store, v)
+        if za["shape"] != zarray0["shape"] or za["chunks"] != zarray0["chunks"]:
+            raise ValueError(f"store arrays disagree on shape/chunks: {v}")
+    n_total, chunk = int(zarray0["shape"][0]), int(zarray0["chunks"][0])
+    dt = np.dtype(zarray0["dtype"])
+    labels = ds._dim_labels(dim)
+    m = labels.select(SF.max("__size")).collect()[0][0] or 0
+    if region is not None:
+        start = sl.start or 0
+        stop = n_total if sl.stop is None else sl.stop
+        if not (0 <= start < stop <= n_total):
+            raise ValueError(f"region {start}:{stop} outside array "
+                             f"length {n_total}")
+        if start % chunk != 0 or (stop % chunk != 0 and stop != n_total):
+            raise ValueError(
+                f"region {start}:{stop} is not aligned to chunks of "
+                f"{chunk} (the reference's to_zarr has the same "
+                "requirement — each writer must own whole chunks)")
+        if m != stop - start:
+            raise ValueError(f"dataset has {m} labels; region needs "
+                             f"{stop - start}")
+        offset, new_n = start, n_total
+    else:
+        if n_total % chunk != 0:
+            raise NotImplementedError(
+                f"append_dim onto a partial final chunk ({n_total} % "
+                f"{chunk} != 0): a distributed writer cannot merge into "
+                "a half-full chunk without read-modify-write; rewrite "
+                "the store or use a chunk size dividing the length")
+        offset, new_n = n_total, n_total + m
+        for v in varlist:
+            _zarr_set_shape(store, v, [new_n])
+        old_coord = read_zarr_array(store, dim)
+        vals = [r[0] for r in labels.orderBy("__pos").select(dim).collect()]
+        if vals and isinstance(vals[0], (_dt.datetime, _dt.date)):
+            newc = (np.array(vals, dtype="datetime64[s]")
+                    .astype("int64").astype("float64"))
+        else:
+            newc = np.asarray(vals)
+            if newc.dtype.kind == "M":
+                newc = (newc.astype("datetime64[s]")
+                        .astype("int64").astype("float64"))
+        coord = np.concatenate([old_coord,
+                                newc.astype(old_coord.dtype, copy=False)])
+        ca, _ = _zarr_meta(store, dim)
+        v3 = os.path.exists(os.path.join(store, varlist[0], "zarr.json"))
+        write_zarr_array(store, dim, coord, [dim], [int(ca["chunks"][0])],
+                         "zlib" if zarray0.get("compressor") else None,
+                         3 if v3 else 2)
+
+    comp = zarray0.get("compressor")
+    keyfn = lambda idx: _zarr_chunk_key(zarray0, idx)  # noqa: E731
+
+    fact = (
+        ds.df.join(SF.broadcast(labels.select(dim, "__pos")), on=dim)
+        .withColumn("__gpos", SF.col("__pos") + SF.lit(offset))
+        .withColumn("__chunk", SF.floor(SF.col("__gpos") / chunk))
+        .select("__chunk", "__gpos", *[SF.col(v).cast("double").alias(v)
+                                       for v in varlist])
+    )
+    out_schema = ST.StructType([ST.StructField("chunk", ST.LongType()),
+                                ST.StructField("written", ST.IntegerType())])
+
+    def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["__chunk"].iloc[0])
+        pdf = pdf.sort_values("__gpos")
+        base = cid * chunk
+        size = min(chunk, new_n - base)
+        written = 0
+        for v in varlist:
+            block = np.full(size, np.nan, dtype=dt.newbyteorder("="))
+            block[pdf["__gpos"].to_numpy("int64") - base] =                 pdf[v].to_numpy("float64")
+            raw = _zarr_chunk_bytes(block, [chunk], comp)
+            kpath = os.path.join(store, v, keyfn((cid,)))
+            os.makedirs(os.path.dirname(kpath), exist_ok=True)
+            with open(kpath, "wb") as f:
+                f.write(raw)
+            written += 1
+        return pd.DataFrame({"chunk": [cid], "written": [written]})
+
+    done = fact.groupBy("__chunk").applyInPandas(write_chunk, out_schema)
+    wrote = done.agg(SF.sum("written")).collect()[0][0]
+    n_chunks = (-(-(offset + m) // chunk)) - (offset // chunk)
+    expected = n_chunks * len(varlist)
+    if wrote != expected:
+        raise IOError(f"zarr update: wrote {wrote} chunks, "
+                      f"expected {expected}")
+
+
 def to_zarr_distributed(ds, store: str, dim: str | None = None,
                         chunk_rows: int = 100_000,
                         compressor: str | None = "zlib",
-                        zarr_format: int = 2) -> None:
+                        zarr_format: int = 2, mode: str = "w",
+                        region: dict | None = None,
+                        append_dim: str | None = None) -> None:
     """CHUNK-PARALLEL zarr write of a (1-D) XDataset: the write-side
     mirror of ``open_zarr``'s scale shape (xarray to_zarr with dask:
     one task per chunk, backends/zarr.py store.set_variables).
@@ -716,6 +863,11 @@ def to_zarr_distributed(ds, store: str, dim: str | None = None,
     from pyspark.sql import functions as SF  # noqa: N812 - local alias
     from pyspark.sql import types as ST
 
+    if region is not None or append_dim is not None:
+        return _to_zarr_update(ds, store, dim, region, append_dim)
+    if mode not in ("w", "w-"):
+        raise ValueError(f"mode {mode!r}: use region=/append_dim= for "
+                         "updates ('r+'/'a' are implied by them)")
     dim = dim or ds.dims[0]
     if len(ds.dims) != 1:
         raise NotImplementedError("to_zarr_distributed: single-dim datasets "

@@ -3555,14 +3555,22 @@ class XDataset:
         write_netcdf3(path, {dim: len(pdf)}, variables, attrs=self.attrs or {})
 
     def to_zarr(self, store: str, dim: str | None = None,
-                chunk_rows: int = 100_000, zarr_format: int = 2) -> None:
+                chunk_rows: int = 100_000, zarr_format: int = 2,
+                mode: str = "w", region: dict | None = None,
+                append_dim: str | None = None) -> None:
         """Chunk-parallel zarr write (xarray/core/dataset.py:2204
         to_zarr): each Spark task serializes and writes its own chunk
         file; the driver writes only metadata and the label-sized
-        coordinate array (backends.to_zarr_distributed)."""
+        coordinate array (backends.to_zarr_distributed).
+
+        ``region={dim: slice(start, stop)}`` overwrites a chunk-aligned
+        slice of an existing store; ``append_dim=dim`` extends it —
+        both write ONLY the affected chunk files from executors (see
+        backends._to_zarr_update for the alignment rules)."""
         from xarray_spark.backends import to_zarr_distributed
         to_zarr_distributed(self, store, dim, chunk_rows,
-                            zarr_format=zarr_format)
+                            zarr_format=zarr_format, mode=mode,
+                            region=region, append_dim=append_dim)
 
     def to_parquet(self, path: str, partition_by: Sequence[str] | None = None,
                    mode: str = "overwrite", region: bool = False):
