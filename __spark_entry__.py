@@ -2135,6 +2135,21 @@ def q129_ngram_lm_score(spark, sf_dir):
     return ngram_lm_score(docs, n=3, vocab_size=128, quant=10_000)
 
 
+def q130_decontaminate_ngrams(spark, sf_dir):
+    """N-gram-overlap decontamination (extras.curation.
+    decontaminate_ngrams — the GPT-3 appendix-C 13-gram rule, here at
+    n=5 to fit the synthetic corpus's short documents): eval set =
+    every 25th document; a corpus doc is contaminated if it shares any
+    word 5-gram with any eval doc.  Eval grams hash-distinct and
+    broadcast; corpus side is explode → broadcast semi-probe →
+    per-doc count.  The oracle replays gram extraction, the distinct
+    eval set, and the occurrence counts on plain gram strings."""
+    from xarray_spark.extras.curation import decontaminate_ngrams
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    return decontaminate_ngrams(docs, ev, n=5, mode="flag")
+
+
 def q126_semdedup_trained(spark, sf_dir):
     """SemDeDup with a TRAINED codebook (extras.similarity.
     semdedup_train_centroids + semdedup_pairs(centroids_q=…)) — the
@@ -2174,9 +2189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     page-level lorem-ipsum/brace/badword drops) and q129 (CCNet
     perplexity scoring — corpus-trained char-trigram LM with
     integer-quantized log-probs and exact ntile thirds; q01 leads the
-    window so the cheapest scan+agg absorbs residual session spin-up,
-    and q59/q33 moved below the fold to keep the window at 50 — both
-    untouched double-green anchors re-oracled at sf0.001 each round);
+    window so the cheapest scan+agg absorbs residual session spin-up),
+    q130 (n-gram-overlap decontamination, the GPT-3 13-gram rule; at
+    n=5 here), with q59/q33/q13 moved below the fold to keep the
+    window at 50 — all three untouched double-green anchors re-oracled
+    at sf0.001 each round;
     (b) every query whose code path changed this round:
     the quantile family (q74/q15/q16/q39/q115 — the per-instance
     stats/histogram/candidate scan cache), q119 (dedup_substrings lost
@@ -2209,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_gopher_filter": q127_gopher_filter,
         "q128_c4_filter": q128_c4_filter,
         "q129_ngram_lm_score": q129_ngram_lm_score,
+        "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
         "q126_semdedup_trained": q126_semdedup_trained,
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
@@ -2625,6 +2643,30 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_frac >= 0.8
                     AND stop_hits >= 1) AS passes
             FROM m
+        """,
+        "q130_decontaminate_ngrams": """
+            WITH ws AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       lower(trim(coalesce(text, ''))), '\\s+') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 5 THEN
+                       list_transform(range(1, len(w) - 3),
+                         i -> array_to_string(
+                                list_slice(w, i, i + 4), ' '))
+                     ELSE [] END) AS gram
+              FROM ws),
+            gg AS (SELECT doc_id, gram FROM g WHERE len(gram) > 0),
+            ev AS (SELECT DISTINCT gram FROM gg WHERE doc_id % 25 = 0),
+            hits AS (
+              SELECT gg.doc_id, count(*) AS n_hits
+              FROM gg JOIN ev USING (gram) GROUP BY gg.doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         """,
         "q129_ngram_lm_score": """
             WITH nm AS (

@@ -305,3 +305,36 @@ class TestNgramLmScore:
                 .executedPlan().toString())
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestDecontaminateNgrams:
+    def test_flag_and_drop_modes(self, spark):
+        from xarray_spark.extras.curation import decontaminate_ngrams
+        corpus = spark.createDataFrame([
+            (0, "alpha beta gamma delta epsilon zeta"),     # shares 5-gram
+            (1, "one two three four five six seven"),        # clean
+            (2, "alpha beta gamma delta epsilon other"),     # shares one
+            (3, None),                                       # null text
+        ], ["doc_id", "text"])
+        ev = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta extra")],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               decontaminate_ngrams(corpus, ev, n=5).collect()}
+        # doc 0: grams (a b g d e) and (b g d e z) both in eval
+        assert out[0]["n_hits"] == 2 and out[0]["contaminated"] is True
+        assert out[1]["n_hits"] == 0 and out[1]["contaminated"] is False
+        assert out[2]["n_hits"] == 1 and out[2]["contaminated"] is True
+        assert out[3]["n_hits"] == 0
+        kept = decontaminate_ngrams(corpus, ev, n=5, mode="drop")
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+    def test_eval_side_broadcast_plan(self, spark):
+        from xarray_spark.extras.curation import decontaminate_ngrams
+        corpus = spark.createDataFrame(
+            [(0, "a b c d e f")], ["doc_id", "text"])
+        ev = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        plan = (decontaminate_ngrams(corpus, ev, n=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan

@@ -401,3 +401,62 @@ def c4_filter(
         pat = "(?i)\\b(" + "|".join(re.escape(w) for w in badwords) + ")\\b"
         passes = passes & ~F.col("__t").rlike(pat)
     return sig.withColumn("passes", passes).drop("__t")
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    mode: str = "flag",
+) -> DataFrame:
+    """N-gram-overlap train/test decontamination (the GPT-3 appendix C
+    method, Brown et al. 2020, and the standard eval-decontamination
+    rule since: a training document is CONTAMINATED if it shares any
+    word ``n``-gram — canonically 13 — with any evaluation document).
+
+    Exact fingerprints (:func:`decontaminate`) miss near-copies with
+    one changed character; 13-gram overlap catches any shared passage
+    longer than ~13 words.
+
+    ``mode='flag'`` returns ``(id, n_hits, contaminated)`` — one row
+    per corpus doc with the count of overlapping n-grams, so
+    downstream can threshold; ``mode='drop'`` returns the clean corpus
+    rows unchanged (anti-join form).
+
+    Scale shape: eval n-grams are DISTINCT'd and hashed to 64-bit on
+    the (tiny, benchmark-sized) eval side and BROADCAST; the corpus
+    side is one explode → broadcast-hash semi-probe → partial-agg
+    count per doc.  Corpus rows never shuffle in 'drop' mode; 'flag'
+    mode shuffles only (id, hit) pairs that actually matched.
+    Normalization on both sides: lowercase + whitespace collapse."""
+    from xarray_spark.extras.text import ngrams
+
+    eval_text_col = eval_text_col or text_col
+    ev = (
+        eval_set.select(F.explode(
+            ngrams(F.coalesce(F.col(eval_text_col), F.lit("")), n))
+            .alias("__g"))
+        .where(F.length("__g") > 0)
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(ngrams(F.coalesce(F.col(text_col), F.lit("")), n))
+        .alias("__g"),
+    ).where(F.length("__g") > 0).select(
+        id_col, F.xxhash64("__g").alias("__gh"))
+    if mode == "drop":
+        bad = (grams.join(F.broadcast(ev), on="__gh", how="left_semi")
+               .select(id_col).distinct())
+        return corpus.join(bad, on=id_col, how="left_anti")
+    hits = (grams.join(F.broadcast(ev), on="__gh", how="left_semi")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits")))
+    return (corpus.select(id_col).join(hits, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0))
