@@ -444,3 +444,64 @@ def test_weekly_resample_matches_pandas(spark, start, n, anchor):
         assert got[ts] == pytest.approx(
             float(pd.Series(vals, index=idx).resample(anchor).sum()[ts])
         ), (ts, anchor)
+
+
+@given(vals=st.lists(st.floats(min_value=-100, max_value=100, width=32),
+                     min_size=2, max_size=12),
+       before=st.integers(min_value=0, max_value=4),
+       after=st.integers(min_value=0, max_value=4),
+       mode=st.sampled_from(["mean", "maximum", "minimum"]),
+       sl_b=st.integers(min_value=1, max_value=5),
+       sl_a=st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_pad_stat_length_matches_numpy_fuzz(spark, vals, before, after,
+                                            mode, sl_b, sl_a):
+    import numpy as np
+    if before == 0 and after == 0:
+        return
+    d = mk(spark, vals)
+    arr = np.array(vals)
+    sl = ((sl_b, sl_a),)
+    exp = np.pad(arr, (before, after), mode=mode, stat_length=sl)
+    got = (d.pad(t=(before, after), mode=mode, stat_length=sl)
+           .to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(got, exp, rtol=1e-7)
+
+
+@given(n=st.integers(min_value=1, max_value=10),
+       pos=st.integers(min_value=-10, max_value=9),
+       drop=st.booleans())
+@settings(**SETTINGS)
+def test_scalar_isel_drop_grid_fuzz(spark, n, pos, drop):
+    """Any in-range scalar isel: value parity with numpy, catalog
+    parity with the reference drop semantics (kept as scalar coord
+    unless drop)."""
+    import numpy as np
+    vals = [float(i * i) for i in range(n)]
+    d = mk(spark, vals)
+    if not -n <= pos < n:
+        return
+    out = d.isel(t=pos, drop=drop)
+    assert out.dims == ()
+    assert ("t" in out.df.columns) == (not drop)
+    got = out.df.collect()[0]["v"]
+    assert got == np.array(vals)[pos]
+
+
+@given(n=st.integers(min_value=2, max_value=8),
+       perm=st.permutations([0, 1]))
+@settings(**SETTINGS)
+def test_transpose_roundtrip_fuzz(spark, n, perm):
+    import pandas as pd
+    rows = [{"x": i, "y": j, "v": float(i * 10 + j)}
+            for i in range(n) for j in range(2)]
+    d = XDataset(spark.createDataFrame(pd.DataFrame(rows)),
+                 dims=["x", "y"])
+    names = ["x", "y"]
+    order = [names[p] for p in perm]
+    t = d.transpose(*order)
+    assert t.dims == tuple(order)
+    # bare ellipsis = all dims in current order (reference no-op);
+    # no-arg transpose = reverse
+    assert t.transpose(...).dims == tuple(order)
+    assert t.transpose().dims == tuple(reversed(order))
