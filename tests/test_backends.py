@@ -416,3 +416,36 @@ class TestZarrRegionAppend:
             pd.DataFrame({"t": [7], "v": [9.0]})), dims=["t"])
         with pytest.raises(NotImplementedError):
             app.to_zarr(store, append_dim="t")
+
+
+class TestZarrND:
+    @pytest.mark.parametrize("fmt", [2, 3])
+    def test_2d_write_read_roundtrip(self, spark, tmp_path, fmt):
+        from xarray_spark.backends import open_zarr, read_zarr_array
+        store = str(tmp_path / f"nd{fmt}")
+        rows = [{"x": i, "y": j, "v": float(i * 100 + j),
+                 "w": float(i - j)} for i in range(7) for j in range(5)]
+        ds = XDataset(spark.createDataFrame(pd.DataFrame(rows)),
+                      dims=["x", "y"])
+        ds.to_zarr(store, chunks={"x": 3, "y": 2}, zarr_format=fmt)
+        arr = read_zarr_array(store, "v")
+        exp = np.arange(7)[:, None] * 100 + np.arange(5)[None, :]
+        assert arr.shape == (7, 5)
+        np.testing.assert_allclose(arr, exp)
+        back = open_zarr(spark, store)
+        assert back.dims == ("x", "y")
+        p = back.to_pandas().sort_values(["x", "y"])
+        np.testing.assert_allclose(p["v"].to_numpy().reshape(7, 5), exp)
+        np.testing.assert_allclose(
+            p["w"].to_numpy(),
+            [float(i - j) for i in range(7) for j in range(5)])
+
+    def test_sparse_grid_rejected(self, spark, tmp_path):
+        store = str(tmp_path / "ndsparse")
+        rows = [{"x": 0, "y": 0, "v": 1.0}, {"x": 5, "y": 5, "v": 2.0}]
+        ds = XDataset(spark.createDataFrame(pd.DataFrame(rows)),
+                      dims=["x", "y"])
+        # 2 labels per dim -> 2x2 grid cells with chunks of 1, but only
+        # 2 populated -> the dense-grid check trips
+        with pytest.raises(IOError):
+            ds.to_zarr(store, chunks={"x": 1, "y": 1})

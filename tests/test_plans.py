@@ -263,3 +263,18 @@ def test_dedup_substrings_no_forced_broadcast(spark):
     # canonical keeps all tokens
     got = {r["doc_id"]: r["n_dropped"] for r in out.collect()}
     assert got[0] == 0 and all(got[i] > 0 for i in range(1, 8))
+
+
+def test_ngram_lm_score_plan_shape(spark):
+    """q129's scale contract: the bounded LM broadcasts (no shuffle of
+    the corpus against the model), no cartesian products, and the
+    scoring plan reads the source a bounded number of times."""
+    from xarray_spark.extras.text import ngram_lm_score
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["plain text here",
+                                                 "more words here"]}))
+    plan = (ngram_lm_score(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -838,12 +838,110 @@ def _to_zarr_update(ds, store: str, dim: str | None,
                       f"expected {expected}")
 
 
+def _to_zarr_nd(ds, store: str, chunk_map: dict,
+                compressor: str | None, zarr_format: int) -> None:
+    """N-D chunk-parallel zarr write: the chunk GRID over all dims is
+    the task grid — each Spark task owns one N-D chunk file (the same
+    task-per-chunk shape open_zarr reads with).  Positions come from
+    one broadcast label table per dim; rows group on the chunk-index
+    tuple and each group assembles its block with a single
+    ravel_multi_index scatter.  Assumes a dense grid (the array model
+    being written); missing combinations surface as NaN inside blocks,
+    and the chunk-count check still requires every grid cell to carry
+    at least one row."""
+    import pandas as pd
+    from pyspark.sql import functions as SF  # noqa: N812
+    from pyspark.sql import types as ST
+
+    dims = list(ds.dims)
+    varlist = list(ds.data_vars)
+    sizes, chunks_l, coord_arrays = [], [], {}
+    import datetime as _dt
+    fact = ds.df
+    for d in dims:
+        labels = ds._dim_labels(d)
+        n_d = labels.select(SF.max("__size")).collect()[0][0] or 0
+        if n_d == 0:
+            raise ValueError("empty dataset")
+        c_d = min(int(chunk_map.get(d, n_d)), n_d)
+        sizes.append(n_d)
+        chunks_l.append(c_d)
+        vals = [r[0] for r in labels.orderBy("__pos").select(d).collect()]
+        if vals and isinstance(vals[0], (_dt.datetime, _dt.date)):
+            coord = (np.array(vals, dtype="datetime64[s]")
+                     .astype("int64").astype("float64"))
+        else:
+            coord = np.asarray(vals)
+            if coord.dtype.kind == "M":
+                coord = (coord.astype("datetime64[s]")
+                         .astype("int64").astype("float64"))
+        coord_arrays[d] = coord
+        fact = fact.join(
+            SF.broadcast(labels.select(
+                SF.col(d), SF.col("__pos").alias(f"__p_{d}"))), on=d)
+    os.makedirs(store, exist_ok=True)
+    if zarr_format == 3:
+        with open(os.path.join(store, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "group",
+                       "attributes": {}}, f)
+    else:
+        with open(os.path.join(store, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+    for d, n_d, c_d in zip(dims, sizes, chunks_l):
+        write_zarr_array(store, d, coord_arrays[d], [d], [c_d],
+                         compressor, zarr_format)
+    comps, keyfns = {}, {}
+    for v in varlist:
+        comps[v], keyfns[v] = _write_zarr_meta(
+            store, v, sizes, chunks_l, np.dtype("float64"), dims,
+            compressor, zarr_format)
+
+    sel = [SF.floor(SF.col(f"__p_{d}") / c).alias(f"__c_{d}")
+           for d, c in zip(dims, chunks_l)]
+    sel += [SF.col(f"__p_{d}") for d in dims]
+    sel += [SF.col(v).cast("double").alias(v) for v in varlist]
+    fact = fact.select(*sel)
+    out_schema = ST.StructType([ST.StructField("written", ST.IntegerType())])
+    ckeys = [f"__c_{d}" for d in dims]
+
+    def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = tuple(int(pdf[k].iloc[0]) for k in ckeys)
+        base = [i * c for i, c in zip(cid, chunks_l)]
+        bshape = [min(c, n - b) for c, n, b in zip(chunks_l, sizes, base)]
+        idx = np.ravel_multi_index(
+            tuple(pdf[f"__p_{d}"].to_numpy("int64") - b
+                  for d, b in zip(dims, base)), bshape)
+        written = 0
+        for v in varlist:
+            block = np.full(int(np.prod(bshape)), np.nan, dtype="float64")
+            block[idx] = pdf[v].to_numpy("float64")
+            raw = _zarr_chunk_bytes(block.reshape(bshape), chunks_l,
+                                    comps[v])
+            kpath = os.path.join(store, v, keyfns[v](cid))
+            os.makedirs(os.path.dirname(kpath), exist_ok=True)
+            with open(kpath, "wb") as f:
+                f.write(raw)
+            written += 1
+        return pd.DataFrame({"written": [written]})
+
+    done = fact.groupBy(*ckeys).applyInPandas(write_chunk, out_schema)
+    wrote = done.agg(SF.sum("written")).collect()[0][0]
+    grid = 1
+    for n_d, c_d in zip(sizes, chunks_l):
+        grid *= -(-n_d // c_d)
+    expected = grid * len(varlist)
+    if wrote != expected:
+        raise IOError(f"to_zarr N-D: wrote {wrote} chunks, expected "
+                      f"{expected} (is the grid dense?)")
+
+
 def to_zarr_distributed(ds, store: str, dim: str | None = None,
                         chunk_rows: int = 100_000,
                         compressor: str | None = "zlib",
                         zarr_format: int = 2, mode: str = "w",
                         region: dict | None = None,
-                        append_dim: str | None = None) -> None:
+                        append_dim: str | None = None,
+                        chunks: dict | None = None) -> None:
     """CHUNK-PARALLEL zarr write of a (1-D) XDataset: the write-side
     mirror of ``open_zarr``'s scale shape (xarray to_zarr with dask:
     one task per chunk, backends/zarr.py store.set_variables).
@@ -868,10 +966,11 @@ def to_zarr_distributed(ds, store: str, dim: str | None = None,
     if mode not in ("w", "w-"):
         raise ValueError(f"mode {mode!r}: use region=/append_dim= for "
                          "updates ('r+'/'a' are implied by them)")
-    dim = dim or ds.dims[0]
     if len(ds.dims) != 1:
-        raise NotImplementedError("to_zarr_distributed: single-dim datasets "
-                                  "(stack() first for N-D)")
+        cmap = dict(chunks or {})
+        cmap.setdefault(ds.dims[0], chunk_rows)
+        return _to_zarr_nd(ds, store, cmap, compressor, zarr_format)
+    dim = dim or ds.dims[0]
     varlist = list(ds.data_vars)
     labels = ds._dim_labels(dim)
     n = labels.select(SF.max("__size")).collect()[0][0] or 0

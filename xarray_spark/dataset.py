@@ -3557,7 +3557,8 @@ class XDataset:
     def to_zarr(self, store: str, dim: str | None = None,
                 chunk_rows: int = 100_000, zarr_format: int = 2,
                 mode: str = "w", region: dict | None = None,
-                append_dim: str | None = None) -> None:
+                append_dim: str | None = None,
+                chunks: dict | None = None) -> None:
         """Chunk-parallel zarr write (xarray/core/dataset.py:2204
         to_zarr): each Spark task serializes and writes its own chunk
         file; the driver writes only metadata and the label-sized
@@ -3570,7 +3571,8 @@ class XDataset:
         from xarray_spark.backends import to_zarr_distributed
         to_zarr_distributed(self, store, dim, chunk_rows,
                             zarr_format=zarr_format, mode=mode,
-                            region=region, append_dim=append_dim)
+                            region=region, append_dim=append_dim,
+                            chunks=chunks)
 
     def to_parquet(self, path: str, partition_by: Sequence[str] | None = None,
                    mode: str = "overwrite", region: bool = False):
