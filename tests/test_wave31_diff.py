@@ -401,3 +401,47 @@ def test_to_dict_data_false_matches_reference_shape(spark):
         pd.DataFrame({"t": [0], "v": [1.0]})), dims=["t"])
     d = ours.to_dict(data=False)
     assert "data" not in d and "dtypes" in d
+
+
+# ---- wave 33: scalar coords flowing through downstream ops ---------- #
+
+def test_scalar_coords_flow_through_ops(spark):
+    """The round-6 scalar-coord model (collapsed dims stay as coords)
+    must compose: reductions keep scalar coords like the reference,
+    arithmetic/assign/expand_dims/concat/to_dataframe all work on
+    0-dim datasets."""
+    from xarray_spark import concat
+    pdf = pd.DataFrame({"t": [0, 1, 2, 3], "k": ["a", "b", "a", "b"],
+                        "v": [1.0, 2.0, 3.0, 4.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"],
+                  coords={"k": ("t",)})
+    ref = xr.Dataset({"v": ("t", [1.0, 2.0, 3.0, 4.0])},
+                     coords={"t": [0, 1, 2, 3],
+                             "k": ("t", ["a", "b", "a", "b"])})
+    sc, rc = ds.sel(t=2), ref.sel(t=2)
+    # reduction keeps scalar coords (reference semantics)
+    m, rm = sc.mean(), rc.mean()
+    assert set(rm.coords) == {"t", "k"}
+    row = m.df.collect()[0]
+    assert row["v"] == float(rm["v"]) and row["k"] == "a" and row["t"] == 2
+    # arithmetic on a 0-dim dataset
+    assert (sc * 2).df.collect()[0]["v"] == float((rc * 2)["v"])
+    # expand a scalar selection back to 1-D
+    assert sc.expand_dims("z").dims == ("z",)
+    # concat scalar selections reassembles the series
+    c = concat([ds.sel(t=0), ds.sel(t=1)], dim="t")
+    assert sorted((r["t"], r["v"]) for r in c.df.collect()) == [
+        (0, 1.0), (1, 2.0)]
+    # to_dataframe surfaces scalar coords as columns (reference shape)
+    out = sc.to_dataframe()
+    assert set(out.columns) >= {"k", "v"} or set(out.index.names) >= {"t"}
+
+
+def test_groupby_unaffected_by_scalar_coord_presence(spark):
+    pdf = pd.DataFrame({"t": [0, 1, 2, 3], "k": ["a", "b", "a", "b"],
+                        "v": [1.0, 2.0, 3.0, 4.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"],
+                  coords={"k": ("t",)})
+    got = sorted((r["k"], r["v"]) for r in
+                 ds.groupby("k").sum().df.collect())
+    assert got == [("a", 4.0), ("b", 6.0)]
