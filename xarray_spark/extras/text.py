@@ -315,7 +315,13 @@ def ngram_lm_score(
     bucket assignment becomes a map-only comparison with no sort."""
     from pyspark.sql import Window
 
-    train = df if train is None else train
+    from xarray_spark.extras.dedup import _spread
+
+    # under-parallel single-file scans serialize the heavy gram explode
+    # (the round-5 _spread lesson); a 100 TB input already arrives in
+    # thousands of splits and passes through untouched
+    train = _spread(df if train is None else train, id_col)
+    df = _spread(df, id_col)
 
     def gram_df(src):
         norm = F.concat(
