@@ -1096,9 +1096,12 @@ class XDataset:
     # column-wise mutation
     # ------------------------------------------------------------------ #
 
-    def assign(self, **kwargs) -> "XDataset":
+    def assign(self, variables: Mapping | None = None,
+               **kwargs) -> "XDataset":
         """Add/replace data variables; values are Columns, SQL strings, or
-        callables(XDataset)->Column (xarray/core/dataset.py:7089)."""
+        callables(XDataset)->Column (xarray/core/dataset.py:7089).
+        Accepts the reference's positional-mapping form too."""
+        kwargs = {**(variables or {}), **kwargs}
         df = self.df
         new_vars = list(self.data_vars)
         for name, value in kwargs.items():
@@ -1113,7 +1116,9 @@ class XDataset:
                 new_vars.append(name)
         return self._replace(df=df, data_vars=new_vars)
 
-    def assign_coords(self, **kwargs) -> "XDataset":
+    def assign_coords(self, coords: Mapping | None = None,
+                      **kwargs) -> "XDataset":
+        kwargs = {**(coords or {}), **kwargs}
         df = self.df
         coords = dict(self.coords)
         out = self
@@ -3286,15 +3291,15 @@ class XDataset:
         (xarray Dataset.variables, coords + data vars)."""
         return {c: self[c] for c in [*self.coords, *self.data_vars]}
 
-    def drop(self, labels=None, dim=None, **kw):
+    def drop(self, labels=None, dim=None, errors: str = "raise", **kw):
         """Deprecated reference alias: names → drop_vars, dim labels →
         drop_sel (xarray Dataset.drop)."""
         if dim is not None:
-            return self.drop_sel({dim: labels})
+            return self.drop_sel({dim: labels}, errors=errors)
         names = [labels] if isinstance(labels, str) else list(labels or [])
         if names and all(n in self.df.columns for n in names):
-            return self.drop_vars(names)
-        return self.drop_sel(labels, **kw)
+            return self.drop_vars(names, errors=errors)
+        return self.drop_sel(labels, errors=errors, **kw)
 
     def conj(self) -> "XDataset":
         """Complex conjugate (xarray Dataset.conj): negate the ``im``
