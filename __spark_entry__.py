@@ -2150,6 +2150,21 @@ def q130_decontaminate_ngrams(spark, sf_dir):
     return decontaminate_ngrams(docs, ev, n=5, mode="flag")
 
 
+def q131_pack_nosplit(spark, sf_dir):
+    """No-straddle (next-fit) sequence packing (extras.curation.
+    pack_sequences_nosplit): documents that would cross a 256-token
+    bin boundary start a new bin instead of straddling (the SFT
+    packing discipline); oversize docs get their own flagged bin.
+    Next-fit is a sequential recurrence — it runs per deterministic
+    md5 bucket (one shuffle, Arrow pass, two-integer state) and the
+    oracle replays the recurrence exactly with a recursive CTE."""
+    from xarray_spark.extras.curation import pack_sequences_nosplit
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences_nosplit(docs, budget=256, n_buckets=8)
+    return out.select("doc_id", "bucket", "n_tokens", "bin",
+                      "bin_fill", "oversize")
+
+
 def q126_semdedup_trained(spark, sf_dir):
     """SemDeDup with a TRAINED codebook (extras.similarity.
     semdedup_train_centroids + semdedup_pairs(centroids_q=…)) — the
@@ -2191,9 +2206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     integer-quantized log-probs and exact ntile thirds; q01 leads the
     window so the cheapest scan+agg absorbs residual session spin-up),
     q130 (n-gram-overlap decontamination, the GPT-3 13-gram rule; at
-    n=5 here), with q59/q33/q13 moved below the fold to keep the
-    window at 50 — all three untouched double-green anchors re-oracled
-    at sf0.001 each round;
+    n=5 here) and q131 (no-straddle next-fit packing with a
+    recursive-CTE oracle), with q59/q33/q13/q43 moved below the fold
+    to keep the window at 50 — all four untouched double-green anchors
+    re-oracled at sf0.001 each round;
     (b) every query whose code path changed this round:
     the quantile family (q74/q15/q16/q39/q115 — the per-instance
     stats/histogram/candidate scan cache), q119 (dedup_substrings lost
@@ -2227,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_c4_filter": q128_c4_filter,
         "q129_ngram_lm_score": q129_ngram_lm_score,
         "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
+        "q131_pack_nosplit": q131_pack_nosplit,
         "q126_semdedup_trained": q126_semdedup_trained,
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
@@ -2881,6 +2898,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
                   NOT IN (SELECT nt FROM ev)
             GROUP BY 1
+        """,
+        "q131_pack_nosplit": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END::BIGINT AS n_tokens,
+                     ({_sql_md5l('doc_id::VARCHAR')} % 8) AS bucket
+              FROM documents),
+            seq AS (
+              SELECT doc_id, bucket, n_tokens,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY doc_id) AS rn
+              FROM t),
+            packed AS (
+              SELECT doc_id, bucket, n_tokens, rn,
+                     0::BIGINT AS bin, n_tokens AS bin_fill
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.doc_id, s.bucket, s.n_tokens, s.rn,
+                     CASE WHEN p.bin_fill + s.n_tokens > 256
+                          THEN p.bin + 1 ELSE p.bin END,
+                     CASE WHEN p.bin_fill + s.n_tokens > 256
+                          THEN s.n_tokens
+                          ELSE p.bin_fill + s.n_tokens END
+              FROM seq s JOIN packed p
+                ON s.bucket = p.bucket AND s.rn = p.rn + 1)
+            SELECT doc_id, bucket, n_tokens, bin, bin_fill,
+                   n_tokens > 256 AS oversize
+            FROM packed
         """,
         "q92_pack_sequences": f"""
             WITH t AS (SELECT doc_id,

@@ -338,3 +338,31 @@ class TestDecontaminateNgrams:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestPackNosplit:
+    def test_next_fit_semantics(self, spark):
+        from xarray_spark.extras.curation import pack_sequences_nosplit
+        rows = [(i, " ".join(["w"] * n))
+                for i, n in enumerate([5, 4, 3, 9, 2, 11, 1, 5])]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               pack_sequences_nosplit(df, budget=8,
+                                      n_buckets=1).collect()}
+        assert [out[i]["bin"] for i in range(8)] == [0, 1, 1, 2, 3, 4, 5, 5]
+        assert out[3]["oversize"] is True and out[5]["oversize"] is True
+        assert out[2]["bin_fill"] == 7  # 4 + 3 packed together
+        # invariant: no non-oversize bin exceeds the budget
+        for r in out.values():
+            assert r["oversize"] or r["bin_fill"] <= 8
+
+    def test_deterministic_across_partitionings(self, spark):
+        from xarray_spark.extras.curation import pack_sequences_nosplit
+        rows = [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(60)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        a = {r["doc_id"]: (r["bucket"], r["bin"]) for r in
+             pack_sequences_nosplit(df, budget=10, n_buckets=4).collect()}
+        b = {r["doc_id"]: (r["bucket"], r["bin"]) for r in
+             pack_sequences_nosplit(df.repartition(13), budget=10,
+                                    n_buckets=4).collect()}
+        assert a == b

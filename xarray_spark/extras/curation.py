@@ -460,3 +460,74 @@ def decontaminate_ngrams(
                     F.coalesce("n_hits", F.lit(0)).cast("long")
                     .alias("n_hits"))
             .withColumn("contaminated", F.col("n_hits") > 0))
+
+
+def pack_sequences_nosplit(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    count_col: str | None = None,
+) -> DataFrame:
+    """NO-STRADDLE packing (next-fit): documents are laid into
+    ``budget``-token bins in deterministic id order per bucket, and a
+    document that would cross the boundary STARTS A NEW BIN instead of
+    straddling it (the packing SFT/instruction pipelines use when
+    examples must stay whole; :func:`pack_sequences` is the
+    concat-and-chunk form where straddling is allowed).
+
+    Documents longer than ``budget`` get a bin of their own (flagged
+    ``oversize`` — the caller decides whether to truncate or drop).
+
+    Returns the input plus ``n_tokens``, ``bucket``, ``bin`` (0-based
+    within the bucket), ``bin_fill`` (tokens in this doc's bin up to
+    and including it) and ``oversize``.
+
+    Scale shape: next-fit is a sequential recurrence (the carry resets
+    on overflow), so it CANNOT be a window prefix-sum — but it only
+    needs to be sequential WITHIN a bucket: one shuffle keyed by the
+    deterministic md5 bucket, then one Arrow-batched pass per bucket
+    (``applyInPandas``, state = two integers).  Buckets bound both the
+    task size and the sequentiality; identical layout on every re-run,
+    and the recurrence is exactly replayable in SQL via a recursive
+    CTE (the q131 oracle does)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from xarray_spark.extras.portable import md5_long
+
+    nt = (F.col(count_col) if count_col
+          else token_count(F.col(text_col))).cast("long")
+    b = F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(n_buckets))
+    base = df.withColumn("n_tokens", nt).withColumn("bucket", b)
+    fields = [base.schema[c] for c in base.columns] + [
+        T.StructField("bin", T.LongType()),
+        T.StructField("bin_fill", T.LongType()),
+        T.StructField("oversize", T.BooleanType()),
+    ]
+    out_schema = T.StructType(fields)
+    cols = list(base.columns)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fills, overs = [], [], []
+        cur_bin, fill = 0, 0
+        first = True
+        for n in pdf["n_tokens"].astype("int64"):
+            n = int(n)
+            if not first and fill + n > budget:
+                cur_bin += 1
+                fill = 0
+            first = False
+            fill += n
+            bins.append(cur_bin)
+            fills.append(fill)
+            overs.append(n > budget)
+        out = pdf[cols].copy()
+        out["bin"] = bins
+        out["bin_fill"] = fills
+        out["oversize"] = overs
+        return out
+
+    return base.groupBy("bucket").applyInPandas(pack, out_schema)
