@@ -58,6 +58,13 @@ class BinGrouper(Grouper):
                     "edges by setting the 'duplicates' kwarg")
         if self.labels is not None:
             labels = list(self.labels)
+            if len(labels) != len(edges) - 1:
+                # pandas.cut parity: labels must match the (deduped)
+                # bin count exactly
+                raise ValueError(
+                    f"Bin labels must be one fewer than the number of "
+                    f"bin edges: {len(labels)} labels for "
+                    f"{len(edges)} edges")
         else:
             # pandas renders interval labels at precision=3 and shows
             # include_lowest as the -0.1%-adjusted first edge; derive
