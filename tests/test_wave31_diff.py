@@ -445,3 +445,85 @@ def test_groupby_unaffected_by_scalar_coord_presence(spark):
     got = sorted((r["k"], r["v"]) for r in
                  ds.groupby("k").sum().df.collect())
     assert got == [("a", 4.0), ("b", 6.0)]
+
+
+# ---- wave 34: randomized value-fuzz of the wave-31 kwargs ----------- #
+
+@pytest.mark.parametrize("seed", [0, 7, 23])
+def test_fuzz_pad_stat_modes_with_nans(spark, seed):
+    rng = np.random.RandomState(seed)
+    vals = rng.randn(10).round(6)
+    vals[rng.choice(10, 2, replace=False)] = np.nan
+    ref = xr.DataArray(vals, dims="t")
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(10), "v": vals})), dims=["t"])
+    for mode in ("mean", "maximum", "minimum"):
+        for sl in (None, 2, ((4, 1),)):
+            kw = {} if sl is None else {"stat_length": sl}
+            exp = ref.pad(t=(2, 1), mode=mode, **kw).values
+            got = (ours.pad(t=(2, 1), mode=mode, **kw)
+                   .to_pandas().sort_values("t")["v"].to_numpy())
+            np.testing.assert_allclose(got, exp, equal_nan=True,
+                                       err_msg=f"{mode}/{sl}")
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_fuzz_groupby_bins_precision_grid(spark, seed):
+    rng = np.random.RandomState(seed)
+    vals = (rng.randn(30) * 3.7).round(6)
+    edges = sorted(set(np.percentile(vals, [5, 35, 65, 95]).round(4)))
+    ref = xr.Dataset({"v": ("t", vals)}, coords={"t": np.arange(30)})
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(30), "v": vals})), dims=["t"])
+    for prec in (1, 3, 6):
+        exp = ref.groupby_bins("v", list(edges), precision=prec).sum()
+        got = (ours.groupby_bins("v", list(edges), precision=prec).sum()
+               .to_pandas().set_index("v_bins")["v"])
+        lbls = [str(c) for c in exp["v_bins"].values]
+        assert sorted(got.index) == sorted(lbls), prec
+        for lbl, val in zip(lbls, exp["v"].values):
+            assert got[lbl] == pytest.approx(val, rel=1e-9), (prec, lbl)
+
+
+@pytest.mark.parametrize("seed", [1, 19])
+def test_fuzz_merge_overwrite_vars_grid(spark, seed):
+    rng = np.random.RandomState(seed)
+    u1, u2 = rng.randn(4).round(6), rng.randn(4).round(6)
+    w = rng.randn(4).round(6)
+    a_ref = xr.Dataset({"u": ("t", u1), "w": ("t", w)},
+                       coords={"t": np.arange(4)})
+    b_ref = xr.Dataset({"u": ("t", u2)}, coords={"t": np.arange(4)})
+    a = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(4), "u": u1, "w": w})), dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(4), "u": u2})), dims=["t"])
+    for ov in ("u", ["u"], ["u", "w"]):
+        exp = a_ref.merge(b_ref, overwrite_vars=ov)
+        got = a.merge(b, overwrite_vars=ov).to_pandas().sort_values("t")
+        np.testing.assert_allclose(got["u"].to_numpy(), exp["u"].values)
+        np.testing.assert_allclose(got["w"].to_numpy(), exp["w"].values)
+
+
+@pytest.mark.parametrize("seed", [5, 13])
+def test_fuzz_scalar_sel_then_ops_match_reference(spark, seed):
+    """Random 2-D grid: scalar sel -> rolling/mean/cumsum on the
+    surviving dim must match the reference with the scalar coord
+    riding along."""
+    rng = np.random.RandomState(seed)
+    grid = rng.randn(3, 6).round(6)
+    ref = xr.Dataset({"v": (("x", "y"), grid)},
+                     coords={"x": np.arange(3), "y": np.arange(6)})
+    rows = [{"x": i, "y": j, "v": float(grid[i, j])}
+            for i in range(3) for j in range(6)]
+    ours = XDataset(spark.createDataFrame(pd.DataFrame(rows)),
+                    dims=["x", "y"])
+    x0 = int(rng.randint(0, 3))
+    s, r = ours.sel(x=x0), ref.sel(x=x0)
+    np.testing.assert_allclose(
+        s.mean("y").df.collect()[0]["v"], float(r["v"].mean("y")))
+    got = (s.cumsum("y").to_pandas().sort_values("y")["v"].to_numpy())
+    np.testing.assert_allclose(got, r["v"].cumsum("y").values)
+    got_r = (s.rolling(y=3, min_periods=1).mean()
+             .to_pandas().sort_values("y")["v"].to_numpy())
+    np.testing.assert_allclose(
+        got_r, r["v"].rolling(y=3, min_periods=1).mean().values)

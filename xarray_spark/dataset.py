@@ -2854,7 +2854,19 @@ class XDataset:
             return self._pad_positional(dim, before, after, mode, new_labels,
                                         n1 + 1, end_values, reflect_type)
         if mode in ("mean", "maximum", "minimum"):
-            aggfn = {"mean": F.avg, "maximum": F.max, "minimum": F.min}[mode]
+            base_fn = {"mean": F.avg, "maximum": F.max,
+                       "minimum": F.min}[mode]
+
+            def aggfn(v):
+                # np.pad stat modes have no notion of missing data — a
+                # NaN anywhere in the statistic's window poisons it
+                # (np.mean/np.max propagate NaN); Spark's avg/max/min
+                # silently SKIP nulls, so poison explicitly
+                col = F.col(v).cast("double")
+                bad = F.max((col.isNull() | F.isnan(col)).cast("int"))
+                return F.when(bad == 1,
+                              F.lit(float("nan"))).otherwise(base_fn(v))
+
             aggs = [aggfn(v).alias(v) for v in self.data_vars]
             sl_b, sl_a = self._norm_constant_values(stat_length, dim)
             if sl_b is not None or sl_a is not None:
