@@ -9,8 +9,12 @@ from pyspark.sql import functions as F
 
 from xarray_spark import XDataset, concat
 
+import os
+
 SETTINGS = dict(
-    max_examples=12,
+    # SPARK_GRAFT_FUZZ=N deepens the search (a one-off 100+-example run
+    # caught the isel slice-clamp bug the 12-example default missed)
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

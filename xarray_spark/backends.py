@@ -757,6 +757,9 @@ def _to_zarr_update(ds, store: str, dim: str | None,
     labels = ds._dim_labels(dim)
     m = labels.select(SF.max("__size")).collect()[0][0] or 0
     if region is not None:
+        if sl.step not in (None, 1):
+            raise ValueError("region slices cannot be stepped "
+                             "(the reference has the same rule)")
         start = sl.start or 0
         stop = n_total if sl.stop is None else sl.stop
         if not (0 <= start < stop <= n_total):
