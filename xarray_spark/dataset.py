@@ -1678,7 +1678,8 @@ class XDataset:
 
     def quantile(self, q, dim=None, skipna: bool = True, approx: bool = False,
                  method: str = "linear", numeric_only: bool = False,
-                 interpolation: str | None = None) -> "XDataset":
+                 interpolation: str | None = None,
+                 keep_attrs: bool | None = None) -> "XDataset":
         """Exact quantile (xarray/core/dataset.py:8237) with the full numpy
         interpolation-``method`` matrix (xarray/core/variable.py:1929).
 
@@ -1723,10 +1724,12 @@ class XDataset:
                 df = df.withColumn(v, F.when(
                     F.col(f"__nan_{v}") == 1, F.lit(float("nan"))
                 ).otherwise(F.col(v)))
-            return out._replace(df=df.drop(*[f"__nan_{v}" for v in varlist]))
+            return out._replace(df=df.drop(*[f"__nan_{v}" for v in varlist]),
+                                attrs=self._resolve_attrs(keep_attrs))
         if not keys and not approx:
             qdf = self._quantile_ungrouped(qs, varlist, method)
             return self._replace(df=qdf, dims=["quantile"], coords={},
+                                 attrs=self._resolve_attrs(keep_attrs),
                                  data_vars=varlist)
         if keys and not approx and _grouped_quantile_needs_hist(self.df, keys):
             # some group exceeds the buffer limit: distributed per-group
@@ -1737,6 +1740,7 @@ class XDataset:
             df = _reduce_fn(lambda a, b: a.join(b, on=keys + ["quantile"]),
                             parts)
             return self._replace(df=df, dims=["quantile"] + keep,
+                                 attrs=self._resolve_attrs(keep_attrs),
                                  coords=coords, data_vars=varlist)
         if approx:
             qarr = "array({})".format(", ".join(repr(float(x)) for x in qs))
@@ -1775,7 +1779,9 @@ class XDataset:
             F.col("__qs.q").alias("quantile"),
             *[F.col(f"__qs.{v}").alias(v) for v in varlist],
         )
-        return self._replace(df=df, dims=["quantile"] + keep, coords=coords, data_vars=varlist)
+        return self._replace(df=df, dims=["quantile"] + keep, coords=coords,
+                             data_vars=varlist,
+                             attrs=self._resolve_attrs(keep_attrs))
 
     def _quantile_ungrouped(self, qs: list, varlist: list, method: str) -> DataFrame:
         """Distributed exact quantiles of whole columns — histogram-
@@ -1988,13 +1994,27 @@ class XDataset:
         ]
         return self._replace(df=base.select(*exprs))
 
-    def argmin(self, dim=None, skipna: bool | None = None, fill_value=None) -> "XDataset":
+    def argmin(self, dim=None, skipna: bool | None = None, fill_value=None,
+               axis: int | None = None,
+               keep_attrs: bool | None = None) -> "XDataset":
+        if axis is not None:
+            if dim is not None:
+                raise ValueError("cannot supply both 'axis' and 'dim'")
+            dim = self.dims[axis]
         return self._arg_reduce(dim, True, use_pos=True, skipna=skipna,
-                                fill_value=fill_value)
+                                fill_value=fill_value)._replace(
+            attrs=self._resolve_attrs(keep_attrs))
 
-    def argmax(self, dim=None, skipna: bool | None = None, fill_value=None) -> "XDataset":
+    def argmax(self, dim=None, skipna: bool | None = None, fill_value=None,
+               axis: int | None = None,
+               keep_attrs: bool | None = None) -> "XDataset":
+        if axis is not None:
+            if dim is not None:
+                raise ValueError("cannot supply both 'axis' and 'dim'")
+            dim = self.dims[axis]
         return self._arg_reduce(dim, False, use_pos=True, skipna=skipna,
-                                fill_value=fill_value)
+                                fill_value=fill_value)._replace(
+            attrs=self._resolve_attrs(keep_attrs))
 
     def idxmin(self, dim=None, skipna: bool | None = None, fill_value=None,
                keep_attrs: bool | None = None) -> "XDataset":
@@ -2678,10 +2698,12 @@ class XDataset:
                        max_gap=None, order=None,
                        use_coordinate: bool = True,
                        lam: float | None = None,
-                       fill_value=None) -> "XDataset":
+                       fill_value=None,
+                       keep_attrs: bool | None = None) -> "XDataset":
         from xarray_spark.missing import interpolate_na
-        return interpolate_na(self, dim, method, limit, max_gap, order,
-                              use_coordinate, lam=lam, fill_value=fill_value)
+        out = interpolate_na(self, dim, method, limit, max_gap, order,
+                             use_coordinate, lam=lam, fill_value=fill_value)
+        return out._replace(attrs=self._resolve_attrs(keep_attrs))
 
     def reindex(self, indexers=None, method=None, tolerance=None, fill_value=None, **kw) -> "XDataset":
         from xarray_spark.alignment import reindex
@@ -3185,7 +3207,7 @@ class XDataset:
             out.attrs["_stacked_variable_dim"] = variable_dim
         return out
 
-    def to_unstacked_dataset(self, dim: str) -> "XDataset":
+    def to_unstacked_dataset(self, dim: str, level=0) -> "XDataset":
         """Inverse of to_stacked_array (xarray/core/dataarray.py:3070) —
         pivot the variable dim back into columns."""
         return self.to_dataset_pivot(dim)
@@ -3831,8 +3853,17 @@ class XDataArray(XDataset):
         rows = self._dim_labels(d).orderBy("__pos").select(d).toPandas()
         return pd.Index(rows[d], name=d)
 
-    def to_dataset(self, name: str | None = None) -> "XDataset":
-        """Promote back to a Dataset (xarray/core/dataarray.py:611)."""
+    def to_dataset(self, dim: str | None = None, name: str | None = None,
+                   promote_attrs: bool = False) -> "XDataset":
+        """Promote back to a Dataset (xarray/core/dataarray.py:611).
+        ``dim=`` splits a dim's labels into one variable each (the
+        reference's pivot form — to_dataset_pivot); attrs always ride
+        in the single catalog dict (``promote_attrs`` accepted for
+        parity)."""
+        if dim is not None:
+            if name is not None:
+                raise TypeError("cannot supply both dim and name")
+            return self.to_dataset_pivot(dim)
         da = self.rename_var(name) if name else self
         return XDataset(da.df, da.dims, da.coords, da.data_vars, da.attrs)
 
