@@ -527,3 +527,39 @@ def test_fuzz_scalar_sel_then_ops_match_reference(spark, seed):
              .to_pandas().sort_values("y")["v"].to_numpy())
     np.testing.assert_allclose(
         got_r, r["v"].rolling(y=3, min_periods=1).mean().values)
+
+
+def test_keep_attrs_quantile_and_args_match_reference(spark):
+    ref = xr.Dataset({"v": ("t", [1.0, 5.0, 2.0])},
+                     coords={"t": [0, 1, 2]}, attrs={"a": 1})
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1, 2], "v": [1.0, 5.0, 2.0]})),
+        dims=["t"], attrs={"a": 1})
+    assert (ours.quantile(0.5, keep_attrs=False).attrs
+            == ref.quantile(0.5, keep_attrs=False).attrs == {})
+    assert (ours.quantile(0.5).attrs == ref.quantile(0.5).attrs
+            == {"a": 1})
+    assert ours.argmax("t", keep_attrs=False).attrs == {}
+    assert ours.interpolate_na("t", keep_attrs=False).attrs == {}
+    # numpy-style axis alternative
+    got = ours.argmax(axis=0).df.collect()[0]["v"]
+    assert got == int(ref["v"].argmax())
+    with pytest.raises(ValueError):
+        ours.argmax("t", axis=0)
+
+
+def test_to_dataset_dim_pivot_matches_reference(spark):
+    ref = xr.Dataset({"u": ("t", [1.0, 2.0]), "w": ("t", [3.0, 4.0])},
+                     coords={"t": [0, 1]})
+    ours = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1], "u": [1.0, 2.0], "w": [3.0, 4.0]})),
+        dims=["t"])
+    rda = ref.to_dataarray(dim="var")
+    oda = ours.to_dataarray(dim="var")
+    back_r = rda.to_dataset(dim="var")
+    back_o = oda.to_dataset(dim="var")
+    assert sorted(back_o.data_vars) == sorted(back_r.data_vars)
+    got = back_o.to_pandas().sort_values("t")
+    np.testing.assert_allclose(got["u"].to_numpy(), back_r["u"].values)
+    with pytest.raises(TypeError):
+        oda.to_dataset(dim="var", name="x")
