@@ -1379,8 +1379,8 @@ class XDataset:
             self.attrs,
         )
 
-    def transpose(self, *dims: str,
-                  missing_dims: str = "raise") -> "XDataset":
+    def transpose(self, *dims: str, missing_dims: str = "raise",
+                  transpose_coords: bool = True) -> "XDataset":
         """Reorder dims — metadata only in long form
         (xarray/core/dataset.py:6299).  ``missing_dims`` in
         {'raise','warn','ignore'} governs names absent from the dataset
@@ -2735,15 +2735,23 @@ class XDataset:
         return interp(self, {**(coords or {}), **kw}, method,
                       order=kwargs.get("order"), lam=kwargs.get("lam"))
 
-    def interp_like(self, other: "XDataset", method: str = "linear") -> "XDataset":
+    def interp_like(self, other: "XDataset", method: str = "linear",
+                    assume_sorted: bool = False,
+                    method_non_numeric: str = "nearest",
+                    kwargs: dict | None = None) -> "XDataset":
         """Interpolate onto other's labels for every shared dim
         (xarray/core/dataset.py:4095) — label tables flow DataFrame-to-
-        DataFrame, nothing is collected to the driver."""
+        DataFrame, nothing is collected to the driver.  ``assume_sorted``
+        is inert (label tables are ordered by construction);
+        interpolator args ride in ``kwargs=`` like interp()."""
         from xarray_spark.missing import interp
+        kwargs = kwargs or {}
         out = self
         for d in self.dims:
             if d in other.dims:
-                out = interp(out, {d: other.df.select(d)}, method)
+                out = interp(out, {d: other.df.select(d)}, method,
+                             order=kwargs.get("order"),
+                             lam=kwargs.get("lam"))
         return out
 
     def reindex_like(self, other: "XDataset", method: str | None = None,
@@ -3228,7 +3236,8 @@ class XDataset:
 
     def curvefit(self, coords, func, p0=None, param_names=None,
                  maxiter: int = 100, reduce_dims=None, skipna: bool = True,
-                 bounds=None, errors: str = "raise"):
+                 bounds=None, errors: str = "raise",
+                 kwargs: dict | None = None):
         from xarray_spark.computation import curvefit
         return curvefit(self, coords, func, p0, param_names, maxiter,
                         reduce_dims=reduce_dims, skipna=skipna,
@@ -3873,7 +3882,7 @@ class XDataArray(XDataset):
         array IS its variable (parity shim)."""
         return self
 
-    def to_masked_array(self):
+    def to_masked_array(self, copy: bool = True):
         """numpy masked array of the dim-sorted values, mask = nulls
         (xarray/core/dataarray.py:3994 to_masked_array) — an action,
         driver-sized by definition."""
