@@ -2183,6 +2183,22 @@ def q126_semdedup_trained(spark, sf_dir):
                           centroids_q=cents)
 
 
+def q132_dsir(spark, sf_dir):
+    """DSIR importance resampling (extras.sampling.dsir_sample — Xie
+    et al. 2023): select 200 documents toward a target distribution
+    (every 20th doc stands in for the high-quality target) by hashed
+    uni+bigram importance weights with deterministic md5-derived
+    Gumbel top-k.  Per-bucket log-ratios are integer-quantized so
+    per-doc weights are exact integer sums; the oracle replays the
+    feature hashing, the dense smoothed ratio table, the Gumbel
+    derivation, and the top-k rank in SQL."""
+    from xarray_spark.extras.sampling import dsir_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("doc_id") % 20 == 0)
+    return dsir_sample(docs, target, k=200, buckets=2048,
+                       quant=10_000, gumbel=True, mode="flag")
+
+
 # --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2206,8 +2222,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     integer-quantized log-probs and exact ntile thirds; q01 leads the
     window so the cheapest scan+agg absorbs residual session spin-up),
     q130 (n-gram-overlap decontamination, the GPT-3 13-gram rule; at
-    n=5 here) and q131 (no-straddle next-fit packing with a
-    recursive-CTE oracle), with q59/q33/q13/q43 moved below the fold
+    n=5 here), q131 (no-straddle next-fit packing with a
+    recursive-CTE oracle) and q132 (DSIR importance resampling —
+    Xie et al. 2023 hashed-ngram weights + derived Gumbel top-k,
+    added late in round 6; q36 slips just below the fold to make
+    room, still covered by its r1 driver row + the local oracle),
+    with q59/q33/q13/q43 moved below the fold
     to keep the window at 50 — all four untouched double-green anchors
     re-oracled at sf0.001 each round;
     (b) every query whose code path changed this round:
@@ -2245,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
         "q131_pack_nosplit": q131_pack_nosplit,
         "q126_semdedup_trained": q126_semdedup_trained,
+        "q132_dsir": q132_dsir,
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
         "q16_groupby_median": q16_groupby_median,
@@ -2287,8 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_shuffle_rank": q93_shuffle_rank,
         "q94_audio_features": q94_audio_features,
         "q95_pii_scan": q95_pii_scan,
-        "q36_multimodal_features": q36_multimodal_features,
         "q30_dedup_exact": q30_dedup_exact,
+        "q36_multimodal_features": q36_multimodal_features,
         "q43_bfill": q43_bfill,
         "q13_ffill": q13_ffill,
         "q33_cosine_topk": q33_cosine_topk,
@@ -2929,6 +2950,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, bucket, n_tokens, bin, bin_fill,
                    n_tokens > 256 AS oversize
             FROM packed
+        """,
+        "q132_dsir": f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS s
+              FROM documents),
+            warr AS (
+              SELECT doc_id,
+                     CASE WHEN len(s) > 0 THEN string_split(s, ' ')
+                          ELSE [] END AS w
+              FROM corpus),
+            grams AS (
+              SELECT doc_id, unnest(list_concat(w,
+                       CASE WHEN len(w) >= 2 THEN
+                         list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i + 1])
+                       ELSE [] END)) AS g
+              FROM warr),
+            bg AS (
+              SELECT doc_id,
+                     ({_sql_md5l("'dsir|' || g")} % 2048) AS b
+              FROM grams),
+            tb AS (SELECT b, count(*) AS ct FROM bg
+                   WHERE doc_id % 20 = 0 GROUP BY b),
+            rb AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+            dense AS (SELECT unnest(range(2048)) AS b),
+            ratio AS (
+              SELECT d.b,
+                     coalesce(ct, 0)::BIGINT AS ct,
+                     coalesce(cr, 0)::BIGINT AS cr
+              FROM dense d LEFT JOIN tb ON d.b = tb.b
+                           LEFT JOIN rb ON d.b = rb.b),
+            lrq AS (
+              SELECT b,
+                     CAST(floor((ln((ct + 1)::DOUBLE)
+                                 - ln((sum(ct) OVER ())::DOUBLE + 2048.0)
+                                 - ln((cr + 1)::DOUBLE)
+                                 + ln((sum(cr) OVER ())::DOUBLE + 2048.0))
+                                * 10000) AS BIGINT) AS lrq
+              FROM ratio),
+            per AS (
+              SELECT bg.doc_id, count(*)::BIGINT AS n_feats,
+                     sum(lrq)::BIGINT AS logw_q
+              FROM bg JOIN lrq ON bg.b = lrq.b
+              GROUP BY bg.doc_id),
+            alld AS (
+              SELECT d.doc_id,
+                     coalesce(n_feats, 0)::BIGINT AS n_feats,
+                     coalesce(logw_q, 0)::BIGINT AS logw_q
+              FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id),
+            gum AS (
+              SELECT doc_id, n_feats, logw_q,
+                     (({_sql_md5l("'dsir#g' || doc_id::VARCHAR")}
+                       % 1000000) + 0.5) / 1000000.0 AS u
+              FROM alld),
+            scored AS (
+              SELECT doc_id, n_feats, logw_q,
+                     (logw_q
+                      + CAST(floor(-ln(-ln(u)) * 10000) AS BIGINT)
+                     )::BIGINT AS score_q
+              FROM gum)
+            SELECT doc_id, n_feats, logw_q, score_q,
+                   (row_number() OVER (ORDER BY score_q DESC, doc_id ASC)
+                    <= 200) AS selected
+            FROM scored
         """,
         "q92_pack_sequences": f"""
             WITH t AS (SELECT doc_id,

@@ -366,3 +366,91 @@ class TestPackNosplit:
              pack_sequences_nosplit(df.repartition(13), budget=10,
                                     n_buckets=4).collect()}
         assert a == b
+
+
+class TestDsir:
+    """DSIR importance resampling (extras.sampling.dsir_weights/
+    dsir_sample — Xie et al. 2023)."""
+
+    def _corpus(self, spark):
+        # two styles: "clean" docs share the target's vocabulary,
+        # "noisy" docs use a disjoint one
+        rows = []
+        for i in range(40):
+            if i % 2 == 0:
+                rows.append((i, "the quick brown fox jumps over the lazy dog"))
+            else:
+                rows.append((i, "zzz qqq xxx kkk www vvv uuu ttt sss rrr"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_weights_favor_target_like_docs(self, spark):
+        from xarray_spark.extras.sampling import dsir_weights
+        df = self._corpus(spark)
+        target = spark.createDataFrame(
+            [(1000, "quick brown fox and the lazy dog again")],
+            "doc_id long, text string")
+        w = {r["doc_id"]: r["logw_q"]
+             for r in dsir_weights(df, target, buckets=512).collect()}
+        clean = [w[i] for i in range(0, 40, 2)]
+        noisy = [w[i] for i in range(1, 40, 2)]
+        assert min(clean) > max(noisy)
+
+    def test_every_doc_returned_including_empty(self, spark):
+        from xarray_spark.extras.sampling import dsir_weights
+        df = spark.createDataFrame(
+            [(0, "alpha beta"), (1, ""), (2, None)],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                dsir_weights(df, df, buckets=64).collect()}
+        assert set(rows) == {0, 1, 2}
+        assert rows[1]["n_feats"] == 0 and rows[1]["logw_q"] == 0
+        assert rows[2]["n_feats"] == 0
+        # unigrams + bigrams of a 2-word doc = 3 features
+        assert rows[0]["n_feats"] == 3
+
+    def test_sample_deterministic_and_partition_independent(self, spark):
+        from xarray_spark.extras.sampling import dsir_sample
+        df = self._corpus(spark)
+        target = df.where(F.col("doc_id") % 4 == 0)
+        a = sorted(r["doc_id"] for r in
+                   dsir_sample(df, target, k=10, buckets=256).collect())
+        b = sorted(r["doc_id"] for r in
+                   dsir_sample(df.repartition(7), target, k=10,
+                               buckets=256).collect())
+        assert len(a) == 10 and a == b
+
+    def test_no_gumbel_is_exact_topk_by_weight(self, spark):
+        from xarray_spark.extras.sampling import dsir_sample, dsir_weights
+        df = self._corpus(spark)
+        target = spark.createDataFrame(
+            [(1000, "quick brown fox the lazy dog")],
+            "doc_id long, text string")
+        sel = sorted(r["doc_id"] for r in
+                     dsir_sample(df, target, k=20, buckets=512,
+                                 gumbel=False).collect())
+        w = dsir_weights(df, target, buckets=512).collect()
+        top = sorted(sorted(w, key=lambda r: (-r["logw_q"], r["doc_id"]))[:20],
+                     key=lambda r: r["doc_id"])
+        assert sel == [r["doc_id"] for r in top]
+        # with target-vocab docs dominant, top-20 = the 20 clean docs
+        assert sel == list(range(0, 40, 2))
+
+    def test_flag_mode_schema_and_k(self, spark):
+        from xarray_spark.extras.sampling import dsir_sample
+        df = self._corpus(spark)
+        out = dsir_sample(df, df.limit(5), k=7, buckets=128, mode="flag")
+        assert set(out.columns) == {"doc_id", "n_feats", "logw_q",
+                                    "score_q", "selected"}
+        rows = out.collect()
+        assert len(rows) == 40
+        assert sum(r["selected"] for r in rows) == 7
+
+    def test_bad_args(self, spark):
+        from xarray_spark.extras.sampling import dsir_sample, dsir_weights
+        df = self._corpus(spark)
+        with pytest.raises(ValueError):
+            dsir_sample(df, df, k=-1)
+        with pytest.raises(ValueError):
+            dsir_sample(df, df, k=1, mode="bogus")
+        with pytest.raises(ValueError):
+            dsir_weights(df, df, buckets=1)

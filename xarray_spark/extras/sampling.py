@@ -168,6 +168,163 @@ def blend_epochs(df: DataFrame, weights: dict[str, float], source_col: str,
     )
 
 
+def _dsir_grams(src: DataFrame, text_col: str, id_col: str):
+    """(id, gram) word unigrams + bigrams over normalized text.
+
+    Normalization: lowercase, non-alphanumeric runs collapsed to one
+    space, trimmed.  Bigrams join adjacent words with a single space.
+    Every step is expressible identically in SQL (the oracle replays
+    it), and it is all JVM expressions — no Python in the loop."""
+    norm = F.trim(F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        r"[^a-z0-9]+", " "))
+    words = F.when(F.length(norm) > 0, F.split(norm, " ")) \
+             .otherwise(F.array().cast("array<string>"))
+    base = src.select(F.col(id_col), words.alias("__w"))
+    bi = F.when(
+        F.size("__w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 1),
+            lambda i: F.concat(F.element_at("__w", i), F.lit(" "),
+                               F.element_at("__w", i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        id_col, F.explode(F.concat(F.col("__w"), bi)).alias("__g"))
+
+
+def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", buckets: int = 4096,
+                 quant: int = 10_000, salt: str = "dsir") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public paper,
+    reimplemented from the published method): estimate how much each
+    raw document looks like the TARGET distribution using hashed
+    n-gram features, so a web-scale corpus can be filtered toward a
+    high-quality target (e.g. Wikipedia) without any model in the loop.
+
+    Features are word unigrams + bigrams hashed into ``buckets`` slots;
+    the target and raw corpora each induce a smoothed bag-of-buckets
+    distribution ``p(b) = (cnt_b + 1) / (N + buckets)``, and a
+    document's log importance weight is the sum over its features of
+    ``ln p_target(b) - ln p_raw(b)``.  Per-bucket log-ratios are
+    QUANTIZED to integers (``floor(lr * quant)``) before summing, so
+    per-document totals are exact integer sums — order-independent
+    across partitions, runs, and engines (the q129/semdedup trick).
+
+    Returns ``(id, n_feats, logw_q)`` for EVERY input document
+    (``n_feats`` = feature count, 0-feature docs get ``logw_q = 0``).
+
+    Scale shape: the ratio table is materialized DENSE over all
+    ``buckets`` rows (bounded, a few KB — it broadcasts, and the dense
+    form means the scoring join never needs a fallback branch); fitting
+    is explode → bucket groupBy (partial-agged, bucket-bounded output);
+    scoring is explode → broadcast-join → one doc-level partial-agg
+    shuffle.  No all-pairs, no driver collect, no Python."""
+    from pyspark.sql import Window
+
+    from xarray_spark.extras.dedup import _spread
+    from xarray_spark.extras.portable import md5_long
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    spark = df.sparkSession
+    tg = _dsir_grams(_spread(target, id_col), text_col, id_col)
+    rg = _dsir_grams(_spread(df, id_col), text_col, id_col)
+    bucket = lambda g: md5_long(  # noqa: E731
+        F.concat(F.lit(salt + "|"), g)) % F.lit(buckets)
+
+    tb = tg.select(bucket(F.col("__g")).alias("__b")) \
+           .groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    rb = rg.select(bucket(F.col("__g")).alias("__b")) \
+           .groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    dense = spark.range(buckets).select(F.col("id").cast("long").alias("__b"))
+    w_all = Window.partitionBy()
+    B = float(buckets)
+    joined = (
+        dense.join(tb, "__b", "left").join(rb, "__b", "left")
+        .select("__b",
+                F.coalesce("__ct", F.lit(0)).cast("long").alias("__ct"),
+                F.coalesce("__cr", F.lit(0)).cast("long").alias("__cr"))
+    )
+    # written in exactly the association order the SQL oracle uses:
+    # ((ln(ct+1) - ln(Nt+B)) - ln(cr+1)) + ln(Nr+B) — double arithmetic
+    # is deterministic given a fixed expression shape
+    nt = F.sum("__ct").over(w_all).cast("double")
+    nr = F.sum("__cr").over(w_all).cast("double")
+    lr = (F.log((F.col("__ct") + 1).cast("double")) - F.log(nt + F.lit(B))
+          - F.log((F.col("__cr") + 1).cast("double")) + F.log(nr + F.lit(B)))
+    ratio = joined.select(
+        "__b", F.floor(lr * F.lit(float(quant))).cast("long").alias("__lrq"))
+
+    per = (
+        rg.select(id_col, bucket(F.col("__g")).alias("__b"))
+        .join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
+             F.sum("__lrq").cast("long").alias("logw_q"))
+    )
+    return (
+        df.select(id_col).join(per, id_col, "left")
+        .select(id_col,
+                F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+                F.coalesce("logw_q", F.lit(0)).cast("long").alias("logw_q"))
+    )
+
+
+def dsir_sample(df: DataFrame, target: DataFrame, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 4096, quant: int = 10_000,
+                gumbel: bool = True, salt: str = "dsir",
+                mode: str = "drop") -> DataFrame:
+    """DSIR selection: resample ``k`` documents toward the target
+    distribution by Gumbel top-k over the importance weights (the
+    published method's sample-without-replacement trick: pick the k
+    largest ``log w(x) + Gumbel noise``; with ``gumbel=False`` it
+    degrades to deterministic top-k by weight).
+
+    The Gumbel noise is DERIVED, not drawn: ``u`` comes from the md5
+    bucket of (salt, id) and ``g = -ln(-ln(u))``, quantized to the same
+    integer grid as the weights — so the selected set is a pure
+    function of the data, reproducible on any cluster, any
+    partitioning, and replayable in SQL by the oracle.
+
+    ``mode='drop'`` returns only the selected ids; ``mode='flag'``
+    returns every document with its score and a ``selected`` flag.
+
+    Scale shape: scoring as in :func:`dsir_weights`; the top-k rank is
+    the two-phase form (range partition on the score → local
+    row_number → broadcast offset join) — never a partition-less
+    global window.  At corpus scale you would instead pass the score
+    threshold from a sampled quantile and keep selection map-only;
+    the flag output exposes ``score_q`` for exactly that."""
+    from xarray_spark._utils import two_phase_rank
+
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    w = dsir_weights(df, target, text_col=text_col, id_col=id_col,
+                     buckets=buckets, quant=quant, salt=salt)
+    if gumbel:
+        ub = _bucket(F.col(id_col), salt + "#g")
+        u = (ub.cast("double") + F.lit(0.5)) / F.lit(float(_DENOM))
+        gq = F.floor(-F.log(-F.log(u)) * F.lit(float(quant))).cast("long")
+    else:
+        gq = F.lit(0).cast("long")
+    scored = w.withColumn("score_q", (F.col("logw_q") + gq).cast("long"))
+    # unique ids make (-score, id) a total order, so two_phase_rank's
+    # arbitrary tie placement never applies
+    keyed = scored.withColumn(
+        "__sk", F.struct((-F.col("score_q")).alias("s"),
+                         F.col(id_col).alias("i")))
+    ranked = two_phase_rank(keyed, "__sk")
+    out = ranked.withColumn("selected", F.col("__rnk") < F.lit(k)) \
+                .drop("__sk", "__rnk", "__n")
+    if mode == "drop":
+        return out.where("selected").drop("selected", "score_q")
+    return out
+
+
 def temperature_sample(df: DataFrame, source_col: str, key_col: str,
                        alpha: float = 0.5,
                        salt: str = "temp") -> DataFrame:
