@@ -369,7 +369,11 @@ def test_dataarray_parity_surface(spark):
     one = XDataArray(spark.createDataFrame(pdf[pdf.x == 0][["y", "v"]]),
                      dims=["y"])
     assert list(one.to_index()) == [0, 1, 2, 3]
-    ds2 = da.to_dataset("z")
+    # reference semantics (dataarray.py:681): a positional non-dim
+    # raises; renaming needs the name kwarg
+    with pytest.raises(TypeError):
+        da.to_dataset("z")
+    ds2 = da.to_dataset(name="z")
     assert list(ds2.data_vars) == ["z"]
     assert da.variable is da
     # sparse data refuses to reshape

@@ -133,6 +133,13 @@ def show_versions(file=None):
 from xarray_spark import testing  # noqa: E402  (public submodule)
 from xarray_spark import indexes  # noqa: E402  (index strategy plugin API)
 from xarray_spark.indexes import XIndex, PredicateIndex, NDPointIndex  # noqa: E402
+from xarray_spark.coordinates import Coordinates  # noqa: E402
+from xarray_spark import coders  # noqa: E402
+
+#: reference name for the index plugin base class — in this engine an
+#: index is a plan strategy (indexes.py), registered the same way
+#: (set_xindex(index_cls=...)).
+Index = XIndex
 
 __all__ = [
     "testing",
@@ -235,6 +242,12 @@ __all__ = [
     "TreeIsomorphismError",
     "register_datatree_accessor",
     "group_subtrees",
+    "Coordinates",
+    "Context",
+    "Index",
+    "IndexVariable",
+    "NamedArray",
+    "coders",
 ]
 
 
@@ -251,12 +264,40 @@ def unify_chunks(*objects):
     return objects
 
 
+class Context:
+    """Object carrying the information of a call — passed as the
+    ``context`` keyword to user ``combine_attrs`` callables (reference
+    xarray/core/options.py:109)."""
+
+    def __init__(self, func):
+        self.func = func
+
+    def __repr__(self):
+        return f"Context(func={self.func!r})"
+
+
 def Variable(dims, data, attrs=None):
     """Constructor-compatible shim for xr.Variable (variable.py:268):
     the long-form engine has no standalone Variable — it resolves to a
     single-variable dataset via :func:`as_variable`."""
     return as_variable((dims, data, attrs) if attrs is not None
                        else (dims, data))
+
+
+def IndexVariable(dims, data, attrs=None):
+    """Constructor-compatible shim for xr.IndexVariable
+    (variable.py:2972, a 1-D coordinate-backing Variable): same
+    resolution as :func:`Variable` — in the long-form engine a
+    coordinate is a column, and whether it is "indexed" is a plan
+    strategy (indexes.py), not a container type."""
+    return Variable(dims, data, attrs)
+
+
+def NamedArray(dims, data, attrs=None):
+    """Constructor-compatible shim for xr.NamedArray
+    (namedarray/core.py:219, the dims+data base container): resolves
+    like :func:`Variable`."""
+    return Variable(dims, data, attrs)
 
 
 def as_variable(obj, name=None):

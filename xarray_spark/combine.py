@@ -37,7 +37,10 @@ def combine_attrs_fn(attrs_list: Sequence[dict], combine_attrs="override") -> di
     identical, or a callable (attrs_list, context=None)."""
     attrs_list = [dict(a or {}) for a in attrs_list]
     if callable(combine_attrs):
-        return combine_attrs(attrs_list, None)
+        # the reference invokes callables with a keyword context
+        # (structure/merge.py:643) — keyword-only signatures must work
+        from xarray_spark import Context
+        return combine_attrs(attrs_list, context=Context("combine_attrs"))
     if combine_attrs == "drop":
         return {}
     if combine_attrs == "override":

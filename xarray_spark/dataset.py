@@ -258,6 +258,147 @@ def _is_orderable_numeric(dtype: T.DataType) -> bool:
     return isinstance(dtype, _NUMERIC_TYPES + (T.TimestampType, T.DateType))
 
 
+#: driver-side dense-grid ceiling for the dict-style constructor — the
+#: xarray idiom builds from IN-MEMORY arrays, so this path is
+#: driver-sized by definition; larger data belongs in
+#: open_dataset/from_dataframe (already-distributed sources).
+_CTOR_MAX_CELLS = 50_000_000
+
+
+def _construct_from_mapping(data_vars, coords, attrs):
+    """Build the long-form parts from the reference's dict-style
+    constructor inputs (xarray/core/dataset.py:453 ``Dataset(data_vars,
+    coords, attrs)``): dense product grid over the union of dims,
+    variables broadcast across dims they lack (the long-form
+    representation has one row per grid cell).
+
+    Returns ``(spark_df, dims, coords_map, data_var_names, attrs)``."""
+    import numpy as np
+    import pandas as pd
+
+    from xarray_spark.coordinates import Coordinates
+    from xarray_spark.session import get_spark
+
+    data_vars = dict(data_vars or {})
+    if isinstance(coords, Coordinates):
+        midx_dims = dict(coords._multi)
+        coords_in = dict(coords._data)
+    else:
+        midx_dims = {}
+        coords_in = dict(coords or {})
+        for k, v in list(coords_in.items()):
+            if isinstance(v, pd.MultiIndex):
+                raise ValueError(
+                    f"coord {k!r} is a pandas.MultiIndex — wrap it with "
+                    "Coordinates.from_pandas_multiindex(midx, dim) (the "
+                    "reference removed the implicit form too)")
+
+    dim_sizes: dict = {}
+
+    def norm(name, v, self_dim_ok):
+        if isinstance(v, XDataset):
+            raise TypeError(
+                f"{name!r}: mixing distributed XDataset/XDataArray "
+                "variables into the in-memory dict constructor is not "
+                "supported — use merge/assign on the datasets instead")
+        if (isinstance(v, tuple) and len(v) in (2, 3)
+                and isinstance(v[0], (str, list, tuple))):
+            dims = (v[0],) if isinstance(v[0], str) else tuple(v[0])
+            arr = np.asarray(v[1])
+        else:
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                dims = ()
+            elif arr.ndim == 1 and self_dim_ok:
+                dims = (name,)
+            else:
+                raise ValueError(
+                    f"{name!r}: pass a (dims, data) tuple for "
+                    f"{arr.ndim}-D data")
+        if arr.ndim != len(dims):
+            raise ValueError(
+                f"{name!r}: {len(dims)} dim name(s) for "
+                f"{arr.ndim}-D data")
+        for d, s in zip(dims, arr.shape):
+            if dim_sizes.setdefault(d, s) != s:
+                raise ValueError(
+                    f"conflicting sizes for dim {d!r}: {s} vs "
+                    f"{dim_sizes[d]}")
+        return dims, arr
+
+    norm_vars = {k: norm(k, v, False) for k, v in data_vars.items()}
+    norm_coords = {k: norm(k, v, True) for k, v in coords_in.items()}
+    for d, mi in midx_dims.items():
+        if dim_sizes.setdefault(d, len(mi)) != len(mi):
+            raise ValueError(f"conflicting sizes for dim {d!r}")
+
+    # dim order: first appearance across data_vars, then coords, then
+    # MultiIndex dims (the reference's insertion-order semantics)
+    all_dims: list = []
+    for dims, _ in [*norm_vars.values(), *norm_coords.values()]:
+        for d in dims:
+            if d not in all_dims:
+                all_dims.append(d)
+    for d in midx_dims:
+        if d not in all_dims:
+            all_dims.append(d)
+    if not all_dims and not norm_vars and not norm_coords:
+        raise ValueError("cannot construct an empty Dataset this way")
+
+    shape = [dim_sizes[d] for d in all_dims]
+    ncells = int(np.prod(shape)) if shape else 1
+    if ncells > _CTOR_MAX_CELLS:
+        raise ValueError(
+            f"dict-style constructor would materialize {ncells:,} grid "
+            f"cells driver-side (> {_CTOR_MAX_CELLS:,}); build large "
+            "datasets from distributed sources (open_dataset / "
+            "from_dataframe) instead")
+    if shape:
+        mesh = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+        pos = {d: m.ravel() for d, m in zip(all_dims, mesh)}
+    else:
+        pos = {}
+
+    cols: dict = {}
+    coords_map: dict = {}
+    struct_dims: dict = {}  # dim -> level names (built post-Spark)
+    for d in all_dims:
+        if d in midx_dims:
+            mi = midx_dims[d]
+            for name in mi.names:
+                cols[name] = np.asarray(mi.get_level_values(name))[pos[d]]
+                coords_map[name] = (d,)
+            struct_dims[d] = list(mi.names)
+        elif d in norm_coords and norm_coords[d][0] == (d,):
+            cols[d] = norm_coords[d][1][pos[d]]
+        else:
+            cols[d] = pos[d]  # positional integer labels, like xarray
+    for name, (dims, arr) in norm_coords.items():
+        if dims == (name,) and name in all_dims:
+            continue  # dim coord, already placed
+        if dims == ():
+            cols[name] = np.full(ncells, arr[()])
+        else:
+            cols[name] = arr[tuple(pos[d] for d in dims)]
+        coords_map[name] = dims
+    var_names = []
+    for name, (dims, arr) in norm_vars.items():
+        if name in cols:
+            raise ValueError(f"name collision on {name!r}")
+        if dims == ():
+            cols[name] = np.full(ncells, arr[()])
+        else:
+            cols[name] = arr[tuple(pos[d] for d in dims)]
+        var_names.append(name)
+
+    pdf = pd.DataFrame(
+        {k: (v if np.ndim(v) else [v] * max(ncells, 1)) for k, v in cols.items()})
+    sdf = get_spark().createDataFrame(pdf)
+    for d, levels in struct_dims.items():
+        sdf = sdf.withColumn(d, F.struct(*[F.col(lv) for lv in levels]))
+    return sdf, all_dims, coords_map, var_names, dict(attrs or {})
+
+
 class XDataset:
     """A labeled, multi-variable distributed dataset (xarray.Dataset analogue).
 
@@ -280,11 +421,28 @@ class XDataset:
     def __init__(
         self,
         df: DataFrame,
-        dims: Sequence[str],
+        dims: Sequence[str] | None = None,
         coords: Mapping[str, Sequence[str]] | None = None,
         data_vars: Sequence[str] | None = None,
         attrs: dict | None = None,
     ):
+        if not isinstance(df, DataFrame):
+            # reference dict-style constructor: Dataset(data_vars,
+            # coords, attrs) over in-memory arrays (core/dataset.py:453).
+            # Positional reference calls put coords in our `dims` slot —
+            # a Mapping/Coordinates there is unambiguous.
+            from xarray_spark.coordinates import Coordinates
+            if coords is None and isinstance(dims, (Mapping, Coordinates)):
+                dims, coords = None, dims
+            if dims is not None or data_vars is not None:
+                raise TypeError(
+                    "dict-style constructor takes (data_vars, coords, "
+                    "attrs); dims are inferred from the variables")
+            df, dims, coords, data_vars, attrs = _construct_from_mapping(
+                df, coords, attrs)
+        elif dims is None:
+            raise TypeError("dims are required when constructing from a "
+                            "Spark DataFrame")
         self.df = df
         self.dims: tuple[str, ...] = tuple(dims)
         self.coords: dict[str, tuple[str, ...]] = {
@@ -3741,6 +3899,61 @@ class XDataArray(XDataset):
     """Single-variable dataset (xarray.DataArray analogue,
     xarray/core/dataarray.py:258)."""
 
+    def __init__(self, df, dims=None, coords=None, data_vars=None,
+                 attrs=None, name=None):
+        if isinstance(df, DataFrame):
+            super().__init__(df, dims, coords, data_vars, attrs)
+            return
+        # reference signature: DataArray(data, coords=None, dims=None,
+        # name=None, attrs=None) — positional reference calls put
+        # coords into our `dims` slot and dims into `coords`; resolve
+        # the two slots by type (a Mapping/Coordinates is coords, a
+        # str/sequence-of-str is dims), so both positional and keyword
+        # reference call styles land correctly.
+        import numpy as np
+
+        from xarray_spark.coordinates import Coordinates
+        ref_coords = ref_dims = None
+        for slot in (dims, coords):
+            if slot is None:
+                continue
+            if isinstance(slot, (Mapping, Coordinates)):
+                ref_coords = slot
+            elif isinstance(slot, str) or (
+                    isinstance(slot, (list, tuple))
+                    and all(isinstance(x, str) for x in slot)):
+                ref_dims = slot
+            else:
+                raise TypeError(
+                    "DataArray coords must be a Mapping/Coordinates and "
+                    f"dims a str or sequence of str, got {type(slot)!r}")
+        if name is None and isinstance(data_vars, str):
+            name = data_vars  # reference 4th positional = name
+        name = name or "variable"
+        arr = np.asarray(df)
+        if ref_dims is not None:
+            dims_t = ((ref_dims,) if isinstance(ref_dims, str)
+                      else tuple(ref_dims))
+        elif arr.ndim == 0:
+            dims_t = ()
+        else:
+            # infer from coords insertion order when the 1-D entries
+            # match the shape (the reference's inference), else the
+            # reference's default dim_0..dim_{n-1} names
+            cand = []
+            if ref_coords is not None:
+                for k, v in dict(ref_coords).items():
+                    vv = np.asarray(v[1] if isinstance(v, tuple) else v)
+                    if vv.ndim == 1:
+                        cand.append((k, vv.shape[0]))
+            if (len(cand) == arr.ndim
+                    and all(s == n for (_, n), s in zip(cand, arr.shape))):
+                dims_t = tuple(k for k, _ in cand)
+            else:
+                dims_t = tuple(f"dim_{i}" for i in range(arr.ndim))
+        super().__init__({name: (dims_t, arr)}, coords=ref_coords,
+                         attrs=attrs)
+
     @property
     def name(self) -> str:
         return self.data_vars[0]
@@ -3763,13 +3976,20 @@ class XDataArray(XDataset):
 
     def to_series(self):
         """pandas Series indexed by the dims
-        (xarray/core/dataarray.py:4032) — an action."""
+        (xarray/core/dataarray.py:4032) — an action.  A 0-d array
+        (every dim selected away) yields an unindexed 1-row Series."""
         pdf = self.df.select(*self.dims, self.name).toPandas()
+        if not self.dims:
+            return pdf[self.name]
         return pdf.set_index(list(self.dims))[self.name]
 
     @property
     def values(self):
-        """numpy array of the (dim-sorted) values — an action."""
+        """numpy array of the (dim-sorted) values — an action.  0-d
+        arrays return a 0-d numpy array like the reference."""
+        if not self.dims:
+            arr = self.to_series().to_numpy()
+            return arr.reshape(()) if arr.size == 1 else arr
         return self.to_series().sort_index().to_numpy()
 
     @property
@@ -3870,6 +4090,12 @@ class XDataArray(XDataset):
         in the single catalog dict (``promote_attrs`` accepted for
         parity)."""
         if dim is not None:
+            if dim not in self.dims:
+                # reference dataarray.py:681 — a stray positional name
+                # must not silently rename (or crash in the pivot)
+                raise TypeError(
+                    f"{dim} is not a dim. If supplying a ``name``, pass "
+                    "as a kwarg.")
             if name is not None:
                 raise TypeError("cannot supply both dim and name")
             return self.to_dataset_pivot(dim)

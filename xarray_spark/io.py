@@ -186,6 +186,26 @@ def decode_cf(df: DataFrame, decoders: Mapping[str, object]) -> DataFrame:
         if dtype == "bool":
             # CFBoolCoder (coding/variables.py:732): i1 0/1 -> boolean
             c = c.cast("int").cast("boolean")
+        # xarray.coders parity: a CFDatetimeCoder in the spec carries
+        # the reference's use_cftime flag.  Real-calendar times are
+        # timestamps in this engine BY DESIGN (Spark's range, year
+        # 1-9999, already covers the pre-1678 dates use_cftime=True
+        # exists for), so use_cftime=True only changes anything for
+        # non-real calendars (ordinal path below); use_cftime=False on
+        # a non-real calendar is unrepresentable and raises, as the
+        # reference errors when asked for real datetimes it cannot
+        # produce.
+        coder = spec.get("coder") if isinstance(spec, dict) else None
+        if coder is not None and time_units is not None:
+            from xarray_spark.coders import CFDatetimeCoder
+            if isinstance(coder, CFDatetimeCoder):
+                real = calendar in (None, "standard", "gregorian",
+                                    "proleptic_gregorian")
+                if coder.use_cftime is False and not real:
+                    raise ValueError(
+                        f"{var!r}: use_cftime=False but calendar "
+                        f"{calendar!r} is not representable as real "
+                        "timestamps")
         if time_units is not None and calendar not in (None, "standard",
                                                        "gregorian",
                                                        "proleptic_gregorian"):
