@@ -158,3 +158,66 @@ def test_ctor_cell_guard_points_to_distributed_path(spark):
             XDataset({"v": (("x", "y"), np.ones((4, 4)))})
     finally:
         dsmod._CTOR_MAX_CELLS = old
+
+
+class TestCFTimeIndex:
+    """CFTimeIndex over encoded ordinals (cftime.py) — the reference
+    class needs the cftime package (absent in this runtime), so these
+    pin the engine's own verified ordinal math (roundtrips vs
+    _py_ordinal / cf_date_range label tables)."""
+
+    def test_roundtrip_all_calendars(self):
+        from xarray_spark.cftime import _py_date, _py_ordinal
+        for cal in ["noleap", "all_leap", "360_day", "365_day", "366_day"]:
+            for o in [-731, -1, 0, 1, 59, 60, 364, 365, 366, 719, 10957]:
+                y, m, d = _py_date(o, cal)
+                assert _py_ordinal(y, m, d, cal) == o
+
+    def test_matches_cf_date_range_label_table(self, spark):
+        from xarray_spark import CFTimeIndex, cf_date_range
+        df = cf_date_range(spark, "2000-01-01", "2002-12-01", "MS",
+                           calendar="360_day")
+        ix = CFTimeIndex.from_label_table(df, "360_day")
+        assert len(ix) == 36
+        assert ix.year[0] == 2000 and ix.year[-1] == 2002
+        assert ix.month == [m for _ in range(3) for m in range(1, 13)]
+        assert all(d == 1 for d in ix.day)
+        # bridge back: identical label table
+        back = sorted(r[0] for r in ix.to_label_table(spark).collect())
+        assert back == sorted(r[0] for r in df.collect())
+
+    def test_shift_and_strftime(self):
+        from xarray_spark.cftime import CFTimeIndex, _py_ordinal
+        ix = CFTimeIndex([_py_ordinal(2001, 1, 31, "noleap")], "noleap")
+        assert ix.shift(2, "D").day == [2] and ix.shift(2, "D").month == [2]
+        assert ix.shift(1, "MS").strftime() == ["2001-02-01"]
+        assert ix.shift(-1, "MS").strftime("%Y/%j") == ["2000/335"]
+
+    def test_to_datetimeindex_same_labels(self):
+        from xarray_spark.cftime import CFTimeIndex, _py_ordinal
+        ix = CFTimeIndex([_py_ordinal(1999, 2, 28, "noleap"),
+                          _py_ordinal(2000, 2, 28, "noleap")], "noleap")
+        di = ix.to_datetimeindex()
+        assert [t.month for t in di] == [2, 2]
+        assert [t.day for t in di] == [28, 28]
+        # 360_day Feb 30 does not exist for real calendars
+        bad = CFTimeIndex([_py_ordinal(2000, 2, 30, "360_day")], "360_day")
+        with pytest.raises(ValueError):
+            bad.to_datetimeindex()
+
+    def test_real_calendar_rejected(self):
+        from xarray_spark import CFTimeIndex
+        with pytest.raises(ValueError, match="DatetimeIndex"):
+            CFTimeIndex([0, 1], "standard")
+
+    def test_from_dataset_dim(self, spark):
+        import pandas as pd
+        from xarray_spark import CFTimeIndex, XDataset
+        from xarray_spark.cftime import _py_ordinal
+        ords = [_py_ordinal(2001, m, 15, "noleap") for m in (3, 1, 2)]
+        ds = XDataset(spark.createDataFrame(
+            pd.DataFrame({"time": ords, "v": [1.0, 2.0, 3.0]})),
+            dims=["time"])
+        ix = CFTimeIndex.from_label_table(ds, "noleap")
+        assert ix.month == [1, 2, 3]  # sorted labels
+        assert ix.name == "time"

@@ -134,6 +134,7 @@ from xarray_spark import testing  # noqa: E402  (public submodule)
 from xarray_spark import indexes  # noqa: E402  (index strategy plugin API)
 from xarray_spark.indexes import XIndex, PredicateIndex, NDPointIndex  # noqa: E402
 from xarray_spark.coordinates import Coordinates  # noqa: E402
+from xarray_spark.cftime import CFTimeIndex  # noqa: E402
 from xarray_spark import coders  # noqa: E402
 
 #: reference name for the index plugin base class — in this engine an
@@ -244,6 +245,7 @@ __all__ = [
     "group_subtrees",
     "Coordinates",
     "Context",
+    "CFTimeIndex",
     "Index",
     "IndexVariable",
     "NamedArray",

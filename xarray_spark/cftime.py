@@ -335,3 +335,165 @@ def decode_cf_time(col: Column, units: str, calendar: str) -> Column:
     ey, em, ed = (int(x) for x in ep.split("-"))
     base = _py_ordinal(ey, em, ed, cal)
     return (F.floor(col.cast("double") / per_day) + F.lit(base)).cast("long")
+
+
+# --------------------------------------------------------------------- #
+# CFTimeIndex — driver-side label index over encoded ordinals
+# --------------------------------------------------------------------- #
+
+def _py_date(ordinal: int, calendar: str) -> tuple:
+    """Inverse of :func:`_py_ordinal`: encoded day ordinal ->
+    (year, month, day) in ``calendar`` (floor division keeps pre-epoch
+    ordinals exact)."""
+    cal = _canon(calendar)
+    o = int(ordinal)
+    if cal == "360_day":
+        y, r = divmod(o, 360)
+        return (EPOCH_YEAR + y, r // 30 + 1, r % 30 + 1)
+    yl = _YEAR_LEN[cal]
+    y, doy = divmod(o, yl)
+    cum = _cum_days(cal)
+    m = max(i for i in range(12) if cum[i] <= doy)
+    return (EPOCH_YEAR + y, m + 1, doy - cum[m] + 1)
+
+
+class CFTimeIndex:
+    """Label index over non-real-calendar dates (the reference's
+    ``CFTimeIndex``, xarray/coding/cftimeindex.py:411 — reimplemented
+    over the engine's encoded int64 ordinals instead of cftime
+    objects; the cftime package is not available in this runtime and
+    the ordinal encoding is the engine's documented representation,
+    SURVEY §1.3).
+
+    An index is LABEL-SIZED by definition, so this is a plain
+    driver-side container: it holds day ordinals + the calendar and
+    converts to/from the label tables the distributed plans consume
+    (:meth:`to_label_table`, :meth:`from_label_table`)."""
+
+    def __init__(self, values, calendar: str = "noleap",
+                 name: str = "time") -> None:
+        cal = _canon(calendar)
+        if cal not in _YEAR_LEN:
+            raise ValueError(
+                f"CFTimeIndex holds encoded non-real calendars "
+                f"({sorted(_YEAR_LEN)}); use a pandas DatetimeIndex for "
+                f"{calendar!r}")
+        self.values = [int(v) for v in values]
+        self.calendar = calendar
+        self.name = name
+
+    # ---- sequence protocol ------------------------------------------ #
+    def __len__(self):
+        return len(self.values)
+
+    def __iter__(self):
+        return iter(self.values)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return CFTimeIndex(self.values[i], self.calendar, self.name)
+        return self.values[i]
+
+    def __eq__(self, other):
+        return (isinstance(other, CFTimeIndex)
+                and self.values == other.values
+                and _canon(self.calendar) == _canon(other.calendar))
+
+    def __repr__(self):
+        dates = [f"{y:04d}-{m:02d}-{d:02d}"
+                 for y, m, d in (self._ymd(v) for v in self.values[:4])]
+        tail = ", ..." if len(self.values) > 4 else ""
+        return (f"CFTimeIndex([{', '.join(dates)}{tail}], "
+                f"calendar={self.calendar!r}, length={len(self)})")
+
+    def _ymd(self, v):
+        return _py_date(v, self.calendar)
+
+    # ---- reference surface ------------------------------------------ #
+    @property
+    def asi8(self):
+        """Encoded ordinals as a list of ints (reference asi8 is the
+        integer view of the index)."""
+        return list(self.values)
+
+    @property
+    def year(self):
+        return [self._ymd(v)[0] for v in self.values]
+
+    @property
+    def month(self):
+        return [self._ymd(v)[1] for v in self.values]
+
+    @property
+    def day(self):
+        return [self._ymd(v)[2] for v in self.values]
+
+    @property
+    def dayofyear(self):
+        cal = _canon(self.calendar)
+        if cal == "360_day":
+            return [v % 360 + 1 for v in self.values]
+        return [v % _YEAR_LEN[cal] + 1 for v in self.values]
+
+    def strftime(self, fmt: str = "%Y-%m-%d"):
+        cal = _canon(self.calendar)
+        ylen = 360 if cal == "360_day" else _YEAR_LEN[cal]
+        out = []
+        for v in self.values:
+            y, m, d = self._ymd(v)
+            doy = v % ylen + 1
+            s = (fmt.replace("%Y", f"{y:04d}").replace("%m", f"{m:02d}")
+                 .replace("%d", f"{d:02d}").replace("%j", f"{doy:03d}"))
+            out.append(s)
+        return out
+
+    def shift(self, periods: int, freq: str = "D") -> "CFTimeIndex":
+        """Shift by ``periods`` steps of ``freq`` ('D'/'nD' day steps,
+        'MS' month starts) — reference cftimeindex.py:511."""
+        if freq.endswith("D"):
+            step = int(freq[:-1] or 1) * int(periods)
+            return CFTimeIndex([v + step for v in self.values],
+                               self.calendar, self.name)
+        if freq == "MS":
+            out = []
+            for v in self.values:
+                y, m, _ = self._ymd(v)
+                mi = (y - EPOCH_YEAR) * 12 + (m - 1) + int(periods)
+                yy, mm = divmod(mi, 12)
+                out.append(_py_ordinal(EPOCH_YEAR + yy, mm + 1, 1,
+                                       self.calendar))
+            return CFTimeIndex(out, self.calendar, self.name)
+        raise NotImplementedError(f"shift freq {freq!r}")
+
+    def to_datetimeindex(self):
+        """Real pandas DatetimeIndex with the SAME (y, m, d) labels —
+        raises on dates the real calendar lacks (noleap has no Feb 29 to
+        collide, but 360_day day-30 Februaries do not exist), like the
+        reference's unsafe-conversion error."""
+        import pandas as pd
+        return pd.DatetimeIndex(
+            [pd.Timestamp(*self._ymd(v)) for v in self.values],
+            name=self.name)
+
+    # ---- engine bridges --------------------------------------------- #
+    def to_label_table(self, spark) -> DataFrame:
+        """Label-table DataFrame of the ordinals (what sel/reindex/
+        resample plans consume)."""
+        return spark.createDataFrame([(v,) for v in self.values],
+                                     f"{self.name} long")
+
+    @classmethod
+    def from_label_table(cls, df, calendar: str,
+                         name: str | None = None) -> "CFTimeIndex":
+        """Collect a label table (or a dataset dim column) into an
+        index.  Labels are bounded by construction — this is the
+        documented label-table-sized driver transfer, not a data
+        collect."""
+        try:  # accept an XDataset (duck-typed: has .df and .dims)
+            inner = df.df
+            name = name or df.dims[0]
+            df = inner
+        except AttributeError:
+            name = name or df.columns[0]
+        rows = df.select(name).distinct().orderBy(name).collect()
+        return cls([r[0] for r in rows], calendar, name)
