@@ -420,7 +420,7 @@ class XDataset:
 
     def __init__(
         self,
-        df: DataFrame,
+        df: DataFrame | None = None,
         dims: Sequence[str] | None = None,
         coords: Mapping[str, Sequence[str]] | None = None,
         data_vars: Sequence[str] | None = None,
@@ -430,8 +430,11 @@ class XDataset:
             # reference dict-style constructor: Dataset(data_vars,
             # coords, attrs) over in-memory arrays (core/dataset.py:453).
             # Positional reference calls put coords in our `dims` slot —
-            # a Mapping/Coordinates there is unambiguous.
+            # a Mapping/Coordinates there is unambiguous — and the
+            # keyword form lands the mapping in the `data_vars` slot.
             from xarray_spark.coordinates import Coordinates
+            if df is None and isinstance(data_vars, Mapping):
+                df, data_vars = data_vars, None
             if coords is None and isinstance(dims, (Mapping, Coordinates)):
                 dims, coords = None, dims
             if dims is not None or data_vars is not None:
@@ -3318,12 +3321,15 @@ class XDataset:
                      errors: str = "raise") -> "XDataset":
         """Unregister indexes recorded by set_xindex
         (xarray/core/dataset.py:5834 drop_indexes).  Long form keeps the
-        columns — only the catalog marker goes."""
+        columns — only the catalog marker goes.  Dim coords carry the
+        reference's DEFAULT index, so dropping them is legal (and a
+        catalog no-op: label pushdown is a plan property, not state)."""
         names = [coord_names] if isinstance(coord_names, str) else list(coord_names)
         attrs = {**(self.attrs or {})}
         existing = list(attrs.get("_xindexes", ()))
         for n in names:
-            if n not in existing and errors == "raise":
+            if (n not in existing and n not in self.dims
+                    and errors == "raise"):
                 raise ValueError(f"{n!r} is not an index of the dataset")
         attrs["_xindexes"] = [n for n in existing if n not in names]
         return self._replace(attrs=attrs)

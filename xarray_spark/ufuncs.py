@@ -208,21 +208,58 @@ def build_complex(x: XDataset, re_var: str, im_var: str, name: str = "z") -> XDa
     return XDataset(df, x.dims, x.coords, data_vars, x.attrs)
 
 
-real = _mk(lambda c: c["re"])
-imag = _mk(lambda c: c["im"])
-conj = _mk(lambda c: F.struct(c["re"].alias("re"), (-c["im"]).alias("im")))
+def _is_cplx_type(dtype) -> bool:
+    from pyspark.sql import types as T
+    return (isinstance(dtype, T.StructType)
+            and {f.name for f in dtype.fields} >= {"re", "im"})
+
+
+def _apply_cplx(x, on_cplx, on_real):
+    """Complex-family dispatch: numpy's complex ufuncs are defined on
+    REAL input too (real(x)=x, imag(x)=0, iscomplex(x)=False, …), so
+    on an XDataset each var picks its branch by schema.  A bare Column
+    keeps the struct interpretation (the caller built it)."""
+    if isinstance(x, XDataset):
+        df = x.df
+        for v in x.data_vars:
+            t = df.schema[v].dataType
+            expr = (on_cplx(F.col(v)) if _is_cplx_type(t)
+                    else on_real(F.col(v), t))
+            df = df.withColumn(v, expr)
+        return x._replace(df=df)
+    c = x if isinstance(x, Column) else F.lit(x)
+    return on_cplx(c)
+
+
+real = lambda x: _apply_cplx(  # noqa: E731
+    x, lambda c: c["re"], lambda c, t: c)
+imag = lambda x: _apply_cplx(  # noqa: E731
+    x, lambda c: c["im"], lambda c, t: F.lit(0).cast(t))
+conj = lambda x: _apply_cplx(  # noqa: E731
+    x, lambda c: F.struct(c["re"].alias("re"), (-c["im"]).alias("im")),
+    lambda c, t: c)
 conjugate = conj
 
 
 def angle(x, deg: bool = False):
-    def fn(c):
+    def on_cplx(c):
         a = F.atan2(c["im"], c["re"])
         return a * F.lit(180.0 / math.pi) if deg else a
-    return _apply(x, fn)
+
+    def on_real(c, t):
+        # np.angle on real input: 0 for >=0, pi for <0, nan for nan
+        d = c.cast("double")
+        a = (F.when(F.isnan(d), d)
+             .when(d < 0, F.lit(math.pi)).otherwise(F.lit(0.0)))
+        return a * F.lit(180.0 / math.pi) if deg else a
+
+    return _apply_cplx(x, on_cplx, on_real)
 
 
-iscomplex = _mk(lambda c: c["im"] != F.lit(0.0))
-isreal = _mk(lambda c: c["im"] == F.lit(0.0))
+iscomplex = lambda x: _apply_cplx(  # noqa: E731
+    x, lambda c: c["im"] != F.lit(0.0), lambda c, t: F.lit(False))
+isreal = lambda x: _apply_cplx(  # noqa: E731
+    x, lambda c: c["im"] == F.lit(0.0), lambda c, t: F.lit(True))
 
 # complex arithmetic helpers (the binary ops the struct encoding needs
 # spelled out; real ops stay on the ordinary arithmetic operators)
