@@ -312,6 +312,16 @@ def dsir_sample(df: DataFrame, target: DataFrame, k: int,
     else:
         gq = F.lit(0).cast("long")
     scored = w.withColumn("score_q", (F.col("logw_q") + gq).cast("long"))
+    # materialize the DOC-LEVEL score table before ranking:
+    # two_phase_rank's range partitioning runs a sampling pass, which
+    # would otherwise re-execute the whole gram-explode pipeline 2-3x
+    # (the q34 signature-table lesson).  Doc-level rows are the scored
+    # corpus' "score table" — exactly what a production run persists
+    # between scoring and selection.
+    try:
+        scored = scored.localCheckpoint()
+    except Exception:
+        pass  # keep lineage when checkpointing is unavailable
     # unique ids make (-score, id) a total order, so two_phase_rank's
     # arbitrary tie placement never applies
     keyed = scored.withColumn(
