@@ -194,3 +194,57 @@ def test_curvefit_recovers_exact_exponential(spark):
     op = oo.to_pandas().set_index("param")["y_curvefit_coefficients"]
     assert abs(op["a"] - 2.5) < 1e-5
     assert abs(op["b"] - 0.35) < 1e-5
+
+
+class TestDataArraySmallSurface:
+    """DataArray-only accessors that had no differential coverage:
+    T, item, get_axis_num, to_index, to_masked_array."""
+
+    def _pair(self):
+        arr = np.arange(6.0).reshape(2, 3)
+        r = xr.DataArray(arr, coords={"x": [1, 2], "y": [10, 20, 30]},
+                         dims=("x", "y"), name="v")
+        from xarray_spark import XDataArray
+        o = XDataArray(arr, coords={"x": [1, 2], "y": [10, 20, 30]},
+                       dims=("x", "y"), name="v")
+        return r, o
+
+    def test_transpose_T(self, spark):
+        r, o = self._pair()
+        assert o.T.dims == tuple(r.T.dims) == ("y", "x")
+        assert np.allclose(np.asarray(o.T.to_numpy()), r.T.values)
+
+    def test_item_scalar(self, spark):
+        r, o = self._pair()
+        rv = r.sel(x=2, y=20).item()
+        ov = o.sel(x=2, y=20).item()
+        assert ov == rv == 4.0
+
+    def test_get_axis_num(self, spark):
+        r, o = self._pair()
+        assert o.get_axis_num("y") == r.get_axis_num("y") == 1
+        assert o.get_axis_num("x") == r.get_axis_num("x") == 0
+
+    def test_to_index_1d(self, spark):
+        arr = np.array([3.0, 1.0, 2.0])
+        r = xr.DataArray(arr, coords={"t": [5, 6, 7]}, dims="t", name="v")
+        from xarray_spark import XDataArray
+        o = XDataArray(arr, coords={"t": [5, 6, 7]}, dims="t", name="v")
+        assert list(o.to_index()) == list(r.to_index())
+
+    def test_to_masked_array(self, spark):
+        arr = np.array([1.0, np.nan, 3.0])
+        r = xr.DataArray(arr, dims="t", name="v")
+        from xarray_spark import XDataArray
+        o = XDataArray(arr, dims="t", name="v")
+        rm = r.to_masked_array()
+        om = o.to_masked_array()
+        assert list(np.asarray(om.mask)) == list(np.asarray(rm.mask))
+        assert np.allclose(np.asarray(om.filled(-1)), rm.filled(-1))
+
+    def test_to_index_name_matches_reference(self, spark):
+        arr = np.array([3.0, 1.0, 2.0])
+        r = xr.DataArray(arr, coords={"t": [5, 6, 7]}, dims="t", name="v")
+        from xarray_spark import XDataArray
+        o = XDataArray(arr, coords={"t": [5, 6, 7]}, dims="t", name="v")
+        assert o.to_index().name == r.to_index().name == "t"

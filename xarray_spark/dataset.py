@@ -4079,14 +4079,19 @@ class XDataArray(XDataset):
         return s.to_numpy().reshape(shape)
 
     def to_index(self):
-        """pandas Index of the labels (1-D only,
-        xarray/core/dataarray.py:4055) — an action."""
+        """pandas Index of this array's VALUES in dim order (1-D only,
+        xarray/core/dataarray.py:4055 — the reference converts the
+        variable itself, not its dim labels; for a coordinate array the
+        two coincide) — an action."""
         if len(self.dims) != 1:
             raise ValueError("to_index requires a 1-D DataArray")
         import pandas as pd
         d = self.dims[0]
-        rows = self._dim_labels(d).orderBy("__pos").select(d).toPandas()
-        return pd.Index(rows[d], name=d)
+        rows = self.df.select(d, self.name).orderBy(d).toPandas()
+        # the reference names the index after the DIM (to_index_variable
+        # keeps the variable's dims), even though the values are the
+        # array's own
+        return pd.Index(rows[self.name], name=d)
 
     def to_dataset(self, dim: str | None = None, name: str | None = None,
                    promote_attrs: bool = False) -> "XDataset":
