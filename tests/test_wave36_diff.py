@@ -248,3 +248,68 @@ class TestDataArraySmallSurface:
         from xarray_spark import XDataArray
         o = XDataArray(arr, coords={"t": [5, 6, 7]}, dims="t", name="v")
         assert o.to_index().name == r.to_index().name == "t"
+
+
+class TestBroadcastVarReductions:
+    """Vars built by the dict constructor on a dim SUBSET: reductions
+    over dims the var lacks must leave it untouched (reference
+    semantics), not aggregate the broadcast copies."""
+
+    def _pair(self):
+        arr = np.arange(6.0).reshape(2, 3)
+        spec = dict(data_vars={"t": (("x", "y"), arr),
+                               "u": ("x", [10.0, 20.0])},
+                    coords={"x": [1, 2], "y": [7, 8, 9]})
+        return xr.Dataset(**spec), XDataset(**spec)
+
+    def test_sum_over_missing_dim_leaves_var(self, spark):
+        r, o = self._pair()
+        rr = r.sum("y")
+        oo = o.sum("y")
+        assert np.allclose(np.asarray(oo["u"].to_series().sort_index()),
+                           rr["u"].values)          # NOT 3x inflated
+        assert np.allclose(np.asarray(oo["t"].to_series().sort_index()),
+                           rr["t"].values)
+
+    def test_std_count_over_missing_dim(self, spark):
+        r, o = self._pair()
+        for m in ("std", "count", "mean", "max"):
+            rr = getattr(r, m)("y")
+            oo = getattr(o, m)("y")
+            assert np.allclose(
+                np.asarray(oo["u"].to_series().sort_index(), dtype=float),
+                np.asarray(rr["u"].values, dtype=float)), m
+
+    def test_reduce_over_own_dim_still_aggregates(self, spark):
+        r, o = self._pair()
+        rr = r.sum("x")
+        oo = o.sum("x")
+        assert np.allclose(np.asarray(oo["u"].to_series().sort_index()
+                                      if oo["u"].dims else
+                                      [float(oo["u"].values)]),
+                           np.atleast_1d(rr["u"].values))
+
+    def test_metadata_survives_replace_chain(self, spark):
+        _, o = self._pair()
+        o2 = o.assign_attrs(note="x").fillna(0.0)
+        assert o2.var_dims.get("u") == ("x",)
+        # renaming the dim invalidates the stale entry safely
+        o3 = o.rename({"x": "x2"})
+        rr = o3.sum("y")
+        assert rr is not None  # falls back to span-all semantics
+
+    def test_nan_element_and_ddof_match_reference(self, spark):
+        spec = dict(data_vars={"t": (("x", "y"),
+                                     np.arange(6.0).reshape(2, 3)),
+                               "u": ("x", [10.0, np.nan])},
+                    coords={"x": [1, 2], "y": [7, 8, 9]})
+        r = xr.Dataset(**spec)
+        o = XDataset(**spec)
+        for call in (lambda d: d.sum("y"), lambda d: d.count("y"),
+                     lambda d: d.std("y"), lambda d: d.std("y", ddof=1),
+                     lambda d: d.all("y"), lambda d: d.any("y")):
+            rv = np.asarray(call(r)["u"].values, dtype=float)
+            ov = np.asarray(call(o)["u"].to_series().sort_index(),
+                            dtype=float)
+            both_nan = np.isnan(rv) & np.isnan(ov)
+            assert ((rv == ov) | both_nan).all(), (rv, ov)

@@ -396,7 +396,9 @@ def _construct_from_mapping(data_vars, coords, attrs):
     sdf = get_spark().createDataFrame(pdf)
     for d, levels in struct_dims.items():
         sdf = sdf.withColumn(d, F.struct(*[F.col(lv) for lv in levels]))
-    return sdf, all_dims, coords_map, var_names, dict(attrs or {})
+    var_dims = {name: dims for name, (dims, _) in norm_vars.items()
+                if tuple(dims) != tuple(all_dims)}
+    return sdf, all_dims, coords_map, var_names, dict(attrs or {}), var_dims
 
 
 class XDataset:
@@ -416,7 +418,7 @@ class XDataset:
     """
 
     __slots__ = ("df", "dims", "coords", "data_vars", "attrs", "_close_fn",
-                 "_qscan_cache")
+                 "_qscan_cache", "var_dims")
 
     def __init__(
         self,
@@ -426,6 +428,7 @@ class XDataset:
         data_vars: Sequence[str] | None = None,
         attrs: dict | None = None,
     ):
+        vd: dict = {}
         if not isinstance(df, DataFrame):
             # reference dict-style constructor: Dataset(data_vars,
             # coords, attrs) over in-memory arrays (core/dataset.py:453).
@@ -441,7 +444,7 @@ class XDataset:
                 raise TypeError(
                     "dict-style constructor takes (data_vars, coords, "
                     "attrs); dims are inferred from the variables")
-            df, dims, coords, data_vars, attrs = _construct_from_mapping(
+            df, dims, coords, data_vars, attrs, vd = _construct_from_mapping(
                 df, coords, attrs)
         elif dims is None:
             raise TypeError("dims are required when constructing from a "
@@ -466,6 +469,12 @@ class XDataset:
             data_vars = [c for c in df.columns if c not in reserved]
         self.data_vars: tuple[str, ...] = tuple(data_vars)
         self.attrs: dict = dict(attrs or {})
+        #: optional {var: own-dims tuple} for vars the dict constructor
+        #: BROADCAST across missing dims — lets reductions leave
+        #: non-participating vars untouched like the reference.  Empty
+        #: (the default) means every var spans all dims (the long-form
+        #: contract for distributed sources).
+        self.var_dims: dict[str, tuple[str, ...]] = dict(vd)
 
     # ------------------------------------------------------------------ #
     # plumbing
@@ -479,13 +488,17 @@ class XDataset:
         data_vars: Sequence[str] | None = None,
         attrs: dict | None = None,
     ) -> "XDataset":
-        return type(self)(
+        out = type(self)(
             self.df if df is None else df,
             self.dims if dims is None else dims,
             self.coords if coords is None else coords,
             self.data_vars if data_vars is None else data_vars,
             self.attrs if attrs is None else attrs,
         )
+        # broadcast-var metadata rides along; stale entries (renamed
+        # dims/vars) are ignored at use via the own-dims ⊆ dims check
+        out.var_dims = dict(getattr(self, "var_dims", {}) or {})
+        return out
 
     @property
     def spark(self) -> SparkSession:
@@ -1708,6 +1721,7 @@ class XDataset:
         funcname: str = "",
         skipna: bool = True,
         keep_attrs: bool | None = None,
+        ddof: int = 0,
     ) -> "XDataset":
         """Group by the complement dims and aggregate every data var.
 
@@ -1726,6 +1740,31 @@ class XDataset:
         base = nan_to_null(self.df, varlist, self.df.schema)
         aggs = []
         for v in varlist:
+            own = self.var_dims.get(v)
+            if (own is not None and set(own) <= set(self.dims)
+                    and not set(own) & set(dims)):
+                # constructor-broadcast var that lacks every reduced
+                # dim: the reference reduces it over an EMPTY axis
+                # tuple (measured: sum/mean/min/max/prod/median pass
+                # the element through — NaN stays NaN; count gives
+                # 1/0; std/var give 0 at ddof=0 and nan otherwise;
+                # all/any truth-test the element, NaN truthy).  All
+                # group copies are identical, so first() renders every
+                # case inside the SAME aggregation — no extra pass.
+                f = F.first(v)
+                if funcname == "count":
+                    e = f.isNotNull().cast("long")
+                elif funcname in ("std", "var"):
+                    # single-element slice: 0 at ddof=0, else nan
+                    e = (F.when(f.isNotNull(), F.lit(0.0)) if ddof == 0
+                         else F.lit(None).cast("double"))
+                elif funcname in ("all", "any"):
+                    e = F.when(f.isNull(), F.lit(True)) \
+                         .otherwise(f.cast("double") != 0)
+                else:
+                    e = f
+                aggs.append(e.alias(v))
+                continue
             e = exprs_for(v)
             if not skipna:
                 # null-poisoning: any null in the group -> null result
@@ -1796,7 +1835,7 @@ class XDataset:
                 return F.stddev_samp(v)
             n = F.count(v)
             return F.sqrt(F.var_pop(v) * n / (n - F.lit(ddof)))
-        return self._reduce(dim, e, "std", skipna, keep_attrs)
+        return self._reduce(dim, e, "std", skipna, keep_attrs, ddof=ddof)
 
     def var(self, dim=None, skipna: bool = True, ddof: int = 0,
             keep_attrs: bool | None = None) -> "XDataset":
@@ -1807,7 +1846,7 @@ class XDataset:
                 return F.var_samp(v)
             n = F.count(v)
             return F.var_pop(v) * n / (n - F.lit(ddof))
-        return self._reduce(dim, e, "var", skipna, keep_attrs)
+        return self._reduce(dim, e, "var", skipna, keep_attrs, ddof=ddof)
 
     def median(self, dim=None, skipna: bool = True,
                keep_attrs: bool | None = None) -> "XDataset":
