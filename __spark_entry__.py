@@ -2199,6 +2199,36 @@ def q132_dsir(spark, sf_dir):
                        quant=10_000, gumbel=True, mode="flag")
 
 
+def q133_pii_redact(spark, sf_dir):
+    """PII redaction (extras.text.pii_redact — the masking counterpart
+    of q95's scan, ROOTS-style placeholder substitution): the gate
+    injects the same deterministic PII as q95, redacts, and the oracle
+    replays all three regexp_replace passes verbatim on the full text
+    (value hash covers every redacted character)."""
+    from xarray_spark.extras.text import pii_redact
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.coalesce(
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.lit(" contact user"), F.col("doc_id"),
+                                F.lit("@example.com now")))
+                .when(F.col("doc_id") % 7 == 1,
+                      F.concat(F.lit(" see https://example.com/d/"),
+                               F.col("doc_id")))
+                .when(F.col("doc_id") % 7 == 2,
+                      F.concat(F.lit(" call 555"),
+                               F.col("doc_id") + F.lit(1000000))),
+                F.lit(""),
+            ),
+        ),
+    )
+    out = pii_redact(injected)
+    return out.select("doc_id", "text_redacted", "n_redactions")
+
+
 # --------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2225,8 +2255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     n=5 here), q131 (no-straddle next-fit packing with a
     recursive-CTE oracle) and q132 (DSIR importance resampling —
     Xie et al. 2023 hashed-ngram weights + derived Gumbel top-k,
-    added late in round 6; q36 slips just below the fold to make
-    room, still covered by its r1 driver row + the local oracle),
+    added late in round 6) and q133 (PII redaction, the masking
+    counterpart of q95 — its oracle hashes every redacted character;
+    q36 and q95 slip just below the fold to make room, both covered
+    by their r1 driver rows + the local oracle),
     with q59/q33/q13/q43 moved below the fold
     to keep the window at 50 — all four untouched double-green anchors
     re-oracled at sf0.001 each round;
@@ -2266,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_pack_nosplit": q131_pack_nosplit,
         "q126_semdedup_trained": q126_semdedup_trained,
         "q132_dsir": q132_dsir,
+        "q133_pii_redact": q133_pii_redact,
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
         "q16_groupby_median": q16_groupby_median,
@@ -2307,13 +2340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_pack_sequences": q92_pack_sequences,
         "q93_shuffle_rank": q93_shuffle_rank,
         "q94_audio_features": q94_audio_features,
+        # ---- below the window: green rows from rounds 1-5 stand ----
         "q95_pii_scan": q95_pii_scan,
         "q30_dedup_exact": q30_dedup_exact,
         "q36_multimodal_features": q36_multimodal_features,
         "q43_bfill": q43_bfill,
         "q13_ffill": q13_ffill,
         "q33_cosine_topk": q33_cosine_topk,
-        # ---- below the window: green rows from rounds 1-5 stand ----
         "q59_decode_cf": q59_decode_cf,
         "q114_encoded_groups": q114_encoded_groups,
         "q116_bucketed_ffill": q116_bucketed_ffill,
@@ -3016,6 +3049,35 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (ORDER BY score_q DESC, doc_id ASC)
                     <= 200) AS selected
             FROM scored
+        """,
+        "q133_pii_redact": r"""
+            WITH inj AS (SELECT doc_id,
+                   text || COALESCE(
+                     CASE WHEN doc_id % 7 = 0
+                            THEN ' contact user' || doc_id::VARCHAR
+                                 || '@example.com now'
+                          WHEN doc_id % 7 = 1
+                            THEN ' see https://example.com/d/'
+                                 || doc_id::VARCHAR
+                          WHEN doc_id % 7 = 2
+                            THEN ' call 555' || (doc_id + 1000000)::VARCHAR
+                     END, '') AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                         '<EMAIL>', 'g'),
+                       'https?://[a-zA-Z0-9./_%?=&#-]+', '<URL>', 'g'),
+                     '[0-9]{7,}', '<NUMBER>', 'g') AS text_redacted,
+                   (len(regexp_extract_all(t,
+                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+                    + len(regexp_extract_all(t,
+                        'https?://[a-zA-Z0-9./_%?=&#-]+'))
+                    + len(regexp_extract_all(t, '[0-9]{7,}')))::INT
+                   AS n_redactions
+            FROM inj
         """,
         "q92_pack_sequences": f"""
             WITH t AS (SELECT doc_id,

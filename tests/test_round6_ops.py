@@ -454,3 +454,30 @@ class TestDsir:
             dsir_sample(df, df, k=1, mode="bogus")
         with pytest.raises(ValueError):
             dsir_weights(df, df, buckets=1)
+
+
+class TestPiiRedact:
+    def test_masks_in_order_and_counts(self, spark):
+        from xarray_spark.extras.text import pii_redact
+        df = spark.createDataFrame(
+            [(0, "mail a.b@x.co see https://x.co/p9912345678 call 12345678"),
+             (1, "clean text"),
+             (2, None)],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+        red = rows[0]["text_redacted"]
+        # URL-internal digits were consumed by the URL token, not
+        # turned into a second <NUMBER>
+        assert red == "mail <EMAIL> see <URL> call <NUMBER>"
+        # ...but n_redactions audits the ORIGINAL text, where the
+        # URL-internal digit run also matches: 1 email + 1 url + 2 runs
+        assert rows[0]["n_redactions"] == 4
+        assert rows[1]["text_redacted"] == "clean text"
+        assert rows[1]["n_redactions"] == 0
+        assert rows[2]["text_redacted"] is None
+
+    def test_custom_tokens(self, spark):
+        from xarray_spark.extras.text import pii_redact
+        df = spark.createDataFrame([(0, "x@y.io")], "doc_id long, text string")
+        r = pii_redact(df, email_token="[E]").collect()[0]
+        assert r["text_redacted"] == "[E]"

@@ -182,6 +182,37 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pii_redact(df: DataFrame, text_col: str = "text",
+               email_token: str = "<EMAIL>", url_token: str = "<URL>",
+               number_token: str = "<NUMBER>") -> DataFrame:
+    """Mask PII spans in place — the redaction counterpart of
+    :func:`pii_scan` (the pre-training masking step of public corpus
+    pipelines, e.g. the BigScience ROOTS PII masking: replace the
+    span with a typed placeholder instead of dropping the document).
+
+    Emails, then URLs, then 7+-digit runs are rewritten to their
+    placeholder tokens, in that order (so digit runs inside an
+    already-masked URL are gone before the number pass).  Adds
+    ``<text_col>_redacted`` plus ``n_redactions`` (matches found on
+    the ORIGINAL text, the audit signal).
+
+    At 100 TB this is a map-only projection — three regexp_replace
+    expressions fused into the scan, no shuffle, no Python; identical
+    left-to-right non-overlapping semantics in SQL keeps it
+    oracle-replayable."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_PATTERN, email_token)
+    red = F.regexp_replace(red, URL_PATTERN, url_token)
+    red = F.regexp_replace(red, DIGIT_RUN_PATTERN, number_token)
+    return (
+        df.withColumn(f"{text_col}_redacted", red)
+        .withColumn(
+            "n_redactions",
+            pattern_count(t, EMAIL_PATTERN) + pattern_count(t, URL_PATTERN)
+            + pattern_count(t, DIGIT_RUN_PATTERN))
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Within-document repetition signals (the Gopher/MassiveText
