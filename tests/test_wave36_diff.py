@@ -313,3 +313,23 @@ class TestBroadcastVarReductions:
                             dtype=float)
             both_nan = np.isnan(rv) & np.isnan(ov)
             assert ((rv == ov) | both_nan).all(), (rv, ov)
+
+
+def test_accessor_obj_and_groupby_assign_coords(spark):
+    o = XDataset({"v": ("t", [1.0, 2.0, 3.0, 4.0])},
+                 coords={"t": [0, 1, 2, 3], "k": ("t", [0, 0, 1, 1])})
+    assert o.rolling(t=2).obj is o
+    assert o.coarsen(t=2).obj is o
+    assert o.weighted("v").obj is o
+    g = o.groupby("k")
+    assert g.obj is o
+    # reference: GroupBy.assign_coords applies per group; keys are
+    # unchanged, so values round-trip and the new coord appears
+    r = xr.Dataset({"v": ("t", [1.0, 2.0, 3.0, 4.0])},
+                   coords={"t": [0, 1, 2, 3], "k": ("t", [0, 0, 1, 1])})
+    rr = r.groupby("k").assign_coords(c2=99)
+    oo = g.assign_coords(c2=99)
+    assert "c2" in rr.coords and set(np.atleast_1d(rr["c2"].values)) == {99}
+    p = oo.to_pandas().sort_values("t")
+    assert "c2" in p.columns and set(p["c2"]) == {99}
+    assert np.allclose(p["v"], [1.0, 2.0, 3.0, 4.0])

@@ -830,6 +830,10 @@ class XWeighted:
     weights = a data var name or a Column; NaN weights are treated as 0
     (reference masks them, weighted.py docstring)."""
 
+    #: reference introspection names
+    obj = property(lambda self: self.ds)
+    weights = property(lambda self: self.w)
+
     def __init__(self, ds: XDataset, weights):
         self.ds = ds
         self.w = F.col(weights) if isinstance(weights, str) else weights

@@ -71,6 +71,18 @@ def resolve_groupers(ds: XDataset, group, groupers: Mapping) -> list[tuple[str, 
 class XGroupBy:
     """Lazy groupby over an XDataset."""
 
+    #: reference introspection name: the wrapped object
+    obj = property(lambda self: self.ds)
+
+    def assign_coords(self, coords=None, **kw):
+        """Apply assign_coords within each group (reference
+        groupby.py GroupBy.assign_coords).  The reference's alignment
+        only admits scalar / group-consistent values here (a
+        full-length coord raises AlignmentError on its side too), and
+        applying such a value per group then recombining IS the plain
+        dataset op on the long table — so it delegates directly."""
+        return self.ds.assign_coords(coords, **kw)
+
     def __init__(self, ds: XDataset, keys: list[tuple[str, Column, tuple]]):
         self.ds = ds
         self.keys = keys

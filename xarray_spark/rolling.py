@@ -25,6 +25,9 @@ from xarray_spark.dataset import XDataset
 
 
 class XRolling:
+    # reference introspection name: the wrapped object
+    obj = property(lambda self: self.ds)
+
     def __init__(self, ds: XDataset, windows: Mapping[str, int], min_periods: int | None, center: bool):
         self.windows = dict(windows)
         (self.dim, self.window) = next(iter(self.windows.items()))
@@ -319,6 +322,8 @@ class XCoarsen:
     from the broadcast label table, so the fact table sees one hash
     aggregation, no sort.
     """
+
+    obj = property(lambda self: self.ds)
 
     def __init__(self, ds: XDataset, windows: Mapping[str, int], boundary: str = "exact",
                  side: str = "left", coord_func: str = "mean"):
