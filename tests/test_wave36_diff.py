@@ -60,17 +60,20 @@ def test_eval_matches_reference(spark):
 
 
 def test_filter_by_attrs_matches_reference(spark):
-    spec = dict(data_vars={"a": ("t", [1.0, 2.0]), "b": ("t", [3.0, 4.0])},
-                coords={"t": [0, 1]})
+    # tuple-form var attrs flow through the dict ctor on BOTH sides
+    spec = dict(data_vars={
+        "a": ("t", [1.0, 2.0], {"standard_name": "air_temperature"}),
+        "b": ("t", [3.0, 4.0])}, coords={"t": [0, 1]})
     r = xr.Dataset(**spec)
     o = XDataset(**spec)
-    # reference stores per-var attrs; the engine stores dataset-level
-    # attrs, so filter on the standard_name convention via a callable
-    r["a"].attrs["standard_name"] = "air_temperature"
+    assert dict(r["a"].attrs) == o.var_attrs("a")
     rf = r.filter_by_attrs(standard_name="air_temperature")
-    assert list(rf.data_vars) == ["a"]
     of = o.filter_by_attrs(standard_name="air_temperature")
-    assert list(of.data_vars) in ([], ["a"])  # engine has no var attrs set
+    assert list(rf.data_vars) == list(of.data_vars) == ["a"]
+    # callable criteria too
+    rc = r.filter_by_attrs(standard_name=lambda v: v is not None)
+    oc = o.filter_by_attrs(standard_name=lambda v: v is not None)
+    assert list(rc.data_vars) == list(oc.data_vars) == ["a"]
 
 
 def test_get_index_matches_reference(spark):

@@ -301,10 +301,13 @@ def _construct_from_mapping(data_vars, coords, attrs):
                 f"{name!r}: mixing distributed XDataset/XDataArray "
                 "variables into the in-memory dict constructor is not "
                 "supported — use merge/assign on the datasets instead")
+        vat = {}
         if (isinstance(v, tuple) and len(v) in (2, 3)
                 and isinstance(v[0], (str, list, tuple))):
             dims = (v[0],) if isinstance(v[0], str) else tuple(v[0])
             arr = np.asarray(v[1])
+            if len(v) == 3 and v[2]:
+                vat = dict(v[2])
         else:
             arr = np.asarray(v)
             if arr.ndim == 0:
@@ -324,10 +327,14 @@ def _construct_from_mapping(data_vars, coords, attrs):
                 raise ValueError(
                     f"conflicting sizes for dim {d!r}: {s} vs "
                     f"{dim_sizes[d]}")
-        return dims, arr
+        return dims, arr, vat
 
-    norm_vars = {k: norm(k, v, False) for k, v in data_vars.items()}
-    norm_coords = {k: norm(k, v, True) for k, v in coords_in.items()}
+    norm3_vars = {k: norm(k, v, False) for k, v in data_vars.items()}
+    norm3_coords = {k: norm(k, v, True) for k, v in coords_in.items()}
+    var_attrs = {k: a for k, (_, _, a) in
+                 [*norm3_vars.items(), *norm3_coords.items()] if a}
+    norm_vars = {k: (d, arr) for k, (d, arr, _) in norm3_vars.items()}
+    norm_coords = {k: (d, arr) for k, (d, arr, _) in norm3_coords.items()}
     for d, mi in midx_dims.items():
         if dim_sizes.setdefault(d, len(mi)) != len(mi):
             raise ValueError(f"conflicting sizes for dim {d!r}")
@@ -398,7 +405,12 @@ def _construct_from_mapping(data_vars, coords, attrs):
         sdf = sdf.withColumn(d, F.struct(*[F.col(lv) for lv in levels]))
     var_dims = {name: dims for name, (dims, _) in norm_vars.items()
                 if tuple(dims) != tuple(all_dims)}
-    return sdf, all_dims, coords_map, var_names, dict(attrs or {}), var_dims
+    out_attrs = dict(attrs or {})
+    if var_attrs:
+        # per-variable attrs ride in the catalog like set_var_attrs'
+        out_attrs["__var__"] = {**out_attrs.get("__var__", {}),
+                                **var_attrs}
+    return sdf, all_dims, coords_map, var_names, out_attrs, var_dims
 
 
 class XDataset:
