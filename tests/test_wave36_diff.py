@@ -336,3 +336,32 @@ def test_accessor_obj_and_groupby_assign_coords(spark):
     p = oo.to_pandas().sort_values("t")
     assert "c2" in p.columns and set(p["c2"]) == {99}
     assert np.allclose(p["v"], [1.0, 2.0, 3.0, 4.0])
+
+
+def test_cross_dims_binary_broadcast_matches_reference(spark):
+    arr = np.arange(6.0).reshape(2, 3)
+    r1 = xr.Dataset({"v": (("x", "y"), arr)},
+                    coords={"x": [1, 2], "y": [7, 8, 9]})
+    r2 = xr.Dataset({"v": ("x", [10.0, 20.0])}, coords={"x": [1, 2]})
+    o1 = XDataset({"v": (("x", "y"), arr)},
+                  coords={"x": [1, 2], "y": [7, 8, 9]})
+    o2 = XDataset({"v": ("x", [10.0, 20.0])}, coords={"x": [1, 2]})
+    for op in (lambda a, b: a + b, lambda a, b: a * b,
+               lambda a, b: b - a):
+        rv = op(r1, r2)["v"].values.ravel()
+        ov = np.asarray(op(o1, o2)["v"].to_series().sort_index())
+        assert np.allclose(rv, ov)
+
+
+def test_groupby_over_2d_coord_matches_reference(spark):
+    arr = np.arange(12.0).reshape(3, 4)
+    spec = dict(data_vars={"v": (("x", "y"), arr)},
+                coords={"x": [0, 1, 2], "y": [0, 1, 2, 3],
+                        "band": ("x", ["a", "b", "a"])})
+    r = xr.Dataset(**spec)
+    o = XDataset(**spec)
+    rr = r.groupby("band").mean()
+    oo = o.groupby("band").mean()
+    rv = rr["v"].to_series().sort_index()
+    ov = oo["v"].to_series().sort_index()
+    assert np.allclose(np.asarray(ov), rv.values)
