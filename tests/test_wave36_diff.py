@@ -365,3 +365,23 @@ def test_groupby_over_2d_coord_matches_reference(spark):
     rv = rr["v"].to_series().sort_index()
     ov = oo["v"].to_series().sort_index()
     assert np.allclose(np.asarray(ov), rv.values)
+
+
+def test_stack_unstack_expand_dims_through_ctor(spark):
+    arr = np.arange(6.0).reshape(2, 3)
+    spec = dict(data_vars={"v": (("x", "y"), arr)},
+                coords={"x": [1, 2], "y": [7, 8, 9]})
+    r = xr.Dataset(**spec)
+    o = XDataset(**spec)
+    rs = r.stack(z=("x", "y"))
+    os_ = o.stack(z=("x", "y"))
+    op = os_.df.toPandas().sort_values(["x", "y"])
+    assert np.allclose(op["v"].to_numpy(), rs["v"].values)
+    ru = rs.unstack("z")
+    ou = os_.unstack("z")
+    assert np.allclose(np.asarray(ou["v"].to_series().sort_index()),
+                       ru["v"].values.ravel())
+    re_ = r.expand_dims(w=[0, 1]).sum("w")
+    oe = o.expand_dims(w=[0, 1]).sum("w")
+    assert np.allclose(np.asarray(oe["v"].to_series().sort_index()),
+                       re_["v"].values.ravel())
