@@ -2183,6 +2183,27 @@ def q126_semdedup_trained(spark, sf_dir):
                           centroids_q=cents)
 
 
+def q134_ivf_trained(spark, sf_dir):
+    """IVF top-k with a TRAINED coarse quantizer, end-to-end
+    value-verified (extras.similarity.train_centroids_int +
+    ivf_topk_fixed(centroids_q=…)) — retires the registry's last
+    rows-only query (q64): the q126 recipe (integer-exact unrolled
+    Lloyd from the md5 init codebook over the deterministic id<256
+    sample) applied to the IVF query path.  The oracle replays the
+    TRAINING (both iterations), the final integer-exact cell
+    assignment, the n_probe query-side expansion, and the
+    rounded-cosine re-rank in SQL."""
+    from xarray_spark.extras.similarity import (
+        ivf_topk_fixed, train_centroids_int)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_centroids_int(emb, n_cells=8, iters=2,
+                                sample_max_id=256)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding"))
+    return ivf_topk_fixed(emb, queries, k=3, n_cells=8, n_probe=2,
+                          centroids_q=cents)
+
+
 def q132_dsir(spark, sf_dir):
     """DSIR importance resampling (extras.sampling.dsir_sample — Xie
     et al. 2023): select 200 documents toward a target distribution
@@ -2280,8 +2301,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and anchors that are double-green (driver r5 + local oracle) and
     whose code paths round 6 did NOT touch (q114/q116/q117/q118/
     q121-q125, q02/q04-q10, q34/q35/q44/q45/q53/q54/q58/q60/q62/q65/
-    q66/q70/q78/q81/q84/q111/q14).  q64_ivf_topk stays OUT permanently
-    (rows-only by design; its plan is value-verified by q97).
+    q66/q70/q78/q81/q84/q111/q14).  q64_ivf_topk is RETIRED as of
+    round 7: q134_ivf_trained pins the trained-IVF path end-to-end
+    (integer-exact unrolled Lloyd, the q126 recipe), so every registry
+    query is now hash-verified — `ivf_fit`/`ivf_topk` remain in the
+    library for float-KMeans exploratory use.
     Everything below the window carries a green driver row from
     rounds 1-5 and stays covered by tests/test_oracle.py at sf0.001
     each round.
@@ -2291,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q01 leads: the first query also absorbs residual session
         # spin-up; a plain scan+agg is the cheapest place to pay it)
         "q01_pricing_summary": q01_pricing_summary,
+        "q134_ivf_trained": q134_ivf_trained,
         "q127_gopher_filter": q127_gopher_filter,
         "q128_c4_filter": q128_c4_filter,
         "q129_ngram_lm_score": q129_ngram_lm_score,
@@ -2390,7 +2415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_repetition_stats": q107_repetition_stats,
         "q108_blend_epochs": q108_blend_epochs,
         "q40_dropna": q40_dropna,
-        "q64_ivf_topk": q64_ivf_topk,
         "q41_dot": q41_dot,
         "q42_stopword_ratio": q42_stopword_ratio,
         "q47_weighted_var": q47_weighted_var,
@@ -2613,6 +2637,65 @@ def _ivf_fixed_oracle(n_cells=8, n_probe=2, k=3) -> str:
       FROM ranked WHERE rank <= {k}"""
 
 
+def _ivf_trained_oracle(n_cells=8, n_probe=2, k=3,
+                        sample_max_id=256) -> str:
+    """SQL replay of q134: the two unrolled integer Lloyd iterations
+    (extras.similarity.train_centroids_int — identical CTEs to the
+    q126 oracle) followed by the q97-shape IVF query replay (final
+    assignment, n_probe probe expansion, rounded-cosine re-rank)
+    against the TRAINED centroid table instead of the fixed one."""
+    cell = _sql_md5l("'cell-' || c::VARCHAR || '-' || j::VARCHAR")
+    sql = f"""
+      WITH {_SQL_QVEC},
+      c0 AS (SELECT c, j, ({cell} % 2001 - 1000) * 1000 AS x
+             FROM range({n_cells}) t1(c), range(64) t2(j)),
+      samp AS (SELECT vec_id, v FROM qv WHERE vec_id < {sample_max_id})"""
+    prev = "c0"
+    for i in (1, 2):
+        sql += f""",
+      d{i} AS (SELECT s.vec_id, cl.c,
+                SUM((s.v[cl.j + 1] - cl.x) * (s.v[cl.j + 1] - cl.x)) AS d
+               FROM samp s, {prev} cl GROUP BY 1, 2),
+      a{i} AS (SELECT vec_id, c FROM (
+                 SELECT vec_id, c,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d, c) AS rn
+                 FROM d{i}) WHERE rn = 1),
+      m{i} AS (SELECT a.c, t.j, SUM(s.v[t.j + 1]) AS sm, COUNT(*) AS n
+               FROM a{i} a JOIN samp s USING (vec_id)
+               CROSS JOIN range(64) t(j)
+               GROUP BY 1, 2),
+      c{i} AS (SELECT p.c, p.j,
+                COALESCE(FLOOR((2 * m.sm + m.n) / (2.0 * m.n))::BIGINT,
+                         p.x) AS x
+               FROM {prev} p LEFT JOIN m{i} m ON m.c = p.c AND m.j = p.j)"""
+        prev = f"c{i}"
+    sql += f""",
+      dist AS (SELECT q.vec_id, cl.c,
+                SUM((q.v[cl.j + 1] - cl.x) * (q.v[cl.j + 1] - cl.x)) AS d
+               FROM qv q, {prev} cl GROUP BY 1, 2),
+      rankd AS (SELECT vec_id, c,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+                FROM dist),
+      assign AS (SELECT vec_id, c AS cell FROM rankd WHERE rn = 1),
+      qprobe AS (SELECT vec_id, c AS cell FROM rankd
+                 WHERE rn <= {n_probe} AND vec_id < 5),
+      cand AS (SELECT DISTINCT qp.vec_id AS qid, a.vec_id AS nid
+               FROM qprobe qp JOIN assign a ON a.cell = qp.cell
+               WHERE a.vec_id <> qp.vec_id),
+      scored AS (SELECT cand.qid, cand.nid,
+                  ROUND(list_cosine_similarity(a.e, b.e) + 1e-9, 6) AS cos
+                 FROM cand JOIN qv a ON a.vec_id = cand.qid
+                 JOIN qv b ON b.vec_id = cand.nid),
+      ranked AS (SELECT qid, nid, cos,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+                    AS rank
+                 FROM scored)
+      SELECT qid, nid, cos, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= {k}"""
+    return sql
+
+
 def _semdedup_trained_oracle(n_cells=8, sample_max_id=256,
                              threshold=0.4) -> str:
     """SQL replay of q126: the two unrolled integer Lloyd iterations
@@ -2672,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q97_ivf_fixed": _ivf_fixed_oracle(),
         "q126_semdedup_trained": _semdedup_trained_oracle(),
+        "q134_ivf_trained": _ivf_trained_oracle(),
         "q127_gopher_filter": """
             WITH w AS (
               SELECT doc_id,
@@ -3018,11 +3102,15 @@ def oracle_sql() -> dict[str, str]:
                            LEFT JOIN rb ON d.b = rb.b),
             lrq AS (
               SELECT b,
-                     CAST(floor((ln((ct + 1)::DOUBLE)
-                                 - ln((sum(ct) OVER ())::DOUBLE + 2048.0)
-                                 - ln((cr + 1)::DOUBLE)
-                                 + ln((sum(cr) OVER ())::DOUBLE + 2048.0))
-                                * 10000) AS BIGINT) AS lrq
+                     CASE WHEN (ct + 1) * ((sum(cr) OVER ())::BIGINT + 2048)
+                               = (cr + 1) * ((sum(ct) OVER ())::BIGINT + 2048)
+                          THEN 0
+                          ELSE CAST(floor(ln(
+                                 ((ct + 1) * ((sum(cr) OVER ())::BIGINT
+                                              + 2048))::DOUBLE
+                                 / ((cr + 1) * ((sum(ct) OVER ())::BIGINT
+                                                + 2048))::DOUBLE)
+                                 * 10000) AS BIGINT) END AS lrq
               FROM ratio),
             per AS (
               SELECT bg.doc_id, count(*)::BIGINT AS n_feats,

@@ -1,0 +1,224 @@
+"""Round-7 fixes, each pinned against the reference xarray:
+
+- ADVICE high: Dataset reductions with dim=None (or a mixed dim list)
+  must reduce each constructor-broadcast var over ITS OWN dims only —
+  never aggregate the broadcast duplicates (xarray Dataset.reduce
+  restricts each var to ``[d for d in dims if d in var.dims]``).
+- ADVICE medium: ds[dim].to_index() (name == dim) selects the column
+  once; rename/rename_dims/rename_vars/swap_dims remap var_dims so the
+  broadcast metadata survives renames.
+- ADVICE low: the DataArray constructor raises on coords that cannot
+  match the data shape (reference CoordinateValidationError) instead of
+  silently falling back to positional dim names.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+import xarray as xr  # noqa: E402
+
+from xarray_spark import XDataArray, XDataset  # noqa: E402
+
+
+def _vals(xds):
+    """{var: sorted scalar/list values} of a fully-reduced XDataset."""
+    pdf = xds.to_pandas()
+    return {v: pdf[v].tolist() for v in xds.data_vars}
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    data = {"u": ("x", [10.0, 20.0]),
+            "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+    return XDataset(dict(data)), xr.Dataset(dict(data))
+
+
+@pytest.fixture(scope="module")
+def pair_nan(spark):
+    data = {"u": ("x", [10.0, np.nan]),
+            "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+    return XDataset(dict(data)), xr.Dataset(dict(data))
+
+
+class TestBroadcastVarFullReduce:
+    """dim=None reductions on dict-constructor broadcast vars."""
+
+    @pytest.mark.parametrize("fn", ["sum", "count", "prod", "mean", "std",
+                                    "var", "min", "max", "median"])
+    def test_dim_none_matches_reference(self, pair, fn):
+        ours, ref = pair
+        a = _vals(getattr(ours, fn)())
+        b = getattr(ref, fn)()
+        for v in ("u", "w"):
+            assert a[v][0] == pytest.approx(float(b[v].values)), (fn, v)
+
+    @pytest.mark.parametrize("ddof", [0, 1])
+    def test_std_var_ddof(self, pair, ddof):
+        ours, ref = pair
+        for fn in ("std", "var"):
+            a = _vals(getattr(ours, fn)(ddof=ddof))
+            b = getattr(ref, fn)(ddof=ddof)
+            for v in ("u", "w"):
+                assert a[v][0] == pytest.approx(float(b[v].values))
+
+    def test_mixed_dim_list_partial_overlap(self, spark):
+        data = {"u": (("x", "y"), [[1.0, 2.0], [3.0, 4.0]]),
+                "w": (("x", "y", "z"), np.arange(8.0).reshape(2, 2, 2))}
+        ours = XDataset(dict(data)).sum(dim=["y", "z"]).to_pandas()
+        ref = xr.Dataset(dict(data)).sum(dim=["y", "z"])
+        ours = ours.sort_values("x")
+        assert ours["u"].tolist() == ref["u"].values.tolist()
+        assert ours["w"].tolist() == ref["w"].values.tolist()
+
+    def test_chained_reductions(self, spark):
+        data = {"u": (("x", "y"), [[1.0, 2.0], [3.0, 4.0]]),
+                "w": (("x", "y", "z"), np.arange(8.0).reshape(2, 2, 2))}
+        ours = XDataset(dict(data)).sum(dim="z").sum(dim="y").to_pandas()
+        ref = xr.Dataset(dict(data)).sum(dim="z").sum(dim="y")
+        ours = ours.sort_values("x")
+        assert ours["u"].tolist() == ref["u"].values.tolist()
+        assert ours["w"].tolist() == ref["w"].values.tolist()
+
+    def test_skipna_false_poisons_own_slice_only(self, pair_nan):
+        ours, ref = pair_nan
+        a = _vals(ours.sum(skipna=False))
+        b = ref.sum(skipna=False)
+        assert np.isnan(a["u"][0]) and np.isnan(float(b["u"].values))
+        assert a["w"][0] == float(b["w"].values)
+
+    def test_min_count_counts_unique_cells(self, pair_nan):
+        ours, ref = pair_nan
+        a = _vals(ours.sum(min_count=3))
+        b = ref.sum(min_count=3)
+        # u has only 1 valid unique cell (< 3) -> NaN, not the
+        # duplicate-inflated count
+        assert np.isnan(a["u"][0]) and np.isnan(float(b["u"].values))
+        assert a["w"][0] == float(b["w"].values)
+
+    def test_quantile_deduplicates(self, pair):
+        ours, ref = pair
+        a = ours.quantile([0.25, 0.75]).to_pandas().sort_values("quantile")
+        b = ref.quantile([0.25, 0.75])
+        assert a["u"].tolist() == pytest.approx(b["u"].values.tolist())
+        assert a["w"].tolist() == pytest.approx(b["w"].values.tolist())
+
+    def test_grouped_quantile_with_untouched_broadcast_var(self, pair):
+        ours, ref = pair
+        a = ours.quantile(0.5, dim="y").to_pandas().sort_values("x")
+        b = ref.quantile(0.5, dim="y")
+        assert a["u"].tolist() == pytest.approx(b["u"].values.tolist())
+        assert a["w"].tolist() == pytest.approx(b["w"].values.tolist())
+
+    def test_all_any(self, spark):
+        data = {"u": ("x", [1.0, 0.0]),
+                "w": (("x", "y"), [[1.0, 0.0], [1.0, 1.0]])}
+        ours, ref = XDataset(dict(data)), xr.Dataset(dict(data))
+        for fn in ("all", "any"):
+            a = _vals(getattr(ours, fn)())
+            b = getattr(ref, fn)()
+            for v in ("u", "w"):
+                assert bool(a[v][0]) == bool(b[v].values), (fn, v)
+
+
+class TestVarDimsSurvivesRenames:
+    """ADVICE medium: var_dims remapped through renaming ops."""
+
+    def test_rename_dim_then_reduce(self, spark):
+        data = {"u": ("x", [10.0, 20.0]),
+                "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+        ours = XDataset(dict(data)).rename({"x": "z"})
+        ref = xr.Dataset(dict(data)).rename({"x": "z"})
+        a = ours.sum(dim="y").to_pandas().sort_values("z")
+        b = ref.sum(dim="y")
+        assert a["u"].tolist() == b["u"].values.tolist()
+        a2 = _vals(ours.sum())
+        assert a2["u"][0] == float(ref.sum()["u"].values)
+
+    def test_rename_var_then_reduce(self, spark):
+        data = {"u": ("x", [10.0, 20.0]),
+                "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+        ours = XDataset(dict(data)).rename_vars({"u": "v2"})
+        ref = xr.Dataset(dict(data)).rename_vars({"u": "v2"})
+        a = _vals(ours.sum())
+        assert a["v2"][0] == float(ref.sum()["v2"].values)
+
+    def test_swap_dims_then_reduce(self, spark):
+        data = {"u": ("x", [10.0, 20.0]),
+                "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+        ours = (XDataset(dict(data))
+                .assign_coords(x2=("x", [100, 200])).swap_dims(x="x2"))
+        ref = (xr.Dataset(dict(data))
+               .assign_coords(x2=("x", [100, 200])).swap_dims(x="x2"))
+        a = _vals(ours.sum())
+        assert a["u"][0] == float(ref.sum()["u"].values)
+
+    def test_expand_dims_then_reduce(self, spark):
+        data = {"u": ("x", [10.0, 20.0]),
+                "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+        ours = XDataset(dict(data)).expand_dims(e=[0, 1])
+        ref = xr.Dataset(dict(data)).expand_dims(e=[0, 1])
+        a = _vals(ours.sum())
+        b = ref.sum()
+        assert a["u"][0] == float(b["u"].values)
+        assert a["w"][0] == float(b["w"].values)
+        a2 = ours.sum(dim="e").to_pandas().sort_values(["x", "y"])
+        b2 = ref.sum(dim="e")
+        assert sorted(set(a2["u"])) == sorted(b2["u"].values.tolist())
+
+    def test_reduce_result_var_dims_remap(self, spark):
+        """After sum over one of a partial var's dims, the surviving
+        entry must keep working for the NEXT reduction."""
+        data = {"u": ("x", [10.0, 20.0]),
+                "w": (("x", "y", "z"),
+                      np.arange(12.0).reshape(2, 3, 2))}
+        ours = XDataset(dict(data)).sum(dim="z")
+        ref = xr.Dataset(dict(data)).sum(dim="z")
+        a = _vals(ours.sum())
+        b = ref.sum()
+        assert a["u"][0] == float(b["u"].values)
+        assert a["w"][0] == float(b["w"].values)
+
+
+class TestToIndexDimCoord:
+    def test_dim_coordinate_to_index(self, spark):
+        ds = XDataset({"v": ("t", [1.0, 2.0, 3.0])})
+        idx = ds["t"].to_index()
+        assert idx.name == "t" and idx.tolist() == [0, 1, 2]
+
+    def test_non_dim_array_to_index_still_works(self, spark):
+        ds = XDataset({"v": ("t", [5.0, 6.0, 7.0])})
+        idx = ds["v"].to_index()
+        assert idx.name == "t" and idx.tolist() == [5.0, 6.0, 7.0]
+
+
+class TestDataArrayCoordValidation:
+    def test_matched_coords_infer_dims(self, spark):
+        da = XDataArray(np.zeros((2, 3)), coords={"x": [1, 2],
+                                                  "y": [1, 2, 3]})
+        assert da.dims == ("x", "y")
+
+    def test_size_mismatch_raises(self, spark):
+        with pytest.raises(ValueError, match="conflicting sizes"):
+            XDataArray(np.zeros((2, 3)), coords={"x": [1, 2, 9],
+                                                 "y": [1, 2, 3]})
+
+    def test_transposed_coords_raise(self, spark):
+        with pytest.raises(ValueError, match="conflicting sizes"):
+            XDataArray(np.zeros((2, 3)), coords={"y": [1, 2, 3],
+                                                 "x": [1, 2]})
+
+    def test_count_mismatch_raises(self, spark):
+        with pytest.raises(ValueError, match="not a subset"):
+            XDataArray(np.zeros((2, 3)), coords={"x": [1, 2]})
+
+    def test_reference_raises_same_cases(self):
+        for coords in ({"x": [1, 2, 9], "y": [1, 2, 3]}, {"x": [1, 2]}):
+            with pytest.raises(Exception):
+                xr.DataArray(np.zeros((2, 3)), coords=coords)
+
+    def test_bare_still_positional(self, spark):
+        da = XDataArray(np.zeros((2, 3)))
+        assert da.dims == ("dim_0", "dim_1")

@@ -499,6 +499,7 @@ class XDataset:
         coords: Mapping[str, Sequence[str]] | None = None,
         data_vars: Sequence[str] | None = None,
         attrs: dict | None = None,
+        var_dims: Mapping[str, tuple] | None = None,
     ) -> "XDataset":
         out = type(self)(
             self.df if df is None else df,
@@ -507,9 +508,24 @@ class XDataset:
             self.data_vars if data_vars is None else data_vars,
             self.attrs if attrs is None else attrs,
         )
-        # broadcast-var metadata rides along; stale entries (renamed
-        # dims/vars) are ignored at use via the own-dims ⊆ dims check
-        out.var_dims = dict(getattr(self, "var_dims", {}) or {})
+        # broadcast-var metadata rides along; dim/var-renaming ops pass
+        # a remapped var_dims= explicitly (stale entries otherwise fail
+        # OPEN — a renamed dim defeats the own-dims ⊆ dims guard), and
+        # the remaining subset check is a last-resort safety net only
+        out.var_dims = (dict(getattr(self, "var_dims", {}) or {})
+                        if var_dims is None else dict(var_dims))
+        return out
+
+    def _vd_after_reduce(self, reduced, keep) -> dict:
+        """var_dims surviving a reduction: each valid entry loses its
+        reduced dims; entries that now span every kept dim drop out."""
+        out = {}
+        for v, own in (self.var_dims or {}).items():
+            if not set(own) <= set(self.dims):
+                continue  # stale — never carry forward
+            new_own = tuple(d for d in own if d not in reduced)
+            if set(new_own) != set(keep):
+                out[v] = new_own
         return out
 
     @property
@@ -1416,6 +1432,11 @@ class XDataset:
             dims=[ren(d) for d in self.dims],
             coords={ren(k): tuple(ren(d) for d in v) for k, v in self.coords.items()},
             data_vars=[ren(v) for v in self.data_vars],
+            # remap broadcast-var metadata too: an un-remapped entry
+            # would fall out of the own-dims ⊆ dims guard and silently
+            # aggregate the broadcast duplicates on the next reduction
+            var_dims={ren(v): tuple(ren(d) for d in own)
+                      for v, own in (self.var_dims or {}).items()},
         )
 
     rename_dims = rename
@@ -1631,7 +1652,14 @@ class XDataset:
                 raise IndexError(f"axis {ax} out of range for "
                                  f"{len(dims) + 1} dims")
             dims.insert(pos, name)
+            vd = getattr(out, "var_dims", {}) or {}
             out = XDataset(df, dims, out.coords, out.data_vars, out.attrs)
+            # the reference expands EVERY var with the new dim, so each
+            # broadcast var's own-dims gain it (u('x') -> u(('e','x')));
+            # the var still lacks its other missing dims
+            out.var_dims = {v: tuple(d for d in dims
+                                     if d in set(own) | {name})
+                            for v, own in vd.items()}
         return out
 
     def swap_dims(self, mapping: Mapping[str, str] | None = None, **kw) -> "XDataset":
@@ -1650,7 +1678,12 @@ class XDataset:
                 # the swapped-to variable becomes the index — it is no
                 # longer a data var (reference swap_dims semantics)
                 data_vars.remove(new)
-        return self._replace(dims=dims, coords=coords, data_vars=data_vars)
+        ren = {old: new for old, new in mapping.items()}
+        return self._replace(
+            dims=dims, coords=coords, data_vars=data_vars,
+            var_dims={v: tuple(ren.get(d, d) for d in own)
+                      for v, own in (self.var_dims or {}).items()
+                      if v in data_vars})
 
     def sortby(self, variables: str | Sequence[str], ascending: bool = True) -> "XDataset":
         """Sort rows by variables (xarray/core/dataset.py:8273).
@@ -1751,8 +1784,19 @@ class XDataset:
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(self.df, varlist, self.df.schema)
         aggs = []
+        # broadcast vars whose own dims PARTIALLY overlap the reduced
+        # set must aggregate one de-duplicated slice (the reference
+        # reduces each var over `[d for d in dims if d in var.dims]` —
+        # xarray Dataset.reduce); collect them per own-reduced-dim set
+        # and fold each group in below via a dedup-first aggregation.
+        partial: dict[tuple, list[str]] = {}
         for v in varlist:
             own = self.var_dims.get(v)
+            if (own is not None and set(own) <= set(self.dims)
+                    and set(own) & set(dims) and set(dims) - set(own)):
+                own_reduced = tuple(d for d in dims if d in own)
+                partial.setdefault(own_reduced, []).append(v)
+                continue
             if (own is not None and set(own) <= set(self.dims)
                     and not set(own) & set(dims)):
                 # constructor-broadcast var that lacks every reduced
@@ -1783,13 +1827,39 @@ class XDataset:
                 e = F.when(F.max(F.col(v).isNull().cast("int")) == 1, F.lit(None)).otherwise(e)
             aggs.append(e.alias(v))
         keys = keep + list(coords)
-        if keys:
-            df = base.groupBy(*keys).agg(*aggs)
+        if aggs:
+            df = base.groupBy(*keys).agg(*aggs) if keys else base.agg(*aggs)
         else:
-            df = base.agg(*aggs)
+            df = None
+        for own_reduced, group in partial.items():
+            # dedup first (one row per unique var cell: keep dims + the
+            # var's own reduced dims), then aggregate over own_reduced —
+            # the duplicated broadcast copies never enter the statistic.
+            sub_keys = keys + [d for d in own_reduced]
+            first_aggs = [F.first(v, ignorenulls=False).alias(v)
+                          for v in group]
+            stage1 = (base.groupBy(*sub_keys).agg(*first_aggs)
+                      if sub_keys else base.agg(*first_aggs))
+            sub_aggs = []
+            for v in group:
+                e = exprs_for(v)
+                if not skipna:
+                    e = F.when(F.max(F.col(v).isNull().cast("int")) == 1,
+                               F.lit(None)).otherwise(e)
+                sub_aggs.append(e.alias(v))
+            stage2 = (stage1.groupBy(*keys).agg(*sub_aggs)
+                      if keys else stage1.agg(*sub_aggs))
+            if df is None:
+                df = stage2
+            elif keys:
+                df = df.join(stage2, keys)
+            else:
+                df = df.crossJoin(stage2)  # both single-row
+        df = df.select(*keys, *varlist)
         return self._replace(df=df, dims=keep, coords=coords,
                              data_vars=varlist,
-                             attrs=self._resolve_attrs(keep_attrs))
+                             attrs=self._resolve_attrs(keep_attrs),
+                             var_dims=self._vd_after_reduce(dims, keep))
 
     def _resolve_attrs(self, keep_attrs: bool | None) -> dict:
         """keep_attrs=None defers to OPTIONS['keep_attrs']; an EMPTY dict
@@ -1863,16 +1933,22 @@ class XDataset:
     def median(self, dim=None, skipna: bool = True,
                keep_attrs: bool | None = None) -> "XDataset":
         dims = self._norm_dim_arg(dim)
-        if not [d for d in self.dims if d not in dims]:
+        varlist = self._agg_numeric_vars("median")
+        has_bcast = any(
+            own is not None and set(own) <= set(self.dims)
+            and set(dims) - set(own)
+            for own in (self.var_dims.get(v) for v in varlist))
+        if not [d for d in self.dims if d not in dims] and not has_bcast:
             # full reduction: distributed order-statistic selection instead
             # of the single-buffer SQL `percentile` (see quantile())
-            varlist = self._agg_numeric_vars("median")
             qdf = self._quantile_ungrouped([0.5], varlist, "linear")
             return self._replace(df=qdf.drop("quantile"), dims=[], coords={},
                                  data_vars=varlist,
                                  attrs=self._resolve_attrs(keep_attrs))
-        if skipna:
+        if skipna or has_bcast:
             # grouped: via quantile() so the buffer-limit guard applies
+            # (and, for constructor-broadcast vars, quantile()'s
+            # de-duplicating split — duplicates shift rank statistics)
             q = self.quantile(0.5, dim=dim, skipna=skipna)
             return q._replace(df=q.df.drop("quantile"),
                               dims=[d for d in q.dims if d != "quantile"],
@@ -1938,6 +2014,39 @@ class XDataset:
                 ).otherwise(F.col(v)))
             return out._replace(df=df.drop(*[f"__nan_{v}" for v in varlist]),
                                 attrs=self._resolve_attrs(keep_attrs))
+        vd_special = {}
+        for v in varlist:
+            own = self.var_dims.get(v)
+            if (own is not None and set(own) <= set(self.dims)
+                    and set(dims) - set(own)):
+                vd_special[v] = tuple(d for d in dims if d in own)
+        if vd_special:
+            # constructor-broadcast vars: quantiles are rank statistics,
+            # so the duplicated copies SHIFT them (unlike mean/min/max)
+            # — compute each such var on its de-duplicated slice
+            # (reference: each var reduces over own dims only) and join
+            # the per-var results back on (quantile + keys).
+            parts = []
+            normal = [v for v in varlist if v not in vd_special]
+            if normal:
+                parts.append(self._replace(data_vars=normal, var_dims={})
+                             .quantile(q, dim=dim, approx=approx,
+                                       method=method))
+            for v, own_red in vd_special.items():
+                sub_keys = keys + list(own_red)
+                sub = self.df.groupBy(*sub_keys).agg(
+                    F.first(v, ignorenulls=False).alias(v))
+                sub_ds = XDataset(sub, keep + list(own_red), coords, [v])
+                parts.append(sub_ds.quantile(q, dim=list(own_red),
+                                             approx=approx, method=method))
+            df = parts[0].df
+            for p in parts[1:]:
+                df = df.join(p.df, on=["quantile"] + keys)
+            df = df.select("quantile", *keys, *varlist)
+            return self._replace(df=df, dims=["quantile"] + keep,
+                                 coords=coords, data_vars=varlist,
+                                 attrs=self._resolve_attrs(keep_attrs),
+                                 var_dims=self._vd_after_reduce(dims, keep))
         if not keys and not approx:
             qdf = self._quantile_ungrouped(qs, varlist, method)
             return self._replace(df=qdf, dims=["quantile"], coords={},
@@ -4003,11 +4112,26 @@ class XDataArray(XDataset):
                     vv = np.asarray(v[1] if isinstance(v, tuple) else v)
                     if vv.ndim == 1:
                         cand.append((k, vv.shape[0]))
-            if (len(cand) == arr.ndim
-                    and all(s == n for (_, n), s in zip(cand, arr.shape))):
+            if len(cand) == arr.ndim:
+                # the reference infers dims from the coords' insertion
+                # order and then VALIDATES sizes — a transposed/short
+                # coord raises instead of silently falling back to
+                # positional names (reference CoordinateValidationError)
                 dims_t = tuple(k for k, _ in cand)
+                for (k, n), s in zip(cand, arr.shape):
+                    if n != s:
+                        raise ValueError(
+                            f"conflicting sizes for dimension {k!r}: "
+                            f"length {s} on the data but length {n} on "
+                            f"coordinate {k!r}")
             else:
                 dims_t = tuple(f"dim_{i}" for i in range(arr.ndim))
+                for k, _ in cand:
+                    if k not in dims_t:
+                        raise ValueError(
+                            f"coordinate {k} has dimensions ({k!r},), "
+                            "but these are not a subset of the DataArray "
+                            f"dimensions {dims_t}")
         super().__init__({name: (dims_t, arr)}, coords=ref_coords,
                          attrs=attrs)
 
@@ -4138,7 +4262,11 @@ class XDataArray(XDataset):
             raise ValueError("to_index requires a 1-D DataArray")
         import pandas as pd
         d = self.dims[0]
-        rows = self.df.select(d, self.name).orderBy(d).toPandas()
+        # a dim-coordinate array (name == dim, the ds[dim].to_index()
+        # idiom) selects the column ONCE — selecting it twice yields a
+        # duplicate-columned pandas frame and a 2-D Index input
+        cols = [d] if self.name == d else [d, self.name]
+        rows = self.df.select(*cols).orderBy(d).toPandas()
         # the reference names the index after the DIM (to_index_variable
         # keeps the variable's dims), even though the values are the
         # array's own

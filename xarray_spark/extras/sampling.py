@@ -207,9 +207,11 @@ def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
     distribution ``p(b) = (cnt_b + 1) / (N + buckets)``, and a
     document's log importance weight is the sum over its features of
     ``ln p_target(b) - ln p_raw(b)``.  Per-bucket log-ratios are
-    QUANTIZED to integers (``floor(lr * quant)``) before summing, so
-    per-document totals are exact integer sums — order-independent
-    across partitions, runs, and engines (the q129/semdedup trick).
+    QUANTIZED to integers (``floor(quant * ln(num/den))`` of the exact
+    integer rational ``num/den = (ct+1)(Nr+B) / (cr+1)(Nt+B)``, with
+    ``num == den`` pinned to exactly 0) before summing, so per-document
+    totals are exact integer sums — order-independent across
+    partitions, runs, and engines (the q129/semdedup trick).
 
     Returns ``(id, n_feats, logw_q)`` for EVERY input document
     (``n_feats`` = feature count, 0-feature docs get ``logw_q = 0``).
@@ -239,22 +241,30 @@ def dsir_weights(df: DataFrame, target: DataFrame, text_col: str = "text",
            .groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
     dense = spark.range(buckets).select(F.col("id").cast("long").alias("__b"))
     w_all = Window.partitionBy()
-    B = float(buckets)
     joined = (
         dense.join(tb, "__b", "left").join(rb, "__b", "left")
         .select("__b",
                 F.coalesce("__ct", F.lit(0)).cast("long").alias("__ct"),
                 F.coalesce("__cr", F.lit(0)).cast("long").alias("__cr"))
     )
-    # written in exactly the association order the SQL oracle uses:
-    # ((ln(ct+1) - ln(Nt+B)) - ln(cr+1)) + ln(Nr+B) — double arithmetic
-    # is deterministic given a fixed expression shape
-    nt = F.sum("__ct").over(w_all).cast("double")
-    nr = F.sum("__cr").over(w_all).cast("double")
-    lr = (F.log((F.col("__ct") + 1).cast("double")) - F.log(nt + F.lit(B))
-          - F.log((F.col("__cr") + 1).cast("double")) + F.log(nr + F.lit(B)))
-    ratio = joined.select(
-        "__b", F.floor(lr * F.lit(float(quant))).cast("long").alias("__lrq"))
+    # ONE ln of the exact integer rational num/den instead of four
+    # separate lns: num = (ct+1)*(Nr+B) and den = (cr+1)*(Nt+B) are
+    # exact BIGINT products (safe below ~3e18 — fine to multi-billion-
+    # gram corpora), the structural equal-distribution case num == den
+    # quantizes to EXACTLY 0 in every engine (a four-term double sum
+    # can land at ±1e-16 and floor to -1 under one libm and 0 under
+    # another — the only systematic quantization-boundary hazard, since
+    # for num != den the true quant*ln(num/den) is irrational and a
+    # boundary hit is measure-zero), and the remaining cross-engine
+    # surface is a single faithful-rounding ln of one IEEE division.
+    nt = F.sum("__ct").over(w_all)
+    nr = F.sum("__cr").over(w_all)
+    num = ((F.col("__ct") + 1) * (nr + F.lit(buckets))).cast("long")
+    den = ((F.col("__cr") + 1) * (nt + F.lit(buckets))).cast("long")
+    lrq = F.when(num == den, F.lit(0).cast("long")).otherwise(
+        F.floor(F.log(num.cast("double") / den.cast("double"))
+                * F.lit(float(quant))).cast("long"))
+    ratio = joined.select("__b", lrq.alias("__lrq"))
 
     per = (
         rg.select(id_col, bucket(F.col("__g")).alias("__b"))

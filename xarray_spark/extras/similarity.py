@@ -496,16 +496,22 @@ def ivf_topk_fixed(
     n_cells: int = 8,
     n_probe: int = 2,
     dim: int = 64,
+    centroids_q: list | None = None,
 ) -> DataFrame:
-    """IVF top-k over the FIXED md5-derived integer codebook
-    (extras.portable.centroid_coeffs) — the oracle-checkable variant of
-    the IVF query path: integer-exact cell assignment, query-side probe
-    expansion, rounded-cosine re-rank.  Same plan shape as ivf_topk
-    (cell equi-join replaces the cross product); a trained codebook from
-    ivf_fit gives better recall but cannot be replayed in SQL."""
+    """IVF top-k over an INTEGER codebook — the oracle-checkable
+    variant of the IVF query path: integer-exact cell assignment,
+    query-side probe expansion, rounded-cosine re-rank.  Same plan
+    shape as ivf_topk (cell equi-join replaces the cross product).
+
+    ``centroids_q=None`` uses the fixed md5-derived codebook
+    (extras.portable.centroid_coeffs); pass the output of
+    :func:`train_centroids_int` for the TRAINED production codebook —
+    still bit-replayable in SQL because the Lloyd iterations are
+    integer-exact (gate q134)."""
     from xarray_spark.extras.portable import centroid_coeffs
 
-    cents = centroid_coeffs(n_cells, dim)
+    cents = (centroid_coeffs(n_cells, dim) if centroids_q is None
+             else centroids_q)
     base_c = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
@@ -689,7 +695,11 @@ def semdedup_train_centroids(
 
     The bounded sample (≤ sample_max_id rows × dim ints) trains on the
     driver in one collect — the ivf_fit lifecycle: codebooks are
-    driver-small artifacts, queries stay free of ML jobs."""
+    driver-small artifacts, queries stay free of ML jobs.
+
+    Also exported as :data:`train_centroids_int` — the same trained
+    integer codebook drives the IVF query path (ivf_topk_fixed
+    ``centroids_q=``, gate q134), not just semdedup."""
     from xarray_spark.extras.portable import centroid_coeffs
     rows = (
         corpus.where(F.col(id_col) < sample_max_id)
@@ -715,6 +725,11 @@ def semdedup_train_centroids(
                 new.append(cents[c])
         cents = new
     return cents
+
+
+#: the integer Lloyd trainer is codebook-purpose-agnostic — the IVF
+#: query path (gate q134) trains with the same function
+train_centroids_int = semdedup_train_centroids
 
 
 def semdedup_pairs(
