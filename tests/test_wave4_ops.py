@@ -62,7 +62,9 @@ def test_get_dummies(spark):
 def test_extractall(spark):
     df = spark.createDataFrame([{"i": 0, "s": "x1 y2 z3"}])
     da = XDataArray(df, ["i"], {}, ["s"])
-    out = da.str.extractall(r"([a-z])(\\d)", group=2)
+    # (pattern is now passed via F.lit — no SQL-literal backslash
+    # doubling; the old double-escape compensated for the F.expr bug)
+    out = da.str.extractall(r"([a-z])(\d)", group=2)
     got = {r["match"]: r["s"] for r in out.df.collect()}
     assert got == {0: "1", 1: "2", 2: "3"}
 

@@ -125,8 +125,58 @@ class StringAccessor(_Accessor):
         if regex:
             return self._wrap(F.regexp_replace(self._c, pat, repl))
         return self._wrap(F.replace(self._c, F.lit(pat), F.lit(repl)))
-    def extract(self, pat: str, group: int = 1):
-        return self._wrap(F.regexp_extract(self._c, pat, group))
+    @staticmethod
+    def _flagged(pat: str, case, flags: int) -> str:
+        """Translate re flags / case= to Java inline-flag prefixes
+        (reference accessor_str.py compiles with re.compile(pat,
+        flags) — IGNORECASE/DOTALL/MULTILINE map 1:1 to (?i)(?s)(?m))."""
+        import re as _re
+        parts = ""
+        if flags:
+            known = _re.IGNORECASE | _re.DOTALL | _re.MULTILINE
+            if flags & ~known:
+                raise NotImplementedError(
+                    "only IGNORECASE/DOTALL/MULTILINE flags are "
+                    "supported in the Spark regex engine")
+            if flags & _re.IGNORECASE:
+                parts += "i"
+            if flags & _re.DOTALL:
+                parts += "s"
+            if flags & _re.MULTILINE:
+                parts += "m"
+        if case is False and "i" not in parts:
+            parts += "i"
+        return (f"(?{parts})" if parts else "") + pat
+
+    def extract(self, pat: str, dim=None, case: bool | None = None,
+                flags: int = 0, group: int | None = None):
+        """First match's capture groups (xarray accessor_str.py:1871
+        extract): ``dim=None`` requires exactly ONE group and returns a
+        same-dims array ('' where unmatched); ``dim=name`` adds a new
+        dim of size n_groups holding each group of the FIRST match.
+        ``group=`` is a non-reference extension selecting one group
+        index directly."""
+        import re as _re
+        if group is not None:
+            return self._wrap(F.regexp_extract(self._c, pat, group))
+        n = _re.compile(pat).groups
+        if n == 0:
+            raise ValueError("No capture groups found in pattern.")
+        jpat = self._flagged(pat, case, flags)
+        if dim is None:
+            if n > 1:
+                raise ValueError(
+                    "Dimension must be specified if more than one "
+                    "capture group is given.")
+            return self._wrap(F.regexp_extract(self._c, jpat, 1))
+        da = self.da
+        groups = F.array(*[F.regexp_extract(self._c, jpat, g)
+                           for g in range(1, n + 1)])
+        df = da.df.select(
+            *da.dims, F.posexplode(groups).alias(dim, da.name))
+        from xarray_spark.dataset import XDataArray
+        return XDataArray(df, list(da.dims) + [dim], {}, [da.name],
+                          da.attrs)
     def findall(self, pat: str):
         """All matches as an array (pandas str.findall): a groupless
         pattern returns full matches (regexp_extract_all needs a
@@ -450,15 +500,58 @@ class StringAccessor(_Accessor):
         from xarray_spark.dataset import XDataset
         return XDataset(out, da.dims, {}, None, da.attrs)
 
-    def extractall(self, pat: str, group: int = 1, match_dim: str = "match") -> "XDataArray":
-        """All regex matches → a new dim (xarray regex groups → new dims,
-        core/accessor_str.py:2102): regexp_extract_all + posexplode."""
+    def extractall(self, pat: str, group_dim: str = "match",
+                   match_dim: str | None = None,
+                   case: bool | None = None, flags: int = 0,
+                   group: int | None = None) -> "XDataArray":
+        """All matches of all capture groups → two new dims (xarray
+        core/accessor_str.py:2102).  MEASURED reference layout (the
+        docstring there says otherwise): ``group_dim`` enumerates the
+        MATCHES (size = max match count over the array, '' padded) and
+        ``match_dim`` enumerates the capture GROUPS — dims are
+        ``(*orig, group_dim, match_dim)``.  ``group=`` is the legacy
+        non-reference extension: a flat (match_dim-only) explode of one
+        group's matches.
+
+        Plan shape: regexp_extract_all per group (map-only), a 1-row
+        global-max aggregate broadcast back (the dense pad width), then
+        two posexplodes — no driver action, no collect."""
+        import re as _re
         da = self.da
-        arr = F.expr(f"regexp_extract_all({da.name}, '{pat}', {group})")
-        df = da.df.select(
-            *da.dims, F.posexplode_outer(arr).alias(match_dim, da.name)
-        )
-        return XDataArray(df, list(da.dims) + [match_dim], {}, [da.name], da.attrs)
+        if group is not None:
+            arr = F.regexp_extract_all(self._c, F.lit(pat), F.lit(group))
+            df = da.df.select(
+                *da.dims,
+                F.posexplode_outer(arr).alias(match_dim or "match", da.name))
+            return XDataArray(df, list(da.dims) + [match_dim or "match"],
+                              {}, [da.name], da.attrs)
+        if match_dim is None:
+            raise TypeError("extractall() missing required argument: "
+                            "'match_dim'")
+        n = _re.compile(pat).groups
+        if n == 0:
+            raise ValueError("No capture groups found in pattern.")
+        jpat = self._flagged(pat, case, flags)
+        gcols = [F.regexp_extract_all(self._c, F.lit(jpat), F.lit(g))
+                 .alias(f"__g{g}") for g in range(1, n + 1)]
+        base = da.df.select(*da.dims, *gcols)
+        mx = base.agg(F.max(F.size("__g1")).alias("__mx"))
+        wide = base.crossJoin(F.broadcast(mx))
+        midx = F.explode(
+            F.when(F.col("__mx") > 0,
+                   F.sequence(F.lit(0), F.col("__mx") - 1))
+            .otherwise(F.array().cast("array<int>"))).alias("__mi")
+        exploded = wide.select(*da.dims, *[f"__g{g}" for g in range(1, n + 1)],
+                               midx)
+        vals = F.array(*[
+            F.when(F.col("__mi") < F.size(f"__g{g}"),
+                   F.element_at(F.col(f"__g{g}"), F.col("__mi") + 1))
+            .otherwise(F.lit("")) for g in range(1, n + 1)])
+        df = exploded.select(
+            *da.dims, F.col("__mi").alias(group_dim),
+            F.posexplode(vals).alias(match_dim, da.name))
+        return XDataArray(df, list(da.dims) + [group_dim, match_dim],
+                          {}, [da.name], da.attrs)
 
 
 class DatetimeAccessor(_Accessor):

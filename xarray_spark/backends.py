@@ -314,7 +314,9 @@ def open_dataset_netcdf(spark: SparkSession, path: str,
             coord_arrays[d] = np.arange(meta["dims"][d])
     pdf = _long_frame(dims, coord_arrays, {v: meta["vars"][v]["data"] for v in data_names})
     df = spark.createDataFrame(pdf)
-    auto = _cf_decoders_from_attrs({v: meta["vars"][v]["attrs"] for v in data_names + dims})
+    auto = _cf_decoders_from_attrs(
+        {v: meta["vars"][v]["attrs"] for v in data_names + dims
+         if v in meta["vars"]})  # dims without a coord var have no attrs
     decoders = {**auto, **(decoders or {})}
     if decoders:
         from xarray_spark.io import decode_cf
@@ -372,9 +374,19 @@ def _cf_decoders_from_attrs(var_attrs: Mapping[str, Mapping]) -> dict:
         if "add_offset" in a:
             ao = a["add_offset"]
             spec["add_offset"] = ao[0] if isinstance(ao, list) else ao
+        if "missing_value" in a:
+            # reference CFMaskCoder masks missing_value alongside
+            # _FillValue (coding/variables.py) — both can coexist
+            mv = a["missing_value"]
+            spec["missing_value"] = mv[0] if isinstance(mv, list) else mv
+        if str(a.get("_Unsigned", "")).lower() == "true":
+            spec["unsigned"] = True
         units = a.get("units")
         if isinstance(units, str) and " since " in units:
             spec["time_units"] = units
+            cal = a.get("calendar")
+            if isinstance(cal, str):
+                spec["calendar"] = cal
         if spec:
             out[v] = spec
     return out

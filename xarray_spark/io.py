@@ -177,8 +177,15 @@ def decode_cf(df: DataFrame, decoders: Mapping[str, object]) -> DataFrame:
             bits = {"byte": 8, "tinyint": 8, "smallint": 16, "short": 16,
                     "int": 32, "integer": 32}.get(df.schema[var].dataType.simpleString(), 32)
             c = F.when(c < 0, c.cast("long") + F.lit(1 << bits)).otherwise(c.cast("long"))
+        missing = (spec.get("missing_value")
+                   if isinstance(spec, Mapping) else None)
         if fill is not None:
             c = F.when(F.col(var) == F.lit(fill), F.lit(None)).otherwise(c)
+        if missing is not None:
+            # CFMaskCoder masks missing_value ALONGSIDE _FillValue —
+            # both sentinels null out when present together
+            c = F.when(F.col(var) == F.lit(missing), F.lit(None)) \
+                 .otherwise(c)
         if scale is not None:
             c = c * F.lit(scale)
         if offset is not None:

@@ -39,8 +39,8 @@ def _origin_offset_seconds(ds: XDataset, dim: str, freq: str,
     if trunc not in ("second", "minute", "hour", "day"):
         return 0  # calendar units / weeks anchor by the calendar itself
     secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[trunc] * n
-    if origin == "start_day":
-        if secs <= 86400 and 86400 % secs == 0:
+    if origin in ("start_day", "start", "end", "end_day"):
+        if origin == "start_day" and secs <= 86400 and 86400 % secs == 0:
             return 0  # every midnight is already on the epoch grid
         from pyspark.sql import types as T
         if not isinstance(ds.df.schema[dim].dataType,
@@ -48,8 +48,16 @@ def _origin_offset_seconds(ds: XDataset, dim: str, freq: str,
             return 0
         if ds.df.isStreaming:
             return 0  # no eager lookup on a stream: epoch anchor
-        row = ds.df.agg(
-            F.min(F.date_trunc("day", F.col(dim))).alias("o")).first()
+        if origin == "start_day":
+            expr = F.min(F.date_trunc("day", F.col(dim)))
+        elif origin == "start":
+            expr = F.min(F.col(dim))
+        elif origin == "end":
+            expr = F.max(F.col(dim))
+        else:  # end_day: the midnight FOLLOWING the last point
+            expr = F.date_add(F.max(F.col(dim)).cast("date"), 1) \
+                    .cast("timestamp")
+        row = ds.df.agg(expr.alias("o")).first()
         if row["o"] is None:
             return 0
         import pandas as pd
@@ -70,7 +78,12 @@ class XResample(XGroupBy):
         # the data's first day).  For day-dividing widths that equals the
         # epoch anchor, so nothing extra is computed; only multi-day /
         # odd widths need the 1-row min-day lookup (parquet-footer cheap
-        # under aggregatePushdown).
+        # under aggregatePushdown).  origin='end'/'end_day' anchor the
+        # grid at the data's end and flip the pandas defaults to
+        # right-closed/right-labeled bins (measured reference behavior).
+        if origin in ("end", "end_day"):
+            closed = closed or "right"
+            label = label or "right"
         extra = _origin_offset_seconds(ds, dim, freq, origin)
         if extra:
             base = _offset_seconds(offset) if offset is not None else 0
