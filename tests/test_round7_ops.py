@@ -222,3 +222,30 @@ class TestDataArrayCoordValidation:
     def test_bare_still_positional(self, spark):
         da = XDataArray(np.zeros((2, 3)))
         assert da.dims == ("dim_0", "dim_1")
+
+
+class TestQuantileVirtualPosition:
+    """Round-7 head-to-head find: closed-form order-statistic positions
+    (no n-element arange) + the averaged_inverted_cdf q=0 fix."""
+
+    def test_matrix_matches_numpy(self):
+        from xarray_spark.dataset import QUANTILE_METHODS, _virtual_position
+        for method in QUANTILE_METHODS:
+            for n in (1, 2, 3, 5, 17, 100, 101, 1000):
+                for q in (0.0, 0.001, 0.25, 0.5, 0.6789, 0.9, 1.0):
+                    want = float(np.quantile(np.arange(n), q,
+                                             method=method))
+                    got = _virtual_position(method, q, n)
+                    assert abs(want - got) < 1e-9, (method, n, q)
+
+    def test_averaged_inverted_cdf_q0_grouped(self, spark):
+        # the grouped Column path had the same q=0 bug: numpy returns
+        # x[0], the split branch returned a 0.5 blend of x[0],x[1]
+        ds = XDataset({"v": ("t", [1.0, 5.0, 9.0, 13.0])})
+        got = (ds.quantile([0.0, 0.5], dim="t",
+                           method="averaged_inverted_cdf")
+               .to_pandas().sort_values("quantile"))
+        ref = xr.Dataset({"v": ("t", [1.0, 5.0, 9.0, 13.0])}) \
+            .quantile([0.0, 0.5], method="averaged_inverted_cdf")
+        assert got["v"].tolist() == pytest.approx(
+            ref["v"].values.tolist())

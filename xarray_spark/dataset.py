@@ -66,6 +66,47 @@ QUANTILE_METHODS = tuple(_Q_ALPHA_BETA) + (
 )
 
 
+def _virtual_position(method: str, q: float, n: int) -> float:
+    """Pure-Python twin of :func:`_quantile_positions`: the virtual
+    0-indexed order-statistic position ``np.quantile(arange(n), q,
+    method)`` computes — in O(1), so the histogram quantile path never
+    materializes an n-element arange (at 90M values that allocation
+    plus numpy's selection was ~8 s per call)."""
+    import math as _m
+    q = float(q)
+    last = n - 1
+    if method in _Q_ALPHA_BETA:
+        a, b = _Q_ALPHA_BETA[method]
+        h = (n + 1.0 - a - b) * q + a          # 1-indexed virtual pos
+        return min(max(h - 1.0, 0.0), float(last))
+    if method == "lower":
+        return float(_m.floor(last * q))
+    if method == "higher":
+        return float(_m.ceil(last * q))
+    if method == "nearest":
+        # bround: IEEE half-even like Spark's bround
+        return float(round(last * q))
+    if method == "midpoint":
+        return (_m.floor(last * q) + _m.ceil(last * q)) / 2.0
+    if method == "inverted_cdf":
+        return float(max(_m.ceil(n * q) - 1, 0))
+    if method == "averaged_inverted_cdf":
+        g = n * q
+        base = max(_m.ceil(g) - 1, 0)
+        # the averaging pair is x[g-1], x[g] — it only exists for
+        # integral g >= 1 (at q=0 the clamp makes base == the answer)
+        if g == _m.floor(g) and g >= 1 and base + 1 <= last:
+            return base + 0.5
+        return float(base)
+    if method == "closest_observation":
+        h = n * q - 0.5
+        j1 = _m.floor(h)
+        j_1idx = j1 if (h == j1 and (j1 - 1) % 2 == 0) else j1 + 1
+        return float(max(min(j_1idx - 1, last), 0))
+    raise ValueError(
+        f"unknown quantile method {method!r}; valid: {QUANTILE_METHODS}")
+
+
 def _quantile_positions(method: str, q: float, n: Column):
     """0-indexed order-statistic positions (j_lo, j_hi) and interpolation
     weight w for one quantile, as expressions of the (column) sample size
@@ -100,7 +141,9 @@ def _quantile_positions(method: str, q: float, n: Column):
     if method == "averaged_inverted_cdf":
         g = nn * q
         base = F.greatest(F.ceil(g).cast("long") - 1, zero)
-        split = (g == F.floor(g)) & (base + 1 <= last)
+        # averaging pair x[g-1], x[g] exists only for integral g >= 1
+        # (at q=0 the clamped base IS the answer — wave-37 q=0 fix)
+        split = (g == F.floor(g)) & (g >= 1) & (base + 1 <= last)
         j_hi = F.when(split, base + 1).otherwise(base)
         w = F.when(split, F.lit(0.5)).otherwise(F.lit(0.0))
         return base, j_hi, w
@@ -2154,8 +2197,8 @@ class XDataset:
                     rows = [(float(x), float(lo)) for x in qs]
                     part = self.spark.createDataFrame(rows, ["quantile", v])
                 else:
-                    pos = [float(_np.quantile(_np.arange(n), float(x),
-                                              method=method)) for x in qs]
+                    pos = [_virtual_position(method, float(x), n)
+                           for x in qs]
                     ranks = sorted({int(_math.floor(p)) for p in pos}
                                    | {int(_math.ceil(p)) for p in pos})
                     width = (hi - lo) / NB
