@@ -277,7 +277,7 @@ def test_dt_decimal_year_isocalendar(spark):
     dy = da.dt.decimal_year.df.collect()[0]["ts"]
     assert 2024.49 < dy < 2024.51
     iso = da.dt.isocalendar().df.collect()[0]["ts"]
-    assert iso["year"] == 2024 and iso["week"] == 27 and iso["day"] == 2
+    assert iso["year"] == 2024 and iso["week"] == 27 and iso["weekday"] == 2
 
 
 def test_var_attrs_and_filter(spark):

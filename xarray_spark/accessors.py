@@ -489,11 +489,27 @@ class StringAccessor(_Accessor):
         cols = list(da.dims) + list(da.coords) + [out]
         return XDataArray(res.select(*cols), da.dims, da.coords, [out], da.attrs)
 
-    def get_dummies(self, sep: str = "|") -> "XDataArray":
-        """Indicator columns per token (xarray/core/accessor_str.py:2770)
-        — split → explode → pivot 0/1 over the dim keys."""
+    def get_dummies(self, dim: str | None = None, sep: str = "|"):
+        """Indicator matrix per token (xarray/core/accessor_str.py:2770).
+
+        ``dim=name`` is the reference layout: a new dim whose labels are
+        the distinct tokens (sorted, '' dropped) with boolean presence
+        values — distinct-tokens broadcast cross join + array_contains,
+        no pivot.  ``dim=None`` keeps the legacy engine form (one
+        indicator COLUMN per token, an XDataset)."""
         da = self.da
-        toks = F.explode(F.split(self._c, "\\Q" + sep + "\\E")).alias("__tok")
+        split = F.split(self._c, "\\Q" + sep + "\\E")
+        if dim is not None:
+            toks = (da.df.select(F.explode(split).alias(dim))
+                    .where(F.col(dim) != "").distinct())
+            wide = da.df.select(*da.dims, split.alias("__sp"))
+            out = wide.crossJoin(F.broadcast(toks)).select(
+                *da.dims, dim,
+                F.array_contains("__sp", F.col(dim)).alias(da.name))
+            from xarray_spark.dataset import XDataArray
+            return XDataArray(out, list(da.dims) + [dim], {},
+                              [da.name], da.attrs)
+        toks = F.explode(split).alias("__tok")
         long = da.df.select(*da.dims, toks)
         out = long.groupBy(*da.dims).pivot("__tok").agg(F.lit(1))
         out = out.na.fill(0)
@@ -681,18 +697,53 @@ class DatetimeAccessor(_Accessor):
         return self._wrap(y.cast("double") + frac)
 
     def isocalendar(self):
-        """(year, week, day) struct (xarray/core/accessor_dt.py:389)."""
+        """(year, week, day) struct (xarray/core/accessor_dt.py:389).
+        The ISO year is the year of the week's THURSDAY — it differs
+        from the calendar year at boundaries (2024-12-30 is ISO
+        2025-W01; wave-38 fix: F.year alone was wrong there)."""
+        iso_day = ((F.dayofweek(self._c) + 5) % 7) + 1
+        thursday = F.date_add(F.to_date(self._c),
+                              (F.lit(4) - iso_day).cast("int"))
         return self._wrap(F.struct(
-            F.year(self._c).alias("year"),
+            F.year(thursday).alias("year"),
             F.weekofyear(self._c).alias("week"),
-            (((F.dayofweek(self._c) + 5) % 7) + 1).alias("day"),
+            # the reference names the ISO day-of-week field 'weekday'
+            iso_day.alias("weekday"),
         ))
 
+    _STRFTIME_MAP = {
+        "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+        "%M": "mm", "%S": "ss", "%j": "DDD", "%f": "SSSSSS",
+        "%b": "MMM", "%B": "MMMM", "%a": "EEE", "%A": "EEEE",
+        "%p": "a", "%I": "hh", "%%": "%",
+    }
+
     def strftime(self, fmt: str):
-        # translate the common strftime directives to JVM SimpleDateFormat
-        jvm = (fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-                  .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss"))
-        return self._wrap(F.date_format(self._c, jvm))
+        """strftime (accessor_dt.py strftime): directives translated to
+        the JVM DateTimeFormatter alphabet; an untranslatable %x raises
+        instead of leaking raw letters into the pattern (wave-38 fix —
+        SimpleDateFormat would silently reinterpret them)."""
+        import re as _re
+        out, i = [], 0
+        while i < len(fmt):
+            if fmt[i] == "%":
+                d = fmt[i:i + 2]
+                if d not in self._STRFTIME_MAP:
+                    raise NotImplementedError(
+                        f"strftime directive {d!r} has no JVM "
+                        "DateTimeFormatter equivalent here")
+                out.append(self._STRFTIME_MAP[d])
+                i += 2
+            else:
+                # literal text is quoted so pattern letters stay inert
+                j = i
+                while j < len(fmt) and fmt[j] != "%":
+                    j += 1
+                lit = fmt[i:j]
+                out.append("'" + lit.replace("'", "''") + "'"
+                           if _re.search(r"[A-Za-z']", lit) else lit)
+                i = j
+        return self._wrap(F.date_format(self._c, "".join(out)))
 
     # pandas/xarray long-name aliases (accessor_dt.py:484-520)
     @property
@@ -768,4 +819,7 @@ class DatetimeAccessor(_Accessor):
             raise NotImplementedError(f"round for {freq!r}")
         total = n * secs
         e = F.unix_timestamp(self._c)
-        return self._wrap(F.timestamp_seconds(F.round(e / total) * total))
+        # pandas dt.round is HALF-EVEN at the midpoint (wave-38 diff
+        # find: 00:30 rounds to 00:00 for freq='h', not 01:00)
+        return self._wrap(F.timestamp_seconds(
+            F.bround(e / total) * total))
