@@ -3139,11 +3139,16 @@ class XDataset:
         return merge([left, other], compat=compat, join=join,
                      fill_value=fill_value, combine_attrs=combine_attrs)
 
-    def update(self, other: "XDataset") -> "XDataset":
+    def update(self, other) -> "XDataset":
         """In-place-style variable REPLACEMENT (xarray/core/dataset.py:
         5700): a variable present in ``other`` replaces self's version
         wholesale, reindexed onto self's labels — labels other lacks
-        become null, self's old values never show through."""
+        become null, self's old values never show through.  ``other``
+        may be a dict of variable specs (the reference's mapping form —
+        ``{name: (dims, values)}``), coerced through the dict
+        constructor."""
+        if isinstance(other, Mapping):
+            other = type(self)(dict(other))
         shared = [d for d in self.dims if d in other.dims]
         o_df = other.df
         renames = {v: f"__u_{v}" for v in other.data_vars}
@@ -3934,19 +3939,62 @@ class XDataset:
         return from_dict(spark, d)
 
     def to_dict(self, data: bool = True) -> dict:
-        """``data=False`` returns the schema-only dict (reference
-        to_dict(data=False) — no values collected, no job runs)."""
-        out = {
-            "dims": list(self.dims),
-            "coords": {k: list(v) for k, v in self.coords.items()},
-            "data_vars": list(self.data_vars),
-            "attrs": self.attrs,
-        }
-        if data:
-            out["data"] = [r.asDict() for r in self.df.collect()]
-        else:
-            out["dtypes"] = dict(self.df.dtypes)
-        return out
+        """Reference-shaped nested dict (xarray Dataset.to_dict,
+        core/dataset.py:7678): ``dims`` as a name→size mapping and
+        per-variable ``{dims, attrs, data}`` entries (``data=False``
+        swaps values for dtype/shape).  Driver-sized by definition —
+        the reference materializes numpy arrays here too.  Wave-39
+        change: the old engine-form catalog dump (flat row list) moved
+        entirely into from_dict's accepted input formats."""
+        import numpy as np
+        var_attrs = (self.attrs.get("__var__", {})
+                     if isinstance(self.attrs, dict) else {})
+        top_attrs = {k: v for k, v in self.attrs.items() if k != "__var__"}
+        pdf = self.df.toPandas()
+        sizes = {d: int(pdf[d].nunique()) for d in self.dims}
+
+        def entry(name, own):
+            own = tuple(own)
+            e = {"dims": own, "attrs": dict(var_attrs.get(name, {}))}
+            if own:
+                sub = (pdf[list(own) + [name]]
+                       .drop_duplicates(subset=list(own))
+                       .sort_values(list(own)))
+                vals = sub[name].to_numpy()
+                shape = tuple(sizes[d] for d in own)
+                if data:
+                    if len(vals) != int(np.prod(shape)):
+                        raise ValueError(
+                            f"to_dict: {name!r} is sparse on {own}; "
+                            "densify() first")
+                    e["data"] = vals.reshape(shape).tolist()
+                else:
+                    e.update(dtype=str(vals.dtype), shape=shape)
+            else:
+                v0 = pdf[name].iloc[0] if len(pdf) else None
+                if data:
+                    e["data"] = v0
+                else:
+                    e.update(dtype=str(np.asarray(v0).dtype), shape=())
+            return e
+
+        coords = {}
+        for d in self.dims:
+            labels = np.sort(pdf[d].unique())
+            coords[d] = {"dims": (d,), "attrs": {},
+                         **({"data": labels.tolist()} if data
+                            else {"dtype": str(labels.dtype),
+                                  "shape": (len(labels),)})}
+        for c, cdims in self.coords.items():
+            coords[c] = entry(c, cdims)
+        dvars = {}
+        for v in self.data_vars:
+            own = self.var_dims.get(v)
+            if own is None or not set(own) <= set(self.dims):
+                own = self.dims
+            dvars[v] = entry(v, own)
+        return {"coords": coords, "attrs": top_attrs,
+                "dims": sizes, "data_vars": dvars}
 
     def to_netcdf(self, path: str) -> None:
         """Write a classic netCDF-3 file (xarray/core/dataset.py:2028

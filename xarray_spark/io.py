@@ -266,12 +266,26 @@ def from_series(spark: SparkSession, series, name: str | None = None):
 
 
 def from_dict(spark: SparkSession, d: Mapping) -> XDataset:
-    """Inverse of XDataset.to_dict (xarray/core/dataset.py:7678)."""
+    """Inverse of XDataset.to_dict (xarray/core/dataset.py:7678).
+    Accepts BOTH the reference's nested form (data_vars as
+    name→{dims, data} mappings — what to_dict now emits) and the
+    legacy engine catalog dump (flat ``data`` row list)."""
+    dvars = d.get("data_vars")
+    if isinstance(dvars, Mapping):
+        spec = {name: (tuple(e["dims"]), e["data"])
+                for name, e in dvars.items()}
+        coords = {}
+        for name, e in d.get("coords", {}).items():
+            edims = tuple(e.get("dims", (name,)))
+            coords[name] = (edims, e["data"]) if edims != (name,) \
+                else e["data"]
+        return XDataset(spec, coords=coords or None,
+                        attrs=d.get("attrs"))
     df = spark.createDataFrame(d["data"])
     return XDataset(
         df, d["dims"],
         {k: tuple(v) for k, v in d.get("coords", {}).items()},
-        d.get("data_vars"), d.get("attrs"),
+        dvars, d.get("attrs"),
     )
 
 
