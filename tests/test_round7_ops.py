@@ -249,3 +249,41 @@ class TestQuantileVirtualPosition:
             .quantile([0.0, 0.5], method="averaged_inverted_cdf")
         assert got["v"].tolist() == pytest.approx(
             ref["v"].values.tolist())
+
+
+class TestGroupbyBroadcastVars:
+    """Wave-40 groupby find: groupby reductions must apply the same
+    own-dims discipline as Dataset reductions to dict-constructor
+    broadcast vars."""
+
+    @pytest.fixture(scope="class")
+    def gpair(self, spark):
+        spec = {"u": ("x", [10.0, 20.0]),
+                "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+        coords = {"j": ("y", [0, 0, 1])}
+        return (XDataset(dict(spec), coords=dict(coords)),
+                xr.Dataset(dict(spec), coords=dict(coords)))
+
+    @pytest.mark.parametrize("fn", ["sum", "mean", "count", "std",
+                                    "max", "min", "prod"])
+    def test_groupby_over_non_own_dim(self, gpair, fn):
+        ours, ref = gpair
+        a = getattr(ours.groupby("j"), fn)().to_pandas() \
+            .sort_values(["j", "x"])
+        b = getattr(ref.groupby("j"), fn)()
+        assert a["u"].tolist() == pytest.approx(
+            np.asarray(b["u"].values, dtype=float).ravel().tolist())
+        bw = np.asarray(b["w"].values, dtype=float)
+        # ref w dims (j, x) -> flatten in (j, x) order
+        assert a["w"].tolist() == pytest.approx(bw.ravel().tolist())
+
+    def test_groupby_over_own_dim_keeps_broadcast(self, spark):
+        spec = {"u": ("x", [10.0, 20.0]),
+                "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+        ours = XDataset(dict(spec), coords={"k": ("x", [0, 1])})
+        ref = xr.Dataset(dict(spec), coords={"k": ("x", [0, 1])})
+        a = ours.groupby("k").sum().to_pandas().sort_values(["k", "y"])
+        b = ref.groupby("k").sum()
+        # u per group: value passthrough (broadcast across y long-form)
+        assert sorted(set(a["u"])) == sorted(
+            np.asarray(b["u"].values, dtype=float).ravel().tolist())

@@ -145,7 +145,8 @@ class XGroupBy:
             out_df = out_df.select(*exprs)
         return self.ds._replace(df=out_df.drop(*keys))
 
-    def _agg(self, exprs_for: Callable[[str], Column], numeric_only=False, skipna=True) -> XDataset:
+    def _agg(self, exprs_for: Callable[[str], Column], numeric_only=False,
+             skipna=True, funcname: str = "", ddof: int = 0) -> XDataset:
         prepped = self._prepared()
         kept = self._kept_dims
         coords = self.ds._coords_on(kept)
@@ -157,19 +158,71 @@ class XGroupBy:
             and v not in self._key_names
         ]
         group_cols = [f"__key_{n}" for n in self._key_names] + kept + list(coords)
+        reduced = [d for d in self.ds.dims if d not in kept]
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(prepped.df, varlist, prepped.df.schema)
+        # dict-constructor broadcast vars reduce over THEIR OWN dims
+        # only, exactly as Dataset._reduce: partial overlap with the
+        # consumed dims -> dedup-first aggregation; no overlap -> the
+        # reference's empty-axis semantics (wave-40 groupby find)
+        vd = getattr(self.ds, "var_dims", {}) or {}
+        partial: dict[tuple, list] = {}
         aggs = []
         for v in varlist:
+            own = vd.get(v)
+            valid = own is not None and set(own) <= set(self.ds.dims)
+            if valid and set(own) & set(reduced) and set(reduced) - set(own):
+                partial.setdefault(
+                    tuple(d for d in reduced if d in own), []).append(v)
+                continue
+            if valid and set(reduced) - set(own):
+                f = F.first(v)
+                if funcname == "count":
+                    e = f.isNotNull().cast("long")
+                elif funcname in ("std", "var"):
+                    e = (F.when(f.isNotNull(), F.lit(0.0)) if ddof == 0
+                         else F.lit(None).cast("double"))
+                elif funcname in ("all", "any"):
+                    e = F.when(f.isNull(), F.lit(True)) \
+                         .otherwise(f.cast("double") != 0)
+                else:
+                    e = f
+                aggs.append(e.alias(v))
+                continue
             e = exprs_for(v)
             if not skipna:
                 e = F.when(F.max(F.col(v).isNull().cast("int")) == 1, F.lit(None)).otherwise(e)
             aggs.append(e.alias(v))
-        out = base.groupBy(*group_cols).agg(*aggs)
+        out = base.groupBy(*group_cols).agg(*aggs) if aggs else None
+        for own_reduced, group in partial.items():
+            sub_keys = group_cols + list(own_reduced)
+            stage1 = base.groupBy(*sub_keys).agg(
+                *[F.first(v, ignorenulls=False).alias(v) for v in group])
+            sub_aggs = []
+            for v in group:
+                e = exprs_for(v)
+                if not skipna:
+                    e = F.when(F.max(F.col(v).isNull().cast("int")) == 1,
+                               F.lit(None)).otherwise(e)
+                sub_aggs.append(e.alias(v))
+            stage2 = stage1.groupBy(*group_cols).agg(*sub_aggs)
+            out = stage2 if out is None else out.join(stage2, group_cols)
+        if partial:
+            out = out.select(*group_cols, *varlist)
         for n in self._key_names:
             out = out.withColumnRenamed(f"__key_{n}", n)
         dims = self._key_names + kept
-        return XDataset(out, dims, coords, varlist, self.ds.attrs)
+        res = XDataset(out, dims, coords, varlist, self.ds.attrs)
+        new_vd = {}
+        for v, own in vd.items():
+            if v not in varlist or not set(own) <= set(self.ds.dims):
+                continue
+            res_own = tuple(self._key_names) + tuple(
+                d for d in own if d in kept)
+            if set(res_own) != set(dims):
+                new_vd[v] = res_own
+        res.var_dims = new_vd
+        return res
 
     def agg(self, **exprs: Column) -> XDataset:
         """Named aggregate expressions (engine extension beyond xarray's
@@ -201,14 +254,14 @@ class XGroupBy:
         return self._agg(e, True, skipna)
     def min(self, skipna=True): return self._agg(lambda v: F.min(v), False, skipna)
     def max(self, skipna=True): return self._agg(lambda v: F.max(v), False, skipna)
-    def count(self): return self._agg(lambda v: F.count(v))
-    def std(self, ddof=0): return self._agg(lambda v: F.stddev_pop(v) if ddof == 0 else F.stddev_samp(v), True)
-    def var(self, ddof=0): return self._agg(lambda v: F.var_pop(v) if ddof == 0 else F.var_samp(v), True)
+    def count(self): return self._agg(lambda v: F.count(v), funcname="count")
+    def std(self, ddof=0): return self._agg(lambda v: F.stddev_pop(v) if ddof == 0 else F.stddev_samp(v), True, funcname="std", ddof=ddof)
+    def var(self, ddof=0): return self._agg(lambda v: F.var_pop(v) if ddof == 0 else F.var_samp(v), True, funcname="var", ddof=ddof)
     def median(self):
         return self._quantile_exact([0.5])
     def prod(self): return self._agg(lambda v: F.product(v), True)
-    def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")))
-    def any(self): return self._agg(lambda v: F.bool_or(F.col(v).cast("boolean")))
+    def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")), funcname="all")
+    def any(self): return self._agg(lambda v: F.bool_or(F.col(v).cast("boolean")), funcname="any")
 
     def first(self):
         """First non-null by dim order (xarray/core/groupby.py:1498)."""

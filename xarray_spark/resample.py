@@ -107,8 +107,10 @@ class XResample(XGroupBy):
 
     # ------------------------------------------------------ densify bins
 
-    def _agg(self, exprs_for, numeric_only=False, skipna=True) -> XDataset:
-        out = super()._agg(exprs_for, numeric_only, skipna)
+    def _agg(self, exprs_for, numeric_only=False, skipna=True,
+             funcname: str = "", ddof: int = 0) -> XDataset:
+        out = super()._agg(exprs_for, numeric_only, skipna,
+                           funcname=funcname, ddof=ddof)
         if getattr(self, "_skip_densify", False):
             return out
         return self._densify_bins(out)
