@@ -287,3 +287,66 @@ class TestGroupbyBroadcastVars:
         # u per group: value passthrough (broadcast across y long-form)
         assert sorted(set(a["u"])) == sorted(
             np.asarray(b["u"].values, dtype=float).ravel().tolist())
+
+
+class TestAlongDimOpsBroadcastPassthrough:
+    """Round-7 find: along-dim operators (rolling/cum*/shift/diff/
+    integrate/differentiate/coarsen) must leave a dict-constructor
+    broadcast var untouched when it lacks every operated dim — the
+    long-form duplicates must not accumulate."""
+
+    @pytest.fixture(scope="class")
+    def opair(self, spark):
+        spec = {"u": ("x", [10.0, 20.0]),
+                "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+        return (XDataset(dict(spec)), xr.Dataset(dict(spec)))
+
+    def _uvals(self, o):
+        return sorted(set(o.to_pandas()["u"].dropna()))
+
+    def test_rolling_sum(self, opair):
+        o, r = opair
+        a = self._uvals(o.rolling(y=2, min_periods=1).sum())
+        b = sorted(set(r.rolling(y=2, min_periods=1).sum()["u"]
+                       .values.ravel()))
+        assert a == b == [10.0, 20.0]
+
+    def test_cumsum_shift_diff(self, opair):
+        o, r = opair
+        assert self._uvals(o.cumsum("y")) == sorted(set(
+            r.cumsum("y")["u"].values.ravel()))
+        assert self._uvals(o.shift(y=1)) == sorted(set(
+            r.shift(y=1)["u"].values.ravel()))
+        assert self._uvals(o.diff("y")) == sorted(set(
+            r.diff("y")["u"].values.ravel()))
+
+    def test_integrate_family(self, spark):
+        spec = {"u": ("x", [10.0, 20.0]),
+                "w": (("x", "y"), [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])}
+        o = XDataset(dict(spec), coords={"y": [0.0, 1.0, 2.0]})
+        r = xr.Dataset(dict(spec), coords={"y": [0.0, 1.0, 2.0]})
+        a = o.integrate("y").to_pandas().sort_values("x")
+        b = r.integrate("y")
+        assert a["u"].tolist() == b["u"].values.tolist()
+        assert a["w"].tolist() == pytest.approx(b["w"].values.tolist())
+        ad = sorted(set(o.differentiate("y").to_pandas()["u"]))
+        bd = sorted(set(r.differentiate("y")["u"].values.ravel()))
+        assert ad == bd
+        ac = sorted(set(o.cumulative_integrate("y").to_pandas()["u"]))
+        bc = sorted(set(r.cumulative_integrate("y")["u"].values.ravel()))
+        assert ac == bc
+
+    def test_coarsen_sum(self, opair):
+        o, r = opair
+        a = o.coarsen(y=3).sum().to_pandas().sort_values("x")
+        b = r.coarsen(y=3).sum()
+        assert a["u"].tolist() == b["u"].values.ravel().tolist()
+        assert a["w"].tolist() == b["w"].values.ravel().tolist()
+
+    def test_op_along_own_dim_still_applies(self, opair):
+        # sanity: the op along the var's OWN dim is NOT skipped
+        o, r = opair
+        a = o.cumsum("x").to_pandas().sort_values(["x", "y"])
+        b = r.cumsum("x")
+        assert sorted(set(a["u"])) == sorted(set(
+            b["u"].values.ravel()))

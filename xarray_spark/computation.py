@@ -486,7 +486,13 @@ def integrate(ds: XDataset, coord: str,
     dx = x - F.lag(x).over(w)
     aggs = []
     df = ds.df
+    skip = ds._bcast_passthrough([coord])
     for v in ds.data_vars:
+        if v in skip:
+            # broadcast var lacking the integrated dim: the reference
+            # leaves it untouched (value passthrough per group)
+            aggs.append(F.first(v, ignorenulls=False).alias(v))
+            continue
         y = F.col(v).cast("double")
         seg = dx * (y + F.lag(y).over(w)) / 2.0
         df = df.withColumn(f"__seg_{v}", seg)
@@ -505,8 +511,9 @@ def cumulative_integrate(ds: XDataset, coord: str,
     x = _coord_numeric(ds, coord, datetime_unit)
     dx = x - F.lag(x).over(w)
     exprs = []
+    skip = ds._bcast_passthrough([coord])
     for c in ds.df.columns:
-        if c in ds.data_vars:
+        if c in ds.data_vars and c not in skip:
             y = F.col(c).cast("double")
             seg = F.coalesce(dx * (y + F.lag(y).over(w)) / 2.0, F.lit(0.0))
             exprs.append(F.sum(seg).over(cum).alias(c))
@@ -795,8 +802,9 @@ def differentiate(ds: XDataset, coord: str,
     xm2, xp2 = F.lag(x, 2).over(w), F.lead(x, 2).over(w)
     hs, hd = x - xm, xp - x
     exprs = []
+    skip = ds._bcast_passthrough([coord])
     for c in ds.df.columns:
-        if c in ds.data_vars:
+        if c in ds.data_vars and c not in skip:
             y = F.col(c).cast("double")
             ym, yp = F.lag(y).over(w), F.lead(y).over(w)
             ym2, yp2 = F.lag(y, 2).over(w), F.lead(y, 2).over(w)

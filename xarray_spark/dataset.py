@@ -559,6 +559,20 @@ class XDataset:
                         if var_dims is None else dict(var_dims))
         return out
 
+    def _bcast_passthrough(self, dims) -> set:
+        """Data vars a dims-targeted op must leave UNTOUCHED: the
+        reference applies along-dim operators (rolling/cum*/shift/diff/
+        integrate/coarsen…) per variable over ``[d for d in dims if d
+        in var.dims]`` — a dict-constructor broadcast var that lacks
+        every operated dim passes through unchanged instead of
+        accumulating its duplicated long-form copies."""
+        out = set()
+        for v, own in (self.var_dims or {}).items():
+            if (v in self.data_vars and set(own) <= set(self.dims)
+                    and not set(own) & set(dims)):
+                out.add(v)
+        return out
+
     def _vd_after_reduce(self, reduced, keep) -> dict:
         """var_dims surviving a reduction: each valid entry loses its
         reduced dims; entries that now span every kept dim drop out."""
@@ -2339,7 +2353,8 @@ class XDataset:
         d = dims[0]
         others = [x for x in self.dims if x != d]
         w = Window.partitionBy(*others).orderBy(d).rowsBetween(Window.unboundedPreceding, 0)
-        varlist = self._agg_numeric_vars("cumsum")
+        varlist = [v for v in self._agg_numeric_vars("cumsum")
+                   if v not in self._bcast_passthrough(dims)]
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(self.df, varlist, self.df.schema)
 
@@ -2569,9 +2584,10 @@ class XDataset:
         for dim, n in shifts.items():
             others = [x for x in out.dims if x != dim]
             w = Window.partitionBy(*others).orderBy(dim)
+            skip = out._bcast_passthrough([dim])
             exprs = []
             for c in out.df.columns:
-                if c in out.data_vars:
+                if c in out.data_vars and c not in skip:
                     if fill_value is not None:
                         # fill ONLY vacated slots (no source ROW), never a
                         # shifted-along null value — the reference keeps
@@ -2596,12 +2612,13 @@ class XDataset:
         if label not in ("upper", "lower"):
             raise ValueError(f"label must be 'upper' or 'lower', got {label!r}")
         out = self
+        skip = self._bcast_passthrough([dim])
         for _ in range(n):
             others = [x for x in out.dims if x != dim]
             w = Window.partitionBy(*others).orderBy(dim)
             exprs = []
             for c in out.df.columns:
-                if c in out.data_vars:
+                if c in out.data_vars and c not in skip:
                     if label == "upper":
                         exprs.append((F.col(c) - F.lag(c, 1).over(w)).alias(c))
                     else:

@@ -71,9 +71,10 @@ class XRolling:
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
         ds = ds._replace(df=base)
+        skip = ds._bcast_passthrough(list(self.windows))
         exprs = []
         for c in ds.df.columns:
-            if c in ds.data_vars:
+            if c in ds.data_vars and c not in skip:
                 agg = make(c, w)
                 if self.min_periods > 1:
                     agg = F.when(F.count(c).over(w) >= self.min_periods, agg)
@@ -90,8 +91,10 @@ class XRolling:
 
     def _pass(self, ds: XDataset, dim: str, window: int, agg_fn) -> XDataset:
         w = self._frame(dim, window)
+        skip = ds._bcast_passthrough([dim])
         exprs = [
-            agg_fn(c, w).alias(c) if c in ds.data_vars else F.col(c)
+            agg_fn(c, w).alias(c)
+            if c in ds.data_vars and c not in skip else F.col(c)
             for c in ds.df.columns
         ]
         return ds._replace(df=ds.df.select(*exprs))
@@ -388,8 +391,13 @@ class XCoarsen:
             else:
                 # mean of non-numeric labels: fall back to min
                 aggs.append(F.min(dim).alias(dim))
+        skip = self.ds._bcast_passthrough(coarse_dims)
         for v in self.ds.data_vars:
-            aggs.append(make(v).alias(v))
+            # broadcast vars lacking every coarsened dim pass through
+            # (the reference leaves them untouched; all block copies
+            # are identical, so first() keeps the value exactly)
+            aggs.append((F.first(v, ignorenulls=False) if v in skip
+                         else make(v)).alias(v))
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(ds.df, list(self.ds.data_vars), ds.df.schema)
         df = base.groupBy(*keys).agg(*aggs).drop(*block_cols)
