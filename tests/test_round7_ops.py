@@ -350,3 +350,22 @@ class TestAlongDimOpsBroadcastPassthrough:
         b = r.cumsum("x")
         assert sorted(set(a["u"])) == sorted(set(
             b["u"].values.ravel()))
+
+    def test_pad_keeps_broadcast_value(self, opair):
+        o, r = opair
+        for mode in ("constant", "edge"):
+            a = sorted(set(o.pad(y=(1, 0), mode=mode).to_pandas()["u"]
+                           .dropna()))
+            b = sorted(set(r.pad(y=(1, 0), mode=mode)["u"].values
+                           .ravel()))
+            assert a == b == [10.0, 20.0], mode
+        # padded rows carry the broadcast value, not the fill
+        ap = o.pad(y=(1, 0)).to_pandas()
+        assert not ap["u"].isna().any()
+
+    def test_rank_drops_vars_without_dim(self, opair):
+        # reference rank keeps only vars containing the ranked dim
+        # (core/dataset.py rank: `if dim in var.dims`)
+        o, _ = opair
+        out = o.rank("y")
+        assert "u" not in out.data_vars and "w" in out.data_vars

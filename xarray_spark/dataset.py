@@ -2506,10 +2506,17 @@ class XDataset:
         bottleneck average ranking), NaN/null stays null."""
         others = [x for x in self.dims if x != dim]
         from xarray_spark._utils import nan_to_null
-        df = nan_to_null(self.df, list(self.data_vars), self.df.schema)
+        # the reference DROPS data vars lacking the ranked dim
+        # (core/dataset.py rank: `if dim in var.dims`) — broadcast vars
+        # from the dict constructor are exactly that case
+        dropped = self._bcast_passthrough([dim])
+        keep_vars = [v for v in self.data_vars if v not in dropped]
+        df = nan_to_null(self.df, keep_vars, self.df.schema)
+        if dropped:
+            df = df.drop(*dropped)
         exprs = []
         for c in df.columns:
-            if c in self.data_vars:
+            if c in keep_vars:
                 # nulls sort LAST so valid values rank 1..n_valid — the
                 # reference ranks among valid entries only (bottleneck
                 # nanrankdata / pandas rank with na_option='keep')
@@ -2525,7 +2532,7 @@ class XDataset:
                 exprs.append(r.alias(c))
             else:
                 exprs.append(F.col(c))
-        return self._replace(df=df.select(*exprs),
+        return self._replace(df=df.select(*exprs), data_vars=keep_vars,
                              attrs=self._resolve_attrs(keep_attrs))
 
     def reduce(self, func: Callable, dim=None, schema: str | None = None,
@@ -3226,6 +3233,21 @@ class XDataset:
             before, after = (width, width) if isinstance(width, int) else width
             out = out._pad_one(dim, before, after, mode, constant_values,
                                end_values, reflect_type, stat_length)
+        # broadcast vars lacking EVERY padded dim keep their own values
+        # on the new rows (the reference pads only vars that have the
+        # dim — u=('x',…) stays (x,) through pad(y=…)); repair by
+        # re-joining each such var's own-dims value table
+        skip = self._bcast_passthrough(list(pad_width))
+        for v in skip:
+            own = list(self.var_dims[v])
+            tbl = (self.df.groupBy(*own).agg(
+                F.first(v, ignorenulls=False).alias("__bv")) if own
+                else self.df.agg(F.first(v, ignorenulls=False)
+                                 .alias("__bv")))
+            joined = (out.df.join(F.broadcast(tbl), on=own, how="left")
+                      if own else out.df.crossJoin(F.broadcast(tbl)))
+            out = out._replace(df=joined.withColumn(v, F.col("__bv"))
+                               .drop("__bv"))
         return out
 
     def _pad_one(self, dim: str, before: int, after: int, mode: str,
