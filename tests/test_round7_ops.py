@@ -369,3 +369,13 @@ class TestAlongDimOpsBroadcastPassthrough:
         o, _ = opair
         out = o.rank("y")
         assert "u" not in out.data_vars and "w" in out.data_vars
+
+    def test_arg_idx_raise_when_var_lacks_dim(self, opair):
+        # the reference errors (idxmax: KeyError) when a data var lacks
+        # the requested dim — never reduces the broadcast duplicates
+        o, r = opair
+        for fn in ("argmax", "argmin", "idxmax", "idxmin"):
+            with pytest.raises(Exception):
+                getattr(r, fn)(dim="y")
+            with pytest.raises(KeyError):
+                getattr(o, fn)(dim="y")

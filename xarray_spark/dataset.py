@@ -2416,6 +2416,16 @@ class XDataset:
         tuple of the extremum as a struct (the long-form rendering of
         xarray's dict-of-arrays return, core/variable.py:2491)."""
         dims = self._norm_dim_arg(dim)
+        missing = self._bcast_passthrough(dims)
+        if dim is not None and missing:
+            # the reference errors when a var lacks the arg/idx dim
+            # (idxmax: KeyError "Dimension … not found in array
+            # dimensions …"; argmax errors too) — never silently
+            # reduce the broadcast duplicates
+            v = sorted(missing)[0]
+            raise KeyError(
+                f"Dimension {dims[0]!r} not found in array dimensions "
+                f"{tuple(self.var_dims[v])} of variable {v!r}")
         if len(dims) > 1:
             fn = F.min_by if is_min else F.max_by
             if use_pos:
