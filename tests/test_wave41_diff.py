@@ -1,0 +1,82 @@
+"""Differential wave 41 (round 7): callable forms (where/assign/
+sortby take callables applied to self in the reference) and
+array-operand clip/fillna/where(other=)."""
+
+import sys
+import warnings
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+import xarray as xr  # noqa: E402
+
+from xarray_spark import XDataset  # noqa: E402
+
+warnings.filterwarnings("ignore")
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    spec = {"v": ("t", [1.0, -2.0, 3.0, -4.0])}
+    return (XDataset(dict(spec)), xr.Dataset(dict(spec)))
+
+
+def _v(o, col="v", sort=("t",)):
+    return o.to_pandas().sort_values(list(sort))[col].tolist()
+
+
+class TestCallableForms:
+    def test_where_callable(self, pair):
+        o, r = pair
+        a = _v(o.where(lambda d: d["v"] > 0))
+        b = r.where(lambda d: d["v"] > 0)["v"].values.tolist()
+        assert a == pytest.approx(b, nan_ok=True)
+
+    def test_assign_callable_returning_array(self, pair):
+        o, r = pair
+        a = _v(o.assign(w=lambda d: d["v"] * 2), "w")
+        b = r.assign(w=lambda d: d["v"] * 2)["w"].values.tolist()
+        assert a == b
+
+    def test_sortby_callable(self, pair):
+        o, r = pair
+        a = o.sortby(lambda d: d["v"]).to_pandas()["v"].tolist()
+        b = r.sortby(lambda d: d["v"])["v"].values.tolist()
+        assert a == b
+
+    def test_sortby_dataarray(self, pair):
+        o, r = pair
+        a = o.sortby(o["v"]).to_pandas()["v"].tolist()
+        b = r.sortby(r["v"])["v"].values.tolist()
+        assert a == b
+
+
+class TestArrayOperands:
+    def test_clip_array_min(self, pair):
+        o, r = pair
+        a = _v(o.clip(min=o["v"] * 0))
+        b = r.clip(min=r["v"] * 0)["v"].values.tolist()
+        assert a == pytest.approx(b)
+
+    def test_where_other_array(self, pair):
+        o, r = pair
+        a = _v(o.where(o["v"] > 0, other=o["v"] * 10))
+        b = r.where(r["v"] > 0, other=r["v"] * 10)["v"].values.tolist()
+        assert a == pytest.approx(b)
+
+    def test_fillna_zero_dim_array(self, spark):
+        spec = {"v": ("t", [1.0, np.nan, np.nan, 4.0])}
+        o, r = XDataset(dict(spec)), xr.Dataset(dict(spec))
+        a = _v(o.fillna(o["v"].mean()))
+        b = r.fillna(r["v"].mean())["v"].values.tolist()
+        assert a == pytest.approx(b)
+
+    def test_fillna_aligned_dataset(self, spark):
+        spec = {"v": ("t", [1.0, np.nan, np.nan, 4.0])}
+        fill = {"v": ("t", [9.0, 8.0, 7.0, 6.0])}
+        o, r = XDataset(dict(spec)), xr.Dataset(dict(spec))
+        of, rf = XDataset(dict(fill)), xr.Dataset(dict(fill))
+        a = _v(o.fillna(of))
+        b = r.fillna(rf)["v"].values.tolist()
+        assert a == pytest.approx(b)

@@ -1225,6 +1225,9 @@ class XDataset:
         removes dim labels where every value is masked (semi-join of
         surviving labels per dim).
         """
+        if callable(cond) and not isinstance(cond, Column):
+            # reference common.py where: a callable is applied to self
+            cond = cond(self)
         if isinstance(cond, XDataset):
             c_da = cond
             c_name = c_da.data_vars[0]
@@ -1366,11 +1369,24 @@ class XDataset:
         for name, value in kwargs.items():
             if callable(value) and not isinstance(value, Column):
                 value = value(self)
-            if isinstance(value, str):
-                value = F.expr(value)
-            if not isinstance(value, Column):
-                value = F.lit(value)
-            df = df.withColumn(name, value)
+            if isinstance(value, XDataset):
+                # callable/aligned-object form returning an
+                # XDataArray/XDataset (`assign(w=lambda d: d['v']*2)`):
+                # join its single var back on the shared dim columns
+                src = value.data_vars[0]
+                shared = [d for d in value.dims if d in df.columns]
+                sub = value.df.select(
+                    *shared, F.col(src).alias(f"__as_{name}"))
+                df = (df.join(sub, on=shared, how="left")
+                      if shared else df.crossJoin(F.broadcast(sub)))
+                df = df.withColumn(name, F.col(f"__as_{name}")) \
+                       .drop(f"__as_{name}")
+            else:
+                if isinstance(value, str):
+                    value = F.expr(value)
+                if not isinstance(value, Column):
+                    value = F.lit(value)
+                df = df.withColumn(name, value)
             if name not in new_vars and name not in self.coords and name not in self.dims:
                 new_vars.append(name)
         return self._replace(df=df, data_vars=new_vars)
@@ -1747,10 +1763,28 @@ class XDataset:
         Missing keys — NULL or true NaN — sort LAST in either direction
         (np.argsort/pandas sort_values convention; Spark alone would
         order NaN as the largest value)."""
-        if isinstance(variables, str):
+        if callable(variables) and not isinstance(variables, Column):
+            # reference sortby: a callable is applied to self and its
+            # result (name(s) / DataArray(s)) sorts the dataset
+            variables = variables(self)
+        if isinstance(variables, (str, XDataset)):
             variables = [variables]
+        host, names = self, []
+        for i, v in enumerate(variables):
+            if isinstance(v, XDataset):
+                tmp = f"__sortby_{i}"
+                host = host.assign(**{tmp: v})
+                host = host._replace(
+                    data_vars=[x for x in host.data_vars if x != tmp])
+                names.append(tmp)
+            else:
+                names.append(v)
+        if host is not self:
+            out = host.sortby(names, ascending)
+            return out._replace(df=out.df.drop(
+                *[n for n in names if n.startswith("__sortby_")]))
         keys = []
-        for v in variables:
+        for v in names:
             c = F.col(v)
             if isinstance(self.df.schema[v].dataType,
                           (T.FloatType, T.DoubleType)):
@@ -2833,9 +2867,12 @@ class XDataset:
             overlap = [v for v in value.data_vars if v in self.data_vars]
             for v in overlap:
                 o_df = o_df.withColumnRenamed(v, f"__f_{v}")
-            joined = self.df.join(
-                o_df.select(*shared, *[f"__f_{v}" for v in overlap]),
-                on=shared, how="left")
+            sub = o_df.select(*shared, *[f"__f_{v}" for v in overlap])
+            # a 0-d fill source (fillna(ds.v.mean())) shares no dims:
+            # broadcast its single row across self (reference
+            # broadcasting semantics)
+            joined = (self.df.join(sub, on=shared, how="left") if shared
+                      else self.df.crossJoin(F.broadcast(sub)))
             schema = self.df.schema
             def _fill(c):
                 # NaN-as-missing normalization only applies to float
