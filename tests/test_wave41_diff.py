@@ -80,3 +80,20 @@ class TestArrayOperands:
         a = _v(o.fillna(of))
         b = r.fillna(rf)["v"].values.tolist()
         assert a == pytest.approx(b)
+
+
+class TestWeightedDataArray:
+    def test_weighted_accepts_dataarray(self, pair):
+        o, r = pair
+        wt = XDataset({"w2": ("t", [1.0, 2.0, 1.0, 1.0])})["w2"]
+        rwt = xr.DataArray([1.0, 2.0, 1.0, 1.0], dims=["t"])
+        a = o.weighted(wt).mean("t").to_pandas()["v"].iloc[0]
+        b = float(r["v"].weighted(rwt).mean("t"))
+        assert a == pytest.approx(b)
+
+    def test_dataarray_weighted_sum(self, pair):
+        o, r = pair
+        da, rda = o["v"], r["v"]
+        a = da.weighted(da * 0 + 1).sum("t").to_pandas()["v"].iloc[0]
+        b = float(rda.weighted(rda * 0 + 1).sum("t"))
+        assert a == pytest.approx(b)

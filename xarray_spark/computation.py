@@ -843,6 +843,16 @@ class XWeighted:
     weights = property(lambda self: self.w)
 
     def __init__(self, ds: XDataset, weights):
+        if isinstance(weights, XDataset):
+            # reference signature: weights is a DataArray — join it on
+            # its dims as a temp column (aligned-object weighting)
+            src = weights.data_vars[0]
+            shared = [d for d in weights.dims if d in ds.df.columns]
+            sub = weights.df.select(*shared, F.col(src).alias("__wt"))
+            joined = (ds.df.join(sub, on=shared, how="left") if shared
+                      else ds.df.crossJoin(F.broadcast(sub)))
+            ds = ds._replace(df=joined)
+            weights = "__wt"
         self.ds = ds
         self.w = F.col(weights) if isinstance(weights, str) else weights
 
