@@ -278,3 +278,48 @@ def test_ngram_lm_score_plan_shape(spark):
             .executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_thresholds_path_has_no_global_sort(spark):
+    """q135's scale contract: thresholds= bucketing is a MAP-ONLY
+    comparison — no partition-less Window (the exact-ntile path's
+    global sort) anywhere in the plan."""
+    from xarray_spark.extras.text import ngram_lm_score
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["plain text here",
+                                                 "more words here"]}))
+    plan = (ngram_lm_score(df, thresholds=(2.3, 2.4))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan, plan[:1500]
+    # the ntile form DOES have one (the contrast that makes the
+    # thresholds form the 100 TB path)
+    plan_ntile = (ngram_lm_score(df)._jdf.queryExecution()
+                  .executedPlan().toString())
+    assert "Window" in plan_ntile
+
+
+def test_trained_ivf_has_no_ml_jobs(spark):
+    """q134's scale contract: after training (a bounded driver-side
+    sample), the QUERY plan contains no iterative stages — cell
+    assignment is a literal-codebook Arrow batch, candidates flow
+    through one broadcast equi-join."""
+    from xarray_spark.extras.similarity import (ivf_topk_fixed,
+                                                train_centroids_int)
+    import pandas as pd
+    import numpy as np
+    rng = np.random.RandomState(0)
+    pdf = pd.DataFrame({
+        "vec_id": range(64),
+        "embedding": [rng.randn(64).tolist() for _ in range(64)],
+    })
+    emb = spark.createDataFrame(pdf)
+    cents = train_centroids_int(emb, n_cells=4, iters=2,
+                                sample_max_id=32)
+    qs = emb.where("vec_id < 2").selectExpr("vec_id as qid", "embedding")
+    out = ivf_topk_fixed(emb, qs, k=2, n_cells=4, n_probe=2,
+                         centroids_q=cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert out.count() > 0
