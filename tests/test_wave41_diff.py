@@ -97,3 +97,19 @@ class TestWeightedDataArray:
         a = da.weighted(da * 0 + 1).sum("t").to_pandas()["v"].iloc[0]
         b = float(rda.weighted(rda * 0 + 1).sum("t"))
         assert a == pytest.approx(b)
+
+
+class TestAlignExclude:
+    def test_exclude_skips_dim(self, spark):
+        from xarray_spark import align
+        a = XDataset({"v": ("t", [1.0, 2.0])}, coords={"t": [0, 1]})
+        b = XDataset({"v": ("t", [9.0])}, coords={"t": [1]})
+        ra = xr.Dataset({"v": ("t", [1.0, 2.0])}, coords={"t": [0, 1]})
+        rb = xr.Dataset({"v": ("t", [9.0])}, coords={"t": [1]})
+        oa, ob = align(a, b, exclude=["t"])
+        wa, wb = xr.align(ra, rb, exclude=["t"])
+        assert oa.to_pandas().shape[0] == wa.sizes["t"]
+        assert ob.to_pandas().shape[0] == wb.sizes["t"]
+        # without exclude the inner join shrinks both to 1 row
+        ia, ib = align(a, b)
+        assert ia.to_pandas().shape[0] == 1

@@ -85,7 +85,7 @@ def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame,
 
 
 def align(*datasets: XDataset, join: str = "inner",
-          fill_value=None) -> tuple[XDataset, ...]:
+          fill_value=None, exclude=None) -> tuple[XDataset, ...]:
     """N-way alignment (xarray/structure/alignment.py:678).
 
     join='outer'/'left'/'right': labels a dataset lacks materialize as
@@ -101,7 +101,13 @@ def align(*datasets: XDataset, join: str = "inner",
     """
     if join == "override":
         return _align_override(datasets)
-    label_sets = _aligned_label_sets(datasets, join)
+    # exclude= (reference align signature): named dims are NOT aligned —
+    # each dataset keeps its own labels along them
+    excl = ({exclude} if isinstance(exclude, str)
+            else set(exclude or ()))
+    label_sets = {d: ls for d, ls in
+                  _aligned_label_sets(datasets, join).items()
+                  if d not in excl}
     out = []
     for ds in datasets:
         cur = ds
