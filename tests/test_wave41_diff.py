@@ -113,3 +113,34 @@ class TestAlignExclude:
         # without exclude the inner join shrinks both to 1 row
         ia, ib = align(a, b)
         assert ia.to_pandas().shape[0] == 1
+
+
+class TestApplyUfuncElementwise:
+    def test_unary_preserves_dims(self, spark):
+        from xarray_spark.computation import apply_ufunc
+        spec = {"v": ("t", [1.0, 4.0, 9.0])}
+        o, r = XDataset(dict(spec)), xr.Dataset(dict(spec))
+        a = apply_ufunc(np.sqrt, o).to_pandas().sort_values("t")
+        b = xr.apply_ufunc(np.sqrt, r)
+        assert a["v"].tolist() == b["v"].values.tolist()
+        # dim labels untouched (the old whole-frame form squared them)
+        assert a["t"].tolist() == [0, 1, 2]
+
+    def test_binary_same_var(self, spark):
+        from xarray_spark.computation import apply_ufunc
+        spec = {"v": ("t", [1.0, 4.0, 9.0])}
+        o, r = XDataset(dict(spec)), xr.Dataset(dict(spec))
+        a = (apply_ufunc(np.add, o, o).to_pandas()
+             .sort_values("t")["v"].tolist())
+        b = xr.apply_ufunc(np.add, r, r)["v"].values.tolist()
+        assert a == b
+
+    def test_kwargs_forwarded(self, spark):
+        from xarray_spark.computation import apply_ufunc
+        spec = {"v": ("t", [1.0, 4.0, 9.0])}
+        o, r = XDataset(dict(spec)), xr.Dataset(dict(spec))
+        f = lambda x, p: x ** p  # noqa: E731
+        a = (apply_ufunc(f, o, kwargs={"p": 2}).to_pandas()
+             .sort_values("t")["v"].tolist())
+        b = xr.apply_ufunc(f, r, kwargs={"p": 2})["v"].values.tolist()
+        assert a == b

@@ -978,21 +978,68 @@ def apply_ufunc(
     input_core_dims: Sequence[Sequence[str]] | None = None,
     output_schema: str | T.StructType | None = None,
     vectorize: bool = False,
+    kwargs: Mapping | None = None,
 ) -> XDataset:
     """UDF harness (xarray/computation/apply_ufunc.py:896).
 
-    The reference's chunk rule — "core dims cannot span chunks"
-    (apply_ufunc.py:764) — becomes "core dims live within one group":
-    we group by the broadcast (non-core) dims and run the function per
-    group via applyInPandas, each group holding the full core-dim axis.
+    **No core dims (elementwise)** — the reference contract: ``func``
+    receives one numpy array PER VARIABLE per input (same-named vars
+    matched across inputs, like ``xr.apply_ufunc(np.add, a, b)``) and
+    returns a same-length array; dims/coords pass through UNTOUCHED
+    (wave-41 fix: the old whole-frame form silently transformed the
+    dim columns too).  Runs as one Arrow ``mapInPandas`` pass — map
+    only, no shuffle; numeric outputs land as double.
 
-    ``func`` receives ONE pandas DataFrame (the group, long-form, with
-    every input's variables as columns) and returns a pandas DataFrame
-    matching ``output_schema``.  Multiple XDataset inputs are first
-    auto-aligned: inner equi-join on their shared dims (the deep_align
-    step of the reference harness), so the function sees all variables
-    side by side.
+    **With input_core_dims** — the reference's chunk rule ("core dims
+    cannot span chunks", apply_ufunc.py:764) becomes "core dims live
+    within one group": group by the broadcast dims, run per group via
+    applyInPandas.  In this form ``func`` keeps the engine's long-form
+    contract: ONE pandas DataFrame per group in, one out (matching
+    ``output_schema``), every input's variables as columns.
+    ``kwargs`` are forwarded to ``func`` in both forms.
     """
+    import numpy as np
+    kw = dict(kwargs or {})
+    if input_core_dims is None:
+        first = args[0]
+        common = [v for v in first.data_vars
+                  if all(v in a.data_vars for a in args)]
+        joined = first.df
+        operands = {v: [v] for v in common}
+        for i, a in enumerate(args[1:], start=1):
+            shared = [d for d in a.dims if d in first.dims]
+            if not shared:
+                raise ValueError(
+                    f"apply_ufunc inputs share no dims ({first.dims} "
+                    f"vs {a.dims}); broadcast() them first")
+            o_df = a.df.select(
+                *shared, *[F.col(v).alias(f"__in{i}_{v}")
+                           for v in common])
+            joined = joined.join(o_df, on=shared, how="inner")
+            for v in common:
+                operands[v].append(f"__in{i}_{v}")
+        out_cols = [c for c in first.df.columns]
+        fields = []
+        for c in out_cols:
+            if c in common:
+                fields.append(T.StructField(c, T.DoubleType()))
+            else:
+                fields.append(T.StructField(
+                    c, first.df.schema[c].dataType))
+        schema = (output_schema if output_schema is not None
+                  else T.StructType(fields))
+
+        def mapper(batches):
+            for pdf in batches:
+                out = pdf[[c for c in out_cols if c not in common]].copy()
+                for v in common:
+                    out[v] = np.asarray(func(
+                        *[pdf[c].to_numpy() for c in operands[v]], **kw))
+                yield out[[c for c in out_cols]]
+
+        df = joined.mapInPandas(mapper, schema)
+        return XDataset(df, first.dims, first.coords, common,
+                        first.attrs)
     ds = args[0]
     if len(args) > 1:
         # align + merge variables of all inputs onto one frame
@@ -1017,11 +1064,11 @@ def apply_ufunc(
     schema = output_schema or ds.df.schema
     if broadcast_dims:
         df = ds.df.repartition(*broadcast_dims).groupBy(*broadcast_dims).applyInPandas(
-            lambda pdf: func(pdf), schema
+            lambda pdf: func(pdf, **kw), schema
         )
     else:
         df = ds.df.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
-            lambda pdf: func(pdf.drop(columns="__g")), schema
+            lambda pdf: func(pdf.drop(columns="__g"), **kw), schema
         )
     out_cols = [f.name for f in (schema if isinstance(schema, T.StructType) else df.schema)]
     dims = [d for d in ds.dims if d in out_cols]
