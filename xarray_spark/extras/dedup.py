@@ -270,15 +270,23 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     ).select(id_col, *shard_cols, "simhash",
              F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    # hamming filter BEFORE the cross-block dedup: the xor+bit_count is
+    # a per-row expression inside the join stage, so the dropDuplicates
+    # shuffle only carries true pairs (≤ n_blocks× the result) instead
+    # of the whole pigeonhole candidate set (measured ~4.0 → ~3.0 s
+    # warm at sf0.1 on q35's k=10 shape, whose coarse 5-6-bit blocks
+    # inflate the candidate set well past the result) — and the
+    # shuffled rows shrink to (id_a, id_b, hamming)
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(b, on=["blk", "key", *shard_cols], how="inner")
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.simhash").alias("h_a"), F.col("b.simhash").alias("h_b"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.withColumn("hamming", ham).where(ham <= max_hamming).select("id_a", "id_b", "hamming")
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
