@@ -397,10 +397,15 @@ def test_to_dataframe_dim_order_matches_reference(spark):
 
 
 def test_to_dict_data_false_matches_reference_shape(spark):
+    # round 7: to_dict emits the reference's NESTED form — data=False
+    # swaps per-variable data for dtype/shape (xarray Dataset.to_dict)
     ours = XDataset(spark.createDataFrame(
         pd.DataFrame({"t": [0], "v": [1.0]})), dims=["t"])
     d = ours.to_dict(data=False)
-    assert "data" not in d and "dtypes" in d
+    entry = d["data_vars"]["v"]
+    assert "data" not in entry
+    assert entry["dtype"] == "float64" and entry["shape"] == (1,)
+    assert d["dims"] == {"t": 1}
 
 
 # ---- wave 33: scalar coords flowing through downstream ops ---------- #
