@@ -194,6 +194,33 @@ def ieee_floor(c: Column) -> Column:
             .otherwise(F.floor(d).cast("double"))
 
 
+def null_safe_join(left, right, keys, how: str = "inner"):
+    """Equi-join on ``keys`` with NULL-safe equality.
+
+    ``df.join(other, on=[names])`` uses null-UNSAFE ``=``: groupBy
+    preserves NULL key/coord labels, so joining two per-group
+    aggregates back together on the group keys silently drops the
+    NULL-labeled groups.
+
+    Implemented by packing the keys into ONE struct column and
+    joining on it: Spark compares struct fields with ordering
+    semantics (NULL == NULL, NaN == NaN — exactly groupBy's grouping
+    semantics), and a struct key keeps the plain BroadcastHashJoin /
+    SortMergeJoin fast path with whole-stage codegen.  ``eqNullSafe``
+    conditions would be null-safe too but fall off the codegen hash
+    path (measured 10× slower on a 90M-row broadcast join)."""
+    if not keys:
+        return left.crossJoin(right)
+    if how not in ("inner", "left", "left_semi", "semi", "leftsemi"):
+        raise ValueError(f"null_safe_join does not support how={how!r}"
+                         " (right side's key columns are dropped)")
+    pack = F.struct(*[F.col(k).alias(f"_{i}")
+                      for i, k in enumerate(keys)])
+    lj = left.withColumn("__nsj_key__", pack)
+    rj = right.withColumn("__nsj_key__", pack).drop(*keys)
+    return lj.join(rj, on="__nsj_key__", how=how).drop("__nsj_key__")
+
+
 def nan_to_null(df, varlist, schema):
     """Normalize true-NaN doubles to NULL (the engine's missing-value
     sentinel) on the given float/double vars before a skipna-respecting

@@ -1004,6 +1004,22 @@ def apply_ufunc(
         first = args[0]
         common = [v for v in first.data_vars
                   if all(v in a.data_vars for a in args)]
+        positional = False
+        if not common and len(args) > 1:
+            if all(len(a.data_vars) == 1 for a in args):
+                # no same-named vars, every input single-var — the
+                # xr.apply_ufunc(np.add, a, b) DataArray shape: match
+                # positionally (the reference applies positionally for
+                # arrays), name the output after the first input
+                common = [first.data_vars[0]]
+                positional = True
+            else:
+                raise ValueError(
+                    "apply_ufunc: inputs share no same-named data "
+                    "variables "
+                    f"({[list(a.data_vars) for a in args]}); rename "
+                    "them to match, or pass single-variable inputs "
+                    "for positional matching")
         joined = first.df
         operands = {v: [v] for v in common}
         for i, a in enumerate(args[1:], start=1):
@@ -1013,8 +1029,9 @@ def apply_ufunc(
                     f"apply_ufunc inputs share no dims ({first.dims} "
                     f"vs {a.dims}); broadcast() them first")
             o_df = a.df.select(
-                *shared, *[F.col(v).alias(f"__in{i}_{v}")
-                           for v in common])
+                *shared,
+                *[F.col(a.data_vars[0] if positional else v)
+                  .alias(f"__in{i}_{v}") for v in common])
             joined = joined.join(o_df, on=shared, how="inner")
             for v in common:
                 operands[v].append(f"__in{i}_{v}")

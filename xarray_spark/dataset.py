@@ -161,26 +161,439 @@ def _quantile_positions(method: str, q: float, n: Column):
     raise ValueError(f"unknown quantile method {method!r}; valid: {QUANTILE_METHODS}")
 
 
-def _grouped_quantile_needs_hist(df: DataFrame, keys: list) -> bool:
-    """Whether a grouped exact quantile should take the histogram path.
+def _grouped_quantile_plan(df: DataFrame, keys: list,
+                           probe_var: str | None = None):
+    """Pick the grouped exact-quantile plan: ``'buffer'`` (one SQL
+    aggregate that buffers a group's values — fastest when every group
+    is small), ``'midbin'`` (two-scan fixed-bucket selection — no
+    stats pass, no aggregation buffer, the middle regime), or
+    ``'hist'`` (the 4-pass per-group equi-width histogram selection —
+    never holds a group anywhere, the 100 TB fallback; also the right
+    plan when a whole group may hide inside one 1/16-octave bucket).
 
-    Free when plan statistics bound the WHOLE table under the buffer
-    limit (no group can exceed it); otherwise one count job finds the
-    max group size.  Both outcomes are exact — this only picks a plan.
+    Returns ``(plan, probe_hist)``.  Free when plan statistics bound
+    the WHOLE table under the buffer limit (no group can exceed it);
+    otherwise ONE scan finds the max group size — and when
+    ``probe_var`` is given, that scan IS the bit-bin bucket table of
+    that var (eagerly materialized): if the verdict is ``'midbin'``,
+    the caller hands it straight to :func:`_grouped_quantile_midbin`
+    as its stage 1, so the plan decision costs no extra pass.  All
+    three plans are exact — this only picks one.
     """
     from xarray_spark.options import OPTIONS
     from xarray_spark._utils import estimated_rows
     limit = OPTIONS.get("grouped_quantile_buffer_limit")
     if limit is None:
-        return False
+        return "buffer", None
     if limit < 2:
-        # buffering is banned outright — no data inspection needed
-        return True
+        # buffering is banned outright (test hook pinning the
+        # histogram plan) — no data inspection needed
+        return "hist", None
     if estimated_rows(df) <= limit:
-        return False
+        return "buffer", None
+    mid_limit = OPTIONS.get("grouped_quantile_midbin_limit")
+    if probe_var is not None and mid_limit is not None:
+        hist = (_midbin_hist(df, keys, probe_var)
+                .localCheckpoint(eager=True))
+        hist_rows = _midbin_collect(hist, keys)
+        if hist_rows is not None:
+            # group sizes straight from the collected bucket table —
+            # no extra aggregation job
+            sizes: dict = {}
+            for r in hist_rows:
+                gk = tuple(r[k] for k in keys)
+                gk = tuple(("__nan__",) if isinstance(x, float)
+                           and x != x else x for x in gk)
+                sizes[gk] = sizes.get(gk, 0) + r["__c"]
+            m = max(sizes.values()) if sizes else 0
+        else:
+            row = (hist.groupBy(*keys).agg(F.sum("__c").alias("__g"))
+                   .agg(F.max("__g").alias("m")).first())
+            m = int(row["m"]) if row and row["m"] is not None else 0
+        if m <= limit:
+            return "buffer", None
+        if m <= mid_limit:
+            return "midbin", (hist, hist_rows)
+        return "hist", None
     row = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")) \
             .agg(F.max("__n").alias("m")).first()
-    return bool(row and row["m"] and row["m"] > limit)
+    m = int(row["m"]) if row and row["m"] else 0
+    if m <= limit:
+        return "buffer", None
+    if mid_limit is not None and m <= mid_limit:
+        return "midbin", None
+    return "hist", None
+
+
+def _sortable_bin(vv: Column) -> Column:
+    """EXACT monotone fixed binning of a double column: (sign, true
+    binary exponent, 4-bit mantissa prefix) folded into one int — a
+    1/16-octave bucket.  Monotone in the value (so cumulative counts
+    map order-statistic ranks to buckets) and computable WITHOUT a
+    min/max pass, which is the whole point: the grouped selection
+    skips the stats scan the equi-width histogram needs.
+
+    Exactness argument (every step is IEEE-exact, so the binning is a
+    true monotone function of the double, never off at a boundary):
+    ``log2`` is only an ESTIMATE of the exponent (±1), corrected
+    against ``pow(2, e)`` which is exact for integer e; ``m / 2^e`` is
+    an exact scaling; ``frac - 1`` is exact by Sterbenz; ``* 16`` is
+    an exact power-of-two scaling; ``floor`` is exact.
+    """
+    m = F.abs(vv)
+    e0 = F.floor(F.log2(m)).cast("int")
+    p0 = F.pow(F.lit(2.0), e0.cast("double"))
+    e = (F.when(m < p0, e0 - 1)
+         .when(m >= p0 * F.lit(2.0), e0 + 1)
+         .otherwise(e0))
+    p = F.pow(F.lit(2.0), e.cast("double"))
+    sub = F.floor((m / p - F.lit(1.0)) * 16).cast("int")
+    mag = (e + 1100) * 16 + sub  # > 0 for every finite nonzero m
+    return (F.when(vv == 0, F.lit(0))
+            .when(vv == F.lit(float("inf")), F.lit(1 << 30))
+            .when(vv == F.lit(float("-inf")), F.lit(-(1 << 30)))
+            .when(vv > 0, mag)
+            .otherwise(-mag))
+
+
+#: sentinel bucket for null/NaN rows — above every value bucket, so it
+#: never enters a cumulative count but keeps all-null groups visible
+_MIDBIN_NULL = (1 << 30) + 1
+
+
+def _midbin_hist(df: DataFrame, keys: list, v: str) -> DataFrame:
+    """Stage 1 of the midbin plan: per-(group, 1/16-octave bucket) row
+    counts — one map-side-combined aggregation, null/NaN rows kept
+    under the sentinel bucket so all-null groups stay visible."""
+    val = F.col(v).cast("double")
+    rows = df.select(*keys, val.alias("__v"))
+    vv = F.col("__v")
+    valid = vv.isNotNull() & ~F.isnan(vv)
+    binned = rows.select(
+        *keys,
+        F.when(valid, _sortable_bin(vv))
+        .otherwise(F.lit(_MIDBIN_NULL)).alias("__b"))
+    return binned.groupBy(*keys, "__b").agg(F.count(F.lit(1)).alias("__c"))
+
+
+#: driver-finish gates for the midbin plan: collect the bucket table /
+#: the candidate rows only when they are bounded; above either limit
+#: the fully-distributed tail runs instead
+_MIDBIN_HIST_COLLECT_LIMIT = 200_000
+_MIDBIN_CAND_COLLECT_LIMIT = 4_000_000
+
+
+def _midbin_collect(hist: DataFrame, keys: list):
+    """Bucket table to the driver IF bounded (limit+1 probe), else
+    None — the gate for the driver-finish fast path."""
+    rows = hist.limit(_MIDBIN_HIST_COLLECT_LIMIT + 1).collect()
+    return None if len(rows) > _MIDBIN_HIST_COLLECT_LIMIT else rows
+
+
+def _midbin_bucket_range(b: int):
+    """Decode a :func:`_sortable_bin` bucket id into its membership
+    test parts (kind, p, sl, sh, eq) — kind 0 = positive range, 1 =
+    negative range, 2 = equality; ranges compare ``abs(v)/p`` against
+    exact sixteenths [sl, sh) so both scans agree on every boundary."""
+    if b == 0:
+        return 2, 1.0, 0.0, 0.0, 0.0
+    if b == (1 << 30):
+        return 2, 1.0, 0.0, 0.0, float("inf")
+    if b == -(1 << 30):
+        return 2, 1.0, 0.0, 0.0, float("-inf")
+    ab = abs(b)
+    e = ab // 16 - 1100
+    sub = ab % 16
+    return ((0 if b > 0 else 1), 2.0 ** e,
+            1.0 + sub / 16.0, 1.0 + (sub + 1) / 16.0, 0.0)
+
+
+def _grouped_quantile_midbin_local(df: DataFrame, keys: list, v: str,
+                                   qs: list, method: str,
+                                   hist_rows: list) -> DataFrame | None:
+    """Driver-finish of the midbin plan: with the per-(group, bucket)
+    counts already on the driver, compute every order statistic's
+    bucket in plain Python, pull ONLY candidate-bucket rows with one
+    broadcast range-join collect, and finish in numpy — mirroring
+    `_quantile_ungrouped`'s architecture, whose driver finish is why
+    the ungrouped plan runs in ~2 scans flat.  Returns None when the
+    candidate volume exceeds the collect gate (the distributed tail
+    then runs)."""
+    import math as _math
+    import numpy as _np
+    from xarray_spark._utils import null_safe_join
+
+    def gkey(vals):
+        return tuple(("__nan__",) if isinstance(x, float) and x != x
+                     else x for x in vals)
+
+    groups: dict = {}
+    for r in hist_rows:
+        raw = tuple(r[k] for k in keys)
+        g = groups.setdefault(gkey(raw), {"raw": raw, "b": []})
+        g["b"].append((r["__b"], r["__c"]))
+    target_rows = []
+    plans = {}
+    total_cand = 0
+    for gk, g in groups.items():
+        bl = sorted(bc for bc in g["b"] if bc[0] != _MIDBIN_NULL)
+        n = sum(c for _, c in bl)
+        qpos, ranks = [], set()
+        for q in qs:
+            if n == 0:
+                qpos.append(None)
+                continue
+            if method in _Q_ALPHA_BETA:
+                # SAME association as the SQL _quantile_positions
+                # ((n + lit(1-a-b))*q + a) — ((n+1)-a-b)*q would differ
+                # in the last ULP and break plan equivalence
+                a_, b_ = _Q_ALPHA_BETA[method]
+                h0 = min(max((n + (1.0 - a_ - b_)) * float(q) + a_
+                             - 1.0, 0.0), float(n - 1))
+                jl = int(_math.floor(h0))
+                jl, jh, w = jl, min(jl + 1, n - 1), h0 - _math.floor(h0)
+            else:
+                p = _virtual_position(method, float(q), n)
+                jl, jh = int(_math.floor(p)), int(_math.ceil(p))
+                w = p - jl
+            qpos.append((jl, jh, w))
+            ranks.update((jl, jh))
+        rank_bucket, bucket_cum = {}, {}
+        rs, ri, cum = sorted(ranks), 0, 0
+        for b, c in bl:
+            hit = False
+            while ri < len(rs) and rs[ri] < cum + c:
+                rank_bucket[rs[ri]] = b
+                hit = True
+                ri += 1
+            if hit:
+                bucket_cum[b] = cum
+                total_cand += c
+            cum += c
+            if ri >= len(rs):
+                break
+        plans[gk] = {"n": n, "qpos": qpos, "rank_bucket": rank_bucket,
+                     "bucket_cum": bucket_cum}
+        for b in bucket_cum:
+            target_rows.append(g["raw"] + (b,) + _midbin_bucket_range(b))
+    if total_cand > _MIDBIN_CAND_COLLECT_LIMIT:
+        return None
+    spark = df.sparkSession
+    key_fields = [df.schema[k] for k in keys]
+    tgt_schema = T.StructType(key_fields + [
+        T.StructField("__b", T.IntegerType()),
+        T.StructField("__kind", T.IntegerType()),
+        T.StructField("__p", T.DoubleType()),
+        T.StructField("__sl", T.DoubleType()),
+        T.StructField("__sh", T.DoubleType()),
+        T.StructField("__eq", T.DoubleType()),
+    ])
+    tgt = spark.createDataFrame(target_rows, tgt_schema)
+    val = F.col(v).cast("double")
+    rows = df.select(*keys, val.alias("__v"))
+    vv = F.col("__v")
+    valid = vv.isNotNull() & ~F.isnan(vv)
+    # the collected bucket table knows every group label, so the join
+    # strategy can be exact: plain primitive-key equi-join keeps the
+    # 90M-row probe inside whole-stage codegen (measured ~6× faster
+    # than a struct/null-safe key here); only actual NULL/NaN labels
+    # need the null-safe struct join
+    has_null_key = any(
+        x is None or (isinstance(x, float) and x != x)
+        for g in groups.values() for x in g["raw"])
+    if has_null_key:
+        cand = null_safe_join(rows.where(valid), F.broadcast(tgt), keys)
+    else:
+        cand = rows.where(valid).join(F.broadcast(tgt), on=keys)
+    sc = F.abs(vv) / F.col("__p")
+    inrange = (F.when(F.col("__kind") == 2, vv == F.col("__eq"))
+               .when(F.col("__kind") == 0,
+                     (vv > 0) & (sc >= F.col("__sl"))
+                     & (sc < F.col("__sh")))
+               .otherwise((vv < 0) & (sc >= F.col("__sl"))
+                          & (sc < F.col("__sh"))))
+    # toArrow, NOT toPandas: pandas coerces nullable ints to
+    # float64+NaN, which would break key matching against the
+    # collected bucket-table Rows (0 vs 0.0, None vs NaN)
+    tbl = cand.where(inrange).select(*keys, "__b", "__v").toArrow()
+    bucket_vals: dict = {}
+    kcols = [tbl.column(k).to_pylist() for k in keys]
+    bcol = tbl.column("__b").to_pylist()
+    vcol = tbl.column("__v").to_pylist()
+    # simple python pass (candidate volume is gate-bounded)
+    for i in range(tbl.num_rows):
+        bucket_vals.setdefault(
+            (gkey(tuple(c[i] for c in kcols)), bcol[i]),
+            []).append(vcol[i])
+    for bk in bucket_vals:
+        bucket_vals[bk] = _np.sort(_np.asarray(bucket_vals[bk]))
+    out_rows = []
+    for gk, g in groups.items():
+        pl = plans[gk]
+
+        def at(rank):
+            b = pl["rank_bucket"][rank]
+            arr = bucket_vals.get((gk, b))
+            return float(arr[rank - pl["bucket_cum"][b]])
+
+        for q, qp in zip(qs, pl["qpos"]):
+            if qp is None:
+                out_rows.append(g["raw"] + (float(q), None))
+                continue
+            jl, jh, w = qp
+            lo, hi = at(jl), at(jh)
+            if lo == hi or w == 0:
+                res = lo
+            elif w == 1:
+                res = hi
+            else:
+                res = lo + (hi - lo) * w
+            out_rows.append(g["raw"] + (float(q), res))
+    out_schema = T.StructType(key_fields + [
+        T.StructField("quantile", T.DoubleType()),
+        T.StructField(v, T.DoubleType()),
+    ])
+    return spark.createDataFrame(out_rows, out_schema)
+
+
+def _grouped_quantile_midbin(df: DataFrame, keys: list, v: str, qs: list,
+                             method: str,
+                             probe=None) -> DataFrame:
+    """Exact per-group quantiles in TWO full scans — the middle plan
+    between the buffered aggregate and the 4-pass equi-width histogram:
+
+    1. one map-side-combined ``groupBy(keys, bucket).count`` over the
+       fixed 1/16-octave buckets of :func:`_sortable_bin` (no stats
+       pass — the buckets don't need min/max);
+    2. cumulative counts locate each order statistic's bucket (tiny,
+       window over ≤ a few thousand buckets per group); a broadcast
+       semi-join pulls ONLY candidate-bucket rows out of the second
+       scan, which get a per-bucket row_number — a ~n/buckets-sized
+       slice per group, never an aggregation buffer.
+
+    Worst case (a whole group inside one 1/16-octave bucket) sorts the
+    group in one task, which is why the plan is gated by
+    ``grouped_quantile_midbin_limit``; beyond it the equi-width
+    histogram plan splits tight clusters by value range instead.
+
+    Returns long form: ``keys… , quantile, v`` (all-null groups kept,
+    value null — same contract as the histogram plan).
+    """
+    from xarray_spark._utils import null_safe_join
+    val = F.col(v).cast("double")
+    rows = df.select(*keys, val.alias("__v"))
+    vv = F.col("__v")
+    valid = vv.isNotNull() & ~F.isnan(vv)
+    hist = hist_rows = None
+    if probe is not None:
+        hist, hist_rows = probe
+    if hist is None:
+        # the bucket table feeds targets AND the all-null-group
+        # reinstate branch — materialize so the scan behind it runs
+        # ONCE (the plan picker usually hands it in pre-materialized,
+        # in which case the decision scan WAS stage 1)
+        hist = _midbin_hist(df, keys, v).localCheckpoint(eager=True)
+        hist_rows = _midbin_collect(hist, keys)
+    if hist_rows is not None:
+        # driver finish: order-statistic buckets computed in Python,
+        # one broadcast range-join collect, numpy finish — skips the
+        # window/union/explode job parade entirely
+        local = _grouped_quantile_midbin_local(df, keys, v, qs, method,
+                                               hist_rows)
+        if local is not None:
+            return local
+    wk = Window.partitionBy(*keys)
+    wcum = wk.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    valb = F.col("__b") != _MIDBIN_NULL
+    cnt = F.when(valb, F.col("__c")).otherwise(F.lit(0))
+    hist2 = (hist
+             .withColumn("__cum", F.coalesce(F.sum(cnt).over(wcum),
+                                             F.lit(0)))
+             .withColumn("__n", F.sum(cnt).over(wk)))
+    n = F.col("__n")
+    pos = [_quantile_positions(method, float(x), n) for x in qs]
+    need = F.lit(False)
+    for j_lo, j_hi, _ in pos:
+        for j in (j_lo, j_hi):
+            need = need | ((n > 0) & valb & (j >= F.col("__cum"))
+                           & (j < F.col("__cum") + F.col("__c")))
+    targets = hist2.where(need).select(*keys, "__b", "__cum", "__n")
+    # candidate extraction joins the tiny target table (≤ 2·|qs|
+    # buckets per group) on the KEYS ONLY and tests membership by the
+    # bucket's VALUE RANGE, decoded from the bucket id on the ~rows²
+    # side of nothing (the target table) — re-evaluating _sortable_bin
+    # on the big scan would let Catalyst duplicate its CASE tree ~6×
+    # into the pushed-down join-key filter (measured 41 s vs ~2 s for
+    # the scan itself).  Membership compares ``abs(v) / 2^e`` against
+    # exact sixteenths — the same exact scaling the binning used, so
+    # the two scans agree on every boundary, subnormals included.
+    tb, ab = F.col("__b"), F.abs(F.col("__b"))
+    te = (F.floor(ab / 16) - 1100).cast("double")
+    tsub = (ab % 16).cast("double")
+    kind = (F.when((tb == 0) | (ab == F.lit(1 << 30)), F.lit(2))
+            .when(tb > 0, F.lit(0)).otherwise(F.lit(1)))
+    eqv = (F.when(tb == 0, F.lit(0.0))
+           .when(tb == F.lit(1 << 30), F.lit(float("inf")))
+           .when(tb == F.lit(-(1 << 30)), F.lit(float("-inf"))))
+    targets = targets.select(
+        *keys, "__b", "__cum", "__n", kind.alias("__kind"),
+        F.pow(F.lit(2.0), te).alias("__p"),
+        (F.lit(1.0) + tsub / 16).alias("__sl"),
+        (F.lit(1.0) + (tsub + 1) / 16).alias("__sh"),
+        eqv.alias("__eq"))
+    # null-safe keys — NULL group labels survive groupBy and must
+    # survive this join too
+    cand = null_safe_join(rows.where(valid), F.broadcast(targets), keys)
+    sc = F.abs(vv) / F.col("__p")
+    inrange = (F.when(F.col("__kind") == 2, vv == F.col("__eq"))
+               .when(F.col("__kind") == 0,
+                     (vv > 0) & (sc >= F.col("__sl"))
+                     & (sc < F.col("__sh")))
+               .otherwise((vv < 0) & (sc >= F.col("__sl"))
+                          & (sc < F.col("__sh"))))
+    cand = cand.where(inrange)
+    wloc = Window.partitionBy(*keys, "__b").orderBy("__v")
+    ranked = cand.withColumn(
+        "__i", F.col("__cum") + F.row_number().over(wloc) - 1)
+    i = F.col("__i")
+    cond = F.lit(False)
+    pre_cols = []
+    for m, (j_lo, j_hi, wgt) in enumerate(pos):
+        cond = cond | (i == j_lo) | (i == j_hi)
+        pre_cols.append(F.when(i == j_lo, vv).alias(f"__lo_{m}"))
+        pre_cols.append(F.when(i == j_hi, vv).alias(f"__hi_{m}"))
+        pre_cols.append(wgt.alias(f"__w_{m}"))
+    pre = ranked.where(cond).select(*keys, *pre_cols)
+    aggs = []
+    for m in range(len(qs)):
+        aggs += [F.max(f"__lo_{m}").alias(f"__lo_{m}"),
+                 F.max(f"__hi_{m}").alias(f"__hi_{m}"),
+                 F.max(f"__w_{m}").alias(f"__w_{m}")]
+    per_group = pre.groupBy(*keys).agg(*aggs)
+    # all-null groups never reach a target bucket — reinstate with nulls
+    empty = (hist2.where(n == 0).select(*keys).distinct()
+             .select(*keys,
+                     *[c for m in range(len(qs)) for c in (
+                         F.lit(None).cast("double").alias(f"__lo_{m}"),
+                         F.lit(None).cast("double").alias(f"__hi_{m}"),
+                         F.lit(None).cast("double").alias(f"__w_{m}"))]))
+    per_group = per_group.unionByName(empty)
+    structs = []
+    for m, x in enumerate(qs):
+        lo, hi = F.col(f"__lo_{m}"), F.col(f"__hi_{m}")
+        wgt = F.col(f"__w_{m}")
+        # short-circuits mirror the histogram plan: -inf + (inf)*0
+        # would poison an exact order statistic with NaN
+        res = (F.when(lo == hi, lo)
+               .when(wgt == 0, lo)
+               .when(wgt == 1, hi)
+               .otherwise(lo + (hi - lo) * wgt))
+        structs.append(F.struct(F.lit(float(x)).alias("q"),
+                                res.alias("v")))
+    out = per_group.select(*keys,
+                           F.explode(F.array(*structs)).alias("__qs"))
+    return out.select(*keys, F.col("__qs.q").alias("quantile"),
+                      F.col("__qs.v").alias(v))
 
 
 def _grouped_quantile_hist(df: DataFrame, keys: list, v: str, qs: list,
@@ -582,6 +995,27 @@ class XDataset:
                 continue  # stale — never carry forward
             new_own = tuple(d for d in own if d not in reduced)
             if set(new_own) != set(keep):
+                out[v] = new_own
+        return out
+
+    def _vd_after_quantile(self, reduced, keep) -> dict:
+        """var_dims after quantile(): the result gains a 'quantile' dim.
+        A var with any overlap with the reduced set went through the
+        var-level quantile, so its values vary per quantile — prepend
+        'quantile' to its surviving own dims.  A no-overlap var is left
+        untouched by the reference (xarray core/dataset.py:8387-8403);
+        here its value is replicated along the new dim, so it keeps an
+        explicit entry WITHOUT 'quantile' even when its surviving own
+        dims equal the kept dims."""
+        out = {}
+        for v, own in (self.var_dims or {}).items():
+            if not set(own) <= set(self.dims):
+                continue  # stale — never carry forward
+            new_own = tuple(d for d in own if d not in reduced)
+            if set(own) & set(reduced):
+                if set(new_own) != set(keep):
+                    out[v] = ("quantile",) + new_own
+            else:
                 out[v] = new_own
         return out
 
@@ -1366,6 +1800,8 @@ class XDataset:
         kwargs = {**(variables or {}), **kwargs}
         df = self.df
         new_vars = list(self.data_vars)
+        new_dims = list(self.dims)
+        new_vd = dict(self.var_dims or {})
         for name, value in kwargs.items():
             if callable(value) and not isinstance(value, Column):
                 value = value(self)
@@ -1375,21 +1811,40 @@ class XDataset:
                 # join its single var back on the shared dim columns
                 src = value.data_vars[0]
                 shared = [d for d in value.dims if d in df.columns]
+                extra = [d for d in value.dims if d not in new_dims]
+                if extra:
+                    # value carries dims self lacks: the result gains
+                    # them (reference assign broadcasts the frame along
+                    # the new dims) — everything already on the frame
+                    # is CONSTANT along them, so record broadcast-var
+                    # entries before the row-multiplying join
+                    for v in new_vars:
+                        new_vd.setdefault(v, tuple(new_dims))
                 sub = value.df.select(
-                    *shared, F.col(src).alias(f"__as_{name}"))
+                    *shared, *extra, F.col(src).alias(f"__as_{name}"))
                 df = (df.join(sub, on=shared, how="left")
                       if shared else df.crossJoin(F.broadcast(sub)))
                 df = df.withColumn(name, F.col(f"__as_{name}")) \
                        .drop(f"__as_{name}")
+                if extra:
+                    new_dims = new_dims + extra
+                if set(value.dims) != set(new_dims):
+                    new_vd[name] = tuple(value.dims)
+                else:
+                    new_vd.pop(name, None)
             else:
                 if isinstance(value, str):
                     value = F.expr(value)
                 if not isinstance(value, Column):
                     value = F.lit(value)
                 df = df.withColumn(name, value)
+                new_vd.pop(name, None)
             if name not in new_vars and name not in self.coords and name not in self.dims:
                 new_vars.append(name)
-        return self._replace(df=df, data_vars=new_vars)
+        new_vd = {v: own for v, own in new_vd.items()
+                  if set(own) != set(new_dims)}
+        return self._replace(df=df, data_vars=new_vars, dims=new_dims,
+                             var_dims=new_vd)
 
     def assign_coords(self, coords: Mapping | None = None,
                       **kwargs) -> "XDataset":
@@ -1942,10 +2397,10 @@ class XDataset:
                       if keys else stage1.agg(*sub_aggs))
             if df is None:
                 df = stage2
-            elif keys:
-                df = df.join(stage2, keys)
             else:
-                df = df.crossJoin(stage2)  # both single-row
+                # null-safe: groupBy keeps NULL key labels, `=` drops them
+                from xarray_spark._utils import null_safe_join
+                df = null_safe_join(df, stage2, keys)
         df = df.select(*keys, *varlist)
         return self._replace(df=df, dims=keep, coords=coords,
                              data_vars=varlist,
@@ -2041,9 +2496,18 @@ class XDataset:
             # (and, for constructor-broadcast vars, quantile()'s
             # de-duplicating split — duplicates shift rank statistics)
             q = self.quantile(0.5, dim=dim, skipna=skipna)
-            return q._replace(df=q.df.drop("quantile"),
-                              dims=[d for d in q.dims if d != "quantile"],
-                              attrs=self._resolve_attrs(keep_attrs))
+            mdims = [d for d in q.dims if d != "quantile"]
+            # strip 'quantile' from the surviving broadcast-var entries
+            # (the dim is dropped here); entries now spanning every
+            # kept dim drop out
+            mvd = {}
+            for v, own in (q.var_dims or {}).items():
+                new_own = tuple(d for d in own if d != "quantile")
+                if set(new_own) != set(mdims):
+                    mvd[v] = new_own
+            return q._replace(df=q.df.drop("quantile"), dims=mdims,
+                              attrs=self._resolve_attrs(keep_attrs),
+                              var_dims=mvd)
         return self._reduce(dim, lambda v: F.expr(f"percentile({v}, 0.5)"),
                             "median", skipna, keep_attrs)
 
@@ -2130,30 +2594,48 @@ class XDataset:
                 sub_ds = XDataset(sub, keep + list(own_red), coords, [v])
                 parts.append(sub_ds.quantile(q, dim=list(own_red),
                                              approx=approx, method=method))
+            from xarray_spark._utils import null_safe_join
             df = parts[0].df
             for p in parts[1:]:
-                df = df.join(p.df, on=["quantile"] + keys)
+                df = null_safe_join(df, p.df, ["quantile"] + keys)
             df = df.select("quantile", *keys, *varlist)
             return self._replace(df=df, dims=["quantile"] + keep,
                                  coords=coords, data_vars=varlist,
                                  attrs=self._resolve_attrs(keep_attrs),
-                                 var_dims=self._vd_after_reduce(dims, keep))
+                                 var_dims=self._vd_after_quantile(dims, keep))
         if not keys and not approx:
             qdf = self._quantile_ungrouped(qs, varlist, method)
             return self._replace(df=qdf, dims=["quantile"], coords={},
                                  attrs=self._resolve_attrs(keep_attrs),
-                                 data_vars=varlist)
-        if keys and not approx and _grouped_quantile_needs_hist(self.df, keys):
-            # some group exceeds the buffer limit: distributed per-group
-            # histogram selection — exact, never buffers a group
+                                 data_vars=varlist,
+                                 var_dims=self._vd_after_quantile(dims, keep))
+        plan, probe = (_grouped_quantile_plan(self.df, keys,
+                                              probe_var=varlist[0])
+                       if keys and not approx and varlist
+                       else ("buffer", None))
+        if plan != "buffer":
+            # some group exceeds the buffer limit: either the two-scan
+            # fixed-bucket selection (candidate slice fits one task) or
+            # the distributed per-group histogram selection — both
+            # exact, neither buffers a group in an aggregation buffer
             from functools import reduce as _reduce_fn
-            parts = [_grouped_quantile_hist(self.df, keys, v, qs, method)
-                     for v in varlist]
-            df = _reduce_fn(lambda a, b: a.join(b, on=keys + ["quantile"]),
-                            parts)
+            from xarray_spark._utils import null_safe_join
+            if plan == "midbin":
+                parts = [_grouped_quantile_midbin(
+                    self.df, keys, v, qs, method,
+                    probe=probe if i == 0 else None)
+                    for i, v in enumerate(varlist)]
+            else:
+                parts = [_grouped_quantile_hist(self.df, keys, v, qs,
+                                                method)
+                         for v in varlist]
+            df = _reduce_fn(
+                lambda a, b: null_safe_join(a, b, keys + ["quantile"]),
+                parts)
             return self._replace(df=df, dims=["quantile"] + keep,
                                  attrs=self._resolve_attrs(keep_attrs),
-                                 coords=coords, data_vars=varlist)
+                                 coords=coords, data_vars=varlist,
+                                 var_dims=self._vd_after_quantile(dims, keep))
         if approx:
             qarr = "array({})".format(", ".join(repr(float(x)) for x in qs))
             aggs = [
@@ -2193,7 +2675,8 @@ class XDataset:
         )
         return self._replace(df=df, dims=["quantile"] + keep, coords=coords,
                              data_vars=varlist,
-                             attrs=self._resolve_attrs(keep_attrs))
+                             attrs=self._resolve_attrs(keep_attrs),
+                             var_dims=self._vd_after_quantile(dims, keep))
 
     def _quantile_ungrouped(self, qs: list, varlist: list, method: str) -> DataFrame:
         """Distributed exact quantiles of whole columns — histogram-
@@ -4036,6 +4519,13 @@ class XDataset:
         var_attrs = (self.attrs.get("__var__", {})
                      if isinstance(self.attrs, dict) else {})
         top_attrs = {k: v for k, v in self.attrs.items() if k != "__var__"}
+        if not data:
+            # schema-only request: NO value collection — dtypes come
+            # from df.schema, dim sizes from one countDistinct agg
+            # (the reference's data=False path never materializes
+            # values either).  Collecting here is a driver-OOM hazard
+            # on a 100 TB dataset.
+            return self._to_dict_schema_only(var_attrs, top_attrs)
         pdf = self.df.toPandas()
         sizes = {d: int(pdf[d].nunique()) for d in self.dims}
 
@@ -4071,6 +4561,48 @@ class XDataset:
                          **({"data": labels.tolist()} if data
                             else {"dtype": str(labels.dtype),
                                   "shape": (len(labels),)})}
+        for c, cdims in self.coords.items():
+            coords[c] = entry(c, cdims)
+        dvars = {}
+        for v in self.data_vars:
+            own = self.var_dims.get(v)
+            if own is None or not set(own) <= set(self.dims):
+                own = self.dims
+            dvars[v] = entry(v, own)
+        return {"coords": coords, "attrs": top_attrs,
+                "dims": sizes, "data_vars": dvars}
+
+    def _to_dict_schema_only(self, var_attrs: dict, top_attrs: dict) -> dict:
+        """to_dict(data=False): dtype/shape report without collecting a
+        single value — one countDistinct aggregation for the dim sizes,
+        dtypes read straight off df.schema (mapped to the numpy dtype
+        pandas conversion would produce)."""
+        def np_dtype(name: str) -> str:
+            dt = self.df.schema[name].dataType
+            m = {T.DoubleType: "float64", T.FloatType: "float32",
+                 T.LongType: "int64", T.IntegerType: "int32",
+                 T.ShortType: "int16", T.ByteType: "int8",
+                 T.BooleanType: "bool",
+                 T.TimestampType: "datetime64[ns]",
+                 T.TimestampNTZType: "datetime64[ns]"}
+            for t, s in m.items():
+                if isinstance(dt, t):
+                    return s
+            return "object"  # strings/binary/arrays/decimals
+        if self.dims:
+            row = self.df.agg(*[F.countDistinct(d).alias(d)
+                                for d in self.dims]).collect()[0]
+            sizes = {d: int(row[d]) for d in self.dims}
+        else:
+            sizes = {}
+
+        def entry(name, own):
+            own = tuple(own)
+            return {"dims": own, "attrs": dict(var_attrs.get(name, {})),
+                    "dtype": np_dtype(name),
+                    "shape": tuple(sizes[d] for d in own)}
+
+        coords = {d: entry(d, (d,)) for d in self.dims}
         for c, cdims in self.coords.items():
             coords[c] = entry(c, cdims)
         dvars = {}

@@ -206,7 +206,12 @@ class XGroupBy:
                                F.lit(None)).otherwise(e)
                 sub_aggs.append(e.alias(v))
             stage2 = stage1.groupBy(*group_cols).agg(*sub_aggs)
-            out = stage2 if out is None else out.join(stage2, group_cols)
+            if out is None:
+                out = stage2
+            else:
+                # null-safe: groupBy keeps NULL group keys, `=` drops them
+                from xarray_spark._utils import null_safe_join
+                out = null_safe_join(out, stage2, group_cols)
         if partial:
             out = out.select(*group_cols, *varlist)
         for n in self._key_names:
@@ -324,21 +329,33 @@ class XGroupBy:
         — exact, no group ever buffered, so a 10^9-row group cannot
         OOM an executor."""
         from xarray_spark.dataset import (
-            _grouped_quantile_hist, _grouped_quantile_needs_hist,
-            _quantile_positions)
+            _grouped_quantile_hist, _grouped_quantile_midbin,
+            _grouped_quantile_plan, _quantile_positions)
         prepped = self._prepared()
         kept = self._kept_dims
         coords = self.ds._coords_on(kept)
         varlist = [v for v in self.ds.data_vars
                    if _numeric(self.ds, v) and v not in self._key_names]
         group_cols = [f"__key_{n}" for n in self._key_names] + kept + list(coords)
-        if _grouped_quantile_needs_hist(prepped.df, group_cols):
+        plan, probe = _grouped_quantile_plan(
+            prepped.df, group_cols,
+            probe_var=varlist[0] if varlist else None)
+        if plan != "buffer":
             from functools import reduce as _reduce_fn
-            parts = [_grouped_quantile_hist(prepped.df, group_cols, v,
-                                            qs, method)
-                     for v in varlist]
+            from xarray_spark._utils import null_safe_join
+            if plan == "midbin":
+                parts = [_grouped_quantile_midbin(
+                    prepped.df, group_cols, v, qs, method,
+                    probe=probe if i == 0 else None)
+                    for i, v in enumerate(varlist)]
+            else:
+                parts = [_grouped_quantile_hist(prepped.df, group_cols,
+                                                v, qs, method)
+                         for v in varlist]
             out = _reduce_fn(
-                lambda a, b: a.join(b, on=group_cols + ["quantile"]), parts)
+                lambda a, b: null_safe_join(a, b,
+                                            group_cols + ["quantile"]),
+                parts)
             if scalar:
                 out = out.drop("quantile")
             for n in self._key_names:

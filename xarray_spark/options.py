@@ -27,6 +27,14 @@ OPTIONS: dict = {
     # when the whole table fits; above that one count job decides.
     # None = always buffer (pre-r5 behavior).
     "grouped_quantile_buffer_limit": 4_000_000,
+    # Middle plan between the buffered aggregate and the histogram:
+    # two-scan fixed-bucket (1/16-octave) selection — no stats pass,
+    # no aggregation buffer.  The worst case (a whole group inside ONE
+    # bucket) sorts the group in a single task, so this cap bounds
+    # that task's sort (64M doubles ≈ 512 MB, spill-backed); above it
+    # the 4-pass equi-width histogram splits tight clusters by value
+    # range instead.  None = never take the midbin plan.
+    "grouped_quantile_midbin_limit": 64_000_000,
 }
 
 _VALID = {
