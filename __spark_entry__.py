@@ -2193,6 +2193,72 @@ def q131_pack_nosplit(spark, sf_dir):
                       "bin_fill", "oversize")
 
 
+def q136_curation_pipeline(spark, sf_dir):
+    """End-to-end curation PIPELINE gate — the actual 100 TB use case
+    is the COMPOSITION, and every inter-operator contract the unit
+    gates cannot see is exercised here: id stability across stages,
+    the text flowing forward as c4's ``clean_text``, flag-vs-drop
+    composition, and dedup/decontamination ordering.
+
+    Five chained stages over documents.parquet:
+      1. **C4 cleaning** (extras.curation.c4_filter) on deterministic
+         staged text — ``" value" -> ".\\n"`` creates punctuated
+         lines everywhere, while ``" slow slow " -> " { "``,
+         ``" batch batch " -> " lorem ipsum "`` and
+         ``" big vector " -> " nsfwterm "`` plant each page-drop rule
+         in a MINORITY of documents so every rule fires without
+         emptying the corpus; survivors continue with the
+         line-filtered ``clean_text``;
+      2. **Gopher quality rules** (gopher_filter) on the CLEANED text;
+      3. **exact dedup** (dedup.dedup_exact) — duplicates planted by
+         unioning every 40th staged doc under ``id + 10_000_000``
+         (keep='first' must retain the ORIGINAL id);
+      4. **5-gram decontamination** (decontaminate_ngrams,
+         mode='drop') against the every-25th-document eval slice;
+      5. **no-straddle packing** (pack_sequences_nosplit, 256-token
+         bins, 8 md5 buckets) of the survivors.
+
+    Scale shape: stages 1-2 are map-only JVM projections, stage 3 is
+    one hash-fingerprint shuffle, stage 4 a broadcast semi-probe with
+    a left-anti, stage 5 one bucket-keyed shuffle + Arrow recurrence
+    — the chain adds NO shuffle beyond its stages' own.  The oracle
+    replays all five stages in one chained CTE (sf0.01: 513 staged
+    docs -> 207 after C4 -> 143 after Gopher -> 133 after dedup ->
+    129 packed)."""
+    from xarray_spark.extras.curation import (
+        c4_filter, decontaminate_ngrams, gopher_filter,
+        pack_sequences_nosplit)
+    from xarray_spark.extras.dedup import dedup_exact
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(F.coalesce(F.col("text"), F.lit("")),
+                              F.lit(" value"), F.lit(".\n")),
+                    F.lit(" slow slow "), F.lit(" { ")),
+                F.lit(" batch batch "), F.lit(" lorem ipsum ")),
+            F.lit(" big vector "), F.lit(" nsfwterm ")).alias("text"))
+    dup = staged.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    corpus = staged.unionByName(dup)
+    c4 = c4_filter(corpus, min_line_words=2, min_sentences=2,
+                   badwords=("nsfwterm",))
+    s1 = c4.where("passes").select(
+        "doc_id", F.col("clean_text").alias("text"))
+    g = gopher_filter(s1, min_words=12, max_words=2000,
+                      min_mean_word_len=3.0, max_mean_word_len=8.0,
+                      min_alpha_word_frac=0.8, min_stopword_hits=1)
+    s2 = s1.join(g.where("passes").select("doc_id"), "doc_id")
+    s3 = dedup_exact(s2, "text", "doc_id")
+    ev = staged.where(F.col("doc_id") % 25 == 0)
+    s4 = decontaminate_ngrams(s3, ev, n=5, mode="drop")
+    out = pack_sequences_nosplit(s4, budget=256, n_buckets=8)
+    return out.select("doc_id", "bucket", "n_tokens", "bin",
+                      "bin_fill", "oversize")
+
+
 def q126_semdedup_trained(spark, sf_dir):
     """SemDeDup with a TRAINED codebook (extras.similarity.
     semdedup_train_centroids + semdedup_pairs(centroids_q=…)) — the
@@ -2289,53 +2355,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: every implemented operator, one entry each.
 
     ORDERING IS DELIBERATE: the driver's correctness gate evaluates the
-    first 50 entries, so the window rotates per round.  The ROUND-7
-    window front-loads (a) the debutants q134 (trained-IVF top-k,
-    end-to-end value-verified via integer-exact unrolled Lloyd — the
-    q126 recipe; q64_ivf_topk, the registry's last rows-only query, is
-    RETIRED in its favor, so every registry query is now hash-verified;
-    `ivf_fit`/`ivf_topk` remain in the library for float-KMeans
-    exploratory use) and q135 (the ngram_lm_score ``thresholds=``
-    production path — map-only fixed-cutpoint bucketing, no global
-    sort; q01 still leads so the cheapest scan+agg absorbs session
-    spin-up);
-    (b) every query whose code path changed this round: q132 (DSIR
-    log-ratio quantization reworked to a single ln of one exact
-    integer rational, num==den pinned to 0 — removes the four-term
-    libm cancellation hazard), and the quantile/median family
-    (q74/q15/q16/q39/q115 — quantile() and median() gained the
-    broadcast-var de-duplicating split for dict-constructor datasets);
-    and (c) the ROTATION-DEBT recall the round-6 verdict ordered —
-    q35 leads the recalls (to settle its +18% r6 drift with a fresh
-    gate row), then q34, the r5 debutants displaced in r6
-    (q114/q116/q117/q118/q121-q125), and the long-idle anchors
-    q02/q04-q10, q36/q95/q59/q33/q13/q43, q44/q45/q29/q84/q54/q62,
-    q14/q70/q78/q65/q66/q60/q111, q53/q81/q58 — ≥40 below-fold
-    recalls, far past the ≥10 the discipline requires.
-    Displaced below the fold: the ENTIRE round-6 window remainder —
-    q126-q131, q133, q119/q120, all five streaming gates (q109/q85
-    now carry the permanent state-machine-floor stance, SCALE.md
-    round 7), q27/q19/q106/q21, q99-q105, q98/q110,
-    q46/q51/q52/q61/q63/q79/q97/q112/q113, q88-q94 — every one
-    double-green (fresh r6 driver row + local oracle) with code paths
-    round 7 did NOT touch.
+    first 50 entries, so the window rotates per round.  The ROUND-8
+    window front-loads (a) the debutant q136 (the end-to-end curation
+    PIPELINE — C4 → Gopher → exact dedup → 5-gram decontamination →
+    no-straddle packing under ONE chained-CTE oracle; q01 still leads
+    so the cheapest scan+agg absorbs session spin-up);
+    (b) every query whose code path round 8 touched: the
+    quantile/median family q74/q15/q16/q39/q115 (the new midbin
+    middle plan + the plan picker + the null-safe parts joins;
+    q115 still pins the histogram plan via buffer_limit=1);
+    and (c) the ROTATION-DEBT recall the round-7 verdict ordered —
+    the ENTIRE displaced r6-window remainder returns: the q136 stage
+    units q127/q128/q130/q131/q30 (their composition is the new gate,
+    so their unit contracts deserve fresh rows beside it), q126/q129/
+    q133, q119/q120, all five streaming gates (q109/q85 keep the
+    permanent state-machine-floor stance, SCALE.md round 7),
+    q27/q19/q106/q21, q99-q105, q98/q110,
+    q46/q51/q52/q61/q63/q79/q97/q112/q113, q88-q93 —
+    48 below-fold recalls, far past the ≥10 the discipline requires.
+    Displaced below the fold: the round-7 window (q134/q135/q132,
+    q35/q34, q114/q116-q118/q121-q125, q02/q04-q10, and the anchor
+    block through q58) — every one double-green with a FRESH round-7
+    driver row and code paths round 8 did not touch (the r8 quantile
+    work is covered by the family retained in-window).
     Everything below the window carries a green driver row from
-    rounds 1-6 and stays covered by tests/test_oracle.py at sf0.001
+    rounds 1-7 and stays covered by tests/test_oracle.py at sf0.001
     each round.
     """
     return {
-        # ---- ROUND-7 GATE WINDOW (first 50) ----
+        # ---- ROUND-8 GATE WINDOW (first 50) ----
         # (q01 leads: the first query also absorbs residual session
         # spin-up; a plain scan+agg is the cheapest place to pay it)
         "q01_pricing_summary": q01_pricing_summary,
-        "q134_ivf_trained": q134_ivf_trained,
-        "q135_lm_buckets_thresholds": q135_lm_buckets_thresholds,
-        "q132_dsir": q132_dsir,
+        "q136_curation_pipeline": q136_curation_pipeline,
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
         "q16_groupby_median": q16_groupby_median,
         "q39_groupby_quantile": q39_groupby_quantile,
         "q115_grouped_quantile_hist": q115_grouped_quantile_hist,
+        "q127_gopher_filter": q127_gopher_filter,
+        "q128_c4_filter": q128_c4_filter,
+        "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
+        "q131_pack_nosplit": q131_pack_nosplit,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q126_semdedup_trained": q126_semdedup_trained,
+        "q129_ngram_lm_score": q129_ngram_lm_score,
+        "q133_pii_redact": q133_pii_redact,
+        "q119_dedup_substrings": q119_dedup_substrings,
+        "q120_semdedup": q120_semdedup,
+        "q67_stream_resample": q67_stream_resample,
+        "q109_stream_interval_join": q109_stream_interval_join,
+        "q96_stream_sessionize": q96_stream_sessionize,
+        "q85_stream_asof": q85_stream_asof,
+        "q87_stream_dedup": q87_stream_dedup,
+        "q27_str_ops": q27_str_ops,
+        "q19_binary_align": q19_binary_align,
+        "q106_complex_phase": q106_complex_phase,
+        "q21_reindex_fill": q21_reindex_fill,
+        "q99_sel_partial_string": q99_sel_partial_string,
+        "q100_sel_negative_step": q100_sel_negative_step,
+        "q101_ewm_corr": q101_ewm_corr,
+        "q102_coarsen_construct": q102_coarsen_construct,
+        "q103_coarsen_reduce": q103_coarsen_reduce,
+        "q104_interp_calendar": q104_interp_calendar,
+        "q105_argmax_grid": q105_argmax_grid,
+        "q98_chunk_documents": q98_chunk_documents,
+        "q110_dedup_lines": q110_dedup_lines,
+        "q46_resample_6h": q46_resample_6h,
+        "q51_lsh_topk": q51_lsh_topk,
+        "q52_embedding_near_dups": q52_embedding_near_dups,
+        "q61_nearest_points": q61_nearest_points,
+        "q63_lsh_multiprobe": q63_lsh_multiprobe,
+        "q79_sel_step": q79_sel_step,
+        "q97_ivf_fixed": q97_ivf_fixed,
+        "q112_pq_topk": q112_pq_topk,
+        "q113_ivfpq_topk": q113_ivfpq_topk,
+        "q88_hash_sample": q88_hash_sample,
+        "q89_hash_split": q89_hash_split,
+        "q90_stratified_sample": q90_stratified_sample,
+        "q91_decontaminate": q91_decontaminate,
+        "q92_pack_sequences": q92_pack_sequences,
+        "q93_shuffle_rank": q93_shuffle_rank,
+        # ---- below the window: fresh r7 rows / earlier greens stand --
+        "q134_ivf_trained": q134_ivf_trained,
+        "q135_lm_buckets_thresholds": q135_lm_buckets_thresholds,
+        "q132_dsir": q132_dsir,
         "q35_simhash": q35_simhash,
         "q34_minhash_lsh": q34_minhash_lsh,
         "q114_encoded_groups": q114_encoded_groups,
@@ -2377,51 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_ngram_jaccard": q53_ngram_jaccard,
         "q81_dedup_clusters": q81_dedup_clusters,
         "q58_where_aligned": q58_where_aligned,
-        # ---- below the window: green rows from rounds 1-6 stand ----
-        "q126_semdedup_trained": q126_semdedup_trained,
-        "q127_gopher_filter": q127_gopher_filter,
-        "q128_c4_filter": q128_c4_filter,
-        "q129_ngram_lm_score": q129_ngram_lm_score,
-        "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
-        "q131_pack_nosplit": q131_pack_nosplit,
-        "q133_pii_redact": q133_pii_redact,
-        "q119_dedup_substrings": q119_dedup_substrings,
-        "q120_semdedup": q120_semdedup,
-        "q67_stream_resample": q67_stream_resample,
-        "q109_stream_interval_join": q109_stream_interval_join,
-        "q96_stream_sessionize": q96_stream_sessionize,
-        "q85_stream_asof": q85_stream_asof,
-        "q87_stream_dedup": q87_stream_dedup,
-        "q27_str_ops": q27_str_ops,
-        "q19_binary_align": q19_binary_align,
-        "q106_complex_phase": q106_complex_phase,
-        "q21_reindex_fill": q21_reindex_fill,
-        "q99_sel_partial_string": q99_sel_partial_string,
-        "q100_sel_negative_step": q100_sel_negative_step,
-        "q101_ewm_corr": q101_ewm_corr,
-        "q102_coarsen_construct": q102_coarsen_construct,
-        "q103_coarsen_reduce": q103_coarsen_reduce,
-        "q104_interp_calendar": q104_interp_calendar,
-        "q105_argmax_grid": q105_argmax_grid,
-        "q98_chunk_documents": q98_chunk_documents,
-        "q110_dedup_lines": q110_dedup_lines,
-        "q46_resample_6h": q46_resample_6h,
-        "q51_lsh_topk": q51_lsh_topk,
-        "q52_embedding_near_dups": q52_embedding_near_dups,
-        "q61_nearest_points": q61_nearest_points,
-        "q63_lsh_multiprobe": q63_lsh_multiprobe,
-        "q79_sel_step": q79_sel_step,
-        "q97_ivf_fixed": q97_ivf_fixed,
-        "q112_pq_topk": q112_pq_topk,
-        "q113_ivfpq_topk": q113_ivfpq_topk,
-        "q88_hash_sample": q88_hash_sample,
-        "q89_hash_split": q89_hash_split,
-        "q90_stratified_sample": q90_stratified_sample,
-        "q91_decontaminate": q91_decontaminate,
-        "q92_pack_sequences": q92_pack_sequences,
-        "q93_shuffle_rank": q93_shuffle_rank,
         "q94_audio_features": q94_audio_features,
-        "q30_dedup_exact": q30_dedup_exact,
         "q72_zarr_roundtrip": q72_zarr_roundtrip,
         "q28_dt_fields": q28_dt_fields,
         "q75_interp_zero": q75_interp_zero,
@@ -3120,6 +3180,155 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY bucket
                                         ORDER BY doc_id) AS rn
               FROM t),
+            packed AS (
+              SELECT doc_id, bucket, n_tokens, rn,
+                     0::BIGINT AS bin, n_tokens AS bin_fill
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.doc_id, s.bucket, s.n_tokens, s.rn,
+                     CASE WHEN p.bin_fill + s.n_tokens > 256
+                          THEN p.bin + 1 ELSE p.bin END,
+                     CASE WHEN p.bin_fill + s.n_tokens > 256
+                          THEN s.n_tokens
+                          ELSE p.bin_fill + s.n_tokens END
+              FROM seq s JOIN packed p
+                ON s.bucket = p.bucket AND s.rn = p.rn + 1)
+            SELECT doc_id, bucket, n_tokens, bin, bin_fill,
+                   n_tokens > 256 AS oversize
+            FROM packed
+        """,
+        "q136_curation_pipeline": f"""
+            WITH RECURSIVE staged AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(coalesce(text, ''),
+                         ' value', '.' || chr(10)),
+                         ' slow slow ', ' {{ '),
+                         ' batch batch ', ' lorem ipsum '),
+                         ' big vector ', ' nsfwterm ') AS t
+              FROM documents),
+            corpus AS (
+              SELECT doc_id, t FROM staged
+              UNION ALL
+              SELECT doc_id + 10000000, t FROM staged
+              WHERE doc_id % 40 = 0),
+            -- stage 1: C4 line filter + page rules
+            lined AS (
+              SELECT doc_id, t, string_split(t, chr(10)) AS ls
+              FROM corpus),
+            c4kept AS (
+              SELECT doc_id, t,
+                     list_filter(ls, l ->
+                       regexp_matches(trim(l), '[.!?"]$')
+                       AND len(regexp_split_to_array(trim(l),
+                                                     '\\s+')) >= 2
+                       AND NOT contains(lower(l), 'javascript')) AS ks
+              FROM lined),
+            c4clean AS (
+              SELECT doc_id, t,
+                     coalesce(list_aggregate(
+                       list_transform(ks, l -> trim(l)),
+                       'string_agg', chr(10)), '') AS clean
+              FROM c4kept),
+            c4 AS (
+              SELECT doc_id, clean AS t
+              FROM c4clean
+              WHERE len(regexp_extract_all(clean, '[.!?]')) >= 2
+                AND NOT contains(lower(t), 'lorem ipsum')
+                AND NOT contains(t, '{{')
+                AND NOT regexp_matches(lower(t), '\\bnsfwterm\\b')),
+            -- stage 2: Gopher quality rules on the CLEANED text
+            gw AS (
+              SELECT doc_id, t,
+                     regexp_split_to_array(trim(t), '\\s+') AS ws
+              FROM c4),
+            gsig AS (
+              SELECT doc_id, t, ws,
+                     CASE WHEN trim(t) = '' THEN 0
+                          ELSE len(ws) END AS n_words
+              FROM gw),
+            gm AS (
+              SELECT doc_id, t, n_words,
+                     CASE WHEN n_words > 0 THEN
+                       ROUND(list_sum(list_transform(ws, x -> len(x)))
+                             / n_words + 1e-9, 6)
+                     ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN n_words > 0 THEN
+                       ROUND(((len(t) - len(replace(t, '#', '')))
+                              + CAST((len(t) - len(replace(t, '...', '')))
+                                     // 3 AS BIGINT))
+                             / n_words + 1e-9, 6)
+                     ELSE 0.0 END AS symbol_ratio,
+                     CASE WHEN n_words > 0 THEN
+                       ROUND(len(list_filter(ws,
+                               x -> regexp_matches(x, '[a-zA-Z]')))
+                             / n_words + 1e-9, 6)
+                     ELSE 0.0 END AS alpha_frac,
+                     CAST(len(list_filter(ws, x -> list_contains(
+                       ['the','be','to','of','and','that','have','with'],
+                       lower(x)))) AS BIGINT) AS stop_hits
+              FROM gsig),
+            gok AS (
+              SELECT doc_id, t FROM gm
+              WHERE n_words >= 12 AND n_words <= 2000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 8.0
+                AND symbol_ratio <= 0.1
+                AND alpha_frac >= 0.8
+                AND stop_hits >= 1),
+            -- stage 3: exact dedup (keep first id per normalized text)
+            dd AS (
+              SELECT doc_id, t,
+                     regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')
+                       AS fp
+              FROM gok),
+            dkept AS (
+              SELECT doc_id, t FROM dd
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY fp
+                                         ORDER BY doc_id) = 1),
+            -- stage 4: 5-gram decontamination vs the every-25th slice
+            wsv AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(t)), '\\s+') AS w
+              FROM dkept),
+            gv AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(w) >= 5 THEN
+                       list_transform(range(1, len(w) - 3),
+                         i -> array_to_string(
+                                list_slice(w, i, i + 4), ' '))
+                     ELSE [] END) AS gram
+              FROM wsv),
+            gvv AS (SELECT doc_id, gram FROM gv WHERE len(gram) > 0),
+            evw AS (
+              SELECT regexp_split_to_array(lower(trim(t)), '\\s+') AS w
+              FROM staged WHERE doc_id % 25 = 0),
+            evg0 AS (
+              SELECT unnest(CASE WHEN len(w) >= 5 THEN
+                       list_transform(range(1, len(w) - 3),
+                         i -> array_to_string(
+                                list_slice(w, i, i + 4), ' '))
+                     ELSE [] END) AS gram
+              FROM evw),
+            evg AS (SELECT DISTINCT gram FROM evg0
+                    WHERE len(gram) > 0),
+            bad AS (SELECT DISTINCT doc_id
+                    FROM gvv JOIN evg USING (gram)),
+            survivors AS (
+              SELECT doc_id, t FROM dkept
+              WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+            -- stage 5: no-straddle packing of the survivors
+            pt AS (
+              SELECT doc_id,
+                     CASE WHEN len(trim(t)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(t),
+                                                         '\\s+'))
+                     END::BIGINT AS n_tokens,
+                     ({_sql_md5l('doc_id::VARCHAR')} % 8) AS bucket
+              FROM survivors),
+            seq AS (
+              SELECT doc_id, bucket, n_tokens,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY doc_id) AS rn
+              FROM pt),
             packed AS (
               SELECT doc_id, bucket, n_tokens, rn,
                      0::BIGINT AS bin, n_tokens AS bin_fill

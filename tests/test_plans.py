@@ -323,3 +323,41 @@ def test_trained_ivf_has_no_ml_jobs(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert out.count() > 0
+
+
+def test_apply_ufunc_elementwise_is_map_only(spark):
+    """apply_ufunc's elementwise (no core dims) contract: ONE Arrow
+    mapInPandas pass over the input frame — no Exchange anywhere in
+    the single-input plan (round-8 guard; the multi-input form adds
+    only the broadcast-able align join)."""
+    import numpy as np
+    import pandas as pd
+    from xarray_spark import XDataset, apply_ufunc
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [0, 1, 2], "v": [1.0, 4.0, 9.0]})),
+        dims=["t"])
+    out = apply_ufunc(np.sqrt, ds)
+    plan = plan_of(out.df)
+    assert "MapInPandas" in plan, plan[:1200]
+    assert "Exchange" not in plan, plan[:1500]
+
+
+def test_simhash_dedup_shuffle_carries_no_fingerprints(spark):
+    """q35's round-7 plan fix, pinned: the hamming filter runs INSIDE
+    the block self-join stage, so the cross-block dropDuplicates
+    shuffle carries only (id_a, id_b, hamming) — the 64-bit simhash
+    fingerprint columns must not appear in any operator ABOVE the
+    dedup exchange."""
+    import pandas as pd
+    from xarray_spark.extras.dedup import simhash_near_dups
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(8),
+        "text": [f"some text body {i} with shared words" for i in range(4)]
+                + ["identical dup body words"] * 4,
+    }))
+    out = simhash_near_dups(df, max_hamming=3)
+    plan = plan_of(out)
+    marker = "Exchange hashpartitioning(id_a"
+    assert marker in plan, plan[:1500]
+    above_dedup_shuffle = plan.split(marker)[0]
+    assert "simhash" not in above_dedup_shuffle, above_dedup_shuffle[-1500:]

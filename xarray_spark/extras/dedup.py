@@ -409,19 +409,31 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         # carry the pre-round label through the checkpoint so convergence
         # is a scan of the materialized partitions, not an extra
         # shuffle-join job against the previous labels frame
-        jumped = (
-            relaxed.alias("a")
-            .join(labels.select(F.col("id").alias("lbl"),
-                                F.col("lbl").alias("ll")).alias("b"),
-                  on="lbl", how="left")
-            .select(F.col("a.id").alias("id"), F.col("a.__old").alias("__old"),
-                    F.least("lbl", F.coalesce("ll", "lbl")).alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-        labels = jumped.select("id", "lbl")
         if it == 0:
-            # round 1 always lowers labels when any edge exists — skip
-            # the convergence scan and keep iterating
+            # every label still equals its own id, so the pointer jump
+            # l(v) <- l(l(v)) is an identity — skip its join+checkpoint
+            jumped = (relaxed.select("id", "__old", "lbl")
+                      .localCheckpoint(eager=True))
+        else:
+            jumped = (
+                relaxed.alias("a")
+                .join(labels.select(F.col("id").alias("lbl"),
+                                    F.col("lbl").alias("ll")).alias("b"),
+                      on="lbl", how="left")
+                .select(F.col("a.id").alias("id"),
+                        F.col("a.__old").alias("__old"),
+                        F.least("lbl", F.coalesce("ll", "lbl")).alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+        labels = jumped.select("id", "lbl")
+        if it == 0 or it % 2 == 0:
+            # round 1 always lowers labels when any edge exists, and
+            # dedup graphs are shallow (near-clique clusters, depth
+            # halved per round by the pointer jump) — scanning for
+            # convergence EVERY round spends a ~1 s driver job per
+            # round to learn what the next round's checkpoint would
+            # compute anyway; check on odd rounds only (a converged
+            # graph pays one extra cheap (id,lbl) round at most)
             continue
         changed = jumped.where(F.col("lbl") != F.col("__old")).limit(1).count()
         if changed == 0:
