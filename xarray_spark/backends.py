@@ -381,6 +381,10 @@ def _cf_decoders_from_attrs(var_attrs: Mapping[str, Mapping]) -> dict:
             spec["missing_value"] = mv[0] if isinstance(mv, list) else mv
         if str(a.get("_Unsigned", "")).lower() == "true":
             spec["unsigned"] = True
+        if str(a.get("dtype", "")).lower() == "bool":
+            # CFBoolCoder (reference coding/variables.py:732) — i1 0/1
+            # storage with attrs dtype='bool'
+            spec["dtype"] = "bool"
         units = a.get("units")
         if isinstance(units, str) and " since " in units:
             spec["time_units"] = units

@@ -3233,6 +3233,9 @@ class XDataset:
                 exprs.append(e.alias(c))
             else:
                 exprs.append(F.col(c))
+        # scalar-operand ops KEEP the left attrs regardless of the
+        # keep_attrs option (reference parity, wave-42 probe: with
+        # set_options(keep_attrs=False), (ds * 2).attrs survive)
         return self._replace(df=self.df.select(*exprs))
 
     def _binary_op_dataset(self, other: "XDataset", op, reflexive=False,
@@ -3302,7 +3305,22 @@ class XDataset:
         for k, v in other.coords.items():
             if set(v) <= set(other_only):
                 coords[k] = v
-        return XDataset(joined.select(*exprs), dims, coords, out_vars, self.attrs)
+        from xarray_spark.options import OPTIONS
+        if OPTIONS["keep_attrs"]:
+            # reference: Dataset⊗Dataset attrs merge with
+            # drop_conflicts — union of both sides, keys whose values
+            # disagree dropped (wave-42 probe; keep_attrs=True behaves
+            # the same, False empties)
+            attrs = dict(self.attrs or {})
+            for k, v2 in (other.attrs or {}).items():
+                if k not in attrs:
+                    attrs[k] = v2
+                elif attrs[k] != v2:
+                    del attrs[k]
+        else:
+            attrs = {}
+        return XDataset(joined.select(*exprs), dims, coords, out_vars,
+                        attrs)
 
     def __add__(self, o): return self._binary_op(o, lambda a, b: a + b)
     def __radd__(self, o): return self._binary_op(o, lambda a, b: a + b, True)

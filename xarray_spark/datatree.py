@@ -25,10 +25,96 @@ class DataTree:
         return "/" + path.strip("/")
 
     def __setitem__(self, path: str, ds: XDataset) -> None:
-        self._nodes[self._norm(path)] = ds
+        p = self._norm(path)
+        self._check_alignment(p, ds)
+        # existing descendants must stay aligned with the new ancestor
+        for k, v in self._nodes.items():
+            if k.startswith(p + "/") or (p == "/" and k != "/"):
+                self._check_alignment(k, v, against=(p, ds))
+        self._nodes[p] = ds
 
     def __getitem__(self, path: str) -> XDataset:
         return self._nodes[self._norm(path)]
+
+    # ------------------------------------------------------------------ #
+    # inherited coordinates (reference core/datatree.py: child nodes see
+    # ancestor coordinates; conflicting indexes raise at tree build)
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _node_labels(ds: XDataset, dim: str) -> list:
+        """The node's label list for one dim — label tables are small
+        by the engine's core invariant, so this is metadata-scale."""
+        rows = ds.df.select(dim).distinct().orderBy(dim).collect()
+        return [r[dim] for r in rows]
+
+    def _ancestor_labels(self, path: str, dim: str,
+                         extra=None) -> list | None:
+        """Labels of the NEAREST ancestor that defines ``dim``."""
+        cur = self._parent_path(path)
+        while cur is not None:
+            node = self._nodes.get(cur)
+            if extra is not None and cur == extra[0]:
+                node = extra[1]
+            if node is not None and dim in node.dims:
+                return self._node_labels(node, dim)
+            cur = self._parent_path(cur)
+        return None
+
+    def _check_alignment(self, path: str, ds: XDataset,
+                         against=None) -> None:
+        """Reference parity: a node whose dim labels conflict with an
+        ancestor's is rejected ('group ... is not aligned with its
+        parents').  Positional labels (0..n-1 of the same size) are
+        the engine's 'no explicit coordinate' form and inherit
+        instead."""
+        for dim in ds.dims:
+            anc = self._ancestor_labels(path, dim, extra=against)
+            if anc is None:
+                continue
+            mine = self._node_labels(ds, dim)
+            if mine == anc or mine == list(range(len(anc))):
+                continue
+            raise ValueError(
+                f"group {path!r} is not aligned with its parents: "
+                f"dim {dim!r} labels {mine[:5]}... != inherited "
+                f"{anc[:5]}...")
+
+    def to_dataset(self, path: str, inherit: bool = True) -> XDataset:
+        """The node's dataset view (reference ``tree[path].ds`` /
+        ``DataTree.to_dataset(inherit=)``): with ``inherit=True``
+        (default), a dim whose labels are the positional default
+        0..n-1 is relabeled by the nearest ancestor's labels for that
+        dim; ``inherit=False`` returns the stored node untouched
+        (reference keeps only local coords)."""
+        p = self._norm(path)
+        ds = self._nodes[p]
+        if not inherit:
+            return ds
+        from pyspark.sql import functions as F
+        out = ds
+        for dim in ds.dims:
+            anc = self._ancestor_labels(p, dim)
+            if anc is None:
+                continue
+            mine = self._node_labels(ds, dim)
+            if mine == anc:
+                continue
+            if mine == list(range(len(anc))):
+                # positional labels -> inherit the ancestor's, by
+                # position, through a broadcast literal mapping
+                spark = ds.df.sparkSession
+                mapping = spark.createDataFrame(
+                    [(i, lab) for i, lab in enumerate(anc)],
+                    ["__pos__", "__lab__"])
+                df = (out.df.join(
+                    F.broadcast(mapping),
+                    out.df[dim] == F.col("__pos__"), "inner")
+                    .drop(dim, "__pos__")
+                    .withColumnRenamed("__lab__", dim))
+                out = out._replace(df=df.select(*out.df.columns))
+        return out
+
 
     def __contains__(self, path: str) -> bool:
         return self._norm(path) in self._nodes

@@ -419,7 +419,15 @@ class XGroupBy:
             schema = self.ds.spark.createDataFrame(func(sample)).schema
         out = prepped.df.groupBy(*group_cols).applyInPandas(func, schema)
         for n in self._key_names:
-            out = out.withColumnRenamed(f"__key_{n}", n)
+            if f"__key_{n}" not in out.columns:
+                continue
+            if n in out.columns:
+                # plain-column key: func already sees (and returned) the
+                # source column — renaming the internal __key_ copy too
+                # would emit a DUPLICATE column (wave-42 fix)
+                out = out.drop(f"__key_{n}")
+            else:
+                out = out.withColumnRenamed(f"__key_{n}", n)
         return XDataset(out, self._key_names, {}, None, self.ds.attrs)
 
     def apply(self, func, schema) -> XDataset:

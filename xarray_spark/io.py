@@ -179,6 +179,12 @@ def decode_cf(df: DataFrame, decoders: Mapping[str, object]) -> DataFrame:
             c = F.when(c < 0, c.cast("long") + F.lit(1 << bits)).otherwise(c.cast("long"))
         missing = (spec.get("missing_value")
                    if isinstance(spec, Mapping) else None)
+        if dtype == "bool":
+            # CFBoolCoder wins over the mask: the reference decodes a
+            # dtype='bool' variable by casting alone — a _FillValue
+            # sentinel becomes its truth value, never null (wave-42
+            # pinned: [0, 1, -1] with _FillValue=-1 -> [F, T, T])
+            fill = missing = None
         if fill is not None:
             c = F.when(F.col(var) == F.lit(fill), F.lit(None)).otherwise(c)
         if missing is not None:
