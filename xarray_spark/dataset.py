@@ -3634,11 +3634,13 @@ class XDataset:
                        max_gap=None, order=None,
                        use_coordinate: bool = True,
                        lam: float | None = None,
+                       s: float | None = None,
                        fill_value=None,
                        keep_attrs: bool | None = None) -> "XDataset":
         from xarray_spark.missing import interpolate_na
         out = interpolate_na(self, dim, method, limit, max_gap, order,
-                             use_coordinate, lam=lam, fill_value=fill_value)
+                             use_coordinate, lam=lam, s=s,
+                             fill_value=fill_value)
         return out._replace(attrs=self._resolve_attrs(keep_attrs))
 
     def reindex(self, indexers=None, method=None, tolerance=None, fill_value=None, **kw) -> "XDataset":

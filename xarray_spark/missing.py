@@ -108,6 +108,7 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
                    order: int | None = None,
                    use_coordinate: bool = True,
                    lam: float | None = None,
+                   s: float | None = None,
                    fill_value=None,
                    _src_pred=None) -> XDataset:
     """Gap interpolation along dim (xarray/core/missing.py:331).
@@ -148,10 +149,12 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
         return _interpolate_na_hermite(ds, dim, method, limit, max_gap,
                                        use_coordinate)
     if method in ("spline", "cubic_spline", "natural", "smooth_spline"):
-        if method == "smooth_spline" and lam is None:
-            raise ValueError("method='smooth_spline' requires lam=")
+        if method == "smooth_spline" and lam is None and s is None:
+            raise ValueError("method='smooth_spline' requires lam= or s=")
+        if lam is not None and s is not None:
+            raise ValueError("pass lam= or s=, not both")
         return _interpolate_na_spline(ds, dim, limit, max_gap, use_coordinate,
-                                      lam=lam)
+                                      lam=lam, s=s)
     if method == "slinear":
         method = "linear"
     if method not in ("linear", "nearest", "zero"):
@@ -503,7 +506,8 @@ def interp(ds: XDataset, coords: dict, method: str = "linear",
 
 def _interpolate_na_spline(ds: XDataset, dim: str, limit: int | None,
                            max_gap, use_coordinate: bool = True,
-                           lam: float | None = None) -> XDataset:
+                           lam: float | None = None,
+                           s: float | None = None) -> XDataset:
     """Natural cubic spline gap fill (xarray routes method='spline' to
     scipy's interpolator, core/missing.py:486; here the classic natural
     spline: second derivatives from the tridiagonal system solved with
@@ -518,7 +522,19 @@ def _interpolate_na_spline(ds: XDataset, dim: str, limit: int | None,
     band by Cholesky, fitted knot values g = y - lam * Delta^T gamma,
     then evaluate the resulting natural spline inside gaps.  lam=0
     degenerates to the interpolating spline.  All numpy, O(n) per
-    series."""
+    series.
+
+    With ``s`` set instead (the FITPACK smoothing criterion of
+    ``scipy.interpolate.UnivariateSpline(s=...)``, the interpolator
+    xarray's method='spline' routes to — reference
+    core/missing.py:486): per series, pick the SMOOTHEST penalized
+    fit whose residual sum of squares stays within ``s`` — the
+    residual is monotone nondecreasing in ``lam``, so the selection
+    is a grow-then-bisect search on ``lam`` (FITPACK searches knot
+    counts for the same criterion; on the full knot set the penalty
+    weight is the equivalent smoothness dial).  ``s=0`` degenerates
+    to the interpolating spline; ``s`` at or above the straight-line
+    residual returns the maximal smoothing."""
     import numpy as np
     import pandas as pd
 
@@ -624,6 +640,34 @@ def _interpolate_na_spline(ds: XDataset, dim: str, limit: int | None,
         M[1:-1] = gamma
         return fitted, M
 
+    def _select_lam(xv, yv, s_):
+        """Largest lam whose residual sum of squares stays <= s —
+        the FITPACK criterion on the full knot set (RSS is monotone
+        nondecreasing in lam): geometric growth to bracket, then
+        bisection."""
+        if s_ <= 0:
+            return 0.0
+
+        def rss(l_):
+            g, _ = _smooth_fit(xv, yv, l_)
+            return float(((yv - g) ** 2).sum())
+
+        lo, hi = 0.0, 1.0
+        for _ in range(80):
+            if rss(hi) > s_:
+                break
+            lo = hi
+            hi *= 8.0
+        else:
+            return hi  # even huge lam stays within s: maximal smoothing
+        for _ in range(48):
+            mid = (lo + hi) / 2.0
+            if rss(mid) <= s_:
+                lo = mid
+            else:
+                hi = mid
+        return lo
+
     def fill_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__x").reset_index(drop=True)
         x = (pdf["__x"].to_numpy("float64") if use_coordinate
@@ -634,7 +678,9 @@ def _interpolate_na_spline(ds: XDataset, dim: str, limit: int | None,
             xv, yv = x[valid], y[valid]
             if len(xv) < 2:
                 continue
-            if lam is None:
+            if s is not None:
+                gv, M = _smooth_fit(xv, yv, _select_lam(xv, yv, float(s)))
+            elif lam is None:
                 gv, M = yv, _second_derivs(xv, yv)
             else:
                 gv, M = _smooth_fit(xv, yv, float(lam))
