@@ -254,8 +254,35 @@ class StringAccessor(_Accessor):
             return s.map(lambda x: x.translate(table) if x is not None else None)
 
         return self._wrap(_tr(self._c))
-    def cat(self, other: str, sep: str = ""):
-        return self._wrap(F.concat_ws(sep, self._c, F.col(other) if isinstance(other, str) else other))
+    def cat(self, *others, sep: str = ""):
+        """Elementwise concatenation (reference accessor_str.py cat):
+        plain-string operands are LITERALS broadcast to every element,
+        array operands concatenate elementwise (aligned on the shared
+        dims via join when they come from another frame); varargs
+        chain left to right."""
+        from pyspark.sql import Column as _Col
+        base = self.da
+        cols = [self._c]
+        for i, o in enumerate(others):
+            if isinstance(o, str):
+                cols.append(F.lit(o))
+            elif isinstance(o, _Col):
+                cols.append(o)
+            else:
+                # XDataArray/XDataset operand: align onto this frame
+                tmp = f"__cat_{i}"
+                base = base.assign(**{tmp: o})
+                cols.append(F.col(tmp))
+        expr = F.concat_ws(sep, *cols)
+        da = self.da
+        out = da.name
+        if out in da.dims or (out in da.coords
+                              and out not in da.data_vars):
+            out = f"{out}_"
+        df = base.df.withColumn(out, expr)
+        keep = list(da.dims) + list(da.coords) + [out]
+        return XDataArray(df.select(*keep), da.dims, da.coords, [out],
+                          da.attrs)
     # Unicode character classes via Java regex properties (Python's
     # str predicates are Unicode-aware; [A-Za-z0-9] is not).  The
     # superscript/subscript digits are spelled out — Python isdigit

@@ -184,6 +184,23 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
 
     others = [d for d in ds.dims if d != dim]
     from xarray_spark._utils import to_double
+    if w is not None and not isinstance(w, str):
+        if hasattr(w, "data_vars"):
+            # DataArray/Dataset weights: align onto the frame
+            ds = ds.assign(__w_arr=w)
+        else:
+            # reference's array-like w: POSITIONAL weights along dim —
+            # map position → literal through the broadcast label table
+            # (the assign_coords tuple-form idiom)
+            vals = [float(v) for v in np.asarray(w, dtype=float)]
+            lits = F.array(*[F.lit(v) for v in vals])
+            mapping = ds._dim_labels(dim).select(
+                F.col(dim),
+                F.element_at(lits, (F.col("__pos") + 1).cast("int"))
+                .alias("__w_arr"))
+            ds = ds._replace(df=ds.df.join(F.broadcast(mapping), on=dim,
+                                           how="left"))
+        w = "__w_arr"
     x = to_double(F.col(dim), ds.df.schema[dim].dataType)
     # np.polyfit convention (xarray passes w through): weights scale the
     # RESIDUALS, so the normal equations see w^2
