@@ -387,6 +387,27 @@ def test_midbin_null_group_labels_and_gate_fallback(spark):
         D._MIDBIN_HIST_COLLECT_LIMIT = orig
 
 
+def test_midbin_timestamp_and_string_keys(spark):
+    """The driver finish matches group keys across TWO collect paths
+    (Row.collect = naive session-UTC datetimes, toArrow = tz-aware
+    UTC) — timestamp keys must canonicalize identically in both."""
+    from xarray_spark.options import set_options
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2020-01-01", "2020-01-01",
+                              "2020-01-02", "2020-01-02"] * 3),
+        "s": ["a", "b"] * 6,
+        "t": range(12),
+        "v": [float(i) for i in range(12)],
+    })
+    ds = XDataset(spark.createDataFrame(pdf), dims=["ts", "s", "t"])
+    with set_options(grouped_quantile_buffer_limit=2,
+                     grouped_quantile_midbin_limit=10**6):
+        out = (ds.quantile([0.5], dim="t").to_pandas()
+               .sort_values(["ts", "s"]))
+    assert out["v"].tolist() == \
+        pdf.groupby(["ts", "s"])["v"].median().tolist()
+
+
 def test_grouped_quantile_plan_picker(spark):
     from xarray_spark import dataset as D
     from xarray_spark.options import set_options

@@ -323,9 +323,20 @@ def _grouped_quantile_midbin_local(df: DataFrame, keys: list, v: str,
     import numpy as _np
     from xarray_spark._utils import null_safe_join
 
+    import datetime as _dt
+
     def gkey(vals):
-        return tuple(("__nan__",) if isinstance(x, float) and x != x
-                     else x for x in vals)
+        out = []
+        for x in vals:
+            if isinstance(x, float) and x != x:
+                x = ("__nan__",)
+            elif isinstance(x, _dt.datetime) and x.tzinfo is not None:
+                # Row.collect yields NAIVE (session-UTC wall) datetimes
+                # while toArrow yields tz-AWARE UTC — canonicalize so
+                # timestamp group keys match across the two sources
+                x = x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            out.append(x)
+        return tuple(out)
 
     groups: dict = {}
     for r in hist_rows:
