@@ -327,10 +327,14 @@ def test_midbin_equals_hist_plan(spark, method):
     _, ds = _adversarial_grouped(spark)
     qs = [0.0, 0.25, 0.5, 0.9, 1.0]
     with set_options(grouped_quantile_buffer_limit=10,
-                     grouped_quantile_midbin_limit=10**9):
+                     grouped_quantile_midbin_limit=10**9,
+                     grouped_quantile_midbin_threshold=1,
+                     grouped_quantile_midbin_total_floor=1):
         a = ds.quantile(qs, dim="t", method=method).to_pandas()
     with set_options(grouped_quantile_buffer_limit=10,
-                     grouped_quantile_midbin_limit=None):
+                     grouped_quantile_midbin_limit=None,
+                     grouped_quantile_midbin_threshold=1,
+                     grouped_quantile_midbin_total_floor=1):
         b = ds.quantile(qs, dim="t", method=method).to_pandas()
     a = a.sort_values(["x", "quantile"]).reset_index(drop=True)
     b = b.sort_values(["x", "quantile"]).reset_index(drop=True)
@@ -347,7 +351,9 @@ def test_midbin_matches_numpy_on_finite_groups(spark):
     pdf, ds = _adversarial_grouped(spark)
     qs = [0.1, 0.5, 0.9]
     with set_options(grouped_quantile_buffer_limit=10,
-                     grouped_quantile_midbin_limit=10**9):
+                     grouped_quantile_midbin_limit=10**9,
+                     grouped_quantile_midbin_threshold=1,
+                     grouped_quantile_midbin_total_floor=1):
         got = ds.quantile(qs, dim="t").to_pandas()
     for xg in range(5):  # the finite groups
         vals = pdf[pdf["x"] == xg]["v"].dropna().to_numpy()
@@ -373,7 +379,9 @@ def test_midbin_null_group_labels_and_gate_fallback(spark):
 
     def run():
         with set_options(grouped_quantile_buffer_limit=2,
-                         grouped_quantile_midbin_limit=10**6):
+                         grouped_quantile_midbin_limit=10**6,
+                         grouped_quantile_midbin_threshold=1,
+                         grouped_quantile_midbin_total_floor=1):
             out = ds.quantile([0.5], dim="t").to_pandas()
         return {(None if pd.isna(r["x"]) else int(r["x"])): r["v"]
                 for _, r in out.iterrows()}
@@ -401,7 +409,9 @@ def test_midbin_timestamp_and_string_keys(spark):
     })
     ds = XDataset(spark.createDataFrame(pdf), dims=["ts", "s", "t"])
     with set_options(grouped_quantile_buffer_limit=2,
-                     grouped_quantile_midbin_limit=10**6):
+                     grouped_quantile_midbin_limit=10**6,
+                     grouped_quantile_midbin_threshold=1,
+                     grouped_quantile_midbin_total_floor=1):
         out = (ds.quantile([0.5], dim="t").to_pandas()
                .sort_values(["ts", "s"]))
     assert out["v"].tolist() == \
@@ -414,20 +424,37 @@ def test_grouped_quantile_plan_picker(spark):
     pdf = pd.DataFrame({"k": [0, 0, 0, 1, 1, 1],
                         "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
     df = spark.createDataFrame(pdf)
+    # the two-factor guard: memory cap (buffer_limit), perf crossover
+    # (midbin_threshold) and the small-total fixed-cost floor
+    # (midbin_total_floor)
+    tiny = dict(grouped_quantile_midbin_threshold=1,
+                grouped_quantile_midbin_total_floor=1)
     with set_options(grouped_quantile_buffer_limit=None):
         assert D._grouped_quantile_plan(df, ["k"], "v")[0] == "buffer"
     with set_options(grouped_quantile_buffer_limit=1):
         # buffering banned outright pins the HISTOGRAM plan (q115)
         assert D._grouped_quantile_plan(df, ["k"], "v")[0] == "hist"
     with set_options(grouped_quantile_buffer_limit=2,
-                     grouped_quantile_midbin_limit=10**6):
+                     grouped_quantile_midbin_limit=10**6, **tiny):
         plan, probe = D._grouped_quantile_plan(df, ["k"], "v")
         assert plan == "midbin" and probe is not None
     with set_options(grouped_quantile_buffer_limit=2,
-                     grouped_quantile_midbin_limit=None):
+                     grouped_quantile_midbin_limit=None, **tiny):
         assert D._grouped_quantile_plan(df, ["k"], "v")[0] == "hist"
     with set_options(grouped_quantile_buffer_limit=100):
         assert D._grouped_quantile_plan(df, ["k"], "v")[0] == "buffer"
+    # groups over the PERF threshold but under the memory cap buffer
+    # only while the total stays under the floor
+    with set_options(grouped_quantile_buffer_limit=100,
+                     grouped_quantile_midbin_threshold=2,
+                     grouped_quantile_midbin_total_floor=100,
+                     grouped_quantile_midbin_limit=10**6):
+        assert D._grouped_quantile_plan(df, ["k"], "v")[0] == "buffer"
+    with set_options(grouped_quantile_buffer_limit=100,
+                     grouped_quantile_midbin_threshold=2,
+                     grouped_quantile_midbin_total_floor=1,
+                     grouped_quantile_midbin_limit=10**6):
+        assert D._grouped_quantile_plan(df, ["k"], "v")[0] == "midbin"
 
 
 def test_sortable_bin_exact_and_monotone(spark):

@@ -177,8 +177,14 @@ def _grouped_quantile_plan(df: DataFrame, keys: list,
     ``probe_var`` is given, that scan IS the bit-bin bucket table of
     that var (eagerly materialized): if the verdict is ``'midbin'``,
     the caller hands it straight to :func:`_grouped_quantile_midbin`
-    as its stage 1, so the plan decision costs no extra pass.  All
-    three plans are exact — this only picks one.
+    as its stage 1, so the plan decision costs no extra pass.
+
+    Buffer vs bucket-plan choice is TWO-FACTOR (round-8 measured
+    crossover, see options.py): a group over the memory cap never
+    buffers; a group over the ~1e5-row perf threshold buffers only
+    when the whole table sits under the total floor where the bucket
+    plans' fixed job costs dominate.  All three plans are exact —
+    this only picks one.
     """
     from xarray_spark.options import OPTIONS
     from xarray_spark._utils import estimated_rows
@@ -189,9 +195,25 @@ def _grouped_quantile_plan(df: DataFrame, keys: list,
         # buffering is banned outright (test hook pinning the
         # histogram plan) — no data inspection needed
         return "hist", None
-    if estimated_rows(df) <= limit:
+    est = estimated_rows(df)
+    thresh = OPTIONS.get("grouped_quantile_midbin_threshold")
+    floor = OPTIONS.get("grouped_quantile_midbin_total_floor")
+    if est <= thresh or (est <= limit
+                         and (floor is None or est <= floor)):
+        # no group can exceed the perf threshold, or the whole table
+        # is memory-safe AND under the fixed-cost floor — buffer, free
         return "buffer", None
     mid_limit = OPTIONS.get("grouped_quantile_midbin_limit")
+
+    def pick(m):
+        if m <= thresh:
+            return "buffer"
+        if est <= floor and m <= limit:
+            return "buffer"
+        if mid_limit is not None and m <= mid_limit:
+            return "midbin"
+        return "hist"
+
     if probe_var is not None and mid_limit is not None:
         hist = (_midbin_hist(df, keys, probe_var)
                 .localCheckpoint(eager=True))
@@ -210,19 +232,12 @@ def _grouped_quantile_plan(df: DataFrame, keys: list,
             row = (hist.groupBy(*keys).agg(F.sum("__c").alias("__g"))
                    .agg(F.max("__g").alias("m")).first())
             m = int(row["m"]) if row and row["m"] is not None else 0
-        if m <= limit:
-            return "buffer", None
-        if m <= mid_limit:
-            return "midbin", (hist, hist_rows)
-        return "hist", None
+        plan = pick(m)
+        return plan, ((hist, hist_rows) if plan == "midbin" else None)
     row = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")) \
             .agg(F.max("__n").alias("m")).first()
     m = int(row["m"]) if row and row["m"] else 0
-    if m <= limit:
-        return "buffer", None
-    if mid_limit is not None and m <= mid_limit:
-        return "midbin", None
-    return "hist", None
+    return pick(m), None
 
 
 def _sortable_bin(vv: Column) -> Column:

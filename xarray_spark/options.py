@@ -25,8 +25,19 @@ OPTIONS: dict = {
     # plan switches to the distributed per-group histogram selection
     # (no buffering, ~4 scans).  The check is free (plan statistics)
     # when the whole table fits; above that one count job decides.
-    # None = always buffer (pre-r5 behavior).
+    # None = always buffer (pre-r5 behavior).  This is the MEMORY cap:
+    # a group above it never enters one SQL aggregation buffer.
     "grouped_quantile_buffer_limit": 4_000_000,
+    # PERF crossover (round-8 measurement, 90M rows cached, min-of-2):
+    # per-group 3k -> buffer 7.2 s vs midbin 18.8 s; 30k -> 11.8 vs
+    # 17.1; 300k -> 21.4 vs 6.1; 3M -> 61.3 vs 3.6.  Buffering wins
+    # below ~1e5 rows per group at large totals; the bucket plans win
+    # above.  Groups bigger than this threshold prefer midbin/hist
+    # even when they would FIT the memory cap — unless the whole
+    # table is under the total floor below, where the bucket plans'
+    # fixed job costs dominate and buffering stays fastest.
+    "grouped_quantile_midbin_threshold": 131_072,
+    "grouped_quantile_midbin_total_floor": 16_000_000,
     # Middle plan between the buffered aggregate and the histogram:
     # two-scan fixed-bucket (1/16-octave) selection — no stats pass,
     # no aggregation buffer.  The worst case (a whole group inside ONE
