@@ -2249,8 +2249,12 @@ def q136_curation_pipeline(spark, sf_dir):
         "doc_id", F.col("clean_text").alias("text"))
     g = gopher_filter(s1, min_words=12, max_words=2000,
                       min_mean_word_len=3.0, max_mean_word_len=8.0,
-                      min_alpha_word_frac=0.8, min_stopword_hits=1)
-    s2 = s1.join(g.where("passes").select("doc_id"), "doc_id")
+                      min_alpha_word_frac=0.8, min_stopword_hits=1,
+                      keep=("text",))
+    # keep=('text',) threads the cleaned text through the signal
+    # projection, so the stage stays MAP-ONLY — joining the passes
+    # flags back would shuffle twice for a self-derived predicate
+    s2 = g.where("passes").select("doc_id", "text")
     s3 = dedup_exact(s2, "text", "doc_id")
     ev = staged.where(F.col("doc_id") % 25 == 0)
     s4 = decontaminate_ngrams(s3, ev, n=5, mode="drop")

@@ -361,3 +361,19 @@ def test_simhash_dedup_shuffle_carries_no_fingerprints(spark):
     assert marker in plan, plan[:1500]
     above_dedup_shuffle = plan.split(marker)[0]
     assert "simhash" not in above_dedup_shuffle, above_dedup_shuffle[-1500:]
+
+
+def test_curation_pipeline_plan_shape(spark, entry):
+    """q136's scale contract: the 5-stage chain stays join-sane — no
+    cartesian/nested-loop joins anywhere, the C4+Gopher stages fuse
+    into the scan (gopher keep= threads the text through the signal
+    projection instead of a self-join), and the keyed exchanges stay
+    bounded (dedup window + decontamination distinct + packing bucket,
+    plus AQE bookkeeping — survivor-sized data only)."""
+    df = entry.q136_curation_pipeline(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan[:2000]
+    # the eval-gram probe and the contaminated-id anti-join broadcast
+    assert plan.count("BroadcastExchange") >= 1

@@ -263,6 +263,7 @@ def gopher_filter(
     max_symbol_word_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    keep: tuple = (),
 ) -> DataFrame:
     """Gopher quality-rule document filter (Rae et al. 2021, "Scaling
     Language Models: Methods, Analysis & Insights from Training
@@ -280,12 +281,13 @@ def gopher_filter(
     column first (Catalyst does not CSE inside HOF lambdas — the
     round-4 lesson), so each signal reuses one split."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
+    keep = [c for c in keep if c != id_col]
     base = df.select(
-        F.col(id_col),
+        F.col(id_col), *keep,
         txt.alias("__t"),
         F.split(F.trim(txt), r"\s+").alias("__w"),
     ).select(
-        id_col, "__t", "__w",
+        id_col, *keep, "__t", "__w",
         F.when(F.trim(F.col("__t")) == "", F.lit(0))
         .otherwise(F.size("__w")).alias("n_words"),
     )
@@ -305,7 +307,7 @@ def gopher_filter(
     stop_hits = F.size(F.filter(
         "__w", lambda w: F.array_contains(stop_arr, F.lower(w))))
     sig = base.select(
-        id_col, "n_words",
+        id_col, *keep, "n_words",
         F.when(n > 0, F.round(wlen / n + F.lit(1e-9), 6))
         .otherwise(F.lit(0.0)).alias("mean_word_len"),
         F.when(n > 0, F.round((hash_count + ellipsis_count) / n
