@@ -1934,6 +1934,36 @@ def q115_grouped_quantile_hist(spark, sf_dir):
         "l_returnflag", _r4(F.col("l_extendedprice")).alias("q_price"))
 
 
+def q137_grouped_quantile_midbin(spark, sf_dir):
+    """Grouped EXACT quantile through the round-8 MIDBIN plan
+    (dataset._grouped_quantile_midbin: two-scan fixed 1/16-octave
+    bit-bin selection), pinned via the plan-picker options: buffering
+    banned above 2 rows, perf threshold 1 and fixed-cost floor 0 so
+    the probe runs, and the default midbin_limit catches (the q115
+    pattern, one plan over).  The value column is cancellation-PRONE
+    by construction — alternating-sign prices make the sorted stream
+    cross zero between large near-symmetric magnitudes, the exact
+    corner class where a naive one-sided lerp drifts off numpy
+    (round-8 falsifier; fixed round 9 with the shared two-sided
+    `_lerp_col`).  Three quantiles exercise the multi-target rank
+    table around the sign boundary.  Oracle: DuckDB quantile_cont,
+    values rounded to 4dp."""
+    from xarray_spark import set_options
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        (F.col("l_extendedprice")
+         * F.when(F.col("l_linenumber") % 2 == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))).alias("v"))
+    ds = XDataset(df, dims=["l_orderkey", "l_linenumber"],
+                  coords={"l_returnflag": ("l_orderkey", "l_linenumber")})
+    with set_options(grouped_quantile_buffer_limit=2,
+                     grouped_quantile_midbin_threshold=1,
+                     grouped_quantile_midbin_total_floor=0):
+        out = ds.groupby("l_returnflag").quantile([0.25, 0.5, 0.75])
+    return out.to_spark().select(
+        "l_returnflag", F.col("quantile"), _r4(F.col("v")).alias("qv"))
+
+
 def q116_bucketed_ffill(spark, sf_dir):
     """Bucket-aware window layout (round 5): a (flag, day) revenue
     grid saved with to_table(bucket_by=flag, sort_by=[flag, day]) and
@@ -2359,44 +2389,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: every implemented operator, one entry each.
 
     ORDERING IS DELIBERATE: the driver's correctness gate evaluates the
-    first 50 entries, so the window rotates per round.  The ROUND-8
-    window front-loads (a) the debutant q136 (the end-to-end curation
-    PIPELINE — C4 → Gopher → exact dedup → 5-gram decontamination →
-    no-straddle packing under ONE chained-CTE oracle; q01 still leads
-    so the cheapest scan+agg absorbs session spin-up);
-    (b) every query whose code path round 8 touched: the
-    quantile/median family q74/q15/q16/q39/q115 (the new midbin
-    middle plan + the plan picker + the null-safe parts joins;
-    q115 still pins the histogram plan via buffer_limit=1);
-    and (c) the ROTATION-DEBT recall the round-7 verdict ordered —
-    the ENTIRE displaced r6-window remainder returns: the q136 stage
-    units q127/q128/q130/q131/q30 (their composition is the new gate,
-    so their unit contracts deserve fresh rows beside it), q126/q129/
-    q133, q119/q120, all five streaming gates (q109/q85 keep the
-    permanent state-machine-floor stance, SCALE.md round 7),
-    q27/q19/q106/q21, q99-q105, q98/q110,
-    q46/q51/q52/q61/q63/q79/q97/q112/q113, q88-q93 —
-    48 below-fold recalls, far past the ≥10 the discipline requires.
-    Displaced below the fold: the round-7 window (q134/q135/q132,
-    q35/q34, q114/q116-q118/q121-q125, q02/q04-q10, and the anchor
-    block through q58) — every one double-green with a FRESH round-7
-    driver row and code paths round 8 did not touch (the r8 quantile
-    work is covered by the family retained in-window).
+    first 50 entries, so the window rotates per round.  The ROUND-9
+    window front-loads (a) the debutant q137 (the MIDBIN grouped-
+    quantile plan finally executing under the driver oracle, on
+    cancellation-prone mixed-sign data — round-8 verdict #3; q01
+    still leads so the cheapest scan+agg absorbs session spin-up);
+    (b) every query whose code path round 9 touched: the
+    quantile/median family q74/q15/q16/q39/q115 stays a THIRD round
+    (two-sided numpy lerp at every interpolation site + np_median
+    mean-of-middles + the SQL-`percentile` routing + numpy's exact
+    virtual-index association), q27 (str.cat extra-dim broadcast),
+    q122/q25 (polyfit w= length check), q59/q86 (CF bool mask-order),
+    q10/q111 (rolling family — median re-routed off SQL percentile);
+    and (c) the ROTATION-DEBT recall the round-8 verdict ordered
+    (≥10): 36 of the 44 displaced r7-window queries return, led by
+    q81/q132 (code changed r8/r7) — q134/q135, q34/q35, q114,
+    q116-q118, q121/q123-q125, q02/q04-q09/q11-q14, q29, q33, q36,
+    q43-q45, q53/q54, q58, q60, q62.
+    Displaced below the fold: the r8-window gates (q136, its stage
+    units q127-q131/q30, q126/q129/q133, q119/q120, the five
+    streaming gates, q19/q21, q99-q106, q46, q51/q52, q61, q63,
+    q79, q97, q112/q113, q88-q93, q98, q110) — every one carries a
+    FRESH round-8 driver row and none of their code paths changed
+    in round 9.  Still unrecalled from the r7 window (r10 debt):
+    q65/q66, q70, q78, q84, q95.
     Everything below the window carries a green driver row from
-    rounds 1-7 and stays covered by tests/test_oracle.py at sf0.001
+    rounds 1-8 and stays covered by tests/test_oracle.py at sf0.001
     each round.
     """
     return {
-        # ---- ROUND-8 GATE WINDOW (first 50) ----
+        # ---- ROUND-9 GATE WINDOW (first 50) ----
         # (q01 leads: the first query also absorbs residual session
         # spin-up; a plain scan+agg is the cheapest place to pay it)
         "q01_pricing_summary": q01_pricing_summary,
-        "q136_curation_pipeline": q136_curation_pipeline,
+        "q137_grouped_quantile_midbin": q137_grouped_quantile_midbin,
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
         "q16_groupby_median": q16_groupby_median,
         "q39_groupby_quantile": q39_groupby_quantile,
         "q115_grouped_quantile_hist": q115_grouped_quantile_hist,
+        "q27_str_ops": q27_str_ops,
+        "q122_polyfit_full": q122_polyfit_full,
+        "q25_polyfit": q25_polyfit,
+        "q59_decode_cf": q59_decode_cf,
+        "q86_cf_subdaily": q86_cf_subdaily,
+        "q10_rolling_mean": q10_rolling_mean,
+        "q111_rolling_argmin": q111_rolling_argmin,
+        "q81_dedup_clusters": q81_dedup_clusters,
+        "q132_dsir": q132_dsir,
+        "q134_ivf_trained": q134_ivf_trained,
+        "q135_lm_buckets_thresholds": q135_lm_buckets_thresholds,
+        "q34_minhash_lsh": q34_minhash_lsh,
+        "q35_simhash": q35_simhash,
+        "q114_encoded_groups": q114_encoded_groups,
+        "q116_bucketed_ffill": q116_bucketed_ffill,
+        "q117_outer_align_coords": q117_outer_align_coords,
+        "q118_temperature_sample": q118_temperature_sample,
+        "q121_argsort": q121_argsort,
+        "q123_where_isin": q123_where_isin,
+        "q124_resample_gaps": q124_resample_gaps,
+        "q125_diff_lower": q125_diff_lower,
+        "q02_sel_label_slice": q02_sel_label_slice,
+        "q04_where_mask": q04_where_mask,
+        "q05_orders_groupby": q05_orders_groupby,
+        "q06_groupby_bins": q06_groupby_bins,
+        "q07_resample_monthly": q07_resample_monthly,
+        "q08_resample_daily_events": q08_resample_daily_events,
+        "q09_season_groupby": q09_season_groupby,
+        "q11_cumsum": q11_cumsum,
+        "q12_diff": q12_diff,
+        "q13_ffill": q13_ffill,
+        "q14_interpolate_na": q14_interpolate_na,
+        "q29_reindex_nearest": q29_reindex_nearest,
+        "q33_cosine_topk": q33_cosine_topk,
+        "q36_multimodal_features": q36_multimodal_features,
+        "q43_bfill": q43_bfill,
+        "q44_differentiate": q44_differentiate,
+        "q45_resample_asfreq": q45_resample_asfreq,
+        "q53_ngram_jaccard": q53_ngram_jaccard,
+        "q54_pad": q54_pad,
+        "q58_where_aligned": q58_where_aligned,
+        "q60_salted_agg": q60_salted_agg,
+        "q62_interp_targets": q62_interp_targets,
+        # ---- below the window: fresh r8 rows / earlier greens stand --
+        "q136_curation_pipeline": q136_curation_pipeline,
         "q127_gopher_filter": q127_gopher_filter,
         "q128_c4_filter": q128_c4_filter,
         "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
@@ -2412,7 +2488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_stream_sessionize": q96_stream_sessionize,
         "q85_stream_asof": q85_stream_asof,
         "q87_stream_dedup": q87_stream_dedup,
-        "q27_str_ops": q27_str_ops,
         "q19_binary_align": q19_binary_align,
         "q106_complex_phase": q106_complex_phase,
         "q21_reindex_fill": q21_reindex_fill,
@@ -2440,51 +2515,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_decontaminate": q91_decontaminate,
         "q92_pack_sequences": q92_pack_sequences,
         "q93_shuffle_rank": q93_shuffle_rank,
-        # ---- below the window: fresh r7 rows / earlier greens stand --
-        "q134_ivf_trained": q134_ivf_trained,
-        "q135_lm_buckets_thresholds": q135_lm_buckets_thresholds,
-        "q132_dsir": q132_dsir,
-        "q35_simhash": q35_simhash,
-        "q34_minhash_lsh": q34_minhash_lsh,
-        "q114_encoded_groups": q114_encoded_groups,
-        "q116_bucketed_ffill": q116_bucketed_ffill,
-        "q117_outer_align_coords": q117_outer_align_coords,
-        "q118_temperature_sample": q118_temperature_sample,
-        "q121_argsort": q121_argsort,
-        "q122_polyfit_full": q122_polyfit_full,
-        "q123_where_isin": q123_where_isin,
-        "q124_resample_gaps": q124_resample_gaps,
-        "q125_diff_lower": q125_diff_lower,
-        "q02_sel_label_slice": q02_sel_label_slice,
-        "q04_where_mask": q04_where_mask,
-        "q05_orders_groupby": q05_orders_groupby,
-        "q06_groupby_bins": q06_groupby_bins,
-        "q07_resample_monthly": q07_resample_monthly,
-        "q08_resample_daily_events": q08_resample_daily_events,
-        "q09_season_groupby": q09_season_groupby,
-        "q10_rolling_mean": q10_rolling_mean,
-        "q36_multimodal_features": q36_multimodal_features,
         "q95_pii_scan": q95_pii_scan,
-        "q59_decode_cf": q59_decode_cf,
-        "q33_cosine_topk": q33_cosine_topk,
-        "q13_ffill": q13_ffill,
-        "q43_bfill": q43_bfill,
-        "q44_differentiate": q44_differentiate,
-        "q45_resample_asfreq": q45_resample_asfreq,
-        "q29_reindex_nearest": q29_reindex_nearest,
         "q84_dt_timedelta": q84_dt_timedelta,
-        "q54_pad": q54_pad,
-        "q62_interp_targets": q62_interp_targets,
-        "q14_interpolate_na": q14_interpolate_na,
         "q70_ffill_segmented": q70_ffill_segmented,
         "q78_dt_tail": q78_dt_tail,
         "q65_multi_grouper": q65_multi_grouper,
         "q66_season_resampler": q66_season_resampler,
-        "q60_salted_agg": q60_salted_agg,
-        "q111_rolling_argmin": q111_rolling_argmin,
-        "q53_ngram_jaccard": q53_ngram_jaccard,
-        "q81_dedup_clusters": q81_dedup_clusters,
-        "q58_where_aligned": q58_where_aligned,
         "q94_audio_features": q94_audio_features,
         "q72_zarr_roundtrip": q72_zarr_roundtrip,
         "q28_dt_fields": q28_dt_fields,
@@ -4738,6 +4774,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    ROUND(quantile_cont(l_extendedprice, 0.25) + 1e-8, 4) AS q_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q137_grouped_quantile_midbin": """
+            WITH vals AS (
+              SELECT l_returnflag,
+                     l_extendedprice * (CASE WHEN l_linenumber % 2 = 0
+                                             THEN 1.0 ELSE -1.0 END) AS v
+              FROM lineitem
+            ), g AS (
+              SELECT l_returnflag,
+                     quantile_cont(v, 0.25) AS q1,
+                     quantile_cont(v, 0.5)  AS q2,
+                     quantile_cont(v, 0.75) AS q3
+              FROM vals GROUP BY 1
+            )
+            SELECT l_returnflag, 0.25 AS quantile, ROUND(q1 + 1e-8, 4) AS qv FROM g
+            UNION ALL
+            SELECT l_returnflag, 0.5  AS quantile, ROUND(q2 + 1e-8, 4) AS qv FROM g
+            UNION ALL
+            SELECT l_returnflag, 0.75 AS quantile, ROUND(q3 + 1e-8, 4) AS qv FROM g
         """,
         "q116_bucketed_ffill": """
             WITH daily AS (

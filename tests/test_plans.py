@@ -377,3 +377,46 @@ def test_curation_pipeline_plan_shape(spark, entry):
     assert plan.count("Exchange hashpartitioning") <= 5, plan[:2000]
     # the eval-gram probe and the contaminated-id anti-join broadcast
     assert plan.count("BroadcastExchange") >= 1
+
+
+def test_q137_executes_midbin_plan(spark, entry):
+    """Round-9 verdict #3: q137 must actually execute the MIDBIN plan
+    — the picker must return 'midbin' under q137's options, and the
+    distributed tail's plan must be fed by the fixed-bucket scan, not
+    a global sort: no rangepartitioning exchange anywhere, and the
+    bit-bin bucket column drives the candidate window."""
+    from xarray_spark import set_options
+    from xarray_spark import dataset as D
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+                  (F.col("l_extendedprice")
+                   * F.when(F.col("l_linenumber") % 2 == 0, F.lit(1.0))
+                      .otherwise(F.lit(-1.0))).alias("v")))
+    with set_options(grouped_quantile_buffer_limit=2,
+                     grouped_quantile_midbin_threshold=1,
+                     grouped_quantile_midbin_total_floor=0):
+        plan_name, probe = D._grouped_quantile_plan(
+            df, ["l_returnflag"], probe_var="v")
+        assert plan_name == "midbin"
+        # distributed tail (collect gate forced off): the lazy plan is
+        # inspectable — bucket scan feeds the finish, never a global sort
+        orig = D._MIDBIN_HIST_COLLECT_LIMIT
+        D._MIDBIN_HIST_COLLECT_LIMIT = 0
+        try:
+            out = D._grouped_quantile_midbin(
+                df, ["l_returnflag"], "v", [0.25, 0.5, 0.75], "linear")
+            plan = plan_of(out)
+        finally:
+            D._MIDBIN_HIST_COLLECT_LIMIT = orig
+    assert "rangepartitioning" not in plan.lower()
+    # the per-(group, bucket) window that ranks ONLY candidate rows
+    assert "__b" in plan and "row_number" in plan.lower()
+    # and the values are right (numpy linear on each group)
+    import numpy as np
+    got = {(r["l_returnflag"], r["quantile"]): r["v"]
+           for r in out.collect()}
+    pdf = df.select("l_returnflag", "v").toPandas()
+    for g, grp in pdf.groupby("l_returnflag"):
+        exp = np.quantile(grp["v"].to_numpy(), [0.25, 0.5, 0.75])
+        for q, e in zip([0.25, 0.5, 0.75], exp):
+            assert got[(g, q)] == e, (g, q)

@@ -105,12 +105,28 @@ def test_cf_decode_composition(spark, name, raw, attrs, npdt, sdt):
 
 
 def test_cf_bool_coder_skips_mask(spark):
-    # the wave-42 find, pinned on its own: dtype='bool' + _FillValue
-    # decodes by CAST alone (reference CFBoolCoder) — the sentinel
-    # becomes its truth value, never null
+    # round-9 correction of the wave-42 pin: the reference runs
+    # CFMaskCoder BEFORE BooleanCoder, so the sentinel becomes NaN and
+    # decodes True REGARDLESS of its truth value (for -1 that happens
+    # to equal its truthiness — the falsy-sentinel case below is where
+    # the old cast-alone reading diverged)
     got = _eng_decode(spark, [0, 1, -1],
                       {"dtype": "bool", "_FillValue": -1}, "tinyint")
     assert [bool(g) for g in got] == [False, True, True]
+
+
+@pytest.mark.parametrize("attrs", [
+    {"dtype": "bool", "_FillValue": 0},
+    {"dtype": "bool", "missing_value": 0},
+], ids=["fill_zero", "missing_zero"])
+def test_cf_bool_falsy_sentinel_decodes_true(spark, attrs):
+    """ADVICE r9 #5: a FALSY sentinel (_FillValue=0) still decodes
+    True — mask-first order turns it into NaN, and NaN casts True.
+    Reference-diffed."""
+    ref = _ref_decode([0, 1, 0], dict(attrs), "int8")
+    got = _eng_decode(spark, [0, 1, 0], attrs, "tinyint")
+    assert [bool(g) for g in got] == [bool(x) for x in ref] == [
+        True, True, True]
     assert None not in got
 
 

@@ -276,13 +276,18 @@ class StringAccessor(_Accessor):
         expr = F.concat_ws(sep, *cols)
         da = self.da
         out = da.name
-        if out in da.dims or (out in da.coords
-                              and out not in da.data_vars):
+        # result shape comes from the POST-assign frame: an operand
+        # carrying dims the base lacks broadcasts the frame along
+        # them (reference semantics — the result GAINS the dim), so
+        # the extra dim columns must survive into the result or the
+        # declared dims would key duplicate rows (round-9 ADVICE #2)
+        if out in base.dims or (out in base.coords
+                                and out not in base.data_vars):
             out = f"{out}_"
         df = base.df.withColumn(out, expr)
-        keep = list(da.dims) + list(da.coords) + [out]
-        return XDataArray(df.select(*keep), da.dims, da.coords, [out],
-                          da.attrs)
+        keep = list(base.dims) + list(base.coords) + [out]
+        return XDataArray(df.select(*keep), base.dims, base.coords,
+                          [out], da.attrs)
     # Unicode character classes via Java regex properties (Python's
     # str predicates are Unicode-aware; [A-Za-z0-9] is not).  The
     # superscript/subscript digits are spelled out — Python isdigit

@@ -194,7 +194,17 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
             # (the assign_coords tuple-form idiom)
             vals = [float(v) for v in np.asarray(w, dtype=float)]
             lits = F.array(*[F.lit(v) for v in vals])
-            mapping = ds._dim_labels(dim).select(
+            labels = ds._dim_labels(dim)
+            # np.polyfit raises TypeError on a w/x length mismatch;
+            # without this check a short w would silently null-map
+            # (rows dropped from the fit) — round-9 ADVICE #4
+            row = labels.select(F.max("__size").alias("n")).first()
+            dim_n = int(row["n"]) if row and row["n"] is not None else 0
+            if dim_n != len(vals):
+                raise TypeError(
+                    f"polyfit: expected w and {dim} to have the same "
+                    f"length, got {len(vals)} and {dim_n}")
+            mapping = labels.select(
                 F.col(dim),
                 F.element_at(lits, (F.col("__pos") + 1).cast("int"))
                 .alias("__w_arr"))

@@ -75,10 +75,19 @@ def _virtual_position(method: str, q: float, n: int) -> float:
     import math as _m
     q = float(q)
     last = n - 1
+    if method == "np_median":
+        # internal: np.median/np.nanmedian positions — same as linear
+        # at q=0.5, but interpolated as (lo+hi)/2 (see _interp_py)
+        return last * 0.5
     if method in _Q_ALPHA_BETA:
         a, b = _Q_ALPHA_BETA[method]
-        h = (n + 1.0 - a - b) * q + a          # 1-indexed virtual pos
-        return min(max(h - 1.0, 0.0), float(last))
+        # numpy's exact associations: (n-1)*q for linear (numpy
+        # special-cases it), n*q + (a + q*(1-a-b)) - 1 otherwise
+        if method == "linear":
+            h0 = (n - 1) * q
+        else:
+            h0 = n * q + (a + q * (1.0 - a - b)) - 1.0
+        return min(max(h0, 0.0), float(last))
     if method == "lower":
         return float(_m.floor(last * q))
     if method == "higher":
@@ -107,19 +116,120 @@ def _virtual_position(method: str, q: float, n: int) -> float:
         f"unknown quantile method {method!r}; valid: {QUANTILE_METHODS}")
 
 
+def _lerp_py(lo: float, hi: float, w: float) -> float:
+    """numpy's TWO-SIDED ``_lerp`` (numpy/lib/function_base.py::_lerp;
+    the reference xarray delegates quantile interpolation to
+    np.quantile): ``a + (b-a)*t`` for ``t < 0.5``, else
+    ``b - (b-a)*(1-t)``.  The one-sided form loses the smaller
+    operand's low-order bits under catastrophic cancellation — the
+    round-8 falsifier: the median of ``{1e6, -999999.9999999999}``
+    must be exactly ``0.0`` (naive lerp gives ``1.16e-10``).  Every
+    interpolation site in the engine MUST use this helper (or its
+    Column twin :func:`_lerp_col`) so all quantile plans agree
+    bit-for-bit with each other and with numpy."""
+    d = hi - lo
+    return lo + d * w if w < 0.5 else hi - d * (1.0 - w)
+
+
+def _lerp_col(lo: Column, hi: Column, w) -> Column:
+    """Column twin of :func:`_lerp_py` — the shared SQL-side
+    interpolation expression for every quantile plan."""
+    if not isinstance(w, Column):
+        w = F.lit(float(w))
+    d = hi - lo
+    return (F.when(w < 0.5, lo + d * w)
+            .otherwise(hi - d * (F.lit(1.0) - w)))
+
+
+def _interp_py(lo: float, hi: float, w: float,
+               method: str = "linear") -> float:
+    """Method-aware interpolation: np.median's mean-of-middles
+    ``(a+b)/2`` for the internal ``np_median`` mode (np.median and
+    np.quantile(0.5) genuinely differ at the last ULP — verified
+    against the reference: median of {1e6, -999999.9999999999} is
+    5.82e-11 via np.median but 0.0 via np.quantile), numpy's
+    two-sided ``_lerp`` for everything else."""
+    if method == "np_median":
+        return (lo + hi) * 0.5
+    return _lerp_py(lo, hi, w)
+
+
+def _interp_col(lo: Column, hi: Column, w,
+                method: str = "linear") -> Column:
+    """Column twin of :func:`_interp_py`."""
+    if method == "np_median":
+        return (lo + hi) * F.lit(0.5)
+    return _lerp_col(lo, hi, w)
+
+
+def _arr_quantile_expr(arr: Column, q: float,
+                       method: str = "linear",
+                       presorted: bool = False) -> Column:
+    """Exact quantile of a collected ``array<double>`` Column — the
+    shared buffered-path expression: sort, locate the order-statistic
+    pair via :func:`_quantile_positions`, interpolate with the
+    two-sided :func:`_lerp_col`.  Replaces Spark SQL ``percentile``
+    at every call site (its internal interpolation is the NAIVE
+    one-sided lerp — Percentile.scala ``getPercentile`` — which
+    diverges from numpy's ``_lerp`` under catastrophic cancellation).
+    Null on an empty array, like ``percentile`` on an empty group.
+    Pass ``presorted=True`` when ``arr`` is already sorted (multi-q
+    callers sort once)."""
+    sarr = arr if presorted else F.sort_array(arr)
+    n = F.size(sarr).cast("long")
+    j_lo, j_hi, w = _quantile_positions(method, q, n)
+    lo = F.element_at(sarr, (j_lo + 1).cast("int"))
+    hi = F.element_at(sarr, (j_hi + 1).cast("int"))
+    val = (F.when(lo == hi, lo)
+           .when(w == 0, lo)
+           .when(w == 1, hi)
+           .otherwise(_interp_col(lo, hi, w, method)))
+    return F.when(n > 0, val)
+
+
+def _median_expr(v) -> Column:
+    """Exact np.median of a column (by name or Column) — the drop-in
+    for ``F.expr("percentile(v, 0.5)")``, with np.median's
+    mean-of-middles interpolation (the reference's median family is
+    np.nanmedian, which differs from np.quantile(0.5) at the last
+    ULP — see :func:`_interp_py`)."""
+    c = F.col(v) if isinstance(v, str) else v
+    return _arr_quantile_expr(F.collect_list(c.cast("double")), 0.5,
+                              method="np_median")
+
+
 def _quantile_positions(method: str, q: float, n: Column):
     """0-indexed order-statistic positions (j_lo, j_hi) and interpolation
     weight w for one quantile, as expressions of the (column) sample size
     — every numpy quantile ``method`` reduces to
-    ``x[j_lo] + (x[j_hi] - x[j_lo]) * w`` on the sorted sample.
+    ``x[j_lo] + (x[j_hi] - x[j_lo]) * w`` on the sorted sample
+    (interpolated by the two-sided :func:`_lerp_col`).
     """
     q = float(q)
     nn = n.cast("double")
     zero, last = F.lit(0).cast("long"), (n - 1).cast("long")
+    if method == "np_median":
+        # internal np.median mode (positions = linear at q=0.5; the
+        # interpolation differs — see _interp_col)
+        h0 = (nn - 1) * F.lit(0.5)
+        j_lo = F.floor(h0).cast("long")
+        return j_lo, F.least(j_lo + 1, last), h0 - F.floor(h0)
     if method in _Q_ALPHA_BETA:
         a, b = _Q_ALPHA_BETA[method]
-        h = (nn + F.lit(1.0 - a - b)) * q + F.lit(a)  # 1-indexed virtual pos
-        h0 = F.greatest(F.least(h - 1, nn - 1), F.lit(0.0))
+        # numpy's EXACT FP association (_QuantileMethods /
+        # _compute_virtual_index): linear is special-cased to
+        # (n-1)*q ("to avoid some rounding issues" — numpy's own
+        # comment); every other alpha-beta method computes
+        # n*q + (alpha + q*(1-alpha-beta)) - 1.  The parenthesized
+        # constant folds in Python with the same IEEE ops numpy uses;
+        # any other association differs in the last ULP, which the
+        # interpolation multiplies by the value spread.
+        if method == "linear":
+            h = (nn - 1) * F.lit(q)
+        else:
+            c = a + q * (1.0 - a - b)
+            h = nn * F.lit(q) + F.lit(c) - F.lit(1.0)
+        h0 = F.greatest(F.least(h, nn - 1), F.lit(0.0))
         j_lo = F.floor(h0).cast("long")
         return j_lo, F.least(j_lo + 1, last), h0 - F.floor(h0)
     if method == "lower":
@@ -196,19 +306,22 @@ def _grouped_quantile_plan(df: DataFrame, keys: list,
         # histogram plan) — no data inspection needed
         return "hist", None
     est = estimated_rows(df)
+    # None semantics (consistent in the early exit AND pick()):
+    # thresh=None disables the small-group perf shortcut (acts as 0);
+    # floor=None disables the fixed-cost floor (never blocks buffering)
     thresh = OPTIONS.get("grouped_quantile_midbin_threshold")
     floor = OPTIONS.get("grouped_quantile_midbin_total_floor")
-    if est <= thresh or (est <= limit
-                         and (floor is None or est <= floor)):
+    if ((thresh is not None and est <= thresh)
+            or (est <= limit and (floor is None or est <= floor))):
         # no group can exceed the perf threshold, or the whole table
         # is memory-safe AND under the fixed-cost floor — buffer, free
         return "buffer", None
     mid_limit = OPTIONS.get("grouped_quantile_midbin_limit")
 
     def pick(m):
-        if m <= thresh:
+        if thresh is not None and m <= thresh:
             return "buffer"
-        if est <= floor and m <= limit:
+        if (floor is None or est <= floor) and m <= limit:
             return "buffer"
         if mid_limit is not None and m <= mid_limit:
             return "midbin"
@@ -345,10 +458,17 @@ def _grouped_quantile_midbin_local(df: DataFrame, keys: list, v: str,
         for x in vals:
             if isinstance(x, float) and x != x:
                 x = ("__nan__",)
-            elif isinstance(x, _dt.datetime) and x.tzinfo is not None:
-                # Row.collect yields NAIVE (session-UTC wall) datetimes
-                # while toArrow yields tz-AWARE UTC — canonicalize so
-                # timestamp group keys match across the two sources
+            elif isinstance(x, _dt.datetime):
+                # Two collect paths feed these keys: Row.collect yields
+                # NAIVE datetimes in the DRIVER-LOCAL timezone (PySpark
+                # converts epoch -> local wall), toArrow yields tz-AWARE
+                # UTC (session timezone pinned UTC).  Canonicalize BOTH
+                # to naive-UTC wall: aware -> convert; naive -> assume
+                # driver-local (astimezone on a naive datetime applies
+                # the process tz), then convert.  On a UTC driver this
+                # is the identity for the naive side; on any other tz
+                # it is the fix (round-9 ADVICE #1 — keys from the two
+                # sources used to mismatch and crash at()).
                 x = x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             out.append(x)
         return tuple(out)
@@ -370,12 +490,18 @@ def _grouped_quantile_midbin_local(df: DataFrame, keys: list, v: str,
                 qpos.append(None)
                 continue
             if method in _Q_ALPHA_BETA:
-                # SAME association as the SQL _quantile_positions
-                # ((n + lit(1-a-b))*q + a) — ((n+1)-a-b)*q would differ
-                # in the last ULP and break plan equivalence
+                # SAME association as the SQL _quantile_positions AND
+                # numpy's _compute_virtual_index:
+                # n*q + (a + q*(1-a-b)) - 1 — any other association
+                # differs in the last ULP and breaks both plan
+                # equivalence and numpy bit-parity
                 a_, b_ = _Q_ALPHA_BETA[method]
-                h0 = min(max((n + (1.0 - a_ - b_)) * float(q) + a_
-                             - 1.0, 0.0), float(n - 1))
+                qf = float(q)
+                if method == "linear":
+                    h = (n - 1) * qf
+                else:
+                    h = n * qf + (a_ + qf * (1.0 - a_ - b_)) - 1.0
+                h0 = min(max(h, 0.0), float(n - 1))
                 jl = int(_math.floor(h0))
                 jl, jh, w = jl, min(jl + 1, n - 1), h0 - _math.floor(h0)
             else:
@@ -473,7 +599,7 @@ def _grouped_quantile_midbin_local(df: DataFrame, keys: list, v: str,
             elif w == 1:
                 res = hi
             else:
-                res = lo + (hi - lo) * w
+                res = _interp_py(lo, hi, w, method)
             out_rows.append(g["raw"] + (float(q), res))
     out_schema = T.StructType(key_fields + [
         T.StructField("quantile", T.DoubleType()),
@@ -613,7 +739,7 @@ def _grouped_quantile_midbin(df: DataFrame, keys: list, v: str, qs: list,
         res = (F.when(lo == hi, lo)
                .when(wgt == 0, lo)
                .when(wgt == 1, hi)
-               .otherwise(lo + (hi - lo) * wgt))
+               .otherwise(_interp_col(lo, hi, wgt, method)))
         structs.append(F.struct(F.lit(float(x)).alias("q"),
                                 res.alias("v")))
     out = per_group.select(*keys,
@@ -732,7 +858,7 @@ def _grouped_quantile_hist(df: DataFrame, keys: list, v: str, qs: list,
                .when(vlo == vhi, vlo)
                .when(w == 0, vlo)
                .when(w == 1, vhi)
-               .otherwise(vlo + (vhi - vlo) * w))
+               .otherwise(_interp_col(vlo, vhi, w, method)))
     return res.select(*keys, F.col("__q").alias("quantile"), out_val.alias(v))
 
 
@@ -2513,7 +2639,7 @@ class XDataset:
         if not [d for d in self.dims if d not in dims] and not has_bcast:
             # full reduction: distributed order-statistic selection instead
             # of the single-buffer SQL `percentile` (see quantile())
-            qdf = self._quantile_ungrouped([0.5], varlist, "linear")
+            qdf = self._quantile_ungrouped([0.5], varlist, "np_median")
             return self._replace(df=qdf.drop("quantile"), dims=[], coords={},
                                  data_vars=varlist,
                                  attrs=self._resolve_attrs(keep_attrs))
@@ -2521,7 +2647,10 @@ class XDataset:
             # grouped: via quantile() so the buffer-limit guard applies
             # (and, for constructor-broadcast vars, quantile()'s
             # de-duplicating split — duplicates shift rank statistics)
-            q = self.quantile(0.5, dim=dim, skipna=skipna)
+            # internal np_median mode: np.nanmedian's mean-of-middles,
+            # which differs from quantile(0.5) at the last ULP
+            q = self.quantile(0.5, dim=dim, skipna=skipna,
+                              method="np_median")
             mdims = [d for d in q.dims if d != "quantile"]
             # strip 'quantile' from the surviving broadcast-var entries
             # (the dim is dropped here); entries now spanning every
@@ -2534,7 +2663,7 @@ class XDataset:
             return q._replace(df=q.df.drop("quantile"), dims=mdims,
                               attrs=self._resolve_attrs(keep_attrs),
                               var_dims=mvd)
-        return self._reduce(dim, lambda v: F.expr(f"percentile({v}, 0.5)"),
+        return self._reduce(dim, _median_expr,
                             "median", skipna, keep_attrs)
 
     def all(self, dim=None, keep_attrs: bool | None = None) -> "XDataset":
@@ -2668,26 +2797,23 @@ class XDataset:
                 F.expr(f"approx_percentile({v}, {qarr}, 10000)").cast("array<double>").alias(v)
                 for v in varlist
             ]
-        elif method == "linear":
-            qarr = "array({})".format(", ".join(repr(float(x)) for x in qs))
-            aggs = [
-                F.expr(f"percentile({v}, {qarr})").cast("array<double>").alias(v)
-                for v in varlist
-            ]
         else:
-            # non-linear methods per group: order statistics over the
-            # group's sorted values (buffers one group, like percentile)
+            # every method per group (incl. linear): order statistics
+            # over the group's sorted values.  Spark SQL `percentile`
+            # used to serve linear here, but its internal interpolation
+            # is the NAIVE one-sided lerp (Percentile.scala
+            # `getPercentile`), which diverges from numpy's two-sided
+            # `_lerp` under catastrophic cancellation (round-8
+            # falsifier) — so linear is routed through the same
+            # order-statistic aggregate as the non-linear methods,
+            # interpolated by the shared `_lerp_col`.  Same cost class:
+            # both buffer one group per aggregation state.
             aggs = []
             for v in varlist:
                 arr = F.sort_array(F.collect_list(F.col(v).cast("double")))
-                n = F.size(arr).cast("long")
-                vals = []
-                for x in qs:
-                    j_lo, j_hi, w = _quantile_positions(method, x, n)
-                    lo = F.element_at(arr, (j_lo + 1).cast("int"))
-                    hi = F.element_at(arr, (j_hi + 1).cast("int"))
-                    vals.append(F.when(n > 0, lo + (hi - lo) * w))
-                aggs.append(F.array(*vals).alias(v))
+                aggs.append(F.array(
+                    *[_arr_quantile_expr(arr, x, method, presorted=True)
+                      for x in qs]).alias(v))
         from xarray_spark._utils import nan_to_null
         qbase = nan_to_null(self.df, varlist, self.df.schema)
         df = qbase.groupBy(*keys).agg(*aggs) if keys else qbase.agg(*aggs)
@@ -2813,8 +2939,10 @@ class XDataset:
                         for x, p in zip(qs, pos):
                             jl, jh = int(_math.floor(p)), int(_math.ceil(p))
                             w = p - jl
-                            val = (value_at(jl) if jl == jh
-                                   else value_at(jl) * (1 - w) + value_at(jh) * w)
+                            val = (value_at(jl) if jl == jh or w == 0
+                                   else value_at(jh) if w == 1
+                                   else _interp_py(value_at(jl),
+                                                   value_at(jh), w, method))
                             rows.append((float(x), val))
                         part = self.spark.createDataFrame(rows, ["quantile", v])
             elif not n:
@@ -2854,7 +2982,11 @@ class XDataset:
             structs = []
             for i, x in enumerate(qs):
                 _j_lo, _j_hi, w = _quantile_positions(method, x, F.col("__n"))
-                val = F.col(f"__lo{i}") + (F.col(f"__hi{i}") - F.col(f"__lo{i}")) * w
+                vlo, vhi = F.col(f"__lo{i}"), F.col(f"__hi{i}")
+                val = (F.when(vlo == vhi, vlo)
+                       .when(w == 0, vlo)
+                       .when(w == 1, vhi)
+                       .otherwise(_interp_col(vlo, vhi, w, method)))
                 structs.append(F.struct(F.lit(float(x)).alias("quantile"), val.alias(v)))
             part = row.select(F.explode(F.array(*structs)).alias("__s")).select(
                 F.col("__s.quantile").alias("quantile"), F.col(f"__s.{v}").alias(v)

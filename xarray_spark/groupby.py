@@ -263,7 +263,9 @@ class XGroupBy:
     def std(self, ddof=0): return self._agg(lambda v: F.stddev_pop(v) if ddof == 0 else F.stddev_samp(v), True, funcname="std", ddof=ddof)
     def var(self, ddof=0): return self._agg(lambda v: F.var_pop(v) if ddof == 0 else F.var_samp(v), True, funcname="var", ddof=ddof)
     def median(self):
-        return self._quantile_exact([0.5])
+        # np.nanmedian semantics (mean-of-middles), not quantile(0.5)'s
+        # two-sided lerp — they differ at the last ULP
+        return self._quantile_exact([0.5], method="np_median")
     def prod(self): return self._agg(lambda v: F.product(v), True)
     def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")), funcname="all")
     def any(self): return self._agg(lambda v: F.bool_or(F.col(v).cast("boolean")), funcname="any")
@@ -362,27 +364,22 @@ class XGroupBy:
                 out = out.withColumnRenamed(f"__key_{n}", n)
             dims = ([] if scalar else ["quantile"]) + self._key_names + kept
             return XDataset(out, dims, coords, varlist, self.ds.attrs)
+        from xarray_spark.dataset import _arr_quantile_expr
         if scalar and method == "linear":
             qf = qs[0]
-            return self._agg(lambda v: F.expr(f"percentile({v}, {qf!r})"), True)
-        # list-valued / non-linear buffer path: per-group sorted-array
-        # order statistics (same construction as Dataset.quantile)
-        if method == "linear":
-            qarr = "array({})".format(
-                ", ".join(repr(float(x)) for x in qs))
-            agg_for = lambda v: F.expr(  # noqa: E731
-                f"percentile({v}, {qarr})").cast("array<double>")
-        else:
-            def agg_for(v):
-                arr = F.sort_array(F.collect_list(F.col(v).cast("double")))
-                n = F.size(arr).cast("long")
-                vals = []
-                for x in qs:
-                    j_lo, j_hi, w = _quantile_positions(method, x, n)
-                    lo = F.element_at(arr, (j_lo + 1).cast("int"))
-                    hi = F.element_at(arr, (j_hi + 1).cast("int"))
-                    vals.append(F.when(n > 0, lo + (hi - lo) * w))
-                return F.array(*vals)
+            # NOT SQL `percentile`: its internal interpolation is the
+            # naive one-sided lerp (diverges from numpy under
+            # catastrophic cancellation — round-8 falsifier)
+            return self._agg(lambda v: _arr_quantile_expr(
+                F.collect_list(F.col(v).cast("double")), qf), True)
+        # buffer path, every method incl. linear: per-group sorted-array
+        # order statistics (same construction as Dataset.quantile),
+        # interpolated by the shared two-sided lerp
+        def agg_for(v):
+            arr = F.sort_array(F.collect_list(F.col(v).cast("double")))
+            return F.array(*[_arr_quantile_expr(arr, x, method,
+                                                presorted=True)
+                             for x in qs])
         agged = self._agg(agg_for, True)
         if scalar:
             return agged._replace(df=agged.df.select(

@@ -179,11 +179,20 @@ def decode_cf(df: DataFrame, decoders: Mapping[str, object]) -> DataFrame:
             c = F.when(c < 0, c.cast("long") + F.lit(1 << bits)).otherwise(c.cast("long"))
         missing = (spec.get("missing_value")
                    if isinstance(spec, Mapping) else None)
+        bool_sent = None
         if dtype == "bool":
-            # CFBoolCoder wins over the mask: the reference decodes a
-            # dtype='bool' variable by casting alone — a _FillValue
-            # sentinel becomes its truth value, never null (wave-42
-            # pinned: [0, 1, -1] with _FillValue=-1 -> [F, T, T])
+            # Reference coder ORDER: CFMaskCoder runs BEFORE
+            # BooleanCoder (conventions.decode_cf_variable), so a
+            # _FillValue/missing_value sentinel becomes NaN and casts
+            # to True REGARDLESS of its own truth value — verified
+            # against the reference: [0,1,-1] FV=-1 -> [F,T,T] and
+            # [0,1,0] FV=0 -> [T,T,T] (a falsy sentinel still decodes
+            # True; round-9 ADVICE #5)
+            if fill is not None:
+                bool_sent = F.col(var) == F.lit(fill)
+            if missing is not None:
+                m = F.col(var) == F.lit(missing)
+                bool_sent = m if bool_sent is None else (bool_sent | m)
             fill = missing = None
         if fill is not None:
             c = F.when(F.col(var) == F.lit(fill), F.lit(None)).otherwise(c)
@@ -197,8 +206,11 @@ def decode_cf(df: DataFrame, decoders: Mapping[str, object]) -> DataFrame:
         if offset is not None:
             c = c + F.lit(offset)
         if dtype == "bool":
-            # CFBoolCoder (coding/variables.py:732): i1 0/1 -> boolean
+            # CFBoolCoder (coding/variables.py:732): i1 0/1 -> boolean;
+            # masked sentinels decode True (NaN truthiness, see above)
             c = c.cast("int").cast("boolean")
+            if bool_sent is not None:
+                c = F.when(bool_sent, F.lit(True)).otherwise(c)
         # xarray.coders parity: a CFDatetimeCoder in the spec carries
         # the reference's use_cftime flag.  Real-calendar times are
         # timestamps in this engine BY DESIGN (Spark's range, year

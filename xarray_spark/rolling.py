@@ -21,7 +21,7 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from xarray_spark.dataset import XDataset
+from xarray_spark.dataset import XDataset, _median_expr
 
 
 class XRolling:
@@ -180,7 +180,12 @@ class XRolling:
     def var(self, ddof=0):
         return self._apply(lambda c, w: (F.var_pop(c) if ddof == 0 else F.var_samp(c)).over(w))
     def median(self):
-        return self._apply(lambda c, w: F.expr(f"percentile({c}, 0.5)").over(w))
+        # collect_list-over-window + the shared two-sided-lerp order
+        # statistics — NOT SQL `percentile` (naive internal lerp)
+        from xarray_spark.dataset import _arr_quantile_expr
+        return self._apply(lambda c, w: _arr_quantile_expr(
+            F.collect_list(F.col(c).cast("double")).over(w), 0.5,
+            method="np_median"))
 
     def prod(self):
         return self._apply(lambda c, w: F.product(c).over(w))
@@ -379,7 +384,7 @@ class XCoarsen:
         # the block's new label is derived from its member labels
         cf = {"mean": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
               "first": F.min, "last": F.max,
-              "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+              "median": lambda c: _median_expr(c),
               }.get(self.coord_func)
         if cf is None:
             raise ValueError(f"unsupported coord_func {self.coord_func!r}")
@@ -411,7 +416,7 @@ class XCoarsen:
     def std(self): return self._agg(lambda v: F.stddev_pop(v))
     def var(self): return self._agg(lambda v: F.var_pop(v))
     def prod(self): return self._agg(lambda v: F.product(v))
-    def median(self): return self._agg(lambda v: F.expr(f"percentile({v}, 0.5)"))
+    def median(self): return self._agg(_median_expr)
     def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")))
     def any(self): return self._agg(lambda v: F.bool_or(F.col(v).cast("boolean")))
 
