@@ -195,7 +195,21 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
             exact_prev = x0.isNotNull() & (x0 == x)
             exact_next = x1.isNotNull() & (x1 == x)
             if method == "linear":
-                blend = y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+                # np.interp's EXACT formula (numpy compiled_interp —
+                # the reference's NumpyInterpolator delegates to it):
+                # slope-form `slope*(x-x0) + y0`, NOT the fraction
+                # form `y0 + (y1-y0)*frac` — the two differ at the
+                # last ULP, which catastrophic cancellation amplifies
+                # (wave 45: midpoint of {1e6, -999999.9999999999}
+                # must be exactly 0.0).  np.interp also retries from
+                # the right anchor when the left-form result is NaN,
+                # then falls back to y0 when y0 == y1.
+                slope = (y1 - y0) / (x1 - x0)
+                left = slope * (x - x0) + y0
+                right = slope * (x - x1) + y1
+                blend = (F.when(~F.isnan(left), left)
+                         .when(~F.isnan(right), right)
+                         .when(y0 == y1, y0))
                 interp = F.when(x1 == x0, y0).otherwise(blend)
             elif method == "zero":
                 interp = y0
