@@ -2688,9 +2688,12 @@ class XDataset:
           to the ≤2 positions each quantile needs, combine.  Never buffers
           the column in one aggregation buffer, so it survives a 100 TB
           ungrouped quantile where SQL ``percentile`` OOMs one task.
-        - **grouped**: SQL ``percentile`` for 'linear' (exact, buffers one
-          GROUP's values — fine when groups ≪ executor memory);
-          sorted-array order statistics for the other methods.
+        - **grouped**: sorted-array order statistics for EVERY method
+          incl. linear (exact, buffers one GROUP's values — fine when
+          groups ≪ executor memory; SQL ``percentile`` is off this
+          path since round 9: its internal lerp is the naive
+          one-sided form that diverges from numpy under catastrophic
+          cancellation).
         - ``approx=True``: ``approx_percentile`` t-digest, any shape —
           the opt-in sketch when groups themselves are huge.
         """

@@ -323,9 +323,10 @@ class XGroupBy:
 
     def _quantile_exact(self, qs: list, method: str = "linear",
                         scalar: bool = True) -> XDataset:
-        """Exact per-group quantiles.  Small groups: one-shuffle SQL
-        ``percentile`` (buffers one group — fine under the buffer
-        limit).  Any group above
+        """Exact per-group quantiles.  Small groups: one-shuffle
+        sorted-array order-statistic aggregate (buffers one group —
+        fine under the buffer limit; NOT SQL ``percentile``, whose
+        internal lerp is the naive one-sided form).  Any group above
         ``OPTIONS['grouped_quantile_buffer_limit']``: the distributed
         per-group histogram selection (dataset._grouped_quantile_hist)
         — exact, no group ever buffered, so a 10^9-row group cannot
