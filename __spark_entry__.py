@@ -2525,7 +2525,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_zarr_roundtrip": q72_zarr_roundtrip,
         "q28_dt_fields": q28_dt_fields,
         "q75_interp_zero": q75_interp_zero,
-        "q86_cf_subdaily": q86_cf_subdaily,
         "q107_repetition_stats": q107_repetition_stats,
         "q108_blend_epochs": q108_blend_epochs,
         "q40_dropna": q40_dropna,
@@ -2537,15 +2536,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_weighted_mean": q23_weighted_mean,
         "q26_corr": q26_corr,
         "q32_language_id": q32_language_id,
-        "q12_diff": q12_diff,
         "q17_rank": q17_rank,
         "q20_concat": q20_concat,
         "q22_pivot": q22_pivot,
         "q24_integrate": q24_integrate,
         "q03_isel_head": q03_isel_head,
-        "q11_cumsum": q11_cumsum,
         "q18_idxmax": q18_idxmax,
-        "q25_polyfit": q25_polyfit,
         "q31_text_features": q31_text_features,
         "q37_coarsen_weekly": q37_coarsen_weekly,
         "q38_shift": q38_shift,
