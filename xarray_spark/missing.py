@@ -172,19 +172,38 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
         # positional interpolation (xarray use_coordinate=False,
         # core/missing.py:248): x = ordinal along the dim
         x = F.col("__rn").cast("double")
+    # Materialize the bracketing pairs ONCE per var in an intermediate
+    # select: the blend below mentions x0/y0/x1/y1 ~a dozen times, and
+    # each mention of an un-extracted window expression duplicates the
+    # whole `last(struct).over(...)` subtree in the unanalyzed plan —
+    # measured 2× plan-build/codegen cost on the interp() gate.  After
+    # this select the Window node's outputs are plain attributes (and
+    # the analyzer's window extraction blocks projection re-inlining),
+    # so every downstream mention is a field reference.
+    win_cols = []
+    for c in ds.data_vars:
+        v = F.col(c).cast("double")
+        # _src_pred (interp()'s private hook): pairs come from
+        # SOURCE rows even when their value is null, so a NaN
+        # source poisons the blend and an exact hit on it returns
+        # NaN — scipy interp1d semantics at zero extra window cost.
+        pair = F.when(_src_pred if _src_pred is not None
+                      else v.isNotNull(),
+                      F.struct(x.alias("x"), v.alias("y")))
+        win_cols.append(
+            F.last(pair, ignorenulls=True).over(back).alias(f"__pv_{c}"))
+        win_cols.append(
+            F.first(pair, ignorenulls=True).over(fwd).alias(f"__nx_{c}"))
+        if limit is not None:
+            win_cols.append(
+                F.last(F.when(v.isNotNull(), F.col("__rn")),
+                       ignorenulls=True).over(back).alias(f"__lv_{c}"))
+    df = df.select("*", *win_cols)
     exprs = []
     for c in df.columns:
         if c in ds.data_vars:
             v = F.col(c).cast("double")
-            # _src_pred (interp()'s private hook): pairs come from
-            # SOURCE rows even when their value is null, so a NaN
-            # source poisons the blend and an exact hit on it returns
-            # NaN — scipy interp1d semantics at zero extra window cost.
-            pair = F.when(_src_pred if _src_pred is not None
-                          else v.isNotNull(),
-                          F.struct(x.alias("x"), v.alias("y")))
-            prev = F.last(pair, ignorenulls=True).over(back)
-            nxt = F.first(pair, ignorenulls=True).over(fwd)
+            prev, nxt = F.col(f"__pv_{c}"), F.col(f"__nx_{c}")
             x0, y0 = prev.getField("x"), prev.getField("y")
             x1, y1 = nxt.getField("x"), nxt.getField("y")
             # exact-label duplicates (interp() unions a null row per
@@ -226,11 +245,10 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
             can_fill = exact_prev | exact_next | two_sided
             if limit is not None:
                 # xarray limit: fill at most `limit` consecutive nulls
-                # after the last valid value (pandas-style)
-                last_valid_rn = F.last(
-                    F.when(v.isNotNull(), F.col("__rn")), ignorenulls=True
-                ).over(back)
-                can_fill = can_fill & ((F.col("__rn") - last_valid_rn) <= limit)
+                # after the last valid value (pandas-style); the window
+                # scan was materialized as __lv_{c} above
+                can_fill = can_fill & (
+                    (F.col("__rn") - F.col(f"__lv_{c}")) <= limit)
             filled = F.when(v.isNotNull(), v).otherwise(F.when(can_fill, interp))
             if fill_value is not None:
                 if isinstance(fill_value, (tuple, list)) and len(fill_value) == 2:
@@ -244,7 +262,7 @@ def interpolate_na(ds: XDataset, dim: str, method: str = "linear",
                           F.lit(float(rval)))
                     .otherwise(filled))
             exprs.append(filled.alias(c))
-        elif c != "__rn":
+        elif c != "__rn" and not c.startswith(("__pv_", "__nx_", "__lv_")):
             exprs.append(F.col(c))
     return ds._replace(df=df.select(*exprs))
 
