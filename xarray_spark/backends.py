@@ -261,11 +261,20 @@ def write_netcdf3(path: str, dims: Mapping[str, int],
 
 def _long_frame(dims: Sequence[str], coord_arrays: Mapping[str, np.ndarray],
                 var_arrays: Mapping[str, np.ndarray]):
-    """Dense hypercube → long-form pandas frame (one row per element)."""
+    """Dense hypercube → long-form pandas frame (one row per element).
+
+    Coord columns expand via broadcast views flattened once (one copy
+    per column) — ``np.indices`` + fancy-index would materialize an
+    extra ndim×N int64 index block and a gather per column, ~2× the
+    memory traffic on the chunk-decode hot path (open_zarr)."""
     import pandas as pd
     shape = [len(coord_arrays[d]) for d in dims]
-    idx = np.indices(shape).reshape(len(dims), -1)
-    data = {d: np.asarray(coord_arrays[d])[idx[i]] for i, d in enumerate(dims)}
+    data = {}
+    for i, d in enumerate(dims):
+        arr = np.asarray(coord_arrays[d])
+        view = [1] * len(shape)
+        view[i] = shape[i]
+        data[d] = np.broadcast_to(arr.reshape(view), shape).reshape(-1)
     for v, arr in var_arrays.items():
         data[v] = np.asarray(arr).reshape(-1)
     return pd.DataFrame(data)
@@ -631,10 +640,11 @@ def open_zarr(spark: SparkSession, store: str,
 
     Plan shape: coordinate arrays (label-sized) load driver-side; the
     chunk grid of the data variables becomes a DataFrame of chunk
-    indices, and ``mapInPandas`` decodes each chunk executor-side into
-    long-form rows.  One task per chunk — the natural unit zarr was
-    designed around — so a 100 TB store never funnels through the
-    driver.
+    indices repartitioned to ~2× parallelism (many chunks per task —
+    per-task overhead amortizes across chunk decodes), and
+    ``mapInPandas`` decodes each chunk executor-side into long-form
+    rows.  The chunk stays the IO unit zarr was designed around, so a
+    100 TB store never funnels through the driver.
     """
     def _is_array(n: str) -> bool:
         d = os.path.join(store, n)
@@ -700,8 +710,11 @@ def open_zarr(spark: SparkSession, store: str,
                     else:
                         fill = za.get("fill_value")
                         block = np.full(csel, fill if fill is not None else 0, dt)
-                    var_blocks[v] = block.astype(dt.newbyteorder("=")) \
-                        if dt.kind in "iuf" else block
+                    # byteswap only when the on-disk order is foreign —
+                    # astype() always copies, and '<' IS native here
+                    if dt.kind in "iuf" and not dt.isnative:
+                        block = block.astype(dt.newbyteorder("="))
+                    var_blocks[v] = block
                 chunk_coords = {d: coords_b[d][sel[i]] for i, d in enumerate(dims)}
                 yield _long_frame(dims, chunk_coords, var_blocks)
 
