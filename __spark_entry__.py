@@ -2402,17 +2402,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q122/q25 (polyfit w= length check), q59/q86 (CF bool mask-order),
     q10/q111 (rolling family — median re-routed off SQL percentile);
     and (c) the ROTATION-DEBT recall the round-8 verdict ordered
-    (≥10): 36 of the 44 displaced r7-window queries return, led by
-    q81/q132 (code changed r8/r7) — q134/q135, q34/q35, q114,
+    (≥10): 35 of the 44 displaced r7-window queries return, led by
+    q81/q132 (code changed r8/r7) — q134/q135, q34/q35,
     q116-q118, q121/q123-q125, q02/q04-q09/q11-q14, q29, q33, q36,
-    q43-q45, q53/q54, q58, q60, q62.
+    q43-q45, q53/q54, q58, q60, q62.  Late round-9 additions: q62
+    stays (the interp window-bracket materialization rewrote its
+    plan-build path) and q72 swaps INTO the window for q114 (the
+    zarr chunk decoder's long-form expansion changed; q114's
+    groupers code did not change this round and keeps its r8 row).
     Displaced below the fold: the r8-window gates (q136, its stage
     units q127-q131/q30, q126/q129/q133, q119/q120, the five
     streaming gates, q19/q21, q99-q106, q46, q51/q52, q61, q63,
     q79, q97, q112/q113, q88-q93, q98, q110) — every one carries a
     FRESH round-8 driver row and none of their code paths changed
     in round 9.  Still unrecalled from the r7 window (r10 debt):
-    q65/q66, q70, q78, q84, q95.
+    q65/q66, q70, q78, q84, q95, q114.
     Everything below the window carries a green driver row from
     rounds 1-8 and stays covered by tests/test_oracle.py at sf0.001
     each round.
@@ -2441,7 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_lm_buckets_thresholds": q135_lm_buckets_thresholds,
         "q34_minhash_lsh": q34_minhash_lsh,
         "q35_simhash": q35_simhash,
-        "q114_encoded_groups": q114_encoded_groups,
+        "q72_zarr_roundtrip": q72_zarr_roundtrip,
         "q116_bucketed_ffill": q116_bucketed_ffill,
         "q117_outer_align_coords": q117_outer_align_coords,
         "q118_temperature_sample": q118_temperature_sample,
@@ -2522,7 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_multi_grouper": q65_multi_grouper,
         "q66_season_resampler": q66_season_resampler,
         "q94_audio_features": q94_audio_features,
-        "q72_zarr_roundtrip": q72_zarr_roundtrip,
+        "q114_encoded_groups": q114_encoded_groups,
         "q28_dt_fields": q28_dt_fields,
         "q75_interp_zero": q75_interp_zero,
         "q107_repetition_stats": q107_repetition_stats,
