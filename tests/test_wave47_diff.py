@@ -1,0 +1,231 @@
+"""Differential wave 47 (round 9): variance-family parity corners.
+
+Round-9 probe finds, all pinned here:
+
+1. **Weighted var/std/sum_of_squares catastrophic cancellation** — the
+   single-pass moment identity Σwv²−(Σwv)²/Σw returned **0.0** for
+   v ≈ 1e8 ± N(0,1) where the reference (which DEMEANS first,
+   computation/weighted.py:262) returns 0.806.  The engine now runs
+   the reference's two-pass form (weighted-mean broadcast-join, then
+   Σw(v−μ)²).
+2. **GroupBy.var/std silently treated any ddof ≥ 1 as ddof=1** —
+   groupby('k').var(ddof=2) returned the sample variance.  Now the
+   generic rescale runs with the ANSI division guarded.
+3. **var/std with ddof ≥ n crashed** (ANSI DIVIDE_BY_ZERO) where
+   np.var returns NaN — now null (the engine's NaN rendering).
+4. **quantile(q ∉ [0,1]) silently clamped** to an order statistic
+   where the reference raises ValueError("Quantiles must be in the
+   range [0, 1]") — now raises on Dataset/GroupBy/Weighted paths.
+"""
+
+import sys
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/reference")
+import xarray as xr  # noqa: E402
+
+from xarray_spark import XDataset  # noqa: E402
+
+warnings.filterwarnings("ignore")
+
+
+def _eng(spark, pdf, coords=None):
+    return XDataset(spark.createDataFrame(pdf), dims=["t"],
+                    coords=coords or {})
+
+
+# --------------------------------------------------------------------- #
+# 1. weighted var/std/sum_of_squares on offset (cancellation) data
+# --------------------------------------------------------------------- #
+
+def _weighted_pair(spark, vals, w):
+    pdf = pd.DataFrame({"t": range(len(vals)), "v": vals})
+    eng = _eng(spark, pdf)
+    wda = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(len(w)), "w": w})), dims=["t"])["w"]
+    ref = xr.DataArray(np.asarray(vals), dims="t").weighted(
+        xr.DataArray(np.asarray(w), dims="t"))
+    return eng.weighted(wda), ref
+
+
+OFFSET_CASES = [
+    1e8 + np.array([0.3, -1.2, 0.7, 2.1, -0.9, 0.0, 1.4, -2.2]),
+    -5e9 + np.linspace(-1, 1, 11),
+    np.array([1e6, -999999.9999999999, 3.0, -3.0, 0.0]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(OFFSET_CASES)))
+def test_weighted_var_offset(spark, case):
+    vals = OFFSET_CASES[case]
+    w = np.linspace(0.5, 2.0, len(vals))
+    ew, rw = _weighted_pair(spark, vals, w)
+    got = ew.var().to_pandas()["v"].iloc[0]
+    exp = float(rw.var().values)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("case", range(len(OFFSET_CASES)))
+def test_weighted_std_offset(spark, case):
+    vals = OFFSET_CASES[case]
+    w = np.linspace(0.5, 2.0, len(vals))
+    ew, rw = _weighted_pair(spark, vals, w)
+    got = ew.std().to_pandas()["v"].iloc[0]
+    exp = float(rw.std().values)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
+def test_weighted_sum_of_squares_offset(spark):
+    vals = OFFSET_CASES[0]
+    w = np.linspace(0.5, 2.0, len(vals))
+    ew, rw = _weighted_pair(spark, vals, w)
+    got = ew.sum_of_squares().to_pandas()["v"].iloc[0]
+    exp = float(rw.sum_of_squares().values)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_weighted_var_with_nulls_matches_reference(spark):
+    vals = np.array([1e8 + 1, np.nan, 1e8 - 1, 1e8 + 2, np.nan])
+    w = np.array([1.0, 5.0, 2.0, 1.0, 3.0])
+    ew, rw = _weighted_pair(spark, vals, w)
+    got = ew.var().to_pandas()["v"].iloc[0]
+    exp = float(rw.var().values)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_weighted_var_grouped_offset(spark):
+    # per-group demeaning: two groups at different offsets
+    vals = np.concatenate([1e8 + np.arange(5.0), -2e7 + np.arange(5.0) * 3])
+    keys = ["a"] * 5 + ["b"] * 5
+    w = np.linspace(1.0, 2.0, 10)
+    pdf = pd.DataFrame({"t": list(range(5)) * 2, "v": vals, "k": keys})
+    eng = XDataset(spark.createDataFrame(pdf), dims=["k", "t"])
+    wda = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(5), "w": w[:5]})), dims=["t"])["w"]
+    got = (eng.weighted(wda).var("t").to_pandas()
+           .sort_values("k")["v"].to_numpy())
+    ref = xr.DataArray(
+        vals.reshape(2, 5), dims=["k", "t"],
+        coords={"k": ["a", "b"]}).weighted(
+        xr.DataArray(w[:5], dims=["t"]))
+    exp = ref.var("t").values
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+# --------------------------------------------------------------------- #
+# 2. groupby var/std generic ddof
+# --------------------------------------------------------------------- #
+
+def _gb_pair(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 7.0]
+    keys = [0, 0, 0, 1, 1, 1]
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(6), "k": keys, "v": vals})),
+        dims=["t"], coords={"k": ("t",)})
+    ref = xr.DataArray(vals, dims="t", coords={"k": ("t", keys)})
+    return eng, ref
+
+
+@pytest.mark.parametrize("ddof", [0, 1, 2])
+def test_groupby_var_ddof(spark, ddof):
+    eng, ref = _gb_pair(spark)
+    got = (eng.groupby("k").var(ddof=ddof).to_pandas()
+           .sort_values("k")["v"].to_numpy())
+    exp = ref.groupby("k").var(ddof=ddof).values
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+@pytest.mark.parametrize("ddof", [0, 1, 2])
+def test_groupby_std_ddof(spark, ddof):
+    eng, ref = _gb_pair(spark)
+    got = (eng.groupby("k").std(ddof=ddof).to_pandas()
+           .sort_values("k")["v"].to_numpy())
+    exp = ref.groupby("k").std(ddof=ddof).values
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_groupby_var_ddof_equal_n_is_missing(spark):
+    # np.var with ddof == group size -> NaN; the engine renders missing
+    eng, _ = _gb_pair(spark)
+    out = eng.groupby("k").var(ddof=3).to_pandas()["v"]
+    assert out.isna().all()
+
+
+# --------------------------------------------------------------------- #
+# 3. dataset var/std ddof >= n: NaN, not an error, never negative
+# --------------------------------------------------------------------- #
+
+def _flat(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(5), "v": vals})), dims=["t"])
+    ref = xr.DataArray(vals, dims="t")
+    return eng, ref
+
+
+@pytest.mark.parametrize("ddof", [2, 3, 4])
+def test_var_generic_ddof_matches_reference(spark, ddof):
+    eng, ref = _flat(spark)
+    got = eng["v"].var(ddof=ddof).to_pandas()["v"].iloc[0]
+    exp = float(ref.var(ddof=ddof).values)
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+@pytest.mark.parametrize("ddof", [5, 6])
+def test_var_ddof_at_or_above_n_is_missing(spark, ddof):
+    eng, ref = _flat(spark)
+    assert np.isnan(float(ref.var(ddof=ddof).values))
+    out = eng["v"].var(ddof=ddof).to_pandas()["v"]
+    assert out.isna().all()
+
+
+@pytest.mark.parametrize("ddof", [5, 6])
+def test_std_ddof_at_or_above_n_is_missing(spark, ddof):
+    eng, _ = _flat(spark)
+    out = eng["v"].std(ddof=ddof).to_pandas()["v"]
+    assert out.isna().all()
+
+
+# --------------------------------------------------------------------- #
+# 4. quantile domain validation
+# --------------------------------------------------------------------- #
+
+@pytest.mark.parametrize("q", [-0.1, 1.5, float("nan")])
+def test_quantile_out_of_range_raises(spark, q):
+    eng, ref = _flat(spark)
+    with pytest.raises(ValueError, match="Quantiles must be"):
+        ref.quantile(q)
+    with pytest.raises(ValueError, match="Quantiles must be"):
+        eng["v"].quantile(q)
+
+
+def test_quantile_list_out_of_range_raises(spark):
+    eng, _ = _flat(spark)
+    with pytest.raises(ValueError, match="Quantiles must be"):
+        eng["v"].quantile([0.5, 1.01])
+
+
+def test_groupby_quantile_out_of_range_raises(spark):
+    eng, _ = _gb_pair(spark)
+    with pytest.raises(ValueError, match="Quantiles must be"):
+        eng.groupby("k").quantile(2.0)
+
+
+def test_weighted_quantile_out_of_range_raises(spark):
+    vals = np.arange(5.0)
+    w = np.ones(5)
+    ew, _ = _weighted_pair(spark, vals, w)
+    with pytest.raises(ValueError, match="Quantiles must be"):
+        ew.quantile(-0.5)
+
+
+def test_quantile_bounds_inclusive_still_work(spark):
+    eng, ref = _flat(spark)
+    got = (eng["v"].quantile([0.0, 1.0]).to_pandas()
+           .sort_values("quantile")["v"].to_numpy())
+    exp = ref.quantile([0.0, 1.0]).values
+    np.testing.assert_array_equal(got, exp)

@@ -946,24 +946,53 @@ class XWeighted:
     def sum_of_weights(self, dim=None):
         return self._reduce(dim, lambda v, w: F.sum(F.when(v.isNotNull(), w)))
 
+    def _demeaned_sq(self, dim, normalize: bool) -> XDataset:
+        """Two-pass Σw(v-μ)² like the reference (computation/weighted.py:262
+        _sum_of_squares reduces (da - weighted_mean)² — it DEMEANS
+        first).  The single-pass moment identity Σwv²-(Σwv)²/Σw loses
+        ALL precision on offset data (v ≈ 1e8 ± 1 → engine 0.0 vs
+        reference 0.81, round-9 probe), so pass 1 aggregates the
+        label-sized weighted-mean table, broadcast-joins it back, and
+        pass 2 reduces the squared deviations — one extra scan, exact.
+        ``normalize`` divides by Σw (var); else the raw sum of squares."""
+        from xarray_spark._utils import null_safe_join
+        ds = self.ds
+        dims = ds._norm_dim_arg(dim)
+        keep = [d for d in ds.dims if d not in dims]
+        coords = ds._coords_on(keep)
+        keys = keep + list(coords)
+        w = F.coalesce(F.nanvl(self.w.cast("double"),
+                               F.lit(None).cast("double")), F.lit(0.0))
+        varlist = list(ds.data_vars)
+        vcol = lambda v: F.nanvl(F.col(v).cast("double"),  # noqa: E731
+                                 F.lit(None).cast("double"))
+        mean_aggs = [
+            (F.sum(F.when(vcol(v).isNotNull(), vcol(v) * w))
+             / F.sum(F.when(vcol(v).isNotNull(), w))).alias(f"__mu_{v}")
+            for v in varlist]
+        base = ds.df
+        if keys:
+            means = base.groupBy(*keys).agg(*mean_aggs)
+            joined = null_safe_join(base, F.broadcast(means), keys)
+        else:
+            means = base.agg(*mean_aggs)
+            joined = base.crossJoin(F.broadcast(means))
+        aggs = []
+        for v in varlist:
+            vd = vcol(v)
+            dev = vd - F.col(f"__mu_{v}")
+            num = F.sum(F.when(vd.isNotNull(), w * dev * dev))
+            if normalize:
+                num = num / F.sum(F.when(vd.isNotNull(), w))
+            aggs.append(num.alias(v))
+        df = joined.groupBy(*keys).agg(*aggs) if keys else joined.agg(*aggs)
+        return XDataset(df, keep, coords, varlist, ds.attrs)
+
     def sum_of_squares(self, dim=None):
-        # the reference DEMEANS first (computation/weighted.py:262
-        # _sum_of_squares reduces (da - weighted_mean)²):
-        # Σw(v-μ)² = Σwv² - (Σwv)²/Σw
-        def e(v, w):
-            s1 = F.sum(F.when(v.isNotNull(), v * w))
-            s2 = F.sum(F.when(v.isNotNull(), w * v * v))
-            sw = F.sum(F.when(v.isNotNull(), w))
-            return s2 - s1 * s1 / sw
-        return self._reduce(dim, e)
+        return self._demeaned_sq(dim, normalize=False)
 
     def var(self, dim=None):
-        def e(v, w):
-            mean = F.sum(F.when(v.isNotNull(), v * w)) / F.sum(F.when(v.isNotNull(), w))
-            # weighted var = Σw(v-μ)² / Σw  computed via moments
-            s2 = F.sum(F.when(v.isNotNull(), w * v * v)) / F.sum(F.when(v.isNotNull(), w))
-            return s2 - mean * mean
-        return self._reduce(dim, e)
+        return self._demeaned_sq(dim, normalize=True)
 
     def std(self, dim=None):
         out = self.var(dim)
@@ -982,6 +1011,8 @@ class XWeighted:
         import pandas as pd
         from pyspark.sql import types as T
 
+        from xarray_spark.dataset import _validate_q
+        _validate_q(q if isinstance(q, (list, tuple)) else [q])
         ds = self.ds
         dims = ds._norm_dim_arg(dim)
         keep = [d for d in ds.dims if d not in dims]

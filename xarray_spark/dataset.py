@@ -198,6 +198,16 @@ def _median_expr(v) -> Column:
                               method="np_median")
 
 
+def _validate_q(qs) -> None:
+    """np.quantile's domain check (the reference surfaces it verbatim):
+    silently clamping an out-of-range q returns a plausible-but-wrong
+    order statistic, so raise exactly like numpy does."""
+    for x in qs:
+        x = float(x)
+        if not (0.0 <= x <= 1.0) or x != x:
+            raise ValueError("Quantiles must be in the range [0, 1]")
+
+
 def _quantile_positions(method: str, q: float, n: Column):
     """0-indexed order-statistic positions (j_lo, j_hi) and interpolation
     weight w for one quantile, as expressions of the (column) sample size
@@ -2614,7 +2624,10 @@ class XDataset:
             if ddof == 1:
                 return F.stddev_samp(v)
             n = F.count(v)
-            return F.sqrt(F.var_pop(v) * n / (n - F.lit(ddof)))
+            # np.var/std with ddof >= n is NaN (0/0 or a negative
+            # divisor), never an error — guard the ANSI division
+            return F.when(n > ddof,
+                          F.sqrt(F.var_pop(v) * n / (n - F.lit(ddof))))
         return self._reduce(dim, e, "std", skipna, keep_attrs, ddof=ddof)
 
     def var(self, dim=None, skipna: bool = True, ddof: int = 0,
@@ -2625,7 +2638,9 @@ class XDataset:
             if ddof == 1:
                 return F.var_samp(v)
             n = F.count(v)
-            return F.var_pop(v) * n / (n - F.lit(ddof))
+            # np.var with ddof >= n is NaN, never an error or a
+            # NEGATIVE variance — guard the ANSI division
+            return F.when(n > ddof, F.var_pop(v) * n / (n - F.lit(ddof)))
         return self._reduce(dim, e, "var", skipna, keep_attrs, ddof=ddof)
 
     def median(self, dim=None, skipna: bool = True,
@@ -2703,6 +2718,7 @@ class XDataset:
                           "use 'method'", FutureWarning, stacklevel=2)
             method = interpolation
         qs = [q] if not isinstance(q, (list, tuple)) else list(q)
+        _validate_q(qs)
         dims = self._norm_dim_arg(dim)
         keep = [d for d in self.dims if d not in dims]
         coords = self._coords_on(keep)

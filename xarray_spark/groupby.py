@@ -260,8 +260,19 @@ class XGroupBy:
     def min(self, skipna=True): return self._agg(lambda v: F.min(v), False, skipna)
     def max(self, skipna=True): return self._agg(lambda v: F.max(v), False, skipna)
     def count(self): return self._agg(lambda v: F.count(v), funcname="count")
-    def std(self, ddof=0): return self._agg(lambda v: F.stddev_pop(v) if ddof == 0 else F.stddev_samp(v), True, funcname="std", ddof=ddof)
-    def var(self, ddof=0): return self._agg(lambda v: F.var_pop(v) if ddof == 0 else F.var_samp(v), True, funcname="var", ddof=ddof)
+    def _var_expr(self, v, ddof: int):
+        # generic ddof like np.var: pop/samp fast paths, and ddof >= 2
+        # rescaled from var_pop with the ANSI division guarded (np
+        # returns NaN for ddof >= n, never an error or a negative var)
+        if ddof == 0:
+            return F.var_pop(v)
+        if ddof == 1:
+            return F.var_samp(v)
+        n = F.count(v)
+        return F.when(n > ddof, F.var_pop(v) * n / (n - F.lit(ddof)))
+
+    def std(self, ddof=0): return self._agg(lambda v: F.sqrt(self._var_expr(v, ddof)), True, funcname="std", ddof=ddof)
+    def var(self, ddof=0): return self._agg(lambda v: self._var_expr(v, ddof), True, funcname="var", ddof=ddof)
     def median(self):
         # np.nanmedian semantics (mean-of-middles), not quantile(0.5)'s
         # two-sided lerp — they differ at the last ULP
@@ -298,6 +309,8 @@ class XGroupBy:
         ``skipna=False`` poisons any group containing NaN (numpy
         semantics) via a group-count-sized flag join.
         """
+        from xarray_spark.dataset import _validate_q
+        _validate_q(q if isinstance(q, (list, tuple)) else [q])
         if not skipna:
             out = self.quantile(q, method=method)
             flags = self._agg(
