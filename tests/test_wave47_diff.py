@@ -229,3 +229,59 @@ def test_quantile_bounds_inclusive_still_work(spark):
            .sort_values("quantile")["v"].to_numpy())
     exp = ref.quantile([0.0, 1.0]).values
     np.testing.assert_array_equal(got, exp)
+
+
+# --------------------------------------------------------------------- #
+# 5. cov/corr offset exactness (two-pass demeaned rewrite)
+# --------------------------------------------------------------------- #
+
+@pytest.mark.parametrize("off", [0.0, 1e8, 1e12, 1e15])
+def test_cov_offset_exact(spark, off):
+    # Spark's online covar_samp drifted to 0.6% error at offset 1e15;
+    # the demeaned two-pass form must match the reference to 1e-12 rel
+    from xarray_spark.computation import cov as ecov
+    a = off + np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    b = -off + np.array([2.0, 1.0, 4.0, 3.0, 6.0])
+    ea = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(5), "a": a, "b": b})), dims=["t"])
+    got = ecov(ea["a"], ea["b"]).to_pandas().iloc[0, 0]
+    exp = float(xr.cov(xr.DataArray(a, dims="t"),
+                       xr.DataArray(b, dims="t")).values)
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+@pytest.mark.parametrize("off", [0.0, 1e8, 1e12, 1e15])
+def test_corr_offset_exact(spark, off):
+    from xarray_spark.computation import corr as ecorr
+    a = off + np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    b = -off + np.array([2.0, 1.0, 4.0, 3.0, 6.0])
+    ea = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(5), "a": a, "b": b})), dims=["t"])
+    got = ecorr(ea["a"], ea["b"]).to_pandas().iloc[0, 0]
+    exp = float(xr.corr(xr.DataArray(a, dims="t"),
+                        xr.DataArray(b, dims="t")).values)
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_cov_nan_masking_and_ddof(spark):
+    from xarray_spark.computation import cov as ecov
+    a = np.array([1.0, np.nan, 3.0])
+    b = np.array([2.0, 5.0, np.nan])
+    ea = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(3), "a": a, "b": b})), dims=["t"])
+    # one mutually-valid pair: ddof=1 -> NaN (missing), ddof=0 -> 0.0
+    assert pd.isna(ecov(ea["a"], ea["b"]).to_pandas().iloc[0, 0])
+    got0 = ecov(ea["a"], ea["b"], ddof=0).to_pandas().iloc[0, 0]
+    exp0 = float(xr.cov(xr.DataArray(a, dims="t"),
+                        xr.DataArray(b, dims="t"), ddof=0).values)
+    np.testing.assert_allclose(got0, exp0)
+
+
+def test_corr_zero_variance_missing(spark):
+    from xarray_spark.computation import corr as ecorr
+    a = np.array([2.0, 2.0, 2.0])
+    b = np.array([1.0, 2.0, 3.0])
+    ea = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(3), "a": a, "b": b})), dims=["t"])
+    # constant series: reference divides by zero std -> NaN
+    assert pd.isna(ecorr(ea["a"], ea["b"]).to_pandas().iloc[0, 0])
