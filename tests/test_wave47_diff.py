@@ -285,3 +285,78 @@ def test_corr_zero_variance_missing(spark):
         pd.DataFrame({"t": range(3), "a": a, "b": b})), dims=["t"])
     # constant series: reference divides by zero std -> NaN
     assert pd.isna(ecorr(ea["a"], ea["b"]).to_pandas().iloc[0, 0])
+
+
+# --------------------------------------------------------------------- #
+# 6. plain/groupby/rolling/coarsen var at offsets (demeaned rewrites)
+# --------------------------------------------------------------------- #
+
+@pytest.mark.parametrize("off", [0.0, 1e8, 1e12])
+def test_var_offset_exact(spark, off):
+    vals = off + np.array([1.0, 2.0, 3.0, 4.0, 5.0, 2.5, 3.5])
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(7), "v": vals})), dims=["t"])
+    ref = xr.DataArray(vals, dims="t")
+    for ddof in (0, 1):
+        got = eng["v"].var(ddof=ddof).to_pandas()["v"].iloc[0]
+        exp = float(ref.var(ddof=ddof).values)
+        np.testing.assert_allclose(got, exp, rtol=1e-12)
+        gs = eng["v"].std(ddof=ddof).to_pandas()["v"].iloc[0]
+        es = float(ref.std(ddof=ddof).values)
+        np.testing.assert_allclose(gs, es, rtol=1e-12)
+
+
+@pytest.mark.parametrize("off", [1e8, 1e12])
+def test_groupby_var_offset_exact(spark, off):
+    vals = off + np.array([1.0, 2.0, 3.0, 4.0, 5.0, 7.0])
+    keys = [0, 0, 0, 1, 1, 1]
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(6), "k": keys, "v": vals})),
+        dims=["t"], coords={"k": ("t",)})
+    ref = xr.DataArray(vals, dims="t", coords={"k": ("t", keys)})
+    got = (eng.groupby("k").var(ddof=1).to_pandas()
+           .sort_values("k")["v"].to_numpy())
+    exp = ref.groupby("k").var(ddof=1).values
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+@pytest.mark.parametrize("off", [1e8, 1e12])
+def test_rolling_var_offset(spark, off):
+    vals = off + np.array([1.0, 2.0, 3.0, 4.0, 5.0, 2.5, 3.5])
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(7), "v": vals})), dims=["t"])
+    ref = xr.DataArray(vals, dims="t")
+    got = (eng.rolling({"t": 3}).var().to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    exp = ref.rolling(t=3).var().values
+    # residual ~1.6e-9 at offset 1e12 is the REFERENCE's own window-mean
+    # rounding (the engine's exactly-centered answer is closer to truth)
+    np.testing.assert_allclose(got, exp, rtol=1e-8, equal_nan=True)
+    gs = (eng.rolling({"t": 3}).std().to_pandas()
+          .sort_values("t")["v"].to_numpy())
+    es = ref.rolling(t=3).std().values
+    np.testing.assert_allclose(gs, es, rtol=1e-8, equal_nan=True)
+
+
+@pytest.mark.parametrize("off", [1e8, 1e12])
+def test_coarsen_var_offset(spark, off):
+    vals = off + np.arange(8.0) * 1.5
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(8), "v": vals})), dims=["t"])
+    ref = xr.DataArray(vals, dims="t", coords={"t": np.arange(8)})
+    got = (eng.coarsen({"t": 4}).var().to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    exp = ref.coarsen(t=4).var().values
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_var_inf_poisons(spark):
+    # np.var of a population containing inf: mean=inf, the inf value's
+    # own deviation is inf-inf=NaN -> NaN result
+    vals = [1.0, float("inf"), 3.0]
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(3), "v": vals})), dims=["t"])
+    ref = xr.DataArray(vals, dims="t")
+    assert np.isnan(float(ref.var().values))
+    out = eng["v"].var().to_pandas()["v"].iloc[0]
+    assert pd.isna(out) or np.isnan(out)

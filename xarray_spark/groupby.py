@@ -146,7 +146,8 @@ class XGroupBy:
         return self.ds._replace(df=out_df.drop(*keys))
 
     def _agg(self, exprs_for: Callable[[str], Column], numeric_only=False,
-             skipna=True, funcname: str = "", ddof: int = 0) -> XDataset:
+             skipna=True, funcname: str = "", ddof: int = 0,
+             _pre=None) -> XDataset:
         prepped = self._prepared()
         kept = self._kept_dims
         coords = self.ds._coords_on(kept)
@@ -161,6 +162,10 @@ class XGroupBy:
         reduced = [d for d in self.ds.dims if d not in kept]
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(prepped.df, varlist, prepped.df.schema)
+        if _pre is not None:
+            # var/std demeaning hook: join per-group helper columns
+            # (e.g. __mu_{v}) that exprs_for may reference
+            base = _pre(base, group_cols, varlist)
         # dict-constructor broadcast vars reduce over THEIR OWN dims
         # only, exactly as Dataset._reduce: partial overlap with the
         # consumed dims -> dedup-first aggregation; no overlap -> the
@@ -261,8 +266,9 @@ class XGroupBy:
     def max(self, skipna=True): return self._agg(lambda v: F.max(v), False, skipna)
     def count(self): return self._agg(lambda v: F.count(v), funcname="count")
     def _var_expr(self, v, ddof: int):
-        # generic ddof like np.var: pop/samp fast paths, and ddof >= 2
-        # rescaled from var_pop with the ANSI division guarded (np
+        # legacy single-pass form — kept only for constructor-broadcast
+        # var_dims frames whose dedup stages the demeaning join cannot
+        # thread; generic ddof with the ANSI division guarded (np
         # returns NaN for ddof >= n, never an error or a negative var)
         if ddof == 0:
             return F.var_pop(v)
@@ -271,8 +277,40 @@ class XGroupBy:
         n = F.count(v)
         return F.when(n > ddof, F.var_pop(v) * n / (n - F.lit(ddof)))
 
-    def std(self, ddof=0): return self._agg(lambda v: F.sqrt(self._var_expr(v, ddof)), True, funcname="std", ddof=ddof)
-    def var(self, ddof=0): return self._agg(lambda v: self._var_expr(v, ddof), True, funcname="var", ddof=ddof)
+    def _var_agg(self, ddof: int, sqrt: bool) -> XDataset:
+        """np-exact grouped var/std: TWO-PASS demeaned (mean join, then
+        Σdev²/(n−ddof)) — Spark's online central moments drift with the
+        value offset (4e-6 rel at offset 1e12; see Dataset._var_demeaned
+        and SCALE.md round 9), the demeaned form stays exact."""
+        funcname = "std" if sqrt else "var"
+        reduced = [d for d in self.ds.dims if d not in self._kept_dims]
+        vd = getattr(self.ds, "var_dims", {}) or {}
+        partial_special = any(
+            own is not None and set(own) <= set(self.ds.dims)
+            and set(own) & set(reduced) and set(reduced) - set(own)
+            for own in vd.values())
+        if partial_special:
+            e = ((lambda v: F.sqrt(self._var_expr(v, ddof))) if sqrt
+                 else (lambda v: self._var_expr(v, ddof)))
+            return self._agg(e, True, funcname=funcname, ddof=ddof)
+        from xarray_spark._utils import null_safe_join
+
+        def pre(base, group_cols, varlist):
+            mean_aggs = [F.avg(F.col(v).cast("double")).alias(f"__mu_{v}")
+                         for v in varlist]
+            means = base.groupBy(*group_cols).agg(*mean_aggs)
+            return null_safe_join(base, F.broadcast(means), group_cols)
+
+        def e(v):
+            vc = F.col(v).cast("double")
+            dev = vc - F.col(f"__mu_{v}")
+            n = F.count(vc)
+            out = F.when(n > ddof, F.sum(dev * dev) / (n - F.lit(ddof)))
+            return F.sqrt(out) if sqrt else out
+        return self._agg(e, True, funcname=funcname, ddof=ddof, _pre=pre)
+
+    def std(self, ddof=0): return self._var_agg(ddof, sqrt=True)
+    def var(self, ddof=0): return self._var_agg(ddof, sqrt=False)
     def median(self):
         # np.nanmedian semantics (mean-of-middles), not quantile(0.5)'s
         # two-sided lerp — they differ at the last ULP

@@ -176,9 +176,49 @@ class XRolling:
             return self._apply_nd("count")
         return self._maybe_segmented("count") or self._apply(lambda c, w: F.count(c).over(w))
     def std(self, ddof=0):
-        return self._apply(lambda c, w: (F.stddev_pop(c) if ddof == 0 else F.stddev_samp(c)).over(w))
+        return self._var_window(ddof, sqrt=True)
+
     def var(self, ddof=0):
-        return self._apply(lambda c, w: (F.var_pop(c) if ddof == 0 else F.var_samp(c)).over(w))
+        return self._var_window(ddof, sqrt=False)
+
+    def _var_window(self, ddof: int, sqrt: bool) -> XDataset:
+        """Rolling var/std with the series CENTERED first: variance is
+        shift-invariant, and subtracting the partition-wide mean (one
+        extra window expression on the same sort) removes the value
+        offset that makes Spark's online var_pop drift (4e-6 rel at
+        offset 1e12 — same class as the round-9 demeaned var/cov
+        rewrites; the window's own mean isn't needed, any per-series
+        constant kills the cancellation)."""
+        if len(self.windows) > 1:
+            raise NotImplementedError(
+                "N-D rolling var/std: use construct()+reduce per dim")
+        w = self._frame()
+        others = [d for d in self.ds.dims if d != self.dim]
+        full = Window.partitionBy(*others).orderBy(self.dim).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        ds = self.ds
+        from xarray_spark._utils import nan_to_null
+        base = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
+        skip = ds._bcast_passthrough(list(self.windows))
+        shifted = base.select(
+            "*", *[F.avg(F.col(c).cast("double")).over(full)
+                   .alias(f"__sh_{c}")
+                   for c in ds.data_vars if c not in skip])
+        exprs = []
+        for c in base.columns:
+            if c in ds.data_vars and c not in skip:
+                centered = F.col(c).cast("double") - F.col(f"__sh_{c}")
+                agg = (F.var_pop(centered) if ddof == 0
+                       else F.var_samp(centered)).over(w)
+                if sqrt:
+                    agg = F.sqrt(agg)
+                if self.min_periods > 1:
+                    agg = F.when(F.count(c).over(w) >= self.min_periods,
+                                 agg)
+                exprs.append(agg.alias(c))
+            else:
+                exprs.append(F.col(c))
+        return ds._replace(df=shifted.select(*exprs))
     def median(self):
         # collect_list-over-window + the shared two-sided-lerp order
         # statistics — NOT SQL `percentile` (naive internal lerp)
@@ -373,7 +413,7 @@ class XCoarsen:
             block_cols.append(f"__block_{dim}")
         return ds, block_cols
 
-    def _agg(self, make, label_agg=F.min) -> XDataset:
+    def _agg(self, make, label_agg=F.min, _pre=None) -> XDataset:
         ds, block_cols = self._blocked()
         coarse_dims = list(self.windows)
         kept = [d for d in self.ds.dims if d not in coarse_dims]
@@ -405,6 +445,8 @@ class XCoarsen:
                          else make(v)).alias(v))
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(ds.df, list(self.ds.data_vars), ds.df.schema)
+        if _pre is not None:
+            base = _pre(base, keys)
         df = base.groupBy(*keys).agg(*aggs).drop(*block_cols)
         return XDataset(df, coarse_dims + kept, coords, self.ds.data_vars, self.ds.attrs)
 
@@ -413,8 +455,29 @@ class XCoarsen:
     def min(self): return self._agg(lambda v: F.min(v))
     def max(self): return self._agg(lambda v: F.max(v))
     def count(self): return self._agg(lambda v: F.count(v))
-    def std(self): return self._agg(lambda v: F.stddev_pop(v))
-    def var(self): return self._agg(lambda v: F.var_pop(v))
+    def std(self): return self._var_blocks(sqrt=True)
+    def var(self): return self._var_blocks(sqrt=False)
+
+    def _var_blocks(self, sqrt: bool) -> XDataset:
+        """Coarsen var/std demeaned per block (two-pass: block-mean
+        join, then Σdev²/n) — Spark's online var_pop drifts with the
+        value offset; see Dataset._var_demeaned / SCALE.md round 9."""
+        from xarray_spark._utils import null_safe_join
+        skip = self.ds._bcast_passthrough(list(self.windows))
+        varlist = [v for v in self.ds.data_vars if v not in skip]
+
+        def pre(base, keys):
+            mean_aggs = [F.avg(F.col(v).cast("double")).alias(f"__mu_{v}")
+                         for v in varlist]
+            means = base.groupBy(*keys).agg(*mean_aggs)
+            return null_safe_join(base, F.broadcast(means), keys)
+
+        def make(v):
+            vc = F.col(v).cast("double")
+            dev = vc - F.col(f"__mu_{v}")
+            e = F.sum(dev * dev) / F.count(vc)
+            return F.sqrt(e) if sqrt else e
+        return self._agg(make, _pre=pre)
     def prod(self): return self._agg(lambda v: F.product(v))
     def median(self): return self._agg(_median_expr)
     def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")))
