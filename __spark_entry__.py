@@ -376,9 +376,12 @@ def q23_weighted_mean(spark, sf_dir):
 
 
 def q24_integrate(spark, sf_dir):
-    """Trapezoidal integration along time (xarray core/dataset.py:8545)."""
+    """Trapezoidal integration along time (xarray core/dataset.py:8545),
+    with an explicit datetime_unit='s' (the engine's temporal default is
+    'ns' since round 9, matching the reference's datetime64[ns] rule —
+    the oracle's epoch() arithmetic is second-based)."""
     daily = _daily_revenue(spark, sf_dir)
-    out = daily.integrate("l_shipdate")
+    out = daily.integrate("l_shipdate", datetime_unit="s")
     return out.to_spark().select(_r3(F.col("rev") / 1e9).alias("integral_b"))
 
 
@@ -594,9 +597,11 @@ def q43_bfill(spark, sf_dir):
 
 def q44_differentiate(spark, sf_dir):
     """Central-difference gradient along time, scaled to per-day
-    (xarray core/dataset.py:8475)."""
+    (xarray core/dataset.py:8475); explicit datetime_unit='s' to match
+    the oracle's epoch() arithmetic (engine temporal default is 'ns'
+    since round 9)."""
     daily = _daily_revenue(spark, sf_dir)
-    out = daily.differentiate("l_shipdate")
+    out = daily.differentiate("l_shipdate", datetime_unit="s")
     return out.to_spark().select(
         "l_shipdate", _r6(F.col("rev") * 86400.0).alias("drev_per_day")
     )

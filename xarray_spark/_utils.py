@@ -25,6 +25,17 @@ def to_double(col: Column, dtype: T.DataType) -> Column:
     return col.cast("double")
 
 
+def to_double_ns(col: Column, dtype: T.DataType) -> Column:
+    """Epoch NANOSECONDS as double for temporal columns — the unit the
+    reference hard-codes for polyfit/polyval (_ensure_numeric:
+    datetime_unit='ns', offset 1970-01-01).  Exact route: unix_micros
+    is an integer (epoch us ≈ 1.7e15 < 2^53, so the double is exact)
+    and ×1000.0 rounds once — bit-equal to numpy's int-ns → float64."""
+    if isinstance(dtype, _TEMPORAL):
+        return F.unix_micros(col.cast("timestamp")) * F.lit(1000.0)
+    return col.cast("double")
+
+
 def is_temporal(dtype: T.DataType) -> bool:
     return isinstance(dtype, _TEMPORAL)
 

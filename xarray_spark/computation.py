@@ -170,10 +170,14 @@ def polyval(coord: XDataArray, coeffs, name: str = "polyval",
         rows = coeffs.df.select(degree_dim, var).collect()
         coeffs = {int(r[0]): float(r[1]) for r in rows}
     cname = coord.name
+    # temporal coords evaluate at epoch NANOSECONDS — the reference's
+    # _ensure_numeric hard-codes datetime_unit='ns' (matches polyfit)
+    from xarray_spark._utils import to_double_ns
+    xc = to_double_ns(F.col(cname), coord.df.schema[cname].dataType)
     degrees = sorted(coeffs, reverse=True)
     expr = F.lit(0.0)
     for d in degrees:
-        expr = expr * F.col(cname) + F.lit(float(coeffs[d]))
+        expr = expr * xc + F.lit(float(coeffs[d]))
     df = coord.df.withColumn(name, expr)
     return XDataArray(df.select(*coord.dims, *coord.coords, name), coord.dims, coord.coords, [name], coord.attrs)
 
@@ -213,7 +217,6 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
     import pandas as pd
 
     others = [d for d in ds.dims if d != dim]
-    from xarray_spark._utils import to_double
     if w is not None and not isinstance(w, str):
         if hasattr(w, "data_vars"):
             # DataArray/Dataset weights: align onto the frame
@@ -241,7 +244,11 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
             ds = ds._replace(df=ds.df.join(F.broadcast(mapping), on=dim,
                                            how="left"))
         w = "__w_arr"
-    x = to_double(F.col(dim), ds.df.schema[dim].dataType)
+    # temporal dims fit in epoch NANOSECONDS — the reference hard-codes
+    # datetime_unit='ns' in _ensure_numeric regardless of the input's
+    # storage precision (computation.py:946), so coefficient units match
+    from xarray_spark._utils import to_double_ns
+    x = to_double_ns(F.col(dim), ds.df.schema[dim].dataType)
     # Conditioning: raw moments S_k = Σ x^k square the Vandermonde
     # condition number, so an offset domain (x = years 1950..2050,
     # deg 4) drifts 1e-3 off np.polyfit's scaled-lstsq answer.  Center
@@ -548,22 +555,36 @@ def curvefit(ds: XDataset, coords: str, func: Callable,
 
 
 #: datetime_unit → seconds, for differentiate/integrate on temporal
-#: coords (xarray/core/dataset.py:8495 datetime_unit).  Engine default
-#: is "s" (documented divergence: the reference defaults to the coord's
-#: own storage precision, which for Spark timestamps would be "us").
+#: coords (xarray/core/dataset.py:8495 datetime_unit).  Default for a
+#: temporal coord is "ns" since round 9 — the reference defaults to the
+#: coord's own storage precision, which is "ns" for the datetime64[ns]
+#: data a migrating user has (the probe showed a silent 1e9 scale
+#: divergence under the old "s" default); pass datetime_unit= for any
+#: other unit.
 _DT_UNIT_SECONDS = {"W": 604800.0, "D": 86400.0, "h": 3600.0, "m": 60.0,
                     "s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
 
 
 def _coord_numeric(ds: XDataset, coord: str, datetime_unit: str | None):
-    """Numeric view of a (possibly temporal) coord in datetime_unit."""
-    from xarray_spark._utils import is_temporal, to_double
-    x = to_double(F.col(coord), ds.df.schema[coord].dataType)
+    """Numeric view of a (possibly temporal) coord in datetime_unit.
+
+    Temporal route goes through unix_micros (an exact integer — epoch
+    us < 2^53) so sub-second precision survives; the old epoch-seconds
+    double had ~240 ns ulp at 2026 timestamps."""
+    from xarray_spark._utils import is_temporal
+    dtype = ds.df.schema[coord].dataType
+    if is_temporal(dtype):
+        if datetime_unit is None:
+            datetime_unit = "ns"
+        us = F.unix_micros(F.col(coord).cast("timestamp"))
+        if datetime_unit == "ns":
+            # multiply, don't divide by 1e-3 (0.001 is not exactly
+            # representable; ×1000.0 is the bit-exact int-ns rounding)
+            return us * F.lit(1000.0)
+        return us / F.lit(_DT_UNIT_SECONDS[datetime_unit] * 1e6)
     if datetime_unit is not None:
-        if not is_temporal(ds.df.schema[coord].dataType):
-            raise ValueError("datetime_unit is only valid for datetime coords")
-        x = x / F.lit(_DT_UNIT_SECONDS[datetime_unit])
-    return x
+        raise ValueError("datetime_unit is only valid for datetime coords")
+    return F.col(coord).cast("double")
 
 
 def integrate(ds: XDataset, coord: str,
