@@ -360,3 +360,31 @@ def test_var_inf_poisons(spark):
     assert np.isnan(float(ref.var().values))
     out = eng["v"].var().to_pandas()["v"].iloc[0]
     assert pd.isna(out) or np.isnan(out)
+
+
+def test_rolling_var_mixed_scale_outlier(spark):
+    # fuzz find: a per-SERIES center shift poisons every window when the
+    # series holds an inf (mean=inf) and loses precision for small-value
+    # windows when it holds a 1e15 outlier; the per-WINDOW two-pass must
+    # keep windows independent
+    vals = np.array([3.5, -1.0, -20.7, 0.25, 999999.9999999999,
+                     -999999.9999999999, -np.inf, 3.5, 3.06, -18.08])
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(len(vals)), "v": vals})), dims=["t"])
+    ref = xr.DataArray(vals, dims="t")
+    got = (eng.rolling({"t": 4}).var().to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    exp = ref.rolling(t=4).var().values
+    np.testing.assert_allclose(got, exp, rtol=1e-9, equal_nan=True)
+
+
+def test_rolling_var_huge_outlier_isolated_windows(spark):
+    # windows NOT containing the 1e15 outlier must stay exact
+    vals = np.array([1e15, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(len(vals)), "v": vals})), dims=["t"])
+    ref = xr.DataArray(vals, dims="t")
+    got = (eng.rolling({"t": 3}).var().to_pandas()
+           .sort_values("t")["v"].to_numpy())
+    exp = ref.rolling(t=3).var().values
+    np.testing.assert_allclose(got[3:], exp[3:], rtol=1e-12)

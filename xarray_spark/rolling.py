@@ -182,43 +182,55 @@ class XRolling:
         return self._var_window(ddof, sqrt=False)
 
     def _var_window(self, ddof: int, sqrt: bool) -> XDataset:
-        """Rolling var/std with the series CENTERED first: variance is
-        shift-invariant, and subtracting the partition-wide mean (one
-        extra window expression on the same sort) removes the value
-        offset that makes Spark's online var_pop drift (4e-6 rel at
-        offset 1e12 — same class as the round-9 demeaned var/cov
-        rewrites; the window's own mean isn't needed, any per-series
-        constant kills the cancellation)."""
+        """Rolling var/std: per-WINDOW exact two-pass (window mean,
+        then Σ(x−μ)²/(n−ddof)) on the collected window array — the same
+        array route rolling median uses.  Spark's online var_pop over
+        the window drifts with the value offset (4e-6 rel at 1e12), and
+        a per-SERIES center shift is wrong on mixed-scale data (a 1e15
+        outlier anywhere poisons the precision — or, for ±inf, the
+        correctness — of every other window).  The window mean is
+        materialized as a real column so the deviation lambda reads an
+        attribute, not a re-evaluated aggregate (round-4 CSE lesson).
+        Cost is O(n·w) like any sliding reduction here; inf propagates
+        numpy's way (inf mean → inf−inf=NaN → NaN window)."""
         if len(self.windows) > 1:
             raise NotImplementedError(
                 "N-D rolling var/std: use construct()+reduce per dim")
         w = self._frame()
-        others = [d for d in self.ds.dims if d != self.dim]
-        full = Window.partitionBy(*others).orderBy(self.dim).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)
         ds = self.ds
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
         skip = ds._bcast_passthrough(list(self.windows))
-        shifted = base.select(
-            "*", *[F.avg(F.col(c).cast("double")).over(full)
-                   .alias(f"__sh_{c}")
-                   for c in ds.data_vars if c not in skip])
+        varlist = [c for c in ds.data_vars if c not in skip]
+        step1 = base.select(
+            "*", *[F.collect_list(F.col(c).cast("double")).over(w)
+                   .alias(f"__arr_{c}") for c in varlist])
+        mean_cols = []
+        for c in varlist:
+            arr = F.col(f"__arr_{c}")
+            n = F.size(arr)
+            mean_cols.append(
+                F.when(n > 0, F.aggregate(arr, F.lit(0.0),
+                                          lambda a, x: a + x) / n)
+                .alias(f"__m_{c}"))
+        step2 = step1.select("*", *mean_cols)
         exprs = []
         for c in base.columns:
-            if c in ds.data_vars and c not in skip:
-                centered = F.col(c).cast("double") - F.col(f"__sh_{c}")
-                agg = (F.var_pop(centered) if ddof == 0
-                       else F.var_samp(centered)).over(w)
+            if c in varlist:
+                arr = F.col(f"__arr_{c}")
+                mu = F.col(f"__m_{c}")
+                n = F.size(arr)
+                ss = F.aggregate(arr, F.lit(0.0),
+                                 lambda a, x: a + (x - mu) * (x - mu))
+                agg = F.when(n > ddof, ss / (n - F.lit(ddof)))
                 if sqrt:
                     agg = F.sqrt(agg)
                 if self.min_periods > 1:
-                    agg = F.when(F.count(c).over(w) >= self.min_periods,
-                                 agg)
+                    agg = F.when(n >= self.min_periods, agg)
                 exprs.append(agg.alias(c))
             else:
                 exprs.append(F.col(c))
-        return ds._replace(df=shifted.select(*exprs))
+        return ds._replace(df=step2.select(*exprs))
     def median(self):
         # collect_list-over-window + the shared two-sided-lerp order
         # statistics — NOT SQL `percentile` (naive internal lerp)
