@@ -388,3 +388,68 @@ def test_rolling_var_huge_outlier_isolated_windows(spark):
            .sort_values("t")["v"].to_numpy())
     exp = ref.rolling(t=3).var().values
     np.testing.assert_allclose(got[3:], exp[3:], rtol=1e-12)
+
+
+# --------------------------------------------------------------------- #
+# 7. round-9 fuzz finds: ties, all-NaN blocks, non-finite weighted var
+# --------------------------------------------------------------------- #
+
+def test_idxmax_argmax_ties_first_occurrence(spark):
+    # numpy returns the FIRST index attaining the extremum; min_by/
+    # max_by tie-breaking is arbitrary
+    vals = [-1e6, np.nan, -9.05, np.nan, -np.inf, 5.44, 15.75, np.nan,
+            999999.9999999999, 4.91, 999999.9999999999, -13.68,
+            np.nan, -14.95]
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(len(vals)), "v": vals})), dims=["t"])
+    ref = xr.DataArray(vals, dims="t", coords={"t": range(len(vals))})
+    for op in ("idxmax", "argmax", "idxmin", "argmin"):
+        g = getattr(eng["v"], op)("t").to_pandas().iloc[0, -1]
+        r = float(getattr(ref, op)("t").values)
+        assert float(g) == r, (op, g, r)
+    g = eng["v"].argmax("t", skipna=False).to_pandas().iloc[0, -1]
+    assert float(g) == float(ref.argmax("t", skipna=False).values)
+
+
+def test_coarsen_sum_prod_all_nan_block(spark):
+    # np.nansum of an all-NaN block is 0.0, nanprod is 1.0
+    v = [np.nan, np.nan, 1.0, np.nan, np.nan, np.nan, 0.0]
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": np.arange(7.0), "v": v})), dims=["t"])
+    ref = xr.DataArray(v, dims="t", coords={"t": np.arange(7.0)})
+    gs = (eng.coarsen({"t": 2}, boundary="trim").sum().to_pandas()
+          .sort_values("t")["v"].to_numpy())
+    np.testing.assert_array_equal(
+        gs, ref.coarsen(t=2, boundary="trim").sum().values)
+    gp = (eng.coarsen({"t": 2}, boundary="trim").prod().to_pandas()
+          .sort_values("t")["v"].to_numpy())
+    np.testing.assert_array_equal(
+        gp, ref.coarsen(t=2, boundary="trim").prod().values)
+
+
+def test_weighted_var_single_inf_is_inf(spark):
+    # the reference's masked sums drop the inf row's NaN deviation but
+    # keep the other rows' inf deviations -> var inf, not NaN
+    vals = np.array([1.0, 2.0, np.inf, 3.0])
+    w = np.array([1.0, 2.0, 1.0, 1.0])
+    ew, rw = _weighted_pair(spark, vals, w)
+    assert np.isinf(float(rw.var().values))
+    assert np.isinf(ew.var().to_pandas()["v"].iloc[0])
+
+
+def test_weighted_var_mixed_inf_is_zero(spark):
+    # +inf and -inf together: mean NaN -> every deviation NaN -> the
+    # all-masked squared sum reduces to 0.0 -> var 0.0 (reference)
+    vals = np.array([1.0, np.inf, -np.inf, 2.0])
+    w = np.ones(4)
+    ew, rw = _weighted_pair(spark, vals, w)
+    assert float(rw.var().values) == 0.0
+    assert float(ew.var().to_pandas()["v"].iloc[0]) == 0.0
+
+
+def test_weighted_sum_all_nan_is_zero(spark):
+    vals = np.array([np.nan] * 4)
+    w = np.ones(4)
+    ew, rw = _weighted_pair(spark, vals, w)
+    assert float(rw.sum().values) == 0.0
+    assert float(ew.sum().to_pandas()["v"].iloc[0]) == 0.0

@@ -986,7 +986,9 @@ class XWeighted:
         return XDataset(df, keep, coords, varlist, ds.attrs)
 
     def sum(self, dim=None):
-        return self._reduce(dim, lambda v, w: F.sum(F.when(v.isNotNull(), v * w)))
+        # masked np.nansum: an all-NaN group reduces to 0.0, not missing
+        return self._reduce(dim, lambda v, w: F.coalesce(
+            F.sum(F.when(v.isNotNull(), v * w)), F.lit(0.0)))
 
     def mean(self, dim=None):
         return self._reduce(
@@ -1032,7 +1034,18 @@ class XWeighted:
         for v in varlist:
             vd = vcol(v)
             dev = vd - F.col(f"__mu_{v}")
-            num = F.sum(F.when(vd.isNotNull(), w * dev * dev))
+            sq = dev * dev
+            # the reference's sums are NaN-masking at EVERY stage, so an
+            # inf value (whose own deviation is inf−inf = NaN) drops out
+            # of the squared-deviation sum while the other rows' inf
+            # deviations remain → weighted var of {…, inf} is inf, not
+            # NaN (round-9 fuzz find)
+            # masked sums reduce an ALL-masked set to 0.0 (np.nansum),
+            # so mixed ±inf values (mean NaN → every deviation NaN)
+            # give var 0.0/Σw = 0.0 in the reference, not NaN
+            num = F.coalesce(
+                F.sum(F.when(vd.isNotNull() & ~F.isnan(sq), w * sq)),
+                F.lit(0.0))
             if normalize:
                 num = num / F.sum(F.when(vd.isNotNull(), w))
             aggs.append(num.alias(v))

@@ -3225,20 +3225,39 @@ class XDataset:
             return self._fill_agg_nulls(self._reduce(dims, agg_plain),
                                         fill_value)
         d = dims[0]
-        ds = self
-        key_col = d
-        if use_pos:
-            labels = self._dim_labels(d).select(d, F.col("__pos").alias(f"__pos_{d}"))
-            ds = self._replace(df=self.df.join(F.broadcast(labels), on=d, how="left"))
-            key_col = f"__pos_{d}"
-        fn = F.min_by if is_min else F.max_by
+        labels = self._dim_labels(d).select(
+            d, F.col("__pos").alias(f"__pos_{d}"))
+        ds = self._replace(df=self.df.join(F.broadcast(labels), on=d,
+                                           how="left"))
+        pos = F.col(f"__pos_{d}")
+        out_key = pos if use_pos else F.col(d)
 
         def agg1(v):
-            e = fn(F.col(key_col), F.col(v))
+            # numpy takes the FIRST occurrence on ties; min_by/max_by
+            # pick an arbitrary one (round-9 fuzz: two equal maxima
+            # returned the later label).  Ordered struct instead:
+            # value first, then the position (negated for max so the
+            # smallest position wins the tie), the output key as
+            # payload — the same device as the multi-dim positional
+            # path above.
+            vc = F.col(v)
+            if is_min:
+                s = F.min(F.when(vc.isNotNull(), F.struct(
+                    vc.alias("__val"), pos.alias("__p"),
+                    out_key.alias("__k"))))
+            else:
+                s = F.max(F.when(vc.isNotNull(), F.struct(
+                    vc.alias("__val"), (-pos).alias("__p"),
+                    out_key.alias("__k"))))
+            e = s["__k"]
             if skipna is False:
-                # np.argmax/argmin: the first NaN wins when present
-                e = F.coalesce(F.min(F.when(F.col(v).isNull(),
-                                            F.col(key_col))), e)
+                # np.argmax/argmin: the first NaN (smallest position)
+                # wins when present
+                e = F.coalesce(
+                    F.min(F.when(vc.isNull(), F.struct(
+                        pos.alias("__p"),
+                        out_key.alias("__k"))))["__k"],
+                    e)
             return e
 
         out = ds._reduce(dims, agg1)

@@ -463,7 +463,12 @@ class XCoarsen:
         return XDataset(df, coarse_dims + kept, coords, self.ds.data_vars, self.ds.attrs)
 
     def mean(self): return self._agg(lambda v: F.avg(v))
-    def sum(self): return self._agg(lambda v: F.sum(v))
+
+    def sum(self):
+        # np.nansum: an all-NaN block reduces to 0.0, not missing
+        # (round-9 fuzz find — F.sum alone gives null)
+        return self._agg(lambda v: F.coalesce(F.sum(v), F.lit(0.0)))
+
     def min(self): return self._agg(lambda v: F.min(v))
     def max(self): return self._agg(lambda v: F.max(v))
     def count(self): return self._agg(lambda v: F.count(v))
@@ -490,7 +495,9 @@ class XCoarsen:
             e = F.sum(dev * dev) / F.count(vc)
             return F.sqrt(e) if sqrt else e
         return self._agg(make, _pre=pre)
-    def prod(self): return self._agg(lambda v: F.product(v))
+    def prod(self):
+        # np.nanprod: an all-NaN block reduces to 1.0
+        return self._agg(lambda v: F.coalesce(F.product(v), F.lit(1.0)))
     def median(self): return self._agg(_median_expr)
     def all(self): return self._agg(lambda v: F.bool_and(F.col(v).cast("boolean")))
     def any(self): return self._agg(lambda v: F.bool_or(F.col(v).cast("boolean")))
