@@ -174,6 +174,19 @@ class TimeResampler(Grouper):
     closed: str | None = None
     label: str | None = None
     offset: str | None = None
+    #: month-index (year*12+month-1) of the data's first unit block —
+    #: pandas anchors MULTI-month/quarter/year bins at the first
+    #: point's block (origin='start_day'), not at epoch multiples
+    #: (round-9 find: 3MS over data starting in March must bin
+    #: Mar/Jun/Sep…, not Jan/Apr/Jul…).  0 keeps the epoch grid
+    #: (n == 1, streaming, or non-temporal dims — where it coincides).
+    month_anchor: int = 0
+    #: epoch-day of the first bin's ANCHOR day for multi-week freqs —
+    #: pandas nW bins are anchored weeks stepped n from the first
+    #: point's anchor (2W over data starting Wed May 14 1969 ends
+    #: Sun May 18 / Jun 1 / …), not epoch-tumbling 14-day windows.
+    #: 0 keeps the epoch-tumbling fallback.
+    day_anchor: int = 0
 
     def key_expr(self, col: Column) -> Column:
         n, unit = _parse_freq(self.freq)
@@ -194,29 +207,78 @@ class TimeResampler(Grouper):
                 raise NotImplementedError("offset on calendar-unit freqs")
             months = {"month": 1, "quarter": 3, "year": 12}[trunc] * n
             m0 = (F.year(col) * 12 + F.month(col) - 1)
-            start = F.floor(m0 / months) * months
-            start_date = F.make_date(
-                (start / 12).cast("int"), (start % 12 + 1).cast("int"), F.lit(1))
+            a = F.lit(int(self.month_anchor))
+
+            def _mdate(m):
+                return F.make_date((m / 12).cast("int"),
+                                   (m % 12 + 1).cast("int"), F.lit(1))
+
+            if end_anchored and n > 1:
+                # pandas nME/nQE: bins END every `months` from the
+                # anchor block's unit-END month (2QE over March data
+                # ends Mar 31 / Sep 30 / … — the anchor QUARTER's last
+                # month, not its first) — ceil association, round 9
+                u = months // n
+                ae = a + F.lit(u - 1)
+                endm = ae + F.ceil((m0 - ae) / months) * months
+                if label == "right":
+                    return F.last_day(_mdate(endm)).cast("timestamp")
+                return F.last_day(_mdate(endm - months)).cast("timestamp")
+            start = a + F.floor((m0 - a) / months) * months
+            start_date = _mdate(start)
             # pandas end-anchored bins are plain calendar-block
             # membership (the whole last day included; the next block
             # starts exactly at its first midnight) — only the LABEL
-            # moves to the block end
+            # moves.  The label matrix is anchor-dependent (measured
+            # round 9): ME/QE/YE edges are block ENDS, so label='left'
+            # is the PREVIOUS block's end (May 31 for the June block),
+            # while MS/QS/YS edges are block STARTS, so label='right'
+            # is the NEXT block's start (Jul 1 for the June block).
+            if end_anchored:
+                if label == "right":
+                    return F.last_day(F.add_months(start_date, months - 1)) \
+                            .cast("timestamp")
+                return F.date_sub(start_date, 1).cast("timestamp")
             if label == "right":
-                return F.last_day(F.add_months(start_date, months - 1)) \
-                        .cast("timestamp")
+                return F.add_months(start_date, months).cast("timestamp")
             return start_date.cast("timestamp")
         if trunc == "week":
-            if mods:
-                raise NotImplementedError(
-                    "closed/label/offset on weekly freqs")
+            if self.offset:
+                raise NotImplementedError("offset on weekly freqs")
             if n == 1:
                 # pandas anchored weeks (wave-30 diff find; 'W' ==
                 # 'W-SUN'): every timestamp whose DATE is ≤ the next
                 # anchor day belongs to that anchor's bin, labeled by
                 # the anchor date — right-closed at end-of-anchor-day.
-                # Spark dayofweek: 1=Sunday … 7=Saturday.
-                off = (F.lit(week_anchor) - F.dayofweek(col) + 7) % 7
-                return F.date_add(F.to_date(col), off.cast("int")) \
+                # Spark dayofweek: 1=Sunday … 7=Saturday.  Anchored
+                # weeks are END-anchored in pandas terms, so the
+                # defaults here ARE closed='right'/label='right'
+                # (measured round 9 — the old guard raised on the
+                # explicit spelling of the default); closed='left'
+                # pushes a point ON the anchor day to the NEXT bin,
+                # label='left' backs the label up one anchor.
+                wc = closed if self.closed else "right"
+                wl = label if self.label else "right"
+                if wc == "left":
+                    off = ((F.lit(week_anchor) - F.dayofweek(col) + 6)
+                           % 7) + 1
+                else:
+                    off = (F.lit(week_anchor) - F.dayofweek(col) + 7) % 7
+                lab = F.date_add(F.to_date(col), off.cast("int"))
+                if wl == "left":
+                    lab = F.date_sub(lab, 7)
+                return lab.cast("timestamp")
+            if self.day_anchor:
+                # pandas nW: anchored weeks stepped n from the FIRST
+                # point's anchor day — right-closed at end-of-anchor-day
+                if mods:
+                    raise NotImplementedError(
+                        "closed/label on multi-week freqs")
+                d = F.unix_date(F.to_date(col))
+                a = F.lit(int(self.day_anchor))
+                span = 7 * n
+                end = a + F.ceil((d - a) / span) * span
+                return F.date_from_unix_date(end.cast("int")) \
                         .cast("timestamp")
         elif n == 1 and not mods:
             return F.date_trunc(trunc, col)

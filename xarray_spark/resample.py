@@ -68,6 +68,47 @@ def _origin_offset_seconds(ds: XDataset, dim: str, freq: str,
     return o_epoch % secs
 
 
+def _calendar_anchors(ds: XDataset, dim: str, freq: str) -> tuple[int, int]:
+    """(month_anchor, day_anchor) for MULTI-unit calendar bins — pandas
+    anchors them at the first point's unit block (origin='start_day'),
+    not at epoch multiples: 3MS over March data bins Mar/Jun/Sep…, 2W
+    over data starting Wed May 14 bins end Sun May 18 / Jun 1 / ….
+    (0, 0) for n == 1 — where the anchored form reduces to the same
+    bins — plus streams and non-temporal dims.  One column-pruned
+    min() lookup, same cost class as _origin_offset_seconds's
+    fixed-width anchor."""
+    from xarray_spark.groupers import _parse_freq, _TRUNC
+    n, unit = _parse_freq(freq)
+    week_anchor = 1
+    if unit.upper().startswith("W-"):
+        week_anchor = {"SUN": 1, "MON": 2, "TUE": 3, "WED": 4,
+                       "THU": 5, "FRI": 6, "SAT": 7}[unit[2:].upper()]
+        unit = "W"
+    trunc = _TRUNC.get(unit)
+    if trunc not in ("month", "quarter", "year", "week") or n <= 1:
+        return 0, 0
+    from pyspark.sql import types as T
+    if not isinstance(ds.df.schema[dim].dataType,
+                      (T.TimestampType, T.DateType)):
+        return 0, 0
+    if ds.df.isStreaming:
+        return 0, 0
+    row = ds.df.agg(F.min(F.col(dim)).alias("m")).first()
+    if row["m"] is None:
+        return 0, 0
+    import pandas as pd
+    t0 = pd.Timestamp(row["m"])
+    if trunc == "week":
+        d0 = (t0.normalize() - pd.Timestamp("1970-01-01")).days
+        # pandas weekday: Mon=0..Sun=6; anchor day expressed the same
+        anchor_wd = (week_anchor + 5) % 7
+        off = (anchor_wd - t0.weekday()) % 7
+        return 0, d0 + off
+    u = {"month": 1, "quarter": 3, "year": 12}[trunc]
+    m0 = t0.year * 12 + t0.month - 1
+    return (m0 // u) * u, 0
+
+
 class XResample(XGroupBy):
     """GroupBy over time buckets + the upsampling verbs."""
 
@@ -88,8 +129,10 @@ class XResample(XGroupBy):
         if extra:
             base = _offset_seconds(offset) if offset is not None else 0
             offset = f"{base + extra}s"
+        ma, da = _calendar_anchors(ds, dim, freq)
         grouper = TimeResampler(freq, closed=closed, label=label,
-                                offset=offset)
+                                offset=offset, month_anchor=ma,
+                                day_anchor=da)
         # the time column consumes the dims it is keyed by: itself if it
         # IS a dim, its carrier dims if it is a coord (same rule as
         # groupby.resolve_groupers / xarray ResolvedGrouper)
@@ -108,9 +151,9 @@ class XResample(XGroupBy):
     # ------------------------------------------------------ densify bins
 
     def _agg(self, exprs_for, numeric_only=False, skipna=True,
-             funcname: str = "", ddof: int = 0) -> XDataset:
+             funcname: str = "", ddof: int = 0, _pre=None) -> XDataset:
         out = super()._agg(exprs_for, numeric_only, skipna,
-                           funcname=funcname, ddof=ddof)
+                           funcname=funcname, ddof=ddof, _pre=_pre)
         if getattr(self, "_skip_densify", False):
             return out
         return self._densify_bins(out)
