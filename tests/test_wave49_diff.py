@@ -116,3 +116,23 @@ def test_resample_multiweek_anchoring(spark, freq):
     # point's anchor day, not epoch-tumbling 7n-day windows
     eng, ref = _pair(spark, WEEK_TS, VALS)
     _compare(eng, ref, freq)
+
+
+def test_dt_round_subsecond_fractions(spark):
+    # round-9 fuzz find: unix_timestamp dropped the sub-second fraction
+    # BEFORE rounding (10.80 rounded to :10; pre-1970 fractions
+    # truncated the other way) — dt.round now bins exact microseconds
+    ts = pd.to_datetime(["1954-05-26 22:03:37.326511",
+                         "2016-06-21 20:16:10.801300",
+                         "1963-06-14 13:00:31.187431",
+                         "2001-01-01 00:00:00.500000",
+                         "2001-01-01 00:00:01.500000"], format="mixed")
+    eng = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(len(ts)), "d": ts})), dims=["t"])
+    ref = xr.DataArray(ts.values, dims="t", coords={"t": range(len(ts))})
+    for unit in ("s", "min", "h"):
+        r = ref.dt.round(unit).values.astype("datetime64[us]")
+        g = (eng["d"].dt.round(unit).to_pandas().sort_values("t")
+             .iloc[:, -1])
+        gv = np.array([np.datetime64(pd.Timestamp(x), "us") for x in g])
+        np.testing.assert_array_equal(gv, r)

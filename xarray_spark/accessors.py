@@ -850,8 +850,15 @@ class DatetimeAccessor(_Accessor):
         if secs is None:
             raise NotImplementedError(f"round for {freq!r}")
         total = n * secs
-        e = F.unix_timestamp(self._c)
-        # pandas dt.round is HALF-EVEN at the midpoint (wave-38 diff
-        # find: 00:30 rounds to 00:00 for freq='h', not 01:00)
-        return self._wrap(F.timestamp_seconds(
-            F.bround(e / total) * total))
+        # exact MICROSECONDS, not unix_timestamp: the latter drops the
+        # sub-second fraction BEFORE the rounding (round-9 fuzz find —
+        # round('s') of 10.80 gave :10, and pre-1970 fractions
+        # truncated the other way), and epoch micros stay exact in a
+        # double below 2^53.  pandas dt.round is HALF-EVEN at the
+        # midpoint (wave-38 diff find: 00:30 rounds to 00:00 for
+        # freq='h', not 01:00) — bround on the bin quotient.
+        us_total = total * 1_000_000
+        e = F.unix_micros(self._c.cast("timestamp"))
+        return self._wrap(F.timestamp_micros(
+            (F.bround(e / F.lit(float(us_total))) * us_total)
+            .cast("long")))
