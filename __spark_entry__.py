@@ -2421,7 +2421,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q79, q97, q112/q113, q88-q93, q98, q110) — every one carries a
     FRESH round-8 driver row and none of their code paths changed
     in round 9.  Still unrecalled from the r7 window (r10 debt):
-    q65/q66, q70, q78, q84, q95, q114.
+    q65/q66, q70, q78, q84, q95, q114.  Additional r10 window
+    candidates from LATE round-9 code changes: q28/q104 (dt accessor —
+    dt.round re-binned on exact microseconds), q26/q47/q48
+    (cov/corr/weighted-var demeaned rewrites; below the fold with
+    r1-r3 rows), and q46 (groupers.py's calendar/weekly key_expr and
+    XResample's anchor lookup changed in wave 49 — q07/q08/q45/q124
+    already sit in this window).
     Everything below the window carries a green driver row from
     rounds 1-8 and stays covered by tests/test_oracle.py at sf0.001
     each round.
