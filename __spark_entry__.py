@@ -608,8 +608,11 @@ def q44_differentiate(spark, sf_dir):
 
 
 def q45_resample_asfreq(spark, sf_dir):
-    """resample(...).asfreq(): value at each monthly label
-    (xarray core/resample.py:383)."""
+    """resample(...).asfreq(): per-bin value at each monthly label.
+    The reference implements asfreq as ``self.mean(dim)``
+    (core/resample.py:383-392) — bin MEAN plus full-index densify,
+    not first-per-bin (wave-50 parity fix; the two coincide only when
+    upsampling)."""
     daily = _daily_revenue(spark, sf_dir)
     out = daily.resample(l_shipdate="MS").asfreq()
     return out.to_spark().select(
@@ -3966,7 +3969,7 @@ def oracle_sql() -> dict[str, str]:
         "q45_resample_asfreq": f"""
             WITH daily AS ({_DAILY_SQL})
             SELECT date_trunc('month', l_shipdate) AS month,
-                   ROUND(arg_min(rev, l_shipdate) + 1e-6, 3) AS rev
+                   ROUND(AVG(rev) + 1e-6, 3) AS rev
             FROM daily GROUP BY 1
         """,
         "q46_resample_6h": """

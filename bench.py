@@ -24,6 +24,34 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def jvm_stats(spark) -> dict:
+    """JVM health snapshot: code-cache/metaspace occupancy, cumulative
+    GC and JIT time — the round-10 late-session-tail instrumentation
+    (recorded per query into BENCH_LOCAL.json)."""
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        out = {}
+        for pool in mf.getMemoryPoolMXBeans():
+            name = pool.getName()
+            if "CodeHeap" in name or "Metaspace" in name:
+                u = pool.getUsage()
+                out[name.replace("CodeHeap '", "").rstrip("'")] = round(
+                    u.getUsed() / 2**20, 1)
+        gct = gcc = 0
+        for gc_ in mf.getGarbageCollectorMXBeans():
+            gct += gc_.getCollectionTime()
+            gcc += gc_.getCollectionCount()
+        out["gc_count"] = gcc
+        out["gc_s"] = round(gct / 1000, 2)
+        out["jit_s"] = round(
+            mf.getCompilationMXBean().getTotalCompilationTime() / 1000, 2)
+        heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+        out["heap_mb"] = round(heap.getUsed() / 2**20)
+        return out
+    except Exception:  # noqa: BLE001
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)

@@ -135,7 +135,8 @@ def _pairwise_demeaned(a: XDataArray, b: XDataArray, dim,
     mean_aggs = [F.avg(x).alias("__ma"), F.avg(y).alias("__mb")]
     if keep:
         means = joined.groupBy(*keep).agg(*mean_aggs)
-        j2 = null_safe_join(joined, F.broadcast(means), keep)
+        # group-count-sized table: no broadcast hint, AQE decides
+        j2 = null_safe_join(joined, means, keep)
     else:
         means = joined.agg(*mean_aggs)
         j2 = joined.crossJoin(F.broadcast(means))
@@ -587,16 +588,47 @@ def _coord_numeric(ds: XDataset, coord: str, datetime_unit: str | None):
     return F.col(coord).cast("double")
 
 
+def _anchored_coord_col(ds: XDataset, coord: str,
+                        datetime_unit: str | None, others):
+    """(df, x) numeric coord view with a per-frame integer anchor
+    subtracted BEFORE the unit scaling.
+
+    Only valid when the caller consumes DIFFERENCES of x — the anchor
+    cancels exactly (integrate/differentiate do; reference
+    datetime_to_numeric likewise subtracts the coord min before float
+    conversion).  Without it, adjacent 2026-era epoch-ns doubles round
+    independently (~256 ns ulp at 1.7e18), a 6.5e-4 rel gradient error
+    on 1 ms spacing (round-10 ADVICE).  The anchor subtraction happens
+    in exact LONG microseconds; only the small delta is scaled.
+    Non-temporal coords pass through raw (numpy diffs raw doubles)."""
+    from xarray_spark._utils import is_temporal
+    dtype = ds.df.schema[coord].dataType
+    if not is_temporal(dtype):
+        if datetime_unit is not None:
+            raise ValueError("datetime_unit is only valid for datetime coords")
+        return ds.df, F.col(coord).cast("double")
+    if datetime_unit is None:
+        datetime_unit = "ns"
+    us = F.unix_micros(F.col(coord).cast("timestamp"))
+    anchor = F.min(us).over(Window.partitionBy(*others))
+    rel = us - anchor  # exact long arithmetic
+    if datetime_unit == "ns":
+        x = rel * F.lit(1000.0)
+    else:
+        x = rel / F.lit(_DT_UNIT_SECONDS[datetime_unit] * 1e6)
+    # materialize: the window-min can't nest inside the callers' lag()
+    return ds.df.withColumn("__xnum", x), F.col("__xnum")
+
+
 def integrate(ds: XDataset, coord: str,
               datetime_unit: str | None = None) -> XDataset:
     """Trapezoidal integral along coord (xarray/core/dataset.py:8545):
     Σ (x - lag(x)) · (y + lag(y))/2 — lag window + one aggregation."""
     others = [d for d in ds.dims if d != coord]
     w = Window.partitionBy(*others).orderBy(coord)
-    x = _coord_numeric(ds, coord, datetime_unit)
+    df, x = _anchored_coord_col(ds, coord, datetime_unit, others)
     dx = x - F.lag(x).over(w)
     aggs = []
-    df = ds.df
     skip = ds._bcast_passthrough([coord])
     for v in ds.data_vars:
         if v in skip:
@@ -619,7 +651,7 @@ def cumulative_integrate(ds: XDataset, coord: str,
     others = [d for d in ds.dims if d != coord]
     w = Window.partitionBy(*others).orderBy(coord)
     cum = Window.partitionBy(*others).orderBy(coord).rowsBetween(Window.unboundedPreceding, 0)
-    x = _coord_numeric(ds, coord, datetime_unit)
+    df, x = _anchored_coord_col(ds, coord, datetime_unit, others)
     dx = x - F.lag(x).over(w)
     exprs = []
     skip = ds._bcast_passthrough([coord])
@@ -630,7 +662,7 @@ def cumulative_integrate(ds: XDataset, coord: str,
             exprs.append(F.sum(seg).over(cum).alias(c))
         else:
             exprs.append(F.col(c))
-    return ds._replace(df=ds.df.select(*exprs))
+    return ds._replace(df=df.select(*exprs))
 
 
 def cross(a: XDataArray, b: XDataArray, dim: str) -> XDataArray:
@@ -895,23 +927,35 @@ def ones_like(ds: XDataset, dtype: str | None = None) -> XDataset:
 def differentiate(ds: XDataset, coord: str,
                   datetime_unit: str | None = None,
                   edge_order: int = 1) -> XDataset:
-    """np.gradient gradient (xarray/core/dataset.py:8475): SECOND-order
-    accurate interior stencil on possibly NON-uniform grids —
-    f'_i = (hs²·f₊ + (hd² − hs²)·f − hd²·f₋) / (hs·hd·(hd + hs))
-    with hs = x−x₋, hd = x₊−x (np.gradient's published formula; the
-    naive (f₊−f₋)/(x₊−x₋) is only first-order when spacings differ) —
+    """np.gradient gradient (xarray/core/dataset.py:8475): on a
+    uniformly-spaced frame the central difference (f₊−f₋)/(2h), on a
+    non-uniform frame numpy's second-order 3-coefficient stencil
+    a·f₋ + b·f₀ + c·f₊ (the branch np.gradient itself takes) —
     one-sided differences at the edges: edge_order=1 first
     differences (default), edge_order=2 the 3-point one-sided stencil
     (np.gradient edge_order semantics; falls back to first order on a
-    2-point series)."""
+    2-point series).  Temporal coords are anchored in exact integer
+    microseconds before unit scaling (wave 50)."""
     if edge_order not in (1, 2):
         raise ValueError("edge_order must be 1 or 2")
     others = [d for d in ds.dims if d != coord]
     w = Window.partitionBy(*others).orderBy(coord)
-    x = _coord_numeric(ds, coord, datetime_unit)
+    df, x = _anchored_coord_col(ds, coord, datetime_unit, others)
+    # np.gradient BRANCHES on global spacing uniformity (function_base
+    # gradient: `(diffx == diffx[0]).all()` reduces to the scalar-h
+    # central difference (f₊−f₋)/(2h); only non-uniform axes take the
+    # 3-coefficient stencil) — replicate the branch per frame with a
+    # window max==min flag, else every interior point differs at the
+    # last few ULPs (wave-50 pin).  __dx is materialized because the
+    # uniformity aggregate can't nest the lag window.
+    df = df.withColumn("__dx", x - F.lag(x).over(w))
+    wp = Window.partitionBy(*others)
+    df = df.withColumn("__uni",
+                       F.max("__dx").over(wp) == F.min("__dx").over(wp))
     xm, xp = F.lag(x).over(w), F.lead(x).over(w)
     xm2, xp2 = F.lag(x, 2).over(w), F.lead(x, 2).over(w)
-    hs, hd = x - xm, xp - x
+    hs, hd = F.col("__dx"), F.lead("__dx").over(w)
+    uni = F.coalesce(F.col("__uni"), F.lit(False))
     exprs = []
     skip = ds._bcast_passthrough([coord])
     for c in ds.df.columns:
@@ -919,28 +963,41 @@ def differentiate(ds: XDataset, coord: str,
             y = F.col(c).cast("double")
             ym, yp = F.lag(y).over(w), F.lead(y).over(w)
             ym2, yp2 = F.lag(y, 2).over(w), F.lead(y, 2).over(w)
-            interior = (hs * hs * yp + (hd * hd - hs * hs) * y
-                        - hd * hd * ym) / (hs * hd * (hd + hs))
-            left = (yp - y) / (xp - x)
-            right = (y - ym) / (x - xm)
+            # non-uniform: numpy's exact coefficient association
+            # (out = a·f₋ + b·f₀ + c·f₊, coefficients divided FIRST —
+            # the algebraically-equal fused quotient differs at the
+            # last ULP); uniform: (f₊−f₋)/(2h) exactly as numpy
+            ia = -hd / (hs * (hs + hd))
+            ib = (hd - hs) / (hs * hd)
+            ic = hs / (hd * (hs + hd))
+            interior = F.when(uni, (yp - ym) / (2 * hs)) \
+                        .otherwise(ia * ym + ib * y + ic * yp)
+            left = (yp - y) / hd
+            right = (y - ym) / hs
             if edge_order == 2:
-                # left edge: points (x, x+1, x+2), h1 = x₁−x₀, h2 = x₂−x₁
-                h1l, h2l = xp - x, xp2 - xp
-                left2 = (-(2 * h1l + h2l) / (h1l * (h1l + h2l)) * y
-                         + (h1l + h2l) / (h1l * h2l) * yp
-                         - h1l / (h2l * (h1l + h2l)) * yp2)
-                left = F.when(xp2.isNotNull(), left2).otherwise(left)
-                # right edge: points (x-2, x-1, x), h1 = x₋₁−x₋₂, h2 = x−x₋₁
-                h1r, h2r = xm - xm2, x - xm
-                right2 = (h2r / (h1r * (h1r + h2r)) * ym2
-                          - (h1r + h2r) / (h1r * h2r) * ym
-                          + (2 * h2r + h1r) / (h2r * (h1r + h2r)) * y)
-                right = F.when(xm2.isNotNull(), right2).otherwise(right)
+                # left edge: points (x₀,x₁,x₂), h1 = x₁−x₀, h2 = x₂−x₁
+                h1l, h2l = hd, F.lead("__dx", 2).over(w)
+                left2_nu = (-(2 * h1l + h2l) / (h1l * (h1l + h2l)) * y
+                            + (h1l + h2l) / (h1l * h2l) * yp
+                            - h1l / (h2l * (h1l + h2l)) * yp2)
+                left2_u = (-1.5 * y + 2 * yp - 0.5 * yp2) / h1l
+                left = F.when(xp2.isNotNull(),
+                              F.when(uni, left2_u).otherwise(left2_nu)) \
+                        .otherwise(left)
+                # right edge: points (x₋₂,x₋₁,x), h1 = x₋₁−x₋₂, h2 = x−x₋₁
+                h1r, h2r = F.lag("__dx").over(w), hs
+                right2_nu = (h2r / (h1r * (h1r + h2r)) * ym2
+                             - (h1r + h2r) / (h1r * h2r) * ym
+                             + (2 * h2r + h1r) / (h2r * (h1r + h2r)) * y)
+                right2_u = (0.5 * ym2 - 2 * ym + 1.5 * y) / h2r
+                right = F.when(xm2.isNotNull(),
+                               F.when(uni, right2_u).otherwise(right2_nu)) \
+                         .otherwise(right)
             e = F.when(xm.isNull(), left).when(xp.isNull(), right).otherwise(interior)
             exprs.append(e.alias(c))
         else:
             exprs.append(F.col(c))
-    return ds._replace(df=ds.df.select(*exprs))
+    return ds._replace(df=df.select(*exprs))
 
 
 class XWeighted:
@@ -1026,7 +1083,8 @@ class XWeighted:
         base = ds.df
         if keys:
             means = base.groupBy(*keys).agg(*mean_aggs)
-            joined = null_safe_join(base, F.broadcast(means), keys)
+            # group-count-sized table: no broadcast hint, AQE decides
+            joined = null_safe_join(base, means, keys)
         else:
             means = base.agg(*mean_aggs)
             joined = base.crossJoin(F.broadcast(means))

@@ -1048,7 +1048,7 @@ class XDataset:
     """
 
     __slots__ = ("df", "dims", "coords", "data_vars", "attrs", "_close_fn",
-                 "_qscan_cache", "var_dims")
+                 "_qscan_cache", "var_dims", "_anchor_cache")
 
     def __init__(
         self,
@@ -2667,7 +2667,12 @@ class XDataset:
                      for v in varlist]
         if keys:
             means = base.groupBy(*keys).agg(*mean_aggs)
-            joined = null_safe_join(base, F.broadcast(means), keys)
+            # no broadcast hint: the means table is GROUP-count sized
+            # (product of kept dims), not label-sized — var() over one
+            # dim of a large grid would overflow the driver.  AQE sees
+            # the aggregate's actual output size and still broadcasts
+            # small tables at runtime (round-10 ADVICE fix).
+            joined = null_safe_join(base, means, keys)
         else:
             means = base.agg(*mean_aggs)
             joined = base.crossJoin(F.broadcast(means))

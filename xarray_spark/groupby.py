@@ -59,6 +59,18 @@ def resolve_groupers(ds: XDataset, group, groupers: Mapping) -> list[tuple[str, 
             raise TypeError(type(group))
     for name, g in (groupers or {}).items():
         if isinstance(g, Grouper):
+            from xarray_spark.groupers import TimeResampler
+            if (isinstance(g, TimeResampler) and g.day_anchor is None
+                    and not g.month_anchor):
+                # a bare TimeResampler passed to groupby() gets the same
+                # first-point calendar anchors resample() computes —
+                # pandas nMS/nW bins anchor at the data start, not epoch
+                import dataclasses
+                from xarray_spark.resample import _calendar_anchors
+                ma, da = _calendar_anchors(ds, name, g.freq, g.closed)
+                if ma or da is not None:
+                    g = dataclasses.replace(g, month_anchor=ma,
+                                            day_anchor=da)
             label = name if isinstance(g, UniqueGrouper) else f"{name}_bins" if g.__class__.__name__ == "BinGrouper" else name
             keys.append((label, g.key_expr(F.col(name)), source_dim_of(name)))
         elif isinstance(g, str):
@@ -299,7 +311,8 @@ class XGroupBy:
             mean_aggs = [F.avg(F.col(v).cast("double")).alias(f"__mu_{v}")
                          for v in varlist]
             means = base.groupBy(*group_cols).agg(*mean_aggs)
-            return null_safe_join(base, F.broadcast(means), group_cols)
+            # group-count-sized table: no broadcast hint, AQE decides
+            return null_safe_join(base, means, group_cols)
 
         def e(v):
             vc = F.col(v).cast("double")

@@ -166,8 +166,10 @@ class TimeResampler(Grouper):
     end-anchored spellings (ME/QE/YE) default to closed/label='right'
     with month-end labels.  'W'/'W-XXX' are pandas ANCHORED weeks
     (right-closed at end-of-anchor-day, labeled by the anchor date;
-    'W' == 'W-SUN' — fixed round 6, was ISO Mon-Sun); modifiers on W
-    raise; multi-week 'nW' keeps epoch-tumbling windows.
+    'W' == 'W-SUN' — fixed round 6, was ISO Mon-Sun); the full
+    closed/label matrix is honored on both 'W' and multi-week 'nW'
+    (wave 50).  ``offset`` on calendar/weekly freqs is accepted and
+    IGNORED — measured pandas behavior (non-Tick freqs no-op it).
     """
 
     freq: str = "D"
@@ -185,8 +187,12 @@ class TimeResampler(Grouper):
     #: pandas nW bins are anchored weeks stepped n from the first
     #: point's anchor (2W over data starting Wed May 14 1969 ends
     #: Sun May 18 / Jun 1 / …), not epoch-tumbling 14-day windows.
-    #: 0 keeps the epoch-tumbling fallback.
-    day_anchor: int = 0
+    #: For closed='left' the anchor is the anchor day ON-OR-BEFORE the
+    #: first point (bins [anchor, anchor+span)); for closed='right'
+    #: it is on-or-after (bins (anchor-span·day, anchor] in dates).
+    #: None keeps the epoch-tumbling fallback (0 is a legitimate
+    #: anchor: 1970-01-01 — round-10 ADVICE sentinel fix).
+    day_anchor: int | None = None
 
     def key_expr(self, col: Column) -> Column:
         n, unit = _parse_freq(self.freq)
@@ -203,8 +209,10 @@ class TimeResampler(Grouper):
         label = self.label or ("right" if end_anchored else "left")
         mods = (closed != "left") or (label != "left") or self.offset
         if trunc in ("month", "quarter", "year"):
-            if self.offset:
-                raise NotImplementedError("offset on calendar-unit freqs")
+            # pandas silently IGNORES offset= on non-Tick (calendar)
+            # frequencies — measured round 10: resample('MS',
+            # offset='1D') ≡ resample('MS') bin-for-bin — so parity is
+            # to accept and ignore it, not raise
             months = {"month": 1, "quarter": 3, "year": 12}[trunc] * n
             m0 = (F.year(col) * 12 + F.month(col) - 1)
             a = F.lit(int(self.month_anchor))
@@ -243,8 +251,8 @@ class TimeResampler(Grouper):
                 return F.add_months(start_date, months).cast("timestamp")
             return start_date.cast("timestamp")
         if trunc == "week":
-            if self.offset:
-                raise NotImplementedError("offset on weekly freqs")
+            # offset= on anchored-week freqs is a pandas no-op too
+            # (measured round 10) — ignored for parity
             if n == 1:
                 # pandas anchored weeks (wave-30 diff find; 'W' ==
                 # 'W-SUN'): every timestamp whose DATE is ≤ the next
@@ -268,18 +276,31 @@ class TimeResampler(Grouper):
                 if wl == "left":
                     lab = F.date_sub(lab, 7)
                 return lab.cast("timestamp")
-            if self.day_anchor:
+            if self.day_anchor is not None:
                 # pandas nW: anchored weeks stepped n from the FIRST
-                # point's anchor day — right-closed at end-of-anchor-day
-                if mods:
-                    raise NotImplementedError(
-                        "closed/label on multi-week freqs")
+                # point's anchor day.  Defaults are closed='right'/
+                # label='right' (anchored weeks are end-anchored).
+                # closed='right': bins END on anchor days — a point ON
+                # the anchor day stays (whole-day membership, date
+                # arithmetic).  closed='left': bins are [anchor,
+                # anchor+span) with the anchor day ON-OR-BEFORE the
+                # first point (day_anchor is computed per `closed` in
+                # resample._calendar_anchors), still labeled by the
+                # RIGHT edge.  label='left' backs the label up one
+                # span.  Measured against pandas round 10 (wave 50).
+                wc = self.closed or "right"
+                wl = self.label or "right"
                 d = F.unix_date(F.to_date(col))
                 a = F.lit(int(self.day_anchor))
                 span = 7 * n
-                end = a + F.ceil((d - a) / span) * span
-                return F.date_from_unix_date(end.cast("int")) \
-                        .cast("timestamp")
+                if wc == "left":
+                    end = a + (F.floor((d - a) / span) + 1) * span
+                else:
+                    end = a + F.ceil((d - a) / span) * span
+                lab = F.date_from_unix_date(end.cast("int"))
+                if wl == "left":
+                    lab = F.date_sub(lab, span)
+                return lab.cast("timestamp")
         elif n == 1 and not mods:
             return F.date_trunc(trunc, col)
         secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,

@@ -38,6 +38,14 @@ OPTIONS: dict = {
     # fixed job costs dominate and buffering stays fastest.
     "grouped_quantile_midbin_threshold": 131_072,
     "grouped_quantile_midbin_total_floor": 16_000_000,
+    # Rolling var/std plan picker: window widths AT or ABOVE this use
+    # the Arrow-batched numpy kernel (mapInPandas over complement-dim
+    # groups / halo segments — vectorized O(n·w), matches numpy's
+    # windowed nanvar exactly); below it the in-plan collect_list +
+    # F.aggregate form stays (no Python round-trip, wins for narrow
+    # windows where the interpreted per-element lambda cost is small).
+    # Crossover measured round 10 (SCALE.md).  None = always HOF.
+    "rolling_var_arrow_threshold": 64,
     # Middle plan between the buffered aggregate and the histogram:
     # two-scan fixed-bucket (1/16-octave) selection — no stats pass,
     # no aggregation buffer.  The worst case (a whole group inside ONE

@@ -68,15 +68,21 @@ def _origin_offset_seconds(ds: XDataset, dim: str, freq: str,
     return o_epoch % secs
 
 
-def _calendar_anchors(ds: XDataset, dim: str, freq: str) -> tuple[int, int]:
+def _calendar_anchors(ds: XDataset, dim: str, freq: str,
+                      closed: str | None = None) -> tuple[int, int | None]:
     """(month_anchor, day_anchor) for MULTI-unit calendar bins — pandas
     anchors them at the first point's unit block (origin='start_day'),
     not at epoch multiples: 3MS over March data bins Mar/Jun/Sep…, 2W
     over data starting Wed May 14 bins end Sun May 18 / Jun 1 / ….
-    (0, 0) for n == 1 — where the anchored form reduces to the same
-    bins — plus streams and non-temporal dims.  One column-pruned
-    min() lookup, same cost class as _origin_offset_seconds's
-    fixed-width anchor."""
+    (0, None) for n == 1 — where the anchored form reduces to the same
+    bins — plus streams and non-temporal dims (None, not 0: epoch-day
+    0 is a legitimate week anchor, round-10 ADVICE).  For weeks the
+    anchor depends on ``closed``: closed='right' (the anchored-week
+    default) anchors at the anchor day ON-OR-AFTER the first point,
+    closed='left' at the one on-or-before (bins [anchor, anchor+span)
+    — measured against pandas, wave 50).  One column-pruned min()
+    lookup, cached on the dataset so repeated resample() calls don't
+    rescan (round-10 ADVICE)."""
     from xarray_spark.groupers import _parse_freq, _TRUNC
     n, unit = _parse_freq(freq)
     week_anchor = 1
@@ -86,27 +92,41 @@ def _calendar_anchors(ds: XDataset, dim: str, freq: str) -> tuple[int, int]:
         unit = "W"
     trunc = _TRUNC.get(unit)
     if trunc not in ("month", "quarter", "year", "week") or n <= 1:
-        return 0, 0
+        return 0, None
     from pyspark.sql import types as T
     if not isinstance(ds.df.schema[dim].dataType,
                       (T.TimestampType, T.DateType)):
-        return 0, 0
+        return 0, None
     if ds.df.isStreaming:
-        return 0, 0
+        return 0, None
+    cache = getattr(ds, "_anchor_cache", None)
+    if cache is None:
+        cache = {}
+        ds._anchor_cache = cache
+    ckey = (dim, freq, closed)
+    if ckey in cache:
+        return cache[ckey]
     row = ds.df.agg(F.min(F.col(dim)).alias("m")).first()
     if row["m"] is None:
-        return 0, 0
+        cache[ckey] = (0, None)
+        return 0, None
     import pandas as pd
     t0 = pd.Timestamp(row["m"])
     if trunc == "week":
         d0 = (t0.normalize() - pd.Timestamp("1970-01-01")).days
         # pandas weekday: Mon=0..Sun=6; anchor day expressed the same
         anchor_wd = (week_anchor + 5) % 7
-        off = (anchor_wd - t0.weekday()) % 7
-        return 0, d0 + off
-    u = {"month": 1, "quarter": 3, "year": 12}[trunc]
-    m0 = t0.year * 12 + t0.month - 1
-    return (m0 // u) * u, 0
+        if (closed or "right") == "left":
+            off = -((t0.weekday() - anchor_wd) % 7)
+        else:
+            off = (anchor_wd - t0.weekday()) % 7
+        out = (0, d0 + off)
+    else:
+        u = {"month": 1, "quarter": 3, "year": 12}[trunc]
+        m0 = t0.year * 12 + t0.month - 1
+        out = ((m0 // u) * u, None)
+    cache[ckey] = out
+    return out
 
 
 class XResample(XGroupBy):
@@ -129,7 +149,7 @@ class XResample(XGroupBy):
         if extra:
             base = _offset_seconds(offset) if offset is not None else 0
             offset = f"{base + extra}s"
-        ma, da = _calendar_anchors(ds, dim, freq)
+        ma, da = _calendar_anchors(ds, dim, freq, closed)
         grouper = TimeResampler(freq, closed=closed, label=label,
                                 offset=offset, month_anchor=ma,
                                 day_anchor=da)
@@ -154,19 +174,35 @@ class XResample(XGroupBy):
              funcname: str = "", ddof: int = 0, _pre=None) -> XDataset:
         out = super()._agg(exprs_for, numeric_only, skipna,
                            funcname=funcname, ddof=ddof, _pre=_pre)
-        if getattr(self, "_skip_densify", False):
-            return out
         return self._densify_bins(out)
 
-    def _raw_pick(self, asc: bool = True) -> XDataset:
-        """Per-bin first/last WITHOUT the empty-bin densify — the
-        upsample verbs join/reindex onto the full calendar themselves,
-        and present-but-null gap rows would defeat reindex(method=)."""
-        self._skip_densify = True
-        try:
-            return self._ordered_pick(asc)
-        finally:
-            self._skip_densify = False
+    def _label_run(self, bounds: DataFrame) -> DataFrame:
+        """1-row __lo/__hi label bounds → one-column df of the FULL
+        label run (the reference grouper's ``full_index``).
+
+        Start-anchored labels are a fixed-interval ``sequence()``.
+        End-anchored (ME/QE/YE) labels are uniform in month-START
+        space: truncate to the month, step, then ``last_day`` back —
+        so upsampling/densify onto month-end labels works too (was a
+        documented raise through round 9)."""
+        n, unit = _parse_freq(self._freq)
+        if unit.upper().startswith("W-"):
+            unit = "W"  # anchored weeks: 7-day label stride
+        trunc = _TRUNC.get(unit)
+        if trunc is None:
+            raise ValueError(f"unsupported freq {self._freq!r}")
+        from xarray_spark.groupers import _END_ANCHORED
+        mult, base = _INTERVAL_PARTS[trunc]
+        step = f"interval {n * mult} {base}"
+        dim = self._dim
+        if unit in _END_ANCHORED:
+            starts = bounds.select(F.explode(F.expr(
+                f"sequence(date_trunc('month', __lo), "
+                f"date_trunc('month', __hi), {step})")).alias("__ms"))
+            return starts.select(
+                F.last_day("__ms").cast("timestamp").alias(dim))
+        return bounds.select(
+            F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(dim))
 
     def _densify_bins(self, out: XDataset) -> XDataset:
         """Materialize EVERY bin first..last (xarray resample yields the
@@ -180,23 +216,21 @@ class XResample(XGroupBy):
         if out.df.isStreaming:
             return out  # streaming agg: no retrospective bin run
         n, unit = _parse_freq(self._freq)
+        if unit.upper().startswith("W-"):
+            unit = "W"
         trunc = _TRUNC.get(unit)
-        from xarray_spark.groupers import _END_ANCHORED
-        if trunc is None or unit in _END_ANCHORED:
-            return out  # end-anchored labels: not a fixed-interval run
+        if trunc is None:
+            return out
         from pyspark.sql import types as T
         if not isinstance(out.df.schema[self._dim].dataType,
                           (T.TimestampType, T.DateType)):
             return out
-        mult, base = _INTERVAL_PARTS[trunc]
-        interval = f"interval {n * mult} {base}"
         dim = self._dim
         kept = [d for d in out.dims if d != dim]
         b = out.df
         bounds = b.groupBy().agg(F.min(dim).alias("__lo"),
                                  F.max(dim).alias("__hi"))
-        cal = bounds.select(F.explode(
-            F.expr(f"sequence(__lo, __hi, {interval})")).alias(dim))
+        cal = self._label_run(bounds)
         if kept:
             cal = cal.crossJoin(b.select(*kept).distinct())
         joined = cal.join(F.broadcast(b), on=[dim] + kept, how="left")
@@ -205,64 +239,58 @@ class XResample(XGroupBy):
     # ---------------------------------------------------------- calendar
 
     def _calendar(self) -> DataFrame:
-        """Full run of bucket labels min..max at the target freq.
-
-        Computed as one tiny aggregate + ``sequence()`` explode — the
-        calendar is label-sized, always broadcastable.
-        """
-        n, unit = _parse_freq(self._freq)
-        trunc = _TRUNC.get(unit)
-        if trunc is None:
-            raise ValueError(f"unsupported freq {self._freq!r}")
-        from xarray_spark.groupers import _END_ANCHORED
-        if unit in _END_ANCHORED:
-            # month-end label runs are not a fixed-interval sequence
-            raise NotImplementedError(
-                "upsampling onto end-anchored (ME/QE/YE) labels")
-        mult, base = _INTERVAL_PARTS[trunc]
-        interval = f"interval {n * mult} {base}"
+        """Full run of bucket labels min..max at the target freq
+        (``grouper.full_index``) — one tiny aggregate + ``sequence()``
+        explode; the calendar is label-sized, always broadcastable."""
         key = self._grouper.key_expr(F.col(self._dim))
         bounds = self.ds.df.agg(
-            F.min(key).alias("lo"), F.max(key).alias("hi")
+            F.min(key).alias("__lo"), F.max(key).alias("__hi")
         )
-        return bounds.select(
-            F.explode(F.expr(f"sequence(lo, hi, {interval})")).alias(self._dim)
-        )
+        return self._label_run(bounds)
 
     # ---------------------------------------------------------- verbs
+    #
+    # The upsample verbs operate on the ORIGINAL series, not per-bin
+    # picks (round-10 wave-50 parity find: the reference reindexes /
+    # interps ``self._obj`` onto grouper.full_index, so on a
+    # DOWNsampling freq pad() takes the last original point before
+    # each label — not the first point of the bin — and interpolate()
+    # uses the original x-positions as knots, not the bin labels).
 
     def asfreq(self) -> XDataset:
-        """Values at the target freq labels, null where no data
-        (xarray/core/resample.py:383): first value per bucket, reindexed
-        onto the full calendar."""
-        binned = self._raw_pick()
-        cal = self._calendar()
-        df = F.broadcast(cal).join(binned.df, on=self._dim, how="left")
-        return binned._replace(df=df.select(*binned.df.columns))
+        """Values at the target freq labels, null where no data.
+        The reference implements this as ``self.mean(dim)``
+        (core/resample.py:383-392): per-bin MEAN plus the full-index
+        densify — on upsampling each bin holds ≤1 point so the mean is
+        the value itself; on downsampling the bin mean is the answer
+        (measured against the reference round 10)."""
+        return self.mean()
 
-    def _filled(self, method: str | None) -> XDataset:
+    def _filled(self, method: str | None, tolerance=None) -> XDataset:
         from xarray_spark.alignment import reindex
-        binned = self._raw_pick()
         cal = self._calendar()
         labels = [r[self._dim] for r in cal.collect()]
-        return reindex(binned, {self._dim: labels}, method=method)
+        return reindex(self.ds, {self._dim: labels}, method=method,
+                       tolerance=tolerance)
 
-    def pad(self) -> XDataset:
-        """Upsample by forward-fill (xarray/core/resample.py:132)."""
-        return self._filled("ffill")
+    def pad(self, tolerance=None) -> XDataset:
+        """Upsample by forward-fill from the ORIGINAL points
+        (xarray/core/resample.py:132 reindex(method='pad'))."""
+        return self._filled("ffill", tolerance)
 
     ffill = pad
 
-    def backfill(self) -> XDataset:
-        return self._filled("bfill")
+    def backfill(self, tolerance=None) -> XDataset:
+        return self._filled("bfill", tolerance)
 
     bfill = backfill
 
-    def nearest(self) -> XDataset:
-        return self._filled("nearest")
+    def nearest(self, tolerance=None) -> XDataset:
+        return self._filled("nearest", tolerance)
 
-    def interpolate(self, method: str = "linear") -> XDataset:
-        """asfreq then linear interpolation over the gaps
-        (xarray/core/resample.py:210)."""
-        out = self.asfreq()
-        return out.interpolate_na(self._dim, method=method)
+    def interpolate(self, kind: str = "linear") -> XDataset:
+        """Interpolate the ORIGINAL knots onto the label run
+        (xarray/core/resample.py:239 obj.interp(dim=full_index))."""
+        cal = self._calendar()
+        labels = [r[self._dim] for r in cal.collect()]
+        return self.ds.interp({self._dim: labels}, method=kind)

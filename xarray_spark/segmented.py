@@ -77,6 +77,30 @@ def rolling_segmented(ds: XDataset, dim: str, window: int, agg: str = "mean",
     min_periods = window if min_periods is None else min_periods
     from xarray_spark._utils import nan_to_null
     ds = ds._replace(df=nan_to_null(ds.df, list(ds.data_vars), ds.df.schema))
+    unioned = halo_union(ds, dim, window, n_segments)
+    w = Window.partitionBy("__seg").orderBy(dim).rowsBetween(-(window - 1), 0)
+    fn = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[agg]
+    exprs = []
+    for c in ds.df.columns:
+        if c in ds.data_vars:
+            # halo-completed segment starts behave exactly like the
+            # interior of the global window; only the true series head
+            # has short frames
+            e = F.when(F.count(c).over(w) >= min_periods, fn(c).over(w))
+            exprs.append(e.alias(c))
+        else:
+            exprs.append(F.col(c))
+    out = unioned.select(*exprs, F.col("__halo")).where(~F.col("__halo")).drop("__halo")
+    return ds._replace(df=out)
+
+
+def halo_union(ds: XDataset, dim: str, window: int, n_segments: int = 64):
+    """Segment the series and replicate each segment's trailing w-1
+    rows into the successors that need them (chained across undersized
+    segments) — the shared scaffolding of every segmented trailing-
+    window operator.  Returns ds.df's columns plus ``__seg`` (the
+    partition key windows run inside) and ``__halo`` (True on
+    replicated context rows, which consumers drop from the output)."""
     df, _x = _with_segments(ds, dim, n_segments)
     w_end = Window.partitionBy("__seg").orderBy(F.col(dim).desc())
     ranked = df.withColumn("__from_end", F.row_number().over(w_end))
@@ -118,21 +142,7 @@ def rolling_segmented(ds: XDataset, dim: str, window: int, agg: str = "mean",
         .withColumnRenamed("__t", "__seg")
         .withColumn("__halo", F.lit(True))
     )
-    unioned = base.unionByName(halo.select(*base.columns)).drop("__from_end")
-    w = Window.partitionBy("__seg").orderBy(dim).rowsBetween(-(window - 1), 0)
-    fn = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[agg]
-    exprs = []
-    for c in ds.df.columns:
-        if c in ds.data_vars:
-            # halo-completed segment starts behave exactly like the
-            # interior of the global window; only the true series head
-            # has short frames
-            e = F.when(F.count(c).over(w) >= min_periods, fn(c).over(w))
-            exprs.append(e.alias(c))
-        else:
-            exprs.append(F.col(c))
-    out = unioned.select(*exprs, F.col("__halo")).where(~F.col("__halo")).drop("__halo")
-    return ds._replace(df=out)
+    return base.unionByName(halo.select(*base.columns)).drop("__from_end")
 
 
 def cumsum_segmented(ds: XDataset, dim: str, n_segments: int = 64) -> XDataset:

@@ -45,6 +45,21 @@ def get_spark(app_name: str = "xarray_spark", shuffle_partitions: int | None = N
         # keep managed-table files out of the working directory
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
+    # A long-lived session that plans/executes hundreds of DISTINCT
+    # queries (the 136-query bench, a notebook day) compiles a unique
+    # whole-stage-codegen class graph per query; the JDK default
+    # ReservedCodeCacheSize (240 MB) can fill late in such a session,
+    # at which point the JIT silently stops compiling and everything
+    # after runs interpreted (2-6× per-query).  Reserve more virtual
+    # address space (committed lazily — costs nothing up front) and
+    # let the sweeper reclaim cold compiled methods.  Override or
+    # disable with SPARK_GRAFT_DRIVER_JAVA_OPTS="" (round-10 bench
+    # tail investigation).
+    jvm_opts = os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+        "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
+    if jvm_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     if rocksdb_state_store:
         # streaming state off-heap and spillable: the default HDFS-backed
         # store keeps every key in executor memory, which caps stateful
