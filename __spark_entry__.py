@@ -1972,6 +1972,46 @@ def q137_grouped_quantile_midbin(spark, sf_dir):
         "l_returnflag", F.col("quantile"), _r4(F.col("v")).alias("qv"))
 
 
+def q138_resample_multiweek(spark, sf_dir):
+    """Multi-week resample with the closed/label matrix (wave 50;
+    xarray groupers.py:474 TimeResampler → pandas anchored weeks):
+    2W closed='left' bins are [anchor, anchor+14d) anchored at the
+    anchor day ON-OR-BEFORE the first point, label='left' backs the
+    right-edge label up one span.  Was a documented raise through
+    round 9.  Oracle replays the anchored binning in SQL from the
+    same min(ts) lookup."""
+    ev = _events(spark, sf_dir)
+    out = ev.resample(ts="2W", closed="left", label="left").agg(
+        n=F.count(F.lit(1)), total=_r3(F.sum("value")))
+    return out.to_spark().withColumnRenamed("ts", "bucket")
+
+
+def q139_resample_me_asfreq(spark, sf_dir):
+    """End-anchored (ME) label run + asfreq-as-mean (wave 50;
+    core/resample.py:383-392): month-END labels were a documented
+    raise for upsample/densify through round 9; asfreq is the bin
+    MEAN, not first-per-bin.  Oracle: last_day month labels +
+    AVG."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.resample(l_shipdate="ME").asfreq()
+    return out.to_spark().select(
+        F.col("l_shipdate").alias("month_end"), _r3(F.col("rev")).alias("rev"))
+
+
+def q140_rolling_std_wide(spark, sf_dir):
+    """WIDE-window rolling std through the Arrow-batched numpy kernel
+    (rolling.py _var_window_arrow; window 96 ≥ the
+    rolling_var_arrow_threshold picker): exact per-window two-pass —
+    vectorized sliding_window_view, not the interpreted
+    F.aggregate lambda (measured 8-130× faster across widths,
+    SCALE.md round 10).  Oracle replays the window-array two-pass
+    with DuckDB list() over the same frame."""
+    daily = _daily_revenue(spark, sf_dir)
+    out = daily.rolling(l_shipdate=96).std()
+    return out.to_spark().select(
+        "l_shipdate", _r3(F.col("rev")).alias("roll_std"))
+
+
 def q116_bucketed_ffill(spark, sf_dir):
     """Bucket-aware window layout (round 5): a (flag, day) revenue
     grid saved with to_table(bucket_by=flag, sort_by=[flag, day]) and
@@ -2397,53 +2437,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: every implemented operator, one entry each.
 
     ORDERING IS DELIBERATE: the driver's correctness gate evaluates the
-    first 50 entries, so the window rotates per round.  The ROUND-9
-    window front-loads (a) the debutant q137 (the MIDBIN grouped-
-    quantile plan finally executing under the driver oracle, on
-    cancellation-prone mixed-sign data — round-8 verdict #3; q01
-    still leads so the cheapest scan+agg absorbs session spin-up);
-    (b) every query whose code path round 9 touched: the
-    quantile/median family q74/q15/q16/q39/q115 stays a THIRD round
-    (two-sided numpy lerp at every interpolation site + np_median
-    mean-of-middles + the SQL-`percentile` routing + numpy's exact
-    virtual-index association), q27 (str.cat extra-dim broadcast),
-    q122/q25 (polyfit w= length check), q59/q86 (CF bool mask-order),
-    q10/q111 (rolling family — median re-routed off SQL percentile);
-    and (c) the ROTATION-DEBT recall the round-8 verdict ordered
-    (≥10): 35 of the 44 displaced r7-window queries return, led by
-    q81/q132 (code changed r8/r7) — q134/q135, q34/q35,
-    q116-q118, q121/q123-q125, q02/q04-q09/q11-q14, q29, q33, q36,
-    q43-q45, q53/q54, q58, q60, q62.  Late round-9 additions: q62
-    stays (the interp window-bracket materialization rewrote its
-    plan-build path) and q72 swaps INTO the window for q114 (the
-    zarr chunk decoder's long-form expansion changed; q114's
-    groupers code did not change this round and keeps its r8 row).
-    Displaced below the fold: the r8-window gates (q136, its stage
-    units q127-q131/q30, q126/q129/q133, q119/q120, the five
-    streaming gates, q19/q21, q99-q106, q46, q51/q52, q61, q63,
-    q79, q97, q112/q113, q88-q93, q98, q110) — every one carries a
-    FRESH round-8 driver row and none of their code paths changed
-    in round 9.  Still unrecalled from the r7 window (r10 debt):
-    q65/q66, q70, q78, q84, q95, q114.  Additional r10 window
-    candidates from LATE round-9 code changes: q28/q104 (dt accessor —
-    dt.round re-binned on exact microseconds), q26/q47/q48
-    (cov/corr/weighted-var demeaned rewrites; below the fold with
-    r1-r3 rows), and q46 (groupers.py's calendar/weekly key_expr and
-    XResample's anchor lookup changed in wave 49 — q07/q08/q45/q124
-    already sit in this window).
-    Everything below the window carries a green driver row from
-    rounds 1-8 and stays covered by tests/test_oracle.py at sf0.001
-    each round.
+    first 50 entries, so the window rotates per round.  The ROUND-10
+    window front-loads (a) the three DEBUTANTS — q138 (multi-week
+    resample with closed/label, a documented raise through round 9),
+    q139 (end-anchored ME label run + asfreq-as-bin-mean, both new
+    this round), q140 (wide rolling std through the new Arrow-batched
+    numpy kernel) — q01 still leads so the cheapest scan+agg absorbs
+    session spin-up, and q137 stays per the round-9 verdict; (b) every
+    query whose code path round 10 touched: the resample family
+    q45/q07/q08/q124/q46 (upsample verbs now operate on the ORIGINAL
+    series — q45's asfreq semantics CHANGED to the reference's
+    bin-mean and its oracle with it — plus the wave-49/50 anchor and
+    label-run work), q44/q24 (differentiate/integrate anchored
+    integer-us coords + np.gradient's uniformity branch),
+    q26/q47/q48 (the demeaned two-pass now routed through _reduce's/
+    groupby._agg's per-stage _pre hook, broadcast hints dropped),
+    q05/q16 (groupby._agg restructure), q70 (segmented halo_union
+    refactor), q66/q65/q114 (grouper-family r7 stragglers whose
+    resolve_groupers now fills calendar anchors); (c) the round-9
+    verdict's ROTATION-DEBT list verbatim: q28/q104 (dt.round exact
+    microseconds, changed r9, no fresh row), q26/q47/q48 (demeaned
+    rewrites r9), q46 (wave-49 anchor lookup), and the r7 stragglers
+    q65/q66/q70/q78/q84/q95/q114 — all now in-window; (d) the oldest
+    below-fold rows recalled: q03/q17/q18/q20/q22/q23/q31/q37/q38
+    (r1), q40/q41/q42/q49 (r3), q50 (r1), q55/q56/q57/q68/q71/q73
+    (r2), q69, q75, q80 (r2), q82 (r3).
+    Displaced below the fold: the entire round-9 window (quantile
+    family q74/q15/q39/q115/q137-adjacent, q27, q122/q25, q59/q86,
+    q10/q111, the extras block q81/q132/q134/q135/q34/q35, q72,
+    q116-q118, q121/q123/q125, q02/q04/q06/q09/q11-q14, q29, q33,
+    q36, q43, q53/q54, q58, q60, q62) — every one carries a FRESH
+    round-9 driver row and none of their code paths changed in round
+    10 — plus the r8-window gates (q136 and stage units, streaming,
+    q19/q21, q99-q106, …) with fresh r8 rows.
+    Everything below the window stays covered by tests/test_oracle.py
+    at sf0.001 each round.
     """
     return {
-        # ---- ROUND-9 GATE WINDOW (first 50) ----
+        # ---- ROUND-10 GATE WINDOW (first 50) ----
         # (q01 leads: the first query also absorbs residual session
         # spin-up; a plain scan+agg is the cheapest place to pay it)
         "q01_pricing_summary": q01_pricing_summary,
+        "q138_resample_multiweek": q138_resample_multiweek,
+        "q139_resample_me_asfreq": q139_resample_me_asfreq,
+        "q140_rolling_std_wide": q140_rolling_std_wide,
         "q137_grouped_quantile_midbin": q137_grouped_quantile_midbin,
+        "q45_resample_asfreq": q45_resample_asfreq,
+        "q07_resample_monthly": q07_resample_monthly,
+        "q08_resample_daily_events": q08_resample_daily_events,
+        "q124_resample_gaps": q124_resample_gaps,
+        "q46_resample_6h": q46_resample_6h,
+        "q66_season_resampler": q66_season_resampler,
+        "q65_multi_grouper": q65_multi_grouper,
+        "q114_encoded_groups": q114_encoded_groups,
+        "q70_ffill_segmented": q70_ffill_segmented,
+        "q78_dt_tail": q78_dt_tail,
+        "q84_dt_timedelta": q84_dt_timedelta,
+        "q95_pii_scan": q95_pii_scan,
+        "q28_dt_fields": q28_dt_fields,
+        "q104_interp_calendar": q104_interp_calendar,
+        "q26_corr": q26_corr,
+        "q47_weighted_var": q47_weighted_var,
+        "q48_cov": q48_cov,
+        "q44_differentiate": q44_differentiate,
+        "q24_integrate": q24_integrate,
+        "q05_orders_groupby": q05_orders_groupby,
+        "q16_groupby_median": q16_groupby_median,
+        "q03_isel_head": q03_isel_head,
+        "q17_rank": q17_rank,
+        "q18_idxmax": q18_idxmax,
+        "q20_concat": q20_concat,
+        "q22_pivot": q22_pivot,
+        "q23_weighted_mean": q23_weighted_mean,
+        "q31_text_features": q31_text_features,
+        "q37_coarsen_weekly": q37_coarsen_weekly,
+        "q38_shift": q38_shift,
+        "q40_dropna": q40_dropna,
+        "q41_dot": q41_dot,
+        "q42_stopword_ratio": q42_stopword_ratio,
+        "q49_fingerprint_distinct": q49_fingerprint_distinct,
+        "q50_rolling_exp": q50_rolling_exp,
+        "q55_rolling_2d": q55_rolling_2d,
+        "q56_densify": q56_densify,
+        "q57_isel_points": q57_isel_points,
+        "q68_datatree": q68_datatree,
+        "q69_bpe_token_count": q69_bpe_token_count,
+        "q71_netcdf_roundtrip": q71_netcdf_roundtrip,
+        "q73_curvefit": q73_curvefit,
+        "q75_interp_zero": q75_interp_zero,
+        "q80_cf_360day": q80_cf_360day,
+        "q82_pad_reflect": q82_pad_reflect,
+        # ---- below the window: fresh r8/r9 rows stand ----
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
-        "q16_groupby_median": q16_groupby_median,
         "q39_groupby_quantile": q39_groupby_quantile,
         "q115_grouped_quantile_hist": q115_grouped_quantile_hist,
         "q27_str_ops": q27_str_ops,
@@ -2465,14 +2551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_temperature_sample": q118_temperature_sample,
         "q121_argsort": q121_argsort,
         "q123_where_isin": q123_where_isin,
-        "q124_resample_gaps": q124_resample_gaps,
         "q125_diff_lower": q125_diff_lower,
         "q02_sel_label_slice": q02_sel_label_slice,
         "q04_where_mask": q04_where_mask,
-        "q05_orders_groupby": q05_orders_groupby,
         "q06_groupby_bins": q06_groupby_bins,
-        "q07_resample_monthly": q07_resample_monthly,
-        "q08_resample_daily_events": q08_resample_daily_events,
         "q09_season_groupby": q09_season_groupby,
         "q11_cumsum": q11_cumsum,
         "q12_diff": q12_diff,
@@ -2482,14 +2564,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_cosine_topk": q33_cosine_topk,
         "q36_multimodal_features": q36_multimodal_features,
         "q43_bfill": q43_bfill,
-        "q44_differentiate": q44_differentiate,
-        "q45_resample_asfreq": q45_resample_asfreq,
         "q53_ngram_jaccard": q53_ngram_jaccard,
         "q54_pad": q54_pad,
         "q58_where_aligned": q58_where_aligned,
         "q60_salted_agg": q60_salted_agg,
         "q62_interp_targets": q62_interp_targets,
-        # ---- below the window: fresh r8 rows / earlier greens stand --
         "q136_curation_pipeline": q136_curation_pipeline,
         "q127_gopher_filter": q127_gopher_filter,
         "q128_c4_filter": q128_c4_filter,
@@ -2514,11 +2593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_ewm_corr": q101_ewm_corr,
         "q102_coarsen_construct": q102_coarsen_construct,
         "q103_coarsen_reduce": q103_coarsen_reduce,
-        "q104_interp_calendar": q104_interp_calendar,
         "q105_argmax_grid": q105_argmax_grid,
         "q98_chunk_documents": q98_chunk_documents,
         "q110_dedup_lines": q110_dedup_lines,
-        "q46_resample_6h": q46_resample_6h,
         "q51_lsh_topk": q51_lsh_topk,
         "q52_embedding_near_dups": q52_embedding_near_dups,
         "q61_nearest_points": q61_nearest_points,
@@ -2533,48 +2610,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_decontaminate": q91_decontaminate,
         "q92_pack_sequences": q92_pack_sequences,
         "q93_shuffle_rank": q93_shuffle_rank,
-        "q95_pii_scan": q95_pii_scan,
-        "q84_dt_timedelta": q84_dt_timedelta,
-        "q70_ffill_segmented": q70_ffill_segmented,
-        "q78_dt_tail": q78_dt_tail,
-        "q65_multi_grouper": q65_multi_grouper,
-        "q66_season_resampler": q66_season_resampler,
         "q94_audio_features": q94_audio_features,
-        "q114_encoded_groups": q114_encoded_groups,
-        "q28_dt_fields": q28_dt_fields,
-        "q75_interp_zero": q75_interp_zero,
         "q107_repetition_stats": q107_repetition_stats,
         "q108_blend_epochs": q108_blend_epochs,
-        "q40_dropna": q40_dropna,
-        "q41_dot": q41_dot,
-        "q42_stopword_ratio": q42_stopword_ratio,
-        "q47_weighted_var": q47_weighted_var,
-        "q48_cov": q48_cov,
-        "q49_fingerprint_distinct": q49_fingerprint_distinct,
-        "q23_weighted_mean": q23_weighted_mean,
-        "q26_corr": q26_corr,
         "q32_language_id": q32_language_id,
-        "q17_rank": q17_rank,
-        "q20_concat": q20_concat,
-        "q22_pivot": q22_pivot,
-        "q24_integrate": q24_integrate,
-        "q03_isel_head": q03_isel_head,
-        "q18_idxmax": q18_idxmax,
-        "q31_text_features": q31_text_features,
-        "q37_coarsen_weekly": q37_coarsen_weekly,
-        "q38_shift": q38_shift,
-        "q50_rolling_exp": q50_rolling_exp,
-        "q55_rolling_2d": q55_rolling_2d,
-        "q56_densify": q56_densify,
-        "q57_isel_points": q57_isel_points,
-        "q68_datatree": q68_datatree,
-        "q69_bpe_token_count": q69_bpe_token_count,
-        "q71_netcdf_roundtrip": q71_netcdf_roundtrip,
-        "q73_curvefit": q73_curvefit,
         "q76_interp_quadratic": q76_interp_quadratic,
         "q77_str_tail": q77_str_tail,
-        "q80_cf_360day": q80_cf_360day,
-        "q82_pad_reflect": q82_pad_reflect,
         "q83_str_tail2": q83_str_tail2,
     }
 
@@ -4807,6 +4848,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 0.5  AS quantile, ROUND(q2 + 1e-8, 4) AS qv FROM g
             UNION ALL
             SELECT l_returnflag, 0.75 AS quantile, ROUND(q3 + 1e-8, 4) AS qv FROM g
+        """,
+        # pandas 2W closed='left': bins [anchor, anchor+14d) anchored at
+        # the Sunday ON-OR-BEFORE the first point's date (duckdb
+        # dayofweek: Sunday=0, so epochday - dayofweek IS that Sunday);
+        # label='left' = right edge - 14 days
+        "q138_resample_multiweek": """
+            WITH sb AS (
+              SELECT ((CAST(MIN(ts) AS DATE) - DATE '1970-01-01')
+                      - dayofweek(CAST(MIN(ts) AS DATE))) AS s
+              FROM events
+            ),
+            binned AS (
+              SELECT CAST(DATE '1970-01-01' + CAST(
+                       sb.s + (FLOOR(((CAST(ts AS DATE) - DATE '1970-01-01') - sb.s) / 14) + 1) * 14
+                       - 14 AS INT) AS TIMESTAMP) AS bucket,
+                     value
+              FROM events, sb
+            )
+            SELECT bucket, COUNT(*) AS n, ROUND(SUM(value) + 1e-6, 3) AS total
+            FROM binned GROUP BY 1
+        """,
+        "q139_resample_me_asfreq": f"""
+            WITH daily AS ({_DAILY_SQL})
+            SELECT CAST(last_day(l_shipdate) AS TIMESTAMP) AS month_end,
+                   ROUND(AVG(rev) + 1e-6, 3) AS rev
+            FROM daily GROUP BY 1
+        """,
+        # exact window-array two-pass replay: list() over the same
+        # 96-row trailing frame, mean then sqrt(Σ(x−μ)²/n) (ddof=0)
+        "q140_rolling_std_wide": f"""
+            WITH daily AS ({_DAILY_SQL}),
+            wins AS (
+              SELECT l_shipdate,
+                     list(rev) OVER (ORDER BY l_shipdate
+                                     ROWS BETWEEN 95 PRECEDING AND CURRENT ROW) AS a
+              FROM daily
+            )
+            SELECT l_shipdate,
+                   CASE WHEN len(a) >= 96 THEN
+                     ROUND(sqrt(list_sum(list_transform(a,
+                               x -> (x - list_avg(a)) * (x - list_avg(a))))::DOUBLE
+                           / len(a)) + 1e-6, 3)
+                   END AS roll_std
+            FROM wins
         """,
         "q116_bucketed_ffill": """
             WITH daily AS (

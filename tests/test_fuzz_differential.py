@@ -135,3 +135,185 @@ def test_fuzz_weighted_args_interp_coarsen(spark):
         if not _close(g, ref2.cumprod("t").values):
             fails.append((trial, "cumprod", g.tolist(), v2.tolist()))
     assert not fails, fails[:5]
+
+
+def test_fuzz_align_reindex_fill(spark):
+    """Round-10 pool widening (verdict #7): align join×fill_value and
+    reindex method×tolerance×fill_value over partially-overlapping
+    label sets drawn with adversarial values."""
+    rng = np.random.default_rng(1010)
+    fails = []
+    for trial in range(TRIALS):
+        na, nb = int(rng.integers(3, 12)), int(rng.integers(3, 12))
+        la = np.sort(rng.choice(np.arange(0, 20), na, replace=False))
+        lb = np.sort(rng.choice(np.arange(0, 20), nb, replace=False))
+        va, vb = _draw(rng, na), _draw(rng, nb)
+        ea = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": la, "v": va})), dims=["t"])
+        eb = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": lb, "u": vb})), dims=["t"])
+        ra = xr.DataArray(va, dims="t", coords={"t": la}).rename("v")
+        rb = xr.DataArray(vb, dims="t", coords={"t": lb}).rename("u")
+        fill = float(rng.choice([0.0, -7.5, 1e15]))
+        for join in ("inner", "outer", "left", "right"):
+            from xarray_spark import align
+            g1, g2 = align(ea, eb, join=join, fill_value=fill)
+            r1, r2 = xr.align(ra, rb, join=join, fill_value=fill)
+            gp = g1.to_pandas().sort_values("t")
+            if (gp["t"].tolist() != list(r1["t"].values)
+                    or not _close(gp["v"].to_numpy(), r1.values)):
+                fails.append((trial, f"align_{join}", gp["v"].tolist(),
+                              r1.values.tolist()))
+            gp2 = g2.to_pandas().sort_values("t")
+            if not _close(gp2["u"].to_numpy(), r2.values):
+                fails.append((trial, f"align_{join}_b", gp2["u"].tolist(),
+                              r2.values.tolist()))
+        # reindex: plain + fill_value + method (+tolerance)
+        tgt = np.sort(rng.choice(np.arange(-2, 24), 8, replace=False))
+        for method, tol in ((None, None), (None, None),
+                            ("ffill", None), ("bfill", None),
+                            ("nearest", None), ("nearest", 1.0),
+                            ("ffill", 2.0)):
+            g = (ea.reindex({"t": tgt.tolist()}, method=method,
+                            tolerance=tol, fill_value=fill)
+                 .to_pandas().sort_values("t"))
+            r = ra.reindex(t=tgt, method=method, tolerance=tol,
+                           fill_value=fill)
+            if not _close(g["v"].to_numpy(), r.values):
+                fails.append((trial, f"reindex_{method}_{tol}",
+                              g["v"].tolist(), r.values.tolist()))
+    assert not fails, fails[:5]
+
+
+_STR_POOL = ["", " ", "  padded  ", "Hello World", "héllo wörld", "a,b,,c",
+             "UPPER lower MiXeD", "123abc456", "tab\there", "ünïcodé",
+             "the quick brown fox", "  lead", "trail  ", "a|b|c", "ZZ-top",
+             None, "x" * 40, "CamelCaseWord", "snake_case_word", "%%%", "-1.5"]
+
+
+def test_fuzz_str_accessor_matrix(spark):
+    """Round-10 pool widening: the .str matrix over adversarial strings
+    (empty / None / unicode / padding / separators) vs the reference."""
+    rng = np.random.default_rng(4242)
+    fails = []
+    ops = [
+        ("upper", lambda s: s.upper(), lambda s: s.str.upper()),
+        ("lower", lambda s: s.lower(), lambda s: s.str.lower()),
+        ("len", lambda s: s.len(), lambda s: s.str.len()),
+        ("strip", lambda s: s.strip(), lambda s: s.str.strip()),
+        ("title", lambda s: s.title(), lambda s: s.str.title()),
+        ("swapcase", lambda s: s.swapcase(), lambda s: s.str.swapcase()),
+        ("capitalize", lambda s: s.capitalize(),
+         lambda s: s.str.capitalize()),
+        ("zfill8", lambda s: s.zfill(8), lambda s: s.str.zfill(8)),
+        ("slice25", lambda s: s.slice(2, 5), lambda s: s.str.slice(2, 5)),
+        ("startswith", lambda s: s.startswith("a"),
+         lambda s: s.str.startswith("a")),
+        ("contains_o", lambda s: s.contains("o"),
+         lambda s: s.str.contains("o")),
+        ("find_e", lambda s: s.find("e"), lambda s: s.str.find("e")),
+        ("count_a", lambda s: s.count("a"), lambda s: s.str.count("a")),
+        ("pad12", lambda s: s.pad(12, side="both", fillchar="*"),
+         lambda s: s.str.pad(12, side="both", fillchar="*")),
+        ("replace", lambda s: s.replace("o", "0"),
+         lambda s: s.str.replace("o", "0")),
+        ("isalpha", lambda s: s.isalpha(), lambda s: s.str.isalpha()),
+        ("isdigit", lambda s: s.isdigit(), lambda s: s.str.isdigit()),
+    ]
+    for trial in range(max(2, TRIALS // 2)):
+        n = int(rng.integers(5, 15))
+        strs = [(_STR_POOL[i] if _STR_POOL[i] is not None else None)
+                for i in rng.integers(0, len(_STR_POOL), n)]
+        eng = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(n), "s": strs})), dims=["t"])
+        ref = xr.DataArray(np.array(strs, dtype=object), dims="t",
+                           coords={"t": range(n)})
+        for name, eop, rop in ops:
+            try:
+                r = rop(ref).values
+            except Exception:  # noqa: BLE001
+                continue  # reference rejects (e.g. None mixed) — skip
+            g = eop(eng["s"].str).to_pandas().sort_values("t").iloc[:, -1]
+            for gv, rv in zip(g.tolist(), r.tolist()):
+                if gv is None and (rv is None or rv != rv):
+                    continue
+                if isinstance(rv, float) and isinstance(gv, (int, float)):
+                    if not (np.isnan(rv) and (gv is None or np.isnan(gv))) \
+                            and float(gv) != float(rv):
+                        fails.append((trial, name, gv, rv))
+                elif gv != rv:
+                    fails.append((trial, name, gv, rv, strs))
+    assert not fails, fails[:5]
+
+
+def test_fuzz_dt_accessor_matrix(spark):
+    """Round-10 pool widening: the .dt field/round matrix over random
+    timestamps incl. pre-1970, sub-second, month/year edges."""
+    rng = np.random.default_rng(2468)
+    fails = []
+    fields = ["year", "month", "day", "hour", "minute", "second",
+              "dayofweek", "dayofyear", "quarter", "days_in_month",
+              "is_month_start", "is_month_end", "is_leap_year"]
+    freqs = ["h", "D", "15min", "s", "500ms", "2h"]
+    for trial in range(max(2, TRIALS // 2)):
+        n = int(rng.integers(5, 16))
+        base = np.datetime64("1969-06-01") + rng.integers(
+            -2_000_000, 200_000_000, n).astype("timedelta64[s]")
+        micro = rng.integers(0, 1_000_000, n).astype("timedelta64[us]")
+        ts = pd.to_datetime(base + micro)
+        eng = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(n), "ts": ts})), dims=["t"])
+        ref = xr.DataArray(ts, dims="t", coords={"t": range(n)})
+        for f in fields:
+            g = (getattr(eng["ts"].dt, f).to_pandas().sort_values("t")
+                 .iloc[:, -1].to_numpy())
+            r = getattr(ref.dt, f).values
+            if not np.array_equal(np.asarray(g, dtype="int64"),
+                                  np.asarray(r, dtype="int64")):
+                fails.append((trial, f, g.tolist(), r.tolist()))
+        for fq in freqs:
+            for verb in ("floor", "ceil", "round"):
+                g = (getattr(eng["ts"].dt, verb)(fq).to_pandas()
+                     .sort_values("t").iloc[:, -1])
+                r = getattr(ref.dt, verb)(fq).values
+                gl = [pd.Timestamp(x) for x in g]
+                rl = [pd.Timestamp(x) for x in r]
+                if gl != rl:
+                    fails.append((trial, f"{verb}_{fq}", gl[:3], rl[:3]))
+    assert not fails, fails[:5]
+
+
+def test_fuzz_var_dims_offset(spark):
+    """Round-10 verdict #6 proof: the constructor-broadcast var_dims
+    frames now take the demeaned two-pass through _reduce's/_agg's
+    per-stage _pre hook — drive exactly that path (partial dim overlap)
+    with offset-1e8/1e12 data, where the old single-pass formula
+    drifted 4e-6 rel, and demand near-exactness."""
+    rng = np.random.default_rng(1012)
+    fails = []
+    for trial in range(TRIALS):
+        nx, ny = int(rng.integers(2, 5)), int(rng.integers(2, 6))
+        offset = float(rng.choice([1e8, 1e12]))
+        grid = rng.normal(0.0, 1.0, (nx, ny)) + offset
+        u = rng.normal(0.0, 1.0, nx) + offset
+        spec = dict(data_vars={"t": (("x", "y"), grid), "u": ("x", u)},
+                    coords={"x": list(range(nx)), "y": list(range(ny))})
+        r = xr.Dataset(**spec)
+        o = XDataset(**spec)
+        for dims, ddof in ((["x", "y"], 0), (["x", "y"], 1), (["x"], 0)):
+            for op in ("var", "std"):
+                g = getattr(o, op)(dims if len(dims) > 1 else dims[0],
+                                   ddof=ddof).to_pandas()
+                rr = getattr(r, op)(dims if len(dims) > 1 else dims[0],
+                                    ddof=ddof)
+                gu = np.asarray(g["u"], dtype="float64")
+                ru = np.atleast_1d(np.asarray(rr["u"].values, "float64"))
+                if not _close(np.sort(gu), np.sort(ru), rtol=1e-9):
+                    fails.append((trial, op, dims, ddof, offset,
+                                  gu.tolist(), ru.tolist()))
+                gt = np.asarray(g["t"], dtype="float64")
+                rt = np.atleast_1d(np.asarray(rr["t"].values, "float64"))
+                if not _close(np.sort(gt), np.sort(rt), rtol=1e-9):
+                    fails.append((trial, f"t_{op}", dims, ddof, offset,
+                                  gt.tolist(), rt.tolist()))
+    assert not fails, fails[:5]

@@ -2475,6 +2475,7 @@ class XDataset:
         skipna: bool = True,
         keep_attrs: bool | None = None,
         ddof: int = 0,
+        _pre=None,
     ) -> "XDataset":
         """Group by the complement dims and aggregate every data var.
 
@@ -2484,6 +2485,14 @@ class XDataset:
         ``keep_attrs``: None defers to OPTIONS['keep_attrs'] (True — the
         reference keeps attrs on Dataset reductions by default);
         ``False`` drops them (xarray keep_attrs parity).
+
+        ``_pre``: optional (frame, group_cols, varlist) -> frame hook
+        run on each aggregation input BEFORE grouping — the demeaning
+        join var/std needs (per-group means attached as ``__mu_<v>``
+        columns).  It is applied to the constructor-broadcast dedup
+        stages too, so the two-pass exactness discipline covers the
+        var_dims frames that previously kept the single-pass formula
+        (round-10 fix; the drift class is 4e-6 rel at offset 1e12).
         """
         dims = self._norm_dim_arg(dim)
         keep = [d for d in self.dims if d not in dims]
@@ -2498,6 +2507,7 @@ class XDataset:
         # xarray Dataset.reduce); collect them per own-reduced-dim set
         # and fold each group in below via a dedup-first aggregation.
         partial: dict[tuple, list[str]] = {}
+        main_vars: list[str] = []
         for v in varlist:
             own = self.var_dims.get(v)
             if (own is not None and set(own) <= set(self.dims)
@@ -2534,9 +2544,12 @@ class XDataset:
                 # null-poisoning: any null in the group -> null result
                 e = F.when(F.max(F.col(v).isNull().cast("int")) == 1, F.lit(None)).otherwise(e)
             aggs.append(e.alias(v))
+            main_vars.append(v)
         keys = keep + list(coords)
         if aggs:
-            df = base.groupBy(*keys).agg(*aggs) if keys else base.agg(*aggs)
+            frame = (_pre(base, keys, main_vars)
+                     if _pre and main_vars else base)
+            df = frame.groupBy(*keys).agg(*aggs) if keys else frame.agg(*aggs)
         else:
             df = None
         for own_reduced, group in partial.items():
@@ -2555,8 +2568,9 @@ class XDataset:
                     e = F.when(F.max(F.col(v).isNull().cast("int")) == 1,
                                F.lit(None)).otherwise(e)
                 sub_aggs.append(e.alias(v))
-            stage2 = (stage1.groupBy(*keys).agg(*sub_aggs)
-                      if keys else stage1.agg(*sub_aggs))
+            sframe = _pre(stage1, keys, group) if _pre else stage1
+            stage2 = (sframe.groupBy(*keys).agg(*sub_aggs)
+                      if keys else sframe.agg(*sub_aggs))
             if df is None:
                 df = stage2
             else:
@@ -2615,19 +2629,6 @@ class XDataset:
         return self._reduce(dim, lambda v: F.count(v), "count",
                             keep_attrs=keep_attrs)
 
-    def _var_special_vars(self, dims, varlist) -> bool:
-        """True when any var carries constructor-broadcast var_dims that
-        _reduce must dedup or empty-axis (the demeaned two-pass joins a
-        flat mean table and cannot thread that discipline — those
-        frames are label-built and small, so the legacy single-pass
-        formula stays correct enough for them)."""
-        for v in varlist:
-            own = self.var_dims.get(v)
-            if own is not None and set(own) <= set(self.dims) \
-                    and set(dims) - set(own):
-                return True
-        return False
-
     def _var_demeaned(self, dim, skipna, ddof, keep_attrs,
                       sqrt: bool) -> "XDataset":
         """np-exact var/std: TWO-PASS demeaned like numpy (mean, then
@@ -2636,64 +2637,41 @@ class XDataset:
         reference: 7e-10 rel at offset 1e8, 4e-6 at 1e12), while the
         demeaned form stays exact — the same class of fix as the
         round-9 weighted-variance and cov/corr rewrites.  One extra
-        map-side scan + a label-sized broadcast join.
+        map-side scan + a keyed join against the per-group means (no
+        broadcast hint: the means table is GROUP-count sized, AQE
+        picks the strategy — round-10 ADVICE fix).
+
+        Routed through ``_reduce`` with the ``_pre`` demeaning hook,
+        so the constructor-broadcast var_dims dedup stages get the
+        SAME two-pass exactness (round-10: closed the last single-pass
+        hole — the hook demeans each dedup stage's frame too).
 
         inf semantics match numpy through the arithmetic itself: an
         inf value makes the group mean inf, its own deviation
         inf−inf=NaN, and the NaN propagates through F.sum → NaN."""
-        from xarray_spark._utils import nan_to_null, null_safe_join
+        from xarray_spark._utils import null_safe_join
         funcname = "std" if sqrt else "var"
-        dims = self._norm_dim_arg(dim)
-        varlist = self._agg_numeric_vars(funcname)
-        if self._var_special_vars(dims, varlist):
-            def legacy(v):
-                if ddof == 0:
-                    return F.var_pop(v)
-                if ddof == 1:
-                    return F.var_samp(v)
-                n = F.count(v)
-                # np.var with ddof >= n is NaN, never an error or a
-                # NEGATIVE variance — guard the ANSI division
-                return F.when(n > ddof,
-                              F.var_pop(v) * n / (n - F.lit(ddof)))
-            e = (lambda v: F.sqrt(legacy(v))) if sqrt else legacy
-            return self._reduce(dim, e, funcname, skipna, keep_attrs,
-                                ddof=ddof)
-        keep = [d for d in self.dims if d not in dims]
-        coords = self._coords_on(keep)
-        keys = keep + list(coords)
-        base = nan_to_null(self.df, varlist, self.df.schema)
-        mean_aggs = [F.avg(F.col(v).cast("double")).alias(f"__mu_{v}")
-                     for v in varlist]
-        if keys:
-            means = base.groupBy(*keys).agg(*mean_aggs)
-            # no broadcast hint: the means table is GROUP-count sized
-            # (product of kept dims), not label-sized — var() over one
-            # dim of a large grid would overflow the driver.  AQE sees
-            # the aggregate's actual output size and still broadcasts
-            # small tables at runtime (round-10 ADVICE fix).
-            joined = null_safe_join(base, means, keys)
-        else:
-            means = base.agg(*mean_aggs)
-            joined = base.crossJoin(F.broadcast(means))
-        aggs = []
-        for v in varlist:
+
+        def pre(frame, group_cols, vl):
+            mean_aggs = [F.avg(F.col(v).cast("double")).alias(f"__mu_{v}")
+                         for v in vl]
+            if group_cols:
+                means = frame.groupBy(*group_cols).agg(*mean_aggs)
+                return null_safe_join(frame, means, group_cols)
+            means = frame.agg(*mean_aggs)
+            return frame.crossJoin(F.broadcast(means))
+
+        def e(v):
             vd = F.col(v).cast("double")
             dev = vd - F.col(f"__mu_{v}")
             n = F.count(vd)
-            e = F.when(n > ddof, F.sum(dev * dev) / (n - F.lit(ddof)))
-            if sqrt:
-                e = F.sqrt(e)
-            if not skipna:
-                # null-poisoning: any null in the group -> null result
-                e = F.when(F.max(vd.isNull().cast("int")) == 1,
-                           F.lit(None)).otherwise(e)
-            aggs.append(e.alias(v))
-        df = joined.groupBy(*keys).agg(*aggs) if keys else joined.agg(*aggs)
-        return self._replace(df=df.select(*keys, *varlist), dims=keep,
-                             coords=coords, data_vars=varlist,
-                             attrs=self._resolve_attrs(keep_attrs),
-                             var_dims=self._vd_after_reduce(dims, keep))
+            # np.var with ddof >= n is NaN, never an error or a
+            # NEGATIVE variance — guard the ANSI division
+            out = F.when(n > ddof, F.sum(dev * dev) / (n - F.lit(ddof)))
+            return F.sqrt(out) if sqrt else out
+
+        return self._reduce(dim, e, funcname, skipna, keep_attrs,
+                            ddof=ddof, _pre=pre)
 
     def std(self, dim=None, skipna: bool = True, ddof: int = 0,
             keep_attrs: bool | None = None) -> "XDataset":

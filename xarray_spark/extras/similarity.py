@@ -754,14 +754,19 @@ def semdedup_pairs(
     pair.  Production swaps in ivf_fit's trained centroids — the plan
     is identical.
 
-    Scale shape: one Arrow-matmul cell assignment (no ML jobs), one
-    equi-join on the cell id — the all-pairs cosine is confined to a
-    cell, never the corpus, and runs as an Arrow batch (numpy), not an
-    interpreted HOF (the round-4 lesson).  The within-cell pair count
-    is (n/n_cells)²·n_cells, so SIZE n_cells TO THE CORPUS — SemDeDup
-    itself uses ~sqrt-scale cluster counts (11k clusters for LAION) —
-    or the quadratic term eats the cell win.  Returns
-    (id_a, id_b, cos) with id_a < id_b.
+    Scale shape: one Arrow-matmul cell assignment (no ML jobs), then
+    ONE shuffle on the cell id into a per-cell applyInPandas that
+    computes the cell's cosine matrix as a blocked BLAS matmul and
+    emits only the pairs above threshold.  Each vector crosses Arrow
+    ONCE — the previous self-join + per-pair UDF shipped both vectors
+    for every candidate pair (28 GB of Arrow traffic at sf0.1 vs
+    ~30 MB; rewritten round 10 after the driver bench showed 2→13 s
+    run-to-run variance from exactly that churn).  The within-cell
+    pair count is still (n/n_cells)²·n_cells, so SIZE n_cells TO THE
+    CORPUS — SemDeDup itself uses ~sqrt-scale cluster counts (11k
+    clusters for LAION) — but only the QUALIFYING pairs are ever
+    materialized now; the matrix lives in bounded ~64 MB blocks
+    inside the kernel.  Returns (id_a, id_b, cos) with id_a < id_b.
     """
     from xarray_spark.extras.dedup import _spread
     base = _spread(corpus, id_col).select(
@@ -791,19 +796,54 @@ def semdedup_pairs(
         cents = centroid_coeffs(n_cells, dim)
         base = base.withColumn(
             "__cell", _nearest_cells_int(F.col("__cv"), cents, 1)[0])
-    base = base.localCheckpoint(eager=False)
-    a = base.select(F.col("nid").alias("id_a"),
-                    F.col("__cv").alias("__va"), "__cell")
-    b = base.select(F.col("nid").alias("id_b"),
-                    F.col("__cv").alias("__vb"), "__cell")
-    cos_batch = _cosine_batch_udf()
-    return (
-        a.join(b, on="__cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                _round6(cos_batch(F.col("__va"), F.col("__vb"))).alias("cos"))
-        .where(F.col("cos") >= F.lit(float(threshold)))
-    )
+    thr = float(threshold)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        if m < 2:
+            return empty
+        ids = pdf["nid"].to_numpy()
+        vecs = np.stack(pdf["__cv"].to_numpy()).astype("float64")
+        nrm = np.sqrt((vecs * vecs).sum(axis=1))
+        cols = np.arange(m)
+        out_a, out_b, out_c = [], [], []
+        blk = max(16, 8_000_000 // max(m, 1))  # ≈64 MB cosine blocks
+        for s in range(0, m, blk):
+            e = min(s + blk, m)
+            num = vecs[s:e] @ vecs.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = num / (nrm[s:e, None] * nrm[None, :])
+            # the repo-wide epsilon rounding (see _round6) applied
+            # in-kernel so the threshold compares the ROUNDED value,
+            # exactly like the previous plan's filter
+            cosr = np.round(cos + 1e-9, 6)
+            keep = (cols[None, :] > np.arange(s, e)[:, None]) \
+                & (cosr >= thr)
+            ri, ci = np.nonzero(keep)
+            if not len(ri):
+                continue
+            ia, ib = ids[ri + s], ids[ci]
+            # strict id_a < id_b (the previous join's predicate):
+            # duplicate ids never pair with themselves
+            ne = ia != ib
+            ia, ib, ri, ci = ia[ne], ib[ne], ri[ne], ci[ne]
+            if not len(ia):
+                continue
+            swap = ia > ib
+            out_a.append(np.where(swap, ib, ia))
+            out_b.append(np.where(swap, ia, ib))
+            out_c.append(cosr[ri, ci])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cos": np.concatenate(out_c)})
+
+    return base.groupBy("__cell").applyInPandas(
+        cell_pairs, "id_a long, id_b long, cos double")
 
 
 def semdedup_keep(

@@ -174,16 +174,18 @@ class XGroupBy:
         reduced = [d for d in self.ds.dims if d not in kept]
         from xarray_spark._utils import nan_to_null
         base = nan_to_null(prepped.df, varlist, prepped.df.schema)
-        if _pre is not None:
-            # var/std demeaning hook: join per-group helper columns
-            # (e.g. __mu_{v}) that exprs_for may reference
-            base = _pre(base, group_cols, varlist)
         # dict-constructor broadcast vars reduce over THEIR OWN dims
         # only, exactly as Dataset._reduce: partial overlap with the
         # consumed dims -> dedup-first aggregation; no overlap -> the
-        # reference's empty-axis semantics (wave-40 groupby find)
+        # reference's empty-axis semantics (wave-40 groupby find).
+        # ``_pre`` (the var/std demeaning hook: per-group helper columns
+        # like __mu_{v} that exprs_for may reference) is applied PER
+        # AGGREGATION STAGE — the dedup stages demean their own deduped
+        # frame, so the two-pass exactness covers var_dims vars too
+        # (round-10: closed the groupby single-pass hole).
         vd = getattr(self.ds, "var_dims", {}) or {}
         partial: dict[tuple, list] = {}
+        main_vars: list = []
         aggs = []
         for v in varlist:
             own = vd.get(v)
@@ -210,7 +212,9 @@ class XGroupBy:
             if not skipna:
                 e = F.when(F.max(F.col(v).isNull().cast("int")) == 1, F.lit(None)).otherwise(e)
             aggs.append(e.alias(v))
-        out = base.groupBy(*group_cols).agg(*aggs) if aggs else None
+            main_vars.append(v)
+        frame = _pre(base, group_cols, main_vars) if _pre and main_vars else base
+        out = frame.groupBy(*group_cols).agg(*aggs) if aggs else None
         for own_reduced, group in partial.items():
             sub_keys = group_cols + list(own_reduced)
             stage1 = base.groupBy(*sub_keys).agg(
@@ -222,7 +226,8 @@ class XGroupBy:
                     e = F.when(F.max(F.col(v).isNull().cast("int")) == 1,
                                F.lit(None)).otherwise(e)
                 sub_aggs.append(e.alias(v))
-            stage2 = stage1.groupBy(*group_cols).agg(*sub_aggs)
+            sframe = _pre(stage1, group_cols, group) if _pre else stage1
+            stage2 = sframe.groupBy(*group_cols).agg(*sub_aggs)
             if out is None:
                 out = stage2
             else:
@@ -277,34 +282,15 @@ class XGroupBy:
     def min(self, skipna=True): return self._agg(lambda v: F.min(v), False, skipna)
     def max(self, skipna=True): return self._agg(lambda v: F.max(v), False, skipna)
     def count(self): return self._agg(lambda v: F.count(v), funcname="count")
-    def _var_expr(self, v, ddof: int):
-        # legacy single-pass form — kept only for constructor-broadcast
-        # var_dims frames whose dedup stages the demeaning join cannot
-        # thread; generic ddof with the ANSI division guarded (np
-        # returns NaN for ddof >= n, never an error or a negative var)
-        if ddof == 0:
-            return F.var_pop(v)
-        if ddof == 1:
-            return F.var_samp(v)
-        n = F.count(v)
-        return F.when(n > ddof, F.var_pop(v) * n / (n - F.lit(ddof)))
-
     def _var_agg(self, ddof: int, sqrt: bool) -> XDataset:
         """np-exact grouped var/std: TWO-PASS demeaned (mean join, then
         Σdev²/(n−ddof)) — Spark's online central moments drift with the
         value offset (4e-6 rel at offset 1e12; see Dataset._var_demeaned
-        and SCALE.md round 9), the demeaned form stays exact."""
+        and SCALE.md round 9), the demeaned form stays exact.  The
+        ``_pre`` hook runs per aggregation stage, so constructor-
+        broadcast var_dims frames demean their deduped slices too
+        (round 10 — the last single-pass formula is gone)."""
         funcname = "std" if sqrt else "var"
-        reduced = [d for d in self.ds.dims if d not in self._kept_dims]
-        vd = getattr(self.ds, "var_dims", {}) or {}
-        partial_special = any(
-            own is not None and set(own) <= set(self.ds.dims)
-            and set(own) & set(reduced) and set(reduced) - set(own)
-            for own in vd.values())
-        if partial_special:
-            e = ((lambda v: F.sqrt(self._var_expr(v, ddof))) if sqrt
-                 else (lambda v: self._var_expr(v, ddof)))
-            return self._agg(e, True, funcname=funcname, ddof=ddof)
         from xarray_spark._utils import null_safe_join
 
         def pre(base, group_cols, varlist):

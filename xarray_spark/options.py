@@ -39,13 +39,16 @@ OPTIONS: dict = {
     "grouped_quantile_midbin_threshold": 131_072,
     "grouped_quantile_midbin_total_floor": 16_000_000,
     # Rolling var/std plan picker: window widths AT or ABOVE this use
-    # the Arrow-batched numpy kernel (mapInPandas over complement-dim
+    # the Arrow-batched numpy kernel (applyInPandas over complement-dim
     # groups / halo segments — vectorized O(n·w), matches numpy's
     # windowed nanvar exactly); below it the in-plan collect_list +
-    # F.aggregate form stays (no Python round-trip, wins for narrow
-    # windows where the interpreted per-element lambda cost is small).
-    # Crossover measured round 10 (SCALE.md).  None = always HOF.
-    "rolling_var_arrow_threshold": 64,
+    # F.aggregate form runs.  Measured round 10 (SCALE.md): there is
+    # NO crossover — the interpreted per-element lambda loses at every
+    # width (10M rows: w=3 12.4 s vs 1.9 s, w=20 38.9 vs 2.0, w=1000
+    # ~1900 (extrapolated) vs 14.6), so the kernel is the default for
+    # every real window.  None = always HOF (kept as the in-plan
+    # fallback: streaming frames, centered global series).
+    "rolling_var_arrow_threshold": 2,
     # Middle plan between the buffered aggregate and the histogram:
     # two-scan fixed-bucket (1/16-octave) selection — no stats pass,
     # no aggregation buffer.  The worst case (a whole group inside ONE

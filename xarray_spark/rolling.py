@@ -24,6 +24,44 @@ from pyspark.sql import types as T
 from xarray_spark.dataset import XDataset, _median_expr
 
 
+def _np_rolling_var(vals, window: int, before: int, after: int,
+                    minp: int, ddof: int, sqrt: bool):
+    """Vectorized per-window exact two-pass var/std over a 1-D series.
+
+    Mirrors numpy's windowed nanvar (the reference constructs the
+    padded window array and reduces it): NaN-pad the edges, zero-copy
+    sliding_window_view, per-window nan-masked mean then
+    Σ(x−μ)²/(n−ddof).  Output memory is bounded by processing in
+    ~32 MB window-matrix chunks (the view itself costs nothing)."""
+    import numpy as np
+    n = vals.shape[0]
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    pad = np.concatenate([np.full(before, np.nan), vals,
+                          np.full(after, np.nan)])
+    sw = np.lib.stride_tricks.sliding_window_view(pad, window)
+    step = max(1, 4_000_000 // max(window, 1))
+    for i in range(0, n, step):
+        blk = sw[i:i + step]
+        mask = ~np.isnan(blk)
+        cnt = mask.sum(axis=1)
+        with np.errstate(all="ignore"):
+            mu = np.where(mask, blk, 0.0).sum(axis=1) / cnt
+            # masked slots select 0.0; the inf value's own deviation is
+            # inf−inf=NaN and poisons its window — numpy's behavior
+            dev = np.where(mask, blk - mu[:, None], 0.0)
+            v = (dev * dev).sum(axis=1) / (cnt - ddof)
+        ok = cnt > ddof
+        if minp > 1:
+            ok &= cnt >= minp
+        out[i:i + step] = np.where(ok, v, np.nan)
+    if sqrt:
+        with np.errstate(all="ignore"):
+            out = np.sqrt(out)
+    return out
+
+
 class XRolling:
     # reference introspection name: the wrapped object
     obj = property(lambda self: self.ds)
@@ -191,11 +229,24 @@ class XRolling:
         correctness — of every other window).  The window mean is
         materialized as a real column so the deviation lambda reads an
         attribute, not a re-evaluated aggregate (round-4 CSE lesson).
-        Cost is O(n·w) like any sliding reduction here; inf propagates
-        numpy's way (inf mean → inf−inf=NaN → NaN window)."""
+        Cost is O(n·w); Spark evaluates higher-order-function lambdas
+        INTERPRETED per element (round-4 lesson), so wide windows
+        dispatch to the Arrow-batched numpy kernel instead
+        (rolling_var_arrow_threshold — crossover measured round 10).
+        inf propagates numpy's way (inf mean → inf−inf=NaN → NaN
+        window)."""
         if len(self.windows) > 1:
             raise NotImplementedError(
                 "N-D rolling var/std: use construct()+reduce per dim")
+        from xarray_spark.options import OPTIONS
+        thr = OPTIONS["rolling_var_arrow_threshold"]
+        has_others = any(d != self.dim for d in self.ds.dims)
+        # centered windows need TRAILING context too — the segmented
+        # halo only replicates preceding rows, so the centered global
+        # series stays on the in-plan form
+        if (thr is not None and self.window != -1 and self.window >= thr
+                and not (self.center and not has_others)):
+            return self._var_window_arrow(ddof, sqrt)
         w = self._frame()
         ds = self.ds
         from xarray_spark._utils import nan_to_null
@@ -231,6 +282,58 @@ class XRolling:
             else:
                 exprs.append(F.col(c))
         return ds._replace(df=step2.select(*exprs))
+
+    def _var_window_arrow(self, ddof: int, sqrt: bool) -> XDataset:
+        """Wide-window rolling var/std: Arrow-batched numpy kernel.
+
+        Same exact per-window two-pass semantics as the HOF form, but
+        the O(n·w) inner work runs as VECTORIZED numpy over a
+        zero-copy sliding_window_view instead of an interpreted
+        Catalyst lambda (measured crossover in SCALE.md round 10).
+        Complement dims partition via applyInPandas groups; a global
+        series (no complement dims) rides the segmented halo scaffold
+        (segmented.halo_union) so no single task holds the series.
+        inf/NaN semantics match numpy windowed nanvar: an inf in the
+        window makes the mean inf, its own deviation inf−inf=NaN, and
+        the window is NaN — identical to the HOF path."""
+        ds = self.ds
+        dim = self.dim
+        others = [d for d in ds.dims if d != dim]
+        from xarray_spark._utils import nan_to_null
+        base = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
+        skip = ds._bcast_passthrough(list(self.windows))
+        varlist = [c for c in ds.data_vars if c not in skip]
+        window, minp, ddof_, do_sqrt = (self.window, self.min_periods,
+                                        ddof, sqrt)
+        after = (window - 1) // 2 if self.center else 0
+        before = window - 1 - after
+        out_fields = [
+            T.StructField(f.name, T.DoubleType(), True)
+            if f.name in varlist else f
+            for f in base.schema.fields if not f.name.startswith("__")
+        ]
+        schema = T.StructType(out_fields)
+        keep_cols = [f.name for f in out_fields]
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            pdf = pdf.sort_values(dim, kind="mergesort")
+            for c in varlist:
+                vals = pdf[c].to_numpy(dtype="float64", na_value=np.nan)
+                pdf[c] = _np_rolling_var(vals, window, before, after,
+                                         minp, ddof_, do_sqrt)
+            if "__halo" in pdf.columns:
+                pdf = pdf[~pdf["__halo"]]
+            return pdf[keep_cols]
+
+        if others:
+            out = base.groupBy(*others).applyInPandas(fn, schema)
+        else:
+            from xarray_spark.segmented import halo_union
+            unioned = halo_union(ds._replace(df=base), dim, window)
+            out = unioned.groupBy("__seg").applyInPandas(fn, schema)
+        return ds._replace(df=out)
+
     def median(self):
         # collect_list-over-window + the shared two-sided-lerp order
         # statistics — NOT SQL `percentile` (naive internal lerp)
