@@ -253,3 +253,60 @@ def test_groupby_timeresampler_anchors_like_resample(spark):
     got = [(pd.Timestamp(a), float(b)) for a, b in zip(g["t"], g["v"])
            if b is not None]
     assert got == exp, (got, exp)
+
+
+# ---------------------- 9: sub-second freqs + exact micros tumbling
+
+def test_subsecond_resample(spark):
+    # spans the epoch boundary with fractional-second points: the
+    # pmod-on-micros arithmetic must floor (not truncate toward zero)
+    ts = pd.date_range("1969-12-31 23:59:59.9981", periods=40,
+                       freq="713us")
+    vals = [float(i) for i in range(40)]
+    eng = _eng(spark, ts, vals)
+    ref = _ref(ts, vals)
+    for freq in ("500ms", "2ms", "250us", "10ms"):
+        r = ref.resample(t=freq).sum()
+        g = eng.resample({"t": freq}, ).sum().to_pandas()
+        _cmp_series(g, r)
+
+
+def test_fixed_width_closed_right_fractional_pre1970(spark):
+    ts = pd.to_datetime(["1969-12-31 23:59:58.5", "1969-12-31 23:59:59.0",
+                         "1969-12-31 23:59:59.5", "1970-01-01 00:00:00.0",
+                         "1970-01-01 00:00:00.5", "1970-01-01 00:00:02.0"])
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]
+    eng = _eng(spark, ts, vals)
+    ref = _ref(ts, vals)
+    for freq in ("2s", "1s"):
+        for closed in (None, "left", "right"):
+            for label in (None, "right"):
+                r = ref.resample(t=freq, closed=closed, label=label).sum()
+                g = eng.resample({"t": freq}, closed=closed,
+                                 label=label).sum().to_pandas()
+                _cmp_series(g, r)
+
+
+def test_dt_floor_ceil_round_subsecond(spark):
+    ts = pd.date_range("1969-12-31 23:59:59.123456", periods=30,
+                       freq="777777us")
+    df = pd.DataFrame({"i": range(30), "ts": ts})
+    eng = XDataset(spark.createDataFrame(df), dims=["i"])
+    ref = xr.DataArray(ts, dims="i", coords={"i": range(30)})
+    for verb in ("floor", "ceil", "round"):
+        for fq in ("500ms", "50us", "s", "2s", "10ms"):
+            r = [pd.Timestamp(x) for x in getattr(ref.dt, verb)(fq).values]
+            g = (getattr(eng["ts"].dt, verb)(fq).to_pandas()
+                 .sort_values("i").iloc[:, -1])
+            got = [pd.Timestamp(x) for x in g]
+            assert got == r, (verb, fq, got[:4], r[:4])
+
+
+def test_str_title_non_space_boundaries(spark):
+    strs = ["ZZ-top", "a,b,,c", "123abc456", "hello world", "ünïcodé-x",
+            "CamelCase", "", "  pad  ", None, "o'neill MCADAM"]
+    df = pd.DataFrame({"i": range(len(strs)), "s": strs})
+    eng = XDataset(spark.createDataFrame(df), dims=["i"])
+    g = eng["s"].str.title().to_pandas().sort_values("i").iloc[:, -1]
+    exp = [s.title() if s is not None else None for s in strs]
+    assert [x for x in g] == exp

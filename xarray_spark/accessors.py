@@ -17,6 +17,16 @@ from pyspark.sql import functions as F
 from xarray_spark.dataset import XDataArray
 
 
+def _freq_us(n: int, unit: str, subsec_us, trunc_map) -> int | None:
+    """Fixed-width frequency → exact integer microseconds (None for
+    calendar-width units, where ceil/round have no constant step)."""
+    if unit in subsec_us:
+        return n * subsec_us[unit]
+    secs = {"second": 1, "minute": 60, "hour": 3600,
+            "day": 86400}.get(trunc_map.get(unit, ""))
+    return None if secs is None else n * secs * 1_000_000
+
+
 class _Accessor:
     def __init__(self, da: XDataArray):
         self.da = da
@@ -43,7 +53,22 @@ class StringAccessor(_Accessor):
     def len(self): return self._wrap(F.length(self._c))
     def lower(self): return self._wrap(F.lower(self._c))
     def upper(self): return self._wrap(F.upper(self._c))
-    def title(self): return self._wrap(F.initcap(self._c))
+    def title(self):
+        # Python str.title uppercases the FIRST letter of every letter
+        # run and lowercases the rest — ANY non-letter is a word
+        # boundary, not just whitespace (initcap gave 'Zz-top' for
+        # 'ZZ-top' where Python gives 'Zz-Top' — wave-50 fuzz find).
+        # Sequential char fold with a prev-is-letter flag; strings are
+        # row-local and title isn't a hot-path op.
+        name = self.da.name
+        is_l = "ch RLIKE '^\\\\p{L}$'"
+        return self._wrap(F.expr(
+            f"aggregate(split({name}, ''), "
+            f"struct(CAST('' AS STRING) AS acc, false AS prev), "
+            f"(st, ch) -> struct(concat(st.acc, "
+            f"CASE WHEN {is_l} AND NOT st.prev THEN upper(ch) "
+            f"WHEN {is_l} THEN lower(ch) ELSE ch END), "
+            f"{is_l}), st -> st.acc)"))
     def capitalize(self):
         return self._wrap(F.concat(F.upper(F.substring(self._c, 1, 1)), F.lower(F.expr(f"substring({self.da.name}, 2)"))))
     def swapcase(self):
@@ -832,24 +857,25 @@ class DatetimeAccessor(_Accessor):
         return self._wrap(TimeResampler(freq).key_expr(self._c))
 
     def ceil(self, freq: str):
-        from xarray_spark.groupers import TimeResampler, _parse_freq, _TRUNC
+        from xarray_spark.groupers import (TimeResampler, _parse_freq,
+                                           _SUBSEC_US, _TRUNC)
         floor = TimeResampler(freq).key_expr(self._c)
         n, unit = _parse_freq(freq)
-        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}.get(_TRUNC.get(unit, ""), None)
-        if secs is None:
+        us_total = _freq_us(n, unit, _SUBSEC_US, _TRUNC)
+        if us_total is None:
             raise NotImplementedError(f"ceil for {freq!r}")
         bump = F.when(self._c == floor, floor).otherwise(
-            F.timestamp_seconds(F.unix_timestamp(floor) + n * secs)
+            F.timestamp_micros(F.unix_micros(floor) + us_total)
         )
         return self._wrap(bump)
 
     def round(self, freq: str):
-        from xarray_spark.groupers import TimeResampler, _parse_freq, _TRUNC
+        from xarray_spark.groupers import (TimeResampler, _parse_freq,  # noqa: F401
+                                           _SUBSEC_US, _TRUNC)
         n, unit = _parse_freq(freq)
-        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}.get(_TRUNC.get(unit, ""), None)
-        if secs is None:
+        us_total = _freq_us(n, unit, _SUBSEC_US, _TRUNC)
+        if us_total is None:
             raise NotImplementedError(f"round for {freq!r}")
-        total = n * secs
         # exact MICROSECONDS, not unix_timestamp: the latter drops the
         # sub-second fraction BEFORE the rounding (round-9 fuzz find —
         # round('s') of 10.80 gave :10, and pre-1970 fractions
@@ -857,7 +883,6 @@ class DatetimeAccessor(_Accessor):
         # double below 2^53.  pandas dt.round is HALF-EVEN at the
         # midpoint (wave-38 diff find: 00:30 rounds to 00:00 for
         # freq='h', not 01:00) — bround on the bin quotient.
-        us_total = total * 1_000_000
         e = F.unix_micros(self._c.cast("timestamp"))
         return self._wrap(F.timestamp_micros(
             (F.bround(e / F.lit(float(us_total))) * us_total)

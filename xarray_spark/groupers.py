@@ -148,6 +148,19 @@ def _offset_seconds(off) -> int:
     return int(pd.Timedelta(off).total_seconds())
 
 
+def _offset_micros(off) -> int:
+    """Bin-origin offset → exact integer microseconds."""
+    if off is None:
+        return 0
+    import pandas as pd
+    return int(pd.Timedelta(off).value // 1000)
+
+
+#: sub-second fixed widths in MICROSECONDS (pandas ms/us spellings;
+#: storage is micro-grain, so ns widths aren't representable)
+_SUBSEC_US = {"ms": 1000, "L": 1000, "us": 1, "U": 1}
+
+
 #: units whose pandas spelling anchors bins/labels at the period END
 _END_ANCHORED = ("ME", "QE", "YE")
 
@@ -201,6 +214,23 @@ class TimeResampler(Grouper):
             week_anchor = {"SUN": 1, "MON": 2, "TUE": 3, "WED": 4,
                            "THU": 5, "FRI": 6, "SAT": 7}[unit[2:].upper()]
             unit = "W"
+        us_w = _SUBSEC_US.get(unit)
+        if us_w is not None:
+            # sub-second tumbling bins, integer-microsecond exact
+            step = n * us_w
+            closed_s = self.closed or "left"
+            label_s = self.label or "left"
+            off_us = _offset_micros(self.offset)
+            e = F.unix_micros(col.cast("timestamp")) - F.lit(off_us)
+            if closed_s == "right":
+                # bin is (start, start+step]: a point ON the edge
+                # stays left — pmod keeps floor semantics pre-1970
+                start = (e - 1) - F.pmod(e - 1, F.lit(step))
+            else:
+                start = e - F.pmod(e, F.lit(step))
+            lab = start + F.lit(step if label_s == "right" else 0) \
+                + F.lit(off_us)
+            return F.timestamp_micros(lab)
         trunc = _TRUNC.get(unit)
         if trunc is None:
             raise ValueError(f"unsupported resample freq {self.freq!r}")
@@ -303,17 +333,22 @@ class TimeResampler(Grouper):
                 return lab.cast("timestamp")
         elif n == 1 and not mods:
             return F.date_trunc(trunc, col)
-        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
-                "week": 604800}[trunc] * n
-        off = _offset_seconds(self.offset)
-        e = F.unix_timestamp(col) - F.lit(off)
+        # integer-MICROSECOND tumbling arithmetic: unix_timestamp
+        # truncates the sub-second fraction (toward zero — the wrong
+        # direction pre-1970), so a x.5-second point could misbin at a
+        # right-closed edge; pmod on exact long micros keeps floor
+        # semantics on both sides of the epoch (round-10 dt-fuzz find)
+        us = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+              "week": 604800}[trunc] * n * 1_000_000
+        off = _offset_micros(self.offset)
+        e = F.unix_micros(col.cast("timestamp")) - F.lit(off)
         if closed == "right":
-            # bin is (start, start+secs]: a point ON the edge stays left
-            start = (F.ceil(e / F.lit(float(secs))) * secs) - secs
+            # bin is (start, start+us]: a point ON the edge stays left
+            start = (e - 1) - F.pmod(e - 1, F.lit(us))
         else:
-            start = F.floor(e / secs) * secs
-        lab = start + F.lit(secs if label == "right" else 0) + F.lit(off)
-        return F.timestamp_seconds(lab)
+            start = e - F.pmod(e, F.lit(us))
+        lab = start + F.lit(us if label == "right" else 0) + F.lit(off)
+        return F.timestamp_micros(lab)
 
 
 _SEASON_OF_MONTH = {

@@ -188,13 +188,17 @@ class XResample(XGroupBy):
         n, unit = _parse_freq(self._freq)
         if unit.upper().startswith("W-"):
             unit = "W"  # anchored weeks: 7-day label stride
+        from xarray_spark.groupers import _END_ANCHORED, _SUBSEC_US
+        dim = self._dim
+        if unit in _SUBSEC_US:
+            step = f"interval {n * _SUBSEC_US[unit]} microsecond"
+            return bounds.select(F.explode(
+                F.expr(f"sequence(__lo, __hi, {step})")).alias(dim))
         trunc = _TRUNC.get(unit)
         if trunc is None:
             raise ValueError(f"unsupported freq {self._freq!r}")
-        from xarray_spark.groupers import _END_ANCHORED
         mult, base = _INTERVAL_PARTS[trunc]
         step = f"interval {n * mult} {base}"
-        dim = self._dim
         if unit in _END_ANCHORED:
             starts = bounds.select(F.explode(F.expr(
                 f"sequence(date_trunc('month', __lo), "
@@ -218,8 +222,9 @@ class XResample(XGroupBy):
         n, unit = _parse_freq(self._freq)
         if unit.upper().startswith("W-"):
             unit = "W"
+        from xarray_spark.groupers import _SUBSEC_US
         trunc = _TRUNC.get(unit)
-        if trunc is None:
+        if trunc is None and unit not in _SUBSEC_US:
             return out
         from pyspark.sql import types as T
         if not isinstance(out.df.schema[self._dim].dataType,
