@@ -110,6 +110,7 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    jvm_track: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
@@ -119,6 +120,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        jvm_track[name] = jvm_stats(spark)
         # drop per-query DataFrame refs so the context cleaner reclaims
         # localCheckpoint/persist storage before the next measurement —
         # otherwise late queries inherit earlier queries' memory pressure
@@ -145,7 +147,7 @@ def main() -> None:
                            "BENCH_LOCAL.json"), "w") as fh:
         json.dump({"metric": "total_query_wall", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf,
-                   "warm_top": warm_top}, fh, indent=1)
+                   "warm_top": warm_top, "jvm": jvm_track}, fh, indent=1)
 
     # The driver captures only the LAST 2000 chars of stdout; the final
     # JSON line must fit entirely inside that window or it cannot be
