@@ -322,3 +322,59 @@ def test_fuzz_var_dims_offset(spark):
                         fails.append((trial, f"{col}_{op}", dims, ddof,
                                       offset, gv.tolist(), rv.tolist()))
     assert not fails, fails[:5]
+
+
+def test_fuzz_resample_matrix(spark):
+    """Round-10 standing resample fuzz: random irregular timestamps
+    (pre/post-1970, fractional seconds) × freq × closed × label × agg,
+    full-label-run comparison (empty bins included) vs the reference.
+    Two span regimes keep the densify label run bounded: calendar
+    freqs over day/month-scale spans, sub-second freqs over
+    second-scale spans."""
+    rng = np.random.default_rng(5050)
+    cal_freqs = ["2h", "7h", "D", "3D", "W", "W-WED", "2W", "3W-THU",
+                 "MS", "ME", "2MS", "QS", "QE", "90min", "11h"]
+    sub_freqs = ["500ms", "50ms", "2ms", "250us", "10s", "3s"]
+    aggs = ["sum", "mean", "count", "min", "max", "var", "std"]
+    fails = []
+    for trial in range(TRIALS * 2):
+        n = int(rng.integers(5, 28))
+        subsec = bool(rng.integers(0, 2))
+        start = (pd.Timestamp("1969-01-01")
+                 + pd.Timedelta(seconds=int(rng.integers(0, 157680000))))
+        if subsec:
+            deltas = np.unique(rng.integers(1, 60_000_000, n))  # ≤60 s
+            ts = start + pd.to_timedelta(deltas, unit="us")
+            freq = sub_freqs[int(rng.integers(0, len(sub_freqs)))]
+        else:
+            deltas = np.unique(rng.integers(1, 500 * 86_400_000, n))
+            ts = start + pd.to_timedelta(deltas, unit="ms")
+            freq = cal_freqs[int(rng.integers(0, len(cal_freqs)))]
+        n = len(deltas)
+        vals = _draw(rng, n, inf_ok=False)
+        closed = [None, "left", "right"][int(rng.integers(0, 3))]
+        label = [None, "left", "right"][int(rng.integers(0, 3))]
+        agg = aggs[int(rng.integers(0, len(aggs)))]
+        eng = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": ts, "v": vals})), dims=["t"])
+        ref = xr.DataArray(vals, dims="t", coords={"t": ts})
+        try:
+            r = getattr(ref.resample(t=freq, closed=closed, label=label),
+                        agg)()
+        except Exception:  # noqa: BLE001
+            continue  # reference itself rejects the combo
+        g = getattr(eng.resample({"t": freq}, closed=closed, label=label),
+                    agg)().to_pandas().sort_values("t")
+        exp_t = [pd.Timestamp(x) for x in r["t"].values]
+        got_t = [pd.Timestamp(x) for x in g["t"]]
+        if got_t != exp_t:
+            fails.append((trial, freq, closed, label, agg, "labels",
+                          got_t[:4], exp_t[:4]))
+            continue
+        gv = np.asarray([np.nan if x is None else x for x in g["v"]],
+                        "float64")
+        rv = np.asarray(r.values, "float64")
+        if not _close(gv, rv):
+            fails.append((trial, freq, closed, label, agg,
+                          gv.tolist(), rv.tolist(), str(ts[0])))
+    assert not fails, fails[:4]
