@@ -449,3 +449,21 @@ class TestZarrND:
         # 2 populated -> the dense-grid check trips
         with pytest.raises(IOError):
             ds.to_zarr(store, chunks={"x": 1, "y": 1})
+
+
+def test_dump_load_store_roundtrip(spark, tmp_path):
+    """Legacy store surface (core/dataset.py:423 load_store, :2018
+    dump_to_store): path-addressed stores route by extension."""
+    import pandas as pd
+    from xarray_spark import XDataset
+    ds = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": range(5), "v": [1., 2., 3., 4., 5.]})),
+        dims=["t"])
+    zp = str(tmp_path / "x.zarr")
+    ds.dump_to_store(zp)
+    back = XDataset.load_store(zp)
+    assert sorted(back.to_pandas()["v"]) == [1., 2., 3., 4., 5.]
+    nc = str(tmp_path / "x.nc")
+    ds.dump_to_store(nc)
+    b2 = XDataset.load_store(nc)
+    assert sorted(b2.to_pandas()["v"]) == [1., 2., 3., 4., 5.]

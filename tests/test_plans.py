@@ -420,3 +420,42 @@ def test_q137_executes_midbin_plan(spark, entry):
         exp = np.quantile(grp["v"].to_numpy(), [0.25, 0.5, 0.75])
         for q, e in zip([0.25, 0.5, 0.75], exp):
             assert got[(g, q)] == e, (g, q)
+
+
+def test_rolling_var_arrow_plan_shape(spark, entry):
+    """q140 (wide rolling std, round 10): the Arrow kernel runs as
+    FlatMapGroupsInPandas over the halo segments — NO collect_list
+    window array, no interpreted aggregate lambda, no sort-merge join
+    anywhere in the plan."""
+    df = entry.q140_rolling_std_wide(spark, SF)
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "collect_list" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_matmul_plan_shape(spark, entry):
+    """q120 (round-10 rewrite): the pair stage is ONE per-cell
+    FlatMapGroupsInPandas — no self-join shipping vector pairs
+    (the 28 GB Arrow-churn shape), no cartesian."""
+    df = entry.q120_semdedup(spark, SF)
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one exchange below the kernel: the __cell hash shuffle
+    below = plan.split("FlatMapGroupsInPandas")[-1]
+    assert below.count("Exchange") <= 2  # cell hash (+ AQE read)
+
+
+def test_resample_anchor_lookup_is_cached(spark, entry):
+    """round-10 ADVICE: repeated resample() calls on one dataset reuse
+    the cached calendar anchor instead of rescanning."""
+    import __spark_entry__ as em
+    ds = em._events(spark, SF)
+    r1 = ds.resample(ts="2W")
+    cache = getattr(ds, "_anchor_cache", None)
+    assert cache and ("ts", "2W", None) in cache
+    before = dict(cache)
+    ds.resample(ts="2W")  # second call: no new lookup entry, no job
+    assert dict(getattr(ds, "_anchor_cache")) == before

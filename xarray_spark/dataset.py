@@ -4890,6 +4890,41 @@ class XDataset:
             variables[v] = ([dim], pdf[v].to_numpy("float64"))
         write_netcdf3(path, {dim: len(pdf)}, variables, attrs=self.attrs or {})
 
+    def dump_to_store(self, store, **kwargs) -> None:
+        """Legacy store-object write surface (xarray/core/dataset.py:2018).
+        The engine's stores are path-addressed (zarr directory / CDF
+        file), so a str/PathLike routes by extension; the reference's
+        in-memory AbstractDataStore objects have no distributed
+        counterpart and raise with guidance."""
+        import os as _os
+        if isinstance(store, (str, _os.PathLike)):
+            p = _os.fspath(store)
+            if p.endswith(".zarr") or _os.path.isdir(p):
+                self.to_zarr(p, **kwargs)
+            else:
+                self.to_netcdf(p)
+            return
+        raise NotImplementedError(
+            "dump_to_store accepts a path (.zarr directory or netCDF "
+            "file); in-memory AbstractDataStore objects are a "
+            "single-process construct — use to_zarr/to_netcdf")
+
+    @classmethod
+    def load_store(cls, store, decoder=None) -> "XDataset":
+        """Legacy store-object read surface (xarray/core/dataset.py:423):
+        path-addressed stores route through open_dataset (CF decoding
+        applied there; ``decoder`` mirrors the reference hook)."""
+        import os as _os
+        if isinstance(store, (str, _os.PathLike)):
+            from pyspark.sql import SparkSession
+            from xarray_spark.io import open_dataset
+            spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+            ds = open_dataset(spark, _os.fspath(store))
+            return decoder(ds) if decoder is not None else ds
+        raise NotImplementedError(
+            "load_store accepts a path; in-memory AbstractDataStore "
+            "objects are a single-process construct — use open_dataset")
+
     def to_zarr(self, store: str, dim: str | None = None,
                 chunk_rows: int = 100_000, zarr_format: int = 2,
                 mode: str = "w", region: dict | None = None,
