@@ -310,3 +310,19 @@ def test_str_title_non_space_boundaries(spark):
     g = eng["s"].str.title().to_pandas().sort_values("i").iloc[:, -1]
     exp = [s.title() if s is not None else None for s in strs]
     assert [x for x in g] == exp
+
+
+def test_origin_plus_offset_composition(spark):
+    # the origin shift composes with an explicit offset (the branch
+    # that referenced _offset_seconds without importing it — fixed
+    # round 10)
+    ts = pd.date_range("2024-01-01 03:17", periods=30, freq="5h13min")
+    vals = [float(i) for i in range(30)]
+    eng = _eng(spark, ts, vals)
+    ref = _ref(ts, vals)
+    for kw in ({"origin": "start", "offset": "30min"},
+               {"origin": "start_day", "offset": "90s"},
+               {"origin": "epoch", "offset": "45min"}):
+        r = ref.resample(t="7h", **kw).sum()
+        g = eng.resample({"t": "7h"}, **kw).sum().to_pandas()
+        _cmp_series(g, r)

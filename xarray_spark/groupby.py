@@ -85,6 +85,12 @@ class XGroupBy:
 
     #: reference introspection name: the wrapped object
     obj = property(lambda self: self.ds)
+    #: reference introspection parity (GroupBy.groupers): the resolved
+    #: grouper objects — XResample carries its TimeResampler; plain
+    #: groupby exposes the key names
+    groupers = property(lambda self: (
+        (self._grouper,) if getattr(self, "_grouper", None) is not None
+        else tuple(self._key_names)))
 
     def assign_coords(self, coords=None, **kw):
         """Apply assign_coords within each group (reference

@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from xarray_spark.dataset import XDataset
 from xarray_spark.groupby import XGroupBy
-from xarray_spark.groupers import TimeResampler, _TRUNC, _parse_freq
+from xarray_spark.groupers import (TimeResampler, _TRUNC, _offset_seconds,
+                                   _parse_freq)
 
 # trunc unit -> (multiplier, base calendar unit); the upsample stride for
 # freq n*unit is ``interval {n*multiplier} {base}`` (built from parts — a
