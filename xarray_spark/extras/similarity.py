@@ -842,8 +842,9 @@ def semdedup_pairs(
                              "id_b": np.concatenate(out_b),
                              "cos": np.concatenate(out_c)})
 
+    id_t = base.schema["nid"].dataType.simpleString()
     return base.groupBy("__cell").applyInPandas(
-        cell_pairs, "id_a long, id_b long, cos double")
+        cell_pairs, f"id_a {id_t}, id_b {id_t}, cos double")
 
 
 def semdedup_keep(
