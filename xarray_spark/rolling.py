@@ -62,6 +62,34 @@ def _np_rolling_var(vals, window: int, before: int, after: int,
     return out
 
 
+def _np_rolling_median(vals, window: int, before: int, after: int,
+                       minp: int):
+    """Vectorized per-window nanmedian (numpy's own, so mean-of-middles
+    and ±inf semantics are the reference's by construction)."""
+    import warnings
+
+    import numpy as np
+    n = vals.shape[0]
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    pad = np.concatenate([np.full(before, np.nan), vals,
+                          np.full(after, np.nan)])
+    sw = np.lib.stride_tricks.sliding_window_view(pad, window)
+    step = max(1, 4_000_000 // max(window, 1))
+    for i in range(0, n, step):
+        blk = sw[i:i + step]
+        cnt = (~np.isnan(blk)).sum(axis=1)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            med = np.nanmedian(blk, axis=1)
+        ok = cnt > 0
+        if minp > 1:
+            ok = ok & (cnt >= minp)
+        out[i:i + step] = np.where(ok, med, np.nan)
+    return out
+
+
 class XRolling:
     # reference introspection name: the wrapped object
     obj = property(lambda self: self.ds)
@@ -238,14 +266,7 @@ class XRolling:
         if len(self.windows) > 1:
             raise NotImplementedError(
                 "N-D rolling var/std: use construct()+reduce per dim")
-        from xarray_spark.options import OPTIONS
-        thr = OPTIONS["rolling_var_arrow_threshold"]
-        has_others = any(d != self.dim for d in self.ds.dims)
-        # centered windows need TRAILING context too — the segmented
-        # halo only replicates preceding rows, so the centered global
-        # series stays on the in-plan form
-        if (thr is not None and self.window != -1 and self.window >= thr
-                and not (self.center and not has_others)):
+        if self._arrow_ok():
             return self._var_window_arrow(ddof, sqrt)
         w = self._frame()
         ds = self.ds
@@ -283,19 +304,28 @@ class XRolling:
                 exprs.append(F.col(c))
         return ds._replace(df=step2.select(*exprs))
 
-    def _var_window_arrow(self, ddof: int, sqrt: bool) -> XDataset:
-        """Wide-window rolling var/std: Arrow-batched numpy kernel.
+    def _arrow_ok(self) -> bool:
+        """Picker for the Arrow window kernels: 1-D, real window width
+        at/above the option threshold.  Centered windows over a GLOBAL
+        series stay in-plan — the segmented halo only replicates
+        PRECEDING rows, a centered frame needs trailing context too."""
+        from xarray_spark.options import OPTIONS
+        thr = OPTIONS["rolling_var_arrow_threshold"]
+        has_others = any(d != self.dim for d in self.ds.dims)
+        return (thr is not None and len(self.windows) == 1
+                and self.window != -1 and self.window >= thr
+                and not (self.center and not has_others))
 
-        Same exact per-window two-pass semantics as the HOF form, but
-        the O(n·w) inner work runs as VECTORIZED numpy over a
-        zero-copy sliding_window_view instead of an interpreted
-        Catalyst lambda (measured crossover in SCALE.md round 10).
-        Complement dims partition via applyInPandas groups; a global
-        series (no complement dims) rides the segmented halo scaffold
-        (segmented.halo_union) so no single task holds the series.
-        inf/NaN semantics match numpy windowed nanvar: an inf in the
-        window makes the mean inf, its own deviation inf−inf=NaN, and
-        the window is NaN — identical to the HOF path."""
+    def _arrow_window_apply(self, kernel) -> XDataset:
+        """Arrow-batched per-window kernels (var/std/median): the
+        O(n·w) inner work runs as VECTORIZED numpy over a zero-copy
+        sliding_window_view inside applyInPandas instead of an
+        interpreted Catalyst lambda (no crossover — measured in
+        SCALE.md round 10).  Complement dims partition the groups; a
+        global series (no complement dims) rides the segmented halo
+        scaffold (segmented.halo_union) so no single task holds the
+        series.  ``kernel(vals) -> np.ndarray`` carries the window
+        geometry bound in."""
         ds = self.ds
         dim = self.dim
         others = [d for d in ds.dims if d != dim]
@@ -303,10 +333,6 @@ class XRolling:
         base = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
         skip = ds._bcast_passthrough(list(self.windows))
         varlist = [c for c in ds.data_vars if c not in skip]
-        window, minp, ddof_, do_sqrt = (self.window, self.min_periods,
-                                        ddof, sqrt)
-        after = (window - 1) // 2 if self.center else 0
-        before = window - 1 - after
         out_fields = [
             T.StructField(f.name, T.DoubleType(), True)
             if f.name in varlist else f
@@ -320,8 +346,7 @@ class XRolling:
             pdf = pdf.sort_values(dim, kind="mergesort")
             for c in varlist:
                 vals = pdf[c].to_numpy(dtype="float64", na_value=np.nan)
-                pdf[c] = _np_rolling_var(vals, window, before, after,
-                                         minp, ddof_, do_sqrt)
+                pdf[c] = kernel(vals)
             if "__halo" in pdf.columns:
                 pdf = pdf[~pdf["__halo"]]
             return pdf[keep_cols]
@@ -330,13 +355,34 @@ class XRolling:
             out = base.groupBy(*others).applyInPandas(fn, schema)
         else:
             from xarray_spark.segmented import halo_union
-            unioned = halo_union(ds._replace(df=base), dim, window)
+            unioned = halo_union(ds._replace(df=base), dim, self.window)
             out = unioned.groupBy("__seg").applyInPandas(fn, schema)
         return ds._replace(df=out)
 
+    def _var_window_arrow(self, ddof: int, sqrt: bool) -> XDataset:
+        """Exact per-window two-pass var/std, Arrow kernel.  inf/NaN
+        semantics match numpy windowed nanvar: an inf in the window
+        makes the mean inf, its own deviation inf−inf=NaN, and the
+        window is NaN — identical to the in-plan HOF path."""
+        from functools import partial
+        after = (self.window - 1) // 2 if self.center else 0
+        return self._arrow_window_apply(partial(
+            _np_rolling_var, window=self.window,
+            before=self.window - 1 - after, after=after,
+            minp=self.min_periods, ddof=ddof, sqrt=sqrt))
+
     def median(self):
-        # collect_list-over-window + the shared two-sided-lerp order
-        # statistics — NOT SQL `percentile` (naive internal lerp)
+        # wide windows: Arrow nanmedian kernel (numpy's OWN nanmedian —
+        # mean-of-middles and ±inf semantics by construction); the
+        # in-plan form is collect_list + the shared two-sided-lerp
+        # order statistics — NOT SQL `percentile` (naive internal lerp)
+        if self._arrow_ok():
+            from functools import partial
+            after = (self.window - 1) // 2 if self.center else 0
+            return self._arrow_window_apply(partial(
+                _np_rolling_median, window=self.window,
+                before=self.window - 1 - after, after=after,
+                minp=self.min_periods))
         from xarray_spark.dataset import _arr_quantile_expr
         return self._apply(lambda c, w: _arr_quantile_expr(
             F.collect_list(F.col(c).cast("double")).over(w), 0.5,
