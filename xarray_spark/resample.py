@@ -123,9 +123,24 @@ def _calendar_anchors(ds: XDataset, dim: str, freq: str,
             off = (anchor_wd - t0.weekday()) % 7
         out = (0, d0 + off)
     else:
+        from xarray_spark.groupers import _END_ANCHORED
         u = {"month": 1, "quarter": 3, "year": 12}[trunc]
+        shift = 0
+        if closed == "left" and unit in _END_ANCHORED:
+            # end-anchored closed='left' edges sit at end-day
+            # midnights, so the anchoring point is first+1day
+            # (measured pandas — see TimeResampler.key_expr)
+            t0 = t0 + pd.Timedelta(days=1)
+        elif closed == "right" and unit not in _END_ANCHORED:
+            # start-anchored closed='right' bins are (start, next]:
+            # the anchoring point is first−1µs and the grid shifts a
+            # full (n−1) unit-blocks EARLIER — measured pandas round
+            # 10 (2QS over Feb data grids Oct/Apr/Oct; 4MS over Feb
+            # grids Nov/Mar/Jul)
+            t0 = t0 - pd.Timedelta(microseconds=1)
+            shift = u * (n - 1)
         m0 = t0.year * 12 + t0.month - 1
-        out = ((m0 // u) * u, None)
+        out = ((m0 // u) * u - shift, None)
     cache[ckey] = out
     return out
 
