@@ -859,13 +859,17 @@ def q65_multi_grouper(spark, sf_dir):
 
 
 def q66_season_resampler(spark, sf_dir):
-    """SeasonResampler: cross-year seasons, December shifts to the
-    following year's DJF (xarray groupers.py:874)."""
+    """SeasonResampler (xarray groupers.py:874), round-10 reference
+    parity: labels are the season instance's START timestamp (a DJF
+    instance carries its December's year), and drop_incomplete (the
+    reference default) trims the first/last instances when the data's
+    boundary MONTHS don't reach the season edges.  The oracle replays
+    the label arithmetic and the month-granularity trim."""
     from xarray_spark.groupers import SeasonResampler
     li = _lineitem(spark, sf_dir).assign(rev=REV())
     g = li.groupby(l_shipdate=SeasonResampler())
     out = g.agg(revenue=_r3(F.sum("rev")), n=F.count(F.lit(1)))
-    return out.to_spark().withColumnRenamed("l_shipdate", "season_year")
+    return out.to_spark().withColumnRenamed("l_shipdate", "season_start")
 
 
 def q63_lsh_multiprobe(spark, sf_dir):
@@ -4440,18 +4444,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT '/parties/customer', COUNT(*) FROM customer
         """,
         "q66_season_resampler": """
-            SELECT CAST(year(l_shipdate)
-                     + CASE WHEN month(l_shipdate) = 12 THEN 1 ELSE 0 END AS VARCHAR)
-                   || '-' ||
-                   CASE
-                     WHEN month(l_shipdate) IN (12, 1, 2) THEN 'DJF'
-                     WHEN month(l_shipdate) IN (3, 4, 5) THEN 'MAM'
-                     WHEN month(l_shipdate) IN (6, 7, 8) THEN 'JJA'
-                     ELSE 'SON'
-                   END AS season_year,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-6, 3) AS revenue,
-                   COUNT(*) AS n
-            FROM lineitem GROUP BY 1
+            WITH lab AS (
+              SELECT CAST(make_date(
+                       year(l_shipdate)
+                         - CASE WHEN month(l_shipdate) IN (1, 2) THEN 1 ELSE 0 END,
+                       CASE WHEN month(l_shipdate) IN (12, 1, 2) THEN 12
+                            WHEN month(l_shipdate) IN (3, 4, 5) THEN 3
+                            WHEN month(l_shipdate) IN (6, 7, 8) THEN 6
+                            ELSE 9 END, 1) AS TIMESTAMP) AS season_start,
+                     l_extendedprice * (1 - l_discount) AS rev
+              FROM lineitem
+            ),
+            b AS (SELECT MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi FROM lineitem),
+            bounds AS (
+              SELECT
+                CASE WHEN month(lo) IN (12, 3, 6, 9)
+                     THEN make_date(year(lo) - CASE WHEN month(lo) IN (1,2) THEN 1 ELSE 0 END,
+                                    CASE WHEN month(lo) IN (12,1,2) THEN 12
+                                         WHEN month(lo) IN (3,4,5) THEN 3
+                                         WHEN month(lo) IN (6,7,8) THEN 6 ELSE 9 END, 1)
+                     ELSE make_date(year(lo) - CASE WHEN month(lo) IN (1,2) THEN 1 ELSE 0 END,
+                                    CASE WHEN month(lo) IN (12,1,2) THEN 12
+                                         WHEN month(lo) IN (3,4,5) THEN 3
+                                         WHEN month(lo) IN (6,7,8) THEN 6 ELSE 9 END, 1)
+                          + INTERVAL 3 MONTH
+                END AS klo,
+                CASE WHEN month(hi) IN (2, 5, 8, 11)
+                     THEN make_date(year(hi) - CASE WHEN month(hi) IN (1,2) THEN 1 ELSE 0 END,
+                                    CASE WHEN month(hi) IN (12,1,2) THEN 12
+                                         WHEN month(hi) IN (3,4,5) THEN 3
+                                         WHEN month(hi) IN (6,8) THEN 6
+                                         WHEN month(hi) = 5 THEN 3 ELSE 9 END, 1)
+                     ELSE make_date(year(hi) - CASE WHEN month(hi) IN (1,2) THEN 1 ELSE 0 END,
+                                    CASE WHEN month(hi) IN (12,1,2) THEN 12
+                                         WHEN month(hi) IN (3,4,5) THEN 3
+                                         WHEN month(hi) IN (6,7,8) THEN 6 ELSE 9 END, 1)
+                          - INTERVAL 3 MONTH
+                END AS khi
+              FROM b
+            )
+            SELECT season_start,
+                   ROUND(SUM(rev) + 1e-6, 3) AS revenue, COUNT(*) AS n
+            FROM lab, bounds
+            WHERE season_start >= CAST(klo AS TIMESTAMP)
+              AND season_start <= CAST(khi AS TIMESTAMP)
+            GROUP BY 1
         """,
         "q65_multi_grouper": """
             SELECT l_returnflag,

@@ -357,3 +357,54 @@ def test_calendar_closed_membership_matrix(spark, freq, closed):
             g = eng.resample({"t": freq}, closed=closed,
                              label=label).sum().to_pandas()
             _cmp_series(g, r)
+
+
+# ----------------------- 11: SeasonResampler reference parity (dense)
+
+def test_season_resampler_reference_matrix(spark):
+    """Round-10 rewrite: season labels are the instance's START
+    timestamp (December keeps its year — the old engine emitted
+    'YYYY-DJF' strings with Dec shifted +1), custom contiguous seasons
+    work, and drop_incomplete trims partial boundary instances at
+    month granularity.  Dense data only: with EMPTY interior
+    instances the reference's own unique_codes indexing mislabels
+    later seasons, and when the dropped first season wraps the year
+    without containing 'DJ' the reference forgets the year bump —
+    both knowing divergences where the engine is right."""
+    from xarray.groupers import SeasonResampler as RefSR
+    from xarray_spark.groupers import SeasonResampler
+    cases = [("2000-12-15", 130), ("2001-03-01", 110), ("2001-05-07", 90)]
+    combos = [(("DJF", "MAM", "JJA", "SON"), True),
+              (("DJF", "MAM", "JJA", "SON"), False),
+              (("JF", "MAM", "JJAS", "OND"), True),
+              (("DJFM", "AM", "JJA", "SON"), False)]
+    for start, periods in cases:
+        ts = pd.date_range(start, periods=periods, freq="7D")
+        vals = np.arange(float(periods))
+        eng = _eng(spark, ts, list(vals))
+        ref = _ref(ts, list(vals))
+        for seasons, di in combos:
+            if seasons[-1] == "OND" and di and start == "2000-12-15":
+                continue  # the reference's missing year-bump bug
+            r = ref.groupby(t=RefSR(list(seasons), drop_incomplete=di)) \
+                   .sum()
+            g = (eng.groupby(t=SeasonResampler(seasons,
+                                               drop_incomplete=di))
+                 .sum().to_pandas().sort_values("t"))
+            rt = [str(x)[:10] for x in r["t"].values
+                  if not np.isnan(r.sel(t=x).values)]
+            rv = [float(v) for v in r.values if v == v]
+            gt = [str(pd.Timestamp(x))[:10] for x in g["t"]]
+            assert gt == rt, (start, seasons, di, gt[:4], rt[:4])
+            np.testing.assert_allclose(np.asarray(g["v"], float), rv)
+
+
+def test_season_resampler_validation(spark):
+    from xarray_spark.groupers import SeasonResampler
+    import pytest as _pt
+    eng = _eng(spark, pd.date_range("2001-01-01", periods=5, freq="MS"),
+               [1.0] * 5)
+    with _pt.raises(ValueError, match="Overlapping"):
+        eng.groupby(t=SeasonResampler(("DJF", "FMA"))).sum()
+    with _pt.raises(ValueError, match="sorted"):
+        eng.groupby(t=SeasonResampler(("MAM", "DJF", "JJA", "SON"))).sum()

@@ -143,10 +143,16 @@ def test_season_resampler_cross_year(spark):
         {"t": dt.datetime(2001, 6, 15), "v": 4.0},
     ]
     d = XDataset(spark.createDataFrame(rows), dims=["t"])
-    out = d.groupby(t=SeasonResampler()).sum()
-    got = {r["t"]: r["v"] for r in out.df.collect()}
-    # Dec 2000 shifts into 2001-DJF with Jan 2001
-    assert got["2001-DJF"] == 3.0 and got["2001-JJA"] == 4.0
+    # round-10 reference-parity semantics: the label is the season
+    # instance's START timestamp (December keeps its year), and
+    # drop_incomplete would trim the partial boundary instances —
+    # disable it to observe both groups on this 3-point fixture
+    out = d.groupby(t=SeasonResampler(drop_incomplete=False)).sum()
+    import pandas as pd
+    got = {str(pd.Timestamp(r["t"]))[:10]: r["v"]
+           for r in out.df.collect()}
+    # Dec 2000 + Jan 2001 share the DJF instance labeled 2000-12-01
+    assert got["2000-12-01"] == 3.0 and got["2001-06-01"] == 4.0
 
 
 def test_register_accessor(spark):

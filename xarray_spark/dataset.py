@@ -873,7 +873,8 @@ def _grouped_quantile_hist(df: DataFrame, keys: list, v: str, qs: list,
 
 
 def _is_orderable_numeric(dtype: T.DataType) -> bool:
-    return isinstance(dtype, _NUMERIC_TYPES + (T.TimestampType, T.DateType))
+    from xarray_spark._utils import _TEMPORAL
+    return isinstance(dtype, _NUMERIC_TYPES + _TEMPORAL)
 
 
 #: driver-side dense-grid ceiling for the dict-style constructor — the

@@ -59,7 +59,14 @@ def resolve_groupers(ds: XDataset, group, groupers: Mapping) -> list[tuple[str, 
             raise TypeError(type(group))
     for name, g in (groupers or {}).items():
         if isinstance(g, Grouper):
-            from xarray_spark.groupers import TimeResampler
+            from xarray_spark.groupers import SeasonResampler, TimeResampler
+            if (isinstance(g, SeasonResampler) and g.drop_incomplete
+                    and g.keep_range is None):
+                import dataclasses
+                from xarray_spark.resample import _season_keep_range
+                kr = _season_keep_range(ds, name, g)
+                if kr is not None:
+                    g = dataclasses.replace(g, keep_range=kr)
             if (isinstance(g, TimeResampler) and g.day_anchor is None
                     and not g.month_anchor):
                 # a bare TimeResampler passed to groupby() gets the same

@@ -397,15 +397,92 @@ class SeasonGrouper(Grouper):
         return chain
 
 
+def _season_to_month_tuple(seasons) -> tuple:
+    """Season strings → month tuples, re-derived from the reference's
+    parsing contract (groupers.py:682 doctest): each season is a run
+    of consecutive month INITIALS out of 'JFMAMJJASOND'; the repeated
+    initials (J/M/A) disambiguate by the two-letter prefix, and a
+    single-letter season borrows the NEXT season's initial."""
+    initials = "JFMAMJJASOND"
+    wrapped = initials + "J"
+    starts = {wrapped[i] + wrapped[i + 1]: i + 1 for i in range(12)}
+    out = []
+    for i, season in enumerate(seasons):
+        if len(season) == 1:
+            suffix = (seasons[i + 1][0] if i < len(seasons) - 1
+                      else seasons[0][0])
+        else:
+            suffix = season[1]
+        start = starts[season[0] + suffix]
+        months = [start]
+        for k in range(len(season) - 1):
+            e = start + k + 1
+            months.append(e - 12 if e > 12 else e)
+        out.append(tuple(months))
+    return tuple(out)
+
+
+def _is_sorted_periodic(lst) -> bool:
+    """True when the month run is sorted up to ONE wraparound AND the
+    tail stays below the head (reference groupers.py:721)."""
+    wraps = [i for i in range(1, len(lst)) if lst[i] < lst[i - 1]]
+    if not wraps:
+        return True
+    return len(wraps) == 1 and lst[-1] <= lst[0]
+
+
 @dataclass
 class SeasonResampler(Grouper):
-    """Season-resampling with the cross-year convention
-    (xarray/groupers.py:874): December belongs to the FOLLOWING year's
-    DJF, so the key is 'YYYY-DJF' with Dec year-shifted by +1."""
+    """Season-resampling (xarray/groupers.py:874): group labels are the
+    season instance's START date (year, first-month, 1) as a
+    TIMESTAMP — months following a cross-year December get year−1, so
+    a DJF instance carries its December's year (measured reference
+    behavior; through round 9 the engine used a 'YYYY-DJF' string with
+    the December shifted +1 — both group identically, the LABEL
+    differs).  Custom contiguous seasons ('JF', 'JJAS', 'DJFM')
+    supported; months in no season drop (null key → _prepared filter).
+    ``drop_incomplete`` (the reference default) trims the first/last
+    season instances when the data's boundary MONTHS don't reach the
+    season edges — resolve_groupers threads the data-range lookup in
+    as ``keep_range``.  Knowing divergence: with EMPTY interior
+    instances (sparse data) the reference's code/label zip mislabels
+    every later season (its unique_codes index into a longer
+    full_index); the engine labels each group by its own season start
+    — correct, pinned against dense data only."""
 
     seasons: Sequence[str] = ("DJF", "MAM", "JJA", "SON")
+    drop_incomplete: bool = True
+    #: resolved [lo, hi] ISO keep-range (season-start labels) for the
+    #: drop_incomplete trim; None = keep every instance
+    keep_range: tuple | None = None
 
     def key_expr(self, col: Column) -> Column:
-        season = SeasonGrouper().key_expr(col)
-        y = F.year(col) + F.when(F.month(col) == 12, F.lit(1)).otherwise(F.lit(0))
-        return F.concat_ws("-", y.cast("string"), season)
+        seasons = list(self.seasons)
+        inds = _season_to_month_tuple(seasons)
+        flat = [m for t in inds for m in t]
+        if len(flat) > len(set(flat)):
+            raise ValueError("Overlapping seasons are not allowed. "
+                             f"Received {self.seasons!r}")
+        if not _is_sorted_periodic(flat):
+            raise ValueError("Resampling is only supported with sorted "
+                             f"seasons. Provided seasons {self.seasons!r} "
+                             "are not sorted.")
+        m, y = F.month(col), F.year(col)
+        chain = None
+        for s, months in zip(seasons, inds):
+            after_dec = (set(months[s.index("D") + 1:])
+                         if "DJ" in s else set())
+            for mo in months:
+                yy = y - F.lit(1 if mo in after_dec else 0)
+                lbl = F.make_date(yy.cast("int"), F.lit(int(months[0])),
+                                  F.lit(1)).cast("timestamp")
+                cond = m == F.lit(int(mo))
+                chain = (F.when(cond, lbl) if chain is None
+                         else chain.when(cond, lbl))
+        key = chain  # unrequested months → NULL → dropped
+        if self.keep_range is not None:
+            lo, hi = self.keep_range
+            key = F.when(
+                (key >= F.lit(lo).cast("timestamp"))
+                & (key <= F.lit(hi).cast("timestamp")), key)
+        return key

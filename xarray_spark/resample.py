@@ -43,9 +43,8 @@ def _origin_offset_seconds(ds: XDataset, dim: str, freq: str,
     if origin in ("start_day", "start", "end", "end_day"):
         if origin == "start_day" and secs <= 86400 and 86400 % secs == 0:
             return 0  # every midnight is already on the epoch grid
-        from pyspark.sql import types as T
-        if not isinstance(ds.df.schema[dim].dataType,
-                          (T.TimestampType, T.DateType)):
+        from xarray_spark._utils import is_temporal
+        if not is_temporal(ds.df.schema[dim].dataType):
             return 0
         if ds.df.isStreaming:
             return 0  # no eager lookup on a stream: epoch anchor
@@ -94,9 +93,8 @@ def _calendar_anchors(ds: XDataset, dim: str, freq: str,
     trunc = _TRUNC.get(unit)
     if trunc not in ("month", "quarter", "year", "week") or n <= 1:
         return 0, None
-    from pyspark.sql import types as T
-    if not isinstance(ds.df.schema[dim].dataType,
-                      (T.TimestampType, T.DateType)):
+    from xarray_spark._utils import is_temporal
+    if not is_temporal(ds.df.schema[dim].dataType):
         return 0, None
     if ds.df.isStreaming:
         return 0, None
@@ -141,6 +139,67 @@ def _calendar_anchors(ds: XDataset, dim: str, freq: str,
             shift = u * (n - 1)
         m0 = t0.year * 12 + t0.month - 1
         out = ((m0 // u) * u - shift, None)
+    cache[ckey] = out
+    return out
+
+
+def _season_keep_range(ds: XDataset, dim: str, grouper) -> tuple | None:
+    """drop_incomplete bounds for SeasonResampler (reference
+    groupers.py:1026): MONTH-granularity — the first instance is
+    complete iff the first requested-month point's month IS its
+    season's first month; the last iff the last point's month IS its
+    season's last month.  Returns (lo, hi) season-start ISO dates or
+    None (non-temporal/streaming/empty).  One column-pruned min/max
+    lookup, cached on the dataset."""
+    from xarray_spark._utils import is_temporal
+    from xarray_spark.groupers import _season_to_month_tuple
+    if not is_temporal(ds.df.schema[dim].dataType):
+        return None
+    if ds.df.isStreaming:
+        return None
+    cache = getattr(ds, "_anchor_cache", None)
+    if cache is None:
+        cache = {}
+        ds._anchor_cache = cache
+    ckey = (dim, "season", tuple(grouper.seasons))
+    if ckey in cache:
+        return cache[ckey]
+    seasons = list(grouper.seasons)
+    inds = _season_to_month_tuple(seasons)
+    month_of = {}
+    for s, months in zip(seasons, inds):
+        for mo in months:
+            month_of[mo] = (s, months)
+    col = F.col(dim)
+    row = (ds.df.where(F.month(col).isin(list(month_of)))
+           .agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first())
+    out = None
+    if row["lo"] is not None:
+        import pandas as pd
+
+        def start_of(t):
+            s, months = month_of[t.month]
+            shift = 1 if ("DJ" in s
+                          and t.month in months[s.index("D") + 1:]) else 0
+            return t.year - shift, months[0], s, months
+
+        t0, t1 = pd.Timestamp(row["lo"]), pd.Timestamp(row["hi"])
+        y0, f0, s0, m0 = start_of(t0)
+        if t0.month != m0[0]:
+            i = seasons.index(s0)
+            nxt = inds[(i + 1) % len(seasons)]
+            y0 += 1 if nxt[0] <= f0 else 0
+            f0 = nxt[0]
+        y1, f1, s1, m1 = start_of(t1)
+        if t1.month != m1[-1]:
+            i = seasons.index(s1)
+            prv = inds[(i - 1) % len(seasons)]
+            y1 -= 1 if prv[0] >= f1 else 0
+            f1 = prv[0]
+        if (y0, f0) > (y1, f1):
+            out = ("9999-01-01", "0001-01-01")  # nothing complete
+        else:
+            out = (f"{y0:04d}-{f0:02d}-01", f"{y1:04d}-{f1:02d}-01")
     cache[ckey] = out
     return out
 
@@ -242,10 +301,9 @@ class XResample(XGroupBy):
         trunc = _TRUNC.get(unit)
         if trunc is None and unit not in _SUBSEC_US:
             return out
-        from pyspark.sql import types as T
-        if not isinstance(out.df.schema[self._dim].dataType,
-                          (T.TimestampType, T.DateType)):
-            return out
+        from xarray_spark._utils import is_temporal
+        if not is_temporal(out.df.schema[self._dim].dataType):
+            return out  # non-temporal dims: no retrospective bin run
         dim = self._dim
         kept = [d for d in out.dims if d != dim]
         b = out.df
