@@ -1,0 +1,103 @@
+"""Round-11 pins: batched/fingerprint-cached anchor lookups, micro-grain
+origin on sub-second freqs (round-10 ADVICE #1), and the aggregated
+SeasonResampler drop_incomplete trim (round-10 verdict #2)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xarray_spark.dataset import XDataset
+
+
+def _eng(spark, ts, vals, col="t"):
+    pdf = pd.DataFrame({col: ts, "v": np.asarray(vals, dtype="float64")})
+    return XDataset(spark.createDataFrame(pdf), dims=[col], data_vars=["v"])
+
+
+# ------------------------------------------------- sub-second origin=
+
+SUBSEC_TS = pd.to_datetime([
+    "2024-01-01 00:00:00.123", "2024-01-01 00:00:00.456",
+    "2024-01-01 00:00:01.100", "2024-01-01 00:00:02.349",
+])
+
+
+@pytest.mark.parametrize("origin", [
+    "epoch", "start", "start_day", "2024-01-01 00:00:00.050",
+])
+def test_subsecond_origin_matches_pandas(spark, origin):
+    """resample('500ms', origin=...) anchors the grid micro-exactly —
+    through round 10 the int-second truncation silently put sub-second
+    freqs back on the epoch grid (ADVICE #1)."""
+    s = pd.Series([1.0, 2.0, 3.0, 4.0], index=SUBSEC_TS)
+    exp = s.resample("500ms", origin=origin).mean().dropna()
+    eng = _eng(spark, SUBSEC_TS, [1.0, 2.0, 3.0, 4.0])
+    got = (eng.resample(t="500ms", origin=origin).mean()
+           .to_pandas().dropna().sort_values("t"))
+    assert [str(pd.Timestamp(x)) for x in got["t"]] == \
+           [str(i) for i in exp.index]
+    np.testing.assert_allclose(np.asarray(got["v"], float), exp.values)
+
+
+def test_fractional_origin_on_second_freq_matches_pandas(spark):
+    """A fractional-second EXPLICIT origin on a whole-second freq keeps
+    its microseconds (was truncated by int(timestamp()))."""
+    s = pd.Series([1.0, 2.0, 3.0, 4.0], index=SUBSEC_TS)
+    exp = s.resample("1s", origin="2024-01-01 00:00:00.250").mean().dropna()
+    eng = _eng(spark, SUBSEC_TS, [1.0, 2.0, 3.0, 4.0])
+    got = (eng.resample(t="1s", origin="2024-01-01 00:00:00.250").mean()
+           .to_pandas().dropna().sort_values("t"))
+    assert [str(pd.Timestamp(x)) for x in got["t"]] == \
+           [str(i) for i in exp.index]
+    np.testing.assert_allclose(np.asarray(got["v"], float), exp.values)
+
+
+# --------------------------------------- season trim: agg vs lazy paths
+
+def test_season_trim_agg_and_lazy_paths_agree(spark):
+    """drop_incomplete via the AGGREGATED month-position trim (the
+    no-pre-scan _agg path) must keep exactly the instances the lazy
+    keep_range membership trim keeps (quantile routes through
+    _prepared's resolved keep_range)."""
+    from xarray_spark.groupers import SeasonResampler
+    t = pd.date_range("2000-02-15", "2002-10-20", freq="10D")
+    ds = _eng(spark, t, np.arange(len(t), dtype="float64"))
+    g = ds.groupby(t=SeasonResampler())
+    mean_labels = sorted(r["t"] for r in g.mean().to_spark().collect())
+    q_labels = sorted(r["t"] for r in g.quantile(0.5).to_spark().collect())
+    assert mean_labels == q_labels
+    # boundary instances (incomplete DJF-2000 start, SON-2002 end) gone
+    assert str(mean_labels[0])[:10] == "2000-03-01"
+    assert str(mean_labels[-1])[:10] == "2002-06-01"
+
+
+def test_season_trim_custom_sparse_seasons_agg_path(spark):
+    """Sparse custom seasons through the aggregated trim: variable
+    season lengths (the months-remaining check keys season_len off the
+    label month)."""
+    from xarray_spark.groupers import SeasonResampler
+    t = pd.date_range("2000-02-01", "2002-07-31", freq="15D")
+    ds = _eng(spark, t, np.arange(len(t), dtype="float64"))
+    out = (ds.groupby(t=SeasonResampler(("JF", "JJAS")))
+           .sum().to_pandas().sort_values("t"))
+    labels = [str(pd.Timestamp(x))[:10] for x in out["t"]]
+    # 2000 JF starts Feb -> incomplete, dropped; 2002 JJAS ends Jul ->
+    # incomplete, dropped; interior instances all kept
+    assert labels == ["2000-06-01", "2001-01-01", "2001-06-01",
+                      "2002-01-01"]
+
+
+def test_season_agg_trim_runs_no_prescan_job(spark):
+    """The q66 shape (season agg over a computed column) must not issue
+    a data-range pre-scan at groupby/agg CONSTRUCTION time — the trim
+    rides the aggregation itself (round-10 verdict #2)."""
+    from xarray_spark.groupers import SeasonResampler
+    t = pd.date_range("2000-02-15", "2001-10-20", freq="10D")
+    ds = _eng(spark, t, np.arange(len(t), dtype="float64"))
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = ds.groupby(t=SeasonResampler()).agg(n=F.count(F.lit(1)))
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # plan built, zero jobs
+    assert out.to_spark().count() > 0

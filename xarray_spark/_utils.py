@@ -243,3 +243,134 @@ def nan_to_null(df, varlist, schema):
         if isinstance(schema[v].dataType, (T.FloatType, T.DoubleType)):
             df = df.withColumn(v, F.nanvl(F.col(v), F.lit(None).cast("double")))
     return df
+
+
+# --------------------------------------------------------------- min/max
+#
+# Resample anchor/origin lookups, SeasonResampler trims and integer
+# groupby_bins all need the min/max of ONE column.  Through round 10
+# each call site issued its own one-row aggregation JOB at operator
+# CONSTRUCTION time — cheap in isolation, but the driver's cold-JIT
+# minutes amplify small driver-paced jobs 2-3x (BENCH_r10 early-window
+# block; round-10 verdict #1).  This helper makes the lookup
+# (a) BATCHED  — min and max come back from one job, so origin= and
+#     calendar anchors on the same dim share it;
+# (b) CACHED   — keyed on the CANONICALIZED plan of df.select(col)
+#     plus the scan's input files (canonicalization normalizes exprIds,
+#     so two reads of the same parquet path in one session hit; the
+#     file list disambiguates same-shaped plans over different paths —
+#     the canonical string itself omits the location), so a 139-query
+#     session pays each distinct lineage once;
+# (c) JOB-FREE for raw scan columns — when select(col) optimizes to a
+#     bare column projection over a parquet relation, min/max are read
+#     from the parquet FOOTER statistics driver-side (pyarrow): exact
+#     for temporal/numeric physical types, no Spark job at all.  At
+#     cluster scale this is the aggregate-pushdown plan without
+#     flipping the session to DSv2 readers.  Capped at _FOOTER_MAX_FILES
+#     footers; bigger file sets fall back to the (cached) Spark job,
+#     which scans one column.
+
+_MINMAX_CACHE: dict = {}
+_MINMAX_CACHE_MAX = 512
+_FOOTER_MAX_FILES = 256
+
+
+def _plan_min_max_key(proj) -> tuple | None:
+    """Cache key for df.select(col): (canonicalized plan, input files).
+    None (uncacheable) for plans with in-memory leaves — LocalRelation /
+    LogicalRDD print schema but not data, so two different literal
+    frames would collide."""
+    try:
+        canon = (proj._jdf.queryExecution().analyzed()
+                 .canonicalized().toString())
+        if ("LocalRelation" in canon or "LogicalRDD" in canon
+                or "ExistingRDD" in canon):
+            return None
+        files = tuple(sorted(proj.inputFiles()))
+        if not files:
+            return None
+        return (canon, files)
+    except Exception:  # pragma: no cover - py4j surface drift
+        return None
+
+
+def _footer_min_max(proj, col: str):
+    """(min, max) from parquet footer statistics, or None when the
+    projection is not a bare raw-column scan (any Filter/computed
+    column disqualifies), a footer lacks exact stats, or the file set
+    is too large to walk driver-side.  Only temporal/integral columns
+    qualify: float stats can disagree with F.min under NaN (NaN ranks
+    largest in Spark but is dropped/poisoned by parquet writers) and
+    string/decimal footer stats may be truncated."""
+    if not isinstance(proj.schema[col].dataType,
+                      _TEMPORAL + (T.ByteType, T.ShortType,
+                                   T.IntegerType, T.LongType)):
+        return None
+    try:
+        plan = proj._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() == "Project":
+            pl = plan.projectList()
+            if (pl.size() != 1 or pl.apply(0).getClass().getSimpleName()
+                    != "AttributeReference"):
+                return None
+            plan = plan.child()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        if "parquet" not in plan.simpleString(120).lower():
+            return None
+        files = [f[7:] if f.startswith("file://") else f
+                 for f in proj.inputFiles()]
+    except Exception:  # pragma: no cover
+        return None
+    if not files or len(files) > _FOOTER_MAX_FILES:
+        return None
+    import pyarrow.parquet as pq
+    mn = mx = None
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).path for i in range(md.num_columns)]
+            if col not in names:
+                return None
+            ci = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo, hi = st.min, st.max
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+    except Exception:
+        return None
+    return mn, mx
+
+
+def dim_min_max(df, col: str):
+    """(min, max) of one column as pandas Timestamps (temporal) or raw
+    values — at most ONE Spark job, plan-fingerprint cached, parquet
+    footers when the column is a raw scan.  (None, None) on empty/
+    all-null input."""
+    import pandas as pd
+    proj = df.select(col)
+    key = _plan_min_max_key(proj)
+    if key is not None and key in _MINMAX_CACHE:
+        return _MINMAX_CACHE[key]
+    out = _footer_min_max(proj, col)
+    if out is None:
+        row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        out = (row["lo"], row["hi"])
+
+    def _norm(v):
+        if v is None or not is_temporal(df.schema[col].dataType):
+            return v
+        t = pd.Timestamp(v)
+        if t.tzinfo is not None:
+            t = t.tz_convert("UTC").tz_localize(None)
+        return t
+
+    out = (_norm(out[0]), _norm(out[1]))
+    if key is not None:
+        if len(_MINMAX_CACHE) >= _MINMAX_CACHE_MAX:
+            _MINMAX_CACHE.clear()
+        _MINMAX_CACHE[key] = out
+    return out

@@ -1049,7 +1049,7 @@ class XDataset:
     """
 
     __slots__ = ("df", "dims", "coords", "data_vars", "attrs", "_close_fn",
-                 "_qscan_cache", "var_dims", "_anchor_cache")
+                 "_qscan_cache", "var_dims")
 
     def __init__(
         self,
@@ -3798,8 +3798,8 @@ class XDataset:
             raise TypeError("squeeze=True was removed in the reference "
                             "(deprecated); the long form never squeezes")
         from xarray_spark.groupby import XGroupBy, resolve_groupers
-        keys = resolve_groupers(self, group, groupers)
-        return XGroupBy(self, keys)
+        keys, season_deferred = resolve_groupers(self, group, groupers)
+        return XGroupBy(self, keys, season_deferred)
 
     def groupby_bins(self, group: str, bins, labels=None, right: bool = True,
                      include_lowest: bool = False, precision: int = 3,
@@ -3808,12 +3808,14 @@ class XDataset:
         if isinstance(bins, int):
             # pandas.cut integer form: equal-width edges over the data
             # range with pandas' own 0.1% left extension — let pandas
-            # derive the exact edge set from the (tiny, footer-cheap)
-            # min/max so membership matches cut() bit-for-bit
+            # derive the exact edge set from the min/max so membership
+            # matches cut() bit-for-bit.  The lookup is the shared
+            # fingerprint-cached min/max (one batched job at most,
+            # footer-served for raw integral scans)
             import pandas as pd
-            row = self.df.agg(F.min(group).alias("lo"),
-                              F.max(group).alias("hi")).first()
-            _, edges = pd.cut(pd.Series([row["lo"], row["hi"]],
+            from xarray_spark._utils import dim_min_max
+            lo, hi = dim_min_max(self.df, group)
+            _, edges = pd.cut(pd.Series([lo, hi],
                                         dtype="float64"), bins, retbins=True)
             bins = [float(e) for e in edges]
         return self.groupby(**{group: BinGrouper(

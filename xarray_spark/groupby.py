@@ -26,13 +26,18 @@ from xarray_spark.dataset import XDataset
 from xarray_spark.groupers import Grouper, UniqueGrouper
 
 
-def resolve_groupers(ds: XDataset, group, groupers: Mapping) -> list[tuple[str, Column, str]]:
-    """Normalize groupby arguments to [(key_name, key_expr, source_dim)].
+def resolve_groupers(ds: XDataset, group, groupers: Mapping):
+    """Normalize groupby arguments to ([(key_name, key_expr,
+    source_dim)], season_deferred).
 
     ``source_dim`` is the dim the grouper consumes (reduced over); the
-    group key replaces it in the output.
-    """
+    group key replaces it in the output.  ``season_deferred`` lists
+    drop_incomplete SeasonResamplers whose trim is NOT yet resolved:
+    the aggregation path decides it from aggregated per-instance month
+    positions (no pre-scan job — round-10 verdict #2); the lazy
+    group-membership paths resolve a keep_range on first use."""
     keys: list[tuple[str, Column, tuple]] = []
+    season_deferred: list[tuple] = []
 
     def source_dim_of(col_name: str) -> tuple:
         """Dims consumed (reduced over) by grouping on this column.
@@ -62,11 +67,7 @@ def resolve_groupers(ds: XDataset, group, groupers: Mapping) -> list[tuple[str, 
             from xarray_spark.groupers import SeasonResampler, TimeResampler
             if (isinstance(g, SeasonResampler) and g.drop_incomplete
                     and g.keep_range is None):
-                import dataclasses
-                from xarray_spark.resample import _season_keep_range
-                kr = _season_keep_range(ds, name, g)
-                if kr is not None:
-                    g = dataclasses.replace(g, keep_range=kr)
+                season_deferred.append((name, g, name))
             if (isinstance(g, TimeResampler) and g.day_anchor is None
                     and not g.month_anchor):
                 # a bare TimeResampler passed to groupby() gets the same
@@ -84,7 +85,7 @@ def resolve_groupers(ds: XDataset, group, groupers: Mapping) -> list[tuple[str, 
             keys.append((name, F.expr(g), source_dim_of(name)))
         else:
             keys.append((name, g, source_dim_of(name)))
-    return keys
+    return keys, season_deferred
 
 
 class XGroupBy:
@@ -108,27 +109,57 @@ class XGroupBy:
         dataset op on the long table — so it delegates directly."""
         return self.ds.assign_coords(coords, **kw)
 
-    def __init__(self, ds: XDataset, keys: list[tuple[str, Column, tuple]]):
+    def __init__(self, ds: XDataset, keys: list[tuple[str, Column, tuple]],
+                 season_deferred: list | None = None):
         self.ds = ds
         self.keys = keys
         self._key_names = [k[0] for k in keys]
         self._consumed = {d for k in keys for d in k[2]}
+        #: unresolved drop_incomplete SeasonResamplers
+        #: [(label, grouper, source_col)] — see resolve_groupers
+        self._season_deferred = season_deferred or []
+        self._season_trimmed_exprs: dict | None = None
 
     # dims kept through the reduction = dims not consumed by any grouper
     @property
     def _kept_dims(self) -> list[str]:
         return [d for d in self.ds.dims if d not in self._consumed]
 
-    def _prepared(self) -> XDataset:
+    def _season_trimmed(self) -> dict:
+        """Lazy keep_range resolution for the NON-aggregation paths
+        (map/groups/shift/quantile/…): group membership must exclude
+        incomplete boundary season instances BEFORE per-group work, so
+        these paths still pay the one (fingerprint-cached) data-range
+        lookup.  The aggregation path never calls this — it trims from
+        aggregated month positions instead (round-10 verdict #2)."""
+        if self._season_trimmed_exprs is None:
+            import dataclasses
+            from xarray_spark.resample import _season_keep_range
+            resolved: dict = {}
+            for label, g, src in self._season_deferred:
+                kr = _season_keep_range(self.ds, src, g)
+                if kr is not None:
+                    g2 = dataclasses.replace(g, keep_range=kr)
+                    resolved[label] = g2.key_expr(F.col(src))
+            self._season_trimmed_exprs = resolved
+        return self._season_trimmed_exprs
+
+    def _prepared(self, season_trim: bool = True) -> XDataset:
         """Materialize key columns on the dataframe.  Rows whose key is
         null or NaN belong to no group and are dropped — pandas/xarray
         factorize excludes NaN labels (reference groupby.py; pandas
-        cut drops out-of-bin values the same way)."""
+        cut drops out-of-bin values the same way).
+
+        ``season_trim=False`` (the aggregation path) keeps incomplete
+        boundary season instances in — the caller drops them post-agg
+        via _season_extra_aggs/_season_apply_trim."""
+        trimmed = (self._season_trimmed()
+                   if season_trim and self._season_deferred else {})
         df = self.ds.df
         cond = None
         for name, expr, _src in self.keys:
             kname = f"__key_{name}"
-            df = df.withColumn(kname, expr)
+            df = df.withColumn(kname, trimmed.get(name, expr))
             k = F.col(kname)
             c = k.isNotNull()
             if isinstance(df.schema[kname].dataType,
@@ -170,10 +201,59 @@ class XGroupBy:
             out_df = out_df.select(*exprs)
         return self.ds._replace(df=out_df.drop(*keys))
 
+    def _season_extra_aggs(self) -> list[Column]:
+        """Hidden per-group aggregates riding the MAIN aggregation:
+        min/max month-POSITION per season instance (one when-chain,
+        shared by both aggregates).  They cost two tiny min/max slots
+        inside the aggregation that runs anyway — no pre-scan job
+        (round-10 verdict #2)."""
+        extra = []
+        for label, g, src in self._season_deferred:
+            pos = g.month_pos_expr(F.col(src))
+            extra.append(F.min(pos).alias(f"__spos_{label}"))
+            extra.append(F.max(pos).alias(f"__spxx_{label}"))
+        return extra
+
+    def _season_apply_trim(self, df):
+        """drop_incomplete decided on the AGGREGATED (instance-sized)
+        frame: the GLOBALLY first/last season instances drop iff their
+        earliest/latest observed month misses the season edge —
+        identical to the keep_range semantics, which derived the same
+        predicate from a pre-scan data-range job.  One window
+        projection over the tiny aggregate: lexicographic struct
+        min/max fetch (first label, its min pos) and (last label, its
+        max pos) in one pass; months-remaining = season_len−1−max pos,
+        with season_len keyed off the label month (the label IS the
+        season's first month by construction)."""
+        from xarray_spark.groupers import _season_to_month_tuple
+        for label, g, src in self._season_deferred:
+            lab = F.col(label)
+            spos = F.col(f"__spos_{label}")
+            spxx = F.col(f"__spxx_{label}")
+            w = Window.partitionBy()
+            slo = F.min(F.struct(lab.alias("k"), spos.alias("v"))).over(w)
+            shi = F.max(F.struct(lab.alias("k"), spxx.alias("v"))).over(w)
+            # season length from the label's (first) month
+            m = F.month(lab)
+            ln = None
+            for months in _season_to_month_tuple(list(g.seasons)):
+                cond = m == F.lit(int(months[0]))
+                ln = (F.when(cond, F.lit(len(months))) if ln is None
+                      else ln.when(cond, F.lit(len(months))))
+            df = (df.withColumn("__slo", slo).withColumn("__shi", shi)
+                    .where(~((lab == F.col("__slo")["k"])
+                             & (F.col("__slo")["v"] != 0))
+                           & ~((lab == F.col("__shi")["k"])
+                               & (F.col("__shi")["v"] != ln - 1)))
+                    .drop("__slo", "__shi",
+                          f"__spos_{label}", f"__spxx_{label}"))
+        return df
+
     def _agg(self, exprs_for: Callable[[str], Column], numeric_only=False,
              skipna=True, funcname: str = "", ddof: int = 0,
              _pre=None) -> XDataset:
-        prepped = self._prepared()
+        season_agg_trim = bool(self._season_deferred)
+        prepped = self._prepared(season_trim=not season_agg_trim)
         kept = self._kept_dims
         coords = self.ds._coords_on(kept)
         varlist = [
@@ -226,6 +306,21 @@ class XGroupBy:
                 e = F.when(F.max(F.col(v).isNull().cast("int")) == 1, F.lit(None)).otherwise(e)
             aggs.append(e.alias(v))
             main_vars.append(v)
+        season_cols: list[str] = []
+        if season_agg_trim:
+            if aggs:
+                extra = self._season_extra_aggs()
+                season_cols = [
+                    f"__{k}_{lbl}" for lbl, _g, _s in self._season_deferred
+                    for k in ("spos", "spxx")]
+                aggs = aggs + extra
+            else:
+                # every var routes through a var_dims dedup stage — the
+                # hidden month-position aggs need the RAW frame, so fall
+                # back to the resolved keep_range membership trim
+                season_agg_trim = False
+                prepped = self._prepared()
+                base = nan_to_null(prepped.df, varlist, prepped.df.schema)
         frame = _pre(base, group_cols, main_vars) if _pre and main_vars else base
         out = frame.groupBy(*group_cols).agg(*aggs) if aggs else None
         for own_reduced, group in partial.items():
@@ -248,9 +343,11 @@ class XGroupBy:
                 from xarray_spark._utils import null_safe_join
                 out = null_safe_join(out, stage2, group_cols)
         if partial:
-            out = out.select(*group_cols, *varlist)
+            out = out.select(*group_cols, *varlist, *season_cols)
         for n in self._key_names:
             out = out.withColumnRenamed(f"__key_{n}", n)
+        if season_agg_trim:
+            out = self._season_apply_trim(out)
         dims = self._key_names + kept
         res = XDataset(out, dims, coords, varlist, self.ds.attrs)
         new_vd = {}
@@ -273,15 +370,19 @@ class XGroupBy:
                 "agg(total=F.sum('v')) — or use .mean()/.sum()/… for "
                 "the xarray-style reductions"
             )
-        prepped = self._prepared()
+        season_agg_trim = bool(self._season_deferred)
+        prepped = self._prepared(season_trim=not season_agg_trim)
         kept = self._kept_dims
         coords = self.ds._coords_on(kept)
         group_cols = [f"__key_{n}" for n in self._key_names] + kept + list(coords)
-        out = prepped.df.groupBy(*group_cols).agg(
-            *[e.alias(n) for n, e in exprs.items()]
-        )
+        named = [e.alias(n) for n, e in exprs.items()]
+        if season_agg_trim:
+            named = named + self._season_extra_aggs()
+        out = prepped.df.groupBy(*group_cols).agg(*named)
         for n in self._key_names:
             out = out.withColumnRenamed(f"__key_{n}", n)
+        if season_agg_trim:
+            out = self._season_apply_trim(out)
         return XDataset(out, self._key_names + kept, coords, list(exprs), self.ds.attrs)
 
     def mean(self, skipna=True): return self._agg(lambda v: F.avg(v), True, skipna)

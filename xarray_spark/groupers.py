@@ -486,3 +486,23 @@ class SeasonResampler(Grouper):
                 (key >= F.lit(lo).cast("timestamp"))
                 & (key <= F.lit(hi).cast("timestamp")), key)
         return key
+
+    def month_pos_expr(self, col: Column) -> Column:
+        """0-based position of the month within ITS season (NULL for
+        unrequested months).  min() of this per season instance is the
+        earliest observed month position — 0 iff the instance reaches
+        its season's first month; max() is the latest — season_len−1
+        iff it reaches the last.  Feeds the AGGREGATED drop_incomplete
+        trim (groupby._agg): the boundary-instance completeness check
+        rides the main aggregation instead of a pre-scan min/max job
+        (round-10 verdict #2)."""
+        m = F.month(col)
+        chain = None
+        for months in _season_to_month_tuple(list(self.seasons)):
+            for pos, mo in enumerate(months):
+                cond = m == F.lit(int(mo))
+                lbl = F.lit(pos)
+                chain = (F.when(cond, lbl) if chain is None
+                         else chain.when(cond, lbl))
+        return chain
+
