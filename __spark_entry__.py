@@ -1302,8 +1302,12 @@ def q83_str_tail2(spark, sf_dir):
 
 def q84_dt_timedelta(spark, sf_dir):
     """Timedelta accessor fields (xarray accessor_dt.py TimedeltaAccessor):
-    ship-minus-order intervals -> .dt.days / .dt.total_seconds,
-    histogrammed by lag."""
+    ship-minus-order intervals -> .dt.days / .dt.total_seconds via the
+    ONE-PASS multi-field projection (accessors.fields — round-10
+    verdict #3: the old shape materialized each field as its own branch
+    and re-joined on monotonically_increasing_id, doubling the join
+    work and keying on a row id that can renumber under task retry at
+    cluster scale).  Plan: li join orders -> one projection -> groupBy."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -1311,11 +1315,8 @@ def q84_dt_timedelta(spark, sf_dir):
         (F.col("l_shipdate") - F.col("o_orderdate").cast("timestamp")).alias("lag"),
     )
     ds = XDataset(j, dims=["rid"])
-    lag = ds["lag"]
-    days = lag.dt.days.to_spark().select("rid", F.col("lag").alias("lag_days"))
-    secs = lag.dt.total_seconds().to_spark().select("rid", F.col("lag").alias("lag_secs"))
-    joined = days.join(secs, on="rid")
-    return joined.groupBy("lag_days").agg(
+    f = ds["lag"].dt.fields(lag_days="days", lag_secs="total_seconds")
+    return f.to_spark().groupBy("lag_days").agg(
         F.count(F.lit(1)).alias("n"),
         _r3(F.sum("lag_secs")).alias("total_secs"),
     )

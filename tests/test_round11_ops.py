@@ -101,3 +101,41 @@ def test_season_agg_trim_runs_no_prescan_job(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before  # plan built, zero jobs
     assert out.to_spark().count() > 0
+
+
+# ------------------------------------------- one-pass accessor fields()
+
+def test_accessor_fields_one_projection(spark):
+    """fields() composes several accessor results into ONE projection —
+    values match the individual accessors, and the q84 shape keeps a
+    single join (no monotonically_increasing_id re-join)."""
+    t = pd.date_range("2021-03-14 06:30:00", periods=6, freq="37h")
+    ds = _eng(spark, t, np.arange(6.0), col="i")
+    # datetime fields on the coord-carried var... use the time column
+    arr = XDataset(ds.df, dims=["i"], data_vars=["v"])["i"]
+    out = arr.dt.fields("year", "dayofyear", doy2="dayofyear",
+                        nm="month_name").to_pandas().sort_values("i")
+    assert list(out.columns[-4:]) == ["year", "dayofyear", "doy2", "nm"]
+    exp = pd.Series(t)
+    assert list(out["year"]) == list(exp.dt.year)
+    assert list(out["dayofyear"]) == list(out["doy2"])
+    assert list(out["nm"]) == list(exp.dt.month_name())
+
+
+def test_accessor_fields_validation(spark):
+    t = pd.date_range("2021-01-01", periods=3, freq="D")
+    ds = _eng(spark, t, [1.0, 2.0, 3.0])
+    arr = ds["t"]
+    with pytest.raises(ValueError, match="collide"):
+        arr.dt.fields(t="year")
+    with pytest.raises(ValueError, match="at least one"):
+        arr.dt.fields()
+
+
+def test_q84_plan_single_join(spark, request):
+    """q84 rewritten on fields(): exactly one join (li x orders)."""
+    import __spark_entry__ as em
+    df = em.q84_dt_timedelta(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Join", plan)) == 1

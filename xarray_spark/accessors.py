@@ -30,8 +30,57 @@ def _freq_us(n: int, unit: str, subsec_us, trunc_map) -> int | None:
 class _Accessor:
     def __init__(self, da: XDataArray):
         self.da = da
+        #: when True, _wrap returns the raw Column instead of a wrapped
+        #: XDataArray — fields() uses it to compose several accessor
+        #: results into ONE projection
+        self._expr_mode = False
+
+    def fields(self, *names: str, **named: str):
+        """One-pass MULTI-field projection (engine extension — round-10
+        verdict #3): ``ds['lag'].dt.fields('days', 'total_seconds')``
+        returns an XDataset with one data var per requested field, all
+        computed in a single SELECT over the source frame.  Without
+        this, a query needing two accessor fields had to materialize
+        two branches and re-join them on a row id — double the join
+        work, and ``monotonically_increasing_id`` as an equi-join key
+        between branches of one lineage is a cluster-scale hazard
+        (renumbering under task retry).  Keywords rename:
+        ``fields(lag_days='days', lag_secs='total_seconds')``.  Only
+        no-argument fields/methods qualify (strftime/floor/… take
+        parameters — call them individually)."""
+        from xarray_spark.dataset import XDataset
+        req = {n: n for n in names}
+        req.update(named)
+        if not req:
+            raise ValueError("fields() needs at least one field name")
+        da = self.da
+        exprs = []
+        for alias, f in req.items():
+            self._expr_mode = True
+            try:
+                v = getattr(self, f)
+                if callable(v):
+                    v = v()
+            finally:
+                self._expr_mode = False
+            if not isinstance(v, Column):
+                raise TypeError(
+                    f"accessor field {f!r} is not a column-producing "
+                    "no-argument field")
+            exprs.append(v.alias(alias))
+        clash = set(req) & (set(da.dims) | set(da.coords))
+        if clash:
+            raise ValueError(
+                f"fields() output names {sorted(clash)} collide with "
+                "dims/coords — rename via keyword form, e.g. "
+                "fields(lag_days='days')")
+        keep = list(da.dims) + list(da.coords)
+        df = da.df.select(*keep, *exprs)
+        return XDataset(df, da.dims, da.coords, list(req), da.attrs)
 
     def _wrap(self, expr: Column, name: str | None = None) -> XDataArray:
+        if self._expr_mode:
+            return expr
         da = self.da
         out = name or da.name
         if out in da.dims or (out in da.coords and out not in da.data_vars):
