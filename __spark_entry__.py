@@ -2017,6 +2017,34 @@ def q140_rolling_std_wide(spark, sf_dir):
         "l_shipdate", _r3(F.col("rev")).alias("roll_std"))
 
 
+def q141_rolling_2d_var(spark, sf_dir):
+    """N-D (2-D) rolling var — the NON-separable rectangle reduction
+    (reference computation/rolling.py:56 multi-dim rolling via
+    Variable.rolling_window, core/variable.py:2120; a documented raise
+    through round 10).  A dense (day x hour) grid of mean event values
+    rolls a 3-day x 2-hour rectangle through the Arrow numpy kernel
+    (rolling._nd_window_arrow): per-window NaN-masked two-pass var over
+    the flattened rectangle, min_periods=4 exercising the NaN-padded
+    edges.  The grid densifies first (distinct days x distinct hours,
+    NaN holes) — an xarray array over (d, h) IS the dense cube, and
+    the kernel refuses ragged input rather than inventing positions.
+    No complement dims, so the day axis is label-halo segmented — no
+    single task holds the cube.  Oracle: rectangle self-join over the
+    same dense grid (dense labels: label distance == position)
+    replaying the same NaN-masked two-pass var."""
+    ev = _events(spark, sf_dir)
+    grid = ev.groupby({"d": "date_trunc('day', ts)",
+                       "h": "CAST(hour(ts) AS INT)"}).agg(
+        v=F.avg("value")).to_spark()
+    dense = (grid.select("d").distinct()
+             .crossJoin(grid.select("h").distinct())
+             .join(grid, on=["d", "h"], how="left"))
+    nd = XDataset(dense, dims=["d", "h"], data_vars=["v"])
+    out = nd.rolling(dict(d=3, h=2), min_periods=4).var()
+    return out.to_spark().select(
+        "d", "h", _r3(F.col("v")).alias("rvar"))
+
+
 def q116_bucketed_ffill(spark, sf_dir):
     """Bucket-aware window layout (round 5): a (flag, day) revenue
     grid saved with to_table(bucket_by=flag, sort_by=[flag, day]) and
@@ -2486,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_resample_multiweek": q138_resample_multiweek,
         "q139_resample_me_asfreq": q139_resample_me_asfreq,
         "q140_rolling_std_wide": q140_rolling_std_wide,
+        "q141_rolling_2d_var": q141_rolling_2d_var,
         "q137_grouped_quantile_midbin": q137_grouped_quantile_midbin,
         "q45_resample_asfreq": q45_resample_asfreq,
         "q07_resample_monthly": q07_resample_monthly,
@@ -4930,6 +4959,38 @@ def oracle_sql() -> dict[str, str]:
                            / len(a)) + 1e-6, 3)
                    END AS roll_std
             FROM wins
+        """,
+        # rectangle self-join replay over the densified grid (dense
+        # labels: label distance == position) of the same NaN-masked
+        # two-pass var, min_periods=4
+        "q141_rolling_2d_var": """
+            WITH grid AS (
+              SELECT date_trunc('day', ts) AS d,
+                     CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+                     AVG(value) AS v
+              FROM events GROUP BY 1, 2
+            ),
+            dense AS (
+              SELECT dd.d, hh.h, grid.v
+              FROM (SELECT DISTINCT d FROM grid) dd
+              CROSS JOIN (SELECT DISTINCT h FROM grid) hh
+              LEFT JOIN grid USING (d, h)
+            ),
+            win AS (
+              SELECT g1.d AS d, g1.h AS h,
+                     list(g2.v) FILTER (WHERE g2.v IS NOT NULL) AS a
+              FROM dense g1 LEFT JOIN dense g2
+                ON g2.d BETWEEN g1.d - INTERVAL 2 DAY AND g1.d
+               AND g2.h BETWEEN g1.h - 1 AND g1.h
+              GROUP BY 1, 2
+            )
+            SELECT d, h,
+                   CASE WHEN len(a) >= 4 THEN
+                     ROUND(list_sum(list_transform(a,
+                             x -> (x - list_avg(a)) * (x - list_avg(a))))::DOUBLE
+                           / len(a) + 1e-6, 3)
+                   END AS rvar
+            FROM win
         """,
         "q116_bucketed_ffill": """
             WITH daily AS (

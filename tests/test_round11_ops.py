@@ -139,3 +139,97 @@ def test_q84_plan_single_join(spark, request):
     plan = df._jdf.queryExecution().executedPlan().toString()
     import re
     assert len(re.findall(r"Join", plan)) == 1
+
+
+# --------------------------------------------- N-D rolling (round-11 #4)
+
+def _ref_xr():
+    import sys
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import xarray as xr
+    return xr
+
+
+def _grid_ds(spark, a):
+    nx, ny = a.shape
+    rows = [(i, j, None if np.isnan(a[i, j]) else float(a[i, j]))
+            for i in range(nx) for j in range(ny)]
+    pdf = pd.DataFrame(rows, columns=["x", "y", "v"])
+    pdf["v"] = pdf["v"].astype("float64")
+    return XDataset(spark.createDataFrame(pdf), dims=["x", "y"],
+                    data_vars=["v"])
+
+
+@pytest.mark.parametrize("kind,kw", [
+    ("var", {}),
+    ("var", {"min_periods": 2}),
+    ("std", {"min_periods": 3}),
+    ("median", {"min_periods": 1}),
+    ("median", {}),
+    ("var", {"min_periods": 1, "center": True}),
+    ("prod", {"min_periods": 2}),
+])
+def test_nd_rolling_matches_reference(spark, kind, kw):
+    """2-D rolling var/std/median (non-separable -> Arrow rectangle
+    kernel, label-halo segmented: no complement dims here) and prod
+    (separable sweep) vs the live reference, incl. NaN cells,
+    min_periods and center."""
+    xr = _ref_xr()
+    a = np.arange(63, dtype="float64").reshape(9, 7)
+    a[2, 3] = np.nan
+    a[5, 1] = np.nan
+    ds = _grid_ds(spark, a)
+    r = ds.rolling(dict(x=3, y=2), min_periods=kw.get("min_periods"),
+                   center=kw.get("center", False))
+    got = (getattr(r, kind)().to_pandas().sort_values(["x", "y"])["v"]
+           .to_numpy(dtype="float64", na_value=np.nan).reshape(9, 7))
+    da = xr.DataArray(a, dims=["x", "y"])
+    rr = da.rolling(x=3, y=2, min_periods=kw.get("min_periods"),
+                    center=kw.get("center", False))
+    exp = getattr(rr, kind)().values
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_nd_rolling_with_complement_dim(spark):
+    """3-D dataset rolled on two dims: complement-dim groups partition
+    the kernel (one Arrow group per z slice)."""
+    xr = _ref_xr()
+    b = np.arange(60, dtype="float64").reshape(3, 4, 5)
+    b[1, 2, 3] = np.nan
+    rows = [(k, i, j, None if np.isnan(b[k, i, j]) else float(b[k, i, j]))
+            for k in range(3) for i in range(4) for j in range(5)]
+    pdf = pd.DataFrame(rows, columns=["z", "x", "y", "v"])
+    pdf["v"] = pdf["v"].astype("float64")
+    ds = XDataset(spark.createDataFrame(pdf), dims=["z", "x", "y"],
+                  data_vars=["v"])
+    got = (ds.rolling(dict(x=2, y=3), min_periods=2).var()
+           .to_pandas().sort_values(["z", "x", "y"])["v"]
+           .to_numpy(dtype="float64", na_value=np.nan).reshape(3, 4, 5))
+    exp = (xr.DataArray(b, dims=["z", "x", "y"])
+           .rolling(x=2, y=3, min_periods=2).var().values)
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_nd_rolling_ragged_raises(spark):
+    """A non-dense hypercube raises loudly instead of inventing
+    positions."""
+    pdf = pd.DataFrame({"x": [0, 0, 1], "y": [0, 1, 0],
+                        "v": [1.0, 2.0, 3.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x", "y"],
+                  data_vars=["v"])
+    import pyspark.errors
+    with pytest.raises(Exception, match="DENSE hypercube"):
+        ds.rolling(dict(x=2, y=2), min_periods=1).var().to_pandas()
+
+
+def test_nd_rolling_argmin_documented_raise(spark):
+    """Reference parity: xarray itself raises on N-D window argmin
+    (np.argmin rejects a tuple axis) — the engine raises a documented
+    NotImplementedError."""
+    pdf = pd.DataFrame({"x": [0, 0, 1, 1], "y": [0, 1, 0, 1],
+                        "v": [1.0, 2.0, 3.0, 4.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x", "y"],
+                  data_vars=["v"])
+    with pytest.raises(NotImplementedError, match="reference raises"):
+        ds.rolling(dict(x=2, y=2)).argmin()

@@ -90,6 +90,56 @@ def _np_rolling_median(vals, window: int, before: int, after: int,
     return out
 
 
+def _np_rolling_nd(vals, wins, befores, afters, minp: int, kind: str,
+                   ddof: int = 0, sqrt: bool = False):
+    """N-D rectangle-window var/std/median over a dense ndarray
+    (reference computation/rolling.py:56-1021: construct the one-
+    window-dim-per-rolled-dim sliding view, then nan-reduce over every
+    window axis).  NaN-pad each rolled axis by (before, after),
+    zero-copy sliding_window_view over all axes, per-window nan-masked
+    two-pass var or nanmedian on the flattened rectangle.  min_periods
+    counts valid cells in the rectangle (reference default: the full
+    w1·w2·… product).  Chunked over the leading axis so the flattened
+    window matrix (the only copy) stays ~32 MB."""
+    import numpy as np
+    out = np.full(vals.shape, np.nan)
+    if vals.size == 0:
+        return out
+    padded = np.pad(vals, list(zip(befores, afters)),
+                    constant_values=np.nan)
+    sw = np.lib.stride_tricks.sliding_window_view(padded, wins)
+    k = vals.ndim
+    rect = 1
+    for w in wins:
+        rect *= w
+    per_row = max(1, (vals.size // max(vals.shape[0], 1)) * rect)
+    step = max(1, 4_000_000 // per_row)
+    for i in range(0, vals.shape[0], step):
+        chunk = sw[i:i + step]
+        blk = chunk.reshape(chunk.shape[:k] + (rect,))
+        mask = ~np.isnan(blk)
+        cnt = mask.sum(axis=-1)
+        if kind == "median":
+            import warnings
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                v = np.nanmedian(blk, axis=-1)
+            ok = cnt > 0
+        else:
+            with np.errstate(all="ignore"):
+                mu = np.where(mask, blk, 0.0).sum(axis=-1) / cnt
+                dev = np.where(mask, blk - mu[..., None], 0.0)
+                v = (dev * dev).sum(axis=-1) / (cnt - ddof)
+            ok = cnt > ddof
+        if minp > 1:
+            ok = ok & (cnt >= minp)
+        out[i:i + step] = np.where(ok, v, np.nan)
+    if sqrt:
+        with np.errstate(all="ignore"):
+            out = np.sqrt(out)
+    return out
+
+
 class XRolling:
     # reference introspection name: the wrapped object
     obj = property(lambda self: self.ds)
@@ -128,9 +178,10 @@ class XRolling:
     def _apply(self, make) -> XDataset:
         if len(self.windows) > 1:
             raise NotImplementedError(
-                "N-D rolling supports the separable reductions "
-                "sum/mean/min/max/count; use construct()+reduce per dim "
-                "for others"
+                "N-D rolling: sum/mean/min/max/count/prod are "
+                "separable sweeps, var/std/median run the Arrow "
+                "rectangle kernel; anything else goes through "
+                "construct()+reduce"
             )
         w = self._frame()
         ds = self.ds
@@ -180,6 +231,7 @@ class XRolling:
         s = lambda c, w: F.sum(c).over(w)        # noqa: E731
         mn = lambda c, w: F.min(c).over(w)       # noqa: E731
         mx = lambda c, w: F.max(c).over(w)       # noqa: E731
+        pr = lambda c, w: F.product(c).over(w)   # noqa: E731
         cnt = lambda c, w: F.count(c).over(w).cast("long")  # noqa: E731
         if kind == "count":
             return sweep(cnt, s)
@@ -190,6 +242,8 @@ class XRolling:
             out = sweep(mn, mn)
         elif kind == "max":
             out = sweep(mx, mx)
+        elif kind == "prod":
+            out = sweep(pr, pr)
         elif kind == "mean":
             out = sweep(s, s)._binary_op_dataset(n, lambda a, b: a / b)
         else:
@@ -264,8 +318,7 @@ class XRolling:
         inf propagates numpy's way (inf mean → inf−inf=NaN → NaN
         window)."""
         if len(self.windows) > 1:
-            raise NotImplementedError(
-                "N-D rolling var/std: use construct()+reduce per dim")
+            return self._nd_window_arrow("var", ddof, sqrt)
         if self._arrow_ok():
             return self._var_window_arrow(ddof, sqrt)
         w = self._frame()
@@ -359,6 +412,90 @@ class XRolling:
             out = unioned.groupBy("__seg").applyInPandas(fn, schema)
         return ds._replace(df=out)
 
+    def _nd_geometry(self):
+        """(dims, wins, befores, afters) for the N-D rectangle — the
+        same per-dim center split as the 1-D frames."""
+        dims = list(self.windows)
+        wins = [int(self.windows[d]) for d in dims]
+        afters = [(w - 1) // 2 if self.center else 0 for w in wins]
+        befores = [w - 1 - a for w, a in zip(wins, afters)]
+        return dims, wins, befores, afters
+
+    def _nd_window_arrow(self, kind: str, ddof: int = 0,
+                         sqrt: bool = False) -> XDataset:
+        """N-D rolling var/std/median (reference computation/
+        rolling.py:56-1021 via Variable.rolling_window over multiple
+        dims, core/variable.py:2120) — non-separable, so the rectangle
+        reduction runs as the Arrow-batched numpy kernel
+        (_np_rolling_nd) per complement-dim group.  With NO complement
+        dims the first rolled dim is segmented by LABEL DISTANCE with a
+        (before+after)-label halo — the label table, segment bounds and
+        assignment table are all label-sized broadcasts built lazily
+        (no construction job), so no single task holds the cube and
+        the output of halo rows is dropped.  argmin/argmax stay
+        unimplemented for N-D windows: the reference itself raises
+        TypeError there (np.argmin rejects a tuple axis)."""
+        ds = self.ds
+        dims, wins, befores, afters = self._nd_geometry()
+        others = [d for d in ds.dims if d not in dims]
+        from xarray_spark._utils import nan_to_null
+        base = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
+        skip = ds._bcast_passthrough(dims)
+        varlist = [c for c in ds.data_vars if c not in skip]
+        out_fields = [
+            T.StructField(f.name, T.DoubleType(), True)
+            if f.name in varlist else f
+            for f in base.schema.fields if not f.name.startswith("__")
+        ]
+        schema = T.StructType(out_fields)
+        keep_cols = [f.name for f in out_fields]
+        minp = self.min_periods
+
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+            pdf = pdf.sort_values(dims, kind="mergesort")
+            shape = [pdf[d].nunique() for d in dims]
+            size = 1
+            for s in shape:
+                size *= s
+            if size != len(pdf):
+                raise ValueError(
+                    "N-D rolling needs a DENSE hypercube over the "
+                    f"rolled dims {dims}: got {len(pdf)} rows for "
+                    f"shape {shape}")
+            for c in varlist:
+                vals = pdf[c].to_numpy(dtype="float64",
+                                       na_value=np.nan).reshape(shape)
+                res = _np_rolling_nd(vals, tuple(wins), tuple(befores),
+                                     tuple(afters), minp, kind, ddof,
+                                     sqrt)
+                pdf[c] = res.reshape(-1)
+            if "__halo" in pdf.columns:
+                pdf = pdf[~pdf["__halo"]]
+            return pdf[keep_cols]
+
+        if others:
+            out = base.groupBy(*others).applyInPandas(fn, schema)
+        else:
+            seg0, b0, a0 = dims[0], befores[0], afters[0]
+            labels = base.select(seg0).distinct()
+            wl = Window.orderBy(seg0)
+            lab = labels.select(
+                seg0, (F.row_number().over(wl) - 1).alias("__pos"),
+                F.ntile(64).over(wl).alias("__seg0"))
+            bounds = lab.groupBy("__seg0").agg(
+                F.min("__pos").alias("__blo"), F.max("__pos").alias("__bhi"))
+            asg = (lab.crossJoin(F.broadcast(
+                        bounds.withColumnRenamed("__seg0", "__seg")))
+                   .where((F.col("__pos") >= F.col("__blo") - F.lit(b0))
+                          & (F.col("__pos") <= F.col("__bhi") + F.lit(a0)))
+                   .select(seg0, "__seg",
+                           (F.col("__seg") != F.col("__seg0"))
+                           .alias("__halo")))
+            unioned = base.join(F.broadcast(asg), on=seg0)
+            out = unioned.groupBy("__seg").applyInPandas(fn, schema)
+        return ds._replace(df=out)
+
     def _var_window_arrow(self, ddof: int, sqrt: bool) -> XDataset:
         """Exact per-window two-pass var/std, Arrow kernel.  inf/NaN
         semantics match numpy windowed nanvar: an inf in the window
@@ -376,6 +513,8 @@ class XRolling:
         # mean-of-middles and ±inf semantics by construction); the
         # in-plan form is collect_list + the shared two-sided-lerp
         # order statistics — NOT SQL `percentile` (naive internal lerp)
+        if len(self.windows) > 1:
+            return self._nd_window_arrow("median")
         if self._arrow_ok():
             from functools import partial
             after = (self.window - 1) // 2 if self.center else 0
@@ -389,6 +528,10 @@ class XRolling:
             method="np_median"))
 
     def prod(self):
+        if len(self.windows) > 1:
+            # separable: the rectangle product composes per axis
+            # (F.product skips nulls the way nanprod skips NaN)
+            return self._apply_nd("prod")
         return self._apply(lambda c, w: F.product(c).over(w))
 
     def argmin(self):
@@ -406,7 +549,12 @@ class XRolling:
         ordered-struct extremum over the same frame as min/max — no
         window array materialization."""
         if len(self.windows) > 1:
-            raise NotImplementedError("N-D rolling argmin/argmax")
+            # REFERENCE PARITY: xarray itself raises TypeError here
+            # (np.argmin rejects a tuple axis over the window dims —
+            # measured round 11); there is no semantic to match
+            raise NotImplementedError(
+                "N-D rolling argmin/argmax (the reference raises too: "
+                "np.argmin over multiple window dims)")
         dim = self.dim
         others = [d for d in self.ds.dims if d != dim]
         seq = Window.partitionBy(*others).orderBy(dim)
