@@ -2470,52 +2470,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: every implemented operator, one entry each.
 
     ORDERING IS DELIBERATE: the driver's correctness gate evaluates the
-    first 50 entries, so the window rotates per round.  The ROUND-10
-    window front-loads (a) the three DEBUTANTS — q138 (multi-week
-    resample with closed/label, a documented raise through round 9),
-    q139 (end-anchored ME label run + asfreq-as-bin-mean, both new
-    this round), q140 (wide rolling std through the new Arrow-batched
-    numpy kernel) — q01 still leads so the cheapest scan+agg absorbs
-    session spin-up, and q137 stays per the round-9 verdict; (b) every
-    query whose code path round 10 touched: the resample family
-    q45/q07/q08/q124/q46 (upsample verbs now operate on the ORIGINAL
-    series — q45's asfreq semantics CHANGED to the reference's
-    bin-mean and its oracle with it — plus the wave-49/50 anchor and
-    label-run work), q44/q24 (differentiate/integrate anchored
-    integer-us coords + np.gradient's uniformity branch),
-    q26/q47/q48 (the demeaned two-pass now routed through _reduce's/
-    groupby._agg's per-stage _pre hook, broadcast hints dropped),
-    q05/q16 (groupby._agg restructure), q70 (segmented halo_union
-    refactor), q66/q65/q114 (grouper-family r7 stragglers whose
-    resolve_groupers now fills calendar anchors); (c) the round-9
-    verdict's ROTATION-DEBT list verbatim: q28/q104 (dt.round exact
-    microseconds, changed r9, no fresh row), q26/q47/q48 (demeaned
-    rewrites r9), q46 (wave-49 anchor lookup), and the r7 stragglers
-    q65/q66/q70/q78/q84/q95/q114 — all now in-window; (d) the oldest
-    below-fold rows recalled: q03/q17/q18/q20/q22/q23/q31/q37/q38
-    (r1), q40/q41/q42/q49 (r3), q50 (r1), q55/q56/q57/q68/q71/q73
-    (r2), q69, q75, q80 (r2), q82 (r3).
-    Displaced below the fold: the entire round-9 window (quantile
-    family q74/q15/q39/q115/q137-adjacent, q27, q122/q25, q59/q86,
-    q10/q111, the extras block q81/q132/q134/q135/q34/q35, q72,
-    q116-q118, q121/q123/q125, q02/q04/q06/q09/q11-q14, q29, q33,
-    q36, q43, q53/q54, q58, q60, q62) — every one carries a FRESH
-    round-9 driver row and none of their code paths changed in round
-    10 — plus the r8-window gates (q136 and stage units, streaming,
-    q19/q21, q99-q106, …) with fresh r8 rows.
+    first 50 entries, so the window rotates per round.  The ROUND-11
+    window holds (a) the DEBUTANT q141 (N-D rolling var through the
+    new Arrow rectangle kernel — a documented raise through round 10)
+    with q01 still leading so the cheapest scan+agg absorbs session
+    spin-up; (b) the resample block q138/q139/q140/q45/q07/q08/q124/
+    q46 kept in per the round-10 verdict #1 — they carry the
+    anchor-lookup fix (batched fingerprint-cached min/max, parquet-
+    footer-served) whose bench effect the driver record must witness;
+    (c) every query whose code path round 11 touched: q66 (season
+    drop_incomplete now decided from aggregated month positions — no
+    pre-scan job), q65/q114 (resolve_groupers restructure), q84
+    (rewritten on the one-pass accessor fields() projection — the
+    monotonically_increasing_id re-join is gone); (d) the round-10
+    verdict's ROTATION-DEBT list verbatim — every gate whose standing
+    row was three rounds old: the streaming five q67/q109/q96/q85/q87,
+    q19/q21, q99/q100/q101/q102/q103/q105/q106 (q104 carries a fresh
+    r10 row and stays below), q136 + its stage units q127/q128/q130/
+    q131, the sampling block q88-q93, plus the remaining r8 rows
+    q98/q119/q120/q126/q30/q97/q112/q113/q51/q52/q61 (q120/q126 also
+    carry the round-10 semdedup matmul rewrite with only an in-suite
+    oracle so far).  q63/q79/q94/q107/q108/q32/q76/q77/q83/q110/q129/
+    q133 stay below the fold (r5-r8 rows, untouched code), as does the
+    ENTIRE r10 window (fresh r10 rows: q137, q70, q78, q95, q28, q104,
+    q26/q47/q48, q44/q24, q05/q16, and the r1-r3 recalls).
     Everything below the window stays covered by tests/test_oracle.py
     at sf0.001 each round.
     """
     return {
-        # ---- ROUND-10 GATE WINDOW (first 50) ----
-        # (q01 leads: the first query also absorbs residual session
-        # spin-up; a plain scan+agg is the cheapest place to pay it)
+        # ---- ROUND-11 GATE WINDOW (first 50) ----
         "q01_pricing_summary": q01_pricing_summary,
+        "q141_rolling_2d_var": q141_rolling_2d_var,
         "q138_resample_multiweek": q138_resample_multiweek,
         "q139_resample_me_asfreq": q139_resample_me_asfreq,
         "q140_rolling_std_wide": q140_rolling_std_wide,
-        "q141_rolling_2d_var": q141_rolling_2d_var,
-        "q137_grouped_quantile_midbin": q137_grouped_quantile_midbin,
         "q45_resample_asfreq": q45_resample_asfreq,
         "q07_resample_monthly": q07_resample_monthly,
         "q08_resample_daily_events": q08_resample_daily_events,
@@ -2524,9 +2512,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_season_resampler": q66_season_resampler,
         "q65_multi_grouper": q65_multi_grouper,
         "q114_encoded_groups": q114_encoded_groups,
+        "q84_dt_timedelta": q84_dt_timedelta,
+        "q67_stream_resample": q67_stream_resample,
+        "q109_stream_interval_join": q109_stream_interval_join,
+        "q96_stream_sessionize": q96_stream_sessionize,
+        "q85_stream_asof": q85_stream_asof,
+        "q87_stream_dedup": q87_stream_dedup,
+        "q19_binary_align": q19_binary_align,
+        "q21_reindex_fill": q21_reindex_fill,
+        "q99_sel_partial_string": q99_sel_partial_string,
+        "q100_sel_negative_step": q100_sel_negative_step,
+        "q101_ewm_corr": q101_ewm_corr,
+        "q102_coarsen_construct": q102_coarsen_construct,
+        "q103_coarsen_reduce": q103_coarsen_reduce,
+        "q105_argmax_grid": q105_argmax_grid,
+        "q106_complex_phase": q106_complex_phase,
+        "q136_curation_pipeline": q136_curation_pipeline,
+        "q127_gopher_filter": q127_gopher_filter,
+        "q128_c4_filter": q128_c4_filter,
+        "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
+        "q131_pack_nosplit": q131_pack_nosplit,
+        "q88_hash_sample": q88_hash_sample,
+        "q89_hash_split": q89_hash_split,
+        "q90_stratified_sample": q90_stratified_sample,
+        "q91_decontaminate": q91_decontaminate,
+        "q92_pack_sequences": q92_pack_sequences,
+        "q93_shuffle_rank": q93_shuffle_rank,
+        "q98_chunk_documents": q98_chunk_documents,
+        "q119_dedup_substrings": q119_dedup_substrings,
+        "q120_semdedup": q120_semdedup,
+        "q126_semdedup_trained": q126_semdedup_trained,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q97_ivf_fixed": q97_ivf_fixed,
+        "q112_pq_topk": q112_pq_topk,
+        "q113_ivfpq_topk": q113_ivfpq_topk,
+        "q51_lsh_topk": q51_lsh_topk,
+        "q52_embedding_near_dups": q52_embedding_near_dups,
+        "q61_nearest_points": q61_nearest_points,
+        # ---- below the fold: fresh r10/r9 rows; all re-oracled
+        # at sf0.001 by tests/test_oracle.py every round ----
+        "q137_grouped_quantile_midbin": q137_grouped_quantile_midbin,
         "q70_ffill_segmented": q70_ffill_segmented,
         "q78_dt_tail": q78_dt_tail,
-        "q84_dt_timedelta": q84_dt_timedelta,
         "q95_pii_scan": q95_pii_scan,
         "q28_dt_fields": q28_dt_fields,
         "q104_interp_calendar": q104_interp_calendar,
@@ -2561,7 +2588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_interp_zero": q75_interp_zero,
         "q80_cf_360day": q80_cf_360day,
         "q82_pad_reflect": q82_pad_reflect,
-        # ---- below the window: fresh r8/r9 rows stand ----
         "q74_quantile_methods": q74_quantile_methods,
         "q15_quantile": q15_quantile,
         "q39_groupby_quantile": q39_groupby_quantile,
@@ -2603,47 +2629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_where_aligned": q58_where_aligned,
         "q60_salted_agg": q60_salted_agg,
         "q62_interp_targets": q62_interp_targets,
-        "q136_curation_pipeline": q136_curation_pipeline,
-        "q127_gopher_filter": q127_gopher_filter,
-        "q128_c4_filter": q128_c4_filter,
-        "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
-        "q131_pack_nosplit": q131_pack_nosplit,
-        "q30_dedup_exact": q30_dedup_exact,
-        "q126_semdedup_trained": q126_semdedup_trained,
         "q129_ngram_lm_score": q129_ngram_lm_score,
         "q133_pii_redact": q133_pii_redact,
-        "q119_dedup_substrings": q119_dedup_substrings,
-        "q120_semdedup": q120_semdedup,
-        "q67_stream_resample": q67_stream_resample,
-        "q109_stream_interval_join": q109_stream_interval_join,
-        "q96_stream_sessionize": q96_stream_sessionize,
-        "q85_stream_asof": q85_stream_asof,
-        "q87_stream_dedup": q87_stream_dedup,
-        "q19_binary_align": q19_binary_align,
-        "q106_complex_phase": q106_complex_phase,
-        "q21_reindex_fill": q21_reindex_fill,
-        "q99_sel_partial_string": q99_sel_partial_string,
-        "q100_sel_negative_step": q100_sel_negative_step,
-        "q101_ewm_corr": q101_ewm_corr,
-        "q102_coarsen_construct": q102_coarsen_construct,
-        "q103_coarsen_reduce": q103_coarsen_reduce,
-        "q105_argmax_grid": q105_argmax_grid,
-        "q98_chunk_documents": q98_chunk_documents,
         "q110_dedup_lines": q110_dedup_lines,
-        "q51_lsh_topk": q51_lsh_topk,
-        "q52_embedding_near_dups": q52_embedding_near_dups,
-        "q61_nearest_points": q61_nearest_points,
         "q63_lsh_multiprobe": q63_lsh_multiprobe,
         "q79_sel_step": q79_sel_step,
-        "q97_ivf_fixed": q97_ivf_fixed,
-        "q112_pq_topk": q112_pq_topk,
-        "q113_ivfpq_topk": q113_ivfpq_topk,
-        "q88_hash_sample": q88_hash_sample,
-        "q89_hash_split": q89_hash_split,
-        "q90_stratified_sample": q90_stratified_sample,
-        "q91_decontaminate": q91_decontaminate,
-        "q92_pack_sequences": q92_pack_sequences,
-        "q93_shuffle_rank": q93_shuffle_rank,
         "q94_audio_features": q94_audio_features,
         "q107_repetition_stats": q107_repetition_stats,
         "q108_blend_epochs": q108_blend_epochs,
