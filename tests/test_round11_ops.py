@@ -233,3 +233,39 @@ def test_nd_rolling_argmin_documented_raise(spark):
                   data_vars=["v"])
     with pytest.raises(NotImplementedError, match="reference raises"):
         ds.rolling(dict(x=2, y=2)).argmin()
+
+
+# ------------------------------------------------ round-10 ADVICE fixes
+
+def test_rolling_arrow_group_bound_falls_back_in_plan(spark):
+    """ADVICE #2: a grouped table estimated above
+    rolling_arrow_est_rows_bound keeps rolling var in-plan (streaming
+    window) instead of materializing whole groups in Arrow; values
+    identical either way."""
+    from xarray_spark.options import set_options
+    pdf = pd.DataFrame({
+        "g": ["a"] * 50 + ["b"] * 50,
+        "x": list(range(50)) * 2,
+        "v": np.arange(100, dtype="float64"),
+    })
+    ds = XDataset(spark.createDataFrame(pdf), dims=["g", "x"],
+                  data_vars=["v"])
+    r = lambda: ds.rolling(x=5, min_periods=2).var()  # noqa: E731
+    with set_options(rolling_arrow_est_rows_bound=1):
+        guarded = r()
+        plan = guarded.to_spark()._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan  # in-plan HOF form
+        vals_guarded = guarded.to_pandas().sort_values(["g", "x"])["v"]
+    vals_arrow = r().to_pandas().sort_values(["g", "x"])["v"]
+    np.testing.assert_allclose(
+        np.asarray(vals_guarded, float), np.asarray(vals_arrow, float),
+        equal_nan=True)
+
+
+def test_dump_to_store_netcdf_rejects_kwargs(spark, tmp_path):
+    """ADVICE #3: store options silently dropped on the netCDF branch
+    now raise."""
+    pdf = pd.DataFrame({"x": [0, 1], "v": [1.0, 2.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x"], data_vars=["v"])
+    with pytest.raises(TypeError, match="keyword options"):
+        ds.dump_to_store(str(tmp_path / "x.nc"), mode="w")

@@ -4904,6 +4904,13 @@ class XDataset:
             p = _os.fspath(store)
             if p.endswith(".zarr") or _os.path.isdir(p):
                 self.to_zarr(p, **kwargs)
+            elif kwargs:
+                # to_netcdf takes no store options here — dropping them
+                # silently would discard e.g. mode= (round-10 ADVICE #3)
+                raise TypeError(
+                    "dump_to_store to a netCDF target accepts no "
+                    f"keyword options (got {sorted(kwargs)}); only the "
+                    "zarr store honors them")
             else:
                 self.to_netcdf(p)
             return

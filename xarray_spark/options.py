@@ -49,6 +49,19 @@ OPTIONS: dict = {
     # every real window.  None = always HOF (kept as the in-plan
     # fallback: streaming frames, centered global series).
     "rolling_var_arrow_threshold": 2,
+    # MEMORY guard on the grouped Arrow rolling kernel (round-10
+    # ADVICE #2): applyInPandas materializes each complement-dim group
+    # as ONE pandas frame, so a long rolled dim with few groups could
+    # OOM where the in-plan window streams.  When the table's
+    # ESTIMATED rows (plan statistics, no job) exceed this bound and
+    # complement dims exist (the grouped shape — the no-complement
+    # shape is halo-segmented and memory-bounded already), rolling
+    # var/std/median falls back to the in-plan HOF/collect_list form:
+    # slower per row but streaming.  The bound is deliberately
+    # generous (64M rows ≈ a few GB of Arrow frame across groups —
+    # only pathological one-group skew goes over per task).  None =
+    # never fall back.
+    "rolling_arrow_est_rows_bound": 64_000_000,
     # Middle plan between the buffered aggregate and the histogram:
     # two-scan fixed-bucket (1/16-octave) selection — no stats pass,
     # no aggregation buffer.  The worst case (a whole group inside ONE

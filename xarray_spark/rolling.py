@@ -361,13 +361,25 @@ class XRolling:
         """Picker for the Arrow window kernels: 1-D, real window width
         at/above the option threshold.  Centered windows over a GLOBAL
         series stay in-plan — the segmented halo only replicates
-        PRECEDING rows, a centered frame needs trailing context too."""
+        PRECEDING rows, a centered frame needs trailing context too.
+        GROUPED tables estimated above rolling_arrow_est_rows_bound
+        stay in-plan too (round-10 ADVICE #2): applyInPandas holds each
+        complement-dim group as one pandas frame, and a few huge groups
+        would OOM where the in-plan window streams; the no-complement
+        shape is halo-segmented and exempt."""
         from xarray_spark.options import OPTIONS
         thr = OPTIONS["rolling_var_arrow_threshold"]
         has_others = any(d != self.dim for d in self.ds.dims)
-        return (thr is not None and len(self.windows) == 1
-                and self.window != -1 and self.window >= thr
-                and not (self.center and not has_others))
+        if thr is None or len(self.windows) != 1 or self.window == -1 \
+                or self.window < thr \
+                or (self.center and not has_others):
+            return False
+        bound = OPTIONS["rolling_arrow_est_rows_bound"]
+        if bound is not None and has_others:
+            from xarray_spark._utils import estimated_rows
+            if estimated_rows(self.ds.df) > bound:
+                return False
+        return True
 
     def _arrow_window_apply(self, kernel) -> XDataset:
         """Arrow-batched per-window kernels (var/std/median): the

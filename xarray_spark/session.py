@@ -54,11 +54,22 @@ def get_spark(app_name: str = "xarray_spark", shuffle_partitions: int | None = N
     # address space (committed lazily — costs nothing up front) and
     # let the sweeper reclaim cold compiled methods.  Override or
     # disable with SPARK_GRAFT_DRIVER_JAVA_OPTS="" (round-10 bench
-    # tail investigation).
+    # tail investigation).  MERGED with (appended to) any
+    # extraJavaOptions already configured via spark-defaults.conf /
+    # SPARK_SUBMIT_OPTS rather than replacing them (round-10 ADVICE
+    # #4); note extraJavaOptions only take effect on a FRESH JVM —
+    # getOrCreate() on an existing session ignores them.
     jvm_opts = os.environ.get(
         "SPARK_GRAFT_DRIVER_JAVA_OPTS",
         "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
     if jvm_opts:
+        try:
+            from pyspark import SparkConf
+            existing = SparkConf().get("spark.driver.extraJavaOptions", "")
+        except Exception:  # pragma: no cover
+            existing = ""
+        if existing and existing not in jvm_opts:
+            jvm_opts = f"{existing} {jvm_opts}"
         builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     if rocksdb_state_store:
         # streaming state off-heap and spillable: the default HDFS-backed
