@@ -2498,9 +2498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at sf0.001 each round.
     """
     return {
-        # ---- ROUND-11 GATE WINDOW (first 50) ----
+        # ---- ROUND-11 GATE WINDOW (first 50; within-window order
+        # is bench order: cheap scan+aggs lead to absorb cold JIT,
+        # the fixed-floor streaming five close the window) ----
         "q01_pricing_summary": q01_pricing_summary,
-        "q141_rolling_2d_var": q141_rolling_2d_var,
         "q138_resample_multiweek": q138_resample_multiweek,
         "q139_resample_me_asfreq": q139_resample_me_asfreq,
         "q140_rolling_std_wide": q140_rolling_std_wide,
@@ -2513,11 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_multi_grouper": q65_multi_grouper,
         "q114_encoded_groups": q114_encoded_groups,
         "q84_dt_timedelta": q84_dt_timedelta,
-        "q67_stream_resample": q67_stream_resample,
-        "q109_stream_interval_join": q109_stream_interval_join,
-        "q96_stream_sessionize": q96_stream_sessionize,
-        "q85_stream_asof": q85_stream_asof,
-        "q87_stream_dedup": q87_stream_dedup,
+        "q141_rolling_2d_var": q141_rolling_2d_var,
         "q19_binary_align": q19_binary_align,
         "q21_reindex_fill": q21_reindex_fill,
         "q99_sel_partial_string": q99_sel_partial_string,
@@ -2527,11 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_coarsen_reduce": q103_coarsen_reduce,
         "q105_argmax_grid": q105_argmax_grid,
         "q106_complex_phase": q106_complex_phase,
-        "q136_curation_pipeline": q136_curation_pipeline,
-        "q127_gopher_filter": q127_gopher_filter,
-        "q128_c4_filter": q128_c4_filter,
-        "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
-        "q131_pack_nosplit": q131_pack_nosplit,
+        "q30_dedup_exact": q30_dedup_exact,
         "q88_hash_sample": q88_hash_sample,
         "q89_hash_split": q89_hash_split,
         "q90_stratified_sample": q90_stratified_sample,
@@ -2539,16 +2532,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_pack_sequences": q92_pack_sequences,
         "q93_shuffle_rank": q93_shuffle_rank,
         "q98_chunk_documents": q98_chunk_documents,
+        "q127_gopher_filter": q127_gopher_filter,
+        "q128_c4_filter": q128_c4_filter,
+        "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
+        "q131_pack_nosplit": q131_pack_nosplit,
         "q119_dedup_substrings": q119_dedup_substrings,
         "q120_semdedup": q120_semdedup,
         "q126_semdedup_trained": q126_semdedup_trained,
-        "q30_dedup_exact": q30_dedup_exact,
         "q97_ivf_fixed": q97_ivf_fixed,
         "q112_pq_topk": q112_pq_topk,
         "q113_ivfpq_topk": q113_ivfpq_topk,
         "q51_lsh_topk": q51_lsh_topk,
         "q52_embedding_near_dups": q52_embedding_near_dups,
         "q61_nearest_points": q61_nearest_points,
+        "q136_curation_pipeline": q136_curation_pipeline,
+        "q67_stream_resample": q67_stream_resample,
+        "q109_stream_interval_join": q109_stream_interval_join,
+        "q96_stream_sessionize": q96_stream_sessionize,
+        "q85_stream_asof": q85_stream_asof,
+        "q87_stream_dedup": q87_stream_dedup,
         # ---- below the fold: fresh r10/r9 rows; all re-oracled
         # at sf0.001 by tests/test_oracle.py every round ----
         "q137_grouped_quantile_midbin": q137_grouped_quantile_midbin,
