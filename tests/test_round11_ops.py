@@ -269,3 +269,38 @@ def test_dump_to_store_netcdf_rejects_kwargs(spark, tmp_path):
     ds = XDataset(spark.createDataFrame(pdf), dims=["x"], data_vars=["v"])
     with pytest.raises(TypeError, match="keyword options"):
         ds.dump_to_store(str(tmp_path / "x.nc"), mode="w")
+
+
+def test_nd_rolling_construct_and_reduce_match_reference(spark):
+    """N-D construct (mapping form, per-dim stride) and N-D reduce
+    (flattened-rectangle chain) vs the reference — through round 10
+    reduce on a multi-dim rolling silently windowed only the first
+    dim."""
+    xr = _ref_xr()
+    a = np.arange(20, dtype="float64").reshape(4, 5)
+    a[1, 2] = np.nan
+    ds = _grid_ds(spark, a)
+    da = xr.DataArray(a, dims=["x", "y"])
+    g = (ds.rolling(dict(x=2, y=3)).construct(x="wx", y="wy")
+         .to_pandas().sort_values(["x", "y", "wx", "wy"])["v"]
+         .to_numpy(dtype="float64", na_value=np.nan).reshape(4, 5, 2, 3))
+    r = da.rolling(x=2, y=3).construct(x="wx", y="wy").values
+    np.testing.assert_allclose(g, r, equal_nan=True)
+    for fn in (np.nansum, np.nanmax):
+        ge = (ds.rolling(dict(x=2, y=3), min_periods=2).reduce(fn)
+              .to_pandas().sort_values(["x", "y"])["v"]
+              .to_numpy(dtype="float64", na_value=np.nan).reshape(4, 5))
+        rr = da.rolling(x=2, y=3, min_periods=2).reduce(fn).values
+        np.testing.assert_allclose(ge, rr, equal_nan=True)
+    # per-dim stride through the mapping form
+    g2 = (ds.rolling(dict(x=2, y=3))
+          .construct({"x": "wx", "y": "wy"}, stride={"x": 2, "y": 1})
+          .to_pandas())
+    r2 = da.rolling(x=2, y=3).construct(x="wx", y="wy",
+                                        stride={"x": 2, "y": 1})
+    assert len(g2) == r2.size
+    gv = (g2.sort_values(["x", "y", "wx", "wy"])["v"]
+          .to_numpy(dtype="float64", na_value=np.nan)
+          .reshape(r2.transpose("x", "y", "wx", "wy").shape))
+    np.testing.assert_allclose(
+        gv, r2.transpose("x", "y", "wx", "wy").values, equal_nan=True)

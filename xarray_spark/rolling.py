@@ -603,20 +603,34 @@ class XRolling:
         ``collect_list(col)`` silently drops nulls, which would shift
         interior NaNs to the window front after padding (caught by the
         round-5 stride differential test); collecting structs keeps
-        every slot, then ``transform`` unwraps."""
-        w = self._frame()
-        ds = self.ds
-        exprs = [
-            F.transform(
-                F.collect_list(F.struct(F.col(c).alias("v"))).over(w),
-                lambda s: s["v"],
-            ).alias(c) if c in ds.data_vars else F.col(c)
-            for c in ds.df.columns
-        ]
-        return ds._replace(df=ds.df.select(*exprs))
+        every slot, then ``transform`` unwraps.
 
-    def construct(self, window_dim: str, stride: int = 1,
-                  fill_value=None) -> XDataset:
+        N-D windows chain one pass per rolled dim, flattening at each
+        step, so the final column holds the RECTANGLE's contents —
+        reduce() then sees the same value multiset the reference's
+        multi-window-dim view reduces over."""
+        ds = self.ds
+        out = ds
+        first = True
+        for dim, win in self.windows.items():
+            w = self._frame(dim, win)
+            exprs = []
+            for c in out.df.columns:
+                if c in ds.data_vars:
+                    col = F.transform(
+                        F.collect_list(F.struct(F.col(c).alias("v")))
+                        .over(w), lambda s: s["v"])
+                    if not first:
+                        col = F.flatten(col)
+                    exprs.append(col.alias(c))
+                else:
+                    exprs.append(F.col(c))
+            out = out._replace(df=out.df.select(*exprs))
+            first = False
+        return out
+
+    def construct(self, window_dim=None, stride=1,
+                  fill_value=None, **window_dim_kwargs) -> XDataset:
         """Materialize the rolling window as a REAL new dim
         (xarray/computation/rolling.py:327 construct): each row becomes
         ``window`` rows keyed by ``window_dim`` ∈ [0, window), aligned so
@@ -625,7 +639,33 @@ class XRolling:
         every stride-th window (the reference's subsampling knob) — a
         broadcast position filter BEFORE the explode, so the fan-out
         itself shrinks by the stride.  Long form: array front-pad +
-        posexplode — one window scan, one narrow explode, no Python."""
+        posexplode — one window scan, one narrow explode, no Python.
+
+        N-D windows take the reference's MAPPING form
+        (``construct(x='wx', y='wy')`` / ``construct({'x': 'wx', ...},
+        stride={'x': 2, ...})``) and chain one 1-D construct per rolled
+        dim — c2[x, y, wx, wy] == data[x−(w1−1)+wx, y−(w2−1)+wy], the
+        same rectangle view sliding_window_view builds."""
+        if isinstance(window_dim, Mapping) or window_dim_kwargs \
+                or len(self.windows) > 1:
+            mapping = dict(window_dim or {}, **window_dim_kwargs)
+            if isinstance(window_dim, str):
+                raise ValueError(
+                    "N-D rolling construct needs one window-dim name "
+                    "per rolled dim — the mapping form "
+                    "construct(x='wx', y='wy')")
+            missing = set(self.windows) - set(mapping)
+            if missing:
+                raise ValueError(f"construct: no window-dim name for "
+                                 f"rolled dims {sorted(missing)}")
+            out = self.ds
+            for dim, wd in mapping.items():
+                st = (stride.get(dim, 1) if isinstance(stride, Mapping)
+                      else stride)
+                out = XRolling(out, {dim: self.windows[dim]},
+                               min_periods=1, center=self.center) \
+                    .construct(wd, stride=st, fill_value=fill_value)
+            return out
         win = int(self.window)
         arrs = self._construct_arrays()
         ds = self.ds
