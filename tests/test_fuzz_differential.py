@@ -462,3 +462,40 @@ def test_fuzz_groupby_binary_transform(spark):
                 fails.append((trial, f"gb{sym}{op}", g.tolist(),
                               r.tolist(), vals.tolist()))
     assert not fails, fails[:4]
+
+
+def test_fuzz_nd_rolling(spark):
+    """Round-11 new family: N-D rolling var/std/median/mean/prod over
+    random dense grids with NaN holes vs the reference (random window
+    rectangle, min_periods, center)."""
+    rng = np.random.default_rng(3333)
+    fails = []
+    for trial in range(max(2, TRIALS // 2)):
+        nx, ny = int(rng.integers(3, 8)), int(rng.integers(3, 8))
+        a = rng.normal(0, 10, (nx, ny))
+        a[rng.random((nx, ny)) < 0.25] = np.nan
+        wx = int(rng.integers(2, min(4, nx) + 1))
+        wy = int(rng.integers(2, min(4, ny) + 1))
+        minp = int(rng.integers(1, wx * wy + 1))
+        center = bool(rng.integers(0, 2))
+        rows = [(i, j, None if np.isnan(a[i, j]) else float(a[i, j]))
+                for i in range(nx) for j in range(ny)]
+        pdf = pd.DataFrame(rows, columns=["x", "y", "v"])
+        pdf["v"] = pdf["v"].astype("float64")
+        eng = XDataset(spark.createDataFrame(pdf), dims=["x", "y"],
+                       data_vars=["v"])
+        da = xr.DataArray(a, dims=["x", "y"])
+        for op in ("var", "std", "median", "mean", "prod", "count",
+                   "min", "max"):
+            g = (getattr(eng.rolling(dict(x=wx, y=wy), min_periods=minp,
+                                     center=center), op)()
+                 .to_pandas().sort_values(["x", "y"])["v"]
+                 .to_numpy(dtype="float64", na_value=np.nan)
+                 .reshape(nx, ny))
+            r = np.asarray(getattr(
+                da.rolling(x=wx, y=wy, min_periods=minp, center=center),
+                op)().values, "float64")
+            if not _close(g, r):
+                fails.append((trial, op, wx, wy, minp, center,
+                              g.tolist(), r.tolist()))
+    assert not fails, fails[:3]

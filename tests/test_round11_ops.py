@@ -304,3 +304,39 @@ def test_nd_rolling_construct_and_reduce_match_reference(spark):
           .reshape(r2.transpose("x", "y", "wx", "wy").shape))
     np.testing.assert_allclose(
         gv, r2.transpose("x", "y", "wx", "wy").values, equal_nan=True)
+
+
+def test_minmax_cache_distinguishes_paths(spark):
+    """The fingerprint cache must NOT collide across different parquet
+    paths: the canonicalized plan string omits the file location, so
+    the input-file list is part of the key (sf0.001 and sf0.01 orders
+    have different min dates)."""
+    import __spark_entry__ as em
+    from xarray_spark import _utils as U
+    U._MINMAX_CACHE.clear()
+    a = U.dim_min_max(em._orders(spark, "/root/testdata/sf0.001").df,
+                      "o_orderdate")
+    b = U.dim_min_max(em._orders(spark, "/root/testdata/sf0.01").df,
+                      "o_orderdate")
+    assert len(U._MINMAX_CACHE) == 2  # two distinct keys
+    # and a filtered plan must not collide with the raw scan
+    df = em._orders(spark, "/root/testdata/sf0.01").df
+    c = U.dim_min_max(
+        df.where(F.col("o_orderdate") >= "1996-01-01"), "o_orderdate")
+    assert c[0] != b[0] and str(c[0])[:4] == "1996"
+    assert len(U._MINMAX_CACHE) == 3
+
+
+def test_minmax_uncacheable_inmemory_frames(spark):
+    """LocalRelation-backed frames (createDataFrame) print schema but
+    not data in the canonicalized plan — they must stay UNCACHED so two
+    same-shaped literal frames can't collide."""
+    from xarray_spark import _utils as U
+    U._MINMAX_CACHE.clear()
+    t1 = pd.date_range("2020-01-01", periods=3, freq="D")
+    t2 = pd.date_range("1999-01-01", periods=3, freq="D")
+    d1 = spark.createDataFrame(pd.DataFrame({"t": t1}))
+    d2 = spark.createDataFrame(pd.DataFrame({"t": t2}))
+    assert U.dim_min_max(d1, "t")[0] == pd.Timestamp("2020-01-01")
+    assert U.dim_min_max(d2, "t")[0] == pd.Timestamp("1999-01-01")
+    assert len(U._MINMAX_CACHE) == 0

@@ -234,7 +234,14 @@ class XRolling:
         pr = lambda c, w: F.product(c).over(w)   # noqa: E731
         cnt = lambda c, w: F.count(c).over(w).cast("long")  # noqa: E731
         if kind == "count":
-            return sweep(cnt, s)
+            # min_periods masks count too (reference: the constructed
+            # window's valid-count, NaN below min_periods — round-11
+            # N-D fuzz find)
+            n = sweep(cnt, s)
+            if self.min_periods > 1:
+                return n._binary_op_dataset(
+                    n, lambda a, b: F.when(b >= self.min_periods, a))
+            return n
         n = sweep(cnt, s) if (kind == "mean" or self.min_periods > 1) else None
         if kind == "sum":
             out = sweep(s, s)
