@@ -478,3 +478,16 @@ def test_resample_anchor_lookup_is_cached(spark, entry):
     import pandas as pd
     row = o1.df.agg(F.min("o_orderdate").alias("m")).first()
     assert U.dim_min_max(o1.df, "o_orderdate")[0] == pd.Timestamp(row["m"])
+
+
+def test_nd_rolling_plan_shape(spark, entry):
+    """q141 (N-D rolling var): exactly ONE Arrow kernel
+    (FlatMapGroupsInPandas over label-halo segments), every join a
+    broadcast of label-sized tables — no SortMergeJoin, no cartesian
+    (the crossJoins are the day x hour densify and the label->segment
+    assignment, both label-count-sized broadcasts)."""
+    df = entry.q141_rolling_2d_var(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
