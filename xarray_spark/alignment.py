@@ -182,6 +182,9 @@ def reindex(
         if isinstance(labels, XDataset):
             new_labels = labels.df.select(dim).distinct()
             lab_list = None
+        elif hasattr(labels, "sparkSession"):  # DataFrame label table
+            new_labels = labels.select(dim).distinct()
+            lab_list = None
         else:
             lab_list = list(labels)
             new_labels = spark.createDataFrame([(l,) for l in lab_list], [dim])
