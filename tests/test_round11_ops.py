@@ -340,3 +340,18 @@ def test_minmax_uncacheable_inmemory_frames(spark):
     assert U.dim_min_max(d1, "t")[0] == pd.Timestamp("2020-01-01")
     assert U.dim_min_max(d2, "t")[0] == pd.Timestamp("1999-01-01")
     assert len(U._MINMAX_CACHE) == 0
+
+
+@pytest.mark.parametrize("origin", ["end", "end_day"])
+def test_subsecond_origin_end_matches_pandas(spark, origin):
+    """origin='end'/'end_day' on sub-second freqs: grid anchored at the
+    data's end (micro-exact) with the pandas right-closed/right-labeled
+    default flip."""
+    s = pd.Series([1.0, 2.0, 3.0, 4.0], index=SUBSEC_TS)
+    exp = s.resample("700ms", origin=origin).mean().dropna()
+    eng = _eng(spark, SUBSEC_TS, [1.0, 2.0, 3.0, 4.0])
+    got = (eng.resample(t="700ms", origin=origin).mean()
+           .to_pandas().dropna().sort_values("t"))
+    assert [str(pd.Timestamp(x)) for x in got["t"]] == \
+           [str(i) for i in exp.index]
+    np.testing.assert_allclose(np.asarray(got["v"], float), exp.values)
