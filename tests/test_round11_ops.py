@@ -355,3 +355,23 @@ def test_subsecond_origin_end_matches_pandas(spark, origin):
     assert [str(pd.Timestamp(x)) for x in got["t"]] == \
            [str(i) for i in exp.index]
     np.testing.assert_allclose(np.asarray(got["v"], float), exp.values)
+
+
+def test_rolling_center_per_dim_mapping(spark):
+    """The reference's per-dim center mapping
+    (center={'x': True, 'y': False}) — mixed centered/trailing axes
+    through both the separable sweeps and the rectangle kernel."""
+    xr = _ref_xr()
+    a = np.arange(20.0).reshape(4, 5)
+    ds = _grid_ds(spark, a)
+    da = xr.DataArray(a, dims=["x", "y"])
+    for op in ("mean", "var", "median", "sum"):
+        g = (getattr(ds.rolling(dict(x=2, y=3),
+                                center={"x": True, "y": False},
+                                min_periods=1), op)()
+             .to_pandas().sort_values(["x", "y"])["v"]
+             .to_numpy(dtype="float64", na_value=np.nan).reshape(4, 5))
+        r = np.asarray(getattr(
+            da.rolling(x=2, y=3, center={"x": True, "y": False},
+                       min_periods=1), op)().values, "float64")
+        np.testing.assert_allclose(g, r, equal_nan=True)

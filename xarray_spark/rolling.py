@@ -161,6 +161,13 @@ class XRolling:
         else:
             self.min_periods = min_periods if min_periods is not None else self.window
 
+    def _center_of(self, dim: str) -> bool:
+        """``center`` is one bool for every rolled dim or the
+        reference's per-dim mapping (center={'x': True, 'y': False})."""
+        if isinstance(self.center, Mapping):
+            return bool(self.center.get(dim, False))
+        return bool(self.center)
+
     def _frame(self, dim: str | None = None, window: int | None = None):
         dim = dim or self.dim
         window = window or self.window
@@ -168,7 +175,7 @@ class XRolling:
         base = Window.partitionBy(*others).orderBy(dim)
         if window == -1:
             return base.rowsBetween(Window.unboundedPreceding, 0)
-        if self.center:
+        if self._center_of(dim):
             # xarray center: window extends (w-1)//2 after, rest before
             after = (window - 1) // 2
             before = window - 1 - after
@@ -268,7 +275,7 @@ class XRolling:
         from xarray_spark.options import OPTIONS
         from xarray_spark._utils import estimated_rows
         thr = OPTIONS["auto_segment_threshold"]
-        if (thr is None or self.center or len(self.windows) > 1
+        if (thr is None or self._center_of(self.dim) or len(self.windows) > 1
                 or self.window == -1):
             return None
         if [d for d in self.ds.dims if d != self.dim]:
@@ -379,7 +386,7 @@ class XRolling:
         has_others = any(d != self.dim for d in self.ds.dims)
         if thr is None or len(self.windows) != 1 or self.window == -1 \
                 or self.window < thr \
-                or (self.center and not has_others):
+                or (self._center_of(self.dim) and not has_others):
             return False
         bound = OPTIONS["rolling_arrow_est_rows_bound"]
         if bound is not None and has_others:
@@ -436,7 +443,8 @@ class XRolling:
         same per-dim center split as the 1-D frames."""
         dims = list(self.windows)
         wins = [int(self.windows[d]) for d in dims]
-        afters = [(w - 1) // 2 if self.center else 0 for w in wins]
+        afters = [(w - 1) // 2 if self._center_of(d) else 0
+                  for d, w in zip(dims, wins)]
         befores = [w - 1 - a for w, a in zip(wins, afters)]
         return dims, wins, befores, afters
 
@@ -521,7 +529,8 @@ class XRolling:
         makes the mean inf, its own deviation inf−inf=NaN, and the
         window is NaN — identical to the in-plan HOF path."""
         from functools import partial
-        after = (self.window - 1) // 2 if self.center else 0
+        after = ((self.window - 1) // 2
+                 if self._center_of(self.dim) else 0)
         return self._arrow_window_apply(partial(
             _np_rolling_var, window=self.window,
             before=self.window - 1 - after, after=after,
@@ -536,7 +545,8 @@ class XRolling:
             return self._nd_window_arrow("median")
         if self._arrow_ok():
             from functools import partial
-            after = (self.window - 1) // 2 if self.center else 0
+            after = ((self.window - 1) // 2
+                     if self._center_of(self.dim) else 0)
             return self._arrow_window_apply(partial(
                 _np_rolling_median, window=self.window,
                 before=self.window - 1 - after, after=after,
@@ -580,7 +590,7 @@ class XRolling:
         w = self._frame()
         ds = self.ds
         window = self.window
-        after = (window - 1) // 2 if self.center else 0
+        after = (window - 1) // 2 if self._center_of(dim) else 0
         before = window - 1 - after
         df = ds.df.withColumn("__rp", (F.row_number().over(seq) - 1).cast("long"))
         exprs = []
@@ -670,7 +680,8 @@ class XRolling:
                 st = (stride.get(dim, 1) if isinstance(stride, Mapping)
                       else stride)
                 out = XRolling(out, {dim: self.windows[dim]},
-                               min_periods=1, center=self.center) \
+                               min_periods=1,
+                               center=self._center_of(dim)) \
                     .construct(wd, stride=st, fill_value=fill_value)
             return out
         win = int(self.window)
