@@ -463,6 +463,12 @@ class XRolling:
         unimplemented for N-D windows: the reference itself raises
         TypeError there (np.argmin rejects a tuple axis)."""
         ds = self.ds
+        if ds.df.isStreaming:
+            raise NotImplementedError(
+                "N-D rolling var/std/median needs the batch Arrow "
+                "kernel (applyInPandas over the whole rectangle); on a "
+                "stream use the separable reductions or window the "
+                "stream first")
         dims, wins, befores, afters = self._nd_geometry()
         others = [d for d in ds.dims if d not in dims]
         from xarray_spark._utils import nan_to_null
