@@ -74,7 +74,10 @@ def test_fuzz_reductions_and_windows(spark):
                 fails.append((trial, f"gb_{op}", g.tolist(), r.tolist(),
                               vals.tolist()))
         wsz = int(rng.integers(2, 5))
-        for op in ("sum", "mean", "min", "max", "std", "var", "median"):
+        # count included since round 11: min_periods masks count too
+        # (a zero-valid window is NaN, not 0 — N-D fuzz find)
+        for op in ("sum", "mean", "min", "max", "std", "var", "median",
+                   "count"):
             g = (getattr(eng.rolling({"t": wsz}), op)().to_pandas()
                  .sort_values("t")["v"].to_numpy())
             r = getattr(ref.rolling(t=wsz), op)().values

@@ -241,14 +241,12 @@ class XRolling:
         pr = lambda c, w: F.product(c).over(w)   # noqa: E731
         cnt = lambda c, w: F.count(c).over(w).cast("long")  # noqa: E731
         if kind == "count":
-            # min_periods masks count too (reference: the constructed
-            # window's valid-count, NaN below min_periods — round-11
-            # N-D fuzz find)
+            # min_periods masks count too — EVEN at min_periods=1: the
+            # reference NaNs a zero-valid-count rectangle instead of
+            # saying 0 (round-11 N-D fuzz finds, both at >1 and ==1)
             n = sweep(cnt, s)
-            if self.min_periods > 1:
-                return n._binary_op_dataset(
-                    n, lambda a, b: F.when(b >= self.min_periods, a))
-            return n
+            return n._binary_op_dataset(
+                n, lambda a, b: F.when(b >= self.min_periods, a))
         n = sweep(cnt, s) if (kind == "mean" or self.min_periods > 1) else None
         if kind == "sum":
             out = sweep(s, s)
@@ -308,7 +306,13 @@ class XRolling:
     def count(self):
         if len(self.windows) > 1:
             return self._apply_nd("count")
-        return self._maybe_segmented("count") or self._apply(lambda c, w: F.count(c).over(w))
+        # count masks below min_periods even at min_periods=1: the
+        # reference NaNs a zero-valid-count window instead of saying 0
+        # (round-11 N-D fuzz find; the segmented path always masked)
+        minp = self.min_periods
+        return self._maybe_segmented("count") or self._apply(
+            lambda c, w: F.when(F.count(c).over(w) >= minp,
+                                F.count(c).over(w)))
     def std(self, ddof=0):
         return self._var_window(ddof, sqrt=True)
 
