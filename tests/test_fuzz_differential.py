@@ -489,7 +489,7 @@ def test_fuzz_nd_rolling(spark):
                        data_vars=["v"])
         da = xr.DataArray(a, dims=["x", "y"])
         for op in ("var", "std", "median", "mean", "prod", "count",
-                   "min", "max"):
+                   "min", "max", "sum"):
             g = (getattr(eng.rolling(dict(x=wx, y=wy), min_periods=minp,
                                      center=center), op)()
                  .to_pandas().sort_values(["x", "y"])["v"]
