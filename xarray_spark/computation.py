@@ -257,13 +257,16 @@ def polyfit(ds: XDataset, dim: str, deg: int, w: str | None = None,
     # aggregation — the z-space normal equations are well-conditioned
     # — and back-transform the coefficients in solve() (exact
     # (deg+1)²-sized driver algebra).  One column-pruned min/max agg
-    # pays for it; measured parity: ≤4e-9 rel coeff diff vs np.polyfit
-    # at the deg-4 offset shape where raw moments gave 4.6e-3 abs.
-    mm = ds.df.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).first()
-    if mm is None or mm["lo"] is None:
+    # pays for it (fingerprint-cached across repeated polyfits over
+    # one lineage); measured parity: ≤4e-9 rel coeff diff vs
+    # np.polyfit at the deg-4 offset shape where raw moments gave
+    # 4.6e-3 abs.
+    from xarray_spark._utils import dim_min_max
+    lo, hi = dim_min_max(ds.df.select(x.alias("__x")), "__x")
+    if lo is None:
         mu, sc = 0.0, 1.0
     else:
-        lo_, hi_ = float(mm["lo"]), float(mm["hi"])
+        lo_, hi_ = float(lo), float(hi)
         mu = (lo_ + hi_) / 2.0
         sc = (hi_ - lo_) / 2.0 or 1.0
     z = (x - F.lit(mu)) / F.lit(sc)
@@ -778,16 +781,16 @@ def _fill_missing_dates(ds: XDataset, dim: str, missing) -> XDataset:
     planning: one min/max aggregate, one pandas date_range, one
     broadcast reindex."""
     import pandas as pd
-    row = ds.df.agg(F.min(dim).alias("lo"), F.max(dim).alias("hi")).first()
-    if row["lo"] is None:
+    from xarray_spark._utils import dim_min_max
+    lo, hi = dim_min_max(ds.df, dim)  # fingerprint-cached, footer-served
+    if lo is None:
         return ds
     freq = infer_freq(ds, dim)
     if freq is None:
         raise ValueError(
             "convert_calendar(missing=...) requires an inferable "
             f"frequency on {dim!r}")
-    full = [t.to_pydatetime()
-            for t in pd.date_range(row["lo"], row["hi"], freq=freq)]
+    full = [t.to_pydatetime() for t in pd.date_range(lo, hi, freq=freq)]
     return ds.reindex({dim: full}, fill_value=missing)
 
 
