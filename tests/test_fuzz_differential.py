@@ -502,3 +502,75 @@ def test_fuzz_nd_rolling(spark):
                 fails.append((trial, op, wx, wy, minp, center,
                               g.tolist(), r.tolist()))
     assert not fails, fails[:3]
+
+
+def test_fuzz_coarsen_boundary_matrix(spark):
+    """Round-11 extension: coarsen boundary x side x reduction over
+    adversarial values — the standing coarsen draw only exercised
+    boundary='trim'."""
+    rng = np.random.default_rng(4444)
+    fails = []
+    for trial in range(TRIALS):
+        n = int(rng.integers(4, 20))
+        vals = _draw(rng, n, inf_ok=False)
+        wsz = int(rng.integers(2, 5))
+        boundary = ["trim", "pad", "exact"][int(rng.integers(0, 3))]
+        side = ["left", "right"][int(rng.integers(0, 2))]
+        if boundary == "exact" and n % wsz:
+            continue
+        eng = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(n), "v": vals})), dims=["t"])
+        ref = xr.DataArray(vals, dims="t", coords={"t": range(n)})
+        for op in ("mean", "sum", "max", "std", "count", "median"):
+            try:
+                r = getattr(ref.coarsen(t=wsz, boundary=boundary,
+                                        side=side), op)()
+            except Exception:  # noqa: BLE001
+                continue
+            g = (getattr(eng.coarsen({"t": wsz}, boundary=boundary,
+                                     side=side), op)()
+                 .to_pandas().sort_values("t"))
+            gv = np.asarray([np.nan if x is None else x for x in g["v"]],
+                            "float64")
+            rv = np.asarray(r.values, "float64")
+            if not _close(gv, rv):
+                fails.append((trial, op, wsz, boundary, side,
+                              gv.tolist(), rv.tolist(), vals.tolist()))
+    assert not fails, fails[:4]
+
+
+def test_fuzz_interpolate_na_params(spark):
+    """Round-11 extension: interpolate_na method x limit x max_gap on
+    irregular coordinates (the standing draw fixed method='linear'
+    with no limit)."""
+    rng = np.random.default_rng(5555)
+    fails = []
+    methods = ["linear", "nearest", "zero", "slinear"]
+    for trial in range(TRIALS):
+        n = int(rng.integers(5, 22))
+        vals = _draw(rng, n, nan_frac=0.45, inf_ok=False)
+        # irregular, strictly increasing coordinate
+        x = np.cumsum(rng.integers(1, 5, n)).astype("float64")
+        method = methods[int(rng.integers(0, len(methods)))]
+        limit = [None, 1, 2][int(rng.integers(0, 3))]
+        max_gap = [None, 3.0, 6.0][int(rng.integers(0, 3))]
+        if limit is not None and max_gap is not None:
+            max_gap = None  # reference rejects combining them? keep axes separate
+        eng = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": x, "v": vals})), dims=["t"])
+        ref = xr.DataArray(vals, dims="t", coords={"t": x})
+        try:
+            r = ref.interpolate_na("t", method=method, limit=limit,
+                                   max_gap=max_gap)
+        except Exception:  # noqa: BLE001
+            continue
+        g = (eng.interpolate_na("t", method=method, limit=limit,
+                                max_gap=max_gap)
+             .to_pandas().sort_values("t"))
+        gv = np.asarray([np.nan if v is None else v for v in g["v"]],
+                        "float64")
+        rv = np.asarray(r.values, "float64")
+        if not _close(gv, rv):
+            fails.append((trial, method, limit, max_gap, gv.tolist(),
+                          rv.tolist(), vals.tolist(), x.tolist()))
+    assert not fails, fails[:4]
