@@ -574,3 +574,43 @@ def test_fuzz_interpolate_na_params(spark):
             fails.append((trial, method, limit, max_gap, gv.tolist(),
                           rv.tolist(), vals.tolist(), x.tolist()))
     assert not fails, fails[:4]
+
+
+def test_fuzz_pad_modes(spark):
+    """Round-11 extension: pad mode x width matrix vs the reference
+    (the wave pins fixed a few shapes; the mode surface is wide)."""
+    rng = np.random.default_rng(6666)
+    modes = ["constant", "edge", "reflect", "symmetric", "wrap",
+             "maximum", "minimum", "mean", "linear_ramp", "median"]
+    fails = []
+    for trial in range(TRIALS):
+        n = int(rng.integers(4, 14))
+        vals = _draw(rng, n, nan_frac=0.1, inf_ok=False)
+        before = int(rng.integers(0, 4))
+        after = int(rng.integers(0, 4))
+        if before == after == 0:
+            continue
+        if before >= n or after >= n:
+            continue  # reflect/wrap need width < n
+        mode = modes[int(rng.integers(0, len(modes)))]
+        kw = {"constant_values": float(rng.choice([0.0, -3.5]))} \
+            if mode == "constant" else {}
+        eng = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(n), "v": vals})), dims=["t"])
+        ref = xr.DataArray(vals, dims="t", coords={"t": range(n)})
+        try:
+            r = ref.pad(t=(before, after), mode=mode, **kw)
+        except Exception:  # noqa: BLE001
+            continue
+        try:
+            g = (eng.pad(t=(before, after), mode=mode, **kw)
+                 .to_pandas().sort_values("t"))
+        except NotImplementedError:
+            continue  # documented engine stance, if any
+        gv = np.asarray([np.nan if v is None else v for v in g["v"]],
+                        "float64")
+        rv = np.asarray(r.values, "float64")
+        if not _close(gv, rv):
+            fails.append((trial, mode, before, after, gv.tolist(),
+                          rv.tolist(), vals.tolist()))
+    assert not fails, fails[:4]

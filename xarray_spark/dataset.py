@@ -4079,9 +4079,13 @@ class XDataset:
             # the unioned series would fill genuine missing values too
             return self._pad_positional(dim, before, after, mode, new_labels,
                                         n1 + 1, end_values, reflect_type)
-        if mode in ("mean", "maximum", "minimum"):
+        if mode in ("mean", "maximum", "minimum", "median"):
+            # median joined the stat family in round 11 (pad fuzz find:
+            # it silently fell through to the constant branch and
+            # padded NULL) — np.median semantics via the shared exact
+            # mean-of-middles order statistic
             base_fn = {"mean": F.avg, "maximum": F.max,
-                       "minimum": F.min}[mode]
+                       "minimum": F.min, "median": _median_expr}[mode]
 
             def aggfn(v):
                 # np.pad stat modes have no notion of missing data — a
