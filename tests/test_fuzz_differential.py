@@ -593,8 +593,16 @@ def test_fuzz_pad_modes(spark):
         if before >= n or after >= n:
             continue  # reflect/wrap need width < n
         mode = modes[int(rng.integers(0, len(modes)))]
-        kw = {"constant_values": float(rng.choice([0.0, -3.5]))} \
-            if mode == "constant" else {}
+        kw = {}
+        if mode == "constant":
+            kw["constant_values"] = float(rng.choice([0.0, -3.5]))
+        elif mode in ("maximum", "minimum", "mean", "median") \
+                and rng.integers(0, 2):
+            kw["stat_length"] = int(rng.integers(1, n))
+        elif mode == "linear_ramp" and rng.integers(0, 2):
+            kw["end_values"] = float(rng.choice([0.0, 5.0, -2.5]))
+        elif mode in ("reflect", "symmetric") and rng.integers(0, 2):
+            kw["reflect_type"] = "odd"
         eng = XDataset(spark.createDataFrame(
             pd.DataFrame({"t": range(n), "v": vals})), dims=["t"])
         ref = xr.DataArray(vals, dims="t", coords={"t": range(n)})
