@@ -622,3 +622,73 @@ def test_fuzz_pad_modes(spark):
             fails.append((trial, mode, before, after, gv.tolist(),
                           rv.tolist(), vals.tolist()))
     assert not fails, fails[:4]
+
+
+def test_fuzz_shift_roll_diff(spark):
+    """Round-11 extension: shift(fill_value) / roll(roll_coords) /
+    diff(n, label) parameter draws."""
+    rng = np.random.default_rng(7777)
+    fails = []
+    for trial in range(TRIALS):
+        n = int(rng.integers(4, 18))
+        vals = _draw(rng, n, inf_ok=False)
+        eng = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(n), "v": vals})), dims=["t"])
+        ref = xr.DataArray(vals, dims="t", coords={"t": range(n)})
+        k = int(rng.integers(-3, 4))
+        fv = rng.choice([None, 0.0, -9.5])
+        fv = None if fv is None else float(fv)
+        g = (eng.shift({"t": k}, fill_value=fv).to_pandas()
+             .sort_values("t")["v"].to_numpy())
+        r = (ref.shift(t=k, fill_value=np.nan if fv is None else fv)
+             .values)
+        if not _close(g, r):
+            fails.append((trial, "shift", k, fv, g.tolist(), r.tolist()))
+        g = (eng.roll({"t": k}).to_pandas().sort_values("t")["v"]
+             .to_numpy())
+        r = ref.roll(t=k).values
+        if not _close(g, r):
+            fails.append((trial, "roll", k, g.tolist(), r.tolist()))
+        nd = int(rng.integers(1, 4))
+        lab = ["upper", "lower"][int(rng.integers(0, 2))]
+        if nd < n:
+            gdf = eng.diff("t", n=nd, label=lab).to_pandas().sort_values("t")
+            rr = ref.diff("t", n=nd, label=lab)
+            if (gdf["t"].tolist() != list(rr["t"].values)
+                    or not _close(gdf["v"].to_numpy(), rr.values)):
+                fails.append((trial, "diff", nd, lab,
+                              gdf["v"].tolist(), rr.values.tolist()))
+    assert not fails, fails[:4]
+
+
+def test_fuzz_2d_reduce_dims(spark):
+    """Round-11 extension: reductions over dim SUBSETS of a 2-D grid
+    (one dim / the other / both) with adversarial values — exercises
+    the kept-dims plumbing rather than the scalar path."""
+    rng = np.random.default_rng(8888)
+    fails = []
+    for trial in range(TRIALS):
+        nx, ny = int(rng.integers(2, 6)), int(rng.integers(2, 6))
+        a = _draw(rng, nx * ny, inf_ok=False).reshape(nx, ny)
+        rows = [(i, j, None if np.isnan(a[i, j]) else float(a[i, j]))
+                for i in range(nx) for j in range(ny)]
+        pdf = pd.DataFrame(rows, columns=["x", "y", "v"])
+        pdf["v"] = pdf["v"].astype("float64")
+        eng = XDataset(spark.createDataFrame(pdf), dims=["x", "y"],
+                       data_vars=["v"])
+        ref = xr.DataArray(a, dims=["x", "y"])
+        for dims in ("x", "y", ["x", "y"]):
+            for op in ("sum", "mean", "std", "var", "median", "min",
+                       "prod"):
+                gds = getattr(eng, op)(dims if isinstance(dims, list)
+                                       else dims)
+                gp = gds.to_pandas()
+                kept = [c for c in ("x", "y") if c in gp.columns]
+                gv = (gp.sort_values(kept)["v"].to_numpy()
+                      if kept else np.array([gp["v"].iloc[0]]))
+                rv = np.atleast_1d(np.asarray(
+                    getattr(ref, op)(dim=dims).values, "float64"))
+                if not _close(gv, rv):
+                    fails.append((trial, op, dims, gv.tolist(),
+                                  rv.tolist()))
+    assert not fails, fails[:4]

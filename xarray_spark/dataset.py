@@ -3378,12 +3378,17 @@ class XDataset:
         """n-th discrete difference along dim (xarray/core/dataset.py:7879).
         label='upper' (default) keeps the label of the later operand
         (xarray drops the first label); label='lower' keeps the earlier
-        one (drops the last)."""
+        one (drops the last).  For n > 1 the reference applies ``label``
+        on the FIRST step only and recurses with the DEFAULT 'upper'
+        (``difference.diff(dim, n - 1)`` drops the label argument —
+        round-11 fuzz find: n=2/label='lower' labels are [1..len-2],
+        not [0..len-3])."""
         if label not in ("upper", "lower"):
             raise ValueError(f"label must be 'upper' or 'lower', got {label!r}")
         out = self
         skip = self._bcast_passthrough([dim])
-        for _ in range(n):
+        for step in range(n):
+            label = label if step == 0 else "upper"
             others = [x for x in out.dims if x != dim]
             w = Window.partitionBy(*others).orderBy(dim)
             exprs = []
