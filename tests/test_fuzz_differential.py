@@ -692,3 +692,62 @@ def test_fuzz_2d_reduce_dims(spark):
                     fails.append((trial, op, dims, gv.tolist(),
                                   rv.tolist()))
     assert not fails, fails[:4]
+
+
+def test_fuzz_cumulative_min_periods(spark):
+    """Round-11 extension: cumulative (unbounded-preceding rolling) ops
+    x min_periods over adversarial values."""
+    rng = np.random.default_rng(9999)
+    fails = []
+    for trial in range(TRIALS):
+        n = int(rng.integers(3, 18))
+        vals = _draw(rng, n, inf_ok=False)
+        minp = int(rng.integers(1, 4))
+        eng = XDataset(spark.createDataFrame(
+            pd.DataFrame({"t": range(n), "v": vals})), dims=["t"])
+        ref = xr.DataArray(vals, dims="t", coords={"t": range(n)})
+        for op in ("sum", "mean", "min", "max", "count", "std", "var",
+                   "median", "prod"):
+            try:
+                r = getattr(ref.cumulative("t", min_periods=minp), op)()
+            except Exception:  # noqa: BLE001
+                continue
+            g = (getattr(eng.cumulative("t", min_periods=minp), op)()
+                 .to_pandas().sort_values("t")["v"].to_numpy())
+            rv = np.asarray(r.values, "float64")
+            if not _close(g, rv):
+                fails.append((trial, op, minp, g.tolist(), rv.tolist(),
+                              vals.tolist()))
+    assert not fails, fails[:4]
+
+
+def test_fuzz_stack_unstack_roundtrip(spark):
+    """Round-11 extension: stack/unstack over random dense 2-D grids —
+    values survive the roundtrip and the stacked long-form multiset
+    matches the reference's stacked array."""
+    rng = np.random.default_rng(12121)
+    fails = []
+    for trial in range(TRIALS):
+        nx, ny = int(rng.integers(2, 6)), int(rng.integers(2, 6))
+        a = _draw(rng, nx * ny, inf_ok=False).reshape(nx, ny)
+        rows = [(i, j, None if np.isnan(a[i, j]) else float(a[i, j]))
+                for i in range(nx) for j in range(ny)]
+        pdf = pd.DataFrame(rows, columns=["x", "y", "v"])
+        pdf["v"] = pdf["v"].astype("float64")
+        eng = XDataset(spark.createDataFrame(pdf), dims=["x", "y"],
+                       data_vars=["v"])
+        ref = xr.DataArray(a, dims=["x", "y"],
+                           coords={"x": range(nx), "y": range(ny)})
+        st = eng.stack(z=("x", "y"))
+        rst = ref.stack(z=("x", "y"))
+        gp = st.to_pandas()
+        gv = np.sort(gp["v"].to_numpy(dtype="float64", na_value=np.nan))
+        rv = np.sort(np.asarray(rst.values, "float64"))
+        if not _close(gv, rv):
+            fails.append((trial, "stack_values", gv.tolist(), rv.tolist()))
+        back = st.unstack("z").to_pandas().sort_values(["x", "y"])
+        bv = back["v"].to_numpy(dtype="float64", na_value=np.nan)
+        ov = a.reshape(-1)
+        if not _close(np.sort(bv), np.sort(ov)):
+            fails.append((trial, "roundtrip", bv.tolist(), ov.tolist()))
+    assert not fails, fails[:4]
