@@ -109,6 +109,11 @@ def test_fuzz_weighted_args_interp_coarsen(spark):
             r = float(getattr(refw, op)().values)
             if not _close(g, r):
                 fails.append((trial, f"w_{op}", g, r, vals.tolist()))
+        q = float(rng.choice([0.0, 0.35, 0.5, 0.77, 1.0]))
+        g = eng.weighted(wda).quantile(q).to_pandas()["v"].iloc[0]
+        r = float(refw.quantile(q).values)
+        if not _close(g, r):
+            fails.append((trial, f"w_q{q}", g, r, vals.tolist()))
         for op in ("idxmin", "idxmax", "argmin", "argmax"):
             g = getattr(eng["v"], op)("t").to_pandas().iloc[0, -1]
             r = float(getattr(ref, op)("t").values)
