@@ -756,3 +756,65 @@ def test_fuzz_stack_unstack_roundtrip(spark):
         if not _close(np.sort(bv), np.sort(ov)):
             fails.append((trial, "roundtrip", bv.tolist(), ov.tolist()))
     assert not fails, fails[:4]
+
+
+def test_fuzz_groupby_time_resampler(spark):
+    """Round-11 extension: a bare TimeResampler through groupby()
+    (alone and composed with a UniqueGrouper) must bin exactly like
+    resample() — fixed-width widths anchor at origin (default
+    start_day), calendar multiples at the first unit block.  Found
+    round 11: '2D' through groupby binned on the EPOCH grid."""
+    from xarray.groupers import TimeResampler as RefTR
+    from xarray.groupers import UniqueGrouper as RefUG
+    from xarray_spark.groupers import TimeResampler, UniqueGrouper
+    rng = np.random.default_rng(13131)
+    freqs = ["2D", "3D", "D", "7h", "2MS", "W", "2W", "36h"]
+    fails = []
+    for trial in range(TRIALS):
+        n = int(rng.integers(6, 25))
+        start = (pd.Timestamp("1999-01-01")
+                 + pd.Timedelta(hours=int(rng.integers(0, 50000))))
+        ts = start + pd.to_timedelta(
+            np.unique(rng.integers(1, 90 * 24, n)), unit="h")
+        n = len(ts)
+        vals = _draw(rng, n, inf_ok=False)
+        keys = rng.integers(0, 2, n)
+        freq = freqs[int(rng.integers(0, len(freqs)))]
+        compose = bool(rng.integers(0, 2))
+        eng = XDataset(spark.createDataFrame(
+            pd.DataFrame({"s": range(n), "t": ts, "k": keys,
+                          "v": vals})),
+            dims=["s"], coords={"t": ("s",), "k": ("s",)})
+        ref = xr.DataArray(vals, dims="s",
+                           coords={"t": ("s", ts), "k": ("s", keys)})
+        try:
+            if compose:
+                r = ref.groupby(t=RefTR(freq), k=RefUG()).sum()
+            else:
+                r = ref.groupby(t=RefTR(freq)).sum()
+        except Exception:  # noqa: BLE001
+            continue
+        if compose:
+            g = eng.groupby({"t": TimeResampler(freq),
+                             "k": UniqueGrouper()}).sum().to_pandas()
+            gd = {(str(pd.Timestamp(row["t"])), int(row["k"])): row["v"]
+                  for _, row in g.iterrows()}
+            rd = {}
+            for i, tv in enumerate(r["t"].values):
+                for j, kv in enumerate(r["k"].values):
+                    x = float(np.asarray(r.values)[i, j])
+                    if x == x:
+                        rd[(str(pd.Timestamp(tv)), int(kv))] = x
+            ok = (set(gd) == set(rd)
+                  and _close([gd[k] for k in sorted(gd)],
+                             [rd[k] for k in sorted(rd)]))
+        else:
+            g = eng.groupby({"t": TimeResampler(freq)}).sum() \
+                .to_pandas().sort_values("t")
+            ok = ([pd.Timestamp(x) for x in g["t"]]
+                  == [pd.Timestamp(x) for x in r["t"].values]
+                  and _close(g["v"].to_numpy(),
+                             np.asarray(r.values, "float64")))
+        if not ok:
+            fails.append((trial, freq, compose, str(ts[0])))
+    assert not fails, fails[:4]

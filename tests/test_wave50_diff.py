@@ -239,20 +239,24 @@ def test_cumulative_integrate_millisecond_2026(spark):
 # ------------------------------- 8: groupby(TimeResampler) anchoring
 
 def test_groupby_timeresampler_anchors_like_resample(spark):
+    """Round-11 semantics: a SINGLE bare TimeResampler through
+    groupby() IS resample() — same anchors AND the same full label run
+    with empty bins NaN-materialized (the reference's groupby(Time-
+    Resampler) == resample; through round 10 the engine's groupby path
+    stayed sparse and epoch-anchored)."""
     from xarray_spark.groupers import TimeResampler
     eng = _eng(spark, WEEK_TS, WEEK_V)
     ref = _ref(WEEK_TS, WEEK_V)
-    # groupby has no empty-bin densify: engine bins must equal the
-    # reference resample bins that actually hold data
-    r = ref.resample(t="2W").count()
     rs = ref.resample(t="2W").sum()
     exp = [(pd.Timestamp(a), float(b))
-           for a, b, c in zip(rs["t"].values, rs.values, r.values)
-           if c and c > 0]
+           for a, b in zip(rs["t"].values, rs.values)]
     g = eng.groupby(t=TimeResampler("2W")).sum().to_pandas().sort_values("t")
-    got = [(pd.Timestamp(a), float(b)) for a, b in zip(g["t"], g["v"])
-           if b is not None]
-    assert got == exp, (got, exp)
+    got = [(pd.Timestamp(a),
+            np.nan if b is None else float(b))
+           for a, b in zip(g["t"], g["v"])]
+    assert [t for t, _ in got] == [t for t, _ in exp], (got, exp)
+    np.testing.assert_allclose([v for _, v in got], [v for _, v in exp],
+                               equal_nan=True)
 
 
 # ---------------------- 9: sub-second freqs + exact micros tumbling

@@ -3803,6 +3803,27 @@ class XDataset:
             raise TypeError("squeeze=True was removed in the reference "
                             "(deprecated); the long form never squeezes")
         from xarray_spark.groupby import XGroupBy, resolve_groupers
+        from xarray_spark.groupers import TimeResampler
+        merged: dict = {}
+        if isinstance(group, Mapping):
+            merged.update(group)
+        if groupers:
+            merged.update(groupers)
+        if (group is None or isinstance(group, Mapping)) \
+                and len(merged) == 1:
+            (nm, g0), = merged.items()
+            if isinstance(g0, TimeResampler) and g0.day_anchor is None \
+                    and not g0.month_anchor:
+                # a SINGLE bare TimeResampler through groupby() IS
+                # resample(): the reference yields the FULL label run
+                # (empty bins NaN-materialized) and anchors at origin —
+                # route through XResample so densify/origin/verbs apply
+                # (round-11 fuzz find: the sparse groupby path skipped
+                # both)
+                from xarray_spark.resample import XResample
+                return XResample(self, nm, g0.freq, closed=g0.closed,
+                                 label=g0.label, offset=g0.offset,
+                                 origin=g0.origin)
         keys, season_deferred = resolve_groupers(self, group, groupers)
         return XGroupBy(self, keys, season_deferred)
 

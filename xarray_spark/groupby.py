@@ -71,10 +71,24 @@ def resolve_groupers(ds: XDataset, group, groupers: Mapping):
             if (isinstance(g, TimeResampler) and g.day_anchor is None
                     and not g.month_anchor):
                 # a bare TimeResampler passed to groupby() gets the same
-                # first-point calendar anchors resample() computes —
-                # pandas nMS/nW bins anchor at the data start, not epoch
+                # first-point calendar anchors AND origin offset
+                # resample() computes — pandas nMS/nW bins anchor at the
+                # data start, and multi-day/odd Tick widths anchor at
+                # origin (default start_day: the data's first midnight —
+                # round-11 fuzz find: '2D' binned on the epoch grid)
                 import dataclasses
-                from xarray_spark.resample import _calendar_anchors
+                from xarray_spark.resample import (_calendar_anchors,
+                                                   _origin_offset_micros)
+                from xarray_spark.groupers import _offset_micros
+                if g.origin in ("end", "end_day"):
+                    g = dataclasses.replace(
+                        g, closed=g.closed or "right",
+                        label=g.label or "right")
+                extra = _origin_offset_micros(ds, name, g.freq, g.origin)
+                if extra:
+                    base = (_offset_micros(g.offset)
+                            if g.offset is not None else 0)
+                    g = dataclasses.replace(g, offset=f"{base + extra}us")
                 ma, da = _calendar_anchors(ds, name, g.freq, g.closed)
                 if ma or da is not None:
                     g = dataclasses.replace(g, month_anchor=ma,

@@ -189,6 +189,12 @@ class TimeResampler(Grouper):
     closed: str | None = None
     label: str | None = None
     offset: str | None = None
+    #: pandas resample origin — honored for fixed-width (Tick) freqs;
+    #: resolve_groupers folds it into ``offset`` exactly as resample()
+    #: does (round-11 fuzz find: a bare TimeResampler('2D') passed to
+    #: groupby() binned on the epoch grid while resample('2D') anchored
+    #: at the data's first day)
+    origin: str = "start_day"
     #: month-index (year*12+month-1) of the data's first unit block —
     #: pandas anchors MULTI-month/quarter/year bins at the first
     #: point's block (origin='start_day'), not at epoch multiples
