@@ -375,3 +375,26 @@ def test_rolling_center_per_dim_mapping(spark):
             da.rolling(x=2, y=3, center={"x": True, "y": False},
                        min_periods=1), op)().values, "float64")
         np.testing.assert_allclose(g, r, equal_nan=True)
+
+
+def test_season_grouper_custom_and_overlapping(spark):
+    """SeasonGrouper honors CUSTOM seasons (round-11 fuzz find: the
+    chain always used the default map), drops unlisted months, and
+    duplicates a shared month's rows into every OVERLAPPING season
+    (reference semantics; explode fan-out only when overlap exists)."""
+    xr = _ref_xr()
+    from xarray.groupers import SeasonGrouper as RefSG
+    from xarray_spark.groupers import SeasonGrouper
+    t = pd.date_range("2001-01-15", periods=12, freq="MS")
+    v = np.arange(12.0)
+    ref = xr.DataArray(v, dims="s", coords={"t": ("s", t)})
+    pdf = pd.DataFrame({"s": range(12), "t": t, "v": v})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["s"],
+                  coords={"t": ("s",)})
+    for seasons in (["DJFM", "AMJ", "JAS", "ON"], ["DJFM", "MAM"],
+                    ["JJA"]):
+        r = ref.groupby(t=RefSG(seasons)).sum()
+        rd = dict(zip([str(x) for x in r[r.dims[0]].values],
+                      [float(x) for x in r.values]))
+        g = ds.groupby({"t": SeasonGrouper(seasons)}).sum().to_pandas()
+        assert dict(zip(g["t"], g["v"])) == rd, seasons

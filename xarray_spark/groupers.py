@@ -390,17 +390,33 @@ _SEASON_OF_MONTH = {
 @dataclass
 class SeasonGrouper(Grouper):
     """Meteorological seasons incl. cross-year DJF
-    (xarray/groupers.py:801)."""
+    (xarray/groupers.py:801).  CUSTOM seasons honored (round-11 fuzz
+    find: the chain used the default month->season map whatever
+    ``seasons`` said): months in no listed season drop; seasons may
+    OVERLAP — the reference duplicates a shared month's rows into
+    every season listing it, which the long form expresses as an
+    exploded matching-season array (row fan-out only when overlap
+    actually exists; disjoint seasons keep the plain when-chain)."""
 
     seasons: Sequence[str] = ("DJF", "MAM", "JJA", "SON")
 
     def key_expr(self, col: Column) -> Column:
+        seasons = list(self.seasons)
+        inds = _season_to_month_tuple(seasons)
         m = F.month(col)
-        chain = None
-        for month, season in _SEASON_OF_MONTH.items():
-            cond = m == F.lit(month)
-            chain = F.when(cond, F.lit(season)) if chain is None else chain.when(cond, F.lit(season))
-        return chain
+        flat = [mo for t in inds for mo in t]
+        if len(flat) == len(set(flat)):
+            chain = None
+            for s, months in zip(seasons, inds):
+                cond = m.isin([int(x) for x in months])
+                chain = (F.when(cond, F.lit(s)) if chain is None
+                         else chain.when(cond, F.lit(s)))
+            return chain
+        arr = F.array(*[
+            F.when(m.isin([int(x) for x in months]), F.lit(s))
+            for s, months in zip(seasons, inds)])
+        # empty arrays (unrequested months) yield no rows under explode
+        return F.explode(F.array_compact(arr))
 
 
 def _season_to_month_tuple(seasons) -> tuple:
