@@ -398,3 +398,37 @@ def test_season_grouper_custom_and_overlapping(spark):
                       [float(x) for x in r.values]))
         g = ds.groupby({"t": SeasonGrouper(seasons)}).sum().to_pandas()
         assert dict(zip(g["t"], g["v"])) == rd, seasons
+
+
+def test_unique_grouper_labels_restrict(spark):
+    """UniqueGrouper(labels=) restricts grouping to the listed values
+    (unlisted rows drop) — reference semantics; labels absent from the
+    data crash the reference itself, so the long form just yields no
+    row."""
+    xr = _ref_xr()
+    from xarray.groupers import UniqueGrouper as RefUG
+    from xarray_spark.groupers import UniqueGrouper
+    k = np.array(["b", "a", "b", "c", "a"])
+    v = np.arange(5.0)
+    ref = xr.DataArray(v, dims="s",
+                       coords={"k": ("s", k)}).groupby(
+        k=RefUG(labels=["a", "b"])).sum()
+    rd = dict(zip([str(x) for x in ref["k"].values],
+                  [float(x) for x in ref.values]))
+    pdf = pd.DataFrame({"s": range(5), "k": k, "v": v})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["s"],
+                  coords={"k": ("s",)})
+    g = ds.groupby({"k": UniqueGrouper(labels=["a", "b"])}).sum() \
+        .to_pandas()
+    assert dict(zip(g["k"], g["v"])) == rd
+
+
+def test_dt_floor_nonfixed_freq_raises(spark):
+    """pandas floor/ceil/round are Tick-only: 'W' raises instead of
+    silently flooring to the anchored week."""
+    t = pd.date_range("2001-01-03", periods=3, freq="D")
+    ds = _eng(spark, t, [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError, match="non-fixed"):
+        ds["t"].dt.floor("W")
+    # fixed widths still work
+    assert ds["t"].dt.floor("2D").to_pandas() is not None

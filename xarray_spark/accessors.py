@@ -902,7 +902,14 @@ class DatetimeAccessor(_Accessor):
         return self._wrap(self._td_total_seconds())
 
     def floor(self, freq: str):
-        from xarray_spark.groupers import TimeResampler
+        from xarray_spark.groupers import (TimeResampler, _parse_freq,
+                                           _SUBSEC_US, _TRUNC)
+        n, unit = _parse_freq(freq)
+        if _freq_us(n, unit, _SUBSEC_US, _TRUNC) is None:
+            # pandas: floor/ceil/round are Tick-only — 'W'/'MS'/...
+            # raise (round-11 find: the engine silently floored to the
+            # anchored week where pandas raises)
+            raise ValueError(f"{freq!r} is a non-fixed frequency")
         return self._wrap(TimeResampler(freq).key_expr(self._c))
 
     def ceil(self, freq: str):

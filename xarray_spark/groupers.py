@@ -22,11 +22,19 @@ class Grouper:
 
 @dataclass
 class UniqueGrouper(Grouper):
-    """Group by unique values (xarray/groupers.py:210)."""
+    """Group by unique values (xarray/groupers.py:210).
+
+    ``labels`` RESTRICTS grouping to the listed values — unlisted rows
+    drop (null key; round-11 find: the field existed but key_expr
+    ignored it).  Labels absent from the data crash the reference
+    itself (CoordinateValidationError), so there is no absent-label
+    semantic to match; the long form simply yields no row for them."""
 
     labels: Sequence | None = None
 
     def key_expr(self, col: Column) -> Column:
+        if self.labels is not None:
+            return F.when(col.isin(list(self.labels)), col)
         return col
 
 
