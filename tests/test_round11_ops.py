@@ -432,3 +432,23 @@ def test_dt_floor_nonfixed_freq_raises(spark):
         ds["t"].dt.floor("W")
     # fixed widths still work
     assert ds["t"].dt.floor("2D").to_pandas() is not None
+
+
+def test_construct_reduce_passthrough_vars(spark):
+    """construct()/reduce() leave vars that don't carry the rolled dim
+    UNwindowed (reference keeps their own dims; the engine broadcasts
+    them across the window dim)."""
+    a = np.arange(6.0).reshape(2, 3)
+    rows = [(i, j, float(a[i, j]), [10.0, 20.0][i])
+            for i in range(2) for j in range(3)]
+    pdf = pd.DataFrame(rows, columns=["x", "y", "a", "b"])
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x", "y"],
+                  data_vars=["a", "b"])
+    ds.var_dims = {"b": ("x",)}
+    c = (ds.rolling(dict(y=2)).construct("w")
+         .to_pandas().sort_values(["x", "y", "w"]))
+    assert c["b"].tolist() == [10.0] * 6 + [20.0] * 6
+    r = (ds.rolling(dict(y=2), min_periods=1).reduce(np.nansum)
+         .to_pandas().sort_values(["x", "y"]))
+    assert r["b"].tolist() == [10.0] * 3 + [20.0] * 3
+    assert r["a"].tolist() == [0.0, 1.0, 3.0, 3.0, 7.0, 9.0]

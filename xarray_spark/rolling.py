@@ -637,13 +637,17 @@ class XRolling:
         reduce() then sees the same value multiset the reference's
         multi-window-dim view reduces over."""
         ds = self.ds
+        # vars that don't carry the rolled dims stay UNwindowed (the
+        # reference leaves them out of the construct/reduce view —
+        # round-11 probe: a ('x',)-only var must not see 'y' windows)
+        skip = ds._bcast_passthrough(list(self.windows))
         out = ds
         first = True
         for dim, win in self.windows.items():
             w = self._frame(dim, win)
             exprs = []
             for c in out.df.columns:
-                if c in ds.data_vars:
+                if c in ds.data_vars and c not in skip:
                     col = F.transform(
                         F.collect_list(F.struct(F.col(c).alias("v")))
                         .over(w), lambda s: s["v"])
@@ -697,6 +701,11 @@ class XRolling:
         win = int(self.window)
         arrs = self._construct_arrays()
         ds = self.ds
+        # vars not carrying the rolled dim stay UNwindowed — broadcast
+        # across the window dim, exactly the reference's construct
+        # (which leaves them with their own dims)
+        skip = ds._bcast_passthrough([self.dim])
+        win_vars = [v for v in ds.data_vars if v not in skip]
         if int(stride) > 1:
             pos = ds._dim_labels(self.dim).select(
                 self.dim, "__pos").where(F.col("__pos") % int(stride) == 0)
@@ -705,19 +714,19 @@ class XRolling:
                 how="left_semi"))
         fill = F.lit(fill_value)
         padded = {}
-        for v in ds.data_vars:
+        for v in win_vars:
             a = F.col(v)
             pad = F.array_repeat(fill.cast(ds.df.schema[v].dataType),
                                  F.lit(win) - F.size(a))
             padded[v] = F.concat(pad, a)
-        zipped = F.arrays_zip(*[padded[v].alias(v) for v in ds.data_vars])
+        zipped = F.arrays_zip(*[padded[v].alias(v) for v in win_vars])
         df = arrs.df.select(
-            *[c for c in ds.df.columns if c not in ds.data_vars],
+            *[c for c in ds.df.columns if c not in win_vars],
             F.posexplode(zipped).alias(window_dim, "__w"),
         ).select(
-            *[c for c in ds.df.columns if c not in ds.data_vars],
+            *[c for c in ds.df.columns if c not in win_vars],
             F.col(window_dim),
-            *[F.col(f"__w.{v}").alias(v) for v in ds.data_vars],
+            *[F.col(f"__w.{v}").alias(v) for v in win_vars],
         )
         return ds._replace(df=df, dims=list(ds.dims) + [window_dim])
 
@@ -745,8 +754,10 @@ class XRolling:
             return s.map(one)
 
         ds = constructed
+        skip = self.ds._bcast_passthrough(list(self.windows))
         exprs = [
-            apply_fn(F.col(c)).alias(c) if c in ds.data_vars else F.col(c)
+            apply_fn(F.col(c)).alias(c)
+            if c in ds.data_vars and c not in skip else F.col(c)
             for c in ds.df.columns
         ]
         return ds._replace(df=ds.df.select(*exprs))
