@@ -452,3 +452,16 @@ def test_construct_reduce_passthrough_vars(spark):
          .to_pandas().sort_values(["x", "y"]))
     assert r["b"].tolist() == [10.0] * 3 + [20.0] * 3
     assert r["a"].tolist() == [0.0, 1.0, 3.0, 3.0, 7.0, 9.0]
+
+
+def test_expand_dims_int_is_size(spark):
+    """expand_dims({'z': 3}): the int is the new dim's SIZE (data tiled
+    3x, positional labels) — was read as a single scalar label."""
+    xr = _ref_xr()
+    pdf = pd.DataFrame({"x": [0, 1], "v": [1.0, 2.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x"], data_vars=["v"])
+    g = ds.expand_dims({"z": 3}).to_pandas().sort_values(["z", "x"])
+    r = (xr.Dataset({"v": ("x", np.array([1.0, 2.0]))})
+         .expand_dims({"z": 3}))
+    assert len(g) == r["v"].size and sorted(set(g["z"])) == [0, 1, 2]
+    assert g["v"].tolist() == r["v"].values.reshape(-1).tolist()

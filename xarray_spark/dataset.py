@@ -2329,6 +2329,12 @@ class XDataset:
             raise ValueError("lengths of dim and axis should be identical")
         out = self
         for i, ((name, labels), ax) in enumerate(zip(spec.items(), axes)):
+            if isinstance(labels, int) and not isinstance(labels, bool):
+                # reference: an INTEGER value is the new dim's SIZE —
+                # data tiled size times, no coordinate (positional
+                # labels 0..n-1 in long form; round-11 find: this was
+                # read as a single scalar label)
+                labels = list(range(labels))
             if not isinstance(labels, (list, tuple)):
                 labels = [labels]
             if len(labels) == 1:
