@@ -465,3 +465,17 @@ def test_expand_dims_int_is_size(spark):
          .expand_dims({"z": 3}))
     assert len(g) == r["v"].size and sorted(set(g["z"])) == [0, 1, 2]
     assert g["v"].tolist() == r["v"].values.reshape(-1).tolist()
+
+
+def test_assign_coords_callable_and_dataarray(spark):
+    """assign_coords accepts callables / XDataArray values like assign
+    (was: F.lit on the returned XDataArray recursed)."""
+    pdf = pd.DataFrame({"x": [0, 1, 2], "v": [1.0, 2.0, 3.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x"], data_vars=["v"])
+    g = ds.assign_coords(c=lambda d: d["v"] + 1)
+    assert g.coords.get("c") == ("x",)
+    gp = g.to_pandas().sort_values("x")
+    assert gp["c"].tolist() == [2.0, 3.0, 4.0]
+    # direct XDataArray value too
+    g2 = ds.assign_coords(c=ds["v"] * 10)
+    assert g2.to_pandas().sort_values("x")["c"].tolist() == [10.0, 20.0, 30.0]

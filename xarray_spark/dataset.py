@@ -2039,6 +2039,14 @@ class XDataset:
                 continue
             if callable(value) and not isinstance(value, Column):
                 value = value(self)
+            if isinstance(value, XDataset):
+                # callable/aligned-object form (assign_coords(c=lambda
+                # d: d['v'] + 1)) — same join-back as assign (round-11
+                # find: F.lit on an XDataArray recursed)
+                tmp = self._replace(df=df).assign({name: value})
+                df = tmp.df
+                coords[name] = tuple(value.dims)
+                continue
             if isinstance(value, str):
                 value = F.expr(value)
             if not isinstance(value, Column):
