@@ -479,3 +479,14 @@ def test_assign_coords_callable_and_dataarray(spark):
     # direct XDataArray value too
     g2 = ds.assign_coords(c=ds["v"] * 10)
     assert g2.to_pandas().sort_values("x")["c"].tolist() == [10.0, 20.0, 30.0]
+
+
+def test_where_callable_other(spark):
+    """where(cond, other): other may be a callable(self) like cond
+    (reference common.py contract)."""
+    pdf = pd.DataFrame({"x": [0, 1, 2], "a": [1.0, None, 3.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x"], data_vars=["a"])
+    g = (ds.where(lambda d: d["a"] > 1, lambda d: d["a"] * 100)
+         .to_pandas().sort_values("x"))
+    got = [None if v != v else v for v in g["a"]]
+    assert got == [100.0, None, 3.0]

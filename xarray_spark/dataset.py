@@ -1841,6 +1841,10 @@ class XDataset:
             return out._replace(df=out.df.drop("__cond"))
         col = self._as_cond(cond)
         host_df = self.df
+        if callable(other) and not isinstance(other, Column):
+            # reference common.py where: `other` may be a callable too
+            # (round-11 find)
+            other = other(self)
         if isinstance(other, XDataset):
             # array-valued replacement (common.py:1131 aligns other):
             # join its single variable in on its dims
