@@ -490,3 +490,22 @@ def test_where_callable_other(spark):
          .to_pandas().sort_values("x"))
     got = [None if v != v else v for v in g["a"]]
     assert got == [100.0, None, 3.0]
+
+
+def test_interp_fill_value_extrapolate(spark):
+    """interp(kwargs={'fill_value': 'extrapolate'}): out-of-range
+    targets extend the EDGE SEGMENT's line (scipy interp1d semantics —
+    scipy is absent from this runtime, so the pin is the closed-form
+    edge-slope arithmetic).  Unknown kwargs raise instead of being
+    silently swallowed."""
+    pdf = pd.DataFrame({"x": [0.0, 1.0, 2.0], "v": [1.0, 2.0, 4.0]})
+    ds = XDataset(spark.createDataFrame(pdf), dims=["x"], data_vars=["v"])
+    g = (ds.interp({"x": [-1.0, 0.5, 2.5, 3.0]},
+                   kwargs={"fill_value": "extrapolate"})
+         .to_pandas().sort_values("x"))
+    assert g["v"].tolist() == [0.0, 1.5, 5.0, 6.0]
+    with pytest.raises(NotImplementedError, match="not supported"):
+        ds.interp({"x": [0.5]}, kwargs={"bounds_error": False})
+    with pytest.raises(NotImplementedError, match="extrapolate"):
+        ds.interp({"x": [0.5]}, method="nearest",
+                  kwargs={"fill_value": "extrapolate"})

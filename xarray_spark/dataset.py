@@ -3952,8 +3952,15 @@ class XDataset:
         (xarray/core/dataset.py:3786 passes them to scipy the same way)."""
         from xarray_spark.missing import interp
         kwargs = kwargs or {}
+        unknown = set(kwargs) - {"order", "lam", "fill_value"}
+        if unknown:
+            # silent kwarg swallowing would silently change results
+            raise NotImplementedError(
+                f"interp kwargs {sorted(unknown)} are not supported "
+                "(honored: order, lam, fill_value='extrapolate')")
         return interp(self, {**(coords or {}), **kw}, method,
-                      order=kwargs.get("order"), lam=kwargs.get("lam"))
+                      order=kwargs.get("order"), lam=kwargs.get("lam"),
+                      fill_value=kwargs.get("fill_value"))
 
     def interp_like(self, other: "XDataset", method: str = "linear",
                     assume_sorted: bool = False,

@@ -440,7 +440,8 @@ def _interpolate_na_poly(ds: XDataset, dim: str, order: int,
 
 
 def interp(ds: XDataset, coords: dict, method: str = "linear",
-           order: int | None = None, lam: float | None = None) -> XDataset:
+           order: int | None = None, lam: float | None = None,
+           fill_value=None) -> XDataset:
     """Regrid onto new coordinate values (xarray/core/dataset.py:3786).
 
     Long-form strategy (1-D per dim, separable): union the target labels
@@ -450,12 +451,18 @@ def interp(ds: XDataset, coords: dict, method: str = "linear",
     target labels — an as-of join + blend (reference decomposition:
     xarray/core/missing.py:846).
     """
+    if fill_value is not None and not (fill_value == "extrapolate"
+                                       and method == "linear"):
+        raise NotImplementedError(
+            "interp fill_value supports 'extrapolate' with "
+            "method='linear' only (the scipy edge-segment extension)")
     if len(coords) > 1:
         # separable N-D: sequential 1-D interps, the reference's own
         # decomposition (xarray/core/missing.py:846 decompose_interp)
         out = ds
         for dim, targets in coords.items():
-            out = interp(out, {dim: targets}, method, order=order, lam=lam)
+            out = interp(out, {dim: targets}, method, order=order,
+                         lam=lam, fill_value=fill_value)
         return out
     (dim, targets), = coords.items()
     spark = ds.spark
@@ -501,6 +508,56 @@ def interp(ds: XDataset, coords: dict, method: str = "linear",
                                 lam=lam,
                                 _src_pred=F.col("__is_tgt") == 0)
         out = filled.df.where(F.col("__is_tgt") == 1).drop("__is_tgt")
+        if fill_value == "extrapolate":
+            # scipy interp1d(fill_value='extrapolate'): targets OUTSIDE
+            # the knot range extend the EDGE SEGMENT's line (the first/
+            # last two knots define the slope).  The four edge knots per
+            # complement-dim group are a tiny windowed pick over the
+            # source rows — broadcast-joined back onto the out-of-range
+            # targets.
+            w_src = Window.partitionBy(*others).orderBy(dim)
+            w_end = Window.partitionBy(*others).orderBy(F.col(dim).desc())
+            src = base.withColumn("__rn", F.row_number().over(w_src)) \
+                      .withColumn("__rne", F.row_number().over(w_end)) \
+                      .where((F.col("__rn") <= 2) | (F.col("__rne") <= 2))
+            aggs = [F.min(F.when(F.col("__rn") == 1, xs_d)).alias("__x1"),
+                    F.min(F.when(F.col("__rn") == 2, xs_d)).alias("__x2"),
+                    F.min(F.when(F.col("__rne") == 2, xs_d)).alias("__xm1"),
+                    F.min(F.when(F.col("__rne") == 1, xs_d)).alias("__xm")]
+            for v in ds.data_vars:
+                vc = F.col(v).cast("double")
+                aggs += [
+                    F.min(F.when(F.col("__rn") == 1, vc)).alias(f"__y1_{v}"),
+                    F.min(F.when(F.col("__rn") == 2, vc)).alias(f"__y2_{v}"),
+                    F.min(F.when(F.col("__rne") == 2, vc)).alias(f"__ym1_{v}"),
+                    F.min(F.when(F.col("__rne") == 1, vc)).alias(f"__ym_{v}"),
+                ]
+            edges = (src.groupBy(*others).agg(*aggs) if others
+                     else src.agg(*aggs))
+            out = (out.join(F.broadcast(edges), on=others) if others
+                   else out.crossJoin(F.broadcast(edges)))
+            x = xs_d
+            exprs = []
+            for c in out.columns:
+                if c in ds.data_vars:
+                    y1, y2 = F.col(f"__y1_{c}"), F.col(f"__y2_{c}")
+                    ym1, ym = F.col(f"__ym1_{c}"), F.col(f"__ym_{c}")
+                    lo = y1 + (y2 - y1) * (x - F.col("__x1")) \
+                        / (F.col("__x2") - F.col("__x1"))
+                    hi = ym1 + (ym - ym1) * (x - F.col("__xm1")) \
+                        / (F.col("__xm") - F.col("__xm1"))
+                    e = (F.when(x < F.col("__x1"), lo)
+                         .when(x > F.col("__xm"), hi)
+                         .otherwise(F.col(c)))
+                    # single-knot series: no segment to extend — scipy
+                    # errors there; keep the edge value (nearest)
+                    e = F.when(F.col("__x2").isNull(),
+                               F.coalesce(F.col(c), F.col(f"__y1_{c}"))
+                               ).otherwise(e)
+                    exprs.append(e.alias(c))
+                elif not c.startswith("__"):
+                    exprs.append(F.col(c))
+            out = out.select(*exprs)
         return ds._replace(df=out)
     # higher-order (applyInPandas) methods: fill first, then poison
     # targets whose immediate source bracket contains a NaN value —
