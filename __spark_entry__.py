@@ -2045,6 +2045,51 @@ def q141_rolling_2d_var(spark, sf_dir):
         "d", "h", _r3(F.col("v")).alias("rvar"))
 
 
+def q142_concat_minimal(spark, sf_dir):
+    """concat parameter matrix — data_vars='minimal' + join='outer' +
+    compat='override' (reference structure/concat.py:371
+    _calc_concat_over, :605 _dataset_concat): the open_mfdataset
+    combine idiom a migrating user hits on day one.
+
+    Two month×priority aggregates of orders (1995 and 1996, the 1996
+    slice restricted to three priorities) concatenate along the month
+    dim.  The per-priority order count ``n`` is computed PER SLICE (so
+    the two inputs disagree) and lacks the month dim →
+    data_vars='minimal' keeps it un-concatenated and compat='override'
+    takes the FIRST input's values wholesale; join='outer' unions the
+    priority label sets, synthesizing null-variable slices for the
+    1996 months × the missing priorities (visible in n_rows vs cnt_v).
+    """
+    from xarray_spark import concat
+
+    def _slice(lo, hi, pri_max=None):
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            (F.col("o_orderdate") >= F.lit(lo))
+            & (F.col("o_orderdate") < F.lit(hi)))
+        if pri_max is not None:
+            df = df.where(F.col("o_orderpriority") <= pri_max)
+        cell = (df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("m"),
+            F.col("o_orderpriority").alias("p"))
+            .agg(_r3(F.sum("o_totalprice")).alias("v")))
+        n = (df.groupBy(F.col("o_orderpriority").alias("p"))
+             .agg(F.count(F.lit(1)).alias("n")))
+        ds = XDataset(cell.join(n, on="p"), dims=["m", "p"])
+        ds.var_dims = {"n": ("p",)}
+        return ds
+
+    a = _slice("1995-01-01", "1996-01-01")
+    b = _slice("1996-01-01", "1997-01-01", pri_max="3-MEDIUM")
+    both = concat([a, b], dim="m", data_vars="minimal", coords="minimal",
+                  compat="override", join="outer")
+    return both.df.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("cnt_v"),
+        _r3(F.sum("v")).alias("sum_v"),
+        F.max("n").alias("n_first"),
+    )
+
+
 def q116_bucketed_ffill(spark, sf_dir):
     """Bucket-aware window layout (round 5): a (flag, day) revenue
     grid saved with to_table(bucket_by=flag, sort_by=[flag, day]) and
@@ -2609,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_simhash": q35_simhash,
         "q72_zarr_roundtrip": q72_zarr_roundtrip,
         "q116_bucketed_ffill": q116_bucketed_ffill,
+        "q142_concat_minimal": q142_concat_minimal,
         "q117_outer_align_coords": q117_outer_align_coords,
         "q118_temperature_sample": q118_temperature_sample,
         "q121_argsort": q121_argsort,
@@ -4983,6 +5029,58 @@ def oracle_sql() -> dict[str, str]:
                            / len(a) + 1e-6, 3)
                    END AS rvar
             FROM win
+        """,
+        "q142_concat_minimal": """
+            WITH a AS (
+              SELECT date_trunc('month', o_orderdate) AS m,
+                     o_orderpriority AS p,
+                     ROUND(SUM(o_totalprice) + 1e-6, 3) AS v
+              FROM orders
+              WHERE o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1996-01-01'
+              GROUP BY 1, 2
+            ),
+            an AS (
+              SELECT o_orderpriority AS p, COUNT(*) AS n
+              FROM orders
+              WHERE o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1996-01-01'
+              GROUP BY 1
+            ),
+            b AS (
+              SELECT date_trunc('month', o_orderdate) AS m,
+                     o_orderpriority AS p,
+                     ROUND(SUM(o_totalprice) + 1e-6, 3) AS v
+              FROM orders
+              WHERE o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1997-01-01'
+                AND o_orderpriority <= '3-MEDIUM'
+              GROUP BY 1, 2
+            ),
+            labs AS (SELECT p FROM a UNION SELECT p FROM b),
+            a_syn AS (
+              SELECT am.m, l.p, CAST(NULL AS DOUBLE) AS v
+              FROM (SELECT DISTINCT m FROM a) am
+              CROSS JOIN (SELECT p FROM labs
+                          EXCEPT SELECT DISTINCT p FROM a) l
+            ),
+            b_syn AS (
+              SELECT bm.m, l.p, CAST(NULL AS DOUBLE) AS v
+              FROM (SELECT DISTINCT m FROM b) bm
+              CROSS JOIN (SELECT p FROM labs
+                          EXCEPT SELECT DISTINCT p FROM b) l
+            ),
+            un AS (
+              SELECT m, p, v FROM a
+              UNION ALL SELECT m, p, v FROM a_syn
+              UNION ALL SELECT m, p, v FROM b
+              UNION ALL SELECT m, p, v FROM b_syn
+            )
+            SELECT un.p, COUNT(*) AS n_rows, COUNT(un.v) AS cnt_v,
+                   ROUND(SUM(un.v) + 1e-6, 3) AS sum_v,
+                   MAX(an.n) AS n_first
+            FROM un LEFT JOIN an ON un.p = an.p
+            GROUP BY un.p
         """,
         "q116_bucketed_ffill": """
             WITH daily AS (

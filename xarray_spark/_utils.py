@@ -289,7 +289,20 @@ def _plan_min_max_key(proj) -> tuple | None:
         files = tuple(sorted(proj.inputFiles()))
         if not files:
             return None
-        return (canon, files)
+        # fold (size, mtime) in so an external writer overwriting a
+        # parquet file IN PLACE under the same name (deterministic part
+        # names, non-Spark writers) invalidates the cached min/max;
+        # remote / non-statable paths key on the path alone
+        import os
+        stamped = []
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                st = os.stat(p)
+                stamped.append((f, st.st_size, st.st_mtime_ns))
+            except OSError:
+                stamped.append((f, -1, -1))
+        return (canon, tuple(stamped))
     except Exception:  # pragma: no cover - py4j surface drift
         return None
 
@@ -306,6 +319,20 @@ def _footer_min_max(proj, col: str):
                       _TEMPORAL + (T.ByteType, T.ShortType,
                                    T.IntegerType, T.LongType)):
         return None
+    if isinstance(proj.schema[col].dataType, T.TimestampType):
+        # parquet footer stats for instant timestamps are UTC
+        # (isAdjustedToUTC) while the Spark-job fallback renders them in
+        # the session timezone — the two paths only agree when the
+        # session is pinned to UTC (the repo's own get_spark does; a
+        # user-supplied session may not).  Skip the footer shortcut
+        # otherwise so the cached value can never be tz-shifted.
+        try:
+            tz = proj.sparkSession.conf.get(
+                "spark.sql.session.timeZone", "UTC")
+        except Exception:  # pragma: no cover
+            tz = None
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "UTC+00:00"):
+            return None
     try:
         plan = proj._jdf.queryExecution().optimizedPlan()
         if plan.getClass().getSimpleName() == "Project":

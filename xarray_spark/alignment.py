@@ -76,8 +76,12 @@ def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame,
     for c in ds.df.columns:
         if c not in new_rows.columns:
             # synthesized slices take fill_value for data vars (the
-            # reference's align(fill_value=); default NaN ≙ null)
-            fill = (F.lit(fill_value) if fill_value is not None
+            # reference's align(fill_value=); default NaN ≙ null).
+            # dict-like fill maps variable name -> fill (reference
+            # dtypes.NA for unlisted vars ≙ null).
+            fv = (fill_value.get(c) if isinstance(fill_value, Mapping)
+                  else fill_value)
+            fill = (F.lit(fv) if fv is not None
                     and c in ds.data_vars else F.lit(None))
             new_rows = new_rows.withColumn(
                 c, fill.cast(ds.df.schema[c].dataType))

@@ -13,8 +13,9 @@ In long form:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xarray_spark.dataset import XDataset
@@ -76,46 +77,505 @@ def combine_attrs_fn(attrs_list: Sequence[dict], combine_attrs="override") -> di
     raise ValueError(f"unknown combine_attrs {combine_attrs!r}")
 
 
-def concat(objs: Sequence[XDataset], dim: str, labels: Sequence | None = None,
-           fill_value=None, combine_attrs="override") -> XDataset:
-    """Concatenate datasets (xarray/structure/concat.py:45).
+_CONCAT_DEFAULT = object()  # reference CombineKwargDefault old values
 
-    If ``dim`` is an existing dim in the inputs → plain union.
-    If new → each input gets a literal label (0..n-1 or ``labels``).
-    A variable absent from one input takes ``fill_value`` on that
-    input's rows (default missing — the reference's dtypes.NA).
+_CONCAT_COMPAT = ("identical", "equals", "broadcast_equals",
+                  "no_conflicts", "override")
+
+
+def _own_dims(o: XDataset, name: str) -> tuple:
+    """A variable's own dims in the long form: coords carry theirs in
+    the catalog; data vars span all dims unless the dict constructor
+    recorded a narrower tuple in ``var_dims``."""
+    if name in o.coords:
+        return tuple(o.coords[name])
+    return tuple(o.var_dims.get(name, o.dims))
+
+
+def _has_var(o: XDataset, name: str) -> bool:
+    return name in o.data_vars or name in o.coords
+
+
+def _dedup_proj(o: XDataset, dims_key: tuple, names: Sequence[str]) -> DataFrame:
+    """(dims_key, names) projection with the long form's broadcast
+    copies removed — one row per dims_key tuple.  The var_dims contract
+    makes every copy identical, so dropDuplicates is exact."""
+    proj = o.df.select(*dims_key, *names)
+    if set(dims_key) != set(o.dims):
+        proj = (proj.dropDuplicates(list(dims_key)) if dims_key
+                else proj.limit(1))
+    return proj
+
+
+def _probe_unequal(a: XDataset, b: XDataset, names: Sequence[str],
+                   compat: str) -> set:
+    """Eager cross-dataset equality probe for concat's 'different' mode
+    and merged-variable compat checks (reference structure/concat.py:371
+    _calc_concat_over; merge.py:174 unique_variable): ONE aggregation
+    job per (dataset pair, dims-group) answering "is var elementwise
+    equal (null-safe) between the two datasets" for every candidate in
+    the group at once.  'identical' additionally compares var attrs
+    (python-side); 'broadcast_equals' compares on the dims
+    intersection (the long-form broadcast of the narrower variable)."""
+    out: set = set()
+    groups: dict[tuple, list] = {}
+    for n in names:
+        da, db = _own_dims(a, n), _own_dims(b, n)
+        if compat != "broadcast_equals" and set(da) != set(db):
+            out.add(n)  # 'equals'/'identical': dims must match too
+            continue
+        if compat == "identical" and a.var_attrs(n) != b.var_attrs(n):
+            out.add(n)
+            continue
+        groups.setdefault(tuple(sorted(set(da) & set(db))), []).append(n)
+    for key, grp in groups.items():
+        ta = _dedup_proj(a, key, grp)
+        tb = _dedup_proj(b, key, grp)
+        for n in grp:
+            tb = tb.withColumnRenamed(n, f"__b_{n}")
+        j = (ta.join(tb, on=list(key), how="full_outer") if key
+             else ta.crossJoin(tb))
+        row = j.agg(*[
+            F.max((~F.col(n).eqNullSafe(F.col(f"__b_{n}"))).cast("int")
+                  ).alias(n)
+            for n in grp]).collect()[0]
+        out.update(n for n in grp if row[n] == 1)
+    return out
+
+
+def _probe_conflicts(a: XDataset, b: XDataset, names: Sequence[str]) -> set:
+    """no_conflicts probe: values where BOTH sides are non-null must
+    agree (xarray/core/variable.py:1920 Variable.no_conflicts)."""
+    out: set = set()
+    groups: dict[tuple, list] = {}
+    for n in names:
+        da, db = _own_dims(a, n), _own_dims(b, n)
+        groups.setdefault(tuple(sorted(set(da) & set(db))), []).append(n)
+    for key, grp in groups.items():
+        ta = _dedup_proj(a, key, grp)
+        tb = _dedup_proj(b, key, grp)
+        for n in grp:
+            tb = tb.withColumnRenamed(n, f"__b_{n}")
+        j = (ta.join(tb, on=list(key), how="inner") if key
+             else ta.crossJoin(tb))
+        row = j.agg(*[
+            F.max((F.col(n).isNotNull() & F.col(f"__b_{n}").isNotNull()
+                   & (F.col(n) != F.col(f"__b_{n}"))).cast("int")).alias(n)
+            for n in grp]).collect()[0]
+        out.update(n for n in grp if row[n] == 1)
+    return out
+
+
+def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
+           coords="different", compat: str = "equals",
+           positions=None, fill_value=None, join: str = "outer",
+           combine_attrs="override", labels: Sequence | None = None,
+           create_index_for_new_dim: bool = True) -> XDataset:
+    """Concatenate datasets (xarray/structure/concat.py:92 concat,
+    :605 _dataset_concat, :371 _calc_concat_over).
+
+    Long-form plan shape:
+    - concatenated variables ride ONE union of per-dataset projections
+      (along an existing dim the labels already distinguish the inputs;
+      along a new dim each input gets a literal label);
+    - ``data_vars``/``coords`` ∈ {'all','minimal','different',list}
+      decide which variables concatenate vs merge, exactly the
+      reference's ``_calc_concat_over`` — 'different' is an EAGER
+      equality probe (one null-safe full-outer aggregation per dataset
+      pair, all candidate vars answered in the same job), matching the
+      reference's eager compute;
+    - merged variables that are verified equal across all inputs stay
+      in the union (each input's own copy — provably identical);
+      merged variables under compat='override'/'no_conflicts' or
+      missing from some input are joined back from their source
+      dataset's deduplicated (own-dims, value) projection;
+    - non-concat dims are aligned first with ``join`` + ``fill_value``
+      (reference passes both down to align).
+
+    Defaults follow the reference's current (old-style) kwarg defaults:
+    data_vars='all', coords='different', compat='equals', join='outer'.
+    ``data_vars=None`` means 'minimal' when ``dim`` already exists and
+    'all' otherwise (the reference's documented None semantics).
+
+    Engine stances (documented divergences, all loud or unobservable):
+    - existing-dim inputs are assumed label-disjoint (the long form
+      keys rows by label; the reference permits duplicate index labels,
+      which a keyed representation cannot express);
+    - ``positions`` permutes ORDER along the concat dim. Label→value
+      association is preserved by the reference (index and data take
+      the same inverse permutation), so for labeled dims this is
+      unobservable in long form; for a NEW dim without labels the
+      positional labels are assigned from ``positions`` directly;
+    - ``create_index_for_new_dim`` is accepted; the long form always
+      carries the label column, so it has no representational effect.
     """
     objs = list(objs)
-    first = objs[0]
-    all_vars = list(dict.fromkeys(v for o in objs for v in o.data_vars))
+    if not objs:
+        raise ValueError("must supply at least one object to concatenate")
+    if compat not in _CONCAT_COMPAT:
+        raise ValueError(
+            f"compat={compat!r} invalid: must be one of {_CONCAT_COMPAT}")
     if not isinstance(dim, str) and hasattr(dim, "name"):
         # the xarray idiom concat(objs, dim=pd.Index(values, name=...)):
         # the index names the new dim and supplies its labels
         labels = list(dim)
         dim = dim.name or "concat_dim"
 
-    def _with_fill(o: XDataset):
-        df = o.df
-        if fill_value is not None:
-            for v in all_vars:
-                if v not in df.columns:
-                    df = df.withColumn(v, F.lit(fill_value))
-        return df
+    first = objs[0]
+    existing = any(dim in o.dims for o in objs)
+    promote = False
+    if not existing:
+        # concat dim is a scalar coord / data var of the inputs: the
+        # reference expand_dims route (structure/concat.py:668) — the
+        # column already carries each dataset's label
+        if any(dim in o.data_vars for o in objs):
+            raise ValueError(
+                f"cannot concatenate along {dim!r}: it is a data "
+                "variable of the inputs — promote it to a coordinate "
+                "first (set_coords)")
+        havers_dim = [o for o in objs
+                      if dim in o.coords and tuple(o.coords[dim]) == ()]
+        if havers_dim:
+            if len(havers_dim) != len(objs):
+                raise NotImplementedError(
+                    f"concat dim {dim!r} is a scalar coordinate in some "
+                    "inputs but absent from others")
+            promote = True
 
-    attrs = combine_attrs_fn([o.attrs for o in objs], combine_attrs)
-    if dim in first.dims:
-        df = _with_fill(objs[0])
+    # ---- resolve option defaults (reference CombineKwargDefault olds)
+    dv_opt = "all" if data_vars is _CONCAT_DEFAULT else data_vars
+    if dv_opt is None:
+        dv_opt = "minimal" if (existing or promote) else "all"
+    co_opt = coords
+    newdim = not (existing or promote)
+
+    if newdim and dv_opt == "minimal" and co_opt == "minimal":
+        raise ValueError(
+            "Cannot specify both data_vars='minimal' and coords='minimal' "
+            "when concatenating over a new dimension.")
+    for subset, opt in (("data_vars", dv_opt), ("coords", co_opt)):
+        if opt == "different" and compat == "override":
+            raise ValueError(
+                f"Cannot specify both {subset}='different' and "
+                "compat='override'.")
+
+    # a name that is a coordinate in some inputs but a data var in
+    # others (reference both_data_and_coords check)
+    coord_union = set().union(*[set(o.coords) for o in objs]) - {dim}
+    data_union = set().union(*[set(o.data_vars) for o in objs])
+    both = coord_union & data_union
+    if both:
+        raise ValueError(
+            f"{both!r} is a coordinate in some datasets but not others.")
+
+    if compat == "identical":
+        a0 = {k: v for k, v in first.attrs.items() if k != "__var__"}
         for o in objs[1:]:
-            df = df.unionByName(_with_fill(o), allowMissingColumns=True)
-        return first._replace(df=df, data_vars=all_vars, attrs=attrs)
-    labels = list(labels) if labels is not None else list(range(len(objs)))
-    dfs = []
-    for lab, o in zip(labels, objs):
-        dfs.append(_with_fill(o).withColumn(dim, F.lit(lab)))
-    df = dfs[0]
-    for d in dfs[1:]:
-        df = df.unionByName(d, allowMissingColumns=True)
-    return XDataset(df, [dim] + list(first.dims), first.coords, all_vars, attrs)
+            if {k: v for k, v in o.attrs.items() if k != "__var__"} != a0:
+                raise ValueError("Dataset global attributes not equal.")
+
+    # ---- align the non-concat dims (reference aligns with join +
+    # fill_value, exclude=[dim] — structure/concat.py:644)
+    from collections import Counter
+    counts = Counter(d for o in objs for d in set(o.dims) if d != dim)
+    shared_other = [d for d, n in counts.items() if n > 1]
+    if len(objs) > 1 and shared_other:
+        from xarray_spark.alignment import align as _align
+        objs = list(_align(*objs, join=join, fill_value=fill_value,
+                           exclude=[dim]))
+        first = objs[0]
+
+    # ---- name universe, in first-appearance order
+    all_data = list(dict.fromkeys(v for o in objs for v in o.data_vars))
+    all_coords = list(dict.fromkeys(
+        c for o in objs for c in o.coords if c != dim))
+
+    def _first_haver(name: str) -> XDataset:
+        for o in objs:
+            if _has_var(o, name):
+                return o
+        raise KeyError(name)
+
+    # ---- which variables concatenate (reference _calc_concat_over)
+    concat_over: set = set()
+    equals_known: dict = {}
+    if existing:
+        for o in objs:
+            for name in (*o.data_vars, *o.coords):
+                if dim in _own_dims(o, name):
+                    concat_over.add(name)
+    if promote:
+        # reference expand_dims(dim) gives every data var the new dim
+        concat_over.update(all_data)
+
+    def _process(opt, subset: str) -> None:
+        if subset == "data_vars":
+            cands, pool = list(first.data_vars), all_data
+        else:
+            cands = [c for c in first.coords if c != dim]
+            pool = all_coords
+        if isinstance(opt, str):
+            if opt == "different":
+                probe: list = []
+                for k in cands:
+                    if k in concat_over:
+                        continue
+                    havers = [o for o in objs if _has_var(o, k)]
+                    if len(havers) == 1:
+                        # reference quirk (structure/concat.py:461): a
+                        # candidate present in exactly one dataset stops
+                        # the WHOLE probe loop — later candidates stay
+                        # merged.  Observable (probe-confirmed), kept.
+                        break
+                    if len(havers) != len(objs):
+                        raise ValueError(
+                            f"{k!r} not present in all datasets and "
+                            f"coords='different'. Either add {k!r} to "
+                            "datasets where it is missing or specify "
+                            "coords='minimal'.")
+                    probe.append(k)
+                remaining = list(probe)
+                for o in objs[1:]:
+                    if not remaining:
+                        break
+                    bad = _probe_unequal(first, o, remaining, compat)
+                    concat_over.update(bad)
+                    for k in bad:
+                        equals_known[k] = False
+                    remaining = [k for k in remaining if k not in bad]
+                for k in remaining:
+                    equals_known[k] = True
+            elif opt == "all":
+                concat_over.update(pool)
+            elif opt == "minimal":
+                pass
+            else:
+                raise ValueError(f"unexpected value for {subset}: {opt!r}")
+        else:
+            listed = list(opt)
+            valid = (set(cands) | set(first.dims) if subset == "coords"
+                     else set(cands))
+            invalid = [k for k in listed if k not in valid]
+            if invalid:
+                if subset == "coords":
+                    raise ValueError(
+                        f"the variables {invalid} in coords are not found "
+                        f"in the coordinates of the first dataset "
+                        f"{tuple(cands)}")
+                raise ValueError(
+                    f"the variables {invalid} in data_vars are not found "
+                    "in the data variables of the first dataset")
+            concat_over.update(k for k in listed if k not in first.dims)
+
+    _process(dv_opt, "data_vars")
+    _process(co_opt, "coords")
+
+    # ---- labels / positions for a new dim
+    if positions is not None:
+        pos = [list(p) for p in positions]
+        if len(pos) != len(objs):
+            raise ValueError(
+                "positions must have one entry per object to concatenate")
+        flat = [int(x) for p in pos for x in p]
+        if sorted(flat) != list(range(len(flat))):
+            raise ValueError(
+                "positions must form a permutation of the concatenated "
+                "positions")
+        if newdim and any(len(p) != 1 for p in pos):
+            raise ValueError(
+                "each positions entry must have length 1 when "
+                "concatenating along a new dimension")
+    if newdim:
+        if labels is not None:
+            labs = list(labels)
+            if len(labs) != len(objs):
+                raise ValueError(
+                    f"{len(labs)} labels for {len(objs)} datasets")
+        elif positions is not None:
+            labs = [int(p[0]) for p in pos]
+        else:
+            labs = list(range(len(objs)))
+
+    # ---- output dims / catalog
+    if newdim:
+        dims_out = [dim] + list(first.dims)
+    elif promote:
+        dims_out = [dim] + list(first.dims)
+    else:
+        dims_out = list(dict.fromkeys(
+            list(first.dims) + [d for o in objs for d in o.dims]))
+
+    concat_coords = [c for c in all_coords if c in concat_over]
+    concat_data = [v for v in all_data if v in concat_over]
+    merged_names = ([v for v in all_data if v not in concat_over]
+                    + [c for c in all_coords if c not in concat_over])
+
+    # ---- merged-variable compat verification (reference
+    # merge_collected / unique_variable; `equals` dict reused from the
+    # 'different' probe so nothing is compared twice)
+    carry_in_union: set = set()
+    joinback: list = []   # (name, mode) mode in {"first", "coalesce"}
+    if merged_names:
+        to_check = [n for n in merged_names
+                    if equals_known.get(n) is not True
+                    and sum(_has_var(o, n) for o in objs) > 1]
+        if compat in ("equals", "identical", "broadcast_equals"):
+            pair_names: dict = {}
+            for n in to_check:
+                hav = [i for i, o in enumerate(objs) if _has_var(o, n)]
+                for k in hav[1:]:
+                    pair_names.setdefault((hav[0], k), []).append(n)
+            for (ia, ib), ns in sorted(pair_names.items()):
+                bad = _probe_unequal(objs[ia], objs[ib], ns, compat)
+                if bad:
+                    raise MergeError(
+                        f"conflicting values for variable "
+                        f"{sorted(bad)[0]!r} on objects to be combined. "
+                        "You can skip this check by specifying "
+                        "compat='override'.")
+            for n in to_check:
+                equals_known[n] = True
+        elif compat == "no_conflicts":
+            pair_names = {}
+            for n in to_check:
+                hav = [i for i, o in enumerate(objs) if _has_var(o, n)]
+                for k in hav[1:]:
+                    pair_names.setdefault((hav[0], k), []).append(n)
+            for (ia, ib), ns in sorted(pair_names.items()):
+                bad = _probe_conflicts(objs[ia], objs[ib], ns)
+                if bad:
+                    raise MergeError(
+                        f"conflicting values for variable "
+                        f"{sorted(bad)[0]!r} on objects to be combined.")
+        for n in merged_names:
+            havers = [o for o in objs if _has_var(o, n)]
+            if compat == "no_conflicts" and len(havers) > 1:
+                joinback.append((n, "coalesce"))
+            elif len(havers) == len(objs) and equals_known.get(n) is True:
+                # verified identical in every input: each input's own
+                # copy can ride the union — no join-back needed
+                carry_in_union.add(n)
+            else:
+                joinback.append((n, "first"))
+
+    # ---- per-dataset concat frames → ONE union
+    def _fv(name: str):
+        if isinstance(fill_value, Mapping):
+            return fill_value.get(name)
+        return fill_value
+
+    def _var_type(name: str):
+        src = _first_haver(name)
+        return src.df.schema[name].dataType
+
+    union_cols = (dims_out + concat_coords
+                  + [n for n in merged_names if n in carry_in_union]
+                  + concat_data)
+
+    frames = []
+    for i, o in enumerate(objs):
+        df = o.df
+        # a dataset missing one of the output dims entirely: broadcast
+        # its rows across that dim's labels (reference set_dims /
+        # ensure_common_dims tiling, structure/concat.py:718)
+        for d in dims_out:
+            if d == dim and newdim:
+                continue
+            if d not in o.dims and d not in df.columns:
+                lab_src = next(x for x in objs if d in x.dims)
+                df = df.crossJoin(F.broadcast(
+                    lab_src.df.select(d).where(F.col(d).isNotNull())
+                    .distinct()))
+        cols = []
+        for c in union_cols:
+            if c == dim and newdim:
+                cols.append(F.lit(labs[i]).alias(dim))
+            elif c in df.columns:
+                cols.append(F.col(c))
+            elif c in concat_coords or c in o.coords or c in coord_union:
+                raise ValueError(
+                    f"coordinate {c!r} not present in all datasets.")
+            else:
+                cols.append(F.lit(_fv(c)).cast(_var_type(c)).alias(c))
+        frames.append(df.select(*cols))
+    base = frames[0]
+    for f in frames[1:]:
+        base = base.unionByName(f)
+
+    # ---- join merged variables back on their own dims
+    jb_groups: dict = {}
+    for n, mode in joinback:
+        key = tuple(_own_dims(_first_haver(n), n))
+        jb_groups.setdefault((key, mode), []).append(n)
+    for (key, mode), ns in jb_groups.items():
+        if mode == "first":
+            srcs: dict = {}
+            for n in ns:
+                srcs.setdefault(id(_first_haver(n)), (_first_haver(n), []))[1].append(n)
+            tables = [_dedup_proj(src, key, grp)
+                      for src, grp in srcs.values()]
+            tbl = tables[0]
+            for t in tables[1:]:
+                tbl = (tbl.join(t, on=list(key), how="full_outer") if key
+                       else tbl.crossJoin(t))
+        else:  # coalesce across havers, dataset order (no_conflicts)
+            tbl = None
+            for n in ns:
+                havers = [o for o in objs if _has_var(o, n)]
+                acc = _dedup_proj(havers[0], key, [n])
+                for o in havers[1:]:
+                    t = (_dedup_proj(o, key, [n])
+                         .withColumnRenamed(n, f"__b_{n}"))
+                    acc = (acc.join(t, on=list(key), how="full_outer")
+                           if key else acc.crossJoin(t))
+                    acc = acc.withColumn(
+                        n, F.coalesce(F.col(n), F.col(f"__b_{n}"))
+                    ).drop(f"__b_{n}")
+                tbl = (acc if tbl is None else
+                       (tbl.join(acc, on=list(key), how="full_outer")
+                        if key else tbl.crossJoin(acc)))
+        if key:
+            base = base.join(tbl, on=list(key), how="left")
+        else:
+            base = base.crossJoin(F.broadcast(tbl))
+
+    # ---- attrs: dataset-level + per-variable (reference merge_attrs /
+    # concat_vars both honor combine_attrs)
+    strip = [{k: v for k, v in o.attrs.items() if k != "__var__"}
+             for o in objs]
+    attrs = combine_attrs_fn(strip, combine_attrs)
+    vat_out: dict = {}
+    for name in (*all_data, *all_coords):
+        per = [o.attrs.get("__var__", {}).get(name)
+               for o in objs
+               if _has_var(o, name) and name in o.attrs.get("__var__", {})]
+        if per:
+            vat_out[name] = combine_attrs_fn(per, combine_attrs)
+    if vat_out:
+        attrs["__var__"] = vat_out
+
+    # ---- result catalog
+    coords_out: dict = {}
+    for c in all_coords:
+        cd = tuple(_own_dims(_first_haver(c), c))
+        if c in concat_over and dim not in cd:
+            coords_out[c] = (dim,) + cd
+        else:
+            coords_out[c] = cd
+    vd_out: dict = {}
+    dims_out_t = tuple(dims_out)
+    for v in all_data:
+        od = tuple(_own_dims(_first_haver(v), v))
+        if v in concat_over:
+            nd = od if dim in od else (dim,) + od
+        else:
+            nd = od
+        if nd != dims_out_t:
+            vd_out[v] = nd
+
+    out = XDataset(base, dims_out, coords_out, all_data, attrs)
+    out.var_dims = vd_out
+    return out
 
 
 _VALID_COMPAT = ("identical", "equals", "broadcast_equals", "minimal",

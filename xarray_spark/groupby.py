@@ -233,20 +233,25 @@ class XGroupBy:
         frame: the GLOBALLY first/last season instances drop iff their
         earliest/latest observed month misses the season edge —
         identical to the keep_range semantics, which derived the same
-        predicate from a pre-scan data-range job.  One window
-        projection over the tiny aggregate: lexicographic struct
-        min/max fetch (first label, its min pos) and (last label, its
-        max pos) in one pass; months-remaining = season_len−1−max pos,
-        with season_len keyed off the label month (the label IS the
-        season's first month by construction)."""
+        predicate from a pre-scan data-range job.  The global boundary
+        structs (first label, its min pos) / (last label, its max pos)
+        come from a 1-ROW aggregation broadcast-crossJoined back —
+        never an unpartitioned window, which would funnel the whole
+        aggregate through one task when the groupby keeps large
+        complement dims (round-11 ADVICE #3); months-remaining =
+        season_len−1−max pos, with season_len keyed off the label
+        month (the label IS the season's first month by
+        construction)."""
         from xarray_spark.groupers import _season_to_month_tuple
         for label, g, src in self._season_deferred:
             lab = F.col(label)
             spos = F.col(f"__spos_{label}")
             spxx = F.col(f"__spxx_{label}")
-            w = Window.partitionBy()
-            slo = F.min(F.struct(lab.alias("k"), spos.alias("v"))).over(w)
-            shi = F.max(F.struct(lab.alias("k"), spxx.alias("v"))).over(w)
+            bounds = df.agg(
+                F.min(F.struct(lab.alias("k"), spos.alias("v")))
+                .alias("__slo"),
+                F.max(F.struct(lab.alias("k"), spxx.alias("v")))
+                .alias("__shi"))
             # season length from the label's (first) month
             m = F.month(lab)
             ln = None
@@ -254,7 +259,7 @@ class XGroupBy:
                 cond = m == F.lit(int(months[0]))
                 ln = (F.when(cond, F.lit(len(months))) if ln is None
                       else ln.when(cond, F.lit(len(months))))
-            df = (df.withColumn("__slo", slo).withColumn("__shi", shi)
+            df = (df.crossJoin(F.broadcast(bounds))
                     .where(~((lab == F.col("__slo")["k"])
                              & (F.col("__slo")["v"] != 0))
                            & ~((lab == F.col("__shi")["k"])
