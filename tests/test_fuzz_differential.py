@@ -818,3 +818,137 @@ def test_fuzz_groupby_time_resampler(spark):
         if not ok:
             fails.append((trial, freq, compose, str(ts[0])))
     assert not fails, fails[:4]
+
+
+def test_fuzz_concat_matrix(spark):
+    """Round-12 family: the concat parameter matrix — draw
+    (data_vars, coords, compat, join) over 2-3 datasets whose
+    variables randomly (dis)agree / go missing, and require the engine
+    and the reference to produce the same per-var values+dims or raise
+    the same error class."""
+    from xarray_spark.combine import concat as econcat
+    from xarray_spark.errors import MergeError
+    rng = np.random.default_rng(12012)
+    fails = []
+    for trial in range(TRIALS):
+        nds = int(rng.integers(2, 4))
+        ny = 3
+        yl = [10, 20, 30]
+        u_vals = [float(rng.choice([5.0, 5.0, 6.0])) for _ in range(nds)]
+        w_same = rng.random() < 0.5
+        w_base = _draw(rng, ny, nan_frac=0.3, inf_ok=False)
+        z_in = [bool(rng.random() < 0.7) for _ in range(nds)]
+        z_in[int(rng.integers(0, nds))] = True
+        engs, refs = [], []
+        x0 = 0
+        for i in range(nds):
+            nx = int(rng.integers(1, 4))
+            xs = list(range(x0, x0 + nx)); x0 += nx
+            v = _draw(rng, nx * ny, inf_ok=False).reshape(nx, ny)
+            w = (w_base if w_same or i == 0
+                 else _draw(rng, ny, nan_frac=0.3, inf_ok=False))
+            dvars = {"v": (("x", "y"), v), "u": ((), u_vals[i]),
+                     "w": (("y",), w)}
+            if z_in[i]:
+                dvars["z"] = (("x", "y"),
+                              _draw(rng, nx * ny, inf_ok=False)
+                              .reshape(nx, ny))
+            engs.append(XDataset(dict(dvars), coords={"x": xs, "y": yl}))
+            refs.append(xr.Dataset(dict(dvars),
+                                   coords={"x": xs, "y": yl}))
+        dv = ["all", "minimal", "different", None][int(rng.integers(0, 4))]
+        co = ["minimal", "different", "all"][int(rng.integers(0, 3))]
+        compat = ["equals", "override", "no_conflicts",
+                  "broadcast_equals"][int(rng.integers(0, 4))]
+        join = "outer"
+        kw = dict(dim="x", data_vars=dv, coords=co, compat=compat,
+                  join=join)
+        rerr = gerr = None
+        try:
+            r = xr.concat(refs, **kw)
+        except Exception as ex:  # noqa: BLE001
+            rerr = type(ex).__name__
+        try:
+            g = econcat(engs, **kw)
+            gp = g.to_pandas()
+        except MergeError:
+            gerr = "MergeError"
+        except Exception as ex:  # noqa: BLE001
+            gerr = type(ex).__name__
+        if rerr or gerr:
+            # both sides must fail; exact class may differ between the
+            # reference's MergeError/ValueError surfaces
+            if (rerr is None) != (gerr is None):
+                fails.append((trial, kw, "err-mismatch", rerr, gerr))
+            continue
+        for var in r.data_vars:
+            rv = r[var]
+            vd = tuple(g.var_dims.get(var, g.dims))
+            if set(vd) != set(rv.dims):
+                fails.append((trial, kw, var, "dims", vd, rv.dims))
+                continue
+            if vd:
+                sub = (gp[list(vd) + [var]]
+                       .drop_duplicates(subset=list(vd))
+                       .sort_values(list(vd)))
+                got = sub[var].to_numpy()
+                exp = rv.transpose(*vd).values.ravel()
+            else:
+                got = gp[[var]].head(1)[var].to_numpy()
+                exp = np.array([float(rv.values)])
+            if not _close(got, exp):
+                fails.append((trial, kw, var, got.tolist(),
+                              np.asarray(exp).tolist()))
+    assert not fails, fails[:4]
+
+
+def test_fuzz_where_drop_dropna_thresh(spark):
+    """Round-12 family (verdict #5): where(cond, drop=True) and
+    dropna(dim, how/thresh) — the two §2 selection surfaces with the
+    thinnest fuzz coverage."""
+    rng = np.random.default_rng(12013)
+    fails = []
+    for trial in range(TRIALS):
+        nx, ny = int(rng.integers(2, 6)), int(rng.integers(2, 5))
+        v = _draw(rng, nx * ny, nan_frac=0.35, inf_ok=False) \
+            .reshape(nx, ny)
+        xs, yl = list(range(nx)), [10 * (j + 1) for j in range(ny)]
+        eng = XDataset({"v": (("x", "y"), v)},
+                       coords={"x": xs, "y": yl})
+        ref = xr.Dataset({"v": (("x", "y"), v)},
+                         coords={"x": xs, "y": yl})
+        thr = float(rng.choice([-1.0, 0.0, 2.5]))
+        # where(cond, drop=True)
+        g = (eng.where(eng["v"] > thr, drop=True).to_pandas())
+        r = ref.where(ref["v"] > thr, drop=True)
+        rx = list(np.asarray(r["x"].values))
+        ry = list(np.asarray(r["y"].values))
+        gx = sorted(set(g["x"])) if len(g) else []
+        gy = sorted(set(g["y"])) if len(g) else []
+        if gx != rx or gy != ry:
+            fails.append((trial, "where-drop-labels", gx, rx, gy, ry))
+        elif len(g):
+            gv = (g.sort_values(["x", "y"])["v"]
+                  .to_numpy().reshape(len(rx), len(ry)))
+            if not _close(gv, r["v"].values):
+                fails.append((trial, "where-drop-values"))
+        # dropna over each dim: how x thresh
+        for d in ("x", "y"):
+            for how, th in (("any", None), ("all", None), (None, 1),
+                            (None, ny if d == "x" else nx)):
+                kw = (dict(how=how) if th is None else dict(thresh=th))
+                g = eng.dropna(d, **kw).to_pandas()
+                r = ref.dropna(d, **kw)
+                rlab = list(np.asarray(r[d].values))
+                glab = sorted(set(g[d])) if len(g) else []
+                if glab != rlab:
+                    fails.append((trial, f"dropna-{d}-{how}-{th}",
+                                  glab, rlab))
+                elif len(g):
+                    od = ["x", "y"]
+                    gv = (g.sort_values(od)["v"].to_numpy()
+                          .reshape(len(set(g["x"])), len(set(g["y"]))))
+                    if not _close(gv, r["v"].values):
+                        fails.append((trial,
+                                      f"dropna-vals-{d}-{how}-{th}"))
+    assert not fails, fails[:4]

@@ -1,0 +1,391 @@
+"""Round-12 pins: the concat parameter matrix (reference
+structure/concat.py:371 _calc_concat_over, :605 _dataset_concat) —
+every behavior probe-confirmed against the live reference before
+implementation — plus the round-11 ADVICE fixes (footer-stats tz gate,
+min/max cache key staleness, season-trim broadcast bounds)."""
+
+import sys
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/reference")
+import xarray as xr  # noqa: E402
+
+from xarray_spark import XDataset  # noqa: E402
+from xarray_spark.combine import concat  # noqa: E402
+from xarray_spark.errors import MergeError  # noqa: E402
+
+warnings.filterwarnings("ignore")
+
+
+def _chk(eng, ref, var):
+    """Engine var (values + own dims) against the reference's."""
+    g = eng.to_pandas()
+    rv = ref[var]
+    vd = (eng.var_dims.get(var, eng.dims) if var in eng.data_vars
+          else eng.coords.get(var, eng.dims))
+    assert set(vd) == set(rv.dims), f"{var}: dims {vd} vs {rv.dims}"
+    if vd:
+        sub = (g[list(vd) + [var]].drop_duplicates(subset=list(vd))
+               .sort_values(list(vd)))
+        got = sub[var].to_numpy()
+        exp = rv.transpose(*vd).values.ravel()
+    else:
+        got = g[[var]].head(1)[var].to_numpy()
+        exp = np.array([rv.values])
+    np.testing.assert_allclose(got.astype(float), exp.astype(float),
+                               equal_nan=True, err_msg=var)
+
+
+def _pair(spark, xvals, vvals, u, w=(7.0, 8.0)):
+    e = XDataset({"v": (("x",), list(vvals)), "u": ((), u),
+                  "w": (("y",), list(w))},
+                 coords={"x": list(xvals), "y": [10, 20]})
+    r = xr.Dataset({"v": (("x",), list(vvals)), "u": ((), u),
+                    "w": (("y",), list(w))},
+                   coords={"x": list(xvals), "y": [10, 20]})
+    return e, r
+
+
+def test_concat_data_vars_all_tiles_dimless_vars(spark):
+    """data_vars='all' (the reference's current default): a var lacking
+    the concat dim is TILED over each input's slices."""
+    ea, ra = _pair(spark, [0, 1], [1.0, 2.0], 5.0)
+    eb, rb = _pair(spark, [2, 3], [3.0, 4.0], 6.0)
+    e = concat([ea, eb], dim="x")
+    r = xr.concat([ra, rb], dim="x")
+    for v in ("v", "u", "w"):
+        _chk(e, r, v)
+
+
+def test_concat_data_vars_minimal_and_equals_conflict(spark):
+    ea, ra = _pair(spark, [0, 1], [1.0, 2.0], 5.0)
+    eb, rb = _pair(spark, [2, 3], [3.0, 4.0], 6.0)
+    e = concat([ea, eb], dim="x", data_vars="minimal", coords="minimal",
+               compat="override")
+    r = xr.concat([ra, rb], dim="x", data_vars="minimal",
+                  coords="minimal", compat="override")
+    for v in ("v", "u", "w"):
+        _chk(e, r, v)
+    # compat='equals' (default): the scalar u differs -> MergeError,
+    # reference message shape
+    with pytest.raises(MergeError, match="conflicting values for variable"):
+        concat([ea, eb], dim="x", data_vars="minimal", coords="minimal")
+
+
+def test_concat_data_vars_different(spark):
+    """'different': unequal vars concatenate (tiled), equal vars merge
+    and keep their own dims."""
+    ea, ra = _pair(spark, [0, 1], [1.0, 2.0], 5.0)
+    eb, rb = _pair(spark, [2, 3], [3.0, 4.0], 6.0)
+    e = concat([ea, eb], dim="x", data_vars="different", coords="minimal")
+    r = xr.concat([ra, rb], dim="x", data_vars="different",
+                  coords="minimal")
+    for v in ("v", "u", "w"):
+        _chk(e, r, v)
+    assert e.var_dims["u"] == ("x",)       # unequal -> concatenated
+    assert e.var_dims["w"] == ("y",)       # equal -> merged
+
+
+def test_concat_data_vars_list(spark):
+    ea, ra = _pair(spark, [0, 1], [1.0, 2.0], 5.0)
+    eb, rb = _pair(spark, [2, 3], [3.0, 4.0], 5.0)
+    e = concat([ea, eb], dim="x", data_vars=["w"], coords="minimal",
+               compat="override")
+    r = xr.concat([ra, rb], dim="x", data_vars=["w"], coords="minimal",
+                  compat="override")
+    for v in ("v", "u", "w"):
+        _chk(e, r, v)
+    with pytest.raises(ValueError, match="not found in the data variables"):
+        concat([ea, eb], dim="x", data_vars=["nope"], coords="minimal",
+               compat="override")
+
+
+def test_concat_coords_modes(spark):
+    def mk(xvals, vvals, cvals, s):
+        e = XDataset({"v": (("x",), vvals)},
+                     coords={"x": xvals, "y": [10, 20],
+                             "c": ("x", cvals), "s": ((), s),
+                             "yc": ("y", [0.5, 0.6])})
+        # engine ctor: y only appears via coords -> include a y-var
+        e = XDataset({"v": (("x",), vvals), "w": (("y",), [7.0, 8.0])},
+                     coords={"x": xvals, "y": [10, 20],
+                             "c": ("x", cvals), "s": ((), s),
+                             "yc": ("y", [0.5, 0.6])})
+        r = xr.Dataset({"v": (("x",), vvals), "w": (("y",), [7.0, 8.0])},
+                       coords={"x": xvals, "y": [10, 20],
+                               "c": ("x", cvals), "s": ((), s),
+                               "yc": ("y", [0.5, 0.6])})
+        return e, r
+
+    ea, ra = mk([0, 1], [1.0, 2.0], [100.0, 101.0], 1.0)
+    eb, rb = mk([2, 3], [3.0, 4.0], [102.0, 103.0], 1.0)
+    # default coords='different': s and yc equal -> merged; c has x -> concatenated
+    e = concat([ea, eb], dim="x")
+    r = xr.concat([ra, rb], dim="x")
+    assert e.coords["s"] == () and e.coords["yc"] == ("y",)
+    assert e.coords["c"] == ("x",)
+    for v in ("s", "yc", "c"):
+        _chk(e, r, v)
+    # s differs -> coords='different' concatenates it (tiled)
+    eb2, rb2 = mk([2, 3], [3.0, 4.0], [102.0, 103.0], 2.0)
+    e = concat([ea, eb2], dim="x")
+    r = xr.concat([ra, rb2], dim="x")
+    assert e.coords["s"] == ("x",)
+    _chk(e, r, "s")
+    # coords='all': every non-dim coord gains x
+    e = concat([ea, eb], dim="x", coords="all")
+    r = xr.concat([ra, rb], dim="x", coords="all")
+    assert e.coords["s"] == ("x",) and e.coords["yc"] == ("x", "y")
+    for v in ("s", "yc"):
+        _chk(e, r, v)
+    # coords=list: listed in addition to minimal
+    e = concat([ea, eb], dim="x", coords=["yc"], compat="override")
+    r = xr.concat([ra, rb], dim="x", coords=["yc"], compat="override")
+    assert e.coords["yc"] == ("x", "y") and e.coords["s"] == ()
+    _chk(e, r, "yc")
+
+
+def test_concat_new_dim_matrix(spark):
+    def mk(vvals, u):
+        e = XDataset({"v": (("x",), vvals), "u": ((), u)},
+                     coords={"x": [0, 1]})
+        r = xr.Dataset({"v": (("x",), vvals), "u": ((), u)},
+                       coords={"x": [0, 1]})
+        return e, r
+
+    ea, ra = mk([1.0, 2.0], 5.0)
+    eb, rb = mk([3.0, 4.0], 5.0)
+    e = concat([ea, eb], dim="e")
+    r = xr.concat([ra, rb], dim="e")
+    for v in ("v", "u"):
+        _chk(e, r, v)
+    # 'different' with equal u: u stays dimless on the new-dim path too
+    e = concat([ea, eb], dim="e", data_vars="different", coords="minimal")
+    r = xr.concat([ra, rb], dim="e", data_vars="different",
+                  coords="minimal")
+    _chk(e, r, "u")
+    assert e.var_dims["u"] == ()
+    # minimal+minimal on a new dim is invalid (reference ValueError)
+    with pytest.raises(ValueError, match="new dimension"):
+        concat([ea, eb], dim="e", data_vars="minimal", coords="minimal")
+    # different+override is invalid
+    with pytest.raises(ValueError, match="compat='override'"):
+        concat([ea, eb], dim="e", data_vars="different", compat="override")
+
+
+def test_concat_positions_new_dim(spark):
+    ea = XDataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+    eb = XDataset({"v": (("x",), [3.0, 4.0])}, coords={"x": [0, 1]})
+    ra = xr.Dataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+    rb = xr.Dataset({"v": (("x",), [3.0, 4.0])}, coords={"x": [0, 1]})
+    e = concat([ea, eb], dim="e", positions=[[1], [0]])
+    r = xr.concat([ra, rb], dim="e", positions=[[1], [0]])
+    g = (e.to_pandas().sort_values(["e", "x"])["v"]
+         .to_numpy().reshape(2, 2))
+    np.testing.assert_allclose(g, r["v"].values)
+    with pytest.raises(ValueError, match="permutation"):
+        concat([ea, eb], dim="e", positions=[[0], [2]])
+    with pytest.raises(ValueError, match="one entry per object"):
+        concat([ea, eb], dim="e", positions=[[0]])
+
+
+def test_concat_scalar_coord_promote(spark):
+    """Concat along a scalar coordinate: the reference expand_dims
+    route — the engine promotes the existing constant column."""
+    sa = XDataset({"v": (("t",), [1.0, 2.0])},
+                  coords={"t": [0, 1], "p": 100.0})
+    sb = XDataset({"v": (("t",), [3.0, 4.0])},
+                  coords={"t": [0, 1], "p": 200.0})
+    rsa = xr.Dataset({"v": (("t",), [1.0, 2.0])},
+                     coords={"t": [0, 1], "p": 100.0})
+    rsb = xr.Dataset({"v": (("t",), [3.0, 4.0])},
+                     coords={"t": [0, 1], "p": 200.0})
+    e = concat([sa, sb], dim="p")
+    r = xr.concat([rsa, rsb], dim="p")
+    assert e.dims == ("p", "t")
+    _chk(e, r, "v")
+    # labels are the promoted coordinate's values, not positions
+    assert sorted(set(e.to_pandas()["p"])) == [100.0, 200.0]
+
+
+def test_concat_missing_var_fill_matrix(spark):
+    a = XDataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+    b = XDataset({"v": (("x",), [3.0, 4.0]), "z": (("x",), [9.0, 9.0])},
+                 coords={"x": [2, 3]})
+    ra = xr.Dataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+    rb = xr.Dataset({"v": (("x",), [3.0, 4.0]),
+                     "z": (("x",), [9.0, 9.0])}, coords={"x": [2, 3]})
+    for fv, rfv in ((None, xr.core.dtypes.NA), (-1, -1),
+                    ({"z": -7}, {"z": -7})):
+        e = concat([a, b], dim="x", fill_value=fv)
+        r = xr.concat([ra, rb], dim="x", fill_value=rfv)
+        _chk(e, r, "z")
+
+
+def test_concat_join_matrix(spark):
+    ja = XDataset({"v": (("x", "y"), [[1.0, 2.0]])},
+                  coords={"x": [0], "y": [10, 20]})
+    jb = XDataset({"v": (("x", "y"), [[3.0, 4.0]])},
+                  coords={"x": [1], "y": [20, 30]})
+    rja = xr.Dataset({"v": (("x", "y"), [[1.0, 2.0]])},
+                     coords={"x": [0], "y": [10, 20]})
+    rjb = xr.Dataset({"v": (("x", "y"), [[3.0, 4.0]])},
+                     coords={"x": [1], "y": [20, 30]})
+    for j in ("outer", "inner", "left", "right"):
+        e = concat([ja, jb], dim="x", join=j)
+        r = xr.concat([rja, rjb], dim="x", join=j)
+        _chk(e, r, "v")
+    from xarray_spark.errors import AlignmentError
+    with pytest.raises(AlignmentError):
+        concat([ja, jb], dim="x", join="exact")
+
+
+def test_concat_no_conflicts_combines_merged_vars(spark):
+    an = XDataset({"v": (("x",), [1.0, 2.0]),
+                   "u": (("y",), [1.0, None])},
+                  coords={"x": [0, 1], "y": [10, 20]})
+    bn = XDataset({"v": (("x",), [3.0, 4.0]),
+                   "u": (("y",), [None, 2.0])},
+                  coords={"x": [2, 3], "y": [10, 20]})
+    rn = xr.concat(
+        [xr.Dataset({"v": (("x",), [1.0, 2.0]),
+                     "u": (("y",), [1.0, np.nan])},
+                    coords={"x": [0, 1], "y": [10, 20]}),
+         xr.Dataset({"v": (("x",), [3.0, 4.0]),
+                     "u": (("y",), [np.nan, 2.0])},
+                    coords={"x": [2, 3], "y": [10, 20]})],
+        dim="x", data_vars="minimal", coords="minimal",
+        compat="no_conflicts")
+    e = concat([an, bn], dim="x", data_vars="minimal", coords="minimal",
+               compat="no_conflicts")
+    _chk(e, rn, "u")
+    # a genuine overlap conflict raises
+    cn = XDataset({"v": (("x",), [5.0]), "u": (("y",), [3.0, 2.0])},
+                  coords={"x": [4], "y": [10, 20]})
+    with pytest.raises(MergeError):
+        concat([an, cn], dim="x", data_vars="minimal", coords="minimal",
+               compat="no_conflicts")
+
+
+def test_concat_different_break_quirk(spark):
+    """Reference quirk (structure/concat.py:461): a 'different'
+    candidate present in exactly ONE dataset breaks the whole probe
+    loop — later unequal candidates stay merged and then fail the
+    compat='equals' merge check.  Probe-confirmed live."""
+    aq = XDataset({"v": (("x",), [1.0, 2.0]), "only_a": ((), 9.0),
+                   "u": ((), 5.0)}, coords={"x": [0, 1]})
+    bq = XDataset({"v": (("x",), [3.0, 4.0]), "u": ((), 6.0)},
+                  coords={"x": [2, 3]})
+    with pytest.raises(MergeError, match="conflicting values"):
+        concat([aq, bq], dim="x", data_vars="different", coords="minimal")
+    # control: with u before only_a in the first dataset's var order,
+    # u IS probed and concatenates
+    aq2 = XDataset({"v": (("x",), [1.0, 2.0]), "u": ((), 5.0),
+                    "only_a": ((), 9.0)}, coords={"x": [0, 1]})
+    e = concat([aq2, bq], dim="x", data_vars="different",
+               coords="minimal")
+    # u gained the concat dim (== full dims here, so no var_dims entry)
+    assert tuple(e.var_dims.get("u", e.dims)) == ("x",)
+    assert sorted(e.to_pandas().drop_duplicates("x")["u"]) == [
+        5.0, 5.0, 6.0, 6.0]
+
+
+def test_concat_different_partial_presence_raises(spark):
+    mk = lambda x0, vv: XDataset({"v": (("x",), vv)},
+                                 coords={"x": [x0, x0 + 1]})
+    a = XDataset({"v": (("x",), [1.0, 2.0]), "u": ((), 1.0)},
+                 coords={"x": [0, 1]})
+    b = XDataset({"v": (("x",), [3.0, 4.0]), "u": ((), 1.0)},
+                 coords={"x": [2, 3]})
+    c = mk(4, [5.0, 6.0])
+    with pytest.raises(ValueError, match="not present in all datasets"):
+        concat([a, b, c], dim="x", data_vars="different",
+               coords="minimal")
+    # but 'minimal' with partial presence merges from the havers
+    e = concat([a, b, c], dim="x", data_vars="minimal",
+               coords="minimal", compat="equals")
+    assert e.to_pandas()["u"].iloc[0] == 1.0
+
+
+def test_concat_identical_attr_checks(spark):
+    a = XDataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]},
+                 attrs={"k": 1})
+    b = XDataset({"v": (("x",), [3.0, 4.0])}, coords={"x": [2, 3]},
+                 attrs={"k": 2})
+    with pytest.raises(ValueError, match="global attributes not equal"):
+        concat([a, b], dim="x", compat="identical", coords="minimal",
+               data_vars="minimal")
+
+
+def test_concat_coord_datavar_conflict(spark):
+    a = XDataset({"v": (("x",), [1.0, 2.0]), "q": (("x",), [1.0, 1.0])},
+                 coords={"x": [0, 1]})
+    b = XDataset({"v": (("x",), [3.0, 4.0])},
+                 coords={"x": [2, 3], "q": ("x", [2.0, 2.0])})
+    with pytest.raises(ValueError, match="coordinate in some datasets"):
+        concat([a, b], dim="x")
+
+
+def test_minmax_cache_invalidates_on_overwrite(spark, tmp_path):
+    """ADVICE #2: the plan-fingerprint cache must not serve stale
+    min/max after an external writer overwrites a parquet file in
+    place under the same name."""
+    from xarray_spark._utils import dim_min_max
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": [1, 2, 3]}), p)
+    df = spark.read.parquet(p)
+    assert dim_min_max(df, "a") == (1, 3)
+    import os
+    import time
+    time.sleep(0.05)
+    pq.write_table(pa.table({"a": [10, 20, 30]}), p)
+    os.utime(p)
+    df2 = spark.read.parquet(p)
+    assert dim_min_max(df2, "a") == (10, 30)
+
+
+def test_footer_minmax_skipped_on_non_utc_session(spark, tmp_path):
+    """ADVICE #1: the footer shortcut for instant timestamps only
+    fires when the session timezone is UTC — otherwise the Spark-job
+    fallback (session-tz-naive) answers, and both paths agree."""
+    from xarray_spark import _utils
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    ts = pd.to_datetime(["2021-01-01 06:00", "2021-06-01 18:00"])
+    p = str(tmp_path / "ts.parquet")
+    pq.write_table(pa.table({"t": pa.array(ts, pa.timestamp("us", "UTC"))}), p)
+    df = spark.read.parquet(p)
+    utc_out = _utils.dim_min_max(df, "t")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/New_York")
+        proj = spark.read.parquet(p).select("t")
+        assert _utils._footer_min_max(proj, "t") is None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert utc_out == (pd.Timestamp("2021-01-01 06:00"),
+                       pd.Timestamp("2021-06-01 18:00"))
+
+
+def test_season_trim_still_matches_reference(spark):
+    """ADVICE #3 regression: drop_incomplete via broadcast 1-row
+    bounds agg (no unpartitioned window) still trims exactly like the
+    reference."""
+    from xarray_spark.groupers import SeasonResampler
+    t = pd.date_range("2001-02-01", "2002-10-31", freq="MS")
+    vals = np.arange(len(t), dtype=float)
+    e = XDataset({"v": (("time",), vals)}, coords={"time": t})
+    r = xr.Dataset({"v": (("time",), vals)}, coords={"time": t})
+    got = (e.groupby(time=SeasonResampler(
+        ["DJF", "MAM", "JJA", "SON"], drop_incomplete=True)).sum()
+        .to_pandas().sort_values("time"))
+    exp = r.resample(time=xr.groupers.SeasonResampler(
+        ["DJF", "MAM", "JJA", "SON"], drop_incomplete=True)).sum()
+    np.testing.assert_allclose(got["v"].to_numpy(), exp["v"].values)
