@@ -52,13 +52,17 @@ def _aligned_label_sets(datasets: Sequence[XDataset], join: str) -> dict[str, Da
 
 
 def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame,
-                       fill_value=None) -> XDataset:
+                       fill_value=None, restrict: bool = True) -> XDataset:
     """Restrict ds to the label set AND materialize rows (null vars) for
     labels it lacks — reference align semantics, where an outer join
     introduces NaN slices.  Missing labels appear as other-combos ×
     missing-label rows (the interp()-style synthesis), so dim key
-    columns are never null.  Both joins are broadcast-label-sized."""
-    df = ds.df.join(F.broadcast(labels), on=dim, how="left_semi")
+    columns are never null.  Both joins are broadcast-label-sized.
+    ``restrict=False`` (join='outer') skips the restriction semi-join —
+    a provable no-op there, since the union label set contains every
+    dataset's labels."""
+    df = (ds.df.join(F.broadcast(labels), on=dim, how="left_semi")
+          if restrict else ds.df)
     missing = labels.join(ds.df.select(dim).distinct(), on=dim, how="left_anti")
     others = [d for d in ds.dims if d != dim]
     if others:
@@ -121,7 +125,8 @@ def align(*datasets: XDataset, join: str = "inner",
                     cur = cur._replace(df=cur.df.join(
                         F.broadcast(labels), on=dim, how="left_semi"))
                 else:
-                    cur = _conform_to_labels(cur, dim, labels, fill_value)
+                    cur = _conform_to_labels(cur, dim, labels, fill_value,
+                                             restrict=(join != "outer"))
         out.append(cur)
     return tuple(out)
 

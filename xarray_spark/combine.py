@@ -275,15 +275,37 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
                 raise ValueError("Dataset global attributes not equal.")
 
     # ---- align the non-concat dims (reference aligns with join +
-    # fill_value, exclude=[dim] — structure/concat.py:644)
+    # fill_value, exclude=[dim] — structure/concat.py:644).  Label-set
+    # equality is probed EAGERLY first (one label-table job per shared
+    # dim — the reference's align is eager too): equal sets (the
+    # file-chunk concat norm) skip the conform plan entirely, so the
+    # default path stays a pure union with no extra joins.
     from collections import Counter
     counts = Counter(d for o in objs for d in set(o.dims) if d != dim)
     shared_other = [d for d, n in counts.items() if n > 1]
     if len(objs) > 1 and shared_other:
         from xarray_spark.alignment import align as _align
-        objs = list(_align(*objs, join=join, fill_value=fill_value,
-                           exclude=[dim]))
-        first = objs[0]
+        need = []
+        for d in shared_other:
+            tabs = [o.df.select(d).where(F.col(d).isNotNull()).distinct()
+                    for o in objs if d in o.dims]
+            differ = False
+            for t in tabs[1:]:
+                if not tabs[0].exceptAll(t).union(
+                        t.exceptAll(tabs[0])).isEmpty():
+                    differ = True
+                    break
+            if differ:
+                if join == "exact":
+                    from xarray_spark.errors import AlignmentError
+                    raise AlignmentError(
+                        f"indexes along dimension {d!r} are not equal")
+                need.append(d)
+        if need:
+            objs = list(_align(*objs, join=join, fill_value=fill_value,
+                               exclude=[dim] + [d for d in shared_other
+                                                if d not in need]))
+            first = objs[0]
 
     # ---- name universe, in first-appearance order
     all_data = list(dict.fromkeys(v for o in objs for v in o.data_vars))
