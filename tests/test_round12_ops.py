@@ -13,6 +13,7 @@ import pytest
 
 sys.path.insert(0, "/root/reference")
 import xarray as xr  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from xarray_spark import XDataset  # noqa: E402
 from xarray_spark.combine import concat  # noqa: E402
@@ -389,3 +390,56 @@ def test_season_trim_still_matches_reference(spark):
     exp = r.resample(time=xr.groupers.SeasonResampler(
         ["DJF", "MAM", "JJA", "SON"], drop_incomplete=True)).sum()
     np.testing.assert_allclose(got["v"].to_numpy(), exp["v"].values)
+
+
+def test_concat_different_no_conflicts_weak_compare(spark):
+    """'different' under compat='no_conflicts' uses the WEAK comparison
+    (Variable.no_conflicts): null-disjoint vars merge COMBINED; genuine
+    conflicts concatenate (no error).  Probe-confirmed live."""
+    a = XDataset({"v": (("x",), [1.0, 2.0]), "u": (("y",), [1.0, None])},
+                 coords={"x": [0, 1], "y": [10, 20]})
+    b = XDataset({"v": (("x",), [3.0, 4.0]), "u": (("y",), [None, 2.0])},
+                 coords={"x": [2, 3], "y": [10, 20]})
+    e = concat([a, b], dim="x", data_vars="different", coords="minimal",
+               compat="no_conflicts")
+    assert e.coords == {} and e.var_dims["u"] == ("y",)
+    g = (e.to_pandas()[["y", "u"]].drop_duplicates("y").sort_values("y"))
+    assert g["u"].tolist() == [1.0, 2.0]   # coalesced across inputs
+    b2 = XDataset({"v": (("x",), [3.0, 4.0]), "u": (("y",), [9.0, 2.0])},
+                  coords={"x": [2, 3], "y": [10, 20]})
+    e = concat([a, b2], dim="x", data_vars="different", coords="minimal",
+               compat="no_conflicts")
+    # conflict -> concatenated (u now spans all dims)
+    assert tuple(e.var_dims.get("u", e.dims)) == ("x", "y")
+    g = (e.to_pandas().drop_duplicates(["x", "y"])
+         .sort_values(["x", "y"]))
+    got = g["u"].to_numpy().reshape(4, 2)
+    exp = np.array([[1.0, np.nan], [1.0, np.nan],
+                    [9.0, 2.0], [9.0, 2.0]])
+    np.testing.assert_allclose(got, exp, equal_nan=True)
+
+
+def test_open_mfdataset_concat_kwargs(spark, tmp_path):
+    """open_mfdataset routes the concat parameter matrix when
+    combine='nested' / concat kwargs are given (reference
+    backends/api.py:1379); the default stays ONE multi-path scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from xarray_spark.io import open_mfdataset
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"t": [0, 1], "v": [1.0, 2.0],
+                             "n": [10.0, 10.0]}), p1)
+    pq.write_table(pa.table({"t": [2, 3], "v": [3.0, 4.0],
+                             "n": [99.0, 99.0]}), p2)
+    # default: plain union scan
+    ds = open_mfdataset(spark, [p1, p2], dims=["t"])
+    assert ds.df.count() == 4
+    # nested with compat='override': n (a data var WITH t here) concats
+    ds = open_mfdataset(spark, [p1, p2], dims=["t"], combine="nested",
+                        concat_dim="t", compat="override",
+                        coords="minimal",
+                        preprocess=lambda d: d.assign(
+                            v2=F.col("v") * 2))
+    g = ds.to_pandas().sort_values("t")
+    assert g["v2"].tolist() == [2.0, 4.0, 6.0, 8.0]
+    assert g["n"].tolist() == [10.0, 10.0, 99.0, 99.0]

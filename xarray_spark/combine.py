@@ -121,7 +121,8 @@ def _probe_unequal(a: XDataset, b: XDataset, names: Sequence[str],
     groups: dict[tuple, list] = {}
     for n in names:
         da, db = _own_dims(a, n), _own_dims(b, n)
-        if compat != "broadcast_equals" and set(da) != set(db):
+        if (compat in ("equals", "identical")
+                and set(da) != set(db)):
             out.add(n)  # 'equals'/'identical': dims must match too
             continue
         if compat == "identical" and a.var_attrs(n) != b.var_attrs(n):
@@ -135,10 +136,19 @@ def _probe_unequal(a: XDataset, b: XDataset, names: Sequence[str],
             tb = tb.withColumnRenamed(n, f"__b_{n}")
         j = (ta.join(tb, on=list(key), how="full_outer") if key
              else ta.crossJoin(tb))
+
+        def _neq(n):
+            if compat == "no_conflicts":
+                # Variable.no_conflicts (core/variable.py:1920): only
+                # values non-null on BOTH sides may disagree
+                return (F.col(n).isNotNull()
+                        & F.col(f"__b_{n}").isNotNull()
+                        & (F.col(n) != F.col(f"__b_{n}")))
+            return ~F.col(n).eqNullSafe(F.col(f"__b_{n}"))
+
         row = j.agg(*[
-            F.max((~F.col(n).eqNullSafe(F.col(f"__b_{n}"))).cast("int")
-                  ).alias(n)
-            for n in grp]).collect()[0]
+            F.max(_neq(n).cast("int")).alias(n) for n in grp
+        ]).collect()[0]
         out.update(n for n in grp if row[n] == 1)
     return out
 

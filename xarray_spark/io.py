@@ -252,12 +252,59 @@ def open_mfdataset(
     paths: Sequence[str],
     dims: Sequence[str],
     combine: str = "by_coords",
+    concat_dim=None,
+    preprocess=None,
+    data_vars=None,
+    coords=None,
+    compat: str | None = None,
+    join: str | None = None,
+    combine_attrs="override",
+    coords_map: Mapping[str, Sequence[str]] | None = None,
 ) -> XDataset:
-    """Multi-file scan + combine (xarray/backends/api.py:1379) —
-    a multi-path parquet read; labels carry the tile order so no
-    coordination is needed beyond the union."""
-    df = spark.read.parquet(*paths)
-    return XDataset(df, dims)
+    """Multi-file scan + combine (xarray/backends/api.py:1379).
+
+    Default (combine='by_coords', no concat kwargs): ONE multi-path
+    parquet read — the scale path; labels carry the tile order so no
+    coordination is needed beyond the union, and a 10k-file dataset
+    stays a single distributed scan.
+
+    combine='nested' (or any of concat_dim / preprocess / data_vars /
+    coords / compat / join given): each path opens as its own dataset,
+    ``preprocess`` applies per file, and the results route through the
+    full ``concat`` parameter matrix exactly as the reference's
+    open_mfdataset forwards them (api.py:1516 _nested_combine /
+    combine_by_coords; reference old-style defaults: compat=
+    'no_conflicts', data_vars='all', coords='different', join='outer').
+    This path plans per file — right for moderate file counts where
+    per-file variables genuinely differ; keep the default for
+    homogeneous file sets.
+
+    ``coords_map`` is the engine's coord-catalog mapping (name → dims)
+    applied to each opened dataset — the schema role the reference
+    infers from the file metadata."""
+    from xarray_spark.combine import _CONCAT_DEFAULT, concat
+    paths = list(paths)
+    parameterized = (combine == "nested" or concat_dim is not None
+                     or preprocess is not None or data_vars is not None
+                     or coords is not None or compat is not None
+                     or join is not None)
+    if not parameterized:
+        df = spark.read.parquet(*paths)
+        return XDataset(df, dims, coords_map)
+    objs = []
+    for p in paths:
+        ds = XDataset(spark.read.parquet(p), dims, coords_map)
+        if preprocess is not None:
+            ds = preprocess(ds)
+        objs.append(ds)
+    dim = concat_dim if concat_dim is not None else list(dims)[0]
+    return concat(
+        objs, dim,
+        data_vars=_CONCAT_DEFAULT if data_vars is None else data_vars,
+        coords="different" if coords is None else coords,
+        compat="no_conflicts" if compat is None else compat,
+        join="outer" if join is None else join,
+        combine_attrs=combine_attrs)
 
 
 def from_pandas(spark: SparkSession, pdf, dims: Sequence[str],
