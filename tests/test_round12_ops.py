@@ -443,3 +443,90 @@ def test_open_mfdataset_concat_kwargs(spark, tmp_path):
     g = ds.to_pandas().sort_values("t")
     assert g["v2"].tolist() == [2.0, 4.0, 6.0, 8.0]
     assert g["n"].tolist() == [10.0, 10.0, 99.0, 99.0]
+
+
+# ---- round-12 probe sweep (verdict #6): combine_nested grid, pad ----
+# kwarg validation, to_stacked_array melt ------------------------------
+
+
+def test_combine_nested_grid_and_merge_levels(spark):
+    """combine_nested upgraded to the reference surface
+    (structure/combine.py:431): list concat_dim (one per nesting
+    depth, outer-first), None levels merge, combine_attrs default
+    'drop' (NOT concat's 'override'), depth validation."""
+    from xarray_spark import combine_nested
+    g = {}
+    for i in range(2):
+        for j in range(2):
+            g[i, j] = XDataset({"v": (("x", "y"),
+                                      [[float(1 + 2 * i + j)]])},
+                               coords={"x": [i], "y": [j]},
+                               attrs={"k": 1})
+    r = combine_nested([[g[0, 0], g[0, 1]], [g[1, 0], g[1, 1]]],
+                       concat_dim=["x", "y"])
+    got = sorted((rr["x"], rr["y"], rr["v"]) for rr in r.df.collect())
+    assert got == [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0), (1, 1, 4.0)]
+    assert r.attrs == {}          # reference default combine_attrs='drop'
+    rm = combine_nested([g[0, 0], g[1, 0]], concat_dim=[None])
+    got = sorted((rr["x"], rr["v"]) for rr in rm.df.collect())
+    assert got == [(0, 1.0), (1, 3.0)]   # None level merges
+    with pytest.raises(ValueError, match="nested"):
+        combine_nested([[g[0, 0]], [g[1, 0]]], concat_dim="x")
+
+
+def test_pad_rejects_wrong_mode_kwargs(spark):
+    """Probe-sweep find: the engine silently IGNORED kwargs a pad mode
+    does not consume; numpy/the reference raise ValueError
+    (numpy/lib/arraypad.py)."""
+    ds = XDataset({"v": (("x",), [1.0, 2.0, 3.0])},
+                  coords={"x": [0, 1, 2]})
+    cases = (("edge", dict(constant_values=9)),
+             ("constant", dict(end_values=10)),
+             ("reflect", dict(stat_length=2)),
+             ("linear_ramp", dict(reflect_type="odd")),
+             ("mean", dict(constant_values=1)))
+    for mode, kw in cases:
+        with pytest.raises(ValueError, match="unsupported keyword"):
+            ds.pad(x=1, mode=mode, **kw)
+    # the legitimate pairings still work
+    got = [r["v"] for r in ds.pad(x=1, mode="constant",
+                                  constant_values=7)
+           .df.orderBy("x").collect()]
+    assert got == [7.0, 1.0, 2.0, 3.0, 7.0]
+    got = [r["v"] for r in ds.pad(x=1, mode="linear_ramp",
+                                  end_values=10)
+           .df.orderBy("x").collect()]
+    assert got == [10.0, 1.0, 2.0, 3.0, 10.0]
+
+
+def test_to_stacked_array_subset_sample_dims_roundtrip(spark):
+    """Probe-sweep find: sample_dims ⊂ dims was a documented raise —
+    now the reference melt (core/dataset.py:5430): folded dims join
+    the variable label in a struct stacked dim, a variable lacking a
+    folded dim contributes ONE null-level slot, and
+    to_unstacked_dataset restores each variable's own dims."""
+    ds = XDataset({"a": (("t", "x"), [[1.0, 2.0], [3.0, 4.0]]),
+                   "b": (("t",), [5.0, 6.0])},
+                  coords={"t": [0, 1], "x": [10, 20]})
+    rds = xr.Dataset({"a": (("t", "x"), [[1.0, 2.0], [3.0, 4.0]]),
+                      "b": (("t",), [5.0, 6.0])},
+                     coords={"t": [0, 1], "x": [10, 20]})
+    sa = ds.to_stacked_array("z", sample_dims=["t"], variable_dim="vv",
+                             name="nm")
+    rsa = rds.to_stacked_array("z", sample_dims=["t"],
+                               variable_dim="vv", name="nm")
+    g = sa.to_pandas().sort_values(["t", "vv", "x"])
+    np.testing.assert_allclose(
+        g["nm"].to_numpy().reshape(2, 3), rsa.values)
+    back = sa.to_unstacked_dataset("z")
+    assert back.var_dims == {"b": ("t",)}
+    got = sorted((r["t"], r["x"], r["a"], r["b"])
+                 for r in back.df.collect())
+    assert got == [(0, 10, 1.0, 5.0), (0, 20, 2.0, 5.0),
+                   (1, 10, 3.0, 6.0), (1, 20, 4.0, 6.0)]
+    # a var missing a sample dim is the reference error
+    ds2 = XDataset({"a": (("t", "x"), [[1.0, 2.0], [3.0, 4.0]]),
+                    "b": (("x",), [5.0, 6.0])},
+                   coords={"t": [0, 1], "x": [10, 20]})
+    with pytest.raises(ValueError, match="sample_dims"):
+        ds2.to_stacked_array("z", sample_dims=["t"])

@@ -790,16 +790,52 @@ def combine_by_coords(objs: Sequence[XDataset]) -> XDataset:
     return first._replace(df=df)
 
 
-def combine_nested(objs, concat_dim: str) -> XDataset:
-    """(xarray/structure/combine.py:431) — ordered union with per-tile
-    literal labels when the dim is new."""
-    flat: list[XDataset] = []
+def combine_nested(objs, concat_dim, compat: str = "no_conflicts",
+                   data_vars="all", coords="different", fill_value=None,
+                   join: str = "outer",
+                   combine_attrs="drop") -> XDataset:
+    """(xarray/structure/combine.py:431 combine_nested / :217
+    _combine_nd) — N-D hypercube combine.
 
-    def _flatten(x):
-        if isinstance(x, XDataset):
-            flat.append(x)
-        else:
-            for y in x:
-                _flatten(y)
-    _flatten(objs)
-    return concat(flat, concat_dim)
+    ``concat_dim`` is one entry per nesting depth (a bare value wraps
+    to a 1-list): the OUTERMOST list level combines along
+    ``concat_dim[0]``, inner levels along the later entries — so
+    ``[[t1, t2], [t3, t4]]`` with ``concat_dim=['x', 'y']`` concats
+    each inner pair along ``y`` then the two rows along ``x``, exactly
+    the reference's tile order.  A ``None`` entry means MERGE at that
+    level instead of concatenating.  The concat matrix kwargs forward
+    to each concat; defaults are the reference's old-style
+    (compat='no_conflicts', data_vars='all', coords='different',
+    join='outer') and ``combine_attrs='drop'`` — the reference's
+    combine_nested default, NOT concat's 'override'."""
+    if isinstance(concat_dim, (str, type(None))) or hasattr(concat_dim, "name"):
+        dims_list = [concat_dim]
+    else:
+        dims_list = list(concat_dim)
+
+    def _depth(x):
+        return 1 + max((_depth(y) for y in x), default=0) \
+            if isinstance(x, (list, tuple)) else 0
+
+    depth = _depth(objs)
+    if depth != len(dims_list):
+        raise ValueError(
+            f"concat_dims has length {len(dims_list)} but the datasets "
+            f"passed are nested in a {depth}-dimensional structure")
+
+    def _combine(x, level):
+        if not isinstance(x, (list, tuple)):
+            return x
+        items = [_combine(y, level + 1) for y in x]
+        if len(items) == 1:
+            return items[0]
+        d = dims_list[level]
+        if d is None:
+            return merge(items, compat=compat, join=join,
+                         fill_value=fill_value,
+                         combine_attrs=combine_attrs)
+        return concat(items, d, data_vars=data_vars, coords=coords,
+                      compat=compat, fill_value=fill_value, join=join,
+                      combine_attrs=combine_attrs)
+
+    return _combine(objs, 0)

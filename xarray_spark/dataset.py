@@ -4043,9 +4043,18 @@ class XDataset:
         from xarray_spark.computation import cumulative_integrate
         return cumulative_integrate(self, coord, datetime_unit=datetime_unit)
 
+    _PAD_MODE_KWARGS = {
+        "constant": {"constant_values"},
+        "edge": set(), "wrap": set(), "empty": set(),
+        "linear_ramp": {"end_values"},
+        "maximum": {"stat_length"}, "mean": {"stat_length"},
+        "median": {"stat_length"}, "minimum": {"stat_length"},
+        "reflect": {"reflect_type"}, "symmetric": {"reflect_type"},
+    }
+
     def pad(self, pad_width: Mapping[str, tuple[int, int]] | None = None,
-            mode: str = "constant", constant_values=None, end_values=0.0,
-            reflect_type: str = "even", stat_length=None,
+            mode: str = "constant", constant_values=None, end_values=None,
+            reflect_type: str | None = None, stat_length=None,
             **kw) -> "XDataset":
         """Extend dims with new labels (xarray/core/dataset.py:9054).
 
@@ -4066,6 +4075,27 @@ class XDataset:
         is unioned (and for positional modes, equi-joined by source
         label) — never sorted globally.
         """
+        # numpy/reference contract (numpy/lib/arraypad.py): an
+        # explicitly-passed kwarg a mode does not consume is an ERROR,
+        # never silently ignored (round-12 probe-sweep find — the
+        # engine used to drop e.g. constant_values under mode='edge')
+        passed = {name for name, val in (
+            ("constant_values", constant_values),
+            ("end_values", end_values),
+            ("reflect_type", reflect_type),
+            ("stat_length", stat_length)) if val is not None}
+        allowed = self._PAD_MODE_KWARGS.get(mode)
+        if allowed is None:
+            raise ValueError(f"mode '{mode}' is not supported")
+        unsupported = passed - allowed
+        if unsupported:
+            raise ValueError(
+                f"unsupported keyword arguments for mode '{mode}': "
+                f"{unsupported}")
+        if end_values is None:
+            end_values = 0.0
+        if reflect_type is None:
+            reflect_type = "even"
         pad_width = {**(pad_width or {}), **kw}
         out = self
         for dim, width in pad_width.items():
@@ -4453,14 +4483,59 @@ class XDataset:
         (xarray/core/dataset.py:5383) — SQL unpivot (melt).
 
         ``sample_dims`` (reference signature) are the dims PRESERVED by
-        the stacking; every other dim would fold into ``new_dim``
-        alongside the variable names.  The long form supports the
-        all-dims-sampled case (pure variable melt); folding extra dims
-        requires a prior :meth:`stack`, which composes explicitly."""
+        the stacking; every other dim folds into ``new_dim`` alongside
+        the variable names (reference: a MultiIndex of variable_dim +
+        the folded dims; a variable lacking a folded dim contributes
+        ONE slot with a null level — core/dataset.py:5430
+        stacked-array shape).  Long form: one union branch per
+        variable (sample dims + its own folded labels + a literal
+        variable label), the stacked dim a STRUCT column with the
+        level columns riding as coords — the engine's MultiIndex
+        convention (set_index struct keys)."""
         if sample_dims is not None and set(sample_dims) != set(self.dims):
-            raise NotImplementedError(
-                "to_stacked_array with sample_dims a strict subset of "
-                "dims: stack() the non-sample dims first, then melt")
+            sset = set(sample_dims)
+            sample = [d for d in self.dims if d in sset]
+            folded = [d for d in self.dims if d not in sset]
+            frames = []
+            vd_map = {}
+            for v in self.data_vars:
+                vd = tuple(self.var_dims.get(v, self.dims))
+                missing_sample = [d for d in sample if d not in vd]
+                if missing_sample:
+                    raise ValueError(
+                        f"Variables in the dataset must contain all "
+                        f"``sample_dims`` ({sample!r}) but {v!r} misses "
+                        f"{missing_sample!r}")
+                use = [d for d in folded if d in vd]
+                vd_map[v] = use
+                keys = sample + use
+                proj = self.df.select(*keys, F.col(v).alias("__val"))
+                if set(keys) != set(self.dims):
+                    proj = (proj.dropDuplicates(keys) if keys
+                            else proj.limit(1))
+                cols = [*[F.col(d) for d in sample],
+                        F.lit(v).alias(variable_dim)]
+                for d in folded:
+                    cols.append(F.col(d) if d in use else
+                                F.lit(None)
+                                .cast(self.df.schema[d].dataType)
+                                .alias(d))
+                cols.append(F.col("__val").alias(name))
+                frames.append(proj.select(*cols))
+            df = frames[0]
+            for f in frames[1:]:
+                df = df.unionByName(f)
+            df = df.withColumn(
+                new_dim, F.struct(F.col(variable_dim), *[
+                    F.col(d) for d in folded]))
+            coords = {variable_dim: (new_dim,),
+                      **{d: (new_dim,) for d in folded}}
+            ds = XDataset(df, sample + [new_dim], coords,
+                          [name], dict(self.attrs))
+            ds.attrs["_stacked_meta"] = {
+                "variable_dim": variable_dim, "folded": folded,
+                "sample": sample, "var_folded": vd_map}
+            return ds[name]
         out = self.to_dataarray(dim=new_dim, name=name)
         if variable_dim != "variable":
             # the reference names the variable LEVEL of the stacked
@@ -4471,7 +4546,43 @@ class XDataset:
 
     def to_unstacked_dataset(self, dim: str, level=0) -> "XDataset":
         """Inverse of to_stacked_array (xarray/core/dataarray.py:3070) —
-        pivot the variable dim back into columns."""
+        pivot the variable dim back into columns.  A struct-typed
+        (folded) stacked dim unfolds via one tiny variable-label
+        collect + per-variable joinback on its own dims — each
+        variable recovers exactly the dims it owned before stacking
+        (null folded levels mean the var never had that dim)."""
+        meta = self.attrs.get("_stacked_meta")
+        if meta and dim in self.dims:
+            var_level = meta["variable_dim"]
+            folded = list(meta["folded"])
+            sample = list(meta["sample"])
+            val = self.data_vars[0]
+            var_folded = {k: list(v)
+                          for k, v in meta["var_folded"].items()}
+            labels = sorted(var_folded)
+            # base grid: sample-dim rows x each folded dim's labels
+            base = self.df.select(*sample).distinct()
+            for d in folded:
+                labs = (self.df.select(d)
+                        .where(F.col(d).isNotNull()).distinct())
+                base = base.crossJoin(F.broadcast(labs))
+            out_df = base
+            vd_out = {}
+            full = tuple(sample + folded)
+            for lab in labels:
+                own = var_folded[lab]
+                tbl = (self.df.where(F.col(var_level) == lab)
+                       .select(*sample, *own, F.col(val).alias(lab)))
+                keys = sample + own
+                out_df = (out_df.join(tbl, on=keys, how="left")
+                          if keys else out_df.crossJoin(tbl))
+                if tuple(sample + own) != full:
+                    vd_out[lab] = tuple(sample + own)
+            attrs = {k: v for k, v in self.attrs.items()
+                     if k != "_stacked_meta"}
+            out = XDataset(out_df, list(full), {}, labels, attrs)
+            out.var_dims = vd_out
+            return out
         return self.to_dataset_pivot(dim)
 
     def differentiate(self, coord: str,
