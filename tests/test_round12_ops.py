@@ -530,3 +530,31 @@ def test_to_stacked_array_subset_sample_dims_roundtrip(spark):
                    coords={"t": [0, 1], "x": [10, 20]})
     with pytest.raises(ValueError, match="sample_dims"):
         ds2.to_stacked_array("z", sample_dims=["t"])
+
+
+def test_combine_by_coords_kwarg_route(spark):
+    """combine_by_coords forwards the concat matrix along the one
+    differing dim (reference structure/combine.py:798; old-style
+    defaults compat='no_conflicts', combine_attrs='no_conflicts')."""
+    from xarray_spark import combine_by_coords
+    a = XDataset({"v": (("t", "p"), [[1.0, 2.0], [3.0, 4.0]]),
+                  "n": (("p",), [10.0, 20.0])},
+                 coords={"t": [0, 1], "p": [0, 1]})
+    b = XDataset({"v": (("t", "p"), [[5.0, 6.0], [7.0, 8.0]]),
+                  "n": (("p",), [99.0, 98.0])},
+                 coords={"t": [2, 3], "p": [0, 1]})
+    a.var_dims = {"n": ("p",)}
+    b.var_dims = {"n": ("p",)}
+    r = combine_by_coords([a, b], data_vars="minimal", coords="minimal",
+                          compat="override")
+    g = r.to_pandas().sort_values(["t", "p"])
+    assert g["v"].tolist() == [1.0, 2.0, 3.0, 4.0,
+                               5.0, 6.0, 7.0, 8.0]
+    assert sorted(set(g["n"])) == [10.0, 20.0]   # first input wins
+    assert r.var_dims["n"] == ("p",)
+    # multi-differing-dim tiling with kwargs raises rather than guesses
+    c = XDataset({"v": (("t", "p"), [[9.0]])},
+                 coords={"t": [9], "p": [7]})
+    with pytest.raises(NotImplementedError, match="exactly one dim"):
+        combine_by_coords([a, c], data_vars="minimal",
+                          coords="minimal", compat="override")

@@ -780,14 +780,53 @@ def assert_no_conflicts(a: XDataset, b: XDataset) -> None:
         raise MergeError("merge conflict: overlapping values disagree")
 
 
-def combine_by_coords(objs: Sequence[XDataset]) -> XDataset:
-    """(xarray/structure/combine.py:798) — long form: union; labels carry
-    the tile order."""
+def combine_by_coords(objs: Sequence[XDataset], compat: str = "no_conflicts",
+                      data_vars="all", coords="different", fill_value=None,
+                      join: str = "outer",
+                      combine_attrs="no_conflicts") -> XDataset:
+    """(xarray/structure/combine.py:798) — long form: union; labels
+    carry the tile order, so the reference's coord-monotonic ordering
+    inference is unnecessary.
+
+    Non-default concat kwargs route through :func:`concat` along the
+    ONE dim whose label sets differ across inputs (the mf-tile norm —
+    decided by the same eager label probe concat uses); multi-dim
+    tiling with non-default kwargs raises rather than guessing the
+    reference's N-D inference (combine.py:88
+    _infer_concat_order_from_coords)."""
+    objs = list(objs)
     first = objs[0]
-    df = first.df
-    for o in objs[1:]:
-        df = df.unionByName(o.df, allowMissingColumns=True)
-    return first._replace(df=df)
+    if len(objs) == 1:
+        return first
+    attrs = combine_attrs_fn([o.attrs for o in objs], combine_attrs)
+    plain = (compat == "no_conflicts" and data_vars == "all"
+             and coords == "different" and fill_value is None
+             and join == "outer")
+    if plain:
+        df = first.df
+        for o in objs[1:]:
+            df = df.unionByName(o.df, allowMissingColumns=True)
+        return first._replace(df=df, attrs=attrs)
+    differing = []
+    for d in first.dims:
+        tabs = [o.df.select(d).where(F.col(d).isNotNull()).distinct()
+                for o in objs if d in o.dims]
+        if len(tabs) < 2:
+            continue
+        for t in tabs[1:]:
+            if not tabs[0].exceptAll(t).union(
+                    t.exceptAll(tabs[0])).isEmpty():
+                differing.append(d)
+                break
+    if len(differing) != 1:
+        raise NotImplementedError(
+            f"combine_by_coords with non-default kwargs needs exactly "
+            f"one dim whose labels differ across inputs; found "
+            f"{differing!r}")
+    out = concat(objs, differing[0], data_vars=data_vars, coords=coords,
+                 compat=compat, fill_value=fill_value, join=join,
+                 combine_attrs=combine_attrs)
+    return out._replace(attrs=attrs)
 
 
 def combine_nested(objs, concat_dim, compat: str = "no_conflicts",
