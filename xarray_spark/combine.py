@@ -153,6 +153,69 @@ def _probe_unequal(a: XDataset, b: XDataset, names: Sequence[str],
     return out
 
 
+def _probe_unequal_many(objs: Sequence[XDataset], names: Sequence[str],
+                        compat: str) -> set:
+    """N-way form of :func:`_probe_unequal` — ONE aggregation job per
+    dims-group regardless of dataset count (a 1000-file mf-concat with
+    'different' must not run 999 sequential pair probes).  Union of the
+    per-dataset deduplicated projections, then per-key distinct
+    value-pattern counts: a variable is equal across ALL inputs iff
+    every key tuple sees exactly one (null-pattern, value) pattern and
+    no input misses a key that others answer non-null — exactly the
+    pairwise full-outer eqNullSafe semantics.  compat='no_conflicts'
+    counts distinct NON-null values only (the weak comparison)."""
+    out: set = set()
+    n = len(objs)
+    groups: dict[tuple, list] = {}
+    for nm in names:
+        dims0 = set(_own_dims(objs[0], nm))
+        if any(set(_own_dims(o, nm)) != dims0 for o in objs[1:]):
+            # differing own-dims across inputs: rare — delegate to the
+            # exact pairwise comparator for this one variable
+            for o in objs[1:]:
+                if _probe_unequal(objs[0], o, [nm], compat):
+                    out.add(nm)
+                    break
+            continue
+        if compat == "identical":
+            a0 = objs[0].var_attrs(nm)
+            if any(o.var_attrs(nm) != a0 for o in objs[1:]):
+                out.add(nm)
+                continue
+        groups.setdefault(tuple(sorted(dims0)), []).append(nm)
+    for key, grp in groups.items():
+        u = None
+        for o in objs:
+            p = _dedup_proj(o, key, grp)
+            u = p if u is None else u.unionByName(p)
+        aggs = [F.count(F.lit(1)).alias("__cnt")]
+        for nm in grp:
+            if compat == "no_conflicts":
+                aggs.append(F.size(F.collect_set(F.col(nm)))
+                            .alias(f"__nv_{nm}"))
+            else:
+                aggs.append(F.size(F.collect_set(
+                    F.struct(F.col(nm).isNull(), F.col(nm))))
+                    .alias(f"__nv_{nm}"))
+                aggs.append(F.max(F.col(nm).isNotNull().cast("int"))
+                            .alias(f"__nn_{nm}"))
+        per_key = (u.groupBy(*key).agg(*aggs) if key else u.agg(*aggs))
+        conds = []
+        for nm in grp:
+            nv = F.col(f"__nv_{nm}")
+            if compat == "no_conflicts":
+                c = nv > 1
+            else:
+                # a key some input lacks counts as an aligned null
+                # there — unequal unless every present value is null
+                c = (nv > 1) | ((F.col("__cnt") < n)
+                                & (F.col(f"__nn_{nm}") == 1))
+            conds.append(F.max(c.cast("int")).alias(nm))
+        row = per_key.agg(*conds).collect()[0]
+        out.update(nm for nm in grp if row[nm] == 1)
+    return out
+
+
 def _probe_conflicts(a: XDataset, b: XDataset, names: Sequence[str]) -> set:
     """no_conflicts probe: values where BOTH sides are non-null must
     agree (xarray/core/variable.py:1920 Variable.no_conflicts)."""
@@ -366,17 +429,14 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
                             "datasets where it is missing or specify "
                             "coords='minimal'.")
                     probe.append(k)
-                remaining = list(probe)
-                for o in objs[1:]:
-                    if not remaining:
-                        break
-                    bad = _probe_unequal(first, o, remaining, compat)
-                    concat_over.update(bad)
-                    for k in bad:
-                        equals_known[k] = False
-                    remaining = [k for k in remaining if k not in bad]
-                for k in remaining:
-                    equals_known[k] = True
+                if len(objs) > 2:
+                    bad = _probe_unequal_many(objs, probe, compat)
+                else:
+                    bad = (_probe_unequal(first, objs[1], probe, compat)
+                           if probe else set())
+                concat_over.update(bad)
+                for k in probe:
+                    equals_known[k] = k not in bad
             elif opt == "all":
                 concat_over.update(pool)
             elif opt == "minimal":
@@ -451,34 +511,32 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
         to_check = [n for n in merged_names
                     if equals_known.get(n) is not True
                     and sum(_has_var(o, n) for o in objs) > 1]
-        if compat in ("equals", "identical", "broadcast_equals"):
-            pair_names: dict = {}
+        if compat in ("equals", "identical", "broadcast_equals",
+                      "no_conflicts"):
+            byhav: dict = {}
             for n in to_check:
-                hav = [i for i, o in enumerate(objs) if _has_var(o, n)]
-                for k in hav[1:]:
-                    pair_names.setdefault((hav[0], k), []).append(n)
-            for (ia, ib), ns in sorted(pair_names.items()):
-                bad = _probe_unequal(objs[ia], objs[ib], ns, compat)
+                hav = tuple(i for i, o in enumerate(objs)
+                            if _has_var(o, n))
+                byhav.setdefault(hav, []).append(n)
+            for hav, ns in sorted(byhav.items()):
+                sub = [objs[i] for i in hav]
+                if len(sub) > 2:
+                    bad = _probe_unequal_many(sub, ns, compat)
+                elif compat == "no_conflicts":
+                    bad = _probe_conflicts(sub[0], sub[1], ns)
+                else:
+                    bad = _probe_unequal(sub[0], sub[1], ns, compat)
                 if bad:
+                    hint = ("" if compat == "no_conflicts" else
+                            " You can skip this check by specifying "
+                            "compat='override'.")
                     raise MergeError(
                         f"conflicting values for variable "
-                        f"{sorted(bad)[0]!r} on objects to be combined. "
-                        "You can skip this check by specifying "
-                        "compat='override'.")
-            for n in to_check:
-                equals_known[n] = True
-        elif compat == "no_conflicts":
-            pair_names = {}
-            for n in to_check:
-                hav = [i for i, o in enumerate(objs) if _has_var(o, n)]
-                for k in hav[1:]:
-                    pair_names.setdefault((hav[0], k), []).append(n)
-            for (ia, ib), ns in sorted(pair_names.items()):
-                bad = _probe_conflicts(objs[ia], objs[ib], ns)
-                if bad:
-                    raise MergeError(
-                        f"conflicting values for variable "
-                        f"{sorted(bad)[0]!r} on objects to be combined.")
+                        f"{sorted(bad)[0]!r} on objects to be "
+                        f"combined.{hint}")
+            if compat != "no_conflicts":
+                for n in to_check:
+                    equals_known[n] = True
         for n in merged_names:
             havers = [o for o in objs if _has_var(o, n)]
             if compat == "no_conflicts" and len(havers) > 1:
