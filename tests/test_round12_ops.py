@@ -558,3 +558,70 @@ def test_combine_by_coords_kwarg_route(spark):
     with pytest.raises(NotImplementedError, match="exactly one dim"):
         combine_by_coords([a, c], data_vars="minimal",
                           coords="minimal", compat="override")
+
+
+def test_concat_join_override_remaps_labels(spark):
+    """join='override': other-dim labels rewritten positionally to the
+    FIRST input's (align exclude= now honored on the override path —
+    the concat dim itself stays untouched)."""
+    ja = XDataset({"v": (("x", "y"), [[1.0, 2.0]])},
+                  coords={"x": [0], "y": [10, 20]})
+    jb = XDataset({"v": (("x", "y"), [[3.0, 4.0]])},
+                  coords={"x": [1], "y": [30, 40]})
+    e = concat([ja, jb], dim="x", join="override")
+    g = e.to_pandas().sort_values(["x", "y"])
+    assert g["y"].tolist() == [10, 20, 10, 20]
+    assert g["v"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    jc = XDataset({"v": (("x", "y"), [[3.0, 4.0, 5.0]])},
+                  coords={"x": [1], "y": [30, 40, 50]})
+    with pytest.raises(ValueError, match="override"):
+        concat([ja, jc], dim="x", join="override").df.count()
+
+
+def test_concat_promote_shape_matrix(spark):
+    """Reference promote-shape family (tests/test_concat.py:901-967):
+    a variable's dims may differ across inputs — the result takes the
+    UNION (ensure_common_dims), broadcasting each input's values."""
+    # 1-D x against 1-D y along a new dim -> (e, x, y)
+    a = XDataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+    b = XDataset({"v": (("y",), [3.0, 4.0])}, coords={"y": [10, 20]})
+    ra = xr.Dataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+    rb = xr.Dataset({"v": (("y",), [3.0, 4.0])}, coords={"y": [10, 20]})
+    e = concat([a, b], dim="e")
+    r = xr.concat([ra, rb], dim="e")
+    _chk(e, r, "v")
+    # scalar v in one input promoted along an existing dim
+    s1 = XDataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+    s2 = XDataset({"v": ((), 9.0)}, coords={"x": [2]})
+    rs1 = xr.Dataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+    rs2 = xr.Dataset({"v": ((), 9.0)}, coords={"x": [2]})
+    _chk(concat([s1, s2], dim="x"), xr.concat([rs1, rs2], dim="x"), "v")
+    # per-input var dims differ (w: (y,) vs (x,y)) along existing dim
+    m1 = XDataset({"v": (("x", "y"), [[1.0, 2.0]]),
+                   "w": (("y",), [5.0, 6.0])},
+                  coords={"x": [0], "y": [10, 20]})
+    m2 = XDataset({"v": (("x", "y"), [[3.0, 4.0]]),
+                   "w": (("x", "y"), [[7.0, 8.0]])},
+                  coords={"x": [1], "y": [10, 20]})
+    rm1 = xr.Dataset({"v": (("x", "y"), [[1.0, 2.0]]),
+                      "w": (("y",), [5.0, 6.0])},
+                     coords={"x": [0], "y": [10, 20]})
+    rm2 = xr.Dataset({"v": (("x", "y"), [[3.0, 4.0]]),
+                      "w": (("x", "y"), [[7.0, 8.0]])},
+                     coords={"x": [1], "y": [10, 20]})
+    _chk(concat([m1, m2], dim="x"), xr.concat([rm1, rm2], dim="x"), "w")
+
+
+def test_concat_size0_and_autoalign(spark):
+    """Reference test_concat_size0 / test_concat_autoalign: an empty
+    slice contributes nothing; inputs whose other-dim labels agree as
+    SETS (any order) concat without synthesis."""
+    s0 = (XDataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+          .isel(x=slice(0, 0)))
+    s1 = XDataset({"v": (("x",), [3.0, 4.0])}, coords={"x": [2, 3]})
+    r = xr.concat(
+        [xr.Dataset({"v": (("x",), [1.0, 2.0])},
+                    coords={"x": [0, 1]}).isel(x=slice(0, 0)),
+         xr.Dataset({"v": (("x",), [3.0, 4.0])}, coords={"x": [2, 3]})],
+        dim="x")
+    _chk(concat([s0, s1], dim="x"), r, "v")

@@ -108,7 +108,7 @@ def align(*datasets: XDataset, join: str = "inner",
     to the first's on position, then broadcast-remap the dim column.
     """
     if join == "override":
-        return _align_override(datasets)
+        return _align_override(datasets, exclude=exclude)
     # exclude= (reference align signature): named dims are NOT aligned —
     # each dataset keeps its own labels along them
     excl = ({exclude} if isinstance(exclude, str)
@@ -131,14 +131,19 @@ def align(*datasets: XDataset, join: str = "inner",
     return tuple(out)
 
 
-def _align_override(datasets: Sequence[XDataset]) -> tuple[XDataset, ...]:
+def _align_override(datasets: Sequence[XDataset],
+                    exclude=None) -> tuple[XDataset, ...]:
     """Positional label replacement: dataset k's labels on each shared
     dim are rewritten to the first dataset's label at the same ordinal.
     Sizes must match (ValueError otherwise — xarray parity).  The remap
-    table is label-table-sized → broadcast join; facts never shuffle."""
+    table is label-table-sized → broadcast join; facts never shuffle.
+    ``exclude`` dims are left untouched (concat passes its concat dim —
+    reference align(exclude=) semantics)."""
     from collections import Counter
+    excl = ({exclude} if isinstance(exclude, str)
+            else set(exclude or ()))
     counts = Counter(d for ds in datasets for d in ds.dims)
-    shared = [d for d, n in counts.items() if n > 1]
+    shared = [d for d, n in counts.items() if n > 1 and d not in excl]
     first = datasets[0]
     out = [first]
     base_labels = {

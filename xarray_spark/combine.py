@@ -488,14 +488,15 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
         else:
             labs = list(range(len(objs)))
 
-    # ---- output dims / catalog
-    if newdim:
-        dims_out = [dim] + list(first.dims)
-    elif promote:
-        dims_out = [dim] + list(first.dims)
+    # ---- output dims / catalog (union across inputs — the reference's
+    # ensure_common_dims promote-shape: concat of v(x) and v(y) along a
+    # new dim broadcasts both to (dim, x, y))
+    rest = list(dict.fromkeys(
+        [d for o in objs for d in o.dims if d != dim]))
+    if newdim or promote:
+        dims_out = [dim] + rest
     else:
-        dims_out = list(dict.fromkeys(
-            list(first.dims) + [d for o in objs for d in o.dims]))
+        dims_out = list(dict.fromkeys(list(first.dims) + rest))
 
     concat_coords = [c for c in all_coords if c in concat_over]
     concat_data = [v for v in all_data if v in concat_over]
@@ -655,11 +656,17 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
     vd_out: dict = {}
     dims_out_t = tuple(dims_out)
     for v in all_data:
-        od = tuple(_own_dims(_first_haver(v), v))
         if v in concat_over:
+            # a concatenated var's dims = the UNION of its own dims
+            # across inputs (reference ensure_common_dims
+            # promote-shape), concat dim first
+            od = tuple(dict.fromkeys(
+                d for o in objs if _has_var(o, v)
+                for d in _own_dims(o, v)))
             nd = od if dim in od else (dim,) + od
         else:
-            nd = od
+            # merged: the FIRST haver's variable wins wholesale
+            nd = tuple(_own_dims(_first_haver(v), v))
         if nd != dims_out_t:
             vd_out[v] = nd
 
