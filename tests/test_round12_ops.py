@@ -625,3 +625,17 @@ def test_concat_size0_and_autoalign(spark):
          xr.Dataset({"v": (("x",), [3.0, 4.0])}, coords={"x": [2, 3]})],
         dim="x")
     _chk(concat([s0, s1], dim="x"), r, "v")
+
+
+def test_concat_dataarray_name_semantics(spark):
+    """DataArray concat: the first array's name wins, later arrays are
+    renamed (reference _dataarray_concat); compat='identical' raises
+    on differing names."""
+    ea = XDataset({"a": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})["a"]
+    eb = XDataset({"b": (("x",), [3.0, 4.0])}, coords={"x": [2, 3]})["b"]
+    e = concat([ea, eb], dim="x")
+    assert e.data_vars == ("a",)
+    g = e.to_pandas().sort_values("x")
+    assert g["a"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    with pytest.raises(ValueError, match="array names not identical"):
+        concat([ea, eb], dim="x", compat="identical")

@@ -294,6 +294,18 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
         labels = list(dim)
         dim = dim.name or "concat_dim"
 
+    # DataArray inputs: the FIRST array's name wins — later arrays are
+    # renamed to it (reference _dataarray_concat, structure/concat.py:
+    # 884); compat='identical' instead requires identical names.
+    from xarray_spark.dataset import XDataArray
+    if len(objs) > 1 and all(isinstance(o, XDataArray) for o in objs):
+        names = [o.data_vars[0] for o in objs]
+        if len(set(names)) > 1:
+            if compat == "identical":
+                raise ValueError("array names not identical")
+            objs = [o if n == names[0] else o.rename({n: names[0]})
+                    for o, n in zip(objs, names)]
+
     first = objs[0]
     existing = any(dim in o.dims for o in objs)
     promote = False
