@@ -639,3 +639,17 @@ def test_concat_dataarray_name_semantics(spark):
     assert g["a"].tolist() == [1.0, 2.0, 3.0, 4.0]
     with pytest.raises(ValueError, match="array names not identical"):
         concat([ea, eb], dim="x", compat="identical")
+
+
+def test_concat_index_labels_replace_existing_dim(spark):
+    """concat(objs, dim=pd.Index(values, name=<existing dim>)): the
+    index REPLACES the concatenated labels positionally
+    (probe-confirmed against the reference)."""
+    a = XDataset({"v": (("x",), [1.0, 2.0])}, coords={"x": [0, 1]})
+    b = XDataset({"v": (("x",), [3.0, 4.0])}, coords={"x": [2, 3]})
+    e = concat([a, b], dim=pd.Index([10, 20, 30, 40], name="x"))
+    g = e.to_pandas().sort_values("x")
+    assert g["x"].tolist() == [10, 20, 30, 40]
+    assert g["v"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    with pytest.raises(ValueError, match="labels"):
+        concat([a, b], dim=pd.Index([10, 20, 30], name="x"))

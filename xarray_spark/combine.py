@@ -359,6 +359,43 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
             if {k: v for k, v in o.attrs.items() if k != "__var__"} != a0:
                 raise ValueError("Dataset global attributes not equal.")
 
+    if (existing or promote) and labels is not None:
+        # concat(objs, dim=pd.Index(values, name=<existing dim>)): the
+        # provided index REPLACES the concatenated labels positionally
+        # (probe-confirmed; reference _calc_concat_dim_index builds a
+        # fresh PandasIndex).  Positions follow each input's label sort
+        # order (the engine's positional invariant), dataset order
+        # across inputs; one tiny label-table job per input.
+        import pandas as _pd
+        labs_all = list(labels)
+        off = 0
+        relabeled = []
+        for o in objs:
+            lt = o._dim_labels(dim)
+            size_row = lt.agg(F.max("__size").alias("s")).collect()
+            size = int(size_row[0]["s"] or 0) if size_row else 0
+            seg = labs_all[off:off + size]
+            if len(seg) != size:
+                raise ValueError(
+                    f"{len(labs_all)} labels for a concatenated length "
+                    "that exceeds them")
+            off += size
+            map_df = o.df.sparkSession.createDataFrame(
+                _pd.DataFrame({"__pos": list(range(size)),
+                               "__new": seg}))
+            remap = (lt.join(F.broadcast(map_df), on="__pos")
+                     .select(dim, "__new"))
+            df = (o.df.join(F.broadcast(remap), on=dim, how="left")
+                  .drop(dim).withColumnRenamed("__new", dim)
+                  .select(*o.df.columns))
+            relabeled.append(o._replace(df=df))
+        if off != len(labs_all):
+            raise ValueError(
+                f"{len(labs_all)} labels for a concatenated length "
+                f"of {off}")
+        objs = relabeled
+        first = objs[0]
+
     # ---- align the non-concat dims (reference aligns with join +
     # fill_value, exclude=[dim] — structure/concat.py:644).  Label-set
     # equality is probed EAGERLY first (one label-table job per shared
