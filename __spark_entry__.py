@@ -2090,6 +2090,41 @@ def q142_concat_minimal(spark, sf_dir):
     )
 
 
+def q143_combine_nested(spark, sf_dir):
+    """combine_nested 2-D hypercube (reference structure/combine.py:431
+    / :217 _combine_nd): four label-disjoint (month x priority) tiles
+    of the orders aggregate reassemble along concat_dim=['m', 'p'] —
+    inner pairs along p, outer rows along m, the reference tile order.
+    The eager label probes find equal month sets inside each year row
+    and skip alignment, so the plan is a pure 4-way union."""
+    from xarray_spark import combine_nested
+
+    def tile(lo, hi, ps, pe):
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            (F.col("o_orderdate") >= F.lit(lo))
+            & (F.col("o_orderdate") < F.lit(hi))
+            & (F.col("o_orderpriority") >= ps)
+            & (F.col("o_orderpriority") <= pe))
+        cell = (df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("m"),
+            F.col("o_orderpriority").alias("p"))
+            .agg(_r3(F.sum("o_totalprice")).alias("v")))
+        return XDataset(cell, dims=["m", "p"])
+
+    lo12, hi12 = "1-URGENT", "2-HIGH"
+    lo35, hi35 = "3-MEDIUM", "5-LOW"
+    grid = combine_nested(
+        [[tile("1995-01-01", "1996-01-01", lo12, hi12),
+          tile("1995-01-01", "1996-01-01", lo35, hi35)],
+         [tile("1996-01-01", "1997-01-01", lo12, hi12),
+          tile("1996-01-01", "1997-01-01", lo35, hi35)]],
+        concat_dim=["m", "p"])
+    return grid.df.groupBy("p").agg(
+        F.count("v").alias("cnt_v"),
+        _r3(F.sum("v")).alias("sum_v"),
+    )
+
+
 def q116_bucketed_ffill(spark, sf_dir):
     """Bucket-aware window layout (round 5): a (flag, day) revenue
     grid saved with to_table(bucket_by=flag, sort_by=[flag, day]) and
@@ -2681,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_argsort": q121_argsort,
         "q32_language_id": q32_language_id,
         "q76_interp_quadratic": q76_interp_quadratic,
+        "q143_combine_nested": q143_combine_nested,
         # ---- streaming five at the ABSOLUTE registry tail
         # (round-11 verdict #2: nothing downstream left to absorb
         # any state-store / GC residue the availableNow runs leave) ----
@@ -5081,6 +5117,20 @@ def oracle_sql() -> dict[str, str]:
                    MAX(an.n) AS n_first
             FROM un LEFT JOIN an ON un.p = an.p
             GROUP BY un.p
+        """,
+        "q143_combine_nested": """
+            WITH cells AS (
+              SELECT date_trunc('month', o_orderdate) AS m,
+                     o_orderpriority AS p,
+                     ROUND(SUM(o_totalprice) + 1e-6, 3) AS v
+              FROM orders
+              WHERE o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1997-01-01'
+              GROUP BY 1, 2
+            )
+            SELECT p, COUNT(v) AS cnt_v,
+                   ROUND(SUM(v) + 1e-6, 3) AS sum_v
+            FROM cells GROUP BY p
         """,
         "q116_bucketed_ffill": """
             WITH daily AS (
