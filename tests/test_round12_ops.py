@@ -653,3 +653,26 @@ def test_concat_index_labels_replace_existing_dim(spark):
     assert g["v"].tolist() == [1.0, 2.0, 3.0, 4.0]
     with pytest.raises(ValueError, match="labels"):
         concat([a, b], dim=pd.Index([10, 20, 30], name="x"))
+
+
+def test_concat_combine_attrs_matrix(spark):
+    """combine_attrs applies to BOTH dataset attrs and per-variable
+    attrs (reference merge_attrs + concat_vars) — differential across
+    all four string policies."""
+    def mk(eng, a, h):
+        cls = XDataset if eng else xr.Dataset
+        return cls({"v": (("x",), [1.0, 2.0] if h == 2 else [3.0, 4.0],
+                          {"u": "K", "a": 1 if h == 2 else 2})},
+                   coords={"x": [0, 1] if h == 2 else [2, 3]},
+                   attrs={"g": 1, "h": h})
+    for ca in ("override", "drop", "drop_conflicts"):
+        e = concat([mk(True, 1, 2), mk(True, 2, 3)], dim="x",
+                   combine_attrs=ca)
+        r = xr.concat([mk(False, 1, 2), mk(False, 2, 3)], dim="x",
+                      combine_attrs=ca)
+        assert {k: v for k, v in e.attrs.items()
+                if k != "__var__"} == dict(r.attrs), ca
+        assert e.var_attrs("v") == dict(r.v.attrs), ca
+    with pytest.raises(MergeError):
+        concat([mk(True, 1, 2), mk(True, 2, 3)], dim="x",
+               combine_attrs="no_conflicts")
