@@ -676,3 +676,20 @@ def test_concat_combine_attrs_matrix(spark):
     with pytest.raises(MergeError):
         concat([mk(True, 1, 2), mk(True, 2, 3)], dim="x",
                combine_attrs="no_conflicts")
+
+
+def test_concat_datatree_nodewise(spark):
+    """DataTree concat = node-wise concat over isomorphic trees
+    (reference _datatree_concat, structure/concat.py:300)."""
+    from xarray_spark.datatree import DataTree
+    t1 = DataTree({"/a": XDataset({"v": (("x",), [1.0, 2.0])},
+                                  coords={"x": [0, 1]})})
+    t2 = DataTree({"/a": XDataset({"v": (("x",), [3.0, 4.0])},
+                                  coords={"x": [2, 3]})})
+    r = concat([t1, t2], dim="x")
+    assert sorted(rr["v"] for rr in r["/a"].df.collect()) == [
+        1.0, 2.0, 3.0, 4.0]
+    t3 = DataTree({"/b": XDataset({"v": (("x",), [9.0])},
+                                  coords={"x": [9]})})
+    with pytest.raises(ValueError, match="isomorphic"):
+        concat([t1, t3], dim="x")

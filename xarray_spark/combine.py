@@ -294,6 +294,25 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
         labels = list(dim)
         dim = dim.name or "concat_dim"
 
+    # DataTree inputs: node-wise concat over isomorphic trees
+    # (reference _datatree_concat, structure/concat.py:300)
+    from xarray_spark.datatree import DataTree
+    if len(objs) > 1 and all(isinstance(o, DataTree) for o in objs):
+        paths0 = list(objs[0]._nodes)
+        for o in objs[1:]:
+            if list(o._nodes) != paths0:
+                raise ValueError(
+                    "All trees must be isomorphic to apply concat")
+        out_tree = DataTree()
+        for p in paths0:
+            out_tree[p] = concat(
+                [o._nodes[p] for o in objs], dim,
+                data_vars=data_vars, coords=coords, compat=compat,
+                positions=positions, fill_value=fill_value, join=join,
+                combine_attrs=combine_attrs, labels=labels,
+                create_index_for_new_dim=create_index_for_new_dim)
+        return out_tree
+
     # DataArray inputs: the FIRST array's name wins — later arrays are
     # renamed to it (reference _dataarray_concat, structure/concat.py:
     # 884); compat='identical' instead requires identical names.
