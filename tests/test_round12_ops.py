@@ -693,3 +693,22 @@ def test_concat_datatree_nodewise(spark):
                                   coords={"x": [9]})})
     with pytest.raises(ValueError, match="isomorphic"):
         concat([t1, t3], dim="x")
+
+
+def test_concat_dim_operand_forms(spark):
+    """dim given as a Variable / DataArray / bare sequence (reference
+    _calc_concat_dim_index): the object's dims name the concat dim and
+    its values become the labels; a nameless sequence gets
+    'concat_dim'."""
+    o1 = XDataset({"x": ((), 0.0)})
+    o2 = XDataset({"x": ((), 1.0)})
+    e = concat([o1, o2], xr.Variable("y", [3, 4]), data_vars="all")
+    assert sorted((r["y"], r["x"]) for r in e.df.collect()) == [
+        (3, 0.0), (4, 1.0)]
+    e = concat([o1, o2], xr.DataArray([3, 4], dims="y"),
+               data_vars="all")
+    assert sorted((r["y"], r["x"]) for r in e.df.collect()) == [
+        (3, 0.0), (4, 1.0)]
+    e = concat([o1, o2], [7, 8], data_vars="all")
+    assert sorted((r["concat_dim"], r["x"]) for r in e.df.collect()) == [
+        (7, 0.0), (8, 1.0)]

@@ -22,6 +22,11 @@ from xarray_spark.dataset import XDataset
 from xarray_spark.errors import MergeError
 
 
+def _np():
+    import numpy
+    return numpy
+
+
 def _attrs_equiv(a, b) -> bool:
     try:
         import numpy as np
@@ -288,11 +293,22 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
     if compat not in _CONCAT_COMPAT:
         raise ValueError(
             f"compat={compat!r} invalid: must be one of {_CONCAT_COMPAT}")
-    if not isinstance(dim, str) and hasattr(dim, "name"):
-        # the xarray idiom concat(objs, dim=pd.Index(values, name=...)):
-        # the index names the new dim and supplies its labels
-        labels = list(dim)
-        dim = dim.name or "concat_dim"
+    if not isinstance(dim, str):
+        # reference _calc_concat_dim_index (structure/concat.py:344):
+        # a Variable/DataArray names the dim via ITS dims and supplies
+        # labels; a pd.Index via .name; a bare sequence falls back to
+        # 'concat_dim'
+        dims_attr = getattr(dim, "dims", None)
+        if dims_attr is not None and len(dims_attr) == 1 \
+                and hasattr(dim, "values"):
+            labels = list(_np().asarray(dim.values))
+            dim = dims_attr[0]
+        elif hasattr(dim, "name"):
+            labels = list(dim)
+            dim = dim.name or "concat_dim"
+        elif isinstance(dim, (list, tuple)) or hasattr(dim, "__len__"):
+            labels = list(dim)
+            dim = "concat_dim"
 
     # DataTree inputs: node-wise concat over isomorphic trees
     # (reference _datatree_concat, structure/concat.py:300)
