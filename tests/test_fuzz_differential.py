@@ -861,8 +861,12 @@ def test_fuzz_concat_matrix(spark):
         compat = ["equals", "override", "no_conflicts",
                   "broadcast_equals"][int(rng.integers(0, 4))]
         join = "outer"
-        kw = dict(dim="x", data_vars=dv, coords=co, compat=compat,
+        dim = ["x", "e"][int(rng.integers(0, 2))]      # existing / new
+        fv = [None, -7.5][int(rng.integers(0, 2))]
+        kw = dict(dim=dim, data_vars=dv, coords=co, compat=compat,
                   join=join)
+        if fv is not None:
+            kw["fill_value"] = fv
         rerr = gerr = None
         try:
             r = xr.concat(refs, **kw)
