@@ -712,3 +712,14 @@ def test_concat_dim_operand_forms(spark):
     e = concat([o1, o2], [7, 8], data_vars="all")
     assert sorted((r["concat_dim"], r["x"]) for r in e.df.collect()) == [
         (7, 0.0), (8, 1.0)]
+
+
+def test_merge_accepts_mapping_inputs(spark):
+    """Reference merge takes raw variable mappings alongside datasets
+    (structure/merge.py:855)."""
+    from xarray_spark import merge
+    e = merge([{"a": (("x",), [1.0, 2.0])},
+               {"b": (("x",), [3.0, 4.0])}])
+    assert e.data_vars == ("a", "b")
+    got = sorted((r["x"], r["a"], r["b"]) for r in e.df.collect())
+    assert got == [(0, 1.0, 3.0), (1, 2.0, 4.0)]

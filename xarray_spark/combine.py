@@ -791,6 +791,10 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts",
     """
     if compat not in _VALID_COMPAT:
         raise ValueError(f"compat {compat!r} not in {_VALID_COMPAT}")
+    # reference merge accepts raw mappings (variable dicts) alongside
+    # Dataset/DataArray objects (structure/merge.py:855 signature)
+    objs = [o if isinstance(o, XDataset) else XDataset(dict(o))
+            for o in objs]
     exact = join == "exact"
     how = {"outer": "full_outer", "inner": "inner", "left": "left",
            "right": "right", "exact": "full_outer"}[join]
