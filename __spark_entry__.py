@@ -2125,6 +2125,23 @@ def q143_combine_nested(spark, sf_dir):
     )
 
 
+def q144_cap_per_group(spark, sf_dir):
+    """Per-(source, lang) document cap (extras/curation.py
+    cap_per_group) — the RefinedWeb-style per-domain quota with
+    deterministic md5 survivor selection.  (source, lang) groups in
+    the testdata span 1-16 docs, so cap=5 exercises BOTH regimes:
+    under-cap groups skip the window entirely (anti-join on the
+    over-cap group list), over-cap groups rank only their own rows."""
+    from xarray_spark.extras.curation import cap_per_group
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = cap_per_group(docs, cap=5, by=["source", "lang"])
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def q116_bucketed_ffill(spark, sf_dir):
     """Bucket-aware window layout (round 5): a (flag, day) revenue
     grid saved with to_table(bucket_by=flag, sort_by=[flag, day]) and
@@ -2717,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_language_id": q32_language_id,
         "q76_interp_quadratic": q76_interp_quadratic,
         "q143_combine_nested": q143_combine_nested,
+        "q144_cap_per_group": q144_cap_per_group,
         # ---- streaming five at the ABSOLUTE registry tail
         # (round-11 verdict #2: nothing downstream left to absorb
         # any state-store / GC residue the availableNow runs leave) ----
@@ -5131,6 +5149,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT p, COUNT(v) AS cnt_v,
                    ROUND(SUM(v) + 1e-6, 3) AS sum_v
             FROM cells GROUP BY p
+        """,
+        "q144_cap_per_group": """
+            WITH ranked AS (
+              SELECT source, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source, lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rk
+              FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars,
+                   COUNT(DISTINCT lang) AS n_langs
+            FROM ranked WHERE rk <= 5 GROUP BY source
         """,
         "q116_bucketed_ffill": """
             WITH daily AS (

@@ -723,3 +723,34 @@ def test_merge_accepts_mapping_inputs(spark):
     assert e.data_vars == ("a", "b")
     got = sorted((r["x"], r["a"], r["b"]) for r in e.df.collect())
     assert got == [(0, 1.0, 3.0), (1, 2.0, 4.0)]
+
+
+def test_cap_per_group_regimes(spark):
+    """cap_per_group: exact cap, deterministic survivors, under-cap
+    groups untouched, priority override."""
+    import pandas as pd_
+    from xarray_spark.extras.curation import cap_per_group
+    pdf = pd_.DataFrame({
+        "doc_id": list(range(10)),
+        "source": ["a"] * 7 + ["b"] * 3,
+        "q": [0.1, 0.9, 0.5, 0.7, 0.2, 0.8, 0.3, 0.4, 0.6, 0.5],
+    })
+    df = spark.createDataFrame(pdf)
+    kept = cap_per_group(df, cap=4, by="source")
+    g = kept.toPandas()
+    assert g.groupby("source").size().to_dict() == {"a": 4, "b": 3}
+    # determinism: same survivors on re-run
+    g2 = cap_per_group(df, cap=4, by="source").toPandas()
+    assert sorted(g["doc_id"]) == sorted(g2["doc_id"])
+    # md5-smallest selection matches a python-side oracle
+    import hashlib
+    pri = sorted((hashlib.md5(str(i).encode()).hexdigest(), i)
+                 for i in range(7))
+    expect_a = sorted(i for _, i in pri[:4])
+    assert sorted(g[g.source == "a"]["doc_id"]) == expect_a
+    # priority override: keep the 4 HIGHEST quality docs of source a
+    kept_q = cap_per_group(df, cap=4, by="source",
+                           priority=F.col("q").desc())
+    gq = kept_q.toPandas()
+    assert sorted(gq[gq.source == "a"]["q"], reverse=True) == [
+        0.9, 0.8, 0.7, 0.5]

@@ -533,3 +533,38 @@ def pack_sequences_nosplit(
         return out
 
     return base.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+def cap_per_group(df: DataFrame, cap: int,
+                  by: str | list[str] = "source",
+                  id_col: str = "doc_id",
+                  priority=None) -> DataFrame:
+    """Per-group document cap — the RefinedWeb/FineWeb-style per-domain
+    quota: keep at most ``cap`` documents per group, chosen
+    DETERMINISTICALLY (the ``cap`` smallest ``md5(id)`` values, so
+    re-runs and incremental runs pick identical survivors).
+
+    Scale shape: groups already within the cap never pay a window —
+    one partial-aggregated count decides membership, and only the
+    OVER-cap groups' rows route through the per-group row_number
+    (partitioned window on the group key, ordered by the md5
+    priority).  The over-cap group list is count-table-sized (heavy
+    domains are few by construction) and broadcasts.  A single
+    pathological group still bounds one task at that group's row
+    count — the same bound any exact per-group top-k has; salting
+    cannot help because the rank is global per group.
+
+    ``priority`` overrides the ordering column (e.g. a quality score:
+    ``F.col("quality").desc()``); ties break on ``id_col``.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    pr = (priority if priority is not None
+          else F.md5(F.col(id_col).cast("string")).asc())
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.where(F.col("__n") > cap).select(*keys)
+    under_rows = df.join(F.broadcast(over), on=keys, how="left_anti")
+    over_rows = df.join(F.broadcast(over), on=keys, how="left_semi")
+    w = Window.partitionBy(*keys).orderBy(pr, F.col(id_col).asc())
+    kept = (over_rows.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= cap).drop("__rk"))
+    return under_rows.unionByName(kept)
