@@ -754,3 +754,24 @@ def test_cap_per_group_regimes(spark):
     gq = kept_q.toPandas()
     assert sorted(gq[gq.source == "a"]["q"], reverse=True) == [
         0.9, 0.8, 0.7, 0.5]
+
+
+def test_where_dataarray_cond_inner_aligns(spark):
+    """where with an XDataArray cond INNER-aligns on the cond's labels
+    (reference ops.py where_method -> apply_ufunc(join='inner'),
+    probe-confirmed): a subset-label cond DROPS the other labels, it
+    does not mask them; vars lacking the cond's dims broadcast."""
+    e = XDataset({"v": (("x", "y"), [[1.0, 2.0], [3.0, 4.0]]),
+                  "u": (("x",), [5.0, 6.0])},
+                 coords={"x": [0, 1], "y": [10, 20]})
+    mask = XDataset({"m": (("y",), [True, False])},
+                    coords={"y": [10, 20]})["m"]
+    out = e.where(mask)
+    g = out.to_pandas().sort_values(["x", "y"])
+    np.testing.assert_allclose(
+        g["u"].to_numpy(), [5.0, np.nan, 6.0, np.nan], equal_nan=True)
+    assert out.var_dims.get("u", out.dims) == ("x", "y")
+    sub = XDataset({"m": (("y",), [True])}, coords={"y": [10]})["m"]
+    assert sorted(set(e.where(sub).to_pandas()["y"])) == [10]
+    with pytest.raises((NotImplementedError, ValueError)):
+        e.where(XDataset({"m": (("z",), [True])}, coords={"z": [1]})["m"])

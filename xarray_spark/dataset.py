@@ -1835,10 +1835,32 @@ class XDataset:
                 raise ValueError(
                     f"cond dims {c_da.dims} share no key column with {self.dims}"
                 )
+            extra = [d for d in c_da.dims if d not in self.df.columns]
+            if extra:
+                raise NotImplementedError(
+                    f"where cond carries dims {extra} absent from the "
+                    "dataset — broadcast the dataset first (the join "
+                    "would otherwise duplicate rows)")
+            # INNER label alignment: the reference where routes through
+            # apply_ufunc(join='inner') (core/ops.py where_method) — a
+            # cond covering a SUBSET of labels drops the others
+            # entirely, it does not mask them (probe-confirmed)
             c_df = c_da.df.select(*shared, F.col(c_name).alias("__cond"))
-            host = self._replace(df=self.df.join(c_df, on=shared, how="left"))
-            out = host.where(F.coalesce(F.col("__cond"), F.lit(False)), other, drop)
-            return out._replace(df=out.df.drop("__cond"))
+            host = self._replace(
+                df=self.df.join(c_df, on=shared, how="inner"))
+            out = host.where(
+                F.coalesce(F.col("__cond"), F.lit(False)), other, drop)
+            out = out._replace(df=out.df.drop("__cond"))
+            # vars now vary along the cond's dims (reference broadcast:
+            # u(x).where(mask(y)) -> (x, y))
+            c_dims = [d for d in shared if d in self.dims]
+            vd_out = {}
+            for v, vd in out.var_dims.items():
+                nd = tuple(dict.fromkeys(list(vd) + c_dims))
+                if set(nd) != set(out.dims):
+                    vd_out[v] = nd
+            out.var_dims = vd_out
+            return out
         col = self._as_cond(cond)
         host_df = self.df
         if callable(other) and not isinstance(other, Column):
