@@ -40,7 +40,7 @@ def is_temporal(dtype: T.DataType) -> bool:
     return isinstance(dtype, _TEMPORAL)
 
 
-def two_phase_rank(df, col: str):
+def two_phase_rank(df, col: str, materialize: bool = False):
     """Global 0-based position of each row by ``col`` — WITHOUT the
     partition-less ``row_number() OVER (ORDER BY col)`` that funnels every
     row through one task.
@@ -52,12 +52,21 @@ def two_phase_rank(df, col: str):
     positions in arbitrary order — callers needing a total order must
     have distinct values (label tables do) or not care (order statistics
     don't).
+
+    The ranked input is referenced TWICE (local ranks + the offset
+    table); ``materialize=True`` computes it once behind a lazy
+    localCheckpoint — pass it when the input is provably small (label
+    tables).  Fact-sized callers (corpus sampling, value ranks) keep
+    the default: re-executing a scan twice is cheaper at 100 TB than
+    materializing the table.
     """
     from pyspark.sql import Window
 
     part = df.repartitionByRange(F.col(col).asc()).withColumn(
         "__pid", F.spark_partition_id()
     )
+    if materialize:
+        part = part.localCheckpoint(eager=False)
     w_in = Window.partitionBy("__pid").orderBy(F.col(col).asc())
     local = part.withColumn("__lrank", F.row_number().over(w_in) - 1)
     cnts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -91,6 +100,46 @@ def estimated_rows(df) -> float:
         return float(str(stats.sizeInBytes())) / 64.0
     except Exception:  # pragma: no cover - py4j edge cases
         return 0.0
+
+
+_DERIVED_NODES = ("Aggregate", "Deduplicate", "GlobalLimit")
+
+
+def materialize_if_derived(df):
+    """Truncate a DERIVED (already-reduced) plan behind a lazy
+    localCheckpoint so that N later references compute it once instead
+    of N times.
+
+    Multi-reference operators (concat probes + union + joinback, align
+    conform) re-execute their input's full sub-plan per reference; when
+    that input is itself an aggregation/join the recomputation — and
+    the resulting Catalyst plan explosion — dominates (measured: q142's
+    final plan re-scanned its parquet source 30×).  A plan containing
+    a REDUCTION node (Aggregate / Deduplicate / GlobalLimit) is
+    DERIVED: its output is reduced, label-table-shaped data, safe to
+    materialize.  Anything else — bare scans, but also
+    joins/windows/explodes over fact tables, which do NOT reduce
+    cardinality — is returned unchanged: at 100 TB a fact-sized table
+    must never be checkpointed, and re-scanning it is cheap (columnar,
+    pruned, pushed-down).  Corner accepted: a groupBy on a
+    high-cardinality key is "derived" yet still big; materializing it
+    once is still strictly cheaper than the N re-executions this
+    helper replaces.
+
+    ``eager=False``: the first probe job materializes it; every later
+    job and the final query read the stored partitions (plan shows a
+    LogicalRDD scan).  Intra-query only — nothing survives the
+    DataFrame, so repeated bench/oracle invocations recompute from
+    parquet."""
+    try:
+        if df.isStreaming:
+            return df
+        tree = df._jdf.queryExecution().analyzed().treeString()
+    except Exception:  # pragma: no cover - py4j edge cases
+        return df
+    if any(n in tree for n in _DERIVED_NODES):
+        return df.localCheckpoint(eager=False)
+    return df
 
 
 def parse_iso8601_prefix(s: str):

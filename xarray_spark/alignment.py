@@ -46,7 +46,11 @@ def _aligned_label_sets(datasets: Sequence[XDataset], join: str) -> dict[str, Da
         how = _JOIN_MAP[join]
         acc = tabs[0]
         for t in tabs[1:]:
-            acc = acc.join(t, on=dim, how=how).select(dim)
+            # label tables are broadcast-sized by contract; the hint
+            # keeps Catalyst from planning a sort-merge join off its
+            # (often wildly pessimistic) post-aggregate size estimate
+            # (guide §3.1: hint when you KNOW a side is small)
+            acc = acc.join(F.broadcast(t), on=dim, how=how).select(dim)
         out[dim] = acc.distinct()
     return out
 
@@ -63,7 +67,8 @@ def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame,
     dataset's labels."""
     df = (ds.df.join(F.broadcast(labels), on=dim, how="left_semi")
           if restrict else ds.df)
-    missing = labels.join(ds.df.select(dim).distinct(), on=dim, how="left_anti")
+    missing = labels.join(F.broadcast(ds.df.select(dim).distinct()),
+                          on=dim, how="left_anti")
     others = [d for d in ds.dims if d != dim]
     if others:
         # coords functionally dependent on the OTHER dims stay populated
@@ -109,11 +114,21 @@ def align(*datasets: XDataset, join: str = "inner",
     """
     if join == "override":
         return _align_override(datasets, exclude=exclude)
+    # materialize DERIVED inputs once (round-12 optimization): align
+    # references each dataset's plan several times per dim (label
+    # distinct, restrict semi-join, missing anti-join, other-combos
+    # distinct, the union) and the references COMPOUND across dims.
+    # Reduction-shaped inputs (aggregates — the alignment norm) are
+    # computed once behind a lazy localCheckpoint; fact-shaped plans
+    # pass through untouched (see _utils.materialize_if_derived).
+    from xarray_spark._utils import materialize_if_derived
+    datasets = tuple(ds._replace(df=materialize_if_derived(ds.df))
+                     for ds in datasets)
     # exclude= (reference align signature): named dims are NOT aligned —
     # each dataset keeps its own labels along them
     excl = ({exclude} if isinstance(exclude, str)
             else set(exclude or ()))
-    label_sets = {d: ls for d, ls in
+    label_sets = {d: materialize_if_derived(ls) for d, ls in
                   _aligned_label_sets(datasets, join).items()
                   if d not in excl}
     out = []

@@ -431,6 +431,20 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
         objs = relabeled
         first = objs[0]
 
+    # ---- materialize DERIVED inputs once (round-12 optimization,
+    # guide §2.4/§3.3): concat references each input's plan many times
+    # (label probes, 'different'/compat probes, the union frame, the
+    # joinback projections, missing-dim label tables).  When an input
+    # is itself an aggregation/join, every reference used to re-execute
+    # its full sub-plan — q142's final plan re-scanned the parquet
+    # source 30×.  A lazy localCheckpoint computes it exactly once;
+    # bare scans are left untouched (raw fact tables must never be
+    # materialized at 100 TB — see _utils.materialize_if_derived).
+    if len(objs) > 1:
+        from xarray_spark._utils import materialize_if_derived
+        objs = [o._replace(df=materialize_if_derived(o.df)) for o in objs]
+        first = objs[0]
+
     # ---- align the non-concat dims (reference aligns with join +
     # fill_value, exclude=[dim] — structure/concat.py:644).  Label-set
     # equality is probed EAGERLY first (one label-table job per shared
@@ -448,8 +462,14 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
                     for o in objs if d in o.dims]
             differ = False
             for t in tabs[1:]:
-                if not tabs[0].exceptAll(t).union(
-                        t.exceptAll(tabs[0])).isEmpty():
+                # single-pass set-equality probe: both sides are
+                # DISTINCT, so after a marker union every label seen
+                # exactly twice is common; anything else differs.  One
+                # scan per side (the exceptAll-both-ways form scanned
+                # each side twice — guide §2.3 "shuffle fewer bytes").
+                u = (tabs[0].select(d).unionByName(t.select(d))
+                     .groupBy(d).agg(F.count(F.lit(1)).alias("__n")))
+                if not u.where(F.col("__n") != 2).isEmpty():
                     differ = True
                     break
             if differ:

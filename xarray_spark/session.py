@@ -36,6 +36,18 @@ def get_spark(app_name: str = "xarray_spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # prefer shuffled-hash over sort-merge when its size conditions
+        # are met (guide §3.1/§9): the engine's label-table full-outer
+        # joins (align/probe/joinback) can't broadcast, and sorting
+        # both sides for a hash-able join is pure overhead; AQE's
+        # skew-join handling still applies to SHJ
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # let AQE rewrite a planned sort-merge join to shuffled-hash at
+        # runtime when the REAL post-shuffle partitions are small (the
+        # label-table full-outer joins always are); default 0 disables
+        # the rewrite entirely (guide §3.1)
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                str(128 * 1024 * 1024))
         # min/max/count reductions answered from parquet footer statistics
         # (dim_sizes(), label-table bounds — no data scan at all)
         .config("spark.sql.parquet.aggregatePushdown", "true")
