@@ -815,6 +815,13 @@ def merge(objs: Sequence[XDataset], compat: str = "no_conflicts",
     # Dataset/DataArray objects (structure/merge.py:855 signature)
     objs = [o if isinstance(o, XDataset) else XDataset(dict(o))
             for o in objs]
+    if len(objs) > 1:
+        # merge references each input repeatedly (exact/compat probes +
+        # the accumulated join); derived inputs compute once — same
+        # rationale as concat (see _utils.materialize_if_derived)
+        from xarray_spark._utils import materialize_if_derived
+        objs = [o._replace(df=materialize_if_derived(o.df))
+                for o in objs]
     exact = join == "exact"
     how = {"outer": "full_outer", "inner": "inner", "left": "left",
            "right": "right", "exact": "full_outer"}[join]

@@ -476,7 +476,11 @@ class XRolling:
         dims, wins, befores, afters = self._nd_geometry()
         others = [d for d in ds.dims if d not in dims]
         from xarray_spark._utils import nan_to_null
-        base = nan_to_null(ds.df, list(ds.data_vars), ds.df.schema)
+        from xarray_spark._utils import materialize_if_derived
+        # the rectangle path references its input twice (label distinct
+        # + the segment-assignment join); a derived input computes once
+        base = materialize_if_derived(
+            nan_to_null(ds.df, list(ds.data_vars), ds.df.schema))
         skip = ds._bcast_passthrough(dims)
         varlist = [c for c in ds.data_vars if c not in skip]
         out_fields = [
