@@ -1,0 +1,105 @@
+"""Round-12 optimization internals: derived-input materialization.
+
+The optimization round replaced N-fold re-execution of derived
+(aggregation-shaped) inputs in concat/align/merge/segmented paths with
+a single lazy localCheckpoint (``_utils.materialize_if_derived``).
+These tests pin the helper's GATE (fact-shaped plans must pass through
+untouched — nothing fact-sized may ever be checkpointed at 100 TB) and
+the value-identity of the optimized paths.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xarray_spark import XDataset, get_spark  # noqa: E402
+from xarray_spark._utils import materialize_if_derived, two_phase_rank  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("test_opt_r12")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def test_materialize_gate_passes_fact_plans_through(spark):
+    """Scan/filter/project plans — and joins over them — are NOT
+    checkpointed (they are fact-sized; re-scanning is the cheap path)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    raw = li.where(F.col("l_quantity") > 10).select("l_orderkey", "l_quantity")
+    assert materialize_if_derived(raw) is raw
+    nat = spark.read.parquet(f"{SF}/nation.parquet")
+    joined = li.join(F.broadcast(nat), li.l_suppkey % 25 == nat.n_nationkey)
+    assert materialize_if_derived(joined) is joined
+
+
+def test_materialize_gate_truncates_derived_plans(spark):
+    """An aggregate input comes back as a LogicalRDD-backed frame with
+    identical rows."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    out = materialize_if_derived(agg)
+    assert out is not agg
+    tree = out._jdf.queryExecution().analyzed().treeString()
+    assert "Aggregate" not in tree  # plan truncated
+    a = {(r["l_returnflag"], round(r["q"], 6)) for r in agg.collect()}
+    b = {(r["l_returnflag"], round(r["q"], 6)) for r in out.collect()}
+    assert a == b
+
+
+def test_materialize_gate_skips_streaming(spark):
+    src = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    agg = src.groupBy("value").count()
+    assert materialize_if_derived(agg) is agg
+
+
+def test_two_phase_rank_materialized_matches_plain(spark):
+    vals = spark.range(0, 500).select(
+        (F.xxhash64("id") % 1000).alias("v")).distinct()
+    plain = {(r["v"], r["__rnk"], r["__n"])
+             for r in two_phase_rank(vals, "v").collect()}
+    mat = {(r["v"], r["__rnk"], r["__n"])
+           for r in two_phase_rank(vals, "v", materialize=True).collect()}
+    assert plain == mat
+
+
+def test_dim_labels_memoized_per_instance(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ds = XDataset(li, dims=["l_orderkey", "l_linenumber"])
+    a = ds._dim_labels("l_orderkey")
+    b = ds._dim_labels("l_orderkey")
+    assert a is b  # same DataFrame object — one plan, shared
+    # a derived instance starts with a fresh cache
+    ds2 = ds._replace(df=ds.df.where(F.col("l_linenumber") == 1))
+    assert ds2._dim_labels("l_orderkey") is not a
+
+
+def test_concat_over_aggregates_single_source_execution(spark):
+    """The q142-shaped concat: aggregated inputs concatenate without
+    re-scanning the parquet source in the final plan (inputs
+    materialize once)."""
+    from xarray_spark import concat
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    def part(lo, hi):
+        cell = (orders.where((F.col("o_orderdate") >= lo)
+                             & (F.col("o_orderdate") < hi))
+                .groupBy(F.date_trunc("month", "o_orderdate").alias("m"),
+                         F.col("o_orderpriority").alias("p"))
+                .agg(F.sum("o_totalprice").alias("v")))
+        return XDataset(cell, dims=["m", "p"])
+
+    a, b = part("1995-01-01", "1995-07-01"), part("1995-07-01", "1996-01-01")
+    both = concat([a, b], dim="m")
+    plan = both.df._jdf.queryExecution().optimizedPlan().treeString()
+    assert "Relation" not in plan or "parquet" not in plan.lower(), \
+        "concat inputs must be materialized, not re-scanned per branch"
+    n = both.df.count()
+    assert n == a.df.count() + b.df.count()

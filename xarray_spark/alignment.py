@@ -128,7 +128,10 @@ def align(*datasets: XDataset, join: str = "inner",
     # each dataset keeps its own labels along them
     excl = ({exclude} if isinstance(exclude, str)
             else set(exclude or ()))
-    label_sets = {d: materialize_if_derived(ls) for d, ls in
+    # label sets stay un-checkpointed: their re-references run as
+    # parallel stages of the ONE final action (cheap), and the
+    # checkpoint barrier measurably hurt cold runs (q117 +30%)
+    label_sets = {d: ls for d, ls in
                   _aligned_label_sets(datasets, join).items()
                   if d not in excl}
     out = []

@@ -1334,14 +1334,16 @@ class XDataset:
             return cache[dim]
         from xarray_spark._utils import two_phase_rank
         labels = self.df.select(dim).where(F.col(dim).isNotNull()).distinct()
-        # label tables are small by contract and referenced repeatedly
-        # (selection predicate + joinback, align probes, pad edges…):
-        # materialize=True computes the distinct+rank once behind a
-        # lazy localCheckpoint; the per-instance memo shares the
-        # DataFrame across call sites within one operator chain
-        # (intra-query only — every bench/oracle invocation rebuilds
-        # XDatasets from the parquet inputs)
-        ranked = two_phase_rank(labels, dim, materialize=True)
+        # the per-instance memo shares the DataFrame across call sites
+        # within one operator chain.  Deliberately NOT checkpointed:
+        # label-table references land as PARALLEL stages inside one
+        # action, where duplicate recompute is nearly free on idle
+        # cores while a checkpoint adds a serialization barrier —
+        # measured cold regressions q105 +40% / q03 +19% with
+        # materialize=True vs wins only where references span
+        # SEQUENTIAL eager jobs (concat/align/merge inputs, which ARE
+        # materialized — see materialize_if_derived call sites)
+        ranked = two_phase_rank(labels, dim)
         out = ranked.select(
             dim,
             F.col("__rnk").alias("__pos"),
