@@ -784,7 +784,12 @@ def _to_zarr_update(ds, store: str, dim: str | None,
     n_total, chunk = int(zarray0["shape"][0]), int(zarray0["chunks"][0])
     dt = np.dtype(zarray0["dtype"])
     labels = ds._dim_labels(dim)
-    m = labels.select(SF.max("__size")).collect()[0][0] or 0
+    # one ordered collect serves both the size check and (in the
+    # append branch) the coordinate values — the size-only aggregate
+    # was a second sequential driver job on the same label table
+    _lab_vals = [r[0] for r in
+                 labels.orderBy("__pos").select(dim).collect()]
+    m = len(_lab_vals)
     if region is not None:
         if sl.step not in (None, 1):
             raise ValueError("region slices cannot be stepped "
@@ -814,7 +819,7 @@ def _to_zarr_update(ds, store: str, dim: str | None,
         for v in varlist:
             _zarr_set_shape(store, v, [new_n])
         old_coord = read_zarr_array(store, dim)
-        vals = [r[0] for r in labels.orderBy("__pos").select(dim).collect()]
+        vals = _lab_vals
         if vals and isinstance(vals[0], (_dt.datetime, _dt.date)):
             newc = (np.array(vals, dtype="datetime64[s]")
                     .astype("int64").astype("float64"))
@@ -892,13 +897,13 @@ def _to_zarr_nd(ds, store: str, chunk_map: dict,
     fact = ds.df
     for d in dims:
         labels = ds._dim_labels(d)
-        n_d = labels.select(SF.max("__size")).collect()[0][0] or 0
+        vals = [r[0] for r in labels.orderBy("__pos").select(d).collect()]
+        n_d = len(vals)
         if n_d == 0:
             raise ValueError("empty dataset")
         c_d = min(int(chunk_map.get(d, n_d)), n_d)
         sizes.append(n_d)
         chunks_l.append(c_d)
-        vals = [r[0] for r in labels.orderBy("__pos").select(d).collect()]
         if vals and isinstance(vals[0], (_dt.datetime, _dt.date)):
             coord = (np.array(vals, dtype="datetime64[s]")
                      .astype("int64").astype("float64"))
@@ -1005,7 +1010,8 @@ def to_zarr_distributed(ds, store: str, dim: str | None = None,
     dim = dim or ds.dims[0]
     varlist = list(ds.data_vars)
     labels = ds._dim_labels(dim)
-    n = labels.select(SF.max("__size")).collect()[0][0] or 0
+    vals = [r[0] for r in labels.orderBy("__pos").select(dim).collect()]
+    n = len(vals)
     if n == 0:
         raise ValueError("empty dataset")
     os.makedirs(store, exist_ok=True)
@@ -1017,7 +1023,7 @@ def to_zarr_distributed(ds, store: str, dim: str | None = None,
         with open(os.path.join(store, ".zgroup"), "w") as f:
             json.dump({"zarr_format": 2}, f)
     # coordinate array: label-sized, driver-side by definition
-    vals = [r[0] for r in labels.orderBy("__pos").select(dim).collect()]
+    # (vals already collected above — one job serves size + coords)
     import datetime as _dt
     if vals and isinstance(vals[0], (_dt.datetime, _dt.date)):
         coord = (np.array(vals, dtype="datetime64[s]")
