@@ -131,15 +131,25 @@ def materialize_if_derived(df):
     LogicalRDD scan).  Intra-query only — nothing survives the
     DataFrame, so repeated bench/oracle invocations recompute from
     parquet."""
+    cached = getattr(df, "_xs_materialized", None)
+    if cached is not None:
+        return cached
     try:
         if df.isStreaming:
             return df
         tree = df._jdf.queryExecution().analyzed().treeString()
     except Exception:  # pragma: no cover - py4j edge cases
         return df
-    if any(n in tree for n in _DERIVED_NODES):
-        return df.localCheckpoint(eager=False)
-    return df
+    out = (df.localCheckpoint(eager=False)
+           if any(n in tree for n in _DERIVED_NODES) else df)
+    try:
+        # memo on the (immutable) DataFrame: align runs on every binary
+        # op — don't re-render the plan tree per call, and never stack
+        # a second checkpoint on an already-materialized frame
+        df._xs_materialized = out
+    except Exception:  # pragma: no cover
+        pass
+    return out
 
 
 def parse_iso8601_prefix(s: str):
