@@ -54,6 +54,19 @@ def test_materialize_gate_truncates_derived_plans(spark):
     assert a == b
 
 
+def test_materialize_gate_skips_literal_inputs(spark):
+    """Aggregates over LocalRelation/range inputs are free to
+    recompute — checkpointing them taxed every tiny in-memory dataset
+    (the unit suite slowed ~3× before the file-source gate)."""
+    import pandas as pd
+    loc = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 2],
+                                              "v": [1.0, 2.0, 3.0]}))
+    lagg = loc.groupBy("k").agg(F.sum("v").alias("s"))
+    assert materialize_if_derived(lagg) is lagg
+    rng = spark.range(100).groupBy((F.col("id") % 7).alias("m")).count()
+    assert materialize_if_derived(rng) is rng
+
+
 def test_materialize_gate_skips_streaming(spark):
     src = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     agg = src.groupBy("value").count()

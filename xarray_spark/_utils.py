@@ -103,6 +103,7 @@ def estimated_rows(df) -> float:
 
 
 _DERIVED_NODES = ("Aggregate", "Deduplicate", "GlobalLimit")
+_FILE_SOURCES = (" parquet", " orc", " csv", " json", " avro")
 
 
 def materialize_if_derived(df):
@@ -140,8 +141,16 @@ def materialize_if_derived(df):
         tree = df._jdf.queryExecution().analyzed().treeString()
     except Exception:  # pragma: no cover - py4j edge cases
         return df
+    # two gates: (1) a reduction node — the output is reduced,
+    # label-table-shaped, safe to store; (2) a FILE source leaf —
+    # literal inputs (LocalRelation from createDataFrame, range) are
+    # free to recompute, and checkpointing them taxes every tiny
+    # in-memory dataset (measured: the unit suite slowed ~3× before
+    # this gate) while saving nothing
+    derived = any(n in tree for n in _DERIVED_NODES)
+    from_files = any(s in tree for s in _FILE_SOURCES)
     out = (df.localCheckpoint(eager=False)
-           if any(n in tree for n in _DERIVED_NODES) else df)
+           if (derived and from_files) else df)
     try:
         # memo on the (immutable) DataFrame: align runs on every binary
         # op — don't re-render the plan tree per call, and never stack
