@@ -41,8 +41,37 @@ def _r6(c): return F.round(c + F.lit(1e-9), 6)
 # loaders — star-schema tables as XDatasets (long form; SURVEY.md §1.4)
 # --------------------------------------------------------------------- #
 
+_RAW_READS: dict = {}
+
+
+def _read_raw(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Memoized raw-table scan — the engine's stand-in for a catalog.
+
+    ``spark.read.parquet`` resolves the file listing and infers the
+    schema from parquet footers on every call (~0.1 s of driver
+    metadata work); a 143-query session re-paid it per query per table.
+    The memo holds the LAZY DataFrame (logical plan = schema + file
+    listing), never row data: every action over it still scans the
+    parquet files in full, so each bench/oracle invocation computes
+    from the inputs exactly as before — only the per-session metadata
+    resolution is shared, as any metastore-backed table would be.
+    Keyed per (application, sf_dir); testdata directories are immutable
+    within a session (the file listing is snapshotted at first use)."""
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    df = _RAW_READS.get(key)
+    if df is None:
+        if table == "events":
+            # older testdata generations store ts as TIMESTAMP(NANOS),
+            # which the vectorized reader rejects — surface as long
+            # (then _normalize_event_ts converts); set BEFORE the read
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        _RAW_READS[key] = df
+    return df
+
+
 def _lineitem(spark: SparkSession, sf_dir: str) -> XDataset:
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _read_raw(spark, sf_dir, "lineitem")
     return XDataset(
         df,
         dims=["l_orderkey", "l_linenumber"],
@@ -55,7 +84,7 @@ def _lineitem(spark: SparkSession, sf_dir: str) -> XDataset:
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> XDataset:
-    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = _read_raw(spark, sf_dir, "orders")
     return XDataset(
         df,
         dims=["o_orderkey"],
@@ -89,8 +118,8 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> XDataset:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = _normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # nanosAsLong conf is set inside _read_raw before the first read
+    df = _normalize_event_ts(_read_raw(spark, sf_dir, "events"))
     return XDataset(
         df,
         dims=["event_id"],
@@ -291,7 +320,7 @@ def q16_groupby_median(spark, sf_dir):
 def q17_rank(spark, sf_dir):
     """Average-method rank (xarray core/dataset.py:8416)."""
     sup = XDataset(
-        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        _read_raw(spark, sf_dir, "supplier"),
         dims=["s_suppkey"],
     )
     out = sup["s_acctbal"].rank("s_suppkey")
@@ -310,12 +339,12 @@ def q19_binary_align(spark, sf_dir):
     """Auto-aligning binary op: inner join on shared dim then subtract
     (xarray core/dataset.py:7783)."""
     cust = XDataset(
-        spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed("c_nationkey", "nationkey"),
+        _read_raw(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "nationkey"),
         dims=["c_custkey"],
         coords={"nationkey": ("c_custkey",)},
     )
     supp = XDataset(
-        spark.read.parquet(f"{sf_dir}/supplier.parquet").withColumnRenamed("s_nationkey", "nationkey"),
+        _read_raw(spark, sf_dir, "supplier").withColumnRenamed("s_nationkey", "nationkey"),
         dims=["s_suppkey"],
         coords={"nationkey": ("s_suppkey",)},
     )
@@ -362,7 +391,7 @@ def q22_pivot(spark, sf_dir):
 
 def q23_weighted_mean(spark, sf_dir):
     """Weighted mean (xarray computation/weighted.py:135)."""
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _read_raw(spark, sf_dir, "lineitem")
     ds = XDataset(
         df,
         dims=["l_returnflag", "l_orderkey", "l_linenumber"],
@@ -388,7 +417,7 @@ def q24_integrate(spark, sf_dir):
 def q25_polyfit(spark, sf_dir):
     """Degree-1 polyfit via Vandermonde moments + tiny solve
     (xarray computation/fit.py:101)."""
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _read_raw(spark, sf_dir, "lineitem")
     ds = XDataset(df, dims=["l_quantity"], data_vars=["l_extendedprice"])
     fit = ds.polyfit("l_quantity", deg=1)
     return fit.to_spark().select(
@@ -402,7 +431,7 @@ def q26_corr(spark, sf_dir):
     (xarray computation/computation.py:152)."""
     from xarray_spark import corr
     from xarray_spark.dataset import XDataArray
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _read_raw(spark, sf_dir, "lineitem")
     dims = ["l_returnflag", "l_orderkey", "l_linenumber"]
     a = XDataArray(df, dims, {}, ["l_quantity"])
     b = XDataArray(df, dims, {}, ["l_extendedprice"])
@@ -413,7 +442,7 @@ def q26_corr(spark, sf_dir):
 def q27_str_ops(spark, sf_dir):
     """String accessor ops (xarray core/accessor_str.py)."""
     docs = XDataset(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        _read_raw(spark, sf_dir, "documents"),
         dims=["doc_id"],
         coords={"lang": ("doc_id",), "source": ("doc_id",)},
     )
@@ -448,7 +477,7 @@ def q29_reindex_nearest(spark, sf_dir):
 def q30_dedup_exact(spark, sf_dir):
     """Exact dedup on normalized text fingerprint (extras.dedup)."""
     from xarray_spark.extras.dedup import dedup_exact
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     kept = dedup_exact(docs, "text", "doc_id")
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -459,7 +488,7 @@ def q30_dedup_exact(spark, sf_dir):
 def q31_text_features(spark, sf_dir):
     """Token count / punct ratio / quality score (extras.text)."""
     from xarray_spark.extras.text import punct_ratio, quality_score, token_count
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     t = F.col("text")
     feat = docs.select(
         "source",
@@ -477,7 +506,7 @@ def q31_text_features(spark, sf_dir):
 def q32_language_id(spark, sf_dir):
     """Stopword-marker language ID heuristic (extras.text.language_id)."""
     from xarray_spark.extras.text import language_id
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     out = docs.select(language_id(F.col("text")).alias("lang_guess"))
     return out.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n"))
 
@@ -485,7 +514,7 @@ def q32_language_id(spark, sf_dir):
 def q33_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k similarity search (extras.similarity)."""
     from xarray_spark.extras.similarity import cosine_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
@@ -502,7 +531,7 @@ def q34_minhash_lsh(spark, sf_dir):
     signature-estimated Jaccard — is verified bit-for-bit against a
     DuckDB oracle that recomputes the identical signatures."""
     from xarray_spark.extras.dedup import minhash_lsh_pairs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, threshold=0.2, hash_mode="portable")
     return pairs.select("id_a", "id_b", _r6(F.col("jaccard_est")).alias("jaccard_est"))
 
@@ -514,7 +543,7 @@ def q35_simhash(spark, sf_dir):
     EQUALS the brute-force all-pairs oracle — which is exactly what the
     DuckDB side computes (125k pairs at gate scale)."""
     from xarray_spark.extras.dedup import simhash_near_dups
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     return simhash_near_dups(docs, max_hamming=10, bits=60, hash_mode="portable")
 
 
@@ -570,7 +599,7 @@ def q41_dot(spark, sf_dir):
     (xarray computation/computation.py:484)."""
     from xarray_spark import dot
     from xarray_spark.dataset import XDataArray
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _read_raw(spark, sf_dir, "lineitem")
     dims = ["l_returnflag", "l_orderkey", "l_linenumber"]
     a = XDataArray(df, dims, {}, ["l_quantity"])
     b = XDataArray(df, dims, {}, ["l_discount"])
@@ -583,7 +612,7 @@ def q41_dot(spark, sf_dir):
 def q42_stopword_ratio(spark, sf_dir):
     """Stopword-ratio text feature (extras.text.stopword_ratio)."""
     from xarray_spark.extras.text import stopword_ratio
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     feat = docs.select("lang", stopword_ratio(F.col("text")).alias("sw"))
     return feat.groupBy("lang").agg(_r6(F.avg("sw")).alias("avg_sw"))
 
@@ -629,7 +658,7 @@ def q46_resample_6h(spark, sf_dir):
 
 def q47_weighted_var(spark, sf_dir):
     """Weighted variance (xarray computation/weighted.py:319 family)."""
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _read_raw(spark, sf_dir, "lineitem")
     ds = XDataset(
         df,
         dims=["l_returnflag", "l_orderkey", "l_linenumber"],
@@ -646,7 +675,7 @@ def q48_cov(spark, sf_dir):
     """Sample covariance per group (xarray computation/computation.py:46)."""
     from xarray_spark import cov
     from xarray_spark.dataset import XDataArray
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _read_raw(spark, sf_dir, "lineitem")
     dims = ["l_returnflag", "l_orderkey", "l_linenumber"]
     a = XDataArray(df, dims, {}, ["l_quantity"])
     b = XDataArray(df, dims, {}, ["l_extendedprice"])
@@ -658,7 +687,7 @@ def q49_fingerprint_distinct(spark, sf_dir):
     """Document fingerprinting: distinct normalized-text count per source
     (extras.text.fingerprint)."""
     from xarray_spark.extras.text import fingerprint
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     return docs.select("source", fingerprint(F.col("text")).alias("fp")).groupBy(
         "source"
     ).agg(
@@ -682,7 +711,7 @@ def q51_lsh_topk(spark, sf_dir):
     replays the same bucketing + rounded-cosine re-rank and the result
     hash-matches despite the operator being approximate."""
     from xarray_spark.extras.similarity import lsh_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
@@ -700,7 +729,7 @@ def q52_embedding_near_dups(spark, sf_dir):
     ones.  Portable mode: integer-plane band buckets + rounded-cosine
     threshold, replayed exactly by the DuckDB oracle."""
     from xarray_spark.extras.similarity import embedding_near_dups
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     return embedding_near_dups(emb, threshold=0.5, hash_mode="portable")
 
 
@@ -713,7 +742,7 @@ def q53_ngram_jaccard(spark, sf_dir):
     same document-frequency filter, so the pair list still hash-matches
     bit-for-bit (jaccard rounded to 6)."""
     from xarray_spark.extras.dedup import ngram_jaccard_pairs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_df=200)
     return pairs.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
 
@@ -785,7 +814,7 @@ def q59_decode_cf(spark, sf_dir):
     """CF decode chain at scan time: mask + scale/offset fused into the
     scan (xarray conventions.py:498, coding/variables.py:269)."""
     from xarray_spark.io import decode_cf
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _read_raw(spark, sf_dir, "lineitem")
     dec = decode_cf(df, {
         "l_quantity": {"fill_value": -1.0, "scale_factor": 0.01, "add_offset": 1.0},
     })
@@ -818,7 +847,7 @@ def q61_nearest_points(spark, sf_dir):
     (nationkey, acctbal) space."""
     from xarray_spark import sel_points_nearest
     sup = XDataset(
-        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        _read_raw(spark, sf_dir, "supplier"),
         dims=["s_suppkey"],
         coords={"s_nationkey": ("s_suppkey",), "s_acctbal": ("s_suppkey",)},
     )
@@ -877,7 +906,7 @@ def q63_lsh_multiprobe(spark, sf_dir):
     portable mode — the oracle expands the same flip-one-bit probe set
     per query and replays the rounded-cosine re-rank."""
     from xarray_spark.extras.similarity import lsh_topk_multiprobe
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
@@ -895,7 +924,7 @@ def q64_ivf_topk(spark, sf_dir):
     lifecycle); the query plan itself contains no KMeans jobs, only
     literal-expression cell probing."""
     from xarray_spark.extras.similarity import ivf_fit, ivf_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_CODEBOOKS:
         _IVF_CODEBOOKS[sf_dir] = ivf_fit(emb, n_cells=8)
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -909,7 +938,7 @@ def q69_bpe_token_count(spark, sf_dir):
     """BPE-style pretokenizer token counting (extras.text
     bpe_ish_token_count) — the LLM-token-budget proxy."""
     from xarray_spark.extras.text import bpe_ish_token_count
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     t = docs.select("lang", bpe_ish_token_count(F.col("text")).alias("ntok"))
     return t.groupBy("lang").agg(
         F.sum("ntok").alias("total_bpe_tokens"),
@@ -1010,7 +1039,7 @@ def q67_stream_resample(spark, sf_dir):
     from xarray_spark.streaming import stream_resample
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = _read_raw(spark, sf_dir, "events")
     stage = _staged_events_dir(sf_dir)
     src = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage)
@@ -1035,11 +1064,11 @@ def q68_datatree(spark, sf_dir):
     from xarray_spark import DataTree
     tree = DataTree({
         "/geo/region": XDataset(
-            spark.read.parquet(f"{sf_dir}/region.parquet"), dims=["r_regionkey"]),
+            _read_raw(spark, sf_dir, "region"), dims=["r_regionkey"]),
         "/geo/nation": XDataset(
-            spark.read.parquet(f"{sf_dir}/nation.parquet"), dims=["n_nationkey"]),
+            _read_raw(spark, sf_dir, "nation"), dims=["n_nationkey"]),
         "/parties/customer": XDataset(
-            spark.read.parquet(f"{sf_dir}/customer.parquet"), dims=["c_custkey"]),
+            _read_raw(spark, sf_dir, "customer"), dims=["c_custkey"]),
     })
     counted = tree.map_over_datasets(
         lambda ds: ds._replace(df=ds.df.groupBy().agg(F.count(F.lit(1)).alias("n")),
@@ -1139,7 +1168,7 @@ def q73_curvefit(spark, sf_dir):
     labels, so the fit must recover the closed-form parameters — the
     oracle states the ground truth."""
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _read_raw(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_quantity")
         .where(F.col("l_quantity") <= 50)
         .distinct()
@@ -1190,7 +1219,7 @@ def q76_interp_quadratic(spark, sf_dir):
     series IS a quadratic of the day ordinal, so the fill must recover
     it exactly; the oracle states the closed form."""
     days = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _read_raw(spark, sf_dir, "orders")
         .select(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
         .distinct()
     )
@@ -1210,7 +1239,7 @@ def q77_str_tail(spark, sf_dir):
     """String accessor tail — removeprefix / rfind / istitle
     (xarray core/accessor_str.py:2280+)."""
     cust = XDataset(
-        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        _read_raw(spark, sf_dir, "customer"),
         dims=["c_custkey"],
     )
     name = cust["c_name"]
@@ -1266,7 +1295,7 @@ def q81_dedup_clusters(spark, sf_dir):
     cluster = smallest doc_id in the component.  The oracle closes the
     same edge list with a recursive CTE."""
     from xarray_spark.extras.dedup import connected_components, ngram_jaccard_pairs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_df=200)
     cc = connected_components(pairs)
     return cc.select(F.col("id").alias("doc_id"), "cluster")
@@ -1278,7 +1307,7 @@ def q83_str_tail2(spark, sf_dir):
     prefix surgically replaced and the trailing '#'-component split off
     right-anchored."""
     cust = XDataset(
-        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        _read_raw(spark, sf_dir, "customer"),
         dims=["c_custkey"],
     )
     name = cust["c_name"]
@@ -1308,8 +1337,8 @@ def q84_dt_timedelta(spark, sf_dir):
     and re-joined on monotonically_increasing_id, doubling the join
     work and keying on a row id that can renumber under task retry at
     cluster scale).  Plan: li join orders -> one projection -> groupBy."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _read_raw(spark, sf_dir, "lineitem")
+    orders = _read_raw(spark, sf_dir, "orders")
     j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         F.monotonically_increasing_id().alias("rid"),
         (F.col("l_shipdate") - F.col("o_orderdate").cast("timestamp")).alias("lag"),
@@ -1369,7 +1398,7 @@ def q85_stream_asof(spark, sf_dir):
     from xarray_spark.streaming import stream_asof_join
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = _read_raw(spark, sf_dir, "events")
     stage_o = _staged_events_dir(sf_dir)
     obs = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage_o)
@@ -1431,7 +1460,7 @@ def q87_stream_dedup(spark, sf_dir):
     from xarray_spark.streaming import stream_dedup_exact
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = _read_raw(spark, sf_dir, "events")
     stage = _staged_events_dir(sf_dir)
     src = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage)
@@ -1458,7 +1487,7 @@ def q88_hash_sample(spark, sf_dir):
     map-only filter a 100 TB pipeline uses instead of seed-dependent
     df.sample().  The md5-derived bucket is replayed exactly in SQL."""
     from xarray_spark.extras.sampling import hash_sample
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _read_raw(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")).alias("__k"),
     )
@@ -1475,7 +1504,7 @@ def q89_hash_split(spark, sf_dir):
     90/5/5): per-split row counts and revenue — append-stable split
     assignment, verified against the identical SQL bucketing."""
     from xarray_spark.extras.sampling import hash_split
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _read_raw(spark, sf_dir, "orders")
     s = hash_split(o, {"train": 0.90, "val": 0.05, "test": 0.05}, "o_orderkey")
     return s.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1489,7 +1518,7 @@ def q90_stratified_sample(spark, sf_dir):
     document corpus, keep rare ones whole — the class-rebalancing
     primitive of corpus curation."""
     from xarray_spark.extras.sampling import stratified_hash_sample
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     s = stratified_hash_sample(
         docs, {"en": 0.25, "de": 0.5, "fr": 1.0}, "lang", "doc_id")
     return s.groupBy("lang").agg(
@@ -1506,7 +1535,7 @@ def q91_decontaminate(spark, sf_dir):
     on the normalized text itself (identical semantics, collision-free
     at gate scale)."""
     from xarray_spark.extras.curation import decontaminate
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     eval_set = docs.where(F.col("doc_id") % 10 == 3)
     clean = decontaminate(docs, eval_set)
     return clean.groupBy("lang").agg(
@@ -1521,7 +1550,7 @@ def q92_pack_sequences(spark, sf_dir):
     for 256-token training sequences — prefix sums over deterministic
     hash buckets, replayed exactly by a SQL window."""
     from xarray_spark.extras.curation import pack_sequences
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     out = pack_sequences(docs, budget=256, n_buckets=8)
     return out.select("doc_id", "bucket", "n_tokens", "tokens_before", "bin")
 
@@ -1533,7 +1562,7 @@ def q93_shuffle_rank(spark, sf_dir):
     window.  Returns the head of the shuffled order; the oracle replays
     the same hash rank in SQL."""
     from xarray_spark.extras.sampling import shuffle_deterministic
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     s = shuffle_deterministic(docs, "doc_id")
     return (s.where(F.col("shuffle_rank") <= 20)
             .select("shuffle_rank", "doc_id", "lang"))
@@ -1563,7 +1592,7 @@ def q95_pii_scan(spark, sf_dir):
     injects deterministic PII into a slice of the corpus (mirrored
     exactly in the oracle SQL) so the counts are non-trivial."""
     from xarray_spark.extras.text import pii_scan
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     injected = docs.withColumn(
         "text",
         F.concat(
@@ -1603,7 +1632,7 @@ def q96_stream_sessionize(spark, sf_dir):
     from xarray_spark.streaming import stream_sessionize
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = _read_raw(spark, sf_dir, "events")
     stage = _staged_events_dir(sf_dir)
     src = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage)
@@ -1632,7 +1661,7 @@ def q97_ivf_fixed(spark, sf_dir):
     same codebook.  (Trained-codebook IVF stays in q64, rows-only —
     KMeans is not SQL-expressible.)"""
     from xarray_spark.extras.similarity import ivf_topk_fixed
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
@@ -1645,7 +1674,7 @@ def q98_chunk_documents(spark, sf_dir):
     posexplode JVM expressions — verified row-for-row against the SQL
     range+substr replay."""
     from xarray_spark.extras.curation import chunk_documents
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
@@ -1759,7 +1788,7 @@ def q106_complex_phase(spark, sf_dir):
     complex plane, aggregate magnitude and phase per return flag — all
     JVM struct-field expressions."""
     from xarray_spark import ufuncs as xu
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read_raw(spark, sf_dir, "lineitem")
     z = xu.complex_col(F.col("l_quantity") - 25.0, F.col("l_discount") * 100.0 - 5.0)
     zz = xu.cmul(z, xu.conj(z))
     out = li.select(
@@ -1794,7 +1823,7 @@ def q109_stream_interval_join(spark, sf_dir):
     from xarray_spark.streaming import stream_interval_join
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     __old_sp = _stream_state_conf(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = _read_raw(spark, sf_dir, "events")
     stage_e = _staged_events_dir(sf_dir)
     ev = _normalize_event_ts(
         spark.readStream.schema(batch.schema).parquet(stage_e)
@@ -1839,7 +1868,7 @@ def q112_pq_topk(spark, sf_dir):
     codebook, queries ranked by exact-integer asymmetric distance.  The
     oracle recomputes every code and every ADC distance in SQL."""
     from xarray_spark.extras.similarity import pq_topk_fixed
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding"))
     return pq_topk_fixed(emb, qs, kk=3)
@@ -1853,7 +1882,7 @@ def q113_ivfpq_topk(spark, sf_dir):
     assignment, probe expansion, PQ codes, and every ADC distance from
     the same md5 coefficients."""
     from xarray_spark.extras.similarity import ivfpq_topk_fixed
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding"))
     return ivfpq_topk_fixed(emb, qs, kk=3, n_cells=8, n_probe=2)
@@ -1866,7 +1895,7 @@ def q110_dedup_lines(spark, sf_dir):
     lines in order.  The oracle replays split → document-frequency →
     ordered string_agg in SQL."""
     from xarray_spark.extras.curation import dedup_lines
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     return dedup_lines(docs, min_df=3)
 
 
@@ -1887,7 +1916,7 @@ def q107_repetition_stats(spark, sf_dir):
     fraction, top-bigram share, duplicate-trigram fraction — the
     repetition quality-filter family, aggregated per language."""
     from xarray_spark.extras.text import repetition_stats
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     rs = repetition_stats(docs).join(docs.select("doc_id", "lang"), on="doc_id")
     return rs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1904,7 +1933,7 @@ def q108_blend_epochs(spark, sf_dir):
     1.5 epochs of en, 2.25 of de, 0.4 of fr — deterministic hash-driven
     mixture with a 0-based epoch index, replayed exactly in SQL."""
     from xarray_spark.extras.sampling import blend_epochs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     out = blend_epochs(docs, {"en": 1.5, "de": 2.25, "fr": 0.4},
                        source_col="lang", key_col="doc_id")
     return out.groupBy("lang", "epoch").agg(
@@ -1937,7 +1966,7 @@ def q115_grouped_quantile_hist(spark, sf_dir):
     row_number only inside the ≤2 needed bins.  Oracle: DuckDB
     quantile_cont (linear interpolation, same estimator)."""
     from xarray_spark import set_options
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    df = _read_raw(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
     ds = XDataset(df, dims=["l_orderkey", "l_linenumber"],
                   coords={"l_returnflag": ("l_orderkey", "l_linenumber")})
@@ -1962,7 +1991,7 @@ def q137_grouped_quantile_midbin(spark, sf_dir):
     table around the sign boundary.  Oracle: DuckDB quantile_cont,
     values rounded to 4dp."""
     from xarray_spark import set_options
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    df = _read_raw(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag",
         (F.col("l_extendedprice")
          * F.when(F.col("l_linenumber") % 2 == 0, F.lit(1.0))
@@ -2063,7 +2092,7 @@ def q142_concat_minimal(spark, sf_dir):
     from xarray_spark import concat
 
     def _slice(lo, hi, pri_max=None):
-        df = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        df = _read_raw(spark, sf_dir, "orders").where(
             (F.col("o_orderdate") >= F.lit(lo))
             & (F.col("o_orderdate") < F.lit(hi)))
         if pri_max is not None:
@@ -2100,7 +2129,7 @@ def q143_combine_nested(spark, sf_dir):
     from xarray_spark import combine_nested
 
     def tile(lo, hi, ps, pe):
-        df = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        df = _read_raw(spark, sf_dir, "orders").where(
             (F.col("o_orderdate") >= F.lit(lo))
             & (F.col("o_orderdate") < F.lit(hi))
             & (F.col("o_orderpriority") >= ps)
@@ -2133,7 +2162,7 @@ def q144_cap_per_group(spark, sf_dir):
     under-cap groups skip the window entirely (anti-join on the
     over-cap group list), over-cap groups rank only their own rows."""
     from xarray_spark.extras.curation import cap_per_group
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     kept = cap_per_group(docs, cap=5, by=["source", "lang"])
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2205,7 +2234,7 @@ def q118_temperature_sample(spark, sf_dir):
     deterministic md5 bucket, so DuckDB replays the exact row set;
     id-sum checksum pins membership, not just counts."""
     from xarray_spark.extras.sampling import temperature_sample
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     kept = temperature_sample(docs, "source", "doc_id", alpha=0.5)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
@@ -2219,7 +2248,7 @@ def q119_dedup_substrings(spark, sf_dir):
     non-canonical document; the oracle rebuilds every document from
     the same window algebra in SQL."""
     from xarray_spark.extras.curation import dedup_substrings
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     out = dedup_substrings(docs, k=5, min_docs=2)
     return out.select("doc_id", "text", "n_tokens", "n_dropped")
 
@@ -2230,7 +2259,7 @@ def q120_semdedup(spark, sf_dir):
     within-cell cosine ≥ threshold a semantic duplicate.  The oracle
     replays cell assignment and every within-cell cosine."""
     from xarray_spark.extras.similarity import semdedup_pairs
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     return semdedup_pairs(emb, threshold=0.4, n_cells=64)
 
 
@@ -2252,7 +2281,7 @@ def q122_polyfit_full(spark, sf_dir):
     aggregation (Σw²y² − cᵀT via the normal equations), the rank from
     the label-table Vandermonde on the driver.  Oracle: regr_slope/
     intercept + SSE = regr_syy·(1−r²)."""
-    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = _read_raw(spark, sf_dir, "lineitem")
     ds = XDataset(df, dims=["l_quantity"], data_vars=["l_extendedprice"])
     fit = ds.polyfit("l_quantity", deg=1, full=True)
     return fit.to_spark().select(
@@ -2308,7 +2337,7 @@ def q127_gopher_filter(spark, sf_dir):
     replayed rule-by-rule in SQL.  Thresholds scaled to the synthetic
     corpus (its documents are ~tens of words)."""
     from xarray_spark.extras.curation import gopher_filter
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     return gopher_filter(docs, min_words=10, max_words=2000,
                          min_mean_word_len=3.0, max_mean_word_len=8.0,
                          min_alpha_word_frac=0.8, min_stopword_hits=1)
@@ -2329,7 +2358,7 @@ def q128_c4_filter(spark, sf_dir):
     ``" batch batch " -> " lorem ipsum "`` plants the filler phrase —
     so every rule actually fires on real data."""
     from xarray_spark.extras.curation import c4_filter
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
         F.replace(
@@ -2353,7 +2382,7 @@ def q129_ngram_lm_score(spark, sf_dir):
     training counts, the quantization, the backoff coalesce, and the
     ntile in SQL."""
     from xarray_spark.extras.text import ngram_lm_score
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     return ngram_lm_score(docs, n=3, vocab_size=128, quant=10_000)
 
 
@@ -2366,7 +2395,7 @@ def q135_lm_buckets_thresholds(spark, sf_dir):
     oracle replays training, quantization, backoff, and the two fixed
     comparisons."""
     from xarray_spark.extras.text import ngram_lm_score
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     return ngram_lm_score(docs, n=3, vocab_size=128, quant=10_000,
                           thresholds=(2.33, 2.41))
 
@@ -2381,7 +2410,7 @@ def q130_decontaminate_ngrams(spark, sf_dir):
     per-doc count.  The oracle replays gram extraction, the distinct
     eval set, and the occurrence counts on plain gram strings."""
     from xarray_spark.extras.curation import decontaminate_ngrams
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     ev = docs.where(F.col("doc_id") % 25 == 0)
     return decontaminate_ngrams(docs, ev, n=5, mode="flag")
 
@@ -2395,7 +2424,7 @@ def q131_pack_nosplit(spark, sf_dir):
     md5 bucket (one shuffle, Arrow pass, two-integer state) and the
     oracle replays the recurrence exactly with a recursive CTE."""
     from xarray_spark.extras.curation import pack_sequences_nosplit
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     out = pack_sequences_nosplit(docs, budget=256, n_buckets=8)
     return out.select("doc_id", "bucket", "n_tokens", "bin",
                       "bin_fill", "oversize")
@@ -2437,7 +2466,7 @@ def q136_curation_pipeline(spark, sf_dir):
         c4_filter, decontaminate_ngrams, gopher_filter,
         pack_sequences_nosplit)
     from xarray_spark.extras.dedup import dedup_exact
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id",
         F.replace(
@@ -2482,7 +2511,7 @@ def q126_semdedup_trained(spark, sf_dir):
     update, empty-cell carry) and every within-cell cosine in SQL."""
     from xarray_spark.extras.similarity import (
         semdedup_pairs, semdedup_train_centroids)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     cents = semdedup_train_centroids(emb, n_cells=8, iters=2,
                                      sample_max_id=256)
     return semdedup_pairs(emb, threshold=0.4, n_cells=8,
@@ -2501,7 +2530,7 @@ def q134_ivf_trained(spark, sf_dir):
     rounded-cosine re-rank in SQL."""
     from xarray_spark.extras.similarity import (
         ivf_topk_fixed, train_centroids_int)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_raw(spark, sf_dir, "embeddings")
     cents = train_centroids_int(emb, n_cells=8, iters=2,
                                 sample_max_id=256)
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -2520,7 +2549,7 @@ def q132_dsir(spark, sf_dir):
     feature hashing, the dense smoothed ratio table, the Gumbel
     derivation, and the top-k rank in SQL."""
     from xarray_spark.extras.sampling import dsir_sample
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     target = docs.where(F.col("doc_id") % 20 == 0)
     return dsir_sample(docs, target, k=200, buckets=2048,
                        quant=10_000, gumbel=True, mode="flag")
@@ -2533,7 +2562,7 @@ def q133_pii_redact(spark, sf_dir):
     replays all three regexp_replace passes verbatim on the full text
     (value hash covers every redacted character)."""
     from xarray_spark.extras.text import pii_redact
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_raw(spark, sf_dir, "documents")
     injected = docs.withColumn(
         "text",
         F.concat(

@@ -56,6 +56,16 @@ def get_spark(app_name: str = "xarray_spark", shuffle_partitions: int | None = N
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # keep managed-table files out of the working directory
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        # PySpark 4 wraps every DataFrame API call to capture the Python
+        # call site for error context: a Python stack walk plus THREE
+        # py4j round trips (conf.get + origin set + clear) per call.
+        # The engine's long-form operators issue hundreds of wrapped
+        # calls per query plan — measured ~0.1-0.3 s of pure driver
+        # overhead per query build (q01: 0.18 s of 0.52 s).  Driver-side
+        # only, scale-neutral; error messages keep the JVM context and
+        # lose only the "line N in file" Python origin (static conf —
+        # must be set before the JVM starts)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # A long-lived session that plans/executes hundreds of DISTINCT
     # queries (the 136-query bench, a notebook day) compiles a unique
