@@ -17,46 +17,44 @@ from pyspark.sql import functions as F
 
 from xarray_spark.dataset import XDataset
 
-_JOIN_MAP = {"inner": "inner", "outer": "full_outer", "left": "left", "right": "right"}
 
 
-def _aligned_label_sets(datasets: Sequence[XDataset], join: str) -> dict[str, DataFrame]:
-    """For each dim shared by ≥2 datasets, the joined label set."""
-    from collections import Counter
-    counts = Counter(d for ds in datasets for d in ds.dims)
-    shared = [d for d, n in counts.items() if n > 1]
-    out: dict[str, DataFrame] = {}
-    for dim in shared:
-        tabs = [ds.df.select(dim).distinct() for ds in datasets if dim in ds.dims]
-        if join == "exact":
-            for t in tabs[1:]:
-                diff = tabs[0].exceptAll(t).union(t.exceptAll(tabs[0]))
-                if not diff.isEmpty():
-                    from xarray_spark.errors import AlignmentError
-                    raise AlignmentError(
-                        f"indexes along dimension {dim!r} are not equal")
-            out[dim] = tabs[0]
-            continue
-        if join == "left":
-            out[dim] = tabs[0]
-            continue
-        if join == "right":
-            out[dim] = tabs[-1]
-            continue
-        how = _JOIN_MAP[join]
-        acc = tabs[0]
-        for t in tabs[1:]:
-            # label tables are broadcast-sized by contract; the hint
-            # keeps Catalyst from planning a sort-merge join off its
-            # (often wildly pessimistic) post-aggregate size estimate
-            # (guide §3.1: hint when you KNOW a side is small)
-            acc = acc.join(F.broadcast(t), on=dim, how=how).select(dim)
-        out[dim] = acc.distinct()
-    return out
+def _label_presence(frames: Sequence[DataFrame], dim: str) -> DataFrame:
+    """Fused label-set probe: ONE aggregation answering every label-set
+    question align/concat ask — (dim, __hav) where __hav is the set of
+    haver indices (position among the datasets that carry ``dim``)
+    whose label table contains the label.
+
+    Replaces the former per-join-type machinery (a pairwise exceptAll
+    probe per dataset for 'exact', an n-1-deep join fan for
+    inner/outer, and a per-dataset anti-join inside conform) with one
+    union + groupBy over the per-dataset distincts; every downstream
+    label set is a FILTER on this table (guide §2.3/§2.4: one pass,
+    fewer exchanges).  Label tables are broadcast-sized by contract,
+    so the collect_set per label is a few ints."""
+    marked = None
+    for i, t in enumerate(frames):
+        m = (t.select(dim).where(F.col(dim).isNotNull()).distinct()
+             .withColumn("__i", F.lit(i)))
+        marked = m if marked is None else marked.unionByName(m)
+    return marked.groupBy(dim).agg(F.collect_set("__i").alias("__hav"))
+
+
+def _marker_label_pred(join: str, n_hav: int):
+    """Column predicate selecting the joined label set from a
+    _label_presence marker (None = every label, the 'outer' set)."""
+    if join in ("inner", "exact"):
+        return F.size("__hav") == n_hav
+    if join == "left":
+        return F.array_contains("__hav", 0)
+    if join == "right":
+        return F.array_contains("__hav", n_hav - 1)
+    return None  # outer: the union label set
 
 
 def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame,
-                       fill_value=None, restrict: bool = True) -> XDataset:
+                       fill_value=None, restrict: bool = True,
+                       missing: DataFrame | None = None) -> XDataset:
     """Restrict ds to the label set AND materialize rows (null vars) for
     labels it lacks — reference align semantics, where an outer join
     introduces NaN slices.  Missing labels appear as other-combos ×
@@ -64,11 +62,14 @@ def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame,
     columns are never null.  Both joins are broadcast-label-sized.
     ``restrict=False`` (join='outer') skips the restriction semi-join —
     a provable no-op there, since the union label set contains every
-    dataset's labels."""
+    dataset's labels.  ``missing`` (the label-set rows this dataset
+    lacks) is normally pre-derived as a FILTER on the _label_presence
+    marker; the anti-join fallback recomputes it from ds itself."""
     df = (ds.df.join(F.broadcast(labels), on=dim, how="left_semi")
           if restrict else ds.df)
-    missing = labels.join(F.broadcast(ds.df.select(dim).distinct()),
-                          on=dim, how="left_anti")
+    if missing is None:
+        missing = labels.join(F.broadcast(ds.df.select(dim).distinct()),
+                              on=dim, how="left_anti")
     others = [d for d in ds.dims if d != dim]
     if others:
         # coords functionally dependent on the OTHER dims stay populated
@@ -98,7 +99,7 @@ def _conform_to_labels(ds: XDataset, dim: str, labels: DataFrame,
 
 
 def align(*datasets: XDataset, join: str = "inner",
-          fill_value=None, exclude=None) -> tuple[XDataset, ...]:
+          fill_value=None, exclude=None, _markers=None) -> tuple[XDataset, ...]:
     """N-way alignment (xarray/structure/alignment.py:678).
 
     join='outer'/'left'/'right': labels a dataset lacks materialize as
@@ -128,23 +129,50 @@ def align(*datasets: XDataset, join: str = "inner",
     # each dataset keeps its own labels along them
     excl = ({exclude} if isinstance(exclude, str)
             else set(exclude or ()))
-    # label sets stay un-checkpointed: their re-references run as
-    # parallel stages of the ONE final action (cheap), and the
-    # checkpoint barrier measurably hurt cold runs (q117 +30%)
-    label_sets = {d: ls for d, ls in
-                  _aligned_label_sets(datasets, join).items()
-                  if d not in excl}
+    # one _label_presence marker per shared dim answers every label-set
+    # question (set equality, joined label set, per-dataset missing
+    # labels) — markers stay un-checkpointed here: their re-references
+    # run as parallel stages of the ONE final action (cheap), and a
+    # checkpoint barrier measurably hurt cold runs (q117 +30%).  concat
+    # pre-checkpoints its markers (its probes are sequential eager
+    # jobs) and passes them via _markers.
+    from collections import Counter
+    counts = Counter(d for ds in datasets for d in ds.dims)
+    shared = [d for d, n in counts.items() if n > 1 and d not in excl]
+    havers = {d: [k for k, ds in enumerate(datasets) if d in ds.dims]
+              for d in shared}
+    markers: dict[str, DataFrame] = {}
+    for dim in shared:
+        m = (_markers or {}).get(dim)
+        if m is None:
+            m = _label_presence(
+                [datasets[k].df for k in havers[dim]], dim)
+        if join == "exact":
+            if not m.where(F.size("__hav") != len(havers[dim])).isEmpty():
+                from xarray_spark.errors import AlignmentError
+                raise AlignmentError(
+                    f"indexes along dimension {dim!r} are not equal")
+        markers[dim] = m
     out = []
-    for ds in datasets:
+    for k, ds in enumerate(datasets):
         cur = ds
-        for dim, labels in label_sets.items():
-            if dim in cur.dims:
-                if join == "inner" or join == "exact":
-                    cur = cur._replace(df=cur.df.join(
-                        F.broadcast(labels), on=dim, how="left_semi"))
-                else:
-                    cur = _conform_to_labels(cur, dim, labels, fill_value,
-                                             restrict=(join != "outer"))
+        for dim, m in markers.items():
+            if dim not in cur.dims:
+                continue
+            pred = _marker_label_pred(join, len(havers[dim]))
+            labels = (m.where(pred) if pred is not None else m).select(dim)
+            if join == "inner" or join == "exact":
+                cur = cur._replace(df=cur.df.join(
+                    F.broadcast(labels), on=dim, how="left_semi"))
+            else:
+                bit = havers[dim].index(k)
+                miss_pred = ~F.array_contains("__hav", bit)
+                if pred is not None:
+                    miss_pred = pred & miss_pred
+                missing = m.where(miss_pred).select(dim)
+                cur = _conform_to_labels(cur, dim, labels, fill_value,
+                                         restrict=(join != "outer"),
+                                         missing=missing)
         out.append(cur)
     return tuple(out)
 

@@ -455,33 +455,44 @@ def concat(objs: Sequence[XDataset], dim, data_vars=_CONCAT_DEFAULT,
     counts = Counter(d for o in objs for d in set(o.dims) if d != dim)
     shared_other = [d for d, n in counts.items() if n > 1]
     if len(objs) > 1 and shared_other:
-        from xarray_spark.alignment import align as _align
+        from xarray_spark.alignment import _label_presence, align as _align
         need = []
+        markers = {}
         for d in shared_other:
-            tabs = [o.df.select(d).where(F.col(d).isNotNull()).distinct()
-                    for o in objs if d in o.dims]
-            differ = False
-            for t in tabs[1:]:
-                # single-pass set-equality probe: both sides are
-                # DISTINCT, so after a marker union every label seen
-                # exactly twice is common; anything else differs.  One
-                # scan per side (the exceptAll-both-ways form scanned
-                # each side twice — guide §2.3 "shuffle fewer bytes").
-                u = (tabs[0].select(d).unionByName(t.select(d))
-                     .groupBy(d).agg(F.count(F.lit(1)).alias("__n")))
-                if not u.where(F.col("__n") != 2).isEmpty():
-                    differ = True
-                    break
+            # fused single-pass probe (round-12): ONE union+groupBy over
+            # every haver's distinct labels yields the presence marker —
+            # set equality falls out (a label missing from any haver),
+            # and the SAME tiny table then feeds align's label sets and
+            # per-dataset missing-label filters, so the conform plan
+            # re-reads a checkpointed marker instead of re-deriving
+            # label tables per dataset (guide §2.3/§2.4; the old form
+            # probed pairwise and align re-joined the label sets).
+            hav_frames = [o.df for o in objs if d in o.dims]
+            marker = _label_presence(hav_frames, d)
+            differ = not marker.where(
+                F.size("__hav") != len(hav_frames)).isEmpty()
             if differ:
                 if join == "exact":
                     from xarray_spark.errors import AlignmentError
                     raise AlignmentError(
                         f"indexes along dimension {d!r} are not equal")
                 need.append(d)
+                try:
+                    # checkpoint ONLY the differ case: the marker is
+                    # re-referenced per dataset inside align's conform,
+                    # so one tiny materialized table beats n re-derives.
+                    # Equal-set probes (the file-chunk concat norm)
+                    # discard the marker — checkpointing there taxed
+                    # q20 ~30% warm for nothing (measured this round).
+                    marker = marker.localCheckpoint()
+                except Exception:  # noqa: BLE001
+                    pass  # keep lineage when checkpointing is unavailable
+                markers[d] = marker
         if need:
             objs = list(_align(*objs, join=join, fill_value=fill_value,
                                exclude=[dim] + [d for d in shared_other
-                                                if d not in need]))
+                                                if d not in need],
+                               _markers=markers))
             first = objs[0]
 
     # ---- name universe, in first-appearance order
