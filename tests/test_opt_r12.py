@@ -116,3 +116,53 @@ def test_concat_over_aggregates_single_source_execution(spark):
         "concat inputs must be materialized, not re-scanned per branch"
     n = both.df.count()
     assert n == a.df.count() + b.df.count()
+
+
+def test_label_presence_marker_semantics(spark):
+    """Round-12 fused conform: the per-dim presence marker carries the
+    exact haver-index set per label (nulls excluded), and the join-type
+    predicates select the same label sets the old join fan produced."""
+    import pandas as pd
+    from xarray_spark.alignment import _label_presence, _marker_label_pred
+    a = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3, 3]}))
+    b = spark.createDataFrame(pd.DataFrame({"x": [2, 3, 4]}))
+    c = spark.createDataFrame(pd.DataFrame({"x": [3.0, 4.0, None]})) \
+        .select(F.col("x").cast("long").alias("x"))
+    m = _label_presence([a, b, c], "x")
+    got = {r["x"]: frozenset(r["__hav"]) for r in m.collect()}
+    assert got == {1: frozenset({0}), 2: frozenset({0, 1}),
+                   3: frozenset({0, 1, 2}), 4: frozenset({1, 2})}
+    def sel(join):
+        pred = _marker_label_pred(join, 3)
+        return {r["x"] for r in
+                (m.where(pred) if pred is not None else m)
+                .select("x").collect()}
+    assert sel("inner") == {3}
+    assert sel("exact") == {3}
+    assert sel("left") == {1, 2, 3}
+    assert sel("right") == {3, 4}
+    assert sel("outer") == {1, 2, 3, 4}
+
+
+def test_align_marker_missing_matches_anti_join_fallback(spark):
+    """The pre-derived missing-label filter (marker path) and the
+    anti-join fallback inside _conform_to_labels must agree: outer
+    align materializes exactly the labels each dataset lacks."""
+    import pandas as pd
+    from xarray_spark import align
+    from xarray_spark.alignment import _conform_to_labels
+    a = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [1, 2, 3], "u": [10.0, 20.0, 30.0]})),
+        dims=["t"])
+    b = XDataset(spark.createDataFrame(
+        pd.DataFrame({"t": [2, 3, 4], "v": [0.2, 0.3, 0.4]})),
+        dims=["t"])
+    a2, b2 = align(a, b, join="outer")
+    rows_a = {(r["t"], r["u"]) for r in a2.df.collect()}
+    assert rows_a == {(1, 10.0), (2, 20.0), (3, 30.0), (4, None)}
+    rows_b = {(r["t"], r["v"]) for r in b2.df.collect()}
+    assert rows_b == {(1, None), (2, 0.2), (3, 0.3), (4, 0.4)}
+    # fallback path (missing=None) produces the identical frame
+    labels = a2.df.select("t").distinct()
+    fb = _conform_to_labels(b, "t", labels, restrict=False)
+    assert {(r["t"], r["v"]) for r in fb.df.collect()} == rows_b
