@@ -204,13 +204,16 @@ def test_outer_align_stays_broadcast(spark):
         dims=["t"])
     ga, _ = align(a, b, join="outer")
     plan = plan_of(ga.to_spark())
-    # fact-side joins (semi + anti) are broadcast; the only sort-merge
-    # allowed is the label-table FullOuter union (Spark cannot broadcast
-    # full-outer joins, and both its inputs are distinct label sets)
-    assert "BroadcastHashJoin" in plan and "Cartesian" not in plan
-    import re
-    smj = re.findall(r"SortMergeJoin \[[^\]]*\], \[[^\]]*\], (\w+)", plan)
-    assert all(k == "FullOuter" for k in smj), smj
+    # round-12 fused conform strengthened this guard: the 1-D outer
+    # align is now JOIN-FREE — the fact branch unions with a
+    # filter+project of the label-presence marker (missing labels),
+    # replacing the round-4 broadcast semi/anti joins AND the
+    # label-table FullOuter sort-merge this test used to allow.
+    assert "Join" not in plan and "Cartesian" not in plan, plan
+    # the fact branch itself is never shuffled: every Exchange in the
+    # plan sits under a label-table (distinct/marker) aggregation
+    fact_side = plan.split("Union", 1)[0]
+    assert "Exchange" not in fact_side, fact_side
 
 
 def test_bucketed_source_windows_have_no_exchange(spark, tmp_path_factory):
