@@ -102,8 +102,24 @@ def estimated_rows(df) -> float:
         return 0.0
 
 
-_DERIVED_NODES = ("Aggregate", "Deduplicate", "GlobalLimit")
-_FILE_SOURCES = (" parquet", " orc", " csv", " json", " avro")
+# node names matched at TREE-NODE boundaries (start of a plan line,
+# after the `+- ` / `:- ` / `:  ` indent art), not by raw substring:
+# an attribute named `AggregateRevenue#12` or a ' parquet' inside a
+# string literal must not reclassify a fact-shaped plan as derived
+_DERIVED_NODES_RE = None  # compiled lazily below
+_FILE_SOURCES_RE = None
+
+
+def _plan_predicates():
+    global _DERIVED_NODES_RE, _FILE_SOURCES_RE
+    if _DERIVED_NODES_RE is None:
+        import re
+        _DERIVED_NODES_RE = re.compile(
+            r"^[\s+:\-]*(?:Aggregate|Deduplicate|GlobalLimit)\b", re.M)
+        _FILE_SOURCES_RE = re.compile(
+            r"^[\s+:\-]*(?:Streaming)?Relation\b.*\s"
+            r"(?:parquet|orc|csv|json|avro)\s*$", re.M)
+    return _DERIVED_NODES_RE, _FILE_SOURCES_RE
 
 
 def materialize_if_derived(df):
@@ -131,7 +147,15 @@ def materialize_if_derived(df):
     job and the final query read the stored partitions (plan shows a
     LogicalRDD scan).  Intra-query only — nothing survives the
     DataFrame, so repeated bench/oracle invocations recompute from
-    parquet."""
+    parquet.
+
+    Fault-tolerance caveat (cluster deployments): localCheckpoint
+    stores partitions on executors with lineage truncated — an
+    executor loss mid-query makes the materialized input
+    unrecoverable and fails the job, where the re-execution path
+    would recompute.  Acceptable for label-table-shaped (reduced)
+    data on a single node; clusters wanting resilience should swap
+    in reliable ``spark.checkpoint`` via this one call site."""
     cached = getattr(df, "_xs_materialized", None)
     if cached is not None:
         return cached
@@ -147,8 +171,9 @@ def materialize_if_derived(df):
     # free to recompute, and checkpointing them taxes every tiny
     # in-memory dataset (measured: the unit suite slowed ~3× before
     # this gate) while saving nothing
-    derived = any(n in tree for n in _DERIVED_NODES)
-    from_files = any(s in tree for s in _FILE_SOURCES)
+    derived_re, files_re = _plan_predicates()
+    derived = derived_re.search(tree) is not None
+    from_files = files_re.search(tree) is not None
     out = (df.localCheckpoint(eager=False)
            if (derived and from_files) else df)
     try:

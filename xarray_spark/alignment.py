@@ -112,6 +112,13 @@ def align(*datasets: XDataset, join: str = "inner",
     dataset's labels replace the others' positionally — indexes must
     have equal sizes.  Long form: join each other dataset's label table
     to the first's on position, then broadcast-remap the dim column.
+
+    Null-label contract: NULL index labels do not participate in
+    alignment label sets (consistent with ``_dim_labels`` throughout
+    the engine) — 'exact' does not raise on a null-only difference and
+    outer/left/right never synthesize a null-label slice.  This is an
+    engine contract, intentionally narrower than pandas' NaN-as-label
+    indexing.
     """
     if join == "override":
         return _align_override(datasets, exclude=exclude)
@@ -156,6 +163,7 @@ def align(*datasets: XDataset, join: str = "inner",
     out = []
     for k, ds in enumerate(datasets):
         cur = ds
+        restricted = False
         for dim, m in markers.items():
             if dim not in cur.dims:
                 continue
@@ -165,14 +173,25 @@ def align(*datasets: XDataset, join: str = "inner",
                 cur = cur._replace(df=cur.df.join(
                     F.broadcast(labels), on=dim, how="left_semi"))
             else:
-                bit = havers[dim].index(k)
-                miss_pred = ~F.array_contains("__hav", bit)
-                if pred is not None:
-                    miss_pred = pred & miss_pred
-                missing = m.where(miss_pred).select(dim)
+                # the marker records each dataset's ORIGINAL label sets;
+                # once a left/right conform has RESTRICTED this dataset
+                # along an earlier dim, its label set along later dims
+                # may have shrunk, so the marker-derived missing set is
+                # stale — fall back to the anti-join against the current
+                # (partially conformed) frame.  join='outer' never
+                # restricts, so the marker stays exact for every dim.
+                if restricted:
+                    missing = None
+                else:
+                    bit = havers[dim].index(k)
+                    miss_pred = ~F.array_contains("__hav", bit)
+                    if pred is not None:
+                        miss_pred = pred & miss_pred
+                    missing = m.where(miss_pred).select(dim)
                 cur = _conform_to_labels(cur, dim, labels, fill_value,
                                          restrict=(join != "outer"),
                                          missing=missing)
+                restricted = restricted or (join != "outer")
         out.append(cur)
     return tuple(out)
 
