@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from xarray_spark import XDataset
 from xarray_spark.groupers import BinGrouper, SeasonGrouper, TimeResampler
+from xarray_spark._utils import local_df as _local_df
 
 def REV():
     """Revenue expression — built lazily so importing this module does
@@ -866,7 +867,7 @@ def q62_interp_targets(spark, sf_dir):
     daily = _daily_revenue(spark, sf_dir)
     targets = [dt.datetime(1996, m, 15, 12) for m in range(1, 13)]
     tgt_ds = _XD(
-        spark.createDataFrame([(t,) for t in targets], "l_shipdate timestamp_ntz"),
+        _local_df(spark, [(t,) for t in targets], "l_shipdate timestamp_ntz"),
         dims=["l_shipdate"],
     )
     out = daily.interp_like(tgt_ds)

@@ -266,7 +266,8 @@ def reindex(
             lab_list = None
         else:
             lab_list = list(labels)
-            new_labels = spark.createDataFrame([(l,) for l in lab_list], [dim])
+            from xarray_spark._utils import local_df
+            new_labels = local_df(spark, [(l,) for l in lab_list], [dim])
         if method is not None:
             # map each new label to the best-matching existing label
             matched = _asof_label_map(ds, dim, new_labels, method, tolerance)
@@ -349,7 +350,8 @@ def sel_points_nearest(
     n, = lens
     from pyspark.sql import Window
     rows = [(i, *[float(queries[c][i]) for c in cols]) for i in range(n)]
-    q = ds.spark.createDataFrame(rows, [point_dim] + [f"__q_{c}" for c in cols])
+    from xarray_spark._utils import local_df
+    q = local_df(ds.spark, rows, [point_dim] + [f"__q_{c}" for c in cols])
     joined = ds.df.crossJoin(F.broadcast(q))
     if metric == "euclidean":
         dist = sum(

@@ -479,8 +479,9 @@ class CFTimeIndex:
     def to_label_table(self, spark) -> DataFrame:
         """Label-table DataFrame of the ordinals (what sel/reindex/
         resample plans consume)."""
-        return spark.createDataFrame([(v,) for v in self.values],
-                                     f"{self.name} long")
+        from xarray_spark._utils import local_df
+        return local_df(spark, [(v,) for v in self.values],
+                        f"{self.name} long")
 
     @classmethod
     def from_label_table(cls, df, calendar: str,

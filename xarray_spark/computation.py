@@ -845,7 +845,8 @@ def interp_calendar(ds: XDataset, target, dim: str = "time",
         # plain datetime before building the label table
         vals = [t.to_pydatetime() if hasattr(t, "to_pydatetime") else t
                 for t in list(target)]
-        tdf = spark.createDataFrame([(t,) for t in vals], [dim])
+        from xarray_spark._utils import local_df
+        tdf = local_df(spark, [(t,) for t in vals], [dim])
         tgt_cal = target_calendar or "standard"
     src_dy = _decimal_year_expr(F.col(dim), ds.df.schema[dim].dataType, src_cal)
     src = ds._replace(df=ds.df.withColumn(dim, src_dy))

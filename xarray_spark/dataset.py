@@ -550,7 +550,8 @@ def _grouped_quantile_midbin_local(df: DataFrame, keys: list, v: str,
         T.StructField("__sh", T.DoubleType()),
         T.StructField("__eq", T.DoubleType()),
     ])
-    tgt = spark.createDataFrame(target_rows, tgt_schema)
+    from xarray_spark._utils import local_df
+    tgt = local_df(spark, target_rows, tgt_schema)
     val = F.col(v).cast("double")
     rows = df.select(*keys, val.alias("__v"))
     vv = F.col("__v")
@@ -615,7 +616,8 @@ def _grouped_quantile_midbin_local(df: DataFrame, keys: list, v: str,
         T.StructField("quantile", T.DoubleType()),
         T.StructField(v, T.DoubleType()),
     ])
-    return spark.createDataFrame(out_rows, out_schema)
+    from xarray_spark._utils import local_df
+    return local_df(spark, out_rows, out_schema)
 
 
 def _grouped_quantile_midbin(df: DataFrame, keys: list, v: str, qs: list,
@@ -1516,7 +1518,8 @@ class XDataset:
             # as-of map reindex uses (alignment.py) and semi-join the
             # fact table on the matched labels.  No collect.
             from xarray_spark.alignment import _asof_label_map
-            req_df = self.spark.createDataFrame([(r,) for r in req], [dim])
+            from xarray_spark._utils import local_df
+            req_df = local_df(self.spark, [(r,) for r in req], [dim])
             matched = _asof_label_map(self, dim, req_df, method, tolerance)
             # reference parity: unmatched requests fail ("not all values
             # found in index").  The check rides IN the plan (raise_error
@@ -1559,7 +1562,8 @@ class XDataset:
         spark = self.spark
         dtype = self.df.schema[dim].dataType
         labels = self._dim_labels(dim).select(F.col(dim).alias("__lab"))
-        req_df = spark.createDataFrame([(r,) for r in requests], ["__req"])
+        from xarray_spark._utils import local_df
+        req_df = local_df(spark, [(r,) for r in requests], ["__req"])
         j = req_df.crossJoin(F.broadcast(labels))
         lab, rq = F.col("__lab"), F.col("__req")
         lab_d, rq_d = to_double(lab, dtype), to_double(rq, dtype)
@@ -3061,7 +3065,8 @@ class XDataset:
                                    else _interp_py(value_at(jl),
                                                    value_at(jh), w, method))
                             rows.append((float(x), val))
-                        part = self.spark.createDataFrame(rows, ["quantile", v])
+                        from xarray_spark._utils import local_df
+                        part = local_df(self.spark, rows, ["quantile", v])
             elif not n:
                 part = self.spark.createDataFrame(
                     [(float(x), None) for x in qs], f"quantile double, {v} double")
@@ -4184,7 +4189,9 @@ class XDataset:
         from xarray_spark._utils import is_temporal
         sides = ["b"] * before + ["a"] * after
         if is_temporal(dtype):
-            new_rows = self.spark.createDataFrame(
+            from xarray_spark._utils import local_df
+            new_rows = local_df(
+                self.spark,
                 [(float(x), s) for x, s in zip(new_labels, sides)],
                 "__num double, __side string"
             ).select(F.timestamp_seconds(F.col("__num")).cast(dtype).alias(dim),

@@ -104,7 +104,9 @@ class DataTree:
                 # positional labels -> inherit the ancestor's, by
                 # position, through a broadcast literal mapping
                 spark = ds.df.sparkSession
-                mapping = spark.createDataFrame(
+                from xarray_spark._utils import local_df
+                mapping = local_df(
+                    spark,
                     [(i, lab) for i, lab in enumerate(anc)],
                     ["__pos__", "__lab__"])
                 df = (out.df.join(

@@ -217,10 +217,12 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
         (i, bytes([(i * 37 + j) % 256 for j in range(128 + (i % 5) * 32)]), "fake", 16, 16)
         for i in range(n)
     ]
-    # a table this small should not fan out one Arrow/Python worker per
-    # core across the downstream mapInPandas stages
-    parts = max(1, min(4, n // 16))
-    return spark.createDataFrame(rows, IMAGE_SCHEMA).coalesce(parts)
+    # Arrow local path: the JVM reads the batches directly — the
+    # pickled-slice route cost one Python-worker handshake per
+    # defaultParallelism slice, SERIALIZED by the old coalesce()
+    # (measured 2.5 s at local[32] for 32 rows vs 0.09 s here)
+    from xarray_spark._utils import local_df
+    return local_df(spark, rows, IMAGE_SCHEMA)
 
 
 # --------------------------------------------------------------------- #
@@ -325,5 +327,5 @@ def synth_audio_table(spark, n: int = 32) -> DataFrame:
          "pcm16", 16000)
         for i in range(n)
     ]
-    parts = max(1, min(4, n // 16))
-    return spark.createDataFrame(rows, AUDIO_SCHEMA).coalesce(parts)
+    from xarray_spark._utils import local_df
+    return local_df(spark, rows, AUDIO_SCHEMA)

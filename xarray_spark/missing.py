@@ -475,7 +475,8 @@ def interp(ds: XDataset, coords: dict, method: str = "linear",
     elif hasattr(targets, "sparkSession"):  # DataFrame
         tgt_labels = targets.select(dim).where(F.col(dim).isNotNull()).distinct()
     else:
-        tgt_labels = spark.createDataFrame([(t,) for t in list(targets)], [dim])
+        from xarray_spark._utils import local_df
+        tgt_labels = local_df(spark, [(t,) for t in list(targets)], [dim])
     if others:
         other_combos = ds.df.select(*others).distinct()
         tgt = other_combos.crossJoin(F.broadcast(tgt_labels))

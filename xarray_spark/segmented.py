@@ -371,7 +371,9 @@ def ewm_segmented(ds: XDataset, dim: str, alpha: float, agg: str = "mean",
         dk = decay ** (r["__pmax"] + 1)
         g = {v: (r[f"__ne_{v}"] + g[v][0] * dk,
                  r[f"__de_{v}"] + g[v][1] * dk) for v in varlist}
-    carry = ds.spark.createDataFrame(
+    from xarray_spark._utils import local_df
+    carry = local_df(
+        ds.spark,
         carry_rows,
         ["__seg"] + [f"__cn_{v}" for v in varlist] + [f"__cd_{v}" for v in varlist],
     )
