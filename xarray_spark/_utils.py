@@ -59,27 +59,31 @@ def two_phase_rank(df, col: str, materialize: bool = False):
     tables).  Fact-sized callers (corpus sampling, value ranks) keep
     the default: re-executing a scan twice is cheaper at 100 TB than
     materializing the table.
-    """
-    from pyspark.sql import Window
 
-    part = df.repartitionByRange(F.col(col).asc()).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    Built with selectExpr/SQL-string windows rather than chained
+    Column-object calls: every DataFrame method is a py4j round trip
+    PLUS an eager re-analysis of the accumulated plan, and this helper
+    sits on the _dim_labels hot path of every label-table operator
+    (measured round 13: ~96 ms/call of pure driver time before, ~3×
+    fewer JVM calls after; same physical plan).
+    """
+    part = df.repartitionByRange(F.col(col).asc()).selectExpr(
+        "*", "spark_partition_id() AS __pid")
     if materialize:
         part = part.localCheckpoint(eager=False)
-    w_in = Window.partitionBy("__pid").orderBy(F.col(col).asc())
-    local = part.withColumn("__lrank", F.row_number().over(w_in) - 1)
-    cnts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy()
-    offs = cnts.select(
+    local = part.selectExpr(
+        "*",
+        f"row_number() OVER (PARTITION BY __pid ORDER BY `{col}` ASC)"
+        " - 1 AS __lrank")
+    offs = part.groupBy("__pid").count().selectExpr(
         "__pid",
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
-        F.sum("__cnt").over(w_all).cast("long").alias("__n"),
+        "CAST(coalesce(sum(`count`) OVER (ORDER BY __pid ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS __off",
+        "CAST(sum(`count`) OVER () AS BIGINT) AS __n",
     )
     return (
         local.join(F.broadcast(offs), "__pid")
-        .withColumn("__rnk", (F.col("__lrank") + F.col("__off")).cast("long"))
+        .selectExpr("*", "CAST(__lrank + __off AS BIGINT) AS __rnk")
         .drop("__pid", "__lrank", "__off")
     )
 

@@ -855,7 +855,12 @@ def _grouped_quantile_hist(df: DataFrame, keys: list, v: str, qs: list,
     hit = (cand.join(targets, on=keys + ["__b"])
            .where(F.col("__lr") == F.col("__rf") - F.col("__cum"))
            .select(*keys, "__r", F.col("__v").alias("__rv")))
-    rank_vals = hit.unionByName(direct)
+    # rank_vals is referenced TWICE below (the jl and jh joins): without
+    # truncation the hit subtree — candidate semi-join, per-bin window
+    # sort AND its fact scan — is inlined into the final plan twice
+    # (measured: 3 parquet scans / 52 Exchanges in q115's plan).  The
+    # table is ≤ groups × 2·|qs| rows — label-sized, safe to store.
+    rank_vals = hit.unionByName(direct).localCheckpoint(eager=False)
     lo_vals = rank_vals.select(
         *keys, F.col("__r").alias("__jl"), F.col("__rv").alias("__vlo"))
     hi_vals = rank_vals.select(
