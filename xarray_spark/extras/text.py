@@ -354,7 +354,7 @@ def ngram_lm_score(
     train = _spread(df if train is None else train, id_col)
     df = _spread(df, id_col)
 
-    def gram_df(src):
+    def gram_df(src, outer=False):
         norm = F.concat(
             F.lit(" "),
             F.trim(F.regexp_replace(
@@ -368,7 +368,11 @@ def ngram_lm_score(
                 F.sequence(F.lit(1), F.length("__n") - n + 1),
                 lambda i: F.col("__n").substr(i, F.lit(n))),
         ).otherwise(F.array().cast("array<string>"))
-        return base.select(id_col, F.explode(grams).alias("__g"))
+        # outer=True keeps zero-gram docs as one NULL-gram row so the
+        # scoring aggregate covers every doc in ONE pass (the previous
+        # plan re-scanned the corpus for ids and left-joined them back)
+        ex = F.explode_outer(grams) if outer else F.explode(grams)
+        return base.select(id_col, ex.alias("__g"))
 
     # ---- train: conditional counts, bounded by alphabet^n rows ----
     # the count table is REUSED by the gram-model and the context
@@ -378,7 +382,10 @@ def ngram_lm_score(
     cnt_n = gram_df(train).groupBy("__g").agg(
         F.count(F.lit(1)).alias("__cn"))
     try:
-        cnt_n = cnt_n.localCheckpoint()
+        # lazy: materializes inside the scoring action's first use —
+        # the EAGER form paid a blocking driver-paced job at operator
+        # build time (guide §5: the driver should do no data work)
+        cnt_n = cnt_n.localCheckpoint(eager=False)
     except Exception:
         pass  # keep lineage when checkpointing is unavailable
     cnt_ctx = cnt_n.groupBy(
@@ -399,21 +406,21 @@ def ngram_lm_score(
 
     # ---- score: explode -> broadcast joins -> one doc-level agg ----
     scored_grams = (
-        gram_df(df)
+        gram_df(df, outer=True)
         .join(F.broadcast(model.select("__g", "__lq")), "__g", "left")
         .withColumn("__ctx", F.col("__g").substr(F.lit(1), F.lit(n - 1)))
         .join(F.broadcast(ctx_only), "__ctx", "left")
         .select(
-            id_col,
+            id_col, "__g",
             F.coalesce("__lq", "__lq_ctx", F.lit(lq_oov)).alias("__q"))
     )
-    per_doc = scored_grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        (-F.sum("__q")).cast("long").alias("nll_q"))
-    all_docs = df.select(id_col).join(per_doc, id_col, "left").select(
-        id_col,
-        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-        F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"))
+    # count(__g) skips the NULL marker rows of zero-gram docs, so the
+    # single aggregate yields (0 grams, 0 nll) for them — no second
+    # corpus scan, no doc-level left join
+    all_docs = scored_grams.groupBy(id_col).agg(
+        F.count("__g").cast("long").alias("n_grams"),
+        F.coalesce(-F.sum(F.when(F.col("__g").isNotNull(), F.col("__q"))),
+                   F.lit(0)).cast("long").alias("nll_q"))
     ppl = F.when(
         F.col("n_grams") > 0,
         F.round(F.exp(F.col("nll_q") / F.lit(float(quant))
