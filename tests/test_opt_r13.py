@@ -96,3 +96,38 @@ def test_materialize_gate_still_truncates_true_aggregates(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
     assert materialize_if_derived(agg) is not agg
+
+
+def test_local_df_matches_list_path_for_naive_timestamps(spark):
+    """local_df (Arrow local path) must interpret NAIVE datetimes
+    exactly like createDataFrame(list): DRIVER-LOCAL wall time — pinned
+    under a simulated non-UTC driver (the round-9 midbin scenario)."""
+    import datetime as dt
+    import os
+    import time as _time
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        from xarray_spark._utils import local_df
+        rows = [(dt.datetime(2024, 1, 1, 0, 0), 1.0),
+                (dt.datetime(2024, 6, 15, 12, 0), 2.0)]
+        schema = "k timestamp, v double"
+        want = {(r["k"], r["v"])
+                for r in spark.createDataFrame(rows, schema).collect()}
+        got = {(r["k"], r["v"])
+               for r in local_df(spark, rows, schema).collect()}
+        assert got == want
+        # NTZ stays wall-clock in both paths
+        schema_ntz = "k timestamp_ntz, v double"
+        want_ntz = {(r["k"], r["v"]) for r in
+                    spark.createDataFrame(rows, schema_ntz).collect()}
+        got_ntz = {(r["k"], r["v"]) for r in
+                   local_df(spark, rows, schema_ntz).collect()}
+        assert got_ntz == want_ntz
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()

@@ -209,21 +209,60 @@ def local_df(spark, rows, schema):
     rows = list(rows)
     if not rows:
         return spark.createDataFrame(rows, schema)
-    try:
-        import pandas as pd
-        if hasattr(schema, "fieldNames"):
-            cols = list(schema.fieldNames())
-        elif isinstance(schema, (list, tuple)):
-            cols = list(schema)
-        else:  # DDL string: names parsed by createDataFrame itself
-            from pyspark.sql.types import _parse_datatype_string
-            cols = list(_parse_datatype_string(schema).fieldNames())
-        pdf = pd.DataFrame(rows, columns=cols, dtype=object)
-        return spark.createDataFrame(pdf, schema=schema)
-    except Exception:
+
+    def _fallback():
         n = max(1, min(4, (len(rows) + 255) // 256))
         return spark.createDataFrame(
             spark.sparkContext.parallelize(rows, n), schema)
+
+    try:
+        import datetime as _dt
+
+        import pandas as pd
+        # timestamps stay on the (bounded-slice) pickle path: the Arrow
+        # local conversion localizes naive datetimes differently from
+        # the pickled-row path when the SESSION timezone is not the
+        # driver's (caught by the non-UTC midbin driver test); dates
+        # are tz-free and safe
+        struct = None
+        if hasattr(schema, "fields"):
+            struct = schema
+        elif not isinstance(schema, (list, tuple)):
+            from pyspark.sql.types import _parse_datatype_string
+            struct = _parse_datatype_string(schema)
+        # tz-TimestampType parity with the list path: list-input
+        # createDataFrame interprets NAIVE datetimes as DRIVER-LOCAL
+        # wall time, the Arrow local path as SESSION wall time — on a
+        # non-UTC driver with a UTC session they differ (round-9 midbin
+        # regression test).  Localizing naive values to the driver tz
+        # BEFORE conversion reproduces the list semantics exactly.
+        # TIMESTAMP_NTZ is wall-clock in both paths — left untouched.
+        if struct is not None:
+            cols = list(struct.fieldNames())
+            ltz = [isinstance(f.dataType, T.TimestampType)
+                   for f in struct.fields]
+        else:
+            cols = list(schema)
+            # names-only: inference maps naive datetimes to the session
+            # default timestamp type (LTZ unless overridden)
+            is_ltz_default = "NTZ" not in str(
+                spark.conf.get("spark.sql.timestampType", "TIMESTAMP_LTZ"))
+            ltz = [is_ltz_default] * len(cols)
+
+        def _conv(x, to_ltz):
+            if to_ltz and isinstance(x, _dt.datetime) and x.tzinfo is None:
+                if hasattr(x, "to_pydatetime"):
+                    x = x.to_pydatetime()
+                return x.astimezone()  # attach driver-local tz
+            return x
+
+        if any(ltz):
+            rows = [tuple(_conv(x, f) for x, f in zip(r, ltz))
+                    for r in rows]
+        pdf = pd.DataFrame(rows, columns=cols, dtype=object)
+        return spark.createDataFrame(pdf, schema=schema)
+    except Exception:
+        return _fallback()
 
 
 def parse_iso8601_prefix(s: str):

@@ -329,7 +329,10 @@ def dsir_sample(df: DataFrame, target: DataFrame, k: int,
     # corpus' "score table" — exactly what a production run persists
     # between scoring and selection.
     try:
-        scored = scored.localCheckpoint()
+        # lazy: the rank's range-sampling pass (first consumer job)
+        # materializes it; the EAGER form paid an extra blocking
+        # driver-paced job at operator-build time
+        scored = scored.localCheckpoint(eager=False)
     except Exception:
         pass  # keep lineage when checkpointing is unavailable
     # unique ids make (-score, id) a total order, so two_phase_rank's
