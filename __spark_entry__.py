@@ -2597,40 +2597,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: every implemented operator, one entry each.
 
     ORDERING IS DELIBERATE: the driver's correctness gate evaluates the
-    first 50 entries, so the window rotates per round.  The ROUND-12
-    window holds (a) the DEBUTANT q142 (concat parameter matrix —
-    data_vars='minimal' + join='outer' + compat='override', the
-    round-11 verdict #1 order) plus q20 whose concat path the rewrite
-    also carries, with q01 still leading so the cheapest scan+agg
-    absorbs session spin-up; (b) q138 at position 2 to prove the
-    session-build dim_min_max warmup (round-11 verdict #3 — it paid
-    the lazy pyarrow import at position 1 last round); (c) the ENTIRE
-    round-11 post-streaming weak block q70/q104/q26/q47/q48/q44/q24/
-    q05/q16/q03/q20/q37/q41 — the STREAMING FIVE NOW SIT AT THE
-    ABSOLUTE REGISTRY TAIL (verdict #2), so if this block records
-    ≤1.5× closing here the round-11 2.2-5.8× excess is attributed to
-    state-store/GC residue after the availableNow runs (or to the host
-    band — see SCALE.md round-12 note for the disambiguation); (d) the
-    round-11 verdict #4 ROTATION-DEBT list verbatim — every entry
-    carrying an r9 or older driver row: q02/q04/q06/q09/q10/q11/q12/
-    q13/q14/q29/q33/q36/q43/q53/q54/q58/q60/q62/q86/q110/q123/q125/
-    q129/q133/q134/q135, plus q117 (align path touched by the round-12
-    dict-fill extension) and the oldest †-marked below-fold rows
-    q77/q83/q79/q63/q94/q107/q108.  The round-11 window (q141, the
-    resample block, q65/q66/q84/q114, q19/q21, q99-q106, the sampling
-    block, the extras batch, q136) rotates below the fold on fresh r11
-    rows.  Everything below the window stays covered by
-    tests/test_oracle.py at sf0.001 each round.
+    first 50 entries, so the window rotates per round.  The ROUND-13
+    window holds (a) every query this round's optimizations touched —
+    the literal-table Arrow path (q94/q36/q29/q21/q62/q104/q132 + the
+    quantile family), the q115 rank_vals fold, the ngram_lm_score
+    aggregate fold (q129/q135), the two_phase_rank rebuild
+    (q03/q17/q57/q79/q121), and the align/concat marker carriers
+    (q117/q20/q142) with the round's ADVICE align fix; (b) the
+    round-12 verdict's anti-scaling 20-list verbatim EXCEPT its two
+    streaming members q67/q87 — the streaming five keep their standing
+    absolute-tail position (r11 verdict order: state-store residue must
+    not poison the gate block), documented exception; (c) q34/q35
+    (portable-hash pair) and q115 per verdict item 7; (d) rotation
+    debt: q22/q56 (reshaping rows r10-or-older), q143/q144 (debutants
+    with no oracle row yet), q15/q39/q74 (quantile family sharing the
+    touched plan), q30/q88/q66/q124/q139 (r11-window rows).  Within the
+    window, cheap scan+agg/map-only queries lead so they absorb cold
+    JIT; the dedup/ANN/text pipelines sit behind them; q136 (the
+    5-stage composition) closes the window.  Everything below the
+    window stays covered by tests/test_oracle.py at sf0.001 each round
+    (SPARK_GRAFT_FULL_TESTS=1).
     """
     return {
-        # ---- ROUND-12 GATE WINDOW (first 50; within-window order
-        # is bench order: cheap scan+aggs lead to absorb cold JIT) ----
+        # ---- ROUND-13 GATE WINDOW (first 50; bench order:
+        # cheap scan+aggs lead to absorb cold JIT) ----
         "q01_pricing_summary": q01_pricing_summary,
-        "q138_resample_multiweek": q138_resample_multiweek,
         "q03_isel_head": q03_isel_head,
+        "q27_str_ops": q27_str_ops,
+        "q28_dt_fields": q28_dt_fields,
+        "q17_rank": q17_rank,
+        "q40_dropna": q40_dropna,
+        "q78_dt_tail": q78_dt_tail,
+        "q95_pii_scan": q95_pii_scan,
+        "q18_idxmax": q18_idxmax,
+        "q79_sel_step": q79_sel_step,
+        "q57_isel_points": q57_isel_points,
+        "q121_argsort": q121_argsort,
+        "q22_pivot": q22_pivot,
+        "q56_densify": q56_densify,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q88_hash_sample": q88_hash_sample,
+        "q124_resample_gaps": q124_resample_gaps,
+        "q66_season_resampler": q66_season_resampler,
+        "q139_resample_me_asfreq": q139_resample_me_asfreq,
+        "q21_reindex_fill": q21_reindex_fill,
+        "q29_reindex_nearest": q29_reindex_nearest,
+        "q62_interp_targets": q62_interp_targets,
+        "q104_interp_calendar": q104_interp_calendar,
+        "q117_outer_align_coords": q117_outer_align_coords,
+        "q20_concat": q20_concat,
+        "q142_concat_minimal": q142_concat_minimal,
+        "q143_combine_nested": q143_combine_nested,
+        "q144_cap_per_group": q144_cap_per_group,
+        "q15_quantile": q15_quantile,
+        "q39_groupby_quantile": q39_groupby_quantile,
+        "q74_quantile_methods": q74_quantile_methods,
+        "q137_grouped_quantile_midbin": q137_grouped_quantile_midbin,
+        "q115_grouped_quantile_hist": q115_grouped_quantile_hist,
+        "q129_ngram_lm_score": q129_ngram_lm_score,
+        "q135_lm_buckets_thresholds": q135_lm_buckets_thresholds,
+        "q53_ngram_jaccard": q53_ngram_jaccard,
+        "q34_minhash_lsh": q34_minhash_lsh,
+        "q35_simhash": q35_simhash,
+        "q119_dedup_substrings": q119_dedup_substrings,
+        "q120_semdedup": q120_semdedup,
+        "q126_semdedup_trained": q126_semdedup_trained,
+        "q97_ivf_fixed": q97_ivf_fixed,
+        "q52_embedding_near_dups": q52_embedding_near_dups,
+        "q61_nearest_points": q61_nearest_points,
+        "q132_dsir": q132_dsir,
+        "q81_dedup_clusters": q81_dedup_clusters,
+        "q107_repetition_stats": q107_repetition_stats,
+        "q36_multimodal_features": q36_multimodal_features,
+        "q94_audio_features": q94_audio_features,
+        "q136_curation_pipeline": q136_curation_pipeline,
+        # ---- below the gate fold (oracle-covered via test_oracle) ----
+        "q138_resample_multiweek": q138_resample_multiweek,
         "q05_orders_groupby": q05_orders_groupby,
         "q16_groupby_median": q16_groupby_median,
-        "q20_concat": q20_concat,
         "q37_coarsen_weekly": q37_coarsen_weekly,
         "q41_dot": q41_dot,
         "q26_corr": q26_corr,
@@ -2639,8 +2683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_differentiate": q44_differentiate,
         "q24_integrate": q24_integrate,
         "q70_ffill_segmented": q70_ffill_segmented,
-        "q104_interp_calendar": q104_interp_calendar,
-        "q142_concat_minimal": q142_concat_minimal,
         "q02_sel_label_slice": q02_sel_label_slice,
         "q04_where_mask": q04_where_mask,
         "q06_groupby_bins": q06_groupby_bins,
@@ -2650,47 +2692,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_diff": q12_diff,
         "q13_ffill": q13_ffill,
         "q14_interpolate_na": q14_interpolate_na,
-        "q29_reindex_nearest": q29_reindex_nearest,
         "q43_bfill": q43_bfill,
         "q54_pad": q54_pad,
         "q58_where_aligned": q58_where_aligned,
-        "q62_interp_targets": q62_interp_targets,
         "q86_cf_subdaily": q86_cf_subdaily,
         "q123_where_isin": q123_where_isin,
         "q125_diff_lower": q125_diff_lower,
         "q110_dedup_lines": q110_dedup_lines,
         "q133_pii_redact": q133_pii_redact,
-        "q129_ngram_lm_score": q129_ngram_lm_score,
         "q33_cosine_topk": q33_cosine_topk,
-        "q36_multimodal_features": q36_multimodal_features,
-        "q53_ngram_jaccard": q53_ngram_jaccard,
         "q60_salted_agg": q60_salted_agg,
         "q134_ivf_trained": q134_ivf_trained,
-        "q135_lm_buckets_thresholds": q135_lm_buckets_thresholds,
-        "q117_outer_align_coords": q117_outer_align_coords,
         "q77_str_tail": q77_str_tail,
         "q83_str_tail2": q83_str_tail2,
-        "q79_sel_step": q79_sel_step,
         "q63_lsh_multiprobe": q63_lsh_multiprobe,
-        "q94_audio_features": q94_audio_features,
-        "q107_repetition_stats": q107_repetition_stats,
         "q108_blend_epochs": q108_blend_epochs,
-        # ---- below the fold: fresh r10/r11 rows; all re-oracled
-        # at sf0.001 by tests/test_oracle.py every round ----
-        "q139_resample_me_asfreq": q139_resample_me_asfreq,
         "q140_rolling_std_wide": q140_rolling_std_wide,
         "q45_resample_asfreq": q45_resample_asfreq,
         "q07_resample_monthly": q07_resample_monthly,
         "q08_resample_daily_events": q08_resample_daily_events,
-        "q124_resample_gaps": q124_resample_gaps,
         "q46_resample_6h": q46_resample_6h,
-        "q66_season_resampler": q66_season_resampler,
         "q65_multi_grouper": q65_multi_grouper,
         "q114_encoded_groups": q114_encoded_groups,
         "q84_dt_timedelta": q84_dt_timedelta,
         "q141_rolling_2d_var": q141_rolling_2d_var,
         "q19_binary_align": q19_binary_align,
-        "q21_reindex_fill": q21_reindex_fill,
         "q99_sel_partial_string": q99_sel_partial_string,
         "q100_sel_negative_step": q100_sel_negative_step,
         "q101_ewm_corr": q101_ewm_corr,
@@ -2698,8 +2724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_coarsen_reduce": q103_coarsen_reduce,
         "q105_argmax_grid": q105_argmax_grid,
         "q106_complex_phase": q106_complex_phase,
-        "q30_dedup_exact": q30_dedup_exact,
-        "q88_hash_sample": q88_hash_sample,
         "q89_hash_split": q89_hash_split,
         "q90_stratified_sample": q90_stratified_sample,
         "q91_decontaminate": q91_decontaminate,
@@ -2710,33 +2734,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_c4_filter": q128_c4_filter,
         "q130_decontaminate_ngrams": q130_decontaminate_ngrams,
         "q131_pack_nosplit": q131_pack_nosplit,
-        "q119_dedup_substrings": q119_dedup_substrings,
-        "q120_semdedup": q120_semdedup,
-        "q126_semdedup_trained": q126_semdedup_trained,
-        "q97_ivf_fixed": q97_ivf_fixed,
         "q112_pq_topk": q112_pq_topk,
         "q113_ivfpq_topk": q113_ivfpq_topk,
         "q51_lsh_topk": q51_lsh_topk,
-        "q52_embedding_near_dups": q52_embedding_near_dups,
-        "q61_nearest_points": q61_nearest_points,
-        "q136_curation_pipeline": q136_curation_pipeline,
-        "q137_grouped_quantile_midbin": q137_grouped_quantile_midbin,
-        "q78_dt_tail": q78_dt_tail,
-        "q95_pii_scan": q95_pii_scan,
-        "q28_dt_fields": q28_dt_fields,
-        "q17_rank": q17_rank,
-        "q18_idxmax": q18_idxmax,
-        "q22_pivot": q22_pivot,
         "q23_weighted_mean": q23_weighted_mean,
         "q31_text_features": q31_text_features,
         "q38_shift": q38_shift,
-        "q40_dropna": q40_dropna,
         "q42_stopword_ratio": q42_stopword_ratio,
         "q49_fingerprint_distinct": q49_fingerprint_distinct,
         "q50_rolling_exp": q50_rolling_exp,
         "q55_rolling_2d": q55_rolling_2d,
-        "q56_densify": q56_densify,
-        "q57_isel_points": q57_isel_points,
         "q68_datatree": q68_datatree,
         "q69_bpe_token_count": q69_bpe_token_count,
         "q71_netcdf_roundtrip": q71_netcdf_roundtrip,
@@ -2744,30 +2751,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_interp_zero": q75_interp_zero,
         "q80_cf_360day": q80_cf_360day,
         "q82_pad_reflect": q82_pad_reflect,
-        "q74_quantile_methods": q74_quantile_methods,
-        "q15_quantile": q15_quantile,
-        "q39_groupby_quantile": q39_groupby_quantile,
-        "q115_grouped_quantile_hist": q115_grouped_quantile_hist,
-        "q27_str_ops": q27_str_ops,
         "q122_polyfit_full": q122_polyfit_full,
         "q25_polyfit": q25_polyfit,
         "q59_decode_cf": q59_decode_cf,
         "q111_rolling_argmin": q111_rolling_argmin,
-        "q81_dedup_clusters": q81_dedup_clusters,
-        "q132_dsir": q132_dsir,
-        "q34_minhash_lsh": q34_minhash_lsh,
-        "q35_simhash": q35_simhash,
         "q72_zarr_roundtrip": q72_zarr_roundtrip,
         "q116_bucketed_ffill": q116_bucketed_ffill,
         "q118_temperature_sample": q118_temperature_sample,
-        "q121_argsort": q121_argsort,
         "q32_language_id": q32_language_id,
         "q76_interp_quadratic": q76_interp_quadratic,
-        "q143_combine_nested": q143_combine_nested,
-        "q144_cap_per_group": q144_cap_per_group,
-        # ---- streaming five at the ABSOLUTE registry tail
-        # (round-11 verdict #2: nothing downstream left to absorb
-        # any state-store / GC residue the availableNow runs leave) ----
+        # ---- streaming five: absolute registry tail (standing stance) ----
         "q67_stream_resample": q67_stream_resample,
         "q109_stream_interval_join": q109_stream_interval_join,
         "q96_stream_sessionize": q96_stream_sessionize,
