@@ -228,32 +228,24 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     - ``dup_trigram_frac``: fraction of word 3-gram occurrences that
       are repeats.
 
-    Scale shape: two explodes (lines; word n-grams) each followed by a
-    partial-aggregated groupBy on (id, token) then (id) — the
-    minhash-style hash-once/aggregate-tree shape, no window functions,
-    no per-doc quadratic expression trees.  Empty docs produce zeroed
-    stats (LEFT join + coalesce), so no document silently disappears."""
-    ids = df.select(id_col)
+    Scale shape (round-13 fold): lines, bigrams and trigrams ride ONE
+    kind-tagged explode_outer — one corpus scan, one (id, kind, token)
+    shuffle, then a two-level aggregation tree; zero-token docs keep a
+    NULL marker row through the explode so every document reaches the
+    final per-doc aggregate without the old ids-scan + two left joins
+    (the previous plan scanned the corpus three times).  All divisions
+    reproduce the previous plan's expressions over the same integers,
+    so the doubles are bit-identical."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-
-    lines = (
-        df.select(F.col(id_col), F.explode(F.split(t, "\n")).alias("__ln"))
-        .where(F.length("__ln") > 0)
+    # bind the split arrays as COLUMNS: a lambda body referencing the
+    # raw split expression re-evaluates it per array element (Catalyst
+    # does not common-subexpression-eliminate inside higher-order
+    # functions — the SCALE.md round-4 lesson)
+    bound = df.select(
+        F.col(id_col),
+        F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0).alias("__ls"),
+        F.split(F.trim(t), r"\s+").alias("__ws"),
     )
-    per_line = lines.groupBy(id_col, "__ln").agg(
-        F.count(F.lit(1)).alias("__c"), F.length("__ln").alias("__len"))
-    line_stats = per_line.groupBy(id_col).agg(
-        F.sum("__c").cast("long").alias("n_lines"),
-        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("__c")).alias("dup_line_frac"),
-        (F.sum((F.col("__c") - 1) * F.col("__len"))
-         / F.sum(F.col("__c") * F.col("__len"))).alias("dup_line_char_frac"),
-    )
-
-    # materialize the split ONCE as a column: a lambda body referencing
-    # the raw split expression re-evaluates it per array element
-    # (Catalyst does not common-subexpression-eliminate inside
-    # higher-order functions), turning n-gram assembly O(words^2)
-    wdf = df.select(F.col(id_col), F.split(F.trim(t), r"\s+").alias("__ws"))
     words = F.col("__ws")
 
     def gram_list(n: int):
@@ -268,36 +260,43 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    # bigrams and trigrams ride ONE explode (tagged structs) — one scan,
-    # one shuffle on (id, n, gram) instead of two full passes
     tagged = F.concat(
-        F.transform(gram_list(2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
-        F.transform(gram_list(3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
+        F.transform(F.col("__ls"),
+                    lambda x: F.struct(F.lit(0).alias("n"), x.alias("g"))),
+        F.transform(gram_list(2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+        F.transform(gram_list(3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
     )
-    ex = wdf.select(F.col(id_col), F.explode(tagged).alias("__t")).select(
-        id_col, F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g"))
-    per_gram = ex.groupBy(id_col, "__n", "__g").agg(F.count(F.lit(1)).alias("__c"))
-    per_n = per_gram.groupBy(id_col, "__n").agg(
-        F.max("__c").alias("__mx"), F.sum("__c").alias("__s"),
-        F.count(F.lit(1)).alias("__d"))
-    gram_stats = per_n.groupBy(id_col).agg(
-        F.max(F.when(F.col("__n") == 2, F.col("__mx") / F.col("__s")))
-        .alias("top_bigram_share"),
-        F.max(F.when(F.col("__n") == 3, F.lit(1.0) - F.col("__d") / F.col("__s")))
-        .alias("dup_trigram_frac"),
+    ex = bound.select(
+        F.col(id_col), F.explode_outer(tagged).alias("__t")
+    ).select(id_col, F.col("__t.n").alias("__n"), F.col("__t.g").alias("__g"))
+    per_tok = ex.groupBy(id_col, "__n", "__g").agg(
+        F.count(F.lit(1)).alias("__c"))
+    ln = F.length("__g")
+    per_kind = per_tok.groupBy(id_col, "__n").agg(
+        F.sum("__c").alias("__s"),
+        F.count(F.when(F.col("__g").isNotNull(), 1)).alias("__d"),
+        F.max("__c").alias("__mx"),
+        F.sum((F.col("__c") - 1) * ln).alias("__dupch"),
+        F.sum(F.col("__c") * ln).alias("__allch"),
     )
-
-    out = (
-        ids.join(line_stats, on=id_col, how="left")
-        .join(gram_stats, on=id_col, how="left")
-    )
-    return out.select(
-        id_col,
-        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
-        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
-        F.coalesce("top_bigram_share", F.lit(0.0)).alias("top_bigram_share"),
-        F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+    n_ = F.col("__n")
+    return per_kind.groupBy(id_col).agg(
+        F.coalesce(F.sum(F.when(n_ == 0, F.col("__s"))),
+                   F.lit(0)).cast("long").alias("n_lines"),
+        F.coalesce(F.max(F.when(
+            n_ == 0, F.lit(1.0) - F.col("__d") / F.col("__s"))),
+            F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce(F.max(F.when(
+            n_ == 0, F.col("__dupch") / F.col("__allch"))),
+            F.lit(0.0)).alias("dup_line_char_frac"),
+        F.coalesce(F.max(F.when(
+            n_ == 2, F.col("__mx") / F.col("__s"))),
+            F.lit(0.0)).alias("top_bigram_share"),
+        F.coalesce(F.max(F.when(
+            n_ == 3, F.lit(1.0) - F.col("__d") / F.col("__s"))),
+            F.lit(0.0)).alias("dup_trigram_frac"),
     )
 
 
